@@ -1,13 +1,303 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Documents
+import graft.ops.Analytics
+import graft.store.DocumentStore
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every query aliases output columns identically to its oracle SQL, orders
+  * deterministically (unique tiebreak), avoids raw ns-timestamps (epoch
+  * seconds) and folds float aggregates through exact decimal — see
+  * SURVEY.md §6.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Analytics.pricingSummary(spark, "/root/testdata/sf0.001")
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  def queries: Map[String, Q] = Map[String, Q](
+    // ── §2a document-store surface ────────────────────────────────────
+    "ts_find_filter_project" -> ((s, dir) =>
+      DocumentStore.find(ev(s, dir),
+          col("event_type") === "purchase" && col("value") > 50,
+          Seq("event_id", "user_id", "value"))
+        .orderBy("event_id")),
+
+    "ts_find_by_id" -> ((s, dir) =>
+      DocumentStore.findById(ev(s, dir), "event_id", 42L)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          Documents.tsSec(col("ts")).as("ts_sec"))),
+
+    "ts_find_by_session" -> ((s, dir) =>
+      DocumentStore.findBySession(ev(s, dir), "user_id", 7L)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")),
+
+    "ts_count_documents" -> ((s, dir) =>
+      DocumentStore.countDocuments(ev(s, dir), Some(col("event_type") === "click"))),
+
+    "ts_distinct_sessions" -> ((s, dir) =>
+      DocumentStore.distinctSessions(ev(s, dir), "user_id").orderBy("user_id")),
+
+    "ts_unique_sessions_summary" -> ((s, dir) =>
+      DocumentStore.uniqueSessions(ev(s, dir), "user_id", "ts").orderBy("session")),
+
+    "ts_sort_limit" -> ((s, dir) =>
+      DocumentStore.sortLimit(ev(s, dir).select("event_id", "value"),
+        Seq(col("value").desc, col("event_id")), 50)),
+
+    "ts_update_by_id" -> ((s, dir) =>
+      DocumentStore.updateById(ev(s, dir), "event_id", 10L,
+          Map("event_type" -> lit("converted"), "value" -> lit(99.99)))
+        .filter(col("event_id").isin(9L, 10L, 11L))
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")),
+
+    "ts_delete_by_id" -> ((s, dir) =>
+      DocumentStore.deleteById(ev(s, dir), "event_id", 5L)
+        .filter(col("event_id") < 10)
+        .select("event_id")
+        .orderBy("event_id")),
+
+    "ts_insert_append" -> ((s, dir) =>
+      DocumentStore.insert(
+          ev(s, dir).select("event_id", "event_type"),
+          s.range(1).select(lit(999999L).as("event_id"), lit("synthetic").as("event_type")))
+        .orderBy(col("event_id").desc)
+        .limit(5)),
+
+    "ts_agg_pipeline" -> ((s, dir) =>
+      DocumentStore.find(ev(s, dir), col("value") > 1)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          Analytics.dsum(col("value")).as("sum_value"),
+          Analytics.davg(col("value")).as("avg_value"))
+        .orderBy("event_type")),
+
+    "ts_unwind_explode" -> ((s, dir) =>
+      DocumentStore.unwind(
+          Tables.documents(s, dir).filter(col("doc_id") < 2).select(col("doc_id"), col("text")),
+          split(col("text"), " "), "word")
+        .select("doc_id", "word")
+        .orderBy("doc_id", "word")),
+
+    "ts_lookup_join" -> ((s, dir) =>
+      DocumentStore.lookup(
+          ev(s, dir).filter(col("event_type") === "signup"),
+          Tables.customer(s, dir),
+          col("user_id") === col("c_custkey"))
+        .select("event_id", "user_id", "c_name", "c_mktsegment")
+        .orderBy("event_id")),
+
+    "ts_flatten_docs" -> ((s, dir) =>
+      Documents.flatten(
+          ev(s, dir).select(
+            col("event_id"),
+            struct(
+              struct(col("user_id").as("session"), Documents.tsSec(col("ts")).as("sys_time_sec")).as("meta"),
+              struct(col("event_type"), col("value")).as("payload")).as("doc")))
+        .orderBy("event_id")
+        .limit(100)),
+
+    "ts_session_meta" -> ((s, dir) =>
+      Documents.stampMeta(ev(s, dir), col("event_id"), col("user_id"), col("ts"))
+        .select("_id", "session", "sys_time_sec")
+        .orderBy("_id")
+        .limit(100)),
+
+    "ts_chunk_binary" -> ((s, dir) =>
+      DocumentStore.chunk(
+          Tables.documents(s, dir).filter(col("doc_id") < 10),
+          col("doc_id"), col("text"), 64)
+        .orderBy("files_id", "n")),
+
+    "ts_clone_incremental" -> ((s, dir) =>
+      DocumentStore.cloneMissing(
+          ev(s, dir).select("event_id", "event_type"),
+          ev(s, dir).filter(col("event_id") % 2 === 0).select("event_id"),
+          "event_id")
+        .filter(col("event_id") < 20)
+        .orderBy("event_id")),
+
+    "ts_monitor_rates" -> ((s, dir) =>
+      DocumentStore.monitorRates(ev(s, dir), col("event_type"), col("ts"), col("props"), "hour")
+        .orderBy("topic", "window_start_sec")),
+
+    "ts_skip_on_error" -> ((s, dir) =>
+      DocumentStore.skipOnError(ev(s, dir), get_json_object(col("props"), "$.k").cast("long"), "k")
+        .agg(count(lit(1)).as("n_valid"), sum(col("k")).as("sum_k"))),
+
+    "ts_type_coercion" -> ((s, dir) =>
+      Documents.coerce(
+          ev(s, dir).select(col("event_id"), col("event_id").cast("string").as("id_str"),
+            col("value"), col("value").as("value_int"), (col("value") > 10).as("is_big")),
+          Map("value_int" -> (c => floor(c).cast("long"))))
+        .select("event_id", "id_str", "value_int", "is_big")
+        .orderBy("event_id")
+        .limit(200)),
+
+    // ── §2b analytics ─────────────────────────────────────────────────
+    "q1_pricing_summary" -> ((s, dir) => Analytics.pricingSummary(s, dir)),
+    "q3_top_revenue" -> ((s, dir) => Analytics.topRevenue(s, dir)),
+    "q5_region_revenue" -> ((s, dir) => Analytics.regionRevenue(s, dir)),
+    "topk_orders_window" -> ((s, dir) => Analytics.topOrdersPerCustomer(s, dir)),
+  )
+
+  /** DuckDB-runnable oracle SQL — column names and ordering match the Spark
+    * side exactly (SURVEY.md §6).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "ts_find_filter_project" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'purchase' AND value > 50 ORDER BY event_id""".stripMargin,
+
+    "ts_find_by_id" ->
+      """SELECT event_id, user_id, event_type, value,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |FROM events WHERE event_id = 42""".stripMargin,
+
+    "ts_find_by_session" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE user_id = 7 ORDER BY event_id""".stripMargin,
+
+    "ts_count_documents" ->
+      "SELECT count(*) AS n FROM events WHERE event_type = 'click'",
+
+    "ts_distinct_sessions" ->
+      "SELECT DISTINCT user_id FROM events ORDER BY user_id",
+
+    "ts_unique_sessions_summary" ->
+      """SELECT user_id AS session, count(*) AS n_docs,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS first_ts_sec,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) AS last_ts_sec
+        |FROM events GROUP BY user_id ORDER BY session""".stripMargin,
+
+    "ts_sort_limit" ->
+      "SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 50",
+
+    "ts_update_by_id" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id = 10 THEN 'converted' ELSE event_type END AS event_type,
+        |  CASE WHEN event_id = 10 THEN 99.99 ELSE value END AS value
+        |FROM events WHERE event_id IN (9, 10, 11) ORDER BY event_id""".stripMargin,
+
+    "ts_delete_by_id" ->
+      """SELECT event_id FROM events
+        |WHERE event_id <> 5 AND event_id < 10 ORDER BY event_id""".stripMargin,
+
+    "ts_insert_append" ->
+      """SELECT event_id, event_type FROM (
+        |  SELECT event_id, event_type FROM events
+        |  UNION ALL SELECT 999999, 'synthetic')
+        |ORDER BY event_id DESC LIMIT 5""".stripMargin,
+
+    "ts_agg_pipeline" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS avg_value
+        |FROM events WHERE value > 1 GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ts_unwind_explode" ->
+      """SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |FROM documents WHERE doc_id < 2 ORDER BY doc_id, word""".stripMargin,
+
+    "ts_lookup_join" ->
+      """SELECT event_id, user_id, c_name, c_mktsegment
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE event_type = 'signup' ORDER BY event_id""".stripMargin,
+
+    "ts_flatten_docs" ->
+      """SELECT event_id, user_id AS doc_meta_session,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS doc_meta_sys_time_sec,
+        |  event_type AS doc_payload_event_type, value AS doc_payload_value
+        |FROM events ORDER BY event_id LIMIT 100""".stripMargin,
+
+    "ts_session_meta" ->
+      """SELECT event_id AS "_id", user_id AS session,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS sys_time_sec
+        |FROM events ORDER BY "_id" LIMIT 100""".stripMargin,
+
+    "ts_chunk_binary" ->
+      """SELECT doc_id AS files_id, CAST(t.n AS INT) AS n,
+        |  substring(text, CAST(t.n AS INT) * 64 + 1, 64) AS data
+        |FROM documents, range(0, 1024) AS t(n)
+        |WHERE doc_id < 10 AND t.n <= (length(text) - 1) // 64
+        |ORDER BY files_id, n""".stripMargin,
+
+    "ts_clone_incremental" ->
+      """SELECT event_id, event_type FROM events e
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM events d WHERE d.event_id % 2 = 0 AND d.event_id = e.event_id)
+        |AND event_id < 20 ORDER BY event_id""".stripMargin,
+
+    "ts_monitor_rates" ->
+      """SELECT event_type AS topic,
+        |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start_sec,
+        |  count(*) AS n_msgs,
+        |  CAST(SUM(length(props)) AS BIGINT) AS payload_bytes,
+        |  count(*) / CAST(3600 AS DOUBLE) AS rate_hz
+        |FROM events GROUP BY 1, 2 ORDER BY topic, window_start_sec""".stripMargin,
+
+    "ts_skip_on_error" ->
+      """SELECT count(*) AS n_valid, CAST(SUM(k) AS BIGINT) AS sum_k FROM (
+        |  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |WHERE k IS NOT NULL""".stripMargin,
+
+    "ts_type_coercion" ->
+      """SELECT event_id, CAST(event_id AS VARCHAR) AS id_str,
+        |  CAST(floor(value) AS BIGINT) AS value_int, value > 10 AS is_big
+        |FROM events ORDER BY event_id LIMIT 200""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-06-30'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_revenue" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "topk_orders_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+  )
 }

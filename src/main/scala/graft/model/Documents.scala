@@ -1,0 +1,56 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Document model: meta stamping, nested-struct flattening, type coercion.
+  *
+  * The reference's `TopicStore` (reference src/topic_store/data.py:21-114) is
+  * a nested dict auto-stamped with `_id` and `_ts_meta={session, sys_time,
+  * ros_time}`; `flatten_ros_msg_dict` (data.py:100-114) flattens the message
+  * tree to dotted keys. Here a document is a row whose payload is a nested
+  * `struct` column; both operations are pure plan transforms (no UDFs), so
+  * Catalyst prunes unused leaves all the way to the parquet scan.
+  */
+object Documents {
+
+  /** Epoch seconds from a timestamp column (floor). Spark's
+    * `cast(ts as long)` floors microseconds; matches DuckDB
+    * `floor(epoch(ts))::BIGINT` for the oracle.
+    */
+  def tsSec(c: Column): Column = c.cast("long")
+
+  /** Stamp reference-style meta columns (data.py:28-34): `_id`, `session`,
+    * `sys_time`. A 100 TB layout partitions storage by `session` so
+    * session-scoped queries partition-prune.
+    */
+  def stampMeta(df: DataFrame, idCol: Column, sessionCol: Column, tsCol: Column): DataFrame =
+    df.withColumn("_id", idCol)
+      .withColumn("session", sessionCol)
+      .withColumn("sys_time_sec", tsSec(tsCol))
+
+  /** Flatten every nested struct column to top-level columns joined by
+    * `sep` — the Spark twin of `flatten_ros_msg_dict` (data.py:100-114).
+    * Pure projection: column pruning still reaches the scan.
+    */
+  def flatten(df: DataFrame, sep: String = "_"): DataFrame = {
+    def walk(schema: StructType, path: Seq[String], name: Seq[String]): Seq[Column] =
+      schema.fields.toSeq.flatMap { f =>
+        val p = path :+ f.name
+        val n = name :+ f.name
+        f.dataType match {
+          case st: StructType => walk(st, p, n)
+          case _ => Seq(col(p.map(s => s"`$s`").mkString(".")).as(n.mkString(sep)))
+        }
+      }
+    df.select(walk(df.schema, Nil, Nil): _*)
+  }
+
+  /** Type-coercion transform set — the Spark twin of `DefaultTypeParser`
+    * (reference src/topic_store/sanitation.py:47-115): apply named
+    * column-level coercions, keep all other columns untouched.
+    */
+  def coerce(df: DataFrame, coercions: Map[String, Column => Column]): DataFrame =
+    coercions.foldLeft(df) { case (d, (name, fn)) => d.withColumn(name, fn(col(name))) }
+}

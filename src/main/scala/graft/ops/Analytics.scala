@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** OLAP headliners proving the engine is a real analytics engine on the
+  * TPC-H-ish tables (scan-heavy agg, multi-way joins, windows).
+  *
+  * Float parity with the DuckDB oracle: money math runs in exact decimal
+  * end-to-end (cast the 2-dp source doubles to decimal, multiply/sum in
+  * decimal — exact and associative, so Spark's partial/final aggregation
+  * order can't change the result), cast back to double only at the end.
+  */
+object Analytics {
+
+  /** Exact-sum of a double expression: decimal-fold then back to double. */
+  def dsum(c: Column): Column = sum(c.cast("decimal(28,8)")).cast("double")
+
+  /** Exact average: decimal sum divided by count in double (deterministic). */
+  def davg(c: Column): Column = dsum(c) / count(lit(1)).cast("double")
+
+  /** Money columns as exact decimals. Casting the raw 2-dp doubles is
+    * unambiguous (the double sits ~1e-13 from the decimal value); all
+    * onward arithmetic (multiply/subtract/sum) is exact decimal, so Spark
+    * and the oracle agree bit-for-bit after the final cast to double.
+    * Doing the *product* in double first and casting after is NOT safe —
+    * the two engines' double→decimal rounding can differ by 1 ulp.
+    */
+  def money(c: Column): Column = c.cast("decimal(12,2)")
+  def rate(c: Column): Column = c.cast("decimal(4,2)")
+
+  /** revenue expression: extendedprice * (1 - discount), exact decimal. */
+  private def revenueExpr: Column =
+    money(col("l_extendedprice")) * (lit(1).cast("decimal(4,2)") - rate(col("l_discount")))
+
+  /** TPC-H Q1 pattern: one scan, wide aggregate. Map-side partial agg means
+    * the shuffle carries |groups| rows per partition, not the table.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("2001-06-30").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(revenueExpr).cast("double").as("sum_disc_price"),
+        sum(revenueExpr * (lit(1).cast("decimal(4,2)") + rate(col("l_tax")))).cast("double").as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        (sum(money(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(rate(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3 pattern: customer ⋈ orders ⋈ lineitem, revenue top-k.
+    * Customer is the small side → broadcast; orders⋈lineitem shuffles on
+    * the order key; top-10 is TakeOrdered (no global sort).
+    */
+  def topRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(revenueExpr).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 pattern: 6-way star join. All dimension sides (region,
+    * nation, supplier, customer) broadcast; only orders⋈lineitem shuffles.
+    */
+  def regionRevenue(spark: SparkSession, dir: String, regionName: String = "ASIA"): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === regionName)
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revenueExpr).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Window pattern: top-k orders per customer by rank. */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+}

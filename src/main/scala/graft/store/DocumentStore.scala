@@ -1,0 +1,153 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The document-store query surface: the Spark-native twin of the
+  * reference's `MongoStorage` (reference src/topic_store/database.py:33-290)
+  * plus the conversion/migration semantics of convert.py.
+  *
+  * Every operation is a `DataFrame => DataFrame` transform so Catalyst can
+  * push filters/projections into the parquet scan, broadcast small sides,
+  * and AQE can re-plan shuffles at runtime. Nothing here collects to the
+  * driver — at 100 TB each op stays a distributed plan.
+  */
+object DocumentStore {
+
+  /** `find(query, projection)` (database.py:196-208): filter + project.
+    * Both reach the scan as PushedFilters / ReadSchema.
+    */
+  def find(df: DataFrame, predicate: Column, projection: Seq[String] = Nil): DataFrame = {
+    val filtered = df.filter(predicate)
+    if (projection.isEmpty) filtered else filtered.select(projection.map(col): _*)
+  }
+
+  /** `find_by_id` (database.py:233-235): point lookup. With id-sorted /
+    * bucketed parquet this prunes to a handful of row groups via min-max
+    * stats rather than scanning the table.
+    */
+  def findById(df: DataFrame, idCol: String, id: Long): DataFrame =
+    df.filter(col(idCol) === id)
+
+  /** `find_by_session_id` (database.py:237-240). Session-partitioned
+    * storage turns this into partition pruning at scale.
+    */
+  def findBySession(df: DataFrame, sessionCol: String, session: Long): DataFrame =
+    df.filter(col(sessionCol) === session)
+
+  /** `count(query)` (database.py:221-231) — exact count; Spark reads only
+    * parquet row-group metadata when no predicate survives.
+    */
+  def countDocuments(df: DataFrame, predicate: Option[Column] = None): DataFrame =
+    predicate.fold(df)(df.filter).agg(count(lit(1)).as("n"))
+
+  /** `collection.distinct("_ts_meta.session")` (database.py:262-267). */
+  def distinctSessions(df: DataFrame, sessionCol: String): DataFrame =
+    df.select(sessionCol).distinct()
+
+  /** `get_unique_sessions` (database.py:242-267): per-session doc count and
+    * first/last time. One hash-aggregate with map-side partials — no
+    * per-session `count_documents` round trips like the reference.
+    */
+  def uniqueSessions(df: DataFrame, sessionCol: String, tsCol: String): DataFrame =
+    df.groupBy(col(sessionCol).as("session"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col(tsCol)).cast("long").as("first_ts_sec"),
+        max(col(tsCol)).cast("long").as("last_ts_sec"))
+
+  /** Cursor `.sort(...).limit(n)` paging. Spark plans a TakeOrderedAndProject
+    * — per-partition top-n then a single merge, no full sort at scale.
+    */
+  def sortLimit(df: DataFrame, sort: Seq[Column], n: Int): DataFrame =
+    df.orderBy(sort: _*).limit(n)
+
+  /** `update_one_by_id` / `$set` (database.py:166-171) as copy-on-write:
+    * returns the collection view with `set` applied to the matched row.
+    * At scale this is the merge-on-read pattern — rewrite only matched
+    * files when persisted.
+    */
+  def updateById(df: DataFrame, idCol: String, id: Long, set: Map[String, Column]): DataFrame =
+    set.foldLeft(df) { case (d, (name, value)) =>
+      d.withColumn(name, when(col(idCol) === id, value).otherwise(col(name)))
+    }
+
+  /** `delete_by_id` (database.py:269-279) as an anti-filter view. */
+  def deleteById(df: DataFrame, idCol: String, id: Long): DataFrame =
+    df.filter(col(idCol) =!= id)
+
+  /** `insert_one` (database.py:148-164) as union-append; `unionByName` keeps
+    * schema alignment explicit.
+    */
+  def insert(df: DataFrame, docs: DataFrame): DataFrame =
+    df.unionByName(docs, allowMissingColumns = false)
+
+  /** `$unwind`: explode an array column to one row per element. */
+  def unwind(df: DataFrame, arrayCol: Column, as: String): DataFrame =
+    df.withColumn(as, explode(arrayCol))
+
+  /** `$lookup`: join against a (small) foreign collection. Dimension side is
+    * broadcast — no shuffle of the 100 TB fact side.
+    */
+  def lookup(df: DataFrame, other: DataFrame, joinExpr: Column): DataFrame =
+    df.join(broadcast(other), joinExpr)
+
+  /** GridFS chunking (database.py:118-146): split a payload into fixed-size
+    * chunks keyed `(files_id, n)` — the same layout GridFS uses so a 16 MB+
+    * blob never sits in one row. `sequence`+`explode` stays inside
+    * whole-stage codegen.
+    */
+  def chunk(df: DataFrame, idCol: Column, payloadCol: Column, chunkSize: Int): DataFrame =
+    df.select(
+        idCol.as("files_id"),
+        explode(sequence(lit(0), ((length(payloadCol) - 1) / chunkSize).cast("int"))).as("n"),
+        payloadCol.as("__payload"))
+      .select(
+        col("files_id"), col("n"),
+        substring_index_chunk(col("__payload"), col("n"), chunkSize).as("data"))
+
+  private def substring_index_chunk(payload: Column, n: Column, chunkSize: Int): Column =
+    payload.substr(n * chunkSize + 1, lit(chunkSize))
+
+  /** GridFS reassembly: group chunks ordered by `n` back into the payload. */
+  def reassemble(chunks: DataFrame): DataFrame =
+    chunks.groupBy("files_id")
+      .agg(array_join(array_sort(collect_list(struct(col("n"), col("data"))))
+        .getField("data"), "").as("payload"))
+
+  /** Incremental clone (`mongodb_to_mongodb_clone_fast`,
+    * convert.py:136-186): copy only documents whose id is absent from the
+    * target — a LEFT ANTI join on the key, instead of the reference's
+    * driver-side `set` of every existing id (which cannot hold 100 TB of
+    * ids in memory).
+    */
+  def cloneMissing(src: DataFrame, dst: DataFrame, key: String): DataFrame =
+    src.join(dst.select(key), Seq(key), "left_anti")
+
+  /** `ScenarioMonitor` rates (reference src/topic_store/scenario.py:238-274):
+    * per-topic message rate and payload bytes per tumbling window. The
+    * streaming twin lives in graft.streaming.Monitor; this batch form is the
+    * same aggregation.
+    */
+  def monitorRates(df: DataFrame, topicCol: Column, tsCol: Column, payloadCol: Column,
+                   windowUnit: String = "hour"): DataFrame = {
+    val winSeconds = windowUnit match {
+      case "minute" => 60L
+      case "hour"   => 3600L
+      case "day"    => 86400L
+    }
+    df.groupBy(
+        topicCol.as("topic"),
+        date_trunc(windowUnit, tsCol).cast("long").as("window_start_sec"))
+      .agg(
+        count(lit(1)).as("n_msgs"),
+        sum(length(payloadCol)).as("payload_bytes"))
+      .withColumn("rate_hz", col("n_msgs") / lit(winSeconds).cast("double"))
+  }
+
+  /** Skip-on-error cursor (database.py:292-325): try-parse the payload,
+    * drop rows that fail instead of failing the scan.
+    */
+  def skipOnError(df: DataFrame, parsed: Column, as: String): DataFrame =
+    df.withColumn(as, parsed).filter(col(as).isNotNull)
+}
