@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Documents
-import graft.ops.Analytics
+import graft.ops.{Analytics, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.store.DocumentStore
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -150,6 +150,64 @@ object SparkEntry {
     "q3_top_revenue" -> ((s, dir) => Analytics.topRevenue(s, dir)),
     "q5_region_revenue" -> ((s, dir) => Analytics.regionRevenue(s, dir)),
     "topk_orders_window" -> ((s, dir) => Analytics.topOrdersPerCustomer(s, dir)),
+
+    // ── §2c training-data pipeline ────────────────────────────────────
+    "dedup_exact" -> ((s, dir) =>
+      TextAnalysis.exactDedup(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy("hash")),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"), 0.5)
+        .orderBy("id1", "id2")),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.lshCandidates(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy("id1", "id2")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), col("doc_id"), col("text"), 2)
+        .orderBy("id1", "id2")),
+
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Dedup.embeddingCosinePairs(Tables.embeddings(s, dir), 0.45)
+        .orderBy("id1", "id2")),
+
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 5), 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_lsh_bucketed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), 5, 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    "lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
+    "quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
+    "token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCount(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
+    "doc_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.byteStats(Multimodal.toAsset(
+          Tables.events(s, dir), col("event_id"), col("event_type"), col("props")))
+        .orderBy("kind")),
   )
 
   /** DuckDB-runnable oracle SQL — column names and ordering match the Spark
@@ -299,5 +357,162 @@ object SparkEntry {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS hash,
+        |  min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY hash""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        |       FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+        |         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id1, id2, shared, c1.n AS n1, c2.n AS n2,
+        |  shared / (c1.n + c2.n - shared) AS jaccard
+        |FROM cand JOIN cnt c1 ON c1.doc_id = id1 JOIN cnt c2 ON c2.doc_id = id2
+        |WHERE shared / (c1.n + c2.n - shared) >= 0.5
+        |ORDER BY id1, id2""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        |       FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |mh AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS h
+        |       FROM sh, range(0, 16) t(j) GROUP BY doc_id, j),
+        |band AS (SELECT doc_id, j // 4 AS band, md5(string_agg(h, '|' ORDER BY j)) AS bh
+        |         FROM mh GROUP BY doc_id, j // 4)
+        |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |ORDER BY id1, id2""".stripMargin,
+
+    "dedup_simhash" ->
+      """WITH t AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS tk FROM t),
+        |votes AS (SELECT doc_id, r.b,
+        |            sum(CASE WHEN (((strpos('0123456789abcdef', substr(md5(tk), r.b // 4 + 1, 1)) - 1) >> (r.b % 4)) & 1) = 1 THEN 1 ELSE -1 END) AS s
+        |          FROM tok, range(0, 60) r(b) GROUP BY doc_id, r.b)
+        |SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      """WITH t AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS tk FROM t),
+        |votes AS (SELECT doc_id, r.b,
+        |            sum(CASE WHEN (((strpos('0123456789abcdef', substr(md5(tk), r.b // 4 + 1, 1)) - 1) >> (r.b % 4)) & 1) = 1 THEN 1 ELSE -1 END) AS s
+        |          FROM tok, range(0, 60) r(b) GROUP BY doc_id, r.b),
+        |shv AS (SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+        |        FROM votes GROUP BY doc_id),
+        |blk AS (SELECT doc_id, simhash, r.k AS blk, (simhash >> CAST(r.k * 6 AS INT)) & 63 AS bv
+        |        FROM shv, range(0, 10) r(k))
+        |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM blk a JOIN blk b ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        |ORDER BY id1, id2""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      """WITH v AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+        |           FROM embeddings, range(1, 65) r(i)),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY 1),
+        |dt AS (SELECT a.vec_id AS id1, b.vec_id AS id2, sum(a.x * b.x) AS dot
+        |       FROM v a JOIN v b ON a.d = b.d AND a.vec_id < b.vec_id GROUP BY 1, 2)
+        |SELECT id1, id2, round(dot / (n1.nrm * n2.nrm), 6) AS cosine
+        |FROM dt JOIN n n1 ON n1.vec_id = id1 JOIN n n2 ON n2.vec_id = id2
+        |WHERE round(dot / (n1.nrm * n2.nrm), 6) >= 0.45
+        |ORDER BY id1, id2""".stripMargin,
+
+    "ann_cosine_topk" ->
+      """WITH v AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+        |           FROM embeddings, range(1, 65) r(i)),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY 1),
+        |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.x * c.x) AS dot
+        |       FROM v q JOIN v c ON q.d = c.d AND q.vec_id < 5 AND c.vec_id <> q.vec_id
+        |       GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY dot / (n1.nrm * n2.nrm) DESC, neighbor_id) AS INT) AS rank
+        |      FROM sc JOIN n n1 ON n1.vec_id = query_id JOIN n n2 ON n2.vec_id = neighbor_id)
+        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "ann_lsh_bucketed" ->
+      """WITH v AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+        |           FROM embeddings, range(1, 65) r(i)),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY 1),
+        |hp AS (SELECT p, d, CAST(strpos('0123456789abcdef',
+        |         substr(md5(CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 1)) - 1 AS DOUBLE) - 7.5 AS w
+        |       FROM range(0, 4) rp(p), range(0, 64) rd(d)),
+        |proj AS (SELECT vec_id, p, sum(w * x) AS pr
+        |         FROM v JOIN hp ON hp.d = v.d GROUP BY 1, 2),
+        |bkt AS (SELECT vec_id, CAST(sum(CASE WHEN pr >= 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS bucket
+        |        FROM proj GROUP BY 1),
+        |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.x * c.x) AS dot
+        |       FROM v q JOIN v c ON q.d = c.d
+        |       JOIN bkt bq ON bq.vec_id = q.vec_id JOIN bkt bc ON bc.vec_id = c.vec_id
+        |       WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id AND bq.bucket = bc.bucket
+        |       GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY dot / (n1.nrm * n2.nrm) DESC, neighbor_id) AS INT) AS rank
+        |      FROM sc JOIN n n1 ON n1.vec_id = query_id JOIN n n2 ON n2.vec_id = neighbor_id)
+        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "lang_id" ->
+      """WITH t AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tk FROM t),
+        |s AS (SELECT doc_id,
+        |        CAST(sum(CASE WHEN tk IN ('table','agg') THEN 1 ELSE 0 END) AS BIGINT) AS s_de,
+        |        CAST(sum(CASE WHEN tk IN ('the','a') THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+        |        CAST(sum(CASE WHEN tk IN ('data','row') THEN 1 ELSE 0 END) AS BIGINT) AS s_es,
+        |        CAST(sum(CASE WHEN tk IN ('query','order') THEN 1 ELSE 0 END) AS BIGINT) AS s_fr,
+        |        CAST(sum(CASE WHEN tk IN ('window','merge') THEN 1 ELSE 0 END) AS BIGINT) AS s_zh
+        |      FROM tok GROUP BY doc_id)
+        |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_en AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "quality_score" ->
+      """WITH t AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm FROM documents),
+        |b AS (SELECT doc_id,
+        |        CAST(length(norm) AS BIGINT) AS n_chars,
+        |        CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+        |        CAST(len(list_filter(string_split(norm, ' '),
+        |          x -> x = 'the' OR x = 'a' OR x = 'of')) AS BIGINT) AS n_stop
+        |      FROM t)
+        |SELECT doc_id, n_chars, n_tokens, n_stop,
+        |  n_stop / n_tokens AS stop_ratio,
+        |  (n_chars - n_tokens + 1) / n_tokens AS avg_wlen,
+        |  round(0.3 * (n_stop / n_tokens)
+        |    + 0.5 * least(n_tokens / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))
+        |    + 0.2 * (1.0 - abs((n_chars - n_tokens + 1) / n_tokens - 5) / 10), 6) AS score
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "token_count" ->
+      """WITH t AS (SELECT doc_id, text, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(norm, '[a-z]+')) AS BIGINT) AS n_alpha_runs,
+        |  CAST(ceil(length(text) / CAST(4 AS DOUBLE)) AS BIGINT) AS n_bpe_est
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      """WITH t AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm FROM documents)
+        |SELECT doc_id, md5(norm) AS fp, substr(md5(norm), 1, 8) AS fp_prefix
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT event_type AS kind, count(*) AS n,
+        |  CAST(sum(octet_length(CAST(props AS BLOB))) AS BIGINT) AS total_bytes,
+        |  min(octet_length(CAST(props AS BLOB))) AS min_bytes,
+        |  max(octet_length(CAST(props AS BLOB))) AS max_bytes
+        |FROM events GROUP BY 1 ORDER BY kind""".stripMargin,
   )
 }

@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Near-duplicate detection: n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (SURVEY.md §5): never all-pairs. Candidates come from
+  * equality joins (shared shingle / LSH band bucket / simhash block), so
+  * shuffle volume is O(candidate pairs) not O(n²); `id1 < id2` halves the
+  * pair space; a doc-frequency cap drops degenerate hot shingles.
+  */
+object Dedup {
+
+  /** Distinct word-3-gram shingles per document: (doc_id, shingle).
+    * `maxDocFreq` drops shingles appearing in more than that many docs —
+    * stopword-shingle removal, the standard guard against hot-key blowup
+    * (a shingle in 1M docs would otherwise create 10^12 candidate pairs).
+    */
+  def shingles(df: DataFrame, idCol: Column, textCol: Column,
+               maxDocFreq: Option[Int] = None): DataFrame = {
+    val words = TextAnalysis.tokens(textCol)
+    val sh = df
+      .select(idCol.as("doc_id"), words.as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        expr("transform(sequence(0, size(words)-3), i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))")))
+        .as("shingle"))
+    maxDocFreq match {
+      case None => sh
+      case Some(k) =>
+        val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") > k)
+        sh.join(broadcast(hot.select("shingle")), Seq("shingle"), "left_anti")
+    }
+  }
+
+  /** n-gram Jaccard near-dup pairs. Candidates = docs sharing ≥1 shingle
+    * (equality shuffle join on shingle), exact Jaccard from shared /
+    * distinct counts, threshold filter.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
+                        threshold: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol).cache()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cand = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("shared"))
+    cand
+      .join(counts.withColumnRenamed("doc_id", "id1").withColumnRenamed("n", "n1"), "id1")
+      .join(counts.withColumnRenamed("doc_id", "id2").withColumnRenamed("n", "n2"), "id2")
+      .withColumn("jaccard", col("shared") / (col("n1") + col("n2") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "shared", "n1", "n2", "jaccard")
+  }
+
+  /** MinHash signatures: numHashes independent permutations simulated by
+    * h_j = min(md5(j || '|' || shingle)) — md5 hex min is a lexicographic
+    * min, identical across engines. Returns (doc_id, j, h).
+    */
+  def minhash(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.select(col("doc_id"), explode(sequence(lit(0), lit(numHashes - 1))).as("j"), col("shingle"))
+      .select(col("doc_id"), col("j"),
+        md5(concat(col("j").cast("string"), lit("|"), col("shingle"))).as("h"))
+      .groupBy("doc_id", "j")
+      .agg(min("h").as("h"))
+
+  /** LSH banding: band hash = md5 of the band's minhashes joined in j
+    * order. Docs colliding on any (band, hash) bucket are candidates —
+    * a pure equality join, no pairwise scan.
+    */
+  def lshCandidates(df: DataFrame, idCol: Column, textCol: Column,
+                    numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val mh = minhash(shingles(df, idCol, textCol), numHashes)
+    val banded = mh
+      .withColumn("band", expr(s"j div $rowsPerBand"))
+      .groupBy("doc_id", "band")
+      .agg(md5(concat_ws("|",
+        expr("transform(array_sort(collect_list(struct(j, h))), x -> x.h)"))).as("bh"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+  }
+
+  /** Per-document 60-bit SimHash via the native codegen'd expression
+    * (graft.functions.SimHash60).
+    */
+  def simhash(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.select(idCol.as("doc_id"), TextAnalysis.tokens(textCol).as("toks"))
+      .select(col("doc_id"), expr("graft_simhash60(toks)").as("simhash"))
+  }
+
+  /** SimHash near-dup pairs at scale: split the 60 bits into `numBlocks`
+    * equal blocks; any pair within hamming distance ≤ numBlocks-1 shares at
+    * least one block (pigeonhole), so candidates come from an equality join
+    * on (block index, block value) — never an all-pairs scan. Choose
+    * numBlocks > maxHamming for guaranteed recall.
+    */
+  def simhashPairs(df: DataFrame, idCol: Column, textCol: Column,
+                   maxHamming: Int, numBlocks: Int = 10): DataFrame = {
+    require(60 % numBlocks == 0, "numBlocks must divide 60")
+    val width = 60 / numBlocks
+    val mask = (1L << width) - 1
+    val sh = simhash(df, idCol, textCol)
+    val blocks = sh.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(numBlocks - 1))).as("blk"))
+      .withColumn("blkval", expr(s"shiftright(simhash, cast(blk * $width as int)) & ${mask}L"))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.blkval") === col("b.blkval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding cosine near-dup pairs, brute force within `id1 < id2`.
+    * Doubles end-to-end with a deterministic per-pair fold; output rounded
+    * to 6 dp (SURVEY.md §6). The scale path is Similarity.lshTopK —
+    * this exact variant is the correctness baseline.
+    */
+  def embeddingCosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+          .as("dot"),
+        (col("a.norm") * col("b.norm")).as("nn"))
+      .withColumn("cosine", round(col("dot") / col("nn"), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: normalization,
+  * language ID, quality scoring, token counting, fingerprinting, exact
+  * dedup. All pure expressions (whole-stage codegen, no UDFs); one scan,
+  * no shuffle except the dedup groupBy.
+  *
+  * Parity notes (SURVEY.md §6): md5 hex is identical across engines; no
+  * transcendental functions (libm vs JDK differ by ulps) — scores are
+  * rational arithmetic only.
+  */
+object TextAnalysis {
+
+  /** lower + collapse whitespace — shared normalization for all ops. */
+  def normalize(c: Column): Column = regexp_replace(lower(c), "\\s+", " ")
+
+  def tokens(c: Column): Column = split(normalize(c), " ")
+
+  /** Exact dedup: hash-groupBy on content fingerprint, keep the smallest
+    * id. Map-side partial agg → shuffle carries one row per distinct hash.
+    */
+  def exactDedup(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(idCol.as("doc_id"), md5(normalize(textCol)).as("hash"))
+      .groupBy("hash")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Marker-word language ID. Real deployments plug in per-language marker
+    * lexicons; the scoring/argmax machinery is what matters here. Tie
+    * break: alphabetically first language.
+    */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("table", "agg"),
+    "en" -> Seq("the", "a"),
+    "es" -> Seq("data", "row"),
+    "fr" -> Seq("query", "order"),
+    "zh" -> Seq("window", "merge"))
+
+  def langId(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val toks = tokens(textCol)
+    val scored = df.select(
+      idCol.as("doc_id") +:
+        Markers.map { case (lang, words) =>
+          size(filter(toks, t => t.isin(words.map(lit): _*)))
+            .cast("long").as(s"s_$lang")
+        }: _*)
+    // argmax with alphabetical tiebreak: first lang whose score >= all others
+    val pred = Markers.map(_._1).foldRight(lit(Markers.last._1)) { case (lang, rest) =>
+      val ge = Markers.map(_._1).filter(_ != lang)
+        .map(o => col(s"s_$lang") >= col(s"s_$o"))
+        .reduce(_ && _)
+      when(ge, lit(lang)).otherwise(rest)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** Quality score: composite of stopword ratio, length saturation and
+    * word-length centering. Rational arithmetic only (oracle parity).
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "of")
+
+  def qualityScore(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val toks = tokens(textCol)
+    df.select(
+        idCol.as("doc_id"),
+        length(normalize(textCol)).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => t.isin(Stopwords.map(lit): _*))).cast("long").as("n_stop"))
+      .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
+      .withColumn("avg_wlen", (col("n_chars") - col("n_tokens") + 1) / col("n_tokens"))
+      .withColumn("score", round(
+        lit(0.3) * col("stop_ratio")
+          + lit(0.5) * least(col("n_tokens") / lit(100.0), lit(1.0))
+          + lit(0.2) * (lit(1.0) - abs(col("avg_wlen") - 5) / 10), 6))
+  }
+
+  /** Token counting: whitespace tokens, alpha runs (BPE-ish regex), and a
+    * chars/4 BPE estimate.
+    */
+  def tokenCount(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(
+      idCol.as("doc_id"),
+      size(tokens(textCol)).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(normalize(textCol), lit("[a-z]+"), lit(0))).cast("long").as("n_alpha_runs"),
+      ceil(length(textCol) / lit(4.0)).cast("long").as("n_bpe_est"))
+
+  /** Content fingerprint: md5 of normalized text + 8-hex prefix for
+    * cheap prefix-bucketing.
+    */
+  def fingerprint(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(
+      idCol.as("doc_id"),
+      md5(normalize(textCol)).as("fp"),
+      substring(md5(normalize(textCol)), 1, 8).as("fp_prefix"))
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal}
+
+/** Semantic checks for the training-data operators at sf0.001. */
+class DataOpsSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def docs = Tables.documents(spark, sf)
+  private def emb = Tables.embeddings(spark, sf)
+
+  test("ngram jaccard pairs are all above threshold and symmetric-free") {
+    val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 0.5).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getAs[Double]("jaccard") >= 0.5)
+      assert(r.getAs[Long]("id1") < r.getAs[Long]("id2"))
+    }
+  }
+
+  test("minhash LSH candidates recall all high-jaccard pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 0.8)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.lshCandidates(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = exact -- lsh
+    assert(missed.isEmpty, s"LSH missed high-similarity pairs: $missed")
+  }
+
+  test("simhash is deterministic and near-dups have small hamming") {
+    val sh = Dedup.simhash(docs, col("doc_id"), col("text"))
+    val sh2 = Dedup.simhash(docs, col("doc_id"), col("text"))
+    assert(sh.join(sh2.withColumnRenamed("simhash", "s2"), "doc_id")
+      .filter(col("simhash") =!= col("s2")).count() === 0)
+    // identical text => identical simhash
+    val dup = docs.limit(1).select(lit(1L).as("doc_id"), col("text"))
+      .union(docs.limit(1).select(lit(2L).as("doc_id"), col("text")))
+    val hashes = Dedup.simhash(dup, col("doc_id"), col("text"))
+      .select("simhash").collect().map(_.getLong(0))
+    assert(hashes(0) === hashes(1))
+  }
+
+  test("simhash block-join pairs match the brute-force hamming filter") {
+    val sh = Dedup.simhash(docs, col("doc_id"), col("text"))
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("h"))
+      .filter(col("h") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.simhashPairs(docs, col("doc_id"), col("text"), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked === brute, "pigeonhole block join lost or invented pairs")
+  }
+
+  test("brute-force ANN ranks are dense per query") {
+    val res = Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 3), 5).collect()
+    val byQuery = res.groupBy(_.getLong(0))
+    assert(byQuery.size === 3)
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to 5))
+    }
+  }
+
+  test("LSH ANN results are a subset of same-bucket candidates with sane ranks") {
+    val res = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), 5, 4)
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks === (1 to ranks.length))
+    }
+  }
+
+  test("language id covers all docs with a valid label") {
+    val langs = TextAnalysis.Markers.map(_._1).toSet
+    val out = TextAnalysis.langId(docs, col("doc_id"), col("text")).collect()
+    assert(out.length === docs.count())
+    out.foreach(r => assert(langs.contains(r.getAs[String]("pred_lang"))))
+  }
+
+  test("quality score is bounded and token counts are consistent") {
+    val q = TextAnalysis.qualityScore(docs, col("doc_id"), col("text")).collect()
+    q.foreach { r =>
+      assert(r.getAs[Double]("stop_ratio") >= 0 && r.getAs[Double]("stop_ratio") <= 1)
+      assert(r.getAs[Long]("n_tokens") > 0)
+    }
+    val t = TextAnalysis.tokenCount(docs, col("doc_id"), col("text")).collect()
+    t.foreach { r =>
+      assert(r.getAs[Long]("n_ws_tokens") === r.getAs[Long]("n_alpha_runs"),
+        "word-bag corpus: whitespace tokens should all be alpha runs")
+    }
+  }
+
+  test("multimodal decode stub preserves rows, schema and consumes real bytes") {
+    val assets = Multimodal.toAsset(Tables.events(spark, sf),
+      col("event_id"), col("event_type"), col("props"))
+    val feats = Multimodal.decodeFeatures(assets)
+    assert(feats.schema === Multimodal.FeatureSchema)
+    assert(feats.count() === assets.count())
+    val r = feats.filter(col("n_bytes") > 0).limit(1).collect()(0)
+    val f = r.getSeq[Float](r.fieldIndex("features"))
+    assert(f.exists(_ > 0f), "features should reflect payload bytes")
+  }
+
+  test("exact dedup keeps the minimum id per hash group") {
+    val d = TextAnalysis.exactDedup(docs, col("doc_id"), col("text"))
+    assert(d.count() > 0)
+    assert(d.filter(col("n_dups") < 1).count() === 0)
+  }
+}
