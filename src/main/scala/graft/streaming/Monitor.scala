@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming twin of the reference's capture loop and monitor.
+  *
+  * - `ScenarioRunner` (reference src/topic_store/scenario.py:30-236) snapshots
+  *   a topic tree on a trigger (timer / event) and appends to storage: here
+  *   `capture` = readStream → stamp meta → writeStream, with
+  *   `Trigger.ProcessingTime` as the timer and `Trigger.AvailableNow` for
+  *   drain-and-stop. The reference's `LoadBalancer` thread pool
+  *   (load_balancer.py) is subsumed by partition parallelism.
+  * - `ScenarioMonitor` (scenario.py:238-274) reports per-topic rate + size:
+  *   here a watermarked tumbling-window aggregation with incremental state,
+  *   O(topics × open windows) instead of an unbounded deque.
+  */
+object Monitor {
+
+  /** Per-topic message rate and payload size per tumbling window.
+    * Same aggregation as the batch `DocumentStore.monitorRates`, expressed
+    * over an unbounded stream; the watermark bounds state so this runs
+    * forever at constant memory.
+    */
+  def rates(stream: DataFrame, topicCol: Column, tsCol: Column, payloadCol: Column,
+            windowLen: String = "1 hour", watermarkDelay: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn("__ts", tsCol)
+      .withWatermark("__ts", watermarkDelay)
+      .groupBy(topicCol.as("topic"), window(col("__ts"), windowLen))
+      .agg(
+        count(lit(1)).as("n_msgs"),
+        sum(length(payloadCol)).as("payload_bytes"))
+      .select(col("topic"), col("window.start").as("window_start"),
+        col("n_msgs"), col("payload_bytes"))
+
+  /** Capture stream → storage: stamp reference-style meta
+    * (data.py:28-34) and write partitioned by session so session-scoped
+    * reads partition-prune (SURVEY.md §5).
+    */
+  def capture(stream: DataFrame, idCol: Column, sessionCol: Column, tsCol: Column,
+              path: String, checkpoint: String,
+              trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream
+      .withColumn("_id", idCol)
+      .withColumn("session", sessionCol)
+      .withColumn("sys_time_sec", tsCol.cast("long"))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("session")
+      .trigger(trigger)
+      .start()
+
+  /** Skip-on-error stream variant (database.py:292-325): drop rows whose
+    * payload fails to parse rather than killing the query.
+    */
+  def skipOnError(stream: DataFrame, parsed: Column, as: String): DataFrame =
+    stream.withColumn(as, parsed).filter(col(as).isNotNull)
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Monitor
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, props: String)
+
+/** Streaming twins driven synchronously with MemoryStream + AvailableNow. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def sampleEvents: Seq[Ev] = {
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    (0 until 100).map { i =>
+      Ev(i.toLong, new Timestamp(base + i * 60000L), (i % 5).toLong,
+        if (i % 2 == 0) "click" else "view", s"""{"k": $i}""")
+    }
+  }
+
+  test("streaming rates match the batch monitor aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    input.addData(sampleEvents: _*)
+
+    val agg = Monitor.rates(input.toDF(), col("event_type"), col("ts"), col("props"),
+      windowLen = "1 hour")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("rates_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("rates_out")
+      .select(col("topic"), col("window_start").cast("long").as("w"), col("n_msgs"), col("payload_bytes"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    val batch = graft.store.DocumentStore.monitorRates(
+        sampleEvents.toDF(), col("event_type"), col("ts"), col("props"), "hour")
+      .select(col("topic"), col("window_start_sec"), col("n_msgs"), col("payload_bytes"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    assert(streamed === batch)
+  }
+
+  test("capture writes session-partitioned parquet with stamped meta") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    input.addData(sampleEvents: _*)
+    val out = Files.createTempDirectory("graft_capture").toString
+    val chk = Files.createTempDirectory("graft_chk").toString
+
+    val q = Monitor.capture(input.toDF(), col("event_id"), col("user_id"), col("ts"), out, chk)
+    try q.processAllAvailable() finally q.stop()
+
+    val written = spark.read.parquet(out)
+    assert(written.count() === 100)
+    assert(written.columns.contains("_id") && written.columns.contains("session"))
+    // partition pruning works: session dirs exist on disk
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("session=")) === 5)
+    // session filter reads only its partition
+    assert(written.filter(col("session") === 2).count() === 20)
+  }
+
+  test("streaming skip-on-error drops malformed payloads only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val bad = Ev(999L, new Timestamp(0), 0L, "click", "not json")
+    input.addData(sampleEvents :+ bad: _*)
+    val cleaned = Monitor.skipOnError(input.toDF(),
+      get_json_object(col("props"), "$.k").cast("long"), "k")
+    val q = cleaned.writeStream.outputMode("append")
+      .format("memory").queryName("skip_out").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("skip_out").count() === 100)
+  }
+}
