@@ -10,10 +10,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the JVM (codegen, shuffle machinery) and parquet footers so
+    // the first timed query isn't charged session initialization.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    try Tables.All.foreach(t => Tables.table(spark, sfDir, t).schema)
+    catch { case _: Throwable => }
+    // Two timed runs per query, report the min: local[32] timings are
+    // noisy (GC, thread scheduling); the min is the steady-state cost.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

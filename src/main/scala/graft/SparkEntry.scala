@@ -169,7 +169,7 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     "dedup_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables.documents(s, dir), col("doc_id"), col("text"), 2)
+      Dedup.simhashPairs(Tables.documents(s, dir), col("doc_id"), col("text"), 2, numBlocks = 3)
         .orderBy("id1", "id2")),
 
     "dedup_embedding_cosine" -> ((s, dir) =>
@@ -405,8 +405,8 @@ object SparkEntry {
         |          FROM tok, range(0, 60) r(b) GROUP BY doc_id, r.b),
         |shv AS (SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
         |        FROM votes GROUP BY doc_id),
-        |blk AS (SELECT doc_id, simhash, r.k AS blk, (simhash >> CAST(r.k * 6 AS INT)) & 63 AS bv
-        |        FROM shv, range(0, 10) r(k))
+        |blk AS (SELECT doc_id, simhash, r.k AS blk, (simhash >> CAST(r.k * 20 AS INT)) & 1048575 AS bv
+        |        FROM shv, range(0, 3) r(k))
         |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
         |FROM blk a JOIN blk b ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id

@@ -78,7 +78,11 @@ case class SimHash60(child: Expression) extends UnaryExpression {
 
 /** SQL-function registration — the public route to custom expressions. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash60", exprs => SimHash60(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash", exprs => MinHashSig(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+  }
 }

@@ -14,6 +14,15 @@ import graft.functions.GraftFunctions
   */
 object Dedup {
 
+  /** Spread a small-file scan across all cores before compute-dense
+    * per-row work (shingling, hashing, pair generation). A 5k-row parquet
+    * file arrives as ONE partition; without this every md5 below runs on a
+    * single thread. At real scale the scan is already wide and AQE
+    * coalesces any excess, so this is cheap insurance, not a tax.
+    */
+  private[ops] def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Distinct word-3-gram shingles per document: (doc_id, shingle).
     * `maxDocFreq` drops shingles appearing in more than that many docs —
     * stopword-shingle removal, the standard guard against hot-key blowup
@@ -22,7 +31,7 @@ object Dedup {
   def shingles(df: DataFrame, idCol: Column, textCol: Column,
                maxDocFreq: Option[Int] = None): DataFrame = {
     val words = TextAnalysis.tokens(textCol)
-    val sh = df
+    val sh = spread(df)
       .select(idCol.as("doc_id"), words.as("words"))
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), explode(array_distinct(
@@ -56,16 +65,27 @@ object Dedup {
       .select("id1", "id2", "shared", "n1", "n2", "jaccard")
   }
 
+  /** Distinct shingles per doc as one array row (input to MinHash). */
+  def shingleArrays(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val words = TextAnalysis.tokens(textCol)
+    spread(df).select(idCol.as("doc_id"), words.as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), array_distinct(
+        expr("transform(sequence(0, size(words)-3), i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))"))
+        .as("shingles"))
+  }
+
   /** MinHash signatures: numHashes independent permutations simulated by
     * h_j = min(md5(j || '|' || shingle)) — md5 hex min is a lexicographic
-    * min, identical across engines. Returns (doc_id, j, h).
+    * min, identical across engines. One native pass per document
+    * (graft.functions.MinHashSig): no 16× explode, no signature shuffle.
+    * Returns (doc_id, sig: array<string>[numHashes]).
     */
-  def minhash(sh: DataFrame, numHashes: Int): DataFrame =
-    sh.select(col("doc_id"), explode(sequence(lit(0), lit(numHashes - 1))).as("j"), col("shingle"))
-      .select(col("doc_id"), col("j"),
-        md5(concat(col("j").cast("string"), lit("|"), col("shingle"))).as("h"))
-      .groupBy("doc_id", "j")
-      .agg(min("h").as("h"))
+  def minhash(df: DataFrame, idCol: Column, textCol: Column, numHashes: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    shingleArrays(df, idCol, textCol)
+      .select(col("doc_id"), expr(s"graft_minhash(shingles, $numHashes)").as("sig"))
+  }
 
   /** LSH banding: band hash = md5 of the band's minhashes joined in j
     * order. Docs colliding on any (band, hash) bucket are candidates —
@@ -74,12 +94,10 @@ object Dedup {
   def lshCandidates(df: DataFrame, idCol: Column, textCol: Column,
                     numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val mh = minhash(shingles(df, idCol, textCol), numHashes)
-    val banded = mh
-      .withColumn("band", expr(s"j div $rowsPerBand"))
-      .groupBy("doc_id", "band")
-      .agg(md5(concat_ws("|",
-        expr("transform(array_sort(collect_list(struct(j, h))), x -> x.h)"))).as("bh"))
+    val banded = minhash(df, idCol, textCol, numHashes)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+      .select(col("doc_id"), col("band"),
+        md5(concat_ws("|", expr(s"slice(sig, band * $rowsPerBand + 1, $rowsPerBand)"))).as("bh"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -116,8 +134,8 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming) // filter BEFORE distinct: shrink the shuffle
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** Embedding cosine near-dup pairs, brute force within `id1 < id2`.
@@ -126,13 +144,13 @@ object Dedup {
     * this exact variant is the correctness baseline.
     */
   def embeddingCosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val e = emb.select(col("vec_id"),
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val e = spread(emb).select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-          .as("dot"),
+        expr("graft_dot(a.v, b.v)").as("dot"),
         (col("a.norm") * col("b.norm")).as("nn"))
       .withColumn("cosine", round(col("dot") / col("nn"), 6))
       .filter(col("cosine") >= threshold)

@@ -3,28 +3,38 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions
+
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * `bruteTopK` is the exact baseline (score every corpus vector per query,
   * windowed top-k). `lshTopK` is the scale path: sign-random-projection
   * buckets shrink each query's candidate set to ~corpus/2^planes — the
   * bucket build is one scan, the probe an equality join.
+  *
+  * All dot products go through the native `graft_dot` expression
+  * (graft.functions.DotDouble): codegen'd tight loop, bit-identical to a
+  * sequential double fold.
   */
 object Similarity {
 
   /** Embeddings widened to double with the L2 norm precomputed. */
-  def prep(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("label"),
+  def prep(emb: DataFrame): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    // repartition: a small single-file scan otherwise pins all pair
+    // generation below onto one core (see Dedup.spread)
+    emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+  }
 
   private def cosineExpr: Column =
-    expr("aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
-      (col("q.norm") * col("c.norm"))
+    expr("graft_dot(q.v, c.v)") / (col("q.norm") * col("c.norm"))
 
   /** Exact top-k neighbors for each query vector (brute force). Per-query
-    * ranking is a window over the scored candidates; Spark plans the
-    * rank-filter as a running top-k, not a full sort of the cross product.
+    * ranking is a window over the scored candidates; the rank filter plans
+    * as a running top-k, not a full sort of the cross product.
     */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -39,36 +49,39 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane weights: plane p, dimension d →
-    * md5-derived value in [-7.5, 7.5]. Reproducible in SQL (oracle) and on
-    * any cluster without shipping a weights file.
+    * first md5('p|d') hex nibble − 7.5 ∈ [−7.5, 7.5]. Identical to the SQL
+    * oracle's `strpos('0123456789abcdef', substr(md5(...), 1, 1)) − 1`, and
+    * reproducible on any cluster without shipping a weights file.
     */
-  def hyperplanes(spark: org.apache.spark.sql.SparkSession, planes: Int, dims: Int): DataFrame =
-    spark.range(planes).withColumnRenamed("id", "p")
-      .crossJoin(spark.range(dims).withColumnRenamed("id", "d"))
-      .withColumn("w",
-        expr("cast(instr('0123456789abcdef', substr(md5(concat(cast(p as string), '|', cast(d as string))), 1, 1)) - 1 as double) - 7.5"))
+  def planeWeights(planes: Int, dims: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(planes, dims) { (p, d) =>
+      md.reset()
+      val digest = md.digest(s"$p|$d".getBytes("UTF-8"))
+      (((digest(0) >> 4) & 0xf) - 7.5)
+    }
+  }
 
   /** Bucket id per vector: sign bit per hyperplane packed into a long.
-    * Two partial-aggregated groupBys; the hyperplane table is broadcast.
+    * The weights are literal arrays in the plan (no join, no shuffle):
+    * one codegen'd dot per plane per row.
     */
   def buckets(emb: DataFrame, planes: Int): DataFrame = {
-    val hp = hyperplanes(emb.sparkSession, planes, 64)
-    prep(emb)
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
-      .join(broadcast(hp), "d")
-      .groupBy("vec_id", "p").agg(sum(col("w") * col("x")).as("proj"))
-      .groupBy("vec_id")
-      .agg(expr("sum(if(proj >= 0, shiftleft(1L, cast(p as int)), 0L))").as("bucket"))
+    val w = planeWeights(planes, 64)
+    def wLit(p: Int): String =
+      w(p).map(x => s"cast($x as double)").mkString("array(", ",", ")")
+    val bucket = (0 until planes)
+      .map(p => when(expr(s"graft_dot(v, ${wLit(p)})") >= 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    prep(emb).select(col("vec_id"), bucket.as("bucket"))
   }
 
   /** LSH-bucketed ANN: score only candidates sharing the query's bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 4): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    val cb = buckets(corpus, planes)
-    val qb = buckets(queries, planes)
-    val cPrep = prep(corpus).join(cb, "vec_id")
-    val qPrep = prep(queries).join(qb, "vec_id")
+    val cPrep = prep(corpus).join(buckets(corpus, planes), "vec_id")
+    val qPrep = prep(queries).join(buckets(queries, planes), "vec_id")
     qPrep.as("q").join(cPrep.as("c"),
         col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
