@@ -145,8 +145,29 @@ object SparkEntry {
         .orderBy("event_id")
         .limit(200)),
 
+    "ts_latest_snapshot" -> ((s, dir) =>
+      DocumentStore.latestSnapshot(
+          ev(s, dir).select(col("event_type"), col("event_id"),
+            Documents.tsSec(col("ts")).as("ts_sec"), col("value")),
+          col("event_type"), col("ts_sec"), col("event_id"))
+        .withColumnRenamed("event_type", "topic")
+        .orderBy("topic")),
+
+    "ts_reassemble" -> ((s, dir) =>
+      DocumentStore.reassemble(
+          DocumentStore.chunk(
+            Tables.documents(s, dir).filter(col("doc_id") < 10),
+            col("doc_id"), col("text"), 64))
+        .orderBy("files_id")),
+
+    "ts_sessionize" -> ((s, dir) =>
+      DocumentStore.sessionize(ev(s, dir), col("user_id"),
+          Documents.tsSec(col("ts")), col("event_id"), 7200L)
+        .orderBy("user_id", "session_idx")),
+
     // ── §2b analytics ─────────────────────────────────────────────────
     "q1_pricing_summary" -> ((s, dir) => Analytics.pricingSummary(s, dir)),
+    "q6_forecast_revenue" -> ((s, dir) => Analytics.forecastRevenue(s, dir)),
     "q3_top_revenue" -> ((s, dir) => Analytics.topRevenue(s, dir)),
     "q5_region_revenue" -> ((s, dir) => Analytics.regionRevenue(s, dir)),
     "topk_orders_window" -> ((s, dir) => Analytics.topOrdersPerCustomer(s, dir)),
@@ -162,6 +183,10 @@ object SparkEntry {
 
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.lshCandidates(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy("id1", "id2")),
+
+    "dedup_minhash_estimate" -> ((s, dir) =>
+      Dedup.minhashEstimate(Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy("id1", "id2")),
 
     "dedup_simhash" -> ((s, dir) =>
@@ -357,6 +382,57 @@ object SparkEntry {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "ts_latest_snapshot" ->
+      """SELECT event_type AS topic, event_id, ts_sec, value FROM (
+        |  SELECT event_type, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY topic""".stripMargin,
+
+    "ts_reassemble" ->
+      """WITH ch AS (
+        |  SELECT doc_id AS files_id, CAST(t.n AS INT) AS n,
+        |    substring(text, CAST(t.n AS INT) * 64 + 1, 64) AS data
+        |  FROM documents, range(0, 1024) AS t(n)
+        |  WHERE doc_id < 10 AND t.n <= (length(text) - 1) // 64)
+        |SELECT files_id, string_agg(data, '' ORDER BY n) AS payload
+        |FROM ch GROUP BY files_id ORDER BY files_id""".stripMargin,
+
+    "ts_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+        |l AS (SELECT *, CASE WHEN lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) IS NULL
+        |               OR ts_sec - lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) > 7200
+        |             THEN 1 ELSE 0 END AS is_new
+        |      FROM e),
+        |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS session_idx FROM l)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
+        |  min(ts_sec) AS start_sec, max(ts_sec) AS end_sec
+        |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "dedup_minhash_estimate" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        |       FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |mh AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS h
+        |       FROM sh, range(0, 16) t(j) GROUP BY doc_id, j),
+        |band AS (SELECT doc_id, j // 4 AS band, md5(string_agg(h, '|' ORDER BY j)) AS bh
+        |         FROM mh GROUP BY doc_id, j // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |         FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+        |SELECT id1, id2,
+        |  sum(CASE WHEN m1.h = m2.h THEN 1 ELSE 0 END) / CAST(16 AS DOUBLE) AS est_jaccard
+        |FROM cand
+        |JOIN mh m1 ON m1.doc_id = id1 JOIN mh m2 ON m2.doc_id = id2 AND m1.j = m2.j
+        |GROUP BY id1, id2 ORDER BY id1, id2""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS hash,

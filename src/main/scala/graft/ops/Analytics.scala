@@ -92,6 +92,17 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q6 pattern: pure filter + scalar aggregate — the pushdown
+    * showcase (every predicate reaches the parquet scan).
+    */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(money(col("l_extendedprice")) * rate(col("l_discount")))
+        .cast("double").as("revenue"))
+
   /** Window pattern: top-k orders per customer by rank. */
   def topOrdersPerCustomer(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

@@ -105,6 +105,22 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash Jaccard estimate for LSH candidate pairs: the fraction of
+    * equal signature components. Join is on already-bucketed candidates —
+    * the estimate itself is a 16-element compare, no shuffle beyond the
+    * candidate join.
+    */
+  def minhashEstimate(df: DataFrame, idCol: Column, textCol: Column,
+                      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val sigs = minhash(df, idCol, textCol, numHashes)
+    lshCandidates(df, idCol, textCol, numHashes, bands)
+      .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
+      .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
+      .select(col("id1"), col("id2"),
+        (expr("size(filter(zip_with(sig1, sig2, (x, y) -> x = y), b -> b))") /
+          lit(numHashes.toDouble)).as("est_jaccard"))
+  }
+
   /** Per-document 60-bit SimHash via the native codegen'd expression
     * (graft.functions.SimHash60).
     */

@@ -150,4 +150,40 @@ object DocumentStore {
     */
   def skipOnError(df: DataFrame, parsed: Column, as: String): DataFrame =
     df.withColumn(as, parsed).filter(col(as).isNotNull)
+
+  /** Latest-message-per-topic snapshot — the Spark twin of
+    * `SubscriberTree.get_message_tree` (reference src/topic_store/store.py:64-84),
+    * which captures the most recent message of every subscribed topic.
+    * Windowed rank-1 plans as a per-partition top-1 (no full sort).
+    */
+  def latestSnapshot(df: DataFrame, topicCol: Column, tsSecCol: Column, idCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(topicCol).orderBy(tsSecCol.desc, idCol.desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Gap-based sessionization: a new session starts when the gap since the
+    * previous event of the same key exceeds `gapSec`. Two windows over the
+    * same (key, time) ordering — one shuffle, then streaming window evals.
+    * This is how the reference's implicit "session" (one process run,
+    * data.py:19) is reconstructed from raw event time at scale.
+    */
+  def sessionize(df: DataFrame, keyCol: Column, tsSecCol: Column, idCol: Column,
+                 gapSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(tsSecCol, idCol)
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__ts_sec", tsSecCol)
+      .withColumn("__is_new",
+        when(lag(tsSecCol, 1).over(w).isNull ||
+          tsSecCol - lag(tsSecCol, 1).over(w) > gapSec, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("__is_new")).over(wc))
+      .groupBy(keyCol.as("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("__ts_sec")).as("start_sec"),
+        max(col("__ts_sec")).as("end_sec"))
+  }
 }
