@@ -68,6 +68,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(written.filter(col("session") === 2).count() === 20)
   }
 
+  test("stateful sessionizer matches the batch sessionize aggregation") {
+    implicit val s = spark
+    import spark.implicits._
+    import graft.streaming.Sessionizer
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Sessionizer.Event]
+    val evs = sampleEvents.map(e => Sessionizer.Event(e.user_id, e.ts.getTime / 1000))
+    input.addData(evs: _*)
+
+    // AvailableNow drains the source and stops by itself — with a
+    // processing-time timeout armed, processAllAvailable would block on
+    // the scheduled timeout wake-up.
+    val q = Sessionizer.sessions(input.toDS(), gapSec = 600L)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+
+    // every emitted session (closed or open) must agree with the batch op
+    val streamed = spark.table("sess_out")
+      .select("user_id", "session_idx", "n_events", "start_sec", "end_sec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val batch = graft.store.DocumentStore.sessionize(
+        sampleEvents.toDF(), col("user_id"), col("ts").cast("long"), col("event_id"), 600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(streamed === batch)
+  }
+
   test("streaming skip-on-error drops malformed payloads only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
