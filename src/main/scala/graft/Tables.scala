@@ -16,6 +16,27 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Parquet reader tolerant of TIMESTAMP(NANOS) columns (which Spark's
+    * reader rejects outright): reads nanos as long, then rebuilds the
+    * microsecond timestamp for columns named in `nanosCols` using integer
+    * arithmetic (`div` — a double division would lose precision above
+    * 2^53 ns). The nanos→long conversion drops the logical-type marker,
+    * so callers name the affected columns (for the driver tables that is
+    * `events.ts`).
+    */
+  def readParquet(spark: SparkSession, path: String,
+                  nanosCols: Seq[String] = Seq("ts")): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    var df = spark.read.parquet(path)
+    df.schema.fields.foreach { f =>
+      if (nanosCols.contains(f.name) &&
+          f.dataType == org.apache.spark.sql.types.LongType)
+        df = df.withColumn(f.name,
+          org.apache.spark.sql.functions.expr(s"timestamp_micros(`${f.name}` div 1000)"))
+    }
+    df
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
@@ -23,18 +44,9 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read it as raw nanos and normalize to a
-    * microsecond timestamp (`div` keeps the arithmetic integral — a double
-    * division would lose precision above 2^53 ns).
-    */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
-  }
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS) — see readParquet. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    readParquet(spark, s"$dir/events.parquet")
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }

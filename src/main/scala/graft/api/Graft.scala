@@ -1,0 +1,24 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Forward-facing storage opener — the twin of `topic_store.load(path)`
+  * (reference src/topic_store/api.py:66-77), which tries each storage
+  * container until one accepts the path. Here the containers are: a
+  * parquet file/directory, or a catalog table (incl. bucketed tables
+  * written by `store.Layout.writeBucketed`).
+  */
+object Graft {
+  def load(spark: SparkSession, path: String, requireExist: Boolean = true): DataFrame = {
+    val f = new java.io.File(path)
+    if (f.exists() || path.startsWith("file:") || path.contains("://"))
+      graft.Tables.readParquet(spark, path)
+    else if (spark.catalog.tableExists(path))
+      spark.table(path)
+    else if (!requireExist)
+      spark.emptyDataFrame
+    else
+      throw new IllegalArgumentException(
+        s"'$path' is neither a parquet path nor a catalog table")
+  }
+}

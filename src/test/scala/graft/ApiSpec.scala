@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.{Graft, Scenario}
+import graft.store.Convert
+
+/** API-compat layer: load(), scenario parsing semantics, migrations. */
+class ApiSpec extends AnyFunSuite {
+  import TestSession._
+
+  val sampleScenario: String =
+    """context: "test_collection"
+      |storage:
+      |  method: "database"
+      |  config: "default"
+      |  unused_extra: "dropme"
+      |collection:
+      |  method: "timer"
+      |  timer_delay: 5
+      |  stray: 1
+      |data:
+      |  cam: "/camera/image_raw"
+      |  log: "/rosout"
+      |""".stripMargin
+
+  test("scenario parses, validates and drops unused params") {
+    val sc = Scenario.parse(sampleScenario)
+    assert(sc.context === "test_collection")
+    assert(sc.storage === Map("method" -> "database", "config" -> "default"))
+    assert(sc.collection === Map("method" -> "timer", "timer_delay" -> "5"))
+    assert(sc.data("cam") === "/camera/image_raw")
+    assert(sc.requireDatabase eq sc)
+    intercept[IllegalArgumentException](sc.requireFilesystem)
+  }
+
+  test("scenario rejects missing sections and missing method params") {
+    intercept[IllegalArgumentException](Scenario.parse("context: x\n"))
+    intercept[IllegalArgumentException](Scenario.parse(
+      sampleScenario.replace("  timer_delay: 5\n", "")))
+    intercept[IllegalArgumentException](Scenario.parse(
+      sampleScenario.replace("\"timer\"", "\"nope\"")))
+  }
+
+  test("Graft.load opens parquet paths and catalog tables") {
+    val byPath = Graft.load(spark, s"$sf/events.parquet")
+    assert(byPath.count() > 0)
+    spark.range(5).write.mode("overwrite").saveAsTable("graft_load_t")
+    assert(Graft.load(spark, "graft_load_t").count() === 5)
+    intercept[IllegalArgumentException](Graft.load(spark, "no_such_thing"))
+  }
+
+  test("migrate copies only missing documents, append-only, idempotent") {
+    val out = Files.createTempDirectory("graft_migrate").toString + "/dst"
+    val ev = Tables.events(spark, sf).select("event_id", "event_type", "value")
+    val half = ev.filter(col("event_id") % 2 === 0)
+    assert(Convert.migrate(spark, half, out, "event_id") === half.count())
+    // second migrate of the full set copies only the other half
+    assert(Convert.migrate(spark, ev, out, "event_id") === ev.count() - half.count())
+    // idempotent: nothing left to copy
+    assert(Convert.migrate(spark, ev, out, "event_id") === 0)
+    assert(spark.read.parquet(out).count() === ev.count())
+  }
+
+  test("exportByTopic lays out per-topic time-ordered partitions") {
+    val out = Files.createTempDirectory("graft_export").toString + "/bag"
+    Convert.exportByTopic(
+      Tables.events(spark, sf).select(col("event_id"), col("event_type"),
+        col("ts").cast("long").as("ts_sec")),
+      "event_type", "ts_sec", out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("event_type=")) === 5)
+    val back = spark.read.parquet(out)
+    assert(back.count() === Tables.events(spark, sf).count())
+  }
+}
