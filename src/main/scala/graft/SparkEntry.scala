@@ -168,6 +168,11 @@ object SparkEntry {
     // ── §2b analytics ─────────────────────────────────────────────────
     "q1_pricing_summary" -> ((s, dir) => Analytics.pricingSummary(s, dir)),
     "q6_forecast_revenue" -> ((s, dir) => Analytics.forecastRevenue(s, dir)),
+    "q4_order_priority" -> ((s, dir) => Analytics.orderPriorityCheck(s, dir)),
+    "q18_large_orders" -> ((s, dir) => Analytics.largeOrders(s, dir)),
+    "agg_rollup" -> ((s, dir) => Analytics.eventRollup(s, dir)),
+    "agg_count_distinct" -> ((s, dir) => Analytics.distinctCounts(s, dir)),
+    "agg_pivot" -> ((s, dir) => Analytics.eventPivot(s, dir)),
     "q3_top_revenue" -> ((s, dir) => Analytics.topRevenue(s, dir)),
     "q5_region_revenue" -> ((s, dir) => Analytics.regionRevenue(s, dir)),
     "topk_orders_window" -> ((s, dir) => Analytics.topOrdersPerCustomer(s, dir)),
@@ -417,6 +422,41 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) > 300)
+        |SELECT o_orderkey, o_custkey, o_totalprice, total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY ROLLUP(event_type)
+        |ORDER BY event_type ASC NULLS FIRST""".stripMargin,
+
+    "agg_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "dedup_minhash_estimate" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),

@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Cluster-wide registration of graft's native expressions via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) — the deployment path that
+  * makes `graft_simhash60` / `graft_minhash` / `graft_dot` available to
+  * every session and to plain SQL users, without per-DataFrame
+  * registration calls.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash60"),
+      info("graft_simhash60", "graft_simhash60(array<string>) - 60-bit simhash"),
+      (exprs: Seq[Expression]) => SimHash60(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "graft_minhash(array<string>, k) - k-element minhash signature"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int])))
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(array<double>, array<double>) - dot product"),
+      (exprs: Seq[Expression]) => DotDouble(exprs(0), exprs(1))))
+  }
+}

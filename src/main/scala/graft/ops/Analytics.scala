@@ -103,6 +103,72 @@ object Analytics {
       .agg(sum(money(col("l_extendedprice")) * rate(col("l_discount")))
         .cast("double").as("revenue"))
 
+  /** TPC-H Q4 pattern: EXISTS as a LEFT SEMI join (no row multiplication,
+    * build side only carries the key).
+    */
+  def orderPriorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    // EXISTS (lineitem shipped after the order date) — semi-join keeps
+    // order rows unique regardless of line multiplicity
+    val li = Tables.lineitem(spark, dir).select("l_orderkey")
+    ord.join(li, ord("o_orderkey") === li("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q18 pattern: HAVING over a grouped sum, join the survivors
+    * back to their order header. The having-filter runs before the join,
+    * so only qualifying keys shuffle.
+    */
+  def largeOrders(spark: SparkSession, dir: String, minQty: Double = 300.0): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Rollup: hierarchical subtotals in one pass (grand total + per-group),
+    * Spark's GROUPING SETS machinery.
+    */
+  def eventRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .rollup(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first)
+
+  /** Exact distinct cardinalities — the shuffle-dedup aggregate class.
+    * (HLL `approx_count_distinct` is the scale path; its sketch values are
+    * engine-specific so the oracle-checked query uses the exact form.)
+    */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** Pivot: one column per event type, counts per user. Explicit value
+    * list keeps the plan a single pass (no distinct-values pre-query).
+    */
+  def eventPivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy("user_id")
+  }
+
   /** Window pattern: top-k orders per customer by rank. */
   def topOrdersPerCustomer(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

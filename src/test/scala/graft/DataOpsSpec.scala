@@ -105,6 +105,35 @@ class DataOpsSpec extends AnyFunSuite {
     assert(f.exists(_ > 0f), "features should reflect payload bytes")
   }
 
+  test("GraftExtensions exposes native functions to plain SQL sessions") {
+    import org.apache.spark.sql.SparkSession
+    // force a genuinely new session: getOrCreate would return the shared
+    // test session (where other specs registered the same names)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = try SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .appName("ext_test")
+      .getOrCreate()
+    finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+    assert(s2 ne spark, "extensions test must run on its own session")
+    val r = s2.sql(
+      """SELECT graft_simhash60(array('a', 'b')) AS sh,
+        |       graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+        |       graft_minhash(array('x'), 2) AS mh""".stripMargin).collect()(0)
+    assert(r.getDouble(1) === 11.0)
+    assert(r.getSeq[String](2).length === 2)
+    // same value as the per-session registered path
+    graft.functions.GraftFunctions.register(spark)
+    val viaRegistry = spark.sql("SELECT graft_simhash60(array('a', 'b'))").collect()(0).getLong(0)
+    assert(r.getLong(0) === viaRegistry)
+  }
+
   test("exact dedup keeps the minimum id per hash group") {
     val d = TextAnalysis.exactDedup(docs, col("doc_id"), col("text"))
     assert(d.count() > 0)
