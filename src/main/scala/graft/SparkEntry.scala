@@ -153,6 +153,29 @@ object SparkEntry {
         .withColumnRenamed("event_type", "topic")
         .orderBy("topic")),
 
+    "ts_range_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val sessions = DocumentStore.sessionize(e, col("user_id"),
+        Documents.tsSec(col("ts")), col("event_id"), 7200L)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), Documents.tsSec(col("ts")).as("ts_sec"))
+      DocumentStore.rangeJoinBinned(purchases, sessions, "user_id",
+          "ts_sec", "start_sec", "end_sec", 86400L)
+        .select("event_id", "user_id", "session_idx")
+        .orderBy("event_id", "session_idx")
+    }),
+
+    "ts_asof_join" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), Documents.tsSec(col("ts")).as("ts_sec"))
+      val left = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts_sec", "event_id", "value")
+      val right = e.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts_sec").agg(max("event_id").as("mark_id"))
+      DocumentStore.asofJoin(left, right, "user_id", "ts_sec", Seq("mark_id"))
+        .orderBy("event_id")
+    }),
+
     "ts_reassemble" -> ((s, dir) =>
       DocumentStore.reassemble(
           DocumentStore.chunk(
@@ -395,6 +418,32 @@ object SparkEntry {
         |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY topic""".stripMargin,
+
+    "ts_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+        |l AS (SELECT *, CASE WHEN lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) IS NULL
+        |               OR ts_sec - lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) > 7200
+        |             THEN 1 ELSE 0 END AS is_new
+        |      FROM e),
+        |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS session_idx FROM l),
+        |sess AS (SELECT user_id, session_idx, min(ts_sec) AS start_sec, max(ts_sec) AS end_sec
+        |         FROM s GROUP BY user_id, session_idx),
+        |p AS (SELECT event_id, user_id, ts_sec FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, CAST(sess.session_idx AS BIGINT) AS session_idx
+        |FROM p JOIN sess ON p.user_id = sess.user_id
+        |  AND p.ts_sec BETWEEN sess.start_sec AND sess.end_sec
+        |ORDER BY p.event_id, session_idx""".stripMargin,
+
+    "ts_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+        |l AS (SELECT user_id, ts_sec, event_id, value FROM e WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts_sec, max(event_id) AS mark_id
+        |      FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT l.user_id, l.ts_sec, l.event_id, l.value, r.mark_id AS asof_mark_id
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_sec >= r.ts_sec
+        |ORDER BY l.event_id""".stripMargin,
 
     "ts_reassemble" ->
       """WITH ch AS (

@@ -164,6 +164,67 @@ object DocumentStore {
       .drop("__rn")
   }
 
+  /** Backward as-of join: for every left row, the single latest right row
+    * with `rightTime <= leftTime` within the same key (the "document
+    * nearest in time" lookup event data constantly needs; DuckDB ships it
+    * as ASOF JOIN, Spark has no public operator).
+    *
+    * Spark-first composition instead of a custom SparkPlan: tag both
+    * sides, union, and take `last(right payload, ignoreNulls)` over a
+    * (key, time, side)-ordered running window. ONE shuffle on the key —
+    * same cost shape as a sort-merge join — where the naive inequality
+    * join would plan a nested-loop cross product. Right side must be
+    * unique per (key, time); ties at equal time match (<= semantics).
+    *
+    * Output: all left columns + `asofCols` from the right (null when no
+    * right row precedes the left row).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+               asofCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leftCols = left.columns.toSeq
+    val lTagged = left
+      .withColumn("__side", lit(1))
+      .select(Seq(col(key), col(time), col("__side")) ++
+        leftCols.filterNot(c => c == key || c == time).map(col) ++
+        asofCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val rTagged = right
+      .withColumn("__side", lit(0))
+      .select(Seq(col(key), col(time), col("__side")) ++
+        leftCols.filterNot(c => c == key || c == time)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        asofCols.map(c => col(c).as(s"__r_$c")): _*)
+    // side 0 sorts before side 1: a right row at time t serves left rows at t
+    val w = Window.partitionBy(col(key)).orderBy(col(time), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = asofCols.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
+      df.withColumn(s"__f_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        asofCols.map(c => col(s"__f_$c").as(s"asof_$c")): _*)
+  }
+
+  /** Binned range (interval-containment) join: match point rows to
+    * interval rows of the same key where `start <= t <= end`. Spark plans
+    * a raw inequality join as a nested loop — O(n·m) per key. Binning
+    * makes it an equality join: intervals explode into the time bins they
+    * cover, points land in exactly one bin, the join runs on (key, bin)
+    * and an exact containment filter finishes. Each (point, interval)
+    * pair meets in exactly one bin (the point's), so no dedup is needed.
+    * Choose binSize ≈ median interval length: shuffle is
+    * O(points + intervals · span/binSize).
+    */
+  def rangeJoinBinned(points: DataFrame, intervals: DataFrame, key: String,
+                      t: String, start: String, end: String, binSize: Long): DataFrame = {
+    val p = points.withColumn("__bin", expr(s"`$t` div $binSize"))
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(expr(s"`$start` div $binSize"), expr(s"`$end` div $binSize"))))
+    p.join(iv, Seq(key, "__bin"))
+      .filter(col(t) >= col(start) && col(t) <= col(end))
+      .drop("__bin")
+  }
+
   /** Gap-based sessionization: a new session starts when the gap since the
     * previous event of the same key exceeds `gapSec`. Two windows over the
     * same (key, time) ordering — one shuffle, then streaming window evals.

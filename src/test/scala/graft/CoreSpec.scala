@@ -74,6 +74,45 @@ class CoreSpec extends AnyFunSuite {
     assert(missing.filter(col("event_id") % 2 === 0).count() === 0)
   }
 
+  test("asofJoin equals the naive greatest-preceding-row lookup") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.events(spark, sf).select(col("event_id"), col("user_id"),
+      col("event_type"), col("ts").cast("long").as("ts_sec"))
+    val left = e.filter(col("event_type") === "purchase")
+      .select("user_id", "ts_sec", "event_id")
+    val right = e.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts_sec").agg(max("event_id").as("mark_id"))
+    val composed = graft.store.DocumentStore
+      .asofJoin(left, right, "user_id", "ts_sec", Seq("mark_id"))
+      .select("event_id", "asof_mark_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    // naive: inequality join + per-left-row argmax over right time
+    val naive = left.as("l").join(right.as("r"),
+        col("l.user_id") === col("r.user_id") && col("l.ts_sec") >= col("r.ts_sec"), "left")
+      .groupBy(col("l.event_id").as("event_id"))
+      .agg(max_by(col("r.mark_id"), col("r.ts_sec")).as("mark"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(composed === naive)
+  }
+
+  test("rangeJoinBinned equals the naive BETWEEN join") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.events(spark, sf)
+    val sessions = graft.store.DocumentStore.sessionize(
+      e, col("user_id"), col("ts").cast("long"), col("event_id"), 7200L)
+    val pts = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").cast("long").as("ts_sec"))
+    val binned = graft.store.DocumentStore.rangeJoinBinned(
+        pts, sessions, "user_id", "ts_sec", "start_sec", "end_sec", 86400L)
+      .select("event_id", "session_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = pts.join(sessions, Seq("user_id"))
+      .filter(col("ts_sec") >= col("start_sec") && col("ts_sec") <= col("end_sec"))
+      .select("event_id", "session_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(binned === naive && binned.nonEmpty)
+  }
+
   test("flatten produces dotted-underscore leaf columns only") {
     import org.apache.spark.sql.functions._
     val df = Tables.events(spark, sf).select(
