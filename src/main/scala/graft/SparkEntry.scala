@@ -213,6 +213,11 @@ object SparkEntry {
       Dedup.lshCandidates(Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy("id1", "id2")),
 
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"), 0.5))
+        .orderBy("doc_id")),
+
     "dedup_minhash_estimate" -> ((s, dir) =>
       Dedup.minhashEstimate(Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy("id1", "id2")),
@@ -506,6 +511,22 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        |       FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+        |         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id1, id2 FROM cand
+        |          JOIN cnt c1 ON c1.doc_id = id1 JOIN cnt c2 ON c2.doc_id = id2
+        |          WHERE shared / (c1.n + c2.n - shared) >= 0.5),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+        |reach AS (SELECT a, b FROM edges
+        |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_estimate" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),

@@ -154,6 +154,41 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-dup pair graph → canonical cluster
+    * id (min doc id) per clustered document. This is the step that turns
+    * pairwise similarity into actual dedup decisions (keep one doc per
+    * cluster). Iterative min-label propagation, the standard distributed
+    * CC: each round is one join + partial-aggregated groupBy; rounds ≤
+    * graph diameter (near-dup clusters are tiny, so a handful).
+    * `localCheckpoint` truncates lineage each round — without it the plan
+    * doubles per iteration.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val pushed = edges
+        .join(labels, edges("a") === labels("doc_id"))
+        .groupBy(col("b").as("doc_id2"))
+        .agg(min("cluster_id").as("pushed_id"))
+      val next = labels.join(pushed, labels("doc_id") === pushed("doc_id2"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("pushed_id"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("cluster_id", "old_id"), "doc_id")
+        .filter(col("cluster_id") =!= col("old_id")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** Embedding cosine near-dup pairs, brute force within `id1 < id2`.
     * Doubles end-to-end with a deterministic per-pair fold; output rounded
     * to 6 dp (SURVEY.md §6). The scale path is Similarity.lshTopK —

@@ -55,6 +55,15 @@ class DataOpsSpec extends AnyFunSuite {
     assert(blocked === brute, "pigeonhole block join lost or invented pairs")
   }
 
+  test("connected components propagate labels transitively") {
+    import spark.implicits._
+    // chain 1-2, 2-3, plus isolated pair 10-11 → clusters {1,2,3} and {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("brute-force ANN ranks are dense per query") {
     val res = Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 3), 5).collect()
     val byQuery = res.groupBy(_.getLong(0))
