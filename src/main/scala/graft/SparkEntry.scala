@@ -240,6 +240,12 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), 5)
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_lsh_bucketed" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), 5, 4)
@@ -622,6 +628,30 @@ object SparkEntry {
         |          ORDER BY dot / (n1.nrm * n2.nrm) DESC, neighbor_id) AS INT) AS rank
         |      FROM sc JOIN n n1 ON n1.vec_id = query_id JOIN n n2 ON n2.vec_id = neighbor_id)
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "ann_ivf_topk" ->
+      """WITH v AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+        |           FROM embeddings, range(1, 65) r(i)),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY 1),
+        |cd AS (SELECT a.vec_id, c.vec_id AS cell, sum(a.x * c.x) AS dot
+        |       FROM v a JOIN v c ON a.d = c.d AND c.vec_id < 8 GROUP BY 1, 2),
+        |cr AS (SELECT cd.vec_id, cell,
+        |         row_number() OVER (PARTITION BY cd.vec_id
+        |           ORDER BY dot / (n1.nrm * n2.nrm) DESC, cell) AS cell_rank
+        |       FROM cd JOIN n n1 ON n1.vec_id = cd.vec_id JOIN n n2 ON n2.vec_id = cell),
+        |cells AS (SELECT vec_id, cell FROM cr WHERE cell_rank = 1),
+        |probes AS (SELECT vec_id AS query_id, cell FROM cr WHERE cell_rank <= 2 AND vec_id < 5),
+        |sc AS (SELECT p.query_id, ce.vec_id AS neighbor_id, sum(q.x * c2.x) AS dot
+        |       FROM probes p JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.query_id
+        |       JOIN v q ON q.vec_id = p.query_id
+        |       JOIN v c2 ON c2.vec_id = ce.vec_id AND c2.d = q.d
+        |       GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY dot / (n1.nrm * n2.nrm) DESC, neighbor_id) AS INT) AS rank
+        |      FROM sc JOIN n n1 ON n1.vec_id = query_id JOIN n n2 ON n2.vec_id = neighbor_id)
+        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
     "ann_lsh_bucketed" ->

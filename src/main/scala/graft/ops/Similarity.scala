@@ -76,6 +76,45 @@ object Similarity {
     prep(emb).select(col("vec_id"), bucket.as("bucket"))
   }
 
+  /** IVF cell assignment: nearest of `kCells` coarse centroids per vector.
+    * Deterministic quantizer: the first `kCells` corpus vectors serve as
+    * centroids (a trained k-means slots in here unchanged — the assignment
+    * /probe machinery is identical and this keeps the op reproducible and
+    * oracle-checkable). Centroids broadcast; assignment is one scan.
+    */
+  def ivfAssign(emb: DataFrame, kCells: Int, rankCol: String = "cell_rank"): DataFrame = {
+    val cents = prep(emb.filter(col("vec_id") < kCells))
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cell_cos").desc, col("cell"))
+    prep(emb).crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"),
+        (expr("graft_dot(v, cv)") / (col("norm") * col("cnorm"))).as("cell_cos"))
+      .withColumn(rankCol, row_number().over(w))
+  }
+
+  /** IVF ANN: score only candidates whose cell is among the query's
+    * `nprobe` nearest cells. Probe cost ≈ corpus · nprobe / kCells per
+    * query instead of the full corpus.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              kCells: Int = 8, nprobe: Int = 2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    val cells = ivfAssign(corpus, kCells).filter(col("cell_rank") === 1)
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+    val probes = ivfAssign(queries, kCells).filter(col("cell_rank") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("cell"))
+    probes.join(cells, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (expr("graft_dot(qv, v)") / (col("qnorm") * col("norm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
+
   /** LSH-bucketed ANN: score only candidates sharing the query's bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 4): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
