@@ -194,6 +194,17 @@ object SparkEntry {
     "q4_order_priority" -> ((s, dir) => Analytics.orderPriorityCheck(s, dir)),
     "q18_large_orders" -> ((s, dir) => Analytics.largeOrders(s, dir)),
     "agg_rollup" -> ((s, dir) => Analytics.eventRollup(s, dir)),
+    "agg_quantiles" -> ((s, dir) =>
+      ev(s, dir).groupBy(col("event_type"))
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+    "text_scrub" -> ((s, dir) =>
+      TextAnalysis.scrub(ev(s, dir).filter(col("event_id") < 100),
+          col("event_id"), col("props"), Seq("[0-9]+" -> "<num>"))
+        .orderBy("doc_id")),
     "agg_count_distinct" -> ((s, dir) => Analytics.distinctCounts(s, dir)),
     "agg_pivot" -> ((s, dir) => Analytics.eventPivot(s, dir)),
     "q3_top_revenue" -> ((s, dir) => Analytics.topRevenue(s, dir)),
@@ -508,6 +519,15 @@ object SparkEntry {
     "agg_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_quantiles" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "text_scrub" ->
+      """SELECT event_id AS doc_id, regexp_replace(props, '[0-9]+', '<num>', 'g') AS scrubbed
+        |FROM events WHERE event_id < 100 ORDER BY doc_id""".stripMargin,
 
     "agg_pivot" ->
       """SELECT user_id,

@@ -47,6 +47,23 @@ object Documents {
     df.select(walk(df.schema, Nil, Nil): _*)
   }
 
+  /** Schema-tree introspection — the Spark twin of `TopicStore.__repr__`'s
+    * recursive type walk (reference src/topic_store/data.py:66-95): one
+    * row per leaf with its dotted path, type, and nesting depth. Pure
+    * driver-side schema walk (no data scan).
+    */
+  def describeTree(df: DataFrame): Seq[(String, String, Int)] = {
+    def walk(schema: StructType, prefix: Seq[String]): Seq[(String, String, Int)] =
+      schema.fields.toSeq.flatMap { f =>
+        val p = prefix :+ f.name
+        f.dataType match {
+          case st: StructType => walk(st, p)
+          case dt => Seq((p.mkString("."), dt.simpleString, p.length))
+        }
+      }
+    walk(df.schema, Nil)
+  }
+
   /** Type-coercion transform set — the Spark twin of `DefaultTypeParser`
     * (reference src/topic_store/sanitation.py:47-115): apply named
     * column-level coercions, keep all other columns untouched.

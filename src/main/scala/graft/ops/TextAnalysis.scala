@@ -86,6 +86,18 @@ object TextAnalysis {
       size(regexp_extract_all(normalize(textCol), lit("[a-z]+"), lit(0))).cast("long").as("n_alpha_runs"),
       ceil(length(textCol) / lit(4.0)).cast("long").as("n_bpe_est"))
 
+  /** PII / noise scrubbing: replace pattern matches with a redaction
+    * marker — the pre-training cleanup pass (emails, phone numbers, ids).
+    * Pure regexp_replace: codegen'd, one scan, no shuffle.
+    */
+  def scrub(df: DataFrame, idCol: Column, textCol: Column,
+            patterns: Seq[(String, String)]): DataFrame = {
+    val scrubbed = patterns.foldLeft(textCol) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+    df.select(idCol.as("doc_id"), scrubbed.as("scrubbed"))
+  }
+
   /** Content fingerprint: md5 of normalized text + 8-hex prefix for
     * cheap prefix-bucketing.
     */

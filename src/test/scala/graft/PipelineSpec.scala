@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.{Convert, DocumentStore}
+
+/** End-to-end lifecycle: stream capture → parquet store → query surface →
+  * incremental migration → monitoring — the full reference workflow
+  * (collect, store, query, convert) through the real engine.
+  */
+class PipelineSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("capture -> store -> query -> migrate -> monitor round trip") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    // 1. capture a live stream into session-partitioned parquet
+    val base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val evs = (0 until 200).map { i =>
+      Ev(i.toLong, new Timestamp(base + i * 30000L), (i % 4).toLong,
+        if (i % 3 == 0) "scan" else "imu", s"""{"seq": $i}""")
+    }
+    val input = MemoryStream[Ev]
+    input.addData(evs: _*)
+    val store = Files.createTempDirectory("graft_e2e").toString + "/store"
+    val chk = Files.createTempDirectory("graft_e2e_chk").toString
+    val q = graft.streaming.Monitor.capture(
+      input.toDF(), col("event_id"), col("user_id"), col("ts"), store, chk)
+    try q.processAllAvailable() finally q.stop()
+
+    // 2. query the store through the document surface
+    val docs = graft.api.Graft.load(spark, store)
+    assert(DocumentStore.countDocuments(docs).collect()(0).getLong(0) === 200)
+    assert(DocumentStore.findById(docs, "_id", 7L).count() === 1)
+    assert(DocumentStore.findBySession(docs, "session", 2L).count() === 50)
+    val latest = DocumentStore.latestSnapshot(
+      docs, col("event_type"), col("sys_time_sec"), col("_id"))
+    assert(latest.count() === 2) // one row per topic
+
+    // 3. incremental migration copies everything once, then nothing
+    val dst = Files.createTempDirectory("graft_e2e_dst").toString + "/mirror"
+    assert(Convert.migrate(spark, docs, dst, "_id") === 200)
+    assert(Convert.migrate(spark, docs, dst, "_id") === 0)
+
+    // 4. monitor rates over the captured store equal raw counts
+    val rates = DocumentStore.monitorRates(
+      docs.withColumn("ts", col("ts")), col("event_type"), col("ts"), col("props"), "hour")
+    assert(rates.agg(sum("n_msgs")).collect()(0).getLong(0) === 200)
+  }
+
+  test("describeTree walks nested schemas like the reference repr") {
+    val df = Tables.events(spark, sf).select(
+      col("event_id"),
+      struct(struct(col("user_id").as("session")).as("meta"), col("props")).as("doc"))
+    val tree = graft.model.Documents.describeTree(df)
+    assert(tree.contains(("event_id", "bigint", 1)))
+    assert(tree.contains(("doc.meta.session", "bigint", 3)))
+    assert(tree.contains(("doc.props", "string", 2)))
+  }
+}
