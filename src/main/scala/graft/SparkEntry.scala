@@ -201,6 +201,40 @@ object SparkEntry {
           expr("percentile(value, 0.9)").as("p90"),
           count(lit(1)).as("n"))
         .orderBy("event_type")),
+    "text_search" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("text").contains("merge batch"))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    "agg_stats_profile" -> ((s, dir) => {
+      // variance from exact decimal sums: (Σx² − (Σx)²/n) / (n−1) — every
+      // operand bit-identical across engines (stddev_samp's streaming
+      // Welford accumulation is NOT engine-portable)
+      val li = Tables.lineitem(s, dir)
+      val sx = sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+      val sxx = sum((col("l_extendedprice") * col("l_extendedprice")).cast("decimal(28,4)")).cast("double")
+      val n = count(lit(1)).cast("double")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          (sx / n).as("avg_price"),
+          ((sxx - sx * sx / n) / (n - lit(1.0))).as("var_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    "ts_full_outer_merge" -> ((s, dir) => {
+      val users = ev(s, dir).groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_name"))
+      users.join(cust, Seq("user_id"), "full_outer")
+        .select(col("user_id"), coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("c_name"), lit("<none>")).as("c_name"))
+        .orderBy("user_id")
+    }),
+
     "text_scrub" -> ((s, dir) =>
       TextAnalysis.scrub(ev(s, dir).filter(col("event_id") < 100),
           col("event_id"), col("props"), Seq("[0-9]+" -> "<num>"))
@@ -528,6 +562,30 @@ object SparkEntry {
     "text_scrub" ->
       """SELECT event_id AS doc_id, regexp_replace(props, '[0-9]+', '<num>', 'g') AS scrubbed
         |FROM events WHERE event_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "text_search" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE contains(text, 'merge batch') ORDER BY doc_id""".stripMargin,
+
+    "agg_stats_profile" ->
+      """SELECT l_returnflag,
+        |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  (CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+        |    - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+        |    / (count(*) - CAST(1 AS DOUBLE)) AS var_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "ts_full_outer_merge" ->
+      """WITH u AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+        |c AS (SELECT c_custkey AS user_id, c_name FROM customer)
+        |SELECT COALESCE(u.user_id, c.user_id) AS user_id,
+        |  COALESCE(n_events, 0) AS n_events,
+        |  COALESCE(c_name, '<none>') AS c_name
+        |FROM u FULL OUTER JOIN c ON u.user_id = c.user_id
+        |ORDER BY user_id""".stripMargin,
 
     "agg_pivot" ->
       """SELECT user_id,

@@ -64,6 +64,25 @@ object Documents {
     walk(df.schema, Nil)
   }
 
+  /** Generic nested-leaf transform — the Spark twin of `DictConverter`
+    * (reference src/topic_store/sanitation.py:170-263), which applies a
+    * visit function to every leaf of a nested document. Rebuilds the
+    * struct tree with `fn` applied to each leaf column; a pure projection,
+    * so Catalyst still prunes and pushes down through it.
+    */
+  def mapLeaves(df: DataFrame, fn: Column => Column): DataFrame = {
+    def rebuild(schema: StructType, path: Seq[String]): Seq[Column] =
+      schema.fields.toSeq.map { f =>
+        val p = path :+ f.name
+        val c = col(p.map(s => s"`$s`").mkString("."))
+        (f.dataType match {
+          case st: StructType => struct(rebuild(st, p): _*)
+          case _ => fn(c)
+        }).as(f.name)
+      }
+    df.select(rebuild(df.schema, Nil): _*)
+  }
+
   /** Type-coercion transform set — the Spark twin of `DefaultTypeParser`
     * (reference src/topic_store/sanitation.py:47-115): apply named
     * column-level coercions, keep all other columns untouched.

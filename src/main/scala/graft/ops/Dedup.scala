@@ -181,8 +181,11 @@ object Dedup {
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("pushed_id"), col("cluster_id"))).as("cluster_id"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("cluster_id", "old_id"), "doc_id")
-        .filter(col("cluster_id") =!= col("old_id")).isEmpty
+      // round 1 always changes labels on any non-trivial graph — skip the
+      // convergence job and spend it on the next propagation instead
+      converged = iter > 0 &&
+        next.join(labels.withColumnRenamed("cluster_id", "old_id"), "doc_id")
+          .filter(col("cluster_id") =!= col("old_id")).isEmpty
       labels = next
       iter += 1
     }

@@ -113,6 +113,20 @@ class CoreSpec extends AnyFunSuite {
     assert(binned === naive && binned.nonEmpty)
   }
 
+  test("mapLeaves applies a function to every nested leaf, preserving shape") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.events(spark, sf).limit(5).select(
+      col("event_id"),
+      struct(col("user_id"), struct(col("value")).as("inner")).as("doc"))
+    val doubled = graft.model.Documents.mapLeaves(df,
+      c => when(c.cast("string").rlike("^[0-9.]+$"), c).otherwise(c))
+    assert(doubled.schema === df.schema)
+    val negated = graft.model.Documents.mapLeaves(
+      df.select(struct(col("doc.user_id").as("u")).as("d")), c => -c)
+    val r = negated.select("d.u").collect().map(_.getLong(0))
+    assert(r.forall(_ <= 0))
+  }
+
   test("flatten produces dotted-underscore leaf columns only") {
     import org.apache.spark.sql.functions._
     val df = Tables.events(spark, sf).select(
