@@ -784,9 +784,9 @@ object SparkEntry {
         |SELECT doc_id, n_chars, n_tokens, n_stop,
         |  n_stop / n_tokens AS stop_ratio,
         |  (n_chars - n_tokens + 1) / n_tokens AS avg_wlen,
-        |  round(0.3 * (n_stop / n_tokens)
+        |  0.3 * (n_stop / n_tokens)
         |    + 0.5 * least(n_tokens / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))
-        |    + 0.2 * (1.0 - abs((n_chars - n_tokens + 1) / n_tokens - 5) / 10), 6) AS score
+        |    + 0.2 * (1.0 - abs((n_chars - n_tokens + 1) / n_tokens - 5) / 10) AS score
         |FROM b ORDER BY doc_id""".stripMargin,
 
     "token_count" ->

@@ -70,10 +70,13 @@ object TextAnalysis {
         size(filter(toks, t => t.isin(Stopwords.map(lit): _*))).cast("long").as("n_stop"))
       .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
       .withColumn("avg_wlen", (col("n_chars") - col("n_tokens") + 1) / col("n_tokens"))
-      .withColumn("score", round(
+      // NO rounding: this is per-row scalar math in fixed order, so the
+      // raw doubles are bit-identical across engines — round(x, 6) would
+      // re-introduce divergence at half boundaries (observed at sf0.1)
+      .withColumn("score",
         lit(0.3) * col("stop_ratio")
           + lit(0.5) * least(col("n_tokens") / lit(100.0), lit(1.0))
-          + lit(0.2) * (lit(1.0) - abs(col("avg_wlen") - 5) / 10), 6))
+          + lit(0.2) * (lit(1.0) - abs(col("avg_wlen") - 5) / 10))
   }
 
   /** Token counting: whitespace tokens, alpha runs (BPE-ish regex), and a
