@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: generate ~100× the sf0.1 data volume synthetically (no
+  * dependence on the read-only testdata) and time the operators whose
+  * complexity could degrade nonlinearly — the local stand-in for the
+  * 100 TB question "does the shuffle/candidate volume stay bounded?".
+  *
+  * Usage: runMain graft.ScaleSmoke [events=10000000] [docs=100000]
+  */
+object ScaleSmoke {
+  def time[A](name: String)(f: => A): Unit = {
+    val t0 = System.nanoTime()
+    f
+    println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nEvents = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val nDocs = args.drop(1).headOption.map(_.toLong).getOrElse(100000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.store.DocumentStore
+
+    // synthetic events: ~nEvents rows, 10k sessions, 30-day span
+    val events = spark.range(nEvents).select(
+      col("id").as("event_id"),
+      pmod(hash(col("id")), lit(10000)).as("user_id"),
+      (lit(1704067200L) + pmod(hash(col("id"), lit(1)), lit(2592000))).as("ts_sec"),
+      concat(lit("{\"k\": "), pmod(col("id"), lit(100)), lit("}")).as("props"),
+      element_at(array(lit("click"), lit("view"), lit("purchase"), lit("signup"), lit("error")),
+        (pmod(hash(col("id"), lit(2)), lit(5)) + 1).cast("int")).as("event_type"))
+    println(s"[scale] events=$nEvents docs=$nDocs cpus=$cpus")
+
+    time("monitor_rates") {
+      DocumentStore.monitorRates(events.withColumn("ts", timestamp_seconds(col("ts_sec"))),
+        col("event_type"), col("ts"), col("props"), "hour").count()
+    }
+    time("sessionize") {
+      DocumentStore.sessionize(events, col("user_id"), col("ts_sec"), col("event_id"), 7200L).count()
+    }
+    time("latest_snapshot") {
+      DocumentStore.latestSnapshot(events, col("event_type"), col("ts_sec"), col("event_id")).count()
+    }
+    time("asof_join") {
+      val l = events.filter(col("event_type") === "purchase")
+        .select("user_id", "ts_sec", "event_id")
+      val r = events.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts_sec").agg(max("event_id").as("mark_id"))
+      DocumentStore.asofJoin(l, r, "user_id", "ts_sec", Seq("mark_id")).count()
+    }
+    time("clone_anti_join") {
+      DocumentStore.cloneMissing(
+        events.select("event_id", "props"),
+        events.filter(col("event_id") % 2 === 0).select("event_id"), "event_id").count()
+    }
+
+    // synthetic docs: ~60-word texts from a 2k-word vocab (no degenerate
+    // hot shingles), nDocs rows
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 60).map(i =>
+        concat(lit("w"), pmod(hash(col("id"), lit(i)), lit(2000)))): _*).as("text"))
+    time("dedup_exact") {
+      graft.ops.TextAnalysis.exactDedup(docs, col("doc_id"), col("text")).count()
+    }
+    time("minhash_lsh") {
+      graft.ops.Dedup.lshCandidates(docs, col("doc_id"), col("text")).count()
+    }
+    time("simhash_values") {
+      graft.ops.Dedup.simhash(docs, col("doc_id"), col("text")).count()
+    }
+    time("token_quality_langid") {
+      graft.ops.TextAnalysis.qualityScore(docs, col("doc_id"), col("text")).count()
+    }
+    spark.stop()
+  }
+}
