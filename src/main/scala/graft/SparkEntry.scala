@@ -132,6 +132,10 @@ object SparkEntry {
       DocumentStore.monitorRates(ev(s, dir), col("event_type"), col("ts"), col("props"), "hour")
         .orderBy("topic", "window_start_sec")),
 
+    "ts_monitor_hopping" -> ((s, dir) =>
+      DocumentStore.monitorRatesHopping(ev(s, dir), col("event_type"), col("ts"), 3600L, 1800L)
+        .orderBy("topic", "window_start_sec")),
+
     "ts_skip_on_error" -> ((s, dir) =>
       DocumentStore.skipOnError(ev(s, dir), get_json_object(col("props"), "$.k").cast("long"), "k")
         .agg(count(lit(1)).as("n_valid"), sum(col("k")).as("sum_k"))),
@@ -413,6 +417,15 @@ object SparkEntry {
         |  CAST(SUM(length(props)) AS BIGINT) AS payload_bytes,
         |  count(*) / CAST(3600 AS DOUBLE) AS rate_hz
         |FROM events GROUP BY 1, 2 ORDER BY topic, window_start_sec""".stripMargin,
+
+    "ts_monitor_hopping" ->
+      """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+        |w AS (SELECT event_type, ts_sec,
+        |        (ts_sec // 1800) * 1800 - k.k * 1800 AS ws
+        |      FROM e, range(0, 2) k(k))
+        |SELECT event_type AS topic, ws AS window_start_sec, count(*) AS n_msgs
+        |FROM w WHERE ws <= ts_sec AND ws > ts_sec - 3600
+        |GROUP BY 1, 2 ORDER BY topic, window_start_sec""".stripMargin,
 
     "ts_skip_on_error" ->
       """SELECT count(*) AS n_valid, CAST(SUM(k) AS BIGINT) AS sum_k FROM (

@@ -145,6 +145,21 @@ object DocumentStore {
       .withColumn("rate_hz", col("n_msgs") / lit(winSeconds).cast("double"))
   }
 
+  /** Hopping (sliding) window rates: each event lands in len/slide
+    * overlapping windows. Implemented via Spark's native `window()`
+    * expression; the oracle reproduces the same window-start arithmetic
+    * with integer math. O(len/slide) row amplification — bounded fan-out,
+    * not a self-join.
+    */
+  def monitorRatesHopping(df: DataFrame, topicCol: Column, tsCol: Column,
+                          lenSec: Long, slideSec: Long): DataFrame =
+    df.groupBy(
+        topicCol.as("topic"),
+        window(tsCol, s"$lenSec seconds", s"$slideSec seconds"))
+      .agg(count(lit(1)).as("n_msgs"))
+      .select(col("topic"), col("window.start").cast("long").as("window_start_sec"),
+        col("n_msgs"))
+
   /** Skip-on-error cursor (database.py:292-325): try-parse the payload,
     * drop rows that fail instead of failing the scan.
     */

@@ -60,4 +60,20 @@ object Monitor {
     */
   def skipOnError(stream: DataFrame, parsed: Column, as: String): DataFrame =
     stream.withColumn(as, parsed).filter(col(as).isNotNull)
+
+  /** Stream-stream interval join: correlate two live streams on a key
+    * within a time bound (e.g. purchase within an hour of a click).
+    * Both sides watermarked, so the join state expires — the streaming
+    * counterpart of `DocumentStore.rangeJoinBinned`.
+    */
+  def correlate(left: DataFrame, right: DataFrame, key: String,
+                leftTs: String, rightTs: String, maxGapSec: Long,
+                watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"l.$leftTs") >= col(s"r.$rightTs") &&
+        col(s"l.$leftTs") <= col(s"r.$rightTs") + expr(s"INTERVAL $maxGapSec SECONDS"))
+  }
 }

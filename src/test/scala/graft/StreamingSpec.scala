@@ -96,6 +96,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stream-stream interval join correlates within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val lIn = MemoryStream[Ev]
+    val rIn = MemoryStream[Ev]
+    val base = Timestamp.valueOf("2024-02-01 00:00:00").getTime
+    // right event at t+0; left events at +30min (in bound) and +90min (out)
+    rIn.addData(Ev(100L, new Timestamp(base), 1L, "click", "{}"))
+    lIn.addData(
+      Ev(200L, new Timestamp(base + 30 * 60000L), 1L, "purchase", "{}"),
+      Ev(201L, new Timestamp(base + 90 * 60000L), 1L, "purchase", "{}"),
+      Ev(202L, new Timestamp(base + 30 * 60000L), 2L, "purchase", "{}")) // wrong key
+    val joined = graft.streaming.Monitor.correlate(
+      lIn.toDF().select(col("event_id").as("l_id"), col("user_id"), col("ts")),
+      rIn.toDF().select(col("event_id").as("r_id"), col("user_id").as("user_id"),
+        col("ts").as("r_ts")),
+      "user_id", "ts", "r_ts", 3600L)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("corr_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("corr_out").select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows === Set((200L, 100L)))
+  }
+
   test("streaming skip-on-error drops malformed payloads only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
