@@ -198,6 +198,17 @@ object SparkEntry {
     "q4_order_priority" -> ((s, dir) => Analytics.orderPriorityCheck(s, dir)),
     "q18_large_orders" -> ((s, dir) => Analytics.largeOrders(s, dir)),
     "agg_rollup" -> ((s, dir) => Analytics.eventRollup(s, dir)),
+    "agg_weighted_mean" -> ((s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+        .as[(String, Double, Double)]
+        .groupByKey(_._1)
+        .agg(graft.functions.WeightedMeanCents.toColumn.name("w_avg_price"))
+        .toDF("l_returnflag", "w_avg_price")
+        .orderBy("l_returnflag")
+    }),
+
     "agg_quantiles" -> ((s, dir) =>
       ev(s, dir).groupBy(col("event_type"))
         .agg(
@@ -566,6 +577,13 @@ object SparkEntry {
     "agg_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_weighted_mean" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / 100.0
+        |    / CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS w_avg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_quantiles" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,
