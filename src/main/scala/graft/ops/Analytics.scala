@@ -110,8 +110,8 @@ object Analytics {
     val ord = Tables.orders(spark, dir)
       .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-    // EXISTS (lineitem shipped after the order date) — semi-join keeps
-    // order rows unique regardless of line multiplicity
+    // EXISTS (any lineitem for the order) — semi-join keeps order rows
+    // unique regardless of line multiplicity
     val li = Tables.lineitem(spark, dir).select("l_orderkey")
     ord.join(li, ord("o_orderkey") === li("l_orderkey"), "left_semi")
       .groupBy(col("o_orderpriority"))
