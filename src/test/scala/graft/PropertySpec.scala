@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.DocumentStore
+import graft.ops.Dedup
+
+/** Property-based invariants on generated data (ScalaCheck). Small
+  * generated datasets, run through the real engine.
+  */
+class PropertySpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  /** Drive a generator deterministically (seeded) for n samples. */
+  private def forAll[A](gen: Gen[A], n: Int = 5)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(gen.apply(Gen.Parameters.default, Seed(42L + i))
+        .getOrElse(fail(s"generator produced no value for seed ${42 + i}")))
+    }
+
+  private val textGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "x1", "y2"))
+      .map(_.mkString(" "))
+
+  test("chunk + reassemble is the identity for any payload and chunk size") {
+    forAll(Gen.zip(Gen.nonEmptyListOf(textGen), Gen.choose(1, 37))) {
+      case (texts: List[String], chunkSize: Int) =>
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val back = DocumentStore.reassemble(
+            DocumentStore.chunk(df, col("doc_id"), col("text"), chunkSize))
+          .withColumnRenamed("files_id", "doc_id")
+        val bad = df.join(back, "doc_id").filter(col("text") =!= col("payload")).count()
+        assert(bad === 0)
+        assert(back.count() === df.count())
+    }
+  }
+
+  test("asofJoin: every match is the latest right row at or before the left row") {
+    val rowsGen = Gen.nonEmptyListOf(for {
+      k <- Gen.choose(0L, 2L)
+      t <- Gen.choose(0L, 50L)
+    } yield (k, t))
+    forAll(Gen.zip(rowsGen, rowsGen)) { case (l: List[(Long, Long)], r: List[(Long, Long)]) =>
+      val left = l.distinct.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }.toDF("k", "t", "lid")
+      val right = r.distinct.groupBy(identity).keys.toSeq.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong + 1000) }
+        .groupBy(x => (x._1, x._2)).values.map(_.head).toSeq // unique (k, t)
+        .toDF("k", "t", "rid")
+      val got = DocumentStore.asofJoin(left, right, "k", "t", Seq("rid"))
+        .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2),
+          Option(row.get(3)).map(_.asInstanceOf[Long]))).toSet
+      val rightRows = right.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      val expected = left.collect().map { row =>
+        val (k, t, lid) = (row.getLong(0), row.getLong(1), row.getLong(2))
+        val cands = rightRows.filter(x => x._1 == k && x._2 <= t)
+        val best = if (cands.isEmpty) None
+          else Some(cands.maxBy(x => (x._2, x._3))._3)
+        (k, t, lid, best)
+      }.toSet
+      assert(got === expected)
+    }
+  }
+
+  test("sessionize: events within a session are gap-bounded, sessions are disjoint") {
+    val evGen = Gen.nonEmptyListOf(for {
+      k <- Gen.choose(0L, 2L); t <- Gen.choose(0L, 1000L)
+    } yield (k, t))
+    forAll(Gen.zip(evGen, Gen.choose(5L, 100L))) { case (evs: List[(Long, Long)], gap: Long) =>
+      val df = evs.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "id")
+      val sessions = DocumentStore.sessionize(df, col("k"), col("t"), col("id"), gap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      // session count per key equals 1 + number of gaps > gap in sorted times
+      evs.groupBy(_._1).foreach { case (k, kevs) =>
+        val ts = kevs.map(_._2).sorted
+        val expectedSessions = 1 + ts.zip(ts.tail).count { case (a, b) => b - a > gap }
+        assert(sessions.count(_._1 == k) === expectedSessions)
+      }
+      // sessions of one key never overlap and cover all events
+      sessions.groupBy(_._1).values.foreach { ss =>
+        val sorted = ss.sortBy(_._4)
+        sorted.zip(sorted.tail).foreach { case (a, b) => assert(a._5 < b._4) }
+      }
+      assert(sessions.map(_._3).sum === evs.length)
+    }
+  }
+
+  test("connected components: labels are the min id of each true component") {
+    val edgeGen = Gen.listOf(for {
+      a <- Gen.choose(0L, 15L); b <- Gen.choose(0L, 15L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    forAll(edgeGen.suchThat(_.nonEmpty)) { (edges: List[(Long, Long)]) =>
+      val pairs = edges.distinct.toDF("id1", "id2")
+      val got = Dedup.connectedComponents(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      // reference union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r } }
+      edges.distinct.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      val expected = parent.keys.map(x => x -> find(x)).toMap
+      assert(got === expected.map { case (k, v) => k -> math.min(v, k) }.map {
+        case (k, _) => k -> find(k) })
+    }
+  }
+}
