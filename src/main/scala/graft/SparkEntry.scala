@@ -324,6 +324,19 @@ object SparkEntry {
       TextAnalysis.tokenCount(Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    "quality_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionScore(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
+    "corpus_prune" -> ((s, dir) =>
+      TextAnalysis.pruneByLength(Tables.documents(s, dir),
+          col("doc_id"), col("source"), col("n_chars"), 0.05, 0.95)
+        .orderBy("doc_id")),
+
+    "corpus_split" -> ((s, dir) =>
+      TextAnalysis.assignSplit(Tables.documents(s, dir).select("doc_id"), "doc_id")
+        .orderBy("doc_id")),
+
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy("doc_id")),
@@ -827,6 +840,29 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(norm, '[a-z]+')) AS BIGINT) AS n_alpha_runs,
         |  CAST(ceil(length(text) / CAST(4 AS DOUBLE)) AS BIGINT) AS n_bpe_est
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "quality_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |g AS (SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+        |      FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2)
+        |SELECT doc_id, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct,
+        |  (count(*) - count(DISTINCT gram)) / count(*) AS rep_ratio
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "corpus_prune" ->
+      """SELECT doc_id, stratum, len, pr FROM (
+        |  SELECT doc_id, source AS stratum, n_chars AS len,
+        |    percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS pr
+        |  FROM documents)
+        |WHERE pr >= 0.05 AND pr <= 0.95 ORDER BY doc_id""".stripMargin,
+
+    "corpus_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN v < 13 THEN 'train' WHEN v < 15 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS v
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint" ->
       """WITH t AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm FROM documents)

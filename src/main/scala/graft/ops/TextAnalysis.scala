@@ -101,6 +101,48 @@ object TextAnalysis {
     df.select(idCol.as("doc_id"), scrubbed.as("scrubbed"))
   }
 
+  /** Repetition signal (Gopher-style quality filter): fraction of
+    * duplicated word n-grams within the document. High ratio → boilerplate
+    * or degenerate repetition. Pure array expressions, one scan.
+    */
+  def repetitionScore(df: DataFrame, idCol: Column, textCol: Column, n: Int = 3): DataFrame =
+    df.select(idCol.as("doc_id"), tokens(textCol).as("words"))
+      .filter(size(col("words")) >= n)
+      .select(col("doc_id"),
+        expr(s"transform(sequence(0, size(words)-$n), i -> " +
+          s"concat_ws(' ', slice(words, i+1, $n)))").as("grams"))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        (col("n_grams") - col("n_distinct")) / col("n_grams"))
+
+  /** Percentile-based corpus pruning: drop length outliers per source
+    * stratum. `percent_rank` is rank arithmetic (engine-portable, unlike
+    * value interpolation) — one window per stratum, no second scan.
+    */
+  def pruneByLength(df: DataFrame, idCol: Column, strataCol: Column, lenCol: Column,
+                    lo: Double, hi: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("len"), col("doc_id"))
+    df.select(idCol.as("doc_id"), strataCol.as("stratum"), lenCol.as("len"))
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= lo && col("pr") <= hi)
+  }
+
+  /** Deterministic train/val/test split by content-independent hash of the
+    * id — reproducible on any cluster, no shuffling, no state.
+    */
+  def assignSplit(df: DataFrame, idColName: String,
+            trainSixteenths: Int = 13, valSixteenths: Int = 2): DataFrame = {
+    val nibble =
+      expr(s"instr('0123456789abcdef', substr(md5(cast(`$idColName` as string)), 1, 1)) - 1")
+    df.withColumn("split",
+      when(nibble < trainSixteenths, "train")
+        .when(nibble < trainSixteenths + valSixteenths, "val")
+        .otherwise("test"))
+  }
+
   /** Content fingerprint: md5 of normalized text + 8-hex prefix for
     * cheap prefix-bucketing.
     */
