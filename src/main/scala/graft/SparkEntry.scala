@@ -209,6 +209,18 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // rows-only check (no oracle): HLL / quantile sketches are
+    // engine-specific by design — this is the documented scale path for
+    // agg_count_distinct / agg_quantiles at 100 TB (constant memory,
+    // mergeable partial sketches)
+    "agg_approx_sketches" -> ((s, dir) =>
+      ev(s, dir).groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          expr("approx_percentile(value, array(0.5, 0.9), 1000)").as("approx_p50_p90"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
     "agg_quantiles" -> ((s, dir) =>
       ev(s, dir).groupBy(col("event_type"))
         .agg(
