@@ -16,6 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule { session =>
+      graft.plans.RangeJoinBinning(
+        session.conf.get("spark.graft.rangeJoin.binSize", "86400").toLong)
+    }
     e.injectFunction((
       FunctionIdentifier("graft_simhash60"),
       info("graft_simhash60", "graft_simhash60(array<string>) - 60-bit simhash"),
