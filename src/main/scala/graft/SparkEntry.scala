@@ -67,6 +67,67 @@ object SparkEntry {
         .select("event_id")
         .orderBy("event_id")),
 
+    "ts_update_where" -> ((s, dir) =>
+      DocumentStore.updateWhere(ev(s, dir),
+          col("event_type") === "click" && col("value") > 90,
+          Map("event_type" -> lit("hot_click")))
+        .filter(col("value") > 80)
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")),
+
+    "ts_update_first" -> ((s, dir) =>
+      DocumentStore.updateFirst(ev(s, dir), "event_id",
+          col("event_type") === "purchase" && col("value") > 50,
+          Map("value" -> lit(0.0)))
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "value")
+        .orderBy("event_id")
+        .limit(100)),
+
+    "ts_delete_where" -> ((s, dir) =>
+      DocumentStore.deleteWhere(ev(s, dir),
+          col("event_type") === "error" || col("value") < 1)
+        .select("event_id")
+        .orderBy("event_id")),
+
+    "ts_delete_cascade" -> ((s, dir) => {
+      val files = Tables.documents(s, dir).filter(col("doc_id") < 10)
+      val chunks = DocumentStore.chunk(files, col("doc_id"), col("text"), 64)
+      val (_, remaining) =
+        DocumentStore.deleteCascade(files, chunks, "doc_id", col("doc_id").isin(3L, 5L))
+      remaining.groupBy("files_id").agg(count(lit(1)).as("n_chunks")).orderBy("files_id")
+    }),
+
+    // metadata-only count: parquet footer row counts summed on executors,
+    // no column data read — the `estimated_document_count` analog
+    "ts_count_estimate" -> ((s, dir) => {
+      val n = DocumentStore.countEstimate(s, s"$dir/events.parquet")
+      s.range(1).select(lit(n).as("n"))
+    }),
+
+    "ts_find_meta_projection" -> ((s, dir) =>
+      DocumentStore.findWithMeta(
+          Documents.stampMeta(ev(s, dir), col("event_id"), col("user_id"), col("ts")),
+          col("value") > 70, Seq("event_type", "value"))
+        .orderBy("_id")),
+
+    // content-sniffing UTF-8/binary coercion: even event_ids carry valid
+    // UTF-8 payloads, odd ones get an invalid 0xFF byte appended — the
+    // oracle states the known ground truth per parity
+    "ts_coerce_binary" -> ((s, dir) => {
+      val withBin = ev(s, dir).filter(col("event_id") < 200)
+        .select(col("event_id"),
+          when(col("event_id") % 2 === 1,
+            concat(encode(col("props"), "UTF-8"), unhex(lit("FF"))))
+            .otherwise(encode(col("props"), "UTF-8")).as("payload"))
+      Documents.coerceBinary(withBin)
+        .select(col("event_id"),
+          col("payload.text").isNotNull.as("is_text"),
+          length(col("payload.text")).cast("long").as("text_len"),
+          call_function("octet_length", col("payload.raw")).cast("long").as("raw_len"))
+        .orderBy("event_id")
+    }),
+
     "ts_insert_append" -> ((s, dir) =>
       DocumentStore.insert(
           ev(s, dir).select("event_id", "event_type"),
@@ -212,12 +273,14 @@ object SparkEntry {
     // rows-only check (no oracle): HLL / quantile sketches are
     // engine-specific by design — this is the documented scale path for
     // agg_count_distinct / agg_quantiles at 100 TB (constant memory,
-    // mergeable partial sketches)
+    // mergeable partial sketches). Scalar columns only: the driver's
+    // pandas-side compare cannot hash array cells.
     "agg_approx_sketches" -> ((s, dir) =>
       ev(s, dir).groupBy(col("event_type"))
         .agg(
           approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-          expr("approx_percentile(value, array(0.5, 0.9), 1000)").as("approx_p50_p90"),
+          expr("approx_percentile(value, 0.5, 1000)").as("approx_p50"),
+          expr("approx_percentile(value, 0.9, 1000)").as("approx_p90"),
           count(lit(1)).as("n"))
         .orderBy("event_type")),
 
@@ -304,6 +367,15 @@ object SparkEntry {
 
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(Tables.embeddings(s, dir), 0.45)
+        .orderBy("id1", "id2")),
+
+    // planes=3 / tables=8: the test corpus is 500 near-random vectors at a
+    // low 0.45 threshold, so buckets must stay coarse (2^3/table) and
+    // recall comes from OR-ing 8 tables — the oracle mirrors the same
+    // approximation, so misses are identical on both engines
+    "dedup_embedding_cosine_lsh" -> ((s, dir) =>
+      Dedup.embeddingCosinePairsBucketed(Tables.embeddings(s, dir), 0.45,
+          planes = 3, tables = 8)
         .orderBy("id1", "id2")),
 
     "ann_cosine_topk" -> ((s, dir) => {
@@ -400,6 +472,48 @@ object SparkEntry {
     "ts_delete_by_id" ->
       """SELECT event_id FROM events
         |WHERE event_id <> 5 AND event_id < 10 ORDER BY event_id""".stripMargin,
+
+    "ts_update_where" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type = 'click' AND value > 90 THEN 'hot_click' ELSE event_type END AS event_type,
+        |  value
+        |FROM events WHERE value > 80 ORDER BY event_id""".stripMargin,
+
+    "ts_update_first" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id = (SELECT min(event_id) FROM events
+        |                        WHERE event_type = 'purchase' AND value > 50)
+        |       THEN 0.0 ELSE value END AS value
+        |FROM events WHERE event_type = 'purchase' ORDER BY event_id LIMIT 100""".stripMargin,
+
+    "ts_delete_where" ->
+      """SELECT event_id FROM events
+        |WHERE NOT (event_type = 'error' OR value < 1) ORDER BY event_id""".stripMargin,
+
+    "ts_delete_cascade" ->
+      """WITH ch AS (
+        |  SELECT doc_id AS files_id, CAST(t.n AS INT) AS n
+        |  FROM documents, range(0, 1024) AS t(n)
+        |  WHERE doc_id < 10 AND t.n <= (length(text) - 1) // 64)
+        |SELECT files_id, count(*) AS n_chunks
+        |FROM ch WHERE files_id NOT IN (3, 5)
+        |GROUP BY files_id ORDER BY files_id""".stripMargin,
+
+    "ts_count_estimate" ->
+      "SELECT count(*) AS n FROM events",
+
+    "ts_find_meta_projection" ->
+      """SELECT event_id AS "_id", user_id AS session,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS sys_time_sec,
+        |  event_type, value
+        |FROM events WHERE value > 70 ORDER BY "_id"""".stripMargin,
+
+    "ts_coerce_binary" ->
+      """SELECT event_id,
+        |  (event_id % 2 = 0) AS is_text,
+        |  CASE WHEN event_id % 2 = 0 THEN length(props) END AS text_len,
+        |  CASE WHEN event_id % 2 = 1 THEN octet_length(encode(props)) + 1 END AS raw_len
+        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
 
     "ts_insert_append" ->
       """SELECT event_id, event_type FROM (
@@ -654,8 +768,10 @@ object SparkEntry {
 
     "dedup_clusters" ->
       """WITH RECURSIVE w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        |sh0 AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
         |       FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0
+        |       JOIN (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 500) keep USING (shingle)),
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
         |         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
@@ -691,8 +807,10 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        |sh0 AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
         |       FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0
+        |       JOIN (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 500) keep USING (shingle)),
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
         |         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -745,6 +863,28 @@ object SparkEntry {
         |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY 1),
         |dt AS (SELECT a.vec_id AS id1, b.vec_id AS id2, sum(a.x * b.x) AS dot
         |       FROM v a JOIN v b ON a.d = b.d AND a.vec_id < b.vec_id GROUP BY 1, 2)
+        |SELECT id1, id2, round(dot / (n1.nrm * n2.nrm), 6) AS cosine
+        |FROM dt JOIN n n1 ON n1.vec_id = id1 JOIN n n2 ON n2.vec_id = id2
+        |WHERE round(dot / (n1.nrm * n2.nrm), 6) >= 0.45
+        |ORDER BY id1, id2""".stripMargin,
+
+    "dedup_embedding_cosine_lsh" ->
+      """WITH v AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+        |           FROM embeddings, range(1, 65) r(i)),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY 1),
+        |hp AS (SELECT p, d, CAST(strpos('0123456789abcdef',
+        |         substr(md5(CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 1)) - 1 AS DOUBLE) - 7.5 AS w
+        |       FROM range(0, 24) rp(p), range(0, 64) rd(d)),
+        |proj AS (SELECT vec_id, p, sum(w * x) AS pr
+        |         FROM v JOIN hp ON hp.d = v.d GROUP BY 1, 2),
+        |bkt AS (SELECT vec_id, p // 3 AS tbl,
+        |          CAST(sum(CASE WHEN pr >= 0 THEN 1::BIGINT << (p % 3) ELSE 0 END) AS BIGINT) AS bucket
+        |        FROM proj GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        |         FROM bkt a JOIN bkt b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |dt AS (SELECT id1, id2, sum(q.x * c.x) AS dot
+        |       FROM cand JOIN v q ON q.vec_id = id1 JOIN v c ON c.vec_id = id2 AND c.d = q.d
+        |       GROUP BY 1, 2)
         |SELECT id1, id2, round(dot / (n1.nrm * n2.nrm), 6) AS cosine
         |FROM dt JOIN n n1 ON n1.vec_id = id1 JOIN n n2 ON n2.vec_id = id2
         |WHERE round(dot / (n1.nrm * n2.nrm), 6) >= 0.45

@@ -26,7 +26,12 @@ object Tables {
     */
   def readParquet(spark: SparkSession, path: String,
                   nanosCols: Seq[String] = Seq("ts")): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is a session-level SQLConf with no per-read option, and
+    // the scan consults it again at execution time — so it cannot be
+    // save/restored around the read. Set idempotently; the flag only
+    // affects tables that actually carry TIMESTAMP(NANOS) columns.
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     var df = spark.read.parquet(path)
     df.schema.fields.foreach { f =>
       if (nanosCols.contains(f.name) &&

@@ -89,4 +89,44 @@ object Documents {
     */
   def coerce(df: DataFrame, coercions: Map[String, Column => Column]): DataFrame =
     coercions.foldLeft(df) { case (d, (name, fn)) => d.withColumn(name, fn(col(name))) }
+
+  /** Content-sniffing text/binary split for one binary column — the Spark
+    * twin of `bytes_to_bson_if_not_unicode` (reference
+    * src/topic_store/sanitation.py:119-133): bytes that are valid UTF-8
+    * become text; anything else stays opaque binary. A column must have ONE
+    * type, so the union lands as a struct `{text: string, raw: binary}`
+    * with exactly one side non-null. Pure codegen'd expressions
+    * (`is_valid_utf8` + cast) — no UDF in the scan path.
+    */
+  def utf8OrBinary(c: Column): Column = {
+    val valid = call_function("is_valid_utf8", c)
+    struct(
+      when(valid, c.cast("string")).as("text"),
+      when(!valid, c).as("raw"))
+  }
+
+  /** `mapLeaves` variant whose visitor also sees the leaf's type — needed
+    * for type-directed rules like [[coerceBinary]].
+    */
+  def mapLeavesTyped(df: DataFrame, fn: (Column, org.apache.spark.sql.types.DataType) => Column): DataFrame = {
+    def rebuild(schema: StructType, path: Seq[String]): Seq[Column] =
+      schema.fields.toSeq.map { f =>
+        val p = path :+ f.name
+        val c = col(p.map(s => s"`$s`").mkString("."))
+        (f.dataType match {
+          case st: StructType => struct(rebuild(st, p): _*)
+          case dt => fn(c, dt)
+        }).as(f.name)
+      }
+    df.select(rebuild(df.schema, Nil): _*)
+  }
+
+  /** Apply [[utf8OrBinary]] to every binary leaf of the document tree
+    * (nested structs included); non-binary leaves pass through.
+    */
+  def coerceBinary(df: DataFrame): DataFrame =
+    mapLeavesTyped(df, (c, dt) => dt match {
+      case org.apache.spark.sql.types.BinaryType => utf8OrBinary(c)
+      case _ => c
+    })
 }

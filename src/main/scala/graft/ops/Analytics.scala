@@ -56,23 +56,29 @@ object Analytics {
   }
 
   /** TPC-H Q3 pattern: customer ⋈ orders ⋈ lineitem, revenue top-k.
-    * Customer is the small side → broadcast; orders⋈lineitem shuffles on
-    * the order key; top-10 is TakeOrdered (no global sort).
+    * Customer is fact-scale (sf100 ≈ 15M rows) so it is NOT hint-broadcast:
+    * AQE / autoBroadcastJoinThreshold picks broadcast when the filtered
+    * side is actually small and falls back to a shuffle join when it isn't
+    * — a hard-coded hint would OOM the driver at 100×. orders⋈lineitem
+    * shuffles on the order key; top-10 is TakeOrdered (no global sort).
     */
   def topRevenue(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(spark, dir)
     val li = Tables.lineitem(spark, dir)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
       .agg(sum(revenueExpr).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
 
-  /** TPC-H Q5 pattern: 6-way star join. All dimension sides (region,
-    * nation, supplier, customer) broadcast; only orders⋈lineitem shuffles.
+  /** TPC-H Q5 pattern: 6-way star join. True dimensions (region, nation —
+    * fixed 5/25 rows at ANY scale factor) broadcast; customer and supplier
+    * grow with the scale factor so they carry no hint — AQE broadcasts
+    * them while they fit and shuffle-joins beyond that. Only
+    * orders⋈lineitem is an unavoidable fact-fact shuffle.
     */
   def regionRevenue(spark: SparkSession, dir: String, regionName: String = "ASIA"): DataFrame = {
     val region = Tables.region(spark, dir).filter(col("r_name") === regionName)
@@ -82,8 +88,8 @@ object Analytics {
     val ord = Tables.orders(spark, dir)
     val li = Tables.lineitem(spark, dir)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
         col("s_nationkey") === col("c_nationkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))

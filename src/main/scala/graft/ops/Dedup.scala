@@ -17,11 +17,15 @@ object Dedup {
   /** Spread a small-file scan across all cores before compute-dense
     * per-row work (shingling, hashing, pair generation). A 5k-row parquet
     * file arrives as ONE partition; without this every md5 below runs on a
-    * single thread. At real scale the scan is already wide and AQE
-    * coalesces any excess, so this is cheap insurance, not a tax.
+    * single thread. Guarded: a scan already at-or-above cluster parallelism
+    * (the normal case on a real cluster, where maxPartitionBytes splits the
+    * input) passes through untouched — no round-robin shuffle of the corpus
+    * in front of every dedup/ANN op at scale.
     */
-  private[ops] def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private[ops] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** Distinct word-3-gram shingles per document: (doc_id, shingle).
     * `maxDocFreq` drops shingles appearing in more than that many docs —
@@ -40,18 +44,29 @@ object Dedup {
     maxDocFreq match {
       case None => sh
       case Some(k) =>
+        // No broadcast hint: hot shingles are few on healthy corpora but
+        // the aggregate is unbounded on pathological ones — AQE broadcasts
+        // the anti-join build side when it is actually small and falls
+        // back to a shuffle join when it isn't.
         val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") > k)
-        sh.join(broadcast(hot.select("shingle")), Seq("shingle"), "left_anti")
+        sh.join(hot.select("shingle"), Seq("shingle"), "left_anti")
     }
   }
 
   /** n-gram Jaccard near-dup pairs. Candidates = docs sharing ≥1 shingle
     * (equality shuffle join on shingle), exact Jaccard from shared /
     * distinct counts, threshold filter.
+    *
+    * `maxDocFreq` is DEFAULT-ON: a single shingle present in 1M docs
+    * otherwise creates ~5·10^11 candidate pairs in the self-join — the one
+    * plan-shape that melts the shuffle at 100 TB. Jaccard is then computed
+    * over the capped ("informative") shingle sets on both sides, so the
+    * measure stays internally consistent. Pass None for the uncapped exact
+    * form on corpora known to be boilerplate-free.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
-                        threshold: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol).cache()
+                        threshold: Double, maxDocFreq: Option[Int] = Some(500)): DataFrame = {
+    val sh = shingles(df, idCol, textCol, maxDocFreq).cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val cand = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -207,6 +222,54 @@ object Dedup {
         expr("graft_dot(a.v, b.v)").as("dot"),
         (col("a.norm") * col("b.norm")).as("nn"))
       .withColumn("cosine", round(col("dot") / col("nn"), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+  }
+
+  /** Embedding cosine threshold-pairs at scale: sign-random-projection LSH
+    * buckets generate candidates — a pair is a candidate iff it collides in
+    * ANY of `tables` independent hash tables (OR-amplification for recall)
+    * — then the exact codegen'd cosine post-filters at `threshold`.
+    * Shuffle is O(bucket collisions), never `embeddingCosinePairs`'s n²
+    * cross join (which stays as the documented exact baseline).
+    *
+    * Table t uses hyperplanes [t·planes, (t+1)·planes) of the same
+    * deterministic md5 weight stream as Similarity.buckets, so results are
+    * cluster-reproducible with no weights file. Candidate (id1, id2) pairs
+    * are dedup'd BEFORE vectors join back for scoring: the wide columns
+    * never ride through the bucket self-join.
+    *
+    * Tuning: `planes` sets bucket granularity (2^planes buckets/table) —
+    * scale it with corpus size (≈ log2(n/target-bucket-size)); `tables`
+    * buys recall (miss prob = (1 − p^planes)^tables, p = 1 − θ/π). The
+    * defaults suit ~1M-vector corpora hunting cosine ≥ 0.9 near-dups;
+    * small or low-threshold corpora want fewer planes / more tables (see
+    * the shipped `dedup_embedding_cosine_lsh` query).
+    */
+  def embeddingCosinePairsBucketed(emb: DataFrame, threshold: Double,
+                                   planes: Int = 8, tables: Int = 16): DataFrame = {
+    graft.functions.VectorFunctions.register(emb.sparkSession)
+    val e = Similarity.prep(emb)
+    val w = Similarity.planeWeights(planes * tables, 64)
+    def wLit(p: Int): String =
+      w(p).map(x => s"cast($x as double)").mkString("array(", ",", ")")
+    val tblBuckets = (0 until tables).map { t =>
+      (0 until planes)
+        .map(i => when(expr(s"graft_dot(v, ${wLit(t * planes + i)})") >= 0,
+          lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    }
+    val b = e.select(col("vec_id"),
+      posexplode(array(tblBuckets: _*)).as(Seq("tbl", "bucket")))
+    val cand = b.as("a").join(b.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id1"), col("v").as("v1"), col("norm").as("n1")), "id1")
+      .join(e.select(col("vec_id").as("id2"), col("v").as("v2"), col("norm").as("n2")), "id2")
+      .withColumn("cosine", round(expr("graft_dot(v1, v2)") / (col("n1") * col("n2")), 6))
       .filter(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
   }

@@ -18,12 +18,13 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
-  /** Embeddings widened to double with the L2 norm precomputed. */
+  /** Embeddings widened to double with the L2 norm precomputed. The scan
+    * is spread across cores only when narrower than the cluster (see
+    * Dedup.spread — guarded, so a pre-partitioned input takes no Exchange).
+    */
   def prep(emb: DataFrame): DataFrame = {
     VectorFunctions.register(emb.sparkSession)
-    // repartition: a small single-file scan otherwise pins all pair
-    // generation below onto one core (see Dedup.spread)
-    emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    Dedup.spread(emb)
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("norm", expr("sqrt(graft_dot(v, v))"))

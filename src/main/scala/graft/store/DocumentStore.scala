@@ -14,13 +14,32 @@ import org.apache.spark.sql.functions._
   */
 object DocumentStore {
 
-  /** `find(query, projection)` (database.py:196-208): filter + project.
-    * Both reach the scan as PushedFilters / ReadSchema.
+  /** Meta columns the reference force-merges into every user projection
+    * (database.py:171-191: `_id` and the `_ts_meta` fields) so session
+    * metadata stays queryable no matter how narrow the projection.
     */
-  def find(df: DataFrame, predicate: Column, projection: Seq[String] = Nil): DataFrame = {
+  val MetaCols: Seq[String] = Seq("_id", "session", "sys_time_sec")
+
+  /** `find(query, projection)` (database.py:196-208): filter + project.
+    * Both reach the scan as PushedFilters / ReadSchema. `forceCols` are
+    * merged into any non-empty projection (the reference's `_ts_meta`/`_id`
+    * forcing) — still a pure projection, so column pruning is unaffected.
+    */
+  def find(df: DataFrame, predicate: Column, projection: Seq[String] = Nil,
+           forceCols: Seq[String] = Nil): DataFrame = {
     val filtered = df.filter(predicate)
-    if (projection.isEmpty) filtered else filtered.select(projection.map(col): _*)
+    if (projection.isEmpty) filtered
+    else {
+      val cols = (forceCols.filter(df.columns.contains) ++ projection).distinct
+      filtered.select(cols.map(col): _*)
+    }
   }
+
+  /** `find` with the reference's always-on meta forcing (database.py:171-191):
+    * whatever the user projects, `_id`/`session`/`sys_time_sec` ride along.
+    */
+  def findWithMeta(df: DataFrame, predicate: Column, projection: Seq[String]): DataFrame =
+    find(df, predicate, projection, MetaCols)
 
   /** `find_by_id` (database.py:233-235): point lookup. With id-sorted /
     * bucketed parquet this prunes to a handful of row groups via min-max
@@ -72,9 +91,55 @@ object DocumentStore {
       d.withColumn(name, when(col(idCol) === id, value).otherwise(col(name)))
     }
 
+  /** Generic `update_one(query, update)` / `update_many` (database.py:162-165)
+    * — the same CASE-WHEN copy-on-write as `updateById` but for an
+    * arbitrary predicate: every matching row gets `set` applied.
+    */
+  def updateWhere(df: DataFrame, predicate: Column, set: Map[String, Column]): DataFrame =
+    set.foldLeft(df) { case (d, (name, value)) =>
+      d.withColumn(name, when(predicate, value).otherwise(col(name)))
+    }
+
+  /** `update_one` first-match semantics (database.py:162-165): only the
+    * first matching document is updated. "First" is made deterministic at
+    * scale as the minimum id among matches (Mongo's cursor order is
+    * unspecified; a distributed engine needs a total order). One scalar
+    * aggregate broadcast into the CASE-WHEN — no driver round-trip.
+    */
+  def updateFirst(df: DataFrame, idCol: String, predicate: Column,
+                  set: Map[String, Column]): DataFrame = {
+    val first = df.filter(predicate).agg(min(col(idCol)).as("__first_id"))
+    val joined = df.crossJoin(broadcast(first))
+    set.foldLeft(joined) { case (d, (name, value)) =>
+      d.withColumn(name, when(col(idCol) === col("__first_id"), value).otherwise(col(name)))
+    }.drop("__first_id")
+  }
+
   /** `delete_by_id` (database.py:269-279) as an anti-filter view. */
   def deleteById(df: DataFrame, idCol: String, id: Long): DataFrame =
     df.filter(col(idCol) =!= id)
+
+  /** `delete_many(query)`: drop every row matching the predicate. Rows
+    * where the predicate is NULL are treated as non-matching (kept) —
+    * the same as SQL `WHERE NOT (pred)` three-valued logic on both
+    * engines.
+    */
+  def deleteWhere(df: DataFrame, predicate: Column): DataFrame =
+    df.filter(!coalesce(predicate, lit(false)))
+
+  /** `delete_by_id` with the GridFS cascade (database.py:268-279 +
+    * `__delete_gridfs_docs`): deleting a file document also deletes its
+    * chunk rows, so no orphaned `(files_id, n)` rows survive. Generic
+    * predicate form: deleted ids ANTI-join the chunk table — no
+    * driver-side id list, works for any match count.
+    * Returns (remaining files, remaining chunks).
+    */
+  def deleteCascade(files: DataFrame, chunks: DataFrame, idCol: String,
+                    predicate: Column): (DataFrame, DataFrame) = {
+    val deleted = files.filter(predicate).select(col(idCol).as("files_id"))
+    (files.filter(!coalesce(predicate, lit(false))),
+      chunks.join(deleted, Seq("files_id"), "left_anti"))
+  }
 
   /** `insert_one` (database.py:148-164) as union-append; `unionByName` keeps
     * schema alignment explicit.
@@ -109,11 +174,63 @@ object DocumentStore {
   private def substring_index_chunk(payload: Column, n: Column, chunkSize: Int): Column =
     payload.substr(n * chunkSize + 1, lit(chunkSize))
 
-  /** GridFS reassembly: group chunks ordered by `n` back into the payload. */
-  def reassemble(chunks: DataFrame): DataFrame =
-    chunks.groupBy("files_id")
+  /** GridFS reassembly: group chunks ordered by `n` back into the payload.
+    *
+    * A reassembled payload materializes in ONE aggregation row, so the op
+    * is bounded by max blob size. `maxPayloadBytes` (default 256 MB — 16×
+    * GridFS's 16 MB convention) enforces that bound BEFORE the expensive
+    * collect: a cheap map-side-partial sum of chunk lengths per file
+    * semi-joins away oversized files, so a pathological blob never reaches
+    * the list aggregation. Pass None to disable (caller asserts bounds).
+    */
+  def reassemble(chunks: DataFrame,
+                 maxPayloadBytes: Option[Long] = Some(256L << 20)): DataFrame = {
+    val bounded = maxPayloadBytes match {
+      case None => chunks
+      case Some(limit) =>
+        val ok = chunks.groupBy("files_id")
+          .agg(sum(length(col("data")).cast("long")).as("__bytes"))
+          .filter(col("__bytes") <= limit)
+          .select("files_id")
+        chunks.join(ok, Seq("files_id"), "left_semi")
+    }
+    bounded.groupBy("files_id")
       .agg(array_join(array_sort(collect_list(struct(col("n"), col("data"))))
         .getField("data"), "").as("payload"))
+  }
+
+  /** Estimated document count (database.py:221-231, `estimate=True` →
+    * Mongo's `estimated_document_count`, which reads collection metadata
+    * instead of scanning). The parquet analog: sum row counts from file
+    * footers — metadata-only, no column data read. Footer reads are
+    * distributed over the executors (a 100 TB table has ~10^5 files; the
+    * driver only lists them).
+    */
+  def countEstimate(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import scala.collection.mutable.ArrayBuffer
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) files += f.getPath.toString
+    }
+    if (files.isEmpty) 0L
+    else spark.sparkContext
+      .parallelize(files.toSeq, math.min(files.size, spark.sparkContext.defaultParallelism))
+      .map { p =>
+        import scala.jdk.CollectionConverters._
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(p), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally reader.close()
+      }
+      .sum().toLong
+  }
 
   /** Incremental clone (`mongodb_to_mongodb_clone_fast`,
     * convert.py:136-186): copy only documents whose id is absent from the
