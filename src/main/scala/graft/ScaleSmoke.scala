@@ -81,6 +81,24 @@ object ScaleSmoke {
     time("token_quality_langid") {
       graft.ops.TextAnalysis.qualityScore(docs, col("doc_id"), col("text")).count()
     }
+
+    // skewed corpus: 20% of docs open with the same 14-word boilerplate
+    // header. Uncapped, those shingles alone create ~(0.2·nDocs)²/2
+    // candidate pairs (10^8 at nDocs=100k — the hot-key blowup); the
+    // default-on doc-frequency cap drops them before the self-join, so
+    // candidate volume stays bounded by genuine content overlap.
+    val boiler = "terms of service apply to all content in this document please read the notice carefully"
+    val skewed = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      when(pmod(col("id"), lit(5)) === 0,
+        concat(lit(boiler + " "), concat_ws(" ", (0 until 46).map(i =>
+          concat(lit("w"), pmod(hash(col("id"), lit(i)), lit(2000)))): _*)))
+        .otherwise(concat_ws(" ", (0 until 60).map(i =>
+          concat(lit("w"), pmod(hash(col("id"), lit(i)), lit(2000)))): _*)).as("text"))
+    time("ngram_jaccard_hot_shingles") {
+      val n = graft.ops.Dedup.ngramJaccardPairs(skewed, col("doc_id"), col("text"), 0.5).count()
+      println(s"[scale]   surviving capped near-dup pairs: $n")
+    }
     spark.stop()
   }
 }

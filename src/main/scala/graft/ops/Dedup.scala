@@ -22,7 +22,7 @@ object Dedup {
     * input) passes through untouched — no round-robin shuffle of the corpus
     * in front of every dedup/ANN op at scale.
     */
-  private[ops] def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

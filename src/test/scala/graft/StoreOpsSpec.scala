@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Documents
+import graft.ops.Dedup
+import graft.store.{Convert, DocumentStore}
+
+/** Semantic checks for the round-2 store/dedup surface: generic updates,
+  * cascade delete, footer-stats count, content-sniffing coercion, capped
+  * shingles, bucketed embedding pairs, guarded spread.
+  */
+class StoreOpsSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def ev = Tables.events(spark, sf)
+
+  test("updateWhere rewrites every matching row and nothing else") {
+    val out = DocumentStore.updateWhere(ev,
+      col("event_type") === "click", Map("value" -> lit(-1.0)))
+    assert(out.filter(col("event_type") === "click" && col("value") =!= -1.0).count() === 0)
+    assert(out.filter(col("event_type") =!= "click" && col("value") === -1.0).count() === 0)
+  }
+
+  test("updateFirst rewrites exactly the minimum-id match") {
+    val pred = col("event_type") === "purchase"
+    val firstId = ev.filter(pred).agg(min("event_id")).collect()(0).getLong(0)
+    val out = DocumentStore.updateFirst(ev, "event_id", pred, Map("value" -> lit(-7.0)))
+    val changed = out.filter(col("value") === -7.0).select("event_id").collect().map(_.getLong(0))
+    assert(changed.toSeq === Seq(firstId))
+  }
+
+  test("deleteWhere keeps rows where the predicate is NULL") {
+    import spark.implicits._
+    val df = Seq((1L, Some(5.0)), (2L, None), (3L, Some(0.5))).toDF("id", "v")
+    val kept = DocumentStore.deleteWhere(df, col("v") < 1.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L), "NULL predicate must mean 'not matched', not 'deleted'")
+  }
+
+  test("deleteCascade leaves no orphaned chunk rows") {
+    val files = Tables.documents(spark, sf).filter(col("doc_id") < 10)
+    val chunks = DocumentStore.chunk(files, col("doc_id"), col("text"), 64)
+    val (files2, chunks2) =
+      DocumentStore.deleteCascade(files, chunks, "doc_id", col("doc_id").isin(3L, 5L))
+    assert(files2.filter(col("doc_id").isin(3L, 5L)).count() === 0)
+    val orphans = chunks2.join(files2.select(col("doc_id").as("files_id")),
+      Seq("files_id"), "left_anti")
+    assert(orphans.count() === 0, "chunks must not outlive their file document")
+  }
+
+  test("countEstimate from footers equals the exact count") {
+    val exact = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(DocumentStore.countEstimate(spark, s"$sf/events.parquet") === exact)
+  }
+
+  test("coerceBinary sniffs UTF-8 vs binary on nested leaves") {
+    import spark.implicits._
+    val df = Seq(("ok", 1), ("bad", 2)).toDF("tag", "n")
+      .select(struct(
+        when(col("tag") === "ok", encode(lit("héllo"), "UTF-8"))
+          .otherwise(concat(encode(lit("x"), "UTF-8"), unhex(lit("FF")))).as("payload"),
+        col("n").as("n")).as("doc"), col("tag"))
+    val out = Documents.coerceBinary(df)
+    val ok = out.filter(col("tag") === "ok").select("doc.payload.*").collect()(0)
+    assert(ok.getAs[String]("text") === "héllo" && ok.getAs[Array[Byte]]("raw") === null)
+    val bad = out.filter(col("tag") === "bad").select("doc.payload.*").collect()(0)
+    assert(bad.getAs[String]("text") === null && bad.getAs[Array[Byte]]("raw") != null)
+    // non-binary sibling leaf untouched
+    assert(out.select("doc.n").collect().map(_.getInt(0)).toSet === Set(1, 2))
+  }
+
+  test("reassemble size guard drops oversized blobs before the collect") {
+    import spark.implicits._
+    val chunks = Seq(
+      (1L, 0, "aa"), (1L, 1, "bb"),          // 4 bytes — under limit
+      (2L, 0, "cccccc"), (2L, 1, "dddddd"))  // 12 bytes — over limit
+      .toDF("files_id", "n", "data")
+    val out = DocumentStore.reassemble(chunks, maxPayloadBytes = Some(8L))
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows === Map(1L -> "aabb"))
+  }
+
+  test("hot-shingle cap bounds candidates on a boilerplate-heavy corpus") {
+    import spark.implicits._
+    // 30 docs all sharing one boilerplate sentence; disjoint unique tails
+    val boiler = "terms of service apply to every part of this document text"
+    val docs = (0 until 30).map { i =>
+      (i.toLong, s"$boiler unique$i word${i}a word${i}b word${i}c word${i}d word${i}e")
+    }.toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 0.1, None)
+    assert(uncapped.count() === 30L * 29 / 2, "shared boilerplate links every pair")
+    val capped = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 0.1, Some(10))
+    assert(capped.count() === 0, "capped shingles must kill boilerplate-only pairs")
+  }
+
+  test("bucketed embedding pairs are a subset of exact pairs with equal cosines") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Dedup.embeddingCosinePairs(emb, 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.embeddingCosinePairsBucketed(emb, 0.45, planes = 3, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (pair, cos) =>
+      assert(exact.contains(pair), s"bucketed pair $pair not in exact set")
+      assert(exact(pair) === cos, s"cosine mismatch for $pair")
+    }
+  }
+
+  test("spread leaves an already-wide scan untouched") {
+    val wide = ev.repartition(spark.sparkContext.defaultParallelism + 3)
+    assert(graft.ops.Dedup.spread(wide).rdd.getNumPartitions ===
+      spark.sparkContext.defaultParallelism + 3)
+    val narrow = ev.coalesce(1)
+    assert(graft.ops.Dedup.spread(narrow).rdd.getNumPartitions ===
+      spark.sparkContext.defaultParallelism)
+  }
+
+  test("migrate writes once and reports the copied-row count from footers") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_migrate").toString + "/dst"
+    val src = ev.select("event_id", "event_type")
+    val n1 = Convert.migrate(spark, src.filter(col("event_id") < 100), tmp, "event_id")
+    assert(n1 === src.filter(col("event_id") < 100).count())
+    // second run: only the new ids copy
+    val n2 = Convert.migrate(spark, src.filter(col("event_id") < 150), tmp, "event_id")
+    assert(n2 === src.filter(col("event_id") >= 100 && col("event_id") < 150).count())
+    assert(spark.read.parquet(tmp).count() === n1 + n2)
+  }
+
+  test("findWithMeta forces meta columns into a narrow projection") {
+    val stamped = Documents.stampMeta(ev, col("event_id"), col("user_id"), col("ts"))
+    val out = DocumentStore.findWithMeta(stamped, col("value") > 70, Seq("event_type"))
+    assert(out.columns.toSet === Set("_id", "session", "sys_time_sec", "event_type"))
+  }
+}
