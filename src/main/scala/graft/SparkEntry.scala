@@ -111,6 +111,9 @@ object SparkEntry {
           col("value") > 70, Seq("event_type", "value"))
         .orderBy("_id")),
 
+    "ts_byte_sizes" -> ((s, dir) =>
+      Documents.byteSizes(ev(s, dir)).orderBy("leaf")),
+
     // content-sniffing UTF-8/binary coercion: even event_ids carry valid
     // UTF-8 payloads, odd ones get an invalid 0xFF byte appended — the
     // oracle states the known ground truth per parity
@@ -507,6 +510,16 @@ object SparkEntry {
         |  CAST(floor(epoch(ts)) AS BIGINT) AS sys_time_sec,
         |  event_type, value
         |FROM events WHERE value > 70 ORDER BY "_id"""".stripMargin,
+
+    "ts_byte_sizes" ->
+      """WITH s AS (
+        |  SELECT 'event_id' AS leaf, 8 * count(*) AS total_bytes FROM events
+        |  UNION ALL SELECT 'user_id', 8 * count(*) FROM events
+        |  UNION ALL SELECT 'ts', 8 * count(*) FROM events
+        |  UNION ALL SELECT 'event_type', CAST(sum(octet_length(encode(event_type))) AS BIGINT) FROM events
+        |  UNION ALL SELECT 'value', 8 * count(*) FROM events
+        |  UNION ALL SELECT 'props', CAST(sum(octet_length(encode(props))) AS BIGINT) FROM events)
+        |SELECT leaf, total_bytes FROM s ORDER BY leaf""".stripMargin,
 
     "ts_coerce_binary" ->
       """SELECT event_id,

@@ -64,6 +64,42 @@ object Documents {
     walk(df.schema, Nil)
   }
 
+  /** Recursive byte-size introspection — the Spark twin of `get_size`
+    * (reference src/topic_store/utils.py:119-148), which walks a document
+    * tree accumulating per-node byte sizes. Here: ONE distributed
+    * aggregation over all leaves (no per-document driver walk), returning
+    * a row per leaf path with its total payload bytes across the corpus.
+    * Variable-width leaves (string/binary) measure `octet_length`;
+    * fixed-width leaves contribute their storage width per non-null row;
+    * nested containers (array/map) measure their JSON serialization as a
+    * defined, engine-checkable proxy.
+    */
+  def byteSizes(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    def leaves(schema: StructType, path: Seq[String]): Seq[(String, DataType)] =
+      schema.fields.toSeq.flatMap { f =>
+        val p = path :+ f.name
+        f.dataType match {
+          case st: StructType => leaves(st, p)
+          case dt => Seq((p.mkString("."), dt))
+        }
+      }
+    def sizeExpr(path: String, dt: DataType): Column = {
+      val c = col(path.split('.').map(s => s"`$s`").mkString("."))
+      dt match {
+        case StringType | BinaryType => coalesce(call_function("octet_length", c), lit(0))
+        case _: ArrayType | _: MapType => coalesce(call_function("octet_length", to_json(c)), lit(0))
+        case other => when(c.isNotNull, lit(other.defaultSize)).otherwise(lit(0))
+      }
+    }
+    val ls = leaves(df.schema, Nil)
+    val sums = ls.map { case (p, dt) => sum(sizeExpr(p, dt)).cast("long").as(p) }
+    df.agg(sums.head, sums.tail: _*)
+      .select(expr(s"stack(${ls.size}, " +
+        ls.map { case (p, _) => s"'$p', `$p`" }.mkString(", ") +
+        ") AS (leaf, total_bytes)"))
+  }
+
   /** Generic nested-leaf transform — the Spark twin of `DictConverter`
     * (reference src/topic_store/sanitation.py:170-263), which applies a
     * visit function to every leaf of a nested document. Rebuilds the

@@ -128,6 +128,33 @@ class StoreOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(tmp).count() === n1 + n2)
   }
 
+  test("TopicStoreLog reads py3 and py2 pickle records, skips the truncated tail") {
+    val dir = new java.io.File(getClass.getResource("/sample.topic_store").toURI).getParent
+    val rows = graft.sources.TopicStoreLog.read(spark, dir)
+      .orderBy("pos").collect()
+    assert(rows.length === 3, "3 whole records; the truncated 4th must be skipped")
+    val docs = rows.map(_.getAs[String]("doc"))
+    assert(docs(0).contains("\"session\":\"s01\"") && docs(0).contains("\"x\":1.5"))
+    assert(docs(0).contains("\"topics\":[\"/camera/raw\",\"/gps\"]"))
+    assert(docs(1).contains("\"count\":123456789012"), "LONG1 ints decode")
+    assert(docs(2) === """{"_id":3,"name":"py2-str"}""", "py2 SHORT_BINSTRING decodes")
+    // records open with from_json + schema like any JSON document column
+    val parsed = graft.sources.TopicStoreLog.read(spark, dir)
+      .select(get_json_object(col("doc"), "$._ts_meta.session").as("session"))
+      .filter(col("session").isNotNull)
+    assert(parsed.count() === 2)
+  }
+
+  test("byteSizes totals leaf bytes: fixed widths plus octet lengths") {
+    import spark.implicits._
+    val df = Seq((1L, "abc", Some(2.0)), (2L, "é", None)).toDF("id", "s", "v")
+    val m = Documents.byteSizes(df).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("id") === 16L)       // 2 non-null longs
+    assert(m("s") === 5L)         // "abc" (3) + "é" (2 bytes UTF-8)
+    assert(m("v") === 8L)         // one non-null double
+  }
+
   test("findWithMeta forces meta columns into a narrow projection") {
     val stamped = Documents.stampMeta(ev, col("event_id"), col("user_id"), col("ts"))
     val out = DocumentStore.findWithMeta(stamped, col("value") > 70, Seq("event_type"))
