@@ -244,6 +244,19 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // same query through the custom physical operator (AsofJoinExec):
+    // identical oracle — the two paths must agree bit-for-bit
+    "ts_asof_join_exec" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), Documents.tsSec(col("ts")).as("ts_sec"))
+      val left = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts_sec", "event_id", "value")
+      val right = e.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts_sec").agg(max("event_id").as("mark_id"))
+      DocumentStore.asofJoinExec(left, right, "user_id", "ts_sec", Seq("mark_id"))
+        .orderBy("event_id")
+    }),
+
     "ts_reassemble" -> ((s, dir) =>
       DocumentStore.reassemble(
           DocumentStore.chunk(
@@ -668,6 +681,16 @@ object SparkEntry {
         |ORDER BY p.event_id, session_idx""".stripMargin,
 
     "ts_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+        |l AS (SELECT user_id, ts_sec, event_id, value FROM e WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts_sec, max(event_id) AS mark_id
+        |      FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT l.user_id, l.ts_sec, l.event_id, l.value, r.mark_id AS asof_mark_id
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_sec >= r.ts_sec
+        |ORDER BY l.event_id""".stripMargin,
+
+    "ts_asof_join_exec" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
         |l AS (SELECT user_id, ts_sec, event_id, value FROM e WHERE event_type = 'purchase'),

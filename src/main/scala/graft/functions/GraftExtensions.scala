@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.plans.RangeJoinBinning(
         session.conf.get("spark.graft.rangeJoin.binSize", "86400").toLong)
     }
+    e.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     e.injectFunction((
       FunctionIdentifier("graft_simhash60"),
       info("graft_simhash60", "graft_simhash60(array<string>) - 60-bit simhash"),

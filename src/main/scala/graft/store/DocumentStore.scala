@@ -337,6 +337,38 @@ object DocumentStore {
         asofCols.map(c => col(s"__f_$c").as(s"asof_$c")): _*)
   }
 
+  /** The as-of join on the custom PHYSICAL operator
+    * (graft.plans.AsofJoinExec — LogicalPlan + SparkStrategy + SparkPlan,
+    * tier (c) of the extension ladder): both sides hash-clustered on the
+    * key, sorted by (key, time), then one streaming merge pass per
+    * partition pair — no union materialization, no window state, right
+    * rows consumed once. Same contract and row-identical output to
+    * [[asofJoin]] (the composition stays as the oracle baseline).
+    * Key and time must be non-null LongType.
+    */
+  def asofJoinExec(left: DataFrame, right: DataFrame, key: String, time: String,
+                   asofCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    Seq(left, right).foreach { df =>
+      Seq(key, time).foreach { c =>
+        require(df.schema(c).dataType == LongType, s"$c must be LongType")
+      }
+    }
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+    // a self-join of the same source would duplicate expr-ids across the
+    // two sides; re-alias the right side to fresh ids before planning
+    val r = if (right.queryExecution.analyzed.outputSet
+        .intersect(left.queryExecution.analyzed.outputSet).nonEmpty)
+      right.select(right.columns.map(c => col(c).as(c)).toSeq: _*)
+    else right
+    val node = graft.plans.AsofJoinPlan.forChildren(
+      left.queryExecution.analyzed, r.queryExecution.analyzed, key, time, asofCols)
+    org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark, node)
+  }
+
   /** Binned range (interval-containment) join: match point rows to
     * interval rows of the same key where `start <= t <= end`. Spark plans
     * a raw inequality join as a nested loop — O(n·m) per key. Binning
