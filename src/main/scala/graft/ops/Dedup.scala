@@ -192,16 +192,18 @@ object Dedup {
         .join(labels, edges("a") === labels("doc_id"))
         .groupBy(col("b").as("doc_id2"))
         .agg(min("cluster_id").as("pushed_id"))
+      // carry a change flag through the propagation join so convergence
+      // detection reads the (already materialized) checkpoint instead of
+      // running its own join+shuffle per round
+      val newLabel = least(col("cluster_id"), coalesce(col("pushed_id"), col("cluster_id")))
       val next = labels.join(pushed, labels("doc_id") === pushed("doc_id2"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("pushed_id"), col("cluster_id"))).as("cluster_id"))
+        .select(col("doc_id"), newLabel.as("cluster_id"),
+          (newLabel =!= col("cluster_id")).as("__changed"))
         .localCheckpoint()
       // round 1 always changes labels on any non-trivial graph — skip the
-      // convergence job and spend it on the next propagation instead
-      converged = iter > 0 &&
-        next.join(labels.withColumnRenamed("cluster_id", "old_id"), "doc_id")
-          .filter(col("cluster_id") =!= col("old_id")).isEmpty
-      labels = next
+      // convergence scan and spend it on the next propagation instead
+      converged = iter > 0 && next.filter(col("__changed")).isEmpty
+      labels = next.drop("__changed")
       iter += 1
     }
     labels
