@@ -289,16 +289,20 @@ object SparkEntry {
     // rows-only check (no oracle): HLL / quantile sketches are
     // engine-specific by design — this is the documented scale path for
     // agg_count_distinct / agg_quantiles at 100 TB (constant memory,
-    // mergeable partial sketches). Scalar columns only: the driver's
-    // pandas-side compare cannot hash array cells.
-    "agg_approx_sketches" -> ((s, dir) =>
+    // mergeable partial sketches). Distinct users go through graft's own
+    // portable HLL (functions.HllSketchAgg — persistable, mergeable
+    // sketch bytes), not approx_count_distinct's opaque buffer. Scalar
+    // columns only: the driver's pandas compare cannot hash array cells.
+    "agg_approx_sketches" -> ((s, dir) => {
+      graft.functions.HllFunctions.register(s)
       ev(s, dir).groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          expr("graft_hll_est(graft_hll_sketch(user_id, 12))").as("approx_users"),
           expr("approx_percentile(value, 0.5, 1000)").as("approx_p50"),
           expr("approx_percentile(value, 0.9, 1000)").as("approx_p90"),
           count(lit(1)).as("n"))
-        .orderBy("event_type")),
+        .orderBy("event_type")
+    }),
 
     "agg_quantiles" -> ((s, dir) =>
       ev(s, dir).groupBy(col("event_type"))

@@ -34,5 +34,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(array<double>, array<double>) - dot product"),
       (exprs: Seq[Expression]) => DotDouble(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_hll_sketch"),
+      info("graft_hll_sketch", "graft_hll_sketch(col[, p]) - portable HLL sketch bytes"),
+      (exprs: Seq[Expression]) => HllSketchAgg(exprs.head,
+        if (exprs.size > 1) exprs(1).eval(null).asInstanceOf[Int] else 12)))
+    e.injectFunction((
+      FunctionIdentifier("graft_hll_union"),
+      info("graft_hll_union", "graft_hll_union(sketch) - union of HLL sketches"),
+      (exprs: Seq[Expression]) => HllUnionAgg(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_hll_est"),
+      info("graft_hll_est", "graft_hll_est(sketch) - cardinality estimate"),
+      (exprs: Seq[Expression]) => HllEstimate(exprs.head)))
   }
 }
