@@ -29,6 +29,48 @@ object Layout {
   def writePartitioned(df: DataFrame, path: String, scopeCol: String): Unit =
     df.write.partitionBy(scopeCol).mode("overwrite").parquet(path)
 
+  /** Z-order (Morton) clustering value over `k` long columns, each
+    * normalized to `bits` bits against its global [min, max] and
+    * bit-interleaved. Rows close in z-value are close in EVERY clustered
+    * dimension, so after a range-repartition + sort on the z-value each
+    * parquet row group carries a tight min/max bounding box on ALL the
+    * clustered columns — predicates on any subset of them prune row
+    * groups, where a single-column sort only serves its one column.
+    * Pure codegen'd bit arithmetic (k·bits shift/mask terms).
+    */
+  def zValue(cols: Seq[Column], mins: Seq[Long], maxs: Seq[Long], bits: Int): Column = {
+    require(cols.size * bits <= 63, "interleaved width must fit a long")
+    val scaled = cols.zipWithIndex.map { case (c, i) =>
+      val span = math.max(1L, maxs(i) - mins(i))
+      // (c - min) * (2^bits - 1) / span, clamped into [0, 2^bits)
+      least(lit((1L << bits) - 1), greatest(lit(0L),
+        (c - lit(mins(i))) * lit((1L << bits) - 1) / lit(span))).cast("long")
+    }
+    val k = cols.size
+    (for (i <- 0 until k; b <- 0 until bits) yield
+      shiftleft(shiftright(scaled(i), b).bitwiseAND(lit(1L)), b * k + i))
+      .reduce[Column](_ + _)
+  }
+
+  /** Write z-order-clustered parquet: one cheap min/max pass, then
+    * range-repartition + sort within partitions on the z-value. `options`
+    * pass through to the writer (e.g. a small `parquet.block.size` to get
+    * more row groups per file for finer skipping granularity).
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String], bits: Int = 16,
+                    options: Map[String, String] = Map.empty): Unit = {
+    val aggs = zCols.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val mins = zCols.indices.map(i => stats.getLong(2 * i))
+    val maxs = zCols.indices.map(i => stats.getLong(2 * i + 1))
+    val z = zValue(zCols.map(col), mins.toSeq, maxs.toSeq, bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.options(options).mode("overwrite").parquet(path)
+  }
+
   /** Skew-safe equi-join: fan the (big, possibly skewed) left side over
     * `salt` sub-keys derived from a unique column, replicate the small
     * right side across all sub-keys, join on (key, salt). Output equals

@@ -55,6 +55,28 @@ object Monitor {
       .trigger(trigger)
       .start()
 
+  /** Capture with EXACTLY-ONCE file output via `foreachBatch`: each
+    * micro-batch lands in its own `__batch_id=` partition with dynamic
+    * overwrite, so a replayed batch (restart between sink write and
+    * checkpoint commit — the at-least-once window of the plain file sink)
+    * rewrites its own partition instead of appending duplicates. This is
+    * the idempotent-sink pattern the reference's append-only writers
+    * cannot express.
+    */
+  def captureExactlyOnce(stream: DataFrame, path: String, checkpoint: String,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        df.withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id")
+          .parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   /** Skip-on-error stream variant (database.py:292-325): drop rows whose
     * payload fails to parse rather than killing the query.
     */

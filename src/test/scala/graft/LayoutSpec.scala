@@ -39,6 +39,56 @@ class LayoutSpec extends AnyFunSuite {
       scan.contains("= 7)"), s"expected partition pruning in plan:\n$scan")
   }
 
+  /** Per-row-group [min, max] span of an INT64 column across all parquet
+    * files under `dir` — read straight from the footers.
+    */
+  private def rowGroupSpans(dir: String, column: String): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    files.toSeq.flatMap { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.toSeq.map { b =>
+        val c = b.getColumns.asScala.find(_.getPath.toDotString == column).get
+        val st = c.getStatistics
+        st.genericGetMax.asInstanceOf[Long] - st.genericGetMin.asInstanceOf[Long]
+      } finally r.close()
+    }
+  }
+
+  test("z-order rows groups bound BOTH clustered columns; linear sort only one") {
+    import graft.model.Documents
+    val base = Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("user_id"), Documents.tsSec(col("ts")).as("ts_sec"), col("value"))
+    val tmp = Files.createTempDirectory("graft_z").toString
+    val small = Map("parquet.block.size" -> "16384") // more row groups → finer skipping
+    Layout.writeZOrdered(base, s"$tmp/z", Seq("user_id", "ts_sec"), bits = 16, options = small)
+    base.repartitionByRange(4, col("ts_sec")).sortWithinPartitions("ts_sec")
+      .write.options(small).mode("overwrite").parquet(s"$tmp/linear")
+
+    // identical content
+    assert(spark.read.parquet(s"$tmp/z").count() === base.count())
+
+    def avg(xs: Seq[Long]): Double = xs.sum.toDouble / xs.size
+    val zUser = rowGroupSpans(s"$tmp/z", "user_id")
+    val lUser = rowGroupSpans(s"$tmp/linear", "user_id")
+    assert(zUser.size > 4, s"expected several row groups, got ${zUser.size}")
+    // the ts-sorted layout leaves user_id unclustered: every row group
+    // spans ~the whole user domain. Z-order must tighten it sharply.
+    assert(avg(zUser) < avg(lUser) * 0.5,
+      s"z-order user_id span ${avg(zUser)} vs linear ${avg(lUser)}")
+
+    // and the time dimension stays useful for skipping too: row groups
+    // cover a fraction of the whole span, not all of it
+    val zTs = rowGroupSpans(s"$tmp/z", "ts_sec")
+    val fullTs = base.agg(max("ts_sec").cast("long") - min("ts_sec").cast("long"))
+      .collect()(0).getLong(0)
+    assert(avg(zTs) < fullTs * 0.75, s"z-order ts span ${avg(zTs)} vs full $fullTs")
+  }
+
   test("salted join equals the plain join") {
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "event_type")
     val dim = Tables.customer(spark, sf).select(col("c_custkey").as("user_id"), col("c_name"))

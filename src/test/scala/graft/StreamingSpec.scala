@@ -121,6 +121,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows === Set((200L, 100L)))
   }
 
+  test("stateful sessionizer runs on the RocksDB state store provider") {
+    implicit val s = spark
+    import spark.implicits._
+    import graft.streaming.Sessionizer
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Sessionizer.Event]
+      input.addData(sampleEvents.map(e => Sessionizer.Event(e.user_id, e.ts.getTime / 1000)): _*)
+      val q = Sessionizer.sessions(input.toDS(), gapSec = 600L)
+        .writeStream.outputMode("append").format("memory").queryName("sess_rocks")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000) finally q.stop()
+      val streamed = spark.table("sess_rocks")
+        .select("user_id", "session_idx", "n_events", "start_sec", "end_sec")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      val batch = graft.store.DocumentStore.sessionize(
+          sampleEvents.toDF(), col("user_id"), col("ts").cast("long"), col("event_id"), 600L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(streamed === batch, "RocksDB-backed state must agree with the batch op")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("foreachBatch sink is idempotent: a replayed batch does not duplicate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_eo").toString + "/data"
+    val chk1 = Files.createTempDirectory("graft_eo_chk").toString
+
+    val in1 = MemoryStream[Ev]
+    in1.addData(sampleEvents.take(40): _*)
+    val q1 = Monitor.captureExactlyOnce(in1.toDF(), out, chk1)
+    try q1.awaitTermination(120000) finally q1.stop()
+    assert(spark.read.parquet(out).count() === 40)
+
+    // simulate the replay window: a FRESH checkpoint re-delivers the same
+    // batch ids over the same sink path — dynamic partition overwrite
+    // rewrites __batch_id=0 instead of appending a second copy
+    val chk2 = Files.createTempDirectory("graft_eo_chk2").toString
+    val in2 = MemoryStream[Ev]
+    in2.addData(sampleEvents.take(40): _*)
+    val q2 = Monitor.captureExactlyOnce(in2.toDF(), out, chk2)
+    try q2.awaitTermination(120000) finally q2.stop()
+    val after = spark.read.parquet(out)
+    assert(after.count() === 40, "replayed batch must overwrite, not append")
+    assert(after.select("event_id").distinct().count() === 40)
+  }
+
   test("streaming skip-on-error drops malformed payloads only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
