@@ -274,6 +274,8 @@ object SparkEntry {
     "q6_forecast_revenue" -> ((s, dir) => Analytics.forecastRevenue(s, dir)),
     "q4_order_priority" -> ((s, dir) => Analytics.orderPriorityCheck(s, dir)),
     "q18_large_orders" -> ((s, dir) => Analytics.largeOrders(s, dir)),
+    "q17_small_qty_revenue" -> ((s, dir) => Analytics.smallQtyRevenue(s, dir)),
+    "q22_idle_balances" -> ((s, dir) => Analytics.idleCustomerBalances(s, dir)),
     "agg_rollup" -> ((s, dir) => Analytics.eventRollup(s, dir)),
     "agg_weighted_mean" -> ((s, dir) => {
       import s.implicits._
@@ -746,6 +748,28 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey, o_totalprice, total_qty
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """WITH a AS (SELECT l_partkey AS ap_partkey,
+        |             CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS avg_qty
+        |           FROM lineitem GROUP BY 1)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(7.0 AS DOUBLE) AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN a ON l_partkey = ap_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < CAST(0.2 AS DOUBLE) * avg_qty""".stripMargin,
+
+    "q22_idle_balances" ->
+      """WITH a AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+        |           FROM customer WHERE c_acctbal > 0),
+        |r AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer, a WHERE c_acctbal > avg_bal)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM r
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = r.c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "agg_rollup" ->
       """SELECT event_type, count(*) AS n,

@@ -141,6 +141,49 @@ object Analytics {
       .limit(100)
   }
 
+  /** TPC-H Q17 pattern: correlated scalar subquery (per-part average
+    * quantity) DECORRELATED into one aggregate + equi-join — the only
+    * form that scales (the naive correlated subquery re-scans lineitem
+    * per part; Spark's decorrelation handles the SQL spelling, this is
+    * the same plan stated directly).
+    */
+  def smallQtyRevenue(spark: SparkSession, dir: String, brand: String = "Brand#1"): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg(davg(col("l_quantity")).as("avg_qty"))
+    // no broadcast hint: part grows with the scale factor — AQE picks
+    // broadcast while the brand-filtered side fits and shuffles beyond
+    val parts = Tables.part(spark, dir).filter(col("p_brand") === brand)
+    li.join(parts, col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(money(col("l_extendedprice"))).cast("double") / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** TPC-H Q22 pattern: scalar-aggregate threshold (broadcast single-row
+    * cross join — no shuffle) + LEFT ANTI join against recent orders,
+    * then a per-nation rollup of the recently-idle high-balance
+    * customers. The anti-join's build side carries only the filtered
+    * custkeys.
+    */
+  def idleCustomerBalances(spark: SparkSession, dir: String,
+                           sinceDate: String = "1999-01-01"): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(sinceDate).cast("timestamp"))
+      .select("o_custkey")
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
   /** Rollup: hierarchical subtotals in one pass (grand total + per-group),
     * Spark's GROUPING SETS machinery.
     */
