@@ -15,7 +15,9 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq else Seq(
       "ts_find_filter_project", "q1_pricing_summary", "q3_top_revenue",
       "q5_region_revenue", "ts_lookup_join", "ts_clone_incremental",
-      "dedup_minhash_lsh", "dedup_embedding_cosine", "ann_lsh_bucketed")
+      "dedup_minhash_lsh", "dedup_embedding_cosine", "ann_lsh_bucketed",
+      "ts_asof_join_exec", "dedup_embedding_cosine_lsh", "q17_small_qty_revenue",
+      "q22_idle_balances")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -83,6 +83,19 @@ object Monitor {
   def skipOnError(stream: DataFrame, parsed: Column, as: String): DataFrame =
     stream.withColumn(as, parsed).filter(col(as).isNotNull)
 
+  /** Ingest-time exact dedup: drop re-deliveries of the same document id
+    * while it is inside the watermark horizon — the streaming twin of
+    * `TextAnalysis.exactDedup` and the standard at-source guard in a
+    * training-data pipeline (upstream capture loops redeliver on retry).
+    * State is bounded by the watermark: ids older than the horizon are
+    * evicted, so this runs forever at O(ids-per-horizon) memory.
+    */
+  def dedupStream(stream: DataFrame, idCols: Seq[String], tsCol: String,
+                  watermarkDelay: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Stream-stream interval join: correlate two live streams on a key
     * within a time bound (e.g. purchase within an hour of a click).
     * Both sides watermarked, so the join state expires — the streaming

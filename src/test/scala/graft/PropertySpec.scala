@@ -66,6 +66,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoinExec: the custom physical operator satisfies the same property") {
+    val rowsGen = Gen.nonEmptyListOf(for {
+      k <- Gen.choose(0L, 2L)
+      t <- Gen.choose(0L, 50L)
+    } yield (k, t))
+    forAll(Gen.zip(rowsGen, rowsGen)) { case (l: List[(Long, Long)], r: List[(Long, Long)]) =>
+      val left = l.distinct.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }.toDF("k", "t", "lid")
+      val right = r.distinct
+        .groupBy(x => (x._1, x._2)).values.map(_.head).toSeq.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong + 1000) } // unique (k, t)
+        .toDF("k", "t", "rid")
+      val got = DocumentStore.asofJoinExec(left, right, "k", "t", Seq("rid"))
+        .collect().map(row => (row.getLong(0), row.getLong(1), row.getLong(2),
+          Option(row.get(3)).map(_.asInstanceOf[Long]))).toSet
+      val rightRows = right.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      val expected = left.collect().map { row =>
+        val (k, t, lid) = (row.getLong(0), row.getLong(1), row.getLong(2))
+        val cands = rightRows.filter(x => x._1 == k && x._2 <= t)
+        val best = if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3)
+        (k, t, lid, best)
+      }.toSet
+      assert(got === expected)
+    }
+  }
+
   test("sessionize: events within a session are gap-bounded, sessions are disjoint") {
     val evGen = Gen.nonEmptyListOf(for {
       k <- Gen.choose(0L, 2L); t <- Gen.choose(0L, 1000L)

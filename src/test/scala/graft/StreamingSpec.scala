@@ -175,6 +175,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.select("event_id").distinct().count() === 40)
   }
 
+  test("streaming dedup drops redelivered ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    // every event delivered twice (retry storm) + one genuine duplicate id
+    val evs = sampleEvents.take(30)
+    input.addData(evs ++ evs: _*)
+    val q = Monitor.dedupStream(input.toDF(), Seq("event_id"), "ts")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    val out = spark.table("dedup_out")
+    assert(out.count() === 30, "each id must survive exactly once")
+    assert(out.select("event_id").distinct().count() === 30)
+  }
+
   test("streaming skip-on-error drops malformed payloads only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
