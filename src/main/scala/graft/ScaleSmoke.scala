@@ -57,6 +57,13 @@ object ScaleSmoke {
         .groupBy("user_id", "ts_sec").agg(max("event_id").as("mark_id"))
       DocumentStore.asofJoin(l, r, "user_id", "ts_sec", Seq("mark_id")).count()
     }
+    time("asof_join_exec") {
+      val l = events.filter(col("event_type") === "purchase")
+        .select("user_id", "ts_sec", "event_id")
+      val r = events.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts_sec").agg(max("event_id").as("mark_id"))
+      DocumentStore.asofJoinExec(l, r, "user_id", "ts_sec", Seq("mark_id")).count()
+    }
     time("clone_anti_join") {
       DocumentStore.cloneMissing(
         events.select("event_id", "props"),

@@ -148,14 +148,19 @@ object Analytics {
     * the same plan stated directly).
     */
   def smallQtyRevenue(spark: SparkSession, dir: String, brand: String = "Brand#1"): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
-      .agg(davg(col("l_quantity")).as("avg_qty"))
     // no broadcast hint: part grows with the scale factor — AQE picks
-    // broadcast while the brand-filtered side fits and shuffles beyond
+    // broadcast while the brand-filtered side fits and shuffles beyond.
+    // The per-part average is a WINDOW over the brand-joined rows, not a
+    // groupBy+join-back: one shuffle on l_partkey instead of two, and the
+    // average computes only for the 1/|brands| of lineitem that survives
+    // the join (every lineitem of a surviving part is present, so the
+    // window average equals the full per-part average).
     val parts = Tables.part(spark, dir).filter(col("p_brand") === brand)
-    li.join(parts, col("l_partkey") === col("p_partkey"))
-      .join(avgQty, col("l_partkey") === col("ap_partkey"))
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(spark, dir)
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .withColumn("avg_qty", sum(col("l_quantity").cast("decimal(28,8)")).over(w)
+        .cast("double") / count(lit(1)).over(w).cast("double"))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg((sum(money(col("l_extendedprice"))).cast("double") / lit(7.0)).as("avg_yearly"))
   }

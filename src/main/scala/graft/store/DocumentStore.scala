@@ -344,16 +344,33 @@ object DocumentStore {
     * partition pair — no union materialization, no window state, right
     * rows consumed once. Same contract and row-identical output to
     * [[asofJoin]] (the composition stays as the oracle baseline).
-    * Key and time must be non-null LongType.
+    * Key and time must be non-null integral columns.
+    *
+    * Trade-off, measured honestly: on unorganized inputs the composition
+    * is FASTER (it shuffles the union once; the exec exchanges each side
+    * — same rows moved, but the merge runs outside whole-stage codegen).
+    * The exec wins when the inputs are bucketed/pre-partitioned on the
+    * key: its declared requirements let EnsureRequirements elide BOTH
+    * exchanges (AsofExecSpec proves the shuffle-free plan), which the
+    * union form can never do — and at 100 TB the exchanges, not the
+    * merge, are the cost.
     */
-  def asofJoinExec(left: DataFrame, right: DataFrame, key: String, time: String,
+  def asofJoinExec(left0: DataFrame, right0: DataFrame, key: String, time: String,
                    asofCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.types.LongType
-    Seq(left, right).foreach { df =>
-      Seq(key, time).foreach { c =>
-        require(df.schema(c).dataType == LongType, s"$c must be LongType")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    // the exec's merge loop reads key/time as longs; narrower integrals
+    // widen for free, anything else is a contract violation
+    def widen(df: DataFrame): DataFrame =
+      Seq(key, time).foldLeft(df) { (d, c) =>
+        d.schema(c).dataType match {
+          case LongType => d
+          case ByteType | ShortType | IntegerType => d.withColumn(c, col(c).cast("long"))
+          case other => throw new IllegalArgumentException(
+            s"$c must be an integral type, got ${other.catalogString}")
+        }
       }
-    }
+    val left = widen(left0)
+    val right = widen(right0)
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
       spark.experimental.extraStrategies =

@@ -58,6 +58,23 @@ class AsofExecSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(101L, 102L))
   }
 
+  test("bucketed inputs elide both exchanges — the exec's scale win") {
+    val e = Tables.events(spark, sf).select(col("user_id").as("k"),
+      graft.model.Documents.tsSec(col("ts")).as("t"), col("event_id"))
+    spark.sql("DROP TABLE IF EXISTS asof_bl")
+    spark.sql("DROP TABLE IF EXISTS asof_br")
+    graft.store.Layout.writeBucketed(e, "asof_bl", "k", 4)
+    graft.store.Layout.writeBucketed(
+      e.groupBy("k", "t").agg(max("event_id").as("mark")), "asof_br", "k", 4)
+    val out = DocumentStore.asofJoinExec(
+      spark.table("asof_bl"), spark.table("asof_br"), "k", "t", Seq("mark"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed as-of join must not shuffle either side:\n$plan")
+    assert(out.count() === e.count())
+  }
+
   test("strategy is available through GraftExtensions sessions") {
     import org.apache.spark.sql.SparkSession
     SparkSession.clearActiveSession()
