@@ -21,6 +21,23 @@ object Documents {
     */
   def tsSec(c: Column): Column = c.cast("long")
 
+  /** Epoch milliseconds — the reference's canonical time unit
+    * (`time_as_ms`, reference src/topic_store/utils.py:43-47).
+    */
+  def tsMs(c: Column): Column = (c.cast("decimal(20,6)") * 1000).cast("long")
+
+  /** Human-readable byte size — the Spark twin of
+    * `size_to_human_readable` (reference src/topic_store/utils.py:150-156),
+    * for presenting [[byteSizes]] output.
+    */
+  def humanReadableSize(bytes: Long): String = {
+    val units = Seq("B", "KiB", "MiB", "GiB", "TiB", "PiB")
+    var v = bytes.toDouble
+    var i = 0
+    while (math.abs(v) >= 1024.0 && i < units.size - 1) { v /= 1024.0; i += 1 }
+    if (i == 0) s"$bytes ${units(0)}" else f"$v%.1f ${units(i)}"
+  }
+
   /** Stamp reference-style meta columns (data.py:28-34): `_id`, `session`,
     * `sys_time`. A 100 TB layout partitions storage by `session` so
     * session-scoped queries partition-prune.

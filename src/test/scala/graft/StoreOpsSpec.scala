@@ -155,6 +155,16 @@ class StoreOpsSpec extends AnyFunSuite {
     assert(m("v") === 8L)         // one non-null double
   }
 
+  test("tsMs and humanReadableSize mirror the reference utilities") {
+    import spark.implicits._
+    val ms = Seq(java.sql.Timestamp.valueOf("2024-01-01 00:00:00.250"))
+      .toDF("ts").select(Documents.tsMs(col("ts"))).collect()(0).getLong(0)
+    assert(ms % 1000 === 250L, "millisecond fraction must survive")
+    assert(Documents.humanReadableSize(512) === "512 B")
+    assert(Documents.humanReadableSize(1536) === "1.5 KiB")
+    assert(Documents.humanReadableSize(3L << 30) === "3.0 GiB")
+  }
+
   test("findWithMeta forces meta columns into a narrow projection") {
     val stamped = Documents.stampMeta(ev, col("event_id"), col("user_id"), col("ts"))
     val out = DocumentStore.findWithMeta(stamped, col("value") > 70, Seq("event_type"))
