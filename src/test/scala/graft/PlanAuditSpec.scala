@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape guard over EVERY shipped query: no unintended nested-loop
+  * or cartesian joins may appear. The whitelist names the queries whose
+  * cross products are the documented intent — exact brute-force baselines
+  * and single-row scalar broadcasts — so a regression that degrades an
+  * equality join into a nested loop (lost key, type mismatch, optimizer
+  * change) fails CI instead of melting a cluster.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSession._
+
+  /** Cross products that are the point of the query, not an accident. */
+  private val intendedCross = Set(
+    "ann_cosine_topk",        // exact brute-force baseline: all-pairs by definition
+    "dedup_embedding_cosine", // exact threshold baseline: all-pairs by definition
+    "ann_ivf_topk",           // broadcast of the (tiny) centroid table
+    "q22_idle_balances",      // single-row scalar-threshold broadcast
+    "ts_update_first")        // single-row first-match-id broadcast
+
+  for ((name, q) <- SparkEntry.queries) {
+    test(s"$name: no unintended nested-loop or cartesian join") {
+      val plan = q(spark, sf).queryExecution.executedPlan.toString
+      if (!intendedCross(name)) {
+        assert(!plan.contains("CartesianProduct"),
+          s"unexpected CartesianProduct in $name:\n$plan")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"unexpected BroadcastNestedLoopJoin in $name:\n$plan")
+      }
+    }
+  }
+
+  test("find filter and projection reach the parquet scan") {
+    val plan = SparkEntry.queries("ts_find_filter_project")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters:\n$plan")
+    assert(plan.contains("GreaterThan(value,"), s"value filter not pushed:\n$plan")
+  }
+}
