@@ -54,6 +54,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(rates.agg(sum("n_msgs")).collect()(0).getLong(0) === 200)
   }
 
+  test("training-data pipeline: dedup -> cluster -> quality -> split -> budget") {
+    import graft.ops.{Dedup, TextAnalysis}
+    val docs = Tables.documents(spark, sf)
+    val total = docs.count()
+
+    // 1. exact dedup: one survivor (min id) per content hash
+    val keepExact = TextAnalysis.exactDedup(docs, col("doc_id"), col("text"))
+      .select(col("keep_id").as("doc_id"))
+    val afterExact = docs.join(keepExact, "doc_id")
+    assert(afterExact.count() <= total && afterExact.count() > 0)
+
+    // 2. near-dup clustering: keep each cluster's canonical (min) id
+    val clusters = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(afterExact, col("doc_id"), col("text"), 0.5))
+    val dropIds = clusters.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val afterNear = afterExact.join(dropIds, Seq("doc_id"), "left_anti")
+
+    // the defining invariant: the kept set contains NO near-dup pair —
+    // any surviving pair would have been one cluster with one survivor
+    assert(Dedup.ngramJaccardPairs(afterNear, col("doc_id"), col("text"), 0.5).count() === 0)
+
+    // 3. quality gate
+    val good = TextAnalysis.qualityScore(afterNear, col("doc_id"), col("text"))
+      .filter(col("score") > 0.3).select("doc_id")
+    val kept = afterNear.join(good, "doc_id")
+    assert(kept.count() > 0 && kept.count() <= afterNear.count())
+
+    // 4. reproducible split covers every kept doc exactly once
+    val split = TextAnalysis.assignSplit(kept.select("doc_id"), "doc_id")
+    assert(split.count() === kept.count())
+    assert(split.groupBy("split").count().count() >= 2, "train and at least one holdout")
+
+    // 5. token budget of the final corpus is positive and consistent
+    val budget = TextAnalysis.tokenCount(kept, col("doc_id"), col("text"))
+      .agg(sum("n_ws_tokens")).collect()(0).getLong(0)
+    assert(budget > 0)
+  }
+
   test("describeTree walks nested schemas like the reference repr") {
     val df = Tables.events(spark, sf).select(
       col("event_id"),
