@@ -63,6 +63,70 @@ object Multimodal {
     spark.createDataFrame(rdd, FeatureSchema)
   }
 
+  /** Resize/resample over asset payloads.
+    *
+    * STUB: a real deployment decodes, resamples to the target resolution,
+    * and re-encodes; here a deterministic stride-resample maps the payload
+    * to exactly `targetBytes` bytes (consuming every source byte region).
+    * The Spark-side contract is real: partition-local map (no shuffle),
+    * asset schema preserved, metadata recomputed for the new payload —
+    * exactly where a codec call slots in.
+    */
+  def resizeStub(assets: DataFrame, targetBytes: Int = 1024): DataFrame = {
+    val spark = assets.sparkSession
+    val schema = assets.select("asset_id", "kind", "payload").schema
+    val rdd = assets.select("asset_id", "kind", "payload").rdd.mapPartitions { it =>
+      it.map { row =>
+        val payload = row.getAs[Array[Byte]](2)
+        val out = new Array[Byte](targetBytes)
+        if (payload.nonEmpty) {
+          var i = 0
+          while (i < targetBytes) {
+            out(i) = payload((i.toLong * payload.length / targetBytes).toInt)
+            i += 1
+          }
+        }
+        Row(row.getLong(0), row.getString(1), out)
+      }
+    }
+    val resized = spark.createDataFrame(rdd, schema)
+    resized.select(col("asset_id"), col("kind"), col("payload"),
+      struct(
+        octet_length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("digest")).as("meta"))
+  }
+
+  val FrameSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame", BinaryType)))
+
+  /** Frame sampling over video payloads: one row per kept frame.
+    *
+    * STUB: "frames" are fixed-size byte windows of the payload; a real
+    * deployment swaps the window cutter for a container demuxer. The
+    * Spark-side contract is real: partition-local flatMap row
+    * amplification (1 video → ⌈frames/everyN⌉ rows, no shuffle, bounded
+    * fan-out), the exact shape a `mapInPandas` frame extractor has.
+    */
+  def frameSample(assets: DataFrame, frameBytes: Int = 256, everyN: Int = 2): DataFrame = {
+    require(frameBytes > 0 && everyN > 0)
+    val spark = assets.sparkSession
+    val rdd = assets.select("asset_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        val id = row.getLong(0)
+        val payload = row.getAs[Array[Byte]](1)
+        val nFrames = math.max(1, (payload.length + frameBytes - 1) / frameBytes)
+        (0 until nFrames by everyN).iterator.map { f =>
+          val from = math.min(f * frameBytes, payload.length)
+          val until = math.min(payload.length, from + frameBytes)
+          Row(id, f, java.util.Arrays.copyOfRange(payload, from, until))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, FrameSchema)
+  }
+
   /** Byte-level stats per kind — the metadata aggregation a lakehouse
     * media table needs for layout planning (all expression-level, no UDF).
     */

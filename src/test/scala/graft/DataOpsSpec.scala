@@ -114,6 +114,34 @@ class DataOpsSpec extends AnyFunSuite {
     assert(f.exists(_ > 0f), "features should reflect payload bytes")
   }
 
+  test("multimodal resize and frame-sample keep real plumbing over the stub codec") {
+    val assets = Multimodal.toAsset(Tables.events(spark, sf),
+      col("event_id"), col("event_type"), col("props"))
+    // resize: every output payload is exactly the target size, meta follows
+    val resized = Multimodal.resizeStub(assets, targetBytes = 64)
+    assert(resized.count() === assets.count())
+    assert(resized.filter(col("meta.n_bytes") =!= 64).count() === 0)
+    // deterministic: same input → same digest set
+    val d1 = resized.select("meta.digest").collect().map(_.getString(0)).sorted.toSeq
+    val d2 = Multimodal.resizeStub(assets, 64).select("meta.digest")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(d1 === d2)
+
+    // frame-sample: bounded row amplification, frame indices stride by everyN
+    val frames = Multimodal.frameSample(assets, frameBytes = 16, everyN = 2)
+    assert(frames.count() >= assets.count(), "every asset yields at least one frame")
+    val byAsset = frames.groupBy("asset_id").agg(max("frame_idx").as("mx"),
+      count(lit(1)).as("n")).collect()
+    byAsset.foreach { r =>
+      assert(r.getInt(r.fieldIndex("mx")) % 2 === 0, "sampled indices stride by everyN")
+    }
+    // 1 video of b bytes → ceil(ceil(b/16)/2) frames
+    val one = assets.limit(1)
+    val b = one.select("meta.n_bytes").collect()(0).getInt(0)
+    val expect = (((b + 15) / 16) + 1) / 2
+    assert(Multimodal.frameSample(one, 16, 2).count() === expect)
+  }
+
   test("GraftExtensions exposes native functions to plain SQL sessions") {
     import org.apache.spark.sql.SparkSession
     // force a genuinely new session: getOrCreate would return the shared
