@@ -322,17 +322,24 @@ object SparkEntry {
     "agg_stats_profile" -> ((s, dir) => {
       // variance from exact decimal sums: (Σx² − (Σx)²/n) / (n−1) — every
       // operand bit-identical across engines (stddev_samp's streaming
-      // Welford accumulation is NOT engine-portable)
+      // Welford accumulation is NOT engine-portable). x² is squared IN
+      // DECIMAL — exact in both engines; squaring in double and casting
+      // the product diverges by 1 ulp at rounding boundaries, which the
+      // variance cancellation then amplifies (bit us at sf0.001)
       val li = Tables.lineitem(s, dir)
+      val dec = col("l_extendedprice").cast("decimal(12,2)")
       val sx = sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
-      val sxx = sum((col("l_extendedprice") * col("l_extendedprice")).cast("decimal(28,4)")).cast("double")
+      val sxx = sum(dec * dec).cast("double")
       val n = count(lit(1)).cast("double")
       li.groupBy(col("l_returnflag"))
         .agg(
           min(col("l_extendedprice")).as("min_price"),
           max(col("l_extendedprice")).as("max_price"),
           (sx / n).as("avg_price"),
-          ((sxx - sx * sx / n) / (n - lit(1.0))).as("var_price"),
+          // rounded: the Σx² decimal exceeds 2^53, and DuckDB's
+          // int128-decimal→double cast is not correctly rounded (1 ulp
+          // vs the JVM) — round(3) absorbs it
+          round((sxx - sx * sx / n) / (n - lit(1.0)), 3).as("var_price"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
     }),
@@ -805,10 +812,10 @@ object SparkEntry {
       """SELECT l_returnflag,
         |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
-        |  (CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+        |  round((CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
         |    - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         |      * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
-        |    / (count(*) - CAST(1 AS DOUBLE)) AS var_price,
+        |    / (count(*) - CAST(1 AS DOUBLE)), 3) AS var_price,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
