@@ -394,6 +394,15 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, dir), col("doc_id"), col("text"), 2, numBlocks = 3)
         .orderBy("id1", "id2")),
 
+    // docs 0-4 stand in for the benchmark set; n=5 grams (the synthetic
+    // docs are short — production uses the standard n=13)
+    "corpus_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contamination(docs.filter(col("doc_id") >= 5), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") < 5), col("doc_id"), col("text"), nGram = 5)
+        .orderBy("doc_id")
+    }),
+
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(Tables.embeddings(s, dir), 0.45)
         .orderBy("id1", "id2")),
@@ -927,6 +936,17 @@ object SparkEntry {
         |FROM blk a JOIN blk b ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
         |ORDER BY id1, id2""".stripMargin,
+
+    "corpus_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] || ' ' || words[i+4] AS gram
+        |      FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 4),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 5),
+        |corpus AS (SELECT doc_id, gram FROM g WHERE doc_id >= 5)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM corpus JOIN bench USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_embedding_cosine" ->
       """WITH v AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x

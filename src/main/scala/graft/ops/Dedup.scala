@@ -80,6 +80,39 @@ object Dedup {
       .select("id1", "id2", "shared", "n1", "n2", "jaccard")
   }
 
+  /** Distinct word n-grams per document for arbitrary n: (doc_id, gram). */
+  def ngramSet(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
+    val words = TextAnalysis.tokens(textCol)
+    spread(df)
+      .select(idCol.as("doc_id"), words.as("words"))
+      .filter(size(col("words")) >= n)
+      .select(col("doc_id"), explode(array_distinct(
+        expr(s"transform(sequence(0, size(words)-$n), i -> array_join(slice(words, i+1, $n), ' '))")))
+        .as("gram"))
+  }
+
+  /** Benchmark decontamination — the guard every LLM data pipeline runs
+    * before training: flag corpus documents sharing ANY word n-gram with
+    * an evaluation/benchmark set (the standard rule uses n=13). Returns
+    * (doc_id, n_hits) for contaminated documents; anti-join the result to
+    * get the clean corpus.
+    *
+    * Scale shape: equality join on the gram — shuffle is O(matches), and
+    * the benchmark side (eval sets are thousands of docs, the corpus is
+    * billions) reduces to DISTINCT grams first; AQE broadcasts it when it
+    * fits. Never an all-pairs comparison.
+    */
+  def contamination(df: DataFrame, idCol: Column, textCol: Column,
+                    bench: DataFrame, benchIdCol: Column, benchTextCol: Column,
+                    nGram: Int = 13): DataFrame = {
+    val corpusGrams = ngramSet(df, idCol, textCol, nGram)
+    val benchGrams = ngramSet(bench, benchIdCol, benchTextCol, nGram)
+      .select("gram").distinct()
+    corpusGrams.join(benchGrams, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Distinct shingles per doc as one array row (input to MinHash). */
   def shingleArrays(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     val words = TextAnalysis.tokens(textCol)

@@ -171,6 +171,28 @@ class DataOpsSpec extends AnyFunSuite {
     assert(r.getLong(0) === viaRegistry)
   }
 
+  test("contamination flags exactly the docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "a completely different sentence with no overlap at all"),
+      (12L, "something else entirely but quick brown fox jumps too")).toDF("doc_id", "text")
+    val bench = Seq((1L, "watch the quick brown fox jumps across")).toDF("doc_id", "text")
+    val hits = Dedup.contamination(corpus, col("doc_id"), col("text"),
+        bench, col("doc_id"), col("text"), nGram = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // "quick brown fox jumps" is the shared 4-gram; doc 10 also shares
+    // "the quick brown fox" + "quick brown fox jumps"
+    assert(hits.keySet === Set(10L, 12L))
+    assert(hits(10L) === 2L && hits(12L) === 1L)
+    // anti-join yields the clean corpus
+    val clean = corpus.join(
+      Dedup.contamination(corpus, col("doc_id"), col("text"),
+        bench, col("doc_id"), col("text"), nGram = 4).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    assert(clean.collect().map(_.getLong(0)).toSeq === Seq(11L))
+  }
+
   test("exact dedup keeps the minimum id per hash group") {
     val d = TextAnalysis.exactDedup(docs, col("doc_id"), col("text"))
     assert(d.count() > 0)
