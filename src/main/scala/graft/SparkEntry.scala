@@ -269,6 +269,15 @@ object SparkEntry {
           Documents.tsSec(col("ts")), col("event_id"), 7200L)
         .orderBy("user_id", "session_idx")),
 
+    // input quantized to whole seconds. session_window merges touching
+    // windows (a gap of exactly `gap` stays one session), so membership
+    // is identical to the `>` rule of the composition sessionizer —
+    // verified against the boundary pairs present at sf0.1
+    "ts_sessionize_native" -> ((s, dir) =>
+      DocumentStore.sessionizeNative(ev(s, dir), col("user_id"),
+          timestamp_seconds(Documents.tsSec(col("ts"))), 7200L)
+        .orderBy("user_id", "start_sec")),
+
     // ── §2b analytics ─────────────────────────────────────────────────
     "q1_pricing_summary" -> ((s, dir) => Analytics.pricingSummary(s, dir)),
     "q6_forecast_revenue" -> ((s, dir) => Analytics.forecastRevenue(s, dir)),
@@ -742,6 +751,17 @@ object SparkEntry {
         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
         |  min(ts_sec) AS start_sec, max(ts_sec) AS end_sec
         |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+
+    "ts_sessionize_native" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+        |l AS (SELECT *, CASE WHEN lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) IS NULL
+        |               OR ts_sec - lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) > 7200
+        |             THEN 1 ELSE 0 END AS is_new
+        |      FROM e),
+        |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS session_idx FROM l)
+        |SELECT user_id, min(ts_sec) AS start_sec, max(ts_sec) AS end_sec, count(*) AS n_events
+        |FROM s GROUP BY user_id, session_idx ORDER BY user_id, start_sec""".stripMargin,
 
     "q6_forecast_revenue" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue

@@ -406,6 +406,25 @@ object DocumentStore {
       .drop("__bin")
   }
 
+  /** Gap sessionization on Spark's NATIVE `session_window` aggregation —
+    * the compose-existing-ops path preferred over both the window
+    * composition ([[sessionize]]) and the custom stateful sessionizer
+    * (streaming.Sessionizer): one hash aggregate with built-in session
+    * merge, usable identically in batch and Structured Streaming (where
+    * it gets incremental state + watermark eviction for free).
+    * Emits (user_id, start_sec, end_sec, n_events) — session membership
+    * is identical to [[sessionize]]; the ordinal session_idx is a
+    * window-composition artifact the native form does not define.
+    */
+  def sessionizeNative(df: DataFrame, keyCol: Column, tsCol: Column,
+                       gapSec: Long): DataFrame =
+    df.groupBy(keyCol.as("user_id"), session_window(tsCol, s"$gapSec seconds"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(tsCol).cast("long").as("start_sec"),
+        max(tsCol).cast("long").as("end_sec"))
+      .select("user_id", "start_sec", "end_sec", "n_events")
+
   /** Gap-based sessionization: a new session starts when the gap since the
     * previous event of the same key exceeds `gapSec`. Two windows over the
     * same (key, time) ordering — one shuffle, then streaming window evals.

@@ -155,6 +155,34 @@ class StoreOpsSpec extends AnyFunSuite {
     assert(m("v") === 8L)         // one non-null double
   }
 
+  test("native session_window membership equals the composition sessionizer") {
+    import spark.implicits._
+    // boundary case included: events exactly gap seconds apart stay one
+    // session under both forms (session_window merges touching windows)
+    val evs = Seq((1L, 0L), (1L, 100L), (1L, 100L + 600L), // 600 = gap → same session
+      (1L, 100L + 600L + 601L), (2L, 50L)) // 601 > gap → new session
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      .toDF("user_id", "ts_sec", "event_id")
+    val composed = DocumentStore.sessionize(evs, col("user_id"), col("ts_sec"),
+        col("event_id"), 600L)
+      .select("user_id", "start_sec", "end_sec", "n_events")
+      .collect().map(_.toSeq).toSet
+    val native = DocumentStore.sessionizeNative(evs, col("user_id"),
+        timestamp_seconds(col("ts_sec")), 600L)
+      .collect().map(_.toSeq).toSet
+    assert(native === composed)
+    // and on real data
+    val e = Tables.events(spark, sf)
+    val c2 = DocumentStore.sessionize(e, col("user_id"),
+        Documents.tsSec(col("ts")), col("event_id"), 7200L)
+      .select("user_id", "start_sec", "end_sec", "n_events")
+      .collect().map(_.toSeq).toSet
+    val n2 = DocumentStore.sessionizeNative(e, col("user_id"),
+        timestamp_seconds(Documents.tsSec(col("ts"))), 7200L)
+      .collect().map(_.toSeq).toSet
+    assert(n2 === c2)
+  }
+
   test("tsMs and humanReadableSize mirror the reference utilities") {
     import spark.implicits._
     val ms = Seq(java.sql.Timestamp.valueOf("2024-01-01 00:00:00.250"))
