@@ -199,6 +199,29 @@ object DocumentStore {
         .getField("data"), "").as("payload"))
   }
 
+  /** [[reassemble]] for BINARY chunk payloads — GridFS stores bytes, not
+    * text (database.py:118-146), and `array_join` is string-only. The
+    * ordered fold concatenates byte arrays; same pre-aggregation size
+    * guard. `chunk` itself already handles binary payloads (`substr` and
+    * `length` operate on bytes for BinaryType).
+    */
+  def reassembleBinary(chunks: DataFrame,
+                       maxPayloadBytes: Option[Long] = Some(256L << 20)): DataFrame = {
+    val bounded = maxPayloadBytes match {
+      case None => chunks
+      case Some(limit) =>
+        val ok = chunks.groupBy("files_id")
+          .agg(sum(length(col("data")).cast("long")).as("__bytes"))
+          .filter(col("__bytes") <= limit)
+          .select("files_id")
+        chunks.join(ok, Seq("files_id"), "left_semi")
+    }
+    bounded.groupBy("files_id")
+      .agg(expr(
+        "aggregate(array_sort(collect_list(struct(n, data))), cast('' as binary), (acc, x) -> concat(acc, x.data))")
+        .as("payload"))
+  }
+
   /** Estimated document count (database.py:221-231, `estimate=True` →
     * Mongo's `estimated_document_count`, which reads collection metadata
     * instead of scanning). The parquet analog: sum row counts from file

@@ -71,6 +71,27 @@ class StoreOpsSpec extends AnyFunSuite {
     assert(out.select("doc.n").collect().map(_.getInt(0)).toSet === Set(1, 2))
   }
 
+  test("binary GridFS round trip: chunk and reassemble raw bytes exactly") {
+    import spark.implicits._
+    // payloads containing invalid-UTF8 bytes (0xFF) — a string path would
+    // corrupt them; lengths straddle the chunk size (7, 16, 17 bytes)
+    val blobs = Seq(
+      (1L, "FF00FF00FF00FF"),
+      (2L, "DEADBEEF" * 4),
+      (3L, "AB" * 16 + "CD")).toDF("doc_id", "hex")
+      .select(col("doc_id"), unhex(col("hex")).as("payload"))
+    val chunks = DocumentStore.chunk(blobs, col("doc_id"), col("payload"), 16)
+    assert(chunks.filter(call_function("octet_length", col("data")) > 16).count() === 0)
+    val back = DocumentStore.reassembleBinary(chunks)
+      .withColumnRenamed("files_id", "doc_id")
+      .withColumnRenamed("payload", "payload_r")
+    val bad = blobs.join(back, "doc_id")
+      .filter(md5(col("payload")) =!= md5(col("payload_r")) ||
+        call_function("octet_length", col("payload")) =!=
+          call_function("octet_length", col("payload_r")))
+    assert(bad.count() === 0, "byte-exact round trip required")
+  }
+
   test("reassemble size guard drops oversized blobs before the collect") {
     import spark.implicits._
     val chunks = Seq(
