@@ -32,6 +32,24 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("join-heavy queries survive broadcast being disabled (the 100x plan)") {
+    // at 1000 executors the filtered customer/supplier/part sides exceed
+    // any broadcast threshold — force every join to shuffle and assert
+    // results are unchanged (the plan the cluster would actually run)
+    val names = Seq("q3_top_revenue", "q5_region_revenue", "q17_small_qty_revenue",
+      "ts_lookup_join")
+    val before = names.map(n => n ->
+      SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq).toSeq).toMap
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      names.foreach { n =>
+        val shuffled = SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq).toSeq
+        assert(shuffled === before(n), s"$n changed results under shuffle-only joins")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("find filter and projection reach the parquet scan") {
     val plan = SparkEntry.queries("ts_find_filter_project")(spark, sf)
       .queryExecution.executedPlan.toString
