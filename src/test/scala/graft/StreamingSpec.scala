@@ -192,6 +192,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.select("event_id").distinct().count() === 30)
   }
 
+  test("HLL sketch aggregates incrementally in a stream, equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    graft.functions.HllFunctions.register(spark)
+    val input = MemoryStream[Ev]
+    // two micro-batches: the sketch state must merge across them
+    input.addData(sampleEvents.take(50): _*)
+    val agg = input.toDF().groupBy("event_type")
+      .agg(expr("graft_hll_est(graft_hll_sketch(user_id, 12))").as("est_users"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("hll_stream").start()
+    try {
+      q.processAllAvailable()
+      input.addData(sampleEvents.drop(50): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hll_stream")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = sampleEvents.toDF().groupBy("event_type")
+      .agg(expr("graft_hll_est(graft_hll_sketch(user_id, 12))").as("est_users"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batch,
+      "incremental sketch state must equal the one-shot batch sketch")
+  }
+
   test("streaming skip-on-error drops malformed payloads only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
