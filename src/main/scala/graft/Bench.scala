@@ -1,6 +1,10 @@
 package graft
+import java.util.Locale
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  private def j(d: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(d))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -25,10 +29,27 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Full-precision per-query timings → bench_full.json (the harness that
+    // invokes this main keeps only the final ~2000 chars of stdout, which a
+    // ~80-query map overflows — the file carries the complete breakdown).
+    val fullQs = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + j(v) }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("bench_full.json"); w.println(full); w.close()
+    } catch { case _: Throwable => }
+
+    // Final stdout line: same shape, but the per-query map keeps only the
+    // slowest entries that fit a fixed byte budget so the whole line
+    // survives tail truncation and stays machine-parseable.
+    val budget = 1500
+    val entries = results.toSeq.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + j(v) }
+    val kept = entries.scanLeft(0)(_ + _.length + 1).tail.zip(entries)
+      .takeWhile(_._1 <= budget).map(_._2)
+    val qs = kept.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"n_reported":${kept.size},"full":"bench_full.json","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

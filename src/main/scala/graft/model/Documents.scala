@@ -35,7 +35,8 @@ object Documents {
     var v = bytes.toDouble
     var i = 0
     while (math.abs(v) >= 1024.0 && i < units.size - 1) { v /= 1024.0; i += 1 }
-    if (i == 0) s"$bytes ${units(0)}" else f"$v%.1f ${units(i)}"
+    if (i == 0) s"$bytes ${units(0)}"
+    else String.format(java.util.Locale.ROOT, "%.1f %s", Double.box(v), units(i))
   }
 
   /** Stamp reference-style meta columns (data.py:28-34): `_id`, `session`,

@@ -23,8 +23,29 @@ object Dedup {
     * in front of every dedup/ANN op at scale.
     */
   private[graft] def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // Width is derived from the LOGICAL plan, never from `df.rdd`: under
+    // AQE, materializing the RDD executes any upstream shuffle stages and
+    // the result is then discarded when `repartition` replans — double
+    // execution for a guard check.
+    val plan = df.queryExecution.optimizedPlan
+    val hasShuffle = plan.collectFirst {
+      case _: Join => (); case _: Aggregate => (); case _: Window => ()
+      case _: Sort => (); case _: RepartitionByExpression => ()
+      case r: Repartition if r.shuffle => () // coalesce stays narrow
+    }.isDefined
+    if (hasShuffle) df // already `spark.sql.shuffle.partitions` wide
+    else {
+      // Narrow plan over a scan: estimate how many input splits the scan
+      // yields (plan-stats bytes / maxPartitionBytes) and only widen when
+      // that is below cluster parallelism — the small-file case. A real
+      // cluster scan (TBs, maxPartitionBytes splits) passes through.
+      val maxPart = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+      val estParts = (plan.stats.sizeInBytes + maxPart - 1) / maxPart
+      if (estParts < target) df.repartition(target) else df
+    }
   }
 
   /** Distinct word-3-gram shingles per document: (doc_id, shingle).

@@ -147,7 +147,11 @@ object TopicStoreLog {
     case b: Boolean => b.toString
     case l: Long => l.toString
     case d: Double =>
-      if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) f"$d%.1f" else d.toString
+      // Locale.ROOT: the f-interpolator uses the JVM default locale, which
+      // on comma-decimal locales would emit `1,5` — invalid JSON.
+      if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15)
+        String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
+      else d.toString
     case s: String => "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"

@@ -229,31 +229,8 @@ object DocumentStore {
     * distributed over the executors (a 100 TB table has ~10^5 files; the
     * driver only lists them).
     */
-  def countEstimate(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
-    import org.apache.hadoop.fs.Path
-    import scala.collection.mutable.ArrayBuffer
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = ArrayBuffer.empty[String]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val name = f.getPath.getName
-      if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) files += f.getPath.toString
-    }
-    if (files.isEmpty) 0L
-    else spark.sparkContext
-      .parallelize(files.toSeq, math.min(files.size, spark.sparkContext.defaultParallelism))
-      .map { p =>
-        import scala.jdk.CollectionConverters._
-        val conf = new org.apache.hadoop.conf.Configuration()
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(p), conf)
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-        finally reader.close()
-      }
-      .sum().toLong
-  }
+  def countEstimate(spark: org.apache.spark.sql.SparkSession, path: String): Long =
+    FooterStats.rowCount(spark, FooterStats.listDataFiles(spark, path))
 
   /** Incremental clone (`mongodb_to_mongodb_clone_fast`,
     * convert.py:136-186): copy only documents whose id is absent from the
@@ -395,9 +372,16 @@ object DocumentStore {
     val left = widen(left0)
     val right = widen(right0)
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+    // Skip the session-global mutation when the strategy is already
+    // planner-visible (e.g. injected by GraftExtensions); otherwise
+    // check-and-append atomically — two concurrent callers on one session
+    // must not append twice or drop a concurrently-added strategy.
+    if (!spark.sessionState.planner.strategies.contains(graft.plans.AsofJoinStrategy))
+      spark.experimental.synchronized {
+        if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+          spark.experimental.extraStrategies =
+            spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+      }
     // a self-join of the same source would duplicate expr-ids across the
     // two sides; re-alias the right side to fresh ids before planning
     val r = if (right.queryExecution.analyzed.outputSet

@@ -42,9 +42,17 @@ object Layout {
     require(cols.size * bits <= 63, "interleaved width must fit a long")
     val scaled = cols.zipWithIndex.map { case (c, i) =>
       val span = math.max(1L, maxs(i) - mins(i))
-      // (c - min) * (2^bits - 1) / span, clamped into [0, 2^bits)
-      least(lit((1L << bits) - 1), greatest(lit(0L),
-        (c - lit(mins(i))) * lit((1L << bits) - 1) / lit(span))).cast("long")
+      val k = (1L << bits) - 1
+      // (c - min) * k / span, clamped into [0, 2^bits). The long product
+      // overflows once span > Long.Max / k (e.g. nanosecond timestamps
+      // spanning > ~2 days at bits=16) — ANSI mode then fails the write at
+      // runtime. Exact long math where the product provably fits; otherwise
+      // scale in double (2^-53 relative error on a bucket index is
+      // irrelevant to clustering quality).
+      val raw =
+        if (span <= Long.MaxValue / k) (c - lit(mins(i))) * lit(k) / lit(span)
+        else floor((c - lit(mins(i))).cast("double") / lit(span.toDouble) * lit(k.toDouble))
+      least(lit(k), greatest(lit(0L), raw)).cast("long")
     }
     val k = cols.size
     (for (i <- 0 until k; b <- 0 until bits) yield

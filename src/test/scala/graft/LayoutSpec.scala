@@ -89,6 +89,24 @@ class LayoutSpec extends AnyFunSuite {
     assert(avg(zTs) < fullTs * 0.75, s"z-order ts span ${avg(zTs)} vs full $fullTs")
   }
 
+  test("z-order survives nanosecond-wide spans (no long overflow under ANSI)") {
+    // span ≈ 30 days in nanos (2.6e15) — the exact-long scaling path would
+    // overflow (span * 65535 >> Long.Max) and ANSI mode fails the write.
+    val dayNs = 86400L * 1000000000L
+    val base = spark.range(0, 20000).selectExpr(
+      s"id * ${30 * dayNs / 20000} + 1500000000000000000 as ts_ns",
+      "cast(id % 97 as long) as user_id",
+      "id as v")
+    val tmp = Files.createTempDirectory("graft_znano").toString
+    val small = Map("parquet.block.size" -> "16384")
+    Layout.writeZOrdered(base, s"$tmp/z", Seq("ts_ns", "user_id"), bits = 16, options = small)
+    assert(spark.read.parquet(s"$tmp/z").count() === 20000)
+    // still clustered on the wide dimension: row groups span a fraction
+    val zTs = rowGroupSpans(s"$tmp/z", "ts_ns")
+    assert(zTs.size > 4, s"expected several row groups, got ${zTs.size}")
+    assert(zTs.max < 30 * dayNs, "row groups must not each span the whole ts domain")
+  }
+
   test("salted join equals the plain join") {
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "event_type")
     val dim = Tables.customer(spark, sf).select(col("c_custkey").as("user_id"), col("c_name"))

@@ -138,6 +138,16 @@ class StoreOpsSpec extends AnyFunSuite {
       spark.sparkContext.defaultParallelism)
   }
 
+  test("spread passes a shuffle-wide plan through untouched (no materialization)") {
+    // a joined input is already shuffle.partitions wide; spread must return
+    // it as-is — crucially WITHOUT touching df.rdd, which under AQE would
+    // execute the join just to read a partition count that is then discarded
+    val joined = ev.join(ev.select("event_id"), "event_id")
+    assert(graft.ops.Dedup.spread(joined) eq joined)
+    val agged = ev.groupBy("event_type").count()
+    assert(graft.ops.Dedup.spread(agged) eq agged)
+  }
+
   test("migrate writes once and reports the copied-row count from footers") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_migrate").toString + "/dst"
     val src = ev.select("event_id", "event_type")
