@@ -21,7 +21,12 @@ object Bench {
     catch { case _: Throwable => }
     // Two timed runs per query, report the min: local[32] timings are
     // noisy (GC, thread scheduling); the min is the steady-state cost.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated name filter for local iteration on a
+    // single query's timing (e.g. SPARK_GRAFT_ONLY=dedup_clusters).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -87,7 +87,14 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
                         threshold: Double, maxDocFreq: Option[Int] = Some(500)): DataFrame = {
-    val sh = shingles(df, idCol, textCol, maxDocFreq).cache()
+    // The self-join key is the 64-bit hash of the shingle, not the ~25-byte
+    // string: the candidate join is the largest shuffle in the op and the
+    // hash shrinks it ~3× (and compares/sorts faster). Two distinct
+    // shingles of one doc pair colliding would off-by-one `shared` —
+    // P ≈ pairs·shingles²/2^64, vanishing even at corpus scale.
+    val sh = shingles(df, idCol, textCol, maxDocFreq)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val cand = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -126,9 +133,14 @@ object Dedup {
   def contamination(df: DataFrame, idCol: Column, textCol: Column,
                     bench: DataFrame, benchIdCol: Column, benchTextCol: Column,
                     nGram: Int = 13): DataFrame = {
+    // Join on the 64-bit gram hash: a 13-gram string is ~100 bytes and the
+    // corpus gram table is the largest intermediate in the whole pipeline —
+    // hashing cuts its shuffle ~10×. A collision would flag one extra doc
+    // (P ≈ grams²/2^64); decontamination over-flagging is the safe side.
     val corpusGrams = ngramSet(df, idCol, textCol, nGram)
+      .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
     val benchGrams = ngramSet(bench, benchIdCol, benchTextCol, nGram)
-      .select("gram").distinct()
+      .select(xxhash64(col("gram")).as("gram")).distinct()
     corpusGrams.join(benchGrams, "gram")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"))
@@ -233,8 +245,19 @@ object Dedup {
     * doubles per iteration.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Both sides of every per-round join are hash-partitioned on the join
+    // key BEFORE their localCheckpoint: LogicalRDD preserves the physical
+    // outputPartitioning, so each round's edges⋈labels and labels⋈pushed
+    // joins plan with NO exchange — the only shuffle left per round is the
+    // min-label groupBy. (At 100 TB the per-round exchanges, not the
+    // label math, are the cost of distributed CC.)
+    // numShufflePartitions, not defaultParallelism: the per-round groupBy
+    // lands on shuffle.partitions-many partitions, and the follow-up join
+    // is exchange-free only when labels' count matches it.
+    val n = pairs.sparkSession.sessionState.conf.numShufflePartitions
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .repartition(n, col("a"))
       .localCheckpoint()
     var labels = edges.select(col("a").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
