@@ -24,19 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object TopicStoreLog {
 
-  /** One row per decoded record: (file, pos, doc JSON string). */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.topic_store")
-      .load(path)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (file, bytes) =>
-        decodeStream(bytes).zipWithIndex.map { case (json, i) => (file, i.toLong, json) }
-      }
-      .toDF("file", "pos", "doc")
-  }
+  /** One row per decoded record: (file, pos, doc JSON string). Delegates
+    * to the V2 source ([[TopicStoreSource]]), which plans a native batch
+    * scan with column pruning and one partition per log file.
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("topicstore").load(path)
 
   /** Decode back-to-back pickle records until EOF or the first undecodable
     * record (no resync is possible without a framing layer — the reference

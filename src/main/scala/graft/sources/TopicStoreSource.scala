@@ -1,0 +1,151 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.store.SerializableHadoopConf
+
+/** DataSource V2 for the reference's `.topic_store` append-only pickle
+  * logs (reference src/topic_store/filesystem.py:20-69) — the custom-source
+  * tier of the Spark extension surface: `spark.read.format("topicstore")
+  * .load(dir)` plans a native batch scan with column pruning, one input
+  * partition per file (pickle streams carry no record framing, so the file
+  * is the split unit — capture deployments produce many per-session logs,
+  * which is the parallelism).
+  *
+  * Decoding is [[TopicStoreLog.decodeStream]] — the same protocol-2 subset
+  * VM, skip-on-corrupt semantics identical to the reference's iterator.
+  * Schema: (file string, pos long, doc string<canonical JSON>).
+  */
+class TopicStoreSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "topicstore"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = TopicStoreSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new TopicStoreTable(TopicStoreSource.paths(properties))
+}
+
+object TopicStoreSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false),
+    StructField("doc", StringType, nullable = false)))
+
+  /** `load(p)` arrives as `path`; `load(p1, p2, …)` as a JSON array in
+    * `paths`. Quoted-string extraction covers the array form (log paths
+    * with embedded quotes are not a thing this source supports).
+    */
+  private[sources] def paths(properties: util.Map[String, String]): Seq[String] = {
+    val single = Option(properties.get("path")).toSeq
+    val multi = Option(properties.get("paths")).toSeq.flatMap { arr =>
+      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(arr).map(_.group(1)).toSeq
+    }
+    val all = single ++ multi
+    require(all.nonEmpty, "topicstore source requires a path: .load(dir)")
+    all
+  }
+}
+
+class TopicStoreTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"topicstore(${paths.mkString(",")})"
+  override def schema(): StructType = TopicStoreSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TopicStoreScanBuilder(paths)
+}
+
+class TopicStoreScanBuilder(paths: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = TopicStoreSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve source column order regardless of the requested order
+    val names = requiredSchema.fieldNames.toSet
+    required = StructType(TopicStoreSource.Schema.filter(f => names.contains(f.name)))
+  }
+  override def build(): Scan = new TopicStoreScan(paths, required)
+}
+
+class TopicStoreScan(paths: Seq[String], required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    paths.flatMap { p =>
+      val root = new Path(p)
+      val fs = root.getFileSystem(conf)
+      if (!fs.exists(root)) Seq.empty
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+        val it = fs.listFiles(root, true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && f.getPath.getName.endsWith(".topic_store"))
+            out += TopicStoreInputPartition(f.getPath.toString, f.getLen)
+        }
+        out.toSeq
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TopicStoreReaderFactory(required,
+      new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration))
+}
+
+case class TopicStoreInputPartition(path: String, length: Long) extends InputPartition
+
+class TopicStoreReaderFactory(required: StructType, conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[TopicStoreInputPartition]
+    new PartitionReader[InternalRow] {
+      // whole-file read: the log is one unsplittable pickle stream, same
+      // memory shape as the binaryFile source (files are session-capture
+      // sized, not table-sized)
+      private val records: Iterator[(Long, String)] = {
+        val fsPath = new Path(p.path)
+        val fs = fsPath.getFileSystem(conf.value)
+        val in = fs.open(fsPath)
+        val bytes = try {
+          val buf = new Array[Byte](p.length.toInt)
+          in.readFully(0, buf)
+          buf
+        } finally in.close()
+        TopicStoreLog.decodeStream(bytes).iterator.zipWithIndex
+          .map { case (json, i) => (i.toLong, json) }
+      }
+      private val file = UTF8String.fromString(p.path)
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (!records.hasNext) false
+        else {
+          val (pos, json) = records.next()
+          val values = required.fieldNames.map {
+            case "file" => file
+            case "pos" => java.lang.Long.valueOf(pos)
+            case "doc" => UTF8String.fromString(json)
+          }
+          current = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+          true
+        }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

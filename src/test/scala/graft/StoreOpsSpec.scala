@@ -176,6 +176,21 @@ class StoreOpsSpec extends AnyFunSuite {
     assert(parsed.count() === 2)
   }
 
+  test("topicstore V2 source: format() scan, column pruning, per-file splits") {
+    val dir = new java.io.File(getClass.getResource("/sample.topic_store").toURI).getParent
+    val df = spark.read.format("topicstore").load(dir)
+    assert(df.schema.fieldNames.toSeq === Seq("file", "pos", "doc"))
+    assert(df.count() === 3)
+    // projection must prune at the scan: a doc-only read reports a
+    // doc-only ReadSchema in the V2 scan node
+    val pruned = df.select("doc")
+    val scanLine = pruned.queryExecution.executedPlan.toString
+      .split("\n").find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("doc") && !scanLine.contains("pos"),
+      s"expected doc-only scan schema, got: $scanLine")
+    assert(pruned.collect().map(_.getString(0)).exists(_.contains("\"session\":\"s01\"")))
+  }
+
   test("byteSizes totals leaf bytes: fixed widths plus octet lengths") {
     import spark.implicits._
     val df = Seq((1L, "abc", Some(2.0)), (2L, "é", None)).toDF("id", "s", "v")
