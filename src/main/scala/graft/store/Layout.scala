@@ -79,6 +79,62 @@ object Layout {
       .write.options(options).mode("overwrite").parquet(path)
   }
 
+  /** Outcome of a [[compact]] run. */
+  case class CompactStats(groups: Int, filesIn: Int, filesOut: Int, bytesIn: Long)
+
+  /** Small-file compaction — the maintenance job every long-lived 100 TB
+    * table needs: streaming/append ingest (insertAppend, migrate, the
+    * foreachBatch sink) accretes files far below the optimal scan size, and
+    * a 10^6-file table pays footer-open and task-schedule cost per file.
+    *
+    * Files smaller than `targetBytes / 2` are grouped BY PARENT DIRECTORY
+    * (so Hive-style `partitionBy` layouts compact within, never across,
+    * partitions), each group is rewritten into ceil(groupBytes/targetBytes)
+    * files, the rewrites move in, and only then are the originals deleted.
+    * Crash mid-run therefore never loses rows; a crash between move-in and
+    * delete leaves temporary duplicates (re-running the job converges) —
+    * the same non-transactional contract as Hive compaction. Files already
+    * at-or-above half the target are left untouched: no rewrite churn on a
+    * healthy table.
+    */
+  def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20): CompactStats = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return CompactStats(0, 0, 0, 0L)
+    val small = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith(".") &&
+          f.getLen < targetBytes / 2)
+        small += ((f.getPath.getParent.toString, f.getPath.toString, f.getLen))
+    }
+    // a lone small file per directory is already as compact as it gets
+    val groups = small.groupBy(_._1).filter(_._2.size > 1)
+    var filesOut = 0
+    groups.foreach { case (parent, files) =>
+      val bytes = files.map(_._3).sum
+      val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      val tmp = new org.apache.hadoop.fs.Path(parent, s".compact_${java.util.UUID.randomUUID()}")
+      spark.read.parquet(files.map(_._2).toSeq: _*)
+        .repartition(n)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val moved = fs.listStatus(tmp).filter { s =>
+        val nm = s.getPath.getName
+        s.isFile && !nm.startsWith("_") && !nm.startsWith(".")
+      }
+      moved.foreach { s =>
+        fs.rename(s.getPath, new org.apache.hadoop.fs.Path(parent, s"compacted_${s.getPath.getName}"))
+      }
+      filesOut += moved.length
+      files.foreach { case (_, p, _) => fs.delete(new org.apache.hadoop.fs.Path(p), false) }
+      fs.delete(tmp, true)
+    }
+    CompactStats(groups.size, groups.valuesIterator.map(_.size).sum, filesOut,
+      groups.valuesIterator.flatMap(_.map(_._3)).sum)
+  }
+
   /** Skew-safe equi-join: fan the (big, possibly skewed) left side over
     * `salt` sub-keys derived from a unique column, replicate the small
     * right side across all sub-keys, join on (key, salt). Output equals

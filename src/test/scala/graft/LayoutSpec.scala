@@ -107,6 +107,32 @@ class LayoutSpec extends AnyFunSuite {
     assert(zTs.max < 30 * dayNs, "row groups must not each span the whole ts domain")
   }
 
+  test("compact merges small files within partitions, preserving rows") {
+    val out = Files.createTempDirectory("graft_compact").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .withColumn("bucket", (col("user_id") % 2).cast("int"))
+    // 40 tiny files spread over 2 partition directories
+    ev.repartition(20).write.partitionBy("bucket").mode("overwrite").parquet(out)
+    def dataFiles() = graft.store.FooterStats.listDataFiles(spark, out)
+    val before = dataFiles().size
+    assert(before >= 30, s"expected many small files, got $before")
+    val stats = Layout.compact(spark, out, targetBytes = 512L << 20)
+    assert(stats.groups === 2 && stats.filesIn === before)
+    val after = dataFiles()
+    assert(after.size === stats.filesOut && after.size <= 2,
+      s"expected one file per partition dir, got ${after.size}")
+    // partition directories intact, content identical
+    val back = spark.read.parquet(out)
+    assert(back.count() === ev.count())
+    assert(back.select("bucket").distinct().count() === 2)
+    assert(back.agg(sum("event_id")).collect()(0).getLong(0) ===
+      ev.agg(sum("event_id")).collect()(0).getLong(0))
+    // idempotent: a second run finds nothing to do
+    val again = Layout.compact(spark, out, targetBytes = 512L << 20)
+    assert(again.filesIn === 0 && again.filesOut === 0)
+  }
+
   test("salted join equals the plain join") {
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "event_type")
     val dim = Tables.customer(spark, sf).select(col("c_custkey").as("user_id"), col("c_name"))
