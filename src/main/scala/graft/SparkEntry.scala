@@ -371,6 +371,10 @@ object SparkEntry {
     "agg_pivot" -> ((s, dir) => Analytics.eventPivot(s, dir)),
     "q3_top_revenue" -> ((s, dir) => Analytics.topRevenue(s, dir)),
     "q5_region_revenue" -> ((s, dir) => Analytics.regionRevenue(s, dir)),
+    "q7_nation_volume" -> ((s, dir) => Analytics.nationVolume(s, dir)),
+    "q10_returned_revenue" -> ((s, dir) => Analytics.returnedRevenue(s, dir)),
+    "q12_priority_shipping" -> ((s, dir) => Analytics.priorityShipping(s, dir)),
+    "q14_promo_revenue" -> ((s, dir) => Analytics.promoRevenue(s, dir)),
     "topk_orders_window" -> ((s, dir) => Analytics.topOrdersPerCustomer(s, dir)),
 
     // ── §2c training-data pipeline ────────────────────────────────────
@@ -678,6 +682,48 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT supp_nation, cust_nation, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN (SELECT n_nationkey AS s_nk, n_name AS supp_nation FROM nation) sn ON s_nationkey = s_nk
+        |JOIN (SELECT n_nationkey AS c_nk, n_name AS cust_nation FROM nation) cn ON c_nationkey = c_nk
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((supp_nation = 'NATION_13' AND cust_nation = 'NATION_19')
+        |    OR (supp_nation = 'NATION_19' AND cust_nation = 'NATION_13'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1998-07-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q12_priority_shipping" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT 100 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
 
     "topk_orders_window" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

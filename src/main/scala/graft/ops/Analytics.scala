@@ -189,6 +189,81 @@ object Analytics {
       .orderBy("c_nationkey")
   }
 
+  /** TPC-H Q7 pattern: bidirectional nation-pair trade volume by year.
+    * The nation dimension is filtered to the TWO named nations BEFORE its
+    * broadcast joins (the pushable half of the pair predicate — it shrinks
+    * both join fans 25/2×); the cross-side OR (supp=n1 ∧ cust=n2 ∨ vice
+    * versa), which no single-side filter can express, runs after. Both
+    * nation joins broadcast: the dimension is 25 rows at any scale factor.
+    */
+  def nationVolume(spark: SparkSession, dir: String,
+                   n1: String = "NATION_13", n2: String = "NATION_19"): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(n1, n2)).select(col("n_nationkey"), col("n_name"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    li.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("s_nk"))
+      .join(broadcast(nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+        (col("supp_nation") === n2 && col("cust_nation") === n1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(revenueExpr).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q10 pattern: lost revenue from returned items per customer,
+    * top-20. Time-filtered orders and the R-flag filter both reach their
+    * scans; the nation join broadcasts; top-20 is TakeOrdered.
+    */
+  def returnedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(revenueExpr).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q12 pattern: conditional aggregation — CASE WHEN inside the
+    * sums, one pass over the join, no per-branch subqueries.
+    */
+  def priorityShipping(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TPC-H Q14 pattern: promo revenue share — two conditional decimal sums
+    * and one division, a single scan+join pass. Nulls from the unmatched
+    * WHEN branch vanish in the sum on both engines.
+    */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+    li.join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) * sum(when(col("p_type") === "PROMO", revenueExpr)).cast("double") /
+        sum(revenueExpr).cast("double")).as("promo_revenue"))
+  }
+
   /** Rollup: hierarchical subtotals in one pass (grand total + per-group),
     * Spark's GROUPING SETS machinery.
     */
