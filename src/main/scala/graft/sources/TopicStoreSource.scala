@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -63,7 +64,7 @@ class TopicStoreTable(paths: Seq[String]) extends Table with SupportsRead {
   override def name(): String = s"topicstore(${paths.mkString(",")})"
   override def schema(): StructType = TopicStoreSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TopicStoreScanBuilder(paths)
 }
@@ -106,6 +107,82 @@ class TopicStoreScan(paths: Seq[String], required: StructType) extends Scan with
   override def createReaderFactory(): PartitionReaderFactory =
     new TopicStoreReaderFactory(required,
       new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration))
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new TopicStoreMicroBatchStream(paths, required)
+}
+
+/** Offset = the set of ingested log files with the length each was
+  * ingested at — the same immutable-once-visible contract as Spark's file
+  * source: a `.topic_store` log becomes visible when the capture session
+  * closes it, and appends after visibility are not re-read (resuming
+  * mid-file is impossible anyway: pickle records carry no framing, so a
+  * byte offset that cuts a record cannot be decoded past).
+  */
+case class TopicStoreOffset(files: Map[String, Long]) extends Offset {
+  override def json(): String = {
+    val m = new util.TreeMap[String, java.lang.Long]()
+    files.foreach { case (k, v) => m.put(k, v) }
+    new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(m)
+  }
+}
+
+object TopicStoreOffset {
+  def fromJson(json: String): TopicStoreOffset = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(json, classOf[util.Map[String, Number]])
+    TopicStoreOffset(m.asScala.map { case (k, v) => k -> v.longValue() }.toMap)
+  }
+}
+
+/** Micro-batch tail of a capture directory: each poll lists the current
+  * `.topic_store` files; a batch is the files that appeared since the
+  * previous offset (whole files — the file is the split unit in this
+  * format). This is the "capture → storage" live path run with the same
+  * decoder as the batch scan. At 10^5-file scale the offset map is the
+  * frontier; production deployments should compact ingested files away
+  * (see Layout.compact) or partition capture dirs by date.
+  */
+class TopicStoreMicroBatchStream(paths: Seq[String], required: StructType)
+    extends MicroBatchStream {
+  private val conf = SparkSession.active.sparkContext.hadoopConfiguration
+  private val serConf = new SerializableHadoopConf(conf)
+
+  private def listNow(): Map[String, Long] =
+    paths.flatMap { p =>
+      val root = new Path(p)
+      val fs = root.getFileSystem(conf)
+      if (!fs.exists(root)) Seq.empty
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        val it = fs.listFiles(root, true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && f.getPath.getName.endsWith(".topic_store"))
+            out += ((f.getPath.toString, f.getLen))
+        }
+        out.toSeq
+      }
+    }.toMap
+
+  override def initialOffset(): Offset = TopicStoreOffset(Map.empty)
+  override def latestOffset(): Offset = TopicStoreOffset(listNow())
+  override def deserializeOffset(json: String): Offset = TopicStoreOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[TopicStoreOffset].files.keySet
+    val target = end.asInstanceOf[TopicStoreOffset].files
+    target.iterator
+      .filterNot { case (p, _) => seen.contains(p) }
+      .map { case (p, len) => TopicStoreInputPartition(p, len): InputPartition }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TopicStoreReaderFactory(required, serConf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class TopicStoreInputPartition(path: String, length: Long) extends InputPartition

@@ -15,6 +15,35 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, 
 class StreamingSpec extends AnyFunSuite {
   import TestSession._
 
+  test("topicstore micro-batch stream tails a capture dir, exactly-once per file") {
+    val dir = Files.createTempDirectory("graft_tslog").toString
+    val ckpt = Files.createTempDirectory("graft_tslog_ckpt").toString
+    val fixture = new java.io.File(getClass.getResource("/sample.topic_store").toURI)
+    java.nio.file.Files.copy(fixture.toPath, java.nio.file.Paths.get(dir, "a.topic_store"))
+
+    val out = Files.createTempDirectory("graft_tslog_out").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("topicstore").load(dir)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() === 3, "3 decodable records in the fixture")
+
+    // a new capture file appears; resume from the checkpoint — only the
+    // new file is read (the offset carries the ingested-file frontier)
+    java.nio.file.Files.copy(fixture.toPath, java.nio.file.Paths.get(dir, "b.topic_store"))
+    drain()
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length === 6, s"second batch must append exactly the new file, got ${rows.length}")
+    assert(rows.map(_.getAs[String]("file")).distinct.sorted.toSeq ===
+      Seq(s"file:$dir/a.topic_store", s"file:$dir/b.topic_store"))
+  }
+
   private def sampleEvents: Seq[Ev] = {
     val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
     (0 until 100).map { i =>
