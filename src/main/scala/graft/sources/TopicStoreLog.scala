@@ -31,6 +31,84 @@ object TopicStoreLog {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.format("topicstore").load(path)
 
+  /** Export a DataFrame with a `doc` column (canonical JSON, the shape
+    * [[read]] returns) back to `.topic_store` logs — the reverse convert
+    * direction (reference convert.py: storage → `TopicStorage` file). One
+    * log file per partition, written executor-side with the session's
+    * Hadoop configuration; records are pickle protocol-2, so the
+    * reference's own `TopicStorage.__iter__` can read the output.
+    */
+  def write(df: DataFrame, path: String): Unit = {
+    val conf = new graft.store.SerializableHadoopConf(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    df.select(col("doc").cast("string")).foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.nonEmpty) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val file = new org.apache.hadoop.fs.Path(
+            path, f"part-$pid%05d-${java.util.UUID.randomUUID()}.topic_store")
+          val fs = file.getFileSystem(conf.value)
+          val out = fs.create(file, true)
+          try rows.foreach(r => out.write(encodeOne(r.getString(0))))
+          finally out.close()
+        }
+    }
+  }
+
+  /** One canonical-JSON document → one pickle protocol-2 record (the
+    * opcode subset [[decodeOne]] reads back: PROTO/EMPTY_DICT/SETITEMS/
+    * EMPTY_LIST/APPENDS/BINUNICODE/LONG1/BINFLOAT/NEWTRUE/NEWFALSE/NONE).
+    */
+  private[sources] def encodeOne(json: String): Array[Byte] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x80); out.write(2) // PROTO 2
+    def i4le(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def enc(n: com.fasterxml.jackson.databind.JsonNode): Unit = n match {
+      case null => out.write('N')
+      case _ if n.isNull => out.write('N')
+      case _ if n.isBoolean => out.write(if (n.asBoolean()) 0x88 else 0x89)
+      case _ if n.isIntegralNumber =>
+        val v = n.asLong()
+        if (v >= 0 && v < 256) { out.write('K'); out.write(v.toInt) }
+        else if (v >= Int.MinValue && v <= Int.MaxValue) { out.write('J'); i4le(v.toInt) }
+        else { // LONG1, little-endian signed, minimal width
+          val raw = BigInt(v).toByteArray.reverse
+          out.write(0x8a); out.write(raw.length); out.write(raw)
+        }
+      case _ if n.isNumber => // BINFLOAT, big-endian IEEE double
+        val bits = java.lang.Double.doubleToLongBits(n.asDouble())
+        out.write('G')
+        var k = 7
+        while (k >= 0) { out.write(((bits >> (8 * k)) & 0xff).toInt); k -= 1 }
+      case _ if n.isTextual =>
+        val b = n.asText().getBytes("UTF-8")
+        out.write('X'); i4le(b.length); out.write(b)
+      case _ if n.isArray =>
+        out.write(']'); out.write('(')
+        n.elements().forEachRemaining(enc(_))
+        out.write('e')
+      case _ if n.isObject =>
+        out.write('}'); out.write('(')
+        // canonical order on the wire too: sorted keys
+        val names = scala.collection.mutable.ArrayBuffer.empty[String]
+        n.fieldNames().forEachRemaining(names += _)
+        names.sorted.foreach { k =>
+          val b = k.getBytes("UTF-8")
+          out.write('X'); i4le(b.length); out.write(b)
+          enc(n.get(k))
+        }
+        out.write('u')
+      case other => throw new IllegalArgumentException(s"unencodable node: $other")
+    }
+    enc(node)
+    out.write('.')
+    out.toByteArray
+  }
+
   /** Decode back-to-back pickle records until EOF or the first undecodable
     * record (no resync is possible without a framing layer — the reference
     * hits the same wall and stops yielding).

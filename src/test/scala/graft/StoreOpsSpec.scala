@@ -191,6 +191,18 @@ class StoreOpsSpec extends AnyFunSuite {
     assert(pruned.collect().map(_.getString(0)).exists(_.contains("\"session\":\"s01\"")))
   }
 
+  test("topicstore write/read round-trips canonical JSON records") {
+    val dir = new java.io.File(getClass.getResource("/sample.topic_store").toURI).getParent
+    val docs = spark.read.format("topicstore").load(dir).select("doc")
+    val out = java.nio.file.Files.createTempDirectory("graft_tswrite").toString
+    graft.sources.TopicStoreLog.write(docs, out)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".topic_store"))
+    assert(files.nonEmpty, "write must produce .topic_store files")
+    val back = spark.read.format("topicstore").load(out).select("doc")
+    assert(back.collect().map(_.getString(0)).sorted.toSeq ===
+      docs.collect().map(_.getString(0)).sorted.toSeq)
+  }
+
   test("byteSizes totals leaf bytes: fixed widths plus octet lengths") {
     import spark.implicits._
     val df = Seq((1L, "abc", Some(2.0)), (2L, "é", None)).toDF("id", "s", "v")
