@@ -51,6 +51,11 @@ class ApiSpec extends AnyFunSuite {
     spark.range(5).write.mode("overwrite").saveAsTable("graft_load_t")
     assert(Graft.load(spark, "graft_load_t").count() === 5)
     intercept[IllegalArgumentException](Graft.load(spark, "no_such_thing"))
+    // native .topic_store containers dispatch to the V2 source, both as a
+    // single log file and as a capture directory
+    val log = new java.io.File(getClass.getResource("/sample.topic_store").toURI)
+    assert(Graft.load(spark, log.getAbsolutePath).count() === 3)
+    assert(Graft.load(spark, log.getParent).columns.toSeq === Seq("file", "pos", "doc"))
   }
 
   test("migrate copies only missing documents, append-only, idempotent") {
