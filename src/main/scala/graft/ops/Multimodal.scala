@@ -7,13 +7,128 @@ import org.apache.spark.sql.types._
 /** Multimodal columns: image/audio/video as opaque `binary` payloads with
   * typed metadata, plus the decode/feature-extract plumbing.
   *
-  * The actual media decoding (JPEG decode, resample, frame sample) is
-  * STUBBED — the container ships no image/audio libraries — with a
-  * deterministic fake that consumes the real bytes. Everything Spark-side
-  * is real: schema, batch iteration (`mapPartitions`, the Scala analog of
-  * `mapInPandas` batch shape), partitioning, and the metadata column flow.
+  * Decoding: WAV (RIFF/PCM16) and BMP (24-bit uncompressed) decode FOR
+  * REAL — pure-JVM byte parsing, no codec libraries — and feed genuine
+  * signal/pixel features. Compressed formats (JPEG, MP4, FLAC…) are
+  * STUBBED with a deterministic byte-fold (the container ships no codec
+  * libraries); the `mapPartitions` batch shape those would slot into is
+  * identical. Everything Spark-side is real either way: schema, batch
+  * iteration, partitioning, and the metadata column flow.
   */
 object Multimodal {
+
+  /** RIFF/WAVE PCM decode: (sampleRate, channels, int16 samples). None for
+    * anything that is not an uncompressed 16-bit PCM WAV.
+    */
+  private[ops] def decodeWav(b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    def u2(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u4(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    def tag(i: Int) = new String(b, i, 4, "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var rate = 0; var channels = 0; var bits = 0
+    var samples: Array[Short] = null
+    while (i + 8 <= b.length) {
+      val id = tag(i); val len = u4(i + 4)
+      id match {
+        case "fmt " =>
+          if (u2(i + 8) != 1) return None // PCM only
+          channels = u2(i + 10); rate = u4(i + 12); bits = u2(i + 22)
+          if (bits != 16) return None
+        case "data" =>
+          val n = math.min(len, b.length - i - 8) / 2
+          samples = new Array[Short](n)
+          var k = 0
+          while (k < n) { samples(k) = u2(i + 8 + 2 * k).toShort; k += 1 }
+        case _ => ()
+      }
+      i += 8 + len + (len & 1) // chunks are 2-byte aligned
+    }
+    if (rate > 0 && channels > 0 && samples != null) Some((rate, channels, samples)) else None
+  }
+
+  /** BMP decode (24-bit uncompressed, bottom-up): (width, height, packed
+    * 0xRRGGBB pixels in row-major top-down order). None otherwise.
+    */
+  private[ops] def decodeBmp(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    def u2(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u4(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val dataOff = u4(10); val w = u4(18); val h = u4(22)
+    if (u2(28) != 24 || u4(30) != 0 || w <= 0 || h <= 0) return None
+    val rowBytes = (w * 3 + 3) & ~3
+    if (dataOff + rowBytes.toLong * h > b.length) return None
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val src = dataOff + (h - 1 - y) * rowBytes // bottom-up storage
+      var x = 0
+      while (x < w) {
+        val i = src + 3 * x
+        px(y * w + x) = ((b(i + 2) & 0xff) << 16) | ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, px))
+  }
+
+  /** Audio features from decoded PCM: [rate/48k, channels, duration_sec,
+    * rms] ++ per-window RMS over dim-4 equal time slices. One fixed-order
+    * pass — deterministic across partitionings.
+    */
+  private[ops] def wavFeatures(rate: Int, channels: Int, s: Array[Short], dim: Int): Array[Float] = {
+    val f = new Array[Float](dim)
+    f(0) = rate / 48000.0f
+    f(1) = channels.toFloat
+    f(2) = if (rate * channels == 0) 0f else s.length.toFloat / (rate * channels)
+    var sq = 0.0
+    var i = 0
+    while (i < s.length) { val v = s(i) / 32768.0; sq += v * v; i += 1 }
+    f(3) = if (s.length == 0) 0f else math.sqrt(sq / s.length).toFloat
+    val bands = dim - 4
+    if (bands > 0 && s.length > 0) {
+      var w = 0
+      while (w < bands) {
+        val from = (s.length.toLong * w / bands).toInt
+        val until = (s.length.toLong * (w + 1) / bands).toInt
+        var bsq = 0.0; var k = from
+        while (k < until) { val v = s(k) / 32768.0; bsq += v * v; k += 1 }
+        f(4 + w) = if (until == from) 0f else math.sqrt(bsq / (until - from)).toFloat
+        w += 1
+      }
+    }
+    f
+  }
+
+  /** Image features from decoded pixels: [w/4096, h/4096, meanR, meanG,
+    * meanB] ++ a dim-5-bin luma histogram (mass-normalized).
+    */
+  private[ops] def bmpFeatures(w: Int, h: Int, px: Array[Int], dim: Int): Array[Float] = {
+    val f = new Array[Float](dim)
+    f(0) = w / 4096.0f; f(1) = h / 4096.0f
+    var r = 0L; var g = 0L; var bl = 0L
+    val bins = dim - 5
+    val hist = new Array[Long](math.max(bins, 1))
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      val pr = (p >> 16) & 0xff; val pg = (p >> 8) & 0xff; val pb = p & 0xff
+      r += pr; g += pg; bl += pb
+      if (bins > 0) {
+        val luma = (299 * pr + 587 * pg + 114 * pb) / 1000
+        hist(math.min(bins - 1, luma * bins / 256)) += 1
+      }
+      i += 1
+    }
+    val n = math.max(px.length, 1)
+    f(2) = r.toFloat / n / 255f; f(3) = g.toFloat / n / 255f; f(4) = bl.toFloat / n / 255f
+    var k = 0
+    while (k < bins) { f(5 + k) = hist(k).toFloat / n; k += 1 }
+    f
+  }
 
   /** Wrap a payload column as a typed asset: binary payload + metadata
     * struct (byte length + md5 fingerprint + declared kind).
@@ -35,13 +150,13 @@ object Multimodal {
 
   /** Decode + feature-extract over asset batches.
     *
-    * STUB: a real deployment decodes `payload` with an image/audio codec
-    * and runs a feature extractor; here the "features" are a deterministic
-    * fold of the payload bytes (so tests exercise the full data path).
-    * The `mapPartitions` shape — iterator in, iterator out, one JVM-side
-    * batch per partition — is exactly the contract a Pandas-UDF
-    * (`mapInPandas`) or JNI decoder would slot into, and partitioning is
-    * preserved (no shuffle).
+    * WAV and BMP payloads decode for real (see [[decodeWav]]/[[decodeBmp]])
+    * into signal/pixel features; other kinds — compressed codecs the
+    * container can't ship — fall back to a documented deterministic
+    * byte-fold so the data path still runs end-to-end. The `mapPartitions`
+    * shape — iterator in, iterator out, one JVM-side batch per partition —
+    * is exactly the contract a Pandas-UDF (`mapInPandas`) or JNI decoder
+    * slots into, and partitioning is preserved (no shuffle).
     */
   def decodeFeatures(assets: DataFrame, dim: Int = 8): DataFrame = {
     val spark = assets.sparkSession
@@ -50,12 +165,18 @@ object Multimodal {
         val id = row.getLong(0)
         val kind = row.getString(1)
         val payload = row.getAs[Array[Byte]](2)
-        // deterministic fake "decode": byte-histogram folded into dim floats
-        val feats = new Array[Float](dim)
-        var i = 0
-        while (i < payload.length) {
-          feats(i % dim) += (payload(i) & 0xff) / 255.0f
-          i += 1
+        val decoded: Option[Array[Float]] =
+          decodeWav(payload).map { case (r, c, s) => wavFeatures(r, c, s, dim) }
+            .orElse(decodeBmp(payload).map { case (w, h, px) => bmpFeatures(w, h, px, dim) })
+        val feats = decoded.getOrElse {
+          // STUB fallback for compressed codecs: byte-histogram fold
+          val f = new Array[Float](dim)
+          var i = 0
+          while (i < payload.length) {
+            f(i % dim) += (payload(i) & 0xff) / 255.0f
+            i += 1
+          }
+          f
         }
         Row(id, kind, payload.length, feats.toSeq)
       }

@@ -114,6 +114,69 @@ class DataOpsSpec extends AnyFunSuite {
     assert(f.exists(_ > 0f), "features should reflect payload bytes")
   }
 
+  /** A 1-second 8 kHz mono PCM16 WAV of a constant-amplitude square wave
+    * (|sample| = 16384 everywhere → RMS exactly 0.5).
+    */
+  private def squareWav(rate: Int = 8000): Array[Byte] = {
+    val n = rate
+    val out = new java.io.ByteArrayOutputStream()
+    def le2(v: Int) = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le4(v: Int) = { le2(v & 0xffff); le2((v >> 16) & 0xffff) }
+    out.write("RIFF".getBytes); le4(36 + 2 * n); out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); le4(16); le2(1); le2(1); le4(rate)
+    le4(rate * 2); le2(2); le2(16)
+    out.write("data".getBytes); le4(2 * n)
+    (0 until n).foreach(i => le2(if ((i / 4) % 2 == 0) 16384 else -16384 & 0xffff))
+    out.toByteArray
+  }
+
+  /** A w×h 24-bit BMP filled with one color (b, g, r byte order, bottom-up
+    * rows padded to 4 bytes).
+    */
+  private def solidBmp(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) & ~3
+    val data = rowBytes * h
+    val out = new java.io.ByteArrayOutputStream()
+    def le2(v: Int) = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le4(v: Int) = { le2(v & 0xffff); le2((v >> 16) & 0xffff) }
+    out.write('B'); out.write('M'); le4(54 + data); le4(0); le4(54)
+    le4(40); le4(w); le4(h); le2(1); le2(24); le4(0); le4(data)
+    le4(2835); le4(2835); le4(0); le4(0)
+    (0 until h).foreach { _ =>
+      (0 until w).foreach { _ =>
+        out.write(rgb & 0xff); out.write((rgb >> 8) & 0xff); out.write((rgb >> 16) & 0xff)
+      }
+      (w * 3 until rowBytes).foreach(_ => out.write(0))
+    }
+    out.toByteArray
+  }
+
+  test("WAV and BMP payloads decode for real; other kinds fall back to the stub") {
+    import spark.implicits._
+    val wav = squareWav()
+    val bmp = solidBmp(8, 4, 0x3366CC) // R=0x33 G=0x66 B=0xCC
+    val other = Array[Byte](1, 2, 3, 4)
+    val df = Seq((1L, "audio/wav", wav), (2L, "image/bmp", bmp), (3L, "application/opaque", other))
+      .toDF("asset_id", "kind", "payload")
+    val assets = Multimodal.toAsset(df, col("asset_id"), col("kind"), col("payload"))
+    val out = Multimodal.decodeFeatures(assets).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](r.fieldIndex("features"))).toMap
+
+    val a = out(1L) // [rate/48k, channels, duration, rms, band RMS...]
+    assert(math.abs(a(0) - 8000f / 48000f) < 1e-6)
+    assert(a(1) === 1.0f)
+    assert(math.abs(a(2) - 1.0f) < 1e-6, s"duration ${a(2)}")
+    assert(math.abs(a(3) - 0.5f) < 1e-6, s"square-wave RMS must be 0.5, got ${a(3)}")
+
+    val i = out(2L) // [w/4096, h/4096, meanR, meanG, meanB, luma hist...]
+    assert(math.abs(i(2) - 0x33 / 255f) < 1e-6)
+    assert(math.abs(i(3) - 0x66 / 255f) < 1e-6)
+    assert(math.abs(i(4) - 0xCC / 255f) < 1e-6)
+    assert(math.abs(i.drop(5).sum - 1.0f) < 1e-6, "luma histogram mass must be 1")
+
+    assert(out(3L).sum > 0f, "opaque kinds still flow through the stub fold")
+  }
+
   test("multimodal resize and frame-sample keep real plumbing over the stub codec") {
     val assets = Multimodal.toAsset(Tables.events(spark, sf),
       col("event_id"), col("event_type"), col("props"))
