@@ -133,6 +133,36 @@ class LayoutSpec extends AnyFunSuite {
     assert(again.filesIn === 0 && again.filesOut === 0)
   }
 
+  test("bloom-filter write: footers carry filters that answer membership") {
+    import scala.jdk.CollectionConverters._
+    val out = Files.createTempDirectory("graft_bloom").toString + "/t"
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("value"))
+    Layout.writeWithBloom(ev, out, Seq("event_id"), ndv = 10000L)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(files.nonEmpty)
+    val present = ev.agg(min("event_id")).collect()(0).getLong(0)
+    var checkedPresent = false
+    files.foreach { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.foreach { block =>
+        val cd = block.getColumns.asScala.find(_.getPath.toDotString == "event_id").get
+        val bloom = r.getBloomFilterDataReader(block).readBloomFilter(cd)
+        assert(bloom != null, "event_id must carry a bloom filter")
+        // a value present in SOME file must be claimed by THAT file's filter;
+        // an absent probe must (overwhelmingly) be rejected
+        if (bloom.findHash(bloom.hash(Long.box(present)))) checkedPresent = true
+        assert(!bloom.findHash(bloom.hash(Long.box(-987654321098765L))),
+          "absent key should not hit the filter")
+      } finally r.close()
+    }
+    assert(checkedPresent, "the present key must hit at least one file's filter")
+  }
+
   test("salted join equals the plain join") {
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "event_type")
     val dim = Tables.customer(spark, sf).select(col("c_custkey").as("user_id"), col("c_name"))
