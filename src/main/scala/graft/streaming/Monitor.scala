@@ -77,6 +77,27 @@ object Monitor {
       .trigger(trigger)
       .start()
 
+  /** Capture INTO the reference's native format: each micro-batch's `doc`
+    * rows (canonical JSON) are written as `.topic_store` pickle logs into a
+    * per-batch subdirectory — idempotent under replay (a restarted batch
+    * overwrites its own directory, never appends duplicates), and the
+    * output is tailable by `readStream.format("topicstore")` and readable
+    * by the reference's own file iterator. Closes the loop:
+    * live stream → native logs → (batch or streaming) scan.
+    */
+  def captureToTopicStore(stream: DataFrame, path: String, checkpoint: String,
+                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val dir = new org.apache.hadoop.fs.Path(path, f"batch_$batchId%08d")
+        val fs = dir.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        if (fs.exists(dir)) fs.delete(dir, true) // replayed batch: rewrite
+        graft.sources.TopicStoreLog.write(df.toDF(), dir.toString)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   /** Skip-on-error stream variant (database.py:292-325): drop rows whose
     * payload fails to parse rather than killing the query.
     */
