@@ -372,6 +372,7 @@ object SparkEntry {
     "q3_top_revenue" -> ((s, dir) => Analytics.topRevenue(s, dir)),
     "q5_region_revenue" -> ((s, dir) => Analytics.regionRevenue(s, dir)),
     "q7_nation_volume" -> ((s, dir) => Analytics.nationVolume(s, dir)),
+    "q8_market_share" -> ((s, dir) => Analytics.marketShare(s, dir)),
     "q10_returned_revenue" -> ((s, dir) => Analytics.returnedRevenue(s, dir)),
     "q12_priority_shipping" -> ((s, dir) => Analytics.priorityShipping(s, dir)),
     "q14_promo_revenue" -> ((s, dir) => Analytics.promoRevenue(s, dir)),
@@ -697,6 +698,23 @@ object SparkEntry {
         |    OR (supp_nation = 'NATION_19' AND cust_nation = 'NATION_13'))
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CASE WHEN sn.n_name = 'NATION_24'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
 
     "q10_returned_revenue" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,

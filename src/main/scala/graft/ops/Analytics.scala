@@ -264,6 +264,38 @@ object Analytics {
         sum(revenueExpr).cast("double")).as("promo_revenue"))
   }
 
+  /** TPC-H Q8 pattern: a nation's market share inside a region = the
+    * conditional-sum ratio per year over the widest join in the suite
+    * (lineitem ⋈ part ⋈ orders ⋈ customer ⋈ supplier + two nation lookups
+    * + region). Fixed dimensions (nation, region) broadcast; the p_type
+    * and date filters reach their scans; both ratio legs come out of ONE
+    * aggregation pass (no per-leg subqueries).
+    */
+  def marketShare(spark: SparkSession, dir: String, nationName: String = "NATION_24",
+                  regionName: String = "ASIA", ptype: String = "STANDARD"): DataFrame = {
+    val custNation = broadcast(Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk")))
+    val suppNation = broadcast(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).filter(col("p_type") === ptype),
+        col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(custNation, col("c_nationkey") === col("c_nk"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(suppNation, col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg((sum(when(col("supp_nation") === nationName, revenueExpr)).cast("double") /
+        sum(revenueExpr).cast("double")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
   /** Rollup: hierarchical subtotals in one pass (grand total + per-group),
     * Spark's GROUPING SETS machinery.
     */
