@@ -373,6 +373,7 @@ object SparkEntry {
     "q5_region_revenue" -> ((s, dir) => Analytics.regionRevenue(s, dir)),
     "q7_nation_volume" -> ((s, dir) => Analytics.nationVolume(s, dir)),
     "q8_market_share" -> ((s, dir) => Analytics.marketShare(s, dir)),
+    "q19_brand_revenue" -> ((s, dir) => Analytics.brandRevenue(s, dir)),
     "q10_returned_revenue" -> ((s, dir) => Analytics.returnedRevenue(s, dir)),
     "q12_priority_shipping" -> ((s, dir) => Analytics.priorityShipping(s, dir)),
     "q14_promo_revenue" -> ((s, dir) => Analytics.promoRevenue(s, dir)),
@@ -698,6 +699,13 @@ object SparkEntry {
         |    OR (supp_nation = 'NATION_19' AND cust_nation = 'NATION_13'))
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q19_brand_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 30)""".stripMargin,
 
     "q8_market_share" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,

@@ -296,6 +296,23 @@ object Analytics {
       .orderBy("o_year")
   }
 
+  /** TPC-H Q19 pattern: disjunctive multi-column predicates (OR of ANDs
+    * spanning both join sides). The per-side halves push down — Catalyst
+    * derives `p_brand IN (...)` / `p_size <= 50` / `l_quantity >= 10` from
+    * the disjunction and sends them to the scans — while the full
+    * cross-side OR evaluates after the join. One join, one scalar agg.
+    */
+  def brandRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cond =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity") >= 10) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) && col("l_quantity") >= 20) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) && col("l_quantity") >= 30)
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(sum(revenueExpr).cast("double").as("revenue"))
+  }
+
   /** Rollup: hierarchical subtotals in one pass (grand total + per-group),
     * Spark's GROUPING SETS machinery.
     */

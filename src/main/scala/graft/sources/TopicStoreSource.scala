@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -80,9 +80,21 @@ class TopicStoreScanBuilder(paths: Seq[String])
   override def build(): Scan = new TopicStoreScan(paths, required)
 }
 
-class TopicStoreScan(paths: Seq[String], required: StructType) extends Scan with Batch {
+class TopicStoreScan(paths: Seq[String], required: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Size = total log bytes (decoded JSON is the same order of magnitude)
+    * — feeds the optimizer's join-side sizing so a small capture dir can
+    * be broadcast instead of shuffled.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = planInputPartitions()
+      .map(_.asInstanceOf[TopicStoreInputPartition].length).sum
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
