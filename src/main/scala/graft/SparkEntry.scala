@@ -374,6 +374,7 @@ object SparkEntry {
     "q7_nation_volume" -> ((s, dir) => Analytics.nationVolume(s, dir)),
     "q8_market_share" -> ((s, dir) => Analytics.marketShare(s, dir)),
     "q19_brand_revenue" -> ((s, dir) => Analytics.brandRevenue(s, dir)),
+    "q15_top_supplier" -> ((s, dir) => Analytics.topSupplier(s, dir)),
     "q10_returned_revenue" -> ((s, dir) => Analytics.returnedRevenue(s, dir)),
     "q12_priority_shipping" -> ((s, dir) => Analytics.priorityShipping(s, dir)),
     "q14_promo_revenue" -> ((s, dir) => Analytics.promoRevenue(s, dir)),
@@ -400,6 +401,14 @@ object SparkEntry {
     "dedup_minhash_estimate" -> ((s, dir) =>
       Dedup.minhashEstimate(Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy("id1", "id2")),
+
+    "dedup_keep_canonical" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.keepCanonical(docs, col("doc_id"),
+          Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 0.5))
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -700,6 +709,18 @@ object SparkEntry {
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS r
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-10-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_rev
+        |FROM supplier JOIN rev ON l_suppkey = s_suppkey
+        |WHERE r = (SELECT max(r) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
     "q19_brand_revenue" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -955,6 +976,27 @@ object SparkEntry {
         |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "dedup_keep_canonical" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        |       FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0
+        |       JOIN (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 500) keep USING (shingle)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+        |         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id1, id2 FROM cand
+        |          JOIN cnt c1 ON c1.doc_id = id1 JOIN cnt c2 ON c2.doc_id = id2
+        |          WHERE shared / (c1.n + c2.n - shared) >= 0.5),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+        |reach AS (SELECT a, b FROM edges
+        |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+        |SELECT d.doc_id FROM documents d
+        |LEFT JOIN clusters c ON d.doc_id = c.doc_id AND c.doc_id != c.cluster_id
+        |WHERE c.doc_id IS NULL
+        |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_minhash_estimate" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),

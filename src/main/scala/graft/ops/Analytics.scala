@@ -313,6 +313,26 @@ object Analytics {
       .agg(sum(revenueExpr).cast("double").as("revenue"))
   }
 
+  /** TPC-H Q15 pattern: argmax join — the supplier(s) hitting the maximum
+    * quarterly revenue. The grouped revenue is computed ONCE; the scalar
+    * max broadcasts back over it (single-row cross join, no second scan of
+    * lineitem); ties all surface, exactly like the SQL `= (SELECT max …)`
+    * form. The equality compares exact decimals — comparing re-rounded
+    * doubles would be engine-dependent.
+    */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-10-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revenueExpr).as("r"))
+    rev.crossJoin(broadcast(rev.agg(max(col("r")).as("mx"))))
+      .filter(col("r") === col("mx"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("r").cast("double").as("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
   /** Rollup: hierarchical subtotals in one pass (grand total + per-group),
     * Spark's GROUPING SETS machinery.
     */

@@ -286,6 +286,18 @@ object Dedup {
     labels
   }
 
+  /** The actual dedup decision: keep one document per near-dup cluster
+    * (the min-id representative), pass every unclustered document through.
+    * One anti-join against the non-representative cluster members — the
+    * output is the deduplicated corpus, ready to replace the input.
+    */
+  def keepCanonical(df: DataFrame, idCol: Column, pairs: DataFrame): DataFrame = {
+    val dupes = connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("__dup_id"))
+    df.join(dupes, idCol === col("__dup_id"), "left_anti")
+  }
+
   /** Embedding cosine near-dup pairs, brute force within `id1 < id2`.
     * Doubles end-to-end with a deterministic per-pair fold; output rounded
     * to 6 dp (SURVEY.md §6). The scale path is Similarity.lshTopK —
