@@ -59,7 +59,7 @@ object TopicStoreLog {
     * opcode subset [[decodeOne]] reads back: PROTO/EMPTY_DICT/SETITEMS/
     * EMPTY_LIST/APPENDS/BINUNICODE/LONG1/BINFLOAT/NEWTRUE/NEWFALSE/NONE).
     */
-  private[sources] def encodeOne(json: String): Array[Byte] = {
+  private[graft] def encodeOne(json: String): Array[Byte] = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
     val out = new java.io.ByteArrayOutputStream()
     out.write(0x80); out.write(2) // PROTO 2
@@ -113,7 +113,7 @@ object TopicStoreLog {
     * record (no resync is possible without a framing layer — the reference
     * hits the same wall and stops yielding).
     */
-  private[sources] def decodeStream(bytes: Array[Byte]): Seq[String] = {
+  private[graft] def decodeStream(bytes: Array[Byte]): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var off = 0
     var ok = true
@@ -213,7 +213,7 @@ object TopicStoreLog {
   /** Canonical JSON: object keys sorted, minimal escaping — deterministic
     * across partitions and re-runs so downstream hashing is stable.
     */
-  private[sources] def toJson(v: Any): String = v match {
+  private[graft] def toJson(v: Any): String = v match {
     case null => "null"
     case b: Boolean => b.toString
     case l: Long => l.toString

@@ -15,6 +15,35 @@ class PropertySpec extends AnyFunSuite {
   import TestSession._
   import spark.implicits._
 
+  /** Generator of canonical-JSON document trees (the value domain
+    * `TopicStore.dict` payloads inhabit: maps/lists/strings/longs/doubles/
+    * bools/null, finite depth).
+    */
+  private def jsonGen(depth: Int): Gen[String] = {
+    val scalar = Gen.oneOf(
+      Gen.const("null"),
+      Gen.oneOf("true", "false"),
+      Gen.choose(Long.MinValue / 2, Long.MaxValue / 2).map(_.toString),
+      Gen.choose(-1e6, 1e6).map(d =>
+        graft.sources.TopicStoreLog.toJson(d)), // canonical double form
+      Gen.alphaNumStr.map(s => "\"" + s.take(12) + "\""))
+    if (depth == 0) scalar
+    else Gen.frequency(
+      3 -> scalar,
+      1 -> Gen.listOfN(3, jsonGen(depth - 1)).map(_.mkString("[", ",", "]")),
+      1 -> Gen.listOfN(3, Gen.zip(Gen.identifier.map(_.take(8)), jsonGen(depth - 1)))
+        .map(kvs => kvs.toMap.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")))
+  }
+
+  test("property: pickle encode→decode round-trips canonical JSON documents") {
+    forAll(Gen.listOfN(8, jsonGen(3)), n = 10) { docs =>
+      val bytes = docs.map(graft.sources.TopicStoreLog.encodeOne).reduceLeft(_ ++ _)
+      val back = graft.sources.TopicStoreLog.decodeStream(bytes)
+      assert(back === docs.toSeq)
+    }
+  }
+
   /** Drive a generator deterministically (seeded) for n samples. */
   private def forAll[A](gen: Gen[A], n: Int = 5)(body: A => Unit): Unit =
     (0 until n).foreach { i =>
