@@ -10,8 +10,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In, StringStartsWith}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -70,17 +71,38 @@ class TopicStoreTable(paths: Seq[String]) extends Table with SupportsRead {
 }
 
 class TopicStoreScanBuilder(paths: Seq[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = TopicStoreSource.Schema
+  private var filePredicates: Seq[String => Boolean] = Seq.empty
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve source column order regardless of the requested order
     val names = requiredSchema.fieldNames.toSet
     required = StructType(TopicStoreSource.Schema.filter(f => names.contains(f.name)))
   }
-  override def build(): Scan = new TopicStoreScan(paths, required)
+
+  /** `file` predicates prune whole logs BEFORE any byte is read — the
+    * point-lookup path for 10^5-file capture dirs. Every row of a file
+    * shares its `file` value, so partition-level pruning is exact; the
+    * filters are still reported as leftovers (Spark re-evaluates them
+    * row-side, which is free) so correctness never rests on the pruning.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    filePredicates = filters.toSeq.collect {
+      case EqualTo("file", v: String) => (p: String) => p == v
+      case In("file", vs) =>
+        val set = vs.collect { case s: String => s }.toSet
+        (p: String) => set.contains(p)
+      case StringStartsWith("file", prefix) => (p: String) => p.startsWith(prefix)
+    }
+    filters // all leftovers: row-side re-evaluation keeps semantics exact
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def build(): Scan = new TopicStoreScan(paths, required, filePredicates)
 }
 
-class TopicStoreScan(paths: Seq[String], required: StructType)
+class TopicStoreScan(paths: Seq[String], required: StructType,
+                     filePredicates: Seq[String => Boolean] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -108,8 +130,10 @@ class TopicStoreScan(paths: Seq[String], required: StructType)
         val it = fs.listFiles(root, true)
         while (it.hasNext) {
           val f = it.next()
-          if (f.isFile && f.getPath.getName.endsWith(".topic_store"))
-            out += TopicStoreInputPartition(f.getPath.toString, f.getLen)
+          val p = f.getPath.toString
+          if (f.isFile && f.getPath.getName.endsWith(".topic_store") &&
+              filePredicates.forall(_(p)))
+            out += TopicStoreInputPartition(p, f.getLen)
         }
         out.toSeq
       }

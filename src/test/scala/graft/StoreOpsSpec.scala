@@ -191,6 +191,20 @@ class StoreOpsSpec extends AnyFunSuite {
     assert(pruned.collect().map(_.getString(0)).exists(_.contains("\"session\":\"s01\"")))
   }
 
+  test("topicstore file predicates prune whole logs from the scan") {
+    val fixture = new java.io.File(getClass.getResource("/sample.topic_store").toURI)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsprune").toString
+    val a = java.nio.file.Paths.get(dir, "a.topic_store")
+    java.nio.file.Files.copy(fixture.toPath, a)
+    java.nio.file.Files.copy(fixture.toPath, java.nio.file.Paths.get(dir, "b.topic_store"))
+    val all = spark.read.format("topicstore").load(dir)
+    assert(all.rdd.getNumPartitions === 2)
+    val one = all.filter(col("file") === s"file:$a")
+    // pruned to ONE input partition — the other log is never opened
+    assert(one.rdd.getNumPartitions === 1)
+    assert(one.count() === 3)
+  }
+
   test("topicstore write/read round-trips canonical JSON records") {
     val dir = new java.io.File(getClass.getResource("/sample.topic_store").toURI).getParent
     val docs = spark.read.format("topicstore").load(dir).select("doc")
