@@ -84,5 +84,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", exprs => MinHashSig(exprs.head,
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles", exprs => WordShingles(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
   }
 }

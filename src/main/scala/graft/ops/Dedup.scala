@@ -55,13 +55,12 @@ object Dedup {
     */
   def shingles(df: DataFrame, idCol: Column, textCol: Column,
                maxDocFreq: Option[Int] = None): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val words = TextAnalysis.tokens(textCol)
     val sh = spread(df)
       .select(idCol.as("doc_id"), words.as("words"))
       .filter(size(col("words")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(
-        expr("transform(sequence(0, size(words)-3), i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))")))
-        .as("shingle"))
+      .select(col("doc_id"), explode(expr("graft_shingles(words, 3)")).as("shingle"))
     maxDocFreq match {
       case None => sh
       case Some(k) =>
@@ -110,13 +109,12 @@ object Dedup {
 
   /** Distinct word n-grams per document for arbitrary n: (doc_id, gram). */
   def ngramSet(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val words = TextAnalysis.tokens(textCol)
     spread(df)
       .select(idCol.as("doc_id"), words.as("words"))
       .filter(size(col("words")) >= n)
-      .select(col("doc_id"), explode(array_distinct(
-        expr(s"transform(sequence(0, size(words)-$n), i -> array_join(slice(words, i+1, $n), ' '))")))
-        .as("gram"))
+      .select(col("doc_id"), explode(expr(s"graft_shingles(words, $n)")).as("gram"))
   }
 
   /** Benchmark decontamination — the guard every LLM data pipeline runs
@@ -148,12 +146,11 @@ object Dedup {
 
   /** Distinct shingles per doc as one array row (input to MinHash). */
   def shingleArrays(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val words = TextAnalysis.tokens(textCol)
     spread(df).select(idCol.as("doc_id"), words.as("words"))
       .filter(size(col("words")) >= 3)
-      .select(col("doc_id"), array_distinct(
-        expr("transform(sequence(0, size(words)-3), i -> concat(words[i], ' ', words[i+1], ' ', words[i+2]))"))
-        .as("shingles"))
+      .select(col("doc_id"), expr("graft_shingles(words, 3)").as("shingles"))
   }
 
   /** MinHash signatures: numHashes independent permutations simulated by
