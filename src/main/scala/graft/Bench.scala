@@ -42,9 +42,10 @@ object Bench {
     val fullQs = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + j(v) }.mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
-    try {
-      val w = new java.io.PrintWriter("bench_full.json"); w.println(full); w.close()
-    } catch { case _: Throwable => }
+    if (only.isEmpty) // a filtered run must not clobber the full snapshot
+      try {
+        val w = new java.io.PrintWriter("bench_full.json"); w.println(full); w.close()
+      } catch { case _: Throwable => }
 
     // Final stdout line: same shape, but the per-query map keeps only the
     // slowest entries that fit a fixed byte budget so the whole line
