@@ -67,10 +67,11 @@ class TopicStoreTable(paths: Seq[String]) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TopicStoreScanBuilder(paths)
+    new TopicStoreScanBuilder(paths,
+      options.getLong("maxFileAgeMs", 7L * 24 * 3600 * 1000))
 }
 
-class TopicStoreScanBuilder(paths: Seq[String])
+class TopicStoreScanBuilder(paths: Seq[String], maxFileAgeMs: Long = 7L * 24 * 3600 * 1000)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = TopicStoreSource.Schema
   private var filePredicates: Seq[String => Boolean] = Seq.empty
@@ -98,11 +99,12 @@ class TopicStoreScanBuilder(paths: Seq[String])
   }
   override def pushedFilters(): Array[Filter] = Array.empty
 
-  override def build(): Scan = new TopicStoreScan(paths, required, filePredicates)
+  override def build(): Scan = new TopicStoreScan(paths, required, filePredicates, maxFileAgeMs)
 }
 
 class TopicStoreScan(paths: Seq[String], required: StructType,
-                     filePredicates: Seq[String => Boolean] = Seq.empty)
+                     filePredicates: Seq[String => Boolean] = Seq.empty,
+                     maxFileAgeMs: Long = 7L * 24 * 3600 * 1000)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -145,7 +147,7 @@ class TopicStoreScan(paths: Seq[String], required: StructType,
       new SerializableHadoopConf(SparkSession.active.sparkContext.hadoopConfiguration))
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new TopicStoreMicroBatchStream(paths, required)
+    new TopicStoreMicroBatchStream(paths, required, maxFileAgeMs)
 }
 
 /** Offset = the set of ingested log files with the length each was
@@ -179,30 +181,47 @@ object TopicStoreOffset {
   * frontier; production deployments should compact ingested files away
   * (see Layout.compact) or partition capture dirs by date.
   */
-class TopicStoreMicroBatchStream(paths: Seq[String], required: StructType)
+class TopicStoreMicroBatchStream(paths: Seq[String], required: StructType,
+                                 maxFileAgeMs: Long = 7L * 24 * 3600 * 1000)
     extends MicroBatchStream {
   private val conf = SparkSession.active.sparkContext.hadoopConfiguration
   private val serConf = new SerializableHadoopConf(conf)
 
-  private def listNow(): Map[String, Long] =
+  /** (path, length, modTime) of every current log file. */
+  private def listNow(): Seq[(String, Long, Long)] =
     paths.flatMap { p =>
       val root = new Path(p)
       val fs = root.getFileSystem(conf)
       if (!fs.exists(root)) Seq.empty
       else {
-        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
         val it = fs.listFiles(root, true)
         while (it.hasNext) {
           val f = it.next()
           if (f.isFile && f.getPath.getName.endsWith(".topic_store"))
-            out += ((f.getPath.toString, f.getLen))
+            out += ((f.getPath.toString, f.getLen, f.getModificationTime))
         }
         out.toSeq
       }
-    }.toMap
+    }
 
   override def initialOffset(): Offset = TopicStoreOffset(Map.empty)
-  override def latestOffset(): Offset = TopicStoreOffset(listNow())
+
+  /** The offset map is BOUNDED: files older than `maxFileAgeMs` relative
+    * to the newest listed file fall out of the frontier — the same
+    * compaction contract as Spark's file source (`maxFileAge`). A
+    * just-aged-out file cannot re-enter as "new" because the age filter
+    * excludes it from the candidate set too, so exactly-once holds while
+    * the offset stays O(files-per-retention-window) at a 10^5-file-dir
+    * deployment, not O(all files ever).
+    */
+  override def latestOffset(): Offset = {
+    val now = listNow()
+    val newest = if (now.isEmpty) 0L else now.map(_._3).max
+    val horizon = newest - maxFileAgeMs
+    TopicStoreOffset(now.collect { case (p, len, mt) if mt >= horizon => p -> len }.toMap)
+  }
+
   override def deserializeOffset(json: String): Offset = TopicStoreOffset.fromJson(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -15,6 +15,26 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, 
 class StreamingSpec extends AnyFunSuite {
   import TestSession._
 
+  test("topicstore stream offsets compact away files beyond maxFileAge") {
+    spark.range(1).count() // force the session up: the stream reads SparkSession.active
+    val dir = Files.createTempDirectory("graft_tsage").toString
+    val fixture = new java.io.File(getClass.getResource("/sample.topic_store").toURI)
+    val oldF = new java.io.File(dir, "old.topic_store")
+    val newF = new java.io.File(dir, "new.topic_store")
+    java.nio.file.Files.copy(fixture.toPath, oldF.toPath)
+    java.nio.file.Files.copy(fixture.toPath, newF.toPath)
+    assert(oldF.setLastModified(newF.lastModified() - 3600 * 1000))
+    val stream = new graft.sources.TopicStoreMicroBatchStream(
+      Seq(dir), graft.sources.TopicStoreSource.Schema, maxFileAgeMs = 60 * 1000)
+    val end = stream.latestOffset().asInstanceOf[graft.sources.TopicStoreOffset]
+    // the hour-old file is beyond the 1-minute retention window: excluded
+    // from the frontier AND from the new-file candidates (exactly-once
+    // holds, offset stays bounded)
+    assert(end.files.keySet === Set(s"file:$newF"))
+    val parts = stream.planInputPartitions(stream.initialOffset(), end)
+    assert(parts.length === 1)
+  }
+
   test("captureToTopicStore lands micro-batches as native logs, replay-safe") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_tscap").toString
