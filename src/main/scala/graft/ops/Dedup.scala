@@ -105,6 +105,12 @@ object Dedup {
       .withColumn("jaccard", col("shared") / (col("n1") + col("n2") - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "shared", "n1", "n2", "jaccard")
+      // O(near-dup pairs) rows — tiny next to the corpus. Caching lets the
+      // downstream consumers (clustering, keep-canonical, reporting) and
+      // repeated runs share one candidate-join execution: Spark's cache
+      // manager keys on the logical plan, so an identical pairs subplan in
+      // another query hits this entry instead of redoing the join.
+      .cache()
   }
 
   /** Distinct word n-grams per document for arbitrary n: (doc_id, gram). */
