@@ -50,6 +50,20 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q19's disjunctive predicate derives pushable per-side filters") {
+    // the whole point of the Q19 pattern: Catalyst must extract the
+    // single-side implications of the OR (brand IN, size/quantity bounds)
+    // and push them into the scans, even though the full cross-side OR
+    // can only run post-join
+    val plan = SparkEntry.queries("q19_brand_revenue")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters:\n$plan")
+    assert(plan.contains("EqualTo(p_brand,Brand#1)"),
+      s"brand disjunction not pushed to the part scan:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,10.0)"),
+      s"quantity disjunction not pushed to the lineitem scan:\n$plan")
+  }
+
   test("find filter and projection reach the parquet scan") {
     val plan = SparkEntry.queries("ts_find_filter_project")(spark, sf)
       .queryExecution.executedPlan.toString
