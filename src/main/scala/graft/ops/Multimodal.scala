@@ -31,6 +31,7 @@ object Multimodal {
     var samples: Array[Short] = null
     while (i + 8 <= b.length) {
       val id = tag(i); val len = u4(i + 4)
+      if (len < 0) return None // corrupt length: stop, don't loop forever
       id match {
         case "fmt " =>
           if (u2(i + 8) != 1) return None // PCM only
@@ -165,9 +166,12 @@ object Multimodal {
         val id = row.getLong(0)
         val kind = row.getString(1)
         val payload = row.getAs[Array[Byte]](2)
+        // corrupt bytes must fall back to the stub, never fail the task —
+        // the same skip-on-corrupt contract as the log decoder
         val decoded: Option[Array[Float]] =
-          decodeWav(payload).map { case (r, c, s) => wavFeatures(r, c, s, dim) }
+          try decodeWav(payload).map { case (r, c, s) => wavFeatures(r, c, s, dim) }
             .orElse(decodeBmp(payload).map { case (w, h, px) => bmpFeatures(w, h, px, dim) })
+          catch { case _: Exception => None }
         val feats = decoded.getOrElse {
           // STUB fallback for compressed codecs: byte-histogram fold
           val f = new Array[Float](dim)

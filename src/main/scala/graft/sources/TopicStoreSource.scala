@@ -251,6 +251,9 @@ class TopicStoreReaderFactory(required: StructType, conf: SerializableHadoopConf
       // memory shape as the binaryFile source (files are session-capture
       // sized, not table-sized)
       private val records: Iterator[(Long, String)] = {
+        require(p.length <= Int.MaxValue,
+          s"${p.path} is ${p.length} bytes — a single pickle log cannot exceed 2 GiB " +
+            "(unsplittable format, whole-file decode); split capture sessions instead")
         val fsPath = new Path(p.path)
         val fs = fsPath.getFileSystem(conf.value)
         val in = fs.open(fsPath)

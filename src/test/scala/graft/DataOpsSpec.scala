@@ -177,6 +177,22 @@ class DataOpsSpec extends AnyFunSuite {
     assert(out(3L).sum > 0f, "opaque kinds still flow through the stub fold")
   }
 
+  test("corrupt WAV/BMP headers fall back to the stub instead of failing the task") {
+    import spark.implicits._
+    // RIFF/WAVE magic followed by a hostile chunk length (0xFFFFFFFF) and
+    // a BM magic with nonsense geometry — both must decode to None and
+    // take the byte-fold path, never hang or throw
+    val badWav = "RIFF    WAVE".getBytes("ISO-8859-1") ++
+      "fmt ".getBytes ++ Array[Byte](-1, -1, -1, -1) ++ new Array[Byte](40)
+    val badBmp = "BM".getBytes ++ Array.fill[Byte](60)(-1)
+    val df = Seq((1L, "audio/wav", badWav), (2L, "image/bmp", badBmp))
+      .toDF("asset_id", "kind", "payload")
+    val assets = Multimodal.toAsset(df, col("asset_id"), col("kind"), col("payload"))
+    val out = Multimodal.decodeFeatures(assets).collect()
+    assert(out.length === 2)
+    out.foreach(r => assert(r.getSeq[Float](r.fieldIndex("features")).nonEmpty))
+  }
+
   test("multimodal resize and frame-sample keep real plumbing over the stub codec") {
     val assets = Multimodal.toAsset(Tables.events(spark, sf),
       col("event_id"), col("event_type"), col("props"))
