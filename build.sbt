@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses the forked main's final stdout line as
+// JSON. sbt's default LoggedOutput prefixes every forked line with
+// "[info] " and appends a "[success] Total time" line, both of which
+// break json.loads on the tail. Pass output through raw and drop the
+// success banner.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -55,7 +55,13 @@ object Bench {
     val kept = entries.scanLeft(0)(_ + _.length + 1).tail.zip(entries)
       .takeWhile(_._1 <= budget).map(_._2)
     val qs = kept.mkString("{", ",", "}")
+    // Nothing may print after (or interleave with) the JSON line — the
+    // invoking harness parses the tail of the merged output. Silence the
+    // Spark shutdown chatter before emitting it.
+    spark.sparkContext.setLogLevel("OFF")
+    System.out.flush(); System.err.flush()
     println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"n_reported":${kept.size},"full":"bench_full.json","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }
