@@ -297,21 +297,36 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
-    // rows-only check (no oracle): HLL / quantile sketches are
-    // engine-specific by design — this is the documented scale path for
-    // agg_count_distinct / agg_quantiles at 100 TB (constant memory,
-    // mergeable partial sketches). Distinct users go through graft's own
-    // portable HLL (functions.HllSketchAgg — persistable, mergeable
-    // sketch bytes), not approx_count_distinct's opaque buffer. Scalar
-    // columns only: the driver's pandas compare cannot hash array cells.
+    // Sketch values are engine-specific by design (graft's portable HLL and
+    // Spark's approx_percentile have no DuckDB twin), so the oracle checks a
+    // deterministic TOLERANCE instead of the estimates themselves: each
+    // *_ok flag asserts |approx − exact| / exact ≤ 2%, and DuckDB asserts
+    // the same flags are all-1 alongside independently computed exact
+    // n_users / n. Measured relative error on the test corpus: HLL(p=12)
+    // ≤ 0.4%, approx_percentile(…, 1000) ≤ 1.7% — 2% holds at every SF.
+    // The exact countDistinct/percentile here exist only to verify the
+    // sketch; the 100 TB scale path is the sketch alone (constant memory,
+    // mergeable partials — see agg_count_distinct / agg_quantiles).
     "agg_approx_sketches" -> ((s, dir) => {
       graft.functions.HllFunctions.register(s)
+      val tol = 0.02
+      def ok(approx: Column, exact: Column): Column =
+        (abs(approx - exact) <= abs(exact) * tol).cast("long")
       ev(s, dir).groupBy(col("event_type"))
         .agg(
-          expr("graft_hll_est(graft_hll_sketch(user_id, 12))").as("approx_users"),
-          expr("approx_percentile(value, 0.5, 1000)").as("approx_p50"),
-          expr("approx_percentile(value, 0.9, 1000)").as("approx_p90"),
+          expr("graft_hll_est(graft_hll_sketch(user_id, 12))").as("au"),
+          countDistinct(col("user_id")).as("n_users"),
+          expr("approx_percentile(value, 0.5, 1000)").as("ap50"),
+          expr("percentile(value, 0.5)").as("ep50"),
+          expr("approx_percentile(value, 0.9, 1000)").as("ap90"),
+          expr("percentile(value, 0.9)").as("ep90"),
           count(lit(1)).as("n"))
+        .select(
+          col("event_type"), col("n_users"),
+          ok(col("au"), col("n_users")).as("users_ok"),
+          ok(col("ap50"), col("ep50")).as("p50_ok"),
+          ok(col("ap90"), col("ep90")).as("p90_ok"),
+          col("n"))
         .orderBy("event_type")
     }),
 
@@ -920,6 +935,16 @@ object SparkEntry {
     "agg_quantiles" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,
         |  quantile_cont(value, 0.9) AS p90, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The oracle cannot reproduce Spark-side sketch values, so it checks the
+    // deterministic tolerance flags: the Spark query emits 1 iff the sketch
+    // estimate is within 2% of the exact statistic, and DuckDB asserts
+    // all-1 flags alongside independently computed exact n_users / n.
+    "agg_approx_sketches" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  CAST(1 AS BIGINT) AS users_ok, CAST(1 AS BIGINT) AS p50_ok,
+        |  CAST(1 AS BIGINT) AS p90_ok, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "text_scrub" ->
