@@ -106,6 +106,25 @@ object ScaleSmoke {
       val n = graft.ops.Dedup.ngramJaccardPairs(skewed, col("doc_id"), col("text"), 0.5).count()
       println(s"[scale]   surviving capped near-dup pairs: $n")
     }
+
+    // degenerate corpus: 10^4 near-empty docs all simhash to the same
+    // value, forming ONE hot (blk, blkval) bucket per block. Uncapped,
+    // the pigeonhole join emits ~(10^4)²/2 · blocks candidates (~1.5·10^8)
+    // from that bucket alone; the default maxBucketDocs cap anti-joins the
+    // bucket away first, so candidate volume is bounded by the healthy
+    // strata. (The dropped docs are identical-signature — exact dedup's
+    // md5 groupBy is the operator that handles true duplicates.)
+    val degen = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      when(col("id") < 10000, lit("ok"))
+        .otherwise(concat_ws(" ", (0 until 60).map(i =>
+          concat(lit("w"), pmod(hash(col("id"), lit(i)), lit(2000)))): _*)).as("text"))
+    time("simhash_pairs_degenerate") {
+      val n = graft.ops.Dedup.simhashPairs(degen, col("doc_id"), col("text"),
+        maxHamming = 2, maxBucketDocs = Some(1000)).count()
+      println(s"[scale]   surviving capped simhash pairs: $n")
+    }
+    graft.ops.Dedup.unpersistShared()
     spark.stop()
   }
 }

@@ -310,8 +310,13 @@ object SparkEntry {
     "agg_approx_sketches" -> ((s, dir) => {
       graft.functions.HllFunctions.register(s)
       val tol = 0.02
+      // NULL-safe (all-NULL group → explicit 0, not NULL) and with an
+      // absolute floor so exact==0 doesn't demand bit equality of the sketch
       def ok(approx: Column, exact: Column): Column =
-        (abs(approx - exact) <= abs(exact) * tol).cast("long")
+        coalesce(
+          (abs(approx - exact) <= greatest(abs(exact) * tol, lit(1e-9)))
+            .cast("long"),
+          lit(0L))
       ev(s, dir).groupBy(col("event_type"))
         .agg(
           expr("graft_hll_est(graft_hll_sketch(user_id, 12))").as("au"),

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.GraftFunctions
 
@@ -13,6 +14,32 @@ import graft.functions.GraftFunctions
   * pair space; a doc-frequency cap drops degenerate hot shingles.
   */
 object Dedup {
+
+  /** Handles for operator-internal caches, releasable by the caller.
+    * An operator that pins storage memory the pipeline can't free is a
+    * leak at 100 TB — every internal `.persist` lands here so a pipeline
+    * can call [[unpersistShared]] between stages. Caching is also skipped
+    * when the identical logical plan is already cached (two queries
+    * sharing one candidate-join subplan re-enter here; re-caching would
+    * only log CacheManager "already cached" warnings).
+    */
+  private val sharedCache = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def shareCache(df: DataFrame, enabled: Boolean): DataFrame = {
+    if (enabled && df.storageLevel == StorageLevel.NONE) {
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      sharedCache.synchronized { sharedCache += df }
+    }
+    df
+  }
+
+  /** Release every cache taken by dedup operators in this JVM. Safe to
+    * call mid-pipeline: Spark recomputes any plan that is still needed.
+    */
+  def unpersistShared(): Unit = sharedCache.synchronized {
+    sharedCache.foreach(d => try d.unpersist() catch { case _: Throwable => () })
+    sharedCache.clear()
+  }
 
   /** Spread a small-file scan across all cores before compute-dense
     * per-row work (shingling, hashing, pair generation). A 5k-row parquet
@@ -85,32 +112,37 @@ object Dedup {
     * form on corpora known to be boilerplate-free.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
-                        threshold: Double, maxDocFreq: Option[Int] = Some(500)): DataFrame = {
+                        threshold: Double, maxDocFreq: Option[Int] = Some(500),
+                        cache: Boolean = true): DataFrame = {
     // The self-join key is the 64-bit hash of the shingle, not the ~25-byte
     // string: the candidate join is the largest shuffle in the op and the
     // hash shrinks it ~3× (and compares/sorts faster). Two distinct
     // shingles of one doc pair colliding would off-by-one `shared` —
     // P ≈ pairs·shingles²/2^64, vanishing even at corpus scale.
-    val sh = shingles(df, idCol, textCol, maxDocFreq)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      .cache()
+    // `cache = false` turns off both internal persists for one-shot runs;
+    // either way the handles are releasable via unpersistShared().
+    val sh = shareCache(
+      shingles(df, idCol, textCol, maxDocFreq)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle")),
+      cache)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val cand = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("shared"))
-    cand
-      .join(counts.withColumnRenamed("doc_id", "id1").withColumnRenamed("n", "n1"), "id1")
-      .join(counts.withColumnRenamed("doc_id", "id2").withColumnRenamed("n", "n2"), "id2")
-      .withColumn("jaccard", col("shared") / (col("n1") + col("n2") - col("shared")))
-      .filter(col("jaccard") >= threshold)
-      .select("id1", "id2", "shared", "n1", "n2", "jaccard")
-      // O(near-dup pairs) rows — tiny next to the corpus. Caching lets the
-      // downstream consumers (clustering, keep-canonical, reporting) and
-      // repeated runs share one candidate-join execution: Spark's cache
-      // manager keys on the logical plan, so an identical pairs subplan in
-      // another query hits this entry instead of redoing the join.
-      .cache()
+    // O(near-dup pairs) rows — tiny next to the corpus. Caching lets the
+    // downstream consumers (clustering, keep-canonical, reporting) and
+    // repeated runs share one candidate-join execution: Spark's cache
+    // manager keys on the logical plan, so an identical pairs subplan in
+    // another query hits this entry instead of redoing the join.
+    shareCache(
+      cand
+        .join(counts.withColumnRenamed("doc_id", "id1").withColumnRenamed("n", "n1"), "id1")
+        .join(counts.withColumnRenamed("doc_id", "id2").withColumnRenamed("n", "n2"), "id2")
+        .withColumn("jaccard", col("shared") / (col("n1") + col("n2") - col("shared")))
+        .filter(col("jaccard") >= threshold)
+        .select("id1", "id2", "shared", "n1", "n2", "jaccard"),
+      cache)
   }
 
   /** Distinct word n-grams per document for arbitrary n: (doc_id, gram). */
@@ -214,22 +246,57 @@ object Dedup {
       .select(col("doc_id"), expr("graft_simhash60(toks)").as("simhash"))
   }
 
-  /** SimHash near-dup pairs at scale: split the 60 bits into `numBlocks`
-    * equal blocks; any pair within hamming distance ≤ numBlocks-1 shares at
-    * least one block (pigeonhole), so candidates come from an equality join
-    * on (block index, block value) — never an all-pairs scan. Choose
-    * numBlocks > maxHamming for guaranteed recall.
+  /** SimHash near-dup pairs at scale: split the 60 bits into equal blocks;
+    * any pair within hamming distance ≤ numBlocks-1 shares at least one
+    * block (pigeonhole), so candidates come from an equality join on
+    * (block index, block value) — never an all-pairs scan.
+    *
+    * `numBlocks = 0` (default) auto-derives the smallest divisor of 60
+    * that exceeds `maxHamming` — the widest blocks that still guarantee
+    * pigeonhole recall. Narrow blocks are a scale footgun: b blocks give
+    * 60/b-bit values, i.e. only 2^(60/b) distinct keys per block, and the
+    * candidate self-join degenerates toward n²/2^(60/b) as the corpus
+    * grows — so widths below 15 bits are rejected outright. That bounds
+    * `maxHamming` at 3 here; for higher-distance near-dup search use
+    * MinHash LSH ([[lshCandidates]]), whose band/row tuning scales.
+    *
+    * `maxBucketDocs` drops any (block, value) bucket holding more docs —
+    * the analogue of the shingle `maxDocFreq` cap. Degenerate corpora
+    * concentrate mass in one bucket (every near-empty doc simhashes to
+    * the same value), turning the bucket join into that bucket's n².
+    * Docs dropped this way are hamming-0 IDENTICAL signatures — exact
+    * dedup ([[TextAnalysis]] md5 groupBy) already catches true duplicates
+    * among them, so the recall cost is confined to degenerate mass.
     */
   def simhashPairs(df: DataFrame, idCol: Column, textCol: Column,
-                   maxHamming: Int, numBlocks: Int = 10): DataFrame = {
-    require(60 % numBlocks == 0, "numBlocks must divide 60")
-    val width = 60 / numBlocks
+                   maxHamming: Int, numBlocks: Int = 0,
+                   maxBucketDocs: Option[Int] = Some(100000)): DataFrame = {
+    val nb = if (numBlocks > 0) numBlocks
+             else (1 to 60).find(b => 60 % b == 0 && b > maxHamming).get
+    require(60 % nb == 0, "numBlocks must divide 60")
+    require(nb > maxHamming,
+      s"pigeonhole recall needs numBlocks > maxHamming ($nb <= $maxHamming)")
+    val width = 60 / nb
+    require(width >= 15,
+      s"$nb blocks -> $width-bit block values (2^$width distinct keys): the " +
+        "candidate join degenerates toward all-pairs at corpus scale. Keep " +
+        "maxHamming <= 3 (numBlocks <= 4), or use MinHash LSH for larger distances.")
     val mask = (1L << width) - 1
     val sh = simhash(df, idCol, textCol)
     val blocks = sh.select(col("doc_id"), col("simhash"),
-      explode(sequence(lit(0), lit(numBlocks - 1))).as("blk"))
+      explode(sequence(lit(0), lit(nb - 1))).as("blk"))
       .withColumn("blkval", expr(s"shiftright(simhash, cast(blk * $width as int)) & ${mask}L"))
-    blocks.as("a").join(blocks.as("b"),
+    val capped = maxBucketDocs match {
+      case None => blocks
+      case Some(k) =>
+        // AQE decides broadcast-vs-shuffle for the anti-join; hot buckets
+        // are few on healthy corpora but unbounded on degenerate ones.
+        val hot = blocks.groupBy("blk", "blkval")
+          .agg(count(lit(1)).as("n")).filter(col("n") > k)
+          .select("blk", "blkval")
+        blocks.join(hot, Seq("blk", "blkval"), "left_anti")
+    }
+    capped.as("a").join(capped.as("b"),
         col("a.blk") === col("b.blk") && col("a.blkval") === col("b.blkval") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),

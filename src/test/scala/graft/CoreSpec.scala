@@ -30,11 +30,8 @@ class CoreSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has an oracle or a documented rows-only exemption") {
-    // engine-specific sketch values cannot have a cross-engine oracle —
-    // documented in SparkEntry next to the query
-    val rowsOnlyExemptions = Set("agg_approx_sketches")
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyExemptions
+  test("every query has an oracle") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries missing oracle: $noOracle")
   }
 

@@ -55,6 +55,29 @@ class DataOpsSpec extends AnyFunSuite {
     assert(blocked === brute, "pigeonhole block join lost or invented pairs")
   }
 
+  test("simhashPairs rejects block widths that degenerate at scale") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, col("doc_id"), col("text"), 2, numBlocks = 10)
+    }
+    intercept[IllegalArgumentException] { // numBlocks <= maxHamming: no recall guarantee
+      Dedup.simhashPairs(docs, col("doc_id"), col("text"), 3, numBlocks = 3)
+    }
+  }
+
+  test("simhashPairs hot-bucket cap bounds degenerate corpora") {
+    import spark.implicits._
+    // 50 near-empty docs share one simhash (one hot bucket per block);
+    // 2 healthy near-dup docs must still pair up after the cap drops it.
+    val healthy = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val degen = ((1L to 50L).map(i => (i, "x")) ++
+      Seq((100L, healthy), (101L, healthy))).toDF("doc_id", "text")
+    val capped = Dedup.simhashPairs(degen, col("doc_id"), col("text"), 2,
+        maxBucketDocs = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((100L, 101L)),
+      "cap should drop only the degenerate bucket, keeping healthy pairs")
+  }
+
   test("connected components propagate labels transitively") {
     import spark.implicits._
     // chain 1-2, 2-3, plus isolated pair 10-11 → clusters {1,2,3} and {10,11}
