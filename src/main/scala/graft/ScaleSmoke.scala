@@ -125,6 +125,31 @@ object ScaleSmoke {
       println(s"[scale]   surviving capped simhash pairs: $n")
     }
     graft.ops.Dedup.unpersistShared()
+
+    // clustered embedding corpus: 32 well-separated clusters in id blocks,
+    // so the first-k quantizer's centroids all come from cluster 0. The
+    // trained spherical-k-means quantizer must recover near-brute recall
+    // while probing nprobe/kCells of the corpus per query.
+    val nVecs = math.min(nDocs, 50000L)
+    val embs = spark.range(nVecs).select(
+      col("id").as("vec_id"),
+      expr(s"""transform(sequence(0, 63), d -> cast(
+        (case when d = 2 * ((id * 32 div $nVecs) % 32) then 1.0 else 0.0 end)
+        + pmod(id * 31 + d * 7, 97) / 970.0 as float))""").as("embedding"))
+    val qs = embs.filter(pmod(col("vec_id"), lit(nVecs / 20)) === 7)
+    val truth = graft.ops.Similarity.bruteTopK(embs, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    time("ivf_trained_recall") {
+      val cents = graft.ops.Similarity.kmeansCentroids(embs, 32, iters = 5)
+      val r0 = recall(graft.ops.Similarity.ivfTopK(embs, qs, 10, kCells = 32, nprobe = 2))
+      val r1 = recall(graft.ops.Similarity.ivfTopK(embs, qs, 10, kCells = 32, nprobe = 2,
+        centroids = Some(cents)))
+      println(f"[scale]   IVF recall@10: first-k $r0%.3f -> trained $r1%.3f")
+    }
     spark.stop()
   }
 }

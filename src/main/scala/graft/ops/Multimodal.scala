@@ -8,12 +8,13 @@ import org.apache.spark.sql.types._
   * typed metadata, plus the decode/feature-extract plumbing.
   *
   * Decoding: WAV (RIFF/PCM16) and BMP (24-bit uncompressed) decode FOR
-  * REAL — pure-JVM byte parsing, no codec libraries — and feed genuine
-  * signal/pixel features. Compressed formats (JPEG, MP4, FLAC…) are
-  * STUBBED with a deterministic byte-fold (the container ships no codec
-  * libraries); the `mapPartitions` batch shape those would slot into is
-  * identical. Everything Spark-side is real either way: schema, batch
-  * iteration, partitioning, and the metadata column flow.
+  * REAL via pure-JVM byte parsing, and JPEG/PNG/GIF decode FOR REAL via
+  * `javax.imageio` (bundled with the JDK) — all feed genuine signal/pixel
+  * features. Video containers (MP4…) and exotic audio codecs are STUBBED
+  * with a deterministic byte-fold (no demuxer in the bare JVM); the
+  * `mapPartitions` batch shape those would slot into is identical.
+  * Everything Spark-side is real either way: schema, batch iteration,
+  * partitioning, and the metadata column flow.
   */
 object Multimodal {
 
@@ -74,6 +75,29 @@ object Multimodal {
       y += 1
     }
     Some((w, h, px))
+  }
+
+  /** Compressed-still decode (JPEG/PNG/GIF) via `javax.imageio` — plain
+    * JDK, no native codec libraries. Returns the same (width, height,
+    * packed 0xRRGGBB row-major) shape as [[decodeBmp]] so both feed
+    * [[bmpFeatures]]. None when no registered reader recognises the bytes
+    * (MP4 and other video containers stay on the documented stub path).
+    */
+  private[ops] def decodeImage(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0) None
+      else {
+        // getRGB converts any source color model to packed sRGB — one
+        // deterministic representation regardless of subsampling/encoder
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var i = 0
+        while (i < px.length) { px(i) &= 0xffffff; i += 1 }
+        Some((w, h, px))
+      }
+    }
   }
 
   /** Audio features from decoded PCM: [rate/48k, channels, duration_sec,
@@ -151,10 +175,11 @@ object Multimodal {
 
   /** Decode + feature-extract over asset batches.
     *
-    * WAV and BMP payloads decode for real (see [[decodeWav]]/[[decodeBmp]])
-    * into signal/pixel features; other kinds — compressed codecs the
-    * container can't ship — fall back to a documented deterministic
-    * byte-fold so the data path still runs end-to-end. The `mapPartitions`
+    * WAV, BMP, and JPEG/PNG/GIF payloads decode for real (see
+    * [[decodeWav]]/[[decodeBmp]]/[[decodeImage]]) into signal/pixel
+    * features; remaining kinds — video containers the bare JVM can't
+    * demux — fall back to a documented deterministic byte-fold so the
+    * data path still runs end-to-end. The `mapPartitions`
     * shape — iterator in, iterator out, one JVM-side batch per partition —
     * is exactly the contract a Pandas-UDF (`mapInPandas`) or JNI decoder
     * slots into, and partitioning is preserved (no shuffle).
@@ -171,6 +196,7 @@ object Multimodal {
         val decoded: Option[Array[Float]] =
           try decodeWav(payload).map { case (r, c, s) => wavFeatures(r, c, s, dim) }
             .orElse(decodeBmp(payload).map { case (w, h, px) => bmpFeatures(w, h, px, dim) })
+            .orElse(decodeImage(payload).map { case (w, h, px) => bmpFeatures(w, h, px, dim) })
           catch { case _: Exception => None }
         val feats = decoded.getOrElse {
           // STUB fallback for compressed codecs: byte-histogram fold

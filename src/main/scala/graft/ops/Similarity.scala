@@ -77,15 +77,82 @@ object Similarity {
     prep(emb).select(col("vec_id"), bucket.as("bucket"))
   }
 
-  /** IVF cell assignment: nearest of `kCells` coarse centroids per vector.
-    * Deterministic quantizer: the first `kCells` corpus vectors serve as
-    * centroids (a trained k-means slots in here unchanged — the assignment
-    * /probe machinery is identical and this keeps the op reproducible and
-    * oracle-checkable). Centroids broadcast; assignment is one scan.
+  /** Spherical k-means coarse quantizer for IVF, trained driver-side on a
+    * deterministic seeded sample. This is the standard IVF training shape
+    * (FAISS trains its coarse quantizer on ~10⁵–10⁶ sampled vectors, not
+    * the corpus): the hash-ordered sample is one distributed top-`sampleCap`
+    * (TakeOrdered — no full sort), Lloyd iterations run on ≤ sampleCap
+    * unit vectors in driver memory, and the expensive steps — corpus
+    * assignment and query probing — stay fully distributed in
+    * [[ivfAssign]]. Deterministic end-to-end: xxhash64-seeded sample
+    * order, first-k init, fixed iteration count, max-dot/lowest-index
+    * tie-break — identical centroids on any cluster, no weights file.
     */
-  def ivfAssign(emb: DataFrame, kCells: Int, rankCol: String = "cell_rank"): DataFrame = {
-    val cents = prep(emb.filter(col("vec_id") < kCells))
-      .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm"))
+  def kmeansCentroids(emb: DataFrame, kCells: Int, iters: Int = 5,
+                      sampleCap: Int = 100000, seed: Long = 42L): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = prep(emb)
+      .orderBy(xxhash64(concat_ws("|", col("vec_id"), lit(seed))), col("vec_id"))
+      .limit(sampleCap)
+      .select(expr("transform(v, x -> x / norm)").as("nv"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= kCells, s"need >= $kCells sample vectors, got ${sample.length}")
+    val dim = sample.head.length
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    var cents = sample.take(kCells).map(_.clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(kCells)(new Array[Double](dim))
+      val counts = new Array[Long](kCells)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < kCells) {
+          val d = dot(v, cents(c))
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(kCells) { c =>
+        if (counts(c) == 0) cents(c) // empty cell keeps its centroid
+        else {
+          val m = sums(c)
+          val n = math.sqrt(dot(m, m))
+          if (n == 0) cents(c) else m.map(_ / n)
+        }
+      }
+    }
+    cents
+  }
+
+  /** IVF cell assignment: nearest of `kCells` coarse centroids per vector.
+    *
+    * Default quantizer: the first `kCells` corpus vectors serve as
+    * centroids — reproducible and oracle-checkable (a SQL engine can name
+    * the same centroids), the right baseline for correctness gating. Pass
+    * `centroids` (e.g. from [[kmeansCentroids]]) for recall on real
+    * corpora — the assignment/probe machinery is identical. Centroids
+    * broadcast either way; assignment is one scan.
+    */
+  def ivfAssign(emb: DataFrame, kCells: Int, rankCol: String = "cell_rank",
+                centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = centroids match {
+      case None =>
+        prep(emb.filter(col("vec_id") < kCells))
+          .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm"))
+      case Some(cs) =>
+        val spark = emb.sparkSession
+        import spark.implicits._
+        VectorFunctions.register(spark)
+        cs.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v.toSeq) }
+          .toDF("cell", "cv")
+          .withColumn("cnorm", expr("sqrt(graft_dot(cv, cv))"))
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("cell_cos").desc, col("cell"))
     prep(emb).crossJoin(broadcast(cents))
@@ -96,15 +163,20 @@ object Similarity {
 
   /** IVF ANN: score only candidates whose cell is among the query's
     * `nprobe` nearest cells. Probe cost ≈ corpus · nprobe / kCells per
-    * query instead of the full corpus.
+    * query instead of the full corpus. `centroids` switches both sides to
+    * a trained quantizer (see [[kmeansCentroids]]); cells must come from
+    * the same centroids as probes or recall collapses.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              kCells: Int = 8, nprobe: Int = 2): DataFrame = {
+              kCells: Int = 8, nprobe: Int = 2,
+              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    val cells = ivfAssign(corpus, kCells).filter(col("cell_rank") === 1)
+    val cells = ivfAssign(corpus, kCells, centroids = centroids)
+      .filter(col("cell_rank") === 1)
       .select(col("vec_id"), col("v"), col("norm"), col("cell"))
-    val probes = ivfAssign(queries, kCells).filter(col("cell_rank") <= nprobe)
+    val probes = ivfAssign(queries, kCells, centroids = centroids)
+      .filter(col("cell_rank") <= nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qnorm"), col("cell"))
     probes.join(cells, Seq("cell"))

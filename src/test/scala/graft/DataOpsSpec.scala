@@ -96,6 +96,40 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("trained IVF centroids are deterministic and beat first-k recall on clustered data") {
+    import spark.implicits._
+    // 8 well-separated clusters in 16 dims, laid out in id blocks so the
+    // first-k quantizer's centroids (vec_id < 8) ALL land in cluster 0 —
+    // the pathological case trained centroids exist for.
+    val n = 400
+    val vecs = (0L until n).map { id =>
+      val c = (id * 8 / n).toInt
+      val v = Array.tabulate(16) { d =>
+        val jitter = ((id * 31 + d * 7) % 97).toFloat / 97f * 0.1f
+        (if (d == 2 * (c % 8)) 1f else 0f) + jitter
+      }
+      (id, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") % 50 === 25) // one per cluster
+
+    val c1 = Similarity.kmeansCentroids(vecs, 8, iters = 5)
+    val c2 = Similarity.kmeansCentroids(vecs, 8, iters = 5)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq, "training must be deterministic")
+
+    val truth = Similarity.bruteTopK(vecs, queries, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val untrained = recall(Similarity.ivfTopK(vecs, queries, 10, kCells = 8, nprobe = 1))
+    val trained = recall(Similarity.ivfTopK(vecs, queries, 10, kCells = 8, nprobe = 1,
+      centroids = Some(c1)))
+    assert(trained > untrained,
+      s"trained recall $trained must beat first-k recall $untrained on clustered data")
+    assert(trained >= 0.9, s"trained quantizer should recover same-cluster neighbors, got $trained")
+  }
+
   test("LSH ANN results are a subset of same-bucket candidates with sane ranks") {
     val res = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), 5, 4)
     val rows = res.collect()
@@ -198,6 +232,44 @@ class DataOpsSpec extends AnyFunSuite {
     assert(math.abs(i.drop(5).sum - 1.0f) < 1e-6, "luma histogram mass must be 1")
 
     assert(out(3L).sum > 0f, "opaque kinds still flow through the stub fold")
+  }
+
+  /** A w×h image encoded with the JDK's own codec ("jpg"/"png"/"gif") —
+    * a genuine compressed fixture, not hand-rolled bytes.
+    */
+  private def encodedImage(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no JDK encoder for $fmt")
+    out.toByteArray
+  }
+
+  test("JPEG and PNG payloads decode for real via javax.imageio") {
+    import spark.implicits._
+    val jpeg = encodedImage("jpg", 16, 8, 0x406080)
+    val png = encodedImage("png", 8, 8, 0x3366CC)
+    assert(jpeg.take(2).map(_ & 0xff).toSeq === Seq(0xff, 0xd8), "real JFIF magic")
+    assert(png.take(4).map(_ & 0xff).toSeq === Seq(0x89, 'P', 'N', 'G'), "real PNG magic")
+    val df = Seq((1L, "image/jpeg", jpeg), (2L, "image/png", png))
+      .toDF("asset_id", "kind", "payload")
+    val assets = Multimodal.toAsset(df, col("asset_id"), col("kind"), col("payload"))
+    val out = Multimodal.decodeFeatures(assets).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](r.fieldIndex("features"))).toMap
+
+    val j = out(1L) // [w/4096, h/4096, meanR, meanG, meanB, luma hist...]
+    assert(math.abs(j(0) - 16f / 4096f) < 1e-6 && math.abs(j(1) - 8f / 4096f) < 1e-6,
+      "dimensions must come from the decoded bitstream")
+    // JPEG is lossy: a solid color survives to within a couple of levels
+    assert(math.abs(j(2) - 0x40 / 255f) < 0.02, s"meanR ${j(2)}")
+    assert(math.abs(j(3) - 0x60 / 255f) < 0.02, s"meanG ${j(3)}")
+    assert(math.abs(j(4) - 0x80 / 255f) < 0.02, s"meanB ${j(4)}")
+
+    val p = out(2L) // PNG is lossless: exact channel means
+    assert(math.abs(p(2) - 0x33 / 255f) < 1e-6)
+    assert(math.abs(p(3) - 0x66 / 255f) < 1e-6)
+    assert(math.abs(p(4) - 0xCC / 255f) < 1e-6)
+    assert(math.abs(p.drop(5).sum - 1.0f) < 1e-6, "luma histogram mass must be 1")
   }
 
   test("corrupt WAV/BMP headers fall back to the stub instead of failing the task") {
