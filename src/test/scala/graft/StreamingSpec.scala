@@ -286,6 +286,44 @@ class StreamingSpec extends AnyFunSuite {
       "incremental sketch state must equal the one-shot batch sketch")
   }
 
+  test("SubscriberTree composes N topic streams into one snapshot per tick") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    import graft.streaming.{SubscriberTree => ST}
+    // two topics, one capture session, 10s ticks. camera speaks at 0/5/12,
+    // gps at 3/21 — snapshots fire at sec 10 and sec 20 with the tree as
+    // it stood at each boundary.
+    val camera = MemoryStream[(String, Long, String)]
+    val gps = MemoryStream[(String, Long, String)]
+    camera.addData(("s1", 0L, "c0"), ("s1", 5L, "c5"), ("s1", 12L, "c12"))
+    gps.addData(("s1", 3L, "g3"), ("s1", 21L, "g21"))
+    def df(m: MemoryStream[(String, Long, String)]) =
+      m.toDF().toDF("session", "ts_sec", "payload")
+    val snaps = ST.compose(Map("camera" -> df(camera), "gps" -> df(gps)), tickSec = 10L)
+    val q = snaps.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("tree_snaps").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val rows = spark.table("tree_snaps").orderBy("tick_sec").collect()
+    assert(rows.map(_.getLong(1)).toSeq === Seq(10L, 20L), "one snapshot per elapsed tick")
+    val t10 = rows(0).getAs[Map[String, String]]("tree")
+    val t20 = rows(1).getAs[Map[String, String]]("tree")
+    assert(t10 === Map("camera" -> "c5", "gps" -> "g3"),
+      "tick-10 tree holds the latest message per topic at the boundary")
+    assert(t20 === Map("camera" -> "c12", "gps" -> "g3"),
+      "gps had not spoken again by sec 20 — its entry carries forward")
+
+    // batch equivalence: the tick-20 tree equals latestSnapshot over the
+    // messages with ts < 20 (same semantics, batch operator)
+    val msgs = Seq(("camera", 0L, "c0"), ("camera", 5L, "c5"), ("camera", 12L, "c12"),
+      ("gps", 3L, "g3"), ("gps", 21L, "g21")).toDF("topic", "ts_sec", "payload")
+    val batch = graft.store.DocumentStore.latestSnapshot(
+        msgs.filter(col("ts_sec") < 20), col("topic"), col("ts_sec"), col("payload"))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(batch === t20, "stream snapshot must equal the batch latest-per-topic operator")
+  }
+
   test("streaming skip-on-error drops malformed payloads only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
