@@ -217,6 +217,52 @@ class StoreOpsSpec extends AnyFunSuite {
       docs.collect().map(_.getString(0)).sorted.toSeq)
   }
 
+  test("rosbag write/read round-trips documents with topics and timestamps") {
+    import spark.implicits._
+    val docs = Seq(
+      ("/camera/meta", 100L, """{"_id":1,"w":640}"""),
+      ("/camera/meta", 101L, """{"_id":2,"w":640}"""),
+      ("/gps/fix", 100L, """{"_id":3,"lat":52.5}"""),
+      ("/gps/fix", 103L, """{"_id":4,"lat":52.6}""")).toDF("topic", "t_sec", "doc")
+    val out = java.nio.file.Files.createTempDirectory("graft_bag").toString
+    graft.sources.RosBag.write(docs.coalesce(1), out)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".bag"))
+    assert(files.length === 1, "coalesce(1) writes one bag")
+    // the container is the public v2.0 layout: magic + 4096-byte padded
+    // bag header record (op=0x03 first header field)
+    val head = java.nio.file.Files.readAllBytes(files.head.toPath).take(32)
+    assert(new String(head.take(13), "US-ASCII") === "#ROSBAG V2.0\n")
+
+    val back = graft.sources.RosBag.read(spark, out)
+    assert(back.count() === 4)
+    assert(back.select("msg_type").distinct().collect().map(_.getString(0)).toSeq ===
+      Seq("std_msgs/String"))
+    val got = back.select("topic", "t_sec", "doc").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val want = docs.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(got === want, "every topic/timestamp/document must survive the bag round-trip")
+  }
+
+  test("rosbag reader skips truncated tails and compressed chunks, never throws") {
+    import spark.implicits._
+    val docs = Seq(("/t", 1L, """{"_id":1}"""), ("/t", 2L, """{"_id":2}"""))
+      .toDF("topic", "t_sec", "doc")
+    val out = java.nio.file.Files.createTempDirectory("graft_bagbad").toString
+    graft.sources.RosBag.write(docs.coalesce(1), out)
+    val bag = new java.io.File(out).listFiles().filter(_.getName.endsWith(".bag")).head
+    val bytes = java.nio.file.Files.readAllBytes(bag.toPath)
+    // drop the Hadoop checksum sidecar: these edits bypass fs.create
+    new java.io.File(out).listFiles().filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    // truncate mid-index: messages (inside the chunk) still decode
+    java.nio.file.Files.write(bag.toPath, bytes.dropRight(10))
+    assert(graft.sources.RosBag.read(spark, out).count() === 2,
+      "chunk records precede the index; truncation there loses nothing")
+    // garbage after the magic: decodes to zero rows, no exception
+    java.nio.file.Files.write(bag.toPath,
+      "#ROSBAG V2.0\n".getBytes("US-ASCII") ++ Array.fill[Byte](64)(-1))
+    assert(graft.sources.RosBag.read(spark, out).count() === 0)
+  }
+
   test("byteSizes totals leaf bytes: fixed widths plus octet lengths") {
     import spark.implicits._
     val df = Seq((1L, "abc", Some(2.0)), (2L, "é", None)).toDF("id", "s", "v")
