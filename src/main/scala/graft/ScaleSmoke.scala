@@ -126,6 +126,49 @@ object ScaleSmoke {
     }
     graft.ops.Dedup.unpersistShared()
 
+    // pathological pair graph, ~10⁶ edges in three strata: one hub vertex
+    // owning half the edges (the straggler case that breaks per-vertex
+    // pre-partitioning), one path of length 10⁵ (diameter case — min-label
+    // propagation would need 10⁵ rounds), and a random-pair cloud. The
+    // star-contraction CC must label all three correctly in O(log²) rounds
+    // with AQE free to split the hub's skewed join partitions.
+    val pathBase = 1000000L
+    val pathLen = 100000L
+    val hubEdges = spark.range(1, 500001)
+      .select(lit(0L).as("id1"), col("id").as("id2"))
+    val pathEdges = spark.range(pathLen).select(
+      (lit(pathBase) + col("id")).as("id1"),
+      (lit(pathBase) + col("id") + 1).as("id2"))
+    val randEdges = spark.range(400000).select(
+      (lit(2000000L) + pmod(hash(col("id")), lit(200000))).as("id1"),
+      (lit(2000000L) + pmod(hash(col("id"), lit(1)), lit(200000))).as("id2"))
+      .filter(col("id1") =!= col("id2"))
+    val graph = hubEdges.unionByName(pathEdges).unionByName(randEdges)
+    time("cc_stars_giant_component") {
+      val labels = graft.ops.Dedup.connectedComponentsStars(graph).cache()
+      val comps = labels.agg(countDistinct("cluster_id")).head().getLong(0)
+      val hubMislabels = labels
+        .filter(col("doc_id") <= 500000L && col("cluster_id") =!= 0L).count()
+      val pathMislabels = labels
+        .filter(col("doc_id") >= pathBase && col("doc_id") <= pathBase + pathLen)
+        .filter(col("cluster_id") =!= pathBase).count()
+      labels.unpersist()
+      println(s"[scale]   components: $comps, hub mislabels: $hubMislabels, " +
+        s"path mislabels: $pathMislabels (both must be 0)")
+    }
+
+    // Bloom-prefiltered decontamination at corpus scale: the eval set is
+    // 1k docs, the corpus nDocs — the prefilter must keep the confirm
+    // join's input near the true-match volume.
+    time("decontaminate_bloom") {
+      val n = graft.ops.Dedup.contaminationBloom(
+        docs.filter(col("doc_id") >= 1000), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") < 1000), col("doc_id"), col("text"),
+        nGram = 5).count()
+      println(s"[scale]   contaminated docs flagged: $n")
+      graft.ops.Dedup.unpersistShared()
+    }
+
     // clustered embedding corpus: 32 well-separated clusters in id blocks,
     // so the first-k quantizer's centroids all come from cluster 0. The
     // trained spherical-k-means quantizer must recover near-brute recall

@@ -418,6 +418,14 @@ object SparkEntry {
           Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"), 0.5))
         .orderBy("doc_id")),
 
+    // same clusters, computed by the skew-tolerant large-star/small-star
+    // alternation (O(log² n) rounds; AQE-splittable joins) — the variant
+    // for chained clusters and hub-heavy pair graphs at 100 TB
+    "dedup_clusters_star" -> ((s, dir) =>
+      Dedup.connectedComponentsStars(
+          Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"), 0.5))
+        .orderBy("doc_id")),
+
     "dedup_minhash_estimate" -> ((s, dir) =>
       Dedup.minhashEstimate(Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy("id1", "id2")),
@@ -443,6 +451,16 @@ object SparkEntry {
     "corpus_decontaminate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.contamination(docs.filter(col("doc_id") >= 5), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") < 5), col("doc_id"), col("text"), nGram = 5)
+        .orderBy("doc_id")
+    }),
+
+    // same answer through the broadcast-Bloom prefilter (map-side probe in
+    // codegen, only matches + fpp-sliver shuffle; confirm join restores
+    // exactness) — the shape that survives a 10¹²-gram corpus
+    "corpus_decontaminate_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationBloom(docs.filter(col("doc_id") >= 5), col("doc_id"), col("text"),
           docs.filter(col("doc_id") < 5), col("doc_id"), col("text"), nGram = 5)
         .orderBy("doc_id")
     }),
@@ -1007,6 +1025,26 @@ object SparkEntry {
         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
+    // identical transitive-closure oracle: both CC implementations must
+    // produce the same (doc_id, cluster_id) labeling
+    "dedup_clusters_star" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        |       FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0
+        |       JOIN (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 500) keep USING (shingle)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+        |         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id1, id2 FROM cand
+        |          JOIN cnt c1 ON c1.doc_id = id1 JOIN cnt c2 ON c2.doc_id = id2
+        |          WHERE shared / (c1.n + c2.n - shared) >= 0.5),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+        |reach AS (SELECT a, b FROM edges
+        |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
     "dedup_keep_canonical" ->
       """WITH RECURSIVE w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
         |sh0 AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
@@ -1102,6 +1140,18 @@ object SparkEntry {
         |ORDER BY id1, id2""".stripMargin,
 
     "corpus_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] || ' ' || words[i+4] AS gram
+        |      FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 4),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 5),
+        |corpus AS (SELECT doc_id, gram FROM g WHERE doc_id >= 5)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM corpus JOIN bench USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // bloom prefilter + exact confirm join must return the exact answer
+    "corpus_decontaminate_bloom" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
         |g AS (SELECT DISTINCT doc_id,
         |        words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] || ' ' || words[i+4] AS gram

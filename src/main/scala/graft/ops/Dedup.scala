@@ -182,6 +182,49 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** [[contamination]] with a Bloom-filter prefilter — the 100 TB shape.
+    *
+    * The exact version shuffles EVERY corpus gram into the equality join
+    * (~10¹² rows for a billion-doc corpus) even though almost none match.
+    * Here the eval set's distinct gram hashes — small by definition:
+    * benchmark suites are 10⁴–10⁶ docs — are folded into one portable
+    * Bloom filter ([[graft.functions.BloomImpl]]; ~1.8 MB per million
+    * grams at fpp 1e-3), shipped to every task as a literal, and corpus
+    * grams are probed MAP-SIDE inside whole-stage codegen before any
+    * exchange: only true matches plus the fpp-sliver of false positives
+    * ever shuffle. The confirm join against the real gram set then
+    * removes the false positives, so the output is byte-identical to
+    * [[contamination]] — same oracle, ~1/fpp less shuffle volume.
+    *
+    * The filter is built by one driver-side scalar aggregate (same
+    * pattern as Layout's min/max row): legitimate because the SMALL side
+    * is aggregated — the corpus never touches the driver.
+    */
+  def contaminationBloom(df: DataFrame, idCol: Column, textCol: Column,
+                         bench: DataFrame, benchIdCol: Column, benchTextCol: Column,
+                         nGram: Int = 13, fpp: Double = 0.001): DataFrame = {
+    import graft.functions.{BloomFunctions, BloomImpl}
+    BloomFunctions.register(df.sparkSession)
+    // cached (releasable via unpersistShared): read three times — the
+    // sizing count, the filter build, and the confirm join
+    val benchGrams = shareCache(
+      ngramSet(bench, benchIdCol, benchTextCol, nGram)
+        .select(xxhash64(col("gram")).as("gram")).distinct(),
+      enabled = true)
+    val n = math.max(benchGrams.count(), 1L)
+    val bits = BloomImpl.optimalNumBits(n, fpp)
+    val hashes = BloomImpl.optimalNumHashes(n, bits)
+    val bloom = benchGrams
+      .agg(expr(s"graft_bloom_agg(gram, $bits, $hashes)").as("f"))
+      .head().getAs[Array[Byte]](0)
+    val candidates = ngramSet(df, idCol, textCol, nGram)
+      .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
+      .filter(call_function("graft_bloom_contains", lit(bloom), col("gram")))
+    candidates.join(benchGrams, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Distinct shingles per doc as one array row (input to MinHash). */
   def shingleArrays(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     GraftFunctions.register(df.sparkSession)
@@ -354,6 +397,86 @@ object Dedup {
       iter += 1
     }
     labels
+  }
+
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond"
+    * — public algorithm). Same (doc_id, cluster_id) contract as
+    * [[connectedComponents]], different scale profile:
+    *
+    *  - **Rounds ~ O(log² n), not O(diameter).** Min-label propagation
+    *    moves a label one hop per round, so a path-shaped component of
+    *    length d needs d rounds; star contraction halves tree heights
+    *    every alternation. Use this variant when clusters can chain
+    *    (transitive near-dup graphs), the min-label one when clusters are
+    *    tiny cliques (typical near-dup output).
+    *  - **Skew-tolerant by construction.** [[connectedComponents]] pins
+    *    each vertex's full adjacency into one partition (repartition by
+    *    source) to make its per-round joins exchange-free — optimal until
+    *    one hub vertex owns 10⁸ edges and its partition straggles. Here
+    *    every round is a plain shuffle join on the vertex id, left free
+    *    for AQE's skew-join split (`spark.sql.adaptive` is on by
+    *    default), and the per-vertex min is a partially-aggregated
+    *    groupBy — a hub contributes one row per map partition, never a
+    *    hot reducer. Star rounds also shrink hubs themselves: large-star
+    *    rewires a hub's larger neighbors to its min neighbor, so the
+    *    degenerate degree disperses within a couple of rounds.
+    *
+    * Each round materializes O(E) star edges via `localCheckpoint` (same
+    * lineage-truncation rationale as the min-label loop) and converges
+    * when the edge set is a fixpoint: every edge then points directly at
+    * its component's min vertex.
+    */
+  def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val verts = pairs.select(col("id1").as("doc_id"))
+      .unionByName(pairs.select(col("id2").as("doc_id")))
+      .distinct()
+
+    // large-star: every node links its STRICTLY LARGER neighbors to the
+    // min of its closed neighborhood. Adjacency is both directions.
+    def largeStar(e: DataFrame): DataFrame = {
+      val adj = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = adj.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      adj.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star: orient each edge high→low, then every node links its
+    // smaller neighbors (and itself) to the min of those neighbors.
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val mins = oriented.groupBy("u").agg(min("v").as("m"))
+      oriented.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .unionByName(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    var edges = pairs.select(col("id1").as("u"), col("id2").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var iter = 0
+    var converged = edges.isEmpty
+    while (iter < maxIter && !converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // fixpoint test on the materialized O(V)-row checkpoints: equal
+      // counts + empty multiset difference ⇒ identical edge sets
+      converged = next.count() == edges.count() && next.exceptAll(edges).isEmpty
+      edges = next
+      iter += 1
+    }
+    // converged edge set is (child → component-min) stars; roots appear
+    // only on the right side and label themselves
+    verts.join(edges.select(col("u").as("doc_id"), col("v").as("lbl")),
+        Seq("doc_id"), "left")
+      .groupBy("doc_id")
+      .agg(min(coalesce(col("lbl"), col("doc_id"))).as("cluster_id"))
   }
 
   /** The actual dedup decision: keep one document per near-dup cluster

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{BloomFunctions, BloomImpl}
+import graft.ops.Dedup
+
+/** The portable Bloom filter: no false negatives, bounded false
+  * positives, byte-identical partial-aggregate merges, and the
+  * decontamination prefilter returning the exact answer.
+  */
+class BloomSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("no false negatives; false-positive rate near the sizing target") {
+    BloomFunctions.register(spark)
+    import spark.implicits._
+    val n = 10000L
+    val bits = BloomImpl.optimalNumBits(n, 0.01)
+    val hashes = BloomImpl.optimalNumHashes(n, bits)
+    val members = spark.range(n).select(xxhash64(col("id")).as("h"))
+    val bloom = members.agg(expr(s"graft_bloom_agg(h, $bits, $hashes)"))
+      .head().getAs[Array[Byte]](0)
+
+    val inHits = members
+      .filter(call_function("graft_bloom_contains", lit(bloom), col("h"))).count()
+    assert(inHits === n, "a Bloom filter may never drop a member")
+
+    // disjoint probe set (ids shifted far away, re-hashed)
+    val fp = spark.range(1000000, 1000000 + n).select(xxhash64(col("id")).as("h"))
+      .filter(call_function("graft_bloom_contains", lit(bloom), col("h"))).count()
+    assert(fp < n / 20, s"fp rate ${fp.toDouble / n} far above the 1% target")
+  }
+
+  test("filter of the whole equals the OR of part filters, byte for byte") {
+    BloomFunctions.register(spark)
+    val ev = Tables.events(spark, sf).select(xxhash64(col("user_id")).as("h"),
+      col("event_id"))
+    val whole = ev.agg(expr("graft_bloom_agg(h, 65536, 5)"))
+      .head().getAs[Array[Byte]](0)
+    // OR the per-half filters driver-side and compare to the whole
+    val parts = ev.withColumn("half", col("event_id") % 2)
+      .groupBy("half").agg(expr("graft_bloom_agg(h, 65536, 5)").as("f"))
+      .collect().map(_.getAs[Array[Byte]]("f"))
+    val acc = parts.head.clone()
+    parts.tail.foreach(BloomImpl.mergeInto(acc, _))
+    assert(java.util.Arrays.equals(whole, acc),
+      "bitwise-OR merge must make any re-partitioning byte-identical")
+  }
+
+  test("bloom-prefiltered decontamination equals the exact join") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") >= 5)
+    val bench = docs.filter(col("doc_id") < 5)
+    val exact = Dedup.contamination(corpus, col("doc_id"), col("text"),
+        bench, col("doc_id"), col("text"), nGram = 5)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bloomed = Dedup.contaminationBloom(corpus, col("doc_id"), col("text"),
+        bench, col("doc_id"), col("text"), nGram = 5)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(exact.nonEmpty, "fixture should contain contaminated docs")
+    assert(bloomed === exact,
+      "the confirm join must cancel every bloom false positive")
+    Dedup.unpersistShared()
+  }
+}

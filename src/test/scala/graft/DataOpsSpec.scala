@@ -87,6 +87,33 @@ class DataOpsSpec extends AnyFunSuite {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("star-contraction CC matches min-label CC and converges on deep chains") {
+    import spark.implicits._
+    // same shape as the min-label test...
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val cc = Dedup.connectedComponentsStars(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+
+    // ...plus the case min-label propagation can't do in bounded rounds: a
+    // path of length 64 needs 64 label hops, but star contraction halves
+    // tree heights per alternation and lands well inside maxIter
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val deep = Dedup.connectedComponentsStars(chain, maxIter = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(deep.length === 65)
+    assert(deep.forall(_._2 === 0L), "every chain vertex labels to the min (0)")
+
+    // hub graph (one vertex adjacent to everything) — the skew case the
+    // star variant exists for — plus a random sprinkle of extra edges
+    val hub = ((1L to 200L).map(i => (0L, i)) ++
+      (1L to 50L).map(i => (i * 3 % 200 + 1, i * 7 % 200 + 1)).filter(p => p._1 != p._2))
+      .toDF("id1", "id2")
+    val hubCc = Dedup.connectedComponentsStars(hub).collect()
+    assert(hubCc.length === 201)
+    assert(hubCc.forall(_.getLong(1) === 0L))
+  }
+
   test("brute-force ANN ranks are dense per query") {
     val res = Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 3), 5).collect()
     val byQuery = res.groupBy(_.getLong(0))
