@@ -158,14 +158,20 @@ object ScaleSmoke {
     }
 
     // Bloom-prefiltered decontamination at corpus scale: the eval set is
-    // 1k docs, the corpus nDocs — the prefilter must keep the confirm
-    // join's input near the true-match volume.
+    // 1k docs, the corpus nDocs. 1% of corpus docs are planted copies of
+    // eval texts, so the stratum proves both sides: ~99% of corpus grams
+    // die at the map-side probe, and every planted doc IS flagged.
+    val planted = docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(100)) === 47 && col("doc_id") >= 1000,
+        concat_ws(" ", (0 until 60).map(i =>
+          concat(lit("w"), pmod(hash(pmod(col("doc_id"), lit(1000)), lit(i)), lit(2000)))): _*))
+        .otherwise(col("text")))
     time("decontaminate_bloom") {
       val n = graft.ops.Dedup.contaminationBloom(
-        docs.filter(col("doc_id") >= 1000), col("doc_id"), col("text"),
-        docs.filter(col("doc_id") < 1000), col("doc_id"), col("text"),
+        planted.filter(col("doc_id") >= 1000), col("doc_id"), col("text"),
+        planted.filter(col("doc_id") < 1000), col("doc_id"), col("text"),
         nGram = 5).count()
-      println(s"[scale]   contaminated docs flagged: $n")
+      println(s"[scale]   contaminated docs flagged: $n (expect ≈ ${nDocs / 100})")
       graft.ops.Dedup.unpersistShared()
     }
 

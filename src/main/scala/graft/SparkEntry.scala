@@ -512,6 +512,13 @@ object SparkEntry {
       TextAnalysis.repetitionScore(Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // exact corpus-wide heavy tokens (≥1% of all token instances) via the
+    // MG-sketch candidate pass + exact confirm — shuffle O(k), never
+    // O(vocabulary)
+    "corpus_heavy_tokens" -> ((s, dir) =>
+      TextAnalysis.heavyTokens(Tables.documents(s, dir), col("text"), 0.01)
+        .orderBy("token")),
+
     "corpus_prune" -> ((s, dir) =>
       TextAnalysis.pruneByLength(Tables.documents(s, dir),
           col("doc_id"), col("source"), col("n_chars"), 0.05, 0.95)
@@ -1297,6 +1304,16 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(norm, '[a-z]+')) AS BIGINT) AS n_alpha_runs,
         |  CAST(ceil(length(text) / CAST(4 AS DOUBLE)) AS BIGINT) AS n_bpe_est
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // the sketch pass only generates candidates; the confirm pass is an
+    // exact GROUP BY over them, so the oracle is the plain exact query
+    "corpus_heavy_tokens" ->
+      """WITH w AS (SELECT string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |tok AS (SELECT unnest(words) AS token FROM w)
+        |SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM tok GROUP BY token
+        |HAVING count(*) >= CAST(ceil((SELECT count(*) FROM tok) * 0.01) AS BIGINT)
+        |ORDER BY token""".stripMargin,
 
     "quality_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),

@@ -368,8 +368,13 @@ object Dedup {
     // lands on shuffle.partitions-many partitions, and the follow-up join
     // is exchange-free only when labels' count matches it.
     val n = pairs.sparkSession.sessionState.conf.numShufflePartitions
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+    // symmetric expansion via explode, not a swapped-alias self-union —
+    // see connectedComponentsStars for why the union form breaks the
+    // optimizer's Union constraint rewriting on some inputs
+    val edges = pairs.select(explode(array(
+        struct(col("id1").as("a"), col("id2").as("b")),
+        struct(col("id2").as("a"), col("id1").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .repartition(n, col("a"))
       .localCheckpoint()
     var labels = edges.select(col("a").as("doc_id")).distinct()
@@ -428,14 +433,27 @@ object Dedup {
     * its component's min vertex.
     */
   def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
-    val verts = pairs.select(col("id1").as("doc_id"))
-      .unionByName(pairs.select(col("id2").as("doc_id")))
+    // Symmetric/vertex expansions use explode(array(...)), NOT a
+    // self-unionByName with swapped aliases: a Project that renames a
+    // relation's columns crosswise carries alias-equality constraints
+    // referencing the base attributes, and Union's constraint rewriting
+    // resolves constraints only against each child's own output —
+    // "key not found" in UnionBase.rewriteConstraints on inputs whose
+    // children propagate constraints (e.g. a union with a literal
+    // column). One generate operator is also cheaper than a union.
+    val verts = pairs
+      .select(explode(array(col("id1"), col("id2"))).as("doc_id"))
       .distinct()
+
+    def symmetric(e: DataFrame): DataFrame = e.select(explode(array(
+        struct(col("u").as("u"), col("v").as("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
 
     // large-star: every node links its STRICTLY LARGER neighbors to the
     // min of its closed neighborhood. Adjacency is both directions.
     def largeStar(e: DataFrame): DataFrame = {
-      val adj = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val adj = symmetric(e)
       val mins = adj.groupBy("u").agg(min("v").as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
       adj.filter(col("v") > col("u"))
@@ -446,19 +464,24 @@ object Dedup {
 
     // small-star: orient each edge high→low, then every node links its
     // smaller neighbors (and itself) to the min of those neighbors.
+    // Per-row emission of both (v → m) and (u → m) through one explode;
+    // m < u always (m is the min of neighbors strictly below u), and the
+    // filter drops the v = m self-loop.
     def smallStar(e: DataFrame): DataFrame = {
       val oriented = e.select(
         greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       val mins = oriented.groupBy("u").agg(min("v").as("m"))
       oriented.join(mins, "u")
-        .select(col("v").as("u"), col("m").as("v"))
+        .select(explode(array(
+          struct(col("v").as("a"), col("m").as("b")),
+          struct(col("u").as("a"), col("m").as("b")))).as("e"))
+        .select(col("e.a").as("u"), col("e.b").as("v"))
         .filter(col("u") =!= col("v"))
-        .unionByName(mins.select(col("u"), col("m").as("v")))
         .distinct()
     }
 
-    var edges = pairs.select(col("id1").as("u"), col("id2").as("v"))
-      .filter(col("u") =!= col("v"))
+    var edges = pairs.filter(col("id1") =!= col("id2"))
+      .select(col("id1").as("u"), col("id2").as("v"))
       .distinct()
       .localCheckpoint()
     var iter = 0

@@ -151,4 +151,54 @@ object TextAnalysis {
       idCol.as("doc_id"),
       md5(normalize(textCol)).as("fp"),
       substring(md5(normalize(textCol)), 1, 8).as("fp_prefix"))
+
+  /** EXACT heavy hitters — every item occurring in at least `minFraction`
+    * of the N item instances, with exact counts — without ever shuffling
+    * the full item-frequency table.
+    *
+    * Two passes, both scale-safe:
+    *   1. one Misra-Gries sketch pass ([[graft.functions.MgSketchAgg]]):
+    *      O(k) memory per partial, candidates collected to the driver
+    *      (≤ k strings). The MG bound — no item with count > N/(k+1) is
+    *      ever dropped, merges included — plus the `require` below makes
+    *      false negatives impossible.
+    *   2. one exact counting pass restricted to the candidates via a
+    *      broadcast semi-join: shuffle O(k) groups, not O(vocabulary).
+    *
+    * A plain groupBy-count at 100 TB shuffles one row per DISTINCT item
+    * (web-scale token/URL vocabularies: billions); this shuffles k rows.
+    * k trades driver memory for threshold headroom: the guarantee needs
+    * minFraction > 1/(k+1).
+    */
+  def heavyHitters(df: DataFrame, itemCol: Column, minFraction: Double,
+                   k: Int = 4096): DataFrame = {
+    graft.functions.FreqFunctions.register(df.sparkSession)
+    val items = df.select(itemCol.cast("string").as("item"))
+      .filter(col("item").isNotNull)
+    val row = items
+      .agg(expr(s"graft_mg_sketch(item, $k)").as("cand"), count(lit(1)).as("n"))
+      .head()
+    val n = row.getLong(1)
+    val minCount = math.max(1L, math.ceil(n * minFraction).toLong)
+    require(minCount > n / (k + 1),
+      s"k=$k cannot guarantee recall at minFraction=$minFraction over n=$n " +
+        s"items (need minCount > n/(k+1) = ${n / (k + 1)}); raise k or the threshold")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cands = row.getSeq[String](0).toDF("item")
+    items.join(broadcast(cands), "item")
+      .groupBy("item")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
+  }
+
+  /** [[heavyHitters]] over a corpus's token stream: the vocabulary-scale
+    * frequency profile every tokenizer/filtering decision starts from.
+    */
+  def heavyTokens(df: DataFrame, textCol: Column, minFraction: Double,
+                  k: Int = 4096): DataFrame =
+    heavyHitters(
+      df.select(explode(tokens(textCol)).as("token")), col("token"),
+      minFraction, k)
+      .withColumnRenamed("item", "token")
 }

@@ -114,6 +114,57 @@ class DataOpsSpec extends AnyFunSuite {
     assert(hubCc.forall(_.getLong(1) === 0L))
   }
 
+  test("both CC variants accept union-shaped inputs with literal-column children") {
+    // regression: symmetric edge expansion via swapped-alias self-union
+    // tripped UnionBase.rewriteConstraints ("key not found") when the
+    // pair input was itself a union carrying a literal column — the shape
+    // any programmatically-assembled edge list (benchmark generators,
+    // multi-source pair unions) naturally has
+    val hubEdges = spark.range(1, 501).select(lit(0L).as("id1"), col("id").as("id2"))
+    val pathEdges = spark.range(100).select(
+      (lit(1000L) + col("id")).as("id1"), (lit(1000L) + col("id") + 1).as("id2"))
+    val randEdges = spark.range(400).select(
+      (lit(2000L) + pmod(hash(col("id")), lit(200))).as("id1"),
+      (lit(2000L) + pmod(hash(col("id"), lit(1)), lit(200))).as("id2"))
+      .filter(col("id1") =!= col("id2"))
+    val graph = hubEdges.unionByName(pathEdges).unionByName(randEdges)
+    val stars = Dedup.connectedComponentsStars(graph)
+    assert(stars.filter(col("doc_id") <= 500L && col("cluster_id") =!= 0L).count() === 0)
+    val minLabel = Dedup.connectedComponents(graph)
+    assert(minLabel.filter(col("doc_id") <= 500L && col("cluster_id") =!= 0L).count() === 0)
+  }
+
+  test("heavy hitters are exact, never miss above the MG bound, and reject unsafe k") {
+    import spark.implicits._
+    // one true heavy item among 100 light ones, k=8 forces real
+    // Misra-Gries compression (101 distinct items >> 8 counters)
+    val data = (Seq.fill(500)("h") ++ (1 to 100).flatMap(i => Seq.fill(5)(s"t$i")))
+      .toDF("item").repartition(8)
+    val hh = TextAnalysis.heavyHitters(data, col("item"), 0.3, k = 8).collect()
+    assert(hh.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("h", 500L)),
+      "the heavy item must survive sketching with its EXACT count")
+
+    // minFraction below 1/(k+1): recall can't be guaranteed — must refuse
+    intercept[IllegalArgumentException] {
+      TextAnalysis.heavyHitters(data, col("item"), 0.05, k = 8)
+    }
+  }
+
+  test("heavy tokens equal the exact full group-by on the corpus") {
+    val toks = docs.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val total = toks.count()
+    val minCount = math.ceil(total * 0.01).toLong
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
+      .orderBy("token").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val sketched = TextAnalysis.heavyTokens(docs, col("text"), 0.01)
+      .orderBy("token").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(exact.nonEmpty)
+    assert(sketched === exact)
+  }
+
   test("brute-force ANN ranks are dense per query") {
     val res = Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 3), 5).collect()
     val byQuery = res.groupBy(_.getLong(0))
