@@ -24,9 +24,19 @@ object Bench {
     // Optional comma-separated name filter for local iteration on a
     // single query's timing (e.g. SPARK_GRAFT_ONLY=dedup_clusters).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries
+    val picked = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    // Untimed dry pass over every query first: JIT/codegen of the SHARED
+    // machinery (parquet reader, join/agg codegen, shuffle) otherwise
+    // lands on whichever queries happen to run first, skewing their
+    // numbers 2-3x run-to-run. Per-query min-of-2 can't fix that — the
+    // first timed run of query #1 still pays infra warmup that query #50
+    // gets for free.
+    picked.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    val results = picked.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         // The noop sink materializes EVERY output column. A count() here

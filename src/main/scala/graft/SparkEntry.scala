@@ -519,6 +519,13 @@ object SparkEntry {
       TextAnalysis.heavyTokens(Tables.documents(s, dir), col("text"), 0.01)
         .orderBy("token")),
 
+    // deterministic E-S weighted sample, p ∝ document length — the same
+    // 100 docs on any cluster size, any engine
+    "corpus_weighted_sample" -> ((s, dir) =>
+      TextAnalysis.weightedSample(Tables.documents(s, dir), "doc_id", col("n_chars"), 100)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")),
+
     "corpus_prune" -> ((s, dir) =>
       TextAnalysis.pruneByLength(Tables.documents(s, dir),
           col("doc_id"), col("source"), col("n_chars"), 0.05, 0.95)
@@ -1304,6 +1311,17 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(norm, '[a-z]+')) AS BIGINT) AS n_alpha_runs,
         |  CAST(ceil(length(text) / CAST(4 AS DOUBLE)) AS BIGINT) AS n_bpe_est
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // same 52-bit md5 slice, same u^(1/w) score: both engines rank an
+    // identical deterministic sample (ties broken by doc_id)
+    "corpus_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 0.5)
+        |        / 4503599627370496.0, 1.0 / n_chars) AS score
+        |  FROM documents WHERE n_chars > 0
+        |  ORDER BY score DESC, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
 
     // the sketch pass only generates candidates; the confirm pass is an
     // exact GROUP BY over them, so the oracle is the plain exact query

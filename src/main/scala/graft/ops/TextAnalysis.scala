@@ -201,4 +201,32 @@ object TextAnalysis {
       df.select(explode(tokens(textCol)).as("token")), col("token"),
       minFraction, k)
       .withColumnRenamed("item", "token")
+
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis 2006): item i draws u_i = uniform(0,1) from a 52-bit md5
+    * slice of its id and scores u_i^(1/w_i); the global top-k by score is
+    * exactly a weighted sample without replacement with p ∝ weight. The
+    * corpus-curation subsampling primitive (weight = quality score,
+    * length, cluster mass...).
+    *
+    * Scale/reproducibility shape: the "randomness" is hash-derived — no
+    * RNG state, no seed plumbing — so the same corpus yields the SAME
+    * sample on any cluster size, any partitioning, any engine (the md5
+    * slice is plain SQL; see the corpus_weighted_sample oracle). The
+    * top-k plans as TakeOrderedAndProject: per-partition heaps of k, one
+    * k·partitions merge — never a global sort shuffle. Items with
+    * non-positive weight are excluded (they have probability 0 anyway).
+    */
+  def weightedSample(df: DataFrame, idColName: String, weightCol: Column,
+                     k: Int): DataFrame = {
+    // 13 hex chars = 52 bits: the largest md5 slice a double holds
+    // exactly, so u and the score agree bit-for-bit across engines
+    val u = (expr(s"cast(conv(substr(md5(cast(`$idColName` as string)), 1, 13), 16, 10) as double)")
+      + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    df.filter(weightCol > 0)
+      .withColumn("__es_score", pow(u, lit(1.0) / weightCol.cast("double")))
+      .orderBy(col("__es_score").desc, col(idColName))
+      .limit(k)
+      .drop("__es_score")
+  }
 }

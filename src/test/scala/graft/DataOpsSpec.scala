@@ -165,6 +165,27 @@ class DataOpsSpec extends AnyFunSuite {
     assert(sketched === exact)
   }
 
+  test("weighted sample is partition-invariant and weight-biased") {
+    // 900 light items (w=1) vs 100 heavy (w=100): heavy mass is ~92% of
+    // total weight, so a 50-sample should be dominated by heavy ids
+    val data = spark.range(1000).select(col("id"),
+      when(col("id") >= 900, 100.0).otherwise(1.0).as("w"))
+    val s1 = TextAnalysis.weightedSample(data, "id", col("w"), 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val s2 = TextAnalysis.weightedSample(data.repartition(13), "id", col("w"), 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s1 === s2, "hash-derived scores must make the sample partition-invariant")
+    assert(s1.size === 50)
+    assert(s1.count(_ >= 900) > 30, s"heavy items underrepresented: $s1")
+
+    // non-positive weights are never sampled
+    val withZero = spark.range(1000).select(col("id"),
+      when(col("id") < 990, 0.0).otherwise(1.0).as("w"))
+    val s3 = TextAnalysis.weightedSample(withZero, "id", col("w"), 50)
+      .select("id").collect().map(_.getLong(0))
+    assert(s3.length === 10 && s3.forall(_ >= 990))
+  }
+
   test("brute-force ANN ranks are dense per query") {
     val res = Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 3), 5).collect()
     val byQuery = res.groupBy(_.getLong(0))
