@@ -47,5 +47,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hll_est"),
       info("graft_hll_est", "graft_hll_est(sketch) - cardinality estimate"),
       (exprs: Seq[Expression]) => HllEstimate(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg", "graft_bloom_agg(hash64[, numBits, numHashes]) - portable Bloom filter bytes"),
+      (exprs: Seq[Expression]) => BloomAgg(exprs.head,
+        if (exprs.size > 1) exprs(1).eval(null).asInstanceOf[Int] else 1 << 20,
+        if (exprs.size > 2) exprs(2).eval(null).asInstanceOf[Int] else 5)))
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains", "graft_bloom_contains(filter, hash64) - membership probe"),
+      (exprs: Seq[Expression]) => BloomMightContain(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_mg_sketch"),
+      info("graft_mg_sketch", "graft_mg_sketch(col[, k]) - Misra-Gries heavy-hitter candidates"),
+      (exprs: Seq[Expression]) => MgSketchAgg(exprs.head,
+        if (exprs.size > 1) exprs(1).eval(null).asInstanceOf[Int] else 4096)))
   }
 }

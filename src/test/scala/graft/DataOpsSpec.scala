@@ -442,6 +442,18 @@ class DataOpsSpec extends AnyFunSuite {
     graft.functions.GraftFunctions.register(spark)
     val viaRegistry = spark.sql("SELECT graft_simhash60(array('a', 'b'))").collect()(0).getLong(0)
     assert(r.getLong(0) === viaRegistry)
+
+    // the sketch aggregates are injected too
+    val bloomRow = s2.sql(
+      """SELECT graft_bloom_contains(f, xxhash64(CAST(7 AS BIGINT))) AS hit,
+        |       graft_bloom_contains(f, xxhash64(CAST(99999 AS BIGINT))) AS miss
+        |FROM (SELECT graft_bloom_agg(xxhash64(id), 65536, 5) AS f FROM range(10))""".stripMargin)
+      .collect()(0)
+    assert(bloomRow.getBoolean(0) && !bloomRow.getBoolean(1))
+    val mg = s2.sql(
+      "SELECT graft_mg_sketch(CAST(id % 3 AS STRING), 8) AS c FROM range(30)")
+      .collect()(0).getSeq[String](0)
+    assert(mg.toSet === Set("0", "1", "2"))
   }
 
   test("contamination flags exactly the docs sharing an n-gram with the benchmark") {

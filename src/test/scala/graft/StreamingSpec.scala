@@ -324,6 +324,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch === t20, "stream snapshot must equal the batch latest-per-topic operator")
   }
 
+  test("bloom prefilter probes map-side inside a streaming filter") {
+    // ingest-time decontamination: the Bloom filter built from a static
+    // eval set is a plain column expression, so it drops non-matching
+    // stream rows inside the micro-batch with no state store and no
+    // shuffle — the streaming twin of contaminationBloom's prefilter
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    graft.functions.BloomFunctions.register(spark)
+    val bloom = spark.range(100).select(xxhash64(col("id")).as("h"))
+      .agg(expr("graft_bloom_agg(h, 65536, 5)")).head().getAs[Array[Byte]](0)
+
+    val input = MemoryStream[Long]
+    input.addData(0L until 1000L: _*)
+    val flagged = input.toDF()
+      .filter(call_function("graft_bloom_contains", lit(bloom), xxhash64(col("value"))))
+    val q = flagged.writeStream.outputMode("append")
+      .format("memory").queryName("bloom_stream").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("bloom_stream").collect().map(_.getLong(0)).toSet
+    assert((0L until 100L).forall(got.contains), "no member may be dropped")
+    assert(got.size < 120, s"false-positive flood: ${got.size}")
+  }
+
   test("streaming skip-on-error drops malformed payloads only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
