@@ -175,6 +175,32 @@ object ScaleSmoke {
       graft.ops.Dedup.unpersistShared()
     }
 
+    // Zipf-ish item stream (log-uniform over a 100k vocabulary): ~90
+    // items exceed the 0.1% support threshold. The MG sketch holds 4096
+    // counters against the 100k-distinct stream — memory O(k), and the
+    // confirm join only ever sees the candidate set.
+    time("heavy_hitters_zipf") {
+      val u = (pmod(hash(col("id")), lit(1000000)).cast("double") + 0.5) / 1000000.0
+      val items = spark.range(nEvents).select(
+        concat(lit("item"), floor(exp(u * math.log(100000.0)))).as("item"))
+      val hh = graft.ops.TextAnalysis.heavyHitters(items, col("item"), 0.001)
+        .count()
+      println(s"[scale]   heavy items above 0.1% support: $hh (of ~100k distinct)")
+    }
+
+    // weighted sample at 10⁷ items: the hash-derived scores must make the
+    // sample identical under any repartitioning (the cluster-layout
+    // invariance claim), with the top-k never globally sorting.
+    time("weighted_sample_invariance") {
+      val base = spark.range(nEvents).select(col("id"),
+        (pmod(col("id"), lit(1000)) + 1).cast("double").as("w"))
+      val s1 = graft.ops.TextAnalysis.weightedSample(base, "id", col("w"), 1000)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val s2 = graft.ops.TextAnalysis.weightedSample(base.repartition(97), "id", col("w"), 1000)
+        .select("id").collect().map(_.getLong(0)).toSet
+      println(s"[scale]   sample stable under repartition: ${s1 == s2} (size ${s1.size})")
+    }
+
     // clustered embedding corpus: 32 well-separated clusters in id blocks,
     // so the first-k quantizer's centroids all come from cluster 0. The
     // trained spherical-k-means quantizer must recover near-brute recall

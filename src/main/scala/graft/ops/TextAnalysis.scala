@@ -216,6 +216,12 @@ object TextAnalysis {
     * top-k plans as TakeOrderedAndProject: per-partition heaps of k, one
     * k·partitions merge — never a global sort shuffle. Items with
     * non-positive weight are excluded (they have probability 0 anyway).
+    *
+    * Sizing note: TakeOrderedAndProject merges k rows per partition at a
+    * single point, so this shape is for k up to ~10⁶. For giant samples
+    * (k beyond driver-merge scale) run the same score column through an
+    * approximate-quantile threshold (score ≥ q_{1−k/n}) plus an exact
+    * top-k trim of the boundary — same determinism, no k-row merge.
     */
   def weightedSample(df: DataFrame, idColName: String, weightCol: Column,
                      k: Int): DataFrame = {

@@ -49,6 +49,25 @@ class BloomSpec extends AnyFunSuite {
       "bitwise-OR merge must make any re-partitioning byte-identical")
   }
 
+  test("filters survive a parquet round trip and merge across jobs") {
+    BloomFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString + "/filters"
+    // job 1: one filter row per half, persisted as an ordinary column
+    Tables.events(spark, sf)
+      .select(xxhash64(col("user_id")).as("h"), col("event_id"))
+      .withColumn("half", col("event_id") % 2)
+      .groupBy("half").agg(expr("graft_bloom_agg(h, 65536, 5)").as("f"))
+      .write.mode("overwrite").parquet(dir)
+    // job 2: read the sketch table back, OR the parts, probe
+    val parts = spark.read.parquet(dir).collect().map(_.getAs[Array[Byte]]("f"))
+    val acc = parts.head.clone()
+    parts.tail.foreach(BloomImpl.mergeInto(acc, _))
+    val users = Tables.events(spark, sf).select(xxhash64(col("user_id")).as("h")).distinct()
+    val hits = users
+      .filter(call_function("graft_bloom_contains", lit(acc), col("h"))).count()
+    assert(hits === users.count(), "every ingested user must probe true after the round trip")
+  }
+
   test("bloom-prefiltered decontamination equals the exact join") {
     val docs = Tables.documents(spark, sf)
     val corpus = docs.filter(col("doc_id") >= 5)

@@ -70,4 +70,55 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: ["), s"no pushed filters:\n$plan")
     assert(plan.contains("GreaterThan(value,"), s"value filter not pushed:\n$plan")
   }
+
+  test("weighted sample plans as a top-k, never a global sort") {
+    // per-partition heaps + one k-row merge; a Sort + Limit pair instead
+    // would shuffle the whole corpus at 100 TB
+    val plan = graft.ops.TextAnalysis.weightedSample(
+        Tables.documents(spark, sf), "doc_id", org.apache.spark.sql.functions.col("n_chars"), 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weighted sample lost its top-k plan:\n$plan")
+  }
+
+  test("heavy-hitter confirm pass broadcasts the candidate set") {
+    // the second pass must semi-join against ≤ k candidates via broadcast;
+    // a shuffle join here would defeat the sketch's purpose
+    val plan = SparkEntry.queries("corpus_heavy_tokens")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate join is not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"unexpected shuffle join in the confirm pass:\n$plan")
+  }
+
+  test("bloom probe filters the corpus scan stage, below every exchange") {
+    // the prefilter's whole value is dropping grams MAP-SIDE: the
+    // graft_bloom_contains filter must sit in the same pre-shuffle stage
+    // as the documents scan, not after a join or aggregate
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val exec = SparkEntry.queries("corpus_decontaminate_bloom")(spark, sf)
+      .queryExecution.executedPlan
+    val root = exec match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val probeFilters = root.collect {
+      case f: FilterExec if f.condition.toString.contains("graft_bloom_contains") => f
+    }
+    assert(probeFilters.nonEmpty, s"bloom probe filter not found:\n$root")
+    probeFilters.foreach { f =>
+      // spread()'s round-robin repartition of the RAW documents (pre-gram
+      // parallelism for small inputs) is fine below the probe; what must
+      // never happen is a hash-partition exchange of the exploded grams
+      // before the probe drops them
+      val hashExchanges = f.collect {
+        case e: Exchange if e.outputPartitioning.toString.contains("hashpartitioning") => e
+      }
+      assert(hashExchanges.isEmpty,
+        s"grams are hash-shuffled BELOW the bloom probe — the prefilter runs post-shuffle:\n$f")
+    }
+  }
 }
