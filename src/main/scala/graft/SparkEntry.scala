@@ -478,6 +478,12 @@ object SparkEntry {
           planes = 3, tables = 8)
         .orderBy("id1", "id2")),
 
+    // SemDeDup shape: IVF-cell clustering bounds pair work to Σ|cell|²,
+    // drop any vector with a smaller-id twin at cosine ≥ τ in its cell
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDedup(Tables.embeddings(s, dir), 0.45)
+        .orderBy("vec_id")),
+
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 5), 10)
@@ -1222,6 +1228,31 @@ object SparkEntry {
         |      FROM sc JOIN n n1 ON n1.vec_id = query_id JOIN n n2 ON n2.vec_id = neighbor_id)
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // same first-8 coarse quantizer as ann_ivf_topk; within-cell pairs at
+    // rounded cosine ≥ τ drop the larger id, survivors remain
+    "dedup_semantic" ->
+      """WITH v AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+        |           FROM embeddings, range(1, 65) r(i)),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY 1),
+        |cd AS (SELECT a.vec_id, c.vec_id AS cell, sum(a.x * c.x) AS dot
+        |       FROM v a JOIN v c ON a.d = c.d AND c.vec_id < 8 GROUP BY 1, 2),
+        |cr AS (SELECT cd.vec_id, cell,
+        |         row_number() OVER (PARTITION BY cd.vec_id
+        |           ORDER BY dot / (n1.nrm * n2.nrm) DESC, cell) AS cell_rank
+        |       FROM cd JOIN n n1 ON n1.vec_id = cd.vec_id JOIN n n2 ON n2.vec_id = cell),
+        |cells AS (SELECT vec_id, cell FROM cr WHERE cell_rank = 1),
+        |pd AS (SELECT ca.vec_id AS id1, cb.vec_id AS id2, sum(va.x * vb.x) AS dot
+        |       FROM cells ca JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+        |       JOIN v va ON va.vec_id = ca.vec_id
+        |       JOIN v vb ON vb.vec_id = cb.vec_id AND vb.d = va.d
+        |       GROUP BY 1, 2),
+        |dropped AS (SELECT DISTINCT id2 FROM pd
+        |            JOIN n n1 ON n1.vec_id = id1 JOIN n n2 ON n2.vec_id = id2
+        |            WHERE round(dot / (n1.nrm * n2.nrm), 6) >= 0.45)
+        |SELECT e.vec_id FROM embeddings e
+        |LEFT JOIN dropped d ON e.vec_id = d.id2
+        |WHERE d.id2 IS NULL ORDER BY vec_id""".stripMargin,
 
     "ann_ivf_topk" ->
       """WITH v AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x

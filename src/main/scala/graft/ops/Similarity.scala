@@ -188,6 +188,36 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
+  /** Semantic deduplication (the SemDeDup shape, Abbas et al. 2023 —
+    * public method): cluster embeddings into `kCells` via the IVF coarse
+    * quantizer, compare pairs ONLY within a cell, and drop every vector
+    * that has an above-threshold twin with a smaller id. Returns the
+    * surviving vec_ids — the semantically deduplicated corpus.
+    *
+    * Scale shape: pair work collapses from the corpus n² to Σ|cell|²
+    * (~n²/kCells balanced) and each cell's pairs come from one equality
+    * join on the cell id — shuffle O(within-cell pairs). Cross-cell
+    * near-dups are deliberately not compared: that is SemDeDup's
+    * documented approximation, and raising kCells trades recall for
+    * speed exactly as in the paper. Pass trained [[kmeansCentroids]] for
+    * real corpora; the first-k default keeps the oracle reproducible.
+    * Cosine is rounded to 6 dp before thresholding (cross-engine float
+    * parity, SURVEY §6).
+    */
+  def semanticDedup(emb: DataFrame, threshold: Double, kCells: Int = 8,
+                    centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cells = ivfAssign(emb, kCells, centroids = centroids)
+      .filter(col("cell_rank") === 1)
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+    val dropped = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"),
+        round(expr("graft_dot(a.v, b.v)") / (col("a.norm") * col("b.norm")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select("vec_id").distinct()
+    emb.select("vec_id").join(dropped, Seq("vec_id"), "left_anti")
+  }
+
   /** LSH-bucketed ANN: score only candidates sharing the query's bucket. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 4): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -229,6 +229,31 @@ class DataOpsSpec extends AnyFunSuite {
     assert(trained >= 0.9, s"trained quantizer should recover same-cluster neighbors, got $trained")
   }
 
+  test("semantic dedup drops exactly the in-cell smaller-id twins") {
+    // independent in-memory reimplementation: assign each vector to its
+    // max-cosine cell among the first 8, drop any vector with an in-cell
+    // smaller-id twin at rounded cosine >= threshold
+    val vecs = emb.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map(t => t._1 * t._2).sum
+    def cos(a: Array[Double], b: Array[Double]) =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val cents = vecs.filter(_._1 < 8)
+    val cell = vecs.map { case (id, v) =>
+      id -> cents.map(c => (cos(v, c._2), -c._1)).zipWithIndex.maxBy(_._1)._2
+    }.toMap
+    val byId = vecs.toMap
+    val expectedDropped = vecs.map(_._1).filter { id =>
+      vecs.exists { case (o, ov) =>
+        o < id && cell(o) == cell(id) &&
+          BigDecimal(cos(ov, byId(id))).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.45
+      }
+    }.toSet
+    val kept = Similarity.semanticDedup(emb, 0.45).collect().map(_.getLong(0)).toSet
+    assert(kept === vecs.map(_._1).toSet -- expectedDropped)
+    assert(expectedDropped.nonEmpty, "fixture should contain semantic twins")
+  }
+
   test("LSH ANN results are a subset of same-bucket candidates with sane ranks") {
     val res = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), 5, 4)
     val rows = res.collect()
