@@ -430,6 +430,17 @@ object SparkEntry {
       Dedup.minhashEstimate(Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy("id1", "id2")),
 
+    // ingest-increment dedup: docs ≥ 250 are the "new batch", checked
+    // against the band table of the indexed corpus (docs < 250) — the
+    // O(increment) production shape, never re-pairing the corpus
+    "dedup_minhash_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val indexed = Dedup.lshBands(docs.filter(col("doc_id") < 250), col("doc_id"), col("text"))
+      Dedup.lshCandidatesAgainst(docs.filter(col("doc_id") >= 250), col("doc_id"), col("text"),
+          indexed)
+        .orderBy("new_id", "indexed_id")
+    }),
+
     "dedup_keep_canonical" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.keepCanonical(docs, col("doc_id"),
@@ -1133,6 +1144,21 @@ object SparkEntry {
         |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
         |FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
         |ORDER BY id1, id2""".stripMargin,
+
+    // identical band pipeline, but candidates pair the new batch (≥ 250)
+    // against the indexed side (< 250) only
+    "dedup_minhash_incremental" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        |       FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |mh AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS h
+        |       FROM sh, range(0, 16) t(j) GROUP BY doc_id, j),
+        |band AS (SELECT doc_id, j // 4 AS band, md5(string_agg(h, '|' ORDER BY j)) AS bh
+        |         FROM mh GROUP BY doc_id, j // 4)
+        |SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS indexed_id
+        |FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh
+        |WHERE a.doc_id >= 250 AND b.doc_id < 250
+        |ORDER BY new_id, indexed_id""".stripMargin,
 
     "dedup_simhash" ->
       """WITH t AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm FROM documents),

@@ -246,21 +246,54 @@ object Dedup {
       .select(col("doc_id"), expr(s"graft_minhash(shingles, $numHashes)").as("sig"))
   }
 
-  /** LSH banding: band hash = md5 of the band's minhashes joined in j
-    * order. Docs colliding on any (band, hash) bucket are candidates —
-    * a pure equality join, no pairwise scan.
+  /** LSH band table: (doc_id, band, bh) with band hash = md5 of the
+    * band's minhashes joined in j order. Factored out of
+    * [[lshCandidates]] so an indexed corpus can compute its bands ONCE,
+    * persist them as an ordinary parquet table (strings — engine- and
+    * job-portable like the HLL sketch tables), and let every ingest
+    * increment join against them ([[lshCandidatesAgainst]]).
     */
-  def lshCandidates(df: DataFrame, idCol: Column, textCol: Column,
-                    numHashes: Int = 16, bands: Int = 4): DataFrame = {
+  def lshBands(df: DataFrame, idCol: Column, textCol: Column,
+               numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val banded = minhash(df, idCol, textCol, numHashes)
+    minhash(df, idCol, textCol, numHashes)
       .select(col("doc_id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
       .select(col("doc_id"), col("band"),
         md5(concat_ws("|", expr(s"slice(sig, band * $rowsPerBand + 1, $rowsPerBand)"))).as("bh"))
+  }
+
+  /** LSH banding: docs colliding on any (band, hash) bucket are
+    * candidates — a pure equality join, no pairwise scan.
+    */
+  def lshCandidates(df: DataFrame, idCol: Column, textCol: Column,
+                    numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val banded = lshBands(df, idCol, textCol, numHashes, bands)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+  }
+
+  /** Incremental ingest dedup: near-dup candidates of a NEW batch against
+    * an already-INDEXED corpus, via the corpus's persisted band table —
+    * the production shape. Re-pairing the whole corpus per ingest is
+    * O(corpus²) forever; here the corpus is touched only through its
+    * (bucketable, incrementally-appendable) band table, and the join
+    * shuffles O(new-batch bands + collisions): a 10⁶-doc increment
+    * against a 10¹⁰-doc index is a broadcast of the increment's bands.
+    * `indexedBands` must come from [[lshBands]] with the SAME numHashes/
+    * bands parameters — band hashes are only comparable like-for-like.
+    * Returns (new_id, indexed_id) candidate pairs.
+    */
+  def lshCandidatesAgainst(newDf: DataFrame, idCol: Column, textCol: Column,
+                           indexedBands: DataFrame,
+                           numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    lshBands(newDf, idCol, textCol, numHashes, bands).as("a")
+      .join(indexedBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("indexed_id"))
       .distinct()
   }
 

@@ -229,6 +229,25 @@ class DataOpsSpec extends AnyFunSuite {
     assert(trained >= 0.9, s"trained quantizer should recover same-cluster neighbors, got $trained")
   }
 
+  test("incremental LSH dedup against a persisted band index matches the full self-join") {
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bands").toString + "/bands"
+    // job 1: index the corpus — bands persisted as an ordinary table
+    Dedup.lshBands(docs.filter(col("doc_id") < 250), col("doc_id"), col("text"))
+      .write.parquet(dir)
+    // job 2: a new batch checks itself against the stored index only
+    val viaIndex = Dedup.lshCandidatesAgainst(
+        docs.filter(col("doc_id") >= 250), col("doc_id"), col("text"),
+        spark.read.parquet(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ...and must find exactly the cross-set slice of the full self-join
+    val full = Dedup.lshCandidates(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val crossSet = full.collect { case (a, b) if a < 250 && b >= 250 => (b, a) }
+    assert(viaIndex === crossSet)
+    assert(viaIndex.nonEmpty, "fixture should contain cross-set near-dups")
+  }
+
   test("semantic dedup drops exactly the in-cell smaller-id twins") {
     // independent in-memory reimplementation: assign each vector to its
     // max-cosine cell among the first 8, drop any vector with an in-cell

@@ -17,6 +17,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_cosine_topk",        // exact brute-force baseline: all-pairs by definition
     "dedup_embedding_cosine", // exact threshold baseline: all-pairs by definition
     "ann_ivf_topk",           // broadcast of the (tiny) centroid table
+    "dedup_semantic",         // same ivfAssign centroid broadcast
     "q22_idle_balances",      // single-row scalar-threshold broadcast
     "ts_update_first")        // single-row first-match-id broadcast
 
