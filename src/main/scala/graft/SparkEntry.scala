@@ -543,6 +543,14 @@ object SparkEntry {
         .select("doc_id", "n_chars")
         .orderBy("doc_id")),
 
+    // mixture re-weighting: src0 halved, src1 dropped to 10%, the rest
+    // untouched — pure map-side hash filter, nested across re-weights
+    "corpus_mix" -> ((s, dir) =>
+      TextAnalysis.mixSources(Tables.documents(s, dir), "doc_id", col("source"),
+          Map("src0" -> 0.5, "src1" -> 0.1))
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
     "corpus_prune" -> ((s, dir) =>
       TextAnalysis.pruneByLength(Tables.documents(s, dir),
           col("doc_id"), col("source"), col("n_chars"), 0.05, 0.95)
@@ -1368,6 +1376,16 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(norm, '[a-z]+')) AS BIGINT) AS n_alpha_runs,
         |  CAST(ceil(length(text) / CAST(4 AS DOUBLE)) AS BIGINT) AS n_bpe_est
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // same 52-bit md5 slice vs per-source thresholds
+    "corpus_mix" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 0.5)
+        |      / 4503599627370496.0 AS u
+        |  FROM documents)
+        |WHERE u < CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.1 ELSE 1.0 END
+        |ORDER BY doc_id""".stripMargin,
 
     // same 52-bit md5 slice, same u^(1/w) score: both engines rank an
     // identical deterministic sample (ties broken by doc_id)

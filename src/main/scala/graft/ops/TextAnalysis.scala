@@ -143,6 +143,27 @@ object TextAnalysis {
         .otherwise("test"))
   }
 
+  /** Deterministic source mixing — the "data mixture weights" step of
+    * corpus curation: each stratum (source/domain/language) is
+    * independently subsampled to its target fraction by keeping the docs
+    * whose 52-bit md5 slice falls below the stratum's threshold. Pure
+    * map-side filter: no shuffle, no count pass, no RNG state — the SAME
+    * docs survive on any cluster size or engine, and nudging one
+    * stratum's fraction upward strictly ADDS docs (nested samples: the
+    * hash keeps lower-fraction samples subsets of higher-fraction ones —
+    * mixture re-weighting never churns previously selected data).
+    * Strata not named in `fractions` keep `default` (1.0 = pass through).
+    */
+  def mixSources(df: DataFrame, idColName: String, sourceCol: Column,
+                 fractions: Map[String, Double], default: Double = 1.0): DataFrame = {
+    val u = (expr(s"cast(conv(substr(md5(cast(`$idColName` as string)), 1, 13), 16, 10) as double)")
+      + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val frac = fractions.foldLeft(lit(default)) {
+      case (acc, (s, f)) => when(sourceCol === s, lit(f)).otherwise(acc)
+    }
+    df.filter(u < frac)
+  }
+
   /** Content fingerprint: md5 of normalized text + 8-hex prefix for
     * cheap prefix-bucketing.
     */

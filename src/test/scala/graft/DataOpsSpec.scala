@@ -165,6 +165,23 @@ class DataOpsSpec extends AnyFunSuite {
     assert(sketched === exact)
   }
 
+  test("source mixing keeps nested hash samples at the target fractions") {
+    val docs = Tables.documents(spark, sf)
+    val half = TextAnalysis.mixSources(docs, "doc_id", col("source"), Map("src0" -> 0.5))
+    val tenth = TextAnalysis.mixSources(docs, "doc_id", col("source"), Map("src0" -> 0.1))
+    val halfIds = half.filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val tenthIds = tenth.filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tenthIds.subsetOf(halfIds),
+      "re-weighting down must only REMOVE docs, never churn the selection")
+    // unnamed strata pass through untouched
+    val others = half.filter(col("source") =!= "src0").count()
+    assert(others === docs.filter(col("source") =!= "src0").count())
+    // 25 docs per source: a 0.5 cut should land in a plausible band
+    assert(halfIds.size >= 5 && halfIds.size <= 20, s"src0 kept ${halfIds.size}/25")
+  }
+
   test("weighted sample is partition-invariant and weight-biased") {
     // 900 light items (w=1) vs 100 heavy (w=100): heavy mass is ~92% of
     // total weight, so a 50-sample should be dominated by heavy ids
