@@ -551,6 +551,14 @@ object SparkEntry {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // sequence packing into 2048-token training rows via the distributed
+    // prefix sum — deterministic hash order, integer math end-to-end
+    "corpus_pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(Tables.documents(s, dir), "doc_id",
+          ceil(col("n_chars") / 4.0), 2048L)
+        .select("doc_id", "seq_id", "seq_tokens")
+        .orderBy("doc_id")),
+
     "corpus_prune" -> ((s, dir) =>
       TextAnalysis.pruneByLength(Tables.documents(s, dir),
           col("doc_id"), col("source"), col("n_chars"), 0.05, 0.95)
@@ -1376,6 +1384,21 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(norm, '[a-z]+')) AS BIGINT) AS n_alpha_runs,
         |  CAST(ceil(length(text) / CAST(4 AS DOUBLE)) AS BIGINT) AS n_bpe_est
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // the oracle's single global window IS the semantics; the Spark side
+    // reproduces it as a distributed prefix sum (identical total order,
+    // identical integer cumsum)
+    "corpus_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tok,
+        |             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 0.5)
+        |               / 4503599627370496.0 AS u
+        |           FROM documents),
+        |c AS (SELECT doc_id, tok,
+        |        sum(tok) OVER (ORDER BY u, doc_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS start
+        |      FROM t)
+        |SELECT doc_id, start // 2048 AS seq_id, tok AS seq_tokens
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // same 52-bit md5 slice vs per-source thresholds
     "corpus_mix" ->

@@ -164,6 +164,60 @@ object TextAnalysis {
     df.filter(u < frac)
   }
 
+  /** Sequence packing — assign every document to a fixed-token-budget
+    * training sequence: documents are laid out in a deterministic
+    * hash-shuffled order (same 52-bit md5 slice as [[weightedSample]] —
+    * no RNG, so the packing is identical on any cluster size or engine),
+    * and a document joins sequence floor(start_offset / capacity), where
+    * start_offset is the running token count of everything before it.
+    * Integer arithmetic end-to-end.
+    *
+    * The running total is a DISTRIBUTED prefix sum, not a global window:
+    * a single `Window.orderBy` would drag the whole corpus through one
+    * partition. Instead the corpus is range-partitioned on the ordering
+    * key (contiguous, sorted ranges), each partition's token sum — one
+    * tiny row per partition — comes to the driver, and the exclusive
+    * prefix offsets go back via a broadcast join; the per-document cumsum
+    * is then a WITHIN-partition window. Wall-clock is two scans plus one
+    * k-row broadcast; the result is partition-count-invariant because the
+    * global order (u, id) is total.
+    *
+    * Output: the input columns plus `seq_id` (the training sequence) and
+    * `seq_tokens` (this doc's token count). Sequences fill to at least
+    * `capacity` before closing; a document straddling the boundary joins
+    * the sequence its start offset falls in (doc-granular greedy packing
+    * — the concat-then-chunk layout used for LLM pretraining).
+    */
+  def packSequences(df: DataFrame, idColName: String, tokenCol: Column,
+                    capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val u = (expr(s"cast(conv(substr(md5(cast(`$idColName` as string)), 1, 13), 16, 10) as double)")
+      + lit(0.5)) / lit(4503599627370496.0)
+    val keyed = df
+      .withColumn("__u", u)
+      .withColumn("__tok", tokenCol.cast("long"))
+      .repartitionByRange(n, col("__u"), col(idColName))
+      .withColumn("__pid", spark_partition_id())
+    // one row per partition; the range partitioner is deterministic, so
+    // re-evaluating `keyed` in the main pass reproduces the same layout
+    val partSums = keyed.groupBy("__pid").agg(sum("__tok").as("__psum"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = partSums.scanLeft(0 -> 0L) {
+      case ((_, acc), (pid, s)) => pid -> (acc + s)
+    }.init.zip(partSums).map { case ((_, off), (pid, _)) => (pid, off) }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("__u", idColName)
+    keyed.join(broadcast(offDf), "__pid")
+      .withColumn("__start", col("__off") + sum("__tok").over(w) - col("__tok"))
+      .withColumn("seq_id", floor(col("__start") / capacity))
+      .withColumn("seq_tokens", col("__tok"))
+      .drop("__u", "__tok", "__pid", "__off", "__start")
+  }
+
   /** Content fingerprint: md5 of normalized text + 8-hex prefix for
     * cheap prefix-bucketing.
     */

@@ -165,6 +165,37 @@ class DataOpsSpec extends AnyFunSuite {
     assert(sketched === exact)
   }
 
+  test("sequence packing equals the naive global window and survives partition changes") {
+    val docs = Tables.documents(spark, sf)
+    def packed(): Seq[(Long, Long, Long)] =
+      TextAnalysis.packSequences(docs, "doc_id", ceil(col("n_chars") / 4.0), 2048L)
+        .select("doc_id", "seq_id", "seq_tokens").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // ground truth: the single global window (fine at test scale)
+    val u = (expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 13), 16, 10) as double)")
+      + lit(0.5)) / lit(4503599627370496.0)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("__u", "doc_id")
+    val naive = docs.withColumn("__u", u)
+      .withColumn("__tok", ceil(col("n_chars") / 4.0).cast("long"))
+      .withColumn("__start", sum("__tok").over(w) - col("__tok"))
+      .select(col("doc_id"), floor(col("__start") / 2048L).as("seq_id"),
+        col("__tok").as("seq_tokens"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    val dist = packed()
+    assert(dist === naive, "distributed prefix sum must equal the global window")
+    assert(dist.map(_._2).distinct.length > 1, "fixture should span multiple sequences")
+
+    // the packing must not depend on the partition count
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(packed() === naive, "packing changed with the partition count")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("source mixing keeps nested hash samples at the target fractions") {
     val docs = Tables.documents(spark, sf)
     val half = TextAnalysis.mixSources(docs, "doc_id", col("source"), Map("src0" -> 0.5))
