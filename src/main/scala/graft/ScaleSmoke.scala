@@ -201,6 +201,22 @@ object ScaleSmoke {
       println(s"[scale]   sample stable under repartition: ${s1 == s2} (size ${s1.size})")
     }
 
+    // sequence packing over the full event volume: the distributed prefix
+    // sum must stay two-scans-plus-broadcast at any size — no global
+    // window. Invariant checked: per-sequence token sums (except the
+    // last) reach the capacity.
+    time("pack_sequences") {
+      val packed = graft.ops.TextAnalysis.packSequences(
+        events.select(col("event_id"), (pmod(col("event_id"), lit(900)) + 100).as("tok")),
+        "event_id", col("tok"), 65536L)
+      val seqs = packed.groupBy("seq_id").agg(sum("seq_tokens").as("t"))
+      // a boundary-straddling doc (≤ 999 tokens here) may shortfall the
+      // NEXT sequence by its size; only the final sequence may be shorter
+      val short = seqs.filter(col("t") < 65536L - 999L).count()
+      val total = seqs.count()
+      println(s"[scale]   sequences: $total, under-filled: $short (only the last may be)")
+    }
+
     // clustered embedding corpus: 32 well-separated clusters in id blocks,
     // so the first-k quantizer's centroids all come from cluster 0. The
     // trained spherical-k-means quantizer must recover near-brute recall

@@ -174,19 +174,23 @@ object TextAnalysis {
     *
     * The running total is a DISTRIBUTED prefix sum, not a global window:
     * a single `Window.orderBy` would drag the whole corpus through one
-    * partition. Instead the corpus is range-partitioned on the ordering
-    * key (contiguous, sorted ranges), each partition's token sum — one
-    * tiny row per partition — comes to the driver, and the exclusive
-    * prefix offsets go back via a broadcast join; the per-document cumsum
-    * is then a WITHIN-partition window. Wall-clock is two scans plus one
-    * k-row broadcast; the result is partition-count-invariant because the
-    * global order (u, id) is total.
+    * partition. The ordering key u is uniform in [0,1) BY CONSTRUCTION,
+    * so `floor(u·n)` gives n balanced, contiguous, DATA-DERIVED buckets —
+    * no RangePartitioner (whose sampled bounds differ between jobs: the
+    * sampler is seeded per RDD instantiation, so physical partition ids
+    * must never carry semantics across actions). Each bucket's token sum
+    * — one tiny row per bucket — comes to the driver, the exclusive
+    * prefix offsets go back via a broadcast join, and the per-document
+    * cumsum is a within-bucket window. Two scans plus one n-row
+    * broadcast; identical output for ANY bucket count because the global
+    * order (u, id) is total — n only sets parallelism.
     *
     * Output: the input columns plus `seq_id` (the training sequence) and
     * `seq_tokens` (this doc's token count). Sequences fill to at least
-    * `capacity` before closing; a document straddling the boundary joins
-    * the sequence its start offset falls in (doc-granular greedy packing
-    * — the concat-then-chunk layout used for LLM pretraining).
+    * `capacity − maxDocTokens` before closing; a document straddling the
+    * boundary joins the sequence its start offset falls in (doc-granular
+    * greedy packing — the concat-then-chunk layout used for LLM
+    * pretraining).
     */
   def packSequences(df: DataFrame, idColName: String, tokenCol: Column,
                     capacity: Long): DataFrame = {
@@ -198,24 +202,21 @@ object TextAnalysis {
     val keyed = df
       .withColumn("__u", u)
       .withColumn("__tok", tokenCol.cast("long"))
-      .repartitionByRange(n, col("__u"), col(idColName))
-      .withColumn("__pid", spark_partition_id())
-    // one row per partition; the range partitioner is deterministic, so
-    // re-evaluating `keyed` in the main pass reproduces the same layout
-    val partSums = keyed.groupBy("__pid").agg(sum("__tok").as("__psum"))
+      .withColumn("__b", floor(col("__u") * n).cast("int"))
+    val bucketSums = keyed.groupBy("__b").agg(sum("__tok").as("__bsum"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = partSums.scanLeft(0 -> 0L) {
-      case ((_, acc), (pid, s)) => pid -> (acc + s)
-    }.init.zip(partSums).map { case ((_, off), (pid, _)) => (pid, off) }
+    val offsets = bucketSums.scanLeft(0 -> 0L) {
+      case ((_, acc), (b, s)) => b -> (acc + s)
+    }.init.zip(bucketSums).map { case ((_, off), (b, _)) => (b, off) }
     import spark.implicits._
-    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val offDf = offsets.toSeq.toDF("__b", "__off")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__pid").orderBy("__u", idColName)
-    keyed.join(broadcast(offDf), "__pid")
+      .partitionBy("__b").orderBy("__u", idColName)
+    keyed.join(broadcast(offDf), "__b")
       .withColumn("__start", col("__off") + sum("__tok").over(w) - col("__tok"))
       .withColumn("seq_id", floor(col("__start") / capacity))
       .withColumn("seq_tokens", col("__tok"))
-      .drop("__u", "__tok", "__pid", "__off", "__start")
+      .drop("__u", "__tok", "__b", "__off", "__start")
   }
 
   /** Content fingerprint: md5 of normalized text + 8-hex prefix for

@@ -196,6 +196,32 @@ class DataOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("sequence packing stays exact at 1e5 rows across 32 buckets") {
+    // regression: the first implementation derived offsets from physical
+    // partition ids after repartitionByRange — whose SAMPLED bounds differ
+    // between the sums job and the final job (sampler seeded per RDD
+    // instantiation), silently misplacing almost every row at real scale
+    // while a 500-doc spec passed. Bucketing on the uniform order key is
+    // job-invariant by construction; this guards it at a size where >1
+    // bucket is actually populated per the 32-way layout.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val data = spark.range(100000).select(col("id"),
+        (pmod(col("id"), lit(900)) + 100).as("tok"))
+      val dist = TextAnalysis.packSequences(data, "id", col("tok"), 65536L)
+        .select("id", "seq_id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val u = (expr("cast(conv(substr(md5(cast(`id` as string)), 1, 13), 16, 10) as double)")
+        + lit(0.5)) / lit(4503599627370496.0)
+      val w = org.apache.spark.sql.expressions.Window.orderBy("__u", "id")
+      val naive = data.withColumn("__u", u)
+        .withColumn("__start", sum(col("tok").cast("long")).over(w) - col("tok"))
+        .select(col("id"), floor(col("__start") / 65536L).as("seq_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(dist === naive)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("source mixing keeps nested hash samples at the target fractions") {
     val docs = Tables.documents(spark, sf)
     val half = TextAnalysis.mixSources(docs, "doc_id", col("source"), Map("src0" -> 0.5))

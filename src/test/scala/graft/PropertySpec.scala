@@ -164,4 +164,67 @@ class PropertySpec extends AnyFunSuite {
         case (k, _) => k -> find(k) })
     }
   }
+
+  test("property: bloom filters never produce a false negative") {
+    import graft.functions.BloomImpl
+    forAll(Gen.zip(
+      Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue)),
+      Gen.choose(1, 8)), n = 10) { case (hashes, k) =>
+      val f = BloomImpl.create(1024, k)
+      hashes.foreach(BloomImpl.put(f, _))
+      assert(hashes.forall(BloomImpl.mightContain(f, _)),
+        "a member probe returned false")
+    }
+  }
+
+  test("property: bloom merge is commutative and equals bulk insertion") {
+    import graft.functions.BloomImpl
+    forAll(Gen.zip(
+      Gen.listOfN(20, Gen.choose(Long.MinValue, Long.MaxValue)),
+      Gen.listOfN(20, Gen.choose(Long.MinValue, Long.MaxValue))), n = 10) {
+      case (as, bs) =>
+        def filt(xs: Seq[Long]) = {
+          val f = BloomImpl.create(4096, 3); xs.foreach(BloomImpl.put(f, _)); f
+        }
+        val whole = filt(as ++ bs)
+        val ab = filt(as); BloomImpl.mergeInto(ab, filt(bs))
+        val ba = filt(bs); BloomImpl.mergeInto(ba, filt(as))
+        assert(java.util.Arrays.equals(whole, ab) && java.util.Arrays.equals(ab, ba))
+    }
+  }
+
+  test("property: Misra-Gries never drops an item above the n/(k+1) bound") {
+    import graft.functions.MgImpl
+    import scala.collection.mutable
+    // skewed streams: few hot items + noise tail, random arrival order
+    val streamGen = for {
+      hotCount <- Gen.choose(50, 200)
+      noise <- Gen.listOfN(300, Gen.choose(0, 5000).map(i => s"n$i"))
+      order <- Gen.choose(0, 3)
+    } yield {
+      val hot = List.fill(hotCount)("hot1") ++ List.fill(hotCount / 2)("hot2")
+      order match {
+        case 0 => hot ++ noise
+        case 1 => noise ++ hot
+        case 2 => hot.zipAll(noise, "hot1", "pad").flatMap(t => List(t._1, t._2))
+        case _ => (hot ++ noise).sorted
+      }
+    }
+    forAll(Gen.zip(streamGen, Gen.choose(8, 32)), n = 10) { case (stream, k) =>
+      // split the stream in two, sketch each half, merge — the distributed path
+      val (l, r) = stream.splitAt(stream.length / 2)
+      val ml = mutable.HashMap.empty[String, Long]
+      val mr = mutable.HashMap.empty[String, Long]
+      l.foreach(MgImpl.add(ml, _, k))
+      r.foreach(MgImpl.add(mr, _, k))
+      MgImpl.mergeInto(ml, mr, k)
+      val n = stream.length
+      val trueCounts = stream.groupBy(identity).view.mapValues(_.size.toLong)
+      trueCounts.foreach { case (item, c) =>
+        if (c > n.toLong / (k + 1))
+          assert(ml.contains(item),
+            s"item $item with count $c > $n/(${k + 1}) was dropped")
+      }
+    }
+  }
 }
