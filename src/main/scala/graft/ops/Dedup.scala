@@ -522,8 +522,12 @@ object Dedup {
     while (iter < maxIter && !converged) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       // fixpoint test on the materialized O(V)-row checkpoints: equal
-      // counts + empty multiset difference ⇒ identical edge sets
-      converged = next.count() == edges.count() && next.exceptAll(edges).isEmpty
+      // counts + empty multiset difference ⇒ identical edge sets. Round 1
+      // rewires any non-star input, so skip its two test jobs (same
+      // rationale as the min-label loop's round-1 skip); a round-1-stable
+      // input just converges one idempotent round later.
+      converged = iter > 0 &&
+        next.count() == edges.count() && next.exceptAll(edges).isEmpty
       edges = next
       iter += 1
     }
