@@ -399,6 +399,10 @@ object SparkEntry {
     "q12_priority_shipping" -> ((s, dir) => Analytics.priorityShipping(s, dir)),
     "q14_promo_revenue" -> ((s, dir) => Analytics.promoRevenue(s, dir)),
     "topk_orders_window" -> ((s, dir) => Analytics.topOrdersPerCustomer(s, dir)),
+    "q13_order_distribution" -> ((s, dir) => Analytics.orderCountDistribution(s, dir)),
+    "q9_part_profit" -> ((s, dir) => Analytics.partProfit(s, dir)),
+    "q16_supplier_variety" -> ((s, dir) => Analytics.supplierVariety(s, dir)),
+    "q11_nation_concentration" -> ((s, dir) => Analytics.nationConcentration(s, dir)),
 
     // ── §2c training-data pipeline ────────────────────────────────────
     "dedup_exact" -> ((s, dir) =>
@@ -571,6 +575,19 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy("doc_id")),
+
+    // C4-style duplicated-span removal: 12-word chunks, corpus-wide
+    // first-occurrence-wins, reassembled documents
+    "corpus_dedup_paragraph" -> ((s, dir) =>
+      TextAnalysis.paragraphDedup(Tables.documents(s, dir), col("doc_id"), col("text"))),
+
+    // per-doc top-3 keywords by the exact-integer tf/df score
+    "text_tfidf_topk" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(Tables.documents(s, dir), col("doc_id"), col("text"))),
+
+    // type-token + hapax ratios, exact integer permille
+    "text_lexical_diversity" -> ((s, dir) =>
+      TextAnalysis.lexicalDiversity(Tables.documents(s, dir), col("doc_id"), col("text"))),
 
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.byteStats(Multimodal.toAsset(
@@ -864,6 +881,46 @@ object SparkEntry {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q13_order_distribution" ->
+      """WITH oc AS (
+        |  SELECT c_custkey, count(o.o_custkey) AS c_count
+        |  FROM customer LEFT JOIN (SELECT o_custkey FROM orders
+        |                           WHERE o_orderpriority <> '5-LOW') o
+        |    ON c_custkey = o.o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM oc GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q9_part_profit" ->
+      """SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |    - (CAST(0.9 AS DECIMAL(4,2)) * CAST(p_retailprice AS DECIMAL(12,2)))
+        |      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE contains(p_name, 'widget')
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size % 10 AS size_mod,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, size_mod""".stripMargin,
+
+    "q11_nation_concentration" ->
+      """WITH g AS (SELECT SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS total_bal
+        |           FROM supplier WHERE s_acctbal > 0),
+        |n AS (SELECT s_nationkey, SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS nation_bal
+        |      FROM supplier WHERE s_acctbal > 0 GROUP BY 1)
+        |SELECT s_nationkey, CAST(nation_bal AS DOUBLE) AS nation_bal
+        |FROM n, g WHERE nation_bal > CAST(0.05 AS DECIMAL(12,6)) * total_bal
+        |ORDER BY nation_bal DESC, s_nationkey""".stripMargin,
 
     "ts_latest_snapshot" ->
       """SELECT event_type AS topic, event_id, ts_sec, value FROM (
@@ -1458,6 +1515,41 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm FROM documents)
         |SELECT doc_id, md5(norm) AS fp, substr(md5(norm), 1, 8) AS fp_prefix
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "corpus_dedup_paragraph" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |c AS (SELECT doc_id, i AS pos, array_to_string(words[(i*12+1):(i*12+12)], ' ') AS chunk
+        |      FROM w, range(0, 2048) r(i) WHERE i < ceil(len(words) / 12.0)),
+        |rk AS (SELECT doc_id, pos, chunk,
+        |         row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, pos) AS rn
+        |       FROM c)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '') AS new_text
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf_topk" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |tok AS (SELECT doc_id, unnest(words) AS token FROM w),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |r AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+        |        tf.tf * 1000000 // dfq.df AS score,
+        |        row_number() OVER (PARTITION BY tf.doc_id
+        |          ORDER BY tf.tf * 1000000 // dfq.df DESC, tf.token) AS rank
+        |      FROM tf JOIN dfq USING (token))
+        |SELECT doc_id, rank, token, tf, df, score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "text_lexical_diversity" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |tok AS (SELECT doc_id, unnest(words) AS token FROM w),
+        |c AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens, count(*) AS n_types,
+        |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  count(*) * 1000 // CAST(SUM(cnt) AS BIGINT) AS ttr_permille,
+        |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000 // count(*) AS hapax_permille
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT event_type AS kind, count(*) AS n,

@@ -377,4 +377,86 @@ object Analytics {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
       .orderBy(col("o_custkey"), col("rn"))
   }
+
+  /** TPC-H Q13 pattern: LEFT OUTER join + two-level aggregation — the
+    * orders-per-customer distribution (customers with zero orders must
+    * survive, hence outer). The outer join shuffles on the key; the second
+    * aggregate's input is |customers| rows, already tiny. At scale the
+    * first groupBy and the join share the o_custkey partitioning, so AQE
+    * plans one exchange for both.
+    */
+  def orderCountDistribution(spark: SparkSession, dir: String,
+                             excludePriority: String = "5-LOW"): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= excludePriority)
+      .select("o_custkey")
+    val cust = Tables.customer(spark, dir).select("c_custkey")
+    val perCust = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("c_count")) // count(col) skips NULLs → 0 for orderless
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q9 pattern: LIKE-filtered multi-join profit rollup by nation ×
+    * order-year. The p_name LIKE predicate is pushed to the part scan
+    * (substring pushdown ≙ #28j); part and the two dimensions broadcast;
+    * lineitem never shuffles before the final groupBy. (The reference
+    * Q9 uses ps_supplycost; there is no partsupp table in this corpus, so
+    * profit = discounted revenue less a fixed 90%-of-retail cost proxy —
+    * the join/derive/group shape is the point.)
+    */
+  def partProfit(spark: SparkSession, dir: String, namePart: String = "widget"): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_name").contains(namePart))
+      .select(col("p_partkey"), money(col("p_retailprice")).as("p_cost"))
+    val li = Tables.lineitem(spark, dir)
+    val profit = revenueExpr -
+      (lit("0.9").cast("decimal(4,2)") * col("p_cost")) * col("l_quantity").cast("decimal(12,2)")
+    li.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(profit).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q16 pattern: grouped DISTINCT count with a NOT-IN exclusion
+    * (spelled LEFT ANTI — the only NOT-IN form that scales; Spark's
+    * null-aware anti join degrades to broadcast-nested-loop when the
+    * subquery column is nullable). Suppliers in deficit are excluded from
+    * the variety count per (brand, type, size-bucket).
+    */
+  def supplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    val bad = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0.0)
+      .select(col("s_suppkey").as("bad_suppkey"))
+    val li = Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(bad), col("l_suppkey") === col("bad_suppkey"), "left_anti")
+    li.join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), (col("p_size") % 10).as("size_mod"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("size_mod"))
+  }
+
+  /** TPC-H Q11 pattern: grouped totals kept only where they exceed a
+    * FRACTION OF THE GLOBAL total — the scalar-subquery-over-aggregate
+    * HAVING. The global total is one row, broadcast into a cross join
+    * (no shuffle); only groups above the bar survive. Positive balances
+    * only, so the threshold is well-defined.
+    */
+  def nationConcentration(spark: SparkSession, dir: String,
+                          fraction: Double = 0.05): DataFrame = {
+    val pos = Tables.supplier(spark, dir).filter(col("s_acctbal") > 0.0)
+    val global = pos.agg(sum(money(col("s_acctbal"))).as("total_bal"))
+    pos.groupBy(col("s_nationkey"))
+      .agg(sum(money(col("s_acctbal"))).as("nation_bal"))
+      .crossJoin(broadcast(global))
+      .filter(col("nation_bal") > lit(fraction).cast("decimal(12,6)") * col("total_bal"))
+      .select(col("s_nationkey"), col("nation_bal").cast("double").as("nation_bal"))
+      .orderBy(col("nation_bal").desc, col("s_nationkey"))
+  }
 }

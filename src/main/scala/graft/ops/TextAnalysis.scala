@@ -311,4 +311,91 @@ object TextAnalysis {
       .limit(k)
       .drop("__es_score")
   }
+
+  /** C4-style duplicated-span removal: cut every document into fixed
+    * `width`-word chunks, drop every chunk whose exact text occurs
+    * earlier in the corpus (min (doc_id, pos) occurrence survives),
+    * reassemble the survivors in order. This is the span-level complement
+    * of document-level dedup — boilerplate shared across otherwise
+    * distinct documents (headers, license blocks) dies here.
+    *
+    * Scale shape: the only shuffle is the window over md5(chunk) —
+    * O(chunks) rows, each a fixed-width span, never a pair join. The
+    * reassembly groupBy shuffles the SURVIVING chunks on doc_id. Both are
+    * linear in corpus size. (Natural corpora would chunk on sentence or
+    * paragraph boundaries; this corpus has no punctuation, so the chunker
+    * uses fixed word windows — the hash/dedup/reassemble machinery is
+    * identical either way.)
+    */
+  def paragraphDedup(df: DataFrame, idCol: Column, textCol: Column,
+                     width: Int = 12): DataFrame = {
+    val chunked = df.select(idCol.as("doc_id"), tokens(textCol).as("words"))
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, cast(ceil(size(words)/$width.0) as int)-1)," +
+          s" i -> concat_ws(' ', slice(words, i*$width+1, $width)))"))
+          .as(Seq("pos", "chunk")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("chunk"))).orderBy(col("doc_id"), col("pos"))
+    chunked.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops the NULLs the `when` leaves for dropped
+        // chunks; struct sort orders by pos → in-document order restored
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("rn") === 1, struct(col("pos"), col("chunk"))))),
+            x => x("chunk")), " ").as("new_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-document top-k keywords by a tf-idf–shaped score. The idf is the
+    * RATIONAL surrogate 1/df (ranking by tf/df, fixed-point ×10⁶ integer
+    * division) — no log, so the score is exact integer arithmetic and
+    * engine-portable; for keyword RANKING the monotone-in-tf,
+    * anti-monotone-in-df shape is what matters, not the log's damping.
+    *
+    * Two shuffles, both O(distinct (doc, token) pairs): the tf groupBy
+    * and the df join on token (map-side partial agg on both). The corpus
+    * token count N never enters the score (constant factors don't change
+    * per-document ranking) — no global count pass, no overflow at corpus
+    * scale.
+    */
+  def tfidfTopK(df: DataFrame, idCol: Column, textCol: Column,
+                k: Int = 3): DataFrame = {
+    val tf = df.select(idCol.as("doc_id"), explode(tokens(textCol)).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, "token")
+      .withColumn("score", expr("tf * 1000000L div df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** Lexical-diversity profile: type-token ratio and hapax-legomenon
+    * ratio per document — degenerate/templated text scores low on both.
+    * Integer permille (exact div) for oracle parity. The explode+groupBy
+    * form is O(doc × distinct-token), never O(doc-length²) — the pure
+    * array-expression spelling (filter-count per distinct word) would be
+    * quadratic on long documents.
+    */
+  def lexicalDiversity(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(idCol.as("doc_id"), explode(tokens(textCol)).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr_permille", expr("n_types * 1000L div n_tokens"))
+      .withColumn("hapax_permille", expr("n_hapax * 1000L div n_types"))
+      .orderBy(col("doc_id"))
 }

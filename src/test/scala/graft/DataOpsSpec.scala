@@ -601,4 +601,76 @@ class DataOpsSpec extends AnyFunSuite {
     assert(d.count() > 0)
     assert(d.filter(col("n_dups") < 1).count() === 0)
   }
+
+  test("paragraph dedup removes the repeated span, keeps first occurrence") {
+    import spark.implicits._
+    // width=3 chunks: doc 1 = [a b c][d e f], doc 2 = [a b c][x y z],
+    // doc 3 = [a b c] — the shared "a b c" chunk survives only in doc 1
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),
+      (3L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.paragraphDedup(corpus, col("doc_id"), col("text"), width = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((2L, 2L, "a b c d e f")))
+    assert(out(2L) === ((2L, 1L, "x y z")))
+    assert(out(3L) === ((1L, 0L, "")))
+  }
+
+  test("paragraph dedup reassembles chunks in document order") {
+    import spark.implicits._
+    // 30 distinct words → 3 chunks of 12/12/6; nothing duplicated, so the
+    // reassembled text must equal the normalized input exactly
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val one = Seq((7L, text)).toDF("doc_id", "text")
+    val r = TextAnalysis.paragraphDedup(one, col("doc_id"), col("text")).head()
+    assert(r.getLong(1) === 3L && r.getLong(2) === 3L)
+    assert(r.getString(3) === text)
+  }
+
+  test("tfidf ranks rare-but-frequent-in-doc tokens first") {
+    import spark.implicits._
+    // "zebra" appears 3× in doc 1 and nowhere else (tf=3, df=1 → 3e6);
+    // "the" is in every doc (df=3) — zebra must outrank it
+    val corpus = Seq(
+      (1L, "the zebra zebra zebra runs"),
+      (2L, "the dog runs"),
+      (3L, "the cat sits")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopK(corpus, col("doc_id"), col("text"), k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(top(1L) === "zebra")
+    assert(top(2L) === "dog") // tf=1,df=1 beats "runs" (df=2) and "the" (df=3)
+    assert(top(3L) === "cat") // alphabetical tiebreak vs "sits" at equal score
+  }
+
+  test("lexical diversity counts types and hapaxes exactly") {
+    import spark.implicits._
+    val one = Seq((1L, "a a b b b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.lexicalDiversity(one, col("doc_id"), col("text")).head()
+    assert(r.getLong(r.fieldIndex("n_tokens")) === 6L)
+    assert(r.getLong(r.fieldIndex("n_types")) === 3L)
+    assert(r.getLong(r.fieldIndex("n_hapax")) === 1L) // only "c"
+    assert(r.getLong(r.fieldIndex("ttr_permille")) === 500L)
+    assert(r.getLong(r.fieldIndex("hapax_permille")) === 333L)
+  }
+
+  test("q13 distribution masses add up to the corpus totals") {
+    val rows = ops.Analytics.orderCountDistribution(spark, sf).collect()
+    val nCust = Tables.customer(spark, sf).count()
+    val nOrd = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") =!= "5-LOW").count()
+    assert(rows.map(_.getLong(1)).sum === nCust)
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum === nOrd)
+  }
+
+  test("q16 variety counts only non-deficit suppliers") {
+    val total = ops.Analytics.supplierVariety(spark, sf)
+      .agg(sum(col("supplier_cnt"))).head().getLong(0)
+    assert(total > 0)
+    // no (brand,type,size_mod) group may count more suppliers than exist
+    val nSupp = Tables.supplier(spark, sf).filter(col("s_acctbal") >= 0).count()
+    assert(ops.Analytics.supplierVariety(spark, sf)
+      .filter(col("supplier_cnt") > nSupp).count() === 0)
+  }
 }
