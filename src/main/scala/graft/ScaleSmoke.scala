@@ -217,6 +217,36 @@ object ScaleSmoke {
       println(s"[scale]   sequences: $total, under-filled: $short (only the last may be)")
     }
 
+    // C4-style span dedup over the full doc corpus with a planted
+    // boilerplate header on 20% of docs: the header chunk occurs nDocs/5
+    // times and exactly ONE copy may survive corpus-wide. Shuffle volume
+    // is O(chunks) — the degenerate hot chunk lands in one window
+    // partition but carries only (doc_id, pos) pairs, never pair joins.
+    time("paragraph_dedup") {
+      val header = (0 until 12).map(i => s"hdr$i").mkString(" ")
+      val boiler = docs.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat_ws(" ", lit(header), col("text")))
+          .otherwise(col("text")).as("text"))
+      val s = graft.ops.TextAnalysis.paragraphDedup(boiler, col("doc_id"), col("text"))
+        .agg(sum("n_chunks").as("c"), sum("n_kept").as("k")).head()
+      val removed = s.getLong(0) - s.getLong(1)
+      println(s"[scale]   chunks: ${s.getLong(0)}, removed: $removed " +
+        s"(expect ≈ ${nDocs / 5 - 1} planted header dups)")
+    }
+
+    // tf-idf keywords over the full corpus: tf ≈ docs × distinct-tokens
+    // rows materialized once (cached intermediate), df rollup + join on
+    // the 2k-token vocabulary, per-doc top-3 via WindowGroupLimit.
+    time("tfidf_topk") {
+      val n = graft.ops.TextAnalysis.tfidfTopK(docs, col("doc_id"), col("text")).count()
+      graft.ops.Dedup.unpersistShared()
+      println(s"[scale]   keyword rows: $n (3 per doc)")
+    }
+
+    time("lexical_diversity") {
+      graft.ops.TextAnalysis.lexicalDiversity(docs, col("doc_id"), col("text")).count()
+    }
+
     // clustered embedding corpus: 32 well-separated clusters in id blocks,
     // so the first-k quantizer's centroids all come from cluster 0. The
     // trained spherical-k-means quantizer must recover near-brute recall

@@ -403,6 +403,8 @@ object SparkEntry {
     "q9_part_profit" -> ((s, dir) => Analytics.partProfit(s, dir)),
     "q16_supplier_variety" -> ((s, dir) => Analytics.supplierVariety(s, dir)),
     "q11_nation_concentration" -> ((s, dir) => Analytics.nationConcentration(s, dir)),
+    "window_rolling_stats" -> ((s, dir) => Analytics.rollingUserStats(s, dir)),
+    "agg_cube" -> ((s, dir) => Analytics.eventCube(s, dir)),
 
     // ── §2c training-data pipeline ────────────────────────────────────
     "dedup_exact" -> ((s, dir) =>
@@ -921,6 +923,22 @@ object SparkEntry {
         |SELECT s_nationkey, CAST(nation_bal AS DOUBLE) AS nation_bal
         |FROM n, g WHERE nation_bal > CAST(0.05 AS DECIMAL(12,6)) * total_bal
         |ORDER BY nation_bal DESC, s_nationkey""".stripMargin,
+
+    "window_rolling_stats" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value FROM events)
+        |SELECT event_id, user_id, ts_sec,
+        |  ts_sec - lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS gap_sec,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / count(*) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_avg
+        |FROM e ORDER BY user_id, ts_sec, event_id""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT event_type, user_id % 4 AS bucket, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY CUBE(event_type, user_id % 4)
+        |ORDER BY event_type ASC NULLS FIRST, bucket ASC NULLS FIRST""".stripMargin,
 
     "ts_latest_snapshot" ->
       """SELECT event_type AS topic, event_id, ts_sec, value FROM (

@@ -378,6 +378,39 @@ object Analytics {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** Frame-based window functions: per-session event gaps (lag) and a
+    * 5-row rolling average (ROWS frame) in ONE window pass — the
+    * event-sequence feature-engineering shape. The rolling sum runs in
+    * decimal (frame-order fp addition is engine/algorithm-specific;
+    * decimal is exact, so Spark's sliding-frame incremental sum and the
+    * oracle's agree bit-for-bit). One shuffle on user_id serves both
+    * functions; within-partition sort is the only other cost.
+    */
+  def rollingUserStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"),
+      graft.model.Documents.tsSec(col("ts")).as("ts_sec"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+    val frame = w.rowsBetween(-4, 0)
+    ev.select(
+      col("event_id"), col("user_id"), col("ts_sec"),
+      (col("ts_sec") - lag(col("ts_sec"), 1).over(w)).as("gap_sec"),
+      (sum(col("value").cast("decimal(18,4)")).over(frame).cast("double") /
+        count(lit(1)).over(frame)).as("roll_avg"))
+      .orderBy(col("user_id"), col("ts_sec"), col("event_id"))
+  }
+
+  /** CUBE: all 2^k grouping-set subtotals in one pass (ROLLUP's lattice
+    * sibling — #28c covers the hierarchy form). Spark expands grouping
+    * sets map-side, so the shuffle carries one partial row per (set ×
+    * group), not one pass per set.
+    */
+  def eventCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .cube(col("event_type"), (col("user_id") % 4).as("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("bucket").asc_nulls_first)
+
   /** TPC-H Q13 pattern: LEFT OUTER join + two-level aggregation — the
     * orders-per-customer distribution (customers with zero orders must
     * survive, hence outer). The outer join shuffles on the key; the second

@@ -15,31 +15,16 @@ import graft.functions.GraftFunctions
   */
 object Dedup {
 
-  /** Handles for operator-internal caches, releasable by the caller.
-    * An operator that pins storage memory the pipeline can't free is a
-    * leak at 100 TB — every internal `.persist` lands here so a pipeline
-    * can call [[unpersistShared]] between stages. Caching is also skipped
-    * when the identical logical plan is already cached (two queries
-    * sharing one candidate-join subplan re-enter here; re-caching would
-    * only log CacheManager "already cached" warnings).
+  /** Operator-internal caches land in the shared [[OpCache]] registry —
+    * see its doc. [[unpersistShared]] is kept as the public release hook.
     */
-  private val sharedCache = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private def shareCache(df: DataFrame, enabled: Boolean): DataFrame =
+    OpCache.share(df, enabled)
 
-  private def shareCache(df: DataFrame, enabled: Boolean): DataFrame = {
-    if (enabled && df.storageLevel == StorageLevel.NONE) {
-      df.persist(StorageLevel.MEMORY_AND_DISK)
-      sharedCache.synchronized { sharedCache += df }
-    }
-    df
-  }
-
-  /** Release every cache taken by dedup operators in this JVM. Safe to
+  /** Release every cache taken by graft operators in this JVM. Safe to
     * call mid-pipeline: Spark recomputes any plan that is still needed.
     */
-  def unpersistShared(): Unit = sharedCache.synchronized {
-    sharedCache.foreach(d => try d.unpersist() catch { case _: Throwable => () })
-    sharedCache.clear()
-  }
+  def unpersistShared(): Unit = OpCache.unpersistAll()
 
   /** Spread a small-file scan across all cores before compute-dense
     * per-row work (shingling, hashing, pair generation). A 5k-row parquet

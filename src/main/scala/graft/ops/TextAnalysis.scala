@@ -361,12 +361,21 @@ object TextAnalysis {
     * token count N never enters the score (constant factors don't change
     * per-document ranking) — no global count pass, no overflow at corpus
     * scale.
+    *
+    * The tf table feeds BOTH the per-doc side and the df rollup. Catalyst
+    * prunes the two branches differently (the df side drops the count),
+    * so exchange reuse can never fire and an uncached tf would scan the
+    * corpus and pay the O(doc·token) shuffle twice — tf is persisted
+    * (spillable, releasable via [[graft.ops.Dedup.unpersistShared]]),
+    * exactly what a pipeline does with this intermediate at scale.
     */
   def tfidfTopK(df: DataFrame, idCol: Column, textCol: Column,
-                k: Int = 3): DataFrame = {
-    val tf = df.select(idCol.as("doc_id"), explode(tokens(textCol)).as("token"))
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+                k: Int = 3, cache: Boolean = true): DataFrame = {
+    val tf = OpCache.share(
+      df.select(idCol.as("doc_id"), explode(tokens(textCol)).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf")),
+      cache)
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))

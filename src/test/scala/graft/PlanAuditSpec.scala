@@ -19,6 +19,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_ivf_topk",           // broadcast of the (tiny) centroid table
     "dedup_semantic",         // same ivfAssign centroid broadcast
     "q22_idle_balances",      // single-row scalar-threshold broadcast
+    "q11_nation_concentration", // single-row global-total broadcast (Q11 HAVING)
     "ts_update_first")        // single-row first-match-id broadcast
 
   for ((name, q) <- SparkEntry.queries) {
@@ -121,5 +122,26 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(hashExchanges.isEmpty,
         s"grams are hash-shuffled BELOW the bloom probe — the prefilter runs post-shuffle:\n$f")
     }
+  }
+
+  test("tfidf pays the corpus scan and tf aggregation once at runtime") {
+    // tf feeds both the per-doc side and the df (document frequency)
+    // rollup; Catalyst prunes the branches differently so exchange reuse
+    // can't fire — the operator must instead persist tf, and both
+    // branches must read the cache (otherwise the corpus is scanned and
+    // the O(doc·token) shuffle paid twice at any scale)
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    try {
+      val df = SparkEntry.queries("text_tfidf_topk")(spark, sf)
+      df.collect() // AQE finalizes the plan only during execution
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val s = root.toString
+      val cached = "InMemoryTableScan".r.findAllIn(s).length
+      assert(cached >= 2,
+        s"expected both tfidf branches to read the cached tf table, saw $cached InMemoryTableScan(s):\n$s")
+    } finally ops.Dedup.unpersistShared()
   }
 }
