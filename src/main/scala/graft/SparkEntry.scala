@@ -342,6 +342,26 @@ object SparkEntry {
           expr("percentile(value, 0.9)").as("p90"),
           count(lit(1)).as("n"))
         .orderBy("event_type")),
+
+    // graft's quantile sketch is a DETERMINISTIC bottom-k-by-md5 sample,
+    // so unlike approx_percentile the oracle reproduces the estimates
+    // EXACTLY in SQL (same sample, same nearest-rank pick) — the sketch
+    // row hash-matches like any exact query. Scale path: persist one
+    // sketch per slice, union + query without rescanning raw data.
+    "agg_qsketch_quantiles" -> ((s, dir) => {
+      graft.functions.QSketchFunctions.register(s)
+      ev(s, dir).filter(col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("graft_qsketch(cast(value as double), cast(event_id as string), 1024)").as("sk"),
+          count(lit(1)).as("cnt"))
+        .select(
+          col("event_type"),
+          expr("graft_qsketch_q(sk, 0.5d)").as("p50_est"),
+          expr("graft_qsketch_q(sk, 0.9d)").as("p90_est"),
+          least(col("cnt"), lit(1024L)).as("n_sample"))
+        .orderBy("event_type")
+    }),
     "text_search" -> ((s, dir) =>
       Tables.documents(s, dir)
         .filter(col("text").contains("merge batch"))
@@ -1081,6 +1101,29 @@ object SparkEntry {
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,
         |  quantile_cont(value, 0.9) AS p90, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the EXACT same deterministic sample the sketch keeps: bottom-1024
+    // rows per group by the 52-bit md5 rank of the id, nearest-rank pick
+    "agg_qsketch_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value,
+        |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))::BIGINT AS r
+        |  FROM events WHERE value IS NOT NULL),
+        |sample AS (
+        |  SELECT event_type, value FROM (
+        |    SELECT event_type, value,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY r, value) AS rn
+        |    FROM ranked) WHERE rn <= 1024),
+        |q AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS vr,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM sample)
+        |SELECT event_type,
+        |  max(CASE WHEN vr = 1 + CAST(floor(0.5 * (n - 1)) AS BIGINT) THEN value END) AS p50_est,
+        |  max(CASE WHEN vr = 1 + CAST(floor(0.9 * (n - 1)) AS BIGINT) THEN value END) AS p90_est,
+        |  CAST(max(n) AS BIGINT) AS n_sample
+        |FROM q GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // The oracle cannot reproduce Spark-side sketch values, so it checks the
     // deterministic tolerance flags: the Spark query emits 1 iff the sketch

@@ -62,5 +62,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_mg_sketch", "graft_mg_sketch(col[, k]) - Misra-Gries heavy-hitter candidates"),
       (exprs: Seq[Expression]) => MgSketchAgg(exprs.head,
         if (exprs.size > 1) exprs(1).eval(null).asInstanceOf[Int] else 4096)))
+    e.injectFunction((
+      FunctionIdentifier("graft_qsketch"),
+      info("graft_qsketch", "graft_qsketch(value, idStr[, k]) - deterministic bottom-k quantile sketch"),
+      (exprs: Seq[Expression]) => QSketchAgg(exprs(0), exprs(1),
+        if (exprs.size > 2) exprs(2).eval(null).asInstanceOf[Int] else 1024)))
+    e.injectFunction((
+      FunctionIdentifier("graft_qsketch_union"),
+      info("graft_qsketch_union", "graft_qsketch_union(sketch) - union of quantile sketches"),
+      (exprs: Seq[Expression]) => QSketchUnionAgg(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_qsketch_q"),
+      info("graft_qsketch_q", "graft_qsketch_q(sketch, q) - nearest-rank quantile estimate"),
+      (exprs: Seq[Expression]) => QSketchQuantile(exprs(0), exprs(1))))
   }
 }

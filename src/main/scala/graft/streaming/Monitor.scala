@@ -117,6 +117,31 @@ object Monitor {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Streaming sub-document (span) dedup: explode each arriving document
+    * into fixed-width word chunks and drop every chunk whose exact text
+    * was already seen inside the watermark horizon — the streaming twin
+    * of `TextAnalysis.paragraphDedup`'s first-occurrence-wins rule,
+    * applied at ingest so boilerplate never lands in storage. Emits one
+    * row per SURVIVING chunk (doc id, chunk position, chunk text);
+    * downstream reassembly is the batch operator's groupBy. State is the
+    * set of chunk hashes inside the horizon — bounded, evicted by the
+    * watermark, never corpus-sized.
+    */
+  def dedupSpansStream(stream: DataFrame, idCol: Column, textCol: Column,
+                       tsCol: String, width: Int = 12,
+                       watermarkDelay: String = "10 minutes"): DataFrame = {
+    val words = split(regexp_replace(lower(textCol), "\\s+", " "), " ")
+    stream
+      .select(idCol.as("doc_id"), col(tsCol), words.as("words"))
+      .select(col("doc_id"), col(tsCol),
+        posexplode(expr(s"transform(sequence(0, cast(ceil(size(words)/$width.0) as int)-1)," +
+          s" i -> concat_ws(' ', slice(words, i*$width+1, $width)))"))
+          .as(Seq("pos", "chunk")))
+      .withColumn("chunk_hash", md5(col("chunk")))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("chunk_hash"))
+  }
+
   /** Stream-stream interval join: correlate two live streams on a key
     * within a time bound (e.g. purchase within an hour of a click).
     * Both sides watermarked, so the join state expires — the streaming

@@ -11,6 +11,8 @@ import graft.streaming.Monitor
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, props: String)
 
+case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
 /** Streaming twins driven synchronously with MemoryStream + AvailableNow. */
 class StreamingSpec extends AnyFunSuite {
   import TestSession._
@@ -259,6 +261,41 @@ class StreamingSpec extends AnyFunSuite {
     val out = spark.table("dedup_out")
     assert(out.count() === 30, "each id must survive exactly once")
     assert(out.select("event_id").distinct().count() === 30)
+  }
+
+  test("streaming span dedup keeps first occurrence of a chunk, like batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Doc]
+    // width=3 chunks; docs 1-3 share the "a b c" boilerplate header, doc 2
+    // additionally repeats doc 1's "d e f" tail — the streaming rule must
+    // keep exactly the batch operator's first-occurrence survivors
+    val t0 = 1700000000000L
+    input.addData(
+      Doc(1L, new Timestamp(t0), "a b c d e f"),
+      Doc(2L, new Timestamp(t0 + 1000), "a b c d e f"),
+      Doc(3L, new Timestamp(t0 + 2000), "a b c x y z"))
+    val q = Monitor.dedupSpansStream(input.toDF(), col("doc_id"), col("text"),
+        "ts", width = 3)
+      .writeStream.outputMode("append").format("memory").queryName("span_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    val out = spark.table("span_out")
+      .select("doc_id", "pos", "chunk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // 8 chunks arrive, 4 distinct texts survive once each
+    assert(out.map(_._3) === Set("a b c", "d e f", "x y z"))
+    assert(out.size === 3)
+    // within one micro-batch arrival order isn't observable, so assert
+    // each surviving chunk text maps to exactly one (doc, pos) slot that
+    // carried that text in the input
+    assert(out.forall {
+      case (d, p, "a b c") => p == 0 && Set(1L, 2L, 3L).contains(d)
+      case (d, p, "d e f") => p == 1 && Set(1L, 2L).contains(d)
+      case (d, p, "x y z") => d == 3L && p == 1
+      case _ => false
+    })
   }
 
   test("HLL sketch aggregates incrementally in a stream, equal to batch") {
