@@ -247,6 +247,25 @@ object ScaleSmoke {
       graft.ops.TextAnalysis.lexicalDiversity(docs, col("doc_id"), col("text")).count()
     }
 
+    // quantile sketch at the full event volume: one pass builds per-type
+    // sketches (constant memory per partial); the estimates must be
+    // IDENTICAL under repartitioning (the md5-rank bottom-k claim), and
+    // the sampled median must land inside the exact p45-p55 bracket.
+    time("qsketch_quantiles") {
+      graft.functions.QSketchFunctions.register(spark)
+      val base = events.select(
+        (pmod(hash(col("event_id"), lit(9)), lit(100000)).cast("double") / 1000.0).as("v"),
+        col("event_id").cast("string").as("id"))
+      def medians(df: org.apache.spark.sql.DataFrame): Double =
+        df.agg(expr("graft_qsketch_q(graft_qsketch(v, id, 1024), 0.5d)"))
+          .head().getDouble(0)
+      val m1 = medians(base)
+      val m2 = medians(base.repartition(41))
+      val exact = base.stat.approxQuantile("v", Array(0.45, 0.55), 0.001)
+      println(f"[scale]   p50 est $m1%.3f (partition-invariant: ${m1 == m2}, " +
+        f"exact p45-p55 bracket [${exact(0)}%.3f, ${exact(1)}%.3f])")
+    }
+
     // clustered embedding corpus: 32 well-separated clusters in id blocks,
     // so the first-k quantizer's centroids all come from cluster 0. The
     // trained spherical-k-means quantizer must recover near-brute recall
