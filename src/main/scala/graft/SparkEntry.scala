@@ -611,6 +611,11 @@ object SparkEntry {
     "text_lexical_diversity" -> ((s, dir) =>
       TextAnalysis.lexicalDiversity(Tables.documents(s, dir), col("doc_id"), col("text"))),
 
+    // token -> (df, first-100 posting list), stop tokens (df > 1000)
+    // dropped before any list is collected
+    "text_inverted_index" -> ((s, dir) =>
+      TextAnalysis.invertedIndex(Tables.documents(s, dir), col("doc_id"), col("text"))),
+
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.byteStats(Multimodal.toAsset(
           Tables.events(s, dir), col("event_id"), col("event_type"), col("props")))
@@ -1601,6 +1606,17 @@ object SparkEntry {
         |      FROM tf JOIN dfq USING (token))
         |SELECT doc_id, rank, token, tf, df, score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "text_inverted_index" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |tok AS (SELECT doc_id, unnest(words) AS token FROM w),
+        |dt AS (SELECT DISTINCT doc_id, token FROM tok),
+        |dfq AS (SELECT token, count(*) AS df FROM dt GROUP BY 1 HAVING count(*) <= 1000)
+        |SELECT dt.token AS token, dfq.df AS df,
+        |  (list(dt.doc_id ORDER BY dt.doc_id))[1:100] AS postings
+        |FROM dt JOIN dfq USING (token)
+        |GROUP BY dt.token, dfq.df
+        |ORDER BY token""".stripMargin,
 
     "text_lexical_diversity" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),

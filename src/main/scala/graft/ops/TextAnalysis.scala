@@ -388,6 +388,38 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Inverted index: token → (document frequency, bounded posting list) —
+    * the retrieval-side primitive (keyword search, BM25 candidates,
+    * contamination lookups) built corpus-side.
+    *
+    * Scale shape: distinct (doc, token) pairs materialize ONCE (cached —
+    * the df rollup and the posting collection are differently-pruned
+    * branches, same situation as [[tfidfTopK]]); tokens whose df exceeds
+    * `maxDf` are dropped BEFORE any posting list is collected (the
+    * stop-token analogue of the dedup family's hot-shingle cap — without
+    * it a stopword's posting list is the whole corpus in one aggregation
+    * buffer); surviving lists are sorted and truncated to `maxPostings`.
+    * Shuffles: the pair dedup, the df rollup, the token join, the final
+    * collect — all O(pairs), never O(corpus²).
+    */
+  def invertedIndex(df: DataFrame, idCol: Column, textCol: Column,
+                    maxDf: Int = 1000, maxPostings: Int = 100,
+                    cache: Boolean = true): DataFrame = {
+    val pairs = OpCache.share(
+      df.select(idCol.as("doc_id"),
+        explode(array_distinct(tokens(textCol))).as("token")),
+      cache)
+    val keep = pairs.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    pairs.join(keep, "token")
+      .groupBy(col("token"), col("df"))
+      .agg(slice(array_sort(collect_list(col("doc_id"))), 1, maxPostings)
+        .as("postings"))
+      .select(col("token"), col("df"), col("postings"))
+      .orderBy(col("token"))
+  }
+
   /** Lexical-diversity profile: type-token ratio and hapax-legomenon
     * ratio per document — degenerate/templated text scores low on both.
     * Integer permille (exact div) for oracle parity. The explode+groupBy

@@ -655,6 +655,25 @@ class DataOpsSpec extends AnyFunSuite {
     assert(r.getLong(r.fieldIndex("hapax_permille")) === 333L)
   }
 
+  test("inverted index postings are exact, sorted, and stop-capped") {
+    import spark.implicits._
+    val corpus = Seq(
+      (3L, "apple banana apple"),   // within-doc dup must not double-post
+      (1L, "banana cherry"),
+      (2L, "apple stopper"),
+      (4L, "stopper"),
+      (5L, "stopper")).toDF("doc_id", "text")
+    val idx = TextAnalysis.invertedIndex(corpus, col("doc_id"), col("text"),
+        maxDf = 2, maxPostings = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getSeq[Long](2).toList))).toMap
+    assert(idx("apple") === ((2L, List(2L, 3L))))
+    assert(idx("banana") === ((2L, List(1L, 3L))))
+    assert(idx("cherry") === ((1L, List(1L))))
+    assert(!idx.contains("stopper"), "df=3 > maxDf=2 must be dropped")
+    graft.ops.Dedup.unpersistShared()
+  }
+
   test("q13 distribution masses add up to the corpus totals") {
     val rows = ops.Analytics.orderCountDistribution(spark, sf).collect()
     val nCust = Tables.customer(spark, sf).count()
