@@ -124,6 +124,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("paragraph dedup plans as window + aggregate, never a join") {
+    // the naive span-dedup spelling joins each chunk against the
+    // first-occurrence table — O(chunks) extra shuffle and a potential
+    // skew join on hot boilerplate; the shipped plan must keep the
+    // first-occurrence-wins rule inside ONE window over md5(chunk)
+    val plan = SparkEntry.queries("corpus_dedup_paragraph")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"span dedup must not join:\n$plan")
+    assert(plan.contains("Window"), s"expected the md5-window plan:\n$plan")
+  }
+
   test("tfidf pays the corpus scan and tf aggregation once at runtime") {
     // tf feeds both the per-doc side and the df (document frequency)
     // rollup; Catalyst prunes the branches differently so exchange reuse

@@ -227,4 +227,40 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("qsketch: serialization round-trips and any split-merge equals the direct sketch") {
+    import graft.functions.QSketchImpl
+    import org.apache.spark.unsafe.types.UTF8String
+    val rowsGen = for {
+      n <- Gen.choose(1, 200)
+      vals <- Gen.listOfN(n, Gen.choose(-1e6, 1e6))
+    } yield vals.zipWithIndex.map { case (v, i) => (s"id$i", v) }
+    forAll(Gen.zip(rowsGen, Gen.choose(16, 64), Gen.choose(1, 199)), n = 15) {
+      case (rows, k, splitAtRaw) =>
+        def build(part: Seq[(String, Double)]): QSketchImpl.Buf = {
+          val b = new QSketchImpl.Buf(k)
+          part.foreach { case (id, v) =>
+            b.add(QSketchImpl.rankOf(UTF8String.fromString(id)), v)
+          }
+          b
+        }
+        val direct = build(rows)
+        // distributed path: two partials merged
+        val (l, r) = rows.splitAt(splitAtRaw % rows.length)
+        val merged = build(l)
+        merged.mergeFrom(build(r).sortedPairs)
+        val a = QSketchImpl.serialize(k, direct.sortedPairs)
+        val b = QSketchImpl.serialize(k, merged.sortedPairs)
+        assert(java.util.Arrays.equals(a, b),
+          "split-merge must be byte-identical to the direct sketch")
+        // serialization round-trip preserves the pairs exactly
+        val (k2, pairs) = QSketchImpl.deserialize(a)
+        assert(k2 == k && pairs.toSeq == direct.sortedPairs.toSeq)
+        // the kept set is exactly the bottom-k of the full ranked list
+        val expected = rows
+          .map { case (id, v) => (QSketchImpl.rankOf(UTF8String.fromString(id)), v) }
+          .sorted.take(k)
+        assert(pairs.toSeq == expected)
+    }
+  }
 }
