@@ -17,7 +17,9 @@ object Explain {
       "q5_region_revenue", "ts_lookup_join", "ts_clone_incremental",
       "dedup_minhash_lsh", "dedup_embedding_cosine", "ann_lsh_bucketed",
       "ts_asof_join_exec", "dedup_embedding_cosine_lsh", "q17_small_qty_revenue",
-      "q22_idle_balances")
+      "q22_idle_balances", "q9_part_profit", "q13_order_distribution",
+      "corpus_dedup_paragraph", "text_tfidf_topk", "text_inverted_index",
+      "agg_qsketch_quantiles")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -247,6 +247,23 @@ object ScaleSmoke {
       graft.ops.TextAnalysis.lexicalDiversity(docs, col("doc_id"), col("text")).count()
     }
 
+    // inverted index under a hot vocabulary: every one of the 2k common
+    // tokens has df ≈ nDocs/34 ≫ cap and must be dropped BEFORE posting
+    // collection; only the planted rare terms (df=1 each) survive. An
+    // uncapped build would buffer nDocs-sized stopword lists per
+    // aggregation group.
+    time("inverted_index") {
+      val rare = docs.select(col("doc_id"),
+        when(col("doc_id") % 50 === 0,
+          concat(col("text"), lit(" rare"), (col("doc_id") / 50).cast("long")))
+          .otherwise(col("text")).as("text"))
+      val n = graft.ops.TextAnalysis.invertedIndex(rare, col("doc_id"), col("text"),
+        maxDf = 1000).count()
+      graft.ops.Dedup.unpersistShared()
+      println(s"[scale]   surviving index terms: $n " +
+        s"(expect ${nDocs / 50} rare terms; hot vocabulary capped out)")
+    }
+
     // quantile sketch at the full event volume: one pass builds per-type
     // sketches (constant memory per partial); the estimates must be
     // IDENTICAL under repartitioning (the md5-rank bottom-k claim), and
