@@ -92,6 +92,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(budget > 0)
   }
 
+  test("curation pipeline: span dedup -> decontaminate -> mix -> pack") {
+    import graft.ops.{Dedup, TextAnalysis}
+    val docs = Tables.documents(spark, sf)
+
+    // 1. sub-document span dedup rewrites each doc with shared chunks
+    // removed; docs reduced to nothing drop out
+    val spanned = TextAnalysis.paragraphDedup(docs, col("doc_id"), col("text"))
+    assert(spanned.filter(col("n_kept") === col("n_chunks")).count() > 0,
+      "some documents must survive untouched")
+    val corpus = spanned.filter(col("n_kept") > 0)
+      .select(col("doc_id"), col("new_text").as("text"))
+      .join(docs.select(col("doc_id"), col("source"), col("n_chars")), "doc_id")
+
+    // 2. decontaminate against an eval set drawn from untouched docs —
+    // each must be flagged against itself (13-gram overlap) and removed
+    val evalSet = spanned.filter(col("n_kept") === col("n_chunks"))
+      .join(docs.select("doc_id", "text"), "doc_id")
+      .filter(size(split(col("text"), " ")) >= 13)
+      .select("doc_id", "text").limit(5).cache()
+    val evalIds = evalSet.collect().map(_.getLong(0)).toSet
+    assert(evalIds.nonEmpty)
+    val flagged = Dedup.contamination(corpus, col("doc_id"), col("text"),
+      evalSet, col("doc_id"), col("text"), nGram = 13)
+    val flaggedIds = flagged.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(evalIds.subsetOf(flaggedIds),
+      s"eval members not flagged: ${evalIds -- flaggedIds}")
+    val clean = corpus.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
+
+    // 3. deterministic mixture re-weighting: halve src0; the nested-hash
+    // rule keeps a subset, never resamples
+    val src0Before = clean.filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val mixed = TextAnalysis.mixSources(clean, "doc_id", col("source"),
+      Map("src0" -> 0.5))
+    val src0After = mixed.filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(src0After.subsetOf(src0Before) && src0After.size < src0Before.size)
+
+    // 4. sequence packing: every curated doc lands in exactly one
+    // fixed-budget training row
+    val packed = TextAnalysis.packSequences(mixed, "doc_id",
+      ceil(col("n_chars") / 4.0), 512L)
+    assert(packed.count() === mixed.count())
+    assert(packed.select("doc_id").distinct().count() === mixed.count())
+    Dedup.unpersistShared()
+  }
+
   test("describeTree walks nested schemas like the reference repr") {
     val df = Tables.events(spark, sf).select(
       col("event_id"),
