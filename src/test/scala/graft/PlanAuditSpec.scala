@@ -39,7 +39,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // any broadcast threshold — force every join to shuffle and assert
     // results are unchanged (the plan the cluster would actually run)
     val names = Seq("q3_top_revenue", "q5_region_revenue", "q17_small_qty_revenue",
-      "ts_lookup_join")
+      "ts_lookup_join", "q9_part_profit", "q16_supplier_variety")
     val before = names.map(n => n ->
       SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq).toSeq).toMap
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
