@@ -323,6 +323,38 @@ class StreamingSpec extends AnyFunSuite {
       "incremental sketch state must equal the one-shot batch sketch")
   }
 
+  test("quantile sketch aggregates incrementally in a stream, equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    graft.functions.QSketchFunctions.register(spark)
+    val input = MemoryStream[Ev]
+    // two micro-batches: the bottom-k state must merge across them into
+    // the same sample (and hence the same quantile) as one batch pass
+    input.addData(sampleEvents.take(50): _*)
+    val agg = input.toDF()
+      .selectExpr("event_type", "cast(user_id as double) as v",
+        "cast(event_id as string) as id")
+      .groupBy("event_type")
+      .agg(expr("graft_qsketch_q(graft_qsketch(v, id, 64), 0.5d)").as("p50"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("qs_stream").start()
+    try {
+      q.processAllAvailable()
+      input.addData(sampleEvents.drop(50): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("qs_stream")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val batch = sampleEvents.toDF()
+      .selectExpr("event_type", "cast(user_id as double) as v",
+        "cast(event_id as string) as id")
+      .groupBy("event_type")
+      .agg(expr("graft_qsketch_q(graft_qsketch(v, id, 64), 0.5d)").as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(streamed === batch,
+      "incremental bottom-k state must equal the one-shot batch sketch")
+  }
+
   test("SubscriberTree composes N topic streams into one snapshot per tick") {
     implicit val sqlCtx = spark.sqlContext
     implicit val s = spark
