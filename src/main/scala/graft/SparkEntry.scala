@@ -616,6 +616,13 @@ object SparkEntry {
     "text_inverted_index" -> ((s, dir) =>
       TextAnalysis.invertedIndex(Tables.documents(s, dir), col("doc_id"), col("text"))),
 
+    // Okapi BM25 top-20 for a 3-term query; per-term contributions are
+    // IEEE doubles rounded to integer micro-units, so the per-doc sum is
+    // exact and the oracle reproduces scores bit-for-bit
+    "text_bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, dir), col("doc_id"), col("text"),
+        Seq("merge", "batch", "stream"), k = 20)),
+
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.byteStats(Multimodal.toAsset(
           Tables.events(s, dir), col("event_id"), col("event_type"), col("props")))
@@ -1617,6 +1624,29 @@ object SparkEntry {
         |FROM dt JOIN dfq USING (token)
         |GROUP BY dt.token, dfq.df
         |ORDER BY token""".stripMargin,
+
+    // constants spelled as the SAME literal arithmetic Spark evaluates
+    // ((1.2 + 1.0), (1.0 - 0.75)) so both engines fold identical doubles;
+    // the division/multiplication tree mirrors TextAnalysis.bm25TopK
+    // exactly — contributions agree bit-for-bit before the integer sum
+    "text_bm25_topk" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |tokd AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl, unnest(words) AS token FROM w),
+        |tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM tokd
+        |       WHERE token IN ('merge', 'batch', 'stream') GROUP BY 1, 2, 3),
+        |dft AS (SELECT token, count(*) AS dft FROM tf GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |                 CAST(SUM(CAST(len(words) AS BIGINT)) AS DOUBLE) / count(*) AS avgdl
+        |          FROM w),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round((stats.n_docs - dft.dft + 0.5) / (dft.dft + 0.5)
+        |      * (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / stats.avgdl)))
+        |      * 1000000.0) AS BIGINT) AS contrib_micro
+        |  FROM tf JOIN dft USING (token), stats)
+        |SELECT doc_id, SUM(contrib_micro) AS score_micro, count(*) AS n_terms
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
 
     "text_lexical_diversity" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),

@@ -420,6 +420,53 @@ object TextAnalysis {
       .orderBy(col("token"))
   }
 
+  /** BM25 retrieval: score every document against a fixed term set with
+    * the Okapi weighting — tf saturation `tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))`
+    * and the rational idf surrogate `(N−df+0.5)/(df+0.5)` (the exp of the
+    * textbook log-idf; per-term monotone, so single-term ranking is
+    * identical and multi-term ranking weights rare terms more strongly —
+    * and it keeps the score free of transcendentals).
+    *
+    * Engine parity: each term's contribution is IEEE-754 double
+    * arithmetic with a fixed expression tree (bit-identical across
+    * engines), rounded to integer MICRO-UNITS before the per-document
+    * sum — so the only order-sensitive step (the sum) is exact integer
+    * addition and the oracle reproduces scores exactly.
+    *
+    * Scale shape: tokens are filtered to the query terms AT THE SCAN
+    * (isin pushes down; the explode output is O(term occurrences), not
+    * O(corpus tokens)); corpus stats (N, avgdl) are one scalar aggregate
+    * broadcast into the scoring join; df is a |terms|-row rollup. Global
+    * top-k plans as TakeOrderedAndProject.
+    */
+  def bm25TopK(df: DataFrame, idCol: Column, textCol: Column,
+               terms: Seq[String], k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = df.select(idCol.as("doc_id"), tokens(textCol).as("words"))
+      .select(col("doc_id"), size(col("words")).cast("long").as("dl"),
+        explode(col("words")).as("token"))
+      .filter(col("token").isin(terms.map(lit): _*))
+    val tf = toks.groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("dft"))
+    val stats = df.select(size(tokens(textCol)).cast("long").as("adl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        (sum(col("adl")) / count(lit(1))).as("avgdl"))
+    val idf = (col("n_docs") - col("dft") + lit(0.5)) / (col("dft") + lit(0.5))
+    val sat = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dft), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib_micro",
+        round(idf * sat * lit(1000000.0)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Lexical-diversity profile: type-token ratio and hapax-legomenon
     * ratio per document — degenerate/templated text scores low on both.
     * Integer permille (exact div) for oracle parity. The explode+groupBy

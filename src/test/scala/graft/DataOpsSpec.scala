@@ -674,6 +674,20 @@ class DataOpsSpec extends AnyFunSuite {
     graft.ops.Dedup.unpersistShared()
   }
 
+  test("bm25 favors rare terms and saturates repeated ones") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "zebra common common common"),
+      (2L, "common common common common"),
+      (3L, "zebra zebra common common")).toDF("doc_id", "text")
+    val top = TextAnalysis.bm25TopK(corpus, col("doc_id"), col("text"),
+      Seq("zebra", "common"), k = 3).collect()
+    // rare 'zebra' (df=2, idf 0.6) dominates 'common' (df=3, idf ~0.14):
+    // two zebras > one zebra + three commons > four commons
+    assert(top.map(_.getLong(0)).toSeq === Seq(3L, 1L, 2L))
+    assert(top.map(r => r.getLong(r.fieldIndex("n_terms"))).toSeq === Seq(2L, 2L, 1L))
+  }
+
   test("q13 distribution masses add up to the corpus totals") {
     val rows = ops.Analytics.orderCountDistribution(spark, sf).collect()
     val nCust = Tables.customer(spark, sf).count()
