@@ -20,6 +20,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "dedup_semantic",         // same ivfAssign centroid broadcast
     "q22_idle_balances",      // single-row scalar-threshold broadcast
     "q11_nation_concentration", // single-row global-total broadcast (Q11 HAVING)
+    "text_bm25_topk",         // single-row corpus-stats (N, avgdl) broadcast
     "ts_update_first")        // single-row first-match-id broadcast
 
   for ((name, q) <- SparkEntry.queries) {
