@@ -425,6 +425,8 @@ object SparkEntry {
     "q11_nation_concentration" -> ((s, dir) => Analytics.nationConcentration(s, dir)),
     "window_rolling_stats" -> ((s, dir) => Analytics.rollingUserStats(s, dir)),
     "agg_cube" -> ((s, dir) => Analytics.eventCube(s, dir)),
+    "events_funnel" -> ((s, dir) => Analytics.funnelStages(s, dir)),
+    "events_retention" -> ((s, dir) => Analytics.cohortRetention(s, dir)),
 
     // ── §2c training-data pipeline ────────────────────────────────────
     "dedup_exact" -> ((s, dir) =>
@@ -539,6 +541,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // int8 scalar-quantized scoring: 4× smaller persisted corpus, exact
+    // integer code dot — the memory/IO leg of the ANN scale story
+    "ann_int8_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.int8TopK(emb, emb.filter(col("vec_id") < 5), 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "lang_id" -> ((s, dir) =>
       TextAnalysis.langId(Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy("doc_id")),
@@ -610,6 +620,11 @@ object SparkEntry {
     // type-token + hapax ratios, exact integer permille
     "text_lexical_diversity" -> ((s, dir) =>
       TextAnalysis.lexicalDiversity(Tables.documents(s, dir), col("doc_id"), col("text"))),
+
+    // bigram LM trained on the corpus itself; add-one-smoothed mean
+    // conditional probability in exact fixed-point integers
+    "quality_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(Tables.documents(s, dir), col("doc_id"), col("text"))),
 
     // token -> (df, first-100 posting list), stop tokens (df > 1000)
     // dropped before any list is collected
@@ -971,6 +986,33 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY CUBE(event_type, user_id % 4)
         |ORDER BY event_type ASC NULLS FIRST, bucket ASC NULLS FIRST""".stripMargin,
+
+    // same chained-running-min window semantics, microsecond ordering
+    "events_funnel" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+        |         OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1 FROM e),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts_us > s1 THEN ts_us END)
+        |         OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2 FROM s1),
+        |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us > s2 THEN ts_us END)
+        |         OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s3 FROM s2),
+        |u AS (SELECT user_id, min(s1) AS u1, min(s2) AS u2, min(s3) AS u3 FROM s3 GROUP BY 1)
+        |SELECT count(*) AS users_total, count(u1) AS reached_stage1,
+        |  count(u2) AS reached_stage2, count(u3) AS reached_stage3 FROM u""".stripMargin,
+
+    // integer day arithmetic from a fixed epoch — no engine week-truncation
+    "events_retention" ->
+      """WITH e AS (SELECT user_id,
+        |             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM e GROUP BY 1)
+        |SELECT CAST(floor(first_day / 7) AS BIGINT) AS cohort_week,
+        |  CAST(floor((day - first_day) / 7) AS BIGINT) AS week_offset,
+        |  count(DISTINCT e.user_id) AS active_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "ts_latest_snapshot" ->
       """SELECT event_type AS topic, event_id, ts_sec, value FROM (
@@ -1401,6 +1443,27 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 
+    // same affine int8 grid (corpus per-dim min/max), integer code dot
+    "ann_int8_topk" ->
+      """WITH v AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+        |           FROM embeddings, range(1, 65) r(i)),
+        |st AS (SELECT d, min(x) AS mn, max(x) AS mx FROM v GROUP BY 1),
+        |qz AS (SELECT vec_id, v.d,
+        |         CASE WHEN mn = mx THEN 0
+        |              ELSE least(greatest(CAST(floor(((x - mn) * 254.0) / (mx - mn)) AS BIGINT) - 127, -127), 127)
+        |         END AS code
+        |       FROM v JOIN st ON v.d = st.d),
+        |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         CAST(SUM(q.code * c.code) AS BIGINT) AS idot
+        |       FROM qz q JOIN qz c ON q.d = c.d AND q.vec_id < 5 AND c.vec_id <> q.vec_id
+        |       GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, idot,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY idot DESC, neighbor_id) AS INT) AS rank
+        |      FROM sc)
+        |SELECT query_id, neighbor_id, idot, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
     // same first-8 coarse quantizer as ann_ivf_topk; within-cell pairs at
     // rounded cosine ≥ τ drop the larger id, survivors remain
     "dedup_semantic" ->
@@ -1647,6 +1710,22 @@ object SparkEntry {
         |SELECT doc_id, SUM(contrib_micro) AS score_micro, count(*) AS n_terms
         |FROM scored GROUP BY doc_id
         |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
+
+    // bigram counts, left-unigram counts, broadcast vocab scalar — all
+    // integer fixed-point, same add-one smoothing
+    "quality_lm_score" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |ix AS (SELECT doc_id, words, unnest(range(1, len(words))) AS i FROM w),
+        |bi AS (SELECT doc_id, words[i] AS w1, words[i + 1] AS w2 FROM ix),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT token) AS v
+        |       FROM (SELECT unnest(words) AS token FROM w)),
+        |s AS (SELECT bi.doc_id, (c12.c12 + 1) * 1000000 // (c1.c1 + vv.v) AS p_micro
+        |      FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(SUM(p_micro) AS BIGINT) // count(*) AS lm_micro
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_lexical_diversity" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),

@@ -492,4 +492,67 @@ object Analytics {
       .select(col("s_nationkey"), col("nation_bal").cast("double").as("nation_bal"))
       .orderBy(col("nation_bal").desc, col("s_nationkey"))
   }
+
+  /** Ordered-sequence funnel: how many users progress through the event
+    * stages in ORDER (a later stage only counts if it happens strictly
+    * after some completion of the previous one). The per-row "stage k
+    * reached by now" times are chained running minimums over ONE window
+    * spec — Catalyst plans the three dependent Window operators over a
+    * single exchange+sort on `user_id`, so the whole funnel costs one
+    * shuffle of the events plus a tiny per-user aggregate. No
+    * sessionizing UDAF, no per-user collect: state per row is three
+    * longs regardless of history length, which is what survives a
+    * 100 TB event log (contrast the collect_list-per-user folk version,
+    * which OOMs on power users). Timestamps compare at microsecond
+    * precision so simultaneous-second events can't fake an ordering.
+    */
+  def funnelStages(spark: SparkSession, dir: String,
+                   stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.size == 3, "funnelStages is specialized to 3 stages")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s1 = ev.withColumn("s1",
+      min(when(col("event_type") === stages(0), col("ts_us"))).over(w))
+    val s2 = s1.withColumn("s2",
+      min(when(col("event_type") === stages(1) && col("ts_us") > col("s1"),
+        col("ts_us"))).over(w))
+    val s3 = s2.withColumn("s3",
+      min(when(col("event_type") === stages(2) && col("ts_us") > col("s2"),
+        col("ts_us"))).over(w))
+    s3.groupBy(col("user_id"))
+      .agg(min(col("s1")).as("u1"), min(col("s2")).as("u2"), min(col("s3")).as("u3"))
+      .agg(
+        count(lit(1)).as("users_total"),
+        count(col("u1")).as("reached_stage1"),
+        count(col("u2")).as("reached_stage2"),
+        count(col("u3")).as("reached_stage3"))
+  }
+
+  /** Cohort retention: users grouped by first-activity week, counted
+    * distinct in each subsequent week offset. All calendar math is
+    * integer day arithmetic from a fixed epoch (no engine-specific
+    * week-truncation semantics). Two key-partitioned aggregations: the
+    * first-touch min shares its `user_id` shuffle with the join back
+    * (AQE reuses the exchange), the cohort-cell count-distinct shuffles
+    * |active (user, cohort, offset)| triples — already deduplicated
+    * map-side, so the wire carries at most users × weeks rows, not the
+    * event log.
+    */
+  def cohortRetention(spark: SparkSession, dir: String,
+                      epoch: String = "2024-01-01"): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), datediff(to_date(col("ts")), lit(epoch).cast("date")).as("day"))
+    val firstTouch = ev.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    ev.join(firstTouch, "user_id")
+      .select(col("user_id"),
+        floor(col("first_day") / 7).as("cohort_week"),
+        floor((col("day") - col("first_day")) / 7).as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
 }

@@ -232,4 +232,62 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
   }
+
+  /** Per-dimension corpus min/max — the affine scalar-quantizer training
+    * pass. One scan, |dims| output rows (broadcast onward).
+    */
+  def dimStats(emb: DataFrame): DataFrame =
+    Dedup.spread(emb)
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("d"), col("x").cast("double").as("x"))
+      .groupBy(col("d"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+
+  /** Symmetric int8 scalar quantization against the given per-dim stats:
+    * `code = clamp(floor((x − mn)·254 / (mx − mn)) − 127, ±127)`. The
+    * quantized corpus is the PERSISTED form at scale — 4× smaller than
+    * float32 (32× vs the float64 compute form), so a 100 TB embedding
+    * store scans as 25 TB and each executor holds 4× more candidates
+    * in memory; the code dot is integer math (SIMD-friendly, and exact
+    * in IEEE doubles — |code·code|·dims ≪ 2^53 — so partial-aggregation
+    * order can't perturb it). Codes are engine-portable: the affine map
+    * is one fixed-tree double expression, identical in any IEEE engine,
+    * and everything after it is integer. Constant dimensions quantize
+    * to 0; out-of-range query values clamp.
+    */
+  def quantizeInt8(emb: DataFrame, stats: DataFrame): DataFrame =
+    Dedup.spread(emb)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"), col("x").cast("double").as("x"))
+      .join(broadcast(stats), "d")
+      .withColumn("code", when(col("mn") === col("mx"), lit(0L)).otherwise(
+        expr("least(greatest(cast(floor(((x - mn) * 254.0D) / (mx - mn)) as bigint)" +
+          " - 127L, -127L), 127L)")))
+      .groupBy(col("vec_id"))
+      .agg(collect_list(struct(col("d"), col("code"))).as("dc"))
+      .withColumn("cv", expr("transform(array_sort(dc), s -> cast(s.code as double))"))
+      .select(col("vec_id"), col("cv"))
+
+  /** Quantized brute-force top-k: rank by the integer code dot product.
+    * The memory/IO scale path that composes with the routing paths —
+    * [[ivfTopK]]/[[lshTopK]] shrink WHO you score, int8 shrinks what
+    * scoring COSTS; a production pipeline buckets first, scores codes,
+    * then exact-re-ranks the shortlist with [[bruteTopK]] on the float
+    * vectors. Queries quantize through the CORPUS stats (one broadcast),
+    * so out-of-distribution queries clamp rather than shift the grid.
+    */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    VectorFunctions.register(corpus.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("idot").desc, col("neighbor_id"))
+    val stats = dimStats(corpus)
+    val c = quantizeInt8(corpus, stats)
+    val q = quantizeInt8(queries, stats)
+    q.as("q").join(c.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        expr("cast(graft_dot(q.cv, c.cv) as bigint)").as("idot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "idot", "rank")
+  }
 }

@@ -486,4 +486,50 @@ object TextAnalysis {
       .withColumn("ttr_permille", expr("n_types * 1000L div n_tokens"))
       .withColumn("hapax_permille", expr("n_hapax * 1000L div n_types"))
       .orderBy(col("doc_id"))
+
+  /** Bigram language-model quality score (the CCNet/KenLM-perplexity
+    * filter shape): train bigram statistics ON the corpus itself, score
+    * each document by its mean add-one-smoothed conditional probability
+    * `P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V)`. Fluent in-distribution text
+    * rides high-count bigrams; gibberish and boilerplate-joined fragments
+    * score near the 1/(c+V) floor. The score is a fixed-point integer
+    * rational (probability × 10⁶, floor division) — perplexity's log is a
+    * monotone transform, so the FILTER (keep docs above a score bar)
+    * selects identical documents while every arithmetic step stays exact
+    * integer math, portable across engines and partitionings.
+    *
+    * Scale shape: bigrams spell as a `transform` over each token array
+    * (no positional self-join); the pairs materialize once (cached) and
+    * feed three O(corpus-tokens) key-partitioned aggregations — bigram
+    * counts, left-unigram counts, and the per-doc rollup; the model joins
+    * back by bigram/unigram key (shuffle-hash joins on the same O(tokens)
+    * stream, skew-splittable by AQE — a stopword bigram is a hot KEY but
+    * its count row is one row). Vocabulary size is one broadcast scalar.
+    * Nothing is ever O(vocab²) or driver-side; the trained `c12`/`c1`
+    * tables are themselves persistable for incremental re-scoring.
+    */
+  def lmScore(df: DataFrame, idCol: Column, textCol: Column,
+              cache: Boolean = true): DataFrame = {
+    val bi = OpCache.share(
+      df.select(idCol.as("doc_id"), tokens(textCol).as("words"))
+        .filter(size(col("words")) >= 2)
+        .select(col("doc_id"), expr(
+          "explode(transform(slice(words, 1, size(words) - 1)," +
+            " (x, i) -> struct(x AS w1, words[i + 1] AS w2))) AS bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")),
+      cache)
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = df.select(explode(tokens(textCol)).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    bi.join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("p_micro", expr("(c12 + 1L) * 1000000L div (c1 + v)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_micro")).as("sum_micro"))
+      .withColumn("lm_micro", expr("sum_micro div n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("lm_micro"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -706,4 +706,107 @@ class DataOpsSpec extends AnyFunSuite {
     assert(ops.Analytics.supplierVariety(spark, sf)
       .filter(col("supplier_cnt") > nSupp).count() === 0)
   }
+
+  test("funnel stage counts equal an independent per-user fold") {
+    // differential oracle: collect each user's (ts_us, event_id, type)
+    // stream and replay the stage machine sequentially in Scala
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .collect()
+    val stages = Seq("view", "click", "purchase")
+    var r1, r2, r3 = 0L
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, evs) =>
+      val ordered = evs.sortBy(r => (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id")))
+      var s1, s2, s3 = Long.MaxValue
+      ordered.foreach { r =>
+        val t = r.getAs[Long]("ts_us")
+        r.getAs[String]("event_type") match {
+          case et if et == stages(0) => s1 = math.min(s1, t)
+          case et if et == stages(1) && t > s1 => s2 = math.min(s2, t)
+          case et if et == stages(2) && t > s2 => s3 = math.min(s3, t)
+          case _ =>
+        }
+      }
+      if (s1 < Long.MaxValue) r1 += 1
+      if (s2 < Long.MaxValue) r2 += 1
+      if (s3 < Long.MaxValue) r3 += 1
+    }
+    val out = ops.Analytics.funnelStages(spark, sf).head()
+    assert(out.getAs[Long]("users_total") ===
+      rows.map(_.getAs[Long]("user_id")).distinct.length.toLong)
+    assert(out.getAs[Long]("reached_stage1") === r1)
+    assert(out.getAs[Long]("reached_stage2") === r2)
+    assert(out.getAs[Long]("reached_stage3") === r3)
+    assert(r1 >= r2 && r2 >= r3, "funnel must be monotone")
+  }
+
+  test("cohort retention: week-0 cell equals the cohort census") {
+    val rows = ops.Analytics.cohortRetention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("week_offset") >= 0))
+    // every user is active in their own first week, so the offset-0 cell
+    // must count the cohort exactly
+    val firstTouch = Tables.events(spark, sf)
+      .select(col("user_id"), datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("day"))
+      .groupBy("user_id").agg(min("day").as("first_day"))
+      .select(floor(col("first_day") / 7).as("cohort_week"))
+      .groupBy("cohort_week").count().collect()
+      .map(r => r.getAs[Long]("cohort_week") -> r.getAs[Long]("count")).toMap
+    val week0 = rows.filter(_.getAs[Long]("week_offset") == 0L)
+      .map(r => r.getAs[Long]("cohort_week") -> r.getAs[Long]("active_users")).toMap
+    assert(week0 === firstTouch)
+  }
+
+  test("bigram LM score matches hand arithmetic on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x y")).toDF("doc_id", "text")
+    // c12: (a,b)=3, (b,a)=1, (x,y)=1; c1: a=3, b=1, x=1; V=4
+    // p(a,b) = 4_000_000/7 = 571428; p(b,a) = p(x,y) = 2_000_000/5 = 400000
+    val out = TextAnalysis.lmScore(docs, col("doc_id"), col("text"), cache = false)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((3L, (571428L + 400000L + 571428L) / 3)))
+    assert(out(2L) === ((1L, 571428L)))
+    assert(out(3L) === ((1L, 400000L)))
+  }
+
+  test("lm score ranks in-distribution text above shuffled gibberish") {
+    // corpus dominated by one phrasing; the doc that breaks every bigram
+    // must score strictly lower than the docs that repeat the pattern
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i, "the quick brown fox jumps"))
+      .toDF("doc_id", "text")
+      .union(Seq((99L, "fox the jumps brown quick")).toDF("doc_id", "text"))
+    val scores = TextAnalysis.lmScore(docs, col("doc_id"), col("text"), cache = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scores(1L) > scores(99L))
+  }
+
+  test("int8 quantization is analytic on unit-interval vectors") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f)), (3L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val stats = Similarity.dimStats(emb)
+    val codes = Similarity.quantizeInt8(emb, stats).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(codes(0L) === Seq(-127.0, -127.0))
+    assert(codes(1L) === Seq(127.0, 127.0))
+    assert(codes(2L) === Seq(127.0, -127.0))
+    assert(codes(3L) === Seq(0.0, 0.0)) // floor(0.5*254)-127 = 0
+    val top = Similarity.int8TopK(emb, emb.filter(col("vec_id") === 1), 3).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(2L, 3L, 0L))
+    assert(top.map(_.getAs[Long]("idot")).toSeq === Seq(0L, 0L, -32258L))
+  }
+
+  test("int8 codes are bounded and partition-invariant on real embeddings") {
+    val stats = Similarity.dimStats(emb)
+    val q = Similarity.quantizeInt8(emb, stats)
+    assert(q.select(explode(col("cv")).as("c"))
+      .filter(col("c") < -127 || col("c") > 127).count() === 0)
+    val re = Similarity.quantizeInt8(emb.repartition(13), stats)
+    assert(q.as("a").join(re.as("b"), "vec_id")
+      .filter(col("a.cv") =!= col("b.cv")).count() === 0)
+  }
 }

@@ -21,6 +21,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q22_idle_balances",      // single-row scalar-threshold broadcast
     "q11_nation_concentration", // single-row global-total broadcast (Q11 HAVING)
     "text_bm25_topk",         // single-row corpus-stats (N, avgdl) broadcast
+    "ann_int8_topk",          // quantized brute-force scoring: all-pairs by design
+    "quality_lm_score",       // single-row vocabulary-size broadcast
     "ts_update_first")        // single-row first-match-id broadcast
 
   for ((name, q) <- SparkEntry.queries) {
