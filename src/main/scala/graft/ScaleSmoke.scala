@@ -307,6 +307,54 @@ object ScaleSmoke {
         centroids = Some(cents)))
       println(f"[scale]   IVF recall@10: first-k $r0%.3f -> trained $r1%.3f")
     }
+
+    // funnel at the full event volume: one window sort per user carries
+    // all three chained stage minimums (O(1) state per row — a power user
+    // with 10^6 events costs sort time, never aggregation-buffer memory).
+    time("funnel_full_volume") {
+      val r = graft.ops.Analytics.funnel(events.select(
+        col("event_id"), col("user_id"), col("event_type"),
+        (col("ts_sec") * 1000000L).as("ts_us"))).head()
+      println(s"[scale]   users ${r.getLong(0)} -> ${r.getLong(1)} -> " +
+        s"${r.getLong(2)} -> ${r.getLong(3)}")
+    }
+
+    time("retention_cohorts") {
+      val n = graft.ops.Analytics.retention(events.select(
+        col("user_id"), (col("ts_sec") / 86400L).cast("long").as("day"))).count()
+      println(s"[scale]   cohort x offset cells: $n")
+    }
+
+    // bigram LM over the full corpus: three O(tokens) aggregations + two
+    // key joins; the 2k-word vocabulary means bigram keys are hot (each
+    // ~nDocs*59/4M occurrences) — exactly the skew AQE splits, while the
+    // count tables stay one row per distinct bigram.
+    time("lm_score") {
+      val scored = graft.ops.TextAnalysis.lmScore(docs, col("doc_id"), col("text"))
+      val n = scored.count()
+      graft.ops.Dedup.unpersistShared()
+      println(s"[scale]   scored docs: $n")
+    }
+
+    // int8 quantization at the embedding volume: codes must be identical
+    // under repartitioning (affine grid from corpus stats, no RNG), and
+    // quantized MIPS ranking should approximate float ranking on the
+    // clustered corpus (exactness is restored by a brute re-rank of the
+    // shortlist at 1/4 the scan cost).
+    time("int8_quantize_rank") {
+      val stats = graft.ops.Similarity.dimStats(embs)
+      val c1 = graft.ops.Similarity.quantizeInt8(embs, stats)
+      val c2 = graft.ops.Similarity.quantizeInt8(embs.repartition(37), stats)
+      val diff = c1.as("a").join(c2.as("b"), "vec_id")
+        .filter(col("a.cv") =!= col("b.cv")).count()
+      val r10 = recall(graft.ops.Similarity.int8TopK(embs, qs, 10))
+      // the production shape: a quantized SHORTLIST (5x over-fetch at 1/4
+      // the scan IO) handed to an exact re-rank — shortlist recall is
+      // what determines end recall
+      val r50 = recall(graft.ops.Similarity.int8TopK(embs, qs, 50))
+      println(f"[scale]   code drift under repartition: $diff rows; " +
+        f"recall@10 direct $r10%.3f, via top-50 shortlist $r50%.3f")
+    }
     spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Documents
-import graft.ops.{Analytics, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Analytics, Dedup, Graph, Multimodal, Similarity, TextAnalysis}
 import graft.store.DocumentStore
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -427,6 +427,8 @@ object SparkEntry {
     "agg_cube" -> ((s, dir) => Analytics.eventCube(s, dir)),
     "events_funnel" -> ((s, dir) => Analytics.funnelStages(s, dir)),
     "events_retention" -> ((s, dir) => Analytics.cohortRetention(s, dir)),
+    // exact-integer PageRank over the customer-supplier bipartite graph
+    "graph_pagerank" -> ((s, dir) => Graph.transactionRank(s, dir)),
 
     // ── §2c training-data pipeline ────────────────────────────────────
     "dedup_exact" -> ((s, dir) =>
@@ -1003,6 +1005,25 @@ object SparkEntry {
         |SELECT count(*) AS users_total, count(u1) AS reached_stage1,
         |  count(u2) AS reached_stage2, count(u3) AS reached_stage3 FROM u""".stripMargin,
 
+    // the same three synchronous rounds, unrolled; all math is integer
+    // (floor division, permille damping) so the iterations are exact
+    "graph_pagerank" ->
+      """WITH pairs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |und AS (SELECT src AS a, dst AS b FROM pairs
+        |        UNION ALL SELECT dst AS a, src AS b FROM pairs),
+        |deg AS (SELECT a, count(*) AS deg FROM und GROUP BY 1),
+        |ed AS (SELECT und.a, und.b, deg.deg FROM und JOIN deg USING (a)),
+        |p0 AS (SELECT a AS node, CAST(1000000000 AS BIGINT) AS pr FROM deg),
+        |p1 AS (SELECT b AS node, 150000000 + CAST(SUM(pr * 850 // (1000 * deg)) AS BIGINT) AS pr
+        |       FROM ed JOIN p0 ON p0.node = ed.a GROUP BY b),
+        |p2 AS (SELECT b AS node, 150000000 + CAST(SUM(pr * 850 // (1000 * deg)) AS BIGINT) AS pr
+        |       FROM ed JOIN p1 ON p1.node = ed.a GROUP BY b),
+        |p3 AS (SELECT b AS node, 150000000 + CAST(SUM(pr * 850 // (1000 * deg)) AS BIGINT) AS pr
+        |       FROM ed JOIN p2 ON p2.node = ed.a GROUP BY b)
+        |SELECT node, pr FROM p3 ORDER BY pr DESC, node""".stripMargin,
+
     // integer day arithmetic from a fixed epoch — no engine week-truncation
     "events_retention" ->
       """WITH e AS (SELECT user_id,
@@ -1443,16 +1464,20 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 
-    // same affine int8 grid (corpus per-dim min/max), integer code dot
+    // same L2-normalize + affine int8 grid (corpus per-dim min/max),
+    // integer code dot; the norm sum folds in index order = graft_dot
     "ann_int8_topk" ->
       """WITH v AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
         |           FROM embeddings, range(1, 65) r(i)),
-        |st AS (SELECT d, min(x) AS mn, max(x) AS mx FROM v GROUP BY 1),
-        |qz AS (SELECT vec_id, v.d,
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY 1),
+        |vn AS (SELECT v.vec_id, d, CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END AS x
+        |       FROM v JOIN n ON n.vec_id = v.vec_id),
+        |st AS (SELECT d, min(x) AS mn, max(x) AS mx FROM vn GROUP BY 1),
+        |qz AS (SELECT vec_id, vn.d,
         |         CASE WHEN mn = mx THEN 0
         |              ELSE least(greatest(CAST(floor(((x - mn) * 254.0) / (mx - mn)) AS BIGINT) - 127, -127), 127)
         |         END AS code
-        |       FROM v JOIN st ON v.d = st.d),
+        |       FROM vn JOIN st ON vn.d = st.d),
         |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |         CAST(SUM(q.code * c.code) AS BIGINT) AS idot
         |       FROM qz q JOIN qz c ON q.d = c.d AND q.vec_id < 5 AND c.vec_id <> q.vec_id

@@ -507,11 +507,29 @@ object Analytics {
     * precision so simultaneous-second events can't fake an ordering.
     */
   def funnelStages(spark: SparkSession, dir: String,
-                   stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
-    require(stages.size == 3, "funnelStages is specialized to 3 stages")
-    val ev = Tables.events(spark, dir)
+                   stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
+    funnel(Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("ts_us"))
+        unix_micros(col("ts")).as("ts_us")), stages)
+
+  /** DataFrame form of [[funnelStages]]: `ev` needs (event_id, user_id,
+    * event_type, ts_us) columns.
+    */
+  def funnel(ev: DataFrame,
+             stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
+    funnelUsers(ev, stages).agg(
+      count(lit(1)).as("users_total"),
+      count(col("u1")).as("reached_stage1"),
+      count(col("u2")).as("reached_stage2"),
+      count(col("u3")).as("reached_stage3"))
+
+  /** Per-user stage-completion times (NULL = stage never reached in
+    * order) — the funnel's intermediate, also the batch twin of the
+    * streaming stage machine ([[graft.streaming.Funnel]]).
+    */
+  def funnelUsers(ev: DataFrame,
+                  stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.size == 3, "funnel is specialized to 3 stages")
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -525,11 +543,6 @@ object Analytics {
         col("ts_us"))).over(w))
     s3.groupBy(col("user_id"))
       .agg(min(col("s1")).as("u1"), min(col("s2")).as("u2"), min(col("s3")).as("u3"))
-      .agg(
-        count(lit(1)).as("users_total"),
-        count(col("u1")).as("reached_stage1"),
-        count(col("u2")).as("reached_stage2"),
-        count(col("u3")).as("reached_stage3"))
   }
 
   /** Cohort retention: users grouped by first-activity week, counted
@@ -543,9 +556,12 @@ object Analytics {
     * event log.
     */
   def cohortRetention(spark: SparkSession, dir: String,
-                      epoch: String = "2024-01-01"): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), datediff(to_date(col("ts")), lit(epoch).cast("date")).as("day"))
+                      epoch: String = "2024-01-01"): DataFrame =
+    retention(Tables.events(spark, dir)
+      .select(col("user_id"), datediff(to_date(col("ts")), lit(epoch).cast("date")).as("day")))
+
+  /** DataFrame form of [[cohortRetention]]: `ev` needs (user_id, day). */
+  def retention(ev: DataFrame): DataFrame = {
     val firstTouch = ev.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
     ev.join(firstTouch, "user_id")
       .select(col("user_id"),

@@ -233,32 +233,51 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank")
   }
 
-  /** Per-dimension corpus min/max — the affine scalar-quantizer training
-    * pass. One scan, |dims| output rows (broadcast onward).
+  /** (vec_id, d, x) triples, optionally L2-normalized. The norm comes
+    * from `graft_dot`'s SEQUENTIAL fold (not a partial-aggregated sum),
+    * so the doubles are bit-identical on any partitioning and equal to
+    * an index-order SQL sum — the same portability contract the cosine
+    * oracles rely on.
     */
-  def dimStats(emb: DataFrame): DataFrame =
-    Dedup.spread(emb)
-      .select(posexplode(col("embedding")).as(Seq("d", "x")))
-      .select(col("d"), col("x").cast("double").as("x"))
+  private def explodedVals(emb: DataFrame, normalize: Boolean): DataFrame =
+    if (!normalize)
+      Dedup.spread(emb)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .select(col("vec_id"), col("d"), col("x").cast("double").as("x"))
+    else
+      prep(emb)
+        .select(col("vec_id"), col("norm"), posexplode(col("v")).as(Seq("d", "x")))
+        .select(col("vec_id"), col("d"),
+          when(col("norm") === 0.0, lit(0.0)).otherwise(col("x") / col("norm")).as("x"))
+
+  /** Per-dimension corpus min/max — the affine scalar-quantizer training
+    * pass. One scan, |dims| output rows (broadcast onward). Compute with
+    * the same `normalize` the encoder will use.
+    */
+  def dimStats(emb: DataFrame, normalize: Boolean = true): DataFrame =
+    explodedVals(emb, normalize)
       .groupBy(col("d"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
 
   /** Symmetric int8 scalar quantization against the given per-dim stats:
-    * `code = clamp(floor((x − mn)·254 / (mx − mn)) − 127, ±127)`. The
+    * `code = clamp(floor((x − mn)·254 / (mx − mn)) − 127, ±127)`, with
+    * vectors L2-normalized first by default (so the integer code dot
+    * tracks COSINE — the retrieval metric — rather than raw inner
+    * product; pass `normalize = false` for true-MIPS corpora). The
     * quantized corpus is the PERSISTED form at scale — 4× smaller than
     * float32 (32× vs the float64 compute form), so a 100 TB embedding
     * store scans as 25 TB and each executor holds 4× more candidates
     * in memory; the code dot is integer math (SIMD-friendly, and exact
     * in IEEE doubles — |code·code|·dims ≪ 2^53 — so partial-aggregation
-    * order can't perturb it). Codes are engine-portable: the affine map
-    * is one fixed-tree double expression, identical in any IEEE engine,
-    * and everything after it is integer. Constant dimensions quantize
-    * to 0; out-of-range query values clamp.
+    * order can't perturb it). Codes are engine-portable: normalization
+    * and the affine map are fixed-tree double expressions, identical in
+    * any IEEE engine, and everything after them is integer. Constant
+    * dimensions and zero vectors quantize to 0; out-of-range query
+    * values clamp.
     */
-  def quantizeInt8(emb: DataFrame, stats: DataFrame): DataFrame =
-    Dedup.spread(emb)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-      .select(col("vec_id"), col("d"), col("x").cast("double").as("x"))
+  def quantizeInt8(emb: DataFrame, stats: DataFrame,
+                   normalize: Boolean = true): DataFrame =
+    explodedVals(emb, normalize)
       .join(broadcast(stats), "d")
       .withColumn("code", when(col("mn") === col("mx"), lit(0L)).otherwise(
         expr("least(greatest(cast(floor(((x - mn) * 254.0D) / (mx - mn)) as bigint)" +
@@ -276,13 +295,14 @@ object Similarity {
     * vectors. Queries quantize through the CORPUS stats (one broadcast),
     * so out-of-distribution queries clamp rather than shift the grid.
     */
-  def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+               normalize: Boolean = true): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("idot").desc, col("neighbor_id"))
-    val stats = dimStats(corpus)
-    val c = quantizeInt8(corpus, stats)
-    val q = quantizeInt8(queries, stats)
+    val stats = dimStats(corpus, normalize)
+    val c = quantizeInt8(corpus, stats, normalize)
+    val q = quantizeInt8(queries, stats, normalize)
     q.as("q").join(c.as("c"), col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         expr("cast(graft_dot(q.cv, c.cv) as bigint)").as("idot"))

@@ -782,22 +782,62 @@ class DataOpsSpec extends AnyFunSuite {
     assert(scores(1L) > scores(99L))
   }
 
-  test("int8 quantization is analytic on unit-interval vectors") {
+  test("int8 quantization is analytic on unit-interval vectors (raw MIPS)") {
     import spark.implicits._
     val emb = Seq(
       (0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 1.0f)),
       (2L, Array(1.0f, 0.0f)), (3L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
-    val stats = Similarity.dimStats(emb)
-    val codes = Similarity.quantizeInt8(emb, stats).collect()
+    val stats = Similarity.dimStats(emb, normalize = false)
+    val codes = Similarity.quantizeInt8(emb, stats, normalize = false).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(codes(0L) === Seq(-127.0, -127.0))
     assert(codes(1L) === Seq(127.0, 127.0))
     assert(codes(2L) === Seq(127.0, -127.0))
     assert(codes(3L) === Seq(0.0, 0.0)) // floor(0.5*254)-127 = 0
-    val top = Similarity.int8TopK(emb, emb.filter(col("vec_id") === 1), 3).collect()
+    val top = Similarity.int8TopK(emb, emb.filter(col("vec_id") === 1), 3,
+        normalize = false).collect()
       .sortBy(_.getAs[Int]("rank"))
     assert(top.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(2L, 3L, 0L))
     assert(top.map(_.getAs[Long]("idot")).toSeq === Seq(0L, 0L, -32258L))
+  }
+
+  test("normalized int8 ranking follows direction, not magnitude") {
+    import spark.implicits._
+    // vec 3 points exactly where vec 1 does (half the length); raw MIPS
+    // would rank the long orthogonal-ish vec 2 above it — after L2
+    // normalization the identical-direction vector must win
+    val emb = Seq(
+      (0L, Array(0.1f, 0.0f)), (1L, Array(1.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f)), (3L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val top = Similarity.int8TopK(emb, emb.filter(col("vec_id") === 1), 3).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(top.head.getAs[Long]("neighbor_id") === 3L)
+  }
+
+  test("pagerank matches hand arithmetic on a star graph") {
+    import spark.implicits._
+    // star a-{b,c}: deg(a)=2, deg(b)=deg(c)=1; scale 1e9, damp 0.85
+    val edges = Seq(("a", "b"), ("a", "c")).toDF("src", "dst")
+    val p2 = ops.Graph.pageRank(edges, iters = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // p1: a = 150e6 + 2*floor(1e9*850/1000) = 1_850_000_000
+    //     b = c = 150e6 + floor(1e9*850/2000) = 575_000_000
+    // p2: a = 150e6 + 2*floor(575e6*850/1000) = 1_127_500_000
+    //     b = c = 150e6 + floor(1.85e9*850/2000) = 936_250_000
+    assert(p2 === Map("a" -> 1127500000L, "b" -> 936250000L, "c" -> 936250000L))
+  }
+
+  test("pagerank conserves total mass up to floor loss") {
+    val ranked = ops.Graph.transactionRank(spark, sf)
+    val total = ranked.agg(sum("pr")).head().getLong(0)
+    val v = ranked.count()
+    val e = 2L * Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select("o_custkey", "l_suppkey").distinct().count()
+    // undirected graph: no dangling mass; each directed contribution
+    // floors away < 1 unit per round (3 rounds)
+    assert(total <= v * 1000000000L)
+    assert(total > v * 1000000000L - 3 * e)
   }
 
   test("int8 codes are bounded and partition-invariant on real embeddings") {

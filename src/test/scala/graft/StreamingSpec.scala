@@ -430,4 +430,45 @@ class StreamingSpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
     assert(spark.table("skip_out").count() === 100)
   }
+
+  test("streaming funnel stage machine matches the batch window funnel") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Funnel
+    // the real sf0.001 event log, replayed in event-time order across
+    // three micro-batches (the ordering contract the machine documents)
+    val batchEv = Tables.events(spark, sf).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    val all = batchEv.collect().map(r => Funnel.FEvent(
+        r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("ts_us")))
+      .sortBy(e => (e.ts_us, e.event_id))
+    val input = MemoryStream[Funnel.FEvent]
+    val q = Funnel.stages(input.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("funnel_out")
+      .start()
+    try {
+      all.grouped((all.length + 2) / 3).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // stage times only decrease across emissions, so the per-user minimum
+    // of the update stream IS the final state
+    val streamed = spark.table("funnel_out")
+      .groupBy("user_id")
+      .agg(min("u1").as("u1"), min("u2").as("u2"), min("u3").as("u3"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    // users who never reached stage 1 have an all-null batch row but no
+    // stream emission (the machine only speaks on progress)
+    val batch = graft.ops.Analytics.funnelUsers(batchEv)
+      .filter(col("u1").isNotNull).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(streamed === batch)
+  }
 }
