@@ -157,6 +157,23 @@ object ScaleSmoke {
         s"path mislabels: $pathMislabels (both must be 0)")
     }
 
+    // PageRank on the same pathological graph: the 5·10⁵-degree hub means
+    // one groupBy key receives half of all contributions per round —
+    // map-side partial aggregation must absorb it (integer sums combine),
+    // and the hub's rank must dominate. Mass is conserved up to floor
+    // loss: |Σpr − V·scale| < rounds·E.
+    time("pagerank_hub_graph") {
+      val pr = graft.ops.Graph.pageRank(
+        graph.select(col("id1").as("src"), col("id2").as("dst")), iters = 3).cache()
+      val top = pr.orderBy(col("pr").desc).head()
+      val total = pr.agg(sum("pr")).head().getLong(0)
+      val v = pr.count()
+      pr.unpersist()
+      val drift = v * 1000000000L - total
+      println(s"[scale]   top node ${top.get(0)} (must be 0 = the hub); " +
+        s"floor-loss drift $drift of ${v}e9 total")
+    }
+
     // Bloom-prefiltered decontamination at corpus scale: the eval set is
     // 1k docs, the corpus nDocs. 1% of corpus docs are planted copies of
     // eval texts, so the stratum proves both sides: ~99% of corpus grams

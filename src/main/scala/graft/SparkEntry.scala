@@ -429,6 +429,8 @@ object SparkEntry {
     "events_retention" -> ((s, dir) => Analytics.cohortRetention(s, dir)),
     // exact-integer PageRank over the customer-supplier bipartite graph
     "graph_pagerank" -> ((s, dir) => Graph.transactionRank(s, dir)),
+    "agg_histogram" -> ((s, dir) => Analytics.histogram(s, dir)),
+    "ts_resample_ohlc" -> ((s, dir) => Analytics.resampleOhlc(s, dir)),
 
     // ── §2c training-data pipeline ────────────────────────────────────
     "dedup_exact" -> ((s, dir) =>
@@ -548,6 +550,14 @@ object SparkEntry {
     "ann_int8_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.int8TopK(emb, emb.filter(col("vec_id") < 5), 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // product quantization + ADC: m bytes per vector (~64× compression),
+    // micro-unit integer sub-distance sums — exact cross-engine scores
+    "ann_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), 10)
         .orderBy("query_id", "rank")
     }),
 
@@ -1024,6 +1034,29 @@ object SparkEntry {
         |       FROM ed JOIN p2 ON p2.node = ed.a GROUP BY b)
         |SELECT node, pr FROM p3 ORDER BY pr DESC, node""".stripMargin,
 
+    // same fixed-tree bin expression, clamped to the edge bins
+    "agg_histogram" ->
+      """SELECT event_type,
+        |  CAST(least(greatest(floor(((value - 0.0) * 10.0) / 20.0), 0.0), 9.0) AS BIGINT) AS bin,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
+
+    // open/close via the same two-ordering window, microsecond buckets
+    "ts_resample_ohlc" ->
+      """WITH e AS (SELECT event_type, event_id, value, epoch_us(ts) AS ts_us,
+        |             epoch_us(ts) // 3600000000 AS bucket FROM events),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY event_type, bucket
+        |          ORDER BY ts_us, event_id) AS rn_o,
+        |        row_number() OVER (PARTITION BY event_type, bucket
+        |          ORDER BY ts_us DESC, event_id DESC) AS rn_c
+        |      FROM e)
+        |SELECT event_type, bucket,
+        |  min(CASE WHEN rn_o = 1 THEN value END) AS open,
+        |  min(CASE WHEN rn_c = 1 THEN value END) AS close,
+        |  min(value) AS lo, max(value) AS hi, count(*) AS n
+        |FROM r GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
     // integer day arithmetic from a fixed epoch — no engine week-truncation
     "events_retention" ->
       """WITH e AS (SELECT user_id,
@@ -1487,6 +1520,33 @@ object SparkEntry {
         |          ORDER BY idot DESC, neighbor_id) AS INT) AS rank
         |      FROM sc)
         |SELECT query_id, neighbor_id, idot, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // dist doubles as both the encode argmin input and the query ADC
+    // lookup (queries are corpus vectors); 16-element squared-L2 folds in
+    // index order = the Spark sequential aggregate, micro-rounded
+    "ann_pq_topk" ->
+      """WITH v AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+        |           FROM embeddings, range(1, 65) r(i)),
+        |sv AS (SELECT vec_id, d // 16 AS s, d % 16 AS p, x FROM v),
+        |dist AS (SELECT a.vec_id, a.s, b.vec_id AS j,
+        |           CAST(round(SUM((a.x - b.x) * (a.x - b.x)) * 1000000.0) AS BIGINT) AS dm
+        |         FROM sv a JOIN sv b ON a.s = b.s AND a.p = b.p AND b.vec_id < 256
+        |         GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, s, j AS code FROM (
+        |            SELECT vec_id, s, j,
+        |              row_number() OVER (PARTITION BY vec_id, s ORDER BY dm, j) AS rn
+        |            FROM dist) WHERE rn = 1),
+        |adc AS (SELECT d.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |          CAST(SUM(d.dm) AS BIGINT) AS adc_micro
+        |        FROM codes c JOIN dist d ON d.s = c.s AND d.j = c.code
+        |          AND d.vec_id < 5 AND d.vec_id <> c.vec_id
+        |        GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, adc_micro,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY adc_micro, neighbor_id) AS INT) AS rank
+        |      FROM adc)
+        |SELECT query_id, neighbor_id, adc_micro, rank FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 
     // same first-8 coarse quantizer as ann_ivf_topk; within-cell pairs at

@@ -560,6 +560,51 @@ object Analytics {
     retention(Tables.events(spark, dir)
       .select(col("user_id"), datediff(to_date(col("ts")), lit(epoch).cast("date")).as("day")))
 
+  /** Width-bucket histogram of a measure per group — the distribution
+    * profile an optimizer or data-quality monitor keeps per column. The
+    * bin is one fixed-tree double expression (portable) clamped to
+    * [0, bins−1]; one map-side-combined groupBy, shuffle O(groups×bins).
+    */
+  def histogram(spark: SparkSession, dir: String, lo: Double = 0.0,
+                hi: Double = 20.0, bins: Int = 10): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        least(greatest(floor(((col("value") - lit(lo)) * lit(bins.toDouble)) / lit(hi - lo)),
+          lit(0.0)), lit(bins - 1.0)).cast("long").as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bin"))
+
+  /** OHLC resample: first/open, last/close, min, max, count of a measure
+    * per (series, time bucket) — the downsampling step every telemetry
+    * store needs before plotting or modeling. Open/close come from TWO
+    * orderings of ONE window partition (Catalyst plans a single exchange
+    * with two in-partition sorts — no self-join, no collect_list); ties
+    * break on event_id so the result is deterministic at any parallelism.
+    */
+  def resampleOhlc(spark: SparkSession, dir: String,
+                   bucketSec: Long = 3600L): DataFrame = {
+    val us = bucketSec * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("bucket", expr(s"ts_us div ${us}L"))
+    val fwd = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val bwd = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    ev.withColumn("rn_o", row_number().over(fwd))
+      .withColumn("rn_c", row_number().over(bwd))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(
+        min(when(col("rn_o") === 1, col("value"))).as("open"),
+        min(when(col("rn_c") === 1, col("value"))).as("close"),
+        min(col("value")).as("lo"),
+        max(col("value")).as("hi"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   /** DataFrame form of [[cohortRetention]]: `ev` needs (user_id, day). */
   def retention(ev: DataFrame): DataFrame = {
     val firstTouch = ev.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))

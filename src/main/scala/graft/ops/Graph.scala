@@ -54,13 +54,16 @@ object Graph {
     var pr = ed.select(col("a").as("node")).distinct()
       .withColumn("pr", lit(scale))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       pr = ed.join(pr, ed("a") === pr("node"))
         .select(col("b"), expr(s"pr * ${dampPermille}L div (1000L * deg)").as("c"))
         .groupBy(col("b"))
         .agg(sum(col("c")).as("s"))
         .select(col("b").as("node"), (lit(base) + col("s")).as("pr"))
-        .localCheckpoint()
+      // rank state is consumed once per round, so a handful of rounds can
+      // stay lazy (one job executes the chained shuffles); checkpoint
+      // periodically only to bound lineage/plan growth on long runs
+      if (i % 4 == 0 && i < iters) pr = pr.localCheckpoint()
     }
     pr
   }

@@ -295,6 +295,93 @@ object Similarity {
     * vectors. Queries quantize through the CORPUS stats (one broadcast),
     * so out-of-distribution queries clamp rather than shift the grid.
     */
+  /** Product-quantization codebook: split `dims` into `m` subspaces and
+    * take the first `codebookK` vectors' sub-vectors as centroids
+    * (deterministic and oracle-reproducible, exactly like [[ivfTopK]]'s
+    * first-k coarse quantizer — swap in per-subspace [[kmeansCentroids]]
+    * for recall on real corpora). Output (s, j, cvec): m·codebookK rows,
+    * broadcast onward.
+    */
+  def pqCodebook(emb: DataFrame, m: Int = 4, codebookK: Int = 256,
+                 dims: Int = 64): DataFrame = {
+    require(dims % m == 0, s"dims $dims must split evenly into $m subspaces")
+    val sub = dims / m
+    Dedup.spread(emb)
+      .filter(col("vec_id") < codebookK)
+      .select(col("vec_id").cast("int").as("j"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .select(col("j"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> struct(s AS s, slice(v, s * $sub + 1, $sub) AS cvec))"))
+        .as("e"))
+      .select(col("e.s").as("s"), col("j"), col("e.cvec").as("cvec"))
+  }
+
+  /** PQ encoding: each vector becomes `m` one-byte codes — the nearest
+    * codebook centroid per subspace (squared-L2, sequential fold; ties
+    * break on the lower code). The encoded corpus is the DEEP-compression
+    * persisted form: m bytes per vector ≈ 64× smaller than float64 (vs
+    * int8's 4×), which is what makes exhaustive candidate scoring over
+    * 10¹⁰ vectors a memory-resident operation. The encode itself is an
+    * embarrassingly parallel scan against the broadcast codebook; the
+    * argmin is a map-side-combinable min(struct) — no window, no sort,
+    * no shuffle beyond the final groupBy on (vec_id, s).
+    */
+  def pqEncode(emb: DataFrame, codebook: DataFrame, m: Int = 4,
+               dims: Int = 64): DataFrame = {
+    val sub = dims / m
+    Dedup.spread(emb)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> struct(s AS s, slice(v, s * $sub + 1, $sub) AS sv))"))
+        .as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("sv"))
+      .join(broadcast(codebook), "s")
+      .withColumn("dm", expr(
+        "cast(round(aggregate(zip_with(sv, cvec, (x, y) -> (x - y) * (x - y)), 0.0D," +
+          " (acc, z) -> acc + z) * 1000000.0D) as bigint)"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("dm"), col("j"))).getField("j").as("code"))
+  }
+
+  /** PQ top-k via asymmetric distance computation (ADC): the query stays
+    * exact, each corpus vector is scored as Σ_s ‖q_s − c_{s,code}‖² read
+    * from the query's per-subspace lookup table (|queries|·m·codebookK
+    * rows, broadcast). Sub-distances are micro-unit integers (the BM25
+    * parity trick), so the per-pair sum is exact integer addition —
+    * partial-aggregation order can't perturb it and the oracle reproduces
+    * SCORES bit-for-bit. Composes the same way as [[int8TopK]]: IVF/LSH
+    * choose who to score, PQ makes scoring memory-resident, a float
+    * re-rank of the shortlist restores exactness.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
+             codebookK: Int = 256, dims: Int = 64): DataFrame = {
+    val sub = dims / m
+    val cb = pqCodebook(corpus, m, codebookK, dims)
+    val codes = pqEncode(corpus, cb, m, dims)
+    val qtab = Dedup.spread(queries)
+      .select(col("vec_id").as("query_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .select(col("query_id"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> struct(s AS s, slice(v, s * $sub + 1, $sub) AS sv))"))
+        .as("e"))
+      .select(col("query_id"), col("e.s").as("s"), col("e.sv").as("sv"))
+      .join(broadcast(cb), "s")
+      .withColumn("dm", expr(
+        "cast(round(aggregate(zip_with(sv, cvec, (x, y) -> (x - y) * (x - y)), 0.0D," +
+          " (acc, z) -> acc + z) * 1000000.0D) as bigint)"))
+      .select(col("query_id"), col("s"), col("j").as("code"), col("dm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc_micro"), col("neighbor_id"))
+    codes.join(broadcast(qtab), Seq("s", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("dm")).as("adc_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adc_micro", "rank")
+  }
+
   def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
                normalize: Boolean = true): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)

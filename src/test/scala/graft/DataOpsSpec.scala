@@ -814,6 +814,27 @@ class DataOpsSpec extends AnyFunSuite {
     assert(top.head.getAs[Long]("neighbor_id") === 3L)
   }
 
+  test("histogram bins partition the corpus exactly") {
+    val rows = ops.Analytics.histogram(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum === Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bin"); assert(b >= 0 && b <= 9)
+    }
+  }
+
+  test("ohlc bars bound their open/close and count the bucket") {
+    val rows = ops.Analytics.resampleOhlc(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (open, close) = (r.getAs[Double]("open"), r.getAs[Double]("close"))
+      val (lo, hi) = (r.getAs[Double]("lo"), r.getAs[Double]("hi"))
+      assert(lo <= open && open <= hi)
+      assert(lo <= close && close <= hi)
+      assert(r.getAs[Long]("n") >= 1)
+    }
+    assert(rows.map(_.getAs[Long]("n")).sum === Tables.events(spark, sf).count())
+  }
+
   test("pagerank matches hand arithmetic on a star graph") {
     import spark.implicits._
     // star a-{b,c}: deg(a)=2, deg(b)=deg(c)=1; scale 1e9, damp 0.85
@@ -838,6 +859,30 @@ class DataOpsSpec extends AnyFunSuite {
     // floors away < 1 unit per round (3 rounds)
     assert(total <= v * 1000000000L)
     assert(total > v * 1000000000L - 3 * e)
+  }
+
+  test("pq encoding maps codebook vectors to their own code") {
+    val cb = Similarity.pqCodebook(emb)
+    val codes = Similarity.pqEncode(emb, cb)
+    // vector 0's sub-vectors ARE codebook entries j=0: distance 0 and the
+    // smallest tiebreak, so all m codes must be 0
+    val v0 = codes.filter(col("vec_id") === 0).collect().map(_.getAs[Int]("code"))
+    assert(v0.length === 4 && v0.forall(_ === 0))
+    val bad = codes.filter(col("code") < 0 || col("code") >= 256).count()
+    assert(bad === 0)
+    assert(codes.count() === emb.count() * 4)
+  }
+
+  test("pq adc ranks are dense and distance-monotone per query") {
+    val top = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3), 10).collect()
+    val byQ = top.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet === Set(0L, 1L, 2L))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq === (1 to 10))
+      val d = sorted.map(_.getAs[Long]("adc_micro")).toSeq
+      assert(d === d.sorted, "adc must be non-decreasing in rank")
+    }
   }
 
   test("int8 codes are bounded and partition-invariant on real embeddings") {
