@@ -138,6 +138,19 @@ object SparkEntry {
         .orderBy(col("event_id").desc)
         .limit(5)),
 
+    // batch merge: every 100th row updated (+1000), a shifted copy
+    // inserted, everything else passes through untouched
+    "ts_upsert_batch" -> ((s, dir) => {
+      val store = ev(s, dir).select("event_id", "event_type", "value")
+      val updates = store.filter(col("event_id") % 100 === 0)
+        .withColumn("value", col("value") + 1000.0)
+      val inserts = updates.select(
+        (col("event_id") + 20000000L).as("event_id"), col("event_type"),
+        lit(1.0).as("value"))
+      DocumentStore.upsertBatch(store, updates.unionByName(inserts), "event_id")
+        .orderBy("event_id")
+    }),
+
     "ts_agg_pipeline" -> ((s, dir) =>
       DocumentStore.find(ev(s, dir), col("value") > 1)
         .groupBy(col("event_type"))
@@ -437,6 +450,11 @@ object SparkEntry {
       TextAnalysis.exactDedup(Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy("hash")),
 
+    // cross-source duplication governance: distinct contents shared per
+    // source pair
+    "corpus_overlap_matrix" -> ((s, dir) =>
+      TextAnalysis.sourceOverlap(Tables.documents(s, dir), col("source"), col("text"))),
+
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"), 0.5)
         .orderBy("id1", "id2")),
@@ -638,6 +656,11 @@ object SparkEntry {
     "quality_lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(Tables.documents(s, dir), col("doc_id"), col("text"))),
 
+    // end-of-pipeline keep/drop decision with an auditable reason bitmask;
+    // every threshold is an integer comparison
+    "corpus_quality_gate" -> ((s, dir) =>
+      TextAnalysis.qualityGate(Tables.documents(s, dir), col("doc_id"), col("text"))),
+
     // token -> (df, first-100 posting list), stop tokens (df > 1000)
     // dropped before any list is collected
     "text_inverted_index" -> ((s, dir) =>
@@ -755,6 +778,17 @@ object SparkEntry {
         |  SELECT event_id, event_type FROM events
         |  UNION ALL SELECT 999999, 'synthetic')
         |ORDER BY event_id DESC LIMIT 5""".stripMargin,
+
+    "ts_upsert_batch" ->
+      """WITH ev AS (SELECT event_id, event_type, value FROM events),
+        |up AS (SELECT event_id, event_type, value + 1000.0 AS value
+        |       FROM ev WHERE event_id % 100 = 0),
+        |ins AS (SELECT event_id + 20000000 AS event_id, event_type,
+        |          1.0 AS value FROM up),
+        |batch AS (SELECT * FROM up UNION ALL SELECT * FROM ins)
+        |SELECT * FROM ev WHERE event_id NOT IN (SELECT event_id FROM batch)
+        |UNION ALL SELECT * FROM batch
+        |ORDER BY event_id""".stripMargin,
 
     "ts_agg_pipeline" ->
       """SELECT event_type, count(*) AS n,
@@ -1360,6 +1394,14 @@ object SparkEntry {
         |  min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY hash""".stripMargin,
 
+    "corpus_overlap_matrix" ->
+      """WITH w AS (SELECT source, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT source, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        |       FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2)
+        |SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_shingles
+        |FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
         |sh0 AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
@@ -1811,6 +1853,36 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  CAST(SUM(p_micro) AS BIGINT) // count(*) AS lm_micro
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the length/repetition/stopword signals + the full LM pipeline as
+    // CTEs; flags are integer cross-multiplications, reasons a bit sum
+    "corpus_quality_gate" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |b AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+        |        CAST(len(list_filter(words, x -> x = 'the' OR x = 'a' OR x = 'of')) AS BIGINT) AS n_stop
+        |      FROM w),
+        |g AS (SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+        |      FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |gc AS (SELECT doc_id, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct
+        |       FROM g GROUP BY 1),
+        |ix AS (SELECT doc_id, words, unnest(range(1, len(words))) AS i FROM w),
+        |bi AS (SELECT doc_id, words[i] AS w1, words[i + 1] AS w2 FROM ix),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT token) AS v
+        |       FROM (SELECT unnest(words) AS token FROM w)),
+        |s AS (SELECT bi.doc_id, (c12.c12 + 1) * 1000000 // (c1.c1 + vv.v) AS p_micro
+        |      FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv),
+        |lm AS (SELECT doc_id, CAST(SUM(p_micro) AS BIGINT) // count(*) AS lm_micro
+        |       FROM s GROUP BY doc_id),
+        |f AS (SELECT b.doc_id,
+        |        (CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN coalesce(n_grams - n_distinct, 0) * 1000 > 200 * coalesce(n_grams, 0) THEN 2 ELSE 0 END)
+        |      + (CASE WHEN n_stop * 1000 < 30 * n_tokens THEN 4 ELSE 0 END)
+        |      + (CASE WHEN coalesce(lm_micro, 0) < 32000 THEN 8 ELSE 0 END) AS reasons
+        |      FROM b LEFT JOIN gc USING (doc_id) LEFT JOIN lm USING (doc_id))
+        |SELECT doc_id, CAST(reasons AS BIGINT) AS reasons, reasons = 0 AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "text_lexical_diversity" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),

@@ -27,6 +27,26 @@ object TextAnalysis {
       .groupBy("hash")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Cross-source content-overlap matrix — the governance view a 100 TB
+    * curation run needs before mixing sources: how many distinct word-
+    * 3-gram shingles each source pair shares (mirror sites, double-
+    * scraped dumps, and shared boilerplate all surface here long before
+    * whole documents collide). One distinct pass to (source, shingle),
+    * then a self-join ON THE SHINGLE — shuffle is O(distinct shingles),
+    * and a shingle present in k sources contributes k·(k−1)/2 pairs with
+    * k bounded by the SOURCE count (not the corpus), so no shingle can
+    * explode the join the way document-level pairing would.
+    */
+  def sourceOverlap(df: DataFrame, sourceCol: Column, textCol: Column): DataFrame = {
+    val sh = Dedup.shingles(df, sourceCol, textCol)
+      .withColumnRenamed("doc_id", "source").distinct()
+    sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Marker-word language ID. Real deployments plug in per-language marker
     * lexicons; the scoring/argmax machinery is what matters here. Tie
     * break: alphabetically first language.
@@ -116,6 +136,46 @@ object TextAnalysis {
         size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
       .withColumn("rep_ratio",
         (col("n_grams") - col("n_distinct")) / col("n_grams"))
+
+  /** Composite quality gate — the keep/drop decision that ends a curation
+    * pipeline, with an auditable reason bitmask per document (bit0 too
+    * short, bit1 repetitive, bit2 stopword-poor, bit3 language-model
+    * low): at 100 TB you don't just drop documents, you account for WHY
+    * each left, per source, or the corpus mix silently skews. The length/
+    * repetition/stopword signals compute in ONE scan (pure array
+    * expressions, no joins); the LM signal joins [[lmScore]] on doc_id
+    * (its own O(tokens) pipeline). Every flag is an INTEGER comparison
+    * (permille cross-multiplication, no float thresholds), so the gate is
+    * engine- and partitioning-exact.
+    */
+  def qualityGate(df: DataFrame, idCol: Column, textCol: Column,
+                  minTokens: Long = 20L, maxRepPermille: Long = 200L,
+                  minStopPermille: Long = 30L, minLmMicro: Long = 32000L,
+                  cache: Boolean = true): DataFrame = {
+    val n = 3
+    val base = df.select(idCol.as("doc_id"), tokens(textCol).as("words"))
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_tokens"),
+        size(filter(col("words"), t => t.isin(Stopwords.map(lit): _*)))
+          .cast("long").as("n_stop"),
+        expr(s"CASE WHEN size(words) >= $n THEN transform(sequence(0, size(words) - $n)," +
+          s" i -> concat_ws(' ', slice(words, i + 1, $n))) ELSE array() END").as("grams"))
+      .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
+    base.join(lmScore(df, idCol, textCol, cache).select("doc_id", "lm_micro"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (when(col("n_tokens") < minTokens, 1L).otherwise(0L) +
+          when((col("n_grams") - col("n_distinct")) * 1000L >
+            lit(maxRepPermille) * col("n_grams"), 2L).otherwise(0L) +
+          when(col("n_stop") * 1000L < lit(minStopPermille) * col("n_tokens"), 4L)
+            .otherwise(0L) +
+          when(coalesce(col("lm_micro"), lit(0L)) < minLmMicro, 8L).otherwise(0L)
+          ).as("reasons"))
+      .withColumn("keep", col("reasons") === 0L)
+      .orderBy(col("doc_id"))
+  }
 
   /** Percentile-based corpus pruning: drop length outliers per source
     * stratum. `percent_rank` is rank arithmetic (engine-portable, unlike

@@ -147,6 +147,18 @@ object DocumentStore {
   def insert(df: DataFrame, docs: DataFrame): DataFrame =
     df.unionByName(docs, allowMissingColumns = false)
 
+  /** Batch merge/upsert (the reference's per-document
+    * `update_one(..., upsert=True)` loop, database.py:166-170, as ONE set
+    * operation): batch rows replace same-id store rows, new ids append,
+    * untouched store rows pass through. One anti-join on the id — at
+    * scale the increment is the small side, so the join broadcasts and
+    * the store is never shuffled; pairs with Layout's partitioned writes
+    * for the rewrite-only-touched-partitions storage step.
+    */
+  def upsertBatch(df: DataFrame, batch: DataFrame, idColName: String): DataFrame =
+    df.join(batch.select(col(idColName)), Seq(idColName), "left_anti")
+      .unionByName(batch)
+
   /** `$unwind`: explode an array column to one row per element. */
   def unwind(df: DataFrame, arrayCol: Column, as: String): DataFrame =
     df.withColumn(as, explode(arrayCol))

@@ -861,6 +861,54 @@ class DataOpsSpec extends AnyFunSuite {
     assert(total > v * 1000000000L - 3 * e)
   }
 
+  test("source overlap counts exactly the planted shared shingles") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "srcA"),
+      (2L, "alpha beta gamma epsilon", "srcB"),  // shares 2 shingles with A? no: 1
+      (3L, "zeta eta theta iota", "srcC")).toDF("doc_id", "text", "source")
+    val m = TextAnalysis.sourceOverlap(docs, col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // srcA shingles: {alpha beta gamma, beta gamma delta};
+    // srcB: {alpha beta gamma, beta gamma epsilon} -> exactly 1 shared
+    assert(m === Map(("srcA", "srcB") -> 1L))
+  }
+
+  test("upsert batch replaces, appends, and passes through") {
+    import spark.implicits._
+    val store = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("event_id", "event_type", "value")
+    val batch = Seq((2L, "b", 20.0), (9L, "z", 9.0))
+      .toDF("event_id", "event_type", "value")
+    val out = graft.store.DocumentStore.upsertBatch(store, batch, "event_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out === Map(1L -> 1.0, 2L -> 20.0, 3L -> 3.0, 9L -> 9.0))
+  }
+
+  test("quality gate raises exactly the planted reason bits") {
+    import spark.implicits._
+    // interleave uniques with stopwords so every 3-gram stays distinct
+    val good = (1 to 30).flatMap(i =>
+      Seq(s"unique$i", Seq("the", "of", "a")(i % 3))).mkString(" ")
+    val docs = Seq(
+      (1L, good),
+      (2L, "too short the of"),                                  // bit0 only
+      (3L, ("spam ham jam " * 30) + "the of a the of a end"),    // bit1: repeated 3-grams
+      (4L, (1 to 40).map(i => s"w$i").mkString(" "))             // bit2: zero stopwords
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityGate(docs, col("doc_id"), col("text"),
+        minLmMicro = 0L, cache = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 0L)
+    assert(out(2L) === 1L)
+    assert((out(3L) & 2L) === 2L, s"doc 3 reasons=${out(3L)} must flag repetition")
+    assert(out(4L) === 4L)
+    val keep = TextAnalysis.qualityGate(docs, col("doc_id"), col("text"),
+        minLmMicro = 0L, cache = false)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(keep === Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+  }
+
   test("pq encoding maps codebook vectors to their own code") {
     val cb = Similarity.pqCodebook(emb)
     val codes = Similarity.pqEncode(emb, cb)

@@ -23,6 +23,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_bm25_topk",         // single-row corpus-stats (N, avgdl) broadcast
     "ann_int8_topk",          // quantized brute-force scoring: all-pairs by design
     "quality_lm_score",       // single-row vocabulary-size broadcast
+    "corpus_quality_gate",    // embeds quality_lm_score's vocab broadcast
     "ts_update_first")        // single-row first-match-id broadcast
 
   for ((name, q) <- SparkEntry.queries) {
