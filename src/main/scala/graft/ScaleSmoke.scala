@@ -353,6 +353,41 @@ object ScaleSmoke {
       println(s"[scale]   scored docs: $n")
     }
 
+    // source-overlap matrix: 20 synthetic sources over the full corpus —
+    // shuffle is O(distinct (source, shingle)), and even the hottest
+    // shingle fans out to at most 20·19/2 pairs
+    time("overlap_matrix") {
+      val sourced = docs.withColumn("source",
+        concat(lit("src"), pmod(col("doc_id"), lit(20))))
+      val n = graft.ops.TextAnalysis.sourceOverlap(
+        sourced, col("source"), col("text")).count()
+      println(s"[scale]   source pairs with shared shingles: $n (of 190)")
+    }
+
+    // composite gate over the full corpus: three signals in one scan +
+    // the LM join; the reason histogram is the per-source audit a drop
+    // step must produce
+    time("quality_gate") {
+      val gated = graft.ops.TextAnalysis.qualityGate(
+        docs, col("doc_id"), col("text"), minLmMicro = 1L)
+      val kept = gated.filter(col("keep")).count()
+      graft.ops.Dedup.unpersistShared()
+      println(s"[scale]   kept $kept of $nDocs")
+    }
+
+    // PQ encode at the embedding volume: the compressed corpus must be
+    // byte-identical under repartitioning (broadcast codebook, argmin is
+    // a deterministic min(struct))
+    time("pq_encode_invariance") {
+      val cb = graft.ops.Similarity.pqCodebook(embs)
+      val c1 = graft.ops.Similarity.pqEncode(embs, cb)
+      val c2 = graft.ops.Similarity.pqEncode(embs.repartition(29), cb)
+      val drift = c1.as("a").join(c2.as("b"), Seq("vec_id", "s"))
+        .filter(col("a.code") =!= col("b.code")).count()
+      println(s"[scale]   code drift under repartition: $drift rows " +
+        s"(${4 * nVecs} codes)")
+    }
+
     // int8 quantization at the embedding volume: codes must be identical
     // under repartitioning (affine grid from corpus stats, no RNG), and
     // quantized MIPS ranking should approximate float ranking on the

@@ -444,6 +444,11 @@ object SparkEntry {
     "graph_pagerank" -> ((s, dir) => Graph.transactionRank(s, dir)),
     "agg_histogram" -> ((s, dir) => Analytics.histogram(s, dir)),
     "ts_resample_ohlc" -> ((s, dir) => Analytics.resampleOhlc(s, dir)),
+    // merge-of-partials == recompute-from-raw: the incremental
+    // maintenance contract for a persisted aggregate table
+    "agg_incremental_merge" -> ((s, dir) => Analytics.incrementalEventStats(s, dir)),
+    // degree-ordered triangle count over the part co-purchase graph
+    "graph_triangles" -> ((s, dir) => Graph.partTriangles(s, dir)),
 
     // ── §2c training-data pipeline ────────────────────────────────────
     "dedup_exact" -> ((s, dir) =>
@@ -457,6 +462,12 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"), 0.5)
+        .orderBy("id1", "id2")),
+
+    // asymmetric doc-in-doc detection: shared / min(n1, n2) over the
+    // same capped-shingle candidates as the Jaccard op
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), col("doc_id"), col("text"), 0.9)
         .orderBy("id1", "id2")),
 
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -642,6 +653,11 @@ object SparkEntry {
     // first-occurrence-wins, reassembled documents
     "corpus_dedup_paragraph" -> ((s, dir) =>
       TextAnalysis.paragraphDedup(Tables.documents(s, dir), col("doc_id"), col("text"))),
+
+    // alignment-invariant span dedup: chunk boundaries chosen by content
+    // (md5 of the local bigram), so shifted duplicates still match
+    "corpus_dedup_cdc" -> ((s, dir) =>
+      TextAnalysis.cdcSpanDedup(Tables.documents(s, dir), col("doc_id"), col("text"))),
 
     // per-doc top-3 keywords by the exact-integer tf/df score
     "text_tfidf_topk" -> ((s, dir) =>

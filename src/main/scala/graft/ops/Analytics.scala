@@ -583,12 +583,17 @@ object Analytics {
     * break on event_id so the result is deterministic at any parallelism.
     */
   def resampleOhlc(spark: SparkSession, dir: String,
-                   bucketSec: Long = 3600L): DataFrame = {
-    val us = bucketSec * 1000000L
-    val ev = Tables.events(spark, dir)
+                   bucketSec: Long = 3600L): DataFrame =
+    ohlcBars(Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"), col("value"),
-        unix_micros(col("ts")).as("ts_us"))
-      .withColumn("bucket", expr(s"ts_us div ${us}L"))
+        unix_micros(col("ts")).as("ts_us")), bucketSec)
+
+  /** DataFrame form of [[resampleOhlc]]: `ev` needs (event_type,
+    * event_id, value, ts_us).
+    */
+  def ohlcBars(ev0: DataFrame, bucketSec: Long = 3600L): DataFrame = {
+    val us = bucketSec * 1000000L
+    val ev = ev0.withColumn("bucket", expr(s"ts_us div ${us}L"))
     val fwd = Window.partitionBy(col("event_type"), col("bucket"))
       .orderBy(col("ts_us"), col("event_id"))
     val bwd = Window.partitionBy(col("event_type"), col("bucket"))
@@ -603,6 +608,49 @@ object Analytics {
         max(col("value")).as("hi"),
         count(lit(1)).as("n"))
       .orderBy(col("event_type"), col("bucket"))
+  }
+
+  /** Partial (mergeable) per-group event stats in exact integer
+    * micro-units: the persisted form of an incrementally-maintained
+    * aggregate table. count/sum/min/max are ALGEBRAIC — a partial row
+    * absorbs any number of raw rows and two partials merge losslessly —
+    * so a 100 TB base corpus is aggregated ONCE, persisted as O(groups)
+    * rows, and each ingest increment costs O(increment) + a merge of two
+    * tiny tables (the HLL-sketch-table workflow, §2b 28l, for plain
+    * aggregates). Values are fixed-point micros: long sums are exact and
+    * associative, so base+increment merge order can't perturb a bit.
+    */
+  def eventStatsPartial(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+        expr("cast(round(value * 1000000.0D) as bigint)").as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total_micro"),
+        min(col("v")).as("lo_micro"), max(col("v")).as("hi_micro"))
+
+  /** Merge any union of [[eventStatsPartial]] tables back into one
+    * consistent aggregate (count/sum re-sum, min/max re-extreme); the
+    * derived mean is integer floor division — engine-portable.
+    */
+  def eventStatsMerge(parts: DataFrame): DataFrame =
+    parts.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("total_micro")).as("total_micro"),
+        min(col("lo_micro")).as("lo_micro"), max(col("hi_micro")).as("hi_micro"))
+      .withColumn("mean_micro", expr("total_micro div n"))
+
+  /** Incremental maintenance end-to-end: the "base" aggregate (events
+    * before `cutTs`) merged with the increment (events at/after it) —
+    * the base side would be a persisted parquet table in production and
+    * is never rescanned; the oracle recomputes from ALL raw rows and
+    * must hash-match, proving merge = recompute.
+    */
+  def incrementalEventStats(spark: SparkSession, dir: String,
+                            cutTs: String = "2024-01-21 00:00:00"): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cut = lit(cutTs).cast("timestamp")
+    eventStatsMerge(
+        eventStatsPartial(ev.filter(col("ts") < cut))
+          .unionByName(eventStatsPartial(ev.filter(col("ts") >= cut))))
+      .orderBy(col("event_type"))
   }
 
   /** DataFrame form of [[cohortRetention]]: `ev` needs (user_id, day). */

@@ -129,6 +129,36 @@ object Dedup {
       cache)
   }
 
+  /** Asymmetric containment pairs: detects when one document's shingle
+    * set is (nearly) a SUBSET of another's — quotes, excerpt pages,
+    * doc-in-doc mirrors — which symmetric Jaccard misses by construction
+    * (a 100-word doc quoted inside a 10k-word doc has Jaccard ≈ 0.01 but
+    * containment ≈ 1.0). Containment of the smaller side =
+    * shared / min(n1, n2); candidates, hot-shingle cap, hashed join keys
+    * and the cache policy are exactly [[ngramJaccardPairs]]'s — the same
+    * O(shared-shingle pairs) equality-join shape, so every scale
+    * guarantee there carries over verbatim.
+    */
+  def containmentPairs(df: DataFrame, idCol: Column, textCol: Column,
+                       threshold: Double, maxDocFreq: Option[Int] = Some(500),
+                       cache: Boolean = true): DataFrame = {
+    val sh = shareCache(
+      shingles(df, idCol, textCol, maxDocFreq)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("shingle")),
+      cache)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cand = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("shared"))
+    cand
+      .join(counts.withColumnRenamed("doc_id", "id1").withColumnRenamed("n", "n1"), "id1")
+      .join(counts.withColumnRenamed("doc_id", "id2").withColumnRenamed("n", "n2"), "id2")
+      .withColumn("containment", col("shared") / least(col("n1"), col("n2")))
+      .filter(col("containment") >= threshold)
+      .select("id1", "id2", "shared", "n1", "n2", "containment")
+  }
+
   /** Distinct word n-grams per document for arbitrary n: (doc_id, gram). */
   def ngramSet(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
     GraftFunctions.register(df.sparkSession)

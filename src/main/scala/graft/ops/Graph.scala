@@ -68,6 +68,65 @@ object Graph {
     pr
   }
 
+  /** Exact triangle count by degree-ordered orientation (the classic
+    * O(m^1.5) bound): canonicalize undirected edges, orient every edge
+    * from its (degree, id)-smaller endpoint to the larger, enumerate
+    * wedges as a self-join on the source, close them against the
+    * oriented edge list. Orientation caps every node's OUT-degree at
+    * O(√m) — the wedge join fans out Σ outdeg² ≤ m^1.5 rows TOTAL no
+    * matter how skewed the raw degree distribution is (a 10⁸-degree hub
+    * contributes nothing as a source: all its edges point INTO it), and
+    * each triangle is produced exactly once (its endpoints are totally
+    * ordered). All three joins are plain equality shuffles AQE can
+    * skew-split; nothing driver-side.
+    *
+    * `pairs` needs (src, dst); self-loops and duplicate/reversed edges
+    * are cleaned here. Returns one row: (n_nodes, n_edges, n_triangles).
+    */
+  def triangles(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val fwd = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val ed = e
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(fwd, col("a")).otherwise(col("b")).as("u"),
+        when(fwd, col("b")).otherwise(col("a")).as("v"),
+        when(fwd, col("db")).otherwise(col("da")).as("dv"))
+    val wedges = ed.as("x").join(ed.as("y"),
+        col("x.u") === col("y.u") &&
+          struct(col("x.dv"), col("x.v")) < struct(col("y.dv"), col("y.v")))
+      .select(col("x.v").as("v"), col("y.v").as("w"))
+    val closed = wedges.join(
+      ed.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+    // single-row summaries joined on a literal key: plans as broadcast
+    // hash joins (never the cartesian the cross-join audit forbids)
+    deg.agg(count(lit(1)).as("n_nodes")).withColumn("j", lit(1))
+      .join(e.agg(count(lit(1)).as("n_edges")).withColumn("j", lit(1)), "j")
+      .join(closed.agg(count(lit(1)).as("n_triangles")).withColumn("j", lit(1)), "j")
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
+  /** [[triangles]] over the part co-purchase graph: an edge links two
+    * parts bought in the same order (lineitem is the hyperedge list;
+    * per-order fan-out is bounded by order width, so the pair expansion
+    * is O(orders · width²), never quadratic in parts). Triangle density
+    * is the standard clustering-coefficient signal on co-occurrence
+    * graphs — the "bought-together" structure a pairwise count can't see.
+    */
+  def partTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    triangles(
+      li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst")))
+  }
+
   /** Rank customers and suppliers by transitive transaction influence:
     * PageRank over the bipartite customer–supplier graph induced by
     * order lines (an edge per distinct trading relationship). A supplier

@@ -410,6 +410,57 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Content-defined-chunking span dedup — the alignment-robust upgrade
+    * of [[paragraphDedup]]. Fixed-width chunks (42q) miss a duplicated
+    * paragraph the moment an insertion shifts it off the 12-word grid;
+    * here chunk BOUNDARIES are chosen by content (the rsync/LBFS/
+    * winnowing trick): a new chunk starts wherever the md5 of the local
+    * word bigram ≡ 0 (mod `p`), so identical spans chunk identically at
+    * ANY offset in any document. Expected chunk length is `p` words;
+    * dedup/reassembly downstream is the same first-occurrence-wins
+    * window as 42q.
+    *
+    * Scale shape: chunking is 100% map-side — boundary positions and
+    * chunk splitting are per-row array expressions (no per-word explode,
+    * no window over word positions), strictly better than the oracle's
+    * formulation. The only shuffles are the O(chunks) first-occurrence
+    * window on md5(chunk) and the O(surviving chunks) reassembly
+    * groupBy — identical to 42q. The boundary hash is the engine-portable
+    * 52-bit md5 slice (no RNG, no seed), so the same corpus chunks
+    * identically on any cluster, partitioning, or engine.
+    */
+  def cdcSpanDedup(df: DataFrame, idCol: Column, textCol: Column,
+                   p: Int = 8): DataFrame = {
+    require(p >= 2, s"mean chunk length p must be >= 2, got $p")
+    // bp = [0] ++ {i in 1..n-1 : h(words[i-1], words[i]) % p == 0} ++ [n]
+    // (0-based chunk-start positions; words[] is 0-based in Spark SQL)
+    val chunked = df.select(idCol.as("doc_id"), tokens(textCol).as("words"))
+      .withColumn("bp", expr(
+        "concat(array(0), " +
+          "IF(size(words) < 2, array()," +
+          " filter(transform(sequence(1, size(words)-1)," +
+          "   i -> IF(cast(conv(substring(md5(concat(words[i-1], ' ', words[i])), 1, 13), 16, 10) as bigint)" +
+          s"      % $p = 0, i, cast(null as int)))," +
+          "  x -> x is not null)), array(size(words)))"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, size(bp)-2)," +
+            " j -> concat_ws(' ', slice(words, bp[j]+1, bp[j+1]-bp[j])))"))
+          .as(Seq("pos", "chunk")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("chunk"))).orderBy(col("doc_id"), col("pos"))
+    chunked.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("rn") === 1, struct(col("pos"), col("chunk"))))),
+            x => x("chunk")), " ").as("new_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document top-k keywords by a tf-idf–shaped score. The idf is the
     * RATIONAL surrogate 1/df (ranking by tf/df, fixed-point ×10⁶ integer
     * division) — no log, so the score is exact integer arithmetic and

@@ -36,6 +36,34 @@ object Monitor {
       .select(col("topic"), col("window.start").as("window_start"),
         col("n_msgs"), col("payload_bytes"))
 
+  /** Streaming OHLC downsample — the live twin of
+    * `graft.ops.Analytics.resampleOhlc`. Open/close ride a
+    * min/max(struct(ts_us, event_id, value)) inside the windowed
+    * aggregate (struct comparison is lexicographic, event_id breaks ts
+    * ties — deterministic at any parallelism, unlike bare min_by/max_by),
+    * so the whole bar is ONE incremental aggregation: O(series × open
+    * windows) state, no per-window buffering of events, watermark closes
+    * bars for append-mode sinks.
+    */
+  def ohlc(stream: DataFrame, seriesCol: Column, tsCol: Column, valueCol: Column,
+           idCol: Column, windowLen: String = "1 hour",
+           watermarkDelay: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn("__ts", tsCol)
+      .withColumn("__us", unix_micros(tsCol))
+      .withWatermark("__ts", watermarkDelay)
+      .groupBy(seriesCol.as("series"), window(col("__ts"), windowLen))
+      .agg(
+        min(struct(col("__us"), idCol.as("id"), valueCol.as("v")))
+          .getField("v").as("open"),
+        max(struct(col("__us"), idCol.as("id"), valueCol.as("v")))
+          .getField("v").as("close"),
+        min(valueCol).as("lo"),
+        max(valueCol).as("hi"),
+        count(lit(1)).as("n"))
+      .select(col("series"), col("window.start").as("window_start"),
+        col("open"), col("close"), col("lo"), col("hi"), col("n"))
+
   /** Capture stream → storage: stamp reference-style meta
     * (data.py:28-34) and write partitioned by session so session-scoped
     * reads partition-prune (SURVEY.md §5).

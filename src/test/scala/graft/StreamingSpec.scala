@@ -431,6 +431,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("skip_out").count() === 100)
   }
 
+  test("streaming ohlc bars match the batch resample") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    input.addData(sampleEvents: _*)
+    // Ev carries no value column; derive one deterministically from the id
+    val withVal = input.toDF().withColumn("value", col("event_id") % 7 + 0.5)
+    val q = Monitor.ohlc(withVal, col("event_type"), col("ts"), col("value"),
+        col("event_id"), windowLen = "1 hour")
+      .writeStream.outputMode("complete").format("memory").queryName("ohlc_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ohlc_out")
+      .select(col("series"), (col("window_start").cast("long") / 3600).cast("long").as("bucket"),
+        col("open"), col("close"), col("lo"), col("hi"), col("n"))
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ops.Analytics.ohlcBars(
+        sampleEvents.toDF().withColumn("value", col("event_id") % 7 + 0.5)
+          .select(col("event_type"), col("event_id"), col("value"),
+            unix_micros(col("ts")).as("ts_us")))
+      .select(col("event_type"), col("bucket"), col("open"), col("close"),
+        col("lo"), col("hi"), col("n"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+
   test("streaming funnel stage machine matches the batch window funnel") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
