@@ -1107,6 +1107,35 @@ object SparkEntry {
         |  min(value) AS lo, max(value) AS hi, count(*) AS n
         |FROM r GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
 
+    // exact micro-unit partials make merge == recompute provable by hash:
+    // the oracle is a single pass over ALL raw rows, the Spark side merges
+    // a base partial with an increment partial
+    "agg_incremental_merge" ->
+      """WITH p AS (SELECT event_type, CAST(round(value * 1000000.0) AS BIGINT) AS v FROM events)
+        |SELECT event_type, count(*) AS n, CAST(sum(v) AS BIGINT) AS total_micro,
+        |  min(v) AS lo_micro, max(v) AS hi_micro,
+        |  CAST(sum(v) // count(*) AS BIGINT) AS mean_micro
+        |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // same degree-ordered orientation unrolled in SQL: each triangle is
+    // counted once because its endpoints are totally ordered by (deg, id)
+    "graph_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT least(x.pk, y.pk) AS a, greatest(x.pk, y.pk) AS b
+        |      FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |deg AS (SELECT node, count(*) AS deg
+        |        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |ed AS (SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS u,
+        |              CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS v,
+        |              CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN db.deg ELSE da.deg END AS dv
+        |       FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
+        |wedge AS (SELECT x.v AS v, y.v AS w
+        |          FROM ed x JOIN ed y ON x.u = y.u AND (x.dv, x.v) < (y.dv, y.v))
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |       (SELECT count(*) FROM e) AS n_edges,
+        |       (SELECT count(*) FROM wedge JOIN ed z ON z.u = wedge.v AND z.v = wedge.w)
+        |         AS n_triangles""".stripMargin,
+
     // integer day arithmetic from a fixed epoch — no engine week-truncation
     "events_retention" ->
       """WITH e AS (SELECT user_id,
@@ -1417,6 +1446,23 @@ object SparkEntry {
         |SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_shingles
         |FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // containment of the smaller side: shared / min(n1, n2) over the same
+    // capped shingle sets as the Jaccard oracle
+    "dedup_containment" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        |       FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0
+        |       JOIN (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 500) keep USING (shingle)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+        |         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id1, id2, shared, c1.n AS n1, c2.n AS n2,
+        |  shared / least(c1.n, c2.n) AS containment
+        |FROM cand JOIN cnt c1 ON c1.doc_id = id1 JOIN cnt c2 ON c2.doc_id = id2
+        |WHERE shared / least(c1.n, c2.n) >= 0.9
+        |ORDER BY id1, id2""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
@@ -1799,6 +1845,29 @@ object SparkEntry {
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
         |c AS (SELECT doc_id, i AS pos, array_to_string(words[(i*12+1):(i*12+12)], ' ') AS chunk
         |      FROM w, range(0, 2048) r(i) WHERE i < ceil(len(words) / 12.0)),
+        |rk AS (SELECT doc_id, pos, chunk,
+        |         row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, pos) AS rn
+        |       FROM c)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '') AS new_text
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // content-defined boundaries: a new chunk starts where the 52-bit md5
+    // slice of the local word bigram is 0 mod 8 (1-based words[] here ==
+    // 0-based words[] on the Spark side); chunk index = running boundary
+    // count, then the same first-occurrence-wins dedup as the fixed-width
+    // oracle above
+    "corpus_dedup_cdc" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |p AS (SELECT doc_id, i AS wpos, words[i] AS word,
+        |        CASE WHEN i >= 2 AND ('0x' || substr(md5(words[i-1] || ' ' || words[i]), 1, 13))::BIGINT % 8 = 0
+        |             THEN 1 ELSE 0 END AS b
+        |      FROM w, range(1, 2049) r(i) WHERE i <= len(words)),
+        |seg AS (SELECT doc_id, wpos, word,
+        |          sum(b) OVER (PARTITION BY doc_id ORDER BY wpos) AS pos FROM p),
+        |c AS (SELECT doc_id, pos, string_agg(word, ' ' ORDER BY wpos) AS chunk
+        |      FROM seg GROUP BY 1, 2),
         |rk AS (SELECT doc_id, pos, chunk,
         |         row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, pos) AS rn
         |       FROM c)

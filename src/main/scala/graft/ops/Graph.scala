@@ -103,12 +103,15 @@ object Graph {
       .select(col("x.v").as("v"), col("y.v").as("w"))
     val closed = wedges.join(
       ed.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
-    // single-row summaries joined on a literal key: plans as broadcast
-    // hash joins (never the cartesian the cross-join audit forbids)
-    deg.agg(count(lit(1)).as("n_nodes")).withColumn("j", lit(1))
-      .join(e.agg(count(lit(1)).as("n_edges")).withColumn("j", lit(1)), "j")
-      .join(closed.agg(count(lit(1)).as("n_triangles")).withColumn("j", lit(1)), "j")
-      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+    // one tagged union + one aggregate for the three counts: a literal-key
+    // join of single-row aggs would constant-fold into the BNLJ the
+    // cross-join audit forbids; this shape is three map-side-combined
+    // partial counts and a single-partition merge
+    deg.select(lit(1L).as("is_node"), lit(0L).as("is_edge"), lit(0L).as("is_tri"))
+      .unionByName(e.select(lit(0L).as("is_node"), lit(1L).as("is_edge"), lit(0L).as("is_tri")))
+      .unionByName(closed.select(lit(0L).as("is_node"), lit(0L).as("is_edge"), lit(1L).as("is_tri")))
+      .agg(sum(col("is_node")).as("n_nodes"), sum(col("is_edge")).as("n_edges"),
+        sum(col("is_tri")).as("n_triangles"))
   }
 
   /** [[triangles]] over the part co-purchase graph: an edge links two

@@ -942,4 +942,93 @@ class DataOpsSpec extends AnyFunSuite {
     assert(q.as("a").join(re.as("b"), "vec_id")
       .filter(col("a.cv") =!= col("b.cv")).count() === 0)
   }
+
+  test("cdc span dedup kills a duplicated span at a SHIFTED offset") {
+    import spark.implicits._
+    // the same 24-word span pasted into doc 2 after a 5-word prefix: every
+    // 12-word grid chunk of the span differs between the docs (offset 5),
+    // so fixed-width chunking finds no duplicate — content-defined
+    // boundaries resynchronize inside the span and must find some
+    val span = (1 to 24).map(i => s"w$i").mkString(" ")
+    val docs2 = Seq(
+      (1L, s"alpha beta $span gamma delta"),
+      (2L, s"p1 p2 p3 p4 p5 $span q1 q2 q3")).toDF("doc_id", "text")
+    val fixed = TextAnalysis.paragraphDedup(docs2, col("doc_id"), col("text"))
+    val cdc = TextAnalysis.cdcSpanDedup(docs2, col("doc_id"), col("text"))
+    def dropped(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("n_chunks") - col("n_kept"))).head().getLong(0)
+    assert(dropped(fixed) === 0L, "grid chunking should miss the shifted span")
+    assert(dropped(cdc) > 0L, "content-defined chunks must resynchronize")
+    // doc 1 (smaller id) keeps all its chunks; only doc 2 loses content
+    val kept1 = cdc.filter(col("doc_id") === 1L).head()
+    assert(kept1.getAs[Long]("n_chunks") === kept1.getAs[Long]("n_kept"))
+  }
+
+  test("cdc span dedup reassembles surviving text in document order") {
+    val out = TextAnalysis.cdcSpanDedup(docs, col("doc_id"), col("text")).collect()
+    assert(out.length === docs.count())
+    // a doc with nothing dropped reassembles to its normalized text
+    val norm = docs.select(col("doc_id"),
+        regexp_replace(lower(col("text")), "\\s+", " ").as("norm"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val untouched = out.filter(r => r.getAs[Long]("n_chunks") == r.getAs[Long]("n_kept"))
+    assert(untouched.nonEmpty)
+    untouched.foreach { r =>
+      assert(r.getAs[String]("new_text") === norm(r.getAs[Long]("doc_id")))
+    }
+  }
+
+  test("containment flags a quoted subset that jaccard misses") {
+    import spark.implicits._
+    // doc 1 is quoted verbatim inside the much longer doc 2: containment
+    // of the smaller side is 1.0 while jaccard stays far below 0.5
+    val quote = (1 to 15).map(i => s"q$i").mkString(" ")
+    val filler = (1 to 120).map(i => s"f$i").mkString(" ")
+    val docs2 = Seq((1L, quote), (2L, s"$filler $quote")).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs2, col("doc_id"), col("text"), 0.9,
+      maxDocFreq = None, cache = false).collect()
+    assert(cont.length === 1)
+    assert(cont.head.getAs[Double]("containment") === 1.0)
+    val jac = Dedup.ngramJaccardPairs(docs2, col("doc_id"), col("text"), 0.5,
+      maxDocFreq = None, cache = false).count()
+    assert(jac === 0L, "symmetric jaccard must miss the quoted subset")
+  }
+
+  test("incremental stats merge equals a single-pass recompute") {
+    val merged = ops.Analytics.incrementalEventStats(spark, sf).collect()
+    val direct = ops.Analytics.eventStatsMerge(
+        ops.Analytics.eventStatsPartial(Tables.events(spark, sf)))
+      .orderBy("event_type").collect()
+    assert(merged.map(_.toSeq).toSeq === direct.map(_.toSeq).toSeq)
+    assert(merged.nonEmpty)
+  }
+
+  test("triangle count matches hand arithmetic on K4 plus a pendant") {
+    import spark.implicits._
+    // K4 has C(4,3)=4 triangles; a pendant edge adds none. Duplicate and
+    // reversed edges must be cleaned, self-loops dropped.
+    val edges = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+      ("c", "d"), ("d", "c"), ("a", "a"), ("d", "e")).toDF("src", "dst")
+    val r = ops.Graph.triangles(edges).head()
+    assert(r.getAs[Long]("n_nodes") === 5L)
+    assert(r.getAs[Long]("n_edges") === 7L)
+    assert(r.getAs[Long]("n_triangles") === 4L)
+  }
+
+  test("triangle count is orientation-exact on the part graph") {
+    // cross-check the oriented join against an independent brute count
+    // over canonical edges (a<b<c closure), feasible at sf0.001
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val e = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct().cache()
+    val brute = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .count()
+    val fast = ops.Graph.partTriangles(spark, sf).head().getAs[Long]("n_triangles")
+    e.unpersist()
+    assert(fast === brute)
+  }
 }
