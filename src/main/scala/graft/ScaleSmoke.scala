@@ -368,11 +368,16 @@ object ScaleSmoke {
     // the LM join; the reason histogram is the per-source audit a drop
     // step must produce
     time("quality_gate") {
+      // the stopword bit is vacuous on this stopword-free synthetic vocab
+      // (every doc would fail it); zero its threshold so the stratum
+      // exercises the length/repetition/LM bits instead
       val gated = graft.ops.TextAnalysis.qualityGate(
-        docs, col("doc_id"), col("text"), minLmMicro = 1L)
+        docs, col("doc_id"), col("text"), minStopPermille = 0L, minLmMicro = 1L)
+      val hist = gated.groupBy("reasons").count().orderBy("reasons")
+        .collect().map(r => s"${r.getLong(0)}->${r.getLong(1)}").mkString(" ")
       val kept = gated.filter(col("keep")).count()
       graft.ops.Dedup.unpersistShared()
-      println(s"[scale]   kept $kept of $nDocs")
+      println(s"[scale]   kept $kept of $nDocs; reason histogram: $hist")
     }
 
     // PQ encode at the embedding volume: the compressed corpus must be
@@ -406,6 +411,72 @@ object ScaleSmoke {
       val r50 = recall(graft.ops.Similarity.int8TopK(embs, qs, 50))
       println(f"[scale]   code drift under repartition: $diff rows; " +
         f"recall@10 direct $r10%.3f, via top-50 shortlist $r50%.3f")
+    }
+
+    // CDC span dedup under planted SHIFTED boilerplate: 20% of docs carry
+    // the same 24-word header behind a variable-length (doc_id % 7 words)
+    // prefix, so no two copies align on any fixed grid — grid chunking
+    // (42q) is structurally blind here; content-defined boundaries must
+    // still collapse the copies. Chunking is map-side; the only shuffles
+    // are O(chunks).
+    time("cdc_dedup_shifted_boilerplate") {
+      val header = (0 until 24).map(i => s"hdr$i").mkString(" ")
+      val shifted = docs.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat_ws(" ",
+            expr("concat_ws(' ', transform(sequence(1, cast(pmod(doc_id, 7) + 1 as int)), i -> concat('pre', doc_id, '_', i)))"),
+            lit(header), col("text")))
+          .otherwise(col("text")).as("text"))
+      val s = graft.ops.TextAnalysis.cdcSpanDedup(shifted, col("doc_id"), col("text"))
+        .agg(sum("n_chunks").as("c"), sum("n_kept").as("k")).head()
+      println(s"[scale]   chunks: ${s.getLong(0)}, removed: ${s.getLong(0) - s.getLong(1)} " +
+        s"(~${nDocs / 5} shifted header copies planted)")
+    }
+
+    // containment at corpus volume: same capped-shingle candidate join as
+    // the jaccard stratum — the asymmetric measure adds only the least()
+    // arithmetic, so candidate volume (and the hot-shingle cap) is the
+    // entire scale story.
+    time("containment_pairs") {
+      val n = graft.ops.Dedup.containmentPairs(docs, col("doc_id"), col("text"), 0.9)
+        .count()
+      graft.ops.Dedup.unpersistShared()
+      println(s"[scale]   containment pairs >= 0.9: $n")
+    }
+
+    // triangle count on a 10^6-node adversarial graph: a ring (no hub
+    // triangles), one planted triangle per i % 4 == 0 skip edge, and a
+    // 10^5-degree hub. Orientation makes the hub a pure SINK — it sources
+    // zero wedges — so the wedge join stays O(m) here instead of the
+    // O(hub_deg^2) = 10^10 pairs a naive wedge enumeration would emit.
+    time("triangles_hub_graph") {
+      val n = 1000000L
+      val ring = spark.range(n - 1).select(col("id").as("src"), (col("id") + 1).as("dst"))
+      val skips = spark.range(n - 2).filter(col("id") % 4 === 0)
+        .select(col("id").as("src"), (col("id") + 2).as("dst"))
+      val hub = spark.range(n / 10).select(lit(n).as("src"), (col("id") * 10).as("dst"))
+      val r = graft.ops.Graph.triangles(ring.union(skips).union(hub)).head()
+      val expect = (0L until n - 2 by 4).size
+      println(s"[scale]   nodes ${r.getLong(0)} edges ${r.getLong(1)} " +
+        s"triangles ${r.getLong(2)} (expect $expect planted)")
+      require(r.getLong(2) == expect, s"triangle count ${r.getLong(2)} != $expect")
+    }
+
+    // incremental maintenance at event volume: a 10^7-row "base" partial
+    // merged with an increment partial must equal the single-pass answer
+    // bit-for-bit (exact integer micros — no float fold-order slack).
+    time("incremental_merge_parity") {
+      val ev = events.select(col("event_type"), col("ts_sec"),
+        (pmod(col("event_id"), lit(1000)) / lit(100.0)).as("value"))
+      val cut = col("ts_sec") < lit(1704067200L + 15 * 86400L)
+      val merged = graft.ops.Analytics.eventStatsMerge(
+          graft.ops.Analytics.eventStatsPartial(ev.filter(cut))
+            .unionByName(graft.ops.Analytics.eventStatsPartial(ev.filter(!cut))))
+        .orderBy("event_type").collect().map(_.toSeq)
+      val direct = graft.ops.Analytics.eventStatsMerge(
+          graft.ops.Analytics.eventStatsPartial(ev))
+        .orderBy("event_type").collect().map(_.toSeq)
+      require(merged.toSeq == direct.toSeq, "merge != recompute")
+      println(s"[scale]   ${merged.length} groups, merge == recompute exactly")
     }
     spark.stop()
   }

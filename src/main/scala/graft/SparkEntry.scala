@@ -447,6 +447,8 @@ object SparkEntry {
     // merge-of-partials == recompute-from-raw: the incremental
     // maintenance contract for a persisted aggregate table
     "agg_incremental_merge" -> ((s, dir) => Analytics.incrementalEventStats(s, dir)),
+    // dense per-series grid with n=0 gap rows and forward-filled values
+    "ts_gap_fill" -> ((s, dir) => Analytics.gapFillResample(s, dir)),
     // degree-ordered triangle count over the part co-purchase graph
     "graph_triangles" -> ((s, dir) => Graph.partTriangles(s, dir)),
 
@@ -619,6 +621,13 @@ object SparkEntry {
       TextAnalysis.weightedSample(Tables.documents(s, dir), "doc_id", col("n_chars"), 100)
         .select("doc_id", "n_chars")
         .orderBy("doc_id")),
+
+    // per-source cap: exactly 15 docs per source by deterministic hash
+    // rank (WindowGroupLimit keeps the shuffle at k rows per partition)
+    "corpus_stratified_sample" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(Tables.documents(s, dir), "doc_id", col("source"), 15)
+        .select("stratum", "rk", "doc_id")
+        .orderBy("stratum", "rk")),
 
     // mixture re-weighting: src0 halved, src1 dropped to 10%, the rest
     // untouched — pure map-side hash filter, nested across re-weights
@@ -1135,6 +1144,25 @@ object SparkEntry {
         |       (SELECT count(*) FROM e) AS n_edges,
         |       (SELECT count(*) FROM wedge JOIN ed z ON z.u = wedge.v AND z.v = wedge.w)
         |         AS n_triangles""".stripMargin,
+
+    // dense grid via generate_series per series span; the per-bucket
+    // "last" is the same two-key DESC row_number as the OHLC close
+    "ts_gap_fill" ->
+      """WITH e AS (SELECT event_type, event_id, value, epoch_us(ts) AS ts_us,
+        |             epoch_us(ts) // 3600000000 AS bucket FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+        |        ORDER BY ts_us DESC, event_id DESC) AS rn FROM e),
+        |obs AS (SELECT event_type, bucket, count(*) AS n FROM e GROUP BY 1, 2),
+        |lastv AS (SELECT event_type, bucket, value AS lv FROM r WHERE rn = 1),
+        |span AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM e GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS bucket FROM span),
+        |j AS (SELECT g.event_type, g.bucket, coalesce(obs.n, 0) AS n, lastv.lv
+        |      FROM grid g LEFT JOIN obs USING (event_type, bucket)
+        |                  LEFT JOIN lastv USING (event_type, bucket))
+        |SELECT event_type, bucket, CAST(n AS BIGINT) AS n,
+        |  last_value(lv IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff
+        |FROM j ORDER BY event_type, bucket""".stripMargin,
 
     // integer day arithmetic from a fixed epoch — no engine week-truncation
     "events_retention" ->
@@ -1802,6 +1830,16 @@ object SparkEntry {
         |  FROM documents WHERE n_chars > 0
         |  ORDER BY score DESC, doc_id LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
+
+    // rank by the raw hex digest: fixed-width lowercase hex strings
+    // compare identically in both engines
+    "corpus_stratified_sample" ->
+      """SELECT source AS stratum, rk, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 15 ORDER BY stratum, rk""".stripMargin,
 
     // the sketch pass only generates candidates; the confirm pass is an
     // exact GROUP BY over them, so the oracle is the plain exact query

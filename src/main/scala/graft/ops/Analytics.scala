@@ -610,6 +610,45 @@ object Analytics {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** Gap-filled time-series resample with forward fill: every
+    * (series, bucket) cell in each series' observed span exists in the
+    * output — empty buckets carry n = 0 and the last observed value
+    * (telemetry dashboards and downstream window math need dense series;
+    * the reference's monitor emits sparse ticks). The per-bucket "last"
+    * rides max(struct(ts, id, value)) — the OHLC close trick, so the
+    * fill source is deterministic at any parallelism — and the fill
+    * itself is one last(ignoreNulls) running window per series.
+    *
+    * Scale shape: the dense grid is series × buckets-in-span rows —
+    * generated by a map-side sequence() explode from each series' 1-row
+    * min/max, never a cross join against a calendar table; one exchange
+    * on the series key serves both the bucket agg and the fill window.
+    */
+  def gapFillResample(spark: SparkSession, dir: String,
+                      bucketSec: Long = 3600L): DataFrame = {
+    val us = bucketSec * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("bucket", expr(s"ts_us div ${us}L"))
+    val observed = ev.groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        max(struct(col("ts_us"), col("event_id"), col("value")))
+          .getField("value").as("last_value"))
+    val grid = observed.groupBy(col("event_type"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi)")).as("bucket"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(observed, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("last_value"), ignoreNulls = true).over(w).as("value_ff"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   /** Partial (mergeable) per-group event stats in exact integer
     * micro-units: the persisted form of an incrementally-maintained
     * aggregate table. count/sum/min/max are ALGEBRAIC — a partial row

@@ -83,20 +83,30 @@ object Graph {
     * `pairs` needs (src, dst); self-loops and duplicate/reversed edges
     * are cleaned here. Returns one row: (n_nodes, n_edges, n_triangles).
     */
-  def triangles(pairs: DataFrame): DataFrame = {
-    val e = pairs.select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+  def triangles(pairs: DataFrame, cache: Boolean = true): DataFrame = {
+    // the canonical edge list feeds FOUR consumers (degree, orientation,
+    // wedge closure, edge count) whose projections differ — exchange
+    // reuse can't cover them, so an uncached `e` would re-run the
+    // upstream pair expansion each time. Shared-cache like every dedup
+    // intermediate; releasable via Dedup.unpersistShared().
+    val e = OpCache.share(
+      pairs.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct(),
+      cache)
     val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val fwd = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
-    val ed = e
-      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
-      .select(
-        when(fwd, col("a")).otherwise(col("b")).as("u"),
-        when(fwd, col("b")).otherwise(col("a")).as("v"),
-        when(fwd, col("db")).otherwise(col("da")).as("dv"))
+    // oriented edges feed three join sides (both wedge legs + closure):
+    // cached for the same reason as `e`
+    val ed = OpCache.share(
+      e.join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+        .select(
+          when(fwd, col("a")).otherwise(col("b")).as("u"),
+          when(fwd, col("b")).otherwise(col("a")).as("v"),
+          when(fwd, col("db")).otherwise(col("da")).as("dv")),
+      cache)
     val wedges = ed.as("x").join(ed.as("y"),
         col("x.u") === col("y.u") &&
           struct(col("x.dv"), col("x.v")) < struct(col("y.dv"), col("y.v")))

@@ -338,6 +338,30 @@ object TextAnalysis {
       minFraction, k)
       .withColumnRenamed("item", "token")
 
+  /** Deterministic stratified sampling: exactly `k` rows per stratum
+    * (fewer if the stratum is smaller), chosen by the hash order
+    * row_number over (md5-slice(id), id) — the per-source cap every
+    * mixing recipe needs ("at most k docs from each source"). Like 42l
+    * the randomness is hash-derived: the same corpus yields the same
+    * sample on any cluster size, partitioning, or engine.
+    *
+    * Scale shape: Spark plans the rank-≤-k filter as WindowGroupLimit —
+    * per-partition top-k heaps BEFORE the exchange, so the shuffle
+    * carries ≤ k·partitions rows per stratum, not the stratum. One
+    * exchange on the stratum key total.
+    */
+  def stratifiedSample(df: DataFrame, idColName: String, strataCol: Column,
+                       k: Int): DataFrame = {
+    // the hex digest IS the sort key: fixed-width lowercase hex compares
+    // identically as a string in every engine (no numeric conversion)
+    val u = expr(s"md5(cast(`$idColName` as string))")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(u, col(idColName))
+    df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .withColumn("stratum", strataCol)
+  }
+
   /** Deterministic weighted sampling without replacement (Efraimidis &
     * Spirakis 2006): item i draws u_i = uniform(0,1) from a 52-bit md5
     * slice of its id and scores u_i^(1/w_i); the global top-k by score is

@@ -64,6 +64,26 @@ object Monitor {
       .select(col("series"), col("window.start").as("window_start"),
         col("open"), col("close"), col("lo"), col("hi"), col("n"))
 
+  /** Streaming heavy-hitter candidates: the Misra-Gries sketch
+    * (`graft_mg_sketch`, a mergeable TypedImperativeAggregate) as the
+    * incremental state of a global streaming aggregate. State is O(k)
+    * BYTES TOTAL — not O(distinct items) — forever, regardless of stream
+    * cardinality; every item with frequency > n/(k+1) of the stream so
+    * far is guaranteed present (no false negatives, same bound as the
+    * batch op it twins, TextAnalysis.heavyHitters). Run in complete
+    * output mode; confirm exact counts batch-side over the candidates,
+    * exactly like the batch confirm pass.
+    */
+  def heavyCandidatesStream(stream: DataFrame, itemCol: Column,
+                            k: Int = 4096): DataFrame = {
+    graft.functions.FreqFunctions.register(stream.sparkSession)
+    stream.select(itemCol.cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      .groupBy()
+      .agg(expr(s"graft_mg_sketch(item, $k)").as("candidates"),
+        count(lit(1)).as("n"))
+  }
+
   /** Capture stream → storage: stamp reference-style meta
     * (data.py:28-34) and write partitioned by session so session-scoped
     * reads partition-prune (SURVEY.md §5).
@@ -104,6 +124,40 @@ object Monitor {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+
+  /** Streaming twin of incremental aggregate maintenance
+    * (`Analytics.eventStatsPartial/Merge`, §2b 28ah): each micro-batch
+    * appends its O(groups) PARTIAL-aggregate rows into a per-batch
+    * partition of a parquet partial log (dynamic overwrite → a replayed
+    * batch rewrites its own partition, exactly-once like
+    * [[captureExactlyOnce]]). The queryable aggregate is merge-on-read
+    * via [[readEventStats]]; the log compacts with the same
+    * `Layout.compact` machinery as any small-file table (23o). Raw
+    * events are never re-scanned — the maintenance cost per batch is the
+    * batch itself plus O(groups).
+    */
+  def maintainEventStats(stream: DataFrame, path: String, checkpoint: String,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        graft.ops.Analytics.eventStatsPartial(df.toDF())
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id")
+          .parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Merge-on-read of the [[maintainEventStats]] partial log: the final
+    * aggregate, equal (bit-for-bit, exact integer micros) to a
+    * single-pass recompute over every event ever streamed.
+    */
+  def readEventStats(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    graft.ops.Analytics.eventStatsMerge(
+      spark.read.parquet(path).drop("__batch_id"))
 
   /** Capture INTO the reference's native format: each micro-batch's `doc`
     * rows (canonical JSON) are written as `.topic_store` pickle logs into a

@@ -943,6 +943,21 @@ class DataOpsSpec extends AnyFunSuite {
       .filter(col("a.cv") =!= col("b.cv")).count() === 0)
   }
 
+  test("stratified sample caps every stratum and ignores partitioning") {
+    val k = 7
+    val s1 = TextAnalysis.stratifiedSample(docs, "doc_id", col("source"), k)
+    val sizes = s1.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet === full.keySet)
+    sizes.foreach { case (src, n) => assert(n === math.min(k.toLong, full(src))) }
+    val s2 = TextAnalysis.stratifiedSample(docs.repartition(17), "doc_id",
+      col("source"), k)
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      s2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("cdc span dedup kills a duplicated span at a SHIFTED offset") {
     import spark.implicits._
     // the same 24-word span pasted into doc 2 after a 5-word prefix: every
@@ -992,6 +1007,28 @@ class DataOpsSpec extends AnyFunSuite {
     val jac = Dedup.ngramJaccardPairs(docs2, col("doc_id"), col("text"), 0.5,
       maxDocFreq = None, cache = false).count()
     assert(jac === 0L, "symmetric jaccard must miss the quoted subset")
+  }
+
+  test("gap fill densifies every series span and conserves event counts") {
+    val out = ops.Analytics.gapFillResample(spark, sf).cache()
+    try {
+      // dense: rows == sum over series of (hi - lo + 1)
+      val spans = out.groupBy("event_type")
+        .agg(min("bucket").as("lo"), max("bucket").as("hi"), count(lit(1)).as("rows"))
+        .collect()
+      spans.foreach { r =>
+        assert(r.getAs[Long]("rows") === r.getAs[Long]("hi") - r.getAs[Long]("lo") + 1L)
+      }
+      // conservation: n sums to the raw event count; fill never NULL
+      // (each series' first bucket is observed by construction)
+      assert(out.agg(sum("n")).head().getLong(0) === Tables.events(spark, sf).count())
+      assert(out.filter(col("value_ff").isNull).count() === 0L)
+      // a gap row carries its predecessor's value
+      val gap = out.filter(col("n") === 0L).orderBy("event_type", "bucket").head()
+      val prev = out.filter(col("event_type") === gap.getString(0) &&
+          col("bucket") === gap.getAs[Long]("bucket") - 1L).head()
+      assert(gap.getAs[Double]("value_ff") === prev.getAs[Double]("value_ff"))
+    } finally out.unpersist()
   }
 
   test("incremental stats merge equals a single-pass recompute") {

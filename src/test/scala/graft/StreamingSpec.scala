@@ -457,6 +457,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming MG sketch guarantees recall of heavy items across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // 3 micro-batches, k=9: one genuinely heavy item ("hot", 30 of 75
+    // total > n/(k+1) = 7.5) plus a spread of light items; the sketch
+    // state may evict light items but must NEVER lose the heavy one,
+    // incl. across checkpointed state merges between batches
+    val input = MemoryStream[String]
+    val q = Monitor.heavyCandidatesStream(input.toDF(), col("value"), k = 9)
+      .writeStream.outputMode("complete").format("memory").queryName("mg_out")
+      .start()
+    try {
+      (1 to 3).foreach { b =>
+        input.addData(Seq.fill(10)("hot") ++ (1 to 15).map(i => s"b${b}_$i"): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val row = spark.table("mg_out").head()
+    val cands = row.getSeq[String](0).toSet
+    assert(row.getAs[Long]("n") === 75L)
+    assert(cands.contains("hot"), s"heavy item evicted from $cands")
+    assert(cands.size <= 9)
+    // streamed candidates must also cover everything the BATCH sketch
+    // keeps after its exact confirm pass at the same guarantee threshold
+    val batchHeavy = graft.ops.TextAnalysis.heavyHitters(
+        (Seq.fill(30)("hot") ++ (1 to 3).flatMap(b => (1 to 15).map(i => s"b${b}_$i")))
+          .toDF("item"), col("item"), minFraction = 0.2, k = 9)
+      .collect().map(_.getString(0)).toSet
+    assert(batchHeavy.subsetOf(cands))
+  }
+
+  test("streamed partial-log maintenance equals batch recompute, replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_maint").toString
+    val ckpt = Files.createTempDirectory("graft_maint_ck").toString
+    val all = sampleEvents
+    // three AvailableNow maintenance runs over ONE checkpoint: each run
+    // drains only the chunk added since the last, landing batches 0,1,2
+    val input = MemoryStream[Ev]
+    all.grouped(40).foreach { chunk =>
+      input.addData(chunk: _*)
+      val q = graft.streaming.Monitor.maintainEventStats(
+        input.toDF().withColumn("value", col("event_id") % 13 + 0.25),
+        s"$dir/log", s"$ckpt/c1")
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    def stats(): Seq[Seq[Any]] =
+      graft.streaming.Monitor.readEventStats(spark, s"$dir/log")
+        .orderBy("event_type").collect().toSeq.map(_.toSeq)
+    val direct = graft.ops.Analytics.eventStatsMerge(
+        graft.ops.Analytics.eventStatsPartial(
+          all.toDF().withColumn("value", col("event_id") % 13 + 0.25)))
+      .orderBy("event_type").collect().toSeq.map(_.toSeq)
+    assert(stats() === direct)
+    // the at-least-once replay window: a fresh checkpoint redelivers the
+    // first chunk as batch 0 again — dynamic overwrite rewrites partition
+    // __batch_id=0 with identical partials instead of appending a copy
+    val input2 = MemoryStream[Ev]
+    input2.addData(all.take(40): _*)
+    val q2 = graft.streaming.Monitor.maintainEventStats(
+      input2.toDF().withColumn("value", col("event_id") % 13 + 0.25),
+      s"$dir/log", s"$ckpt/c2")
+    try q2.awaitTermination(120000) finally q2.stop()
+    assert(stats() === direct, "replay must not change the merged aggregate")
+  }
+
   test("streaming funnel stage machine matches the batch window funnel") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
