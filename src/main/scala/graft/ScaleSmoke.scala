@@ -461,6 +461,46 @@ object ScaleSmoke {
       require(r.getLong(2) == expect, s"triangle count ${r.getLong(2)} != $expect")
     }
 
+    // k-core peeling on an adversarial composite: a 10^5-node circulant
+    // core (offsets ±1,±2 → degree 4, survives k=3 intact), 100 complete
+    // binary trees of depth 11 hanging off it (leaves peel round 1, then
+    // one layer per round — a CASCADE of ~11 data-dependent rounds, the
+    // iteration-count hazard), and a 10^5-degree hub wired to tree leaves
+    // (its degree row must die in map-side partial agg, and it must peel
+    // the moment its leaves do). Survivors must be EXACTLY the circulant
+    // nodes, every one at core_deg 4.
+    time("kcore_cascade_graph") {
+      val coreN = 100000L
+      val treeDepth = 11 // heap indices 2 .. 2^12-1, leaves 2^11 .. 2^12-1
+      val treeSz = (1L << (treeDepth + 1)) - 1
+      val nTrees = 100L
+      val core = spark.range(coreN).select(col("id").as("src"),
+          ((col("id") + 1) % coreN).as("dst"))
+        .union(spark.range(coreN).select(col("id").as("src"),
+          ((col("id") + 2) % coreN).as("dst")))
+      val tree = spark.range(nTrees * (treeSz - 1)).select(
+        expr(s"$coreN + (id div ${treeSz - 1}) * ${treeSz + 1}" +
+          s" + (id % ${treeSz - 1} + 2)").as("src"),
+        expr(s"$coreN + (id div ${treeSz - 1}) * ${treeSz + 1}" +
+          s" + (id % ${treeSz - 1} + 2) div 2").as("dst"))
+      val roots = spark.range(nTrees).select(
+        (lit(coreN) + col("id") * (treeSz + 1) + 1).as("src"),
+        ((col("id") * 997) % coreN).as("dst"))
+      val hubId = coreN + nTrees * (treeSz + 1) + 7
+      val leafLo = 1L << treeDepth
+      val hub = spark.range(nTrees / 2 * leafLo).select(lit(hubId).as("src"),
+        expr(s"$coreN + (id div $leafLo) * ${treeSz + 1}" +
+          s" + (id % $leafLo + $leafLo)").as("dst"))
+      val out = graft.ops.Graph.kCore(
+        core.union(tree).union(roots).union(hub), k = 3).cache()
+      val n = out.count()
+      val offCore = out.filter(col("node") >= coreN || col("core_deg") =!= 4).count()
+      out.unpersist()
+      println(s"[scale]   kcore survivors $n (expect $coreN), " +
+        s"non-circulant or wrong-degree $offCore (must be 0)")
+      require(n == coreN && offCore == 0L, "kcore peel wrong")
+    }
+
     // incremental maintenance at event volume: a 10^7-row "base" partial
     // merged with an increment partial must equal the single-pass answer
     // bit-for-bit (exact integer micros — no float fold-order slack).

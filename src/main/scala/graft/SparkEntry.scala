@@ -298,6 +298,10 @@ object SparkEntry {
     "q18_large_orders" -> ((s, dir) => Analytics.largeOrders(s, dir)),
     "q17_small_qty_revenue" -> ((s, dir) => Analytics.smallQtyRevenue(s, dir)),
     "q22_idle_balances" -> ((s, dir) => Analytics.idleCustomerBalances(s, dir)),
+    // Q21 EXISTS/NOT-EXISTS pair decorrelated to one per-order aggregate
+    "q21_waiting_suppliers" -> ((s, dir) => Analytics.waitingSuppliers(s, dir)),
+    // median/MAD outliers per event_type — robust anomaly detection
+    "events_anomaly_mad" -> ((s, dir) => Analytics.anomalyMad(s, dir)),
     "agg_rollup" -> ((s, dir) => Analytics.eventRollup(s, dir)),
     "agg_weighted_mean" -> ((s, dir) => {
       import s.implicits._
@@ -451,6 +455,8 @@ object SparkEntry {
     "ts_gap_fill" -> ((s, dir) => Analytics.gapFillResample(s, dir)),
     // degree-ordered triangle count over the part co-purchase graph
     "graph_triangles" -> ((s, dir) => Graph.partTriangles(s, dir)),
+    // iterative peeling to the unique 65-core of the same graph
+    "graph_kcore" -> ((s, dir) => Graph.partKCore(s, dir)),
 
     // ── §2c training-data pipeline ────────────────────────────────────
     "dedup_exact" -> ((s, dir) =>
@@ -681,6 +687,10 @@ object SparkEntry {
     "quality_lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(Tables.documents(s, dir), col("doc_id"), col("text"))),
 
+    // top-100 bigram collocations by PMI lift (monotonic in PMI, no libm)
+    "text_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(Tables.documents(s, dir), col("doc_id"), col("text"))),
+
     // end-of-pipeline keep/drop decision with an auditable reason bitmask;
     // every threshold is an integer comparison
     "corpus_quality_gate" -> ((s, dir) =>
@@ -805,12 +815,12 @@ object SparkEntry {
         |ORDER BY event_id DESC LIMIT 5""".stripMargin,
 
     "ts_upsert_batch" ->
-      """WITH ev AS (SELECT event_id, event_type, value FROM events),
-        |up AS (SELECT event_id, event_type, value + 1000.0 AS value
+      """WITH ev AS MATERIALIZED (SELECT event_id, event_type, value FROM events),
+        |up AS MATERIALIZED (SELECT event_id, event_type, value + 1000.0 AS value
         |       FROM ev WHERE event_id % 100 = 0),
-        |ins AS (SELECT event_id + 20000000 AS event_id, event_type,
+        |ins AS MATERIALIZED (SELECT event_id + 20000000 AS event_id, event_type,
         |          1.0 AS value FROM up),
-        |batch AS (SELECT * FROM up UNION ALL SELECT * FROM ins)
+        |batch AS MATERIALIZED (SELECT * FROM up UNION ALL SELECT * FROM ins)
         |SELECT * FROM ev WHERE event_id NOT IN (SELECT event_id FROM batch)
         |UNION ALL SELECT * FROM batch
         |ORDER BY event_id""".stripMargin,
@@ -863,8 +873,8 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY topic, window_start_sec""".stripMargin,
 
     "ts_monitor_hopping" ->
-      """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
-        |w AS (SELECT event_type, ts_sec,
+      """WITH e AS MATERIALIZED (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+        |w AS MATERIALIZED (SELECT event_type, ts_sec,
         |        (ts_sec // 1800) * 1800 - k.k * 1800 AS ws
         |      FROM e, range(0, 2) k(k))
         |SELECT event_type AS topic, ws AS window_start_sec, count(*) AS n_msgs
@@ -1034,16 +1044,16 @@ object SparkEntry {
         |ORDER BY supplier_cnt DESC, p_brand, p_type, size_mod""".stripMargin,
 
     "q11_nation_concentration" ->
-      """WITH g AS (SELECT SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS total_bal
+      """WITH g AS MATERIALIZED (SELECT SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS total_bal
         |           FROM supplier WHERE s_acctbal > 0),
-        |n AS (SELECT s_nationkey, SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS nation_bal
+        |n AS MATERIALIZED (SELECT s_nationkey, SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS nation_bal
         |      FROM supplier WHERE s_acctbal > 0 GROUP BY 1)
         |SELECT s_nationkey, CAST(nation_bal AS DOUBLE) AS nation_bal
         |FROM n, g WHERE nation_bal > CAST(0.05 AS DECIMAL(12,6)) * total_bal
         |ORDER BY nation_bal DESC, s_nationkey""".stripMargin,
 
     "window_rolling_stats" ->
-      """WITH e AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value FROM events)
+      """WITH e AS MATERIALIZED (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value FROM events)
         |SELECT event_id, user_id, ts_sec,
         |  ts_sec - lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS gap_sec,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
@@ -1060,36 +1070,36 @@ object SparkEntry {
 
     // same chained-running-min window semantics, microsecond ordering
     "events_funnel" ->
-      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
-        |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+      """WITH e AS MATERIALIZED (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS MATERIALIZED (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
         |         OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1 FROM e),
-        |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts_us > s1 THEN ts_us END)
+        |s2 AS MATERIALIZED (SELECT *, min(CASE WHEN event_type = 'click' AND ts_us > s1 THEN ts_us END)
         |         OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2 FROM s1),
-        |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us > s2 THEN ts_us END)
+        |s3 AS MATERIALIZED (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us > s2 THEN ts_us END)
         |         OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s3 FROM s2),
-        |u AS (SELECT user_id, min(s1) AS u1, min(s2) AS u2, min(s3) AS u3 FROM s3 GROUP BY 1)
+        |u AS MATERIALIZED (SELECT user_id, min(s1) AS u1, min(s2) AS u2, min(s3) AS u3 FROM s3 GROUP BY 1)
         |SELECT count(*) AS users_total, count(u1) AS reached_stage1,
         |  count(u2) AS reached_stage2, count(u3) AS reached_stage3 FROM u""".stripMargin,
 
     // the same three synchronous rounds, unrolled; all math is integer
     // (floor division, permille damping) so the iterations are exact
     "graph_pagerank" ->
-      """WITH pairs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+      """WITH pairs AS MATERIALIZED (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
         |                      's' || CAST(l_suppkey AS VARCHAR) AS dst
         |               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |und AS (SELECT src AS a, dst AS b FROM pairs
+        |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM pairs
         |        UNION ALL SELECT dst AS a, src AS b FROM pairs),
-        |deg AS (SELECT a, count(*) AS deg FROM und GROUP BY 1),
-        |ed AS (SELECT und.a, und.b, deg.deg FROM und JOIN deg USING (a)),
-        |p0 AS (SELECT a AS node, CAST(1000000000 AS BIGINT) AS pr FROM deg),
-        |p1 AS (SELECT b AS node, 150000000 + CAST(SUM(pr * 850 // (1000 * deg)) AS BIGINT) AS pr
+        |deg AS MATERIALIZED (SELECT a, count(*) AS deg FROM und GROUP BY 1),
+        |ed AS MATERIALIZED (SELECT und.a, und.b, deg.deg FROM und JOIN deg USING (a)),
+        |p0 AS MATERIALIZED (SELECT a AS node, CAST(1000000000 AS BIGINT) AS pr FROM deg),
+        |p1 AS MATERIALIZED (SELECT b AS node, 150000000 + CAST(SUM(pr * 850 // (1000 * deg)) AS BIGINT) AS pr
         |       FROM ed JOIN p0 ON p0.node = ed.a GROUP BY b),
-        |p2 AS (SELECT b AS node, 150000000 + CAST(SUM(pr * 850 // (1000 * deg)) AS BIGINT) AS pr
+        |p2 AS MATERIALIZED (SELECT b AS node, 150000000 + CAST(SUM(pr * 850 // (1000 * deg)) AS BIGINT) AS pr
         |       FROM ed JOIN p1 ON p1.node = ed.a GROUP BY b),
-        |p3 AS (SELECT b AS node, 150000000 + CAST(SUM(pr * 850 // (1000 * deg)) AS BIGINT) AS pr
+        |p3 AS MATERIALIZED (SELECT b AS node, 150000000 + CAST(SUM(pr * 850 // (1000 * deg)) AS BIGINT) AS pr
         |       FROM ed JOIN p2 ON p2.node = ed.a GROUP BY b)
         |SELECT node, pr FROM p3 ORDER BY pr DESC, node""".stripMargin,
 
@@ -1102,9 +1112,9 @@ object SparkEntry {
 
     // open/close via the same two-ordering window, microsecond buckets
     "ts_resample_ohlc" ->
-      """WITH e AS (SELECT event_type, event_id, value, epoch_us(ts) AS ts_us,
+      """WITH e AS MATERIALIZED (SELECT event_type, event_id, value, epoch_us(ts) AS ts_us,
         |             epoch_us(ts) // 3600000000 AS bucket FROM events),
-        |r AS (SELECT *,
+        |r AS MATERIALIZED (SELECT *,
         |        row_number() OVER (PARTITION BY event_type, bucket
         |          ORDER BY ts_us, event_id) AS rn_o,
         |        row_number() OVER (PARTITION BY event_type, bucket
@@ -1120,7 +1130,7 @@ object SparkEntry {
     // the oracle is a single pass over ALL raw rows, the Spark side merges
     // a base partial with an increment partial
     "agg_incremental_merge" ->
-      """WITH p AS (SELECT event_type, CAST(round(value * 1000000.0) AS BIGINT) AS v FROM events)
+      """WITH p AS MATERIALIZED (SELECT event_type, CAST(round(value * 1000000.0) AS BIGINT) AS v FROM events)
         |SELECT event_type, count(*) AS n, CAST(sum(v) AS BIGINT) AS total_micro,
         |  min(v) AS lo_micro, max(v) AS hi_micro,
         |  CAST(sum(v) // count(*) AS BIGINT) AS mean_micro
@@ -1129,16 +1139,16 @@ object SparkEntry {
     // same degree-ordered orientation unrolled in SQL: each triangle is
     // counted once because its endpoints are totally ordered by (deg, id)
     "graph_triangles" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |e AS (SELECT DISTINCT least(x.pk, y.pk) AS a, greatest(x.pk, y.pk) AS b
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT least(x.pk, y.pk) AS a, greatest(x.pk, y.pk) AS b
         |      FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
-        |deg AS (SELECT node, count(*) AS deg
+        |deg AS MATERIALIZED (SELECT node, count(*) AS deg
         |        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
-        |ed AS (SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS u,
+        |ed AS MATERIALIZED (SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS u,
         |              CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS v,
         |              CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN db.deg ELSE da.deg END AS dv
         |       FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
-        |wedge AS (SELECT x.v AS v, y.v AS w
+        |wedge AS MATERIALIZED (SELECT x.v AS v, y.v AS w
         |          FROM ed x JOIN ed y ON x.u = y.u AND (x.dv, x.v) < (y.dv, y.v))
         |SELECT (SELECT count(*) FROM deg) AS n_nodes,
         |       (SELECT count(*) FROM e) AS n_edges,
@@ -1148,21 +1158,45 @@ object SparkEntry {
     // dense grid via generate_series per series span; the per-bucket
     // "last" is the same two-key DESC row_number as the OHLC close
     "ts_gap_fill" ->
-      """WITH e AS (SELECT event_type, event_id, value, epoch_us(ts) AS ts_us,
+      """WITH e AS MATERIALIZED (SELECT event_type, event_id, value, epoch_us(ts) AS ts_us,
         |             epoch_us(ts) // 3600000000 AS bucket FROM events),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+        |r AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY event_type, bucket
         |        ORDER BY ts_us DESC, event_id DESC) AS rn FROM e),
-        |obs AS (SELECT event_type, bucket, count(*) AS n FROM e GROUP BY 1, 2),
-        |lastv AS (SELECT event_type, bucket, value AS lv FROM r WHERE rn = 1),
-        |span AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM e GROUP BY 1),
-        |grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS bucket FROM span),
-        |j AS (SELECT g.event_type, g.bucket, coalesce(obs.n, 0) AS n, lastv.lv
+        |obs AS MATERIALIZED (SELECT event_type, bucket, count(*) AS n FROM e GROUP BY 1, 2),
+        |lastv AS MATERIALIZED (SELECT event_type, bucket, value AS lv FROM r WHERE rn = 1),
+        |span AS MATERIALIZED (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM e GROUP BY 1),
+        |grid AS MATERIALIZED (SELECT event_type, unnest(generate_series(lo, hi)) AS bucket FROM span),
+        |j AS MATERIALIZED (SELECT g.event_type, g.bucket, coalesce(obs.n, 0) AS n, lastv.lv
         |      FROM grid g LEFT JOIN obs USING (event_type, bucket)
         |                  LEFT JOIN lastv USING (event_type, bucket))
         |SELECT event_type, bucket, CAST(n AS BIGINT) AS n,
         |  last_value(lv IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff
         |FROM j ORDER BY event_type, bucket""".stripMargin,
+
+    // peeling unrolled to 7 rounds (fixpoint at sf0.01 is round 2; the
+    // spare rounds are no-ops once converged, so unrolled == fixpoint)
+    "graph_kcore" ->
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT least(x.pk, y.pk) AS a, greatest(x.pk, y.pk) AS b
+        |      FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |s0 AS MATERIALIZED (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |k1 AS MATERIALIZED (SELECT u FROM s0 GROUP BY u HAVING count(*) >= 65),
+        |s1 AS MATERIALIZED (SELECT s.u, s.v FROM s0 s JOIN k1 x ON s.u = x.u JOIN k1 y ON s.v = y.u),
+        |k2 AS MATERIALIZED (SELECT u FROM s1 GROUP BY u HAVING count(*) >= 65),
+        |s2 AS MATERIALIZED (SELECT s.u, s.v FROM s1 s JOIN k2 x ON s.u = x.u JOIN k2 y ON s.v = y.u),
+        |k3 AS MATERIALIZED (SELECT u FROM s2 GROUP BY u HAVING count(*) >= 65),
+        |s3 AS MATERIALIZED (SELECT s.u, s.v FROM s2 s JOIN k3 x ON s.u = x.u JOIN k3 y ON s.v = y.u),
+        |k4 AS MATERIALIZED (SELECT u FROM s3 GROUP BY u HAVING count(*) >= 65),
+        |s4 AS MATERIALIZED (SELECT s.u, s.v FROM s3 s JOIN k4 x ON s.u = x.u JOIN k4 y ON s.v = y.u),
+        |k5 AS MATERIALIZED (SELECT u FROM s4 GROUP BY u HAVING count(*) >= 65),
+        |s5 AS MATERIALIZED (SELECT s.u, s.v FROM s4 s JOIN k5 x ON s.u = x.u JOIN k5 y ON s.v = y.u),
+        |k6 AS MATERIALIZED (SELECT u FROM s5 GROUP BY u HAVING count(*) >= 65),
+        |s6 AS MATERIALIZED (SELECT s.u, s.v FROM s5 s JOIN k6 x ON s.u = x.u JOIN k6 y ON s.v = y.u),
+        |k7 AS MATERIALIZED (SELECT u FROM s6 GROUP BY u HAVING count(*) >= 65),
+        |s7 AS MATERIALIZED (SELECT s.u, s.v FROM s6 s JOIN k7 x ON s.u = x.u JOIN k7 y ON s.v = y.u)
+        |SELECT u AS node, count(*) AS core_deg FROM s7
+        |GROUP BY u ORDER BY node""".stripMargin,
 
     // integer day arithmetic from a fixed epoch — no engine week-truncation
     "events_retention" ->
@@ -1294,6 +1328,40 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = r.c_custkey
         |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // the classic correlated EXISTS/NOT-EXISTS spelling — cross-checks
+    // the Spark side's decorrelated per-order-aggregate plan
+    "q21_waiting_suppliers" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |late AS MATERIALIZED (
+        |  SELECT * FROM li WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |SELECT s_name, count(*) AS numwait
+        |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM li l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    // same interpolated percentile as agg_quantiles; the score division
+    // is one IEEE double op, rounded to 4 dp on both sides
+    "events_anomaly_mad" ->
+      """WITH ev AS MATERIALIZED (SELECT event_type, event_id, value FROM events),
+        |med AS MATERIALIZED (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |                     FROM ev GROUP BY 1),
+        |wm AS MATERIALIZED (SELECT ev.*, med.med FROM ev JOIN med USING (event_type)),
+        |mad AS MATERIALIZED (SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+        |                     FROM wm GROUP BY 1)
+        |SELECT event_type, event_id, round(value, 4) AS value_r,
+        |  round(abs(value - med) / mad, 4) AS mad_score
+        |FROM wm JOIN mad USING (event_type)
+        |WHERE mad > 0 AND abs(value - med) > mad * 6.0
+        |ORDER BY event_type, event_id""".stripMargin,
 
     "agg_rollup" ->
       """SELECT event_type, count(*) AS n,
@@ -1976,6 +2044,27 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  CAST(SUM(p_micro) AS BIGINT) // count(*) AS lm_micro
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // lift arithmetic states the Spark side's exact parenthesization —
+    // counts convert to double exactly, ×/÷ are correctly rounded IEEE,
+    // so the ranking doubles are bit-identical across engines
+    "text_collocations" ->
+      """WITH w AS MATERIALIZED (SELECT string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |uni AS MATERIALIZED (SELECT w, count(*) AS c
+        |      FROM (SELECT unnest(words) AS w FROM w) GROUP BY 1),
+        |nt AS MATERIALIZED (SELECT CAST(sum(c) AS DOUBLE) AS nt FROM uni),
+        |ix AS (SELECT words, unnest(range(1, len(words))) AS i FROM w),
+        |bi AS MATERIALIZED (SELECT words[i] AS w1, words[i + 1] AS w2 FROM ix),
+        |cb AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |nb AS MATERIALIZED (SELECT CAST(sum(c12) AS DOUBLE) AS nb FROM cb),
+        |sc AS (SELECT w1, w2, cb.c12,
+        |        ((CAST(cb.c12 AS DOUBLE) * nt.nt) * nt.nt) /
+        |          ((nb.nb * CAST(c1.c AS DOUBLE)) * CAST(c2.c AS DOUBLE)) AS lift
+        |      FROM cb JOIN uni c1 ON cb.w1 = c1.w JOIN uni c2 ON cb.w2 = c2.w
+        |      CROSS JOIN nt CROSS JOIN nb
+        |      WHERE cb.c12 >= 5)
+        |SELECT w1, w2, c12, CAST(round(lift * 1000000.0) AS BIGINT) AS lift_micro
+        |FROM sc ORDER BY lift DESC, w1, w2 LIMIT 100""".stripMargin,
 
     // the length/repetition/stopword signals + the full LM pipeline as
     // CTEs; flags are integer cross-multiplications, reasons a bit sum

@@ -692,6 +692,73 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** TPC-H Q21 pattern (waiting suppliers), adapted to this schema:
+    * "late" = shipped more than `lateDays` after the order date (the
+    * reference schema's receipt/commit dates aren't in the testdata).
+    * The classic formulation is a correlated EXISTS (another supplier on
+    * the order) AND NOT EXISTS (another LATE supplier) — both
+    * DECORRELATED here into ONE per-order aggregate (distinct suppliers
+    * m, distinct late suppliers k) joined back to the late rows: a row
+    * qualifies iff m > 1 and k == 1. Two self-joins against lineitem
+    * become a single groupBy(l_orderkey) + broadcast-eligible join-back,
+    * the only shape whose shuffle is O(|orders|) instead of
+    * O(|lineitem|²/orders). Counts late LINE rows per supplier (the
+    * original's count(*) over l1), top-100 by numwait.
+    */
+  def waitingSuppliers(spark: SparkSession, dir: String,
+                       lateDays: Int = 90): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+    val perOrder = li.groupBy(col("l_orderkey").as("ok"))
+      .agg(countDistinct(col("l_suppkey")).as("m"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("k"))
+      .filter(col("m") > 1 && col("k") === 1)
+      .select(col("ok"))
+    val sup = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))
+    li.filter(col("late"))
+      .join(perOrder, col("l_orderkey") === col("ok"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  /** Robust anomaly detection per group: median/MAD outliers. The median
+    * and the median absolute deviation are computed with the same exact
+    * interpolated percentile the oracle uses, then every event scores
+    * |value − med| / MAD; rows above `cut` are the anomalies. Two grouped
+    * percentile passes + broadcast join-backs (the stats are one row per
+    * event_type) — the events table itself is scanned twice but never
+    * self-joined, and both scans prune to (event_type, event_id, value).
+    * MAD beats stddev-z-scores at scale because a fat tail inflates a
+    * stddev until the outliers that caused it look normal; the median
+    * pair is unmoved by any minority of corrupt rows.
+    */
+  def anomalyMad(spark: SparkSession, dir: String, cut: Double = 6.0): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5D)").as("med"))
+    val withMed = ev.join(broadcast(med), "event_type")
+    val mad = withMed.groupBy(col("event_type"))
+      .agg(expr("percentile(abs(value - med), 0.5D)").as("mad"))
+    withMed.join(broadcast(mad), "event_type")
+      // mad == 0 (a majority-constant group) would make every score ∞;
+      // such a group has no meaningful scale, so it emits no anomalies
+      .filter(col("mad") > 0 && abs(col("value") - col("med")) > col("mad") * lit(cut))
+      .select(col("event_type"), col("event_id"),
+        round(col("value"), 4).as("value_r"),
+        round(abs(col("value") - col("med")) / col("mad"), 4).as("mad_score"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   /** DataFrame form of [[cohortRetention]]: `ev` needs (user_id, day). */
   def retention(ev: DataFrame): DataFrame = {
     val firstTouch = ev.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))

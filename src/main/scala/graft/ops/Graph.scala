@@ -140,6 +140,66 @@ object Graph {
         .select(col("x.pk").as("src"), col("y.pk").as("dst")))
   }
 
+  /** k-core decomposition by iterative peeling: drop every node with
+    * degree < k, repeat to the (unique, order-independent) fixpoint.
+    * The standard "dense cohesive subgraph" extractor — what survives is
+    * the part of the graph no sequence of low-degree removals can
+    * unravel.
+    *
+    * Scale shape per round: the adjacency is hash-partitioned on `u` and
+    * checkpointed, so the degree groupBy AND the keep-join on `u` are
+    * exchange-free; only the keep-join on `v` re-shuffles the (strictly
+    * shrinking) edge list — one O(E) shuffle per round, the CC playbook.
+    * Convergence is read off the per-round edge count the round already
+    * computes; lineage resets every round via localCheckpoint. Rounds
+    * are data-bounded (a path graph peels O(n) times — cap with
+    * `maxIter` and fail loudly rather than silently return a non-core).
+    */
+  def kCore(pairs: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    require(k >= 1)
+    val n = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val e = pairs.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    var adj = e.select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("x"))
+      .select(col("x.u").as("u"), col("x.v").as("v"))
+      .repartition(n, col("u")).localCheckpoint()
+    var before = adj.count()
+    var converged = before == 0L
+    var it = 0
+    while (!converged && it < maxIter) {
+      val keep = adj.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("u"))
+      val next = adj.join(keep, "u")
+        .join(keep.withColumnRenamed("u", "v"), "v")
+        .select(col("u"), col("v"))
+        .repartition(n, col("u")).localCheckpoint()
+      val after = next.count()
+      converged = after == before
+      adj = next
+      before = after
+      it += 1
+    }
+    require(converged, s"k-core did not converge within $maxIter rounds")
+    adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
+      .orderBy(col("node"))
+  }
+
+  /** [[kCore]] of the part co-purchase graph (see [[partTriangles]] for
+    * the edge construction): the stable dense subgraph of parts that
+    * keep being bought together.
+    */
+  def partKCore(spark: SparkSession, dir: String, k: Int = 65): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    kCore(
+      li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst")), k)
+  }
+
   /** Rank customers and suppliers by transitive transaction influence:
     * PageRank over the bipartite customer–supplier graph induced by
     * order lines (an edge per distinct trading relationship). A supplier

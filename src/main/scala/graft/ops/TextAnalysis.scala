@@ -667,4 +667,51 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("lm_micro"))
       .orderBy(col("doc_id"))
   }
+
+  /** Collocation mining: the corpus' top-k bigrams by PMI lift — phrases
+    * whose words co-occur far above chance ("new york"-style units a
+    * tokenizer or phrase-merger should learn). Lift = p(ab)/(p(a)·p(b))
+    * = (c12·Nt·Nt)/(Nb·c1·c2); log(lift) is PMI, and log is monotonic,
+    * so ranking by lift IS ranking by PMI without a cross-engine libm
+    * call. The arithmetic is IEEE doubles with one fixed parenthesization
+    * (counts < 2⁵³ convert exactly; ×,÷ are correctly rounded) so both
+    * engines produce bit-identical lifts; reported as integer micro.
+    * `minCount` keeps one-off pairs (lift ≈ Nt²/Nb, pure noise) out.
+    *
+    * Scale shape: bigram explode is O(tokens); everything after is over
+    * the GROUPED count tables (|distinct bigrams| rows, ≪ tokens; the
+    * minCount filter prunes the long tail before both unigram joins);
+    * corpus totals are two broadcast scalars. The unigram joins shuffle
+    * |surviving bigrams| rows — a stopword unigram is a hot join KEY but
+    * its count row is one row, so there is no skew to split.
+    */
+  def collocations(df: DataFrame, idCol: Column, textCol: Column,
+                   minCount: Int = 5, k: Int = 100,
+                   cache: Boolean = true): DataFrame = {
+    val bi = OpCache.share(
+      df.select(idCol.as("doc_id"), tokens(textCol).as("words"))
+        .filter(size(col("words")) >= 2)
+        .select(col("doc_id"), expr(
+          "explode(transform(slice(words, 1, size(words) - 1)," +
+            " (x, i) -> struct(x AS w1, words[i + 1] AS w2))) AS bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")),
+      cache)
+    val uni = df.select(explode(tokens(textCol)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nt = uni.agg(sum(col("c")).cast("double").as("nt"))
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val nb = c12.agg(sum(col("c12")).cast("double").as("nb"))
+    c12.filter(col("c12") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nb))
+      // fixed parenthesization — the oracle states the identical tree
+      .withColumn("lift",
+        ((col("c12").cast("double") * col("nt")) * col("nt")) /
+          ((col("nb") * col("c1").cast("double")) * col("c2").cast("double")))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("c12"),
+        round(col("lift") * lit(1000000.0)).cast("long").as("lift_micro"))
+  }
 }

@@ -1052,6 +1052,115 @@ class DataOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_triangles") === 4L)
   }
 
+  test("kcore peels a tail in cascades and keeps exactly the clique") {
+    import spark.implicits._
+    // K4 {a,b,c,d} with a path d-e-f hanging off: the 3-core is exactly
+    // the K4 — e (deg 2) and f (deg 1) peel in cascading rounds, and d
+    // keeps core_deg 3 after losing the tail
+    val edges = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+      ("c", "d"), ("d", "e"), ("e", "f")).toDF("src", "dst")
+    val core = ops.Graph.kCore(edges, k = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // k above the max degree → empty core, converges without error
+    assert(ops.Graph.kCore(edges, k = 10).count() === 0L)
+  }
+
+  test("kcore fixpoint matches an independent driver-side peel") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+    val k = 65
+    val fast = ops.Graph.kCore(edges, k).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute peel on collected edges (8.9k edges at sf0.001); 65-core
+    // is 188 of 200 nodes here — non-trivial on BOTH sides
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    edges.distinct().collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      if (a != b) {
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+      }
+    }
+    var changed = true
+    while (changed) {
+      val drop = adj.collect { case (n, s) if s.size < k => n }.toSet
+      changed = drop.nonEmpty
+      drop.foreach { n => adj.remove(n).foreach(_.foreach(m => adj.get(m).foreach(_ -= n))) }
+    }
+    assert(fast === adj.map { case (n, s) => n -> s.size.toLong }.toMap)
+  }
+
+  test("q21 decorrelated plan equals the classic EXISTS/NOT-EXISTS spelling") {
+    Tables.lineitem(spark, sf).createOrReplaceTempView("q21_li")
+    Tables.orders(spark, sf).createOrReplaceTempView("q21_ord")
+    Tables.supplier(spark, sf).createOrReplaceTempView("q21_sup")
+    val classic = spark.sql(
+      """WITH li AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        |  FROM q21_li JOIN q21_ord ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |late AS (SELECT * FROM li WHERE l_shipdate > o_orderdate + INTERVAL 90 DAYS)
+        |SELECT s_name, count(*) AS numwait
+        |FROM late l1 JOIN q21_sup ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM li l2 WHERE l2.l_orderkey = l1.l_orderkey
+        |              AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3 WHERE l3.l_orderkey = l1.l_orderkey
+        |                  AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val decorr = ops.Analytics.waitingSuppliers(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(decorr.nonEmpty && decorr === classic)
+  }
+
+  test("MAD anomalies equal an independent driver-side median computation") {
+    val byType = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .collect().filter(!_.isNullAt(2))
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    // interpolated median, same definition as percentile(x, 0.5)
+    def med(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    // NB: .toSeq first — flatMap on the Map would re-key by event_type
+    // and silently keep one anomaly per group
+    val expected = byType.toSeq.flatMap { case (et, rows) =>
+      val m = med(rows.map(_._3))
+      val d = med(rows.map(r => math.abs(r._3 - m)))
+      if (d <= 0) Seq.empty[(String, Long)]
+      else rows.collect { case (_, id, v) if math.abs(v - m) > d * 6.0 => (et, id) }.toSeq
+    }.toSet
+    val got = ops.Analytics.anomalyMad(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty || expected.isEmpty)
+  }
+
+  test("collocations rank a planted phrase first with the analytic lift") {
+    import spark.implicits._
+    // 40 docs of shuffled filler + the pair "aa bb" in every doc exactly
+    // once: c12("aa","bb") = 40 while filler pairs are spread thin
+    val filler = Seq("x1", "x2", "x3", "x4", "x5", "x6", "x7", "x8")
+    val corpus = (0 until 40).map { i =>
+      val rot = filler.drop(i % filler.size) ++ filler.take(i % filler.size)
+      (i.toLong, (rot.take(4) ++ Seq("aa", "bb") ++ rot.drop(4)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val top = TextAnalysis.collocations(corpus, col("doc_id"), col("text"),
+      minCount = 5, k = 10, cache = false).collect()
+    assert(top.head.getString(0) === "aa" && top.head.getString(1) === "bb")
+    assert(top.head.getAs[Long]("c12") === 40L)
+    // analytic lift: Nt = 40*10 tokens, Nb = 40*9 bigrams, c1 = c2 = 40
+    val nt = 400.0; val nb = 360.0
+    val lift = ((40.0 * nt) * nt) / ((nb * 40.0) * 40.0)
+    assert(top.head.getAs[Long]("lift_micro") === math.round(lift * 1e6))
+  }
+
   test("triangle count is orientation-exact on the part graph") {
     // cross-check the oriented join against an independent brute count
     // over canonical edges (a<b<c closure), feasible at sf0.001

@@ -24,7 +24,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_int8_topk",          // quantized brute-force scoring: all-pairs by design
     "quality_lm_score",       // single-row vocabulary-size broadcast
     "corpus_quality_gate",    // embeds quality_lm_score's vocab broadcast
-    "ts_update_first")        // single-row first-match-id broadcast
+    "ts_update_first",        // single-row first-match-id broadcast
+    "text_collocations")      // two single-row corpus-total broadcasts (Nt, Nb)
 
   for ((name, q) <- SparkEntry.queries) {
     test(s"$name: no unintended nested-loop or cartesian join") {
