@@ -302,6 +302,10 @@ object SparkEntry {
     "q21_waiting_suppliers" -> ((s, dir) => Analytics.waitingSuppliers(s, dir)),
     // median/MAD outliers per event_type — robust anomaly detection
     "events_anomaly_mad" -> ((s, dir) => Analytics.anomalyMad(s, dir)),
+    // SCD2 version build: change-log → (state, valid_from, valid_to) rows
+    "dim_scd2_segments" -> ((s, dir) => Analytics.userSegmentsScd2(s, dir)),
+    // point-in-time fact join: revenue per segment valid AT purchase time
+    "pit_attribution" -> ((s, dir) => Analytics.pitAttribution(s, dir)),
     "agg_rollup" -> ((s, dir) => Analytics.eventRollup(s, dir)),
     "agg_weighted_mean" -> ((s, dir) => {
       import s.implicits._
@@ -597,6 +601,10 @@ object SparkEntry {
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), 10)
         .orderBy("query_id", "rank")
     }),
+
+    // X^T X in one map-side-combined aggregate — covariance/PCA feedstock
+    "emb_gram_matrix" -> ((s, dir) =>
+      Similarity.gramMatrix(Tables.embeddings(s, dir))),
 
     "lang_id" -> ((s, dir) =>
       TextAnalysis.langId(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -1363,6 +1371,43 @@ object SparkEntry {
         |WHERE mad > 0 AND abs(value - med) > mad * 6.0
         |ORDER BY event_type, event_id""".stripMargin,
 
+    // arg_max resolves same-instant races exactly like the Spark side's
+    // max(struct(tie, state)); lead() AFTER the change filter makes
+    // valid_to the next CHANGE, not the next event
+    "dim_scd2_segments" ->
+      """WITH e AS MATERIALIZED (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id, event_type
+        |  FROM events WHERE event_type <> 'purchase'),
+        |p AS MATERIALIZED (SELECT user_id, t, arg_max(event_type, event_id) AS s
+        |  FROM e GROUP BY 1, 2),
+        |c AS (SELECT user_id, t, s,
+        |        lag(s) OVER (PARTITION BY user_id ORDER BY t) AS ps FROM p),
+        |v AS (SELECT user_id, s, t,
+        |        lead(t) OVER (PARTITION BY user_id ORDER BY t) AS vto
+        |      FROM c WHERE ps IS NULL OR s <> ps)
+        |SELECT user_id, s AS state, t AS valid_from_sec, vto AS valid_to_sec
+        |FROM v ORDER BY user_id, valid_from_sec""".stripMargin,
+
+    // the BETWEEN spelling of the same point-in-time join — hash-match
+    // proves the as-of composition implements SCD2 fact-join semantics
+    "pit_attribution" ->
+      """WITH e AS MATERIALIZED (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id, event_type
+        |  FROM events WHERE event_type <> 'purchase'),
+        |p AS MATERIALIZED (SELECT user_id, t, arg_max(event_type, event_id) AS s
+        |  FROM e GROUP BY 1, 2),
+        |c AS (SELECT user_id, t, s,
+        |        lag(s) OVER (PARTITION BY user_id ORDER BY t) AS ps FROM p),
+        |v AS MATERIALIZED (SELECT user_id, s, t AS vfrom,
+        |        lead(t) OVER (PARTITION BY user_id ORDER BY t) AS vto
+        |      FROM c WHERE ps IS NULL OR s <> ps),
+        |f AS MATERIALIZED (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |        CAST(round(value * 1000000.0) AS BIGINT) AS v_micro
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT coalesce(v.s, 'none') AS state, count(*) AS n_purchases,
+        |  sum(f.v_micro) AS value_micro
+        |FROM f LEFT JOIN v ON f.user_id = v.user_id AND f.t >= v.vfrom
+        |  AND (v.vto IS NULL OR f.t < v.vto)
+        |GROUP BY 1 ORDER BY state""".stripMargin,
+
     "agg_rollup" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sum_value
@@ -1748,6 +1793,17 @@ object SparkEntry {
         |      FROM adc)
         |SELECT query_id, neighbor_id, adc_micro, rank FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // float×float products are exact in double on both engines; the
+    // micro-rounded integer sum is associative, so partial-agg order
+    // (Spark) vs single-pass (DuckDB) cannot differ by a bit
+    "emb_gram_matrix" ->
+      """WITH v AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+        |           FROM embeddings, range(1, 65) r(i))
+        |SELECT a.d AS i, b.d AS j, count(*) AS n,
+        |  SUM(CAST(round(a.x * b.x * 1000000.0) AS BIGINT)) AS sxy_micro
+        |FROM v a JOIN v b ON a.vec_id = b.vec_id AND b.d >= a.d
+        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
 
     // same first-8 coarse quantizer as ann_ivf_topk; within-cell pairs at
     // rounded cosine ≥ τ drop the larger id, survivors remain

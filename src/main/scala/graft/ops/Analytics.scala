@@ -759,6 +759,79 @@ object Analytics {
       .orderBy(col("event_type"), col("event_id"))
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) version builder: turn a
+    * change-event log into versioned dimension rows
+    * `(k, state, valid_from, valid_to)` — consecutive duplicate states
+    * collapse, `valid_to` is the NEXT change (null while current). The
+    * warehouse pattern that lets facts join the attribute value that was
+    * true AT FACT TIME instead of today's value.
+    *
+    * Same-instant races resolve deterministically: the per-(key, ts)
+    * pre-aggregate keeps the max-tiebreak event via one max(struct) —
+    * map-side combinable, no window. Both windows (change detection,
+    * valid_to) share one (k, valid_from) exchange+sort; the filter
+    * between them doesn't repartition, so the whole build is ONE shuffle
+    * of the change log — at 100 TB the dimension log is usually the
+    * small table, and the output is O(actual changes), not O(events).
+    */
+  def scd2Versions(ev: DataFrame, key: Column, tsSec: Column, tie: Column,
+                   state: Column): DataFrame = {
+    val perTs = ev.groupBy(key.as("k"), tsSec.as("valid_from"))
+      .agg(max(struct(tie.as("tb"), state.as("s"))).getField("s").as("state"))
+    val w = Window.partitionBy(col("k")).orderBy(col("valid_from"))
+    perTs.withColumn("prev", lag(col("state"), 1).over(w))
+      .filter(col("prev").isNull || col("state") =!= col("prev"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .select(col("k"), col("state"), col("valid_from"), col("valid_to"))
+  }
+
+  /** The [[scd2Versions]] dimension over the events stream: a user's
+    * "segment" is their latest non-purchase activity class.
+    */
+  def userSegmentsScd2(spark: SparkSession, dir: String): DataFrame = {
+    import graft.model.Documents
+    scd2Versions(
+        Tables.events(spark, dir).filter(col("event_type") =!= "purchase"),
+        col("user_id"), Documents.tsSec(col("ts")), col("event_id"),
+        col("event_type"))
+      .select(col("k").as("user_id"), col("state"),
+        col("valid_from").as("valid_from_sec"), col("valid_to").as("valid_to_sec"))
+      .orderBy(col("user_id"), col("valid_from_sec"))
+  }
+
+  /** Point-in-time attribution: every purchase joined to the segment
+    * version valid AT PURCHASE TIME (never today's — the classic SCD2
+    * fact join), revenue rolled up per segment. The PIT join IS an as-of
+    * join against version start times plus a validity check (vacuous for
+    * a gap-free log, load-bearing for dimensions with deleted periods):
+    * one key shuffle via [[graft.store.DocumentStore.asofJoin]], where
+    * the naive BETWEEN join plans per-key row multiplication. Purchases
+    * before any version attribute to 'none'.
+    */
+  def pitAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.model.Documents
+    val ev = Tables.events(spark, dir)
+    val sec = Documents.tsSec(col("ts"))
+    val dim = userSegmentsScd2(spark, dir)
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), sec.as("t"), col("event_id"),
+        expr("cast(round(value * 1000000.0D) as bigint)").as("v_micro"))
+    // ONE struct payload, not two columns: asofJoin's per-column
+    // last(ignoreNulls) would skip the open version's NULL valid_to and
+    // resurrect the previous version's end date — a struct is null only
+    // when no version precedes the fact at all
+    graft.store.DocumentStore.asofJoin(
+        facts,
+        dim.select(col("user_id"), col("valid_from_sec").as("t"),
+          struct(col("state"), col("valid_to_sec")).as("seg")),
+        "user_id", "t", Seq("seg"))
+      .filter(col("asof_seg").isNull || col("asof_seg.valid_to_sec").isNull ||
+        col("t") < col("asof_seg.valid_to_sec"))
+      .groupBy(coalesce(col("asof_seg.state"), lit("none")).as("state"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("v_micro")).as("value_micro"))
+      .orderBy(col("state"))
+  }
+
   /** DataFrame form of [[cohortRetention]]: `ev` needs (user_id, day). */
   def retention(ev: DataFrame): DataFrame = {
     val firstTouch = ev.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))

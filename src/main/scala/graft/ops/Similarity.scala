@@ -397,4 +397,29 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "idot", "rank")
   }
+
+  /** Gram matrix of the embedding corpus — Σ xᵢxⱼ over all vectors, the
+    * Xᵀ X aggregation behind covariance, PCA, and whitening. The d×d
+    * result is tiny; the whole job is making the SUM scale: each row
+    * map-side explodes its d(d+1)/2 upper-triangle products (never a
+    * row-pair join — O(n·d²) generated rows, but partial aggregation
+    * collapses them to d² per partition BEFORE the one groupBy shuffle,
+    * so the exchange carries O(partitions·d²) regardless of n). Products
+    * of two floats are EXACT in double (24+24 < 53 mantissa bits);
+    * rounding each to integer micro makes the running sum associative,
+    * so any partitioning — and the oracle — reproduces it bit-for-bit.
+    * Eigendecomposition of the d×d output is a driver-side epilogue (64²
+    * doubles), which is exactly where it belongs at any corpus size.
+    */
+  def gramMatrix(emb: DataFrame, dims: Int = 64): DataFrame =
+    emb.select(expr(
+        s"""explode(flatten(transform(sequence(0, ${dims - 1}), i ->
+           |  transform(sequence(i, ${dims - 1}), j -> struct(
+           |    i AS i, j AS j,
+           |    cast(round(cast(embedding[i] as double)
+           |      * cast(embedding[j] as double) * 1000000.0D) as bigint) AS p)))))
+           |  AS e""".stripMargin))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("e.p")).as("sxy_micro"))
+      .orderBy(col("i"), col("j"))
 }

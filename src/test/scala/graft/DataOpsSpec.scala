@@ -1161,6 +1161,58 @@ class DataOpsSpec extends AnyFunSuite {
     assert(top.head.getAs[Long]("lift_micro") === math.round(lift * 1e6))
   }
 
+  test("scd2 collapses repeats, chains validity, and resolves same-ts races") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 10L, 100L, "a"), (1L, 20L, 101L, "a"), // repeat collapses
+      (1L, 30L, 102L, "b"), (1L, 40L, 103L, "a"), // a again = NEW version
+      (2L, 10L, 200L, "x"), (2L, 10L, 201L, "y")  // same-ts race: max tie wins
+    ).toDF("k", "t", "id", "s")
+    val v = ops.Analytics.scd2Versions(log, col("k"), col("t"), col("id"), col("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).sortBy(r => (r._1, r._3))
+    assert(v.toSeq === Seq(
+      (1L, "a", 10L, 30L), (1L, "b", 30L, 40L), (1L, "a", 40L, -1L),
+      (2L, "y", 10L, -1L)))
+  }
+
+  test("pit attribution matches a brute per-purchase version scan") {
+    val dim = ops.Analytics.userSegmentsScd2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) Long.MaxValue else r.getLong(3)))
+      .groupBy(_._1)
+    val got = ops.Analytics.pitAttribution(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").cast("long"),
+        expr("cast(round(value * 1000000.0D) as bigint)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = purchases.map { case (u, t, v) =>
+      val seg = dim.getOrElse(u, Array.empty).collectFirst {
+        case (_, s, from, to) if t >= from && t < to => s
+      }.getOrElse("none")
+      (seg, v)
+    }.groupBy(_._1).map { case (s, xs) => (s, xs.length.toLong, xs.map(_._2).sum) }
+      .toSeq.sorted
+    assert(got === brute)
+  }
+
+  test("gram matrix equals hand-computed micro sums on a tiny corpus") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Array(1.0f, 2.0f) ++ Array.fill(62)(0.0f)),
+      (1L, Array(0.5f, -1.0f) ++ Array.fill(62)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val g = Similarity.gramMatrix(rows).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(g((0, 0)) === (2L, math.round(1.0 * 1e6) + math.round(0.25 * 1e6)))
+    assert(g((0, 1)) === (2L, math.round(2.0 * 1e6) + math.round(-0.5 * 1e6)))
+    assert(g((1, 1)) === (2L, math.round(4.0 * 1e6) + math.round(1.0 * 1e6)))
+    assert(g((5, 9)) === (2L, 0L))
+    assert(g.size === 64 * 65 / 2)
+  }
+
   test("triangle count is orientation-exact on the part graph") {
     // cross-check the oriented join against an independent brute count
     // over canonical edges (a<b<c closure), feasible at sf0.001
