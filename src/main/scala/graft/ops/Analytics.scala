@@ -744,12 +744,9 @@ object Analytics {
   def anomalyMad(spark: SparkSession, dir: String, cut: Double = 6.0): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("event_id"), col("value"))
-    val med = ev.groupBy(col("event_type"))
-      .agg(expr("percentile(value, 0.5D)").as("med"))
-    val withMed = ev.join(broadcast(med), "event_type")
-    val mad = withMed.groupBy(col("event_type"))
-      .agg(expr("percentile(abs(value - med), 0.5D)").as("mad"))
-    withMed.join(broadcast(mad), "event_type")
+    val stats = madStats(ev, col("event_type"), col("value"))
+      .withColumnRenamed("k", "event_type")
+    ev.join(broadcast(stats), "event_type")
       // mad == 0 (a majority-constant group) would make every score ∞;
       // such a group has no meaningful scale, so it emits no anomalies
       .filter(col("mad") > 0 && abs(col("value") - col("med")) > col("mad") * lit(cut))
@@ -757,6 +754,21 @@ object Analytics {
         round(col("value"), 4).as("value_r"),
         round(abs(col("value") - col("med")) / col("mad"), 4).as("mad_score"))
       .orderBy(col("event_type"), col("event_id"))
+  }
+
+  /** The train step of [[anomalyMad]], exposed on its own: per-key
+    * `(med, mad)` from exact interpolated percentiles. A persisted stats
+    * table from this feeds the streaming scorer
+    * ([[graft.streaming.Monitor.anomalyStream]]) — train offline on the
+    * corpus, score online statelessly.
+    */
+  def madStats(ev: DataFrame, keyCol: Column, valueCol: Column): DataFrame = {
+    val base = ev.select(keyCol.as("k"), valueCol.as("v"))
+    val med = base.groupBy(col("k")).agg(expr("percentile(v, 0.5D)").as("med"))
+    base.join(broadcast(med), "k")
+      .groupBy(col("k"), col("med"))
+      .agg(expr("percentile(abs(v - med), 0.5D)").as("mad"))
+      .select(col("k"), col("med"), col("mad"))
   }
 
   /** SCD2 (slowly-changing-dimension type 2) version builder: turn a

@@ -239,4 +239,20 @@ object Monitor {
         col(s"l.$leftTs") >= col(s"r.$rightTs") &&
         col(s"l.$leftTs") <= col(s"r.$rightTs") + expr(s"INTERVAL $maxGapSec SECONDS"))
   }
+
+  /** Streaming twin of the MAD anomaly detector's SCORE step
+    * (`Analytics.anomalyMad`): flag live rows against BATCH-TRAINED
+    * per-key (median, MAD) stats — the train-offline / score-online
+    * split. Stateless by construction: a stream-static broadcast join +
+    * a codegen'd filter, so it needs no watermark, adds no state store,
+    * and keeps up at any input rate; re-training is swapping the stats
+    * table between restarts. Batch parity is exact because both sides
+    * evaluate the identical expression against the identical stats.
+    */
+  def anomalyStream(stream: DataFrame, stats: DataFrame, keyCol: String,
+                    valueCol: String, cut: Double = 6.0): DataFrame =
+    stream.join(broadcast(stats.withColumnRenamed("k", keyCol)), Seq(keyCol))
+      .filter(col("mad") > 0 &&
+        abs(col(valueCol) - col("med")) > col("mad") * lit(cut))
+      .withColumn("mad_score", abs(col(valueCol) - col("med")) / col("mad"))
 }

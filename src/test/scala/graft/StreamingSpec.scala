@@ -13,6 +13,8 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, 
 
 case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
+case class EvV(event_id: Long, event_type: String, value: Double)
+
 /** Streaming twins driven synchronously with MemoryStream + AvailableNow. */
 class StreamingSpec extends AnyFunSuite {
   import TestSession._
@@ -296,6 +298,34 @@ class StreamingSpec extends AnyFunSuite {
       case (d, p, "x y z") => d == 3L && p == 1
       case _ => false
     })
+  }
+
+  test("streaming anomaly scorer flags exactly the batch MAD outliers") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // per type: values cycle 0..20 (median 10, MAD 5 → cut at 30) with
+    // one planted 500.0 outlier; only the two outliers may flag
+    val rows = for { t <- Seq("a", "b"); i <- 0 until 101 } yield
+      EvV(t.hashCode.toLong * 1000 + i, t, if (i == 100) 500.0 else (i % 21).toDouble)
+    val stats = graft.ops.Analytics.madStats(rows.toDF(), col("event_type"), col("value"))
+    val input = MemoryStream[EvV]
+    input.addData(rows.take(60): _*)
+    val q = Monitor.anomalyStream(input.toDF(), stats, "event_type", "value")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anomaly_stream").start()
+    try {
+      q.processAllAvailable()
+      input.addData(rows.drop(60): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("anomaly_stream")
+      .collect().map(r => r.getAs[Long]("event_id")).toSet
+    val batchExpected = rows.filter(_.value == 500.0).map(_.event_id).toSet
+    assert(streamed === batchExpected)
+    // scores agree with the batch expression on the same stats
+    val s = spark.table("anomaly_stream").collect()
+      .map(r => r.getAs[Double]("mad_score")).toSet
+    assert(s === Set((500.0 - 10.0) / 5.0))
   }
 
   test("HLL sketch aggregates incrementally in a stream, equal to batch") {
