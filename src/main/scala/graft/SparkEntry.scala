@@ -257,6 +257,18 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // the mirror direction: each click takes the NEXT purchase at/after it
+    "ts_asof_forward" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), Documents.tsSec(col("ts")).as("ts_sec"))
+      val left = e.filter(col("event_type") === "click")
+        .select("user_id", "ts_sec", "event_id")
+      val right = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts_sec").agg(min("event_id").as("next_id"))
+      DocumentStore.asofJoinForward(left, right, "user_id", "ts_sec", Seq("next_id"))
+        .orderBy("event_id")
+    }),
+
     // same query through the custom physical operator (AsofJoinExec):
     // identical oracle — the two paths must agree bit-for-bit
     "ts_asof_join_exec" -> ((s, dir) => {
@@ -302,6 +314,8 @@ object SparkEntry {
     "q21_waiting_suppliers" -> ((s, dir) => Analytics.waitingSuppliers(s, dir)),
     // median/MAD outliers per event_type — robust anomaly detection
     "events_anomaly_mad" -> ((s, dir) => Analytics.anomalyMad(s, dir)),
+    // time-weighted average per series — exact integer value×duration sums
+    "ts_twap" -> ((s, dir) => Analytics.twap(s, dir)),
     // SCD2 version build: change-log → (state, valid_from, valid_to) rows
     "dim_scd2_segments" -> ((s, dir) => Analytics.userSegmentsScd2(s, dir)),
     // point-in-time fact join: revenue per segment valid AT purchase time
@@ -1251,6 +1265,18 @@ object SparkEntry {
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_sec >= r.ts_sec
         |ORDER BY l.event_id""".stripMargin,
 
+    // DuckDB's native ASOF with the inequality flipped — an independent
+    // implementation of the forward direction
+    "ts_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+        |l AS (SELECT user_id, ts_sec, event_id FROM e WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts_sec, min(event_id) AS next_id
+        |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.user_id, l.ts_sec, l.event_id, r.next_id AS asof_next_id
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_sec <= r.ts_sec
+        |ORDER BY l.event_id""".stripMargin,
+
     "ts_asof_join_exec" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value,
         |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
@@ -1370,6 +1396,20 @@ object SparkEntry {
         |FROM wm JOIN mad USING (event_type)
         |WHERE mad > 0 AND abs(value - med) > mad * 6.0
         |ORDER BY event_type, event_id""".stripMargin,
+
+    // DuckDB sums BIGINT into HUGEINT — cast back before the floor
+    // division so both engines divide bigint by bigint
+    "ts_twap" ->
+      """WITH e AS MATERIALIZED (SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
+        |d AS (SELECT event_type, t, vm,
+        |        lead(t) OVER (PARTITION BY event_type ORDER BY t, event_id) AS tn
+        |      FROM e)
+        |SELECT event_type, CAST(SUM(tn - t) AS BIGINT) AS sdt,
+        |  CAST(SUM((tn - t) * vm) AS BIGINT) // CAST(SUM(tn - t) AS BIGINT)
+        |    AS twap_micro
+        |FROM d WHERE tn IS NOT NULL GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // arg_max resolves same-instant races exactly like the Spark side's
     // max(struct(tie, state)); lead() AFTER the change filter makes

@@ -756,6 +756,34 @@ object Analytics {
       .orderBy(col("event_type"), col("event_id"))
   }
 
+  /** Time-weighted average per series (TWAP — the correct mean of a
+    * SAMPLED signal, where the plain row mean over-weights bursts): each
+    * observation holds its value until the next one, so it contributes
+    * value × holding-time; the last observation has no duration and
+    * drops. One (series) window for the lead + one groupBy — a single
+    * exchange. Exact integers end-to-end: micro-unit values × second
+    * durations summed as longs (headroom to ~9·10¹⁸ ≈ 3·10⁵ series-years
+    * of micro-value-seconds per series; move the two sums to
+    * decimal(38,0) beyond that), one integer floor division at the end —
+    * bit-equal under any partitioning and in the oracle. Same-second
+    * observations tie-break by id: the earlier holds for 0 s.
+    */
+  def twap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.model.Documents
+    val w = Window.partitionBy(col("event_type")).orderBy(col("t"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), Documents.tsSec(col("ts")).as("t"), col("event_id"),
+        expr("cast(round(value * 1000000.0D) as bigint)").as("vm"))
+      .withColumn("tn", lead(col("t"), 1).over(w))
+      .filter(col("tn").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(sum(col("tn") - col("t")).as("sdt"),
+        sum((col("tn") - col("t")) * col("vm")).as("svdt"))
+      .select(col("event_type"), col("sdt"),
+        expr("svdt div sdt").as("twap_micro"))
+      .orderBy(col("event_type"))
+  }
+
   /** The train step of [[anomalyMad]], exposed on its own: per-key
     * `(med, mad)` from exact interpolated percentiles. A persisted stats
     * table from this feeds the streaming scorer

@@ -349,6 +349,44 @@ object DocumentStore {
         asofCols.map(c => col(s"__f_$c").as(s"asof_$c")): _*)
   }
 
+  /** FORWARD as-of join — each left row takes the EARLIEST right row at
+    * or after its time (the mirror of [[asofJoin]]'s latest-at-or-before):
+    * "what happened next" semantics — next fill after an order, next
+    * error after a deploy, next purchase after a click. Same union +
+    * running-window composition, reflected: left sorts before right at
+    * equal times (>= inclusive) and the fill is `first(ignoreNulls)` over
+    * the FOLLOWING frame. Still ONE shuffle on the key; Spark evaluates
+    * a following-frame window by buffering only until the first non-null
+    * right row resolves, and the naive inequality join would again plan a
+    * per-key cross product. Right side unique per (key, time).
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String, time: String,
+                      asofCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leftCols = left.columns.toSeq
+    val lTagged = left
+      .withColumn("__side", lit(0))
+      .select(Seq(col(key), col(time), col("__side")) ++
+        leftCols.filterNot(c => c == key || c == time).map(col) ++
+        asofCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val rTagged = right
+      .withColumn("__side", lit(1))
+      .select(Seq(col(key), col(time), col("__side")) ++
+        leftCols.filterNot(c => c == key || c == time)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        asofCols.map(c => col(c).as(s"__r_$c")): _*)
+    // left side 0 sorts before right side 1: a right row at time t
+    // serves left rows at t (>= inclusive)
+    val w = Window.partitionBy(col(key)).orderBy(col(time), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = asofCols.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
+      df.withColumn(s"__f_$c", first(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 0)
+      .select(leftCols.map(col) ++
+        asofCols.map(c => col(s"__f_$c").as(s"asof_$c")): _*)
+  }
+
   /** The as-of join on the custom PHYSICAL operator
     * (graft.plans.AsofJoinExec — LogicalPlan + SparkStrategy + SparkPlan,
     * tier (c) of the extension ladder): both sides hash-clustered on the

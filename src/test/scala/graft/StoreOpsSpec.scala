@@ -316,4 +316,33 @@ class StoreOpsSpec extends AnyFunSuite {
     val out = DocumentStore.findWithMeta(stamped, col("value") > 70, Seq("event_type"))
     assert(out.columns.toSet === Set("_id", "session", "sys_time_sec", "event_type"))
   }
+
+  test("forward as-of takes the earliest right row at or after, per key") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 35L, "c"), (2L, 5L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 20L, 100L), (1L, 30L, 200L)).toDF("k", "t", "p")
+    val got = DocumentStore.asofJoinForward(left, right, "k", "t", Seq("p"))
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // t=10 → first right ≥ 10 is t=20; t=20 → inclusive match at 20;
+    // t=35 → nothing follows; key 2 has no right rows at all
+    assert(got === Map("a" -> 100L, "b" -> 100L, "c" -> -1L, "d" -> -1L))
+  }
+
+  test("twap matches a brute driver-side hold-until-next computation") {
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts").cast("long"), col("event_id"),
+        expr("cast(round(value * 1000000.0D) as bigint)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = rows.groupBy(_._1).map { case (et, rs) =>
+      val s = rs.sortBy(r => (r._2, r._3))
+      val segs = s.zip(s.tail).map { case (a, b) => (b._2 - a._2, a._4) }
+      val sdt = segs.map(_._1).sum
+      (et, sdt, segs.map { case (dt, vm) => dt * vm }.sum / sdt)
+    }.toSet
+    val got = graft.ops.Analytics.twap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
 }
