@@ -316,6 +316,12 @@ object SparkEntry {
     "events_anomaly_mad" -> ((s, dir) => Analytics.anomalyMad(s, dir)),
     // time-weighted average per series — exact integer value×duration sums
     "ts_twap" -> ((s, dir) => Analytics.twap(s, dir)),
+    // one-pass multi-column profile: n / nulls / distinct / modal value
+    "ts_profile_columns" -> ((s, dir) =>
+      DocumentStore.profileColumns(
+        ev(s, dir).withColumn("value_bucket",
+          expr("cast(floor(value) as bigint)")),
+        Seq("event_type", "user_id", "value_bucket"))),
     // SCD2 version build: change-log → (state, valid_from, valid_to) rows
     "dim_scd2_segments" -> ((s, dir) => Analytics.userSegmentsScd2(s, dir)),
     // point-in-time fact join: revenue per segment valid AT purchase time
@@ -1396,6 +1402,29 @@ object SparkEntry {
         |FROM wm JOIN mad USING (event_type)
         |WHERE mad > 0 AND abs(value - med) > mad * 6.0
         |ORDER BY event_type, event_id""".stripMargin,
+
+    // per-column stats from one melted union; the modal pick mirrors
+    // max(struct(cnt, val)) as a (cnt DESC, val DESC) row_number
+    "ts_profile_columns" ->
+      """WITH m AS MATERIALIZED (
+        |  SELECT 'event_type' AS col_name, CAST(event_type AS VARCHAR) AS val FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+        |  UNION ALL
+        |  SELECT 'value_bucket', CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) FROM events),
+        |c AS MATERIALIZED (SELECT col_name, val, count(*) AS cnt FROM m GROUP BY 1, 2),
+        |s AS (SELECT col_name, SUM(cnt) AS n,
+        |        coalesce(SUM(cnt) FILTER (WHERE val IS NULL), 0) AS n_null,
+        |        count(val) AS n_distinct
+        |      FROM c GROUP BY 1),
+        |t AS (SELECT col_name, cnt AS top_count, val AS top_value,
+        |        row_number() OVER (PARTITION BY col_name
+        |          ORDER BY cnt DESC, val DESC) AS rn
+        |      FROM c WHERE val IS NOT NULL)
+        |SELECT s.col_name, CAST(s.n AS BIGINT) AS n, CAST(s.n_null AS BIGINT) AS n_null,
+        |  s.n_distinct, t.top_count, t.top_value
+        |FROM s JOIN t ON s.col_name = t.col_name AND t.rn = 1
+        |ORDER BY s.col_name""".stripMargin,
 
     // DuckDB sums BIGINT into HUGEINT — cast back before the floor
     // division so both engines divide bigint by bigint

@@ -411,6 +411,60 @@ object Similarity {
     * Eigendecomposition of the d×d output is a driver-side epilogue (64²
     * doubles), which is exactly where it belongs at any corpus size.
     */
+  /** Principal-component projection — the [[gramMatrix]] epilogue made
+    * concrete: collect the d×d Gram (the ONLY driver-side data, d²
+    * doubles at any corpus size), center it into a covariance, extract
+    * the top-k eigenvectors by deterministic power iteration with
+    * Gram-Schmidt deflation (fixed iteration count, fixed basis-vector
+    * start — no RNG), then project every row through one broadcast
+    * literal matrix: k codegen'd dot products per row, no shuffle at
+    * all. This is the whitening/compression path: 64-d float embeddings
+    * → k-d PCA codes with one corpus scan for stats and one for codes.
+    * Sign convention: each eigenvector's largest-|component| entry is
+    * made positive, so the output is reproducible across runs/engines.
+    */
+  def pcaProject(emb: DataFrame, k: Int = 4, dims: Int = 64,
+                 iters: Int = 50): DataFrame = {
+    require(k >= 1 && k <= dims)
+    val n = emb.count().toDouble
+    val sums = emb.select(expr(
+        s"""explode(transform(sequence(0, ${dims - 1}), i ->
+           |  struct(i AS i, cast(embedding[i] as double) AS x))) AS e""".stripMargin))
+      .groupBy(col("e.i")).agg(sum(col("e.x")).as("sx"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val gram = gramMatrix(emb, dims).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(3) / 1e6).toMap
+    val mu = Array.tabulate(dims)(i => sums(i) / n)
+    val cov = Array.tabulate(dims, dims) { (i, j) =>
+      val s = gram(if (i <= j) (i, j) else (j, i))
+      s / n - mu(i) * mu(j)
+    }
+    // power iteration + deflation, deterministic start e_c (c-th basis)
+    val comps = Array.ofDim[Double](k, dims)
+    for (c <- 0 until k) {
+      var v = Array.tabulate(dims)(i => if (i == c) 1.0 else 0.0)
+      for (_ <- 1 to iters) {
+        val w = Array.tabulate(dims)(i =>
+          (0 until dims).map(j => cov(i)(j) * v(j)).sum)
+        // deflate against found components
+        for (p <- 0 until c) {
+          val d = (0 until dims).map(i => w(i) * comps(p)(i)).sum
+          for (i <- 0 until dims) w(i) -= d * comps(p)(i)
+        }
+        val norm = math.sqrt(w.map(x => x * x).sum)
+        v = if (norm > 1e-12) w.map(_ / norm) else v
+      }
+      val pivot = (0 until dims).maxBy(i => math.abs(v(i)))
+      comps(c) = if (v(pivot) < 0) v.map(-_) else v
+    }
+    val pcCols = (0 until k).map { c =>
+      expr(s"aggregate(zip_with(cast(embedding as array<double>), " +
+        s"array(${comps(c).map(x => s"${x}D").mkString(",")}), (x, y) -> x * y), " +
+        s"0.0D, (acc, z) -> acc + z)").as(s"pc${c + 1}")
+    }
+    emb.select(col("vec_id") +: pcCols: _*)
+  }
+
   def gramMatrix(emb: DataFrame, dims: Int = 64): DataFrame =
     emb.select(expr(
         s"""explode(flatten(transform(sequence(0, ${dims - 1}), i ->

@@ -349,6 +349,36 @@ object DocumentStore {
         asofCols.map(c => col(s"__f_$c").as(s"asof_$c")): _*)
   }
 
+  /** One-pass column profiler (collection profiling — the grown-up
+    * version of the reference's `get_unique_sessions` summary, for every
+    * column at once): per column, total rows, nulls, exact distinct
+    * count, and the modal value with its count. The table melts to
+    * (col_name, val) pairs map-side via `stack` (no self-union of
+    * per-column scans — ONE pass over the data), then one
+    * map-side-combined groupBy(col, val) whose shuffle carries
+    * O(distinct values) rows, then a tiny per-column rollup. The modal
+    * value is max(struct(cnt, val)) — highest count, ties to the larger
+    * value string, so the profile is deterministic at any parallelism.
+    * Values compare as strings (profiling semantics, like the reference's
+    * session summary); a high-cardinality column costs its distinct
+    * count in shuffle, never a second scan.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stackArgs = cols.map(c => s"'$c', cast(`$c` as string)").mkString(", ")
+    val melted = df.select(
+      expr(s"stack(${cols.size}, $stackArgs) as (col_name, val)"))
+    melted.groupBy(col("col_name"), col("val"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("col_name"))
+      .agg(sum(col("cnt")).as("n"),
+        sum(when(col("val").isNull, col("cnt")).otherwise(0L)).as("n_null"),
+        count(when(col("val").isNotNull, lit(1))).as("n_distinct"),
+        max(when(col("val").isNotNull, struct(col("cnt"), col("val")))).as("top"))
+      .select(col("col_name"), col("n"), col("n_null"), col("n_distinct"),
+        col("top.cnt").as("top_count"), col("top.val").as("top_value"))
+      .orderBy(col("col_name"))
+  }
+
   /** FORWARD as-of join — each left row takes the EARLIEST right row at
     * or after its time (the mirror of [[asofJoin]]'s latest-at-or-before):
     * "what happened next" semantics — next fill after an order, next

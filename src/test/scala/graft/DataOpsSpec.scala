@@ -1213,6 +1213,41 @@ class DataOpsSpec extends AnyFunSuite {
     assert(g.size === 64 * 65 / 2)
   }
 
+  test("pca recovers a planted dominant direction and orders variance") {
+    import spark.implicits._
+    // vectors = t·u + s·w with |t| ~ 10·|s|: u must come out as PC1
+    val d = 64
+    val u = Array.tabulate(d)(i => if (i % 2 == 0) 1.0f else 0.0f)
+      .map(x => x / math.sqrt(32.0).toFloat)
+    val w = Array.tabulate(d)(i => if (i % 2 == 1) 1.0f else 0.0f)
+      .map(x => x / math.sqrt(32.0).toFloat)
+    val rows = (0 until 200).map { r =>
+      val t = (r % 21 - 10).toFloat          // spread -10..10 along u
+      val s = ((r * 7) % 5 - 2).toFloat / 2  // spread -1..1 along w
+      (r.toLong, Array.tabulate(d)(i => t * u(i) + s * w(i)))
+    }.toDF("vec_id", "embedding")
+    val pcs = Similarity.pcaProject(rows, k = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // projection onto u reproduces t (up to float ingest rounding)
+    rows.collect().map(_.getLong(0)).zip(pcs).foreach { case (_, (id, pc1, _)) =>
+      val t = (id % 21 - 10).toDouble
+      assert(math.abs(math.abs(pc1) - math.abs(t)) < 1e-3 ||
+        math.abs(pc1 - t) < 1e-3 || math.abs(pc1 + t) < 1e-3)
+    }
+    // variance along pc1 strictly dominates pc2
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    val v1 = variance(pcs.map(_._2).toSeq)
+    val v2 = variance(pcs.map(_._3).toSeq)
+    assert(v1 > 10 * v2, s"pc1 variance $v1 must dominate pc2 $v2")
+    // deterministic: a second run is bit-identical
+    val again = Similarity.pcaProject(rows, k = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(pcs.toSeq === again.toSeq)
+  }
+
   test("triangle count is orientation-exact on the part graph") {
     // cross-check the oriented join against an independent brute count
     // over canonical edges (a<b<c closure), feasible at sf0.001

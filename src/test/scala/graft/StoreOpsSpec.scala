@@ -317,6 +317,24 @@ class StoreOpsSpec extends AnyFunSuite {
     assert(out.columns.toSet === Set("_id", "session", "sys_time_sec", "event_type"))
   }
 
+  test("column profiler counts nulls, distincts, and the modal value") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("a"), 1L), (Some("a"), 2L), (Some("b"), 2L), (None, 2L), (None, 3L)
+    ).toDF("s", "x")
+    val p = DocumentStore.profileColumns(df, Seq("s", "x")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+      .toMap
+    assert(p("s") === ((5L, 2L, 2L, 2L, "a")))
+    // modal tie between x=2 (count 3)… no tie: 2 appears 3 times
+    assert(p("x") === ((5L, 0L, 3L, 3L, "2")))
+    // deterministic tie-break: equal counts pick the LARGER value string
+    val tie = Seq("p", "q").toDF("v")
+    val t = DocumentStore.profileColumns(tie, Seq("v")).collect()(0)
+    assert(t.getString(5) === "q")
+  }
+
   test("forward as-of takes the earliest right row at or after, per key") {
     import spark.implicits._
     val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 35L, "c"), (2L, 5L, "d"))
