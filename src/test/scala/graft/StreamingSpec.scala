@@ -300,6 +300,38 @@ class StreamingSpec extends AnyFunSuite {
     })
   }
 
+  test("native session_window streams with a watermark, equal to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    input.addData(sampleEvents: _*)
+    // the same single-hash-agg sessionization the batch scale path uses
+    // (#23 native variant), now incremental: watermark closes a session
+    // once event time moves past gap + delay
+    val agg = input.toDF().withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "7200 seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).cast("long").as("start_sec"),
+        max(col("ts")).cast("long").as("end_sec"))
+      .select("user_id", "start_sec", "end_sec", "n_events")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess_native_stream").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark far past every session so all emit
+      input.addData(Ev(999999L, new Timestamp(sampleEvents.map(_.ts.getTime).max
+        + 10L * 24 * 3600 * 1000), 424242L, "view", "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sess_native_stream")
+      .filter(col("user_id") =!= 424242L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.store.DocumentStore.sessionizeNative(
+        sampleEvents.toDF(), col("user_id"), col("ts"), 7200L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed === batch)
+  }
+
   test("streaming anomaly scorer flags exactly the batch MAD outliers") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
