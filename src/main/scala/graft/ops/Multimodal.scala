@@ -288,4 +288,119 @@ object Multimodal {
         sum(col("meta.n_bytes")).as("total_bytes"),
         min(col("meta.n_bytes")).as("min_bytes"),
         max(col("meta.n_bytes")).as("max_bytes"))
+
+  /** Parsed MP4 sample table: media timescale, per-sample byte sizes,
+    * per-sample decode timestamps in ticks (cumulative stts deltas).
+    */
+  private[ops] case class Mp4Index(timescale: Int, sizes: Array[Int],
+                                   tsTicks: Array[Long], durationTicks: Long)
+
+  /** REAL MP4 container parsing — an ISO BMFF box walk to the sample
+    * tables (`moov/trak/mdia/{mdhd,minf/stbl/{stts,stsz}}`), pure JVM,
+    * no codec: frame count, timing, and byte sizes come from the actual
+    * container index, which is what a lakehouse video table needs for
+    * layout/stats/frame-addressing BEFORE any decoder runs (decode
+    * itself stays stubbed — codecs aren't in this container). Big-endian
+    * box sizes, first sample-table-bearing trak wins, malformed input → None
+    * (skip-on-error semantics, like every other decoder here).
+    */
+  private[ops] def parseMp4(b: Array[Byte]): Option[Mp4Index] = {
+    def u4(i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    def tag(i: Int) = new String(b, i, 4, "US-ASCII")
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    var timescale = 0
+    var sizes: Array[Int] = null
+    var deltas: Array[(Long, Long)] = null // (count, delta)
+    def walk(from: Int, to: Int): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val size = u4(i)
+        if (size < 8 || i + size > to) return // malformed/64-bit: bail
+        val t = tag(i + 4)
+        val body = i + 8
+        if (containers(t)) walk(body, i + size.toInt)
+        else t match {
+          case "mdhd" if size >= 24 && b(body) == 0 => // version 0 only
+            if (timescale == 0) timescale = u4(body + 12).toInt
+          case "stts" if size >= 16 =>
+            val n = u4(body + 4).toInt
+            if (deltas == null && n >= 0 && size >= 16 + 8L * n)
+              deltas = Array.tabulate(n)(k =>
+                (u4(body + 8 + 8 * k), u4(body + 12 + 8 * k)))
+          case "stsz" if size >= 20 =>
+            val fixed = u4(body + 4)
+            val n = u4(body + 8).toInt
+            if (sizes == null && n >= 0)
+              sizes =
+                if (fixed != 0) Array.fill(n)(fixed.toInt)
+                else if (size >= 20 + 4L * n)
+                  Array.tabulate(n)(k => u4(body + 12 + 4 * k).toInt)
+                else null
+          case _ => ()
+        }
+        i += size.toInt
+      }
+    }
+    try {
+      if (b.length < 12 || tag(4) != "ftyp") None
+      else {
+        walk(0, b.length)
+        if (timescale <= 0 || sizes == null || deltas == null) None
+        else {
+          val ts = Array.ofDim[Long](sizes.length)
+          var t = 0L; var k = 0; var e = 0; var inRun = 0L
+          while (k < sizes.length && e < deltas.length) {
+            ts(k) = t
+            t += deltas(e)._2
+            inRun += 1
+            if (inRun >= deltas(e)._1) { inRun = 0; e += 1 }
+            k += 1
+          }
+          if (k < sizes.length) None // stts doesn't cover every sample
+          else Some(Mp4Index(timescale, sizes, ts, t))
+        }
+      }
+    } catch { case _: Exception => None }
+  }
+
+  val VideoIndexSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("timescale", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("duration_ticks", LongType),
+    StructField("total_frame_bytes", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("t_ticks", LongType),
+    StructField("frame_bytes", IntegerType)))
+
+  /** Per-video frame index from the REAL container sample tables: one
+    * row per every-Nth frame carrying its decode timestamp and byte
+    * size, plus whole-video stats on every row. Partition-local flatMap
+    * (no shuffle, fan-out ⌈frames/everyN⌉) — the frame-addressing step
+    * that lets a later decoder seek straight to wanted samples instead
+    * of demuxing 100 TB of video to find them. Non-MP4 or malformed
+    * payloads are skipped (the standing skip-on-error contract).
+    */
+  def videoIndex(assets: DataFrame, everyN: Int = 2): DataFrame = {
+    require(everyN > 0)
+    val spark = assets.sparkSession
+    val rdd = assets.select("asset_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        val id = row.getLong(0)
+        parseMp4(row.getAs[Array[Byte]](1)) match {
+          case None => Iterator.empty
+          case Some(ix) =>
+            val dur = ix.durationTicks
+            val total = ix.sizes.foldLeft(0L)(_ + _)
+            (0 until ix.sizes.length by everyN).iterator.map { f =>
+              Row(id, ix.timescale, ix.sizes.length, dur, total,
+                f, ix.tsTicks(f), ix.sizes(f))
+            }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, VideoIndexSchema)
+  }
 }

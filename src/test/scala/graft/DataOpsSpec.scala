@@ -533,6 +533,38 @@ class DataOpsSpec extends AnyFunSuite {
     assert(Multimodal.frameSample(one, 16, 2).count() === expect)
   }
 
+  test("videoIndex parses a real MP4 sample table, skips non-MP4 bytes") {
+    import spark.implicits._
+    import java.nio.ByteBuffer
+    def be32(v: Int): Array[Byte] = ByteBuffer.allocate(4).putInt(v).array()
+    def box(tag: String, parts: Array[Byte]*): Array[Byte] = {
+      val body = parts.flatten.toArray
+      be32(8 + body.length) ++ tag.getBytes("US-ASCII") ++ body
+    }
+    // timescale 1000; stts [(3 samples, 100 ticks), (2 samples, 50)] →
+    // decode ts 0,100,200,300,350, duration 400; stsz [10,20,30,40,50]
+    val mdhd = box("mdhd", be32(0), be32(0), be32(0), be32(1000), be32(400),
+      be32(0))
+    val stts = box("stts", be32(0), be32(2),
+      be32(3), be32(100), be32(2), be32(50))
+    val stsz = box("stsz", be32(0), be32(0), be32(5),
+      be32(10), be32(20), be32(30), be32(40), be32(50))
+    val mp4 = box("ftyp", "isom".getBytes, be32(0)) ++
+      box("moov", box("trak", box("mdia", mdhd,
+        box("minf", box("stbl", stts, stsz)))))
+    val df = Seq((1L, "video", mp4), (2L, "video", Array[Byte](1, 2, 3, 4)))
+      .toDF("asset_id", "kind", "payload")
+    val assets = Multimodal.toAsset(df, col("asset_id"), col("kind"), col("payload"))
+    val rows = Multimodal.videoIndex(assets, everyN = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getInt(5), r.getLong(6), r.getInt(7))).sortBy(_._6)
+    // malformed asset 2 skipped; asset 1: frames 0,2,4 at ts 0,200,350
+    assert(rows.toSeq === Seq(
+      (1L, 1000, 5, 400L, 150L, 0, 0L, 10),
+      (1L, 1000, 5, 400L, 150L, 2, 200L, 30),
+      (1L, 1000, 5, 400L, 150L, 4, 350L, 50)))
+  }
+
   test("GraftExtensions exposes native functions to plain SQL sessions") {
     import org.apache.spark.sql.SparkSession
     // force a genuinely new session: getOrCreate would return the shared
