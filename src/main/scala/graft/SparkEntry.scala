@@ -316,6 +316,18 @@ object SparkEntry {
     "events_anomaly_mad" -> ((s, dir) => Analytics.anomalyMad(s, dir)),
     // time-weighted average per series — exact integer value×duration sums
     "ts_twap" -> ((s, dir) => Analytics.twap(s, dir)),
+    // interval×interval overlap join via responsibility bins (no dedup)
+    "ts_session_overlap" -> ((s, dir) => {
+      val sess = DocumentStore.sessionize(ev(s, dir), col("user_id"),
+        Documents.tsSec(col("ts")), col("event_id"), 7200L)
+      DocumentStore.intervalOverlaps(
+          sess.select(
+            (col("user_id") * 100000L + col("session_idx")).as("id"),
+            col("start_sec").as("lo"), col("end_sec").as("hi")),
+          binSec = 3600L)
+        .select(col("id1"), col("id2"), (col("ov_hi") - col("ov_lo")).as("ov_sec"))
+        .orderBy("id1", "id2")
+    }),
     // one-pass multi-column profile: n / nulls / distinct / modal value
     "ts_profile_columns" -> ((s, dir) =>
       DocumentStore.profileColumns(
@@ -1402,6 +1414,28 @@ object SparkEntry {
         |FROM wm JOIN mad USING (event_type)
         |WHERE mad > 0 AND abs(value - med) > mad * 6.0
         |ORDER BY event_type, event_id""".stripMargin,
+
+    // sessions rebuilt with the proven ts_sessionize SQL, then a plain
+    // range self-join — the hash-match proves the binned responsibility
+    // join emits each overlapping pair exactly once
+    "ts_session_overlap" ->
+      """WITH e AS MATERIALIZED (SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+        |l AS (SELECT *, CASE WHEN lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) IS NULL
+        |               OR ts_sec - lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) > 7200
+        |             THEN 1 ELSE 0 END AS is_new
+        |      FROM e),
+        |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS session_idx FROM l),
+        |sess AS MATERIALIZED (
+        |  SELECT user_id * 100000 + CAST(session_idx AS BIGINT) AS id,
+        |    min(ts_sec) AS lo, max(ts_sec) AS hi
+        |  FROM s GROUP BY user_id, session_idx)
+        |SELECT a.id AS id1, b.id AS id2,
+        |  least(a.hi, b.hi) - greatest(a.lo, b.lo) AS ov_sec
+        |FROM sess a JOIN sess b
+        |  ON a.lo <= b.hi AND b.lo <= a.hi AND a.id < b.id
+        |ORDER BY id1, id2""".stripMargin,
 
     // per-column stats from one melted union; the modal pick mirrors
     // max(struct(cnt, val)) as a (cnt DESC, val DESC) row_number

@@ -349,6 +349,38 @@ object DocumentStore {
         asofCols.map(c => col(s"__f_$c").as(s"asof_$c")): _*)
   }
 
+  /** Interval-overlap SELF-join: all pairs of intervals that intersect
+    * in time (concurrent sessions, overlapping captures) — the
+    * interval×interval sibling of the point-in-interval range join
+    * (#23b). Both intervals explode to their covered time bins and meet
+    * in an EQUALITY join on the bin; the exact overlap predicate runs as
+    * a residual. The pair-dedup that bin joins normally need (an
+    * interval pair can share many bins) costs NOTHING here: the
+    * RESPONSIBILITY condition `bin == greatest(lo1,lo2) div binSec`
+    * accepts each qualifying pair at exactly one bin — the one where the
+    * later interval starts — so there is no distinct pass and the
+    * shuffle is O(Σ interval-bins) in, O(pairs) out. Size `binSec` near
+    * the typical interval length (bins/interval stays O(1)); a bin with
+    * k concurrent intervals contributes k² candidate rows — the
+    * irreducible overlap-join hot spot, an equality key AQE can
+    * skew-split. Input needs (id, lo, hi); emits id1 < id2 with the
+    * overlap window.
+    */
+  def intervalOverlaps(iv: DataFrame, binSec: Long): DataFrame = {
+    require(binSec > 0)
+    val b = iv.select(col("id"), col("lo"), col("hi"),
+      explode(sequence(expr(s"lo div ${binSec}L"), expr(s"hi div ${binSec}L")))
+        .as("bin"))
+    b.as("x").join(b.as("y"),
+        col("x.bin") === col("y.bin") &&
+          col("x.id") < col("y.id") &&
+          col("x.lo") <= col("y.hi") && col("y.lo") <= col("x.hi") &&
+          col("x.bin") === expr(s"greatest(x.lo, y.lo) div ${binSec}L"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"),
+        greatest(col("x.lo"), col("y.lo")).as("ov_lo"),
+        least(col("x.hi"), col("y.hi")).as("ov_hi"))
+  }
+
   /** One-pass column profiler (collection profiling — the grown-up
     * version of the reference's `get_unique_sessions` summary, for every
     * column at once): per column, total rows, nulls, exact distinct

@@ -317,6 +317,28 @@ class StoreOpsSpec extends AnyFunSuite {
     assert(out.columns.toSet === Set("_id", "session", "sys_time_sec", "event_type"))
   }
 
+  test("interval overlaps emit each intersecting pair exactly once") {
+    import spark.implicits._
+    // overlapping, touching, disjoint, nested, and multi-bin-spanning
+    // intervals; binSec = 10 so several pairs share many bins
+    val iv = Seq(
+      (1L, 0L, 25L), (2L, 20L, 40L), (3L, 40L, 45L), (4L, 50L, 60L),
+      (5L, 5L, 8L), (6L, 100L, 200L), (7L, 150L, 160L)
+    ).toDF("id", "lo", "hi")
+    val got = DocumentStore.intervalOverlaps(iv, binSec = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val rows = Seq((1L, 0L, 25L), (2L, 20L, 40L), (3L, 40L, 45L), (4L, 50L, 60L),
+      (5L, 5L, 8L), (6L, 100L, 200L), (7L, 150L, 160L))
+    val brute = (for {
+      (a, al, ah) <- rows; (b, bl, bh) <- rows
+      if a < b && al <= bh && bl <= ah
+    } yield (a, b, math.max(al, bl), math.min(ah, bh))).sorted
+    assert(got === brute)
+    // every pair appears exactly once despite sharing multiple bins
+    assert(got.map(p => (p._1, p._2)).distinct.size === got.size)
+  }
+
   test("column profiler counts nulls, distincts, and the modal value") {
     import spark.implicits._
     val df = Seq(
