@@ -312,6 +312,8 @@ object SparkEntry {
     "q22_idle_balances" -> ((s, dir) => Analytics.idleCustomerBalances(s, dir)),
     // Q21 EXISTS/NOT-EXISTS pair decorrelated to one per-order aggregate
     "q21_waiting_suppliers" -> ((s, dir) => Analytics.waitingSuppliers(s, dir)),
+    // 2-D Pareto frontier via distributive local/global frontier sweeps
+    "part_skyline" -> ((s, dir) => Analytics.partSkyline(s, dir)),
     // median/MAD outliers per event_type — robust anomaly detection
     "events_anomaly_mad" -> ((s, dir) => Analytics.anomalyMad(s, dir)),
     // time-weighted average per series — exact integer value×duration sums
@@ -1380,6 +1382,16 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = r.c_custkey
         |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // the quadratic NOT-EXISTS dominance spelling — the hash-match
+    // proves the two-phase frontier sweep computes the exact skyline
+    "part_skyline" ->
+      """SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+        |FROM part a
+        |WHERE NOT EXISTS (SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+        |ORDER BY p_partkey""".stripMargin,
 
     // the classic correlated EXISTS/NOT-EXISTS spelling — cross-checks
     // the Spark side's decorrelated per-order-aggregate plan

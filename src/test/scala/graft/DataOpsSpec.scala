@@ -1245,6 +1245,30 @@ class DataOpsSpec extends AnyFunSuite {
     assert(g.size === 64 * 65 / 2)
   }
 
+  test("skyline keeps exactly the non-dominated set, duplicates included") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, 1.0, 10L), (2L, 2.0, 20L), (3L, 3.0, 15L), // 3 dominated by 2
+      (4L, 2.0, 20L),  // exact duplicate of 2: both survive
+      (5L, 0.5, 5L),   // cheapest: survives
+      (6L, 1.0, 9L),   // same price as 1, lower y: dominated
+      (7L, 4.0, 20L)   // same y as 2, pricier: dominated
+    ).toDF("id", "x", "y").repartition(3) // force multi-partition phase 1
+    val got = ops.Analytics.skyline2D(pts).collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L, 4L, 5L))
+    // cross-check against brute dominance on the part table
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val brute = parts.filter { case (a, ax, ay) =>
+      !parts.exists { case (b, bx, by) =>
+        b != a && bx <= ax && by >= ay && (bx < ax || by > ay)
+      }
+    }.map(_._1).toSet
+    val sky = ops.Analytics.partSkyline(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(sky === brute)
+  }
+
   test("pca recovers a planted dominant direction and orders variance") {
     import spark.implicits._
     // vectors = t·u + s·w with |t| ~ 10·|s|: u must come out as PC1
