@@ -314,6 +314,10 @@ object SparkEntry {
     "q21_waiting_suppliers" -> ((s, dir) => Analytics.waitingSuppliers(s, dir)),
     // 2-D Pareto frontier via distributive local/global frontier sweeps
     "part_skyline" -> ((s, dir) => Analytics.partSkyline(s, dir)),
+    // ER blocking-key join + levenshtein confirm (typo-dup detection)
+    "dedup_fuzzy_prefix" -> ((s, dir) =>
+      Dedup.fuzzyPrefixPairs(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy("id1", "id2")),
     // median/MAD outliers per event_type — robust anomaly detection
     "events_anomaly_mad" -> ((s, dir) => Analytics.anomalyMad(s, dir)),
     // time-weighted average per series — exact integer value×duration sums
@@ -1382,6 +1386,19 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = r.c_custkey
         |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // identical blocking key (first-3-words of the normalized 80-char
+    // prefix) and DuckDB's own levenshtein as the confirm
+    "dedup_fuzzy_prefix" ->
+      """WITH d AS MATERIALIZED (SELECT doc_id AS id,
+        |    substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 80) AS pfx
+        |  FROM documents),
+        |b AS MATERIALIZED (SELECT id, pfx,
+        |    array_to_string(string_split(pfx, ' ')[1:3], ' ') AS blk FROM d)
+        |SELECT x.id AS id1, y.id AS id2, levenshtein(x.pfx, y.pfx) AS dist
+        |FROM b x JOIN b y ON x.blk = y.blk AND x.id < y.id
+        |WHERE levenshtein(x.pfx, y.pfx) <= 20
+        |ORDER BY id1, id2""".stripMargin,
 
     // the quadratic NOT-EXISTS dominance spelling — the hash-match
     // proves the two-phase frontier sweep computes the exact skyline

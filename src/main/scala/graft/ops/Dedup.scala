@@ -631,4 +631,31 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
   }
+
+  /** Entity-resolution-style fuzzy dedup: BLOCKING KEY + edit-distance
+    * confirm. Documents sharing a deterministic blocking key (their
+    * opening `blockWords` words, normalized) pair up in an equality
+    * join; survivors are pairs whose `prefixLen`-char prefixes are
+    * within Levenshtein distance `maxDist` (codegen'd builtin — O(len²)
+    * per candidate pair, never per corpus pair). The blocking key is
+    * PART OF THE CONTRACT (standard ER practice — recall is bounded by
+    * the blocker), which is what makes the operator exact, oracle-able,
+    * and scale-shaped: the shuffle is the equality join on the key, a
+    * hot block contributes |block|² candidates (the ER hot spot — an
+    * equality key AQE can skew-split), and the quadratic confirm runs
+    * only inside blocks. Catches the typo/near-verbatim duplicates that
+    * token-set measures (Jaccard) miss because every shingle differs.
+    */
+  def fuzzyPrefixPairs(df: DataFrame, idCol: Column, textCol: Column,
+                       maxDist: Int = 20, prefixLen: Int = 80,
+                       blockWords: Int = 3): DataFrame = {
+    val base = df.select(idCol.as("id"),
+        substring(graft.ops.TextAnalysis.normalize(textCol), 1, prefixLen).as("pfx"))
+      .withColumn("blk", expr(s"substring_index(pfx, ' ', $blockWords)"))
+    base.as("a").join(base.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("dist", levenshtein(col("a.pfx"), col("b.pfx")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("dist"))
+  }
 }

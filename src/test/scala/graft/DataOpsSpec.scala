@@ -1245,6 +1245,26 @@ class DataOpsSpec extends AnyFunSuite {
     assert(g.size === 64 * 65 / 2)
   }
 
+  test("fuzzy prefix dedup catches typo-dups inside a block, not across") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fax jumps ovr the lazy dog tonite"), // typos, same block
+      (3L, "the quick brown completely different tail of words here"),
+      (4L, "an entirely different opening so another block entirely")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.fuzzyPrefixPairs(docs, col("doc_id"), col("text"),
+        maxDist = 8, prefixLen = 80, blockWords = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(pairs.head._3 > 0 && pairs.head._3 <= 8)
+    // the caught pair shares almost no word-3-grams — token-set Jaccard
+    // at any useful threshold structurally misses it
+    val j = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!j.contains((1L, 2L)))
+  }
+
   test("skyline keeps exactly the non-dominated set, duplicates included") {
     import spark.implicits._
     val pts = Seq(
