@@ -240,6 +240,52 @@ object Monitor {
         col(s"l.$leftTs") <= col(s"r.$rightTs") + expr(s"INTERVAL $maxGapSec SECONDS"))
   }
 
+  case class TwapEvent(event_type: String, event_id: Long, t: Long, vm: Long)
+  /** lastT == Long.MinValue ⇔ no observation yet. */
+  case class TwapState(lastT: Long, lastVm: Long, sdt: Long, svdt: Long)
+  case class TwapOut(event_type: String, sdt: Long, twap_micro: Long)
+
+  /** Streaming twin of `Analytics.twap` (§2b 28ap): per-series
+    * time-weighted averages maintained live. State per key is four longs
+    * — the open observation and the two exact integer sums; each arrival
+    * CLOSES the previous observation's holding segment (dt, dt·vm), which
+    * is precisely the batch contract (the newest observation holds no
+    * duration yet), so after any prefix of the stream the emitted
+    * (sdt, twap_micro) equals the batch operator over the same prefix
+    * bit-for-bit. Same ordering contract as [[Funnel]]: in-batch events
+    * sort by (t, id); across batches per-key arrival must respect event
+    * time (true for per-topic ordered capture; the order-free batch
+    * recompute recovers anything else).
+    */
+  def twapUpdate(key: String, events: Iterator[TwapEvent],
+                 state: org.apache.spark.sql.streaming.GroupState[TwapState]): Iterator[TwapOut] = {
+    val init = state.getOption.getOrElse(TwapState(Long.MinValue, 0L, 0L, 0L))
+    var s = init
+    events.toSeq.sortBy(e => (e.t, e.event_id)).foreach { e =>
+      s = if (s.lastT == Long.MinValue) TwapState(e.t, e.vm, 0L, 0L)
+      else TwapState(e.t, e.vm, s.sdt + (e.t - s.lastT),
+        s.svdt + (e.t - s.lastT) * s.lastVm)
+    }
+    if (s == init) Iterator.empty
+    else {
+      state.update(s)
+      if (s.sdt > 0) Iterator.single(TwapOut(key, s.sdt, s.svdt / s.sdt))
+      else Iterator.empty
+    }
+  }
+
+  /** Wire [[twapUpdate]] over a (possibly streaming) event set. */
+  def twapStream(events: org.apache.spark.sql.Dataset[TwapEvent])
+                (implicit spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.Dataset[TwapOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (k: String, it: Iterator[TwapEvent],
+         st: org.apache.spark.sql.streaming.GroupState[TwapState]) =>
+          twapUpdate(k, it, st))
+  }
+
   /** Streaming twin of the MAD anomaly detector's SCORE step
     * (`Analytics.anomalyMad`): flag live rows against BATCH-TRAINED
     * per-key (median, MAD) stats — the train-offline / score-online

@@ -300,6 +300,35 @@ class StreamingSpec extends AnyFunSuite {
     })
   }
 
+  test("streaming twap equals the batch operator after every prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ss = spark
+    import spark.implicits._
+    val all = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), col("ts").cast("long").as("t"),
+        expr("cast(round(value * 1000000.0D) as bigint)").as("vm"))
+      .as[Monitor.TwapEvent].collect().sortBy(e => (e.t, e.event_id))
+    val input = MemoryStream[Monitor.TwapEvent]
+    val q = Monitor.twapStream(input.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("twap_stream").start()
+    try {
+      // three time-ordered micro-batches: per-key arrival stays in order
+      all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // sdt grows monotonically: the max-sdt row per key is the final state
+    val streamed = spark.table("twap_stream")
+      .groupBy("event_type")
+      .agg(max(struct(col("sdt"), col("twap_micro"))).as("f"))
+      .select(col("event_type"), col("f.sdt"), col("f.twap_micro"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.ops.Analytics.twap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
   test("native session_window streams with a watermark, equal to batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
