@@ -312,6 +312,10 @@ object SparkEntry {
     "q22_idle_balances" -> ((s, dir) => Analytics.idleCustomerBalances(s, dir)),
     // Q21 EXISTS/NOT-EXISTS pair decorrelated to one per-order aggregate
     "q21_waiting_suppliers" -> ((s, dir) => Analytics.waitingSuppliers(s, dir)),
+    // Q2 correlated-min subquery decorrelated: grouped min + join-back
+    "q2_min_cost_supplier" -> ((s, dir) => Analytics.minCostSupplier(s, dir)),
+    // Q20 double-nested aggregate subquery as one grouped agg + semi-join
+    "q20_concentrated_shippers" -> ((s, dir) => Analytics.concentratedShippers(s, dir)),
     // 2-D Pareto frontier via distributive local/global frontier sweeps
     "part_skyline" -> ((s, dir) => Analytics.partSkyline(s, dir)),
     // ER blocking-key join + levenshtein confirm (typo-dup detection)
@@ -320,6 +324,12 @@ object SparkEntry {
         .orderBy("id1", "id2")),
     // median/MAD outliers per event_type — robust anomaly detection
     "events_anomaly_mad" -> ((s, dir) => Analytics.anomalyMad(s, dir)),
+    // sliding 7-day distinct users: user-day dedup + window-end explode
+    "events_sliding_dau" -> ((s, dir) => Analytics.slidingActiveUsers(s, dir)),
+    // first-order Markov matrix of event-type transitions per user
+    "events_transition_matrix" -> ((s, dir) => Analytics.transitionMatrix(s, dir)),
+    // running distinct-types-so-far per user: first-seen flag + running sum
+    "events_running_distinct" -> ((s, dir) => Analytics.runningDistinct(s, dir)),
     // time-weighted average per series — exact integer value×duration sums
     "ts_twap" -> ((s, dir) => Analytics.twap(s, dir)),
     // interval×interval overlap join via responsibility bins (no dedup)
@@ -1428,6 +1438,83 @@ object SparkEntry {
         |                  WHERE l3.l_orderkey = l1.l_orderkey
         |                    AND l3.l_suppkey <> l1.l_suppkey)
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    // the correlated spelling Spark decorrelates: cost = (SELECT min ...)
+    // per part; unit cost is one IEEE double division in both engines
+    "q2_min_cost_supplier" ->
+      """WITH sup AS MATERIALIZED (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |offers AS MATERIALIZED (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem
+        |  WHERE l_quantity > 0
+        |    AND l_suppkey IN (SELECT s_suppkey FROM sup)
+        |    AND l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_type = 'STANDARD' AND p_size <= 10)
+        |  GROUP BY 1, 2)
+        |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, unit_cost
+        |FROM offers JOIN sup ON l_suppkey = s_suppkey
+        |WHERE unit_cost = (SELECT min(o2.unit_cost) FROM offers o2
+        |                   WHERE o2.l_partkey = offers.l_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    // the literal double-nested correlated spelling (two aggregate
+    // subqueries); exact decimal quantity sums, 2*qty_yr avoids 0.5
+    "q20_concentrated_shippers" ->
+      """WITH conc AS MATERIALIZED (
+        |  SELECT DISTINCT l_suppkey FROM (
+        |    SELECT l_suppkey, l_partkey,
+        |      SUM(CAST(CASE WHEN year(l_shipdate) = 1997 THEN l_quantity
+        |               ELSE 0 END AS DECIMAL(28,8))) AS qty_yr,
+        |      SUM(CAST(l_quantity AS DECIMAL(28,8))) AS qty_all
+        |    FROM lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                        WHERE p_name LIKE 'red %')
+        |    GROUP BY 1, 2) t
+        |  WHERE qty_yr * 2 > qty_all)
+        |SELECT s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND s_suppkey IN (SELECT l_suppkey FROM conc)
+        |ORDER BY s_name""".stripMargin,
+
+    // window-end explode via range(); date + int arithmetic in both engines
+    "events_sliding_dau" ->
+      """WITH ud AS MATERIALIZED (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |mx AS MATERIALIZED (SELECT max(d) AS max_d FROM ud),
+        |ex AS MATERIALIZED (SELECT user_id, d + CAST(r.range AS INT) AS w_day
+        |                    FROM ud CROSS JOIN range(7) r)
+        |SELECT w_day, count(DISTINCT user_id) AS dau7
+        |FROM ex, mx WHERE w_day <= max_d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // integer window sum keeps the normalizer exact; p is one double op
+    "events_transition_matrix" ->
+      """WITH e AS MATERIALIZED (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |pr AS MATERIALIZED (SELECT user_id, event_id, event_type, ts_us,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+        |      FROM e),
+        |c AS MATERIALIZED (SELECT prev_type, event_type AS next_type, count(*) AS n
+        |     FROM pr WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
+
+    // first-occurrence flag + running sum — the two-window reshape
+    "events_running_distinct" ->
+      """WITH e AS MATERIALIZED (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |f AS MATERIALIZED (SELECT *, CASE WHEN row_number() OVER (
+        |        PARTITION BY user_id, event_type ORDER BY ts_us, event_id) = 1
+        |      THEN 1 ELSE 0 END AS first_seen FROM e)
+        |SELECT event_id, user_id,
+        |  SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS distinct_so_far
+        |FROM f ORDER BY user_id, event_id""".stripMargin,
 
     // same interpolated percentile as agg_quantiles; the score division
     // is one IEEE double op, rounded to 4 dp on both sides

@@ -493,6 +493,164 @@ object Analytics {
       .orderBy(col("nation_bal").desc, col("s_nationkey"))
   }
 
+  /** TPC-H Q2 pattern: correlated min-over-group subquery — the min-cost
+    * supplier per part within a region — decorrelated into a grouped min
+    * plus an equality join-back, the scalable spelling of
+    * `WHERE cost = (SELECT min(cost) ... WHERE correlated)`. The catalog
+    * has no partsupp table, so the offer relation derives from lineitem:
+    * a (part, supplier) pair's unit cost is its minimum observed
+    * `l_extendedprice / l_quantity` (IEEE double division — bit-identical
+    * in any engine, so the join-back on the double cost is exact).
+    * Region suppliers and filtered parts prune the lineitem scan through
+    * BROADCAST joins before the one real shuffle (the grouped min on
+    * (partkey, suppkey)); the per-part best and the supplier dim join
+    * back as broadcasts too, so a 100 TB lineitem costs exactly one
+    * shuffle of its filtered slice. Ordered by account balance like the
+    * original Q2 top-100 (s_name and p_partkey make the order total).
+    */
+  def minCostSupplier(spark: SparkSession, dir: String,
+                      regionName: String = "ASIA"): DataFrame = {
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_type") === "STANDARD" && col("p_size") <= 10)
+      .select("p_partkey")
+    val offers = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 0.0)
+      .join(broadcast(sup.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val best = offers.groupBy(col("l_partkey").as("bp"))
+      .agg(min(col("unit_cost")).as("best_cost"))
+    offers
+      .join(broadcast(best), col("l_partkey") === col("bp") && col("unit_cost") === col("best_cost"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("unit_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q20 pattern: the double-nested aggregate subquery — suppliers
+    * whose shipped quantity of a name-filtered part set in one year
+    * exceeds HALF their all-time quantity for the same (part, supplier)
+    * pair (the catalog has no `ps_availqty`, so "excess stock" becomes
+    * concentration in the target year — same nesting, same join chain).
+    * Both the conditional year-sum and the total come out of ONE grouped
+    * aggregate (no second lineitem scan, unlike the literal correlated
+    * spelling), the ratio filter runs in exact decimal (`2*qty_yr >
+    * qty_all` — no 0.5 rounding), and the survivors semi-join into the
+    * region-filtered supplier dim. Shuffle cost: one grouped agg over
+    * the part-filtered lineitem slice; everything else is broadcast.
+    */
+  def concentratedShippers(spark: SparkSession, dir: String,
+                           namePrefix: String = "red ", yr: Int = 1997,
+                           regionName: String = "EUROPE"): DataFrame = {
+    val pk = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith(namePrefix))
+      .select("p_partkey")
+    val conc = Tables.lineitem(spark, dir)
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(
+        sum(when(year(col("l_shipdate")) === yr, col("l_quantity"))
+          .otherwise(0.0).cast("decimal(28,8)")).as("qty_yr"),
+        sum(col("l_quantity").cast("decimal(28,8)")).as("qty_all"))
+      .filter(col("qty_yr") * 2 > col("qty_all"))
+      .select(col("l_suppkey"))
+      .distinct()
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(conc), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
+  /** Sliding-window distinct count — 7-day rolling active users per day —
+    * at event-log scale. `COUNT(DISTINCT user) OVER (RANGE 6 DAYS
+    * PRECEDING)` has no scalable direct form (Spark rejects DISTINCT in
+    * windows, and a naive self-join re-reads the log per day), so the
+    * classic reshape: dedup to (user, active-day) rows first — the only
+    * per-event work, one map-side-combined distinct — then each user-day
+    * votes into the ≤`windowDays` window-ends it can influence via a
+    * tiny sequence explode, and a grouped exact count-distinct finishes.
+    * Shuffle is O(distinct user-days × windowDays), independent of raw
+    * event volume: a power user costs one row per active day, not one
+    * per event. Leading partial windows are kept (days 1..6 of the log
+    * see shorter lookback, like the SQL form); window-ends past the last
+    * log day are dropped.
+    */
+  def slidingActiveUsers(spark: SparkSession, dir: String,
+                         windowDays: Int = 7): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val maxD = ud.agg(max(col("d")).as("max_d"))
+    ud.select(col("user_id"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"), col("d"))
+      .select(col("user_id"), date_add(col("d"), col("off")).as("w_day"))
+      .crossJoin(broadcast(maxD))
+      .filter(col("w_day") <= col("max_d"))
+      .groupBy(col("w_day"))
+      .agg(countDistinct(col("user_id")).as("dau7"))
+      .orderBy(col("w_day"))
+  }
+
+  /** First-order Markov transition matrix over each user's event stream:
+    * lag() pairs consecutive event types per user (one exchange+sort on
+    * user_id — the same shuffle every per-user window op shares), the
+    * (prev → next) pairs reduce map-side into a |types|² matrix, and
+    * row-normalized probabilities come from a window sum over that tiny
+    * matrix — no second pass over the events. The probability is one
+    * IEEE double division per cell, deterministic in any engine;
+    * microsecond timestamps + event_id make the per-user order total.
+    */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    pairs.groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))).cast("double"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  /** Running distinct-count per user (how many distinct event types seen
+    * so far, at every event): DISTINCT inside a running frame is
+    * unsupported, and the collect_set folk version carries O(history)
+    * state per row. The scalable reshape: flag the FIRST occurrence of
+    * each (user, type) with a row_number over one window, then a running
+    * sum of flags over the user timeline — per-row state is one long
+    * regardless of history. Two exchanges total (the flag window keys by
+    * (user, type), the timeline by user); at 100 TB both hash-partition
+    * cleanly and neither collects anything driver-side.
+    */
+  def runningDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val timeline = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("first_seen",
+        when(row_number().over(byType) === 1, 1L).otherwise(0L))
+      .withColumn("distinct_so_far", sum(col("first_seen")).over(timeline))
+      .select(col("event_id"), col("user_id"), col("distinct_so_far"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Ordered-sequence funnel: how many users progress through the event
     * stages in ORDER (a later stage only counts if it happens strictly
     * after some completion of the previous one). The per-row "stage k

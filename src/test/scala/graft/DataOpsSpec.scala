@@ -1340,4 +1340,106 @@ class DataOpsSpec extends AnyFunSuite {
     e.unpersist()
     assert(fast === brute)
   }
+
+  test("q2 decorrelated min-cost join equals the correlated SQL spelling") {
+    Tables.lineitem(spark, sf).createOrReplaceTempView("q2_li")
+    Tables.part(spark, sf).createOrReplaceTempView("q2_part")
+    Tables.supplier(spark, sf).createOrReplaceTempView("q2_sup")
+    Tables.nation(spark, sf).createOrReplaceTempView("q2_nat")
+    Tables.region(spark, sf).createOrReplaceTempView("q2_reg")
+    val classic = spark.sql(
+      """WITH sup AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM q2_sup JOIN q2_nat ON s_nationkey = n_nationkey
+        |  JOIN q2_reg ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
+        |offers AS (SELECT l_partkey, l_suppkey,
+        |    min(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM q2_li
+        |  WHERE l_quantity > 0
+        |    AND l_suppkey IN (SELECT s_suppkey FROM sup)
+        |    AND l_partkey IN (SELECT p_partkey FROM q2_part
+        |                      WHERE p_type = 'STANDARD' AND p_size <= 10)
+        |  GROUP BY 1, 2)
+        |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, unit_cost
+        |FROM offers o JOIN sup ON l_suppkey = s_suppkey
+        |WHERE unit_cost = (SELECT min(o2.unit_cost) FROM offers o2
+        |                   WHERE o2.l_partkey = o.l_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    val decorr = ops.Analytics.minCostSupplier(spark, sf).collect().map(_.toSeq).toSeq
+    assert(decorr.nonEmpty && decorr === classic)
+  }
+
+  test("q20 one-pass conditional agg equals the nested correlated spelling") {
+    Tables.lineitem(spark, sf).createOrReplaceTempView("q20_li")
+    Tables.part(spark, sf).createOrReplaceTempView("q20_part")
+    Tables.supplier(spark, sf).createOrReplaceTempView("q20_sup")
+    Tables.nation(spark, sf).createOrReplaceTempView("q20_nat")
+    Tables.region(spark, sf).createOrReplaceTempView("q20_reg")
+    // the literal Q20 nesting: the year aggregate correlates into a
+    // threshold over the all-time aggregate, per (supplier, part)
+    val classic = spark.sql(
+      """SELECT s_name, s_acctbal
+        |FROM q20_sup JOIN q20_nat ON s_nationkey = n_nationkey
+        |JOIN q20_reg ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE' AND s_suppkey IN (
+        |  SELECT t.l_suppkey FROM (
+        |    SELECT l_suppkey, l_partkey,
+        |      SUM(CAST(CASE WHEN year(l_shipdate) = 1997 THEN l_quantity
+        |               ELSE 0 END AS DECIMAL(28,8))) AS qty_yr,
+        |      SUM(CAST(l_quantity AS DECIMAL(28,8))) AS qty_all
+        |    FROM q20_li
+        |    WHERE l_partkey IN (SELECT p_partkey FROM q20_part
+        |                        WHERE p_name LIKE 'red %')
+        |    GROUP BY 1, 2) t
+        |  WHERE t.qty_yr * 2 > t.qty_all)
+        |ORDER BY s_name""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    val got = ops.Analytics.concentratedShippers(spark, sf).collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got === classic)
+  }
+
+  test("sliding dau equals a driver-side window fold over user-days") {
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val maxD = ud.map(_._2).max
+    val expected = ud.flatMap { case (u, d) =>
+      (0 until 7).map(k => (d.plusDays(k.toLong), u))
+    }.filter(!_._1.isAfter(maxD)).groupBy(_._1)
+      .map { case (day, us) => day -> us.map(_._2).distinct.length }
+    val got = ops.Analytics.slidingActiveUsers(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1).toInt).toMap
+    assert(got === expected)
+    // every window must cover at least the single-day actives
+    val daily = ud.groupBy(_._2).map { case (day, us) => day -> us.length }
+    daily.foreach { case (day, n) => assert(got(day) >= n) }
+  }
+
+  test("transition matrix rows are probability distributions over real pairs") {
+    val rows = ops.Analytics.transitionMatrix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // per-prev probabilities sum to 1 (integer-normalized, so exact sums
+    // only up to double addition — tolerance covers the fold order)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    }
+    // total transition count = events minus one per user with >=1 event
+    val ev = Tables.events(spark, sf).select("user_id").collect().map(_.getLong(0))
+    val expectedPairs = ev.length - ev.distinct.length
+    assert(rows.map(_.getLong(2)).sum === expectedPairs)
+  }
+
+  test("running distinct ends at the per-user distinct-type census") {
+    val got = ops.Analytics.runningDistinct(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val census = Tables.events(spark, sf)
+      .groupBy("user_id").agg(countDistinct("event_type").as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the max per user equals the census; counts start at 1
+    got.groupBy(_._2).foreach { case (u, rs) =>
+      assert(rs.map(_._3).max === census(u))
+      assert(rs.map(_._3).min === 1L)
+    }
+    assert(got.length === Tables.events(spark, sf).count())
+  }
 }
