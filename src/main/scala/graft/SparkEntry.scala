@@ -654,6 +654,16 @@ object SparkEntry {
     "emb_gram_matrix" -> ((s, dir) =>
       Similarity.gramMatrix(Tables.embeddings(s, dir))),
 
+    // per-dimension n/mean/std/range — feature-scaling stats in one pass
+    "emb_dim_stats" -> ((s, dir) =>
+      Similarity.dimStats(Tables.embeddings(s, dir))),
+
+    // 16-tap dyadic EWMA per series — integer weights, one window pass
+    "ts_ewma" -> ((s, dir) => Analytics.ewma(s, dir)),
+
+    // association rules over order baskets: support/confidence/lift
+    "part_basket_lift" -> ((s, dir) => Analytics.basketLift(s, dir)),
+
     "lang_id" -> ((s, dir) =>
       TextAnalysis.langId(Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy("doc_id")),
@@ -1590,6 +1600,46 @@ object SparkEntry {
         |    AS twap_micro
         |FROM d WHERE tn IS NOT NULL GROUP BY 1 ORDER BY event_type""".stripMargin,
 
+    // the taps lag terms are generated, not hand-spelled — same dyadic
+    // weights as the Spark side; // matches Spark's div (both truncate
+    // toward zero, verified on negatives)
+    "ts_ewma" -> {
+      val taps = 16
+      val num = (0 until taps)
+        .map(k => s"COALESCE(lag(vm, $k) OVER w * ${1L << (taps - 1 - k)}, 0)")
+        .mkString(" + ")
+      val den = (0 until taps)
+        .map(k => s"CASE WHEN lag(vm, $k) OVER w IS NOT NULL THEN ${1L << (taps - 1 - k)} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH e AS MATERIALIZED (SELECT event_type,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
+         |    CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
+         |s AS MATERIALIZED (SELECT event_type, event_id,
+         |    $num AS num,
+         |    $den AS den
+         |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY t, event_id))
+         |SELECT event_type, event_id, num // den AS ewma_micro
+         |FROM s WHERE den > 0 ORDER BY event_type, event_id""".stripMargin
+    },
+
+    // hot-basket cap mirrored; every score is one IEEE division of
+    // exact integer products
+    "part_basket_lift" ->
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |sz AS MATERIALIZED (SELECT ok, count(*) AS bsz FROM li GROUP BY 1),
+        |keep AS MATERIALIZED (SELECT li.* FROM li JOIN sz USING (ok) WHERE bsz <= 1000),
+        |n AS MATERIALIZED (SELECT count(*) AS n_orders FROM sz WHERE bsz <= 1000),
+        |ic AS MATERIALIZED (SELECT pk, count(*) AS ni FROM keep GROUP BY 1),
+        |pr AS MATERIALIZED (SELECT a.pk AS pk1, b.pk AS pk2, count(*) AS n12
+        |  FROM keep a JOIN keep b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2)
+        |SELECT pk1, pk2, n12,
+        |  CAST(n12 AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,
+        |  CAST(n12 AS DOUBLE) / CAST(c1.ni AS DOUBLE) AS confidence,
+        |  CAST(n12 * n_orders AS DOUBLE) / CAST(c1.ni * c2.ni AS DOUBLE) AS lift
+        |FROM pr JOIN ic c1 ON pk1 = c1.pk JOIN ic c2 ON pk2 = c2.pk, n
+        |WHERE n12 >= 3
+        |ORDER BY lift DESC, pk1, pk2 LIMIT 50""".stripMargin,
+
     // arg_max resolves same-instant races exactly like the Spark side's
     // max(struct(tie, state)); lead() AFTER the change filter makes
     // valid_to the next CHANGE, not the next event
@@ -2023,6 +2073,22 @@ object SparkEntry {
         |  SUM(CAST(round(a.x * b.x * 1000000.0) AS BIGINT)) AS sxy_micro
         |FROM v a JOIN v b ON a.vec_id = b.vec_id AND b.d >= a.d
         |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
+
+    // same micro-rounded integer sums as the gram matrix; the mean/std
+    // epilogue is the identical IEEE expression on both sides
+    "emb_dim_stats" ->
+      """WITH v AS (SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |           FROM embeddings, range(1, 65) r(i)),
+        |s AS MATERIALIZED (SELECT dim, count(*) AS n,
+        |    SUM(CAST(round(x * 1000000.0) AS BIGINT)) AS sx_micro,
+        |    SUM(CAST(round(x * x * 1000000.0) AS BIGINT)) AS sxx_micro,
+        |    min(x) AS x_min, max(x) AS x_max
+        |  FROM v GROUP BY 1),
+        |m AS (SELECT *, CAST(sx_micro AS DOUBLE) / 1000000.0 / n AS mean,
+        |    CAST(sxx_micro AS DOUBLE) / 1000000.0 / n AS ex2 FROM s)
+        |SELECT dim, n, sx_micro, sxx_micro, x_min, x_max, mean,
+        |  sqrt(greatest(ex2 - mean * mean, 0.0)) AS std
+        |FROM m ORDER BY dim""".stripMargin,
 
     // same first-8 coarse quantizer as ann_ivf_topk; within-cell pairs at
     // rounded cosine ≥ τ drop the larger id, survivors remain

@@ -942,6 +942,82 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Exponential moving average per series with dyadic weights — EWMA at
+    * α = 1/2 truncated to the last `taps` samples, the standard smoother
+    * for sensor/metric series (reference: the monitor's per-topic rate
+    * signal, scenario.py:238-274, which a consumer would smooth exactly
+    * like this). Weights 2^(taps−1−k) are exact longs over exact
+    * micro-unit values, so numerator and denominator are INTEGER sums —
+    * no fp accumulation anywhere, any engine agrees bit-for-bit — and
+    * the one floor division at the end is the only rounding. All `taps`
+    * lag() columns ride ONE window pass (one exchange+sort per series
+    * key; Catalyst plans a single Window operator). Truncation error vs
+    * the infinite EWMA is 2^-taps ≤ 1.5e-5 of the signal — below
+    * micro-unit resolution. NULL samples contribute neither value nor
+    * weight (a sensor dropping frames), and all-NULL head rows are
+    * filtered by the den > 0 guard.
+    */
+  def ewma(spark: SparkSession, dir: String, taps: Int = 16): DataFrame = {
+    import graft.model.Documents
+    require(taps >= 1 && taps <= 32, s"taps must be in [1, 32], got $taps")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("t"), col("event_id"))
+    val num = (0 until taps).map { k =>
+      coalesce(lag(col("vm"), k).over(w) * lit(1L << (taps - 1 - k)), lit(0L))
+    }.reduce(_ + _)
+    val den = (0 until taps).map { k =>
+      when(lag(col("vm"), k).over(w).isNotNull, lit(1L << (taps - 1 - k)))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    Tables.events(spark, dir)
+      .select(col("event_type"), Documents.tsSec(col("ts")).as("t"), col("event_id"),
+        expr("cast(round(value * 1000000.0D) as bigint)").as("vm"))
+      .withColumn("num", num)
+      .withColumn("den", den)
+      .filter(col("den") > 0L)
+      .select(col("event_type"), col("event_id"), expr("num div den").as("ewma_micro"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  /** Market-basket association rules over order baskets: part pairs
+    * co-bought in one order, scored by support / confidence / lift.
+    * Candidate pairs come from an equality self-join on the order key —
+    * O(Σ k²) over basket sizes k — and baskets above `maxBasket` are
+    * dropped FIRST (the hot-bucket cap, same contract as the shingle
+    * maxDocFreq): one pathological 10⁵-item order would otherwise own
+    * the entire pair shuffle. Counts are exact longs and every score is
+    * a single IEEE division of exact integer products (lift = n12·N /
+    * (n1·n2)), so any engine agrees bit-for-bit. The item-count dim is
+    * bounded by |parts| and broadcasts back; the one real shuffle is the
+    * pair groupBy. The global order count is a single-row broadcast
+    * (whitelisted in the cross-join audit like the other scalar
+    * broadcasts).
+    */
+  def basketLift(spark: SparkSession, dir: String, minSupport: Long = 3L,
+                 maxBasket: Int = 1000, topK: Int = 50): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val sizes = li.groupBy(col("ok")).agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBasket)
+    val keep = li.join(sizes.select("ok"), "ok")
+    val nOrders = sizes.agg(count(lit(1)).as("n_orders"))
+    val itemCnt = keep.groupBy(col("pk")).agg(count(lit(1)).as("ni"))
+    keep.as("a").join(keep.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pk1"), col("b.pk").as("pk2"))
+      .agg(count(lit(1)).as("n12"))
+      .filter(col("n12") >= minSupport)
+      .join(broadcast(itemCnt.select(col("pk").as("pk1"), col("ni").as("n1"))), "pk1")
+      .join(broadcast(itemCnt.select(col("pk").as("pk2"), col("ni").as("n2"))), "pk2")
+      .crossJoin(broadcast(nOrders))
+      .select(col("pk1"), col("pk2"), col("n12"),
+        (col("n12").cast("double") / col("n_orders").cast("double")).as("support"),
+        (col("n12").cast("double") / col("n1").cast("double")).as("confidence"),
+        ((col("n12") * col("n_orders")).cast("double") /
+          (col("n1") * col("n2")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("pk1"), col("pk2"))
+      .limit(topK)
+  }
+
   /** 2-D skyline (Pareto frontier): rows where no other row is at least
     * as good on BOTH axes and strictly better on one — minimize `x`,
     * maximize `y` (price-vs-capability shortlists, cost-vs-quality

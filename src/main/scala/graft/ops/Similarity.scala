@@ -465,6 +465,31 @@ object Similarity {
     emb.select(col("vec_id") +: pcCols: _*)
   }
 
+  /** Per-dimension standardization profile of an embedding corpus — the
+    * feature-scaling statistics (n, mean, std, range per dimension) an
+    * ML pipeline precomputes before normalizing or whitening. One
+    * posexplode pass; sums are micro-rounded INTEGERS (the [[gramMatrix]]
+    * trick: float×float products are exact in double, and the rounded
+    * integer sum is associative, so Spark's partial-agg order can't
+    * shift a bit vs any oracle); the mean/std epilogue is a fixed IEEE
+    * expression over those exact integers, spelled identically in the
+    * oracle. Output is |dims| rows regardless of corpus size and the
+    * only shuffle carries |dims| × partitions partial rows.
+    */
+  def dimStats(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("dim"), col("xf").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(x * 1000000.0D) as bigint)")).as("sx_micro"),
+        sum(expr("cast(round(x * x * 1000000.0D) as bigint)")).as("sxx_micro"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"))
+      .withColumn("mean", expr("cast(sx_micro as double) / 1000000.0D / n"))
+      .withColumn("ex2", expr("cast(sxx_micro as double) / 1000000.0D / n"))
+      .withColumn("std", expr("sqrt(greatest(ex2 - mean * mean, 0.0D))"))
+      .drop("ex2")
+      .orderBy(col("dim"))
+
   def gramMatrix(emb: DataFrame, dims: Int = 64): DataFrame =
     emb.select(expr(
         s"""explode(flatten(transform(sequence(0, ${dims - 1}), i ->

@@ -1429,6 +1429,88 @@ class DataOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum === expectedPairs)
   }
 
+  test("ewma matches a driver-side integer fold and tracks constants exactly") {
+    val rows = ops.Analytics.ewma(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // independent fold: same dyadic weights over the collected series
+    val series = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts").cast("long"), col("event_id"),
+        expr("cast(round(value * 1000000.0D) as bigint)"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .groupBy(_._1)
+    val expected = series.toSeq.flatMap { case (et, rs) =>
+      val ordered = rs.sortBy(r => (r._2, r._3)).map(r => (r._3, r._4))
+      ordered.indices.flatMap { i =>
+        val lags = (0 until 16).map(k => if (i - k >= 0) ordered(i - k)._2 else None)
+        val num = lags.zipWithIndex.map { case (v, k) => v.getOrElse(0L) * (1L << (15 - k)) }.sum
+        val den = lags.zipWithIndex.map { case (v, k) => if (v.isDefined) 1L << (15 - k) else 0L }.sum
+        if (den > 0) Some((et, ordered(i)._1, num / den)) else None
+      }
+    }.toSet
+    assert(rows.toSet === expected)
+    // a constant series must report the constant itself at every tap count
+    import spark.implicits._
+    val const = Seq.tabulate(20)(i => ("c", i.toLong, 42.5)).toDF("k", "i", "v")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k")).orderBy(col("i"))
+    val n16 = (0 until 16).map(k =>
+      coalesce(lag(col("vm"), k).over(w) * lit(1L << (15 - k)), lit(0L))).reduce(_ + _)
+    val d16 = (0 until 16).map(k =>
+      when(lag(col("vm"), k).over(w).isNotNull, lit(1L << (15 - k))).otherwise(lit(0L))).reduce(_ + _)
+    val got = const.withColumn("vm", expr("cast(round(v * 1000000.0D) as bigint)"))
+      .withColumn("e", n16).withColumn("d", d16)
+      .selectExpr("e div d as ew").collect().map(_.getLong(0))
+    assert(got.forall(_ === 42500000L))
+  }
+
+  test("basket lift agrees with driver-side exact counts on every pair") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = li.groupBy(_._1).map { case (ok, rs) => ok -> rs.map(_._2).toSet }
+    val n = baskets.size.toLong
+    val itemCnt = li.groupBy(_._2).map { case (pk, rs) => pk -> rs.length.toLong }
+    val pairCnt = baskets.values.flatMap { ps =>
+      val s = ps.toSeq.sorted
+      for (i <- s.indices; j <- (i + 1) until s.length) yield (s(i), s(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val got = ops.Analytics.basketLift(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (p1, p2, n12) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(pairCnt((p1, p2)) === n12 && n12 >= 3)
+      assert(r.getDouble(3) === n12.toDouble / n.toDouble)
+      assert(r.getDouble(4) === n12.toDouble / itemCnt(p1).toDouble)
+      assert(r.getDouble(5) === (n12 * n).toDouble / (itemCnt(p1) * itemCnt(p2)).toDouble)
+    }
+    // top-50 by lift: every returned lift >= the best excluded one
+    val allLifts = pairCnt.collect { case ((a, b), c) if c >= 3 =>
+      (c * n).toDouble / (itemCnt(a) * itemCnt(b)).toDouble }.toSeq.sorted.reverse
+    val cut = allLifts.take(50).lastOption.getOrElse(0.0)
+    assert(got.map(_.getDouble(5)).forall(_ >= cut))
+  }
+
+  test("dim stats recover analytic moments on a constructed corpus") {
+    import spark.implicits._
+    // dim 0: constant 0.5 -> std 0; dim 1: alternating ±0.5 -> mean 0, std 0.5
+    val vecs = Seq.tabulate(100)(i =>
+      (i.toLong, Array(0.5f, if (i % 2 == 0) 0.5f else -0.5f)))
+      .toDF("vec_id", "embedding")
+    val st = ops.Similarity.dimStats(vecs).collect()
+    assert(st.length === 2)
+    val d0 = st(0); val d1 = st(1)
+    assert(d0.getLong(1) === 100L && d0.getAs[Double]("mean") === 0.5)
+    assert(d0.getAs[Double]("std") === 0.0)
+    assert(d1.getAs[Double]("mean") === 0.0 && d1.getAs[Double]("std") === 0.5)
+    // real corpus: every dim present, n equals corpus size, std >= 0
+    val real = ops.Similarity.dimStats(emb).collect()
+    val nVec = emb.count()
+    assert(real.length === 64)
+    assert(real.forall(r => r.getLong(1) === nVec && r.getAs[Double]("std") >= 0.0))
+  }
+
   test("running distinct ends at the per-user distinct-type census") {
     val got = ops.Analytics.runningDistinct(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

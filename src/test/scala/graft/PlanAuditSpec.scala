@@ -25,7 +25,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "quality_lm_score",       // single-row vocabulary-size broadcast
     "corpus_quality_gate",    // embeds quality_lm_score's vocab broadcast
     "ts_update_first",        // single-row first-match-id broadcast
-    "text_collocations")      // two single-row corpus-total broadcasts (Nt, Nb)
+    "text_collocations",      // two single-row corpus-total broadcasts (Nt, Nb)
+    "events_sliding_dau",     // single-row max-day cap broadcast
+    "part_basket_lift")       // single-row global order-count broadcast
 
   for ((name, q) <- SparkEntry.queries) {
     test(s"$name: no unintended nested-loop or cartesian join") {
