@@ -520,6 +520,11 @@ object SparkEntry {
     "corpus_overlap_matrix" -> ((s, dir) =>
       TextAnalysis.sourceOverlap(Tables.documents(s, dir), col("source"), col("text"))),
 
+    // exact integer two-sample KS: length-distribution drift src0 vs src1
+    "quality_ks_drift" -> ((s, dir) =>
+      TextAnalysis.ksDrift(Tables.documents(s, dir), col("source"), col("n_chars"),
+        "src0", "src1")),
+
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"), 0.5)
         .orderBy("id1", "id2")),
@@ -2073,6 +2078,25 @@ object SparkEntry {
         |  SUM(CAST(round(a.x * b.x * 1000000.0) AS BIGINT)) AS sxy_micro
         |FROM v a JOIN v b ON a.vec_id = b.vec_id AND b.d >= a.d
         |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
+
+    // integer ECDF supremum — the argmax is decided in exact arithmetic,
+    // the one division happens on the surviving row only
+    "quality_ks_drift" ->
+      """WITH t AS MATERIALIZED (SELECT n_chars AS x, source AS g FROM documents
+        |  WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL),
+        |p AS MATERIALIZED (SELECT x,
+        |    SUM(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS cb
+        |  FROM t GROUP BY 1),
+        |c AS MATERIALIZED (SELECT x, ca, cb,
+        |    SUM(ca) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fa,
+        |    SUM(cb) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fb,
+        |    SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+        |  FROM p)
+        |SELECT x AS x_at, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  CAST(abs(fa * nb - fb * na) AS BIGINT) AS ks_num,
+        |  CAST(abs(fa * nb - fb * na) AS DOUBLE) / CAST(na * nb AS DOUBLE) AS ks
+        |FROM c ORDER BY ks_num DESC, x_at LIMIT 1""".stripMargin,
 
     // same micro-rounded integer sums as the gram matrix; the mean/std
     // epilogue is the identical IEEE expression on both sides

@@ -27,6 +27,45 @@ object TextAnalysis {
       .groupBy("hash")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Exact two-sample Kolmogorov–Smirnov drift between two strata of a
+    * corpus (did source B's length distribution shift away from source
+    * A's? — the distribution-drift gate a refreshed training corpus runs
+    * before mixing). The KS statistic sup|F_a − F_b| is computed EXACTLY
+    * in integers: per distinct value, stratum counts; running sums give
+    * the un-normalized ECDFs; the supremum of |fa·nb − fb·na| is an
+    * integer max, and the single division by na·nb happens once on the
+    * one surviving row — no fp comparisons anywhere, so any engine
+    * agrees on the argmax bit-for-bit. Scale shape: the per-value
+    * groupBy shuffles O(distinct values) (value domains like lengths,
+    * scores, bucketed metrics are bounded — documented contract); only
+    * those grouped rows enter the single ordered window, never the
+    * corpus. Ties are handled exactly: grouping first means the ECDF
+    * steps AFTER all equal values, the textbook two-sample definition.
+    */
+  def ksDrift(df: DataFrame, stratum: Column, value: Column,
+              a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perX = df.select(value.cast("long").as("x"), stratum.as("g"))
+      .filter(col("g").isin(a, b) && col("x").isNotNull)
+      .groupBy(col("x"))
+      .agg(sum(when(col("g") === a, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === b, 1L).otherwise(0L)).as("cb"))
+    val run = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perX
+      .withColumn("fa", sum(col("ca")).over(run))
+      .withColumn("fb", sum(col("cb")).over(run))
+      .withColumn("na", sum(col("ca")).over(all))
+      .withColumn("nb", sum(col("cb")).over(all))
+      .withColumn("ks_num", abs(col("fa") * col("nb") - col("fb") * col("na")))
+      .orderBy(col("ks_num").desc, col("x"))
+      .limit(1)
+      .select(col("x").as("x_at"), col("na"), col("nb"), col("ks_num"),
+        (col("ks_num").cast("double") / (col("na") * col("nb")).cast("double")).as("ks"))
+  }
+
   /** Cross-source content-overlap matrix — the governance view a 100 TB
     * curation run needs before mixing sources: how many distinct word-
     * 3-gram shingles each source pair shares (mirror sites, double-

@@ -286,6 +286,62 @@ object Monitor {
           twapUpdate(k, it, st))
   }
 
+  case class EwmaEvent(event_type: String, event_id: Long, t: Long, vm: Option[Long])
+  /** Ring of the last ≤ taps micro-values, oldest first;
+    * Long.MinValue marks a NULL sample (occupies a tap, adds no weight).
+    */
+  case class EwmaState(ring: Seq[Long])
+  case class EwmaOut(event_type: String, event_id: Long, ewma_micro: Long)
+
+  private val EwmaNull = Long.MinValue
+
+  /** Streaming twin of `Analytics.ewma` (§2b 28aw): the 16-tap dyadic
+    * EWMA maintained live. State per key is the ring of the last ≤ 16
+    * micro-unit samples — O(taps) longs, constant at any stream length —
+    * and each arrival emits the smoothed value over the ring with the
+    * identical integer weights (2^(15−age)) and the identical truncating
+    * division, so after any time-ordered prefix the emitted rows equal
+    * the batch operator over that prefix bit-for-bit. NULL samples
+    * occupy a tap without weight, exactly like batch lag() over a NULL
+    * row. Same per-key ordering contract as [[twapUpdate]].
+    */
+  def ewmaUpdate(taps: Int)(key: String, events: Iterator[EwmaEvent],
+                 state: org.apache.spark.sql.streaming.GroupState[EwmaState]): Iterator[EwmaOut] = {
+    var ring = state.getOption.map(_.ring.toVector).getOrElse(Vector.empty[Long])
+    val out = Vector.newBuilder[EwmaOut]
+    events.toSeq.sortBy(e => (e.t, e.event_id)).foreach { e =>
+      ring = (ring :+ e.vm.getOrElse(EwmaNull)).takeRight(taps)
+      var num = 0L
+      var den = 0L
+      var i = 0
+      while (i < ring.length) {
+        val age = ring.length - 1 - i
+        val v = ring(i)
+        if (v != EwmaNull) {
+          val w = 1L << (taps - 1 - age)
+          num += v * w
+          den += w
+        }
+        i += 1
+      }
+      if (den > 0) out += EwmaOut(key, e.event_id, num / den)
+    }
+    if (ring.nonEmpty) state.update(EwmaState(ring))
+    out.result().iterator
+  }
+
+  /** Wire [[ewmaUpdate]] over a (possibly streaming) event set. */
+  def ewmaStream(events: org.apache.spark.sql.Dataset[EwmaEvent], taps: Int = 16)
+                (implicit spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.Dataset[EwmaOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (k: String, it: Iterator[EwmaEvent],
+         st: org.apache.spark.sql.streaming.GroupState[EwmaState]) =>
+          ewmaUpdate(taps)(k, it, st))
+  }
+
   /** Streaming twin of the MAD anomaly detector's SCORE step
     * (`Analytics.anomalyMad`): flag live rows against BATCH-TRAINED
     * per-key (median, MAD) stats — the train-offline / score-online

@@ -1511,6 +1511,33 @@ class DataOpsSpec extends AnyFunSuite {
     assert(real.forall(r => r.getLong(1) === nVec && r.getAs[Double]("std") >= 0.0))
   }
 
+  test("ks drift equals a driver-side ECDF supremum and is 0 on identity") {
+    import spark.implicits._
+    // identical strata -> supremum 0
+    val same = (1 to 50).flatMap(i => Seq(("a", i.toLong), ("b", i.toLong)))
+      .toDF("g", "x")
+    val id = TextAnalysis.ksDrift(same, col("g"), col("x"), "a", "b").head()
+    assert(id.getAs[Long]("ks_num") === 0L && id.getAs[Double]("ks") === 0.0)
+    // planted shift: b = a + 100 with disjoint supports -> KS = 1
+    val shift = ((1 to 50).map(i => ("a", i.toLong)) ++
+      (1 to 50).map(i => ("b", i.toLong + 100L))).toDF("g", "x")
+    val sh = TextAnalysis.ksDrift(shift, col("g"), col("x"), "a", "b").head()
+    assert(sh.getAs[Double]("ks") === 1.0)
+    // real corpus vs an independent driver-side fold
+    val vals = docs.filter(col("source").isin("src0", "src1"))
+      .select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val xa = vals.filter(_._1 == "src0").map(_._2).sorted
+    val xb = vals.filter(_._1 == "src1").map(_._2).sorted
+    val expected = (xa ++ xb).distinct.map { t =>
+      math.abs(xa.count(_ <= t).toLong * xb.length - xb.count(_ <= t).toLong * xa.length)
+    }.max
+    val got = TextAnalysis.ksDrift(docs, col("source"), col("n_chars"), "src0", "src1").head()
+    assert(got.getAs[Long]("ks_num") === expected)
+    assert(got.getAs[Double]("ks") ===
+      expected.toDouble / (xa.length.toLong * xb.length).toDouble)
+  }
+
   test("running distinct ends at the per-user distinct-type census") {
     val got = ops.Analytics.runningDistinct(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -329,6 +329,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming ewma emits the batch smoother row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ss = spark
+    import spark.implicits._
+    val all = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), col("ts").cast("long").as("t"),
+        expr("cast(round(value * 1000000.0D) as bigint)").as("vm"))
+      .as[Monitor.EwmaEvent].collect().sortBy(e => (e.t, e.event_id))
+    val input = MemoryStream[Monitor.EwmaEvent]
+    val q = Monitor.ewmaStream(input.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("ewma_stream").start()
+    try {
+      // three time-ordered micro-batches: per-key arrival stays in order
+      all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // every event emits exactly once, so the table IS the full result
+    val streamed = spark.table("ewma_stream")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.ops.Analytics.ewma(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.size === all.length)
+  }
+
   test("native session_window streams with a watermark, equal to batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
