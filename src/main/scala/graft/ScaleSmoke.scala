@@ -501,6 +501,54 @@ object ScaleSmoke {
       require(n == coreN && offCore == 0L, "kcore peel wrong")
     }
 
+    // market-basket pairs under a mega-basket: 10^6 normal 5-item baskets
+    // plus ONE 10^5-item basket. Uncapped, the hot basket alone emits
+    // ~5·10^9 pairs and owns the entire shuffle; the maxBasket cap drops
+    // it before the self-join, so candidate volume stays O(baskets·k²).
+    // Lift scores must come exclusively from the planted co-occurrence
+    // pattern (items 8i..8i+4 share basket i), never the mega-basket.
+    time("basket_lift_mega_basket") {
+      val nB = 1000000L
+      val normal = spark.range(nB * 5).select(
+        (col("id") / 5).cast("long").as("ok"),
+        ((col("id") / 5) * 8 + pmod(col("id"), lit(5))).as("pk"))
+      val mega = spark.range(100000L).select(
+        lit(nB + 7).as("ok"), (col("id") * 3).as("pk"))
+      val li = normal.union(mega)
+        .select(col("ok").as("l_orderkey"), col("pk").as("l_partkey"))
+      // same pipeline as Analytics.basketLift, minBasket cap active
+      val dedup = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val sizes = dedup.groupBy(col("ok")).agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= 1000)
+      val keep = dedup.join(sizes.select("ok"), "ok")
+      val pairs = keep.as("a").join(keep.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("pk1"), col("b.pk").as("pk2"))
+        .agg(count(lit(1)).as("n12"))
+      val n = pairs.count()
+      val expect = nB * 10 // C(5,2) pairs per planted basket
+      println(s"[scale]   pair rows $n (expect $expect), mega-basket dropped")
+      require(n == expect, s"pair count $n != $expect — cap failed")
+    }
+
+    // exact KS at event volume over a BOUNDED value domain: 10^7 samples,
+    // 10^4 distinct values, stratum b shifted by half the range. The
+    // grouped ECDF means only 1.5·10^4 rows reach the single ordered
+    // window (never the corpus), and the planted shift gives KS = 0.5
+    // EXACTLY (uniform strata, disjoint by construction above 10^4).
+    time("ks_bounded_domain") {
+      val a = spark.range(nEvents / 2).select(lit("a").as("g"),
+        pmod(col("id"), lit(10000)).as("x"))
+      val b = spark.range(nEvents / 2).select(lit("b").as("g"),
+        (pmod(col("id"), lit(10000)) + 5000).as("x"))
+      val r = graft.ops.TextAnalysis.ksDrift(a.union(b), col("g"), col("x"), "a", "b")
+        .head()
+      val ks = r.getAs[Double]("ks")
+      println(s"[scale]   ks = $ks at x = ${r.getAs[Long]("x_at")} " +
+        s"(na ${r.getAs[Long]("na")}, nb ${r.getAs[Long]("nb")})")
+      require(ks == 0.5, s"planted half-range shift must give KS 0.5, got $ks")
+    }
+
     // incremental maintenance at event volume: a 10^7-row "base" partial
     // merged with an increment partial must equal the single-pass answer
     // bit-for-bit (exact integer micros — no float fold-order slack).

@@ -499,6 +499,8 @@ object SparkEntry {
     // exact-integer PageRank over the customer-supplier bipartite graph
     "graph_pagerank" -> ((s, dir) => Graph.transactionRank(s, dir)),
     "agg_histogram" -> ((s, dir) => Analytics.histogram(s, dir)),
+    // equal-frequency bins: percentile edges broadcast, codegen'd assign
+    "agg_equidepth" -> ((s, dir) => Analytics.equidepthHistogram(s, dir)),
     "ts_resample_ohlc" -> ((s, dir) => Analytics.resampleOhlc(s, dir)),
     // merge-of-partials == recompute-from-raw: the incremental
     // maintenance contract for a persisted aggregate table
@@ -661,7 +663,7 @@ object SparkEntry {
 
     // per-dimension n/mean/std/range — feature-scaling stats in one pass
     "emb_dim_stats" -> ((s, dir) =>
-      Similarity.dimStats(Tables.embeddings(s, dir))),
+      Similarity.dimProfile(Tables.embeddings(s, dir))),
 
     // 16-tap dyadic EWMA per series — integer weights, one window pass
     "ts_ewma" -> ((s, dir) => Analytics.ewma(s, dir)),
@@ -1180,6 +1182,21 @@ object SparkEntry {
         |  CAST(least(greatest(floor(((value - 0.0) * 10.0) / 20.0), 0.0), 9.0) AS BIGINT) AS bin,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
+
+    // quantile_cont matches Spark's interpolated percentile (proven by
+    // agg_quantiles); bucket = 1 + #edges strictly below the value
+    "agg_equidepth" -> {
+      val buckets = 8
+      val fracs = (1 until buckets).map(i => s"${i.toDouble / buckets}").mkString(", ")
+      val assign = (0 until buckets - 1)
+        .map(i => s"CASE WHEN value > qs[${i + 1}] THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH e AS MATERIALIZED (SELECT value FROM events WHERE value IS NOT NULL),
+         |q AS MATERIALIZED (SELECT quantile_cont(value, [$fracs]) AS qs FROM e),
+         |b AS (SELECT value, 1 + $assign AS bucket FROM e, q)
+         |SELECT bucket, count(*) AS n, min(value) AS lo, max(value) AS hi
+         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
 
     // open/close via the same two-ordering window, microsecond buckets
     "ts_resample_ohlc" ->

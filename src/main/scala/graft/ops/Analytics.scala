@@ -733,6 +733,37 @@ object Analytics {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_type"), col("bin"))
 
+  /** Equi-depth (equal-frequency) histogram — the histogram an optimizer
+    * or drift monitor actually wants when the data is skewed (equal-WIDTH
+    * bins put 99% of a heavy-tailed measure in one bin). The scalable
+    * shape: interior bucket edges come from ONE exact-percentile
+    * aggregate (a single row), broadcast back, and bucket assignment is
+    * a chain of 7 comparisons inside codegen — the corpus itself never
+    * sorts globally (the naive ntile() spelling funnels every row
+    * through one partition, the thing this plan exists to avoid).
+    * Bucket k = 1 + #edges below the value, so ties land in the lowest
+    * eligible bucket deterministically; counts vary only where edge
+    * duplicates collapse buckets (skew made visible, not hidden).
+    */
+  def equidepthHistogram(spark: SparkSession, dir: String,
+                         buckets: Int = 8): DataFrame = {
+    require(buckets >= 2 && buckets <= 64, s"buckets in [2,64], got $buckets")
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull).select(col("value"))
+    val fracs = (1 until buckets).map(_.toDouble / buckets)
+    val edges = ev.agg(
+      expr(s"percentile(value, array(${fracs.mkString(",")}))").as("qs"))
+    val bucket = (0 until buckets - 1)
+      .map(i => (col("value") > col("qs").getItem(i)).cast("long"))
+      .reduce(_ + _) + 1
+    ev.crossJoin(broadcast(edges))
+      .select(col("value"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("lo"),
+        max(col("value")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
   /** OHLC resample: first/open, last/close, min, max, count of a measure
     * per (series, time bucket) — the downsampling step every telemetry
     * store needs before plotting or modeling. Open/close come from TWO

@@ -476,7 +476,7 @@ object Similarity {
     * oracle. Output is |dims| rows regardless of corpus size and the
     * only shuffle carries |dims| × partitions partial rows.
     */
-  def dimStats(emb: DataFrame): DataFrame =
+  def dimProfile(emb: DataFrame): DataFrame =
     emb.select(posexplode(col("embedding")).as(Seq("dim", "xf")))
       .select(col("dim"), col("xf").cast("double").as("x"))
       .groupBy(col("dim"))

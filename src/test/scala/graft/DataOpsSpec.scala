@@ -1498,14 +1498,14 @@ class DataOpsSpec extends AnyFunSuite {
     val vecs = Seq.tabulate(100)(i =>
       (i.toLong, Array(0.5f, if (i % 2 == 0) 0.5f else -0.5f)))
       .toDF("vec_id", "embedding")
-    val st = ops.Similarity.dimStats(vecs).collect()
+    val st = ops.Similarity.dimProfile(vecs).collect()
     assert(st.length === 2)
     val d0 = st(0); val d1 = st(1)
     assert(d0.getLong(1) === 100L && d0.getAs[Double]("mean") === 0.5)
     assert(d0.getAs[Double]("std") === 0.0)
     assert(d1.getAs[Double]("mean") === 0.0 && d1.getAs[Double]("std") === 0.5)
     // real corpus: every dim present, n equals corpus size, std >= 0
-    val real = ops.Similarity.dimStats(emb).collect()
+    val real = ops.Similarity.dimProfile(emb).collect()
     val nVec = emb.count()
     assert(real.length === 64)
     assert(real.forall(r => r.getLong(1) === nVec && r.getAs[Double]("std") >= 0.0))
@@ -1536,6 +1536,27 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got.getAs[Long]("ks_num") === expected)
     assert(got.getAs[Double]("ks") ===
       expected.toDouble / (xa.length.toLong * xb.length).toDouble)
+  }
+
+  test("equi-depth histogram balances counts and tiles the value range") {
+    val rows = ops.Analytics.equidepthHistogram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length === rows.length)
+    val total = Tables.events(spark, sf).filter(col("value").isNotNull).count()
+    assert(rows.map(_._2).sum === total)
+    // buckets are ordered and non-overlapping: hi(k) <= lo(k+1)
+    rows.sortBy(_._1).toSeq.sliding(2).foreach {
+      case Seq((_, _, _, hi1), (_, lo2, _, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+    // equal-frequency contract: each bucket within ±1 of n/8 unless edges
+    // collapsed (ties); on this continuous-valued corpus they shouldn't
+    assert(rows.length === 8)
+    val ideal = total / 8.0
+    rows.foreach { case (_, n, _, _) =>
+      assert(math.abs(n - ideal) <= math.ceil(ideal / 8) + 1,
+        s"bucket count $n far from ideal $ideal")
+    }
   }
 
   test("running distinct ends at the per-user distinct-type census") {

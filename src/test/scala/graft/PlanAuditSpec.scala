@@ -27,7 +27,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "ts_update_first",        // single-row first-match-id broadcast
     "text_collocations",      // two single-row corpus-total broadcasts (Nt, Nb)
     "events_sliding_dau",     // single-row max-day cap broadcast
-    "part_basket_lift")       // single-row global order-count broadcast
+    "part_basket_lift",       // single-row global order-count broadcast
+    "agg_equidepth")          // single-row percentile-edges broadcast
 
   for ((name, q) <- SparkEntry.queries) {
     test(s"$name: no unintended nested-loop or cartesian join") {
@@ -46,7 +47,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // any broadcast threshold — force every join to shuffle and assert
     // results are unchanged (the plan the cluster would actually run)
     val names = Seq("q3_top_revenue", "q5_region_revenue", "q17_small_qty_revenue",
-      "ts_lookup_join", "q9_part_profit", "q16_supplier_variety")
+      "ts_lookup_join", "q9_part_profit", "q16_supplier_variety",
+      "q2_min_cost_supplier", "q20_concentrated_shippers")
     val before = names.map(n => n ->
       SparkEntry.queries(n)(spark, sf).collect().map(_.toSeq).toSeq).toMap
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
