@@ -214,6 +214,103 @@ object Multimodal {
     spark.createDataFrame(rdd, FeatureSchema)
   }
 
+  /** 64-bit difference hash (dHash) over decoded pixels: area-average the
+    * luma into a 9×8 grid, one bit per horizontally-adjacent comparison.
+    * The standard perceptual fingerprint for image near-dup detection —
+    * stable under re-encoding, resizing, and mild noise (all of which
+    * defeat the byte-level md5 in `toAsset`). Integer arithmetic only
+    * (luma in permille, area sums in longs): bit-identical on any JVM.
+    */
+  private[ops] def dhash64(w: Int, h: Int, px: Array[Int]): Long = {
+    val gw = 9; val gh = 8
+    val acc = new Array[Long](gw * gh)
+    val cnt = new Array[Long](gw * gh)
+    var y = 0
+    while (y < h) {
+      val gy = (y.toLong * gh / h).toInt
+      var x = 0
+      while (x < w) {
+        val gx = (x.toLong * gw / w).toInt
+        val p = px(y * w + x)
+        val luma = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+          114 * (p & 0xff)) / 1000
+        acc(gy * gw + gx) += luma
+        cnt(gy * gw + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    def cell(gy: Int, gx: Int): Long = {
+      val i = gy * gw + gx
+      if (cnt(i) == 0) 0L else acc(i) / cnt(i)
+    }
+    var bits = 0L
+    var i = 0
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw - 1) {
+        if (cell(gy, gx) > cell(gy, gx + 1)) bits |= (1L << i)
+        i += 1
+        gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
+  val PhashSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("kind", StringType),
+    StructField("phash", LongType, nullable = true)))
+
+  /** Perceptual hash per asset: decode (BMP native, JPEG/PNG/GIF via
+    * ImageIO), [[dhash64]] the pixels. Non-images / corrupt payloads
+    * yield NULL (skip-on-corrupt, same contract as [[decodeFeatures]]).
+    * Partition-local map — no shuffle; the codec slot is the same
+    * mapPartitions seam as every decoder here.
+    */
+  def perceptualHash(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val rdd = assets.select("asset_id", "kind", "payload").rdd.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val kind = row.getString(1)
+        val payload = row.getAs[Array[Byte]](2)
+        val hash: Option[Long] =
+          try decodeBmp(payload).orElse(decodeImage(payload))
+            .map { case (w, h, px) => dhash64(w, h, px) }
+          catch { case _: Exception => None }
+        Row(id, kind, hash.map(Long.box).orNull)
+      }
+    }
+    spark.createDataFrame(rdd, PhashSchema)
+  }
+
+  /** Image near-dup pairs at hamming ≤ `maxHamming` over [[perceptualHash]]
+    * — the multimodal twin of the text simhash pair join (Dedup
+    * .simhashPairs), same pigeonhole: 4 blocks of 16 bits meet in an
+    * EQUALITY join (any pair within hamming 3 shares an intact block),
+    * exact `bit_count(xor)` post-filter, `id1 < id2` halves pair space.
+    * Candidates are O(shared-block pairs), never corpus-quadratic; NULL
+    * hashes (undecodable assets) drop before pairing.
+    */
+  def phashPairs(assets: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4 blocks of 16 bits guarantee recall only for hamming <= 3, got $maxHamming")
+    val hashes = perceptualHash(assets).filter(col("phash").isNotNull)
+    val blocks = hashes.select(col("asset_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("blk"))
+      .withColumn("blkval", expr("shiftright(phash, cast(blk * 16 as int)) & 65535L"))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.blkval") === col("b.blkval") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("id1"), col("b.asset_id").as("id2"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Resize/resample over asset payloads.
     *
     * STUB: a real deployment decodes, resamples to the target resolution,

@@ -342,6 +342,51 @@ object Monitor {
           ewmaUpdate(taps)(k, it, st))
   }
 
+  case class DauVote(w_day: Long, user_id: Long)
+  /** Sorted distinct user ids seen for this window-end. */
+  case class DauState(users: Seq[Long])
+  case class DauOut(w_day: Long, dau7: Long)
+
+  /** Streaming twin of `Analytics.slidingActiveUsers` (§2b 28at): 7-day
+    * rolling distinct actives maintained live. The batch reshape is
+    * reused verbatim — each (user, active-day) votes into its
+    * ≤`windowDays` window-ends via a small explode BEFORE keying — then
+    * one state machine per window-end holds the exact distinct-user set
+    * and emits the updated count whenever it grows. State is the same
+    * O(distinct user-days × windowDays) the batch shuffle carries (exact
+    * distinct has no smaller sufficient statistic; the constant-memory
+    * variant is the portable HLL sketch, §2b 28l). After any prefix the
+    * LATEST emitted count per window-end equals the batch operator over
+    * that prefix — counts only grow — which the spec asserts by replay.
+    * Chained dropDuplicates→agg is NOT used: that pair of stateful
+    * operators is unsupported in update mode, and the single
+    * flatMapGroups machine does the same work in one state store.
+    * `w_day` is the epoch-day long (date arithmetic stays integer).
+    */
+  def dauUpdate(key: Long, votes: Iterator[DauVote],
+                state: org.apache.spark.sql.streaming.GroupState[DauState]): Iterator[DauOut] = {
+    val prior = state.getOption.map(_.users).getOrElse(Seq.empty)
+    val grown = (prior.toSet ++ votes.map(_.user_id)).toSeq.sorted
+    if (grown.size != prior.size) {
+      state.update(DauState(grown))
+      Iterator.single(DauOut(key, grown.size.toLong))
+    } else Iterator.empty
+  }
+
+  /** Wire [[dauUpdate]] over pre-exploded (w_day, user_id) votes — see
+    * the spec for the explode; batch and stream share that projection.
+    */
+  def slidingDauStream(votes: org.apache.spark.sql.Dataset[DauVote])
+                      (implicit spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.Dataset[DauOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    votes.groupByKey(_.w_day)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (k: Long, it: Iterator[DauVote],
+         st: org.apache.spark.sql.streaming.GroupState[DauState]) =>
+          dauUpdate(k, it, st))
+  }
+
   /** Streaming twin of the MAD anomaly detector's SCORE step
     * (`Analytics.anomalyMad`): flag live rows against BATCH-TRAINED
     * per-key (median, MAD) stats — the train-offline / score-online

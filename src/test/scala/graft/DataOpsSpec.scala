@@ -1559,6 +1559,62 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  /** A w×h 24-bit BMP with per-pixel colors from `f(x, y)` (top-left
+    * origin; handles the bottom-up row order internally).
+    */
+  private def patternBmp(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) & ~3
+    val data = rowBytes * h
+    val out = new java.io.ByteArrayOutputStream()
+    def le2(v: Int) = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le4(v: Int) = { le2(v & 0xffff); le2((v >> 16) & 0xffff) }
+    out.write('B'); out.write('M'); le4(54 + data); le4(0); le4(54)
+    le4(40); le4(w); le4(h); le2(1); le2(24); le4(0); le4(data)
+    le4(2835); le4(2835); le4(0); le4(0)
+    // BMP rows are stored bottom-up
+    (h - 1 to 0 by -1).foreach { y =>
+      (0 until w).foreach { x =>
+        val rgb = f(x, y)
+        out.write(rgb & 0xff); out.write((rgb >> 8) & 0xff); out.write((rgb >> 16) & 0xff)
+      }
+      (w * 3 until rowBytes).foreach(_ => out.write(0))
+    }
+    out.toByteArray
+  }
+
+  test("perceptual hash pairs re-encoded and noisy dups, not distinct images") {
+    import spark.implicits._
+    // a horizontal gradient: strong dhash signal
+    def grad(x: Int, y: Int): Int = { val v = x * 255 / 31; (v << 16) | (v << 8) | v }
+    val original = patternBmp(32, 16)(grad)
+    // same image at a different size (re-encode analogue): same hash
+    val resized = patternBmp(64, 32)((x, y) => grad(x / 2, y / 2))
+    // one flipped pixel pair: tiny luma perturbation, small hamming
+    val noisy = patternBmp(32, 16)((x, y) =>
+      if (x == 5 && y == 3) 0xffffff else grad(x, y))
+    // the reverse gradient: a genuinely different image
+    val reversed = patternBmp(32, 16)((x, y) => grad(31 - x, y))
+    val assets = ops.Multimodal.toAsset(
+      Seq((1L, "image/bmp", original), (2L, "image/bmp", resized),
+        (3L, "image/bmp", noisy), (4L, "image/bmp", reversed),
+        (5L, "application/opaque", Array[Byte](1, 2, 3)))
+        .toDF("id", "kind", "payload"),
+      col("id"), col("kind"), col("payload"))
+    val hashes = ops.Multimodal.perceptualHash(assets).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(hashes(1L).isDefined && hashes(5L).isEmpty)
+    assert(hashes(1L) === hashes(2L), "scale-invariant: resized dup must hash equal")
+    val pairs = ops.Multimodal.phashPairs(assets).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((1L, 2L)), "resized dup not paired")
+    assert(ids.contains((1L, 3L)), "noisy dup not paired")
+    assert(!ids.exists(p => p._1 == 4L || p._2 == 4L),
+      s"reverse gradient must not pair: $pairs")
+    // hamming values are exact: identical images at 0
+    assert(pairs.find(p => (p._1, p._2) == ((1L, 2L))).get._3 === 0L)
+  }
+
   test("running distinct ends at the per-user distinct-type census") {
     val got = ops.Analytics.runningDistinct(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -356,6 +356,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size === all.length)
   }
 
+  test("streaming sliding dau converges to the batch rolling distinct counts") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ss = spark
+    import spark.implicits._
+    // the batch reshape, shared: user-day dedup + window-end explode
+    val votes = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .select(explode(sequence(lit(0), lit(6))).as("off"), col("user_id"), col("d"))
+      .select(datediff(date_add(col("d"), col("off")), lit("1970-01-01").cast("date"))
+        .cast("long").as("w_day"), col("user_id"))
+      .as[Monitor.DauVote].collect().sortBy(v => (v.w_day, v.user_id))
+    val input = MemoryStream[Monitor.DauVote]
+    val q = Monitor.slidingDauStream(input.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("dau_stream").start()
+    try {
+      votes.grouped(math.max(1, votes.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // update-mode counts only grow: the max per window-end is the final state
+    val streamed = spark.table("dau_stream")
+      .groupBy("w_day").agg(max(col("dau7")).as("dau7"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.ops.Analytics.slidingActiveUsers(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate.toEpochDay -> r.getLong(1)).toMap
+    // batch caps trailing windows at the last seen day; compare that domain
+    batch.foreach { case (day, n) => assert(streamed(day) === n, s"day $day") }
+    assert(batch.nonEmpty)
+  }
+
   test("native session_window streams with a watermark, equal to batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
