@@ -13,8 +13,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  /** Driver parquet writes plain `timestamp[us]` (no timezone marker), which
+    * Spark 4 infers as TIMESTAMP_NTZ by default. NTZ breaks `unix_micros` /
+    * bigint casts and diverges from DuckDB's naive-timestamp epoch
+    * semantics; reading as TimestampType under a UTC session keeps
+    * `unix_micros(ts)` equal to the stored micros value on both engines.
+    * Session-level conf set idempotently (consulted at scan planning), and
+    * done at the reader so `ts` predicates still push down — a per-column
+    * cast here would block pushdown.
+    */
+  private def tzSafe(spark: SparkSession): SparkSession = {
+    if (spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false")
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    tzSafe(spark).read.parquet(s"$dir/$name.parquet")
 
   /** Parquet reader tolerant of TIMESTAMP(NANOS) columns (which Spark's
     * reader rejects outright): reads nanos as long, then rebuilds the
@@ -32,7 +47,7 @@ object Tables {
     // affects tables that actually carry TIMESTAMP(NANOS) columns.
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    var df = spark.read.parquet(path)
+    var df = tzSafe(spark).read.parquet(path)
     df.schema.fields.foreach { f =>
       if (nanosCols.contains(f.name) &&
           f.dataType == org.apache.spark.sql.types.LongType)
