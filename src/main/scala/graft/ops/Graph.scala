@@ -155,7 +155,8 @@ object Graph {
     * are data-bounded (a path graph peels O(n) times — cap with
     * `maxIter` and fail loudly rather than silently return a non-core).
     */
-  def kCore(pairs: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+  def kCore(pairs: DataFrame, k: Int, maxIter: Int = 50,
+            broadcastRemovals: Long = 4000000L): DataFrame = {
     require(k >= 1)
     val n = pairs.sparkSession.sessionState.conf.numShufflePartitions
     val e = pairs.select(least(col("src"), col("dst")).as("a"),
@@ -166,20 +167,37 @@ object Graph {
         struct(col("b").as("u"), col("a").as("v")))).as("x"))
       .select(col("x.u").as("u"), col("x.v").as("v"))
       .repartition(n, col("u")).localCheckpoint()
-    var before = adj.count()
-    var converged = before == 0L
+    // Peeling driven by the REMOVED-node set, not the surviving edge
+    // list: per round, the degree groupBy is exchange-free (adj is
+    // hash-partitioned on `u` and every round preserves that), the
+    // removed set is materialized small (it only holds this round's
+    // casualties), and convergence is its count hitting zero — so the
+    // only per-round actions touch O(removed) rows, not O(E). When the
+    // removed set fits the broadcast budget (always, after the first
+    // round or two — peeling has a long small-round tail) both
+    // keep-filters are broadcast anti-joins: zero exchange for the whole
+    // round. A bulk round (more removals than `broadcastRemovals`) falls
+    // back to the shuffle anti-join on `v` — the 100 TB-safe path where
+    // a billion-node round-1 cull can't be broadcast — and re-partitions
+    // to restore the `u` hashing the next round's groupBy relies on.
+    var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val keep = adj.groupBy(col("u")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select(col("u"))
-      val next = adj.join(keep, "u")
-        .join(keep.withColumnRenamed("u", "v"), "v")
-        .select(col("u"), col("v"))
-        .repartition(n, col("u")).localCheckpoint()
-      val after = next.count()
-      converged = after == before
-      adj = next
-      before = after
+      val removed = adj.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .filter(col("d") < k).select(col("u")).localCheckpoint()
+      val nRemoved = removed.count()
+      if (nRemoved == 0L) converged = true
+      else {
+        val next =
+          if (nRemoved <= broadcastRemovals)
+            adj.join(broadcast(removed), Seq("u"), "left_anti")
+              .join(broadcast(removed.withColumnRenamed("u", "v")), Seq("v"), "left_anti")
+          else
+            adj.join(removed, Seq("u"), "left_anti")
+              .join(removed.withColumnRenamed("u", "v"), Seq("v"), "left_anti")
+              .repartition(n, col("u"))
+        adj = next.select(col("u"), col("v")).localCheckpoint()
+      }
       it += 1
     }
     require(converged, s"k-core did not converge within $maxIter rounds")

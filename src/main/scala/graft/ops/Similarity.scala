@@ -490,15 +490,56 @@ object Similarity {
       .drop("ex2")
       .orderBy(col("dim"))
 
-  def gramMatrix(emb: DataFrame, dims: Int = 64): DataFrame =
-    emb.select(expr(
-        s"""explode(flatten(transform(sequence(0, ${dims - 1}), i ->
-           |  transform(sequence(i, ${dims - 1}), j -> struct(
-           |    i AS i, j AS j,
-           |    cast(round(cast(embedding[i] as double)
-           |      * cast(embedding[j] as double) * 1000000.0D) as bigint) AS p)))))
-           |  AS e""".stripMargin))
-      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
-      .agg(count(lit(1)).as("n"), sum(col("e.p")).as("sxy_micro"))
+  def gramMatrix(emb: DataFrame, dims: Int = 64): DataFrame = {
+    // Upper-triangle co-moment accumulation per PARTITION (the syrk
+    // shape): each task folds its rows into one dims·(dims+1)/2 long
+    // array, so the shuffle carries partitions × 2080 partial rows
+    // instead of rows × 2080 exploded products — at 100 TB the network
+    // cost is a constant per task, independent of corpus size. Products
+    // are micro-rounded to integers BEFORE summation (float×float is
+    // exact in double, and integer sums are associative), so the merge
+    // order across partitions can't shift a bit vs any oracle.
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val nPairs = dims * (dims + 1) / 2
+    emb.select(expr("transform(embedding, x -> cast(x as double))"))
+      .as[Seq[Double]]
+      .mapPartitions { rows =>
+        val s = new Array[Long](nPairs)
+        var n = 0L
+        rows.foreach { v =>
+          n += 1
+          var idx = 0
+          var i = 0
+          while (i < dims) {
+            val xi = v(i)
+            var j = i
+            while (j < dims) {
+              s(idx) += math.round(xi * v(j) * 1000000.0)
+              idx += 1; j += 1
+            }
+            i += 1
+          }
+        }
+        if (n == 0L) Iterator.empty
+        else {
+          var idx = 0
+          val out = Array.newBuilder[(Int, Int, Long, Long)]
+          var i = 0
+          while (i < dims) {
+            var j = i
+            while (j < dims) {
+              out += ((i, j, n, s(idx)))
+              idx += 1; j += 1
+            }
+            i += 1
+          }
+          out.result().iterator
+        }
+      }
+      .toDF("i", "j", "n", "sxy_micro")
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("n")).as("n"), sum(col("sxy_micro")).as("sxy_micro"))
       .orderBy(col("i"), col("j"))
+  }
 }
