@@ -708,6 +708,14 @@ object SparkEntry {
         .select("stratum", "rk", "doc_id")
         .orderBy("stratum", "rk")),
 
+    // sqrt-temperature token-budget mixing: per-source budgets ∝ √T_s,
+    // docs greedily filled in hash order until each budget is spent
+    "corpus_mix_budget" -> ((s, dir) =>
+      TextAnalysis.mixBudget(Tables.documents(s, dir), "doc_id", col("source"),
+          ceil(col("n_chars") / 4.0), 20000L)
+        .select("doc_id", "source", "tok", "start_tok")
+        .orderBy("doc_id")),
+
     // mixture re-weighting: src0 halved, src1 dropped to 10%, the rest
     // untouched — pure map-side hash filter, nested across re-weights
     "corpus_mix" -> ((s, dir) =>
@@ -770,9 +778,13 @@ object SparkEntry {
       TextAnalysis.qualityGate(Tables.documents(s, dir), col("doc_id"), col("text"))),
 
     // token -> (df, first-100 posting list), stop tokens (df > 1000)
-    // dropped before any list is collected
+    // dropped before any list is collected; the list is serialized to a
+    // comma-joined string for the driver dump — raw array columns are not
+    // sortable/hashable in the oracle harness (pandas lexsort rejects
+    // ndarray cells)
     "text_inverted_index" -> ((s, dir) =>
-      TextAnalysis.invertedIndex(Tables.documents(s, dir), col("doc_id"), col("text"))),
+      TextAnalysis.invertedIndex(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .withColumn("postings", concat_ws(",", col("postings")))),
 
     // Okapi BM25 top-20 for a 3-term query; per-term contributions are
     // IEEE doubles rounded to integer micro-units, so the per-doc sum is
@@ -1544,8 +1556,8 @@ object SparkEntry {
         |        PARTITION BY user_id, event_type ORDER BY ts_us, event_id) = 1
         |      THEN 1 ELSE 0 END AS first_seen FROM e)
         |SELECT event_id, user_id,
-        |  SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS distinct_so_far
+        |  CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS distinct_so_far
         |FROM f ORDER BY user_id, event_id""".stripMargin,
 
     // same interpolated percentile as agg_quantiles; the score division
@@ -1694,7 +1706,7 @@ object SparkEntry {
         |        CAST(round(value * 1000000.0) AS BIGINT) AS v_micro
         |      FROM events WHERE event_type = 'purchase')
         |SELECT coalesce(v.s, 'none') AS state, count(*) AS n_purchases,
-        |  sum(f.v_micro) AS value_micro
+        |  CAST(sum(f.v_micro) AS BIGINT) AS value_micro
         |FROM f LEFT JOIN v ON f.user_id = v.user_id AND f.t >= v.vfrom
         |  AND (v.vto IS NULL OR f.t < v.vto)
         |GROUP BY 1 ORDER BY state""".stripMargin,
@@ -2092,7 +2104,7 @@ object SparkEntry {
       """WITH v AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
         |           FROM embeddings, range(1, 65) r(i))
         |SELECT a.d AS i, b.d AS j, count(*) AS n,
-        |  SUM(CAST(round(a.x * b.x * 1000000.0) AS BIGINT)) AS sxy_micro
+        |  CAST(SUM(CAST(round(a.x * b.x * 1000000.0) AS BIGINT)) AS BIGINT) AS sxy_micro
         |FROM v a JOIN v b ON a.vec_id = b.vec_id AND b.d >= a.d
         |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
 
@@ -2121,8 +2133,8 @@ object SparkEntry {
       """WITH v AS (SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
         |           FROM embeddings, range(1, 65) r(i)),
         |s AS MATERIALIZED (SELECT dim, count(*) AS n,
-        |    SUM(CAST(round(x * 1000000.0) AS BIGINT)) AS sx_micro,
-        |    SUM(CAST(round(x * x * 1000000.0) AS BIGINT)) AS sxx_micro,
+        |    CAST(SUM(CAST(round(x * 1000000.0) AS BIGINT)) AS BIGINT) AS sx_micro,
+        |    CAST(SUM(CAST(round(x * x * 1000000.0) AS BIGINT)) AS BIGINT) AS sxx_micro,
         |    min(x) AS x_min, max(x) AS x_max
         |  FROM v GROUP BY 1),
         |m AS (SELECT *, CAST(sx_micro AS DOUBLE) / 1000000.0 / n AS mean,
@@ -2257,8 +2269,32 @@ object SparkEntry {
         |        sum(tok) OVER (ORDER BY u, doc_id
         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS start
         |      FROM t)
-        |SELECT doc_id, start // 2048 AS seq_id, tok AS seq_tokens
+        |SELECT doc_id, CAST(start // 2048 AS BIGINT) AS seq_id, tok AS seq_tokens
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // sqrt-temperature budgets from exact integer token totals; the only
+    // float op (floor∘sqrt) is correctly-rounded IEEE on both engines,
+    // and the fill cumsum is the same per-source window both sides
+    "corpus_mix_budget" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id, source, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tok,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 0.5)
+        |      / 4503599627370496.0 AS u
+        |  FROM documents),
+        |tot AS MATERIALIZED (
+        |  SELECT source, CAST(floor(sqrt(CAST(sum(tok) AS DOUBLE))) AS BIGINT) AS w
+        |  FROM t GROUP BY 1),
+        |b AS MATERIALIZED (
+        |  SELECT source, CAST(20000 * w // (SELECT sum(w) FROM tot) AS BIGINT) AS budget
+        |  FROM tot),
+        |c AS (SELECT doc_id, source, tok,
+        |        sum(tok) OVER (PARTITION BY source ORDER BY u, doc_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS st
+        |      FROM t)
+        |SELECT c.doc_id, c.source, c.tok, CAST(c.st AS BIGINT) AS start_tok
+        |FROM c JOIN b USING (source)
+        |WHERE c.st < b.budget
+        |ORDER BY doc_id""".stripMargin,
 
     // same 52-bit md5 slice vs per-source thresholds
     "corpus_mix" ->
@@ -2383,7 +2419,7 @@ object SparkEntry {
         |dt AS (SELECT DISTINCT doc_id, token FROM tok),
         |dfq AS (SELECT token, count(*) AS df FROM dt GROUP BY 1 HAVING count(*) <= 1000)
         |SELECT dt.token AS token, dfq.df AS df,
-        |  (list(dt.doc_id ORDER BY dt.doc_id))[1:100] AS postings
+        |  array_to_string((list(dt.doc_id ORDER BY dt.doc_id))[1:100], ',') AS postings
         |FROM dt JOIN dfq USING (token)
         |GROUP BY dt.token, dfq.df
         |ORDER BY token""".stripMargin,
@@ -2407,7 +2443,8 @@ object SparkEntry {
         |      * (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / stats.avgdl)))
         |      * 1000000.0) AS BIGINT) AS contrib_micro
         |  FROM tf JOIN dft USING (token), stats)
-        |SELECT doc_id, SUM(contrib_micro) AS score_micro, count(*) AS n_terms
+        |SELECT doc_id, CAST(SUM(contrib_micro) AS BIGINT) AS score_micro,
+        |  count(*) AS n_terms
         |FROM scored GROUP BY doc_id
         |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
 

@@ -263,6 +263,78 @@ object TextAnalysis {
     df.filter(u < frac)
   }
 
+  /** Token-BUDGET source mixing at temperature ½ — the other half of the
+    * mixture-weights step [[mixSources]] covers: instead of per-source
+    * keep fractions, the caller gives one total token budget and each
+    * source s receives `budget_s = totalBudget · √T_s / Σ_t √T_t` (T_s =
+    * source token count). Square-root temperature is the standard
+    * multilingual/multi-domain flattening: big sources are tapered, small
+    * sources over-represented relative to raw share. Within a source,
+    * docs are ranked by the same 52-bit md5 slice as [[weightedSample]]
+    * (deterministic, engine-portable, nested under budget increases) and
+    * kept while their START offset lies inside the budget — doc-granular
+    * greedy fill, the same straddle rule as [[packSequences]].
+    *
+    * Determinism across engines: T_s and all cumsums are exact BIGINTs;
+    * the only float op is `floor(sqrt(T_s))` — IEEE sqrt is
+    * correctly-rounded by spec, so any engine computes the identical
+    * integer weight, and the budget split `totalBudget·w_s div Σw` is
+    * integer division (driver-side BigInt — no overflow at any scale).
+    *
+    * Scale shape: one tiny groupBy((source, bucket)) feeds BOTH the
+    * per-source totals and the per-bucket exclusive prefix offsets to
+    * the driver (|sources|·nBuckets rows — config-sized, not
+    * data-sized), broadcast back; the per-doc cumsum is a WITHIN-BUCKET
+    * window, so no source ever funnels through one partition (the
+    * single-partition-per-source window a naive `partitionBy(source)`
+    * would plan is exactly the skew this avoids).
+    */
+  def mixBudget(df: DataFrame, idColName: String, sourceCol: Column,
+                tokenCol: Column, totalBudget: Long,
+                nBuckets: Int = 0): DataFrame = {
+    require(totalBudget > 0, "totalBudget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = if (nBuckets > 0) nBuckets
+            else spark.sessionState.conf.numShufflePartitions
+    val u = (expr(s"cast(conv(substr(md5(cast(`$idColName` as string)), 1, 13), 16, 10) as double)")
+      + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val keyed = df
+      .withColumn("__src", sourceCol)
+      .withColumn("__u", u)
+      .withColumn("__tok", tokenCol.cast("long"))
+      .withColumn("__b", floor(col("__u") * n).cast("int"))
+    val cells = keyed.groupBy("__src", "__b").agg(sum("__tok").as("__s"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .sortBy(c => (c._1, c._2))
+    val totals = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val weights = totals.map { case (s, t) =>
+      s -> math.floor(math.sqrt(t.toDouble)).toLong
+    }
+    val wSum = weights.values.map(BigInt(_)).sum
+    val budgets = weights.map { case (s, w) =>
+      s -> (BigInt(totalBudget) * w / wSum).toLong
+    }
+    // exclusive prefix offset of each (source, bucket) cell within its source
+    val offsets = cells.groupBy(_._1).toSeq.flatMap { case (s, cs) =>
+      cs.sortBy(_._2).scanLeft((s, -1, 0L, 0L)) {
+        case ((_, _, acc, prev), (_, b, t)) => (s, b, acc + prev, t)
+      }.tail.map { case (src, b, off, t) => (src, b, off) }
+    }
+    val offDf = broadcast(offsets.toDF("__src", "__b", "__off"))
+    val budDf = broadcast(budgets.toSeq.toDF("__src", "__budget"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__src", "__b").orderBy("__u", idColName)
+    keyed.join(offDf, Seq("__src", "__b"))
+      .join(budDf, Seq("__src"))
+      .withColumn("__start", col("__off") + sum("__tok").over(w) - col("__tok"))
+      .filter(col("__start") < col("__budget"))
+      .withColumn("source", col("__src"))
+      .withColumn("tok", col("__tok"))
+      .withColumn("start_tok", col("__start"))
+      .drop("__src", "__u", "__tok", "__b", "__off", "__budget", "__start")
+  }
+
   /** Sequence packing — assign every document to a fixed-token-budget
     * training sequence: documents are laid out in a deterministic
     * hash-shuffled order (same 52-bit md5 slice as [[weightedSample]] —

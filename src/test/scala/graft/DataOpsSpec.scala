@@ -239,6 +239,49 @@ class DataOpsSpec extends AnyFunSuite {
     assert(halfIds.size >= 5 && halfIds.size <= 20, s"src0 kept ${halfIds.size}/25")
   }
 
+  test("token-budget mixing equals a naive per-source window and nests under budget increases") {
+    val docs = Tables.documents(spark, sf)
+    def mixed(budget: Long): Seq[(Long, String, Long, Long)] =
+      TextAnalysis.mixBudget(docs, "doc_id", col("source"),
+          ceil(col("n_chars") / 4.0), budget)
+        .select("doc_id", "source", "tok", "start_tok").orderBy("doc_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+
+    // ground truth: per-source global window + driver-side sqrt budgets
+    val tokDf = docs.select(col("doc_id"), col("source"),
+      ceil(col("n_chars") / 4.0).cast("long").as("tok"))
+    val totals = tokDf.groupBy("source").agg(sum("tok").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weights = totals.map { case (s, t) =>
+      s -> math.floor(math.sqrt(t.toDouble)).toLong
+    }
+    val wSum = weights.values.sum
+    val budget = 20000L
+    val budgets = weights.map { case (s, w) => s -> budget * w / wSum }
+    val u = (expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 13), 16, 10) as double)")
+      + lit(0.5)) / lit(4503599627370496.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("__u", "doc_id")
+    val naive = tokDf.withColumn("__u", u)
+      .withColumn("start_tok", sum("tok").over(w) - col("tok"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("tok"), r.getAs[Long]("start_tok")))
+      .filter { case (_, s, _, st) => st < budgets(s) }
+      .sortBy(_._1).toSeq
+    val dist = mixed(budget)
+    assert(dist === naive, "bucketed prefix sum must equal the per-source window")
+    assert(dist.nonEmpty && dist.size < docs.count(),
+      s"budget should cut a strict subset, kept ${dist.size}")
+    // spending more budget only ADDS docs — mixture tuning never churns
+    val bigger = mixed(budget * 2).map(_._1).toSet
+    assert(dist.map(_._1).toSet.subsetOf(bigger),
+      "a larger budget must keep every previously selected doc")
+    // every source gets a slice (sqrt flattening guarantees small ones do)
+    assert(dist.map(_._2).distinct.size === totals.size)
+  }
+
   test("weighted sample is partition-invariant and weight-biased") {
     // 900 light items (w=1) vs 100 heavy (w=100): heavy mass is ~92% of
     // total weight, so a 50-sample should be dominated by heavy ids
