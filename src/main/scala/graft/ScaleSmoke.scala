@@ -445,9 +445,11 @@ object ScaleSmoke {
 
     // triangle count on a 10^6-node adversarial graph: a ring (no hub
     // triangles), one planted triangle per i % 4 == 0 skip edge, and a
-    // 10^5-degree hub. Orientation makes the hub a pure SINK — it sources
-    // zero wedges — so the wedge join stays O(m) here instead of the
-    // O(hub_deg^2) = 10^10 pairs a naive wedge enumeration would emit.
+    // 10^5-degree hub. Orientation makes the hub a pure SINK — its
+    // out-adjacency is EMPTY, so every (u, hub) edge drops at the
+    // adjacency join and contributes zero intersection work, instead of
+    // the O(hub_deg^2) = 10^10 pairs a naive wedge enumeration would
+    // emit; no adjacency array ever exceeds the √m orientation cap.
     time("triangles_hub_graph") {
       val n = 1000000L
       val ring = spark.range(n - 1).select(col("id").as("src"), (col("id") + 1).as("dst"))

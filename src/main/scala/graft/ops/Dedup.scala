@@ -276,6 +276,26 @@ object Dedup {
         md5(concat_ws("|", expr(s"slice(sig, band * $rowsPerBand + 1, $rowsPerBand)"))).as("bh"))
   }
 
+  /** [[lshBands]] with caller columns carried alongside the band rows —
+    * the streaming twin needs the event-time column to survive to its
+    * watermark, and a streaming input must not pass through [[spread]]'s
+    * batch repartition, so this variant projects directly.
+    */
+  def lshBandsKeeping(df: DataFrame, idCol: Column, textCol: Column,
+                      keep: Seq[String], numHashes: Int = 16,
+                      bands: Int = 4): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val rowsPerBand = numHashes / bands
+    val words = TextAnalysis.tokens(textCol)
+    df.select(idCol.as("doc_id") +: keep.map(col) :+ words.as("words"): _*)
+      .filter(size(col("words")) >= 3)
+      .withColumn("sig", expr(s"graft_minhash(graft_shingles(words, 3), $numHashes)"))
+      .select(col("doc_id") +: keep.map(col) :+
+        explode(sequence(lit(0), lit(bands - 1))).as("band") :+ col("sig"): _*)
+      .select(col("doc_id") +: keep.map(col) :+ col("band") :+
+        md5(concat_ws("|", expr(s"slice(sig, band * $rowsPerBand + 1, $rowsPerBand)"))).as("bh"): _*)
+  }
+
   /** LSH banding: docs colliding on any (band, hash) bucket are
     * candidates — a pure equality join, no pairwise scan.
     */

@@ -224,6 +224,31 @@ object Monitor {
       .dropDuplicatesWithinWatermark(Seq("chunk_hash"))
   }
 
+  /** Ingest-time NEAR-dup detection: flag each arriving document whose
+    * MinHash LSH band collides with a persisted corpus index — the
+    * streaming twin of `Dedup.lshCandidatesAgainst`, run before a doc
+    * ever lands in storage. The index side is a static DataFrame (the
+    * parquet band table `Dedup.lshBands` persists), so the join is
+    * stream-static: stateless, no watermark needed for the join itself,
+    * and the index can be arbitrarily corpus-sized because only the
+    * increment streams. Multiple colliding bands for the same pair are
+    * collapsed by a watermark-bounded dedup — state O(flagged pairs per
+    * horizon), never index-sized. Emits (new_id, indexed_id, ts).
+    */
+  def nearDupStream(stream: DataFrame, idCol: Column, textCol: Column,
+                    tsCol: String, indexedBands: DataFrame,
+                    numHashes: Int = 16, bands: Int = 4,
+                    watermarkDelay: String = "10 minutes"): DataFrame =
+    graft.ops.Dedup.lshBandsKeeping(stream, idCol, textCol, Seq(tsCol),
+        numHashes, bands).as("a")
+      .join(indexedBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("indexed_id"),
+        col(s"a.$tsCol").as(tsCol))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("new_id", "indexed_id"))
+
   /** Stream-stream interval join: correlate two live streams on a key
     * within a time bound (e.g. purchase within an hour of a click).
     * Both sides watermarked, so the join state expires — the streaming

@@ -169,6 +169,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming near-dup flags band collisions against the static index, like batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "pack my box with five dozen liquor jugs"),
+      (12L, "how vexingly quick daft zebras jump")).toDF("doc_id", "text")
+    val index = ops.Dedup.lshBands(corpus, col("doc_id"), col("text"))
+    val t0 = 1700000000000L
+    // doc 1 is an exact redelivery of indexed doc 10 (every band collides);
+    // doc 2 shares no shingles with the corpus
+    val incr = Seq(
+      Doc(1L, new Timestamp(t0), "the quick brown fox jumps over the lazy dog"),
+      Doc(2L, new Timestamp(t0 + 1000), "sphinx of black quartz judge my vow"))
+    val input = MemoryStream[Doc]
+    input.addData(incr: _*)
+    val q = Monitor.nearDupStream(input.toDF(), col("doc_id"), col("text"),
+        "ts", index)
+      .writeStream.outputMode("append").format("memory").queryName("neardup_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    val got = spark.table("neardup_out").select("new_id", "indexed_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = ops.Dedup.lshCandidatesAgainst(
+        incr.toDF().select(col("doc_id"), col("text")),
+        col("doc_id"), col("text"), index)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected, "stream flags must equal the batch increment join")
+    assert(got.contains((1L, 10L)), "the redelivered doc must be flagged")
+    assert(!got.exists(_._1 == 2L), "a novel doc must not be flagged")
+  }
+
   test("stream-stream interval join correlates within the time bound") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
