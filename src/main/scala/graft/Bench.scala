@@ -36,18 +36,29 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // A query that THROWS must be visible in the output, not timed as a
+    // fast success — a broken reader (e.g. an incompatible testdata
+    // regen) otherwise reads as a 10x "speedup" on every query it
+    // crashes, which is exactly how a silent regression hides.
+    var failed = List.empty[String]
     val results = picked.map { case (name, fn) =>
+      var ok = true
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         // The noop sink materializes EVERY output column. A count() here
         // would let Catalyst prune the projections of map-shaped queries
         // (token counting, scrubbing, decode) and time only their scans.
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
+        catch { case _: Throwable => ok = false }
         (System.nanoTime() - t0) / 1e9
       }
+      if (!ok) failed ::= name
       name -> times.min
     }
+    val nFailed = failed.size
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the stdout line survives tail truncation; cap its failed list
+    val failedBrief = failed.sorted.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
 
     // Full-precision per-query timings → bench_full.json (the harness that
@@ -55,7 +66,7 @@ object Bench {
     // ~80-query map overflows — the file carries the complete breakdown).
     val fullQs = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + j(v) }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"failed":$failedJson,"queries":$fullQs,"sf":"$sfDir"}"""
     if (only.isEmpty) // a filtered run must not clobber the full snapshot
       try {
         val w = new java.io.PrintWriter("bench_full.json"); w.println(full); w.close()
@@ -74,7 +85,7 @@ object Bench {
     // Spark shutdown chatter before emitting it.
     spark.sparkContext.setLogLevel("OFF")
     System.out.flush(); System.err.flush()
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"n_reported":${kept.size},"full":"bench_full.json","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"failed":$failedBrief,"n_reported":${kept.size},"full":"bench_full.json","queries":$qs,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

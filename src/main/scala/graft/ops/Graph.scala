@@ -234,12 +234,23 @@ object Graph {
     * many lines — the iterative signal a join+count can't produce.
     */
   def transactionRank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    // Nodes iterate as PACKED LONGS (customer 2k, supplier 2k+1): the
+    // dedup, every per-round join, and the rank groupBy all hash 8-byte
+    // keys instead of strings; the human-readable label is a final O(V)
+    // projection, after the iteration is done.
     val pairs = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .select((col("o_custkey") * 2L).as("src"),
+        (col("l_suppkey") * 2L + 1L).as("dst"))
       .distinct()
-    pageRank(pairs, iters).orderBy(col("pr").desc, col("node"))
+    pageRank(pairs, iters)
+      .select(
+        when(col("node") % 2L === 0L,
+          concat(lit("c"), expr("node div 2").cast("string")))
+          .otherwise(concat(lit("s"), expr("node div 2").cast("string")))
+          .as("node"),
+        col("pr"))
+      .orderBy(col("pr").desc, col("node"))
   }
 }
