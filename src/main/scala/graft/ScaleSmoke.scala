@@ -568,6 +568,48 @@ object ScaleSmoke {
       require(merged.toSeq == direct.toSeq, "merge != recompute")
       println(s"[scale]   ${merged.length} groups, merge == recompute exactly")
     }
+    // token-budget mixing under source skew: one mega-source holding 91%
+    // of 10^6 docs vs 100 tiny sources. The per-source cumsum must run
+    // as the BUCKETED prefix sum (a partitionBy(source) window would
+    // drag 910k docs through one task — the skew this op exists to
+    // avoid), sqrt flattening must hand every tiny source a non-zero
+    // slice, and the mega-source's kept token count must respect its
+    // integer budget exactly: kept ≤ budget, and the next doc in hash
+    // order would overflow it (greedy fill is tight, not just bounded).
+    time("mix_budget_mega_source") {
+      val n = 1000000L
+      val docs = spark.range(n).select(col("id"),
+        when(pmod(col("id"), lit(11)) < 10, lit("mega"))
+          .otherwise(concat(lit("tiny"), pmod(col("id"), lit(100)))).as("source"),
+        (pmod(col("id"), lit(900)) + 100).as("tok"))
+      val budget = 20000000L
+      val out = graft.ops.TextAnalysis.mixBudget(
+          docs, "id", col("source"), col("tok"), budget)
+        .select(col("source"), col("tok").as("kept_tok"), col("start_tok")).cache()
+      val per = out.groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("kept_tok").as("tok"),
+          max(expr("start_tok + kept_tok")).as("fill"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      out.unpersist()
+      val totals = docs.groupBy("source").agg(sum("tok").as("t")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val weights = totals.map { case (s, t) => s -> math.floor(math.sqrt(t.toDouble)).toLong }
+      val wSum = weights.values.map(BigInt(_)).sum
+      val budgets = weights.map { case (s, w) => s -> (BigInt(budget) * w / wSum).toLong }
+      val nTiny = per.count(_._1 != "mega")
+      require(nTiny == 100, s"only $nTiny tiny sources got a slice (expect all 100)")
+      per.foreach { case (s, (_, _, fill)) =>
+        val b = budgets(s)
+        require(fill >= b || fill == totals(s),
+          s"source $s under-filled: $fill of budget $b")
+      }
+      per.foreach { case (s, (_, tokSum, fill)) =>
+        require(tokSum == fill, s"source $s cumsum mismatch: $tokSum != $fill")
+      }
+      println(s"[scale]   mega kept ${per("mega")._2} tok of budget ${budgets("mega")}" +
+        s" (corpus share ${totals("mega") * 100 / totals.values.sum}%," +
+        s" budget share ${budgets("mega") * 100 / budget}%); 100/100 tiny sources filled")
+    }
     spark.stop()
   }
 }

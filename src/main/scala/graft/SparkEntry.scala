@@ -777,6 +777,12 @@ object SparkEntry {
     "corpus_quality_gate" -> ((s, dir) =>
       TextAnalysis.qualityGate(Tables.documents(s, dir), col("doc_id"), col("text"))),
 
+    // per-source data card: docs/tokens in, gate survivors, integer
+    // permille shares — the rollup of the gate's reason bitmask
+    "corpus_source_report" -> ((s, dir) =>
+      TextAnalysis.sourceReport(Tables.documents(s, dir), col("doc_id"),
+        col("source"), col("text"))),
+
     // token -> (df, first-100 posting list), stop tokens (df > 1000)
     // dropped before any list is collected; the list is serialized to a
     // comma-joined string for the driver dump — raw array columns are not
@@ -2514,6 +2520,44 @@ object SparkEntry {
         |      FROM b LEFT JOIN gc USING (doc_id) LEFT JOIN lm USING (doc_id))
         |SELECT doc_id, CAST(reasons AS BIGINT) AS reasons, reasons = 0 AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // the gate CTEs verbatim, rolled up per source with integer-div shares
+    "corpus_source_report" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |b AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+        |        CAST(len(list_filter(words, x -> x = 'the' OR x = 'a' OR x = 'of')) AS BIGINT) AS n_stop
+        |      FROM w),
+        |g AS (SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
+        |      FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |gc AS (SELECT doc_id, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct
+        |       FROM g GROUP BY 1),
+        |ix AS (SELECT doc_id, words, unnest(range(1, len(words))) AS i FROM w),
+        |bi AS (SELECT doc_id, words[i] AS w1, words[i + 1] AS w2 FROM ix),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT token) AS v
+        |       FROM (SELECT unnest(words) AS token FROM w)),
+        |s AS (SELECT bi.doc_id, (c12.c12 + 1) * 1000000 // (c1.c1 + vv.v) AS p_micro
+        |      FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv),
+        |lm AS (SELECT doc_id, CAST(SUM(p_micro) AS BIGINT) // count(*) AS lm_micro
+        |       FROM s GROUP BY doc_id),
+        |f AS (SELECT b.doc_id, b.n_tokens,
+        |        ((CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN coalesce(n_grams - n_distinct, 0) * 1000 > 200 * coalesce(n_grams, 0) THEN 2 ELSE 0 END)
+        |       + (CASE WHEN n_stop * 1000 < 30 * n_tokens THEN 4 ELSE 0 END)
+        |       + (CASE WHEN coalesce(lm_micro, 0) < 32000 THEN 8 ELSE 0 END)) = 0 AS keep
+        |      FROM b LEFT JOIN gc USING (doc_id) LEFT JOIN lm USING (doc_id)),
+        |j AS (SELECT d.source, f.n_tokens AS tok, f.keep
+        |      FROM documents d JOIN f ON d.doc_id = f.doc_id),
+        |a AS (SELECT source, count(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens,
+        |        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |        CAST(SUM(CASE WHEN keep THEN tok ELSE 0 END) AS BIGINT) AS kept_tokens
+        |      FROM j GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM a)
+        |SELECT source, n_docs, n_tokens, n_kept, kept_tokens,
+        |  CAST(n_tokens * 1000 // tt.t AS BIGINT) AS token_share_permille,
+        |  CAST(n_kept * 1000 // n_docs AS BIGINT) AS kept_permille
+        |FROM a CROSS JOIN tt ORDER BY source""".stripMargin,
 
     "text_lexical_diversity" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),

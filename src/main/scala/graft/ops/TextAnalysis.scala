@@ -216,6 +216,37 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source curation report — the "data card" a training run ships
+    * with: how many documents and whitespace tokens each source
+    * contributes, how many survive the [[qualityGate]], and each
+    * source's integer-exact token share and keep rate in permille. This
+    * is the accounting view the gate's per-doc reason bitmask rolls up
+    * to: mixture decisions (and debugging a source that silently
+    * collapses) start here. One groupBy(source) over the gate join —
+    * output is |sources| rows, the total-token denominator is a single
+    * broadcast scalar, and every ratio is integer `div` arithmetic
+    * (engine-portable, no float thresholds).
+    */
+  def sourceReport(df: DataFrame, idCol: Column, sourceCol: Column,
+                   textCol: Column): DataFrame = {
+    val gate = qualityGate(df, idCol, textCol)
+    val tok = df.select(idCol.as("doc_id"), sourceCol.as("source"),
+      size(tokens(textCol)).cast("long").as("tok"))
+    val agg = tok.join(gate.select("doc_id", "keep"), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("n_tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("tok")).otherwise(0L)).as("kept_tokens"))
+    val tot = agg.agg(sum(col("n_tokens")).as("tot_tokens"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_kept"), col("kept_tokens"),
+        expr("n_tokens * 1000 div tot_tokens").as("token_share_permille"),
+        expr("n_kept * 1000 div n_docs").as("kept_permille"))
+      .orderBy(col("source"))
+  }
+
   /** Percentile-based corpus pruning: drop length outliers per source
     * stratum. `percent_rank` is rank arithmetic (engine-portable, unlike
     * value interpolation) — one window per stratum, no second scan.

@@ -239,6 +239,33 @@ class DataOpsSpec extends AnyFunSuite {
     assert(halfIds.size >= 5 && halfIds.size <= 20, s"src0 kept ${halfIds.size}/25")
   }
 
+  test("source report rolls the quality gate up per source with exact permille shares") {
+    val docs = Tables.documents(spark, sf)
+    val rep = TextAnalysis.sourceReport(docs, col("doc_id"), col("source"), col("text"))
+      .collect()
+    val gate = TextAnalysis.qualityGate(docs, col("doc_id"), col("text"))
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val toks = docs.select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = toks.groupBy(_._2)
+    val tot = toks.map(_._3).sum
+    assert(rep.length === bySrc.size)
+    rep.foreach { r =>
+      val s = r.getAs[String]("source")
+      val g = bySrc(s)
+      val kept = g.filter(d => gate(d._1))
+      val nTok = g.map(_._3).sum
+      assert(r.getAs[Long]("n_docs") === g.size.toLong)
+      assert(r.getAs[Long]("n_tokens") === nTok)
+      assert(r.getAs[Long]("n_kept") === kept.size.toLong)
+      assert(r.getAs[Long]("kept_tokens") === kept.map(_._3).sum)
+      assert(r.getAs[Long]("token_share_permille") === nTok * 1000L / tot)
+      assert(r.getAs[Long]("kept_permille") === kept.size.toLong * 1000L / g.size)
+    }
+  }
+
   test("token-budget mixing equals a naive per-source window and nests under budget increases") {
     val docs = Tables.documents(spark, sf)
     def mixed(budget: Long): Seq[(Long, String, Long, Long)] =

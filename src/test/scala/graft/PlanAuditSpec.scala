@@ -24,6 +24,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_int8_topk",          // quantized brute-force scoring: all-pairs by design
     "quality_lm_score",       // single-row vocabulary-size broadcast
     "corpus_quality_gate",    // embeds quality_lm_score's vocab broadcast
+    "corpus_source_report",   // gate rollup + single-row total-token broadcast
     "ts_update_first",        // single-row first-match-id broadcast
     "text_collocations",      // two single-row corpus-total broadcasts (Nt, Nb)
     "events_sliding_dau",     // single-row max-day cap broadcast
