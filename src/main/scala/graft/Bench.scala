@@ -17,6 +17,20 @@ object Bench {
     // Warm up the JVM (codegen, shuffle machinery) and parquet footers so
     // the first timed query isn't charged session initialization.
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // Fixed calibration workload (CPU + one small shuffle), timed at start
+    // and end of the run: same-code totals have swung ±20% run-to-run on a
+    // shared machine, so cross-round comparisons need a machine-condition
+    // yardstick measured under the SAME conditions as the queries. Both
+    // numbers land in the JSON; a round whose calib differs 1.5x from the
+    // last round's is not a like-for-like total.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L)
+        .selectExpr("id % 1000 as k", "id as v")
+        .groupBy("k").sum("v").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibStart = calibrate()
     try Tables.All.foreach(t => Tables.table(spark, sfDir, t).schema)
     catch { case _: Throwable => }
     // Two timed runs per query, report the min: local[32] timings are
@@ -55,6 +69,8 @@ object Bench {
       if (!ok) failed ::= name
       name -> times.min
     }
+    val calibEnd = calibrate()
+    val calib = s""""calib_start_sec":${j(calibStart)},"calib_end_sec":${j(calibEnd)}"""
     val nFailed = failed.size
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // the stdout line survives tail truncation; cap its failed list
@@ -66,7 +82,7 @@ object Bench {
     // ~80-query map overflows — the file carries the complete breakdown).
     val fullQs = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + j(v) }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"failed":$failedJson,"queries":$fullQs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"failed":$failedJson,$calib,"queries":$fullQs,"sf":"$sfDir"}"""
     if (only.isEmpty) // a filtered run must not clobber the full snapshot
       try {
         val w = new java.io.PrintWriter("bench_full.json"); w.println(full); w.close()
@@ -85,7 +101,7 @@ object Bench {
     // Spark shutdown chatter before emitting it.
     spark.sparkContext.setLogLevel("OFF")
     System.out.flush(); System.err.flush()
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"failed":$failedBrief,"n_reported":${kept.size},"full":"bench_full.json","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"failed":$failedBrief,$calib,"n_reported":${kept.size},"full":"bench_full.json","queries":$qs,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

@@ -159,6 +159,39 @@ object Monitor {
     graft.ops.Analytics.eventStatsMerge(
       spark.read.parquet(path).drop("__batch_id"))
 
+  /** Self-maintaining LSH band index: each micro-batch's documents land
+    * their MinHash band rows in the parquet index [[nearDupStream]] and
+    * `Dedup.lshCandidatesAgainst` join against — the ingest loop that
+    * keeps the dedup index current without ever re-banding the corpus.
+    * Exactly-once like [[maintainEventStats]]: a batch writes ONLY its
+    * own `__batch_id` partition via dynamic overwrite, so a replayed
+    * batch rewrites instead of duplicating, and a reader never sees a
+    * torn batch. Index growth is O(docs · bands) rows regardless of
+    * corpus size; readers drop the bookkeeping column.
+    */
+  def maintainLshIndex(stream: DataFrame, idCol: Column, textCol: Column,
+                       path: String, checkpoint: String,
+                       numHashes: Int = 16, bands: Int = 4,
+                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        graft.ops.Dedup.lshBands(df.toDF(), idCol, textCol, numHashes, bands)
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id")
+          .parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** The [[maintainLshIndex]] parquet log as the band table the batch and
+    * streaming candidate joins expect.
+    */
+  def readLshIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("__batch_id")
+
   /** Capture INTO the reference's native format: each micro-batch's `doc`
     * rows (canonical JSON) are written as `.topic_store` pickle logs into a
     * per-batch subdirectory — idempotent under replay (a restarted batch

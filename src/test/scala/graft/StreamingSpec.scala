@@ -169,6 +169,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streamed LSH index equals batch banding and replay does not duplicate") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_lsh").toString + "/index"
+    val chk1 = Files.createTempDirectory("graft_lsh_chk").toString
+    val t0 = 1700000000000L
+    val docsSeq = Seq(
+      Doc(10L, new Timestamp(t0), "the quick brown fox jumps over the lazy dog"),
+      Doc(11L, new Timestamp(t0 + 1000), "pack my box with five dozen liquor jugs"),
+      Doc(12L, new Timestamp(t0 + 2000), "how vexingly quick daft zebras jump"))
+    val in1 = MemoryStream[Doc]
+    in1.addData(docsSeq: _*)
+    val q1 = Monitor.maintainLshIndex(in1.toDF(), col("doc_id"), col("text"),
+      idx, chk1)
+    try q1.awaitTermination(120000) finally q1.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Int]("band"), r.getAs[String]("bh"))
+    val streamed = Monitor.readLshIndex(spark, idx).collect().map(key).toSet
+    val batch = ops.Dedup.lshBands(
+        docsSeq.toDF().select(col("doc_id"), col("text")),
+        col("doc_id"), col("text"))
+      .collect().map(key).toSet
+    assert(streamed === batch, "streamed index must equal batch banding")
+    // a fresh checkpoint re-delivers batch 0 over the same index path:
+    // dynamic overwrite must rewrite the partition, not append a copy
+    val chk2 = Files.createTempDirectory("graft_lsh_chk2").toString
+    val in2 = MemoryStream[Doc]
+    in2.addData(docsSeq: _*)
+    val q2 = Monitor.maintainLshIndex(in2.toDF(), col("doc_id"), col("text"),
+      idx, chk2)
+    try q2.awaitTermination(120000) finally q2.stop()
+    assert(Monitor.readLshIndex(spark, idx).collect().map(key).toSet === batch,
+      "replayed batch must overwrite its partition, not duplicate the index")
+  }
+
   test("streaming near-dup flags band collisions against the static index, like batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
