@@ -665,6 +665,16 @@ object SparkEntry {
     "emb_dim_stats" -> ((s, dir) =>
       Similarity.dimProfile(Tables.embeddings(s, dir))),
 
+    // mutual margin-argmax pairing across the even/odd halves (the
+    // Artetxe & Schwenk bitext-mining criterion): per-pair cosines are
+    // micro-rounded FIRST, so top-k sums and margins are exact integers
+    "emb_margin_pairs" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.marginPairs(emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1), k = 4)
+        .orderBy("a_id")
+    }),
+
     // 16-tap dyadic EWMA per series — integer weights, one window pass
     "ts_ewma" -> ((s, dir) => Analytics.ewma(s, dir)),
 
@@ -798,6 +808,12 @@ object SparkEntry {
     "text_bm25_topk" -> ((s, dir) =>
       TextAnalysis.bm25TopK(Tables.documents(s, dir), col("doc_id"), col("text"),
         Seq("merge", "batch", "stream"), k = 20)),
+
+    // round-1 BPE merge candidates: adjacent char pairs weighted by word
+    // frequency — pair extraction runs over the vocab table, not the
+    // corpus (the one corpus pass is the word-count groupBy)
+    "text_bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(Tables.documents(s, dir), col("text"))),
 
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.byteStats(Multimodal.toAsset(
@@ -2148,6 +2164,47 @@ object SparkEntry {
         |SELECT dim, n, sx_micro, sxx_micro, x_min, x_max, mean,
         |  sqrt(greatest(ex2 - mean * mean, 0.0)) AS std
         |FROM m ORDER BY dim""".stripMargin,
+
+    // per-pair cosines micro-rounded before any aggregation, so top-k
+    // sums are exact integer adds and the margin one integer division —
+    // clamped numerator keeps Spark div and SQL // in agreement
+    "emb_margin_pairs" ->
+      """WITH v AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+        |           FROM embeddings, range(1, 65) r(i)),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY 1),
+        |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |        CAST(round(sum(a.x * b.x) / (n1.nrm * n2.nrm) * 1000000.0) AS BIGINT) AS cos_micro
+        |      FROM v a JOIN v b ON a.d = b.d AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+        |      JOIN n n1 ON n1.vec_id = a.vec_id JOIN n n2 ON n2.vec_id = b.vec_id
+        |      GROUP BY a.vec_id, b.vec_id, n1.nrm, n2.nrm),
+        |ra AS (SELECT a_id, b_id, cos_micro,
+        |         row_number() OVER (PARTITION BY a_id ORDER BY cos_micro DESC, b_id) AS rk FROM p),
+        |rb AS (SELECT a_id, b_id, cos_micro,
+        |         row_number() OVER (PARTITION BY b_id ORDER BY cos_micro DESC, a_id) AS rk FROM p),
+        |sa AS (SELECT a_id, CAST(sum(cos_micro) AS BIGINT) AS s_a FROM ra WHERE rk <= 4 GROUP BY 1),
+        |sb AS (SELECT b_id, CAST(sum(cos_micro) AS BIGINT) AS s_b FROM rb WHERE rk <= 4 GROUP BY 1),
+        |m AS (SELECT p.a_id, p.b_id, p.cos_micro,
+        |        CAST((greatest(p.cos_micro, 0) * 8 * 1000000) // (s_a + s_b) AS BIGINT) AS margin_ppm
+        |      FROM p JOIN sa USING (a_id) JOIN sb USING (b_id)
+        |      WHERE s_a + s_b > 0),
+        |mm AS (SELECT *,
+        |         row_number() OVER (PARTITION BY a_id ORDER BY margin_ppm DESC, b_id) AS ba,
+        |         row_number() OVER (PARTITION BY b_id ORDER BY margin_ppm DESC, a_id) AS bb FROM m)
+        |SELECT a_id, b_id, cos_micro, margin_ppm FROM mm
+        |WHERE ba = 1 AND bb = 1 AND margin_ppm >= 1000000
+        |ORDER BY a_id""".stripMargin,
+
+    // word-frequency table first (the one corpus pass), then char pairs
+    // over the vocab — identical tokenization to corpus_decontaminate
+    "text_bpe_merges" ->
+      """WITH w AS (SELECT unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS word
+        |           FROM documents),
+        |wc AS (SELECT word, count(*) AS cnt FROM w WHERE length(word) >= 2 GROUP BY 1),
+        |p AS (SELECT substr(word, i, 2) AS pair, cnt
+        |      FROM wc, range(1, 2048) r(i) WHERE i <= length(word) - 1)
+        |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+        |FROM p GROUP BY 1
+        |ORDER BY n_occurrences DESC, pair LIMIT 50""".stripMargin,
 
     // same first-8 coarse quantizer as ann_ivf_topk; within-cell pairs at
     // rounded cosine ≥ τ drop the larger id, survivors remain

@@ -1024,12 +1024,20 @@ object Analytics {
     * broadcasts).
     */
   def basketLift(spark: SparkSession, dir: String, minSupport: Long = 3L,
-                 maxBasket: Int = 1000, topK: Int = 50): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+                 maxBasket: Int = 1000, topK: Int = 50,
+                 cache: Boolean = true): DataFrame = {
+    // the distinct basket table feeds every downstream branch (sizes,
+    // order count, item counts, both self-join sides) and the branches
+    // are differently pruned, so exchange reuse can't cover them all —
+    // persisted so the lineitem scan + distinct shuffle are paid once
+    // (the tfidf discipline, releasable via Dedup.unpersistShared)
+    val li = graft.ops.OpCache.share(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct(),
+      cache)
     val sizes = li.groupBy(col("ok")).agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBasket)
-    val keep = li.join(sizes.select("ok"), "ok")
+    val keep = graft.ops.OpCache.share(li.join(sizes.select("ok"), "ok"), cache)
     val nOrders = sizes.agg(count(lit(1)).as("n_orders"))
     val itemCnt = keep.groupBy(col("pk")).agg(count(lit(1)).as("ni"))
     keep.as("a").join(keep.as("b"),

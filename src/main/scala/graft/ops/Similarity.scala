@@ -398,6 +398,75 @@ object Similarity {
       .select("query_id", "neighbor_id", "idot", "rank")
   }
 
+  /** Margin-based nearest-neighbor pair mining (the ratio-margin retrieval
+    * criterion of Artetxe & Schwenk 2019, the standard bitext/semantic
+    * pair-mining recipe): a pair (a, b) across two embedding sides scores
+    * `margin = cos(a,b) / ((avgTopK(a→B) + avgTopK(b→A)) / 2)` — raw
+    * cosine normalized by how crowded each endpoint's neighborhood is, so
+    * hubs (vectors near everything) stop winning every pairing. Kept
+    * pairs are MUTUAL margin-argmaxes above `minMarginPpm` — the
+    * "intersection" strategy from the paper.
+    *
+    * Engine parity: each pair's cosine is one fixed-tree double expression
+    * rounded to integer micro BEFORE anything aggregates (the BM25/PQ
+    * trick), so the top-k sums are exact integer additions and the margin
+    * is one integer division `cos_micro · 2k · 10⁶ div (Σ_a + Σ_b)` — the
+    * oracle reproduces every score bit-for-bit on any partitioning.
+    *
+    * Scale shape: this is the exact all-pairs CORRECTNESS baseline
+    * (O(|A|·|B|) scored pairs — the same contract as [[bruteTopK]]); at
+    * corpus scale the identical rank/sum/margin epilogue runs over
+    * LSH-bucket or IVF-cell candidates instead of the cross join
+    * ([[lshTopK]]/[[ivfTopK]] shapes) — A&S themselves mine over an
+    * ANN shortlist. The epilogue's shuffles are O(scored pairs): two
+    * window top-k passes (per-partition heaps before the exchange), two
+    * k-row-per-vector integer sums, one join back.
+    */
+  def marginPairs(sideA: DataFrame, sideB: DataFrame, k: Int = 4,
+                  minMarginPpm: Long = 1000000L, cache: Boolean = true): DataFrame = {
+    require(k >= 1, "margin normalizer needs k >= 1")
+    // the scored-pair table feeds three branches (two rank passes + the
+    // margin join-back) — persisted so the cross product is paid once
+    // (releasable via Dedup.unpersistShared, the tfidf discipline)
+    val pairs = OpCache.share(
+      prep(sideA).as("q").join(prep(sideB).as("c"),
+          col("q.vec_id") =!= col("c.vec_id"))
+        .select(col("q.vec_id").as("a_id"), col("c.vec_id").as("b_id"),
+          expr("cast(round(graft_dot(q.v, c.v) / (q.norm * c.norm) * 1000000.0D) as bigint)")
+            .as("cos_micro")),
+      cache)
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_id").orderBy(col("cos_micro").desc, col("b_id"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("b_id").orderBy(col("cos_micro").desc, col("a_id"))
+    val ranked = pairs
+      .withColumn("rka", row_number().over(wa))
+      .withColumn("rkb", row_number().over(wb))
+    val sumA = ranked.filter(col("rka") <= k)
+      .groupBy("a_id").agg(sum("cos_micro").as("s_a"))
+    val sumB = ranked.filter(col("rkb") <= k)
+      .groupBy("b_id").agg(sum("cos_micro").as("s_b"))
+    // numerator clamped at 0: a negative-cosine pair can never be mined,
+    // and truncating (Spark div) vs flooring (SQL //) integer division
+    // disagree on negatives — clamping keeps every engine bit-identical.
+    // s_a + s_b <= 0 (all-negative neighborhoods) can't yield a real
+    // margin either; those endpoints are dropped before the division.
+    val margins = pairs.join(sumA, "a_id").join(sumB, "b_id")
+      .filter(col("s_a") + col("s_b") > 0)
+      .withColumn("margin_ppm",
+        expr(s"greatest(cos_micro, 0L) * ${2L * k} * 1000000L div (s_a + s_b)"))
+    val ma = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_id").orderBy(col("margin_ppm").desc, col("b_id"))
+    val mb = org.apache.spark.sql.expressions.Window
+      .partitionBy("b_id").orderBy(col("margin_ppm").desc, col("a_id"))
+    margins
+      .withColumn("best_a", row_number().over(ma))
+      .withColumn("best_b", row_number().over(mb))
+      .filter(col("best_a") === 1 && col("best_b") === 1 &&
+        col("margin_ppm") >= minMarginPpm)
+      .select(col("a_id"), col("b_id"), col("cos_micro"), col("margin_ppm"))
+  }
+
   /** Gram matrix of the embedding corpus — Σ xᵢxⱼ over all vectors, the
     * Xᵀ X aggregation behind covariance, PCA, and whitening. The d×d
     * result is tiny; the whole job is making the SUM scale: each row

@@ -76,9 +76,14 @@ object TextAnalysis {
     * k bounded by the SOURCE count (not the corpus), so no shingle can
     * explode the join the way document-level pairing would.
     */
-  def sourceOverlap(df: DataFrame, sourceCol: Column, textCol: Column): DataFrame = {
-    val sh = Dedup.shingles(df, sourceCol, textCol)
-      .withColumnRenamed("doc_id", "source").distinct()
+  def sourceOverlap(df: DataFrame, sourceCol: Column, textCol: Column,
+                    cache: Boolean = true): DataFrame = {
+    // both self-join sides read the distinct (source, shingle) table —
+    // persisted so the corpus shingling + distinct shuffle run once
+    val sh = OpCache.share(
+      Dedup.shingles(df, sourceCol, textCol)
+        .withColumnRenamed("doc_id", "source").distinct(),
+      cache)
     sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
@@ -742,6 +747,98 @@ object TextAnalysis {
         count(lit(1)).as("n_terms"))
       .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** BPE merge candidates — the inner loop of byte-pair-encoding tokenizer
+    * training (Sennrich et al. 2016): count every adjacent symbol pair
+    * inside words, weighted by word frequency; the top pair is the next
+    * merge. This is the round-1 candidate table over raw characters;
+    * [[bpeTrain]] iterates it.
+    *
+    * Scale shape: the ONLY corpus-scale pass is the word-frequency
+    * groupBy (O(tokens) with map-side partial agg — the same shuffle
+    * every token-count op pays); pair extraction then runs over the
+    * DISTINCT-WORD table (vocabulary-sized, orders of magnitude smaller
+    * than the corpus — the reason every real BPE trainer counts words
+    * first), and the pair vocabulary is bounded by alphabet², so the
+    * final groupBy shuffles a config-sized table. Pure array/string
+    * expressions, whole-stage codegen, no UDFs.
+    */
+  def bpePairCounts(df: DataFrame, textCol: Column, k: Int = 50): DataFrame = {
+    val wc = df.select(explode(tokens(textCol)).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    wc.select(col("cnt"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("cnt")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(k)
+  }
+
+  /** Iterative BPE training: `rounds` greedy merges, returning the merge
+    * table (round, left symbol, right symbol, weighted count) — the
+    * artifact a tokenizer ships. Each round counts adjacent symbol pairs
+    * over the VOCAB-SIZED word table (words as symbol arrays), picks the
+    * argmax (count desc, then lexicographic — the deterministic tiebreak),
+    * and rewrites the vocabulary by merging that pair left-to-right
+    * (non-overlapping, the standard greedy scan) as one array fold.
+    *
+    * Scale shape: the corpus is touched ONCE (the word-count groupBy);
+    * all `rounds` iterations run on the distinct-word table — at web
+    * scale that is ~10⁷ rows against a 10¹²-token corpus, so driver
+    * round-trips cost one tiny job each (exactly how sentencepiece/HF
+    * trainers structure it: count once, merge on the vocab). The argmax
+    * is a 1-row TakeOrdered, never a full sort; the rewrite is a
+    * map-side aggregate expression; the vocab table is localCheckpointed
+    * each round to truncate the growing lineage (the [[Dedup]]
+    * connected-components discipline).
+    */
+  def bpeTrain(df: DataFrame, textCol: Column, rounds: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = df.select(explode(tokens(textCol)).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(expr("filter(split(word, ''), s -> s <> '')").as("syms"), col("cnt"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val top = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS l, syms[i + 1] AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round, l, r, n))
+        // greedy left-to-right non-overlapping merge of [l, r] runs:
+        // fold symbols, joining when the accumulator tail is l and the
+        // incoming symbol is r — unless that tail was itself just merged
+        // (tracked in the `m` flag), which is what makes "aaa" -> "aa","a"
+        val lLit = l.replace("\\", "\\\\").replace("'", "\\'")
+        val rLit = r.replace("\\", "\\\\").replace("'", "\\'")
+        vocab = vocab.select(expr(
+            "aggregate(syms, struct(cast(array() as array<string>) AS acc, false AS m), " +
+              "(st, s) -> IF(NOT st.m AND size(st.acc) > 0 AND " +
+              s"element_at(st.acc, -1) = '$lLit' AND s = '$rLit', " +
+              s"struct(concat(slice(st.acc, 1, size(st.acc) - 1), array('$lLit$rLit')), true), " +
+              "struct(concat(st.acc, array(s)), false)), " +
+              "st -> st.acc)").as("syms"), col("cnt"))
+          .localCheckpoint(true)
+      }
+      round += 1
+    }
+    merges.result().toDF("round", "left_sym", "right_sym", "n_occurrences")
   }
 
   /** Lexical-diversity profile: type-token ratio and hapax-legomenon

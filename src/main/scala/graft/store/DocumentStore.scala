@@ -366,11 +366,18 @@ object DocumentStore {
     * skew-split. Input needs (id, lo, hi); emits id1 < id2 with the
     * overlap window.
     */
-  def intervalOverlaps(iv: DataFrame, binSec: Long): DataFrame = {
+  def intervalOverlaps(iv: DataFrame, binSec: Long,
+                       cache: Boolean = true): DataFrame = {
     require(binSec > 0)
-    val b = iv.select(col("id"), col("lo"), col("hi"),
-      explode(sequence(expr(s"lo div ${binSec}L"), expr(s"hi div ${binSec}L")))
-        .as("bin"))
+    // both self-join sides consume the binned table; without a persist
+    // the (possibly expensive) upstream plan — e.g. a sessionize window
+    // over the raw events — executes twice. O(Σ interval-bins) rows,
+    // releasable via Dedup.unpersistShared.
+    val b = graft.ops.OpCache.share(
+      iv.select(col("id"), col("lo"), col("hi"),
+        explode(sequence(expr(s"lo div ${binSec}L"), expr(s"hi div ${binSec}L")))
+          .as("bin")),
+      cache)
     b.as("x").join(b.as("y"),
         col("x.bin") === col("y.bin") &&
           col("x.id") < col("y.id") &&

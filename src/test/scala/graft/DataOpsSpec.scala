@@ -1698,4 +1698,59 @@ class DataOpsSpec extends AnyFunSuite {
     }
     assert(got.length === Tables.events(spark, sf).count())
   }
+
+  test("bpe pair counts weight pairs by word frequency") {
+    import spark.implicits._
+    val corpus = Seq((1L, "aaab aaab"), (2L, "aaab aaab cd cd"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairCounts(corpus, col("text"), k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // "aaab"x4 contributes aa,aa,ab per word; "cd"x2 contributes cd
+    assert(got.toMap === Map("aa" -> 8L, "ab" -> 4L, "cd" -> 2L))
+    assert(got.head === ("aa" -> 8L), "ranked by weighted count")
+  }
+
+  test("bpe training replays the hand-computed greedy merge sequence") {
+    import spark.implicits._
+    val corpus = Seq((1L, "aaab aaab"), (2L, "aaab aaab cd cd"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(corpus, col("text"), rounds = 6)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (a,a)x8 wins; rewrite makes aaab -> [aa,a,b] (greedy
+    // left-to-right, no overlap). round 2: (aa,a) and (a,b) tie at 4 —
+    // lexicographic tiebreak picks (a,b). round 3 joins the halves;
+    // round 4 finally merges the rare word; then the vocab is exhausted.
+    assert(merges.toSeq === Seq(
+      (1, "a", "a", 8L),
+      (2, "a", "b", 4L),
+      (3, "aa", "ab", 4L),
+      (4, "c", "d", 2L)))
+  }
+
+  test("margin mining keeps the planted mutual pair and drops hub pairings") {
+    import spark.implicits._
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      parts.foreach { case (i, x) => a(i) = x }
+      a
+    }
+    // B-side id 9 is a HUB: moderately close to every A vector. Raw
+    // cosine would still rank 9 second for each A vector; the margin
+    // normalizer discounts its crowded neighborhood (every margin with 9
+    // lands under the 1.0 bar) so only the genuine one-to-one matches
+    // (0<->1, 2<->3) survive the mutual-argmax + threshold filter.
+    val a = Seq(
+      0L -> vec(0 -> 1.0f),
+      2L -> vec(1 -> 1.0f)).toDF("vec_id", "embedding")
+    val b = Seq(
+      1L -> vec(0 -> 0.95f, 3 -> 0.3f),
+      3L -> vec(1 -> 0.95f, 3 -> 0.3f),
+      9L -> vec(0 -> 0.5f, 1 -> 0.5f, 2 -> 0.5f)).toDF("vec_id", "embedding")
+    val got = Similarity.marginPairs(a, b, k = 2, minMarginPpm = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)), "planted pair 0<->1 must be mined")
+    assert(got.contains((2L, 3L)), "planted pair 2<->3 must be mined")
+    assert(!got.exists(_._2 == 9L), s"hub must not win a mutual pairing: $got")
+    ops.Dedup.unpersistShared()
+  }
 }

@@ -22,6 +22,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q11_nation_concentration", // single-row global-total broadcast (Q11 HAVING)
     "text_bm25_topk",         // single-row corpus-stats (N, avgdl) broadcast
     "ann_int8_topk",          // quantized brute-force scoring: all-pairs by design
+    "emb_margin_pairs",       // exact all-pairs margin baseline (ANN-candidate epilogue at scale)
     "quality_lm_score",       // single-row vocabulary-size broadcast
     "corpus_quality_gate",    // embeds quality_lm_score's vocab broadcast
     "corpus_source_report",   // gate rollup + single-row total-token broadcast
