@@ -424,7 +424,6 @@ object Similarity {
     */
   def marginPairs(sideA: DataFrame, sideB: DataFrame, k: Int = 4,
                   minMarginPpm: Long = 1000000L, cache: Boolean = true): DataFrame = {
-    require(k >= 1, "margin normalizer needs k >= 1")
     // the scored-pair table feeds three branches (two rank passes + the
     // margin join-back) — persisted so the cross product is paid once
     // (releasable via Dedup.unpersistShared, the tfidf discipline)
@@ -435,6 +434,44 @@ object Similarity {
           expr("cast(round(graft_dot(q.v, c.v) / (q.norm * c.norm) * 1000000.0D) as bigint)")
             .as("cos_micro")),
       cache)
+    marginEpilogue(pairs, k, minMarginPpm)
+  }
+
+  /** [[marginPairs]] over SRP-LSH bucket candidates — the 100 TB mining
+    * shape: each side hashes to sign-random-projection buckets ONCE
+    * ([[buckets]] — the same deterministic hyperplanes as [[lshTopK]]),
+    * candidates meet in an equality join on the bucket id, and the
+    * identical margin epilogue ranks them. The normalizer top-k is taken
+    * over each vector's CANDIDATE neighborhood (exactly what A&S do when
+    * mining over an ANN shortlist — the margin is a local crowding
+    * statistic either way). Shuffle O(candidate pairs) ≈ |A|·|B| / 2^planes
+    * per bucket-match instead of the full cross product; raising `planes`
+    * trades recall for candidate volume exactly as in [[lshTopK]].
+    */
+  def marginPairsLsh(sideA: DataFrame, sideB: DataFrame, k: Int = 4,
+                     minMarginPpm: Long = 1000000L, planes: Int = 4,
+                     cache: Boolean = true): DataFrame = {
+    val a = prep(sideA).join(buckets(sideA, planes), "vec_id")
+    val b = prep(sideB).join(buckets(sideB, planes), "vec_id")
+    val pairs = OpCache.share(
+      a.as("q").join(b.as("c"),
+          col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+        .select(col("q.vec_id").as("a_id"), col("c.vec_id").as("b_id"),
+          expr("cast(round(graft_dot(q.v, c.v) / (q.norm * c.norm) * 1000000.0D) as bigint)")
+            .as("cos_micro"))
+        .distinct(), // a pair can collide in at most one bucket id, but keep the contract explicit
+      cache)
+    marginEpilogue(pairs, k, minMarginPpm)
+  }
+
+  /** The rank/sum/margin epilogue shared by the exact baseline and every
+    * candidate-generation front end: takes (a_id, b_id, cos_micro) and
+    * returns the mutual margin-argmax pairs. All integer arithmetic —
+    * see [[marginPairs]] for the parity contract.
+    */
+  def marginEpilogue(pairs: DataFrame, k: Int,
+                     minMarginPpm: Long): DataFrame = {
+    require(k >= 1, "margin normalizer needs k >= 1")
     val wa = org.apache.spark.sql.expressions.Window
       .partitionBy("a_id").orderBy(col("cos_micro").desc, col("b_id"))
     val wb = org.apache.spark.sql.expressions.Window

@@ -841,6 +841,44 @@ object TextAnalysis {
     merges.result().toDF("round", "left_sym", "right_sym", "n_occurrences")
   }
 
+  /** Apply a trained BPE merge list ([[bpeTrain]]'s output, in merge
+    * order) to the corpus: each document tokenizes to its BPE symbol
+    * sequence and the op returns per-document BPE token and word counts
+    * — the "tokenize the corpus with the shipped tokenizer" step that
+    * follows training (the real token budget `packSequences`/`mixBudget`
+    * should meter, replacing their chars/4 estimate).
+    *
+    * Scale shape: merges apply to the DISTINCT-WORD table (vocab-sized,
+    * same reasoning as [[bpeTrain]]) as `rounds` successive map-side
+    * array folds — one chained projection, no shuffle per merge, no
+    * driver loop over the corpus; documents then join their words to the
+    * tokenized vocab (shuffle O(corpus tokens) on the word key — the
+    * same join every tokenizer-application pipeline pays, AQE-splittable
+    * on stopword skew).
+    */
+  def bpeEncode(df: DataFrame, idCol: Column, textCol: Column,
+                merges: Seq[(String, String)]): DataFrame = {
+    val words = df.select(idCol.as("doc_id"), explode(tokens(textCol)).as("word"))
+    val vocab0 = words.select(col("word")).distinct()
+      .select(col("word"), expr("filter(split(word, ''), s -> s <> '')").as("syms"))
+    val tokenized = merges.foldLeft(vocab0) { case (v, (l, r)) =>
+      val lLit = l.replace("\\", "\\\\").replace("'", "\\'")
+      val rLit = r.replace("\\", "\\\\").replace("'", "\\'")
+      v.select(col("word"), expr(
+        "aggregate(syms, struct(cast(array() as array<string>) AS acc, false AS m), " +
+          "(st, s) -> IF(NOT st.m AND size(st.acc) > 0 AND " +
+          s"element_at(st.acc, -1) = '$lLit' AND s = '$rLit', " +
+          s"struct(concat(slice(st.acc, 1, size(st.acc) - 1), array('$lLit$rLit')), true), " +
+          "struct(concat(st.acc, array(s)), false)), " +
+          "st -> st.acc)").as("syms"))
+    }
+    words.join(tokenized, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(size(col("syms"))).cast("long").as("n_bpe_tokens"),
+        count(lit(1)).cast("long").as("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Lexical-diversity profile: type-token ratio and hapax-legomenon
     * ratio per document — degenerate/templated text scores low on both.
     * Integer permille (exact div) for oracle parity. The explode+groupBy

@@ -1727,6 +1727,23 @@ class DataOpsSpec extends AnyFunSuite {
       (4, "c", "d", 2L)))
   }
 
+  test("bpe encode applies the trained merges and counts real tokens") {
+    import spark.implicits._
+    val corpus = Seq((1L, "aaab aaab"), (2L, "aaab aaab cd cd"))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(corpus, col("text"), rounds = 6)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val full = TextAnalysis.bpeEncode(corpus, col("doc_id"), col("text"), merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // all four merges collapse every word to a single token
+    assert(full.toSeq === Seq((1L, 2L, 2L), (2L, 4L, 4L)))
+    // a 2-merge prefix leaves aaab as [aa, ab] and cd as [c, d]
+    val partial = TextAnalysis.bpeEncode(corpus, col("doc_id"), col("text"),
+        merges.take(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(partial.toSeq === Seq((1L, 4L, 2L), (2L, 8L, 4L)))
+  }
+
   test("margin mining keeps the planted mutual pair and drops hub pairings") {
     import spark.implicits._
     def vec(parts: (Int, Float)*): Array[Float] = {
@@ -1750,6 +1767,31 @@ class DataOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.contains((0L, 1L)), "planted pair 0<->1 must be mined")
     assert(got.contains((2L, 3L)), "planted pair 2<->3 must be mined")
+    assert(!got.exists(_._2 == 9L), s"hub must not win a mutual pairing: $got")
+    ops.Dedup.unpersistShared()
+  }
+
+  test("LSH margin mining recovers co-directional pairs from bucket candidates") {
+    import spark.implicits._
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      parts.foreach { case (i, x) => a(i) = x }
+      a
+    }
+    // planted pairs are SAME-DIRECTION (scaled) vectors, so every SRP
+    // hyperplane gives both endpoints the same sign — bucket collision
+    // is guaranteed, not probabilistic, and the epilogue must mine them
+    val a = Seq(
+      0L -> vec(0 -> 1.0f),
+      2L -> vec(1 -> 1.0f)).toDF("vec_id", "embedding")
+    val b = Seq(
+      1L -> vec(0 -> 0.9f),
+      3L -> vec(1 -> 0.9f),
+      9L -> vec(0 -> 0.5f, 1 -> 0.5f, 2 -> 0.5f)).toDF("vec_id", "embedding")
+    val got = Similarity.marginPairsLsh(a, b, k = 2, minMarginPpm = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)), s"planted pair 0<->1 must be mined: $got")
+    assert(got.contains((2L, 3L)), s"planted pair 2<->3 must be mined: $got")
     assert(!got.exists(_._2 == 9L), s"hub must not win a mutual pairing: $got")
     ops.Dedup.unpersistShared()
   }
