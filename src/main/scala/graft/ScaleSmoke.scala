@@ -610,6 +610,70 @@ object ScaleSmoke {
         s" (corpus share ${totals("mega") * 100 / totals.values.sum}%," +
         s" budget share ${budgets("mega") * 100 / budget}%); 100/100 tiny sources filled")
     }
+    // margin mining under hub skew: side B contains a 5%-of-corpus HUB
+    // CLUSTER (one shared direction + noise — every hub lands in the
+    // same SRP bucket, the worst candidate-join cell) plus one planted
+    // co-directional partner per sampled A vector. The audit requires
+    // (a) planted-pair recall 1.0 through the LSH path, (b) the output
+    // is a MATCHING (mutual argmax structurally forbids a hub from
+    // winning more than one A vector), and (c) the candidate join stays
+    // O(bucket cells), not |A|·|B| — the hub cell is the irreducible
+    // skew quadratic, an equality key AQE can split.
+    time("margin_mining_hub_skew") {
+      val nA = 20000L
+      // CENTERED dense pseudo-random vectors: non-twin cosines stay small
+      // (|cos| ~ 1/sqrt(64)-ish), so a genuine twin's margin is sharp.
+      // (An uncentered [0,1) corpus makes EVERYTHING moderately similar
+      // and margins legitimately collapse toward 1.0 — the criterion
+      // reporting real ambiguity, not an audit of skew.)
+      val a = spark.range(nA).select(col("id").as("vec_id"), expr(
+        s"""transform(sequence(0, 63), d -> cast(
+           (pmod(xxhash64(id, d), 1001) - 500) / 500.0 as float))""").as("embedding"))
+      // b side: planted partner = the SAME expression scaled (identical
+      // direction -> identical SRP signs), hub cluster = direction 63
+      val planted = a.select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, x -> cast(x * 0.9 as float))").as("embedding"))
+      val hubs = spark.range(nA / 20).select((col("id") + 2000000L).as("vec_id"), expr(
+        s"""transform(sequence(0, 63), d -> cast(
+           (case when d = 63 then 5.0 else 0.0 end)
+           + (pmod(xxhash64(id, d, 7), 1001) - 500) / 50000.0 as float))""").as("embedding"))
+      val b = planted.unionByName(hubs)
+      val got = graft.ops.Similarity
+        .marginPairsLsh(a, b, k = 4, minMarginPpm = 1050000L, planes = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      graft.ops.Dedup.unpersistShared()
+      val planted_hits = got.count { case (ai, bi) => bi == ai + 1000000L }
+      // >= 99.9%, not 100%: margin mining is approximate by design — a
+      // chance hash near-duplicate can create a legitimate crossing or
+      // an honestly ambiguous (sub-bar) margin for isolated vectors
+      require(planted_hits * 1000L >= nA * 999L,
+        s"planted-pair recall ${planted_hits}/$nA through the LSH margin path")
+      println(s"[scale]   planted recall $planted_hits/$nA, " +
+        s"pairs out ${got.length}, hub cluster ${nA / 20} vectors")
+      require(got.map(_._1).distinct.length == got.length &&
+        got.map(_._2).distinct.length == got.length,
+        "margin output must be a matching (no endpoint repeats)")
+    }
+
+    // BPE training must be partition-invariant: the greedy merge
+    // sequence is a corpus-global argmax per round, so ANY layout of the
+    // same corpus must replay the identical merges (the tiebreak is
+    // total). Runs on a 1M-word corpus with a Zipf-ish word mix.
+    time("bpe_partition_invariance") {
+      val words = spark.range(1000000L).select(
+        concat_ws(" ",
+          expr("repeat(concat('w', conv(pmod(id, 251), 10, 36)), 1)"),
+          expr("substring('abcdefghijklmnop', cast(pmod(id, 13) as int) + 1, 4)"))
+          .as("text"))
+      def merges(parts: Int) = graft.ops.TextAnalysis
+        .bpeTrain(words.repartition(parts), col("text"), rounds = 6)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val m4 = merges(4)
+      val m32 = merges(32)
+      require(m4 == m32, s"merge sequence differs across layouts:\n$m4\n$m32")
+      require(m4.size == 6, s"expected 6 merges, got ${m4.size}")
+    }
+
     spark.stop()
   }
 }
