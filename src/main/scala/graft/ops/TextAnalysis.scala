@@ -764,18 +764,26 @@ object TextAnalysis {
     * final groupBy shuffles a config-sized table. Pure array/string
     * expressions, whole-stage codegen, no UDFs.
     */
-  def bpePairCounts(df: DataFrame, textCol: Column, k: Int = 50): DataFrame = {
-    val wc = df.select(explode(tokens(textCol)).as("word"))
-      .filter(length(col("word")) >= 2)
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-    wc.select(col("cnt"), explode(expr(
+  def bpePairCounts(df: DataFrame, textCol: Column, k: Int = 50): DataFrame =
+    bpePairCountsFromVocab(
+      df.select(explode(tokens(textCol)).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt")),
+      k)
+
+  /** [[bpePairCounts]] from an existing (word, cnt) frequency table —
+    * e.g. the streaming-maintained vocab log
+    * ([[graft.streaming.Monitor.readWordCounts]]), so merge candidates
+    * stay current without re-tokenizing the corpus.
+    */
+  def bpePairCountsFromVocab(wc: DataFrame, k: Int = 50): DataFrame =
+    wc.filter(length(col("word")) >= 2)
+      .select(col("cnt"), explode(expr(
         "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
         .as("pair"))
       .groupBy(col("pair"))
       .agg(sum(col("cnt")).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("pair"))
       .limit(k)
-  }
 
   /** Iterative BPE training: `rounds` greedy merges, returning the merge
     * table (round, left symbol, right symbol, weighted count) — the

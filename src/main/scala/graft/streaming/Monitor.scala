@@ -159,6 +159,42 @@ object Monitor {
     graft.ops.Analytics.eventStatsMerge(
       spark.read.parquet(path).drop("__batch_id"))
 
+  /** Streaming vocabulary maintenance — the tokenizer-pipeline twin of
+    * [[maintainEventStats]]: each micro-batch's documents fold to their
+    * word-frequency PARTIAL counts (one map-side-combined groupBy over
+    * the batch — O(batch vocab) rows) and land in a per-batch partition
+    * of a parquet word-count log, exactly-once via dynamic overwrite.
+    * [[readWordCounts]] is the merge-on-read view: the same (word, cnt)
+    * table `TextAnalysis.bpePairCounts`/`bpeTrain` start from, so BPE
+    * merge candidates stay current against an ingest stream without the
+    * corpus ever being re-tokenized.
+    */
+  def maintainWordCounts(stream: DataFrame, textCol: Column,
+                         path: String, checkpoint: String,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        df.toDF()
+          .select(explode(graft.ops.TextAnalysis.tokens(textCol)).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id")
+          .parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Merge-on-read of the [[maintainWordCounts]] partial log: the exact
+    * corpus word-frequency table (counts are associative integer sums —
+    * equal to a batch recompute over everything ever streamed).
+    */
+  def readWordCounts(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("__batch_id")
+      .groupBy("word").agg(sum("cnt").as("cnt"))
+
   /** Self-maintaining LSH band index: each micro-batch's documents land
     * their MinHash band rows in the parquet index [[nearDupStream]] and
     * `Dedup.lshCandidatesAgainst` join against — the ingest loop that

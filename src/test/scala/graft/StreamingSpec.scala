@@ -204,6 +204,44 @@ class StreamingSpec extends AnyFunSuite {
       "replayed batch must overwrite its partition, not duplicate the index")
   }
 
+  test("streamed word counts equal batch tokenization and feed BPE, replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_wc").toString + "/vocab"
+    val chk1 = Files.createTempDirectory("graft_wc_chk").toString
+    val t0 = 1700000000000L
+    val docsSeq = Seq(
+      Doc(10L, new Timestamp(t0), "aaab aaab"),
+      Doc(11L, new Timestamp(t0 + 1000), "aaab aaab cd cd"),
+      Doc(12L, new Timestamp(t0 + 2000), "cd the the the"))
+    val in1 = MemoryStream[Doc]
+    in1.addData(docsSeq: _*)
+    val q1 = Monitor.maintainWordCounts(in1.toDF(), col("text"), path, chk1)
+    try q1.awaitTermination(120000) finally q1.stop()
+    val streamed = Monitor.readWordCounts(spark, path).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === Map("aaab" -> 4L, "cd" -> 3L, "the" -> 3L))
+    // the maintained vocab feeds the BPE candidate counter directly and
+    // must agree with counting straight off the documents
+    val viaVocab = ops.TextAnalysis.bpePairCountsFromVocab(
+        Monitor.readWordCounts(spark, path))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val viaDocs = ops.TextAnalysis.bpePairCounts(
+        docsSeq.toDF().select(col("text")), col("text"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(viaVocab === viaDocs)
+    // replay from a fresh checkpoint: batch 0 must overwrite its own
+    // partition, not double every count
+    val chk2 = Files.createTempDirectory("graft_wc_chk2").toString
+    val in2 = MemoryStream[Doc]
+    in2.addData(docsSeq: _*)
+    val q2 = Monitor.maintainWordCounts(in2.toDF(), col("text"), path, chk2)
+    try q2.awaitTermination(120000) finally q2.stop()
+    val replayed = Monitor.readWordCounts(spark, path).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(replayed === streamed, "replayed batch must not duplicate counts")
+  }
+
   test("streaming near-dup flags band collisions against the static index, like batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
