@@ -263,4 +263,51 @@ class PropertySpec extends AnyFunSuite {
         assert(pairs.toSeq == expected)
     }
   }
+
+  test("property: margin mining always yields a one-to-one matching above the bar") {
+    val embGen = Gen.listOfN(12,
+      Gen.listOfN(64, Gen.choose(-1.0f, 1.0f)).map(_.toArray))
+    forAll(embGen, n = 5) { vecs =>
+      val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val a = rows.filter(_._1 % 2 == 0).toDF("vec_id", "embedding")
+      val b = rows.filter(_._1 % 2 == 1).toDF("vec_id", "embedding")
+      val got = graft.ops.Similarity.marginPairs(a, b, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      graft.ops.Dedup.unpersistShared()
+      // mutual argmax is structurally a partial matching
+      assert(got.map(_._1).distinct.length === got.length, "a_id repeats")
+      assert(got.map(_._2).distinct.length === got.length, "b_id repeats")
+      got.foreach { case (_, _, m) => assert(m >= 1000000L, "below the margin bar") }
+    }
+  }
+
+  test("property: bpe merges never increase token count and encode conserves words") {
+    forAll(Gen.nonEmptyListOf(textGen).map(_.take(6)), n = 5) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val merges = graft.ops.TextAnalysis.bpeTrain(docs, col("text"), rounds = 4)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      // counts are monotone non-increasing as more merges apply; words conserved
+      val byRounds = (0 to merges.length).map { r =>
+        graft.ops.TextAnalysis.bpeEncode(docs, col("doc_id"), col("text"),
+            merges.take(r))
+          .collect().map(row => row.getLong(0) -> (row.getLong(1), row.getLong(2))).toMap
+      }
+      byRounds.sliding(2).foreach {
+        case Seq(prev, next) =>
+          prev.keys.foreach { id =>
+            assert(next(id)._1 <= prev(id)._1, s"merge grew doc $id")
+            assert(next(id)._2 === prev(id)._2, s"word count changed for doc $id")
+          }
+        case _ => ()
+      }
+      // zero merges: BPE tokens == characters of the words
+      val chars = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.split("\\s+").filter(_.nonEmpty).map(_.length.toLong).sum
+      }.toMap
+      byRounds.head.foreach { case (id, (tok, _)) =>
+        assert(tok === chars(id), s"char baseline mismatch for doc $id")
+      }
+    }
+  }
 }
