@@ -90,6 +90,21 @@ class PipelineSpec extends AnyFunSuite {
     val budget = TextAnalysis.tokenCount(kept, col("doc_id"), col("text"))
       .agg(sum("n_ws_tokens")).collect()(0).getLong(0)
     assert(budget > 0)
+
+    // 6. tokenizer trained ON the kept corpus meters the real budget:
+    // BPE token counts are bounded by characters (0 merges) and never
+    // below the word count (merges stop at whole words)
+    val merges = TextAnalysis.bpeTrain(kept, col("text"), rounds = 4)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty, "a real corpus must yield merges")
+    val enc = TextAnalysis.bpeEncode(kept, col("doc_id"), col("text"), merges)
+    val (bpeTok, words) = {
+      val r = enc.agg(sum("n_bpe_tokens"), sum("n_words")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(enc.count() === kept.count(), "every kept doc tokenizes")
+    assert(bpeTok >= words, "BPE tokens can never undercut whole words")
+    assert(words === budget, "word metering must agree with tokenCount")
   }
 
   test("curation pipeline: span dedup -> decontaminate -> mix -> pack") {
