@@ -63,19 +63,33 @@ object Similarity {
     }
   }
 
-  /** Bucket id per vector: sign bit per hyperplane packed into a long.
-    * The weights are literal arrays in the plan (no join, no shuffle):
-    * one codegen'd dot per plane per row.
+  /** The packed SRP bucket id as one column expression over a double-array
+    * column — the weights are literal arrays in the plan (no join, no
+    * shuffle): one codegen'd dot per plane per row. Shared by the batch
+    * bucket build and the streaming probes (`Monitor.embNearDupStream`),
+    * so both sides hash identically by construction.
     */
-  def buckets(emb: DataFrame, planes: Int): DataFrame = {
+  def bucketExpr(planes: Int, vCol: String = "v"): Column = {
     val w = planeWeights(planes, 64)
     def wLit(p: Int): String =
       w(p).map(x => s"cast($x as double)").mkString("array(", ",", ")")
-    val bucket = (0 until planes)
-      .map(p => when(expr(s"graft_dot(v, ${wLit(p)})") >= 0, lit(1L << p)).otherwise(lit(0L)))
+    (0 until planes)
+      .map(p => when(expr(s"graft_dot($vCol, ${wLit(p)})") >= 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
-    prep(emb).select(col("vec_id"), bucket.as("bucket"))
   }
+
+  /** Bucket id per vector: sign bit per hyperplane packed into a long. */
+  def buckets(emb: DataFrame, planes: Int): DataFrame =
+    prep(emb).select(col("vec_id"), bucketExpr(planes).as("bucket"))
+
+  /** The persisted SRP probe index (vec_id, v, norm, bucket) — the static
+    * side every ingest-time embedding near-dup probe joins against
+    * (`Monitor.embNearDupStream`), and the bucketed corpus half of
+    * [[lshTopK]] reusable across queries. One scan; parquet-persist the
+    * result and it never needs re-bucketing.
+    */
+  def srpIndex(emb: DataFrame, planes: Int = 4): DataFrame =
+    prep(emb).withColumn("bucket", bucketExpr(planes))
 
   /** Spherical k-means coarse quantizer for IVF, trained driver-side on a
     * deterministic seeded sample. This is the standard IVF training shape

@@ -318,6 +318,75 @@ object Monitor {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(Seq("new_id", "indexed_id"))
 
+  /** Ingest-time SEMANTIC near-dup detection: each arriving embedding's
+    * SRP bucket probes a persisted corpus index (`Similarity.srpIndex`),
+    * bucket-mates are exact-scored with `graft_dot`, and pairs at rounded
+    * cosine ≥ `threshold` are flagged — `Similarity.semanticDedup`'s
+    * within-cell compare as a stream-static join, run before the vector
+    * ever lands. The corpus-sized index never enters streaming state (the
+    * join is stateless); a pair can meet in only ONE bucket (the full
+    * signature is the equality key), so the pair dedup exists purely to
+    * absorb replays — watermark-bounded, state O(flags per horizon).
+    * Emits (new_id, indexed_id, cosine, ts). The same probe columns come
+    * from `Similarity.bucketExpr`, so stream and index hash identically
+    * by construction.
+    */
+  def embNearDupStream(stream: DataFrame, idCol: Column, embCol: Column,
+                       tsCol: String, index: DataFrame, threshold: Double,
+                       planes: Int = 4,
+                       watermarkDelay: String = "10 minutes"): DataFrame = {
+    graft.functions.VectorFunctions.register(stream.sparkSession)
+    val probes = stream
+      .select(idCol.as("vec_id"), embCol.as("embedding"), col(tsCol))
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+      .withColumn("bucket", graft.ops.Similarity.bucketExpr(planes))
+    probes.as("a").join(index.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("new_id"), col("b.vec_id").as("indexed_id"),
+        round(expr("graft_dot(a.v, b.v)") / (col("a.norm") * col("b.norm")), 6)
+          .as("cosine"),
+        col(s"a.$tsCol").as(tsCol))
+      .filter(col("cosine") >= threshold)
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("new_id", "indexed_id"))
+  }
+
+  /** Self-maintaining SRP probe index — [[maintainLshIndex]] for
+    * embeddings: each micro-batch's vectors land their (v, norm, bucket)
+    * probe rows in a per-batch partition of the parquet index
+    * [[embNearDupStream]] joins against, exactly-once via dynamic
+    * overwrite. Index work per batch is O(batch · planes) dots; the
+    * corpus never re-buckets.
+    */
+  def maintainSrpIndex(stream: DataFrame, idCol: Column, embCol: Column,
+                       path: String, checkpoint: String, planes: Int = 4,
+                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        graft.functions.VectorFunctions.register(df.sparkSession)
+        df.toDF()
+          .select(idCol.as("vec_id"), embCol.as("embedding"))
+          .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+          .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+          .withColumn("bucket", graft.ops.Similarity.bucketExpr(planes))
+          .drop("embedding")
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id")
+          .parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Merge-on-read of the [[maintainSrpIndex]] log as the probe table
+    * [[embNearDupStream]] expects.
+    */
+  def readSrpIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("__batch_id")
+
   /** Stream-stream interval join: correlate two live streams on a key
     * within a time bound (e.g. purchase within an hour of a click).
     * Both sides watermarked, so the join state expires — the streaming

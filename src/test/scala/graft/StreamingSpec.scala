@@ -13,6 +13,8 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, 
 
 case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
+case class EmbDoc(vec_id: Long, ts: Timestamp, embedding: Array[Float])
+
 case class EvV(event_id: Long, event_type: String, value: Double)
 
 /** Streaming twins driven synchronously with MemoryStream + AvailableNow. */
@@ -240,6 +242,54 @@ class StreamingSpec extends AnyFunSuite {
     val replayed = Monitor.readWordCounts(spark, path).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(replayed === streamed, "replayed batch must not duplicate counts")
+  }
+
+  test("streaming embedding near-dup flags semantic twins against the SRP index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      parts.foreach { case (i, x) => a(i) = x }
+      a
+    }
+    val corpus = Seq(0L -> vec(0 -> 1.0f), 2L -> vec(1 -> 1.0f))
+      .toDF("vec_id", "embedding")
+    val idxPath = Files.createTempDirectory("graft_srp").toString + "/index"
+    val chk = Files.createTempDirectory("graft_srp_chk").toString
+    // build the index BY STREAMING the corpus in — maintained, not batch
+    val corpusStream = MemoryStream[EmbDoc]
+    val t0 = 1700000000000L
+    corpusStream.addData(
+      EmbDoc(0L, new Timestamp(t0), vec(0 -> 1.0f)),
+      EmbDoc(2L, new Timestamp(t0), vec(1 -> 1.0f)))
+    val qi = Monitor.maintainSrpIndex(corpusStream.toDF(), col("vec_id"),
+      col("embedding"), idxPath, chk)
+    try qi.awaitTermination(120000) finally qi.stop()
+    // the maintained log must equal a batch srpIndex build
+    val streamedIdx = Monitor.readSrpIndex(spark, idxPath)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val batchIdx = ops.Similarity.srpIndex(corpus)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(streamedIdx === batchIdx, "maintained index must equal batch bucketing")
+    // arrival 100 is a scaled twin of indexed 0; arrival 101 is novel
+    val input = MemoryStream[EmbDoc]
+    input.addData(
+      EmbDoc(100L, new Timestamp(t0 + 1000), vec(0 -> 0.9f)),
+      EmbDoc(101L, new Timestamp(t0 + 2000), vec(5 -> 1.0f)))
+    val q = Monitor.embNearDupStream(input.toDF(), col("vec_id"), col("embedding"),
+        "ts", Monitor.readSrpIndex(spark, idxPath), threshold = 0.45)
+      .writeStream.outputMode("append").format("memory").queryName("embdup_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    val got = spark.table("embdup_out")
+      .select("new_id", "indexed_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(p => (p._1, p._2)).toSet === Set((100L, 0L)),
+      s"only the semantic twin may flag: ${got.toSeq}")
+    assert(got.head._3 === 1.0, "co-directional twin scores cosine 1.0 exactly")
   }
 
   test("streaming near-dup flags band collisions against the static index, like batch") {
