@@ -50,6 +50,12 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // Release every operator-internal cache the dry pass accumulated:
+    // ~120 queries' worth of persisted intermediates otherwise pile up
+    // in storage memory, and the resulting eviction churn is exactly the
+    // run-order-dependent noise round 6 measured (graph_kcore 2.3s in
+    // isolation, 23s in the full run). Timed queries start cold below.
+    ops.OpCache.unpersistAll()
     // A query that THROWS must be visible in the output, not timed as a
     // fast success — a broken reader (e.g. an incompatible testdata
     // regen) otherwise reads as a 10x "speedup" on every query it
@@ -67,6 +73,12 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       if (!ok) failed ::= name
+      // Per-query cache isolation: run 1 builds the operator's internal
+      // caches, run 2 reuses them — the min is the warm steady-state —
+      // and releasing them HERE makes that number independent of which
+      // other queries ran before (bounded storage pressure, no
+      // cross-query eviction cascades).
+      ops.OpCache.unpersistAll()
       name -> times.min
     }
     val calibEnd = calibrate()

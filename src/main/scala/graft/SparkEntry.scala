@@ -678,6 +678,14 @@ object SparkEntry {
     // 16-tap dyadic EWMA per series — integer weights, one window pass
     "ts_ewma" -> ((s, dir) => Analytics.ewma(s, dir)),
 
+    // hourly resample + LOCF gap fill per series — exact integer micro
+    // means, per-series spine, forward fill over the gaps
+    "ts_gap_fill" -> ((s, dir) => Analytics.eventGapFill(s, dir)),
+
+    // lag 1..6 autocorrelation per series over observed hourly buckets —
+    // integer centered deviations, micro-rounded fixed-tree products
+    "ts_acf" -> ((s, dir) => Analytics.eventAcf(s, dir)),
+
     // association rules over order baskets: support/confidence/lift
     "part_basket_lift" -> ((s, dir) => Analytics.basketLift(s, dir)),
 
@@ -808,6 +816,17 @@ object SparkEntry {
     "text_bm25_topk" -> ((s, dir) =>
       TextAnalysis.bm25TopK(Tables.documents(s, dir), col("doc_id"), col("text"),
         Seq("merge", "batch", "stream"), k = 20)),
+
+    // hybrid retrieval: BM25 top-100 ⊕ dense cosine top-100 (query =
+    // vector 0) fused by integer reciprocal-rank fusion; fusion work is
+    // O(shortlist), the corpus stays inside the two retrievers
+    "text_rrf_fusion" -> ((s, dir) => {
+      val lex = TextAnalysis.bm25TopK(Tables.documents(s, dir),
+        col("doc_id"), col("text"), Seq("merge", "batch", "stream"), k = 100)
+      val emb = Tables.embeddings(s, dir)
+      val dense = Similarity.bruteTopK(emb, emb.filter(col("vec_id") === 0L), 100)
+      TextAnalysis.rrfFusion(lex, dense, k = 20)
+    }),
 
     // round-1 BPE merge candidates: adjacent char pairs weighted by word
     // frequency — pair extraction runs over the vocab table, not the
@@ -1678,6 +1697,56 @@ object SparkEntry {
          |FROM s WHERE den > 0 ORDER BY event_type, event_id""".stripMargin
     },
 
+    // per-series spine from range(min,max+1) == Spark's sequence
+    // (inclusive); hourly mean is an exact integer // (non-negative by
+    // data contract, so // and div agree); LOCF via IGNORE NULLS window
+    "ts_gap_fill" ->
+      """WITH e AS (SELECT event_type AS series,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
+        |b AS MATERIALIZED (SELECT series, h,
+        |    CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT) AS obs_micro
+        |  FROM e GROUP BY 1, 2),
+        |sp AS (SELECT series, unnest(range(h0, h1 + 1)) AS h
+        |       FROM (SELECT series, min(h) AS h0, max(h) AS h1 FROM b GROUP BY 1)),
+        |j AS (SELECT sp.series, sp.h, b.obs_micro
+        |      FROM sp LEFT JOIN b ON b.series = sp.series AND b.h = sp.h)
+        |SELECT series, h,
+        |  last_value(obs_micro IGNORE NULLS) OVER (PARTITION BY series ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_micro,
+        |  obs_micro IS NOT NULL AS observed
+        |FROM j ORDER BY series, h""".stripMargin,
+
+    // centered deviations are the INTEGER n·x − Σx (no float mean); each
+    // product is the same fixed-tree IEEE expression Spark evaluates,
+    // micro-rounded before the (then exact, associative) sums
+    "ts_acf" ->
+      """WITH e AS (SELECT event_type AS series,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
+        |b AS MATERIALIZED (SELECT series, h,
+        |    CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT) AS x
+        |  FROM e GROUP BY 1, 2),
+        |s AS (SELECT series, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx
+        |      FROM b GROUP BY 1),
+        |dv AS MATERIALIZED (SELECT b.series, b.h, s.n, b.x * s.n - s.sx AS d
+        |  FROM b JOIN s USING (series)),
+        |den AS (SELECT series, CAST(SUM(CAST(round(
+        |    CAST(d AS DOUBLE) * CAST(d AS DOUBLE) / (1000000.0 * n * n))
+        |    AS BIGINT)) AS BIGINT) AS den_micro FROM dv GROUP BY 1),
+        |l AS (SELECT CAST(unnest(range(1, 7)) AS INT) AS lag),
+        |p AS (SELECT a.series, l.lag, COUNT(*) AS n_pairs,
+        |        CAST(SUM(CAST(round(
+        |          CAST(a.d AS DOUBLE) * CAST(bb.d AS DOUBLE)
+        |          / (1000000.0 * a.n * a.n)) AS BIGINT)) AS BIGINT) AS num_micro
+        |      FROM dv a CROSS JOIN l
+        |      JOIN dv bb ON bb.series = a.series AND bb.h = a.h + l.lag
+        |      GROUP BY 1, 2)
+        |SELECT p.series, p.lag, p.n_pairs, p.num_micro, den.den_micro,
+        |  CAST(p.num_micro AS DOUBLE) / CAST(den.den_micro AS DOUBLE) AS acf
+        |FROM p JOIN den USING (series)
+        |ORDER BY series, lag""".stripMargin,
+
     // hot-basket cap mirrored; every score is one IEEE division of
     // exact integer products
     "part_basket_lift" ->
@@ -2510,6 +2579,51 @@ object SparkEntry {
         |  count(*) AS n_terms
         |FROM scored GROUP BY doc_id
         |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
+
+    // both shortlists are RANK tables (the ann/bm25 parity contracts);
+    // the fused score is pure integer arithmetic — 10⁹ // (60+rank) —
+    // so the fusion itself can't diverge by a bit
+    "text_rrf_fusion" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |tokd AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl, unnest(words) AS token FROM w),
+        |tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM tokd
+        |       WHERE token IN ('merge', 'batch', 'stream') GROUP BY 1, 2, 3),
+        |dft AS (SELECT token, count(*) AS dft FROM tf GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |                 CAST(SUM(CAST(len(words) AS BIGINT)) AS DOUBLE) / count(*) AS avgdl
+        |          FROM w),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round((stats.n_docs - dft.dft + 0.5) / (dft.dft + 0.5)
+        |      * (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / stats.avgdl)))
+        |      * 1000000.0) AS BIGINT) AS contrib_micro
+        |  FROM tf JOIN dft USING (token), stats)
+        |, lex AS (SELECT doc_id, CAST(SUM(contrib_micro) AS BIGINT) AS score_micro
+        |          FROM scored GROUP BY doc_id),
+        |lexr AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS lex_rank
+        |  FROM lex QUALIFY lex_rank <= 100),
+        |v AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+        |      FROM embeddings, range(1, 65) r(i)),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY 1),
+        |sc AS (SELECT c.vec_id AS doc_id, sum(q.x * c.x) AS dot
+        |       FROM v q JOIN v c ON q.d = c.d AND q.vec_id = 0 AND c.vec_id <> 0
+        |       GROUP BY 1),
+        |dc AS (SELECT sc.doc_id, sc.dot / (nq.nrm * nc.nrm) AS cosine
+        |       FROM sc JOIN n nc ON nc.vec_id = sc.doc_id
+        |       CROSS JOIN (SELECT nrm FROM n WHERE vec_id = 0) nq),
+        |dr AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INT) AS dense_rank
+        |  FROM dc QUALIFY dense_rank <= 100),
+        |f AS (SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+        |        COALESCE(l.lex_rank, 0) AS lex_rank,
+        |        COALESCE(d.dense_rank, 0) AS dense_rank
+        |      FROM lexr l FULL OUTER JOIN dr d ON d.doc_id = l.doc_id)
+        |SELECT doc_id, lex_rank, dense_rank,
+        |  CAST(CASE WHEN lex_rank > 0 THEN 1000000000 // (60 + lex_rank) ELSE 0 END
+        |   + CASE WHEN dense_rank > 0 THEN 1000000000 // (60 + dense_rank) ELSE 0 END
+        |   AS BIGINT) AS rrf_score
+        |FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
 
     // bigram counts, left-unigram counts, broadcast vocab scalar — all
     // integer fixed-point, same add-one smoothing

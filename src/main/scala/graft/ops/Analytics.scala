@@ -1217,6 +1217,115 @@ object Analytics {
       .orderBy(col("state"))
   }
 
+  /** Regular-grid resample with forward fill (LOCF) — the gap-filling
+    * step every downstream time-series consumer assumes has already
+    * happened (the reference's monitor emits on a wall-clock timer,
+    * scenario.py:141-147, so its output IS a regular grid; data arriving
+    * through the skip-on-error capture path is not). Per series: hourly
+    * mean in exact micro-units (per-row micro rounding, integer sum, one
+    * truncating division per observed bucket), a per-series hour spine
+    * from `sequence(min_h, max_h)` (never a global calendar — each
+    * series fills only its own span), and last-observation-carried-
+    * forward over the gaps via `last(_, ignoreNulls)`.
+    *
+    * Scale shape: the hourly groupBy is the one corpus-scale shuffle
+    * (map-side combined, O(series × hours) out); the spine explode and
+    * the LOCF window run on the BUCKETED table — 720 rows per series per
+    * month, never raw events. The window is per-series (partitionBy), so
+    * no single-partition funnel; a series' span is bounded by retention
+    * policy, not corpus size. First spine hour is an observed bucket by
+    * construction (min_h comes from data), so `value_micro` is never
+    * NULL after the fill.
+    */
+  def gapFill(ev0: DataFrame, bucketSec: Long = 3600L): DataFrame = {
+    import graft.model.Documents
+    val hourly = ev0
+      .select(col("event_type").as("series"),
+        (Documents.tsSec(col("ts")) / bucketSec).cast("long").as("h"),
+        expr("cast(round(value * 1000000.0D) as bigint)").as("vm"))
+      .groupBy(col("series"), col("h"))
+      .agg(sum(col("vm")).as("sv"), count(lit(1)).as("cnt"))
+      .select(col("series"), col("h"), expr("sv div cnt").as("obs_micro"))
+    val spine = hourly.groupBy(col("series"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("series"), explode(sequence(col("h0"), col("h1"))).as("h"))
+    val w = Window.partitionBy(col("series")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("series", "h"), "left")
+      .select(col("series"), col("h"),
+        last(col("obs_micro"), ignoreNulls = true).over(w).as("value_micro"),
+        col("obs_micro").isNotNull.as("observed"))
+      .orderBy(col("series"), col("h"))
+  }
+
+  /** [[gapFill]] on the events table. */
+  def eventGapFill(spark: SparkSession, dir: String): DataFrame =
+    gapFill(Tables.events(spark, dir))
+
+  /** Lag-k autocorrelation per series (ACF, lags 1..`maxLag`) over the
+    * observed hourly buckets — the seasonality/persistence profile a
+    * pipeline reads before choosing windows, watermarks, or forecast
+    * features for a metric stream.
+    *
+    * Exactness: with n buckets, Σx = sx exact micro-integers, the
+    * centered deviation is the INTEGER `d = n·x − sx` (no division, no
+    * float mean); each lag-pair product is the fixed IEEE expression
+    * `round(double(d_a)·double(d_b) / (1e6·n·n))` — both factors are
+    * exactly-representable longs (< 2^53), the product and the one
+    * division are correctly-rounded IEEE ops with ONE spelled
+    * parenthesization, so the micro-rounded integers (and their exact
+    * sums) match any engine bit-for-bit regardless of partial-agg order.
+    * The denominator is the full-series Σd² (textbook ACF), computed
+    * once per series and joined back.
+    *
+    * Scale shape: one O(events) bucketing shuffle; everything after runs
+    * on the O(series × hours) bucket table — the lag pairing is an
+    * equality self-join on (series, h+lag), shuffle O(buckets × lags),
+    * AQE-splittable, never a window over raw events. Pairs require both
+    * endpoints observed (gaps don't fabricate correlation; run
+    * [[gapFill]] first for the LOCF convention instead).
+    */
+  def acf(ev0: DataFrame, maxLag: Int = 6, bucketSec: Long = 3600L): DataFrame = {
+    import graft.model.Documents
+    require(maxLag >= 1 && maxLag <= 168, s"maxLag in [1,168], got $maxLag")
+    val hourly = ev0
+      .select(col("event_type").as("series"),
+        (Documents.tsSec(col("ts")) / bucketSec).cast("long").as("h"),
+        expr("cast(round(value * 1000000.0D) as bigint)").as("vm"))
+      .groupBy(col("series"), col("h"))
+      .agg(sum(col("vm")).as("sv"), count(lit(1)).as("cnt"))
+      .select(col("series"), col("h"), expr("sv div cnt").as("x"))
+    val stats = hourly.groupBy(col("series"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val dev = hourly.join(broadcast(stats), "series")
+      .select(col("series"), col("h"), col("n"),
+        (col("n") * col("x") - col("sx")).as("d"))
+    val den = dev.groupBy(col("series"), col("n"))
+      .agg(sum(expr("cast(round(cast(d as double) * cast(d as double)" +
+        " / (1000000.0D * n * n)) as bigint)")).as("den_micro"))
+    val a = dev.select(col("series"), col("h"), col("d").as("da"),
+      explode(sequence(lit(1), lit(maxLag))).as("lag"))
+    val b = dev.select(col("series").as("sb"), col("h").as("hb"),
+      col("d").as("db"), col("n"))
+    val pairs = a.join(b,
+        col("series") === col("sb") && col("h") + col("lag") === col("hb"))
+      .drop("sb", "h", "hb")
+    pairs
+      .groupBy(col("series"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("cast(round(cast(da as double) * cast(db as double)" +
+          " / (1000000.0D * n * n)) as bigint)")).as("num_micro"))
+      .join(den.select(col("series"), col("den_micro")), "series")
+      .select(col("series"), col("lag"), col("n_pairs"), col("num_micro"),
+        col("den_micro"),
+        (col("num_micro").cast("double") / col("den_micro").cast("double")).as("acf"))
+      .orderBy(col("series"), col("lag"))
+  }
+
+  /** [[acf]] on the events table. */
+  def eventAcf(spark: SparkSession, dir: String): DataFrame =
+    acf(Tables.events(spark, dir))
+
   /** DataFrame form of [[cohortRetention]]: `ev` needs (user_id, day). */
   def retention(ev: DataFrame): DataFrame = {
     val firstTouch = ev.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))

@@ -749,6 +749,47 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009):
+    * fuse the lexical BM25 shortlist ([[bm25TopK]]) with a dense
+    * embedding shortlist (cosine vs one query vector — the
+    * `Similarity.bruteTopK` contract) into one ranking. RRF is the
+    * standard RAG/retrieval fusion because it needs only RANKS — no
+    * score normalization across incomparable scales — and ranks are
+    * integers, so the fused score `Σ 10⁹ div (60 + rank)` is EXACT
+    * integer arithmetic any engine reproduces bit-for-bit (the
+    * float-free twin of the usual `Σ 1/(60+rank)`; 10⁹ keeps distinct
+    * ranks ≤ shortlist at distinct contributions). A doc missing from
+    * one list contributes 0 from it (rank reported as 0 — never NULL, so
+    * the result hashes stably).
+    *
+    * Scale shape: both inputs are ALREADY top-`shortlist` lists (each
+    * plans as TakeOrderedAndProject on its own side); the fusion join
+    * and final top-k touch ≤ 2·shortlist rows no matter the corpus size.
+    * The corpus-scale work lives inside the two retrievers, which keep
+    * their own scale contracts.
+    */
+  def rrfFusion(lexical: DataFrame, dense: DataFrame, k: Int = 20,
+                rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lexRank = lexical
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id"))).cast("int"))
+      .select(col("doc_id"), col("lex_rank"))
+    val denseRank = dense
+      .select(col("neighbor_id").as("doc_id"), col("rank").cast("int").as("dense_rank"))
+    lexRank.join(denseRank, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0)).as("dense_rank"))
+      .withColumn("rrf_score",
+        when(col("lex_rank") > 0,
+          expr(s"1000000000L div (${rrfK}L + lex_rank)")).otherwise(lit(0L)) +
+        when(col("dense_rank") > 0,
+          expr(s"1000000000L div (${rrfK}L + dense_rank)")).otherwise(lit(0L)))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** BPE merge candidates — the inner loop of byte-pair-encoding tokenizer
     * training (Sennrich et al. 2016): count every adjacent symbol pair
     * inside words, weighted by word frequency; the top pair is the next

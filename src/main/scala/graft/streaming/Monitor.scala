@@ -505,6 +505,55 @@ object Monitor {
           ewmaUpdate(taps)(k, it, st))
   }
 
+  case class GapEvent(series: String, t: Long, vm: Long)
+  /** Open bucket: hour id, running micro sum, sample count. */
+  case class GapState(h: Long, sv: Long, cnt: Long)
+  case class GapOut(series: String, h: Long, value_micro: Long, observed: Boolean)
+
+  /** Streaming twin of `Analytics.gapFill` (§2b 28ay): regular-grid
+    * resample + LOCF maintained live. State is ONE open bucket per
+    * series (three longs); an arrival in a later bucket closes the open
+    * one — emitting its exact integer mean — and back-fills every skipped
+    * grid hour with that mean (`observed = false`), exactly the batch
+    * forward-fill. After any time-ordered prefix the emitted rows equal
+    * the batch operator over that prefix MINUS the still-open final
+    * bucket (a live resampler cannot know the open hour's mean yet) —
+    * the spec asserts that by replay. Same per-key arrival-order
+    * contract as the funnel/TWAP machines; a contract-violating early
+    * row folds into the open bucket rather than silently dropping.
+    */
+  def gapFillUpdate(bucketSec: Long)(key: String, events: Iterator[GapEvent],
+      state: org.apache.spark.sql.streaming.GroupState[GapState]): Iterator[GapOut] = {
+    var st = state.getOption.orNull
+    val out = Vector.newBuilder[GapOut]
+    events.toSeq.sortBy(_.t).foreach { e =>
+      val hb = e.t / bucketSec
+      if (st == null) st = GapState(hb, e.vm, 1L)
+      else if (hb > st.h) {
+        val v = st.sv / st.cnt // same truncation as batch `sv div cnt`
+        out += GapOut(key, st.h, v, observed = true)
+        var g = st.h + 1
+        while (g < hb) { out += GapOut(key, g, v, observed = false); g += 1 }
+        st = GapState(hb, e.vm, 1L)
+      } else st = st.copy(sv = st.sv + e.vm, cnt = st.cnt + 1L)
+    }
+    if (st != null) state.update(st)
+    out.result().iterator
+  }
+
+  /** Wire [[gapFillUpdate]] over a (possibly streaming) event set. */
+  def gapFillStream(events: org.apache.spark.sql.Dataset[GapEvent],
+                    bucketSec: Long = 3600L)
+                   (implicit spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.Dataset[GapOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (k: String, it: Iterator[GapEvent],
+         st: org.apache.spark.sql.streaming.GroupState[GapState]) =>
+          gapFillUpdate(bucketSec)(k, it, st))
+  }
+
   case class DauVote(w_day: Long, user_id: Long)
   /** Sorted distinct user ids seen for this window-end. */
   case class DauState(users: Seq[Long])

@@ -869,4 +869,38 @@ class StreamingSpec extends AnyFunSuite {
         (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
     assert(streamed === batch)
   }
+
+  test("streaming gap fill equals batch LOCF minus the open bucket") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ss = spark
+    import spark.implicits._
+    val all = Tables.events(spark, sf)
+      .select(col("event_type").as("series"), col("ts").cast("long").as("t"),
+        expr("cast(round(value * 1000000.0D) as bigint)").as("vm"))
+      .as[Monitor.GapEvent].collect().sortBy(_.t)
+    val input = MemoryStream[Monitor.GapEvent]
+    val q = Monitor.gapFillStream(input.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("gap_stream").start()
+    try {
+      all.grouped((all.length + 2) / 3).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("gap_stream")
+      .select("series", "h", "value_micro", "observed").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    // the stream can't close each series' final bucket; batch rows for
+    // those open buckets are the expected difference
+    val batch = graft.ops.Analytics.eventGapFill(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val lastBucket = batch.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).max }
+    val expected = batch.filterNot(r => lastBucket(r._1) == r._2).toSet
+    assert(streamed === expected)
+    // every emitted row is final (no revisions in the update log)
+    val emitted = spark.table("gap_stream").groupBy("series", "h")
+      .count().filter(col("count") > 1).count()
+    assert(emitted === 0L)
+  }
 }

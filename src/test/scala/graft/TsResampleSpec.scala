@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Analytics, TextAnalysis}
+
+/** Hand-computed semantics for the resample/ACF/RRF trio. Oracle value
+  * parity at sf0.01 is the driver's job (tools/check_oracle.py locally);
+  * here the contracts are pinned on tiny inputs where the right answer
+  * is computable by eye.
+  */
+class TsResampleSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  private def ev(rows: Seq[(Long, String, Double)]) =
+    rows.toDF("t", "event_type", "value")
+      .select(col("t").cast("timestamp").as("ts"), col("event_type"),
+        col("value"))
+
+  test("gapFill forward-fills missing hours per series, flags observed") {
+    // series A: hours 0 (two rows, mean 1.5), 1 (x=7), 3 (x=2) — hour 2 gap
+    // series B: single hour → single spine row
+    val df = ev(Seq(
+      (100L, "A", 1.0), (200L, "A", 2.0),
+      (3700L, "A", 7.0),
+      (3600L * 3 + 5, "A", 2.0),
+      (500L, "B", 9.0)))
+    val out = Analytics.gapFill(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq === Seq(
+      ("A", 0L, 1500000L, true),
+      ("A", 1L, 7000000L, true),
+      ("A", 2L, 7000000L, false), // LOCF from hour 1
+      ("A", 3L, 2000000L, true),
+      ("B", 0L, 9000000L, true)))
+  }
+
+  test("gapFill hourly mean is the truncating integer division") {
+    // three rows summing to 10 micro-units above a multiple of 3
+    val df = ev(Seq((1L, "A", 1.0), (2L, "A", 1.0), (3L, "A", 1.000001)))
+    val out = Analytics.gapFill(df).collect()
+    assert(out.head.getLong(2) === (3000001L / 3L)) // 1000000, truncated
+  }
+
+  test("acf: alternating series has lag-1 ≈ -1 and lag-2 ≈ +1") {
+    // x_h = ±1 alternating over 8 hours: perfect negative lag-1, positive
+    // lag-2 autocorrelation; mean 0 keeps deviations exactly ±1e6 micro
+    val rows = (0 until 8).map(h =>
+      (h * 3600L, "A", if (h % 2 == 0) 1.0 else -1.0))
+    val out = Analytics.acf(ev(rows), maxLag = 2).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(5)))
+    val byLag = out.map(t => t._1 -> t).toMap
+    assert(byLag(1)._2 === 7L) // 7 adjacent pairs over 8 buckets
+    assert(math.abs(byLag(1)._3 - (-7.0 / 8.0)) < 1e-9)
+    assert(byLag(2)._2 === 6L)
+    assert(math.abs(byLag(2)._3 - (6.0 / 8.0)) < 1e-9)
+  }
+
+  test("acf pairs require both endpoints observed (gaps pair across)") {
+    // hours 0,1,3 observed: lag-1 pairs are (0,1) only; lag-2 is (1,3)
+    val df = ev(Seq((0L, "A", 1.0), (3600L, "A", 2.0), (3 * 3600L, "A", 3.0)))
+    val out = Analytics.acf(df, maxLag = 2).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(out === Map(1 -> 1L, 2 -> 1L))
+  }
+
+  test("rrfFusion: integer RRF, rank-0 for list absence, top-k order") {
+    val lex = Seq((10L, 500L), (20L, 400L), (30L, 300L))
+      .toDF("doc_id", "score_micro")
+    val dense = Seq((20L, 1), (40L, 2)).toDF("neighbor_id", "rank")
+    val out = TextAnalysis.rrfFusion(lex, dense, k = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    def c(r: Int) = 1000000000L / (60L + r)
+    // doc 20: lex rank 2 + dense rank 1 — the only doc on both lists wins
+    assert(out.head === ((20L, 2, 1, c(2) + c(1))))
+    assert(out.map(_._1).toSeq === Seq(20L, 10L, 40L, 30L))
+    // absent list ⇒ rank 0 and zero contribution, never NULL
+    val d40 = out.find(_._1 == 40L).get
+    assert(d40._2 === 0 && d40._4 === c(2))
+  }
+}
