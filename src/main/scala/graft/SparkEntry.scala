@@ -23,7 +23,18 @@ object SparkEntry {
 
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
 
-  def queries: Map[String, Q] = Map[String, Q](
+  /** Reject duplicate keys LOUDLY: a `Map(...)` literal silently keeps
+    * the last binding, so a name collision between two operators would
+    * otherwise drop one query (and its oracle) from the driver gate
+    * without any signal.
+    */
+  private def distinctByKey[V](pairs: Seq[(String, V)]): Map[String, V] = {
+    val dups = pairs.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query keys: ${dups.mkString(", ")}")
+    pairs.toMap
+  }
+
+  def queries: Map[String, Q] = distinctByKey(Seq[(String, Q)](
     // ── §2a document-store surface ────────────────────────────────────
     "ts_find_filter_project" -> ((s, dir) =>
       DocumentStore.find(ev(s, dir),
@@ -269,6 +280,19 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // nearest-in-time: each purchase pairs with the CLOSEST click either
+    // side (backward wins ties) — the sensor-fusion matcher
+    "ts_asof_nearest" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("event_id"), col("user_id"), col("event_type"),
+        Documents.tsSec(col("ts")).as("ts_sec"))
+      val left = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts_sec", "event_id")
+      val right = e.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts_sec").agg(max("event_id").as("mark_id"))
+      DocumentStore.asofJoinNearest(left, right, "user_id", "ts_sec", Seq("mark_id"))
+        .orderBy("event_id")
+    }),
+
     // same query through the custom physical operator (AsofJoinExec):
     // identical oracle — the two paths must agree bit-for-bit
     "ts_asof_join_exec" -> ((s, dir) => {
@@ -511,6 +535,8 @@ object SparkEntry {
     "graph_triangles" -> ((s, dir) => Graph.partTriangles(s, dir)),
     // iterative peeling to the unique 65-core of the same graph
     "graph_kcore" -> ((s, dir) => Graph.partKCore(s, dir)),
+    // frontier BFS from part 0 over the same graph: exact hop distances
+    "graph_bfs" -> ((s, dir) => Graph.partBfs(s, dir)),
 
     // ── §2c training-data pipeline ────────────────────────────────────
     "dedup_exact" -> ((s, dir) =>
@@ -678,9 +704,10 @@ object SparkEntry {
     // 16-tap dyadic EWMA per series — integer weights, one window pass
     "ts_ewma" -> ((s, dir) => Analytics.ewma(s, dir)),
 
-    // hourly resample + LOCF gap fill per series — exact integer micro
-    // means, per-series spine, forward fill over the gaps
-    "ts_gap_fill" -> ((s, dir) => Analytics.eventGapFill(s, dir)),
+    // hourly MEAN resample + LOCF per series (28ay; the sibling of
+    // ts_gap_fill's last-value fill) — exact integer micro means, the
+    // shape the streaming twin (Monitor.gapFillStream) replays live
+    "ts_gap_fill_mean" -> ((s, dir) => Analytics.eventGapFill(s, dir)),
 
     // lag 1..6 autocorrelation per series over observed hourly buckets —
     // integer centered deviations, micro-rounded fixed-tree products
@@ -838,12 +865,19 @@ object SparkEntry {
       Multimodal.byteStats(Multimodal.toAsset(
           Tables.events(s, dir), col("event_id"), col("event_type"), col("props")))
         .orderBy("kind")),
-  )
+
+    // DSIR-shape data selection: hashed token buckets, add-one-smoothed
+    // target/raw ratio in integer micro-units, additive per-doc score
+    "corpus_dsir_weights" -> ((s, dir) =>
+      TextAnalysis.importanceWeights(Tables.documents(s, dir),
+          col("doc_id"), col("text"), col("lang") === "en")
+        .orderBy("doc_id")),
+  ))
 
   /** DuckDB-runnable oracle SQL — column names and ordering match the Spark
     * side exactly (SURVEY.md §6).
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = distinctByKey(Seq(
     "ts_find_filter_project" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE event_type = 'purchase' AND value > 50 ORDER BY event_id""".stripMargin,
@@ -1339,6 +1373,22 @@ object SparkEntry {
         |SELECT u AS node, count(*) AS core_deg FROM s7
         |GROUP BY u ORDER BY node""".stripMargin,
 
+    // recursive CTE with UNION dedup bounds the walk table to
+    // V × (maxDepth+1) rows; min(depth) per node == frontier arrival
+    "graph_bfs" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT least(x.pk, y.pk) AS a, greatest(x.pk, y.pk) AS b
+        |      FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |walk AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+        |  UNION
+        |  SELECT adj.v AS node, walk.depth + 1 AS depth
+        |  FROM walk JOIN adj ON adj.u = walk.node
+        |  WHERE walk.depth < 30)
+        |SELECT node, CAST(min(depth) AS INT) AS depth
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin,
+
     // integer day arithmetic from a fixed epoch — no engine week-truncation
     "events_retention" ->
       """WITH e AS (SELECT user_id,
@@ -1395,6 +1445,26 @@ object SparkEntry {
         |SELECT l.user_id, l.ts_sec, l.event_id, r.next_id AS asof_next_id
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_sec <= r.ts_sec
         |ORDER BY l.event_id""".stripMargin,
+
+    // two native ASOF passes (>= backward, <= forward) + the same
+    // tie-to-backward CASE the Spark side codegens
+    "ts_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+        |l AS (SELECT user_id, ts_sec, event_id FROM e WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts_sec, max(event_id) AS mark_id
+        |      FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        |b AS (SELECT l.user_id, l.ts_sec, l.event_id, r.mark_id AS b_mark, r.ts_sec AS b_ts
+        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_sec >= r.ts_sec),
+        |f AS (SELECT l.event_id, r.mark_id AS f_mark, r.ts_sec AS f_ts
+        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_sec <= r.ts_sec)
+        |SELECT b.user_id, b.ts_sec, b.event_id,
+        |  CASE WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL OR b.ts_sec - b.b_ts <= f.f_ts - b.ts_sec)
+        |       THEN b.b_mark ELSE f.f_mark END AS asof_mark_id,
+        |  CASE WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL OR b.ts_sec - b.b_ts <= f.f_ts - b.ts_sec)
+        |       THEN b.ts_sec - b.b_ts ELSE f.f_ts - b.ts_sec END AS asof_dt
+        |FROM b JOIN f ON f.event_id = b.event_id
+        |ORDER BY b.event_id""".stripMargin,
 
     "ts_asof_join_exec" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value,
@@ -1700,7 +1770,7 @@ object SparkEntry {
     // per-series spine from range(min,max+1) == Spark's sequence
     // (inclusive); hourly mean is an exact integer // (non-negative by
     // data contract, so // and div agree); LOCF via IGNORE NULLS window
-    "ts_gap_fill" ->
+    "ts_gap_fill_mean" ->
       """WITH e AS (SELECT event_type AS series,
         |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
         |    CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
@@ -2746,5 +2816,26 @@ object SparkEntry {
         |  min(octet_length(CAST(props AS BLOB))) AS min_bytes,
         |  max(octet_length(CAST(props AS BLOB))) AS max_bytes
         |FROM events GROUP BY 1 ORDER BY kind""".stripMargin,
-  )
+
+    // same 52-bit md5 bucket, same add-one integer ratio; // == div on
+    // the non-negative counts
+    "corpus_dsir_weights" ->
+      """WITH w AS (SELECT doc_id, lang = 'en' AS is_target,
+        |    string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words
+        |  FROM documents),
+        |tok AS (SELECT doc_id, is_target, unnest(words) AS token FROM w),
+        |tb AS MATERIALIZED (SELECT doc_id,
+        |    ('0x' || substr(md5(token), 1, 13))::BIGINT % 1024 AS b, is_target
+        |  FROM tok),
+        |bc AS (SELECT b,
+        |    CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    COUNT(*) AS cr
+        |  FROM tb GROUP BY 1),
+        |d AS (SELECT tb.doc_id, (bc.ct + 1) * 1000000 // (bc.cr + 1) AS w
+        |      FROM tb JOIN bc USING (b))
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(w) AS BIGINT) AS imp_micro_sum,
+        |  CAST(CAST(SUM(w) AS BIGINT) // COUNT(*) AS BIGINT) AS imp_micro_mean
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  ))
 }

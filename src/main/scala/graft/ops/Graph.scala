@@ -235,6 +235,80 @@ object Graph {
         .select(col("x.pk").as("src"), col("y.pk").as("dst")), k)
   }
 
+  /** Multi-source breadth-first search: exact hop distance from the
+    * nearest source to every reachable node — the reachability/radius
+    * probe entity-graph curation runs (how far does contamination spread
+    * from a flagged seed set; which records sit within k relationship
+    * hops of a known entity). Distances are INTEGERS decided by frontier
+    * arrival order, so results are partitioning/engine-exact by
+    * construction — the oracle replays the same expansion as a recursive
+    * CTE with UNION-dedup and takes min(depth).
+    *
+    * Scale shape per round (the kCore playbook): the adjacency is
+    * hash-partitioned on `u` and checkpointed ONCE, so every round's
+    * frontier join is exchange-free on the big side; the frontier and
+    * visited sets are frontier-sized, broadcast into the join and the
+    * anti-join while they fit (`broadcastNodes`), shuffle anti-join past
+    * that — the 100 TB path where a billion-node frontier can't
+    * broadcast. Rounds = eccentricity of the source set (bounded by
+    * `maxDepth`, loud failure beyond), each O(frontier-edges) work —
+    * never corpus-quadratic, never a driver-side traversal.
+    */
+  def bfs(pairs: DataFrame, sources: Seq[Long], maxDepth: Int = 30,
+          broadcastNodes: Long = 4000000L, cache: Boolean = true): DataFrame = {
+    require(sources.nonEmpty)
+    val spark = pairs.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val e = OpCache.share(
+      pairs.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct(),
+      cache)
+    val adj = e.select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("x"))
+      .select(col("x.u").as("u"), col("x.v").as("v"))
+      .repartition(n, col("u")).localCheckpoint()
+    import spark.implicits._
+    var visited = sources.distinct.sorted.toDF("node")
+      .select(col("node").cast("long").as("node"), lit(0).as("depth"))
+      .localCheckpoint()
+    var frontier = visited.select(col("node"))
+    var depth = 0
+    var frontierSize = sources.size.toLong
+    while (frontierSize > 0L && depth < maxDepth) {
+      depth += 1
+      val small = frontierSize <= broadcastNodes
+      val f = if (small) broadcast(frontier) else frontier
+      val reached = adj.join(f.withColumnRenamed("node", "u"), Seq("u"))
+        .select(col("v").as("node")).distinct()
+      val next =
+        if (small) reached.join(broadcast(visited.select(col("node"))), Seq("node"), "left_anti")
+        else reached.join(visited.select(col("node")), Seq("node"), "left_anti")
+      frontier = next.localCheckpoint()
+      frontierSize = frontier.count()
+      if (frontierSize > 0L)
+        visited = visited
+          .unionByName(frontier.select(col("node"), lit(depth).as("depth")))
+          .localCheckpoint()
+    }
+    visited.orderBy(col("node"))
+  }
+
+  /** [[bfs]] over the part co-purchase graph from the smallest part key
+    * (see [[partTriangles]] for the edge construction): hop-distance
+    * strata of the "bought-together" neighborhood.
+    */
+  def partBfs(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    bfs(
+      li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst")),
+      sources = Seq(0L))
+  }
+
   /** Rank customers and suppliers by transitive transaction influence:
     * PageRank over the bipartite customer–supplier graph induced by
     * order lines (an edge per distinct trading relationship). A supplier

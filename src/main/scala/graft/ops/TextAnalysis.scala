@@ -790,6 +790,46 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Hashed-feature importance scoring for data selection (the DSIR
+    * shape, Xie et al. 2023: score raw documents by how much their
+    * feature distribution resembles a TARGET stratum, then keep the
+    * high-scorers). Features are hashed token buckets (the same 52-bit
+    * md5 slice every sampling op uses — engine-portable, no RNG); the
+    * per-bucket evidence is the add-one-smoothed target/raw count ratio
+    * in exact integer micro-units, and a document scores the SUM of its
+    * tokens' bucket ratios (an additive surrogate for the product-of-
+    * ratios likelihood — monotone per token, exact in integers, where
+    * the log-likelihood original would hit cross-engine libm). Emits the
+    * raw sum and the per-token mean (length-normalized, the selection
+    * key).
+    *
+    * Scale shape: the bucket table is ≤ `buckets` rows — broadcast — so
+    * scoring is a map-side join over one token pass; the only shuffles
+    * are the bucket groupBy (map-side combined, O(buckets) out) and the
+    * per-doc sum (O(docs) out). The token projection feeds both passes
+    * through the shared cache (releasable via [[Dedup.unpersistShared]]).
+    */
+  def importanceWeights(df: DataFrame, idCol: Column, textCol: Column,
+                        isTarget: Column, buckets: Int = 1024,
+                        cache: Boolean = true): DataFrame = {
+    require(buckets >= 2)
+    val toks = OpCache.share(
+      df.select(idCol.as("doc_id"), isTarget.as("is_target"),
+          explode(tokens(textCol)).as("token"))
+        .withColumn("b",
+          expr(s"cast(conv(substr(md5(token), 1, 13), 16, 10) as bigint) % $buckets")),
+      cache)
+    val bc = toks.groupBy(col("b"))
+      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+    toks.join(broadcast(bc), "b")
+      .withColumn("w", expr("(ct + 1) * 1000000 div (cr + 1)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("imp_micro_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("imp_micro_sum"),
+        expr("imp_micro_sum div n_tokens").as("imp_micro_mean"))
+  }
+
   /** BPE merge candidates — the inner loop of byte-pair-encoding tokenizer
     * training (Sennrich et al. 2016): count every adjacent symbol pair
     * inside words, weighted by word frequency; the top pair is the next

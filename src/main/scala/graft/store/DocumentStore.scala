@@ -456,6 +456,40 @@ object DocumentStore {
         asofCols.map(c => col(s"__f_$c").as(s"asof_$c")): _*)
   }
 
+  /** Nearest-in-time join: each left row takes the right row minimizing
+    * |t_left − t_right| per key — the sensor-fusion matcher (pair a
+    * camera frame with the CLOSEST lidar scan, not merely the last one;
+    * reference analogue: composing a `SubscriberTree` snapshot from
+    * topics ticking at different rates, scenario.py:30-137). Composed
+    * from the backward ([[asofJoin]]) and forward ([[asofJoinForward]])
+    * passes — the right's own timestamp rides along as an extra as-of
+    * column so the final pick is one codegen'd comparison; backward wins
+    * exact-tie distances (deterministic). Output adds `asof_dt` =
+    * unsigned distance (null when the key has no right rows at all).
+    *
+    * Scale shape: exactly two key-partitioned window passes (the two
+    * as-of contracts) + a map-side projection — still no inequality
+    * join, still nothing per-key-quadratic.
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+                      time: String, asofCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rt = right.withColumn("__rt", col(time))
+    val cols = asofCols :+ "__rt"
+    val back = asofJoin(left, rt, key, time, cols)
+      .withColumnsRenamed(cols.map(c => s"asof_$c" -> s"__b_$c").toMap)
+    val both = asofJoinForward(back, rt, key, time, cols)
+      .withColumnsRenamed(cols.map(c => s"asof_$c" -> s"__f_$c").toMap)
+    val bdt = col(time) - col("__b___rt")
+    val fdt = col("__f___rt") - col(time)
+    val pickBack = col("__b___rt").isNotNull &&
+      (col("__f___rt").isNull || bdt <= fdt)
+    both.select(leftCols.map(col) ++
+      asofCols.map(c =>
+        when(pickBack, col(s"__b_$c")).otherwise(col(s"__f_$c")).as(s"asof_$c")) :+
+      when(pickBack, bdt).otherwise(fdt).as("asof_dt"): _*)
+  }
+
   /** The as-of join on the custom PHYSICAL operator
     * (graft.plans.AsofJoinExec — LogicalPlan + SparkStrategy + SparkPlan,
     * tier (c) of the extension ladder): both sides hash-clustered on the

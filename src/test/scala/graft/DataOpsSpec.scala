@@ -1168,6 +1168,75 @@ class DataOpsSpec extends AnyFunSuite {
     assert(ops.Graph.kCore(edges, k = 10).count() === 0L)
   }
 
+  test("bfs assigns exact hop depths and omits unreachable nodes") {
+    import spark.implicits._
+    // path 1-2-3-4 with branch 1-5; {6,7} is a separate component
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L), (6L, 7L))
+      .toDF("src", "dst")
+    val out = ops.Graph.bfs(edges, Seq(1L)).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(1L -> 0, 2L -> 1, 5L -> 1, 3L -> 2, 4L -> 3))
+    // multi-source: nearest source wins
+    val multi = ops.Graph.bfs(edges, Seq(4L, 5L)).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(multi === Map(4L -> 0, 5L -> 0, 3L -> 1, 1L -> 1, 2L -> 2))
+  }
+
+  test("bfs matches an independent driver-side traversal at sf0.001") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+    val fast = ops.Graph.bfs(edges, Seq(0L)).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    edges.collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      if (a != b) {
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+      }
+    }
+    val dist = scala.collection.mutable.Map(0L -> 0)
+    var frontier = Set(0L)
+    var d = 0
+    while (frontier.nonEmpty) {
+      d += 1
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        .filterNot(dist.contains)
+      frontier.foreach(n => dist(n) = d)
+    }
+    assert(fast === dist.toMap)
+    assert(fast.size > 1, "co-purchase graph should reach beyond the source")
+  }
+
+  test("importance weights reproduce the hand pipeline on a toy corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "x x", "en"), (2L, "x", "de"), (3L, "y y z", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = ops.TextAnalysis.importanceWeights(
+        docs, col("doc_id"), col("text"), col("lang") === "en", buckets = 1024)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // replicate: md5-slice bucket per token, add-one target/raw ratio
+    def bucket(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(13), 16) % 1024L
+    }
+    val toks = Seq((1L, "x", true), (1L, "x", true), (2L, "x", false),
+      (3L, "y", false), (3L, "y", false), (3L, "z", false))
+    val byB = toks.groupBy(t => bucket(t._2))
+    val ratio = byB.map { case (b, ts) =>
+      b -> ((ts.count(_._3) + 1L) * 1000000L / (ts.size + 1L))
+    }
+    val expected = toks.groupBy(_._1).map { case (d, ts) =>
+      val s = ts.map(t => ratio(bucket(t._2))).sum
+      (d, ts.size.toLong, s, s / ts.size)
+    }.toSet
+    assert(out.toSet === expected)
+  }
+
   test("kcore fixpoint matches an independent driver-side peel") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()

@@ -370,6 +370,24 @@ class StoreOpsSpec extends AnyFunSuite {
     assert(got === Map("a" -> 100L, "b" -> 100L, "c" -> -1L, "d" -> -1L))
   }
 
+  test("nearest as-of picks the closer side, backward on ties") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 24L, "b"), (1L, 26L, "c"),
+      (1L, 25L, "tie"), (2L, 5L, "d")).toDF("k", "t", "tag")
+    val right = Seq((1L, 20L, 100L), (1L, 30L, 200L)).toDF("k", "t", "p")
+    val got = DocumentStore.asofJoinNearest(left, right, "k", "t", Seq("p"))
+      .collect().map(r => r.getString(2) ->
+        ((if (r.isNullAt(3)) -1L else r.getLong(3)),
+         (if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    // t=10: only backward? no — 20 is FORWARD of 10 (dt 10), no backward → 100
+    // t=24: back 20 (dt 4) beats fwd 30 (dt 6); t=26: fwd 30 (dt 4) wins
+    // t=25: dt 5 both sides → backward wins the tie
+    // key 2: no right rows at all → null match, null dt
+    assert(got === Map(
+      "a" -> ((100L, 10L)), "b" -> ((100L, 4L)), "c" -> ((200L, 4L)),
+      "tie" -> ((100L, 5L)), "d" -> ((-1L, -1L))))
+  }
+
   test("twap matches a brute driver-side hold-until-next computation") {
     val rows = Tables.events(spark, sf)
       .select(col("event_type"), col("ts").cast("long"), col("event_id"),
