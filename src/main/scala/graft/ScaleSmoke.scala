@@ -674,6 +674,81 @@ object ScaleSmoke {
       require(m4.size == 6, s"expected 6 merges, got ${m4.size}")
     }
 
+    // BFS under hub skew: a 10⁵-degree star hub + a pendant path. The
+    // audit question is round-structure, not volume — the frontier that
+    // contains the hub explodes to all its neighbors in ONE round
+    // (broadcast anti-join keeps it an equality join), and total rounds
+    // equal the eccentricity, not the node count.
+    time("bfs_hub_skew") {
+      val hubDeg = 100000L
+      val star = spark.range(1, hubDeg + 1)
+        .select(lit(0L).as("src"), col("id").as("dst"))
+      val path = spark.range(0, 10).select(
+        (col("id") + hubDeg + 1).as("src"), (col("id") + hubDeg + 2).as("dst"))
+      val bridge = spark.range(1).select(lit(1L).as("src"), (lit(hubDeg + 1)).as("dst"))
+      val d = graft.ops.Graph
+        .bfs(star.unionByName(path).unionByName(bridge), Seq(5L))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      graft.ops.Dedup.unpersistShared()
+      require(d(5L) == 0 && d(0L) == 1 && d(99999L) == 2,
+        s"star depths wrong: ${d(5L)}, ${d(0L)}, ${d(99999L)}")
+      require(d(hubDeg + 11) == 13, s"path tail depth ${d(hubDeg + 11)} != 13")
+      require(d.size == hubDeg.toInt + 12, s"reached ${d.size} nodes")
+    }
+
+    // Gap-fill's cost model is span-linear PER SERIES (spine rows =
+    // span/bucket), independent of event count — the 100 TB hazard is a
+    // stale series whose span dwarfs its data. 100 series × 10-year
+    // hourly span = 8.8M spine rows from only 200k events: the audit
+    // proves the spine explode + fill window stay span-bounded and the
+    // LOCF output is dense.
+    time("gap_fill_span_bound") {
+      val tenYearsSec = 315360000L
+      val ev = spark.range(200000L).select(
+        concat(lit("s"), pmod(col("id"), lit(100))).cast("string").as("event_type"),
+        timestamp_seconds(lit(1500000000L) +
+          pmod(hash(col("id")), lit(tenYearsSec))).as("ts"),
+        (pmod(hash(col("id"), lit(3)), lit(1000)) / 10.0).as("value"))
+      val out = graft.ops.Analytics.gapFill(ev)
+      val n = out.count()
+      val perSeries = out.groupBy(col("series"))
+        .agg((max(col("h")) - min(col("h")) + 1).as("span"), count(lit(1)).as("rows"))
+        .filter(col("span") =!= col("rows")).count()
+      require(perSeries == 0L, "spine must be dense per series")
+      require(n > 8000000L, s"expected ~8.8M spine rows, got $n")
+    }
+
+    // Nearest as-of at event volume: two key-partitioned window passes
+    // (backward + forward composition) — the audit is that it stays a
+    // constant factor over the one-directional as-of on the same 10M
+    // events, with no inequality-join blowup.
+    time("asof_nearest") {
+      val l = events.filter(col("event_type") === "purchase")
+        .select("user_id", "ts_sec", "event_id")
+      val r = events.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts_sec").agg(max("event_id").as("mark_id"))
+      val out = DocumentStore.asofJoinNearest(l, r, "user_id", "ts_sec", Seq("mark_id"))
+      require(out.filter(col("asof_dt") < 0).count() == 0L,
+        "asof_dt must be an unsigned distance")
+      out.count()
+    }
+
+    // DSIR scoring is two token-scale passes with an O(buckets)
+    // broadcast between them — throughput-linear by construction; the
+    // audit runs 1M docs and checks every doc scores exactly once.
+    time("dsir_weights_1m_docs") {
+      val docs = spark.range(1000000L).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", expr("transform(sequence(0, 19), i ->" +
+          " concat('t', pmod(xxhash64(id, i), 5000)))")).as("text"),
+        (pmod(col("id"), lit(4)) === 0).as("is_en"))
+      val out = graft.ops.TextAnalysis.importanceWeights(
+        docs, col("doc_id"), col("text"), col("is_en"))
+      val n = out.count()
+      graft.ops.Dedup.unpersistShared()
+      require(n == 1000000L, s"every doc must score once, got $n")
+    }
+
     spark.stop()
   }
 }
