@@ -713,6 +713,14 @@ object SparkEntry {
     // integer centered deviations, micro-rounded fixed-tree products
     "ts_acf" -> ((s, dir) => Analytics.eventAcf(s, dir)),
 
+    // AMOC changepoint per series: argmax of the exact-integer CUSUM
+    // deviation |S_t·n − S·t|, earliest split on ties
+    "ts_changepoint" -> ((s, dir) => Analytics.eventChangepoint(s, dir)),
+
+    // the ONLINE level-shift detector: per-bucket one-sided CUSUM vs the
+    // first-24-bucket causal baseline, closed-form two-window evaluation
+    "ts_cusum" -> ((s, dir) => Analytics.eventCusum(s, dir)),
+
     // association rules over order baskets: support/confidence/lift
     "part_basket_lift" -> ((s, dir) => Analytics.basketLift(s, dir)),
 
@@ -865,6 +873,12 @@ object SparkEntry {
       Multimodal.byteStats(Multimodal.toAsset(
           Tables.events(s, dir), col("event_id"), col("event_type"), col("props")))
         .orderBy("kind")),
+
+    // char-distribution Gini impurity (log-free entropy twin): the
+    // repeated-char-junk detector, zero shuffles, exact rational micro
+    "quality_char_gini" -> ((s, dir) =>
+      TextAnalysis.charGini(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
 
     // DSIR-shape data selection: hashed token buckets, add-one-smoothed
     // target/raw ratio in integer micro-units, additive per-doc score
@@ -1786,6 +1800,54 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_micro,
         |  obs_micro IS NOT NULL AS observed
         |FROM j ORDER BY series, h""".stripMargin,
+
+    // drift, prefix sum, and running min are all BIGINT; * and // share
+    // precedence left-assoc in both engines, so the slack term matches
+    "ts_cusum" ->
+      """WITH e AS (SELECT event_type AS series,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
+        |b AS MATERIALIZED (SELECT series, h,
+        |    CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT) AS x
+        |  FROM e GROUP BY 1, 2),
+        |tb AS (SELECT series, h, x,
+        |    CAST(row_number() OVER (PARTITION BY series ORDER BY h) AS BIGINT) AS t
+        |  FROM b),
+        |mu AS (SELECT series, CAST(SUM(x) AS BIGINT) // 24 AS mu0
+        |       FROM tb WHERE t <= 24 GROUP BY series HAVING COUNT(*) = 24),
+        |d AS (SELECT tb.series, tb.h, tb.x, mu.mu0,
+        |        tb.x - mu.mu0 - mu.mu0 * 50 // 1000 AS d
+        |      FROM tb JOIN mu USING (series) WHERE tb.t > 24),
+        |p AS (SELECT *, CAST(SUM(d) OVER (PARTITION BY series ORDER BY h
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+        |      FROM d)
+        |SELECT series, h, x AS x_micro, mu0 AS mu0_micro,
+        |  p - least(0, CAST(MIN(p) OVER (PARTITION BY series ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)) AS s_micro
+        |FROM p ORDER BY series, h""".stripMargin,
+
+    // the CUSUM deviation is pure BIGINT arithmetic; the per-series
+    // argmax replays as row_number over (d_num DESC, t)
+    "ts_changepoint" ->
+      """WITH e AS (SELECT event_type AS series,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
+        |b AS MATERIALIZED (SELECT series, h,
+        |    CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT) AS x
+        |  FROM e GROUP BY 1, 2),
+        |g AS (SELECT series, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS ss
+        |      FROM b GROUP BY 1),
+        |p AS (SELECT b.series, b.h, g.n, g.ss,
+        |        CAST(row_number() OVER (PARTITION BY b.series ORDER BY b.h) AS BIGINT) AS t,
+        |        CAST(SUM(b.x) OVER (PARTITION BY b.series ORDER BY b.h
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS st
+        |      FROM b JOIN g USING (series)),
+        |d AS (SELECT *, abs(st * n - ss * t) AS d_num FROM p WHERE t < n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY series
+        |        ORDER BY d_num DESC, t) AS rk FROM d)
+        |SELECT series, n, t, h AS split_h, CAST(d_num AS BIGINT) AS d_num,
+        |  st // t AS mean_l_micro, (ss - st) // (n - t) AS mean_r_micro
+        |FROM r WHERE rk = 1 ORDER BY series""".stripMargin,
 
     // centered deviations are the INTEGER n·x − Σx (no float mean); each
     // product is the same fixed-tree IEEE expression Spark evaluates,
@@ -2816,6 +2878,21 @@ object SparkEntry {
         |  min(octet_length(CAST(props AS BLOB))) AS min_bytes,
         |  max(octet_length(CAST(props AS BLOB))) AS max_bytes
         |FROM events GROUP BY 1 ORDER BY kind""".stripMargin,
+
+    // char splitting agrees per BMP character (Spark regex split vs
+    // DuckDB string_split('')); Gini is pure integer // on non-negatives
+    "quality_char_gini" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_replace(lower(text), '\s+', ' ', 'g') AS txt FROM documents),
+        |c AS (SELECT doc_id, unnest(string_split(txt, '')) AS ch FROM t
+        |      WHERE length(txt) > 0),
+        |n AS (SELECT doc_id, COUNT(*) AS n FROM c GROUP BY 1),
+        |q AS (SELECT doc_id, CAST(SUM(cnt * cnt) AS BIGINT) AS ssq
+        |      FROM (SELECT doc_id, ch, COUNT(*) AS cnt FROM c GROUP BY 1, 2)
+        |      GROUP BY 1)
+        |SELECT n.doc_id, n.n, q.ssq,
+        |  (n.n * n.n - q.ssq) * 1000000 // (n.n * n.n) AS gini_micro
+        |FROM n JOIN q USING (doc_id) WHERE n.n > 0 ORDER BY doc_id""".stripMargin,
 
     // same 52-bit md5 bucket, same add-one integer ratio; // == div on
     // the non-negative counts

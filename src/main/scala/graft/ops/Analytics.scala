@@ -1326,6 +1326,118 @@ object Analytics {
   def eventAcf(spark: SparkSession, dir: String): DataFrame =
     acf(Tables.events(spark, dir))
 
+  /** Single changepoint per series (AMOC — at-most-one-change): the
+    * split position maximizing the cumulative deviation from the
+    * series' own global mean, `|S_t·n − S·t|` — the point where the
+    * before/after means diverge hardest. This is the level-shift
+    * detector a pipeline runs on a metric stream before trusting a
+    * drift gate: KS (28ai) says the DISTRIBUTION moved; this says WHEN
+    * the level moved. The statistic is the unweighted CUSUM supremum:
+    * S_t·n − S·t = t(n−t)·(mean_left − mean_right), so the argmax is
+    * the max mean-gap split with the variance-stabilizing weight left
+    * out — the variant that stays in EXACT integers end-to-end
+    * (micro-mean buckets bounded by value scale and span keep
+    * |D_t| < 10¹⁵ — long-safe with headroom).
+    *
+    * Determinism: D_t is exact integer arithmetic; the argmax
+    * tie-breaks to the earliest split; the map-side-combinable
+    * max(struct) is total because the position is unique per row. The
+    * two output means are the only divisions, truncating on exact
+    * integers — any engine agrees bit-for-bit.
+    *
+    * Scale shape: one O(events) bucketing shuffle; the prefix sum and
+    * argmax run per-series on the O(series × hours) bucket table (the
+    * acf/gap-fill discipline) — the per-series window is bounded by
+    * retention span, and the final agg ships one struct per series.
+    */
+  def changepoint(ev0: DataFrame, bucketSec: Long = 3600L): DataFrame = {
+    import graft.model.Documents
+    val hourly = ev0
+      .select(col("event_type").as("series"),
+        (Documents.tsSec(col("ts")) / bucketSec).cast("long").as("h"),
+        expr("cast(round(value * 1000000.0D) as bigint)").as("vm"))
+      .groupBy(col("series"), col("h"))
+      .agg(sum(col("vm")).as("sv"), count(lit(1)).as("cnt"))
+      .select(col("series"), col("h"), expr("sv div cnt").as("x"))
+    val stats = hourly.groupBy(col("series"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val w = Window.partitionBy(col("series")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly
+      .withColumn("t", row_number().over(
+        Window.partitionBy(col("series")).orderBy(col("h"))).cast("long"))
+      .withColumn("st", sum(col("x")).over(w))
+      .join(broadcast(stats), "series")
+      .filter(col("t") < col("n"))
+      .withColumn("d_num", abs(col("st") * col("n") - col("s") * col("t")))
+      .groupBy(col("series"))
+      .agg(max(struct(col("d_num"), (-col("t")).as("nt"), col("h").as("sh"),
+        col("st"), col("n").as("sn"), col("s").as("ss"))).as("m"))
+      .select(col("series"), col("m.sn").as("n"), (-col("m.nt")).as("t"),
+        col("m.sh").as("split_h"), col("m.d_num").as("d_num"),
+        expr("m.st div (-m.nt)").as("mean_l_micro"),
+        expr("(m.ss - m.st) div (m.sn + m.nt)").as("mean_r_micro"))
+      .orderBy(col("series"))
+  }
+
+  /** [[changepoint]] on the events table. */
+  def eventChangepoint(spark: SparkSession, dir: String): DataFrame =
+    changepoint(Tables.events(spark, dir))
+
+  /** Per-bucket one-sided CUSUM statistic per series — the ONLINE twin
+    * of [[changepoint]] (AMOC finds a shift after the fact; CUSUM is the
+    * sequential detector that raises while it happens). Baseline μ₀ is
+    * the mean of the series' first `refBuckets` hourly buckets (CAUSAL —
+    * computable by a stream, unlike the global mean), slack
+    * k = μ₀·slackPermille div 1000, and the classic recurrence
+    * `s_t = max(0, s_{t−1} + x_t − μ₀ − k)` is evaluated in closed form
+    * as `P_t − least(0, min_{j≤t} P_j)` over the drift prefix sum P —
+    * two window passes, NO sequential fold, exact integers end-to-end
+    * (the recurrence and the closed form are algebraically identical;
+    * the spec checks them against each other). Output: one row per
+    * post-baseline bucket with the running statistic — what a monitor
+    * thresholds; `Monitor.cusumStream` replays it live bucket-by-bucket.
+    *
+    * Scale shape: the acf/changepoint discipline — one O(events)
+    * bucketing shuffle, then per-series windows on the O(series × hours)
+    * bucket table; the baseline is a filtered 1-row-per-series agg
+    * broadcast back.
+    */
+  def cusum(ev0: DataFrame, refBuckets: Int = 24, slackPermille: Long = 50L,
+            bucketSec: Long = 3600L): DataFrame = {
+    import graft.model.Documents
+    require(refBuckets >= 1 && slackPermille >= 0)
+    val hourly = ev0
+      .select(col("event_type").as("series"),
+        (Documents.tsSec(col("ts")) / bucketSec).cast("long").as("h"),
+        expr("cast(round(value * 1000000.0D) as bigint)").as("vm"))
+      .groupBy(col("series"), col("h"))
+      .agg(sum(col("vm")).as("sv"), count(lit(1)).as("cnt"))
+      .select(col("series"), col("h"), expr("sv div cnt").as("x"))
+      .withColumn("t", row_number().over(
+        Window.partitionBy(col("series")).orderBy(col("h"))).cast("long"))
+    val base = hourly.filter(col("t") <= refBuckets)
+      .groupBy(col("series"))
+      .agg(count(lit(1)).as("nb"), sum(col("x")).as("sb"))
+      .filter(col("nb") === refBuckets.toLong)
+      .select(col("series"), expr(s"sb div ${refBuckets}L").as("mu0"))
+    val run = Window.partitionBy(col("series")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly.join(broadcast(base), "series")
+      .filter(col("t") > refBuckets)
+      .withColumn("d", col("x") - col("mu0") -
+        expr(s"mu0 * ${slackPermille}L div 1000L"))
+      .withColumn("p", sum(col("d")).over(run))
+      .withColumn("s_micro", col("p") - least(lit(0L), min(col("p")).over(run)))
+      .select(col("series"), col("h"), col("x").as("x_micro"),
+        col("mu0").as("mu0_micro"), col("s_micro"))
+      .orderBy(col("series"), col("h"))
+  }
+
+  /** [[cusum]] on the events table. */
+  def eventCusum(spark: SparkSession, dir: String): DataFrame =
+    cusum(Tables.events(spark, dir))
+
   /** DataFrame form of [[cohortRetention]]: `ev` needs (user_id, day). */
   def retention(ev: DataFrame): DataFrame = {
     val firstTouch = ev.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))

@@ -790,6 +790,36 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Character-distribution Gini impurity per document — the log-free
+    * twin of character entropy (`1 − Σ p_c²`): near 0 for repeated-char
+    * junk ("aaaa…", padding, ascii art), high for natural prose — the
+    * diversity axis the length/stopword quality signals can't see.
+    * Exact rational arithmetic: `gini_micro = (n² − Σ n_c²)·10⁶ div n²`
+    * over integer char counts — no log, no float, engine-exact. Long
+    * headroom to ~3·10⁶ chars per doc (n²·10⁶ < 2⁶³), far beyond any
+    * sane document after normalization.
+    *
+    * Scale shape: 100% map-side, and O(n log n) per doc: sort the char
+    * array once, then ONE run-length fold accumulates Σ n_c²
+    * incrementally (extending a run r→r+1 adds 2r+1) — no per-distinct
+    * rescan (the O(alphabet × n) filter variant measured 2–4× the cost
+    * of every other corpus query), no shuffle added to the scan.
+    */
+  def charGini(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(idCol.as("doc_id"), normalize(textCol).as("t"))
+      // empty docs emit nothing (and sidestep split("")'s [""] artifact)
+      .filter(length(col("t")) > 0)
+      .withColumn("cs", split(col("t"), ""))
+      .withColumn("n", size(col("cs")).cast("long"))
+      .withColumn("ssq", expr("""aggregate(array_sort(cs),
+        named_struct('prev', cast(null as string), 'run', 0L, 'ssq', 0L),
+        (a, x) -> if(x <=> a.prev,
+          named_struct('prev', x, 'run', a.run + 1L, 'ssq', a.ssq + 2L * a.run + 1L),
+          named_struct('prev', x, 'run', 1L, 'ssq', a.ssq + 1L)),
+        a -> a.ssq)"""))
+      .select(col("doc_id"), col("n"), col("ssq"),
+        expr("(n * n - ssq) * 1000000L div (n * n)").as("gini_micro"))
+
   /** Hashed-feature importance scoring for data selection (the DSIR
     * shape, Xie et al. 2023: score raw documents by how much their
     * feature distribution resembles a TARGET stratum, then keep the

@@ -554,6 +554,70 @@ object Monitor {
           gapFillUpdate(bucketSec)(k, it, st))
   }
 
+  /** Baseline accumulation (nb, sb), frozen μ₀, the open bucket
+    * (h, sv, cnt), and the CUSUM pair (p, minp). */
+  case class CusumState(nb: Long, sb: Long, mu0: Long, h: Long, sv: Long,
+                        cnt: Long, p: Long, minp: Long)
+  case class CusumOut(series: String, h: Long, x_micro: Long,
+                      mu0_micro: Long, s_micro: Long)
+
+  /** Streaming twin of `Analytics.cusum` (§2b 28bd): the sequential
+    * level-shift detector maintained live. Buckets close exactly as in
+    * [[gapFillStream]]; the first `refBuckets` closed buckets accumulate
+    * the baseline (emitting nothing), μ₀ freezes at the transition, and
+    * every later closed bucket updates the textbook recurrence
+    * `s = max(0, s + x − μ₀ − k)` carried as the (P, min P) pair — eight
+    * longs of state per series, emissions == batch rows over any
+    * time-ordered prefix minus the open bucket (spec-asserted by
+    * replay). The recurrence here and the batch's two-window closed form
+    * are algebraically identical; the spec pins them to each other.
+    */
+  def cusumUpdate(refBuckets: Int, slackPermille: Long, bucketSec: Long)(
+      key: String, events: Iterator[GapEvent],
+      state: org.apache.spark.sql.streaming.GroupState[CusumState]): Iterator[CusumOut] = {
+    var st = state.getOption.orNull
+    val out = Vector.newBuilder[CusumOut]
+    def close(s: CusumState): CusumState = {
+      val x = s.sv / s.cnt
+      if (s.nb < refBuckets) {
+        val nb = s.nb + 1
+        val sb = s.sb + x
+        s.copy(nb = nb, sb = sb,
+          mu0 = if (nb == refBuckets) sb / refBuckets else s.mu0)
+      } else {
+        val d = x - s.mu0 - s.mu0 * slackPermille / 1000L
+        val p = s.p + d
+        val minp = math.min(s.minp, p)
+        out += CusumOut(key, s.h, x, s.mu0, p - math.min(0L, minp))
+        s.copy(p = p, minp = minp)
+      }
+    }
+    events.toSeq.sortBy(_.t).foreach { e =>
+      val hb = e.t / bucketSec
+      if (st == null)
+        st = CusumState(0L, 0L, 0L, hb, e.vm, 1L, 0L, Long.MaxValue)
+      else if (hb > st.h)
+        st = close(st).copy(h = hb, sv = e.vm, cnt = 1L)
+      else st = st.copy(sv = st.sv + e.vm, cnt = st.cnt + 1L)
+    }
+    if (st != null) state.update(st)
+    out.result().iterator
+  }
+
+  /** Wire [[cusumUpdate]] over a (possibly streaming) event set. */
+  def cusumStream(events: org.apache.spark.sql.Dataset[GapEvent],
+                  refBuckets: Int = 24, slackPermille: Long = 50L,
+                  bucketSec: Long = 3600L)
+                 (implicit spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.Dataset[CusumOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (k: String, it: Iterator[GapEvent],
+         st: org.apache.spark.sql.streaming.GroupState[CusumState]) =>
+          cusumUpdate(refBuckets, slackPermille, bucketSec)(k, it, st))
+  }
+
   case class DauVote(w_day: Long, user_id: Long)
   /** Sorted distinct user ids seen for this window-end. */
   case class DauState(users: Seq[Long])

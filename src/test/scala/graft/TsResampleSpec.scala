@@ -66,6 +66,62 @@ class TsResampleSpec extends AnyFunSuite {
     assert(out === Map(1 -> 1L, 2 -> 1L))
   }
 
+  test("changepoint finds a planted level shift at the exact split") {
+    // series A: 6 hours at 10.0 then 6 hours at 20.0 — the max CUSUM
+    // deviation sits exactly at t=6 (the last low bucket)
+    val rows = (0 until 12).map(h =>
+      (h * 3600L, "A", if (h < 6) 10.0 else 20.0))
+    val out = Analytics.changepoint(ev(rows)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(1) === 12L)         // n buckets
+    assert(r.getLong(2) === 6L)          // split position
+    assert(r.getLong(3) === 5L)          // split hour (0-based id of bucket 6)
+    assert(r.getLong(5) === 10000000L)   // mean_l_micro
+    assert(r.getLong(6) === 20000000L)   // mean_r_micro
+    // d_num = |S_t·n − S·t| = |60e6·12 − 180e6·6| = 360e6
+    assert(r.getLong(4) === 360000000L)
+  }
+
+  test("changepoint tie-breaks to the earliest split on a flat series") {
+    // constant series: every split has d_num = 0 → earliest split wins
+    val rows = (0 until 5).map(h => (h * 3600L, "A", 7.0))
+    val r = Analytics.changepoint(ev(rows)).collect().head
+    assert(r.getLong(2) === 1L && r.getLong(4) === 0L)
+    // a single-bucket series has no valid split and emits nothing
+    assert(Analytics.changepoint(ev(Seq((0L, "B", 1.0)))).count() === 0L)
+  }
+
+  test("cusum closed form equals the textbook recurrence by hand") {
+    // baseline = first 2 buckets (mean 15), slack 0; then the recurrence
+    // s = max(0, s + x − 15) over x = 5, 8, 100 clamps at zero twice
+    val rows = Seq(0, 1, 2, 3, 4).zip(Seq(10.0, 20.0, 5.0, 8.0, 100.0))
+      .map { case (h, v) => (h * 3600L, "A", v) }
+    val out = Analytics.cusum(ev(rows), refBuckets = 2, slackPermille = 0L)
+      .collect().map(r => (r.getLong(1), r.getLong(4)))
+    assert(out.toSeq === Seq((2L, 0L), (3L, 0L), (4L, 85000000L)))
+    // a positive run accumulates without clamping
+    val up = Seq(0, 1, 2, 3).zip(Seq(10.0, 20.0, 30.0, 40.0))
+      .map { case (h, v) => (h * 3600L, "A", v) }
+    val s2 = Analytics.cusum(ev(up), refBuckets = 2, slackPermille = 0L)
+      .collect().map(_.getLong(4))
+    assert(s2.toSeq === Seq(15000000L, 40000000L))
+    // series shorter than the baseline emits nothing
+    assert(Analytics.cusum(ev(rows.take(1)), refBuckets = 2).count() === 0L)
+  }
+
+  test("char gini: 0 for repeated junk, exact rational for mixed text") {
+    val docs = Seq((1L, "aaaa"), (2L, "ab"), (3L, "aab"), (4L, ""), (5L, "漢漢字"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.charGini(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(out(1L) === ((4L, 0L)))                 // single char → impurity 0
+    assert(out(2L) === ((2L, 500000L)))            // 1 − 2/4 = 0.5
+    assert(out(3L) === ((3L, (9L - 5L) * 1000000L / 9L))) // 1 − 5/9
+    assert(!out.contains(4L))                      // empty doc emits nothing
+    assert(out(5L) === ((3L, (9L - 5L) * 1000000L / 9L))) // CJK chars count singly
+  }
+
   test("rrfFusion: integer RRF, rank-0 for list absence, top-k order") {
     val lex = Seq((10L, 500L), (20L, 400L), (30L, 300L))
       .toDF("doc_id", "score_micro")
