@@ -721,6 +721,15 @@ object SparkEntry {
     // first-24-bucket causal baseline, closed-form two-window evaluation
     "ts_cusum" -> ((s, dir) => Analytics.eventCusum(s, dir)),
 
+    // hour-of-day seasonal index per series (slot mean − series mean),
+    // integer micro end-to-end — 24 rows per series at any corpus size
+    "ts_seasonal_profile" -> ((s, dir) => Analytics.eventSeasonalProfile(s, dir)),
+
+    // interval-union coverage per user (overlaps counted once): the
+    // linear sweep — running max end, clamped contributions — not the
+    // quadratic overlap self-join
+    "events_busy_time" -> ((s, dir) => Analytics.eventBusyTime(s, dir)),
+
     // association rules over order baskets: support/confidence/lift
     "part_basket_lift" -> ((s, dir) => Analytics.basketLift(s, dir)),
 
@@ -1800,6 +1809,45 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_micro,
         |  obs_micro IS NOT NULL AS observed
         |FROM j ORDER BY series, h""".stripMargin,
+
+    // the sweep replays as the same strict-preceding running-max window;
+    // all arithmetic is BIGINT seconds
+    "events_busy_time" ->
+      """WITH iv AS (SELECT user_id AS key,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS start_sec,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      + CAST(round(value * 60.0) AS BIGINT) AS end_sec
+        |  FROM events),
+        |sw AS (SELECT key, start_sec, end_sec,
+        |    MAX(end_sec) OVER (PARTITION BY key
+        |      ORDER BY start_sec, end_sec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+        |  FROM iv)
+        |SELECT key, COUNT(*) AS n_intervals,
+        |  CAST(SUM(greatest(0, end_sec - greatest(start_sec,
+        |    COALESCE(prev_max_end, start_sec)))) AS BIGINT) AS covered_sec
+        |FROM sw GROUP BY key ORDER BY key""".stripMargin,
+
+    // slot and series means are exact integer //; the index is their
+    // difference — no float anywhere
+    "ts_seasonal_profile" ->
+      """WITH e AS (SELECT event_type AS series,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
+        |b AS MATERIALIZED (SELECT series, h,
+        |    CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT) AS x
+        |  FROM e GROUP BY 1, 2),
+        |sl AS (SELECT series, h % 24 AS slot, COUNT(*) AS n_slot,
+        |    CAST(CAST(SUM(x) AS BIGINT) // COUNT(*) AS BIGINT) AS slot_mean_micro
+        |  FROM b GROUP BY 1, 2),
+        |o AS (SELECT series,
+        |    CAST(CAST(SUM(x) AS BIGINT) // COUNT(*) AS BIGINT) AS series_mean_micro
+        |  FROM b GROUP BY 1)
+        |SELECT sl.series, sl.slot, sl.n_slot, sl.slot_mean_micro,
+        |  o.series_mean_micro,
+        |  sl.slot_mean_micro - o.series_mean_micro AS seasonal_micro
+        |FROM sl JOIN o USING (series)
+        |ORDER BY series, slot""".stripMargin,
 
     // drift, prefix sum, and running min are all BIGINT; * and // share
     // precedence left-assoc in both engines, so the slack term matches

@@ -1438,6 +1438,90 @@ object Analytics {
   def eventCusum(spark: SparkSession, dir: String): DataFrame =
     cusum(Tables.events(spark, dir))
 
+  /** Hour-of-day seasonal profile per series: the additive seasonal
+    * index `m_s − μ` (mean of the hour-of-day slot minus the series
+    * mean) every seasonal-naive forecast, capacity plan, and
+    * "is 3am traffic supposed to be this low" check starts from — and
+    * the deseasonalizing offset the drift detectors (28bc/28bd) want
+    * applied first on strongly diurnal metrics. Slot means and the
+    * series mean are exact integer micro divisions; the index is their
+    * difference — integer end-to-end, engine-exact.
+    *
+    * Scale shape: the bucket-table discipline (one O(events) shuffle);
+    * the profile itself is two tiny grouped aggregates (series × 24 and
+    * series) joined via broadcast — output is 24 rows per series at any
+    * corpus size.
+    */
+  def seasonalProfile(ev0: DataFrame, periodBuckets: Int = 24,
+                      bucketSec: Long = 3600L): DataFrame = {
+    import graft.model.Documents
+    require(periodBuckets >= 2)
+    val hourly = ev0
+      .select(col("event_type").as("series"),
+        (Documents.tsSec(col("ts")) / bucketSec).cast("long").as("h"),
+        expr("cast(round(value * 1000000.0D) as bigint)").as("vm"))
+      .groupBy(col("series"), col("h"))
+      .agg(sum(col("vm")).as("sv"), count(lit(1)).as("cnt"))
+      .select(col("series"), col("h"), expr("sv div cnt").as("x"))
+    val slots = hourly
+      .groupBy(col("series"), (col("h") % periodBuckets).as("slot"))
+      .agg(count(lit(1)).as("n_slot"), sum(col("x")).as("sx"))
+      .select(col("series"), col("slot"), col("n_slot"),
+        expr("sx div n_slot").as("slot_mean_micro"))
+    val overall = hourly.groupBy(col("series"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      .select(col("series"), expr("s div n").as("series_mean_micro"))
+    slots.join(broadcast(overall), "series")
+      .select(col("series"), col("slot"), col("n_slot"),
+        col("slot_mean_micro"), col("series_mean_micro"),
+        (col("slot_mean_micro") - col("series_mean_micro")).as("seasonal_micro"))
+      .orderBy(col("series"), col("slot"))
+  }
+
+  /** [[seasonalProfile]] on the events table. */
+  def eventSeasonalProfile(spark: SparkSession, dir: String): DataFrame =
+    seasonalProfile(Tables.events(spark, dir))
+
+  /** Interval-union length per key (total COVERED time from overlapping
+    * intervals — billable device uptime, concurrent-capture coverage):
+    * the classic sweep expressed as one window pass — order intervals by
+    * start, carry the running max end, and each interval contributes
+    * `max(0, end − max(start, prev running-max end))` — overlaps counted
+    * once, exact integer seconds, no self-join (the naive overlap
+    * pairing is per-key quadratic; the sweep is per-key linear).
+    *
+    * `iv` needs (key, start_sec, end_sec); a degenerate row with
+    * end < start contributes 0 through the same clamp (it still counts
+    * in n_intervals). One exchange on the key serves sort and sweep.
+    */
+  def intervalUnionLength(iv: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("start_sec"), col("end_sec"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    iv.select(col("key"), col("start_sec"), col("end_sec"))
+      .withColumn("prev_max_end", max(col("end_sec")).over(w))
+      .withColumn("contrib", greatest(lit(0L),
+        col("end_sec") - greatest(col("start_sec"),
+          coalesce(col("prev_max_end"), col("start_sec")))))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("contrib")).as("covered_sec"))
+      .orderBy(col("key"))
+  }
+
+  /** [[intervalUnionLength]] over per-event activity windows: each event
+    * opens an interval of `value` minutes — per-user total active
+    * coverage with bursts counted once.
+    */
+  def eventBusyTime(spark: SparkSession, dir: String): DataFrame = {
+    import graft.model.Documents
+    intervalUnionLength(Tables.events(spark, dir)
+      .select(col("user_id").as("key"),
+        Documents.tsSec(col("ts")).as("start_sec"),
+        (Documents.tsSec(col("ts")) +
+          expr("cast(round(value * 60.0D) as bigint)")).as("end_sec")))
+  }
+
   /** DataFrame form of [[cohortRetention]]: `ev` needs (user_id, day). */
   def retention(ev: DataFrame): DataFrame = {
     val firstTouch = ev.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))

@@ -110,6 +110,18 @@ class TsResampleSpec extends AnyFunSuite {
     assert(Analytics.cusum(ev(rows.take(1)), refBuckets = 2).count() === 0L)
   }
 
+  test("seasonal profile recovers a planted square wave exactly") {
+    // period 2: even hours at 10, odd hours at 30 → series mean 20,
+    // seasonal index −10e6 / +10e6
+    val rows = (0 until 8).map(h =>
+      (h * 3600L, "A", if (h % 2 == 0) 10.0 else 30.0))
+    val out = Analytics.seasonalProfile(ev(rows), periodBuckets = 2)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(0L) === ((4L, 10000000L, 20000000L, -10000000L)))
+    assert(out(1L) === ((4L, 30000000L, 20000000L, 10000000L)))
+  }
+
   test("char gini: 0 for repeated junk, exact rational for mixed text") {
     val docs = Seq((1L, "aaaa"), (2L, "ab"), (3L, "aab"), (4L, ""), (5L, "漢漢字"))
       .toDF("doc_id", "text")
@@ -120,6 +132,19 @@ class TsResampleSpec extends AnyFunSuite {
     assert(out(3L) === ((3L, (9L - 5L) * 1000000L / 9L))) // 1 − 5/9
     assert(!out.contains(4L))                      // empty doc emits nothing
     assert(out(5L) === ((3L, (9L - 5L) * 1000000L / 9L))) // CJK chars count singly
+  }
+
+  test("interval union counts overlaps once, bridges nothing over gaps") {
+    // key A: [0,10] ∪ [5,20] ∪ [30,40] → 20 + 10 = 30; containment
+    // [32,35] adds 0; degenerate [50,45] adds 0 but counts
+    val iv = Seq(
+      ("A", 0L, 10L), ("A", 5L, 20L), ("A", 30L, 40L), ("A", 32L, 35L),
+      ("A", 50L, 45L), ("B", 1L, 2L))
+      .toDF("key", "start_sec", "end_sec")
+    val out = Analytics.intervalUnionLength(iv).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("A") === ((5L, 30L)))
+    assert(out("B") === ((1L, 1L)))
   }
 
   test("rrfFusion: integer RRF, rank-0 for list absence, top-k order") {
