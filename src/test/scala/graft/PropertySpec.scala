@@ -310,4 +310,68 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: interval-union sweep equals brute timeline coverage") {
+    val ivGen = Gen.listOfN(24, for {
+      k <- Gen.oneOf("a", "b", "c")
+      s <- Gen.choose(0L, 100L)
+      len <- Gen.choose(-5L, 40L) // negatives exercise the degenerate clamp
+    } yield (k, s, s + len))
+    forAll(ivGen, n = 8) { ivs =>
+      val got = graft.ops.Analytics
+        .intervalUnionLength(ivs.toDF("key", "start_sec", "end_sec"))
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      val brute = ivs.groupBy(_._1).map { case (k, rs) =>
+        k -> rs.flatMap { case (_, s, e) => s until math.max(s, e) }
+          .toSet.size.toLong
+      }
+      assert(got === brute)
+    }
+  }
+
+  test("property: cusum closed form equals the sequential recurrence") {
+    val xsGen = Gen.listOfN(30, Gen.choose(0.0, 200.0))
+    forAll(xsGen, n = 8) { xs =>
+      val rows = xs.zipWithIndex.map { case (v, h) =>
+        (h * 3600L, "A", v)
+      }.toDF("t", "event_type", "value")
+        .select(col("t").cast("timestamp").as("ts"), col("event_type"), col("value"))
+      val ref = 5
+      val got = graft.ops.Analytics.cusum(rows, refBuckets = ref, slackPermille = 50L)
+        .collect().map(r => (r.getLong(1), r.getLong(4)))
+      // driver-side recurrence on the same micro-rounded bucket means
+      val micro = xs.map(v => math.round(v * 1e6))
+      val mu0 = micro.take(ref).sum / ref
+      val k = mu0 * 50L / 1000L
+      var s = 0L
+      val expected = micro.drop(ref).zipWithIndex.map { case (x, i) =>
+        s = math.max(0L, s + x - mu0 - k)
+        ((ref + i).toLong, s)
+      }
+      assert(got.toSeq === expected)
+    }
+  }
+
+  test("property: acf of a noisy series matches the brute definition") {
+    val xsGen = Gen.listOfN(20, Gen.choose(0.0, 100.0))
+    forAll(xsGen, n = 6) { xs =>
+      val rows = xs.zipWithIndex.map { case (v, h) =>
+        (h * 3600L, "A", v)
+      }.toDF("t", "event_type", "value")
+        .select(col("t").cast("timestamp").as("ts"), col("event_type"), col("value"))
+      val got = graft.ops.Analytics.acf(rows, maxLag = 3)
+        .collect().map(r => r.getInt(1) -> (r.getLong(3), r.getLong(4))).toMap
+      val micro = xs.map(v => math.round(v * 1e6))
+      val n = micro.size
+      val sx = micro.sum
+      val d = micro.map(x => n * x - sx)
+      def pm(a: Long, b: Long): Long =
+        math.round(a.toDouble * b.toDouble / (1e6 * n * n))
+      val den = d.map(v => pm(v, v)).sum
+      (1 to 3).foreach { lag =>
+        val num = (0 until n - lag).map(i => pm(d(i), d(i + lag))).sum
+        assert(got(lag) === ((num, den)), s"lag $lag")
+      }
+    }
+  }
 }
