@@ -1438,31 +1438,33 @@ object Analytics {
   def eventCusum(spark: SparkSession, dir: String): DataFrame =
     cusum(Tables.events(spark, dir))
 
-  /** Hour-of-day seasonal profile per series: the additive seasonal
-    * index `m_s − μ` (mean of the hour-of-day slot minus the series
-    * mean) every seasonal-naive forecast, capacity plan, and
-    * "is 3am traffic supposed to be this low" check starts from — and
-    * the deseasonalizing offset the drift detectors (28bc/28bd) want
-    * applied first on strongly diurnal metrics. Slot means and the
-    * series mean are exact integer micro divisions; the index is their
-    * difference — integer end-to-end, engine-exact.
-    *
-    * Scale shape: the bucket-table discipline (one O(events) shuffle);
-    * the profile itself is two tiny grouped aggregates (series × 24 and
-    * series) joined via broadcast — output is 24 rows per series at any
-    * corpus size.
+  /** Per-(series, hour-bucket) PARTIAL sums — the mergeable sufficient
+    * statistic of the whole ts family's bucket table (sum and count are
+    * algebraic, so per-batch partials merge losslessly via
+    * [[hourlyMerge]]; the exact-integer bucket means come out identical
+    * to a single-pass recompute). The persisted form
+    * `Monitor.maintainHourlyBuckets` appends per micro-batch.
     */
-  def seasonalProfile(ev0: DataFrame, periodBuckets: Int = 24,
-                      bucketSec: Long = 3600L): DataFrame = {
+  def hourlyPartial(ev0: DataFrame, bucketSec: Long = 3600L): DataFrame = {
     import graft.model.Documents
-    require(periodBuckets >= 2)
-    val hourly = ev0
-      .select(col("event_type").as("series"),
+    ev0.select(col("event_type").as("series"),
         (Documents.tsSec(col("ts")) / bucketSec).cast("long").as("h"),
         expr("cast(round(value * 1000000.0D) as bigint)").as("vm"))
       .groupBy(col("series"), col("h"))
       .agg(sum(col("vm")).as("sv"), count(lit(1)).as("cnt"))
+  }
+
+  /** Merge bucket partials and finish the exact-integer bucket mean. */
+  def hourlyMerge(partials: DataFrame): DataFrame =
+    partials.groupBy(col("series"), col("h"))
+      .agg(sum(col("sv")).as("sv"), sum(col("cnt")).as("cnt"))
       .select(col("series"), col("h"), expr("sv div cnt").as("x"))
+
+  /** [[seasonalProfile]] from an already-bucketed (series, h, x) table —
+    * the merge-on-read epilogue over a maintained bucket log.
+    */
+  def seasonalFromHourly(hourly: DataFrame, periodBuckets: Int = 24): DataFrame = {
+    require(periodBuckets >= 2)
     val slots = hourly
       .groupBy(col("series"), (col("h") % periodBuckets).as("slot"))
       .agg(count(lit(1)).as("n_slot"), sum(col("x")).as("sx"))
@@ -1477,6 +1479,26 @@ object Analytics {
         (col("slot_mean_micro") - col("series_mean_micro")).as("seasonal_micro"))
       .orderBy(col("series"), col("slot"))
   }
+
+  /** Hour-of-day seasonal profile per series: the additive seasonal
+    * index `m_s − μ` (mean of the hour-of-day slot minus the series
+    * mean) every seasonal-naive forecast, capacity plan, and
+    * "is 3am traffic supposed to be this low" check starts from — and
+    * the deseasonalizing offset the drift detectors (28bc/28bd) want
+    * applied first on strongly diurnal metrics. Slot means and the
+    * series mean are exact integer micro divisions; the index is their
+    * difference — integer end-to-end, engine-exact.
+    *
+    * Scale shape: the bucket-table discipline (one O(events) shuffle);
+    * the profile itself is two tiny grouped aggregates (series × 24 and
+    * series) joined via broadcast — output is 24 rows per series at any
+    * corpus size. Composed as partial → merge → epilogue so a
+    * maintained bucket log (48k-style) serves the same epilogue
+    * incrementally.
+    */
+  def seasonalProfile(ev0: DataFrame, periodBuckets: Int = 24,
+                      bucketSec: Long = 3600L): DataFrame =
+    seasonalFromHourly(hourlyMerge(hourlyPartial(ev0, bucketSec)), periodBuckets)
 
   /** [[seasonalProfile]] on the events table. */
   def eventSeasonalProfile(spark: SparkSession, dir: String): DataFrame =

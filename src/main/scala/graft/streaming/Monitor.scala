@@ -159,6 +159,40 @@ object Monitor {
     graft.ops.Analytics.eventStatsMerge(
       spark.read.parquet(path).drop("__batch_id"))
 
+  /** Maintained hourly bucket log — the ts family's shared sufficient
+    * statistic, kept current at the ingest door: each micro-batch folds
+    * to its per-(series, hour) partial (sum, count) rows
+    * (`Analytics.hourlyPartial` — O(series × hours touched), map-side
+    * combined) landing in a per-`__batch_id` partition, exactly-once via
+    * dynamic overwrite (replays rewrite, like every maintained log
+    * here). [[readHourlyBuckets]] merges on read into the exact-integer
+    * bucket-mean table that acf / changepoint / CUSUM / gap fill /
+    * seasonal profile all start from — raw events are never re-scanned
+    * to refresh a time-series analysis.
+    */
+  def maintainHourlyBuckets(stream: DataFrame, path: String, checkpoint: String,
+                            bucketSec: Long = 3600L,
+                            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        graft.ops.Analytics.hourlyPartial(df.toDF(), bucketSec)
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id")
+          .parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Merge-on-read of the [[maintainHourlyBuckets]] log: (series, h, x)
+    * bit-equal to a single-pass bucketing of every event ever streamed.
+    */
+  def readHourlyBuckets(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    graft.ops.Analytics.hourlyMerge(
+      spark.read.parquet(path).drop("__batch_id"))
+
   /** Streaming vocabulary maintenance — the tokenizer-pipeline twin of
     * [[maintainEventStats]]: each micro-batch's documents fold to their
     * word-frequency PARTIAL counts (one map-side-combined groupBy over

@@ -64,6 +64,34 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("char gini reads only (doc_id, text) and adds no exchange") {
+    // the op's contract is 100% map-side: a shuffle or a wider scan
+    // schema would silently break the zero-shuffle claim
+    val plan = SparkEntry.queries("quality_char_gini")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"gini scan reads more than (doc_id, text):\n$plan")
+    // one exchange appears only for the final orderBy presentation sort
+    assert(!plan.contains("hashpartitioning"),
+      s"gini plans a hash exchange it should not need:\n$plan")
+  }
+
+  test("busy-time sweep plans one key exchange, no self-join") {
+    val plan = SparkEntry.queries("events_busy_time")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"interval sweep must not join:\n$plan")
+    assert(plan.sliding("hashpartitioning(key".length)
+      .count(_ == "hashpartitioning(key") <= 2,
+      s"more key exchanges than window+agg need:\n$plan")
+  }
+
+  test("seasonal profile broadcasts the per-series means back") {
+    val plan = SparkEntry.queries("ts_seasonal_profile")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"series-mean join-back is not broadcast:\n$plan")
+  }
+
   test("q19's disjunctive predicate derives pushable per-side filters") {
     // the whole point of the Q19 pattern: Catalyst must extract the
     // single-side implications of the OR (brand IN, size/quantity bounds)

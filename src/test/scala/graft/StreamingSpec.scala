@@ -829,6 +829,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(stats() === direct, "replay must not change the merged aggregate")
   }
 
+  test("maintained hourly buckets serve the exact seasonal profile") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_hb").toString
+    val ckpt = Files.createTempDirectory("graft_hb_ck").toString
+    val all = sampleEvents
+    def withValue(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("value", col("event_id") % 13 + 0.25)
+    val input = MemoryStream[Ev]
+    all.grouped(40).foreach { chunk =>
+      input.addData(chunk: _*)
+      val q = graft.streaming.Monitor.maintainHourlyBuckets(
+        withValue(input.toDF()), s"$dir/log", s"$ckpt/c1")
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    val merged = graft.streaming.Monitor.readHourlyBuckets(spark, s"$dir/log")
+      .orderBy("series", "h").collect().toSeq.map(_.toSeq)
+    val direct = graft.ops.Analytics.hourlyMerge(
+        graft.ops.Analytics.hourlyPartial(withValue(all.toDF())))
+      .orderBy("series", "h").collect().toSeq.map(_.toSeq)
+    assert(merged === direct && merged.nonEmpty)
+    // the downstream epilogue over the log == the batch operator
+    val viaLog = graft.ops.Analytics.seasonalFromHourly(
+        graft.streaming.Monitor.readHourlyBuckets(spark, s"$dir/log"))
+      .collect().toSeq.map(_.toSeq)
+    val batch = graft.ops.Analytics.seasonalProfile(withValue(all.toDF()))
+      .collect().toSeq.map(_.toSeq)
+    assert(viaLog === batch)
+    // replay with a fresh checkpoint rewrites batch 0 idempotently
+    val input2 = MemoryStream[Ev]
+    input2.addData(all.take(40): _*)
+    val q2 = graft.streaming.Monitor.maintainHourlyBuckets(
+      withValue(input2.toDF()), s"$dir/log", s"$ckpt/c2")
+    try q2.awaitTermination(120000) finally q2.stop()
+    val after = graft.streaming.Monitor.readHourlyBuckets(spark, s"$dir/log")
+      .orderBy("series", "h").collect().toSeq.map(_.toSeq)
+    assert(after === direct, "replay must not change the merged buckets")
+  }
+
   test("streaming funnel stage machine matches the batch window funnel") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
