@@ -691,6 +691,18 @@ object SparkEntry {
     "emb_dim_stats" -> ((s, dir) =>
       Similarity.dimProfile(Tables.embeddings(s, dir))),
 
+    // top principal direction by 12 fixed-point power iterations on the
+    // Gram matrix — every intermediate is re-quantized to integer milli,
+    // so the whole trajectory (converged or not) is a deterministic
+    // fixture both engines replay bit-for-bit
+    "emb_pca_power" -> ((s, dir) =>
+      Similarity.pcaPower(Tables.embeddings(s, dir))),
+
+    // the same eigenvector projected through every embedding: per-term
+    // integer rounding makes the 64-term row sum associative
+    "emb_pca_scores" -> ((s, dir) =>
+      Similarity.pcaScores(Tables.embeddings(s, dir))),
+
     // mutual margin-argmax pairing across the even/odd halves (the
     // Artetxe & Schwenk bitext-mining criterion): per-pair cosines are
     // micro-rounded FIRST, so top-k sums and margins are exact integers
@@ -896,6 +908,46 @@ object SparkEntry {
           col("doc_id"), col("text"), col("lang") === "en")
         .orderBy("doc_id")),
   ))
+
+  /** The power-iteration CTE chain shared by the emb_pca_* oracles:
+    * Gram matrix (exact integer micro sums), v₀ = all-milli-ones, then
+    * `iters` unrolled (w = G·v, v' = round(w/max|w|·1000)) steps, ending
+    * in `vf` — the sign-fixed final vector. Mirrors
+    * Similarity.pcaPowerVector line for line; see its Scaladoc for the
+    * exactness argument.
+    */
+  private def pcaPowerOracle(finalSelect: String, iters: Int = 12): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e AS MATERIALIZED (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+             |           FROM embeddings, range(1, 65) r(i)),
+             |gu AS MATERIALIZED (SELECT a.d AS i, b.d AS j,
+             |    CAST(SUM(CAST(round(a.x * b.x * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+             |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.d >= a.d GROUP BY 1, 2),
+             |g AS MATERIALIZED (SELECT i, j, s FROM gu
+             |  UNION ALL SELECT j AS i, i AS j, s FROM gu WHERE i <> j),
+             |v0 AS (SELECT i AS dim, CAST(1000 AS BIGINT) AS v FROM range(0, 64) r(i))""".stripMargin
+    for (t <- 1 to iters) {
+      val p = t - 1
+      // every step MATERIALIZED: DuckDB inlines plain CTEs per reference,
+      // and w_t is referenced twice (m_t and v_t) — inlining doubles the
+      // evaluated tree per level, i.e. 2^iters blowup
+      sb ++= s""",
+                |w$t AS MATERIALIZED (SELECT g.i AS dim, CAST(SUM(g.s * v$p.v) AS BIGINT) AS w
+                |  FROM g JOIN v$p ON g.j = v$p.dim GROUP BY 1),
+                |m$t AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM w$t),
+                |v$t AS MATERIALIZED (SELECT dim, CAST(round(CAST(w AS DOUBLE) / CAST(m AS DOUBLE) * 1000.0) AS BIGINT) AS v
+                |  FROM w$t, m$t)""".stripMargin
+    }
+    sb ++= s""",
+              |vf AS MATERIALIZED (SELECT dim, CAST(v * (SELECT CASE WHEN
+              |    (SELECT v FROM v$iters WHERE dim =
+              |      (SELECT MIN(dim) FROM v$iters WHERE ABS(v) =
+              |        (SELECT MAX(ABS(v)) FROM v$iters))) < 0
+              |    THEN -1 ELSE 1 END) AS BIGINT) AS v FROM v$iters)
+              |""".stripMargin
+    sb ++= finalSelect
+    sb.toString
+  }
 
   /** DuckDB-runnable oracle SQL — column names and ordering match the Spark
     * side exactly (SURVEY.md §6).
@@ -2397,6 +2449,18 @@ object SparkEntry {
         |  CAST(abs(fa * nb - fb * na) AS BIGINT) AS ks_num,
         |  CAST(abs(fa * nb - fb * na) AS DOUBLE) / CAST(na * nb AS DOUBLE) AS ks
         |FROM c ORDER BY ks_num DESC, x_at LIMIT 1""".stripMargin,
+
+    // the 12 power iterations unrolled as CTEs (the pagerank oracle's
+    // trick): integer matvec, one IEEE divide+multiply per step on
+    // doubles that are exact images of the longs, re-quantized to milli
+    "emb_pca_power" -> pcaPowerOracle(
+      "SELECT dim, v AS v_milli FROM vf ORDER BY dim"),
+
+    // same CTE chain, projected: per-term rounding before the row sum
+    "emb_pca_scores" -> pcaPowerOracle(
+      """SELECT e.vec_id,
+        |  CAST(SUM(CAST(round(e.x * vf.v * 1000.0) AS BIGINT)) AS BIGINT) AS pc1_micro
+        |FROM e JOIN vf ON e.d = vf.dim GROUP BY 1 ORDER BY vec_id""".stripMargin),
 
     // same micro-rounded integer sums as the gram matrix; the mean/std
     // epilogue is the identical IEEE expression on both sides

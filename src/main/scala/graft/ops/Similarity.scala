@@ -662,4 +662,86 @@ object Similarity {
       .agg(sum(col("n")).as("n"), sum(col("sxy_micro")).as("sxy_micro"))
       .orderBy(col("i"), col("j"))
   }
+
+  /** Round-half-away-from-zero, matching both Spark SQL `round(double)`
+    * (BigDecimal HALF_UP) and DuckDB `round` — `math.round` differs on
+    * negative exact halves (floor(x+0.5) pulls -0.5 to 0), so driver-side
+    * arithmetic that must agree with an SQL oracle goes through this.
+    */
+  private def roundHalfAway(x: Double): Long =
+    if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+
+  /** Top principal direction of the corpus second-moment matrix by FIXED
+    * fixed-point power iteration — the oracle-able sibling of
+    * [[pcaProject]] (which converges in doubles and is spec-verified
+    * instead). The distributed work is one [[gramMatrix]] pass (exact
+    * integer micro sums); the d×d result is collected (d² longs at ANY
+    * corpus size — the same driver-side epilogue budget as Layout's
+    * min/max row) and iterated `iters` times in exact arithmetic:
+    *
+    *   w = G·v           (long × milli-long products, exact)
+    *   v' = round(w / max|w| · 1000)   (one IEEE division + multiply on
+    *                                    doubles that are exact images of
+    *                                    the longs, identical tree in SQL)
+    *
+    * Because v is re-quantized to milli units every step, the procedure
+    * is a deterministic FIXTURE: an engine reproducing these two lines
+    * reproduces every intermediate bit, converged or not. Sign is fixed
+    * by making the largest-|component| entry (smallest dim on ties)
+    * positive. Overflow bound: |G| ≤ n·10⁶ and |v| ≤ 10³ keep G·v under
+    * 2⁶³ for n < 9·10⁹ vectors and under the 2⁵³ double-exactness line
+    * for n < 10⁷ per matvec TERM sum; past that, drop v to centi units
+    * (same two lines, one constant).
+    */
+  private[graft] def pcaPowerVector(emb: DataFrame, dims: Int = 64,
+                                    iters: Int = 12): Array[Long] = {
+    val g = gramMatrix(emb, dims).collect()
+    val G = Array.ofDim[Long](dims, dims)
+    g.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1); val s = r.getLong(3)
+      G(i)(j) = s; G(j)(i) = s
+    }
+    var v = Array.fill(dims)(1000L)
+    var it = 0
+    while (it < iters) {
+      val w = Array.tabulate(dims) { i =>
+        var s = 0L; var j = 0
+        while (j < dims) { s += G(i)(j) * v(j); j += 1 }
+        s
+      }
+      val m = w.map(math.abs).max
+      if (m > 0L)
+        v = w.map(x => roundHalfAway(x.toDouble / m.toDouble * 1000.0))
+      it += 1
+    }
+    val mx = v.map(math.abs).max
+    val pivot = v.indexWhere(x => math.abs(x) == mx)
+    if (v(pivot) < 0) v.map(x => -x) else v
+  }
+
+  /** The power-iteration eigenvector as a 64-row DataFrame (dim, v_milli)
+    * — the driver-contract face of [[pcaPowerVector]]. */
+  def pcaPower(emb: DataFrame, dims: Int = 64, iters: Int = 12): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    pcaPowerVector(emb, dims, iters).toSeq.zipWithIndex
+      .map { case (v, d) => (d, v) }.toDF("dim", "v_milli")
+  }
+
+  /** Per-vector projection onto the power-iteration top component: each
+    * term x_i·v_i·1000 is rounded to an integer BEFORE the per-row sum
+    * (x_i is a float image — 24 mantissa bits — times an ≤11-bit integer
+    * times 10³: exact in double), so the 64-term reduction is associative
+    * integer addition and bit-identical in any engine. One corpus scan,
+    * the eigenvector enters as a literal array — no join, no shuffle.
+    */
+  def pcaScores(emb: DataFrame, dims: Int = 64, iters: Int = 12): DataFrame = {
+    val v = pcaPowerVector(emb, dims, iters)
+    val arr = v.map(_ + "L").mkString(",")
+    emb.select(col("vec_id"),
+        expr(s"""aggregate(zip_with(transform(embedding, x -> cast(x as double)),
+                |  array($arr), (x, c) -> cast(round(x * c * 1000.0D) as bigint)),
+                |  0L, (acc, t) -> acc + t)""".stripMargin).as("pc1_micro"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -1463,6 +1463,44 @@ class DataOpsSpec extends AnyFunSuite {
     assert(pcs.toSeq === again.toSeq)
   }
 
+  test("integer power iteration finds the planted direction and scores match a brute fold") {
+    import spark.implicits._
+    val d = 64
+    val u = Array.tabulate(d)(i => if (i % 2 == 0) 1.0f else 0.0f)
+      .map(x => x / math.sqrt(32.0).toFloat)
+    val w = Array.tabulate(d)(i => if (i % 2 == 1) 1.0f else 0.0f)
+      .map(x => x / math.sqrt(32.0).toFloat)
+    val raw = (0 until 200).map { r =>
+      val t = (r % 21 - 10).toFloat
+      val s = ((r * 7) % 5 - 2).toFloat / 2
+      (r.toLong, Array.tabulate(d)(i => t * u(i) + s * w(i)))
+    }
+    val rows = raw.toDF("vec_id", "embedding")
+    val v = Similarity.pcaPowerVector(rows, d)
+    // milli vector aligns with the planted u (cosine, not equality — the
+    // fixture quantizes to milli units)
+    val dot = v.indices.map(i => v(i) * u(i).toDouble).sum
+    val nv = math.sqrt(v.map(x => x.toDouble * x).sum)
+    assert(math.abs(dot) / nv > 0.999, s"cos(v, u) = ${dot / nv}")
+    // sign convention: the largest-|component| entry is positive
+    val mx = v.map(math.abs).max
+    assert(v(v.indexWhere(x => math.abs(x) == mx)) > 0)
+    // pcaScores equals the per-term-rounded fold computed independently
+    val scores = Similarity.pcaScores(rows, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    raw.foreach { case (id, emb) =>
+      val brute = emb.indices.map { i =>
+        val x = emb(i).toDouble * v(i) * 1000.0
+        (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+      }.sum
+      assert(scores(id) === brute, s"vec $id")
+    }
+    // the DataFrame face carries the same vector
+    val dfv = Similarity.pcaPower(rows, d).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(v.indices.forall(i => dfv(i) == v(i)))
+  }
+
   test("triangle count is orientation-exact on the part graph") {
     // cross-check the oriented join against an independent brute count
     // over canonical edges (a<b<c closure), feasible at sf0.001
