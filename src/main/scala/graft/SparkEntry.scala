@@ -522,6 +522,10 @@ object SparkEntry {
     "events_retention" -> ((s, dir) => Analytics.cohortRetention(s, dir)),
     // exact-integer PageRank over the customer-supplier bipartite graph
     "graph_pagerank" -> ((s, dir) => Graph.transactionRank(s, dir)),
+
+    // 4 synchronous LPA sweeps over the same trading graph — min
+    // tie-break makes the trajectory (oscillations included) a fixture
+    "graph_label_prop" -> ((s, dir) => Graph.transactionCommunities(s, dir)),
     "agg_histogram" -> ((s, dir) => Analytics.histogram(s, dir)),
     // equal-frequency bins: percentile edges broadcast, codegen'd assign
     "agg_equidepth" -> ((s, dir) => Analytics.equidepthHistogram(s, dir)),
@@ -805,6 +809,12 @@ object SparkEntry {
           ceil(col("n_chars") / 4.0), 2048L)
         .select("doc_id", "seq_id", "seq_tokens")
         .orderBy("doc_id")),
+
+    // shard work orders for the packed corpus: round-robin over 16
+    // shards, token totals + sequence ranges per shard
+    "corpus_shard_manifest" -> ((s, dir) =>
+      TextAnalysis.shardManifest(Tables.documents(s, dir), "doc_id",
+        ceil(col("n_chars") / 4.0), 2048L, 16)),
 
     "corpus_prune" -> ((s, dir) =>
       TextAnalysis.pruneByLength(Tables.documents(s, dir),
@@ -1337,6 +1347,35 @@ object SparkEntry {
         |p3 AS MATERIALIZED (SELECT b AS node, 150000000 + CAST(SUM(pr * 850 // (1000 * deg)) AS BIGINT) AS pr
         |       FROM ed JOIN p2 ON p2.node = ed.a GROUP BY b)
         |SELECT node, pr FROM p3 ORDER BY pr DESC, node""".stripMargin,
+
+    // the same 4 synchronous sweeps unrolled; per-round argmax spelled as
+    // a window rank over the (node, label) counts with the min tie-break
+    "graph_label_prop" -> {
+      val rounds = 4
+      val sb = new StringBuilder
+      sb ++= """WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+               |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+               |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM pairs
+               |  UNION ALL SELECT dst AS a, src AS b FROM pairs),
+               |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM und)""".stripMargin
+      for (t <- 1 to rounds) {
+        val p = t - 1
+        sb ++= s""",
+                  |l$t AS MATERIALIZED (SELECT node, lbl FROM (
+                  |  SELECT und.b AS node, l$p.lbl AS lbl, count(*) AS c,
+                  |    row_number() OVER (PARTITION BY und.b
+                  |      ORDER BY count(*) DESC, l$p.lbl) AS rk
+                  |  FROM und JOIN l$p ON und.a = l$p.node GROUP BY und.b, l$p.lbl)
+                  |  WHERE rk = 1)""".stripMargin
+      }
+      sb ++= s"""
+                |SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+                |            ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+                |       CASE WHEN lbl % 2 = 0 THEN 'c' || CAST(lbl // 2 AS VARCHAR)
+                |            ELSE 's' || CAST(lbl // 2 AS VARCHAR) END AS label
+                |FROM l$rounds ORDER BY node""".stripMargin
+      sb.toString
+    },
 
     // same fixed-tree bin expression, clamped to the edge bins
     "agg_histogram" ->
@@ -2647,6 +2686,22 @@ object SparkEntry {
         |      FROM t)
         |SELECT doc_id, CAST(start // 2048 AS BIGINT) AS seq_id, tok AS seq_tokens
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the pack cumsum + a 16-key round-robin rollup
+    "corpus_shard_manifest" ->
+      """WITH t AS (SELECT doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tok,
+        |             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 0.5)
+        |               / 4503599627370496.0 AS u
+        |           FROM documents),
+        |c AS (SELECT doc_id, tok,
+        |        sum(tok) OVER (ORDER BY u, doc_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS start
+        |      FROM t),
+        |s AS (SELECT doc_id, tok, CAST(start // 2048 AS BIGINT) AS seq_id FROM c)
+        |SELECT seq_id % 16 AS shard_id, count(DISTINCT seq_id) AS n_seqs,
+        |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tokens,
+        |  min(seq_id) AS seq_min, max(seq_id) AS seq_max
+        |FROM s GROUP BY 1 ORDER BY shard_id""".stripMargin,
 
     // sqrt-temperature budgets from exact integer token totals; the only
     // float op (floor∘sqrt) is correctly-rounded IEEE on both engines,

@@ -309,6 +309,66 @@ object Graph {
       sources = Seq(0L))
   }
 
+  /** Synchronous label propagation — `rounds` deterministic LPA sweeps:
+    * every node starts as its own label, and each round adopts the label
+    * most frequent among its neighbors' current labels (ties → smallest
+    * label). Classic LPA is run-order random; pinning synchronous
+    * updates + the min tie-break makes the whole trajectory a fixture an
+    * SQL oracle replays exactly, oscillations and all (bipartite graphs
+    * legitimately flip label sides between rounds — the round count is
+    * part of the operator's contract, like pageRank's).
+    *
+    * Scale shape, per round: one exchange-free edges⋈labels join (edges
+    * hash-partitioned on the source once, checkpointed), then TWO
+    * map-side-partial groupBys — (node, label) counts, then the
+    * per-node argmax as `min(struct(-count, label))`. Hub skew lands on
+    * the first groupBy where partial aggregation absorbs it; a window
+    * rank would sort-shuffle the same rows without the combine. Label
+    * state is O(V), re-checkpointed per round to truncate lineage.
+    */
+  def labelPropagation(pairs: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1)
+    val n = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val edges = pairs.select(explode(array(
+        struct(col("src").as("a"), col("dst").as("b")),
+        struct(col("dst").as("a"), col("src").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val ed = edges.repartition(n, col("a")).localCheckpoint()
+    var lab = ed.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      lab = ed.join(lab, ed("a") === lab("node"))
+        .groupBy(col("b"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("b"))
+        .agg(min(struct((col("c") * -1L).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("b").as("node"), col("m.l").as("lbl"))
+        .localCheckpoint()
+    }
+    lab
+  }
+
+  /** [[labelPropagation]] over the customer–supplier trading graph (the
+    * transactionRank topology): which community a trading entity settles
+    * in after 4 sweeps. Packed-long iteration, readable final labels.
+    */
+  def transactionCommunities(spark: SparkSession, dir: String,
+                             rounds: Int = 4): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2L).as("src"),
+        (col("l_suppkey") * 2L + 1L).as("dst"))
+      .distinct()
+    def readable(name: String) =
+      when(col(name) % 2L === 0L,
+        concat(lit("c"), expr(s"$name div 2").cast("string")))
+        .otherwise(concat(lit("s"), expr(s"$name div 2").cast("string")))
+    labelPropagation(pairs, rounds)
+      .select(readable("node").as("node"), readable("lbl").as("label"))
+      .orderBy("node")
+  }
+
   /** Rank customers and suppliers by transitive transaction influence:
     * PageRank over the bipartite customer–supplier graph induced by
     * order lines (an edge per distinct trading relationship). A supplier

@@ -426,6 +426,32 @@ object TextAnalysis {
       .drop("__u", "__tok", "__b", "__off", "__start")
   }
 
+  /** Training-delivery shard manifest: the packed sequences dealt
+    * round-robin over `numShards` output shards (`seq_id % numShards` —
+    * [[packSequences]] already hash-shuffled documents, so consecutive
+    * sequences are content-independent and round-robin yields
+    * token-balanced shards without a bin-packing pass), rolled up to one
+    * row per shard: sequence/document counts, token total, and the
+    * shard's sequence-id range. This is the writer's work order — the
+    * physical write is `df.write.partitionBy("shard_id")` (or
+    * Layout.partitioned) against the SAME assignment expression, and the
+    * manifest is the audit row a training job checks before reading.
+    * Scale shape: one numShards-key rollup after the pack's two scans;
+    * partial aggregation collapses it map-side.
+    */
+  def shardManifest(df: DataFrame, idColName: String, tokenCol: Column,
+                    capacity: Long, numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    packSequences(df, idColName, tokenCol, capacity)
+      .withColumn("shard_id", col("seq_id") % numShards)
+      .groupBy("shard_id")
+      .agg(countDistinct("seq_id").as("n_seqs"),
+        count(lit(1)).as("n_docs"),
+        sum("seq_tokens").as("tokens"),
+        min("seq_id").as("seq_min"), max("seq_id").as("seq_max"))
+      .orderBy("shard_id")
+  }
+
   /** Content fingerprint: md5 of normalized text + 8-hex prefix for
     * cheap prefix-bucketing.
     */

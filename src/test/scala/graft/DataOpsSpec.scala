@@ -950,6 +950,57 @@ class DataOpsSpec extends AnyFunSuite {
     assert(p2 === Map("a" -> 1127500000L, "b" -> 936250000L, "c" -> 936250000L))
   }
 
+  test("label propagation separates two cliques joined by one bridge") {
+    import spark.implicits._
+    // two 4-cliques {1..4} and {11..14} plus a single bridge 4-11: the
+    // intra-clique majority must beat the one cross label, so each side
+    // converges to its own min label
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(11L, 12L, 13L, 14L)) :+ (4L, 11L)).toDF("src", "dst")
+    val lab = ops.Graph.labelPropagation(edges, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(1L, 2L, 3L).foreach(v => assert(lab(v) === 1L, s"node $v"))
+    Seq(12L, 13L, 14L).foreach(v => assert(lab(v) === 11L, s"node $v"))
+    // every node is labeled, labels come from the node universe
+    assert(lab.size === 8 && lab.values.toSet.subsetOf(lab.keySet))
+  }
+
+  test("label propagation round equals a driver-side synchronous sweep") {
+    import spark.implicits._
+    // random-ish small graph, 1 round: compare against a brute neighbor
+    // majority with the (count desc, label asc) tie rule
+    val pairs = (0 until 40).map(i => ((i % 13).toLong, ((i * 7 + 3) % 13).toLong))
+      .filter { case (a, b) => a != b }
+    val edges = pairs.toDF("src", "dst")
+    val got = ops.Graph.labelPropagation(edges, rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2) }
+    adj.foreach { case (v, nbrs) =>
+      val best = nbrs.groupBy(identity).map { case (l, xs) => (l, xs.size) }
+        .toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      assert(got(v) === best, s"node $v nbrs $nbrs")
+    }
+  }
+
+  test("shard manifest totals reconcile with the packing") {
+    val docs = Tables.documents(spark, sf)
+    val man = TextAnalysis.shardManifest(docs, "doc_id",
+      ceil(col("n_chars") / 4.0), 2048L, 8).collect()
+    val packed = TextAnalysis.packSequences(docs, "doc_id",
+      ceil(col("n_chars") / 4.0), 2048L)
+      .select(col("doc_id"), col("seq_id"), col("seq_tokens")).collect()
+    assert(man.map(_.getLong(3)).sum === packed.map(_.getLong(2)).sum)
+    assert(man.map(_.getLong(2)).sum === packed.length.toLong)
+    assert(man.map(_.getLong(1)).sum ===
+      packed.map(_.getLong(1)).distinct.length.toLong)
+    // shard ids are the round-robin residues, each sequence in exactly one
+    val byShard = packed.map(r => r.getLong(1) % 8).distinct.sorted
+    assert(man.map(_.getLong(0)).sorted.toSeq === byShard.toSeq)
+  }
+
   test("pagerank conserves total mass up to floor loss") {
     val ranked = ops.Graph.transactionRank(spark, sf)
     val total = ranked.agg(sum("pr")).head().getLong(0)
