@@ -687,6 +687,11 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // diversity sampling: nearest-cell assignment + md5-ranked top-16
+    // per cell — every content cluster contributes equally
+    "emb_cluster_sample" -> ((s, dir) =>
+      Similarity.clusterSample(Tables.embeddings(s, dir))),
+
     // X^T X in one map-side-combined aggregate — covariance/PCA feedstock
     "emb_gram_matrix" -> ((s, dir) =>
       Similarity.gramMatrix(Tables.embeddings(s, dir))),
@@ -2606,6 +2611,25 @@ object SparkEntry {
         |      FROM sc JOIN n n1 ON n1.vec_id = query_id JOIN n n2 ON n2.vec_id = neighbor_id)
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // the IVF nearest-cell CTEs + a per-cell md5-ordered window pick
+    "emb_cluster_sample" ->
+      """WITH v AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+        |           FROM embeddings, range(1, 65) r(i)),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY 1),
+        |cd AS (SELECT a.vec_id, c.vec_id AS cell, sum(a.x * c.x) AS dot
+        |       FROM v a JOIN v c ON a.d = c.d AND c.vec_id < 8 GROUP BY 1, 2),
+        |cr AS (SELECT cd.vec_id, cell,
+        |         row_number() OVER (PARTITION BY cd.vec_id
+        |           ORDER BY dot / (n1.nrm * n2.nrm) DESC, cell) AS cell_rank
+        |       FROM cd JOIN n n1 ON n1.vec_id = cd.vec_id JOIN n n2 ON n2.vec_id = cell),
+        |cells AS (SELECT vec_id, cell FROM cr WHERE cell_rank = 1),
+        |rk AS (SELECT cell, vec_id,
+        |         CAST(row_number() OVER (PARTITION BY cell
+        |           ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 13), vec_id) AS INT) AS rank
+        |       FROM cells)
+        |SELECT cell, vec_id, rank FROM rk WHERE rank <= 16
+        |ORDER BY cell, rank""".stripMargin,
 
     "ann_lsh_bucketed" ->
       """WITH v AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x

@@ -175,6 +175,34 @@ object Similarity {
       .withColumn(rankCol, row_number().over(w))
   }
 
+  /** Cluster-balanced diversity sampling: assign every vector to its
+    * nearest coarse cell ([[ivfAssign]] — broadcast centroids, one
+    * scan), then keep the first `perCell` vectors per cell in the
+    * deterministic md5 order — the embedding-space analogue of
+    * stratified sampling, the standard move for building a
+    * diversity-preserving subset of a skewed corpus (a dominant content
+    * cluster contributes `perCell` rows, same as a rare one).
+    *
+    * Scale shape: the per-cell pick is a running top-k window over k
+    * partitions; with few cells and a huge corpus that window's sort is
+    * the bottleneck — raise kCells (256–4096 trained centroids via
+    * [[kmeansCentroids]]) so the shuffle fans out, and the pick stays
+    * O(corpus) scan + O(kCells·perCell) output. The md5 key means the
+    * sample is reproducible on any cluster layout or engine.
+    */
+  def clusterSample(emb: DataFrame, kCells: Int = 8, perCell: Int = 16,
+                    centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy(col("u"), col("vec_id"))
+    ivfAssign(emb, kCells, centroids = centroids)
+      .filter(col("cell_rank") === 1)
+      .withColumn("u", expr("substr(md5(cast(vec_id as string)), 1, 13)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perCell)
+      .select(col("cell"), col("vec_id"), col("rank"))
+      .orderBy(col("cell"), col("rank"))
+  }
+
   /** IVF ANN: score only candidates whose cell is among the query's
     * `nprobe` nearest cells. Probe cost ≈ corpus · nprobe / kCells per
     * query instead of the full corpus. `centroids` switches both sides to

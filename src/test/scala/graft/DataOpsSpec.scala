@@ -1514,6 +1514,30 @@ class DataOpsSpec extends AnyFunSuite {
     assert(pcs.toSeq === again.toSeq)
   }
 
+  test("cluster sample keeps at most perCell ids per cell, disjoint and deterministic") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.clusterSample(emb, kCells = 4, perCell = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // per-cell caps and dense rank
+    got.groupBy(_._1).foreach { case (cell, rows) =>
+      assert(rows.length <= 5, s"cell $cell overfull")
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length), s"cell $cell ranks")
+    }
+    // a vector is sampled for exactly one cell
+    val ids = got.map(_._2)
+    assert(ids.distinct.length === ids.length)
+    // membership agrees with the nearest-cell assignment
+    val cells = Similarity.ivfAssign(emb, 4)
+      .filter(col("cell_rank") === 1)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (cell, id, _) => assert(cells(id) === cell, s"vec $id") }
+    // deterministic across runs
+    val again = Similarity.clusterSample(emb, kCells = 4, perCell = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === again.toSeq)
+  }
+
   test("integer power iteration finds the planted direction and scores match a brute fold") {
     import spark.implicits._
     val d = 64
