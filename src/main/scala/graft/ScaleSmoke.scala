@@ -9,13 +9,18 @@ import org.apache.spark.sql.functions._
   * 100 TB question "does the shuffle/candidate volume stay bounded?".
   *
   * Usage: runMain graft.ScaleSmoke [events=10000000] [docs=100000]
+  * SPARK_GRAFT_ONLY=name,name limits the run to named strata (same
+  * convention as Verify/Bench) for local iteration on one operator.
   */
 object ScaleSmoke {
-  def time[A](name: String)(f: => A): Unit = {
-    val t0 = System.nanoTime()
-    f
-    println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-  }
+  private val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+
+  def time[A](name: String)(f: => A): Unit =
+    if (only.forall(_.contains(name))) {
+      val t0 = System.nanoTime()
+      f
+      println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
 
   def main(args: Array[String]): Unit = {
     val nEvents = args.headOption.map(_.toLong).getOrElse(10000000L)
@@ -501,6 +506,51 @@ object ScaleSmoke {
       println(s"[scale]   kcore survivors $n (expect $coreN), " +
         s"non-circulant or wrong-degree $offCore (must be 0)")
       require(n == coreN && offCore == 0L, "kcore peel wrong")
+    }
+
+    // label propagation on 10^5 disjoint 10-cliques (10^6 nodes) plus a
+    // 10^5-degree hub touching one node per clique: every clique node has
+    // 9 intra-community edges against at most 1 hub edge, so NO non-hub
+    // node may end outside its clique's label range — the hub's fan-out
+    // must not leak its label, and the hub's own (node,label) count rows
+    // must collapse in map-side partial agg instead of skewing a reducer.
+    time("label_prop_hub_graph") {
+      val nCliques = 100000L
+      val intra = spark.range(nCliques * 45).select(
+        expr("(id div 45) * 10 + " +
+          "cast(floor((sqrt(8.0D * cast(id % 45 as double) + 1.0D) - 1.0D) / 2.0D) as bigint) + 1")
+          .as("dst"),
+        expr("(id div 45) * 10 + (id % 45) - " +
+          "cast(floor((sqrt(8.0D * cast(id % 45 as double) + 1.0D) - 1.0D) / 2.0D) as bigint) * " +
+          "(cast(floor((sqrt(8.0D * cast(id % 45 as double) + 1.0D) - 1.0D) / 2.0D) as bigint) + 1) div 2")
+          .as("src"))
+      val hubId = nCliques * 10 + 1
+      val hub = spark.range(nCliques).select(lit(hubId).as("src"),
+        (col("id") * 10).as("dst"))
+      val lab = graft.ops.Graph.labelPropagation(intra.union(hub), rounds = 4)
+      val leaked = lab.filter(col("node") =!= hubId &&
+        expr("lbl div 10") =!= expr("node div 10")).count()
+      println(s"[scale]   nodes ${1 + nCliques * 10}, hub degree $nCliques, " +
+        s"non-hub nodes outside their clique: $leaked (must be 0)")
+      require(leaked == 0L, s"label propagation leaked $leaked labels")
+    }
+
+    // integer power iteration at 10^6 x 64: vectors planted as t·u + s·w
+    // with |t| ~ 10|s| — the syrk Gram pass is the only distributed work
+    // (shuffle = partitions x 2080 partial rows regardless of n) and the
+    // milli eigenvector must align with the planted direction.
+    time("pca_power_1m") {
+      val c = 1.0 / math.sqrt(32.0)
+      val emb = spark.range(1000000L).select(col("id").as("vec_id"),
+        expr(s"""transform(sequence(0, 63), i -> cast(CASE WHEN i % 2 = 0
+                |  THEN (id % 21 - 10) * ${c}D
+                |  ELSE ((id * 7) % 5 - 2) / 2.0D * ${c}D END as float))""".stripMargin)
+          .as("embedding"))
+      val v = graft.ops.Similarity.pcaPowerVector(emb)
+      val dot = v.indices.filter(_ % 2 == 0).map(i => v(i).toDouble * c).sum
+      val nv = math.sqrt(v.map(x => x.toDouble * x).sum)
+      println(f"[scale]   cos(v, planted) = ${math.abs(dot) / nv}%.6f")
+      require(math.abs(dot) / nv > 0.999, "power iteration missed the planted direction")
     }
 
     // market-basket pairs under a mega-basket: 10^6 normal 5-item baskets
