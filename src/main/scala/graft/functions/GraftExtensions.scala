@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_dot", "graft_dot(array<double>, array<double>) - dot product"),
       (exprs: Seq[Expression]) => DotDouble(exprs(0), exprs(1))))
     e.injectFunction((
+      FunctionIdentifier("graft_char_ssq"),
+      info("graft_char_ssq", "graft_char_ssq(string) - sum of squared code-point counts"),
+      (exprs: Seq[Expression]) => CharSsq(exprs.head)))
+    e.injectFunction((
       FunctionIdentifier("graft_hll_sketch"),
       info("graft_hll_sketch", "graft_hll_sketch(col[, p]) - portable HLL sketch bytes"),
       (exprs: Seq[Expression]) => HllSketchAgg(exprs.head,

@@ -87,5 +87,7 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles", exprs => WordShingles(exprs.head,
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_char_ssq", exprs => CharSsq(exprs.head), "built-in")
   }
 }

@@ -831,20 +831,22 @@ object TextAnalysis {
     * rescan (the O(alphabet × n) filter variant measured 2–4× the cost
     * of every other corpus query), no shuffle added to the scan.
     */
-  def charGini(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+  def charGini(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(idCol.as("doc_id"), normalize(textCol).as("t"))
-      // empty docs emit nothing (and sidestep split("")'s [""] artifact)
+      // empty docs emit nothing (0-char Gini is undefined)
       .filter(length(col("t")) > 0)
-      .withColumn("cs", split(col("t"), ""))
-      .withColumn("n", size(col("cs")).cast("long"))
-      .withColumn("ssq", expr("""aggregate(array_sort(cs),
-        named_struct('prev', cast(null as string), 'run', 0L, 'ssq', 0L),
-        (a, x) -> if(x <=> a.prev,
-          named_struct('prev', x, 'run', a.run + 1L, 'ssq', a.ssq + 2L * a.run + 1L),
-          named_struct('prev', x, 'run', 1L, 'ssq', a.ssq + 1L)),
-        a -> a.ssq)"""))
-      .select(col("doc_id"), col("n"), col("ssq"),
-        expr("(n * n - ssq) * 1000000L div (n * n)").as("gini_micro"))
+      // Σ count(c)² in ONE codegen'd pass per document (no per-char
+      // explode, no shuffle — the whole score is row-local; the earlier
+      // split→sort→fold composition allocated a string per character and
+      // was the bench's slowest query). length() counts code points on
+      // both engines, matching the expression's histogram domain.
+      // Overflow: (n² − ssq)·10⁶ needs n < ~1.7·10⁶ chars/doc — beyond
+      // that, pre-chunk documents (corpus docs are capped far below).
+      .select(col("doc_id"), length(col("t")).cast("long").as("n"),
+        expr("graft_char_ssq(t)").as("ssq"))
+      .withColumn("gini_micro", expr("(n * n - ssq) * 1000000L div (n * n)"))
+  }
 
   /** Hashed-feature importance scoring for data selection (the DSIR
     * shape, Xie et al. 2023: score raw documents by how much their

@@ -123,7 +123,8 @@ class TsResampleSpec extends AnyFunSuite {
   }
 
   test("char gini: 0 for repeated junk, exact rational for mixed text") {
-    val docs = Seq((1L, "aaaa"), (2L, "ab"), (3L, "aab"), (4L, ""), (5L, "漢漢字"))
+    val docs = Seq((1L, "aaaa"), (2L, "ab"), (3L, "aab"), (4L, ""), (5L, "漢漢字"),
+      (6L, "𝄞𝄞a")) // 𝄞𝄞a — astral chars are ONE code point
       .toDF("doc_id", "text")
     val out = TextAnalysis.charGini(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
@@ -132,6 +133,7 @@ class TsResampleSpec extends AnyFunSuite {
     assert(out(3L) === ((3L, (9L - 5L) * 1000000L / 9L))) // 1 − 5/9
     assert(!out.contains(4L))                      // empty doc emits nothing
     assert(out(5L) === ((3L, (9L - 5L) * 1000000L / 9L))) // CJK chars count singly
+    assert(out(6L) === ((3L, (9L - 5L) * 1000000L / 9L))) // surrogate pairs not split
   }
 
   test("interval union counts overlaps once, bridges nothing over gaps") {
