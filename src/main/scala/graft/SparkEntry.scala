@@ -692,6 +692,14 @@ object SparkEntry {
     "emb_cluster_sample" -> ((s, dir) =>
       Similarity.clusterSample(Tables.embeddings(s, dir))),
 
+    // IVF routing × PQ ADC scoring — the three-stage retrieval stack's
+    // middle two stages composed end-to-end
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // X^T X in one map-side-combined aggregate — covariance/PCA feedstock
     "emb_gram_matrix" -> ((s, dir) =>
       Similarity.gramMatrix(Tables.embeddings(s, dir))),
@@ -2456,6 +2464,43 @@ object SparkEntry {
         |          CAST(SUM(d.dm) AS BIGINT) AS adc_micro
         |        FROM codes c JOIN dist d ON d.s = c.s AND d.j = c.code
         |          AND d.vec_id < 5 AND d.vec_id <> c.vec_id
+        |        GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, adc_micro,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY adc_micro, neighbor_id) AS INT) AS rank
+        |      FROM adc)
+        |SELECT query_id, neighbor_id, adc_micro, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // the IVF cell/probe CTEs gating the PQ dist/codes/ADC CTEs — the
+    // candidate set is the probes⋈cells equality join on both sides
+    "ann_ivfpq_topk" ->
+      """WITH v AS MATERIALIZED (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+        |           FROM embeddings, range(1, 65) r(i)),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY 1),
+        |cd AS (SELECT a.vec_id, c.vec_id AS cell, sum(a.x * c.x) AS dot
+        |       FROM v a JOIN v c ON a.d = c.d AND c.vec_id < 8 GROUP BY 1, 2),
+        |cr AS (SELECT cd.vec_id, cell,
+        |         row_number() OVER (PARTITION BY cd.vec_id
+        |           ORDER BY dot / (n1.nrm * n2.nrm) DESC, cell) AS cell_rank
+        |       FROM cd JOIN n n1 ON n1.vec_id = cd.vec_id JOIN n n2 ON n2.vec_id = cell),
+        |cells AS (SELECT vec_id, cell FROM cr WHERE cell_rank = 1),
+        |probes AS (SELECT vec_id AS query_id, cell FROM cr WHERE cell_rank <= 2 AND vec_id < 5),
+        |cand AS (SELECT p.query_id, ce.vec_id
+        |         FROM probes p JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.query_id),
+        |sv AS (SELECT vec_id, d // 16 AS s, d % 16 AS p, x FROM v),
+        |dist AS MATERIALIZED (SELECT a.vec_id, a.s, b.vec_id AS j,
+        |           CAST(round(SUM((a.x - b.x) * (a.x - b.x)) * 1000000.0) AS BIGINT) AS dm
+        |         FROM sv a JOIN sv b ON a.s = b.s AND a.p = b.p AND b.vec_id < 256
+        |         GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, s, j AS code FROM (
+        |            SELECT vec_id, s, j,
+        |              row_number() OVER (PARTITION BY vec_id, s ORDER BY dm, j) AS rn
+        |            FROM dist) WHERE rn = 1),
+        |adc AS (SELECT cand.query_id, c.vec_id AS neighbor_id,
+        |          CAST(SUM(d.dm) AS BIGINT) AS adc_micro
+        |        FROM cand JOIN codes c ON c.vec_id = cand.vec_id
+        |          JOIN dist d ON d.vec_id = cand.query_id AND d.s = c.s AND d.j = c.code
         |        GROUP BY 1, 2),
         |r AS (SELECT query_id, neighbor_id, adc_micro,
         |        CAST(row_number() OVER (PARTITION BY query_id

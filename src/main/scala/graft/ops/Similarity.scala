@@ -154,10 +154,15 @@ object Similarity {
     * broadcast either way; assignment is one scan.
     */
   def ivfAssign(emb: DataFrame, kCells: Int, rankCol: String = "cell_rank",
-                centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+                centroids: Option[Array[Array[Double]]] = None,
+                centroidSource: Option[DataFrame] = None): DataFrame = {
     val cents = centroids match {
       case None =>
-        prep(emb.filter(col("vec_id") < kCells))
+        // default quantizer = first-k vectors of `centroidSource` (the
+        // CORPUS when assigning queries — both sides of an IVF probe must
+        // share one quantizer, and a query frame is rarely a superset of
+        // the corpus' first k)
+        prep(centroidSource.getOrElse(emb).filter(col("vec_id") < kCells))
           .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm"))
       case Some(cs) =>
         val spark = emb.sparkSession
@@ -217,7 +222,8 @@ object Similarity {
     val cells = ivfAssign(corpus, kCells, centroids = centroids)
       .filter(col("cell_rank") === 1)
       .select(col("vec_id"), col("v"), col("norm"), col("cell"))
-    val probes = ivfAssign(queries, kCells, centroids = centroids)
+    val probes = ivfAssign(queries, kCells, centroids = centroids,
+        centroidSource = Some(corpus))
       .filter(col("cell_rank") <= nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qnorm"), col("cell"))
@@ -398,25 +404,76 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
              codebookK: Int = 256, dims: Int = 64): DataFrame = {
-    val sub = dims / m
     val cb = pqCodebook(corpus, m, codebookK, dims)
     val codes = pqEncode(corpus, cb, m, dims)
-    val qtab = Dedup.spread(queries)
+    val qtab = pqQueryTable(queries, cb, m, dims)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc_micro"), col("neighbor_id"))
+    codes.join(broadcast(qtab), Seq("s", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("dm")).as("adc_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adc_micro", "rank")
+  }
+
+  /** The per-query ADC lookup table: ‖q_s − c_{s,j}‖² for every
+    * (subspace, codebook entry), micro-rounded — |queries|·m·codebookK
+    * rows, built once and broadcast into every scoring join.
+    */
+  private def pqQueryTable(queries: DataFrame, codebook: DataFrame,
+                           m: Int, dims: Int): DataFrame = {
+    val sub = dims / m
+    Dedup.spread(queries)
       .select(col("vec_id").as("query_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
       .select(col("query_id"), explode(expr(
         s"transform(sequence(0, ${m - 1}), s -> struct(s AS s, slice(v, s * $sub + 1, $sub) AS sv))"))
         .as("e"))
       .select(col("query_id"), col("e.s").as("s"), col("e.sv").as("sv"))
-      .join(broadcast(cb), "s")
+      .join(broadcast(codebook), "s")
       .withColumn("dm", expr(
         "cast(round(aggregate(zip_with(sv, cvec, (x, y) -> (x - y) * (x - y)), 0.0D," +
           " (acc, z) -> acc + z) * 1000000.0D) as bigint)"))
       .select(col("query_id"), col("s"), col("j").as("code"), col("dm"))
+  }
+
+  /** IVF+PQ — the FAISS-standard composition, wired end-to-end: the
+    * coarse quantizer ([[ivfAssign]]) decides WHO gets scored (corpus ·
+    * nprobe / kCells candidates per query, an equality join on the cell
+    * id), PQ ADC decides what scoring COSTS (m integer adds per pair
+    * read from the broadcast lookup table — the corpus side touches only
+    * its m-byte codes, never the float vectors). Candidate pairs are
+    * unique by construction (a corpus vector lives in exactly one cell,
+    * a query probes nprobe DISTINCT cells), so no dedup step. Both
+    * quantizers take trained centroids ([[kmeansCentroids]] /
+    * per-subspace k-means) through the same parameters; first-k defaults
+    * keep the oracle reproducible. A float re-rank of the returned
+    * shortlist ([[bruteTopK]] over k·|queries| rows) restores exactness
+    * at negligible cost — the standard three-stage retrieval stack.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                kCells: Int = 8, nprobe: Int = 2, m: Int = 4,
+                codebookK: Int = 256, dims: Int = 64,
+                centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cb = pqCodebook(corpus, m, codebookK, dims)
+    val codes = pqEncode(corpus, cb, m, dims)
+    val cells = ivfAssign(corpus, kCells, centroids = centroids)
+      .filter(col("cell_rank") === 1)
+      .select(col("vec_id"), col("cell"))
+    val probes = ivfAssign(queries, kCells, centroids = centroids,
+        centroidSource = Some(corpus))
+      .filter(col("cell_rank") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val qtab = pqQueryTable(queries, cb, m, dims)
+    val cand = probes.join(cells, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("adc_micro"), col("neighbor_id"))
-    codes.join(broadcast(qtab), Seq("s", "code"))
-      .filter(col("query_id") =!= col("vec_id"))
+    cand.join(codes, Seq("vec_id"))
+      .join(broadcast(qtab), Seq("query_id", "s", "code"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum(col("dm")).as("adc_micro"))
       .withColumn("rank", row_number().over(w))

@@ -1514,6 +1514,34 @@ class DataOpsSpec extends AnyFunSuite {
     assert(pcs.toSeq === again.toSeq)
   }
 
+  test("ivf+pq scores equal pq on the probed candidates; probes use the corpus quantizer") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    // every (query, neighbor) the composition returns must be a probed
+    // candidate with EXACTLY the adc score the pure-PQ path computes
+    val pq = Similarity.pqTopK(emb, queries, k = 1000000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cells = Similarity.ivfAssign(emb, 8).filter(col("cell_rank") === 1)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probes = Similarity.ivfAssign(queries, 8, centroidSource = Some(emb))
+      .filter(col("cell_rank") <= 2).select("vec_id", "cell").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val got = Similarity.ivfPqTopK(emb, queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, nb, adc) =>
+      assert(probes(q).contains(cells(nb)), s"($q, $nb) not in a probed cell")
+      assert(pq((q, nb)) === adc, s"adc mismatch for ($q, $nb)")
+    }
+    // regression: a query frame with NO overlap with the corpus' first-k
+    // ids must still probe (the quantizer comes from the corpus, not the
+    // query frame — deriving it from the queries left 0 centroids here)
+    val far = Similarity.ivfPqTopK(emb, emb.filter(col("vec_id").between(100, 104)), k = 3)
+      .collect()
+    assert(far.map(_.getLong(0)).distinct.length === 5, "every far query must score")
+  }
+
   test("cluster sample keeps at most perCell ids per cell, disjoint and deterministic") {
     val emb = Tables.embeddings(spark, sf)
     val got = Similarity.clusterSample(emb, kCells = 4, perCell = 5).collect()
