@@ -779,8 +779,20 @@ object Similarity {
     * (same two lines, one constant).
     */
   private[graft] def pcaPowerVector(emb: DataFrame, dims: Int = 64,
-                                    iters: Int = 12): Array[Long] = {
-    val g = gramMatrix(emb, dims).collect()
+                                    iters: Int = 12): Array[Long] =
+    pcaPowerFromGram(gramMatrix(emb, dims), dims, iters)
+
+  /** The same fixed-point iteration off an already-materialized Gram
+    * table (i, j, n, sxy_micro — upper triangle) — e.g. the streaming
+    * maintained log (`Monitor.readGram`), so the principal direction
+    * stays current against an ingest stream without re-scanning the
+    * corpus: the log partials are associative integer sums, so the
+    * merged Gram — and therefore every iterate here — is bit-equal to a
+    * batch recompute over everything ever streamed.
+    */
+  private[graft] def pcaPowerFromGram(gram: DataFrame, dims: Int = 64,
+                                      iters: Int = 12): Array[Long] = {
+    val g = gram.collect()
     val G = Array.ofDim[Long](dims, dims)
     g.foreach { r =>
       val i = r.getInt(0); val j = r.getInt(1); val s = r.getLong(3)

@@ -229,6 +229,43 @@ object Monitor {
     spark.read.parquet(path).drop("__batch_id")
       .groupBy("word").agg(sum("cnt").as("cnt"))
 
+  /** Maintained Gram-matrix log — second-moment statistics for the
+    * embedding corpus kept current at the ingest door: each micro-batch
+    * folds to its d(d+1)/2-row integer Gram partial
+    * (`Similarity.gramMatrix` — the per-partition syrk, already
+    * collapsed map-side) landing in a per-`__batch_id` partition,
+    * exactly-once via dynamic overwrite. Because the partials are
+    * micro-rounded INTEGER sums, merging is associative: the read-time
+    * Gram — and everything derived from it (covariance, whitening, the
+    * [[graft.ops.Similarity.pcaPowerFromGram]] principal direction) —
+    * is bit-equal to a batch recompute over every vector ever streamed,
+    * and the corpus is never re-scanned to refresh the statistics.
+    */
+  def maintainGram(stream: DataFrame, path: String, checkpoint: String,
+                   dims: Int = 64,
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        graft.ops.Similarity.gramMatrix(df.toDF(), dims)
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id")
+          .parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Merge-on-read of the [[maintainGram]] log: (i, j, n, sxy_micro),
+    * bit-equal to `Similarity.gramMatrix` over the full streamed corpus.
+    */
+  def readGram(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("__batch_id")
+      .groupBy("i", "j")
+      .agg(sum("n").as("n"), sum("sxy_micro").as("sxy_micro"))
+      .orderBy("i", "j")
+
   /** Self-maintaining LSH band index: each micro-batch's documents land
     * their MinHash band rows in the parquet index [[nearDupStream]] and
     * `Dedup.lshCandidatesAgainst` join against — the ingest loop that

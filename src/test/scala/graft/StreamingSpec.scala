@@ -868,6 +868,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(after === direct, "replay must not change the merged buckets")
   }
 
+  test("maintained gram log serves the exact matrix and principal direction") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_gram").toString
+    val ckpt = Files.createTempDirectory("graft_gram_ck").toString
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => EmbDoc(r.getLong(0), new Timestamp(0L),
+        r.getSeq[Float](1).toArray))
+      .toSeq
+    val input = MemoryStream[EmbDoc]
+    all.grouped(math.max(1, all.size / 3 + 1)).foreach { chunk =>
+      input.addData(chunk: _*)
+      val q = Monitor.maintainGram(input.toDF().drop("ts"), s"$dir/log", s"$ckpt/c1")
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    def merged() = Monitor.readGram(spark, s"$dir/log")
+      .collect().toSeq.map(_.toSeq)
+    val direct = graft.ops.Similarity.gramMatrix(
+        all.toDF().select(col("vec_id"), col("embedding")))
+      .collect().toSeq.map(_.toSeq)
+    assert(merged() === direct && direct.nonEmpty)
+    // the PCA epilogue off the log is bit-equal to the batch operator
+    val viaLog = graft.ops.Similarity.pcaPowerFromGram(
+      Monitor.readGram(spark, s"$dir/log"))
+    val batch = graft.ops.Similarity.pcaPowerVector(
+      all.toDF().select(col("vec_id"), col("embedding")))
+    assert(viaLog.toSeq === batch.toSeq)
+    // replay with a fresh checkpoint rewrites batch 0 idempotently
+    val input2 = MemoryStream[EmbDoc]
+    input2.addData(all.take(all.size / 3 + 1): _*)
+    val q2 = Monitor.maintainGram(input2.toDF().drop("ts"), s"$dir/log", s"$ckpt/c2")
+    try q2.awaitTermination(120000) finally q2.stop()
+    assert(merged() === direct, "replay must not change the merged gram")
+  }
+
   test("streaming funnel stage machine matches the batch window funnel") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
