@@ -364,6 +364,65 @@ object Similarity {
       .select(col("e.s").as("s"), col("j"), col("e.cvec").as("cvec"))
   }
 
+  /** Trained PQ codebook: per-subspace Lloyd k-means on a deterministic
+    * seeded sample (the FAISS training shape, like [[kmeansCentroids]]
+    * for the coarse quantizer but per subspace under squared-L2 — PQ
+    * reconstructs sub-vectors, it does not rank directions, so centroids
+    * are means, not unit vectors). One distributed TakeOrdered sample,
+    * m independent driver-side trainings over ≤ sampleCap sub-vectors,
+    * fixed iteration count, first-k init, min-distance/lowest-index
+    * tie-break — identical centroids on any cluster. Output has the
+    * same (s, j, cvec) shape as [[pqCodebook]]; [[pqEncode]]/[[pqTopK]]
+    * composition is unchanged (first-k stays the oracle-reproducible
+    * default, this is the recall path for real corpora).
+    */
+  def pqKmeansCodebook(emb: DataFrame, m: Int = 4, codebookK: Int = 256,
+                       dims: Int = 64, iters: Int = 5,
+                       sampleCap: Int = 100000, seed: Long = 42L): DataFrame = {
+    require(dims % m == 0, s"dims $dims must split evenly into $m subspaces")
+    val sub = dims / m
+    val sample: Array[Array[Double]] = prep(emb)
+      .orderBy(xxhash64(concat_ws("|", col("vec_id"), lit(seed))), col("vec_id"))
+      .limit(sampleCap)
+      .select(col("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= codebookK,
+      s"need >= $codebookK sample vectors, got ${sample.length}")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows = (0 until m).flatMap { s =>
+      val pts = sample.map(_.slice(s * sub, (s + 1) * sub))
+      var cents = pts.take(codebookK).map(_.clone())
+      def d2(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < sub) { val t = a(i) - b(i); acc += t * t; i += 1 }
+        acc
+      }
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(codebookK)(new Array[Double](sub))
+        val counts = new Array[Long](codebookK)
+        pts.foreach { p =>
+          var best = 0; var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < codebookK) {
+            val dd = d2(p, cents(c))
+            if (dd < bestD) { bestD = dd; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < sub) { sums(best)(i) += p(i); i += 1 }
+        }
+        cents = Array.tabulate(codebookK) { c =>
+          if (counts(c) == 0) cents(c) // empty cell keeps its centroid
+          else sums(c).map(_ / counts(c))
+        }
+      }
+      cents.zipWithIndex.map { case (cv, j) => (s, j, cv.toSeq) }
+    }
+    rows.toDF("s", "j", "cvec")
+  }
+
   /** PQ encoding: each vector becomes `m` one-byte codes — the nearest
     * codebook centroid per subspace (squared-L2, sequential fold; ties
     * break on the lower code). The encoded corpus is the DEEP-compression

@@ -1514,6 +1514,44 @@ class DataOpsSpec extends AnyFunSuite {
     assert(pcs.toSeq === again.toSeq)
   }
 
+  test("trained pq codebook cuts reconstruction error vs first-k and keeps the encode contract") {
+    import spark.implicits._
+    // 8 tight clusters whose centers are NOT the first rows: first-k
+    // centroids all fall in cluster 0's neighborhood, trained centroids
+    // must spread across clusters and win on reconstruction error
+    val dims = 8; val m = 2; val k = 8; val sub = dims / m
+    val centers = Array.tabulate(8, dims)((c, d) => ((c * 7 + d * 3) % 11 - 5).toDouble)
+    val raw = (0 until 240).map { i =>
+      val c = (i / 30) % 8
+      (i.toLong, Array.tabulate(dims)(d =>
+        (centers(c)(d) + ((i * 13 + d) % 3 - 1) * 0.05).toFloat))
+    }
+    val emb = raw.toDF("vec_id", "embedding")
+    def err(cb: org.apache.spark.sql.DataFrame): Double = {
+      val cents = cb.collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+      val codes = Similarity.pqEncode(emb, cb, m, dims).collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+      raw.map { case (id, v) =>
+        (0 until m).map { s =>
+          val cv = cents((s, codes((id, s))))
+          (0 until sub).map { p =>
+            val t = v(s * sub + p).toDouble - cv(p); t * t
+          }.sum
+        }.sum
+      }.sum
+    }
+    val firstK = Similarity.pqCodebook(emb, m, k, dims)
+    val trained = Similarity.pqKmeansCodebook(emb, m, k, dims, sampleCap = 240)
+    // contract: same shape, codes in range, deterministic training
+    assert(trained.collect().length === m * k)
+    val again = Similarity.pqKmeansCodebook(emb, m, k, dims, sampleCap = 240)
+      .collect().map(_.toSeq).toSet
+    assert(again === trained.collect().map(_.toSeq).toSet)
+    val e0 = err(firstK); val e1 = err(trained)
+    assert(e1 < e0 / 2, s"trained error $e1 must beat first-k $e0 decisively")
+  }
+
   test("ivf+pq scores equal pq on the probed candidates; probes use the corpus quantizer") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 5)
