@@ -268,6 +268,20 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // the staleness-guarded variant: a click older than 10 minutes must
+    // not be fused with the purchase just because nothing newer exists
+    "ts_asof_tolerance" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), Documents.tsSec(col("ts")).as("ts_sec"))
+      val left = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts_sec", "event_id", "value")
+      val right = e.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts_sec").agg(max("event_id").as("mark_id"))
+      DocumentStore.asofJoinTolerance(left, right, "user_id", "ts_sec",
+          Seq("mark_id"), toleranceSec = 600L)
+        .orderBy("event_id")
+    }),
+
     // the mirror direction: each click takes the NEXT purchase at/after it
     "ts_asof_forward" -> ((s, dir) => {
       val e = ev(s, dir).select(col("event_id"), col("user_id"), col("event_type"),
@@ -1558,6 +1572,19 @@ object SparkEntry {
         |r AS (SELECT user_id, ts_sec, max(event_id) AS mark_id
         |      FROM e WHERE event_type = 'click' GROUP BY 1, 2)
         |SELECT l.user_id, l.ts_sec, l.event_id, l.value, r.mark_id AS asof_mark_id
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_sec >= r.ts_sec
+        |ORDER BY l.event_id""".stripMargin,
+
+    // native ASOF plus the row-local staleness guard on the matched
+    // right timestamp
+    "ts_asof_tolerance" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+        |l AS (SELECT user_id, ts_sec, event_id, value FROM e WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts_sec, max(event_id) AS mark_id
+        |      FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT l.user_id, l.ts_sec, l.event_id, l.value,
+        |  CASE WHEN l.ts_sec - r.ts_sec <= 600 THEN r.mark_id ELSE NULL END AS asof_mark_id
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_sec >= r.ts_sec
         |ORDER BY l.event_id""".stripMargin,
 

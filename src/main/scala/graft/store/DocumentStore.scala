@@ -349,6 +349,46 @@ object DocumentStore {
         asofCols.map(c => col(s"__f_$c").as(s"asof_$c")): _*)
   }
 
+  /** Backward as-of join with a staleness bound (pandas/polars
+    * `merge_asof(tolerance=...)`): the most recent right row still
+    * matches ONLY if it is within `toleranceSec` of the left row —
+    * otherwise the as-of columns are null. The sensor-fusion guard for
+    * the reference's capture domain: a pose older than the tolerance
+    * must not be fused with a camera frame just because nothing newer
+    * exists. Same single-sort union-window plan as [[asofJoin]] (no
+    * join, no range explosion — one window over (key, time, side)); the
+    * matched right TIMESTAMP rides the same forward-fill so staleness is
+    * one row-local comparison at the end.
+    */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+                        time: String, asofCols: Seq[String],
+                        toleranceSec: Long): DataFrame = {
+    require(toleranceSec >= 0, "tolerance must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val leftCols = left.columns.toSeq
+    val lTagged = left
+      .withColumn("__side", lit(1))
+      .select(Seq(col(key), col(time), col("__side")) ++
+        leftCols.filterNot(c => c == key || c == time).map(col) ++
+        (asofCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) :+
+          lit(null).cast(right.schema(time).dataType).as("__r__t")): _*)
+    val rTagged = right
+      .withColumn("__side", lit(0))
+      .select(Seq(col(key), col(time), col("__side")) ++
+        leftCols.filterNot(c => c == key || c == time)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        (asofCols.map(c => col(c).as(s"__r_$c")) :+ col(time).as("__r__t")): _*)
+    val w = Window.partitionBy(col(key)).orderBy(col(time), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = (asofCols :+ "_t").foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
+      df.withColumn(s"__f_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        asofCols.map(c => when(col(time) - col("__f__t") <= toleranceSec,
+          col(s"__f_$c")).as(s"asof_$c")): _*)
+  }
+
   /** Interval-overlap SELF-join: all pairs of intervals that intersect
     * in time (concurrent sessions, overlapping captures) — the
     * interval×interval sibling of the point-in-interval range join

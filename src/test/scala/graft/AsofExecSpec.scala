@@ -49,6 +49,31 @@ class AsofExecSpec extends AnyFunSuite {
       (12L, None)))         // key 2's right row is later
   }
 
+  test("tolerance as-of nulls stale matches and equals plain as-of when unbounded") {
+    import spark.implicits._
+    val l = Seq((7L, 50L, 1L), (7L, 99L, 2L), (7L, 41L, 3L)).toDF("k", "t", "lid")
+    val r = Seq((7L, 10L, 100L), (7L, 40L, 101L), (7L, 60L, 102L)).toDF("k", "t", "mark")
+    // tolerance 10: lid=3 (t=41, match t=40, gap 1) keeps; lid=1 (t=50,
+    // gap 10) keeps at the boundary; lid=2 (t=99, match t=60, gap 39) nulls
+    val out = DocumentStore.asofJoinTolerance(l, r, "k", "t", Seq("mark"), 10L)
+      .orderBy("lid").collect().map(x => (x.getLong(2), Option(x.get(3))))
+    assert(out.toSeq === Seq(
+      (1L, Some(101L)), (2L, None), (3L, Some(101L))))
+    // an unbounded tolerance reproduces asofJoin exactly, on real data
+    val e = Tables.events(spark, sf).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), Documents.tsSec(col("ts")).as("ts_sec"))
+    val left = e.filter(col("event_type") === "purchase")
+      .select("user_id", "ts_sec", "event_id", "value")
+    val right = e.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts_sec").agg(max("event_id").as("mark_id"))
+    val plain = DocumentStore.asofJoin(left, right, "user_id", "ts_sec", Seq("mark_id"))
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    val loose = DocumentStore.asofJoinTolerance(left, right, "user_id", "ts_sec",
+        Seq("mark_id"), Long.MaxValue / 4)
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(loose === plain && plain.nonEmpty)
+  }
+
   test("multiple right rows per key: the latest preceding one wins") {
     import spark.implicits._
     val l = Seq((7L, 50L, 1L), (7L, 99L, 2L)).toDF("k", "t", "lid")
