@@ -701,6 +701,11 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // 64 floats -> 16 exact-integer JL projections onto the md5-derived
+    // hyperplanes (the SRP bucketer's pre-sign values, kept)
+    "emb_random_projection" -> ((s, dir) =>
+      Similarity.jlProject(Tables.embeddings(s, dir))),
+
     // diversity sampling: nearest-cell assignment + md5-ranked top-16
     // per cell — every content cluster contributes equally
     "emb_cluster_sample" -> ((s, dir) =>
@@ -2683,6 +2688,19 @@ object SparkEntry {
         |      FROM sc JOIN n n1 ON n1.vec_id = query_id JOIN n n2 ON n2.vec_id = neighbor_id)
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // the lsh oracle's hyperplane CTE with the sign NOT taken: per-term
+    // micro rounding, integer sums
+    "emb_random_projection" ->
+      """WITH v AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+        |           FROM embeddings, range(1, 65) r(i)),
+        |hp AS (SELECT p, d, CAST(strpos('0123456789abcdef',
+        |         substr(md5(CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 1)) - 1 AS DOUBLE) - 7.5 AS w
+        |       FROM range(0, 16) rp(p), range(0, 64) rd(d))
+        |SELECT v.vec_id, hp.p AS p,
+        |  CAST(SUM(CAST(round(v.x * hp.w * 1000000.0) AS BIGINT)) AS BIGINT) AS proj_micro
+        |FROM v JOIN hp ON hp.d = v.d
+        |GROUP BY 1, 2 ORDER BY vec_id, p""".stripMargin,
 
     // the IVF nearest-cell CTEs + a per-cell md5-ordered window pick
     "emb_cluster_sample" ->

@@ -180,6 +180,34 @@ object Similarity {
       .withColumn(rankCol, row_number().over(w))
   }
 
+  /** Johnson–Lindenstrauss random projection — the dimensionality
+    * reduction the SRP bucketer takes the SIGN of, kept as values: each
+    * vector becomes `planes` projections onto the md5-derived literal
+    * hyperplanes ([[planeWeights]] — engine-portable, no RNG, no weights
+    * file). 64 floats → `planes` longs is the cheap compression feeding
+    * approximate distance/cosine estimates downstream (E[p·p'] tracks
+    * v·v' up to the JL distortion), and pairs of projections are the
+    * input to any learned index. Exactness: weight entries are halves
+    * (k − 7.5 — exact in binary), x is a float image, so x·w·10⁶ is one
+    * exact double product per term, micro-rounded BEFORE the per-row
+    * integer sum — associative, bit-identical in any engine. Zero
+    * shuffles: the weights ride the plan as literals.
+    */
+  def jlProject(emb: DataFrame, planes: Int = 16): DataFrame = {
+    val w = planeWeights(planes, 64)
+    val cols = (0 until planes).map { p =>
+      val lit = w(p).map(x => s"${x}D").mkString("array(", ",", ")")
+      expr(s"""aggregate(zip_with(transform(embedding, x -> cast(x as double)),
+              |  $lit, (x, c) -> cast(round(x * c * 1000000.0D) as bigint)),
+              |  0L, (acc, t) -> acc + t)""".stripMargin).as(s"p$p")
+    }
+    emb.select(col("vec_id") +: cols: _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until planes).map(p => col(s"p$p")): _*))
+          .as(Seq("p", "proj_micro")))
+      .orderBy(col("vec_id"), col("p"))
+  }
+
   /** Cluster-balanced diversity sampling: assign every vector to its
     * nearest coarse cell ([[ivfAssign]] — broadcast centroids, one
     * scan), then keep the first `perCell` vectors per cell in the

@@ -1514,6 +1514,27 @@ class DataOpsSpec extends AnyFunSuite {
     assert(pcs.toSeq === again.toSeq)
   }
 
+  test("jl projection signs reproduce the srp buckets away from the boundary") {
+    val emb = Tables.embeddings(spark, sf)
+    val proj = Similarity.jlProject(emb, planes = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val bkt = Similarity.buckets(emb, planes = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per-term micro rounding can flip a sign only within ±32 micro of
+    // zero; everywhere else the JL sign IS the SRP bit
+    var checked = 0
+    bkt.foreach { case (id, b) =>
+      (0 until 4).foreach { p =>
+        val pm = proj((id, p))
+        if (math.abs(pm) > 100) {
+          checked += 1
+          assert(((b >> p) & 1L) === (if (pm >= 0) 1L else 0L), s"vec $id plane $p")
+        }
+      }
+    }
+    assert(checked > bkt.size * 3, "nearly all projections must be checkable")
+  }
+
   test("trained pq codebook cuts reconstruction error vs first-k and keeps the encode contract") {
     import spark.implicits._
     // 8 tight clusters whose centers are NOT the first rows: first-k

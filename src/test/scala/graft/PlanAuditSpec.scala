@@ -78,6 +78,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"gini plans a hash exchange it should not need:\n$plan")
   }
 
+  test("pca scores and random projection plan as pure literal-matrix scans") {
+    // both ops broadcast nothing and join nothing — the vectors ride the
+    // plan as literals; any hash exchange means the shape regressed
+    for (name <- Seq("emb_pca_scores", "emb_random_projection")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("hashpartitioning"),
+        s"$name plans a hash exchange it should not need:\n$plan")
+      assert(plan.contains("ReadSchema: struct<vec_id:bigint,embedding"),
+        s"$name scan reads more than (vec_id, embedding):\n$plan")
+    }
+  }
+
   test("busy-time sweep plans one key exchange, no self-join") {
     val plan = SparkEntry.queries("events_busy_time")(spark, sf)
       .queryExecution.executedPlan.toString
