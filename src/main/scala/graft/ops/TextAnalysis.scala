@@ -440,9 +440,16 @@ object TextAnalysis {
     * partial aggregation collapses it map-side.
     */
   def shardManifest(df: DataFrame, idColName: String, tokenCol: Column,
-                    capacity: Long, numShards: Int): DataFrame = {
+                    capacity: Long, numShards: Int): DataFrame =
+    shardRollup(packSequences(df, idColName, tokenCol, capacity), numShards)
+
+  /** The manifest rollup over an already-packed table (seq_id,
+    * seq_tokens — e.g. the shard directories as written by
+    * `Layout.writeShards`, re-audited from disk).
+    */
+  def shardRollup(packed: DataFrame, numShards: Int): DataFrame = {
     require(numShards > 0, "numShards must be positive")
-    packSequences(df, idColName, tokenCol, capacity)
+    packed
       .withColumn("shard_id", col("seq_id") % numShards)
       .groupBy("shard_id")
       .agg(countDistinct("seq_id").as("n_seqs"),

@@ -29,6 +29,27 @@ object Layout {
   def writePartitioned(df: DataFrame, path: String, scopeCol: String): Unit =
     df.write.partitionBy(scopeCol).mode("overwrite").parquet(path)
 
+  /** Physical training-corpus delivery: pack documents into fixed-token
+    * sequences, deal them round-robin into `numShards` shard directories
+    * (`partitionBy(shard_id)` — one directory per shard, the unit a
+    * training job claims), and return the manifest RE-AUDITED FROM DISK
+    * (`TextAnalysis.shardRollup` over the written files), so the work
+    * order a trainer checks describes what is actually on storage, not
+    * what the writer intended. Shard assignment is the shardManifest
+    * contract (`seq_id % numShards` over the hash-shuffled pack order —
+    * token-balanced without bin packing).
+    */
+  def writeShards(df: DataFrame, path: String, idColName: String,
+                  tokenCol: org.apache.spark.sql.Column,
+                  capacity: Long, numShards: Int): DataFrame = {
+    val packed = graft.ops.TextAnalysis
+      .packSequences(df, idColName, tokenCol, capacity)
+      .withColumn("shard_id", col("seq_id") % numShards)
+    packed.write.partitionBy("shard_id").mode("overwrite").parquet(path)
+    graft.ops.TextAnalysis.shardRollup(
+      df.sparkSession.read.parquet(path), numShards)
+  }
+
   /** Z-order (Morton) clustering value over `k` long columns, each
     * normalized to `bits` bits against its global [min, max] and
     * bit-interleaved. Rows close in z-value are close in EVERY clustered

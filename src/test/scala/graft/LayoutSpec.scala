@@ -163,6 +163,25 @@ class LayoutSpec extends AnyFunSuite {
     assert(checkedPresent, "the present key must hit at least one file's filter")
   }
 
+  test("shard write lays one directory per shard and the disk manifest matches") {
+    val docs = Tables.documents(spark, sf)
+    val dir = Files.createTempDirectory("graft_shards").toString
+    val manifest = Layout.writeShards(docs, dir, "doc_id",
+      ceil(col("n_chars") / 4.0), 2048L, 4)
+      .collect().map(_.toSeq).toSeq
+    // the directory layout is the claim unit: one partition dir per shard
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard_id=")).map(_.getName).sorted
+    assert(dirs.toSeq === (0 until 4).map(s => s"shard_id=$s"))
+    // the from-disk audit equals the direct manifest computation
+    val direct = graft.ops.TextAnalysis.shardManifest(docs, "doc_id",
+        ceil(col("n_chars") / 4.0), 2048L, 4)
+      .collect().map(_.toSeq).toSeq
+    assert(manifest === direct && manifest.nonEmpty)
+    // every document landed exactly once across the shard dirs
+    assert(spark.read.parquet(dir).count() === docs.count())
+  }
+
   test("salted join equals the plain join") {
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "event_type")
     val dim = Tables.customer(spark, sf).select(col("c_custkey").as("user_id"), col("c_name"))
