@@ -18,6 +18,8 @@ object Graft {
           f.listFiles().exists(_.getName.endsWith(".topic_store")))
     if (isTopicStore)
       spark.read.format("topicstore").load(path)
+    else if (path.endsWith(".bag") && f.exists())
+      graft.sources.RosBag.read(spark, path)
     else if (f.exists() || path.startsWith("file:") || path.contains("://"))
       graft.Tables.readParquet(spark, path)
     else if (spark.catalog.tableExists(path))

@@ -56,6 +56,14 @@ class ApiSpec extends AnyFunSuite {
     val log = new java.io.File(getClass.getResource("/sample.topic_store").toURI)
     assert(Graft.load(spark, log.getAbsolutePath).count() === 3)
     assert(Graft.load(spark, log.getParent).columns.toSeq === Seq("file", "pos", "doc"))
+    // .bag containers dispatch to the rosbag reader (round-trips a write)
+    import spark.implicits._
+    val bagDir = java.nio.file.Files.createTempDirectory("graft_api_bag").toString
+    graft.sources.RosBag.write(
+      Seq(("/t", 1L, """{"_id":1}""")).toDF("topic", "t_sec", "doc").coalesce(1), bagDir)
+    val bagFile = new java.io.File(bagDir).listFiles()
+      .filter(_.getName.endsWith(".bag")).head.getAbsolutePath
+    assert(Graft.load(spark, bagFile).count() === 1)
   }
 
   test("migrate copies only missing documents, append-only, idempotent") {
