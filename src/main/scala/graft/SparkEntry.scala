@@ -414,6 +414,21 @@ object SparkEntry {
     // The exact countDistinct/percentile here exist only to verify the
     // sketch; the 100 TB scale path is the sketch alone (constant memory,
     // mergeable partials — see agg_count_distinct / agg_quantiles).
+    // count-min frequency table over a narrow (64×4) grid: the md5-slice
+    // buckets make the grid — and therefore every estimate — exactly
+    // reproducible in SQL, so the oracle matches est, not a tolerance
+    "agg_cm_counts" -> ((s, dir) => {
+      graft.functions.CmFunctions.register(s)
+      val grouped = ev(s, dir)
+        .groupBy(col("user_id").cast("string").as("item"))
+        .agg(count(lit(1)).as("c"))
+      val sk = grouped.agg(expr("graft_cm_sketch(item, c, 64, 4)").as("sk"))
+      grouped.crossJoin(broadcast(sk))
+        .select(col("item"), expr("graft_cm_est(sk, item)").as("est"),
+          col("c").as("exact"))
+        .orderBy(col("item"))
+    }),
+
     "agg_approx_sketches" -> ((s, dir) => {
       graft.functions.HllFunctions.register(s)
       val tol = 0.02
@@ -2162,6 +2177,22 @@ object SparkEntry {
         |  max(CASE WHEN vr = 1 + CAST(floor(0.9 * (n - 1)) AS BIGINT) THEN value END) AS p90_est,
         |  CAST(max(n) AS BIGINT) AS n_sample
         |FROM q GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // rebuild the 64×4 grid cell-for-cell from the same md5-slice buckets
+    // and take the same min — estimates match EXACTLY, unlike the HLL row
+    "agg_cm_counts" ->
+      """WITH g AS (SELECT CAST(user_id AS VARCHAR) AS item, count(*) AS c
+        |           FROM events GROUP BY 1),
+        |b AS (SELECT r, item, c,
+        |        ('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || item), 1, 13))::BIGINT % 64 AS bkt
+        |      FROM g, range(0, 4) rr(r)),
+        |cells AS (SELECT r, bkt, CAST(SUM(c) AS BIGINT) AS cell FROM b GROUP BY 1, 2)
+        |SELECT g.item AS item, CAST(MIN(cells.cell) AS BIGINT) AS est,
+        |  CAST(g.c AS BIGINT) AS exact
+        |FROM g JOIN b ON b.item = g.item
+        |JOIN cells ON cells.r = b.r AND cells.bkt = b.bkt
+        |GROUP BY g.item, g.c
+        |ORDER BY g.item""".stripMargin,
 
     // The oracle cannot reproduce Spark-side sketch values, so it checks the
     // deterministic tolerance flags: the Spark query emits 1 iff the sketch

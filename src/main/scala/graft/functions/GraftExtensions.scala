@@ -62,6 +62,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_bloom_contains", "graft_bloom_contains(filter, hash64) - membership probe"),
       (exprs: Seq[Expression]) => BloomMightContain(exprs.head, exprs(1))))
     e.injectFunction((
+      FunctionIdentifier("graft_cm_sketch"),
+      info("graft_cm_sketch", "graft_cm_sketch(item, weight[, width, depth]) - count-min sketch bytes"),
+      (exprs: Seq[Expression]) => CmSketchAgg(exprs(0), exprs(1),
+        if (exprs.size > 2) exprs(2).eval(null).asInstanceOf[Int] else 1024,
+        if (exprs.size > 3) exprs(3).eval(null).asInstanceOf[Int] else 4)))
+    e.injectFunction((
+      FunctionIdentifier("graft_cm_union"),
+      info("graft_cm_union", "graft_cm_union(sketch) - union of count-min sketches"),
+      (exprs: Seq[Expression]) => CmUnionAgg(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_cm_est"),
+      info("graft_cm_est", "graft_cm_est(sketch, item) - frequency estimate"),
+      (exprs: Seq[Expression]) => CmEstimate(exprs(0), exprs(1))))
+    e.injectFunction((
       FunctionIdentifier("graft_mg_sketch"),
       info("graft_mg_sketch", "graft_mg_sketch(col[, k]) - Misra-Gries heavy-hitter candidates"),
       (exprs: Seq[Expression]) => MgSketchAgg(exprs.head,

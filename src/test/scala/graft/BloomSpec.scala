@@ -68,6 +68,33 @@ class BloomSpec extends AnyFunSuite {
     assert(hits === users.count(), "every ingested user must probe true after the round trip")
   }
 
+  test("count-min never undercounts, is partition-invariant, and unions exactly") {
+    graft.functions.CmFunctions.register(spark)
+    import spark.implicits._
+    // zipf-ish weights so collisions matter: item i has weight i+1
+    val items = (0 until 500).map(i => (s"it$i", (i + 1).toLong))
+    val df = items.toDF("item", "c")
+    def sketchOf(d: org.apache.spark.sql.DataFrame): Array[Byte] =
+      d.agg(expr("graft_cm_sketch(item, c, 128, 4)")).head().getAs[Array[Byte]](0)
+    val sk = sketchOf(df)
+    // estimate >= exact, always; and the error respects the eps*N bound
+    val total = items.map(_._2).sum
+    val eps = math.E / 128
+    items.foreach { case (it, c) =>
+      val est = graft.functions.CmImpl.estimate(sk,
+        org.apache.spark.unsafe.types.UTF8String.fromString(it))
+      assert(est >= c, s"$it undercounted: $est < $c")
+      assert(est - c <= (3 * eps * total).toLong, s"$it error ${est - c} way past eps*N")
+    }
+    // repartitioning cannot move a byte (elementwise adds commute)
+    assert(sketchOf(df.repartition(7)).toSeq === sk.toSeq)
+    // per-part sketches union to the whole, byte for byte
+    val parts = df.withColumn("p", col("c") % 3)
+      .groupBy("p").agg(expr("graft_cm_sketch(item, c, 128, 4)").as("sk"))
+    val unioned = parts.agg(expr("graft_cm_union(sk)")).head().getAs[Array[Byte]](0)
+    assert(unioned.toSeq === sk.toSeq)
+  }
+
   test("bloom-prefiltered decontamination equals the exact join") {
     val docs = Tables.documents(spark, sf)
     val corpus = docs.filter(col("doc_id") >= 5)

@@ -33,7 +33,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_collocations",      // two single-row corpus-total broadcasts (Nt, Nb)
     "events_sliding_dau",     // single-row max-day cap broadcast
     "part_basket_lift",       // single-row global order-count broadcast
-    "agg_equidepth")          // single-row percentile-edges broadcast
+    "agg_equidepth",          // single-row percentile-edges broadcast
+    "agg_cm_counts")          // single-row count-min sketch broadcast
 
   for ((name, q) <- SparkEntry.queries) {
     test(s"$name: no unintended nested-loop or cartesian join") {
