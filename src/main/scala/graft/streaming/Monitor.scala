@@ -266,6 +266,46 @@ object Monitor {
       .agg(sum("n").as("n"), sum("sxy_micro").as("sxy_micro"))
       .orderBy("i", "j")
 
+  /** Maintained Count-Min log — approximate per-item frequencies current
+    * at the ingest door, at ONE binary row per micro-batch: each batch
+    * folds to its own CM sketch (`graft_cm_sketch` — cell merges are
+    * elementwise adds, so the batch sketch is partitioning-exact) and
+    * [[readCmSketch]] unions the rows into bytes IDENTICAL to sketching
+    * every row ever streamed in one pass. The log is O(batches) rows of
+    * O(width·depth) bytes regardless of stream volume — the cheapest
+    * maintained statistic here — and serves `graft_cm_est` probes
+    * directly (e.g. a hot-key detector feeding the salting/cap knobs).
+    */
+  def maintainCmSketch(stream: DataFrame, itemCol: Column,
+                       path: String, checkpoint: String,
+                       width: Int = 1024, depth: Int = 4,
+                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val spark = df.sparkSession
+        graft.functions.CmFunctions.register(spark)
+        df.toDF()
+          .select(itemCol.cast("string").as("item"))
+          .agg(expr(s"graft_cm_sketch(item, 1L, $width, $depth)").as("sk"))
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id")
+          .parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Merge-on-read of the [[maintainCmSketch]] log: one sketch,
+    * byte-equal to a single-pass sketch of the full streamed history.
+    */
+  def readCmSketch(spark: org.apache.spark.sql.SparkSession, path: String): Array[Byte] = {
+    graft.functions.CmFunctions.register(spark)
+    spark.read.parquet(path).drop("__batch_id")
+      .agg(expr("graft_cm_union(sk)")).head().getAs[Array[Byte]](0)
+  }
+
   /** Self-maintaining LSH band index: each micro-batch's documents land
     * their MinHash band rows in the parquet index [[nearDupStream]] and
     * `Dedup.lshCandidatesAgainst` join against — the ingest loop that

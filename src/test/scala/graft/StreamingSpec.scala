@@ -905,6 +905,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged() === direct, "replay must not change the merged gram")
   }
 
+  test("maintained count-min log unions to the single-pass sketch byte-for-byte") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    graft.functions.CmFunctions.register(spark)
+    val dir = Files.createTempDirectory("graft_cm").toString
+    val ckpt = Files.createTempDirectory("graft_cm_ck").toString
+    val all = sampleEvents
+    val input = MemoryStream[Ev]
+    all.grouped(40).foreach { chunk =>
+      input.addData(chunk: _*)
+      val q = Monitor.maintainCmSketch(input.toDF(), col("user_id"),
+        s"$dir/log", s"$ckpt/c1", width = 64)
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    val merged = Monitor.readCmSketch(spark, s"$dir/log")
+    val direct = all.toDF().select(col("user_id").cast("string").as("item"))
+      .agg(expr("graft_cm_sketch(item, 1L, 64, 4)")).head().getAs[Array[Byte]](0)
+    assert(merged.toSeq === direct.toSeq)
+    // probes off the log never undercount the true per-user frequency
+    val exact = all.groupBy(_.user_id).map { case (u, es) => u -> es.size.toLong }
+    exact.foreach { case (u, c) =>
+      val est = graft.functions.CmImpl.estimate(merged,
+        org.apache.spark.unsafe.types.UTF8String.fromString(u.toString))
+      assert(est >= c, s"user $u undercounted")
+    }
+    // replay with a fresh checkpoint rewrites batch 0 idempotently
+    val input2 = MemoryStream[Ev]
+    input2.addData(all.take(40): _*)
+    val q2 = Monitor.maintainCmSketch(input2.toDF(), col("user_id"),
+      s"$dir/log", s"$ckpt/c2", width = 64)
+    try q2.awaitTermination(120000) finally q2.stop()
+    assert(Monitor.readCmSketch(spark, s"$dir/log").toSeq === direct.toSeq,
+      "replay must not change the merged sketch")
+  }
+
   test("streaming funnel stage machine matches the batch window funnel") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
