@@ -872,6 +872,18 @@ object SparkEntry {
       TextAnalysis.assignSplit(Tables.documents(s, dir).select("doc_id"), "doc_id")
         .orderBy("doc_id")),
 
+    // RAG-style sliding-window chunking: 64-token windows every 32 —
+    // one scan, no shuffle, output ≈ 2× corpus tokens
+    "corpus_chunk_overlap" -> ((s, dir) =>
+      TextAnalysis.chunkOverlap(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // short→long length curriculum in 4 equal-count phases — ntile
+    // semantics via the distributed histogram-rank closed form
+    "corpus_curriculum" -> ((s, dir) =>
+      TextAnalysis.curriculum(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy("doc_id")),
@@ -2808,6 +2820,33 @@ object SparkEntry {
         |    + 0.5 * least(n_tokens / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))
         |    + 0.2 * (1.0 - abs((n_chars - n_tokens + 1) / n_tokens - 5) / 10) AS score
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // same whitespace tokenization as token_count; starts are integer
+    // multiples of the stride, the tail window runs short on both sides
+    "corpus_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id,
+        |             string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS toks
+        |           FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM t),
+        |c AS (SELECT doc_id, toks, n_tok,
+        |        unnest(generate_series(0,
+        |          CAST(greatest(ceil((n_tok - 64) / 32.0), 0) AS BIGINT) * 32, 32)) AS start
+        |      FROM n)
+        |SELECT doc_id, CAST(start // 32 AS BIGINT) AS chunk_id,
+        |  CAST(start AS BIGINT) AS start, n_tok,
+        |  CAST(least(64, n_tok - start) AS BIGINT) AS chunk_tokens,
+        |  array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // the oracle states the SEMANTICS as one ntile window; the Spark side
+    // reproduces it rank-for-rank from the length histogram
+    "corpus_curriculum" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT doc_id, n_tok,
+        |  CAST(ntile(4) OVER (ORDER BY n_tok, doc_id) AS INT) AS phase
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "token_count" ->
       """WITH t AS (SELECT doc_id, text, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm FROM documents)

@@ -459,6 +459,100 @@ object TextAnalysis {
       .orderBy("shard_id")
   }
 
+  /** Sliding-window chunking — the retrieval/pretraining step between
+    * cleaning and packing: each document becomes fixed-size windows of
+    * `window` whitespace tokens advancing by `stride` (overlap =
+    * window − stride keeps boundary-spanning context retrievable, the
+    * standard RAG indexing layout). Chunk starts are `0, stride,
+    * 2·stride, …` up to the last start that still begins inside the
+    * document; the final window may run short (no padding — the
+    * consumer pads or merges tails).
+    *
+    * Scale shape: one scan, no shuffle — tokenize, compute the start
+    * list per row (`sequence`), explode, slice. Output size is the only
+    * cost: ≈ window/stride × corpus tokens; chunk ids are derivable
+    * (`doc_id`, `start`), so downstream joins never need a global
+    * sequence. All integer arithmetic — both engines agree exactly.
+    */
+  def chunkOverlap(df: DataFrame, idCol: Column, textCol: Column,
+                   window: Int = 64, stride: Int = 32): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "need 1 <= stride <= window")
+    df.select(idCol.as("doc_id"), tokens(textCol).as("__toks"))
+      .withColumn("n_tok", size(col("__toks")).cast("long"))
+      .withColumn("start", explode(sequence(
+        lit(0L),
+        greatest(ceil((col("n_tok") - window).cast("double") / stride),
+          lit(0.0)).cast("long") * stride,
+        lit(stride.toLong))))
+      .select(
+        col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        col("start"), col("n_tok"),
+        least(lit(window.toLong), col("n_tok") - col("start")).as("chunk_tokens"),
+        array_join(slice(col("__toks"), (col("start") + 1).cast("int"), lit(window)), " ")
+          .as("chunk_text"))
+  }
+
+  /** Curriculum phase assignment — order the corpus easy→hard (here:
+    * short→long, the classic length curriculum) and cut it into
+    * `nPhases` equal-count stages, first phases taking the remainder —
+    * exactly SQL `ntile(nPhases) OVER (ORDER BY n_tok, doc_id)`, but
+    * computed WITHOUT a single-partition global window:
+    *
+    *   rank(doc) = (#docs with smaller n_tok)  — per-length counts +
+    *               one cumsum over the O(distinct lengths) histogram —
+    *             + (row_number among equal lengths, doc_id order),
+    *   phase     = the closed-form ntile of that rank.
+    *
+    * Scale shape: the histogram window touches O(distinct lengths)
+    * rows (lengths are a bounded domain — documented contract, same as
+    * [[ksDrift]]); the only per-doc window partitions BY length, so its
+    * shuffle is the corpus hashed on `n_tok`. If one length class
+    * dominates at extreme scale, pre-salt that partition with the
+    * [[packSequences]] bucket-offset machinery; the rank definition is
+    * unchanged. Pure integer arithmetic — engine-exact.
+    */
+  def curriculum(df: DataFrame, idCol: Column, textCol: Column,
+                 nPhases: Int = 4): DataFrame = {
+    require(nPhases >= 1, "nPhases must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.select(idCol.as("doc_id"),
+      size(tokens(textCol)).cast("long").as("n_tok"))
+    val hist = docs.groupBy("n_tok").agg(count(lit(1)).as("__c"))
+    val run = Window.orderBy("n_tok")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy("n_tok")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = hist
+      .withColumn("__below", sum(col("__c")).over(run) - col("__c"))
+      .withColumn("__total", sum(col("__c")).over(all))
+      .select(col("n_tok"), col("__below"), col("__total"))
+    val wInLen = Window.partitionBy("n_tok").orderBy("doc_id")
+    val ranked = docs
+      .withColumn("__r", row_number().over(wInLen).cast("long"))
+      .join(offsets, Seq("n_tok"))
+      .withColumn("__rank", col("__below") + col("__r"))
+    // ntile closed form: base = N div k docs per phase, the first N mod k
+    // phases hold one extra — identical to SQL ntile over the same total
+    // order. All `div` (integer) — `/` on longs would be double division.
+    // When k > N, base = 0 and every rank lands in the `cut` branch; the
+    // greatest() keeps the dead branch free of a div-by-zero under ANSI.
+    val base = expr(s"__total DIV $nPhases")
+    val rem = col("__total") % nPhases
+    val cut = rem * (base + 1) // docs living in the base+1-sized phases
+    ranked
+      .withColumn("__base", base)
+      .withColumn("__cut", cut)
+      .select(
+        col("doc_id"), col("n_tok"),
+        (when(col("__rank") <= col("__cut"),
+            expr("(__rank - 1) DIV (__base + 1)"))
+          .otherwise(rem +
+            expr("(__rank - 1 - __cut) DIV greatest(__base, 1L)")) + 1)
+          .cast("int").as("phase"))
+  }
+
   /** Content fingerprint: md5 of normalized text + 8-hex prefix for
     * cheap prefix-bucketing.
     */

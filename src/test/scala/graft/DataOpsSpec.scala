@@ -2064,4 +2064,57 @@ class DataOpsSpec extends AnyFunSuite {
     assert(!got.exists(_._2 == 9L), s"hub must not win a mutual pairing: $got")
     ops.Dedup.unpersistShared()
   }
+
+  test("chunk overlap tiles every doc: strided starts, exact windows, tail runs short") {
+    // hand-checkable shape first: 7 tokens, window 4, stride 2
+    val tiny = spark.createDataFrame(Seq((1L, "a b c d e f g"))).toDF("doc_id", "text")
+    val ch = TextAnalysis.chunkOverlap(tiny, col("doc_id"), col("text"), window = 4, stride = 2)
+      .orderBy("chunk_id").collect()
+    assert(ch.map(_.getAs[Long]("start")).toSeq === Seq(0L, 2L, 4L))
+    assert(ch.map(_.getAs[String]("chunk_text")).toSeq ===
+      Seq("a b c d", "c d e f", "e f g"))
+    assert(ch.map(_.getAs[Long]("chunk_tokens")).toSeq === Seq(4L, 4L, 3L))
+
+    // corpus-level invariants at the default 64/32 geometry
+    val out = TextAnalysis.chunkOverlap(docs, col("doc_id"), col("text"))
+    val perDoc = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), max("n_tok").as("n_tok"),
+        min("start").as("s0"), max("start").as("sMax"))
+      .collect()
+    assert(perDoc.nonEmpty)
+    perDoc.foreach { r =>
+      val n = r.getAs[Long]("n_tok")
+      val expected = math.ceil(math.max(n - 64L, 0L) / 32.0).toLong + 1L
+      assert(r.getAs[Long]("n_chunks") === expected, s"doc ${r.get(0)}")
+      assert(r.getAs[Long]("s0") === 0L)
+      assert(r.getAs[Long]("sMax") === (expected - 1L) * 32L)
+    }
+    // stride == window means zero overlap: chunks partition the tokens
+    val flat = TextAnalysis.chunkOverlap(docs, col("doc_id"), col("text"),
+        window = 32, stride = 32)
+      .groupBy("doc_id").agg(sum("chunk_tokens").as("tok_sum"), max("n_tok").as("n_tok"))
+    assert(flat.filter(col("tok_sum") =!= col("n_tok")).count() === 0)
+  }
+
+  test("distributed curriculum phases equal the single-window ntile definition") {
+    import org.apache.spark.sql.expressions.Window
+    val got = TextAnalysis.curriculum(docs, col("doc_id"), col("text"), nPhases = 4)
+    val want = docs
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("phase", ntile(4).over(Window.orderBy("n_tok", "doc_id")))
+    assert(got.join(want.withColumnRenamed("phase", "want_phase"), Seq("doc_id", "n_tok"))
+      .filter(col("phase") =!= col("want_phase")).count() === 0)
+    // equal-count stages: phase sizes differ by at most one
+    val sizes = got.groupBy("phase").count().collect().map(_.getAs[Long]("count"))
+    assert(sizes.length === 4 && sizes.max - sizes.min <= 1)
+    // monotone: every doc in a later phase is at least as long
+    val bounds = got.groupBy("phase")
+      .agg(min("n_tok").as("lo"), max("n_tok").as("hi"))
+      .orderBy("phase").collect()
+    bounds.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"))
+      case _ =>
+    }
+  }
 }
