@@ -101,6 +101,32 @@ class PlanAuditSpec extends AnyFunSuite {
       s"more key exchanges than window+agg need:\n$plan")
   }
 
+  test("chunk overlap is one scan with no exchange before the presentation sort") {
+    // the op's contract: tokenize + explode + slice, map-side only — a
+    // hash exchange or a wider scan schema breaks the zero-shuffle claim
+    val plan = graft.ops.TextAnalysis.chunkOverlap(
+        Tables.documents(spark, sf), org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"chunking plans a hash exchange it should not need:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"chunking reads more than (doc_id, text):\n$plan")
+  }
+
+  test("curriculum shuffles per-doc rows only on the length key") {
+    // the per-doc window must partition by n_tok (bounded-domain key);
+    // a single-partition global window would be the scale regression
+    val plan = SparkEntry.queries("corpus_curriculum")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(n_tok"),
+      s"curriculum lost its per-length window partitioning:\n$plan")
+    // the phase must come from the closed-form rank arithmetic — Spark's
+    // own ntile would mean a single-partition window over every doc
+    assert(!plan.contains("ntile"),
+      s"curriculum regressed to a global ntile window:\n$plan")
+  }
+
   test("seasonal profile broadcasts the per-series means back") {
     val plan = SparkEntry.queries("ts_seasonal_profile")(spark, sf)
       .queryExecution.executedPlan.toString
