@@ -786,6 +786,36 @@ object ScaleSmoke {
     // DSIR scoring is two token-scale passes with an O(buckets)
     // broadcast between them — throughput-linear by construction; the
     // audit runs 1M docs and checks every doc scores exactly once.
+    // chunking at 1M docs × ~200 tokens: output is the only cost
+    // (window/stride ≈ 2× token volume); zero shuffles regardless of
+    // corpus size, so throughput must track the scan, not the doc count
+    time("chunk_overlap_1m_docs") {
+      val wide = spark.range(1000000L).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", expr("transform(sequence(0, 199), i ->" +
+          " concat('t', pmod(xxhash64(id, i), 5000)))")).as("text"))
+      val out = graft.ops.TextAnalysis.chunkOverlap(wide, col("doc_id"), col("text"))
+      val stats = out.agg(count(lit(1)).as("n"), sum("chunk_tokens").as("tok")).head()
+      // 200 tokens, window 64 / stride 32 → ceil(136/32)+1 = 6 chunks/doc
+      require(stats.getLong(0) == 6000000L,
+        s"chunk fan-out drifted: ${stats.getLong(0)} (expect 6M)")
+    }
+
+    // curriculum at 1M docs with a DEGENERATE length domain (every doc
+    // one of 8 lengths — 125k docs share each length class): the
+    // histogram window sees 8 rows; the per-length row_number windows
+    // carry 125k-row partitions. The phase census must still be exact.
+    time("curriculum_1m_docs_8_lengths") {
+      val wide = spark.range(1000000L).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", expr("transform(sequence(0, cast(pmod(id, 8) as int) + 4), i ->" +
+          " concat('t', pmod(xxhash64(id, i), 500)))")).as("text"))
+      val phases = graft.ops.TextAnalysis.curriculum(wide, col("doc_id"), col("text"))
+        .groupBy("phase").count().orderBy("phase").collect()
+      require(phases.length == 4 && phases.forall(_.getLong(1) == 250000L),
+        s"phases must split 1M docs 250k each: ${phases.mkString(",")}")
+    }
+
     time("dsir_weights_1m_docs") {
       val docs = spark.range(1000000L).select(
         col("id").as("doc_id"),
