@@ -742,6 +742,11 @@ object SparkEntry {
     "emb_dim_stats" -> ((s, dir) =>
       Similarity.dimProfile(Tables.embeddings(s, dir))),
 
+    // bottom-10%-per-cell centroid-cosine outliers — integer rank
+    // threshold per cell, so dense cells can't drown sparse ones
+    "emb_cell_outliers" -> ((s, dir) =>
+      Similarity.cellOutliers(Tables.embeddings(s, dir))),
+
     // top principal direction by 12 fixed-point power iterations on the
     // Gram matrix — every intermediate is re-quantized to integer milli,
     // so the whole trajectory (converged or not) is a deterministic
@@ -2731,6 +2736,27 @@ object SparkEntry {
         |      FROM sc JOIN n n1 ON n1.vec_id = query_id JOIN n n2 ON n2.vec_id = neighbor_id)
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // the IVF nearest-cell CTEs, cosine micro-rounded BEFORE the per-cell
+    // rank — the flag itself is pure integer arithmetic on both engines
+    "emb_cell_outliers" ->
+      """WITH v AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+        |           FROM embeddings, range(1, 65) r(i)),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY 1),
+        |cd AS (SELECT a.vec_id, c.vec_id AS cell, sum(a.x * c.x) AS dot
+        |       FROM v a JOIN v c ON a.d = c.d AND c.vec_id < 8 GROUP BY 1, 2),
+        |cr AS (SELECT cd.vec_id, cell, dot / (n1.nrm * n2.nrm) AS cos,
+        |         row_number() OVER (PARTITION BY cd.vec_id
+        |           ORDER BY dot / (n1.nrm * n2.nrm) DESC, cell) AS cell_rank
+        |       FROM cd JOIN n n1 ON n1.vec_id = cd.vec_id JOIN n n2 ON n2.vec_id = cell),
+        |a AS (SELECT vec_id, cell, CAST(round(cos * 1000000.0) AS BIGINT) AS cos_micro
+        |      FROM cr WHERE cell_rank = 1),
+        |r AS (SELECT vec_id, cell, cos_micro,
+        |        CAST(row_number() OVER (PARTITION BY cell ORDER BY cos_micro, vec_id) AS BIGINT) AS r,
+        |        count(*) OVER (PARTITION BY cell) AS cnt
+        |      FROM a)
+        |SELECT cell, vec_id, cos_micro, r FROM r WHERE r * 1000 <= cnt * 100
+        |ORDER BY cell, r""".stripMargin,
 
     // the lsh oracle's hyperplane CTE with the sign NOT taken: per-term
     // micro rounding, integer sums

@@ -236,6 +236,37 @@ object Similarity {
       .orderBy(col("cell"), col("rank"))
   }
 
+  /** Per-cell embedding outliers — the curation sweep that catches
+    * mislabeled, corrupted, or off-manifold vectors BEFORE they pollute
+    * dedup thresholds and retrieval quality: assign every vector to its
+    * nearest coarse cell ([[ivfAssign]]), micro-round the cosine to its
+    * own centroid, and flag the bottom `permille`‰ of each cell by exact
+    * integer rank (rank·1000 ≤ cellCount·permille — no float quantile
+    * estimation, no global threshold that a dense cell would drown out).
+    * A vector far from EVERY centroid is precisely a vector far from its
+    * best one, so one assignment pass suffices.
+    *
+    * Scale shape: the assignment is a broadcast-centroid scan; the flag
+    * is one per-cell window (the [[clusterSample]] caveat applies — with
+    * a huge corpus raise kCells via [[kmeansCentroids]] so the window
+    * fans out). Integer epilogue → engine-exact.
+    */
+  def cellOutliers(emb: DataFrame, kCells: Int = 8, permille: Int = 100,
+                   centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    require(permille >= 0 && permille <= 1000, "permille in [0, 1000]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy(col("cos_micro"), col("vec_id"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+    ivfAssign(emb, kCells, centroids = centroids)
+      .filter(col("cell_rank") === 1)
+      .withColumn("cos_micro", expr("cast(round(cell_cos * 1000000.0D) as bigint)"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(wc))
+      .filter(col("r") * 1000 <= col("cnt") * permille)
+      .select(col("cell"), col("vec_id"), col("cos_micro"), col("r"))
+      .orderBy(col("cell"), col("r"))
+  }
+
   /** IVF ANN: score only candidates whose cell is among the query's
     * `nprobe` nearest cells. Probe cost ≈ corpus · nprobe / kCells per
     * query instead of the full corpus. `centroids` switches both sides to

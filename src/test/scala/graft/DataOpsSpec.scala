@@ -2065,6 +2065,33 @@ class DataOpsSpec extends AnyFunSuite {
     ops.Dedup.unpersistShared()
   }
 
+  test("cell outliers flag the planted off-manifold vector, per cell, bottom decile") {
+    import spark.implicits._
+    // 2 tight clusters in 8 dims (ids laid out so first-2 = one centroid
+    // each) + one planted junk vector near the equidistant diagonal
+    val n = 40
+    val vecs = ((0L until n).map { id =>
+      val c = (id % 2).toInt
+      val v = Array.tabulate(8) { d =>
+        val jitter = ((id * 13 + d * 5) % 89).toFloat / 89f * 0.05f
+        (if (d == c) 1f else 0f) + jitter
+      }
+      (id, v.toSeq)
+    } :+ (99L, Array.tabulate(8)(d => if (d >= 6) 1f else 0.1f).toSeq))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cellOutliers(vecs, kCells = 2, permille = 100).collect()
+    // the junk vector must be flagged and hold its cell's WORST rank (r=1)
+    val junk = out.filter(_.getAs[Long]("vec_id") == 99L)
+    assert(junk.length === 1, s"planted outlier must be flagged: ${out.mkString(",")}")
+    assert(junk.head.getAs[Long]("r") === 1L)
+    // decile bound: ≤ 10% of each cell may be flagged
+    val assigned = Similarity.ivfAssign(vecs, 2).filter(col("cell_rank") === 1)
+      .groupBy("cell").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.groupBy(_.getAs[Long]("cell")).foreach { case (cell, rows) =>
+      assert(rows.length * 1000 <= assigned(cell) * 100 + 1000, s"cell $cell over-flagged")
+    }
+  }
+
   test("chunk overlap tiles every doc: strided starts, exact windows, tail runs short") {
     // hand-checkable shape first: 7 tokens, window 4, stride 2
     val tiny = spark.createDataFrame(Seq((1L, "a b c d e f g"))).toDF("doc_id", "text")
