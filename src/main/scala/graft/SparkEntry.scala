@@ -653,6 +653,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // fuzzy decontamination: LSH cross-frame candidates + integer
+    // signature-agreement verdict — catches paraphrased eval leakage the
+    // exact 13-gram rule misses
+    "corpus_decontaminate_fuzzy" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationFuzzy(docs.filter(col("doc_id") >= 50), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") < 50), col("doc_id"), col("text"))
+        .orderBy("doc_id", "bench_id")
+    }),
+
     // same answer through the broadcast-Bloom prefilter (map-side probe in
     // codegen, only matches + fpp-sliver shuffle; confirm join restores
     // exactness) — the shape that survives a 10¹²-gram corpus
@@ -2332,6 +2342,27 @@ object SparkEntry {
         |FROM cand
         |JOIN mh m1 ON m1.doc_id = id1 JOIN mh m2 ON m2.doc_id = id2 AND m1.j = m2.j
         |GROUP BY id1, id2 ORDER BY id1, id2""".stripMargin,
+
+    // the minhash-estimate CTE chain restricted to cross-boundary
+    // candidate pairs; the verdict is the integer component count
+    "corpus_decontaminate_fuzzy" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        |       FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |mh AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS h
+        |       FROM sh, range(0, 16) t(j) GROUP BY doc_id, j),
+        |band AS (SELECT doc_id, j // 4 AS band, md5(string_agg(h, '|' ORDER BY j)) AS bh
+        |         FROM mh GROUP BY doc_id, j // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS bench_id
+        |         FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh
+        |         WHERE a.doc_id >= 50 AND b.doc_id < 50),
+        |m AS (SELECT train_id AS doc_id, bench_id,
+        |        CAST(sum(CASE WHEN m1.h = m2.h THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+        |      FROM cand JOIN mh m1 ON m1.doc_id = train_id
+        |      JOIN mh m2 ON m2.doc_id = bench_id AND m1.j = m2.j
+        |      GROUP BY 1, 2)
+        |SELECT doc_id, bench_id, n_match FROM m WHERE n_match >= 8
+        |ORDER BY doc_id, bench_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS hash,

@@ -239,6 +239,40 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** FUZZY benchmark decontamination — [[contamination]]'s exact n-gram
+    * rule misses paraphrased or lightly-edited eval leakage; this flags
+    * training docs whose MinHash signature agrees with any benchmark doc
+    * on ≥ `minMatches` of `numHashes` components (est. Jaccard ≥
+    * minMatches/numHashes). Candidates come from the cross-frame LSH
+    * band join ([[lshCandidatesAgainst]]) — never an all-pairs scan —
+    * and the verdict is an INTEGER component count, engine-exact.
+    *
+    * Scale shape: the benchmark side (eval suites: 10⁴–10⁶ docs) banks
+    * its bands and signatures once; the corpus pays one signature pass
+    * and a band equality join shuffling O(corpus bands + collisions).
+    * The bench signature join-back broadcasts. Returns (doc_id,
+    * bench_id, n_match) for flagged pairs; anti-join on doc_id for the
+    * clean corpus.
+    */
+  def contaminationFuzzy(df: DataFrame, idCol: Column, textCol: Column,
+                         bench: DataFrame, benchIdCol: Column, benchTextCol: Column,
+                         minMatches: Int = 8, numHashes: Int = 16,
+                         bands: Int = 4): DataFrame = {
+    require(minMatches >= 1 && minMatches <= numHashes)
+    val benchBands = lshBands(bench, benchIdCol, benchTextCol, numHashes, bands)
+    val cands = lshCandidatesAgainst(df, idCol, textCol, benchBands, numHashes, bands)
+      .select(col("new_id").as("doc_id"), col("indexed_id").as("bench_id"))
+    val sig1 = minhash(df, idCol, textCol, numHashes)
+      .select(col("doc_id"), col("sig").as("sig1"))
+    val sig2 = minhash(bench, benchIdCol, benchTextCol, numHashes)
+      .select(col("doc_id").as("bench_id"), col("sig").as("sig2"))
+    cands.join(sig1, "doc_id").join(broadcast(sig2), "bench_id")
+      .select(col("doc_id"), col("bench_id"),
+        expr("cast(size(filter(zip_with(sig1, sig2, (x, y) -> x = y), b -> b)) as bigint)")
+          .as("n_match"))
+      .filter(col("n_match") >= minMatches)
+  }
+
   /** Distinct shingles per doc as one array row (input to MinHash). */
   def shingleArrays(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     GraftFunctions.register(df.sparkSession)

@@ -2065,6 +2065,28 @@ class DataOpsSpec extends AnyFunSuite {
     ops.Dedup.unpersistShared()
   }
 
+  test("fuzzy decontamination flags the paraphrased leak the exact rule misses") {
+    import spark.implicits._
+    val benchText = (0 until 80).map(i => s"tok$i").mkString(" ")
+    // paraphrase: swap every 13th word so no clean 13-word run survives
+    // (max run = 12), but ~78% of 3-word shingles still match
+    val leakText = (0 until 80)
+      .map(i => if (i % 13 == 6) s"swap$i" else s"tok$i").mkString(" ")
+    val bench = Seq((1L, benchText)).toDF("doc_id", "text")
+    val train = Seq((100L, leakText), (101L, (50 until 130).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val exact = Dedup.contamination(train, col("doc_id"), col("text"),
+      bench, col("doc_id"), col("text"), nGram = 13)
+    assert(!exact.collect().map(_.getLong(0)).contains(100L),
+      "the paraphrase must evade the exact 13-gram rule for this test to bite")
+    val fuzzy = Dedup.contaminationFuzzy(train, col("doc_id"), col("text"),
+      bench, col("doc_id"), col("text")).collect()
+    assert(fuzzy.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((100L, 1L)),
+      s"fuzzy must flag exactly the planted leak: ${fuzzy.mkString(",")}")
+    assert(fuzzy.head.getAs[Long]("n_match") >= 8L)
+    Dedup.unpersistShared()
+  }
+
   test("cell outliers flag the planted off-manifold vector, per cell, bottom decile") {
     import spark.implicits._
     // 2 tight clusters in 8 dims (ids laid out so first-2 = one centroid
