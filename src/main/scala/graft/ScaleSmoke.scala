@@ -786,6 +786,39 @@ object ScaleSmoke {
     // DSIR scoring is two token-scale passes with an O(buckets)
     // broadcast between them — throughput-linear by construction; the
     // audit runs 1M docs and checks every doc scores exactly once.
+    // fuzzy decontamination at 100k train docs vs a 1k bench set with
+    // 500 planted paraphrases (every 26th of 80 words swapped → J ≈ 0.79,
+    // invisible to the exact rule): the bench side banks bands+signatures
+    // once and broadcasts. Banding is probabilistic BY CONTENT — at the
+    // default 4 bands × 4 rows a J=0.79 pair collides with P ≈ 0.84, so
+    // the smoke runs 8 bands × 2 rows (P_miss = (1−J²)⁸ ≈ 4·10⁻⁴; the
+    // knob every banded-LSH deployment tunes to its target J). Expect
+    // ≥ 498/500 leaks flagged and zero non-leak collisions.
+    time("fuzzy_decontam_100k_vs_1k") {
+      def text(seedSql: String, paraphrase: Boolean) = {
+        val tok =
+          if (paraphrase) "if(i % 26 = 6, concat('s', pmod(xxhash64(id, i), 50000))," +
+            s" concat('b', pmod(xxhash64($seedSql, i), 50000)))"
+          else s"concat('b', pmod(xxhash64($seedSql, i), 50000))"
+        expr(s"array_join(transform(sequence(0, 79), i -> $tok), ' ')")
+      }
+      val bench = spark.range(1000L).select(col("id").as("doc_id"),
+        text("id", paraphrase = false).as("text"))
+      val train = spark.range(100000L).select((col("id") + 1000L).as("doc_id"),
+        when(col("id") < 500L, text("pmod(id, 1000)", paraphrase = true))
+          .otherwise(expr("array_join(transform(sequence(0, 79), i ->" +
+            " concat('c', pmod(xxhash64(id + 7, i), 50000))), ' ')")).as("text"))
+      val flagged = graft.ops.Dedup.contaminationFuzzy(
+        train, col("doc_id"), col("text"), bench, col("doc_id"), col("text"),
+        minMatches = 8, numHashes = 16, bands = 8)
+      val leaks = flagged.filter(col("doc_id") < 1500L).select("doc_id").distinct().count()
+      val noise = flagged.filter(col("doc_id") >= 1500L).count()
+      graft.ops.Dedup.unpersistShared()
+      require(leaks >= 498L, s"paraphrase recall collapsed: $leaks/500 flagged")
+      require(noise == 0L, s"non-leak corpus must not be flagged, got $noise")
+      println(s"[scale]   leaks flagged: $leaks/500, non-leak collisions: $noise")
+    }
+
     // chunking at 1M docs × ~200 tokens: output is the only cost
     // (window/stride ≈ 2× token volume); zero shuffles regardless of
     // corpus size, so throughput must track the scan, not the doc count
