@@ -374,4 +374,37 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("chunkOverlap: token coverage, multiplicity bound, and stride-window reconstruction") {
+    import graft.ops.TextAnalysis
+    val docGen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.choose(0, 999)).map(_.map(t => s"t$t")),
+      Gen.choose(1, 12)).flatMap { case (toks, stride) =>
+        Gen.choose(stride, 16).map(window => (toks, window, stride)) }
+    forAll(docGen, n = 10) { case (toks: List[String], window: Int, stride: Int) =>
+      val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val chunks = TextAnalysis.chunkOverlap(df, col("doc_id"), col("text"), window, stride)
+        .orderBy("chunk_id").collect()
+      val n = toks.length
+      // every token index is covered, and no index appears in more than
+      // ceil(window/stride) chunks
+      val covered = Array.fill(n)(0)
+      chunks.foreach { r =>
+        val s = r.getAs[Long]("start").toInt
+        val got = r.getAs[String]("chunk_text")
+        val want = toks.slice(s, s + window).mkString(" ")
+        assert(got === want, s"window at $s mismatch (w=$window, s=$stride)")
+        (s until math.min(s + window, n)).foreach(covered(_) += 1)
+      }
+      assert(covered.forall(_ >= 1), s"uncovered token (n=$n, w=$window, s=$stride)")
+      val maxMult = (window + stride - 1) / stride
+      assert(covered.forall(_ <= maxMult),
+        s"multiplicity ${covered.max} > $maxMult (n=$n, w=$window, s=$stride)")
+      // stride == window: concatenation reconstructs the document
+      val flat = TextAnalysis.chunkOverlap(df, col("doc_id"), col("text"), window, window)
+        .orderBy("chunk_id").collect().map(_.getAs[String]("chunk_text"))
+        .filter(_.nonEmpty).mkString(" ")
+      assert(flat === toks.mkString(" "))
+    }
+  }
 }
