@@ -27,6 +27,18 @@ object VectorOpsImpl {
     }
     acc
   }
+
+  def l2sq(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
 }
 
 case class DotDouble(left: Expression, right: Expression) extends BinaryExpression {
@@ -48,6 +60,33 @@ case class DotDouble(left: Expression, right: Expression) extends BinaryExpressi
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOpsImpl.dot($a, $b)")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotDouble =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_l2sq(a, b)`: squared L2 distance as the same sequential double
+  * fold the `aggregate(zip_with(...))` spelling performs — bit-identical,
+  * but one static call inside whole-stage codegen instead of two
+  * interpreted lambdas per term (the PQ encode/ADC hot loop).
+  */
+case class L2SqDouble(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l2sq"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_l2sq requires two array<double>, got ${l.catalogString}, ${r.catalogString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOpsImpl.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOpsImpl.l2sq($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): L2SqDouble =
     copy(left = newLeft, right = newRight)
 }
 
@@ -142,6 +181,8 @@ object VectorFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotDouble(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_l2sq", exprs => L2SqDouble(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jlproject", exprs => JlProject(exprs(0), exprs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

@@ -485,6 +485,7 @@ object Similarity {
     */
   def pqEncode(emb: DataFrame, codebook: DataFrame, m: Int = 4,
                dims: Int = 64): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
     val sub = dims / m
     Dedup.spread(emb)
       .select(col("vec_id"),
@@ -495,8 +496,7 @@ object Similarity {
       .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("sv"))
       .join(broadcast(codebook), "s")
       .withColumn("dm", expr(
-        "cast(round(aggregate(zip_with(sv, cvec, (x, y) -> (x - y) * (x - y)), 0.0D," +
-          " (acc, z) -> acc + z) * 1000000.0D) as bigint)"))
+        "cast(round(graft_l2sq(sv, cvec) * 1000000.0D) as bigint)"))
       .groupBy(col("vec_id"), col("s"))
       .agg(min(struct(col("dm"), col("j"))).getField("j").as("code"))
   }
@@ -533,6 +533,7 @@ object Similarity {
     */
   private def pqQueryTable(queries: DataFrame, codebook: DataFrame,
                            m: Int, dims: Int): DataFrame = {
+    VectorFunctions.register(queries.sparkSession)
     val sub = dims / m
     Dedup.spread(queries)
       .select(col("vec_id").as("query_id"),
@@ -543,8 +544,7 @@ object Similarity {
       .select(col("query_id"), col("e.s").as("s"), col("e.sv").as("sv"))
       .join(broadcast(codebook), "s")
       .withColumn("dm", expr(
-        "cast(round(aggregate(zip_with(sv, cvec, (x, y) -> (x - y) * (x - y)), 0.0D," +
-          " (acc, z) -> acc + z) * 1000000.0D) as bigint)"))
+        "cast(round(graft_l2sq(sv, cvec) * 1000000.0D) as bigint)"))
       .select(col("query_id"), col("s"), col("j").as("code"), col("dm"))
   }
 
