@@ -169,17 +169,19 @@ object TextAnalysis {
     * duplicated word n-grams within the document. High ratio → boilerplate
     * or degenerate repetition. Pure array expressions, one scan.
     */
-  def repetitionScore(df: DataFrame, idCol: Column, textCol: Column, n: Int = 3): DataFrame =
+  def repetitionScore(df: DataFrame, idCol: Column, textCol: Column, n: Int = 3): DataFrame = {
+    // n_grams is pure arithmetic (size − n + 1) and n_distinct is the
+    // native one-pass graft_shingles — value-identical to the
+    // transform+array_distinct spelling, minus its interpreted lambdas
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(idCol.as("doc_id"), tokens(textCol).as("words"))
       .filter(size(col("words")) >= n)
       .select(col("doc_id"),
-        expr(s"transform(sequence(0, size(words)-$n), i -> " +
-          s"concat_ws(' ', slice(words, i+1, $n)))").as("grams"))
-      .select(col("doc_id"),
-        size(col("grams")).cast("long").as("n_grams"),
-        size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
+        (size(col("words")) - (n - 1)).cast("long").as("n_grams"),
+        expr(s"cast(size(graft_shingles(words, $n)) as bigint)").as("n_distinct"))
       .withColumn("rep_ratio",
         (col("n_grams") - col("n_distinct")) / col("n_grams"))
+  }
 
   /** Composite quality gate — the keep/drop decision that ends a curation
     * pipeline, with an auditable reason bitmask per document (bit0 too
@@ -197,16 +199,17 @@ object TextAnalysis {
                   minStopPermille: Long = 30L, minLmMicro: Long = 32000L,
                   cache: Boolean = true): DataFrame = {
     val n = 3
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val base = df.select(idCol.as("doc_id"), tokens(textCol).as("words"))
       .select(col("doc_id"),
         size(col("words")).cast("long").as("n_tokens"),
         size(filter(col("words"), t => t.isin(Stopwords.map(lit): _*)))
           .cast("long").as("n_stop"),
-        expr(s"CASE WHEN size(words) >= $n THEN transform(sequence(0, size(words) - $n)," +
-          s" i -> concat_ws(' ', slice(words, i + 1, $n))) ELSE array() END").as("grams"))
-      .select(col("doc_id"), col("n_tokens"), col("n_stop"),
-        size(col("grams")).cast("long").as("n_grams"),
-        size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
+        // arithmetic gram count + native distinct count (see
+        // [[repetitionScore]]) — graft_shingles is empty below n tokens,
+        // matching the CASE WHEN ... ELSE array() spelling
+        greatest(size(col("words")) - (n - 1), lit(0)).cast("long").as("n_grams"),
+        expr(s"cast(size(graft_shingles(words, $n)) as bigint)").as("n_distinct"))
     base.join(lmScore(df, idCol, textCol, cache).select("doc_id", "lm_micro"),
         Seq("doc_id"), "left")
       .select(col("doc_id"),
