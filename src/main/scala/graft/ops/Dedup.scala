@@ -706,10 +706,15 @@ object Dedup {
     val base = df.select(idCol.as("id"),
         substring(graft.ops.TextAnalysis.normalize(textCol), 1, prefixLen).as("pfx"))
       .withColumn("blk", expr(s"substring_index(pfx, ' ', $blockWords)"))
+    // |len(a) − len(b)| is a Levenshtein lower bound — a free join-side
+    // prune before any DP; the surviving pairs run the THRESHOLDED
+    // levenshtein (banded O(maxDist·len) instead of the full len² table,
+    // −1 past the band — same distances for every emitted pair).
     base.as("a").join(base.as("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .withColumn("dist", levenshtein(col("a.pfx"), col("b.pfx")))
-      .filter(col("dist") <= maxDist)
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
+          abs(length(col("a.pfx")) - length(col("b.pfx"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("a.pfx"), col("b.pfx"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("a.id").as("id1"), col("b.id").as("id2"), col("dist"))
   }
 }
