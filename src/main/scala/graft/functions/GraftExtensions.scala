@@ -35,6 +35,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_dot", "graft_dot(array<double>, array<double>) - dot product"),
       (exprs: Seq[Expression]) => DotDouble(exprs(0), exprs(1))))
     e.injectFunction((
+      FunctionIdentifier("graft_l2sq"),
+      info("graft_l2sq", "graft_l2sq(array<double>, array<double>) - squared L2 distance"),
+      (exprs: Seq[Expression]) => L2SqDouble(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_jlproject"),
+      info("graft_jlproject",
+        "graft_jlproject(array<float|double>, planes) - micro-rounded JL projections"),
+      (exprs: Seq[Expression]) => JlProject(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int])))
+    e.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      info("graft_shingles", "graft_shingles(array<string>, n) - distinct word n-gram shingles"),
+      (exprs: Seq[Expression]) => WordShingles(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int])))
+    e.injectFunction((
       FunctionIdentifier("graft_char_ssq"),
       info("graft_char_ssq", "graft_char_ssq(string) - sum of squared code-point counts"),
       (exprs: Seq[Expression]) => CharSsq(exprs.head)))

@@ -637,6 +637,10 @@ class DataOpsSpec extends AnyFunSuite {
 
   test("GraftExtensions exposes native functions to plain SQL sessions") {
     import org.apache.spark.sql.SparkSession
+    // materialize the shared lazy session BEFORE clearing: run in
+    // isolation, a not-yet-created TestSession.spark would otherwise be
+    // created inside the finally and alias s2
+    spark.sparkContext
     // force a genuinely new session: getOrCreate would return the shared
     // test session (where other specs registered the same names)
     SparkSession.clearActiveSession()
@@ -674,6 +678,16 @@ class DataOpsSpec extends AnyFunSuite {
       "SELECT graft_mg_sketch(CAST(id % 3 AS STRING), 8) AS c FROM range(30)")
       .collect()(0).getSeq[String](0)
     assert(mg.toSet === Set("0", "1", "2"))
+
+    // the vector kernels and shingles are injected too
+    val vec = s2.sql(
+      """SELECT graft_l2sq(array(1.0D, 2.0D), array(3.0D, 5.0D)) AS d2,
+        |       graft_shingles(array('a', 'b', 'c'), 2) AS sh,
+        |       graft_jlproject(array(CAST(1.0 AS FLOAT)), 2) AS jl""".stripMargin)
+      .collect()(0)
+    assert(vec.getDouble(0) === 13.0)
+    assert(vec.getSeq[String](1) === Seq("a b", "b c"))
+    assert(vec.getSeq[Long](2).length === 2)
   }
 
   test("contamination flags exactly the docs sharing an n-gram with the benchmark") {
