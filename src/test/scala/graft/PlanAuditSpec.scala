@@ -19,6 +19,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_ivf_topk",           // broadcast of the (tiny) centroid table
     "dedup_semantic",         // same ivfAssign centroid broadcast
     "emb_cluster_sample",     // same ivfAssign centroid broadcast
+    "emb_cell_outliers",      // same ivfAssign centroid broadcast
     "ann_ivfpq_topk",         // same ivfAssign centroid broadcast (both sides)
     "q22_idle_balances",      // single-row scalar-threshold broadcast
     "q11_nation_concentration", // single-row global-total broadcast (Q11 HAVING)
