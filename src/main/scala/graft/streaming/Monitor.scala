@@ -429,6 +429,55 @@ object Monitor {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(Seq("new_id", "indexed_id"))
 
+  /** Ingest-time FUZZY benchmark decontamination — the streaming twin of
+    * `Dedup.contaminationFuzzy`: every arriving document's LSH bands
+    * probe the benchmark's persisted band table, and band collisions are
+    * confirmed by the integer MinHash component-agreement verdict
+    * (n_match ≥ minMatches of numHashes) against the bench signature
+    * table — a leaked eval doc is flagged BEFORE it lands in training
+    * storage. Both bench tables are static (band table from
+    * `Dedup.lshBands`, signatures from `Dedup.minhash`, banked once —
+    * eval suites are small, the joins broadcast), so the whole pipeline
+    * is a stateless stream-static join; the only state is the
+    * watermark-bounded replay dedup, O(flags per horizon). Emits
+    * (doc_id, bench_id, n_match, ts) with the SAME verdict rows as the
+    * batch operator on the same documents (spec-checked).
+    */
+  def decontaminateStream(stream: DataFrame, idCol: Column, textCol: Column,
+                          tsCol: String, benchBands: DataFrame,
+                          benchSigs: DataFrame, minMatches: Int = 8,
+                          numHashes: Int = 16, bands: Int = 4,
+                          watermarkDelay: String = "10 minutes"): DataFrame = {
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    val rowsPerBand = numHashes / bands
+    val words = graft.ops.TextAnalysis.tokens(textCol)
+    // lshBandsKeeping's shape with the signature RETAINED — the verdict
+    // needs it after the band join, and recomputing it post-join would
+    // shingle every collision twice
+    val banded = stream
+      .select(idCol.as("doc_id"), col(tsCol), words.as("words"))
+      .filter(size(col("words")) >= 3)
+      .withColumn("sig", expr(s"graft_minhash(graft_shingles(words, 3), $numHashes)"))
+      .select(col("doc_id"), col(tsCol), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bh",
+        md5(concat_ws("|", expr(s"slice(sig, band * $rowsPerBand + 1, $rowsPerBand)"))))
+    banded.as("a")
+      .join(benchBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col(s"a.$tsCol").as(tsCol),
+        col("a.sig").as("sig"), col("b.doc_id").as("bench_id"))
+      .join(broadcast(benchSigs.select(col("doc_id").as("bench_id"), col("sig").as("bsig"))),
+        "bench_id")
+      .withColumn("n_match",
+        expr("cast(size(filter(zip_with(sig, bsig, (x, y) -> x = y), b -> b)) as bigint)"))
+      .filter(col("n_match") >= minMatches)
+      .select(col("doc_id"), col("bench_id"), col("n_match"), col(tsCol))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("doc_id", "bench_id"))
+  }
+
   /** Ingest-time SEMANTIC near-dup detection: each arriving embedding's
     * SRP bucket probes a persisted corpus index (`Similarity.srpIndex`),
     * bucket-mates are exact-scored with `graft_dot`, and pairs at rounded

@@ -325,6 +325,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 2L), "a novel doc must not be flagged")
   }
 
+  test("streaming decontamination flags the paraphrased leak with the batch verdict") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val benchText = (0 until 80).map(i => s"tok$i").mkString(" ")
+    val bench = Seq((1L, benchText)).toDF("doc_id", "text")
+    val benchBands = ops.Dedup.lshBands(bench, col("doc_id"), col("text"))
+    val benchSigs = ops.Dedup.minhash(bench, col("doc_id"), col("text"), 16)
+    val t0 = 1700000000000L
+    // doc 100 = the paraphrase (every 13th word swapped — the batch
+    // fuzzy spec's fixture); doc 101 shares nothing with the bench
+    val leak = (0 until 80).map(i => if (i % 13 == 6) s"swap$i" else s"tok$i").mkString(" ")
+    val incr = Seq(
+      Doc(100L, new Timestamp(t0), leak),
+      Doc(101L, new Timestamp(t0 + 1000), (50 until 130).map(i => s"other$i").mkString(" ")))
+    val input = MemoryStream[Doc]
+    input.addData(incr: _*)
+    val q = Monitor.decontaminateStream(input.toDF(), col("doc_id"), col("text"),
+        "ts", benchBands, benchSigs)
+      .writeStream.outputMode("append").format("memory").queryName("decontam_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    val got = spark.table("decontam_out").select("doc_id", "bench_id", "n_match")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = ops.Dedup.contaminationFuzzy(
+        incr.toDF().select(col("doc_id"), col("text")), col("doc_id"), col("text"),
+        bench, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected, "stream verdicts must equal batch contaminationFuzzy")
+    assert(got.map(t => (t._1, t._2)) === Set((100L, 1L)),
+      s"exactly the planted leak must be flagged: $got")
+    ops.Dedup.unpersistShared()
+  }
+
   test("stream-stream interval join correlates within the time bound") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
