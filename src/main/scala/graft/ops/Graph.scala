@@ -337,13 +337,17 @@ object Graph {
     var lab = ed.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
-    for (_ <- 1 to rounds) {
+    for (i <- 1 to rounds) {
       lab = ed.join(lab, ed("a") === lab("node"))
         .groupBy(col("b"), col("lbl")).agg(count(lit(1)).as("c"))
         .groupBy(col("b"))
         .agg(min(struct((col("c") * -1L).as("nc"), col("lbl").as("l"))).as("m"))
         .select(col("b").as("node"), col("m.l").as("lbl"))
-        .localCheckpoint()
+      // label state is consumed once per round, so a handful of rounds
+      // can stay lazy (one job executes the chained shuffles — the
+      // pageRank trick); checkpoint periodically only to bound
+      // lineage/plan growth on long runs
+      if (i % 4 == 0 && i < rounds) lab = lab.localCheckpoint()
     }
     lab
   }
