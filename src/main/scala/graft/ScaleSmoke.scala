@@ -330,6 +330,33 @@ object ScaleSmoke {
       println(f"[scale]   IVF recall@10: first-k $r0%.3f -> trained $r1%.3f")
     }
 
+    // distributed fixed-point Lloyd at 10^6 x 64: per round one broadcast
+    // -centroid scan plus an exchange of O(partitions·k·d) partial rows
+    // (never the corpus) — 16 interleaved planted clusters so the
+    // deterministic first-k init seeds one centroid per cluster, and the
+    // trained cells must recover them exactly.
+    time("kmeans_fixed_point_1m") {
+      val n = 1000000L
+      val emb = spark.range(n).select(
+        col("id").as("vec_id"),
+        expr("""transform(sequence(0, 63), d -> cast(
+          (case when d = 2 * (id % 16) then 1.0 else 0.0 end)
+          + pmod(id * 31 + d * 7, 97) / 970.0 as float))""").as("embedding"))
+      val (cents, counts) =
+        graft.ops.Similarity.kmeansFixedPointCentroids(emb, kCells = 16, iters = 3)
+      val empty = counts.count(_ == 0L)
+      // every planted cluster keeps its own cell; membership is balanced
+      assert(empty == 0, s"$empty empty cells on a 16-cluster corpus")
+      assert(counts.min > n / 32, s"unbalanced cells: ${counts.toSeq}")
+      // each trained centroid's dominant dim is its cluster's planted dim
+      val misplaced = cents.zipWithIndex.count { case (c, cell) =>
+        c.indexOf(c.max) != 2 * cell
+      }
+      println(s"[scale]   kmeans 1m x 64, k=16: counts min ${counts.min} " +
+        s"max ${counts.max}, misplaced centroids $misplaced")
+      assert(misplaced == 0, "trained centroids must recover the planted directions")
+    }
+
     // funnel at the full event volume: one window sort per user carries
     // all three chained stage minimums (O(1) state per row — a power user
     // with 10^6 events costs sort time, never aggregation-buffer memory).

@@ -769,6 +769,19 @@ object SparkEntry {
     "emb_pca_scores" -> ((s, dir) =>
       Similarity.pcaScores(Tables.embeddings(s, dir))),
 
+    // distributed Lloyd k-means in fixed-point milli centroids: per
+    // round, assignment is a broadcast-centroid scan and the update
+    // exchange carries O(partitions·k·d) partial rows — the trajectory
+    // is a deterministic fixture the oracle unrolls as CTEs
+    "emb_kmeans_train" -> ((s, dir) =>
+      Similarity.kmeansTrain(Tables.embeddings(s, dir))
+        .orderBy("cell", "dim")),
+
+    // final assignment against the trained centroids, integer objective
+    // shipped as decision evidence — one scan, zero shuffles
+    "emb_kmeans_assign" -> ((s, dir) =>
+      Similarity.kmeansAssign(Tables.embeddings(s, dir))),
+
     // mutual margin-argmax pairing across the even/odd halves (the
     // Artetxe & Schwenk bitext-mining criterion): per-pair cosines are
     // micro-rounded FIRST, so top-k sums and margins are exact integers
@@ -1030,6 +1043,46 @@ object SparkEntry {
               |    THEN -1 ELSE 1 END) AS BIGINT) AS v FROM v$iters)
               |""".stripMargin
     sb ++= finalSelect
+    sb.toString
+  }
+
+  /** The fixed-point Lloyd rounds unrolled as MATERIALIZED CTEs (the
+    * pcaPowerOracle pattern): c0 = first-k vectors quantized to milli,
+    * each round an integer-objective assignment (ties to the lowest
+    * cell) and a truncating-division centroid update; empty cells keep
+    * their centroid via the LEFT JOIN's COALESCE.
+    */
+  private def kmeansOracle(finalSelect: String, k: Int = 8,
+                           iters: Int = 3): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS MATERIALIZED (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+              |           FROM embeddings, range(1, 65) r(i)),
+              |c0 AS MATERIALIZED (SELECT vec_id AS cell, d, CAST(round(x * 1000.0) AS BIGINT) AS c,
+              |    CAST(0 AS BIGINT) AS n
+              |  FROM e WHERE vec_id < $k)""".stripMargin
+    for (t <- 1 to iters + 1) {
+      val p = t - 1
+      sb ++= s""",
+                |o$t AS MATERIALIZED (SELECT e.vec_id, c.cell,
+                |    CAST(SUM(c.c * c.c) - 2000 * SUM(CAST(round(e.x * c.c) AS BIGINT)) AS BIGINT) AS obj
+                |  FROM e JOIN c$p c ON e.d = c.d GROUP BY 1, 2),
+                |a$t AS MATERIALIZED (SELECT vec_id, cell, obj FROM (
+                |    SELECT vec_id, cell, obj,
+                |      row_number() OVER (PARTITION BY vec_id ORDER BY obj, cell) AS rk
+                |    FROM o$t) q WHERE rk = 1)""".stripMargin
+      if (t <= iters)
+        sb ++= s""",
+                  |s$t AS MATERIALIZED (SELECT a.cell, e.d, CAST(COUNT(*) AS BIGINT) AS n,
+                  |    CAST(SUM(CAST(round(e.x * 1000000.0) AS BIGINT)) AS BIGINT) AS sm
+                  |  FROM a$t a JOIN e ON e.vec_id = a.vec_id GROUP BY 1, 2),
+                  |c$t AS MATERIALIZED (SELECT p.cell, p.d,
+                  |    CAST(COALESCE((s.sm // s.n) // 1000, p.c) AS BIGINT) AS c,
+                  |    CAST(COALESCE(s.n, 0) AS BIGINT) AS n
+                  |  FROM c$p p LEFT JOIN s$t s ON s.cell = p.cell AND s.d = p.d)""".stripMargin
+    }
+    sb ++= "\n" + finalSelect
+      .replace("__CF__", s"c$iters")
+      .replace("__AF__", s"a${iters + 1}")
     sb.toString
   }
 
@@ -2655,6 +2708,17 @@ object SparkEntry {
     // doubles that are exact images of the longs, re-quantized to milli
     "emb_pca_power" -> pcaPowerOracle(
       "SELECT dim, v AS v_milli FROM vf ORDER BY dim"),
+
+    // the 3 Lloyd rounds unrolled as CTEs: integer-objective assignment,
+    // truncating-division centroid update, empty cells kept by COALESCE
+    "emb_kmeans_train" -> kmeansOracle(
+      """SELECT cell, d AS dim, c AS c_milli, n AS n_members
+        |FROM __CF__ ORDER BY cell, dim""".stripMargin),
+
+    // one more assignment CTE against the final centroids; the chosen
+    // cell's integer objective ships as decision evidence
+    "emb_kmeans_assign" -> kmeansOracle(
+      "SELECT vec_id, cell, obj FROM __AF__ ORDER BY vec_id"),
 
     // same CTE chain, projected: per-term rounding before the row sum
     "emb_pca_scores" -> pcaPowerOracle(

@@ -934,6 +934,195 @@ object Similarity {
       .map { case (v, d) => (d, v) }.toDF("dim", "v_milli")
   }
 
+  /** Distributed fixed-point Lloyd k-means over the WHOLE corpus — the
+    * trained-quantizer sibling of [[kmeansCentroids]] (which samples to
+    * driver memory, FAISS-style) for when the training set itself must
+    * stay distributed, and the oracle-able sibling of both: like
+    * [[pcaPowerFromGram]], every centroid is re-quantized to integer
+    * MILLI units each round, so the whole trajectory (converged or not)
+    * is a deterministic fixture any engine replays bit-for-bit.
+    *
+    * Per round (reference semantics: the corpus-wide clustering the
+    * reference's per-session grouping approximates by hand;
+    * topic_store has no trainer — this is the 100 TB-pipeline op):
+    *   - assignment: one corpus scan against the BROADCAST k×d milli
+    *     centroids; the L2 objective is decided in exact integers —
+    *     obj_c = Σ c_j² − 2000·Σ round(x_j·c_j) ≈ 10⁶(|c|² − 2x·c)
+    *     (x_j is a float image × an integer: exact in double; each term
+    *     rounded BEFORE the sum, so the fold is associative), ties to
+    *     the lowest cell id.
+    *   - update: per-partition syrk-style accumulation folds every row
+    *     into k×d longs of micro-unit sums + k member counts, so the
+    *     ONE exchange per round carries O(partitions·k·d) partial rows
+    *     — never the corpus (the [[gramMatrix]] discipline). New
+    *     centroid = (Σ micro // n) // 1000 (truncating long division,
+    *     = DuckDB `//`); an empty cell keeps its centroid.
+    * Init = the first `kCells` corpus vectors quantized to milli (the
+    * deterministic, oracle-nameable seed every quantizer here shares);
+    * driver holds only k×d longs between rounds. Returns the milli
+    * centroids and the member counts of the LAST update round.
+    */
+  private[graft] def kmeansFixedPointCentroids(
+      emb: DataFrame, kCells: Int = 8, iters: Int = 3,
+      dims: Int = 64): (Array[Array[Long]], Array[Long]) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val data = emb
+      .select(expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .as[Seq[Double]]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val init: Array[Array[Long]] = emb
+      .filter(col("vec_id") < kCells).orderBy("vec_id")
+      .select(expr("transform(embedding, x -> cast(x as double))"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray.map(x => roundHalfAway(x * 1000.0)))
+    require(init.length == kCells,
+      s"need the first $kCells vec_ids present for the deterministic init, got ${init.length}")
+    var cents = init
+    var counts = new Array[Long](kCells)
+    try {
+      for (_ <- 1 to iters) {
+        val stats = kmeansPartialStats(data.toDF(), cents, dims,
+          vCol = "v", projected = true).collect()
+        val next = cents.map(_.clone())
+        val nextCounts = new Array[Long](kCells)
+        stats.foreach { r =>
+          val c = r.getLong(0).toInt; val j = r.getLong(1).toInt
+          val n = r.getLong(2); val sm = r.getLong(3)
+          nextCounts(c) = n
+          next(c)(j) = (sm / n) / 1000L // truncating, = SQL (sm // n) // 1000
+        }
+        cents = next
+        counts = nextCounts
+      }
+    } finally data.unpersist()
+    (cents, counts)
+  }
+
+  /** One Lloyd update's sufficient statistics against FROZEN milli
+    * centroids: (cell, dim, n, sm) — member count and micro-unit value
+    * sums of every vector assigned to each cell, already collapsed to
+    * O(partitions·k·d) rows map-side (the per-partition fold) and
+    * reduced to k×d by one tiny groupBy. Partial sums are associative
+    * integers, so partials from ANY split of the corpus (partitions,
+    * micro-batches, shards) merge into statistics bit-equal to a
+    * single-pass computation — the contract the maintained streaming
+    * log (`Monitor.maintainKmeansStats`) is built on.
+    */
+  private[graft] def kmeansPartialStats(emb: DataFrame,
+                                        cents: Array[Array[Long]],
+                                        dims: Int = 64, vCol: String = "v",
+                                        projected: Boolean = false): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val data =
+      if (projected) emb.select(col(vCol)).as[Seq[Double]]
+      else emb.select(expr("transform(embedding, x -> cast(x as double))"))
+        .as[Seq[Double]]
+    val bc = spark.sparkContext.broadcast(cents)
+    data.mapPartitions { rows =>
+      val cs = bc.value
+      val k = cs.length
+      val normsq = cs.map { c =>
+        var s = 0L; var j = 0
+        while (j < dims) { s += c(j) * c(j); j += 1 }; s
+      }
+      val sums = Array.ofDim[Long](k, dims)
+      val ns = new Array[Long](k)
+      rows.foreach { v =>
+        var best = 0; var bestObj = Long.MaxValue
+        var c = 0
+        while (c < k) {
+          var dot = 0L; var j = 0
+          while (j < dims) { dot += roundHalfAway(v(j) * cs(c)(j)); j += 1 }
+          val obj = normsq(c) - 2000L * dot
+          if (obj < bestObj) { bestObj = obj; best = c } // tie: lowest cell
+          c += 1
+        }
+        ns(best) += 1
+        var j = 0
+        while (j < dims) { sums(best)(j) += roundHalfAway(v(j) * 1000000.0); j += 1 }
+      }
+      (0 until k).iterator.filter(ns(_) > 0L).flatMap { c =>
+        (0 until dims).iterator.map(j => (c.toLong, j.toLong, ns(c), sums(c)(j)))
+      }
+    }.toDF("cell", "dim", "n", "sm")
+      .groupBy("cell", "dim")
+      .agg(sum(col("n")).as("n"), sum(col("sm")).as("sm"))
+  }
+
+  /** The Lloyd update epilogue off a (cell, dim, n, sm) statistics table
+    * — e.g. the merged streaming log: next centroid = (sm // n) // 1000
+    * milli units, empty cells keep `prev`. Statistics merging is
+    * associative, so this equals a batch update round over every vector
+    * the statistics ever saw.
+    */
+  private[graft] def kmeansUpdateFromStats(stats: Array[(Int, Int, Long, Long)],
+                                           prev: Array[Array[Long]]): (Array[Array[Long]], Array[Long]) = {
+    val next = prev.map(_.clone())
+    val counts = new Array[Long](prev.length)
+    stats.foreach { case (c, j, n, sm) =>
+      counts(c) = n
+      next(c)(j) = (sm / n) / 1000L
+    }
+    (next, counts)
+  }
+
+  /** The trained fixed-point centroids as a (cell, dim, c_milli,
+    * n_members) DataFrame — k×dims rows at ANY corpus size. `n_members`
+    * is the membership of the final Lloyd update (assignment against the
+    * PENULTIMATE centroids — the count that produced the shipped ones).
+    */
+  def kmeansTrain(emb: DataFrame, kCells: Int = 8, iters: Int = 3,
+                  dims: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (cents, counts) = kmeansFixedPointCentroids(emb, kCells, iters, dims)
+    (for { c <- 0 until kCells; j <- 0 until dims }
+      yield (c.toLong, j.toLong, cents(c)(j), counts(c)))
+      .toDF("cell", "dim", "c_milli", "n_members")
+  }
+
+  /** Final assignment of every vector against the trained fixed-point
+    * centroids: the k×d milli table rides the scan as a broadcast, the
+    * integer objective of the chosen cell ships as `obj` (engine-exact,
+    * so the oracle hash-matches the decision evidence, not just the
+    * labels). One scan, zero shuffles — assignment work at 100 TB is
+    * embarrassingly parallel once training has fixed the centroids.
+    */
+  def kmeansAssign(emb: DataFrame, kCells: Int = 8, iters: Int = 3,
+                   dims: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (cents, _) = kmeansFixedPointCentroids(emb, kCells, iters, dims)
+    val bc = spark.sparkContext.broadcast(cents)
+    emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { rows =>
+        val cs = bc.value
+        val k = cs.length
+        val normsq = cs.map { c =>
+          var s = 0L; var j = 0
+          while (j < dims) { s += c(j) * c(j); j += 1 }; s
+        }
+        rows.map { case (id, v) =>
+          var best = 0; var bestObj = Long.MaxValue
+          var c = 0
+          while (c < k) {
+            var dot = 0L; var j = 0
+            while (j < dims) { dot += roundHalfAway(v(j) * cs(c)(j)); j += 1 }
+            val obj = normsq(c) - 2000L * dot
+            if (obj < bestObj) { bestObj = obj; best = c }
+            c += 1
+          }
+          (id, best.toLong, bestObj)
+        }
+      }
+      .toDF("vec_id", "cell", "obj")
+      .orderBy("vec_id")
+  }
+
   /** Per-vector projection onto the power-iteration top component: each
     * term x_i·v_i·1000 is rounded to an integer BEFORE the per-row sum
     * (x_i is a float image — 24 mantissa bits — times an ≤11-bit integer

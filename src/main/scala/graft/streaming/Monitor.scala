@@ -266,6 +266,45 @@ object Monitor {
       .agg(sum("n").as("n"), sum("sxy_micro").as("sxy_micro"))
       .orderBy("i", "j")
 
+  /** Maintained k-means statistics log — the mini-batch-k-means shape at
+    * the ingest door: each micro-batch of embeddings is assigned against
+    * the FROZEN milli centroids (the integer objective of
+    * `Similarity.kmeansTrain`, broadcast k×d table, one scan) and folds
+    * to its (cell, dim, n, sm) Lloyd-update partial — O(k·d) rows per
+    * batch regardless of batch size — landing in a per-`__batch_id`
+    * partition, exactly-once via dynamic overwrite (replays rewrite).
+    * Partials are associative integer sums, so [[readKmeansStats]] and
+    * the `kmeansUpdateFromStats` epilogue yield the EXACT next-round
+    * centroids a batch Lloyd update would compute over every vector
+    * ever streamed — the corpus is never re-scanned to refresh the
+    * quantizer, and re-training is one epilogue + a centroid swap.
+    */
+  def maintainKmeansStats(stream: DataFrame, centroids: Array[Array[Long]],
+                          path: String, checkpoint: String, dims: Int = 64,
+                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        graft.ops.Similarity.kmeansPartialStats(df.toDF(), centroids, dims)
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id")
+          .parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Merge-on-read of the [[maintainKmeansStats]] log: (cell, dim, n,
+    * sm), bit-equal to one `Similarity.kmeansPartialStats` pass over the
+    * full streamed corpus against the same frozen centroids.
+    */
+  def readKmeansStats(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("__batch_id")
+      .groupBy("cell", "dim")
+      .agg(sum("n").as("n"), sum("sm").as("sm"))
+      .orderBy("cell", "dim")
+
   /** Maintained Count-Min log — approximate per-item frequencies current
     * at the ingest door, at ONE binary row per micro-batch: each batch
     * folds to its own CM sketch (`graft_cm_sketch` — cell merges are

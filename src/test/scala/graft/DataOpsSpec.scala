@@ -339,6 +339,70 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fixed-point kmeans is partition-invariant and recovers planted clusters") {
+    import spark.implicits._
+    // 8 well-separated clusters in 16 dims, INTERLEAVED by id so the
+    // deterministic first-k init (vec_id < 8) seeds one centroid per
+    // cluster — the geometry Lloyd provably tightens.
+    val n = 400
+    val vecs = (0L until n).map { id =>
+      val c = (id % 8).toInt
+      val v = Array.tabulate(16) { d =>
+        val jitter = ((id * 31 + d * 7) % 97).toFloat / 97f * 0.1f
+        (if (d == 2 * c) 1f else 0f) + jitter
+      }
+      (id, v.toSeq)
+    }.toDF("vec_id", "embedding")
+
+    val (c1, n1) = Similarity.kmeansFixedPointCentroids(vecs, 8, iters = 4, dims = 16)
+    val (c2, n2) =
+      Similarity.kmeansFixedPointCentroids(vecs.repartition(7), 8, iters = 4, dims = 16)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq,
+      "fixed-point centroids must be bit-identical under any partitioning")
+    assert(n1.toSeq === n2.toSeq)
+    assert(n1.sum === n, "every vector is assigned in every round")
+
+    // purity: each planted cluster lands in exactly one trained cell and
+    // the 8 cells are distinct (the planted structure is recovered)
+    val assign = Similarity.kmeansAssign(vecs, 8, iters = 4, dims = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cellsPerTruth = assign.groupBy { case (id, _) => id % 8 }
+      .view.mapValues(_.map(_._2).distinct.toSeq).toMap
+    cellsPerTruth.foreach { case (truth, cells) =>
+      assert(cells.size === 1, s"planted cluster $truth split across cells $cells")
+    }
+    assert(cellsPerTruth.values.flatten.toSet.size === 8,
+      "two planted clusters merged into one cell")
+  }
+
+  test("fixed-point kmeans keeps empty-cell centroids and reports zero members") {
+    import spark.implicits._
+    // ids 1..7 duplicate id 0's vector: every round, all rows land in ONE
+    // cell (the lowest-objective tie-winner — cell 0 in round 1; the
+    // round-1 truncating update may nudge c0 off the half-away init, so
+    // round 2's winner is whichever of {updated c0, init c1} scores
+    // lower). The other 7 cells never host a member: they must keep the
+    // init quantization and report n_members = 0.
+    val v0 = Array.tabulate(16)(d => (d + 1).toFloat / 16f).toSeq
+    val vecs = (0L until 8L).map(id => (id, v0)).toDF("vec_id", "embedding")
+    val rows = Similarity.kmeansTrain(vecs, 8, iters = 2, dims = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byCell = rows.groupBy(_._1)
+    val counts = byCell.view.mapValues(_.head._4).toMap
+    assert(counts.values.toSeq.sorted.reverse === (8L +: Seq.fill(7)(0L)),
+      s"exactly one cell hosts all duplicates, got $counts")
+    val winner = counts.collectFirst { case (c, 8L) => c }.get
+    assert(winner <= 1L, "the winner can only be cell 0 or the lowest init cell 1")
+    // empty cells that were NEVER updated keep the init quantization
+    (2L to 7L).foreach { c =>
+      assert(counts(c) === 0L)
+      byCell(c).sortBy(_._2).zipWithIndex.foreach { case ((_, _, cm, _), d) =>
+        assert(cm === math.round(v0(d).toDouble * 1000.0))
+      }
+    }
+  }
+
   test("trained IVF centroids are deterministic and beat first-k recall on clustered data") {
     import spark.implicits._
     // 8 well-separated clusters in 16 dims, laid out in id blocks so the

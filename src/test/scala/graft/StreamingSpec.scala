@@ -939,6 +939,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged() === direct, "replay must not change the merged gram")
   }
 
+  test("maintained kmeans stats log yields the exact batch Lloyd update") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_km").toString
+    val ckpt = Files.createTempDirectory("graft_km_ck").toString
+    val batchEmb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    // frozen quantizer = the deterministic first-8 init the batch trainer
+    // uses; the stream maintains ITS next-round statistics
+    val (init, _) =
+      graft.ops.Similarity.kmeansFixedPointCentroids(batchEmb, 8, iters = 0)
+    val all = batchEmb.collect()
+      .map(r => EmbDoc(r.getLong(0), new Timestamp(0L),
+        r.getSeq[Float](1).toArray))
+      .toSeq
+    val input = MemoryStream[EmbDoc]
+    all.grouped(math.max(1, all.size / 3 + 1)).foreach { chunk =>
+      input.addData(chunk: _*)
+      val q = Monitor.maintainKmeansStats(input.toDF().drop("ts"), init,
+        s"$dir/log", s"$ckpt/c1")
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    def merged() = Monitor.readKmeansStats(spark, s"$dir/log")
+      .collect().toSeq.map(_.toSeq)
+    val direct = graft.ops.Similarity.kmeansPartialStats(batchEmb, init)
+      .orderBy("cell", "dim").collect().toSeq.map(_.toSeq)
+    assert(merged() === direct && direct.nonEmpty)
+    // the update epilogue off the log == one batch Lloyd round
+    def toStats(rows: Seq[Seq[Any]]) = rows.map(s => (
+      s(0).asInstanceOf[Long].toInt, s(1).asInstanceOf[Long].toInt,
+      s(2).asInstanceOf[Long], s(3).asInstanceOf[Long])).toArray
+    val (viaLog, nLog) =
+      graft.ops.Similarity.kmeansUpdateFromStats(toStats(merged()), init)
+    val (batch1, nBatch) =
+      graft.ops.Similarity.kmeansFixedPointCentroids(batchEmb, 8, iters = 1)
+    assert(viaLog.map(_.toSeq).toSeq === batch1.map(_.toSeq).toSeq,
+      "streamed statistics must reproduce the batch update bit-for-bit")
+    assert(nLog.toSeq === nBatch.toSeq)
+    // replay with a fresh checkpoint rewrites batch 0 idempotently
+    val input2 = MemoryStream[EmbDoc]
+    input2.addData(all.take(all.size / 3 + 1): _*)
+    val q2 = Monitor.maintainKmeansStats(input2.toDF().drop("ts"), init,
+      s"$dir/log", s"$ckpt/c2")
+    try q2.awaitTermination(120000) finally q2.stop()
+    assert(merged() === direct, "replay must not change the merged stats")
+  }
+
   test("maintained count-min log unions to the single-pass sketch byte-for-byte") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
