@@ -357,6 +357,28 @@ object ScaleSmoke {
       assert(misplaced == 0, "trained centroids must recover the planted directions")
     }
 
+    // full-batch fixed-point perceptron at 10^6 docs: each round is one
+    // codegen'd scan of the cached integer features reduced to a SINGLE
+    // (m, g0..g6) row — the exchange never carries the corpus — and the
+    // geometric step decay must still bisect to a zero-mistake separator
+    // on the planted vowel/consonant signal at this scale.
+    time("perceptron_fixed_point_1m") {
+      val docs = spark.range(1000000L).select(
+        col("id").as("doc_id"),
+        expr("""concat(repeat(case when id % 2 = 0 then 'aeiou ' else 'xyzrt ' end,
+          6 + cast(id % 5 as int)), 'd', id)""").as("text"),
+        expr("id % 2 = 0").as("pos"))
+      // the bisection depth grows with log(corpus): the initial overshoot
+      // is corpus-scale, the planted margin is O(feature) — 10 rounds
+      // cover 10^6 docs (9 suffice at 10^5, 8 at 200)
+      val (traj, nMis) = graft.ops.TextAnalysis.classifierTrajectory(
+        docs, col("doc_id"), col("text"), col("pos"), iters = 10)
+      println(s"[scale]   perceptron 1m docs, 10 rounds: n_mis ${nMis.toSeq}")
+      assert(nMis(0) == 1000000L && nMis(10) == 0L,
+        s"planted separable corpus must converge, got ${nMis.toSeq}")
+      assert(traj(10).exists(_ != 0L))
+    }
+
     // funnel at the full event volume: one window sort per user carries
     // all three chained stage minimums (O(1) state per row — a power user
     // with 10^6 events costs sort time, never aggregation-buffer memory).

@@ -998,6 +998,21 @@ object SparkEntry {
       TextAnalysis.charGini(Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // distributed full-batch fixed-point perceptron (the fastText-style
+    // quality/domain filter): integer-milli surface features, integer
+    // margins, normalized truncating-division steps — the trajectory is
+    // partitioning/engine-exact and the oracle unrolls it as CTEs
+    "quality_classifier_train" -> ((s, dir) =>
+      TextAnalysis.classifierTrain(Tables.documents(s, dir),
+          col("doc_id"), col("text"), col("lang") === "en")
+        .orderBy("round", "dim")),
+
+    // per-doc scores against the trained weights: the exact integer
+    // margin ships as decision evidence — one codegen'd scan
+    "quality_classifier_score" -> ((s, dir) =>
+      TextAnalysis.classifierScore(Tables.documents(s, dir),
+        col("doc_id"), col("text"), col("lang") === "en")),
+
     // DSIR-shape data selection: hashed token buckets, add-one-smoothed
     // target/raw ratio in integer micro-units, additive per-doc score
     "corpus_dsir_weights" -> ((s, dir) =>
@@ -1084,6 +1099,63 @@ object SparkEntry {
       .replace("__CF__", s"c$iters")
       .replace("__AF__", s"a${iters + 1}")
     sb.toString
+  }
+
+  /** The fixed-point perceptron rounds unrolled as MATERIALIZED CTEs
+    * (the kmeansOracle pattern): integer-milli features, wr0 = zero
+    * weights, each round an exact-integer margin pass, a misclassified
+    * gradient aggregate (sums CAST back to BIGINT — DuckDB SUM(BIGINT)
+    * widens to HUGEINT), and a truncating-division normalized step.
+    * `finalSelect` sees wr{t}/g{t} plus __AF__ = the scoring pass
+    * against the final weights.
+    */
+  private def perceptronOracle(finalSelect: String, iters: Int = 3): String = {
+    val d = 7
+    val sb = new StringBuilder
+    sb ++= """WITH f AS MATERIALIZED (SELECT doc_id,
+             |    CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y,
+             |    CAST(1000 AS BIGINT) AS f0,
+             |    least(length(text), 1000) AS f1,
+             |    (1000 * (length(text) - length(replace(text, ' ', '')))) // length(text) AS f2,
+             |    (1000 * (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))) // length(text) AS f3,
+             |    (1000 * (length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))) // length(text) AS f4,
+             |    (1000 * length(text)) // (length(text) - length(replace(text, ' ', '')) + 1) AS f5,
+             |    (1000 * (length(text) - length(replace(text, 'a', '')))) // length(text) AS f6
+             |  FROM documents),
+             |wr0 AS (SELECT """.stripMargin
+    sb ++= (0 until d).map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ") + ")"
+    val margin = (0 until d).map(j => s"f.f$j * w.w$j").mkString(" + ")
+    for (t <- 1 to iters + 1) {
+      sb ++= s""",
+                |a$t AS MATERIALIZED (SELECT f.*, $margin AS margin FROM f, wr${t - 1} w),
+                |g$t AS MATERIALIZED (SELECT COUNT(*) AS m, """.stripMargin
+      sb ++= (0 until d)
+        .map(j => s"CAST(COALESCE(SUM(y * f$j), 0) AS BIGINT) AS g$j")
+        .mkString(", ")
+      sb ++= s" FROM a$t WHERE y * margin <= 0)"
+      if (t <= iters) {
+        val pow2 = 1L << (t - 1) // round t's geometric step decay
+        sb ++= s""",
+                  |wr$t AS (SELECT """.stripMargin
+        sb ++= (0 until d)
+          .map(j => s"w.w$j + CASE WHEN g.m = 0 THEN 0 ELSE (1000 * g.g$j) // (g.m * $pow2) END AS w$j")
+          .mkString(", ")
+        sb ++= s" FROM wr${t - 1} w, g$t g)"
+      }
+    }
+    sb ++= "\n" + finalSelect.replace("__AF__", s"a${iters + 1}")
+    sb.toString
+  }
+
+  /** The perceptron trajectory rows — (round, dim, w, n_mis) per round,
+    * where g{t+1}.m counts the docs round t's weights misclassify.
+    */
+  private def perceptronTrajectorySql(iters: Int = 3): String = {
+    val d = 7
+    val rows = for (t <- 0 to iters; j <- 0 until d) yield
+      s"SELECT CAST($t AS BIGINT) AS round, CAST($j AS BIGINT) AS dim, " +
+        s"w.w$j AS w, g.m AS n_mis FROM wr$t w, g${t + 1} g"
+    perceptronOracle(rows.mkString("", "\nUNION ALL ", "\nORDER BY round, dim"), iters)
   }
 
   /** DuckDB-runnable oracle SQL — column names and ordering match the Spark
@@ -3365,6 +3437,18 @@ object SparkEntry {
         |SELECT n.doc_id, n.n, q.ssq,
         |  (n.n * n.n - q.ssq) * 1000000 // (n.n * n.n) AS gini_micro
         |FROM n JOIN q USING (doc_id) WHERE n.n > 0 ORDER BY doc_id""".stripMargin,
+
+    // the perceptron rounds unrolled as CTEs: zero init, exact-integer
+    // margins, misclassified-gradient aggregate, truncating-division step
+    "quality_classifier_train" -> perceptronTrajectorySql(),
+
+    // one more margin pass against the final weights; the integer margin
+    // ships as decision evidence
+    "quality_classifier_score" ->
+      perceptronOracle(
+        """SELECT doc_id, margin,
+          |  CASE WHEN margin > 0 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS pred,
+          |  y FROM __AF__ ORDER BY doc_id""".stripMargin),
 
     // same 52-bit md5 bucket, same add-one integer ratio; // == div on
     // the non-negative counts

@@ -1242,4 +1242,135 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("c12"),
         round(col("lift") * lit(1000000.0)).cast("long").as("lift_micro"))
   }
+
+  /** Integer-milli surface features for the linear classifier — the
+    * fastText-style quality/domain filter's feature extractor, kept to
+    * arithmetic both engines state identically: length, capped length,
+    * whitespace/digit/vowel/'a' ratios and average word length, each a
+    * truncating integer division (Spark `div` = DuckDB `//` = JVM long
+    * division). Wide layout (f0..f6) so the per-round scan stays inside
+    * one whole-stage-codegen span.
+    */
+  private[graft] def classifierFeatures(df: DataFrame, idCol: Column,
+                                        textCol: Column,
+                                        positive: Column): DataFrame =
+    df.withColumn("__t", textCol)
+      .withColumn("__len", expr("cast(length(__t) as bigint)"))
+      .withColumn("__sp", expr("__len - length(replace(__t, ' ', ''))"))
+      .withColumn("__dg", expr("__len - length(regexp_replace(__t, '[0-9]', ''))"))
+      .withColumn("__vw", expr("__len - length(regexp_replace(__t, '[aeiou]', ''))"))
+      .withColumn("__av", expr("__len - length(replace(__t, 'a', ''))"))
+      .select(
+        idCol.as("doc_id"),
+        when(positive, 1L).otherwise(-1L).as("y"),
+        lit(1000L).as("f0"),
+        expr("least(__len, 1000)").as("f1"),
+        expr("(1000 * __sp) div __len").as("f2"),
+        expr("(1000 * __dg) div __len").as("f3"),
+        expr("(1000 * __vw) div __len").as("f4"),
+        expr("(1000 * __len) div (__sp + 1)").as("f5"),
+        expr("(1000 * __av) div __len").as("f6"))
+
+  private[graft] val ClassifierDims = 7
+
+  /** One full-batch perceptron round against FROZEN integer weights: the
+    * misclassified count `m` and per-dimension gradient sums
+    * g_j = Σ_{y·margin ≤ 0} y·x_j, reduced map-side to ONE row — the
+    * exchange per round is O(partitions·(d+1)) partial aggregates, never
+    * the corpus (the k-means-statistics discipline). Sums are associative
+    * integers, so partials from any split (partitions, micro-batches)
+    * merge into the exact full-corpus gradient.
+    */
+  private[graft] def classifierGradient(feats: DataFrame,
+                                        w: Array[Long]): DataFrame = {
+    val margin = (0 until ClassifierDims)
+      .map(j => col(s"f$j") * lit(w(j)))
+      .reduce(_ + _)
+    val mis = (col("y") * margin) <= 0L
+    feats.agg(
+      count(when(mis, 1)).as("m"),
+      (0 until ClassifierDims).map(j =>
+        sum(when(mis, col("y") * col(s"f$j")).otherwise(0L)).as(s"g$j")): _*)
+  }
+
+  /** Distributed full-batch fixed-point perceptron — the trainable
+    * quality/domain classifier every large corpus pipeline fronts its
+    * ingest with (the GPT-3/LLaMA "quality filter" shape: positive =
+    * curated stratum, negative = the rest), trained WITHOUT leaving the
+    * cluster and without floating point: weights are integers, round t's
+    * normalized step is (1000·g_j) div (m·2^(t-1)) (truncating —
+    * identical in Spark, the JVM, and DuckDB `//`), and
+    * misclassification is decided on the exact integer margin. The
+    * GEOMETRIC step decay turns the full-batch oscillation (balanced
+    * classes flip the whole margin sign each round) into a bisection
+    * toward a separator — spec-verified to reach zero mistakes on
+    * separable corpora the constant-step batch rule loops on forever.
+    * Full-batch (not sequential) updates make the trajectory order- and
+    * partitioning-invariant, so the whole run is a deterministic fixture
+    * the oracle unrolls as CTEs.
+    *
+    * Per round: ONE scan of the cached feature table (codegen'd literal-
+    * weight margin), one single-row aggregate; the driver holds d longs.
+    * Returns the trajectory: (round, dim, w, n_mis) for rounds 0..iters,
+    * where n_mis counts the docs round t's weights misclassify.
+    */
+  private[graft] def classifierTrajectory(df: DataFrame, idCol: Column,
+                                          textCol: Column, positive: Column,
+                                          iters: Int): (Array[Array[Long]], Array[Long]) = {
+    val feats = classifierFeatures(df, idCol, textCol, positive)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val traj = Array.ofDim[Long](iters + 1, ClassifierDims)
+      val nMis = new Array[Long](iters + 1)
+      var w = new Array[Long](ClassifierDims)
+      for (t <- 0 to iters) {
+        traj(t) = w.clone()
+        val r = classifierGradient(feats, w).collect()(0)
+        val m = r.getLong(0)
+        nMis(t) = m
+        if (t < iters && m > 0) {
+          val next = w.clone()
+          for (j <- 0 until ClassifierDims)
+            next(j) = w(j) + (1000L * r.getLong(1 + j)) / (m * (1L << t))
+          w = next
+        }
+      }
+      (traj, nMis)
+    } finally feats.unpersist()
+  }
+
+  /** The perceptron trajectory as a DataFrame — (round, dim, w, n_mis),
+    * (iters+1)·d rows at ANY corpus size.
+    */
+  def classifierTrain(df: DataFrame, idCol: Column, textCol: Column,
+                      positive: Column, iters: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (traj, nMis) = classifierTrajectory(df, idCol, textCol, positive, iters)
+    (for { t <- 0 to iters; j <- 0 until ClassifierDims }
+      yield (t.toLong, j.toLong, traj(t)(j), nMis(t)))
+      .toDF("round", "dim", "w", "n_mis")
+  }
+
+  /** Per-document scores against the trained weights: the exact integer
+    * margin ships as decision evidence (engine-exact, so the oracle
+    * hash-matches the evidence, not just the labels). Scoring is one
+    * codegen'd scan — embarrassingly parallel at any corpus size once
+    * training has fixed the weights.
+    */
+  def classifierScore(df: DataFrame, idCol: Column, textCol: Column,
+                      positive: Column, iters: Int = 3): DataFrame = {
+    val (traj, _) = classifierTrajectory(df, idCol, textCol, positive, iters)
+    val w = traj(iters)
+    val feats = classifierFeatures(df, idCol, textCol, positive)
+    val margin = (0 until ClassifierDims)
+      .map(j => col(s"f$j") * lit(w(j)))
+      .reduce(_ + _)
+    feats.select(
+        col("doc_id"),
+        margin.as("margin"),
+        when(margin > 0L, 1L).otherwise(-1L).as("pred"),
+        col("y"))
+      .orderBy("doc_id")
+  }
 }

@@ -305,6 +305,48 @@ object Monitor {
       .agg(sum("n").as("n"), sum("sm").as("sm"))
       .orderBy("cell", "dim")
 
+  /** Maintained perceptron-gradient log — the quality/domain classifier's
+    * next full-batch step kept current at the ingest door: each
+    * micro-batch of documents is scored against the FROZEN integer
+    * weights (`TextAnalysis.classifierTrain`'s literal-weight margin, one
+    * codegen'd scan) and folds to ONE (m, g0..g6) misclassified-gradient
+    * row per batch — O(1) rows per batch at any batch size — in a
+    * per-`__batch_id` partition, exactly-once via dynamic overwrite.
+    * Counts and gradient sums are associative integers, so the merged log
+    * equals the full-corpus gradient bit-for-bit and one truncating
+    * update step off it IS the batch round over every doc ever streamed;
+    * re-training = one step + a weight swap.
+    */
+  def maintainClassifierGrad(stream: DataFrame, weights: Array[Long],
+                             positive: Column, path: String, checkpoint: String,
+                             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        graft.ops.TextAnalysis.classifierGradient(
+            graft.ops.TextAnalysis.classifierFeatures(
+              df.toDF(), col("doc_id"), col("text"), positive),
+            weights)
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id")
+          .parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Merge-on-read of the [[maintainClassifierGrad]] log: one
+    * (m, g0..g6) row, bit-equal to `TextAnalysis.classifierGradient`
+    * over the full streamed corpus against the same frozen weights.
+    */
+  def readClassifierGrad(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val d = graft.ops.TextAnalysis.ClassifierDims
+    spark.read.parquet(path).drop("__batch_id")
+      .agg(sum("m").as("m"),
+        (0 until d).map(j => sum(s"g$j").as(s"g$j")): _*)
+  }
+
   /** Maintained Count-Min log — approximate per-item frequencies current
     * at the ingest door, at ONE binary row per micro-batch: each batch
     * folds to its own CM sketch (`graft_cm_sketch` — cell merges are

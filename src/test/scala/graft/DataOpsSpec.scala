@@ -403,6 +403,41 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fixed-point perceptron learns a separable corpus and is partition-invariant") {
+    import spark.implicits._
+    // planted separable signal: positive docs are vowel-heavy, negatives
+    // vowel-free — the f4 (vowel-ratio) feature alone separates them
+    val texts = (0L until 200L).map { id =>
+      val pos = id % 2 == 0
+      val word = if (pos) "aeiou" else "xyzrt"
+      (id, (Seq.fill(6 + (id % 5).toInt)(word) :+ s"d$id").mkString(" "), pos)
+    }.toDF("doc_id", "text", "pos")
+
+    val (traj, nMis) =
+      TextAnalysis.classifierTrajectory(texts, col("doc_id"), col("text"),
+        col("pos"), iters = 7)
+    assert(nMis(0) === 200L, "zero weights misclassify everything")
+    assert(nMis(7) === 0L, s"separable corpus must converge, got ${nMis.toSeq}")
+
+    // full-batch updates are order- and partitioning-invariant
+    val (traj2, nMis2) =
+      TextAnalysis.classifierTrajectory(texts.repartition(7), col("doc_id"),
+        col("text"), col("pos"), iters = 7)
+    assert(traj.map(_.toSeq).toSeq === traj2.map(_.toSeq).toSeq)
+    assert(nMis.toSeq === nMis2.toSeq)
+
+    // scoring against the trained weights separates perfectly, and the
+    // margin evidence agrees with the prediction
+    val scored = TextAnalysis.classifierScore(texts, col("doc_id"),
+      col("text"), col("pos"), iters = 7).collect()
+    assert(scored.length === 200)
+    scored.foreach { r =>
+      assert(r.getAs[Long]("pred") === r.getAs[Long]("y"),
+        s"doc ${r.getLong(0)} misclassified after convergence")
+      assert((r.getAs[Long]("margin") > 0) === (r.getAs[Long]("pred") === 1L))
+    }
+  }
+
   test("trained IVF centroids are deterministic and beat first-k recall on clustered data") {
     import spark.implicits._
     // 8 well-separated clusters in 16 dims, laid out in id blocks so the

@@ -939,6 +939,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged() === direct, "replay must not change the merged gram")
   }
 
+  test("maintained classifier gradient log equals the batch gradient") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_pg").toString
+    val ckpt = Files.createTempDirectory("graft_pg_ck").toString
+    val docs = Tables.documents(spark, sf)
+    val positive = col("text").contains("table")
+    // frozen weights = round-1 output of the batch trainer
+    val (traj, _) = graft.ops.TextAnalysis.classifierTrajectory(
+      docs, col("doc_id"), col("text"), positive, iters = 1)
+    val w = traj(1)
+    val all = docs.select("doc_id", "text").collect()
+      .map(r => Doc(r.getLong(0), new Timestamp(0L), r.getString(1))).toSeq
+    val input = MemoryStream[Doc]
+    all.grouped(math.max(1, all.size / 3 + 1)).foreach { chunk =>
+      input.addData(chunk: _*)
+      val q = Monitor.maintainClassifierGrad(input.toDF().drop("ts"), w,
+        positive, s"$dir/log", s"$ckpt/c1")
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    def merged() = Monitor.readClassifierGrad(spark, s"$dir/log")
+      .collect()(0).toSeq
+    val direct = graft.ops.TextAnalysis.classifierGradient(
+      graft.ops.TextAnalysis.classifierFeatures(
+        docs, col("doc_id"), col("text"), positive), w)
+      .collect()(0).toSeq
+    assert(merged() === direct,
+      "streamed gradient partials must reproduce the batch gradient bit-for-bit")
+    assert(direct.head.asInstanceOf[Long] > 0L, "frozen weights misclassify some docs")
+    // replay with a fresh checkpoint rewrites batch 0 idempotently
+    val input2 = MemoryStream[Doc]
+    input2.addData(all.take(all.size / 3 + 1): _*)
+    val q2 = Monitor.maintainClassifierGrad(input2.toDF().drop("ts"), w,
+      positive, s"$dir/log", s"$ckpt/c2")
+    try q2.awaitTermination(120000) finally q2.stop()
+    assert(merged() === direct, "replay must not change the merged gradient")
+  }
+
   test("maintained kmeans stats log yields the exact batch Lloyd update") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
