@@ -744,6 +744,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the full FAISS deployment shape: ADC shortlist (50) → exact-cosine
+    // re-rank → top-10; exact work O(queries·rerank·d), never the corpus
+    "ann_ivfpq_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqRerankTopK(emb, emb.filter(col("vec_id") < 5), 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // X^T X in one map-side-combined aggregate — covariance/PCA feedstock
     "emb_gram_matrix" -> ((s, dir) =>
       Similarity.gramMatrix(Tables.embeddings(s, dir))),
@@ -803,6 +811,10 @@ object SparkEntry {
     // lag 1..6 autocorrelation per series over observed hourly buckets —
     // integer centered deviations, micro-rounded fixed-tree products
     "ts_acf" -> ((s, dir) => Analytics.eventAcf(s, dir)),
+
+    // SAX-style motif census: top-20 discretized 4-step hourly shapes
+    // across all series — U/D/F by integer deadband, gap windows dropped
+    "ts_motifs" -> ((s, dir) => Analytics.eventMotifs(s, dir)),
 
     // AMOC changepoint per series: argmax of the exact-integer CUSUM
     // deviation |S_t·n − S·t|, earliest split on ties
@@ -969,6 +981,17 @@ object SparkEntry {
     "text_bm25_topk" -> ((s, dir) =>
       TextAnalysis.bm25TopK(Tables.documents(s, dir), col("doc_id"), col("text"),
         Seq("merge", "batch", "stream"), k = 20)),
+
+    // the same query served OFF the postings index (the table the ingest
+    // loop maintains incrementally): scoring touches only the terms'
+    // index rows + one distinct-doc stats pass — no re-tokenization; the
+    // shared epilogue makes it bit-equal to text_bm25_topk
+    "text_bm25_from_index" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.bm25TopKFromIndex(
+        TextAnalysis.bm25Postings(docs, col("doc_id"), col("text")),
+        Seq("merge", "batch", "stream"), k = 20)
+    }),
 
     // hybrid retrieval: BM25 top-100 ⊕ dense cosine top-100 (query =
     // vector 0) fused by integer reciprocal-rank fusion; fusion work is
@@ -2203,6 +2226,38 @@ object SparkEntry {
     // centered deviations are the INTEGER n·x − Σx (no float mean); each
     // product is the same fixed-tree IEEE expression Spark evaluates,
     // micro-rounded before the (then exact, associative) sums
+    // same bucket table; step symbols by the same integer deadband test;
+    // || is null-killing in both engines, so gap/tail windows vanish
+    "ts_motifs" ->
+      """WITH e AS (SELECT event_type AS series,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
+        |b AS MATERIALIZED (SELECT series, h,
+        |    CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT) AS x
+        |  FROM e GROUP BY 1, 2),
+        |sy AS MATERIALIZED (SELECT series, h,
+        |    CASE WHEN lead(h) OVER w IS NULL OR lead(h) OVER w <> h + 1 THEN NULL
+        |         WHEN (lead(x) OVER w - x) * 1000 > abs(x) * 20 THEN 'U'
+        |         WHEN (x - lead(x) OVER w) * 1000 > abs(x) * 20 THEN 'D'
+        |         ELSE 'F' END AS sym
+        |  FROM b WINDOW w AS (PARTITION BY series ORDER BY h)),
+        |sh AS MATERIALIZED (SELECT series, h,
+        |    sym ||
+        |    CASE WHEN lead(h, 1) OVER w = h + 1 THEN lead(sym, 1) OVER w END ||
+        |    CASE WHEN lead(h, 2) OVER w = h + 2 THEN lead(sym, 2) OVER w END ||
+        |    CASE WHEN lead(h, 3) OVER w = h + 3 THEN lead(sym, 3) OVER w END AS shape
+        |  FROM sy WINDOW w AS (PARTITION BY series ORDER BY h)),
+        |g AS (SELECT shape, series, count(*) AS n, min(h) AS first_h
+        |      FROM sh WHERE shape IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT shape, CAST(SUM(n) AS BIGINT) AS n, COUNT(*) AS n_series
+        |      FROM g GROUP BY 1),
+        |wit AS (SELECT shape, series AS first_series, first_h,
+        |        row_number() OVER (PARTITION BY shape ORDER BY series, first_h) AS rn
+        |        FROM g)
+        |SELECT c.shape, c.n, c.n_series, w.first_series, w.first_h
+        |FROM c JOIN wit w ON w.shape = c.shape AND w.rn = 1
+        |ORDER BY c.n DESC, c.shape LIMIT 20""".stripMargin,
+
     "ts_acf" ->
       """WITH e AS (SELECT event_type AS series,
         |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
@@ -2745,6 +2800,55 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, adc_micro, rank FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 
+    // same chain, shortlist widened to 50, then the exact-cosine re-rank
+    // epilogue (the rank-only parity discipline of ann_cosine_topk: the
+    // integer adc_micro ships as stage-1 evidence, the float cosine only
+    // ORDERS — it never lands in the output)
+    "ann_ivfpq_rerank" ->
+      """WITH v AS MATERIALIZED (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+        |           FROM embeddings, range(1, 65) r(i)),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY 1),
+        |cd AS (SELECT a.vec_id, c.vec_id AS cell, sum(a.x * c.x) AS dot
+        |       FROM v a JOIN v c ON a.d = c.d AND c.vec_id < 8 GROUP BY 1, 2),
+        |cr AS (SELECT cd.vec_id, cell,
+        |         row_number() OVER (PARTITION BY cd.vec_id
+        |           ORDER BY dot / (n1.nrm * n2.nrm) DESC, cell) AS cell_rank
+        |       FROM cd JOIN n n1 ON n1.vec_id = cd.vec_id JOIN n n2 ON n2.vec_id = cell),
+        |cells AS (SELECT vec_id, cell FROM cr WHERE cell_rank = 1),
+        |probes AS (SELECT vec_id AS query_id, cell FROM cr WHERE cell_rank <= 2 AND vec_id < 5),
+        |cand AS (SELECT p.query_id, ce.vec_id
+        |         FROM probes p JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.query_id),
+        |sv AS (SELECT vec_id, d // 16 AS s, d % 16 AS p, x FROM v),
+        |dist AS MATERIALIZED (SELECT a.vec_id, a.s, b.vec_id AS j,
+        |           CAST(round(SUM((a.x - b.x) * (a.x - b.x)) * 1000000.0) AS BIGINT) AS dm
+        |         FROM sv a JOIN sv b ON a.s = b.s AND a.p = b.p AND b.vec_id < 256
+        |         GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, s, j AS code FROM (
+        |            SELECT vec_id, s, j,
+        |              row_number() OVER (PARTITION BY vec_id, s ORDER BY dm, j) AS rn
+        |            FROM dist) WHERE rn = 1),
+        |adc AS (SELECT cand.query_id, c.vec_id AS neighbor_id,
+        |          CAST(SUM(d.dm) AS BIGINT) AS adc_micro
+        |        FROM cand JOIN codes c ON c.vec_id = cand.vec_id
+        |          JOIN dist d ON d.vec_id = cand.query_id AND d.s = c.s AND d.j = c.code
+        |        GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, adc_micro,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY adc_micro, neighbor_id) AS INT) AS rank
+        |      FROM adc),
+        |ex AS (SELECT r.query_id, r.neighbor_id, r.adc_micro,
+        |         SUM(a.x * b.x) AS dot
+        |       FROM r JOIN v a ON a.vec_id = r.query_id
+        |              JOIN v b ON b.vec_id = r.neighbor_id AND b.d = a.d
+        |       WHERE r.rank <= 50 GROUP BY 1, 2, 3),
+        |rr AS (SELECT ex.query_id, ex.neighbor_id, ex.adc_micro,
+        |         CAST(row_number() OVER (PARTITION BY ex.query_id
+        |           ORDER BY ex.dot / (n1.nrm * n2.nrm) DESC, ex.neighbor_id) AS INT) AS rank
+        |       FROM ex JOIN n n1 ON n1.vec_id = ex.query_id
+        |               JOIN n n2 ON n2.vec_id = ex.neighbor_id)
+        |SELECT query_id, neighbor_id, adc_micro, rank FROM rr WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
     // float×float products are exact in double on both engines; the
     // micro-rounded integer sum is associative, so partial-agg order
     // (Spark) vs single-pass (DuckDB) cannot differ by a bit
@@ -3245,6 +3349,30 @@ object SparkEntry {
         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
         |                 CAST(SUM(CAST(len(words) AS BIGINT)) AS DOUBLE) / count(*) AS avgdl
         |          FROM w),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round((stats.n_docs - dft.dft + 0.5) / (dft.dft + 0.5)
+        |      * (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / stats.avgdl)))
+        |      * 1000000.0) AS BIGINT) AS contrib_micro
+        |  FROM tf JOIN dft USING (token), stats)
+        |SELECT doc_id, CAST(SUM(contrib_micro) AS BIGINT) AS score_micro,
+        |  count(*) AS n_terms
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the index-served path scores bit-equal to text scoring (shared
+    // epilogue, same stats), so the oracle states the same pipeline with
+    // tf built from the full postings index restricted to the terms
+    "text_bm25_from_index" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |tokd AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl, unnest(words) AS token FROM w),
+        |idx AS (SELECT doc_id, dl, token, count(*) AS tf FROM tokd GROUP BY 1, 2, 3),
+        |tf AS (SELECT doc_id, dl, token, tf FROM idx
+        |       WHERE token IN ('merge', 'batch', 'stream')),
+        |dft AS (SELECT token, count(*) AS dft FROM tf GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |                 CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+        |          FROM (SELECT DISTINCT doc_id, dl FROM idx)),
         |scored AS (
         |  SELECT tf.doc_id,
         |    CAST(round((stats.n_docs - dft.dft + 0.5) / (dft.dft + 0.5)

@@ -1544,6 +1544,69 @@ object Analytics {
           expr("cast(round(value * 60.0D) as bigint)")).as("end_sec")))
   }
 
+  /** Motif census (SAX-style): the most frequent discretized `width`-step
+    * shapes across all series' hourly buckets — "what does this corpus of
+    * metrics keep doing" (ramp-ups, sawtooths, plateaus) without any
+    * per-pattern query. Each hour-to-hour step discretizes to U/D/F by an
+    * integer deadband test (`|Δ|·1000 > |prev|·permille` — no division,
+    * engine-exact); a window's shape is the concatenated symbol string,
+    * windows spanning bucket gaps are dropped (lead-contiguity check, no
+    * fabricated steps), and the census counts occurrences and distinct
+    * series per shape with a deterministic first-occurrence witness.
+    *
+    * Scale shape: one O(events) bucketing shuffle, then everything runs
+    * on the O(series × hours) bucket table — symbols and shapes are
+    * window `lead`s over the per-series sort the bucket table already
+    * has, and the census is one map-side-combined groupBy on shape.
+    * Top-k is TakeOrdered. No collects, no cross-series state.
+    */
+  def motifs(ev0: DataFrame, width: Int = 4, deadbandPermille: Long = 20L,
+             k: Int = 20, bucketSec: Long = 3600L): DataFrame = {
+    import graft.model.Documents
+    require(width >= 2 && width <= 24, s"width in [2,24], got $width")
+    val hourly = ev0
+      .select(col("event_type").as("series"),
+        (Documents.tsSec(col("ts")) / bucketSec).cast("long").as("h"),
+        expr("cast(round(value * 1000000.0D) as bigint)").as("vm"))
+      .groupBy(col("series"), col("h"))
+      .agg(sum(col("vm")).as("sv"), count(lit(1)).as("cnt"))
+      .select(col("series"), col("h"), expr("sv div cnt").as("x"))
+    val w = Window.partitionBy(col("series")).orderBy(col("h"))
+    // step symbol for (h → h+1); null when the next bucket isn't h+1
+    val sym = hourly
+      .withColumn("h1", lead(col("h"), 1).over(w))
+      .withColumn("x1", lead(col("x"), 1).over(w))
+      .withColumn("sym",
+        // the tail bucket has no next step: NULL, never a fabricated 'F'
+        when(col("h1").isNull || col("h1") =!= col("h") + 1L,
+          lit(null).cast("string"))
+          .when((col("x1") - col("x")) * 1000L > abs(col("x")) * deadbandPermille, "U")
+          .when((col("x") - col("x1")) * 1000L > abs(col("x")) * deadbandPermille, "D")
+          .otherwise("F"))
+    // shape = width consecutive step symbols starting at h; any gap or
+    // series tail inside the window nulls a lead and drops the row
+    val leads = (0 until width).map {
+      case 0 => col("sym")
+      case j => when(lead(col("h"), j).over(w) === col("h") + j,
+        lead(col("sym"), j).over(w))
+    }
+    sym.withColumn("shape", concat(leads: _*))
+      .filter(col("shape").isNotNull && length(col("shape")) === width)
+      .groupBy(col("shape"), col("series"))
+      .agg(count(lit(1)).as("n"), min(col("h")).as("first_h"))
+      .groupBy(col("shape"))
+      .agg(sum(col("n")).as("n"), count(lit(1)).as("n_series"),
+        min(struct(col("series"), col("first_h"))).as("w0"))
+      .select(col("shape"), col("n"), col("n_series"),
+        col("w0.series").as("first_series"), col("w0.first_h").as("first_h"))
+      .orderBy(col("n").desc, col("shape"))
+      .limit(k)
+  }
+
+  /** [[motifs]] on the events table. */
+  def eventMotifs(spark: SparkSession, dir: String): DataFrame =
+    motifs(Tables.events(spark, dir))
+
   /** DataFrame form of [[cohortRetention]]: `ev` needs (user_id, day). */
   def retention(ev: DataFrame): DataFrame = {
     val firstTouch = ev.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))

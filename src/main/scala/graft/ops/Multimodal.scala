@@ -214,6 +214,59 @@ object Multimodal {
     spark.createDataFrame(rdd, FeatureSchema)
   }
 
+  val AudioWindowSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("win", IntegerType),
+    StructField("n", IntegerType),
+    StructField("energy", LongType),
+    StructField("peak", IntegerType),
+    StructField("zero_crossings", LongType)))
+
+  /** Per-window audio frame table over decoded PCM — the shape an
+    * ASR/diarization/VAD pipeline consumes (silence gating, speech/music
+    * discrimination, loudness normalization feed): one row per
+    * `windowSamples` slice of channel 0 with sample count, ENERGY
+    * `Σ s²` (exact in a long — int16 squares, no floats anywhere), peak
+    * `max |s|`, and the zero-crossing count (adjacent sign flips within
+    * the window; the classic pitched-vs-noise discriminator). All-integer
+    * outputs: bit-identical on any JVM, any partitioning. Non-WAV or
+    * corrupt payloads contribute no rows (the skip-on-corrupt contract).
+    * `mapPartitions`, partitioning preserved — decode work scales with
+    * the asset bytes each partition holds, never shuffles.
+    */
+  def audioWindows(assets: DataFrame, windowSamples: Int = 4000): DataFrame = {
+    require(windowSamples > 0, "windowSamples must be positive")
+    val spark = assets.sparkSession
+    val rdd = assets.select("asset_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        val id = row.getLong(0)
+        val payload = row.getAs[Array[Byte]](1)
+        val dec = try decodeWav(payload) catch { case _: Exception => None }
+        dec.iterator.flatMap { case (_, channels, s) =>
+          val ch = math.max(1, channels)
+          val nMono = s.length / ch
+          val nWin = (nMono + windowSamples - 1) / windowSamples
+          (0 until nWin).iterator.map { w =>
+            val from = w * windowSamples
+            val until = math.min(nMono, from + windowSamples)
+            var energy = 0L; var zc = 0L; var peak = 0
+            var i = from
+            while (i < until) {
+              val v = s(i * ch).toInt
+              energy += v.toLong * v
+              val a = if (v < 0) -v else v
+              if (a > peak) peak = a
+              if (i > from && (s((i - 1) * ch) >= 0) != (v >= 0)) zc += 1
+              i += 1
+            }
+            Row(id, w, until - from, energy, peak, zc)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, AudioWindowSchema)
+  }
+
   /** 64-bit difference hash (dHash) over decoded pixels: area-average the
     * luma into a 9×8 grid, one bit per horizontally-adjacent comparison.
     * The standard perceptual fingerprint for image near-dup detection —

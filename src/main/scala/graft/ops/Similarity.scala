@@ -590,6 +590,34 @@ object Similarity {
       .select("query_id", "neighbor_id", "adc_micro", "rank")
   }
 
+  /** FAISS-style two-stage retrieval: the IVF+PQ shortlist (`rerank`
+    * candidates per query, ADC-approximate) re-scored by EXACT cosine
+    * against the raw vectors, then cut to the final top-k. The exact
+    * work is O(queries·rerank·d) — never the corpus — and the shortlist
+    * join ships O(queries·rerank) rows to wherever the raw vectors live;
+    * this is the standard recall-repair epilogue every PQ deployment
+    * runs (ADC distortion reorders near-ties; exact re-rank fixes the
+    * head of the list at shortlist cost). `adc_micro` of each survivor
+    * ships as integer evidence of the first stage.
+    */
+  def ivfPqRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                      rerank: Int = 50, kCells: Int = 8, nprobe: Int = 2,
+                      m: Int = 4, codebookK: Int = 256,
+                      dims: Int = 64): DataFrame = {
+    val shortlist = ivfPqTopK(corpus, queries, rerank, kCells, nprobe, m,
+      codebookK, dims)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    shortlist
+      .join(prep(queries).as("q"), col("query_id") === col("q.vec_id"))
+      .join(prep(corpus).as("c"), col("neighbor_id") === col("c.vec_id"))
+      .select(col("query_id"), col("neighbor_id"), col("adc_micro"),
+        cosineExpr.as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adc_micro", "rank")
+  }
+
   def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
                normalize: Boolean = true): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)

@@ -861,10 +861,22 @@ object TextAnalysis {
       .filter(col("token").isin(terms.map(lit): _*))
     val tf = toks.groupBy(col("doc_id"), col("dl"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("dft"))
     val stats = df.select(size(tokens(textCol)).cast("long").as("adl"))
       .agg(count(lit(1)).cast("double").as("n_docs"),
         (sum(col("adl")) / count(lit(1))).as("avgdl"))
+    bm25Score(tf, stats, k, k1, b)
+  }
+
+  /** The Okapi scoring epilogue over a (doc_id, dl, token, tf) postings
+    * table already restricted to the query terms plus the corpus stats
+    * row — shared by [[bm25TopK]] (which builds postings from text) and
+    * [[bm25TopKFromIndex]] (which reads the maintained index), so both
+    * paths state the identical expression tree and score bit-for-bit
+    * equally.
+    */
+  private def bm25Score(tf: DataFrame, stats: DataFrame, k: Int,
+                        k1: Double, b: Double): DataFrame = {
+    val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("dft"))
     val idf = (col("n_docs") - col("dft") + lit(0.5)) / (col("dft") + lit(0.5))
     val sat = (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
@@ -877,6 +889,38 @@ object TextAnalysis {
         count(lit(1)).as("n_terms"))
       .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Full-corpus tf postings — one (doc_id, dl, token, tf) row per
+    * distinct token per document, the sufficient statistic BM25 scoring
+    * needs (and the tf-carrying sibling of [[invertedIndex]]'s posting
+    * lists). O(corpus tokens) rows total, built in one explode +
+    * map-side-combined groupBy; this is the table the streaming ingest
+    * loop maintains incrementally (`Monitor.maintainBm25Index`).
+    */
+  def bm25Postings(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.select(idCol.as("doc_id"), tokens(textCol).as("words"))
+      .select(col("doc_id"), size(col("words")).cast("long").as("dl"),
+        explode(col("words")).as("token"))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** BM25 top-k off a maintained postings index instead of raw text:
+    * scoring touches only the query terms' index rows (an equality
+    * filter a partitioned/bucketed index turns into a pruned scan) plus
+    * one distinct-doc pass for the corpus stats — the corpus text is
+    * never re-tokenized. Score-parity with [[bm25TopK]] over the same
+    * corpus is bit-exact (same epilogue, same stats values).
+    */
+  def bm25TopKFromIndex(index: DataFrame, terms: Seq[String], k: Int = 20,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val tf = index.filter(col("token").isin(terms.map(lit): _*))
+      .select("doc_id", "dl", "token", "tf")
+    val stats = index.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    bm25Score(tf, stats, k, k1, b)
   }
 
   /** Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009):

@@ -157,7 +157,7 @@ object Monitor {
     */
   def readEventStats(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     graft.ops.Analytics.eventStatsMerge(
-      spark.read.parquet(path).drop("__batch_id"))
+      readLog(spark, path))
 
   /** Maintained hourly bucket log — the ts family's shared sufficient
     * statistic, kept current at the ingest door: each micro-batch folds
@@ -191,7 +191,7 @@ object Monitor {
     */
   def readHourlyBuckets(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     graft.ops.Analytics.hourlyMerge(
-      spark.read.parquet(path).drop("__batch_id"))
+      readLog(spark, path))
 
   /** Streaming vocabulary maintenance — the tokenizer-pipeline twin of
     * [[maintainEventStats]]: each micro-batch's documents fold to their
@@ -226,7 +226,7 @@ object Monitor {
     * equal to a batch recompute over everything ever streamed).
     */
   def readWordCounts(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop("__batch_id")
+    readLog(spark, path)
       .groupBy("word").agg(sum("cnt").as("cnt"))
 
   /** Maintained Gram-matrix log — second-moment statistics for the
@@ -261,7 +261,7 @@ object Monitor {
     * bit-equal to `Similarity.gramMatrix` over the full streamed corpus.
     */
   def readGram(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop("__batch_id")
+    readLog(spark, path)
       .groupBy("i", "j")
       .agg(sum("n").as("n"), sum("sxy_micro").as("sxy_micro"))
       .orderBy("i", "j")
@@ -300,10 +300,137 @@ object Monitor {
     * full streamed corpus against the same frozen centroids.
     */
   def readKmeansStats(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop("__batch_id")
+    readLog(spark, path)
       .groupBy("cell", "dim")
       .agg(sum("n").as("n"), sum("sm").as("sm"))
       .orderBy("cell", "dim")
+
+  /** List a maintained log's `__batch_id` partition values from the
+    * directory names — a metadata operation, never a data scan.
+    */
+  private def logBatchIds(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("__batch_id="))
+      .map(_.stripPrefix("__batch_id=").toLong)
+  }
+
+  /** Compact a maintained partial log — the small-file answer for every
+    * per-`__batch_id` log here (48k/48r/48s/48t/48w/48x/48y/48z/48aa/
+    * 48ab): a long-running stream otherwise accumulates one partition
+    * per micro-batch forever. All batches BELOW the newest positive id
+    * are checkpoint-committed and can never replay (Structured Streaming
+    * replays at most the last batch), so they fold into one compacted
+    * generation; the newest batch stays un-absorbed and replays keep
+    * rewriting only it.
+    *
+    * Crash-safe by partition-id encoding, no manifest: a compacted
+    * generation's id is `-(thru + 1)` where `thru` is the highest batch
+    * it absorbed — so [[readLog]] picks the newest (most negative)
+    * generation and ignores BOTH older generations and absorbed positive
+    * partitions, which makes the delete step pure garbage collection:
+    * it can crash halfway or re-run anytime without double counting.
+    *
+    * Contract: one checkpoint lineage per log. Batch ids are monotone
+    * within a lineage, so any partition at an id ≤ the compacted `thru`
+    * can only be replayed DUPLICATE content (invisible to readers, GC'd
+    * here); restarting a compacted log from a FRESH checkpoint would
+    * restart ids at 0 and is not supported — rebuild the log instead.
+    * `fold` merges partials while compacting (e.g. the stats logs'
+    * groupBy-sum), shrinking the generation to the aggregate's true
+    * cardinality; the default keeps rows as-is (postings/index logs).
+    */
+  def compactLog(spark: org.apache.spark.sql.SparkSession, path: String,
+                 fold: DataFrame => DataFrame = identity): Unit = {
+    val ids = logBatchIds(spark, path)
+    val pos = ids.filter(_ >= 0L)
+    if (pos.nonEmpty) {
+      val frontier = pos.max
+      val prevGen = ids.filter(_ < 0L).minOption
+      val prevThru = prevGen.map(g => -g - 1L).getOrElse(-1L)
+      val absorb = pos.filter(id => id > prevThru && id < frontier)
+      var gen = prevGen
+      var thru = prevThru
+      if (absorb.nonEmpty) {
+        val newThru = frontier - 1L
+        val newGen = -(newThru + 1L)
+        fold(spark.read.parquet(path)
+            .filter(col("__batch_id").isin((prevGen.toSeq ++ absorb): _*))
+            .drop("__batch_id"))
+          .withColumn("__batch_id", lit(newGen))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id")
+          .parquet(path)
+        gen = Some(newGen)
+        thru = newThru
+      }
+      // garbage collection — everything already invisible to readLog:
+      // absorbed positives (including any a fresh-checkpoint replay
+      // recreated after a previous compaction) and superseded
+      // generations. Safe to crash halfway or re-run anytime.
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      (ids.filter(id => id < 0L && gen.exists(_ != id)) ++
+          pos.filter(_ <= thru))
+        .distinct.foreach { id =>
+          fs.delete(new org.apache.hadoop.fs.Path(p, s"__batch_id=$id"), true)
+        }
+    }
+  }
+
+  /** Read a maintained log, compacted or not: the newest generation (if
+    * any) plus every positive batch above its absorbed frontier — stale
+    * generations and absorbed partials a crashed compaction left behind
+    * are ignored by construction. Every `readXxx` merge-on-read view
+    * goes through here, so compaction is transparent to all of them.
+    */
+  def readLog(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val neg = logBatchIds(spark, path).filter(_ < 0L)
+    if (neg.isEmpty) df.drop("__batch_id")
+    else {
+      val gen = neg.min
+      val thru = -gen - 1L
+      df.filter(col("__batch_id") === gen || col("__batch_id") > thru)
+        .drop("__batch_id")
+    }
+  }
+
+  /** Maintained BM25 postings index — full-text retrieval current at the
+    * ingest door: each micro-batch of documents tokenizes ONCE and folds
+    * to its (doc_id, dl, token, tf) postings rows — O(batch tokens) rows
+    * per batch, the per-doc sufficient statistic BM25 needs — into a
+    * per-`__batch_id` partition, exactly-once via dynamic overwrite.
+    * Documents are append-only (each lands wholly in one batch), so the
+    * read-time union IS the full-corpus postings table and
+    * `TextAnalysis.bm25TopKFromIndex` off it scores BIT-equal to batch
+    * `bm25TopK` over every doc ever streamed — the corpus text is never
+    * re-tokenized to serve a query.
+    */
+  def maintainBm25Index(stream: DataFrame, path: String, checkpoint: String,
+                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        graft.ops.TextAnalysis.bm25Postings(df.toDF(), col("doc_id"), col("text"))
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id")
+          .parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Merge-on-read of the [[maintainBm25Index]] log: the full-corpus
+    * (doc_id, dl, token, tf) postings table.
+    */
+  def readBm25Index(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    readLog(spark, path)
 
   /** Maintained perceptron-gradient log — the quality/domain classifier's
     * next full-batch step kept current at the ingest door: each
@@ -342,7 +469,7 @@ object Monitor {
     */
   def readClassifierGrad(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     val d = graft.ops.TextAnalysis.ClassifierDims
-    spark.read.parquet(path).drop("__batch_id")
+    readLog(spark, path)
       .agg(sum("m").as("m"),
         (0 until d).map(j => sum(s"g$j").as(s"g$j")): _*)
   }
@@ -383,7 +510,7 @@ object Monitor {
     */
   def readCmSketch(spark: org.apache.spark.sql.SparkSession, path: String): Array[Byte] = {
     graft.functions.CmFunctions.register(spark)
-    spark.read.parquet(path).drop("__batch_id")
+    readLog(spark, path)
       .agg(expr("graft_cm_union(sk)")).head().getAs[Array[Byte]](0)
   }
 
@@ -418,7 +545,7 @@ object Monitor {
     * streaming candidate joins expect.
     */
   def readLshIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop("__batch_id")
+    readLog(spark, path)
 
   /** Capture INTO the reference's native format: each micro-batch's `doc`
     * rows (canonical JSON) are written as `.topic_store` pickle logs into a
@@ -626,7 +753,7 @@ object Monitor {
     * [[embNearDupStream]] expects.
     */
   def readSrpIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop("__batch_id")
+    readLog(spark, path)
 
   /** Stream-stream interval join: correlate two live streams on a key
     * within a time bound (e.g. purchase within an hour of a click).

@@ -403,6 +403,26 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfpq rerank orders the ADC shortlist by exact cosine") {
+    val q = emb.filter(col("vec_id") < 3)
+    val shortlist = Similarity.ivfPqTopK(emb, q, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // exact cosine order over the whole corpus (rank-ordered, superset)
+    val exact = Similarity.bruteTopK(emb, q, 100000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val rer = Similarity.ivfPqRerankTopK(emb, q, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(rer.nonEmpty)
+    rer.foreach { case (qid, neighbors) =>
+      val expected = exact(qid).filter(shortlist(qid)).take(neighbors.length)
+      assert(neighbors === expected,
+        s"query $qid: rerank must equal exact-cosine order of its shortlist")
+    }
+  }
+
   test("fixed-point perceptron learns a separable corpus and is partition-invariant") {
     import spark.implicits._
     // planted separable signal: positive docs are vowel-heavy, negatives
@@ -592,6 +612,31 @@ class DataOpsSpec extends AnyFunSuite {
       (w * 3 until rowBytes).foreach(_ => out.write(0))
     }
     out.toByteArray
+  }
+
+  test("audio windows: exact integer energy, peak and zero-crossings per slice") {
+    import spark.implicits._
+    // square wave period 8 (4 high / 4 low at ±16384), 8000 samples:
+    // with 2000-sample windows every window is identical by symmetry —
+    // energy 2000·16384², peak 16384, and a sign flip at every in-window
+    // index divisible by 4 (499 of them in each window)
+    val df = Seq((1L, "audio/wav", squareWav()), (2L, "junk", Array[Byte](1, 2)))
+      .toDF("asset_id", "kind", "payload")
+    val assets = Multimodal.toAsset(df, col("asset_id"), col("kind"), col("payload"))
+    val out = Multimodal.audioWindows(assets, windowSamples = 2000).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getInt(4), r.getLong(5))).sortBy(_._2)
+    assert(out.length === 4, "junk payloads contribute no rows")
+    out.zipWithIndex.foreach { case ((id, win, n, energy, peak, zc), i) =>
+      assert(id === 1L && win === i && n === 2000)
+      assert(energy === 2000L * 16384L * 16384L, s"window $win energy $energy")
+      assert(peak === 16384)
+      assert(zc === 499L, s"window $win zc $zc")
+    }
+    // a trailing partial window keeps exact counts
+    val partial = Multimodal.audioWindows(assets, windowSamples = 3000).collect()
+      .map(r => (r.getInt(1), r.getInt(2))).sortBy(_._1)
+    assert(partial.toSeq === Seq((0, 3000), (1, 3000), (2, 2000)))
   }
 
   test("WAV and BMP payloads decode for real; other kinds fall back to the stub") {

@@ -24,6 +24,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q22_idle_balances",      // single-row scalar-threshold broadcast
     "q11_nation_concentration", // single-row global-total broadcast (Q11 HAVING)
     "text_bm25_topk",         // single-row corpus-stats (N, avgdl) broadcast
+    "text_bm25_from_index",   // same single-row stats broadcast, index-served
+    "ann_ivfpq_rerank",       // embeds ann_ivfpq_topk's centroid broadcast
     "text_rrf_fusion",        // embeds bm25's stats broadcast + the brute dense baseline
     "ann_int8_topk",          // quantized brute-force scoring: all-pairs by design
     "emb_margin_pairs",       // exact all-pairs margin baseline (ANN-candidate epilogue at scale)

@@ -939,6 +939,108 @@ class StreamingSpec extends AnyFunSuite {
     assert(merged() === direct, "replay must not change the merged gram")
   }
 
+  test("log compaction folds committed batches, survives crashes, and stays replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft_cmp").toString
+    val ckpt = Files.createTempDirectory("graft_cmp_ck").toString
+    val path = s"$dir/log"
+    val docs = Tables.documents(spark, sf)
+    val terms = Seq("merge", "batch", "stream")
+    val all = docs.select("doc_id", "text").collect()
+      .map(r => Doc(r.getLong(0), new Timestamp(0L), r.getString(1))).toSeq
+    val input = MemoryStream[Doc]
+    all.grouped(math.max(1, all.size / 4 + 1)).foreach { chunk =>
+      input.addData(chunk: _*)
+      val q = Monitor.maintainBm25Index(input.toDF().drop("ts"), path, s"$ckpt/c1")
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    val batch = graft.ops.TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"),
+      terms, k = 20).collect().toSeq.map(_.toSeq)
+    def served() = graft.ops.TextAnalysis.bm25TopKFromIndex(
+      Monitor.readBm25Index(spark, path), terms, k = 20)
+      .collect().toSeq.map(_.toSeq)
+    def parts() = {
+      val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(new Path(path)).map(_.getPath.getName)
+        .filter(_.startsWith("__batch_id=")).map(_.stripPrefix("__batch_id=").toLong)
+        .toSet
+    }
+    assert(parts() === Set(0L, 1L, 2L, 3L))
+
+    // first compaction absorbs batches 0..2 into generation -3; the
+    // newest (replayable) batch 3 stays; the served scores don't move
+    Monitor.compactLog(spark, path)
+    assert(parts() === Set(-3L, 3L), s"got ${parts()}")
+    assert(served() === batch)
+
+    // compaction with nothing new to absorb is a no-op
+    Monitor.compactLog(spark, path)
+    assert(parts() === Set(-3L, 3L))
+
+    // a crashed garbage collection leaves a stale absorbed partial and a
+    // stale older generation behind — the reader must ignore both
+    Monitor.readLog(spark, path).limit(5)
+      .withColumn("__batch_id", lit(1L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id").parquet(path)
+    Monitor.readLog(spark, path).limit(7)
+      .withColumn("__batch_id", lit(-2L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id").parquet(path)
+    assert(parts() === Set(-3L, -2L, 1L, 3L))
+    assert(served() === batch, "stale partitions must be invisible to readers")
+
+    // re-running compaction garbage-collects the stale leftovers without
+    // writing a new generation (nothing new to absorb)
+    Monitor.compactLog(spark, path)
+    assert(parts() === Set(-3L, 3L), s"got ${parts()}")
+    assert(served() === batch)
+
+    // a later batch on the SAME checkpoint lineage advances the
+    // frontier: the next compaction absorbs batch 3 into a NEWER
+    // generation (-4, thru 3) and removes the old one
+    input.addData(all.take(10): _*)
+    val q4 = Monitor.maintainBm25Index(input.toDF().drop("ts"), path, s"$ckpt/c1")
+    try q4.awaitTermination(120000) finally q4.stop()
+    assert(parts() === Set(-3L, 3L, 4L), s"got ${parts()}")
+    Monitor.compactLog(spark, path)
+    assert(parts() === Set(-4L, 4L), s"got ${parts()}")
+  }
+
+  test("maintained bm25 index scores bit-equal to batch bm25 over the streamed corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_bm").toString
+    val ckpt = Files.createTempDirectory("graft_bm_ck").toString
+    val docs = Tables.documents(spark, sf)
+    val terms = Seq("merge", "batch", "stream")
+    val all = docs.select("doc_id", "text").collect()
+      .map(r => Doc(r.getLong(0), new Timestamp(0L), r.getString(1))).toSeq
+    val input = MemoryStream[Doc]
+    all.grouped(math.max(1, all.size / 3 + 1)).foreach { chunk =>
+      input.addData(chunk: _*)
+      val q = Monitor.maintainBm25Index(input.toDF().drop("ts"),
+        s"$dir/log", s"$ckpt/c1")
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    def fromIndex() = graft.ops.TextAnalysis.bm25TopKFromIndex(
+        Monitor.readBm25Index(spark, s"$dir/log"), terms, k = 20)
+      .collect().toSeq.map(_.toSeq)
+    val batch = graft.ops.TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"),
+      terms, k = 20).collect().toSeq.map(_.toSeq)
+    assert(fromIndex() === batch && batch.nonEmpty,
+      "index-served scores must equal batch text scoring bit-for-bit")
+    // replay with a fresh checkpoint rewrites batch 0 idempotently
+    val input2 = MemoryStream[Doc]
+    input2.addData(all.take(all.size / 3 + 1): _*)
+    val q2 = Monitor.maintainBm25Index(input2.toDF().drop("ts"),
+      s"$dir/log", s"$ckpt/c2")
+    try q2.awaitTermination(120000) finally q2.stop()
+    assert(fromIndex() === batch, "replay must not change index-served scores")
+  }
+
   test("maintained classifier gradient log equals the batch gradient") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -975,6 +1077,17 @@ class StreamingSpec extends AnyFunSuite {
       positive, s"$dir/log", s"$ckpt/c2")
     try q2.awaitTermination(120000) finally q2.stop()
     assert(merged() === direct, "replay must not change the merged gradient")
+
+    // compacting with the merge fold collapses committed batches to the
+    // aggregate's true cardinality (one partial row) without moving the
+    // merged value
+    val d = graft.ops.TextAnalysis.ClassifierDims
+    Monitor.compactLog(spark, s"$dir/log", df =>
+      df.agg(sum("m").as("m"),
+        (0 until d).map(j => sum(s"g$j").as(s"g$j")): _*))
+    assert(merged() === direct, "fold-compaction must not change the gradient")
+    assert(Monitor.readLog(spark, s"$dir/log").count() <= 2,
+      "stats log must compact to one folded row plus the newest batch")
   }
 
   test("maintained kmeans stats log yields the exact batch Lloyd update") {

@@ -66,6 +66,22 @@ class TsResampleSpec extends AnyFunSuite {
     assert(out === Map(1 -> 1L, 2 -> 1L))
   }
 
+  test("motifs: symbols by deadband, windows never span gaps or tails") {
+    // ramp: hours 0..9 doubling each hour → symbols all U → 6 'UUUU'
+    // windows (starts 0..5; the tail bucket has no step symbol).
+    // gap: hours 0..4 then 7..11, flat values → 'FFFF' only within each
+    // contiguous segment → starts {0} and {7}, never across the gap.
+    val ramp = (0 to 9).map(h => (3600L * h, "ramp", math.pow(2.0, h)))
+    val gap = (Seq(0, 1, 2, 3, 4) ++ Seq(7, 8, 9, 10, 11))
+      .map(h => (3600L * h, "gap", 5.0))
+    val out = Analytics.motifs(ev(ramp ++ gap)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      ("UUUU", 6L, 1L, "ramp", 0L),
+      ("FFFF", 2L, 1L, "gap", 0L)))
+  }
+
   test("changepoint finds a planted level shift at the exact split") {
     // series A: 6 hours at 10.0 then 6 hours at 20.0 — the max CUSUM
     // deviation sits exactly at t=6 (the last low bucket)
