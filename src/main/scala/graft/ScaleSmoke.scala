@@ -357,6 +357,34 @@ object ScaleSmoke {
       assert(misplaced == 0, "trained centroids must recover the planted directions")
     }
 
+    // maintained-log compaction at 500 micro-batches × 2k partial rows:
+    // the small-file shape a week of 20-minute triggers leaves behind.
+    // One generation write + GC must collapse 500 partitions to 2 and
+    // keep the merge-on-read aggregate bit-identical.
+    time("log_compaction_500_batches") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_smoke_log").toString
+      val path = s"$dir/log"
+      spark.range(500L * 2000L).select(
+          (col("id") / 2000L).cast("long").as("__batch_id"),
+          (col("id") % 2000L).as("key"),
+          lit(1L).as("cnt"),
+          (col("id") % 97L).as("sm"))
+        .write.partitionBy("__batch_id").parquet(path)
+      def merged() = graft.streaming.Monitor.readLog(spark, path)
+        .groupBy("key").agg(sum("cnt").as("cnt"), sum("sm").as("sm"))
+        .agg(sum("cnt"), sum("sm")).collect()(0).toSeq
+      val before = merged()
+      graft.streaming.Monitor.compactLog(spark, path, df =>
+        df.groupBy("key").agg(sum("cnt").as("cnt"), sum("sm").as("sm")))
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val partsLeft = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .map(_.getPath.getName).count(_.startsWith("__batch_id="))
+      assert(partsLeft == 2, s"expected generation + newest batch, got $partsLeft")
+      assert(merged() == before, "compaction must not move the aggregate")
+      println(s"[scale]   compacted 500 batch partitions -> $partsLeft, aggregate unchanged")
+    }
+
     // full-batch fixed-point perceptron at 10^6 docs: each round is one
     // codegen'd scan of the cached integer features reduced to a SINGLE
     // (m, g0..g6) row — the exchange never carries the corpus — and the

@@ -760,6 +760,12 @@ object SparkEntry {
     "emb_dim_stats" -> ((s, dir) =>
       Similarity.dimProfile(Tables.embeddings(s, dir))),
 
+    // the scaling APPLIED: integer milli z-scores per element (truncating
+    // micro mean, sqrt from the exact integer moments) — one scan + a
+    // 64-row broadcast join, no vector shuffle
+    "emb_standardize" -> ((s, dir) =>
+      Similarity.standardize(Tables.embeddings(s, dir))),
+
     // bottom-10%-per-cell centroid-cosine outliers — integer rank
     // threshold per cell, so dense cells can't drown sparse ones
     "emb_cell_outliers" -> ((s, dir) =>
@@ -2917,6 +2923,28 @@ object SparkEntry {
         |SELECT dim, n, sx_micro, sxx_micro, x_min, x_max, mean,
         |  sqrt(greatest(ex2 - mean * mean, 0.0)) AS std
         |FROM m ORDER BY dim""".stripMargin,
+
+    // the same moments; σ through the identical double tree, then the
+    // per-element epilogue is pure integer arithmetic (truncating //)
+    "emb_standardize" ->
+      """WITH v AS (SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |           FROM embeddings, range(1, 65) r(i)),
+        |s AS MATERIALIZED (SELECT dim, count(*) AS n,
+        |    CAST(SUM(CAST(round(x * 1000000.0) AS BIGINT)) AS BIGINT) AS sx_micro,
+        |    CAST(SUM(CAST(round(x * x * 1000000.0) AS BIGINT)) AS BIGINT) AS sxx_micro
+        |  FROM v GROUP BY 1),
+        |m AS (SELECT dim, sx_micro // n AS mean_micro,
+        |    CAST(round(sqrt(greatest(CAST(sxx_micro AS DOUBLE) / 1000000.0 / n
+        |      - (CAST(sx_micro AS DOUBLE) / 1000000.0 / n)
+        |        * (CAST(sx_micro AS DOUBLE) / 1000000.0 / n), 0.0)) * 1000000.0) AS BIGINT)
+        |      AS sd_micro
+        |  FROM s)
+        |SELECT v.vec_id, CAST(v.dim AS BIGINT) AS dim,
+        |  CASE WHEN m.sd_micro = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE ((CAST(round(v.x * 1000000.0) AS BIGINT) - m.mean_micro) * 1000)
+        |            // m.sd_micro
+        |  END AS z_milli
+        |FROM v JOIN m ON m.dim = v.dim ORDER BY vec_id, dim""".stripMargin,
 
     // per-pair cosines micro-rounded before any aggregation, so top-k
     // sums are exact integer adds and the margin one integer division —

@@ -1561,16 +1561,18 @@ object Analytics {
     * Top-k is TakeOrdered. No collects, no cross-series state.
     */
   def motifs(ev0: DataFrame, width: Int = 4, deadbandPermille: Long = 20L,
-             k: Int = 20, bucketSec: Long = 3600L): DataFrame = {
-    import graft.model.Documents
+             k: Int = 20, bucketSec: Long = 3600L): DataFrame =
+    motifsFromHourly(hourlyMerge(hourlyPartial(ev0, bucketSec)),
+      width, deadbandPermille, k)
+
+  /** [[motifs]] from an already-bucketed (series, h, x) table — the
+    * merge-on-read epilogue over a maintained bucket log (48w), like
+    * [[seasonalFromHourly]]: the census stays current at the ingest door
+    * without re-bucketing raw events.
+    */
+  def motifsFromHourly(hourly: DataFrame, width: Int = 4,
+                       deadbandPermille: Long = 20L, k: Int = 20): DataFrame = {
     require(width >= 2 && width <= 24, s"width in [2,24], got $width")
-    val hourly = ev0
-      .select(col("event_type").as("series"),
-        (Documents.tsSec(col("ts")) / bucketSec).cast("long").as("h"),
-        expr("cast(round(value * 1000000.0D) as bigint)").as("vm"))
-      .groupBy(col("series"), col("h"))
-      .agg(sum(col("vm")).as("sv"), count(lit(1)).as("cnt"))
-      .select(col("series"), col("h"), expr("sv div cnt").as("x"))
     val w = Window.partitionBy(col("series")).orderBy(col("h"))
     // step symbol for (h → h+1); null when the next bucket isn't h+1
     val sym = hourly

@@ -832,6 +832,32 @@ object Similarity {
       .drop("ex2")
       .orderBy(col("dim"))
 
+  /** Applied per-dimension standardization — the feature-scaling APPLY
+    * step downstream of [[dimProfile]]: z = (x − μ_d)/σ_d per element,
+    * shipped as integer MILLI z-scores. μ is the truncating integer
+    * micro mean; σ comes from the exact integer (Σx, Σx²) moments
+    * through the SAME fixed double expression tree as [[dimProfile]]
+    * (one correctly-rounded sqrt from identical doubles → identical
+    * micro rounding on any engine); the per-element epilogue is then
+    * pure integer arithmetic. A constant dimension (σ = 0) standardizes
+    * to 0. One corpus scan + a 64-row broadcast join — no shuffle of
+    * the vectors, embarrassingly parallel at any corpus size.
+    */
+  def standardize(emb: DataFrame): DataFrame = {
+    val stats = dimProfile(emb).select(col("dim"), col("n"), col("sx_micro"),
+      expr("cast(round(std * 1000000.0D) as bigint)").as("sd_micro"),
+      expr("sx_micro div n").as("mean_micro"))
+    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim"),
+        expr("cast(round(cast(xf as double) * 1000000.0D) as bigint)").as("xm"))
+      .join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        when(col("sd_micro") === 0L, 0L)
+          .otherwise(expr("((xm - mean_micro) * 1000) div sd_micro"))
+          .as("z_milli"))
+      .orderBy("vec_id", "dim")
+  }
+
   def gramMatrix(emb: DataFrame, dims: Int = 64): DataFrame = {
     // Upper-triangle co-moment accumulation per PARTITION (the syrk
     // shape): each task folds its rows into one dims·(dims+1)/2 long

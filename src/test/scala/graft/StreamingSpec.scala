@@ -868,7 +868,12 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_hb").toString
     val ckpt = Files.createTempDirectory("graft_hb_ck").toString
-    val all = sampleEvents
+    // spread to 10-minute spacing: ~17 hourly buckets per series, so the
+    // motif epilogue below has contiguous windows to census (the 1-minute
+    // original spans only 2 buckets — zero width-2 windows)
+    val t0 = sampleEvents.head.ts.getTime
+    val all = sampleEvents.map(e =>
+      e.copy(ts = new Timestamp(t0 + (e.ts.getTime - t0) * 10L)))
     def withValue(df: org.apache.spark.sql.DataFrame) =
       df.withColumn("value", col("event_id") % 13 + 0.25)
     val input = MemoryStream[Ev]
@@ -884,13 +889,19 @@ class StreamingSpec extends AnyFunSuite {
         graft.ops.Analytics.hourlyPartial(withValue(all.toDF())))
       .orderBy("series", "h").collect().toSeq.map(_.toSeq)
     assert(merged === direct && merged.nonEmpty)
-    // the downstream epilogue over the log == the batch operator
+    // the downstream epilogues over the log == the batch operators
     val viaLog = graft.ops.Analytics.seasonalFromHourly(
         graft.streaming.Monitor.readHourlyBuckets(spark, s"$dir/log"))
       .collect().toSeq.map(_.toSeq)
     val batch = graft.ops.Analytics.seasonalProfile(withValue(all.toDF()))
       .collect().toSeq.map(_.toSeq)
     assert(viaLog === batch)
+    val motifsViaLog = graft.ops.Analytics.motifsFromHourly(
+        graft.streaming.Monitor.readHourlyBuckets(spark, s"$dir/log"), width = 2)
+      .collect().toSeq.map(_.toSeq)
+    val motifsBatch = graft.ops.Analytics.motifs(withValue(all.toDF()), width = 2)
+      .collect().toSeq.map(_.toSeq)
+    assert(motifsViaLog === motifsBatch && motifsBatch.nonEmpty)
     // replay with a fresh checkpoint rewrites batch 0 idempotently
     val input2 = MemoryStream[Ev]
     input2.addData(all.take(40): _*)
