@@ -1137,18 +1137,17 @@ object Similarity {
       .toDF("cell", "dim", "c_milli", "n_members")
   }
 
-  /** Final assignment of every vector against the trained fixed-point
-    * centroids: the k×d milli table rides the scan as a broadcast, the
-    * integer objective of the chosen cell ships as `obj` (engine-exact,
-    * so the oracle hash-matches the decision evidence, not just the
-    * labels). One scan, zero shuffles — assignment work at 100 TB is
-    * embarrassingly parallel once training has fixed the centroids.
+  /** Assignment of every vector against FROZEN fixed-point centroids:
+    * the k×d milli table rides the scan as a broadcast, the integer
+    * objective of the chosen cell ships as `obj` (engine-exact). One
+    * scan, zero shuffles — shared by [[kmeansAssign]] and the maintained
+    * cell-partitioned index (`Monitor.maintainCellIndex`).
     */
-  def kmeansAssign(emb: DataFrame, kCells: Int = 8, iters: Int = 3,
-                   dims: Int = 64): DataFrame = {
+  private[graft] def assignToCentroids(emb: DataFrame,
+                                       cents: Array[Array[Long]],
+                                       dims: Int = 64): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val (cents, _) = kmeansFixedPointCentroids(emb, kCells, iters, dims)
     val bc = spark.sparkContext.broadcast(cents)
     emb.select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
@@ -1174,7 +1173,17 @@ object Similarity {
         }
       }
       .toDF("vec_id", "cell", "obj")
-      .orderBy("vec_id")
+  }
+
+  /** Final assignment of every vector against the trained fixed-point
+    * centroids — [[kmeansFixedPointCentroids]] + [[assignToCentroids]].
+    * Assignment work at 100 TB is embarrassingly parallel once training
+    * has fixed the centroids.
+    */
+  def kmeansAssign(emb: DataFrame, kCells: Int = 8, iters: Int = 3,
+                   dims: Int = 64): DataFrame = {
+    val (cents, _) = kmeansFixedPointCentroids(emb, kCells, iters, dims)
+    assignToCentroids(emb, cents, dims).orderBy("vec_id")
   }
 
   /** Per-vector projection onto the power-iteration top component: each

@@ -342,9 +342,12 @@ object Monitor {
     * `fold` merges partials while compacting (e.g. the stats logs'
     * groupBy-sum), shrinking the generation to the aggregate's true
     * cardinality; the default keeps rows as-is (postings/index logs).
+    * `partitionCols` preserves nested sub-partitioning through the
+    * rewrite (the cell-partitioned ANN index keeps its `cell=` layout).
     */
   def compactLog(spark: org.apache.spark.sql.SparkSession, path: String,
-                 fold: DataFrame => DataFrame = identity): Unit = {
+                 fold: DataFrame => DataFrame = identity,
+                 partitionCols: Seq[String] = Nil): Unit = {
     val ids = logBatchIds(spark, path)
     val pos = ids.filter(_ >= 0L)
     if (pos.nonEmpty) {
@@ -363,7 +366,7 @@ object Monitor {
           .withColumn("__batch_id", lit(newGen))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__batch_id")
+          .partitionBy("__batch_id" +: partitionCols: _*)
           .parquet(path)
         gen = Some(newGen)
         thru = newThru
@@ -399,6 +402,44 @@ object Monitor {
         .drop("__batch_id")
     }
   }
+
+  /** Maintained cell-partitioned ANN index — the IVF layout kept current
+    * at the ingest door: each arriving embedding is assigned to its cell
+    * against the FROZEN milli centroids (`Similarity.assignToCentroids`,
+    * broadcast k×d table, one scan) and lands under
+    * `__batch_id=…/cell=…`, exactly-once via dynamic overwrite (a
+    * replayed batch deterministically reproduces the same cell set and
+    * rewrites only its own partitions). Probes then read ONLY their
+    * cells' directories — `probeCells` plans a partition-pruned scan, so
+    * ANN serving cost at 100 TB is `nprobe/k` of the corpus per query
+    * batch, enforced by layout instead of a runtime filter.
+    */
+  def maintainCellIndex(stream: DataFrame, centroids: Array[Array[Long]],
+                        path: String, checkpoint: String, dims: Int = 64,
+                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val b = df.toDF()
+        graft.ops.Similarity.assignToCentroids(b, centroids, dims)
+          .select(col("vec_id"), col("cell"))
+          .join(b.select(col("vec_id"), col("embedding")), "vec_id")
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id", "cell")
+          .parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Partition-pruned read of the [[maintainCellIndex]] layout: only the
+    * probed cells' directories are scanned (the `cell` predicate is a
+    * partition filter, visible as PartitionFilters in the plan).
+    */
+  def probeCells(spark: org.apache.spark.sql.SparkSession, path: String,
+                 cells: Seq[Long]): DataFrame =
+    readLog(spark, path).filter(col("cell").isin(cells: _*))
 
   /** Maintained BM25 postings index — full-text retrieval current at the
     * ingest door: each micro-batch of documents tokenizes ONCE and folds

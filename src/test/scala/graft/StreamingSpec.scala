@@ -1101,6 +1101,63 @@ class StreamingSpec extends AnyFunSuite {
       "stats log must compact to one folded row plus the newest batch")
   }
 
+  test("maintained cell index routes vectors at ingest and probes partition-prune") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ci").toString
+    val ckpt = Files.createTempDirectory("graft_ci_ck").toString
+    val path = s"$dir/log"
+    val batchEmb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val (cents, _) =
+      graft.ops.Similarity.kmeansFixedPointCentroids(batchEmb, 8, iters = 0)
+    val all = batchEmb.collect()
+      .map(r => EmbDoc(r.getLong(0), new Timestamp(0L),
+        r.getSeq[Float](1).toArray)).toSeq
+    val input = MemoryStream[EmbDoc]
+    all.grouped(math.max(1, all.size / 3 + 1)).foreach { chunk =>
+      input.addData(chunk: _*)
+      val q = Monitor.maintainCellIndex(input.toDF().drop("ts"), cents,
+        path, s"$ckpt/c1")
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    // index content == batch assignment (and embeddings round-trip)
+    val direct = graft.ops.Similarity.assignToCentroids(batchEmb, cents)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    def indexed() = Monitor.readLog(spark, path).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        (r.getAs[Number]("cell").longValue, r.getSeq[Float](r.fieldIndex("embedding")))))
+      .toMap
+    val idx = indexed()
+    assert(idx.size === all.size)
+    idx.foreach { case (id, (cell, emb)) =>
+      assert(cell === direct(id), s"vec $id routed to $cell, batch says ${direct(id)}")
+      assert(emb.length === 64)
+    }
+    // probes push the cell predicate into the file listing: the scan
+    // node carries it as a PartitionFilter (directory-level pruning),
+    // never a post-scan Filter over the whole index
+    val hot = idx.values.map(_._1).groupBy(identity).maxBy(_._2.size)._1
+    val pruned = Monitor.probeCells(spark, path, Seq(hot))
+    val plan = pruned.queryExecution.executedPlan.toString
+    val partFilter = plan.linesIterator
+      .find(_.contains("PartitionFilters: ["))
+      .getOrElse(fail(s"no PartitionFilters in probe plan:\n$plan"))
+    assert(partFilter.contains("cell"),
+      s"cell predicate must be a partition filter, got: $partFilter")
+    assert(pruned.collect().map(_.getAs[Long]("vec_id")).toSet ===
+      idx.collect { case (id, (c, _)) if c == hot => id }.toSet)
+    // compaction preserves the nested cell layout and the index content
+    Monitor.compactLog(spark, path, partitionCols = Seq("cell"))
+    assert(indexed() === idx, "compaction must not move the index")
+    val gens = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .listStatus(new org.apache.hadoop.fs.Path(path, "__batch_id=-2"))
+      .map(_.getPath.getName).filter(_.startsWith("cell="))
+    assert(gens.nonEmpty, "compacted generation must keep cell= subdirectories")
+  }
+
   test("maintained kmeans stats log yields the exact batch Lloyd update") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
