@@ -1175,6 +1175,43 @@ object Similarity {
       .toDF("vec_id", "cell", "obj")
   }
 
+  /** Top-`nprobe` cell assignment against FROZEN milli centroids — the
+    * query-side routing of an IVF probe (the corpus side uses the top-1
+    * [[assignToCentroids]]). Same integer objective, ties to the lowest
+    * cell; emits (vec_id, cell, cell_rank 1..nprobe). One broadcast
+    * scan, zero shuffles.
+    */
+  private[graft] def assignTopCells(emb: DataFrame,
+                                    cents: Array[Array[Long]], nprobe: Int,
+                                    dims: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(nprobe >= 1 && nprobe <= cents.length)
+    val bc = spark.sparkContext.broadcast(cents)
+    emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { rows =>
+        val cs = bc.value
+        val k = cs.length
+        val normsq = cs.map { c =>
+          var s = 0L; var j = 0
+          while (j < dims) { s += c(j) * c(j); j += 1 }; s
+        }
+        rows.flatMap { case (id, v) =>
+          val objs = Array.tabulate(k) { c =>
+            var dot = 0L; var j = 0
+            while (j < dims) { dot += roundHalfAway(v(j) * cs(c)(j)); j += 1 }
+            (normsq(c) - 2000L * dot, c.toLong)
+          }
+          objs.sortBy(identity).take(nprobe).zipWithIndex.map {
+            case ((_, cell), r) => (id, cell, r + 1)
+          }
+        }
+      }
+      .toDF("vec_id", "cell", "cell_rank")
+  }
+
   /** Final assignment of every vector against the trained fixed-point
     * centroids — [[kmeansFixedPointCentroids]] + [[assignToCentroids]].
     * Assignment work at 100 TB is embarrassingly parallel once training

@@ -441,6 +441,61 @@ object Monitor {
                  cells: Seq[Long]): DataFrame =
     readLog(spark, path).filter(col("cell").isin(cells: _*))
 
+  /** Live ANN serving against the [[maintainCellIndex]] layout: each
+    * micro-batch of QUERY vectors routes to its top-`nprobe` cells
+    * (`Similarity.assignTopCells`, broadcast centroids), reads only
+    * those cells' directories from the index (partition-pruned, the
+    * [[probeCells]] contract), scores candidates by EXACT cosine and
+    * emits top-`k` per query — exactly-once into a per-`__batch_id`
+    * partition of `outPath`. Per batch the work is
+    * O(batch · nprobe/k_cells · corpus-per-cell · d): the corpus is
+    * touched only through the probed directories, and re-centering the
+    * quantizer is a centroid swap, not an index rebuild.
+    */
+  def serveAnnStream(queries: DataFrame, centroids: Array[Array[Long]],
+                     indexPath: String, outPath: String, checkpoint: String,
+                     k: Int = 10, nprobe: Int = 2, dims: Int = 64,
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val spark = df.sparkSession
+        val q = df.toDF()
+        val probes = graft.ops.Similarity
+          .assignTopCells(q, centroids, nprobe, dims)
+          .select(col("vec_id").as("query_id"), col("cell"))
+        val cells = probes.select("cell").distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val index = probeCells(spark, indexPath, cells)
+        val cand = probes
+          .join(index.select(col("vec_id").as("neighbor_id"),
+            col("cell"), col("embedding")), "cell")
+          .filter(col("query_id") =!= col("neighbor_id"))
+        val qp = graft.ops.Similarity.prep(q)
+          .select(col("vec_id").as("query_id"), col("v"), col("norm"))
+        val cp = graft.ops.Similarity.prep(
+            index.select(col("vec_id"), col("embedding")))
+          .select(col("vec_id").as("neighbor_id"),
+            col("v").as("cv"), col("norm").as("cnorm"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+        cand.select("query_id", "neighbor_id")
+          .join(broadcast(qp), "query_id")
+          .join(cp, "neighbor_id")
+          .withColumn("cosine",
+            expr("graft_dot(v, cv)") / (col("norm") * col("cnorm")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id")
+          .parquet(outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   /** Maintained BM25 postings index — full-text retrieval current at the
     * ingest door: each micro-batch of documents tokenizes ONCE and folds
     * to its (doc_id, dl, token, tf) postings rows — O(batch tokens) rows

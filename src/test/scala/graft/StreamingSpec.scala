@@ -1158,6 +1158,82 @@ class StreamingSpec extends AnyFunSuite {
     assert(gens.nonEmpty, "compacted generation must keep cell= subdirectories")
   }
 
+  test("streamed ANN queries are served exactly from the maintained cell index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_serve").toString
+    val ckpt = Files.createTempDirectory("graft_serve_ck").toString
+    val indexPath = s"$dir/index"
+    val outPath = s"$dir/results"
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val (cents, _) =
+      graft.ops.Similarity.kmeansFixedPointCentroids(corpus, 8, iters = 0)
+    // build the maintained index in one streamed batch
+    val allVecs = corpus.collect()
+      .map(r => EmbDoc(r.getLong(0), new Timestamp(0L),
+        r.getSeq[Float](1).toArray)).toSeq
+    val corpusIn = MemoryStream[EmbDoc]
+    corpusIn.addData(allVecs: _*)
+    val qi = Monitor.maintainCellIndex(corpusIn.toDF().drop("ts"), cents,
+      indexPath, s"$ckpt/idx")
+    try qi.awaitTermination(120000) finally qi.stop()
+
+    // two query batches served live
+    val queries = allVecs.filter(_.vec_id < 6)
+    val qin = MemoryStream[EmbDoc]
+    queries.grouped(3).foreach { chunk =>
+      qin.addData(chunk: _*)
+      val qs = Monitor.serveAnnStream(qin.toDF().drop("ts"), cents,
+        indexPath, outPath, s"$ckpt/srv", k = 5, nprobe = 2)
+      try qs.awaitTermination(120000) finally qs.stop()
+    }
+    val served = spark.read.parquet(outPath)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(served.keySet === queries.map(_.vec_id).toSet)
+
+    // hand-computed expectation: per query, candidates = index vectors in
+    // its top-2 cells, ranked by exact cosine (sequential-sum doubles,
+    // the graft_dot order), ties by neighbor id
+    val cellOf = graft.ops.Similarity.assignToCentroids(corpus, cents)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val probesOf = graft.ops.Similarity.assignTopCells(
+        corpus.filter(col("vec_id") < 6), cents, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val vecOf = allVecs.map(e => e.vec_id -> e.embedding.map(_.toDouble)).toMap
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var j = 0
+      while (j < a.length) { s += a(j) * b(j); j += 1 }; s
+    }
+    queries.map(_.vec_id).foreach { qid =>
+      val qv = vecOf(qid); val qn = math.sqrt(dot(qv, qv))
+      val expected = vecOf.keys.toSeq
+        .filter(n => n != qid && probesOf(qid).contains(cellOf(n)))
+        .map { n =>
+          val nv = vecOf(n)
+          (n, dot(qv, nv) / (qn * math.sqrt(dot(nv, nv))))
+        }
+        .sortBy { case (n, c) => (-c, n) }.take(5).map(_._1)
+      assert(served(qid) === expected, s"query $qid served ${served(qid)}, want $expected")
+    }
+
+    // replay of the first query batch rewrites its partition idempotently
+    val qin2 = MemoryStream[EmbDoc]
+    qin2.addData(queries.take(3): _*)
+    val q2 = Monitor.serveAnnStream(qin2.toDF().drop("ts"), cents,
+      indexPath, outPath, s"$ckpt/srv2", k = 5, nprobe = 2)
+    try q2.awaitTermination(120000) finally q2.stop()
+    val after = spark.read.parquet(outPath)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(after === served, "replay must not change served results")
+  }
+
   test("maintained kmeans stats log yields the exact batch Lloyd update") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
