@@ -1212,6 +1212,44 @@ object Similarity {
       .toDF("vec_id", "cell", "cell_rank")
   }
 
+  /** IVF probe against a cell-partitioned index: queries route to their
+    * top-`nprobe` cells, `indexFor` materializes ONLY those cells'
+    * vectors (pass `cells => Monitor.probeCells(spark, path, cells)` for
+    * the partition-pruned maintained layout, or a `.filter` over an
+    * in-memory index), candidates score by EXACT cosine, top-`k` per
+    * query ships rank-only (the `ann_cosine_topk` parity discipline).
+    * This is the shared serving core of `Monitor.serveAnnStream` and any
+    * batch probe.
+    */
+  def probeIndexTopK(indexFor: Seq[Long] => DataFrame, queries: DataFrame,
+                     centroids: Array[Array[Long]], k: Int = 10,
+                     nprobe: Int = 2, dims: Int = 64): DataFrame = {
+    val probes = assignTopCells(queries, centroids, nprobe, dims)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val cells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val index = indexFor(cells)
+    val cand = probes
+      .join(index.select(col("vec_id").as("neighbor_id"),
+        col("cell"), col("embedding")), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val qp = prep(queries)
+      .select(col("vec_id").as("query_id"), col("v"), col("norm"))
+    val cp = prep(index.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id").as("neighbor_id"),
+        col("v").as("cv"), col("norm").as("cnorm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.select("query_id", "neighbor_id")
+      .join(broadcast(qp), "query_id")
+      .join(cp, "neighbor_id")
+      .withColumn("cosine",
+        expr("graft_dot(v, cv)") / (col("norm") * col("cnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Final assignment of every vector against the trained fixed-point
     * centroids — [[kmeansFixedPointCentroids]] + [[assignToCentroids]].
     * Assignment work at 100 TB is embarrassingly parallel once training

@@ -459,33 +459,9 @@ object Monitor {
     queries.writeStream
       .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         val spark = df.sparkSession
-        val q = df.toDF()
-        val probes = graft.ops.Similarity
-          .assignTopCells(q, centroids, nprobe, dims)
-          .select(col("vec_id").as("query_id"), col("cell"))
-        val cells = probes.select("cell").distinct()
-          .collect().map(_.getLong(0)).toSeq
-        val index = probeCells(spark, indexPath, cells)
-        val cand = probes
-          .join(index.select(col("vec_id").as("neighbor_id"),
-            col("cell"), col("embedding")), "cell")
-          .filter(col("query_id") =!= col("neighbor_id"))
-        val qp = graft.ops.Similarity.prep(q)
-          .select(col("vec_id").as("query_id"), col("v"), col("norm"))
-        val cp = graft.ops.Similarity.prep(
-            index.select(col("vec_id"), col("embedding")))
-          .select(col("vec_id").as("neighbor_id"),
-            col("v").as("cv"), col("norm").as("cnorm"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-        cand.select("query_id", "neighbor_id")
-          .join(broadcast(qp), "query_id")
-          .join(cp, "neighbor_id")
-          .withColumn("cosine",
-            expr("graft_dot(v, cv)") / (col("norm") * col("cnorm")))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= k)
-          .select(col("query_id"), col("neighbor_id"), col("rank"))
+        graft.ops.Similarity.probeIndexTopK(
+            cells => probeCells(spark, indexPath, cells),
+            df.toDF(), centroids, k, nprobe, dims)
           .withColumn("__batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
