@@ -822,6 +822,10 @@ object SparkEntry {
     // across all series — U/D/F by integer deadband, gap windows dropped
     "ts_motifs" -> ((s, dir) => Analytics.eventMotifs(s, dir)),
 
+    // RFM quintiles per customer: exact epoch-second recency, counts,
+    // decimal cents; ntile windows run on the customer aggregate only
+    "cust_rfm_segments" -> ((s, dir) => Analytics.custRfm(s, dir)),
+
     // AMOC changepoint per series: argmax of the exact-integer CUSUM
     // deviation |S_t·n − S·t|, earliest split on ties
     "ts_changepoint" -> ((s, dir) => Analytics.eventChangepoint(s, dir)),
@@ -2232,6 +2236,20 @@ object SparkEntry {
     // centered deviations are the INTEGER n·x − Σx (no float mean); each
     // product is the same fixed-tree IEEE expression Spark evaluates,
     // micro-rounded before the (then exact, associative) sums
+    // exact integers per dimension; ntile ties broken by (value, custkey)
+    // in both engines, so quintile labels can't diverge
+    "cust_rfm_segments" ->
+      """WITH a AS (SELECT o_custkey AS custkey,
+        |    CAST(floor(epoch(max(o_orderdate))) AS BIGINT) AS last_order_sec,
+        |    count(*) AS frequency,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS monetary_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT custkey, last_order_sec, frequency, monetary_cents,
+        |  ntile(5) OVER (ORDER BY last_order_sec, custkey) AS r_score,
+        |  ntile(5) OVER (ORDER BY frequency, custkey) AS f_score,
+        |  ntile(5) OVER (ORDER BY monetary_cents, custkey) AS m_score
+        |FROM a ORDER BY custkey""".stripMargin,
+
     // same bucket table; step symbols by the same integer deadband test;
     // || is null-killing in both engines, so gap/tail windows vanish
     "ts_motifs" ->
