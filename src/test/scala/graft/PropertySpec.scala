@@ -329,6 +329,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: motif census equals the brute sliding-window count") {
+    val width = 3
+    val tblGen = Gen.listOfN(40, for {
+      s <- Gen.oneOf("a", "b")
+      h <- Gen.choose(0L, 25L) // collisions + gaps by construction
+      x <- Gen.choose(-50L, 50L)
+    } yield (s, h, x)).map(_.distinctBy(t => (t._1, t._2)))
+    forAll(tblGen, n = 8) { rows =>
+      val got = graft.ops.Analytics
+        .motifsFromHourly(rows.toDF("series", "h", "x"),
+          width = width, deadbandPermille = 200L, k = 1000)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // brute: per series, symbols over sorted buckets; windows of
+      // `width` consecutive-hour symbols only
+      val brute = rows.groupBy(_._1).toSeq.flatMap { case (s, rs) =>
+        val by = rs.map(t => t._2 -> t._3).toMap
+        val hs = by.keys.toSeq.sorted
+        def sym(h: Long): Option[String] = by.get(h + 1).map { x1 =>
+          val x = by(h)
+          if ((x1 - x) * 1000L > math.abs(x) * 200L) "U"
+          else if ((x - x1) * 1000L > math.abs(x) * 200L) "D" else "F"
+        }
+        hs.flatMap { h =>
+          val syms = (0 until width).map(j =>
+            if (by.contains(h + j)) sym(h + j) else None)
+          if (syms.forall(_.isDefined)) Some((s, syms.flatten.mkString))
+          else None
+        }
+      }
+      val bruteCensus = brute.groupBy(_._2).map { case (shape, occ) =>
+        shape -> (occ.size.toLong, occ.map(_._1).distinct.size.toLong)
+      }
+      assert(got === bruteCensus)
+    }
+  }
+
   test("property: cusum closed form equals the sequential recurrence") {
     val xsGen = Gen.listOfN(30, Gen.choose(0.0, 200.0))
     forAll(xsGen, n = 8) { xs =>
