@@ -586,6 +586,53 @@ object Monitor {
       .agg(expr("graft_cm_union(sk)")).head().getAs[Array[Byte]](0)
   }
 
+  /** Maintained quantile-sketch log — per-group percentile estimates
+    * current at the ingest door at O(groups) rows per micro-batch: each
+    * batch folds per group to ONE `graft_qsketch` bottom-k row (the
+    * deterministic md5-rank sample — bottom-k of a union equals bottom-k
+    * of the parts' bottom-k's, so merges are associative, idempotent and
+    * byte-stable under any batch split), exactly-once via dynamic
+    * overwrite. [[readQSketch]]'s union row per group is BYTE-equal to
+    * single-pass sketching of the full streamed history, and quantile
+    * reads off it equal the batch operator's.
+    */
+  def maintainQSketch(stream: DataFrame, keyCol: Column, valueCol: Column,
+                      idCol: Column, path: String, checkpoint: String,
+                      k: Int = 1024,
+                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val spark = df.sparkSession
+        graft.functions.QSketchFunctions.register(spark)
+        df.toDF()
+          .select(keyCol.as("key"), valueCol.cast("double").as("v"),
+            idCol.cast("string").as("id"))
+          .filter(col("v").isNotNull)
+          .groupBy(col("key"))
+          .agg(expr(s"graft_qsketch(v, id, $k)").as("sk"),
+            count(lit(1)).as("cnt"))
+          .withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch_id")
+          .parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Merge-on-read of the [[maintainQSketch]] log: one (key, sketch,
+    * count) row per group, the sketch byte-equal to a single-pass
+    * bottom-k over the full streamed history.
+    */
+  def readQSketch(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    graft.functions.QSketchFunctions.register(spark)
+    readLog(spark, path)
+      .groupBy(col("key"))
+      .agg(expr("graft_qsketch_union(sk)").as("sk"),
+        sum(col("cnt")).as("cnt"))
+  }
+
   /** Self-maintaining LSH band index: each micro-batch's documents land
     * their MinHash band rows in the parquet index [[nearDupStream]] and
     * `Dedup.lshCandidatesAgainst` join against — the ingest loop that

@@ -1316,6 +1316,46 @@ class StreamingSpec extends AnyFunSuite {
       "replay must not change the merged sketch")
   }
 
+  test("maintained qsketch log unions to the single-pass per-group sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    graft.functions.QSketchFunctions.register(spark)
+    val dir = Files.createTempDirectory("graft_qs").toString
+    val ckpt = Files.createTempDirectory("graft_qs_ck").toString
+    val all = sampleEvents
+    def withValue(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("value", col("event_id") % 13 + 0.25)
+    val input = MemoryStream[Ev]
+    all.grouped(40).foreach { chunk =>
+      input.addData(chunk: _*)
+      val q = Monitor.maintainQSketch(withValue(input.toDF()),
+        col("event_type"), col("value"), col("event_id"),
+        s"$dir/log", s"$ckpt/c1", k = 32)
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    def merged() = Monitor.readQSketch(spark, s"$dir/log")
+      .select(col("key"), expr("graft_qsketch_q(sk, 0.5d)").as("p50"),
+        col("cnt"))
+      .orderBy("key").collect().toSeq.map(_.toSeq)
+    val direct = withValue(all.toDF())
+      .select(col("event_type").as("key"), col("value").cast("double").as("v"),
+        col("event_id").cast("string").as("id"))
+      .groupBy("key")
+      .agg(expr("graft_qsketch(v, id, 32)").as("sk"), count(lit(1)).as("cnt"))
+      .select(col("key"), expr("graft_qsketch_q(sk, 0.5d)").as("p50"), col("cnt"))
+      .orderBy("key").collect().toSeq.map(_.toSeq)
+    assert(merged() === direct && direct.nonEmpty,
+      "streamed sketch quantiles must equal the single-pass batch sketch")
+    // replay with a fresh checkpoint rewrites batch 0 idempotently
+    val input2 = MemoryStream[Ev]
+    input2.addData(all.take(40): _*)
+    val q2 = Monitor.maintainQSketch(withValue(input2.toDF()),
+      col("event_type"), col("value"), col("event_id"),
+      s"$dir/log", s"$ckpt/c2", k = 32)
+    try q2.awaitTermination(120000) finally q2.stop()
+    assert(merged() === direct, "replay must not change the merged sketch")
+  }
+
   test("streaming funnel stage machine matches the batch window funnel") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
