@@ -50,6 +50,30 @@ object Layout {
       df.sparkSession.read.parquet(path), numShards)
   }
 
+  /** Bulk-build of the cell-partitioned ANN index for a STATIC corpus —
+    * the one-shot twin of the ingest-maintained layout
+    * (`Monitor.maintainCellIndex`): assign every vector to its quantizer
+    * cell against the FROZEN milli centroids (one broadcast scan),
+    * repartition by cell so each cell's files are written by co-located
+    * tasks (no small-file spray across writers), and land the `cell=`
+    * directories `Monitor.probeCells` partition-prunes. Written as the
+    * layout's batch 0; per the one-checkpoint-lineage contract a
+    * maintenance STREAM must not adopt a foreign backfill — a stream
+    * that needs history drains it itself as its own first batch
+    * (AvailableNow), which is the same physical write.
+    */
+  def writeCellIndex(emb: DataFrame, centroids: Array[Array[Long]],
+                     path: String, dims: Int = 64): Unit =
+    graft.ops.Similarity.assignToCentroids(emb, centroids, dims)
+      .select(col("vec_id"), col("cell"))
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("__batch_id", lit(0L))
+      .repartition(col("cell"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id", "cell")
+      .parquet(path)
+
   /** Z-order (Morton) clustering value over `k` long columns, each
     * normalized to `bits` bits against its global [min, max] and
     * bit-interleaved. Rows close in z-value are close in EVERY clustered

@@ -182,6 +182,31 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() === docs.count())
   }
 
+  test("bulk cell-index build routes every vector once and probes prune") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val (cents, _) =
+      graft.ops.Similarity.kmeansFixedPointCentroids(emb, 8, iters = 0)
+    val dir = Files.createTempDirectory("graft_cellidx").toString
+    Layout.writeCellIndex(emb, cents, s"$dir/idx")
+    // content == the batch assignment, every vector exactly once
+    val idx = graft.streaming.Monitor.readLog(spark, s"$dir/idx")
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toMap
+    val direct = graft.ops.Similarity.assignToCentroids(emb, cents)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(idx === direct && idx.nonEmpty)
+    // probes off the bulk layout partition-prune exactly like the
+    // stream-maintained one
+    val hot = idx.values.groupBy(identity).maxBy(_._2.size)._1
+    val probe = graft.streaming.Monitor.probeCells(spark, s"$dir/idx", Seq(hot))
+    val pf = probe.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters: ["))
+    assert(pf.exists(_.contains("cell")), s"no cell partition filter: $pf")
+    assert(probe.collect().map(_.getAs[Long]("vec_id")).toSet ===
+      idx.collect { case (id, c) if c == hot => id }.toSet)
+  }
+
   test("salted join equals the plain join") {
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "event_type")
     val dim = Tables.customer(spark, sf).select(col("c_custkey").as("user_id"), col("c_name"))
