@@ -2233,9 +2233,6 @@ object SparkEntry {
         |  st // t AS mean_l_micro, (ss - st) // (n - t) AS mean_r_micro
         |FROM r WHERE rk = 1 ORDER BY series""".stripMargin,
 
-    // centered deviations are the INTEGER n·x − Σx (no float mean); each
-    // product is the same fixed-tree IEEE expression Spark evaluates,
-    // micro-rounded before the (then exact, associative) sums
     // exact integers per dimension; ntile ties broken by (value, custkey)
     // in both engines, so quintile labels can't diverge
     "cust_rfm_segments" ->
@@ -2282,6 +2279,9 @@ object SparkEntry {
         |FROM c JOIN wit w ON w.shape = c.shape AND w.rn = 1
         |ORDER BY c.n DESC, c.shape LIMIT 20""".stripMargin,
 
+    // centered deviations are the INTEGER n·x − Σx (no float mean); each
+    // product is the same fixed-tree IEEE expression Spark evaluates,
+    // micro-rounded before the (then exact, associative) sums
     "ts_acf" ->
       """WITH e AS (SELECT event_type AS series,
         |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,

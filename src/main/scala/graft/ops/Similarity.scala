@@ -1038,14 +1038,11 @@ object Similarity {
       for (_ <- 1 to iters) {
         val stats = kmeansPartialStats(data.toDF(), cents, dims,
           vCol = "v", projected = true).collect()
-        val next = cents.map(_.clone())
-        val nextCounts = new Array[Long](kCells)
-        stats.foreach { r =>
-          val c = r.getLong(0).toInt; val j = r.getLong(1).toInt
-          val n = r.getLong(2); val sm = r.getLong(3)
-          nextCounts(c) = n
-          next(c)(j) = (sm / n) / 1000L // truncating, = SQL (sm // n) // 1000
-        }
+          .map(r => (r.getLong(0).toInt, r.getLong(1).toInt,
+            r.getLong(2), r.getLong(3)))
+        // the ONE update epilogue — shared with the maintained streaming
+        // log so batch and log-served rounds stay bit-equal by definition
+        val (next, nextCounts) = kmeansUpdateFromStats(stats, cents)
         cents = next
         counts = nextCounts
       }
@@ -1229,26 +1226,40 @@ object Similarity {
     val cells = probes.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
     val index = indexFor(cells)
+    // the candidate join carries the neighbor vectors it just read — the
+    // probed cells are scanned ONCE; the norm recompute per candidate
+    // pair is O(d), the same as the dot it accompanies
     val cand = probes
       .join(index.select(col("vec_id").as("neighbor_id"),
         col("cell"), col("embedding")), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("cv"))
+      .withColumn("cnorm", expr("sqrt(graft_dot(cv, cv))"))
     val qp = prep(queries)
       .select(col("vec_id").as("query_id"), col("v"), col("norm"))
-    val cp = prep(index.select(col("vec_id"), col("embedding")))
-      .select(col("vec_id").as("neighbor_id"),
-        col("v").as("cv"), col("norm").as("cnorm"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    cand.select("query_id", "neighbor_id")
-      .join(broadcast(qp), "query_id")
-      .join(cp, "neighbor_id")
+    cand.join(broadcast(qp), "query_id")
       .withColumn("cosine",
         expr("graft_dot(v, cv)") / (col("norm") * col("cnorm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
+
+  /** The cell-partitioned ANN index's rows — (vec_id, cell, embedding),
+    * one per corpus vector. The SINGLE definition of the index's content
+    * shared by the bulk build (`Layout.writeCellIndex`) and the ingest
+    * maintenance (`Monitor.maintainCellIndex`), so the two layouts can't
+    * drift.
+    */
+  private[graft] def cellIndexRows(emb: DataFrame,
+                                   centroids: Array[Array[Long]],
+                                   dims: Int = 64): DataFrame =
+    assignToCentroids(emb, centroids, dims)
+      .select(col("vec_id"), col("cell"))
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
 
   /** Final assignment of every vector against the trained fixed-point
     * centroids — [[kmeansFixedPointCentroids]] + [[assignToCentroids]].

@@ -910,7 +910,11 @@ object TextAnalysis {
     * filter a partitioned/bucketed index turns into a pruned scan) plus
     * one distinct-doc pass for the corpus stats — the corpus text is
     * never re-tokenized. Score-parity with [[bm25TopK]] over the same
-    * corpus is bit-exact (same epilogue, same stats values).
+    * corpus is bit-exact (same epilogue, same stats values) PROVIDED the
+    * corpus has unique doc ids and non-null text — a null-text doc has
+    * no index rows, so it would count toward the text path's n_docs/avgdl
+    * but not the index path's (and a duplicated id collapses to one
+    * distinct stats row here but two there).
     */
   def bm25TopKFromIndex(index: DataFrame, terms: Seq[String], k: Int = 20,
                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {

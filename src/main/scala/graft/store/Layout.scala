@@ -64,9 +64,7 @@ object Layout {
     */
   def writeCellIndex(emb: DataFrame, centroids: Array[Array[Long]],
                      path: String, dims: Int = 64): Unit =
-    graft.ops.Similarity.assignToCentroids(emb, centroids, dims)
-      .select(col("vec_id"), col("cell"))
-      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+    graft.ops.Similarity.cellIndexRows(emb, centroids, dims)
       .withColumn("__batch_id", lit(0L))
       .repartition(col("cell"))
       .write.mode("overwrite")

@@ -19,6 +19,22 @@ import org.apache.spark.sql.Row
   */
 object Monitor {
 
+  /** One micro-batch's rows into their own `__batch_id` partition —
+    * the exactly-once write EVERY maintained log shares: dynamic
+    * partition overwrite makes a replayed batch rewrite itself instead
+    * of appending duplicates. The single definition here IS the
+    * durability contract; maintainers only differ in what they fold.
+    */
+  private implicit class LogBatchWriter(private val df: DataFrame) {
+    def writeLogBatch(batchId: Long, path: String,
+                      partitionCols: Seq[String] = Nil): Unit =
+      df.withColumn("__batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id" +: partitionCols: _*)
+        .parquet(path)
+  }
+
   /** Per-topic message rate and payload size per tumbling window.
     * Same aggregation as the batch `DocumentStore.monitorRates`, expressed
     * over an unbounded stream; the watermark bounds state so this runs
@@ -141,11 +157,7 @@ object Monitor {
     stream.writeStream
       .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         graft.ops.Analytics.eventStatsPartial(df.toDF())
-          .withColumn("__batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__batch_id")
-          .parquet(path)
+          .writeLogBatch(batchId, path)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -176,11 +188,7 @@ object Monitor {
     stream.writeStream
       .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         graft.ops.Analytics.hourlyPartial(df.toDF(), bucketSec)
-          .withColumn("__batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__batch_id")
-          .parquet(path)
+          .writeLogBatch(batchId, path)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -211,11 +219,7 @@ object Monitor {
         df.toDF()
           .select(explode(graft.ops.TextAnalysis.tokens(textCol)).as("word"))
           .groupBy("word").agg(count(lit(1)).as("cnt"))
-          .withColumn("__batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__batch_id")
-          .parquet(path)
+          .writeLogBatch(batchId, path)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -247,11 +251,7 @@ object Monitor {
     stream.writeStream
       .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         graft.ops.Similarity.gramMatrix(df.toDF(), dims)
-          .withColumn("__batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__batch_id")
-          .parquet(path)
+          .writeLogBatch(batchId, path)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -285,11 +285,7 @@ object Monitor {
     stream.writeStream
       .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         graft.ops.Similarity.kmeansPartialStats(df.toDF(), centroids, dims)
-          .withColumn("__batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__batch_id")
-          .parquet(path)
+          .writeLogBatch(batchId, path)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -345,12 +341,27 @@ object Monitor {
     * `partitionCols` preserves nested sub-partitioning through the
     * rewrite (the cell-partitioned ANN index keeps its `cell=` layout).
     */
+  /** Nested `name=value` partition directories under `dir`, in order —
+    * how [[compactLog]] discovers a log's sub-partitioning (e.g. the
+    * cell index's `cell=`) instead of trusting a caller to restate it.
+    */
+  private def nestedPartitionCols(fs: org.apache.hadoop.fs.FileSystem,
+                                  dir: org.apache.hadoop.fs.Path): Seq[String] = {
+    val kids = fs.listStatus(dir).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.contains("="))
+    val names = kids.map(_.getName.takeWhile(_ != '=')).distinct
+    if (kids.isEmpty || names.length != 1) Nil
+    else names.head +: nestedPartitionCols(fs, kids.head)
+  }
+
   def compactLog(spark: org.apache.spark.sql.SparkSession, path: String,
                  fold: DataFrame => DataFrame = identity,
                  partitionCols: Seq[String] = Nil): Unit = {
     val ids = logBatchIds(spark, path)
     val pos = ids.filter(_ >= 0L)
     if (pos.nonEmpty) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       val frontier = pos.max
       val prevGen = ids.filter(_ < 0L).minOption
       val prevThru = prevGen.map(g => -g - 1L).getOrElse(-1L)
@@ -358,6 +369,14 @@ object Monitor {
       var gen = prevGen
       var thru = prevThru
       if (absorb.nonEmpty) {
+        // preserve the log's sub-partitioning through the rewrite —
+        // discovered from the layout itself, so a default-args call on a
+        // nested log (the cell index) cannot flatten it into a mixed-depth
+        // directory tree that breaks partition discovery
+        val nested =
+          if (partitionCols.nonEmpty) partitionCols
+          else nestedPartitionCols(fs,
+            new org.apache.hadoop.fs.Path(p, s"__batch_id=$frontier"))
         val newThru = frontier - 1L
         val newGen = -(newThru + 1L)
         fold(spark.read.parquet(path)
@@ -366,7 +385,7 @@ object Monitor {
           .withColumn("__batch_id", lit(newGen))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__batch_id" +: partitionCols: _*)
+          .partitionBy("__batch_id" +: nested: _*)
           .parquet(path)
         gen = Some(newGen)
         thru = newThru
@@ -374,9 +393,11 @@ object Monitor {
       // garbage collection — everything already invisible to readLog:
       // absorbed positives (including any a fresh-checkpoint replay
       // recreated after a previous compaction) and superseded
-      // generations. Safe to crash halfway or re-run anytime.
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      // generations. Safe to crash halfway or re-run anytime; for logs
+      // SERVED CONCURRENTLY, run compaction in a maintenance window or
+      // defer this step a grace period past the generation write — a
+      // reader that listed files before the write may otherwise lose its
+      // snapshot mid-scan (readLog plans from the live listing).
       (ids.filter(id => id < 0L && gen.exists(_ != id)) ++
           pos.filter(_ <= thru))
         .distinct.foreach { id =>
@@ -419,15 +440,8 @@ object Monitor {
                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        val b = df.toDF()
-        graft.ops.Similarity.assignToCentroids(b, centroids, dims)
-          .select(col("vec_id"), col("cell"))
-          .join(b.select(col("vec_id"), col("embedding")), "vec_id")
-          .withColumn("__batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__batch_id", "cell")
-          .parquet(path)
+        graft.ops.Similarity.cellIndexRows(df.toDF(), centroids, dims)
+          .writeLogBatch(batchId, path, Seq("cell"))
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -462,11 +476,7 @@ object Monitor {
         graft.ops.Similarity.probeIndexTopK(
             cells => probeCells(spark, indexPath, cells),
             df.toDF(), centroids, k, nprobe, dims)
-          .withColumn("__batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__batch_id")
-          .parquet(outPath)
+          .writeLogBatch(batchId, outPath)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -488,11 +498,7 @@ object Monitor {
     stream.writeStream
       .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         graft.ops.TextAnalysis.bm25Postings(df.toDF(), col("doc_id"), col("text"))
-          .withColumn("__batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__batch_id")
-          .parquet(path)
+          .writeLogBatch(batchId, path)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -525,11 +531,7 @@ object Monitor {
             graft.ops.TextAnalysis.classifierFeatures(
               df.toDF(), col("doc_id"), col("text"), positive),
             weights)
-          .withColumn("__batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__batch_id")
-          .parquet(path)
+          .writeLogBatch(batchId, path)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -567,11 +569,7 @@ object Monitor {
         df.toDF()
           .select(itemCol.cast("string").as("item"))
           .agg(expr(s"graft_cm_sketch(item, 1L, $width, $depth)").as("sk"))
-          .withColumn("__batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__batch_id")
-          .parquet(path)
+          .writeLogBatch(batchId, path)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -611,11 +609,7 @@ object Monitor {
           .groupBy(col("key"))
           .agg(expr(s"graft_qsketch(v, id, $k)").as("sk"),
             count(lit(1)).as("cnt"))
-          .withColumn("__batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__batch_id")
-          .parquet(path)
+          .writeLogBatch(batchId, path)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -650,11 +644,7 @@ object Monitor {
     stream.writeStream
       .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         graft.ops.Dedup.lshBands(df.toDF(), idCol, textCol, numHashes, bands)
-          .withColumn("__batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__batch_id")
-          .parquet(path)
+          .writeLogBatch(batchId, path)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -858,11 +848,7 @@ object Monitor {
           .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
           .withColumn("bucket", graft.ops.Similarity.bucketExpr(planes))
           .drop("embedding")
-          .withColumn("__batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__batch_id")
-          .parquet(path)
+          .writeLogBatch(batchId, path)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
