@@ -373,6 +373,70 @@ object Multimodal {
     * asset schema preserved, metadata recomputed for the new payload —
     * exactly where a codec call slots in.
     */
+  val ResizeSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("kind", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("rgb", BinaryType)))
+
+  /** REAL image resize for decodable stills (BMP native, JPEG/PNG/GIF
+    * via ImageIO): integer area-average box filter — each target pixel
+    * is the exact long-sum mean of its source cell per channel, so the
+    * output is bit-identical on any JVM (same discipline as [[dhash64]]'s
+    * luma grid, per channel). Output is raw row-major RGB (3
+    * bytes/pixel) plus dims — the uniform tensor shape a training
+    * pipeline batches, whatever the source codec. Undecodable/corrupt
+    * payloads contribute no rows (skip-on-corrupt); `mapPartitions`,
+    * partitioning preserved, no shuffle.
+    */
+  def resizeImages(assets: DataFrame, targetW: Int = 32,
+                   targetH: Int = 32): DataFrame = {
+    require(targetW > 0 && targetH > 0)
+    val spark = assets.sparkSession
+    val rdd = assets.select("asset_id", "kind", "payload").rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        val payload = row.getAs[Array[Byte]](2)
+        val dec =
+          try decodeBmp(payload).orElse(decodeImage(payload))
+          catch { case _: Exception => None }
+        dec.iterator.map { case (w, h, px) =>
+          val out = new Array[Byte](targetW * targetH * 3)
+          var ty = 0
+          while (ty < targetH) {
+            val y0 = (h.toLong * ty / targetH).toInt
+            val y1 = math.max(y0 + 1, (h.toLong * (ty + 1) / targetH).toInt)
+            var tx = 0
+            while (tx < targetW) {
+              val x0 = (w.toLong * tx / targetW).toInt
+              val x1 = math.max(x0 + 1, (w.toLong * (tx + 1) / targetW).toInt)
+              var r = 0L; var g = 0L; var b = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val p = px(y * w + x)
+                  r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val n = (y1 - y0).toLong * (x1 - x0)
+              val o = (ty * targetW + tx) * 3
+              out(o) = (r / n).toByte
+              out(o + 1) = (g / n).toByte
+              out(o + 2) = (b / n).toByte
+              tx += 1
+            }
+            ty += 1
+          }
+          Row(row.getLong(0), row.getString(1), targetW, targetH, out)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, ResizeSchema)
+  }
+
   def resizeStub(assets: DataFrame, targetBytes: Int = 1024): DataFrame = {
     val spark = assets.sparkSession
     val schema = assets.select("asset_id", "kind", "payload").schema

@@ -614,6 +614,48 @@ class DataOpsSpec extends AnyFunSuite {
     out.toByteArray
   }
 
+  test("real image resize: exact area-average per channel, skip on junk") {
+    import spark.implicits._
+    // left half red, right half blue, 8x4 → resized 2x2: each target
+    // pixel covers a single-color 4x2 region — exact channel values
+    val rowBytes = (8 * 3 + 3) & ~3
+    val out = new java.io.ByteArrayOutputStream()
+    def le2(v: Int) = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le4(v: Int) = { le2(v & 0xffff); le2((v >> 16) & 0xffff) }
+    out.write('B'); out.write('M'); le4(54 + rowBytes * 4); le4(0); le4(54)
+    le4(40); le4(8); le4(4); le2(1); le2(24); le4(0); le4(rowBytes * 4)
+    le4(2835); le4(2835); le4(0); le4(0)
+    (0 until 4).foreach { _ =>
+      (0 until 8).foreach { x =>
+        if (x < 4) { out.write(0); out.write(0); out.write(0xCC) } // red (b,g,r)
+        else { out.write(0xCC); out.write(0); out.write(0) }       // blue
+      }
+      (8 * 3 until rowBytes).foreach(_ => out.write(0))
+    }
+    val bmp = out.toByteArray
+    val df = Seq((1L, "image/bmp", bmp), (2L, "junk", Array[Byte](9, 9)))
+      .toDF("asset_id", "kind", "payload")
+    val assets = Multimodal.toAsset(df, col("asset_id"), col("kind"), col("payload"))
+    val resized = Multimodal.resizeImages(assets, targetW = 2, targetH = 2).collect()
+    assert(resized.length === 1, "junk contributes no rows")
+    val r = resized(0)
+    assert(r.getInt(2) === 2 && r.getInt(3) === 2)
+    val rgb = r.getAs[Array[Byte]](4)
+    assert(rgb.length === 12)
+    // row-major: both rows are [red, blue]
+    Seq(0, 6).foreach { o =>
+      assert((rgb(o) & 0xff, rgb(o + 1) & 0xff, rgb(o + 2) & 0xff) === ((0xCC, 0, 0)),
+        s"left pixel at $o must be pure red")
+      assert((rgb(o + 3) & 0xff, rgb(o + 4) & 0xff, rgb(o + 5) & 0xff) === ((0, 0, 0xCC)),
+        s"right pixel at $o must be pure blue")
+    }
+    // downsizing to 1x1 mixes the halves exactly 50/50
+    val one = Multimodal.resizeImages(assets, targetW = 1, targetH = 1).collect()(0)
+      .getAs[Array[Byte]](4)
+    assert((one(0) & 0xff) === 0x66 && (one(2) & 0xff) === 0x66,
+      "1x1 resize must average the halves (0xCC/2 = 0x66)")
+  }
+
   test("audio windows: exact integer energy, peak and zero-crossings per slice") {
     import spark.implicits._
     // square wave period 8 (4 high / 4 low at ±16384), 8000 samples:
