@@ -364,10 +364,10 @@ object Multimodal {
       .distinct()
   }
 
-  /** Resize/resample over asset payloads.
+  /** Resize/resample over asset payloads of ANY kind.
     *
-    * STUB: a real deployment decodes, resamples to the target resolution,
-    * and re-encodes; here a deterministic stride-resample maps the payload
+    * STUB for non-decodable codecs (decodable stills resize FOR REAL via
+    * [[resizeImages]]): a deterministic stride-resample maps the payload
     * to exactly `targetBytes` bytes (consuming every source byte region).
     * The Spark-side contract is real: partition-local map (no shuffle),
     * asset schema preserved, metadata recomputed for the new payload —
@@ -492,6 +492,37 @@ object Multimodal {
     spark.createDataFrame(rdd, FrameSchema)
   }
 
+  /** REAL per-frame sample extraction from MP4 containers — the upgrade
+    * of [[frameSample]]'s byte windows to the container's OWN frame
+    * addressing: each kept row carries the exact encoded sample bytes
+    * located by the stco/stsc chunk-offset tables and stsz sizes (pure
+    * container demux, codec DECODE still out of scope in the bare JVM).
+    * Assets without offset tables, or with samples pointing outside the
+    * payload, contribute no rows (skip-on-corrupt). Row amplification is
+    * `⌈frames/everyN⌉` per video, partition-local, no shuffle.
+    */
+  def videoSamples(assets: DataFrame, everyN: Int = 2): DataFrame = {
+    require(everyN > 0)
+    val spark = assets.sparkSession
+    val rdd = assets.select("asset_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        val id = row.getLong(0)
+        val payload = row.getAs[Array[Byte]](1)
+        val idx = try parseMp4(payload) catch { case _: Exception => None }
+        idx.iterator.flatMap { m =>
+          if (m.offsets == null) Iterator.empty
+          else (0 until m.sizes.length by everyN).iterator.flatMap { k =>
+            val off = m.offsets(k); val sz = m.sizes(k)
+            if (off < 0 || sz < 0 || off + sz > payload.length) Iterator.empty
+            else Iterator.single(Row(id, k,
+              java.util.Arrays.copyOfRange(payload, off.toInt, off.toInt + sz)))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, FrameSchema)
+  }
+
   /** Byte-level stats per kind — the metadata aggregation a lakehouse
     * media table needs for layout planning (all expression-level, no UDF).
     */
@@ -507,7 +538,8 @@ object Multimodal {
     * per-sample decode timestamps in ticks (cumulative stts deltas).
     */
   private[ops] case class Mp4Index(timescale: Int, sizes: Array[Int],
-                                   tsTicks: Array[Long], durationTicks: Long)
+                                   tsTicks: Array[Long], durationTicks: Long,
+                                   offsets: Array[Long] = null)
 
   /** REAL MP4 container parsing — an ISO BMFF box walk to the sample
     * tables (`moov/trak/mdia/{mdhd,minf/stbl/{stts,stsz}}`), pure JVM,
@@ -527,6 +559,8 @@ object Multimodal {
     var timescale = 0
     var sizes: Array[Int] = null
     var deltas: Array[(Long, Long)] = null // (count, delta)
+    var stsc: Array[(Long, Long)] = null   // (first_chunk, samples_per_chunk)
+    var stco: Array[Long] = null           // chunk file offsets
     def walk(from: Int, to: Int): Unit = {
       var i = from
       while (i + 8 <= to) {
@@ -552,6 +586,15 @@ object Multimodal {
                 else if (size >= 20 + 4L * n)
                   Array.tabulate(n)(k => u4(body + 12 + 4 * k).toInt)
                 else null
+          case "stsc" if size >= 16 =>
+            val n = u4(body + 4).toInt
+            if (stsc == null && n >= 0 && size >= 16 + 12L * n)
+              stsc = Array.tabulate(n)(k => // (first_chunk, samples_per_chunk)
+                (u4(body + 8 + 12 * k), u4(body + 12 + 12 * k)))
+          case "stco" if size >= 16 =>
+            val n = u4(body + 4).toInt
+            if (stco == null && n >= 0 && size >= 16 + 4L * n)
+              stco = Array.tabulate(n)(k => u4(body + 8 + 4 * k))
           case _ => ()
         }
         i += size.toInt
@@ -573,7 +616,30 @@ object Multimodal {
             k += 1
           }
           if (k < sizes.length) None // stts doesn't cover every sample
-          else Some(Mp4Index(timescale, sizes, ts, t))
+          else {
+            // per-sample FILE offsets from stco × stsc (when present):
+            // expand the samples-per-chunk runs across chunks, samples
+            // contiguous within each chunk — the container's own frame
+            // addressing, no codec involved
+            val offsets: Array[Long] =
+              if (stco == null || stsc == null || stsc.isEmpty) null
+              else {
+                val out = new Array[Long](sizes.length)
+                var s = 0; var ci = 0
+                while (s < sizes.length && ci < stco.length) {
+                  val spc = stsc.takeWhile(_._1 <= ci + 1)
+                    .lastOption.map(_._2).getOrElse(0L)
+                  var off = stco(ci)
+                  var j = 0L
+                  while (j < spc && s < sizes.length) {
+                    out(s) = off; off += sizes(s); s += 1; j += 1
+                  }
+                  ci += 1
+                }
+                if (s < sizes.length) null else out
+              }
+            Some(Mp4Index(timescale, sizes, ts, t, offsets))
+          }
         }
       }
     } catch { case _: Exception => None }

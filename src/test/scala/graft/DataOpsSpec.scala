@@ -819,6 +819,36 @@ class DataOpsSpec extends AnyFunSuite {
       (1L, 1000, 5, 400L, 150L, 0, 0L, 10),
       (1L, 1000, 5, 400L, 150L, 2, 200L, 30),
       (1L, 1000, 5, 400L, 150L, 4, 350L, 50)))
+
+    // with stco/stsc present, videoSamples cuts the REAL encoded sample
+    // bytes out of mdat: chunk 1 holds 3 samples, chunk 2 the remaining 2
+    val head = box("ftyp", "isom".getBytes, be32(0))
+    val mdatBody = Array.tabulate(150)(i => (i % 251).toByte)
+    val stsc = box("stsc", be32(0), be32(2),
+      be32(1), be32(3), be32(1), be32(2), be32(2), be32(1))
+    def withChunks(stcoPlaceholder: Array[Byte]) =
+      head ++ box("moov", box("trak", box("mdia", mdhd,
+        box("minf", box("stbl", stts, stsz, stsc, stcoPlaceholder))))) // then mdat
+    val mdatAt = withChunks(box("stco", be32(0), be32(2), be32(0), be32(0))).length
+    // chunk 1 at mdat body start; chunk 2 right after its 10+20+30 bytes
+    val c1 = mdatAt + 8
+    val stco = box("stco", be32(0), be32(2), be32(c1), be32(c1 + 60))
+    val full = withChunks(stco) ++ box("mdat", mdatBody)
+    val a2 = Multimodal.toAsset(
+      Seq((7L, "video", full)).toDF("asset_id", "kind", "payload"),
+      col("asset_id"), col("kind"), col("payload"))
+    val frames = Multimodal.videoSamples(a2, everyN = 2).collect()
+      .map(r => (r.getInt(1), r.getAs[Array[Byte]](2))).sortBy(_._1)
+    assert(frames.map(_._1).toSeq === Seq(0, 2, 4))
+    // sizes 10,20,30,40,50; offsets: s0=c1, s1=c1+10, s2=c1+30, s3=c1+60, s4=c1+100
+    val expectBytes = Map(0 -> (0, 10), 2 -> (30, 30), 4 -> (100, 50))
+    frames.foreach { case (k, bytes) =>
+      val (rel, sz) = expectBytes(k)
+      assert(bytes.toSeq === mdatBody.slice(rel, rel + sz).toSeq,
+        s"frame $k must carry its exact mdat sample bytes")
+    }
+    // no rows when the offset tables are absent (the index-only fixture)
+    assert(Multimodal.videoSamples(assets).count() === 0)
   }
 
   test("GraftExtensions exposes native functions to plain SQL sessions") {
