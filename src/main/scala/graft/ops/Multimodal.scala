@@ -194,10 +194,9 @@ object Multimodal {
         // corrupt bytes must fall back to the stub, never fail the task —
         // the same skip-on-corrupt contract as the log decoder
         val decoded: Option[Array[Float]] =
-          try decodeWav(payload).map { case (r, c, s) => wavFeatures(r, c, s, dim) }
-            .orElse(decodeBmp(payload).map { case (w, h, px) => bmpFeatures(w, h, px, dim) })
-            .orElse(decodeImage(payload).map { case (w, h, px) => bmpFeatures(w, h, px, dim) })
-          catch { case _: Exception => None }
+          (try decodeWav(payload).map { case (r, c, s) => wavFeatures(r, c, s, dim) }
+           catch { case _: Exception => None })
+            .orElse(decodePixels(payload).map { case (w, h, px) => bmpFeatures(w, h, px, dim) })
         val feats = decoded.getOrElse {
           // STUB fallback for compressed codecs: byte-histogram fold
           val f = new Array[Float](dim)
@@ -331,9 +330,7 @@ object Multimodal {
         val kind = row.getString(1)
         val payload = row.getAs[Array[Byte]](2)
         val hash: Option[Long] =
-          try decodeBmp(payload).orElse(decodeImage(payload))
-            .map { case (w, h, px) => dhash64(w, h, px) }
-          catch { case _: Exception => None }
+          decodePixels(payload).map { case (w, h, px) => dhash64(w, h, px) }
         Row(id, kind, hash.map(Long.box).orNull)
       }
     }
@@ -364,15 +361,16 @@ object Multimodal {
       .distinct()
   }
 
-  /** Resize/resample over asset payloads of ANY kind.
-    *
-    * STUB for non-decodable codecs (decodable stills resize FOR REAL via
-    * [[resizeImages]]): a deterministic stride-resample maps the payload
-    * to exactly `targetBytes` bytes (consuming every source byte region).
-    * The Spark-side contract is real: partition-local map (no shuffle),
-    * asset schema preserved, metadata recomputed for the new payload —
-    * exactly where a codec call slots in.
+  /** Decode a still payload to (w, h, packed-RGB pixels) — the ONE
+    * decode-with-skip-on-corrupt seam every pixel consumer shares
+    * ([[decodeFeatures]], [[perceptualHash]], [[resizeImages]]): BMP
+    * natively, then JPEG/PNG/GIF via ImageIO; corrupt or undecodable
+    * bytes → None, never a task failure.
     */
+  private[ops] def decodePixels(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try decodeBmp(payload).orElse(decodeImage(payload))
+    catch { case _: Exception => None }
+
   val ResizeSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType),
     StructField("kind", StringType),
@@ -392,15 +390,14 @@ object Multimodal {
     */
   def resizeImages(assets: DataFrame, targetW: Int = 32,
                    targetH: Int = 32): DataFrame = {
-    require(targetW > 0 && targetH > 0)
+    require(targetW > 0 && targetH > 0 &&
+      targetW.toLong * targetH * 3 <= Int.MaxValue,
+      s"target $targetW x $targetH does not fit a byte array")
     val spark = assets.sparkSession
     val rdd = assets.select("asset_id", "kind", "payload").rdd.mapPartitions { it =>
       it.flatMap { row =>
         val payload = row.getAs[Array[Byte]](2)
-        val dec =
-          try decodeBmp(payload).orElse(decodeImage(payload))
-          catch { case _: Exception => None }
-        dec.iterator.map { case (w, h, px) =>
+        decodePixels(payload).iterator.map { case (w, h, px) =>
           val out = new Array[Byte](targetW * targetH * 3)
           var ty = 0
           while (ty < targetH) {
@@ -510,12 +507,20 @@ object Multimodal {
         val payload = row.getAs[Array[Byte]](1)
         val idx = try parseMp4(payload) catch { case _: Exception => None }
         idx.iterator.flatMap { m =>
-          if (m.offsets == null) Iterator.empty
-          else (0 until m.sizes.length by everyN).iterator.flatMap { k =>
-            val off = m.offsets(k); val sz = m.sizes(k)
-            if (off < 0 || sz < 0 || off + sz > payload.length) Iterator.empty
-            else Iterator.single(Row(id, k,
-              java.util.Arrays.copyOfRange(payload, off.toInt, off.toInt + sz)))
+          // all-or-nothing: a truncated mdat (any sample out of range)
+          // skips the WHOLE asset — a partial frame table with no
+          // corruption signal is worse than none (the documented
+          // skip-on-corrupt contract)
+          val intact = m.offsets != null &&
+            m.sizes.indices.forall { k =>
+              val off = m.offsets(k); val sz = m.sizes(k)
+              off >= 0 && sz >= 0 && off + sz <= payload.length
+            }
+          if (!intact) Iterator.empty
+          else (0 until m.sizes.length by everyN).iterator.map { k =>
+            val off = m.offsets(k).toInt
+            Row(id, k,
+              java.util.Arrays.copyOfRange(payload, off, off + m.sizes(k)))
           }
         }
       }
@@ -561,6 +566,11 @@ object Multimodal {
     var deltas: Array[(Long, Long)] = null // (count, delta)
     var stsc: Array[(Long, Long)] = null   // (first_chunk, samples_per_chunk)
     var stco: Array[Long] = null           // chunk file offsets
+    // sample-table boxes latch together with the TRAK they were found in,
+    // so a later trak's stsc/stco can never pair with an earlier trak's
+    // sizes (mixed addressing would locate arbitrary wrong bytes)
+    var trak = 0
+    var sizesTrak, stscTrak, stcoTrak = -1
     def walk(from: Int, to: Int): Unit = {
       var i = from
       while (i + 8 <= to) {
@@ -568,7 +578,10 @@ object Multimodal {
         if (size < 8 || i + size > to) return // malformed/64-bit: bail
         val t = tag(i + 4)
         val body = i + 8
-        if (containers(t)) walk(body, i + size.toInt)
+        if (containers(t)) {
+          if (t == "trak") trak += 1
+          walk(body, i + size.toInt)
+        }
         else t match {
           case "mdhd" if size >= 24 && b(body) == 0 => // version 0 only
             if (timescale == 0) timescale = u4(body + 12).toInt
@@ -580,21 +593,27 @@ object Multimodal {
           case "stsz" if size >= 20 =>
             val fixed = u4(body + 4)
             val n = u4(body + 8).toInt
-            if (sizes == null && n >= 0)
+            if (sizes == null && n >= 0) {
               sizes =
                 if (fixed != 0) Array.fill(n)(fixed.toInt)
                 else if (size >= 20 + 4L * n)
                   Array.tabulate(n)(k => u4(body + 12 + 4 * k).toInt)
                 else null
+              if (sizes != null) sizesTrak = trak
+            }
           case "stsc" if size >= 16 =>
             val n = u4(body + 4).toInt
-            if (stsc == null && n >= 0 && size >= 16 + 12L * n)
+            if (stsc == null && n >= 0 && size >= 16 + 12L * n) {
               stsc = Array.tabulate(n)(k => // (first_chunk, samples_per_chunk)
                 (u4(body + 8 + 12 * k), u4(body + 12 + 12 * k)))
+              stscTrak = trak
+            }
           case "stco" if size >= 16 =>
             val n = u4(body + 4).toInt
-            if (stco == null && n >= 0 && size >= 16 + 4L * n)
+            if (stco == null && n >= 0 && size >= 16 + 4L * n) {
               stco = Array.tabulate(n)(k => u4(body + 8 + 4 * k))
+              stcoTrak = trak
+            }
           case _ => ()
         }
         i += size.toInt
@@ -622,13 +641,17 @@ object Multimodal {
             // contiguous within each chunk — the container's own frame
             // addressing, no codec involved
             val offsets: Array[Long] =
-              if (stco == null || stsc == null || stsc.isEmpty) null
+              if (stco == null || stsc == null || stsc.isEmpty ||
+                  sizesTrak != stscTrak || sizesTrak != stcoTrak) null
               else {
                 val out = new Array[Long](sizes.length)
-                var s = 0; var ci = 0
+                var s = 0; var ci = 0; var run = 0
                 while (s < sizes.length && ci < stco.length) {
-                  val spc = stsc.takeWhile(_._1 <= ci + 1)
-                    .lastOption.map(_._2).getOrElse(0L)
+                  // advance the stsc run cursor (runs sorted by
+                  // first_chunk): O(chunks + runs) total, not per-chunk
+                  while (run + 1 < stsc.length && stsc(run + 1)._1 <= ci + 1)
+                    run += 1
+                  val spc = if (stsc(run)._1 <= ci + 1) stsc(run)._2 else 0L
                   var off = stco(ci)
                   var j = 0L
                   while (j < spc && s < sizes.length) {

@@ -849,6 +849,12 @@ class DataOpsSpec extends AnyFunSuite {
     }
     // no rows when the offset tables are absent (the index-only fixture)
     assert(Multimodal.videoSamples(assets).count() === 0)
+    // a truncated mdat skips the WHOLE asset — all-or-nothing, never a
+    // silently partial frame table
+    val truncated = Multimodal.toAsset(
+      Seq((8L, "video", full.dropRight(20))).toDF("asset_id", "kind", "payload"),
+      col("asset_id"), col("kind"), col("payload"))
+    assert(Multimodal.videoSamples(truncated, everyN = 2).count() === 0)
   }
 
   test("GraftExtensions exposes native functions to plain SQL sessions") {
