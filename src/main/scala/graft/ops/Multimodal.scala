@@ -21,7 +21,7 @@ object Multimodal {
   /** RIFF/WAVE PCM decode: (sampleRate, channels, int16 samples). None for
     * anything that is not an uncompressed 16-bit PCM WAV.
     */
-  private[ops] def decodeWav(b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+  private[graft] def decodeWav(b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
     def u2(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
     def u4(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
       ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
@@ -359,6 +359,71 @@ object Multimodal {
         bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  val AudioSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("kind", StringType),
+    StructField("rate", IntegerType),
+    StructField("wav", BinaryType)))
+
+  /** Re-encode PCM16 samples as a minimal RIFF/WAVE container —
+    * readable back by [[decodeWav]] and by any standard audio tool.
+    */
+  private[ops] def encodeWav(rate: Int, channels: Int,
+                             s: Array[Short]): Array[Byte] = {
+    val n = s.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(n)
+    s.foreach(out.putShort)
+    out.array()
+  }
+
+  /** REAL audio resample for PCM WAVs — the audio twin of
+    * [[resizeImages]]: each output sample is the exact long-sum integer
+    * mean of its source window on channel 0 (area-average box filter —
+    * correct decimation for telephony/ASR target rates; bit-identical on
+    * any JVM), re-encoded as a standard mono RIFF/PCM16 container that
+    * [[decodeWav]] and any audio tool read back. Undecodable or empty
+    * payloads contribute no rows; `mapPartitions`, no shuffle.
+    */
+  def resampleAudio(assets: DataFrame, targetRate: Int = 16000): DataFrame = {
+    require(targetRate > 0)
+    val spark = assets.sparkSession
+    val rdd = assets.select("asset_id", "kind", "payload").rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        val payload = row.getAs[Array[Byte]](2)
+        val dec = try decodeWav(payload) catch { case _: Exception => None }
+        dec.iterator.flatMap { case (rate, channels, s) =>
+          val ch = math.max(1, channels)
+          val nMono = s.length / ch
+          if (nMono == 0 || rate <= 0) Iterator.empty
+          else {
+            val nOut = math.max(1, (nMono.toLong * targetRate / rate).toInt)
+            val out = new Array[Short](nOut)
+            var k = 0
+            while (k < nOut) {
+              val from = (nMono.toLong * k / nOut).toInt
+              val until = math.max(from + 1, (nMono.toLong * (k + 1) / nOut).toInt)
+              var sum = 0L
+              var i = from
+              while (i < until) { sum += s(i * ch); i += 1 }
+              out(k) = (sum / (until - from)).toShort
+              k += 1
+            }
+            Iterator.single(Row(row.getLong(0), row.getString(1),
+              targetRate, encodeWav(targetRate, 1, out)))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, AudioSchema)
   }
 
   /** Decode a still payload to (w, h, packed-RGB pixels) — the ONE

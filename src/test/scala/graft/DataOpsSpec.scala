@@ -656,6 +656,26 @@ class DataOpsSpec extends AnyFunSuite {
       "1x1 resize must average the halves (0xCC/2 = 0x66)")
   }
 
+  test("real audio resample: exact window means, round-trips through decodeWav") {
+    import spark.implicits._
+    // 8 kHz square wave (period 8: 4 high / 4 low at ±16384) → 2 kHz:
+    // each output sample averages a 4-sample all-high or all-low window
+    // exactly, so the output alternates ±16384 with period 2
+    val df = Seq((1L, "audio/wav", squareWav()), (2L, "junk", Array[Byte](1)))
+      .toDF("asset_id", "kind", "payload")
+    val assets = Multimodal.toAsset(df, col("asset_id"), col("kind"), col("payload"))
+    val out = Multimodal.resampleAudio(assets, targetRate = 2000).collect()
+    assert(out.length === 1, "junk contributes no rows")
+    val wav = out(0).getAs[Array[Byte]](3)
+    val Some((rate, ch, samples)) = graft.ops.Multimodal.decodeWav(wav)
+    assert(rate === 2000 && ch === 1 && samples.length === 2000,
+      "resampled container must decode to 1s of mono 2 kHz")
+    samples.zipWithIndex.foreach { case (v, i) =>
+      val want = if (i % 2 == 0) 16384 else -16384
+      assert(v === want.toShort, s"sample $i: $v != $want")
+    }
+  }
+
   test("audio windows: exact integer energy, peak and zero-crossings per slice") {
     import spark.implicits._
     // square wave period 8 (4 high / 4 low at ±16384), 8000 samples:
