@@ -455,6 +455,32 @@ object Monitor {
                  cells: Seq[Long]): DataFrame =
     readLog(spark, path).filter(col("cell").isin(cells: _*))
 
+  /** Maintained asset-feature log — multimodal payloads decoded ONCE, at
+    * the ingest door: each micro-batch of (asset_id, kind, payload) rows
+    * runs the real decoders (`Multimodal.decodeFeatures` — WAV/BMP/
+    * JPEG/PNG/GIF for real, stub fold otherwise) and lands its feature
+    * rows exactly-once in a per-`__batch_id` partition; downstream
+    * training readers join features without ever touching the raw bytes
+    * again (the decode cost is paid once per asset, not per consumer).
+    */
+  def maintainAssetFeatures(stream: DataFrame, path: String, checkpoint: String,
+                            dim: Int = 8,
+                            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        graft.ops.Multimodal.decodeFeatures(df.toDF(), dim)
+          .writeLogBatch(batchId, path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Merge-on-read of the [[maintainAssetFeatures]] log — assets are
+    * append-only, so the union IS the full feature table.
+    */
+  def readAssetFeatures(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    readLog(spark, path)
+
   /** Live ANN serving against the [[maintainCellIndex]] layout: each
     * micro-batch of QUERY vectors routes to its top-`nprobe` cells
     * (`Similarity.assignTopCells`, broadcast centroids), reads only
