@@ -1020,6 +1020,22 @@ object SparkEntry {
     "text_bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(Tables.documents(s, dir), col("text"))),
 
+    // tokenize the corpus with the SHIPPED tokenizer (fixed merge table):
+    // merges apply to the distinct-word vocab, docs join their counts back
+    "text_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(Tables.documents(s, dir), col("doc_id"),
+        col("text"), TextAnalysis.ShippedBpeMerges)),
+
+    // word2vec feedstock: ±2-window (center, context) counts, one scan,
+    // no positional self-join
+    "text_skipgram_pairs" -> ((s, dir) =>
+      TextAnalysis.skipgramPairs(Tables.documents(s, dir), col("doc_id"),
+        col("text"))),
+
+    // Holt level+trend smoothing per series — exact dyadic fixed point,
+    // one ordered fold per series
+    "ts_holt" -> ((s, dir) => Analytics.eventHolt(s, dir)),
+
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.byteStats(Multimodal.toAsset(
           Tables.events(s, dir), col("event_id"), col("event_type"), col("props")))
@@ -3004,6 +3020,68 @@ object SparkEntry {
         |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n_occurrences
         |FROM p GROUP BY 1
         |ORDER BY n_occurrences DESC, pair LIMIT 50""".stripMargin,
+
+    // the shipped 8-merge table replays as a replace() chain over the
+    // ',sym,,sym,'-delimited symbol string: plain global replace scans
+    // left-to-right without rescanning its own output — exactly the
+    // greedy non-overlapping merge fold — and the comma anchors on BOTH
+    // sides of the pattern stop a merge from firing inside a longer
+    // symbol ('er' never matches the tail of 'mer'); symbol count falls
+    // out of the surviving ',,' separator count
+    "text_bpe_encode" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS word
+        |           FROM documents),
+        |v AS (SELECT DISTINCT word FROM w),
+        |enc AS (SELECT word,
+        |  replace(replace(replace(replace(replace(replace(replace(replace(
+        |    ',' || array_to_string(string_split(word, ''), ',,') || ',',
+        |    ',e,,r,', ',er,'), ',i,,n,', ',in,'), ',o,,w,', ',ow,'),
+        |    ',o,,r,', ',or,'), ',s,,t,', ',st,'), ',m,,er,', ',mer,'),
+        |    ',a,,t,', ',at,'), ',l,,u,', ',lu,') AS s
+        |  FROM v),
+        |c AS (SELECT word,
+        |        (length(s) - length(replace(s, ',,', ''))) // 2 + 1 AS n_syms
+        |      FROM enc)
+        |SELECT w.doc_id, CAST(sum(c.n_syms) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_words
+        |FROM w JOIN c USING (word) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // positional unnest + bounded-offset self-join (oracle-side only; the
+    // engine never materializes positions), both orientations unioned
+    "text_skipgram_pairs" ->
+      """WITH d AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ws
+        |           FROM documents),
+        |t AS (SELECT doc_id, i, ws[i] AS w
+        |      FROM d, range(1, 2048) r(i) WHERE i <= length(ws) AND length(ws) >= 2),
+        |f AS (SELECT a.w AS center, b.w AS context
+        |      FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 2),
+        |u AS (SELECT center, context FROM f
+        |      UNION ALL SELECT context AS center, center AS context FROM f)
+        |SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM u GROUP BY 1, 2 ORDER BY center, context""".stripMargin,
+
+    // the recurrence replays as a per-series recursive CTE on the bucket
+    // row number; >> is the same floor-on-negatives arithmetic shift as
+    // Spark's shiftright, so level/trend match bit-for-bit
+    "ts_holt" ->
+      """WITH RECURSIVE e AS (SELECT event_type AS series,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
+        |bk AS MATERIALIZED (SELECT series, h,
+        |    CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT) AS v
+        |  FROM e GROUP BY 1, 2),
+        |r AS MATERIALIZED (SELECT series, h, v,
+        |    row_number() OVER (PARTITION BY series ORDER BY h) AS rn FROM bk),
+        |s AS (
+        |  SELECT series, rn, h, v, v AS lvl, CAST(0 AS BIGINT) AS trd
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.series, r.rn, r.h, r.v,
+        |    (r.v + s.lvl + s.trd) >> 1,
+        |    (((r.v + s.lvl + s.trd) >> 1) - s.lvl + 3 * s.trd) >> 2
+        |  FROM r JOIN s ON r.series = s.series AND r.rn = s.rn + 1)
+        |SELECT series, h, v AS v_micro, lvl AS level_micro, trd AS trend_micro
+        |FROM s ORDER BY series, h""".stripMargin,
 
     // same first-8 coarse quantizer as ann_ivf_topk; within-cell pairs at
     // rounded cosine ≥ τ drop the larger id, survivors remain

@@ -1326,6 +1326,59 @@ object Analytics {
   def eventAcf(spark: SparkSession, dir: String): DataFrame =
     acf(Tables.events(spark, dir))
 
+  /** Holt double exponential smoothing (level + linear trend) per series
+    * over observed hourly mean-micro buckets — the trend-aware sibling of
+    * [[ewma]] (which has no trend term and lags every ramp): the smoother
+    * a pipeline runs on a metric stream before alerting on slope, not
+    * just level. Dyadic gains α=1/2, β=1/4 keep the recurrence in EXACT
+    * integer micro-units via arithmetic shifts (floor division by 2ᵏ —
+    * `shiftright` here, `>>` in the oracle, both floor on negatives):
+    *   l_t = (v_t + l_{t−1} + b_{t−1}) >> 1
+    *   b_t = (l_t − l_{t−1} + 3·b_{t−1}) >> 2,  l_1 = v_1, b_1 = 0
+    * so the whole trajectory replays bit-for-bit on any engine or
+    * partitioning. The recurrence is inherently sequential (each state
+    * feeds the next), so it runs as ONE ordered array fold per series —
+    * the only scalable spelling: a window function cannot carry
+    * 2-dimensional state, and a driver loop would be one job per bucket.
+    *
+    * Scale shape: one O(events) bucketing shuffle (map-side partial agg),
+    * then one exchange on the series key collects each series' bucket
+    * array; per-series state is O(buckets-in-span) — bounded by retention
+    * policy (a year of hourly buckets is 8.8k rows), never by corpus
+    * size, the same spine contract as [[gapFill]]/[[acf]]. Series
+    * themselves are the parallelism unit: 10⁶ metric streams fan across
+    * the cluster, no single-partition funnel.
+    */
+  def holt(ev0: DataFrame, bucketSec: Long = 3600L): DataFrame = {
+    import graft.model.Documents
+    val hourly = ev0
+      .select(col("event_type").as("series"),
+        (Documents.tsSec(col("ts")) / bucketSec).cast("long").as("h"),
+        expr("cast(round(value * 1000000.0D) as bigint)").as("vm"))
+      .groupBy(col("series"), col("h"))
+      .agg(sum(col("vm")).as("sv"), count(lit(1)).as("cnt"))
+      .select(col("series"), col("h"), expr("sv div cnt").as("v"))
+    hourly.groupBy(col("series"))
+      .agg(sort_array(collect_list(struct(col("h"), col("v")))).as("pts"))
+      .select(col("series"), explode(expr(
+        "aggregate(pts, cast(array() as array<struct<h: bigint, v: bigint," +
+          " l: bigint, b: bigint>>), (acc, p) -> IF(size(acc) = 0," +
+          " concat(acc, array(struct(p.h AS h, p.v AS v, p.v AS l," +
+          " cast(0 as bigint) AS b)))," +
+          " concat(acc, array(named_struct('h', p.h, 'v', p.v," +
+          " 'l', shiftright(p.v + element_at(acc, -1).l + element_at(acc, -1).b, 1)," +
+          " 'b', shiftright(shiftright(p.v + element_at(acc, -1).l +" +
+          " element_at(acc, -1).b, 1) - element_at(acc, -1).l +" +
+          " 3L * element_at(acc, -1).b, 2))))))")).as("s"))
+      .select(col("series"), col("s.h").as("h"), col("s.v").as("v_micro"),
+        col("s.l").as("level_micro"), col("s.b").as("trend_micro"))
+      .orderBy(col("series"), col("h"))
+  }
+
+  /** [[holt]] on the events table. */
+  def eventHolt(spark: SparkSession, dir: String): DataFrame =
+    holt(Tables.events(spark, dir))
+
   /** Single changepoint per series (AMOC — at-most-one-change): the
     * split position maximizing the cumulative deviation from the
     * series' own global mean, `|S_t·n − S·t|` — the point where the

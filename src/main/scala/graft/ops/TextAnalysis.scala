@@ -1178,6 +1178,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The shipped tokenizer artifact for [[bpeEncode]]'s oracle-keyed
+    * query: the first 8 merges [[bpeTrain]] learns on the documents
+    * corpus, frozen in merge order — encode-time always runs against a
+    * FIXED merge table (the tokenizer file a training run pins), which is
+    * what makes the corpus-wide token metering reproducible across
+    * re-runs and engines.
+    */
+  val ShippedBpeMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
+    "s" -> "t", "m" -> "er", "a" -> "t", "l" -> "u")
+
+  /** Skip-gram (center, context) pair counts with a symmetric ±`window`
+    * token window — the co-occurrence feedstock word2vec/GloVe-style
+    * embedding training consumes (Mikolov et al. 2013). Pairs spell as a
+    * pure array expression per document (each token pairs with its next
+    * `window` successors; the mirror orientation is emitted in the same
+    * projection), so the corpus is scanned once with NO positional
+    * self-join — the join spelling shuffles O(tokens) rows on doc_id and
+    * then pays O(len²) comparison per document; this is O(window·tokens)
+    * flat. The only shuffle is the final count groupBy: O(window·tokens)
+    * pair rows with map-side partial agg, landing at O(min(vocab²,
+    * distinct pairs)) result rows. Stopword centers are hot KEYS but
+    * one-row outputs — AQE-splittable, no driver involvement.
+    */
+  def skipgramPairs(df: DataFrame, idCol: Column, textCol: Column,
+                    window: Int = 2): DataFrame = {
+    require(window >= 1 && window <= 16, s"window in [1,16], got $window")
+    df.select(tokens(textCol).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        s"flatten(transform(ws, (w, i) -> flatten(transform(" +
+          s"slice(ws, i + 2, $window), c -> array(" +
+          "struct(w AS center, c AS context)," +
+          " struct(c AS center, w AS context))))))")).as("p"))
+      .groupBy(col("p.center").as("center"), col("p.context").as("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("center"), col("context"))
+  }
+
   /** Lexical-diversity profile: type-token ratio and hapax-legomenon
     * ratio per document — degenerate/templated text scores low on both.
     * Integer permille (exact div) for oracle parity. The explode+groupBy

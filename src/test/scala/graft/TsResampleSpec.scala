@@ -179,4 +179,48 @@ class TsResampleSpec extends AnyFunSuite {
     val d40 = out.find(_._1 == 40L).get
     assert(d40._2 === 0 && d40._4 === c(2))
   }
+
+  test("holt replays the dyadic level/trend recurrence by hand") {
+    // hours 0..3, values 2,4,6,8 (micro ×1e6): linear ramp
+    val rows = (0 until 4).map(h => (h * 3600L, "A", 2.0 * (h + 1)))
+    val out = Analytics.holt(ev(rows)).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4)))
+    // l1=v1, b1=0; l=(v+l'+b')>>1; b=(l-l'+3b')>>2 — all exact integers
+    assert(out.toSeq === Seq(
+      (0L, 2000000L, 0L),
+      (1L, 3000000L, 250000L),
+      (2L, 4625000L, 593750L),
+      (3L, 6609375L, 941406L))) // 3765625 >> 2 floors the .25
+  }
+
+  test("holt shifts floor on negatives (arithmetic, not truncating)") {
+    val df = ev(Seq((0L, "A", 8.0), (3600L, "A", 1.999999)))
+    val out = Analytics.holt(df).collect()
+    // l2 = (1999999 + 8000000) >> 1 = 4999999
+    // b2 = (4999999 - 8000000) >> 2 = floor(-750000.25) = -750001
+    assert(out(1).getLong(3) === 4999999L)
+    assert(out(1).getLong(4) === -750001L)
+  }
+
+  test("skipgramPairs: ±2 window, both orientations, exact counts") {
+    val docs = Seq((1L, "a b c"), (2L, "a a")).toDF("doc_id", "text")
+    val out = TextAnalysis.skipgramPairs(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("a", "a", 2L), // doc 2's one forward pair, emitted both ways
+      ("a", "b", 1L), ("a", "c", 1L),
+      ("b", "a", 1L), ("b", "c", 1L),
+      ("c", "a", 1L), ("c", "b", 1L)))
+  }
+
+  test("shipped BPE merges encode in merge order with greedy runs") {
+    val docs = Seq((1L, "merge stream window")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(docs, col("doc_id"), col("text"),
+      TextAnalysis.ShippedBpeMerges).collect()
+    // merge  -> m,er,g,e -> mer,g,e        (e+r then m+er chain) = 3
+    // stream -> st,r,e,a,m                 (s+t only)            = 5
+    // window -> w,in,d,ow                  (i+n, o+w)            = 4
+    assert(out.head.getLong(1) === 12L)
+    assert(out.head.getLong(2) === 3L)
+  }
 }
