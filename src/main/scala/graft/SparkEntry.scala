@@ -1032,6 +1032,20 @@ object SparkEntry {
       TextAnalysis.skipgramPairs(Tables.documents(s, dir), col("doc_id"),
         col("text"))),
 
+    // sequence packing metered by the REAL shipped-tokenizer counts
+    // (text_bpe_encode) instead of the chars/4 estimate — the budget the
+    // training job actually spends
+    "corpus_pack_bpe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val counts = TextAnalysis.bpeEncode(docs, col("doc_id"), col("text"),
+          TextAnalysis.ShippedBpeMerges)
+        .select(col("doc_id"), col("n_bpe_tokens"))
+      TextAnalysis.packSequences(docs.join(counts, "doc_id"), "doc_id",
+          col("n_bpe_tokens"), 2048L)
+        .select("doc_id", "seq_id", "seq_tokens")
+        .orderBy("doc_id")
+    }),
+
     // Holt level+trend smoothing per series — exact dyadic fixed point,
     // one ordered fold per series
     "ts_holt" -> ((s, dir) => Analytics.eventHolt(s, dir)),
@@ -3045,6 +3059,36 @@ object SparkEntry {
         |SELECT w.doc_id, CAST(sum(c.n_syms) AS BIGINT) AS n_bpe_tokens,
         |  CAST(count(*) AS BIGINT) AS n_words
         |FROM w JOIN c USING (word) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // the bpe-encode replace-chain feeds the pack cumsum: per-doc real
+    // tokenizer counts, then the same global (u, doc_id) prefix sum the
+    // chars/4 pack oracle uses
+    "corpus_pack_bpe" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS word
+        |           FROM documents),
+        |v AS (SELECT DISTINCT word FROM w),
+        |enc AS (SELECT word,
+        |  replace(replace(replace(replace(replace(replace(replace(replace(
+        |    ',' || array_to_string(string_split(word, ''), ',,') || ',',
+        |    ',e,,r,', ',er,'), ',i,,n,', ',in,'), ',o,,w,', ',ow,'),
+        |    ',o,,r,', ',or,'), ',s,,t,', ',st,'), ',m,,er,', ',mer,'),
+        |    ',a,,t,', ',at,'), ',l,,u,', ',lu,') AS s
+        |  FROM v),
+        |c AS (SELECT word,
+        |        (length(s) - length(replace(s, ',,', ''))) // 2 + 1 AS n_syms
+        |      FROM enc),
+        |bt AS (SELECT w.doc_id, CAST(sum(c.n_syms) AS BIGINT) AS tok
+        |       FROM w JOIN c USING (word) GROUP BY 1),
+        |t AS (SELECT doc_id, tok,
+        |        (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 0.5)
+        |          / 4503599627370496.0 AS u
+        |      FROM bt),
+        |cc AS (SELECT doc_id, tok,
+        |         sum(tok) OVER (ORDER BY u, doc_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS start
+        |       FROM t)
+        |SELECT doc_id, CAST(start // 2048 AS BIGINT) AS seq_id, tok AS seq_tokens
+        |FROM cc ORDER BY doc_id""".stripMargin,
 
     // positional unnest + bounded-offset self-join (oracle-side only; the
     // engine never materializes positions), both orientations unioned

@@ -1117,6 +1117,63 @@ object Monitor {
           cusumUpdate(refBuckets, slackPermille, bucketSec)(k, it, st))
   }
 
+  /** Closed-bucket count, the open bucket (h, sv, cnt), and the Holt
+    * (level, trend) pair — six longs per series. */
+  case class HoltState(n: Long, h: Long, sv: Long, cnt: Long, l: Long, b: Long)
+  case class HoltOut(series: String, h: Long, v_micro: Long,
+                     level_micro: Long, trend_micro: Long)
+
+  /** Streaming twin of `Analytics.holt` (§2b 28bi): the level+trend
+    * smoother maintained live — the online slope monitor. Buckets close
+    * exactly as in [[gapFillStream]]/[[cusumStream]]; each closed bucket
+    * advances the dyadic recurrence (`>>` on Long is the same
+    * floor-on-negatives arithmetic shift the batch's `shiftright` and the
+    * oracle's `>>` use) and emits its (level, trend) row, so emissions
+    * over any time-ordered prefix equal the batch operator minus the open
+    * bucket (spec-asserted by replay against `eventHolt`). State is six
+    * longs per series — O(series) total, never O(history).
+    */
+  def holtUpdate(bucketSec: Long)(
+      key: String, events: Iterator[GapEvent],
+      state: org.apache.spark.sql.streaming.GroupState[HoltState]): Iterator[HoltOut] = {
+    var st = state.getOption.orNull
+    val out = Vector.newBuilder[HoltOut]
+    def close(s: HoltState): HoltState = {
+      val v = s.sv / s.cnt
+      val (l, b) =
+        if (s.n == 0L) (v, 0L)
+        else {
+          val l2 = (v + s.l + s.b) >> 1
+          (l2, (l2 - s.l + 3L * s.b) >> 2)
+        }
+      out += HoltOut(key, s.h, v, l, b)
+      s.copy(n = s.n + 1L, l = l, b = b)
+    }
+    events.toSeq.sortBy(_.t).foreach { e =>
+      val hb = e.t / bucketSec
+      if (st == null)
+        st = HoltState(0L, hb, e.vm, 1L, 0L, 0L)
+      else if (hb > st.h)
+        st = close(st).copy(h = hb, sv = e.vm, cnt = 1L)
+      else st = st.copy(sv = st.sv + e.vm, cnt = st.cnt + 1L)
+    }
+    if (st != null) state.update(st)
+    out.result().iterator
+  }
+
+  /** Wire [[holtUpdate]] over a (possibly streaming) event set. */
+  def holtStream(events: org.apache.spark.sql.Dataset[GapEvent],
+                 bucketSec: Long = 3600L)
+                (implicit spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.Dataset[HoltOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (k: String, it: Iterator[GapEvent],
+         st: org.apache.spark.sql.streaming.GroupState[HoltState]) =>
+          holtUpdate(bucketSec)(k, it, st))
+  }
+
   case class DauVote(w_day: Long, user_id: Long)
   /** Sorted distinct user ids seen for this window-end. */
   case class DauState(users: Seq[Long])

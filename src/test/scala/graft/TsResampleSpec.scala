@@ -213,6 +213,20 @@ class TsResampleSpec extends AnyFunSuite {
       ("c", "a", 1L), ("c", "b", 1L)))
   }
 
+  test("corpus_pack_bpe conserves the real tokenizer budget") {
+    val packed = SparkEntry.queries("corpus_pack_bpe")(spark, sf)
+    val counts = TextAnalysis.bpeEncode(Tables.documents(spark, sf),
+      col("doc_id"), col("text"), TextAnalysis.ShippedBpeMerges)
+    val packedSum = packed.agg(sum("seq_tokens")).collect()(0).getLong(0)
+    val encSum = counts.agg(sum("n_bpe_tokens")).collect()(0).getLong(0)
+    assert(packedSum === encSum) // every doc lands in exactly one sequence
+    assert(packed.count() === counts.count())
+    // the real budget differs from the chars/4 estimate (the point)
+    val est = SparkEntry.queries("corpus_pack_sequences")(spark, sf)
+      .agg(sum("seq_tokens")).collect()(0).getLong(0)
+    assert(packedSum !== est)
+  }
+
   test("shipped BPE merges encode in merge order with greedy runs") {
     val docs = Seq((1L, "merge stream window")).toDF("doc_id", "text")
     val out = TextAnalysis.bpeEncode(docs, col("doc_id"), col("text"),
