@@ -896,6 +896,48 @@ object ScaleSmoke {
       println(s"[scale]   leaks flagged: $leaks/500, non-leak collisions: $noise")
     }
 
+    // Holt at the two adversarial extremes: (a) ONE series spanning 100k
+    // buckets — the per-series fold must be LINEAR (the array-append
+    // spelling is quadratic: ~10^10 element copies here, minutes not
+    // seconds); (b) 10k series × 1k buckets — series as the parallelism
+    // unit. Level must track a pure linear ramp to within the dyadic
+    // smoothing lag (trend converges to the true slope).
+    time("holt_1_series_100k_buckets") {
+      val ev = spark.range(100000L).select(
+        lit("s0").as("series"), col("id").as("h"), (col("id") * 1000L).as("v"))
+      val out = graft.ops.Analytics.holtFromBuckets(ev)
+      val last = out.orderBy(col("h").desc).limit(1).collect()(0)
+      require(out.count() == 100000L, "one row per bucket")
+      // on a ramp of slope 1000 micro/bucket the trend converges to the
+      // slope minus the ≤1-micro floor-truncation bias of the shifts
+      require(last.getLong(4) >= 999L && last.getLong(4) <= 1000L,
+        s"trend must converge to the ramp slope, got ${last.getLong(4)}")
+    }
+    time("holt_10k_series_1k_buckets") {
+      val ev = spark.range(10000000L).select(
+        concat(lit("s"), pmod(col("id"), lit(10000))).as("series"),
+        (col("id") / 10000L).cast("long").as("h"),
+        (col("id") % 97L * 1000L).as("v"))
+      val n = graft.ops.Analytics.holtFromBuckets(ev).count()
+      require(n == 10000000L, s"one row per (series, bucket), got $n")
+    }
+
+    // skip-gram pairs at 1M docs × 50 tokens over a 5k vocab: pair volume
+    // is 4× token volume (±2 window), the groupBy lands at ≤ vocab² rows
+    // — map-side combine must collapse the fan-out before the exchange
+    time("skipgram_1m_docs") {
+      val wide = spark.range(1000000L).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", expr("transform(sequence(0, 49), i ->" +
+          " concat('t', pmod(xxhash64(id, i), 5000)))")).as("text"))
+      val out = graft.ops.TextAnalysis.skipgramPairs(wide, col("doc_id"), col("text"))
+      val s = out.agg(count(lit(1)).as("n"), sum("n_pairs").as("tot")).head()
+      // 50 tokens → 49+48 forward pairs × 2 orientations = 194 per doc
+      require(s.getLong(1) == 194000000L,
+        s"pair volume drifted: ${s.getLong(1)} (expect 194M)")
+      println(s"[scale]   distinct pairs: ${s.getLong(0)} (≤ 25M vocab²)")
+    }
+
     // chunking at 1M docs × ~200 tokens: output is the only cost
     // (window/stride ≈ 2× token volume); zero shuffles regardless of
     // corpus size, so throughput must track the scan, not the doc count

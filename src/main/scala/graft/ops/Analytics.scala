@@ -1337,17 +1337,23 @@ object Analytics {
     *   b_t = (l_t − l_{t−1} + 3·b_{t−1}) >> 2,  l_1 = v_1, b_1 = 0
     * so the whole trajectory replays bit-for-bit on any engine or
     * partitioning. The recurrence is inherently sequential (each state
-    * feeds the next), so it runs as ONE ordered array fold per series —
-    * the only scalable spelling: a window function cannot carry
-    * 2-dimensional state, and a driver loop would be one job per bucket.
+    * feeds the next), so it runs as ONE typed per-series fold (sort the
+    * series' buckets, LINEAR scan carrying two longs) — a window cannot
+    * hold 2-dimensional state, a driver loop is one job per bucket, and
+    * the expression-level `aggregate`-append spelling is O(buckets²) per
+    * series (every step copies the grown array — 10⁸ element copies for
+    * one series-year), which is why this op (alone in the ts family)
+    * steps out of pure expressions into `flatMapGroups`.
     *
     * Scale shape: one O(events) bucketing shuffle (map-side partial agg),
-    * then one exchange on the series key collects each series' bucket
-    * array; per-series state is O(buckets-in-span) — bounded by retention
+    * then one exchange on the series key groups each series' buckets;
+    * per-series memory is O(buckets-in-span) — bounded by retention
     * policy (a year of hourly buckets is 8.8k rows), never by corpus
     * size, the same spine contract as [[gapFill]]/[[acf]]. Series
     * themselves are the parallelism unit: 10⁶ metric streams fan across
-    * the cluster, no single-partition funnel.
+    * the cluster, no single-partition funnel. The streaming twin
+    * ([[graft.streaming.Monitor.holtStream]]) carries the same recurrence
+    * in six longs of state per series.
     */
   def holt(ev0: DataFrame, bucketSec: Long = 3600L): DataFrame = {
     import graft.model.Documents
@@ -1358,20 +1364,37 @@ object Analytics {
       .groupBy(col("series"), col("h"))
       .agg(sum(col("vm")).as("sv"), count(lit(1)).as("cnt"))
       .select(col("series"), col("h"), expr("sv div cnt").as("v"))
-    hourly.groupBy(col("series"))
-      .agg(sort_array(collect_list(struct(col("h"), col("v")))).as("pts"))
-      .select(col("series"), explode(expr(
-        "aggregate(pts, cast(array() as array<struct<h: bigint, v: bigint," +
-          " l: bigint, b: bigint>>), (acc, p) -> IF(size(acc) = 0," +
-          " concat(acc, array(struct(p.h AS h, p.v AS v, p.v AS l," +
-          " cast(0 as bigint) AS b)))," +
-          " concat(acc, array(named_struct('h', p.h, 'v', p.v," +
-          " 'l', shiftright(p.v + element_at(acc, -1).l + element_at(acc, -1).b, 1)," +
-          " 'b', shiftright(shiftright(p.v + element_at(acc, -1).l +" +
-          " element_at(acc, -1).b, 1) - element_at(acc, -1).l +" +
-          " 3L * element_at(acc, -1).b, 2))))))")).as("s"))
-      .select(col("series"), col("s.h").as("h"), col("s.v").as("v_micro"),
-        col("s.l").as("level_micro"), col("s.b").as("trend_micro"))
+    holtFromBuckets(hourly)
+  }
+
+  /** [[holt]]'s fold over an ALREADY-bucketed (series, h, v) table —
+    * e.g. the streaming-maintained hourly bucket log
+    * (`Monitor.readHourlyBuckets`), so the smoother refreshes without
+    * re-scanning raw events. Columns: series string, h long, v long
+    * (micro-units). */
+  def holtFromBuckets(buckets: DataFrame): DataFrame = {
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    buckets.select(col("series").cast("string"), col("h").cast("long"),
+        col("v").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k: String, it: Iterator[(String, Long, Long)]) =>
+        val pts = it.toArray.sortBy(_._2)
+        var l = 0L
+        var b = 0L
+        var first = true
+        pts.iterator.map { case (_, h, v) =>
+          if (first) { l = v; b = 0L; first = false }
+          else {
+            val l2 = (v + l + b) >> 1 // arithmetic shift == floor div 2
+            b = (l2 - l + 3L * b) >> 2
+            l = l2
+          }
+          (k, h, v, l, b)
+        }
+      }
+      .toDF("series", "h", "v_micro", "level_micro", "trend_micro")
       .orderBy(col("series"), col("h"))
   }
 
