@@ -1032,6 +1032,20 @@ object SparkEntry {
       TextAnalysis.skipgramPairs(Tables.documents(s, dir), col("doc_id"),
         col("text"))),
 
+    // the negative-sampling side of the word2vec feedstock: unigram^(3/4)
+    // inverse-CDF table, libm-free quarter power
+    "text_neg_sampling" -> ((s, dir) =>
+      TextAnalysis.negSamplingTable(Tables.documents(s, dir), col("text"))),
+
+    // a deterministic 50-token draw from that distribution (E-S over
+    // weight_micro) — the sampler a trainer actually calls
+    "text_neg_sample_draw" -> ((s, dir) =>
+      TextAnalysis.weightedSample(
+          TextAnalysis.negSamplingTable(Tables.documents(s, dir), col("text")),
+          "token", col("weight_micro"), 50)
+        .select("token", "cnt", "weight_micro")
+        .orderBy("token")),
+
     // sequence packing metered by the REAL shipped-tokenizer counts
     // (text_bpe_encode) instead of the chars/4 estimate — the budget the
     // training job actually spends
@@ -3059,6 +3073,42 @@ object SparkEntry {
         |SELECT w.doc_id, CAST(sum(c.n_syms) AS BIGINT) AS n_bpe_tokens,
         |  CAST(count(*) AS BIGINT) AS n_words
         |FROM w JOIN c USING (word) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // sqrt(sqrt(c^3)) with the same left-associated double product: two
+    // correctly-rounded IEEE sqrts, no libm pow; window sum cast back
+    // from DuckDB's HUGEINT
+    "text_neg_sampling" ->
+      """WITH w AS (SELECT unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS token
+        |           FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM w GROUP BY 1),
+        |t AS (SELECT token, cnt,
+        |        CAST(round(1000000.0 * sqrt(sqrt(
+        |          CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)
+        |        ))) AS BIGINT) AS weight_micro
+        |      FROM c)
+        |SELECT token, cnt, weight_micro,
+        |  CAST(sum(weight_micro) OVER (ORDER BY token
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_weight_micro
+        |FROM t ORDER BY token""".stripMargin,
+
+    // the E-S draw over weight_micro — same md5-slice uniform and pow
+    // contract as corpus_weighted_sample
+    "text_neg_sample_draw" ->
+      """WITH w AS (SELECT unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS token
+        |           FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM w GROUP BY 1),
+        |t AS (SELECT token, cnt,
+        |        CAST(round(1000000.0 * sqrt(sqrt(
+        |          CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)
+        |        ))) AS BIGINT) AS weight_micro
+        |      FROM c)
+        |SELECT token, cnt, weight_micro FROM (
+        |  SELECT token, cnt, weight_micro,
+        |    pow((('0x' || substr(md5(token), 1, 13))::BIGINT + 0.5)
+        |        / 4503599627370496.0, 1.0 / CAST(weight_micro AS DOUBLE)) AS score
+        |  FROM t WHERE weight_micro > 0
+        |  ORDER BY score DESC, token LIMIT 50)
+        |ORDER BY token""".stripMargin,
 
     // the bpe-encode replace-chain feeds the pack cumsum: per-doc real
     // tokenizer counts, then the same global (u, doc_id) prefix sum the

@@ -1202,6 +1202,36 @@ object TextAnalysis {
     * distinct pairs)) result rows. Stopword centers are hot KEYS but
     * one-row outputs — AQE-splittable, no driver involvement.
     */
+  /** Word2vec negative-sampling distribution (Mikolov et al. 2013): the
+    * unigram counts raised to the 3/4 power, as an inverse-CDF sampling
+    * table. The quarter power spells `sqrt(sqrt(c³))` — two
+    * correctly-rounded IEEE sqrts over a fixed left-associated double
+    * product — so `weight_micro` lands on the identical integer in any
+    * engine WITHOUT libm `pow` (whose last-ulp behavior differs across
+    * platforms); the cumulative column is an exact long prefix sum (the
+    * sampler binary-searches it). Combined with [[skipgramPairs]] (the
+    * positive pairs) this completes the word2vec feedstock.
+    *
+    * Scale shape: one O(corpus tokens) count groupBy (map-side combined);
+    * the power/prefix run on the VOCAB-sized table (the [[bpeTrain]]
+    * argument: ~10⁷ rows against a 10¹² corpus), and the one global-order
+    * window sorts THAT — never the corpus. A deterministic weighted DRAW
+    * composes as [[weightedSample]] over `weight_micro`.
+    */
+  def negSamplingTable(df: DataFrame, textCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("token")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.select(explode(tokens(textCol)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("weight_micro", expr(
+        "cast(round(1000000.0D * sqrt(sqrt(" +
+          "cast(cnt as double) * cast(cnt as double) * cast(cnt as double)" +
+          "))) as bigint)"))
+      .withColumn("cum_weight_micro", sum(col("weight_micro")).over(w))
+      .orderBy(col("token"))
+  }
+
   def skipgramPairs(df: DataFrame, idCol: Column, textCol: Column,
                     window: Int = 2): DataFrame = {
     require(window >= 1 && window <= 16, s"window in [1,16], got $window")

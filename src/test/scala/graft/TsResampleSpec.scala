@@ -213,6 +213,16 @@ class TsResampleSpec extends AnyFunSuite {
       ("c", "a", 1L), ("c", "b", 1L)))
   }
 
+  test("negSamplingTable: c^(3/4) in exact micro, inverse-CDF prefix") {
+    // a:16 -> 16^0.75 = 8 exactly; b:1 -> 1
+    val docs = Seq((1L, ("a " * 16) + "b")).toDF("doc_id", "text")
+    val out = TextAnalysis.negSamplingTable(docs, col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("a", 16L, 8000000L, 8000000L),
+      ("b", 1L, 1000000L, 9000000L)))
+  }
+
   test("corpus_pack_bpe conserves the real tokenizer budget") {
     val packed = SparkEntry.queries("corpus_pack_bpe")(spark, sf)
     val counts = TextAnalysis.bpeEncode(Tables.documents(spark, sf),
