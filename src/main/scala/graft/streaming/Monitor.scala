@@ -233,6 +233,36 @@ object Monitor {
     readLog(spark, path)
       .groupBy("word").agg(sum("cnt").as("cnt"))
 
+  /** Maintained skip-gram co-occurrence log — the embedding-trainer twin
+    * of [[maintainWordCounts]]: each micro-batch's documents fold to
+    * their ±window (center, context) PARTIAL pair counts
+    * (`TextAnalysis.skipgramPairs` over the batch — O(batch vocab²)
+    * rows at most) and land exactly-once in a per-batch partition.
+    * With [[readWordCounts]] (the negative-sampling distribution base,
+    * `TextAnalysis.negSamplingTable` shape) this keeps BOTH word2vec
+    * inputs — positive pairs and negative distribution — current at the
+    * ingest door without ever re-tokenizing the corpus.
+    */
+  def maintainCoocCounts(stream: DataFrame, idCol: Column, textCol: Column,
+                         path: String, checkpoint: String, window: Int = 2,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        graft.ops.TextAnalysis.skipgramPairs(df.toDF(), idCol, textCol, window)
+          .writeLogBatch(batchId, path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Merge-on-read of the [[maintainCoocCounts]] partial log: exact
+    * corpus-wide (center, context) counts — associative sums, equal to
+    * the batch operator over everything ever streamed.
+    */
+  def readCoocCounts(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    readLog(spark, path)
+      .groupBy("center", "context").agg(sum("n_pairs").as("n_pairs"))
+
   /** Maintained Gram-matrix log — second-moment statistics for the
     * embedding corpus kept current at the ingest door: each micro-batch
     * folds to its d(d+1)/2-row integer Gram partial

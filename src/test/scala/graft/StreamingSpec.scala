@@ -208,6 +208,37 @@ class StreamingSpec extends AnyFunSuite {
       "replayed batch must overwrite its partition, not duplicate the index")
   }
 
+  test("streamed co-occurrence counts equal the batch skip-gram operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_cooc").toString + "/cooc"
+    val chk1 = Files.createTempDirectory("graft_cooc_chk").toString
+    val t0 = 1700000000000L
+    val docsSeq = Seq(
+      Doc(10L, new Timestamp(t0), "a b c"),
+      Doc(11L, new Timestamp(t0 + 1000), "a a"),
+      Doc(12L, new Timestamp(t0 + 2000), "b c b"))
+    val in1 = MemoryStream[Doc]
+    // two separate runs over ONE checkpoint lineage so the merged log
+    // really sums across distinct batch ids (a fresh checkpoint would
+    // restart at batch 0 and overwrite — the exactly-once contract)
+    in1.addData(docsSeq.take(2): _*)
+    val q1 = Monitor.maintainCoocCounts(in1.toDF(), col("doc_id"), col("text"),
+      path, chk1)
+    try q1.awaitTermination(120000) finally q1.stop()
+    in1.addData(docsSeq.drop(2): _*)
+    val q2 = Monitor.maintainCoocCounts(in1.toDF(), col("doc_id"), col("text"),
+      path, chk1)
+    try q2.awaitTermination(120000) finally q2.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1)) -> r.getLong(2)
+    val streamed = Monitor.readCoocCounts(spark, path).collect().map(key).toMap
+    val batch = ops.TextAnalysis.skipgramPairs(
+        docsSeq.toDF(), col("doc_id"), col("text"))
+      .collect().map(key).toMap
+    assert(streamed === batch)
+  }
+
   test("streamed word counts equal batch tokenization and feed BPE, replay-safe") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
