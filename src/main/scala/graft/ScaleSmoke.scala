@@ -930,7 +930,7 @@ object ScaleSmoke {
         col("id").as("doc_id"),
         concat_ws(" ", expr("transform(sequence(0, 49), i ->" +
           " concat('t', pmod(xxhash64(id, i), 5000)))")).as("text"))
-      val out = graft.ops.TextAnalysis.skipgramPairs(wide, col("doc_id"), col("text"))
+      val out = graft.ops.TextAnalysis.skipgramPairs(wide, col("text"))
       val s = out.agg(count(lit(1)).as("n"), sum("n_pairs").as("tot")).head()
       // 50 tokens → 49+48 forward pairs × 2 orientations = 194 per doc
       require(s.getLong(1) == 194000000L,

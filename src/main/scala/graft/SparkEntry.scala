@@ -1029,8 +1029,8 @@ object SparkEntry {
     // word2vec feedstock: ±2-window (center, context) counts, one scan,
     // no positional self-join
     "text_skipgram_pairs" -> ((s, dir) =>
-      TextAnalysis.skipgramPairs(Tables.documents(s, dir), col("doc_id"),
-        col("text"))),
+      TextAnalysis.skipgramPairs(Tables.documents(s, dir), col("text"))
+        .orderBy("center", "context")),
 
     // the negative-sampling side of the word2vec feedstock: unigram^(3/4)
     // inverse-CDF table, libm-free quarter power

@@ -1363,20 +1363,20 @@ object Analytics {
         expr("cast(round(value * 1000000.0D) as bigint)").as("vm"))
       .groupBy(col("series"), col("h"))
       .agg(sum(col("vm")).as("sv"), count(lit(1)).as("cnt"))
-      .select(col("series"), col("h"), expr("sv div cnt").as("v"))
+      .select(col("series"), col("h"), expr("sv div cnt").as("x"))
     holtFromBuckets(hourly)
   }
 
-  /** [[holt]]'s fold over an ALREADY-bucketed (series, h, v) table —
-    * e.g. the streaming-maintained hourly bucket log
-    * (`Monitor.readHourlyBuckets`), so the smoother refreshes without
-    * re-scanning raw events. Columns: series string, h long, v long
-    * (micro-units). */
+  /** [[holt]]'s fold over an ALREADY-bucketed (series, h, x) table — the
+    * bucket-log family convention ([[hourlyMerge]]/[[seasonalFromHourly]]
+    * and the streaming-maintained `Monitor.readHourlyBuckets` view), so
+    * the smoother refreshes without re-scanning raw events. Columns:
+    * series string, h long, x long (exact micro bucket mean). */
   def holtFromBuckets(buckets: DataFrame): DataFrame = {
     val spark = buckets.sparkSession
     import spark.implicits._
     buckets.select(col("series").cast("string"), col("h").cast("long"),
-        col("v").cast("long"))
+        col("x").cast("long"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (k: String, it: Iterator[(String, Long, Long)]) =>

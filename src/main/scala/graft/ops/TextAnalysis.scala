@@ -1189,19 +1189,6 @@ object TextAnalysis {
     "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
     "s" -> "t", "m" -> "er", "a" -> "t", "l" -> "u")
 
-  /** Skip-gram (center, context) pair counts with a symmetric ±`window`
-    * token window — the co-occurrence feedstock word2vec/GloVe-style
-    * embedding training consumes (Mikolov et al. 2013). Pairs spell as a
-    * pure array expression per document (each token pairs with its next
-    * `window` successors; the mirror orientation is emitted in the same
-    * projection), so the corpus is scanned once with NO positional
-    * self-join — the join spelling shuffles O(tokens) rows on doc_id and
-    * then pays O(len²) comparison per document; this is O(window·tokens)
-    * flat. The only shuffle is the final count groupBy: O(window·tokens)
-    * pair rows with map-side partial agg, landing at O(min(vocab²,
-    * distinct pairs)) result rows. Stopword centers are hot KEYS but
-    * one-row outputs — AQE-splittable, no driver involvement.
-    */
   /** Word2vec negative-sampling distribution (Mikolov et al. 2013): the
     * unigram counts raised to the 3/4 power, as an inverse-CDF sampling
     * table. The quarter power spells `sqrt(sqrt(c³))` — two
@@ -1232,7 +1219,23 @@ object TextAnalysis {
       .orderBy(col("token"))
   }
 
-  def skipgramPairs(df: DataFrame, idCol: Column, textCol: Column,
+  /** Skip-gram (center, context) pair counts with a symmetric ±`window`
+    * token window — the co-occurrence feedstock word2vec/GloVe-style
+    * embedding training consumes (Mikolov et al. 2013); counts are
+    * corpus-global, so the op needs only the text column. Pairs spell as
+    * a pure array expression per document (each token pairs with its next
+    * `window` successors; the mirror orientation is emitted in the same
+    * projection), so the corpus is scanned once with NO positional
+    * self-join — the join spelling shuffles O(tokens) rows on doc_id and
+    * then pays O(len²) comparison per document; this is O(window·tokens)
+    * flat. The only shuffle is the count groupBy: O(window·tokens) pair
+    * rows with map-side partial agg, landing at O(min(vocab², distinct
+    * pairs)) result rows. Stopword centers are hot KEYS but one-row
+    * outputs — AQE-splittable, no driver involvement. Output is
+    * UNORDERED (the streaming maintainer logs it as-is); the query layer
+    * adds its presentation sort.
+    */
+  def skipgramPairs(df: DataFrame, textCol: Column,
                     window: Int = 2): DataFrame = {
     require(window >= 1 && window <= 16, s"window in [1,16], got $window")
     df.select(tokens(textCol).as("ws"))
@@ -1244,7 +1247,6 @@ object TextAnalysis {
           " struct(c AS center, w AS context))))))")).as("p"))
       .groupBy(col("p.center").as("center"), col("p.context").as("context"))
       .agg(count(lit(1)).as("n_pairs"))
-      .orderBy(col("center"), col("context"))
   }
 
   /** Lexical-diversity profile: type-token ratio and hapax-legomenon

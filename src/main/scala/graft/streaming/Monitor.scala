@@ -243,12 +243,12 @@ object Monitor {
     * inputs — positive pairs and negative distribution — current at the
     * ingest door without ever re-tokenizing the corpus.
     */
-  def maintainCoocCounts(stream: DataFrame, idCol: Column, textCol: Column,
+  def maintainCoocCounts(stream: DataFrame, textCol: Column,
                          path: String, checkpoint: String, window: Int = 2,
                          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        graft.ops.TextAnalysis.skipgramPairs(df.toDF(), idCol, textCol, window)
+        graft.ops.TextAnalysis.skipgramPairs(df.toDF(), textCol, window)
           .writeLogBatch(batchId, path)
       }
       .option("checkpointLocation", checkpoint)

@@ -223,18 +223,15 @@ class StreamingSpec extends AnyFunSuite {
     // really sums across distinct batch ids (a fresh checkpoint would
     // restart at batch 0 and overwrite — the exactly-once contract)
     in1.addData(docsSeq.take(2): _*)
-    val q1 = Monitor.maintainCoocCounts(in1.toDF(), col("doc_id"), col("text"),
-      path, chk1)
+    val q1 = Monitor.maintainCoocCounts(in1.toDF(), col("text"), path, chk1)
     try q1.awaitTermination(120000) finally q1.stop()
     in1.addData(docsSeq.drop(2): _*)
-    val q2 = Monitor.maintainCoocCounts(in1.toDF(), col("doc_id"), col("text"),
-      path, chk1)
+    val q2 = Monitor.maintainCoocCounts(in1.toDF(), col("text"), path, chk1)
     try q2.awaitTermination(120000) finally q2.stop()
     def key(r: org.apache.spark.sql.Row) =
       (r.getString(0), r.getString(1)) -> r.getLong(2)
     val streamed = Monitor.readCoocCounts(spark, path).collect().map(key).toMap
-    val batch = ops.TextAnalysis.skipgramPairs(
-        docsSeq.toDF(), col("doc_id"), col("text"))
+    val batch = ops.TextAnalysis.skipgramPairs(docsSeq.toDF(), col("text"))
       .collect().map(key).toMap
     assert(streamed === batch)
   }
@@ -935,6 +932,12 @@ class StreamingSpec extends AnyFunSuite {
     val motifsBatch = graft.ops.Analytics.motifs(withValue(all.toDF()), width = 2)
       .collect().toSeq.map(_.toSeq)
     assert(motifsViaLog === motifsBatch && motifsBatch.nonEmpty)
+    val holtViaLog = graft.ops.Analytics.holtFromBuckets(
+        graft.streaming.Monitor.readHourlyBuckets(spark, s"$dir/log"))
+      .collect().toSeq.map(_.toSeq)
+    val holtBatch = graft.ops.Analytics.holt(withValue(all.toDF()))
+      .collect().toSeq.map(_.toSeq)
+    assert(holtViaLog === holtBatch && holtBatch.nonEmpty)
     // replay with a fresh checkpoint rewrites batch 0 idempotently
     val input2 = MemoryStream[Ev]
     input2.addData(all.take(40): _*)

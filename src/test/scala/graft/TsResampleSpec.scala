@@ -204,7 +204,8 @@ class TsResampleSpec extends AnyFunSuite {
 
   test("skipgramPairs: ±2 window, both orientations, exact counts") {
     val docs = Seq((1L, "a b c"), (2L, "a a")).toDF("doc_id", "text")
-    val out = TextAnalysis.skipgramPairs(docs, col("doc_id"), col("text"))
+    val out = TextAnalysis.skipgramPairs(docs, col("text"))
+      .orderBy("center", "context")
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(out.toSeq === Seq(
       ("a", "a", 2L), // doc 2's one forward pair, emitted both ways
