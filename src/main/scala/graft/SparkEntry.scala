@@ -1064,6 +1064,10 @@ object SparkEntry {
     // one ordered fold per series
     "ts_holt" -> ((s, dir) => Analytics.eventHolt(s, dir)),
 
+    // the smoother's accuracy audit: one-step-ahead forecast vs realized
+    // bucket, exact integer MAE / SMAPE per series
+    "ts_holt_backtest" -> ((s, dir) => Analytics.eventHoltBacktest(s, dir)),
+
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.byteStats(Multimodal.toAsset(
           Tables.events(s, dir), col("event_id"), col("event_type"), col("props")))
@@ -3176,6 +3180,37 @@ object SparkEntry {
         |  FROM r JOIN s ON r.series = s.series AND r.rn = s.rn + 1)
         |SELECT series, h, v AS v_micro, lvl AS level_micro, trd AS trend_micro
         |FROM s ORDER BY series, h""".stripMargin,
+
+    // the ts_holt recursion + a lag window + one integer aggregate;
+    // // floors like Spark's div on the non-negative error terms
+    "ts_holt_backtest" ->
+      """WITH RECURSIVE e AS (SELECT event_type AS series,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
+        |bk AS MATERIALIZED (SELECT series, h,
+        |    CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT) AS v
+        |  FROM e GROUP BY 1, 2),
+        |r AS MATERIALIZED (SELECT series, h, v,
+        |    row_number() OVER (PARTITION BY series ORDER BY h) AS rn FROM bk),
+        |s AS (
+        |  SELECT series, rn, h, v, v AS lvl, CAST(0 AS BIGINT) AS trd
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.series, r.rn, r.h, r.v,
+        |    (r.v + s.lvl + s.trd) >> 1,
+        |    (((r.v + s.lvl + s.trd) >> 1) - s.lvl + 3 * s.trd) >> 2
+        |  FROM r JOIN s ON r.series = s.series AND r.rn = s.rn + 1),
+        |fc AS (SELECT series, h, v,
+        |    lag(lvl) OVER (PARTITION BY series ORDER BY h)
+        |      + lag(trd) OVER (PARTITION BY series ORDER BY h) AS f
+        |  FROM s),
+        |sc AS (SELECT series, v, f, abs(v - f) AS e FROM fc WHERE f IS NOT NULL)
+        |SELECT series, count(*) AS n_eval,
+        |  CAST(CAST(sum(e) AS BIGINT) // count(*) AS BIGINT) AS mae_micro,
+        |  CAST(CAST(sum(CASE WHEN abs(v) + abs(f) > 0
+        |    THEN (2000 * e) // (abs(v) + abs(f)) ELSE 0 END) AS BIGINT)
+        |    // count(*) AS BIGINT) AS smape_permille
+        |FROM sc GROUP BY series ORDER BY series""".stripMargin,
 
     // same first-8 coarse quantizer as ann_ivf_topk; within-cell pairs at
     // rounded cosine ≥ τ drop the larger id, survivors remain

@@ -1402,6 +1402,40 @@ object Analytics {
   def eventHolt(spark: SparkSession, dir: String): DataFrame =
     holt(Tables.events(spark, dir))
 
+  /** One-step-ahead Holt forecast backtest per series — the accuracy
+    * audit a pipeline runs BEFORE trusting a smoother's alerts: at each
+    * observed bucket after the first, the forecast is the PREVIOUS
+    * observed bucket's `level + trend`, scored against the realized
+    * bucket mean. Errors stay exact integers: `mae_micro` is the
+    * truncating integer mean of |v − f|, `smape_permille` the integer
+    * mean of the per-bucket `2000·|e| div (|v| + |f|)` terms (zero
+    * denominators contribute zero) — no fp accumulation anywhere, so the
+    * scores replay bit-for-bit in the oracle.
+    *
+    * Scale shape: everything beyond [[holt]]'s own two shuffles is one
+    * lag window + one grouped aggregate over the O(series × hours)
+    * bucket table — never raw events.
+    */
+  def holtBacktest(ev0: DataFrame, bucketSec: Long = 3600L): DataFrame = {
+    val w = Window.partitionBy(col("series")).orderBy(col("h"))
+    holt(ev0, bucketSec)
+      .withColumn("f",
+        lag(col("level_micro"), 1).over(w) + lag(col("trend_micro"), 1).over(w))
+      .filter(col("f").isNotNull)
+      .withColumn("e", abs(col("v_micro") - col("f")))
+      .groupBy(col("series"))
+      .agg(count(lit(1)).as("n_eval"),
+        expr("sum(e) div count(1)").as("mae_micro"),
+        expr("sum(CASE WHEN abs(v_micro) + abs(f) > 0" +
+          " THEN (2000L * e) div (abs(v_micro) + abs(f)) ELSE 0L END)" +
+          " div count(1)").as("smape_permille"))
+      .orderBy(col("series"))
+  }
+
+  /** [[holtBacktest]] on the events table. */
+  def eventHoltBacktest(spark: SparkSession, dir: String): DataFrame =
+    holtBacktest(Tables.events(spark, dir))
+
   /** Single changepoint per series (AMOC — at-most-one-change): the
     * split position maximizing the cumulative deviation from the
     * series' own global mean, `|S_t·n − S·t|` — the point where the

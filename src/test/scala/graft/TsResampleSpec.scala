@@ -193,6 +193,18 @@ class TsResampleSpec extends AnyFunSuite {
       (3L, 6609375L, 941406L))) // 3765625 >> 2 floors the .25
   }
 
+  test("holtBacktest scores the ramp fixture's one-step errors by hand") {
+    val rows = (0 until 4).map(h => (h * 3600L, "A", 2.0 * (h + 1)))
+    val out = Analytics.holtBacktest(ev(rows)).collect()
+    // forecasts l+b: 2e6, 3.25e6, 5.21875e6 vs realized 4e6, 6e6, 8e6
+    // errors 2e6, 2.75e6, 2.78125e6 -> mae = 7531250 div 3 = 2510416
+    // smape terms 666, 594, 420 -> 1680 div 3 = 560
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 3L)
+    assert(out.head.getLong(2) === 2510416L)
+    assert(out.head.getLong(3) === 560L)
+  }
+
   test("holt shifts floor on negatives (arithmetic, not truncating)") {
     val df = ev(Seq((0L, "A", 8.0), (3600L, "A", 1.999999)))
     val out = Analytics.holt(df).collect()
