@@ -904,7 +904,7 @@ object ScaleSmoke {
     // smoothing lag (trend converges to the true slope).
     time("holt_1_series_100k_buckets") {
       val ev = spark.range(100000L).select(
-        lit("s0").as("series"), col("id").as("h"), (col("id") * 1000L).as("v"))
+        lit("s0").as("series"), col("id").as("h"), (col("id") * 1000L).as("x"))
       val out = graft.ops.Analytics.holtFromBuckets(ev)
       val last = out.orderBy(col("h").desc).limit(1).collect()(0)
       require(out.count() == 100000L, "one row per bucket")
@@ -917,7 +917,7 @@ object ScaleSmoke {
       val ev = spark.range(10000000L).select(
         concat(lit("s"), pmod(col("id"), lit(10000))).as("series"),
         (col("id") / 10000L).cast("long").as("h"),
-        (col("id") % 97L * 1000L).as("v"))
+        (col("id") % 97L * 1000L).as("x"))
       val n = graft.ops.Analytics.holtFromBuckets(ev).count()
       require(n == 10000000L, s"one row per (series, bucket), got $n")
     }

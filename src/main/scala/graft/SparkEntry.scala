@@ -1068,6 +1068,10 @@ object SparkEntry {
     // bucket, exact integer MAE / SMAPE per series
     "ts_holt_backtest" -> ((s, dir) => Analytics.eventHoltBacktest(s, dir)),
 
+    // level + trend + 24-slot hour-of-day seasonal state, all in exact
+    // dyadic fixed point — the diurnal-aware smoother
+    "ts_holt_winters" -> ((s, dir) => Analytics.eventHoltWinters(s, dir)),
+
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.byteStats(Multimodal.toAsset(
           Tables.events(s, dir), col("event_id"), col("event_type"), col("props")))
@@ -3179,6 +3183,39 @@ object SparkEntry {
         |    (((r.v + s.lvl + s.trd) >> 1) - s.lvl + 3 * s.trd) >> 2
         |  FROM r JOIN s ON r.series = s.series AND r.rn = s.rn + 1)
         |SELECT series, h, v AS v_micro, lvl AS level_micro, trd AS trend_micro
+        |FROM s ORDER BY series, h""".stripMargin,
+
+    // the three-recurrence fold replays with the 24 seasonal slots
+    // carried as a LIST column through the per-series recursion; every
+    // step is integer shifts, so level/trend/season match bit-for-bit
+    "ts_holt_winters" ->
+      """WITH RECURSIVE e AS (SELECT event_type AS series,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
+        |bk AS MATERIALIZED (SELECT series, h,
+        |    CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT) AS v
+        |  FROM e GROUP BY 1, 2),
+        |r AS MATERIALIZED (SELECT series, h, v,
+        |    row_number() OVER (PARTITION BY series ORDER BY h) AS rn FROM bk),
+        |s AS (
+        |  SELECT series, rn, h, v, v AS lvl, CAST(0 AS BIGINT) AS trd,
+        |    CAST(0 AS BIGINT) AS sea,
+        |    list_transform(range(24), i -> CAST(0 AS BIGINT)) AS seas
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.series, r.rn, r.h, r.v,
+        |    (r.v - s.seas[CAST(r.h % 24 AS INT) + 1] + s.lvl + s.trd) >> 1,
+        |    ((((r.v - s.seas[CAST(r.h % 24 AS INT) + 1] + s.lvl + s.trd) >> 1))
+        |      - s.lvl + 3 * s.trd) >> 2,
+        |    (r.v - ((r.v - s.seas[CAST(r.h % 24 AS INT) + 1] + s.lvl + s.trd) >> 1)
+        |      + 3 * s.seas[CAST(r.h % 24 AS INT) + 1]) >> 2,
+        |    list_transform(range(24), i -> CASE WHEN i = CAST(r.h % 24 AS INT)
+        |      THEN (r.v - ((r.v - s.seas[CAST(r.h % 24 AS INT) + 1] + s.lvl + s.trd) >> 1)
+        |            + 3 * s.seas[CAST(r.h % 24 AS INT) + 1]) >> 2
+        |      ELSE s.seas[i + 1] END)
+        |  FROM r JOIN s ON r.series = s.series AND r.rn = s.rn + 1)
+        |SELECT series, h, v AS v_micro, lvl AS level_micro, trd AS trend_micro,
+        |  sea AS season_micro
         |FROM s ORDER BY series, h""".stripMargin,
 
     // the ts_holt recursion + a lag window + one integer aggregate;

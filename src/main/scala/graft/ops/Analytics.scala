@@ -1436,6 +1436,79 @@ object Analytics {
   def eventHoltBacktest(spark: SparkSession, dir: String): DataFrame =
     holtBacktest(Tables.events(spark, dir))
 
+  /** Holt-Winters ADDITIVE smoothing per series (level + linear trend +
+    * hour-of-day seasonal state — the diurnal-aware completion of
+    * [[holt]]: a daily traffic wave reads as zero trend here instead of
+    * an oscillating slope). Seasonal state is one slot per `h % period`
+    * (period 24 = hour-of-day, the [[seasonalProfile]] convention), so
+    * gap buckets never shift the seasonal alignment. Dyadic gains
+    * α=1/2, β=1/4, γ=1/4 keep all three recurrences in exact integer
+    * micro-units via arithmetic shifts:
+    *   l_t = (v_t − s_slot + l' + b') >> 1
+    *   b_t = (l_t − l' + 3·b') >> 2
+    *   s_slot ← (v_t − l_t + 3·s_slot) >> 2,  l_1 = v_1, b_1 = 0, s = 0⃗
+    * (the zero seasonal init makes the first period behave like plain
+    * Holt while slots warm up — fully deterministic, no init heuristic).
+    *
+    * Scale shape: identical to [[holt]] — one O(events) bucketing
+    * shuffle, one series exchange, a LINEAR typed fold carrying
+    * 2 + `period` longs of state; per-series memory is the bucket span,
+    * series are the parallelism unit. Oracle replays the fold as a
+    * per-series recursive CTE carrying the seasonal slots as a LIST
+    * column.
+    */
+  def holtWinters(ev0: DataFrame, bucketSec: Long = 3600L,
+                  period: Int = 24): DataFrame = {
+    import graft.model.Documents
+    val hourly = ev0
+      .select(col("event_type").as("series"),
+        (Documents.tsSec(col("ts")) / bucketSec).cast("long").as("h"),
+        expr("cast(round(value * 1000000.0D) as bigint)").as("vm"))
+      .groupBy(col("series"), col("h"))
+      .agg(sum(col("vm")).as("sv"), count(lit(1)).as("cnt"))
+      .select(col("series"), col("h"), expr("sv div cnt").as("x"))
+    holtWintersFromBuckets(hourly, period)
+  }
+
+  /** [[holtWinters]]'s fold over an already-bucketed (series, h, x)
+    * table — the bucket-log family convention, same as
+    * [[holtFromBuckets]]. */
+  def holtWintersFromBuckets(buckets: DataFrame, period: Int = 24): DataFrame = {
+    require(period >= 2 && period <= 8784, s"period in [2,8784], got $period")
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    buckets.select(col("series").cast("string"), col("h").cast("long"),
+        col("x").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k: String, it: Iterator[(String, Long, Long)]) =>
+        val pts = it.toArray.sortBy(_._2)
+        val seas = new Array[Long](period)
+        var l = 0L
+        var b = 0L
+        var first = true
+        pts.iterator.map { case (_, h, v) =>
+          val slot = (h % period).toInt
+          val sp = seas(slot)
+          if (first) { l = v; b = 0L; first = false }
+          else {
+            val l2 = (v - sp + l + b) >> 1
+            b = (l2 - l + 3L * b) >> 2
+            l = l2
+          }
+          seas(slot) = (v - l + 3L * sp) >> 2
+          (k, h, v, l, b, seas(slot))
+        }
+      }
+      .toDF("series", "h", "v_micro", "level_micro", "trend_micro",
+        "season_micro")
+      .orderBy(col("series"), col("h"))
+  }
+
+  /** [[holtWinters]] on the events table. */
+  def eventHoltWinters(spark: SparkSession, dir: String): DataFrame =
+    holtWinters(Tables.events(spark, dir))
+
   /** Single changepoint per series (AMOC — at-most-one-change): the
     * split position maximizing the cumulative deviation from the
     * series' own global mean, `|S_t·n − S·t|` — the point where the

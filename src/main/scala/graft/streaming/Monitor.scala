@@ -1204,6 +1204,64 @@ object Monitor {
           holtUpdate(bucketSec)(k, it, st))
   }
 
+  /** [[HoltState]] plus the `period` seasonal slots. */
+  case class HwState(n: Long, h: Long, sv: Long, cnt: Long, l: Long, b: Long,
+                     seas: Seq[Long])
+  case class HwOut(series: String, h: Long, v_micro: Long, level_micro: Long,
+                   trend_micro: Long, season_micro: Long)
+
+  /** Streaming twin of `Analytics.holtWinters` (§2b 28bk): the
+    * diurnal-aware level+trend+seasonal smoother maintained live.
+    * Buckets close exactly as [[holtStream]]; each closed bucket
+    * advances all three dyadic recurrences and emits its row — state is
+    * `6 + period` longs per series, O(series) forever. Emissions over
+    * any time-ordered prefix equal the batch operator minus the open
+    * bucket (spec-asserted by replay).
+    */
+  def holtWintersUpdate(period: Int, bucketSec: Long)(
+      key: String, events: Iterator[GapEvent],
+      state: org.apache.spark.sql.streaming.GroupState[HwState]): Iterator[HwOut] = {
+    var st = state.getOption.orNull
+    val out = Vector.newBuilder[HwOut]
+    def close(s: HwState): HwState = {
+      val v = s.sv / s.cnt
+      val slot = (s.h % period).toInt
+      val sp = s.seas(slot)
+      val (l, b) =
+        if (s.n == 0L) (v, 0L)
+        else {
+          val l2 = (v - sp + s.l + s.b) >> 1
+          (l2, (l2 - s.l + 3L * s.b) >> 2)
+        }
+      val snew = (v - l + 3L * sp) >> 2
+      out += HwOut(key, s.h, v, l, b, snew)
+      s.copy(n = s.n + 1L, l = l, b = b, seas = s.seas.updated(slot, snew))
+    }
+    events.toSeq.sortBy(_.t).foreach { e =>
+      val hb = e.t / bucketSec
+      if (st == null)
+        st = HwState(0L, hb, e.vm, 1L, 0L, 0L, Vector.fill(period)(0L))
+      else if (hb > st.h)
+        st = close(st).copy(h = hb, sv = e.vm, cnt = 1L)
+      else st = st.copy(sv = st.sv + e.vm, cnt = st.cnt + 1L)
+    }
+    if (st != null) state.update(st)
+    out.result().iterator
+  }
+
+  /** Wire [[holtWintersUpdate]] over a (possibly streaming) event set. */
+  def holtWintersStream(events: org.apache.spark.sql.Dataset[GapEvent],
+                        period: Int = 24, bucketSec: Long = 3600L)
+                       (implicit spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.Dataset[HwOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (k: String, it: Iterator[GapEvent],
+         st: org.apache.spark.sql.streaming.GroupState[HwState]) =>
+          holtWintersUpdate(period, bucketSec)(k, it, st))
+  }
+
   case class DauVote(w_day: Long, user_id: Long)
   /** Sorted distinct user ids seen for this window-end. */
   case class DauState(users: Seq[Long])

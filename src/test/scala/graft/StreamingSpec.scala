@@ -1497,6 +1497,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === expected)
   }
 
+  test("streaming holt-winters equals the batch fold minus the open bucket") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ss = spark
+    import spark.implicits._
+    val all = Tables.events(spark, sf)
+      .select(col("event_type").as("series"), col("ts").cast("long").as("t"),
+        expr("cast(round(value * 1000000.0D) as bigint)").as("vm"))
+      .as[Monitor.GapEvent].collect().sortBy(_.t)
+    val input = MemoryStream[Monitor.GapEvent]
+    val q = Monitor.holtWintersStream(input.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("hw_stream").start()
+    try {
+      all.grouped((all.length + 2) / 3).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("hw_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSet
+    val batch = graft.ops.Analytics.eventHoltWinters(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(batch.nonEmpty)
+    val lastBucket = batch.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).max }
+    val expected = batch.filterNot(r => lastBucket(r._1) == r._2).toSet
+    assert(streamed === expected)
+  }
+
   test("streaming cusum equals the batch closed form minus the open bucket") {
     implicit val sqlCtx = spark.sqlContext
     implicit val ss = spark

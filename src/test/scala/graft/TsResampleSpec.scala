@@ -193,6 +193,24 @@ class TsResampleSpec extends AnyFunSuite {
       (3L, 6609375L, 941406L))) // 3765625 >> 2 floors the .25
   }
 
+  test("holtWinters replays the three-recurrence fixture by hand") {
+    // alternating 10/20 micro over 6 hourly buckets, period 2: the wave
+    // migrates from trend into the seasonal slots (reference fixture
+    // computed by hand; same values pin the DuckDB list-state oracle)
+    val rows = (0 until 6).map(h =>
+      (h * 3600L, "A", if (h % 2 == 0) 0.00001 else 0.00002))
+    val out = Analytics.holtWinters(ev(rows), period = 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(out.toSeq === Seq(
+      (0L, 10L, 10L, 0L, 0L),
+      (1L, 20L, 15L, 1L, 1L),
+      (2L, 10L, 13L, 0L, -1L),
+      (3L, 20L, 16L, 0L, 1L),
+      (4L, 10L, 13L, -1L, -2L),
+      (5L, 20L, 15L, -1L, 2L)))
+  }
+
   test("holtBacktest scores the ramp fixture's one-step errors by hand") {
     val rows = (0 until 4).map(h => (h * 3600L, "A", 2.0 * (h + 1)))
     val out = Analytics.holtBacktest(ev(rows)).collect()
