@@ -1072,6 +1072,10 @@ object SparkEntry {
     // dyadic fixed point — the diurnal-aware smoother
     "ts_holt_winters" -> ((s, dir) => Analytics.eventHoltWinters(s, dir)),
 
+    // robust MAD scoring over the smoother's fitted residuals — the
+    // daily wave is modeled, not flagged
+    "ts_anomaly_deseasonal" -> ((s, dir) => Analytics.anomalyDeseasonal(s, dir)),
+
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.byteStats(Multimodal.toAsset(
           Tables.events(s, dir), col("event_id"), col("event_type"), col("props")))
@@ -3217,6 +3221,48 @@ object SparkEntry {
         |SELECT series, h, v AS v_micro, lvl AS level_micro, trd AS trend_micro,
         |  sea AS season_micro
         |FROM s ORDER BY series, h""".stripMargin,
+
+    // the holt-winters recursion + the proven MAD epilogue over the
+    // integer residuals; quantile_cont == Spark percentile
+    "ts_anomaly_deseasonal" ->
+      """WITH RECURSIVE e AS (SELECT event_type AS series,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
+        |bk AS MATERIALIZED (SELECT series, h,
+        |    CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT) AS v
+        |  FROM e GROUP BY 1, 2),
+        |r AS MATERIALIZED (SELECT series, h, v,
+        |    row_number() OVER (PARTITION BY series ORDER BY h) AS rn FROM bk),
+        |s AS (
+        |  SELECT series, rn, h, v, v AS lvl, CAST(0 AS BIGINT) AS trd,
+        |    CAST(0 AS BIGINT) AS sea,
+        |    list_transform(range(24), i -> CAST(0 AS BIGINT)) AS seas
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.series, r.rn, r.h, r.v,
+        |    (r.v - s.seas[CAST(r.h % 24 AS INT) + 1] + s.lvl + s.trd) >> 1,
+        |    ((((r.v - s.seas[CAST(r.h % 24 AS INT) + 1] + s.lvl + s.trd) >> 1))
+        |      - s.lvl + 3 * s.trd) >> 2,
+        |    (r.v - ((r.v - s.seas[CAST(r.h % 24 AS INT) + 1] + s.lvl + s.trd) >> 1)
+        |      + 3 * s.seas[CAST(r.h % 24 AS INT) + 1]) >> 2,
+        |    list_transform(range(24), i -> CASE WHEN i = CAST(r.h % 24 AS INT)
+        |      THEN (r.v - ((r.v - s.seas[CAST(r.h % 24 AS INT) + 1] + s.lvl + s.trd) >> 1)
+        |            + 3 * s.seas[CAST(r.h % 24 AS INT) + 1]) >> 2
+        |      ELSE s.seas[i + 1] END)
+        |  FROM r JOIN s ON r.series = s.series AND r.rn = s.rn + 1),
+        |resid AS MATERIALIZED (
+        |  SELECT series, h, v - lvl - sea AS rr FROM s),
+        |med AS MATERIALIZED (SELECT series, quantile_cont(rr, 0.5) AS med
+        |                     FROM resid GROUP BY 1),
+        |wm AS MATERIALIZED (SELECT resid.*, med.med
+        |                    FROM resid JOIN med USING (series)),
+        |mad AS MATERIALIZED (SELECT series, quantile_cont(abs(rr - med), 0.5) AS mad
+        |                     FROM wm GROUP BY 1)
+        |SELECT series, h, rr AS resid_micro,
+        |  round(abs(rr - med) / mad, 4) AS mad_score
+        |FROM wm JOIN mad USING (series)
+        |WHERE mad > 0 AND abs(rr - med) > mad * 4.0
+        |ORDER BY series, h""".stripMargin,
 
     // the ts_holt recursion + a lag window + one integer aggregate;
     // // floors like Spark's div on the non-negative error terms

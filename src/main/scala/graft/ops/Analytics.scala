@@ -1509,6 +1509,40 @@ object Analytics {
   def eventHoltWinters(spark: SparkSession, dir: String): DataFrame =
     holtWinters(Tables.events(spark, dir))
 
+  /** Deseasonalized anomaly detection: [[anomalyMad]]'s robust scorer
+    * over [[holtWinters]] FITTED residuals `v − level − season` instead
+    * of raw values — the composition that stops the daily wave from
+    * being the anomaly: on a diurnal metric, raw-value MAD flags every
+    * peak hour; the residual scorer flags only departures from the
+    * series' own learned level+season. Residuals are exact integer
+    * micro (three longs subtracted); the med/MAD pair comes from the
+    * same exact interpolated percentiles as [[madStats]], and the one
+    * fp division per flagged row is the identical IEEE expression in
+    * the oracle.
+    *
+    * Scale shape: [[holtWinters]]'s two shuffles, then two grouped
+    * percentile passes over the O(series × hours) bucket table and a
+    * broadcast join-back — one stats row per series, never a
+    * self-join.
+    */
+  def anomalyDeseasonal(spark: SparkSession, dir: String,
+                        cut: Double = 4.0): DataFrame =
+    anomalyDeseasonalFrom(Tables.events(spark, dir), cut)
+
+  /** [[anomalyDeseasonal]] over any (event_type, ts, value) frame. */
+  def anomalyDeseasonalFrom(ev0: DataFrame, cut: Double = 4.0): DataFrame = {
+    val resid = holtWinters(ev0)
+      .select(col("series"), col("h"),
+        (col("v_micro") - col("level_micro") - col("season_micro")).as("r"))
+    val stats = madStats(resid, col("series"), col("r"))
+      .withColumnRenamed("k", "series")
+    resid.join(broadcast(stats), "series")
+      .filter(col("mad") > 0 && abs(col("r") - col("med")) > col("mad") * lit(cut))
+      .select(col("series"), col("h"), col("r").as("resid_micro"),
+        round(abs(col("r") - col("med")) / col("mad"), 4).as("mad_score"))
+      .orderBy(col("series"), col("h"))
+  }
+
   /** Single changepoint per series (AMOC — at-most-one-change): the
     * split position maximizing the cumulative deviation from the
     * series' own global mean, `|S_t·n − S·t|` — the point where the

@@ -211,6 +211,28 @@ class TsResampleSpec extends AnyFunSuite {
       (5L, 20L, 15L, -1L, 2L)))
   }
 
+  test("deseasonal anomaly flags the planted spike, not the daily wave") {
+    // 6 days of a clean square diurnal wave (20 by day, 10 by night) with
+    // one +500 spike: raw-value MAD would flag every day bucket (the wave
+    // IS the spread); the residual scorer must flag the spike alone once
+    // the seasonal slots have warmed up
+    val rows = (0 until 144).map { h =>
+      val base = if (h % 24 < 12) 20.0 else 10.0
+      (h * 3600L, "A", if (h == 100) base + 500.0 else base)
+    }
+    val flagged = Analytics.anomalyDeseasonalFrom(ev(rows)).collect()
+      .map(_.getLong(1))
+    assert(flagged.contains(100L), s"spike must be flagged, got ${flagged.toSeq}")
+    // what MAY flag besides the spike: the two slot-transition buckets of
+    // each day (h%24 ∈ {0,12} — the smoother's known lag at a square
+    // edge) and the spike's recovery tail while the poisoned level/trend
+    // decay. The wave BODY (steady day/night hours before the spike)
+    // must never flag — that's the point of deseasonalizing.
+    assert(flagged.forall(h =>
+      h % 24 == 0L || h % 24 == 12L || (h >= 100L && h <= 135L)),
+      s"wave body flagged: ${flagged.toSeq}")
+  }
+
   test("holtBacktest scores the ramp fixture's one-step errors by hand") {
     val rows = (0 until 4).map(h => (h * 3600L, "A", 2.0 * (h + 1)))
     val out = Analytics.holtBacktest(ev(rows)).collect()
