@@ -1076,6 +1076,10 @@ object SparkEntry {
     // daily wave is modeled, not flagged
     "ts_anomaly_deseasonal" -> ((s, dir) => Analytics.anomalyDeseasonal(s, dir)),
 
+    // top-20 first-5-event user journeys — the "common paths" census;
+    // window prunes to k rows per user before anything folds
+    "events_top_paths" -> ((s, dir) => Analytics.topPaths(s, dir)),
+
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.byteStats(Multimodal.toAsset(
           Tables.events(s, dir), col("event_id"), col("event_type"), col("props")))
@@ -3221,6 +3225,18 @@ object SparkEntry {
         |SELECT series, h, v AS v_micro, lvl AS level_micro, trd AS trend_micro,
         |  sea AS season_micro
         |FROM s ORDER BY series, h""".stripMargin,
+
+    // ordered string_agg replays the rank-pruned path fold; ties beyond
+    // the LIMIT can't exist because (n_users desc, path) is total
+    "events_top_paths" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY t, event_id) AS rn FROM e),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 5 GROUP BY user_id)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY 1
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
 
     // the holt-winters recursion + the proven MAD epilogue over the
     // integer residuals; quantile_cont == Spark percentile

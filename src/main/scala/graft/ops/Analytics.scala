@@ -945,6 +945,48 @@ object Analytics {
       .orderBy(col("event_type"), col("event_id"))
   }
 
+  /** Top user journeys: each user's first `k` event types (by time, id
+    * tiebreak) joined into a path string, counted across users and
+    * ranked — the product-analytics "common paths" census that sits
+    * beside [[funnelUsers]] (the funnel asks "who followed MY order?";
+    * this asks "what orders actually happen?").
+    *
+    * Scale shape: the row_number window prunes each user to k rows
+    * BEFORE the path fold, so the collect carries exactly ≤k tiny rows
+    * per user — never a whole session history — and the fold groupBy
+    * reuses the window's user-key exchange (one shuffle of (user, type,
+    * rank) triples total). The census groupBy lands at O(distinct
+    * paths) ≤ |event types|^k rows with map-side combine; top-N is a
+    * TakeOrdered, never a full sort.
+    */
+  def topPaths(spark: SparkSession, dir: String, k: Int = 5,
+               topN: Int = 20): DataFrame = {
+    import graft.model.Documents
+    topPathsFrom(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"),
+          Documents.tsSec(col("ts")).as("t"), col("event_id")),
+      k, topN)
+  }
+
+  /** [[topPaths]] over any (user_id, event_type, t, event_id) frame. */
+  def topPathsFrom(ev: DataFrame, k: Int = 5, topN: Int = 20): DataFrame = {
+    require(k >= 1 && k <= 50, s"k in [1,50], got $k")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    ev
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("rn"), col("event_type"))))
+        .as("evs"))
+      .select(expr("array_join(transform(evs, e -> e.event_type), '>')")
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(topN)
+  }
+
   /** Time-weighted average per series (TWAP — the correct mean of a
     * SAMPLED signal, where the plain row mean over-weights bursts): each
     * observation holds its value until the next one, so it contributes

@@ -211,6 +211,22 @@ class TsResampleSpec extends AnyFunSuite {
       (5L, 20L, 15L, -1L, 2L)))
   }
 
+  test("topPaths counts rank-pruned first-k journeys with a total order") {
+    import spark.implicits._
+    val ev2 = Seq(
+      (1L, "a", 0L, 10L), (1L, "b", 1L, 11L), (1L, "c", 2L, 12L),
+      (2L, "a", 0L, 20L), (2L, "b", 1L, 21L),
+      (4L, "a", 0L, 40L), (4L, "b", 1L, 41L),
+      // 6 events: only the first 5 enter the path
+      (3L, "a", 5L, 30L), (3L, "b", 6L, 31L), (3L, "c", 7L, 32L),
+      (3L, "d", 8L, 33L), (3L, "e", 9L, 34L), (3L, "f", 10L, 35L))
+      .toDF("user_id", "event_type", "t", "event_id")
+    val out = Analytics.topPathsFrom(ev2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(
+      ("a>b", 2L), ("a>b>c", 1L), ("a>b>c>d>e", 1L)))
+  }
+
   test("deseasonal anomaly flags the planted spike, not the daily wave") {
     // 6 days of a clean square diurnal wave (20 by day, 10 by night) with
     // one +500 spike: raw-value MAD would flag every day bucket (the wave
