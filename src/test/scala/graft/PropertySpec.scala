@@ -444,4 +444,71 @@ class PropertySpec extends AnyFunSuite {
       assert(flat === toks.mkString(" "))
     }
   }
+
+  test("property: holt-winters equals the driver recurrence on gappy series") {
+    // random values AND random missing buckets: gaps must not shift the
+    // hour-of-day seasonal slot alignment (slot = h % period, not rank)
+    val gen = Gen.listOfN(40, Gen.zip(Gen.choose(-100.0, 100.0),
+      Gen.prob(0.7)))
+    forAll(gen, n = 8) { marks =>
+      val kept = marks.zipWithIndex.collect { case ((v, true), h) => (h, v) }
+      if (kept.size >= 2) {
+        val rows = kept.map { case (h, v) => (h * 3600L, "A", v) }
+          .toDF("t", "event_type", "value")
+          .select(col("t").cast("timestamp").as("ts"), col("event_type"),
+            col("value"))
+        val got = graft.ops.Analytics.holtWinters(rows, period = 24).collect()
+          .map(r => (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+        val seas = Array.fill(24)(0L)
+        var l = 0L; var b = 0L; var first = true
+        val expected = kept.map { case (h, v) =>
+          val vm = math.round(v * 1e6)
+          val slot = h % 24
+          val sp = seas(slot)
+          if (first) { l = vm; b = 0L; first = false }
+          else { val l2 = (vm - sp + l + b) >> 1; b = (l2 - l + 3L * b) >> 2; l = l2 }
+          seas(slot) = (vm - l + 3L * sp) >> 2
+          (h.toLong, l, b, seas(slot))
+        }
+        assert(got.toSeq === expected)
+      }
+    }
+  }
+
+  test("property: skipgram pair matrix is symmetric and volume-exact") {
+    val docsGen = Gen.listOfN(6,
+      Gen.listOfN(12, Gen.choose(0, 6).map(t => s"w$t")))
+    forAll(docsGen, n = 8) { docs =>
+      val df = docs.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" ")) }.toDF("doc_id", "text")
+      val out = graft.ops.TextAnalysis.skipgramPairs(df, col("text")).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      // both orientations of every co-occurrence are counted
+      out.foreach { case ((a, c), n0) =>
+        assert(out((c, a)) === n0, s"asymmetric pair ($a,$c)") }
+      // total pair volume: 2 * (2L - 3) forward pairs per doc of length L
+      val want = docs.map(_.length).filter(_ >= 2)
+        .map(len => 2L * ((len - 1).toLong + math.max(0, len - 2).toLong)).sum
+      assert(out.values.sum === want)
+    }
+  }
+
+  test("property: negative-sampling weights match c^(3/4) and the CDF is sound") {
+    val docGen = Gen.listOfN(60, Gen.choose(0, 9).map(t => s"w$t"))
+    forAll(docGen, n = 8) { toks =>
+      val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val out = graft.ops.TextAnalysis.negSamplingTable(df, col("text")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val counts = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var cum = 0L
+      out.foreach { case (tok, cnt, w, c) =>
+        assert(cnt === counts(tok))
+        val cd = cnt.toDouble
+        assert(w === math.round(1e6 * math.sqrt(math.sqrt(cd * cd * cd))))
+        cum += w
+        assert(c === cum, s"prefix broken at $tok")
+      }
+      assert(out.map(_._1).toSeq === out.map(_._1).toSeq.sorted)
+    }
+  }
 }
