@@ -1080,6 +1080,10 @@ object SparkEntry {
     // window prunes to k rows per user before anything folds
     "events_top_paths" -> ((s, dir) => Analytics.topPaths(s, dir)),
 
+    // next-24h per-series forecast table from the fitted Holt-Winters
+    // state — level + k·trend + the slot's latest seasonal estimate
+    "ts_forecast_24h" -> ((s, dir) => Analytics.holtWintersForecast(s, dir)),
+
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.byteStats(Multimodal.toAsset(
           Tables.events(s, dir), col("event_id"), col("event_type"), col("props")))
@@ -3225,6 +3229,46 @@ object SparkEntry {
         |SELECT series, h, v AS v_micro, lvl AS level_micro, trd AS trend_micro,
         |  sea AS season_micro
         |FROM s ORDER BY series, h""".stripMargin,
+
+    // the holt-winters recursion, then arg_max epilogues: final (l, b)
+    // per series, latest seasonal per (series, slot), 24 future buckets
+    "ts_forecast_24h" ->
+      """WITH RECURSIVE e AS (SELECT event_type AS series,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
+        |bk AS MATERIALIZED (SELECT series, h,
+        |    CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT) AS v
+        |  FROM e GROUP BY 1, 2),
+        |r AS MATERIALIZED (SELECT series, h, v,
+        |    row_number() OVER (PARTITION BY series ORDER BY h) AS rn FROM bk),
+        |s AS (
+        |  SELECT series, rn, h, v, v AS lvl, CAST(0 AS BIGINT) AS trd,
+        |    CAST(0 AS BIGINT) AS sea,
+        |    list_transform(range(24), i -> CAST(0 AS BIGINT)) AS seas
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.series, r.rn, r.h, r.v,
+        |    (r.v - s.seas[CAST(r.h % 24 AS INT) + 1] + s.lvl + s.trd) >> 1,
+        |    ((((r.v - s.seas[CAST(r.h % 24 AS INT) + 1] + s.lvl + s.trd) >> 1))
+        |      - s.lvl + 3 * s.trd) >> 2,
+        |    (r.v - ((r.v - s.seas[CAST(r.h % 24 AS INT) + 1] + s.lvl + s.trd) >> 1)
+        |      + 3 * s.seas[CAST(r.h % 24 AS INT) + 1]) >> 2,
+        |    list_transform(range(24), i -> CASE WHEN i = CAST(r.h % 24 AS INT)
+        |      THEN (r.v - ((r.v - s.seas[CAST(r.h % 24 AS INT) + 1] + s.lvl + s.trd) >> 1)
+        |            + 3 * s.seas[CAST(r.h % 24 AS INT) + 1]) >> 2
+        |      ELSE s.seas[i + 1] END)
+        |  FROM r JOIN s ON r.series = s.series AND r.rn = s.rn + 1),
+        |lastst AS (SELECT series, arg_max(h, h) AS h0, arg_max(lvl, h) AS l,
+        |             arg_max(trd, h) AS b FROM s GROUP BY 1),
+        |slotlast AS (SELECT series, CAST(h % 24 AS INT) AS slot,
+        |               arg_max(sea, h) AS sv FROM s GROUP BY 1, 2),
+        |f AS (SELECT l.series, l.h0 + k AS h, k,
+        |        l.l + k * l.b + COALESCE(sl.sv, 0) AS forecast_micro
+        |      FROM lastst l CROSS JOIN range(1, 25) r(k)
+        |      LEFT JOIN slotlast sl ON sl.series = l.series
+        |        AND sl.slot = CAST((l.h0 + k) % 24 AS INT))
+        |SELECT series, h, CAST(k AS BIGINT) AS k, forecast_micro
+        |FROM f ORDER BY series, h""".stripMargin,
 
     // ordered string_agg replays the rank-pruned path fold; ties beyond
     // the LIMIT can't exist because (n_users desc, path) is total

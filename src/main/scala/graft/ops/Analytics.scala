@@ -1571,6 +1571,47 @@ object Analytics {
                         cut: Double = 4.0): DataFrame =
     anomalyDeseasonalFrom(Tables.events(spark, dir), cut)
 
+  /** The forecast table [[holtWinters]] exists to produce: per series,
+    * the next `horizon` bucket predictions `level + k·trend +
+    * season[slot]` from the series' final fitted state — the capacity/
+    * alerting baseline for the next day. The final (level, trend) pair
+    * is one max-struct per series; each slot's latest seasonal estimate
+    * is one max-struct per (series, slot) — both map-side-combinable
+    * aggregates over the smoother's output, no window re-sort. Slots
+    * never observed (a series younger than one period) forecast with
+    * seasonal 0, the same neutral the smoother itself warmed up from.
+    * All arithmetic stays exact integer micro.
+    */
+  def holtWintersForecast(spark: SparkSession, dir: String,
+                          horizon: Int = 24, period: Int = 24): DataFrame =
+    holtWintersForecastFrom(eventHoltWinters(spark, dir), horizon, period)
+
+  /** [[holtWintersForecast]] over an already-fitted [[holtWinters]]
+    * output frame. */
+  def holtWintersForecastFrom(hw: DataFrame, horizon: Int = 24,
+                              period: Int = 24): DataFrame = {
+    require(horizon >= 1 && horizon <= 8784, s"horizon in [1,8784]")
+    val lastState = hw.groupBy(col("series"))
+      .agg(max(struct(col("h"), col("level_micro"), col("trend_micro")))
+        .as("st"))
+      .select(col("series"), col("st.h").as("h0"),
+        col("st.level_micro").as("l"), col("st.trend_micro").as("b"))
+    val lastSeason = hw
+      .groupBy(col("series"), (col("h") % period).as("slot"))
+      .agg(max(struct(col("h"), col("season_micro"))).getField("season_micro")
+        .as("s"))
+    lastState
+      .select(col("series"), col("h0"), col("l"), col("b"),
+        explode(expr(s"sequence(1L, ${horizon}L)")).as("k"))
+      .withColumn("h", col("h0") + col("k"))
+      .withColumn("slot", col("h") % period)
+      .join(lastSeason, Seq("series", "slot"), "left")
+      .select(col("series"), col("h"), col("k"),
+        (col("l") + col("k") * col("b") + coalesce(col("s"), lit(0L)))
+          .as("forecast_micro"))
+      .orderBy(col("series"), col("h"))
+  }
+
   /** [[anomalyDeseasonal]] over any (event_type, ts, value) frame. */
   def anomalyDeseasonalFrom(ev0: DataFrame, cut: Double = 4.0): DataFrame = {
     val resid = holtWinters(ev0)

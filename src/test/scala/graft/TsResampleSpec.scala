@@ -211,6 +211,20 @@ class TsResampleSpec extends AnyFunSuite {
       (5L, 20L, 15L, -1L, 2L)))
   }
 
+  test("holtWintersForecast projects the fixture's final state by hand") {
+    // same alternating fixture as the smoother test: final l=15, b=-1,
+    // season slot0=-2 (set at h=4), slot1=2 (set at h=5)
+    val rows = (0 until 6).map(h =>
+      (h * 3600L, "A", if (h % 2 == 0) 0.00001 else 0.00002))
+    val hw = Analytics.holtWinters(ev(rows), period = 2)
+    val out = Analytics.holtWintersForecastFrom(hw, horizon = 4, period = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    // f_k = l + k*b + season[(5+k) % 2]
+    assert(out.toSeq === Seq(
+      (6L, 15L - 1L - 2L), (7L, 15L - 2L + 2L),
+      (8L, 15L - 3L - 2L), (9L, 15L - 4L + 2L)))
+  }
+
   test("topPaths counts rank-pruned first-k journeys with a total order") {
     import spark.implicits._
     val ev2 = Seq(
