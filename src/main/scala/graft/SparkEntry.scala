@@ -1255,6 +1255,88 @@ object SparkEntry {
     perceptronOracle(rows.mkString("", "\nUNION ALL ", "\nORDER BY round, dim"), iters)
   }
 
+  /** Shared oracle prelude: the per-series Holt recursion over hourly
+    * mean-micro buckets, ending at the `s` CTE — `ts_holt` and
+    * `ts_holt_backtest` append their epilogues to the SAME text, so the
+    * recursion can't drift between them. */
+  private val HoltRecursionSql: String =
+    """WITH RECURSIVE e AS (SELECT event_type AS series,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+      |    CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
+      |bk AS MATERIALIZED (SELECT series, h,
+      |    CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT) AS v
+      |  FROM e GROUP BY 1, 2),
+      |r AS MATERIALIZED (SELECT series, h, v,
+      |    row_number() OVER (PARTITION BY series ORDER BY h) AS rn FROM bk),
+      |s AS (
+      |  SELECT series, rn, h, v, v AS lvl, CAST(0 AS BIGINT) AS trd
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.series, r.rn, r.h, r.v,
+      |    (r.v + s.lvl + s.trd) >> 1,
+      |    (((r.v + s.lvl + s.trd) >> 1) - s.lvl + 3 * s.trd) >> 2
+      |  FROM r JOIN s ON r.series = s.series AND r.rn = s.rn + 1)""".stripMargin
+
+  /** Shared oracle prelude: the Holt-Winters recursion carrying the 24
+    * seasonal slots as a LIST column — `ts_holt_winters`,
+    * `ts_anomaly_deseasonal` and `ts_forecast_24h` all append to it. */
+  private val HwRecursionSql: String =
+    """WITH RECURSIVE e AS (SELECT event_type AS series,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+      |    CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
+      |bk AS MATERIALIZED (SELECT series, h,
+      |    CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT) AS v
+      |  FROM e GROUP BY 1, 2),
+      |r AS MATERIALIZED (SELECT series, h, v,
+      |    row_number() OVER (PARTITION BY series ORDER BY h) AS rn FROM bk),
+      |s AS (
+      |  SELECT series, rn, h, v, v AS lvl, CAST(0 AS BIGINT) AS trd,
+      |    CAST(0 AS BIGINT) AS sea,
+      |    list_transform(range(24), i -> CAST(0 AS BIGINT)) AS seas
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.series, r.rn, r.h, r.v,
+      |    (r.v - s.seas[CAST(r.h % 24 AS INT) + 1] + s.lvl + s.trd) >> 1,
+      |    ((((r.v - s.seas[CAST(r.h % 24 AS INT) + 1] + s.lvl + s.trd) >> 1))
+      |      - s.lvl + 3 * s.trd) >> 2,
+      |    (r.v - ((r.v - s.seas[CAST(r.h % 24 AS INT) + 1] + s.lvl + s.trd) >> 1)
+      |      + 3 * s.seas[CAST(r.h % 24 AS INT) + 1]) >> 2,
+      |    list_transform(range(24), i -> CASE WHEN i = CAST(r.h % 24 AS INT)
+      |      THEN (r.v - ((r.v - s.seas[CAST(r.h % 24 AS INT) + 1] + s.lvl + s.trd) >> 1)
+      |            + 3 * s.seas[CAST(r.h % 24 AS INT) + 1]) >> 2
+      |      ELSE s.seas[i + 1] END)
+      |  FROM r JOIN s ON r.series = s.series AND r.rn = s.rn + 1)""".stripMargin
+
+  /** Shared oracle prelude: the shipped-tokenizer replace-chain over the
+    * distinct-word vocab, ending at the per-word symbol-count CTE `c` —
+    * `text_bpe_encode` and `corpus_pack_bpe` append to it. */
+  private val BpeEncodeSql: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS word
+      |           FROM documents),
+      |v AS (SELECT DISTINCT word FROM w),
+      |enc AS (SELECT word,
+      |  replace(replace(replace(replace(replace(replace(replace(replace(
+      |    ',' || array_to_string(string_split(word, ''), ',,') || ',',
+      |    ',e,,r,', ',er,'), ',i,,n,', ',in,'), ',o,,w,', ',ow,'),
+      |    ',o,,r,', ',or,'), ',s,,t,', ',st,'), ',m,,er,', ',mer,'),
+      |    ',a,,t,', ',at,'), ',l,,u,', ',lu,') AS s
+      |  FROM v),
+      |c AS (SELECT word,
+      |        (length(s) - length(replace(s, ',,', ''))) // 2 + 1 AS n_syms
+      |      FROM enc)""".stripMargin
+
+  /** Shared oracle prelude: the unigram^(3/4) weight table `t` —
+    * `text_neg_sampling` and `text_neg_sample_draw` append to it. */
+  private val NegSamplingSql: String =
+    """WITH w AS (SELECT unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS token
+      |           FROM documents),
+      |c AS (SELECT token, count(*) AS cnt FROM w GROUP BY 1),
+      |t AS (SELECT token, cnt,
+      |        CAST(round(1000000.0 * sqrt(sqrt(
+      |          CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)
+      |        ))) AS BIGINT) AS weight_micro
+      |      FROM c)""".stripMargin
+
   /** DuckDB-runnable oracle SQL — column names and ordering match the Spark
     * side exactly (SURVEY.md §6).
     */
@@ -3077,77 +3159,39 @@ object SparkEntry {
     // symbol ('er' never matches the tail of 'mer'); symbol count falls
     // out of the surviving ',,' separator count
     "text_bpe_encode" ->
-      """WITH w AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS word
-        |           FROM documents),
-        |v AS (SELECT DISTINCT word FROM w),
-        |enc AS (SELECT word,
-        |  replace(replace(replace(replace(replace(replace(replace(replace(
-        |    ',' || array_to_string(string_split(word, ''), ',,') || ',',
-        |    ',e,,r,', ',er,'), ',i,,n,', ',in,'), ',o,,w,', ',ow,'),
-        |    ',o,,r,', ',or,'), ',s,,t,', ',st,'), ',m,,er,', ',mer,'),
-        |    ',a,,t,', ',at,'), ',l,,u,', ',lu,') AS s
-        |  FROM v),
-        |c AS (SELECT word,
-        |        (length(s) - length(replace(s, ',,', ''))) // 2 + 1 AS n_syms
-        |      FROM enc)
-        |SELECT w.doc_id, CAST(sum(c.n_syms) AS BIGINT) AS n_bpe_tokens,
+      (BpeEncodeSql + "\n" +
+      """SELECT w.doc_id, CAST(sum(c.n_syms) AS BIGINT) AS n_bpe_tokens,
         |  CAST(count(*) AS BIGINT) AS n_words
-        |FROM w JOIN c USING (word) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+        |FROM w JOIN c USING (word) GROUP BY 1 ORDER BY doc_id""".stripMargin),
 
     // sqrt(sqrt(c^3)) with the same left-associated double product: two
     // correctly-rounded IEEE sqrts, no libm pow; window sum cast back
     // from DuckDB's HUGEINT
     "text_neg_sampling" ->
-      """WITH w AS (SELECT unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS token
-        |           FROM documents),
-        |c AS (SELECT token, count(*) AS cnt FROM w GROUP BY 1),
-        |t AS (SELECT token, cnt,
-        |        CAST(round(1000000.0 * sqrt(sqrt(
-        |          CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)
-        |        ))) AS BIGINT) AS weight_micro
-        |      FROM c)
-        |SELECT token, cnt, weight_micro,
+      (NegSamplingSql + "\n" +
+      """SELECT token, cnt, weight_micro,
         |  CAST(sum(weight_micro) OVER (ORDER BY token
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_weight_micro
-        |FROM t ORDER BY token""".stripMargin,
+        |FROM t ORDER BY token""".stripMargin),
 
     // the E-S draw over weight_micro — same md5-slice uniform and pow
     // contract as corpus_weighted_sample
     "text_neg_sample_draw" ->
-      """WITH w AS (SELECT unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS token
-        |           FROM documents),
-        |c AS (SELECT token, count(*) AS cnt FROM w GROUP BY 1),
-        |t AS (SELECT token, cnt,
-        |        CAST(round(1000000.0 * sqrt(sqrt(
-        |          CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)
-        |        ))) AS BIGINT) AS weight_micro
-        |      FROM c)
-        |SELECT token, cnt, weight_micro FROM (
+      (NegSamplingSql + "\n" +
+      """SELECT token, cnt, weight_micro FROM (
         |  SELECT token, cnt, weight_micro,
         |    pow((('0x' || substr(md5(token), 1, 13))::BIGINT + 0.5)
         |        / 4503599627370496.0, 1.0 / CAST(weight_micro AS DOUBLE)) AS score
         |  FROM t WHERE weight_micro > 0
         |  ORDER BY score DESC, token LIMIT 50)
-        |ORDER BY token""".stripMargin,
+        |ORDER BY token""".stripMargin),
 
     // the bpe-encode replace-chain feeds the pack cumsum: per-doc real
     // tokenizer counts, then the same global (u, doc_id) prefix sum the
     // chars/4 pack oracle uses
     "corpus_pack_bpe" ->
-      """WITH w AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS word
-        |           FROM documents),
-        |v AS (SELECT DISTINCT word FROM w),
-        |enc AS (SELECT word,
-        |  replace(replace(replace(replace(replace(replace(replace(replace(
-        |    ',' || array_to_string(string_split(word, ''), ',,') || ',',
-        |    ',e,,r,', ',er,'), ',i,,n,', ',in,'), ',o,,w,', ',ow,'),
-        |    ',o,,r,', ',or,'), ',s,,t,', ',st,'), ',m,,er,', ',mer,'),
-        |    ',a,,t,', ',at,'), ',l,,u,', ',lu,') AS s
-        |  FROM v),
-        |c AS (SELECT word,
-        |        (length(s) - length(replace(s, ',,', ''))) // 2 + 1 AS n_syms
-        |      FROM enc),
-        |bt AS (SELECT w.doc_id, CAST(sum(c.n_syms) AS BIGINT) AS tok
+      (BpeEncodeSql + ",\n" +
+      """bt AS (SELECT w.doc_id, CAST(sum(c.n_syms) AS BIGINT) AS tok
         |       FROM w JOIN c USING (word) GROUP BY 1),
         |t AS (SELECT doc_id, tok,
         |        (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 0.5)
@@ -3158,7 +3202,7 @@ object SparkEntry {
         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS start
         |       FROM t)
         |SELECT doc_id, CAST(start // 2048 AS BIGINT) AS seq_id, tok AS seq_tokens
-        |FROM cc ORDER BY doc_id""".stripMargin,
+        |FROM cc ORDER BY doc_id""".stripMargin),
 
     // positional unnest + bounded-offset self-join (oracle-side only; the
     // engine never materializes positions), both orientations unioned
@@ -3177,88 +3221,24 @@ object SparkEntry {
     // the recurrence replays as a per-series recursive CTE on the bucket
     // row number; >> is the same floor-on-negatives arithmetic shift as
     // Spark's shiftright, so level/trend match bit-for-bit
-    "ts_holt" ->
-      """WITH RECURSIVE e AS (SELECT event_type AS series,
-        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
-        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
-        |bk AS MATERIALIZED (SELECT series, h,
-        |    CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT) AS v
-        |  FROM e GROUP BY 1, 2),
-        |r AS MATERIALIZED (SELECT series, h, v,
-        |    row_number() OVER (PARTITION BY series ORDER BY h) AS rn FROM bk),
-        |s AS (
-        |  SELECT series, rn, h, v, v AS lvl, CAST(0 AS BIGINT) AS trd
-        |  FROM r WHERE rn = 1
-        |  UNION ALL
-        |  SELECT r.series, r.rn, r.h, r.v,
-        |    (r.v + s.lvl + s.trd) >> 1,
-        |    (((r.v + s.lvl + s.trd) >> 1) - s.lvl + 3 * s.trd) >> 2
-        |  FROM r JOIN s ON r.series = s.series AND r.rn = s.rn + 1)
-        |SELECT series, h, v AS v_micro, lvl AS level_micro, trd AS trend_micro
-        |FROM s ORDER BY series, h""".stripMargin,
+    "ts_holt" -> (HoltRecursionSql + "\n" +
+      """SELECT series, h, v AS v_micro, lvl AS level_micro, trd AS trend_micro
+        |FROM s ORDER BY series, h""".stripMargin),
 
     // the three-recurrence fold replays with the 24 seasonal slots
     // carried as a LIST column through the per-series recursion; every
     // step is integer shifts, so level/trend/season match bit-for-bit
     "ts_holt_winters" ->
-      """WITH RECURSIVE e AS (SELECT event_type AS series,
-        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
-        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
-        |bk AS MATERIALIZED (SELECT series, h,
-        |    CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT) AS v
-        |  FROM e GROUP BY 1, 2),
-        |r AS MATERIALIZED (SELECT series, h, v,
-        |    row_number() OVER (PARTITION BY series ORDER BY h) AS rn FROM bk),
-        |s AS (
-        |  SELECT series, rn, h, v, v AS lvl, CAST(0 AS BIGINT) AS trd,
-        |    CAST(0 AS BIGINT) AS sea,
-        |    list_transform(range(24), i -> CAST(0 AS BIGINT)) AS seas
-        |  FROM r WHERE rn = 1
-        |  UNION ALL
-        |  SELECT r.series, r.rn, r.h, r.v,
-        |    (r.v - s.seas[CAST(r.h % 24 AS INT) + 1] + s.lvl + s.trd) >> 1,
-        |    ((((r.v - s.seas[CAST(r.h % 24 AS INT) + 1] + s.lvl + s.trd) >> 1))
-        |      - s.lvl + 3 * s.trd) >> 2,
-        |    (r.v - ((r.v - s.seas[CAST(r.h % 24 AS INT) + 1] + s.lvl + s.trd) >> 1)
-        |      + 3 * s.seas[CAST(r.h % 24 AS INT) + 1]) >> 2,
-        |    list_transform(range(24), i -> CASE WHEN i = CAST(r.h % 24 AS INT)
-        |      THEN (r.v - ((r.v - s.seas[CAST(r.h % 24 AS INT) + 1] + s.lvl + s.trd) >> 1)
-        |            + 3 * s.seas[CAST(r.h % 24 AS INT) + 1]) >> 2
-        |      ELSE s.seas[i + 1] END)
-        |  FROM r JOIN s ON r.series = s.series AND r.rn = s.rn + 1)
-        |SELECT series, h, v AS v_micro, lvl AS level_micro, trd AS trend_micro,
+      (HwRecursionSql + "\n" +
+      """SELECT series, h, v AS v_micro, lvl AS level_micro, trd AS trend_micro,
         |  sea AS season_micro
-        |FROM s ORDER BY series, h""".stripMargin,
+        |FROM s ORDER BY series, h""".stripMargin),
 
     // the holt-winters recursion, then arg_max epilogues: final (l, b)
     // per series, latest seasonal per (series, slot), 24 future buckets
     "ts_forecast_24h" ->
-      """WITH RECURSIVE e AS (SELECT event_type AS series,
-        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
-        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
-        |bk AS MATERIALIZED (SELECT series, h,
-        |    CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT) AS v
-        |  FROM e GROUP BY 1, 2),
-        |r AS MATERIALIZED (SELECT series, h, v,
-        |    row_number() OVER (PARTITION BY series ORDER BY h) AS rn FROM bk),
-        |s AS (
-        |  SELECT series, rn, h, v, v AS lvl, CAST(0 AS BIGINT) AS trd,
-        |    CAST(0 AS BIGINT) AS sea,
-        |    list_transform(range(24), i -> CAST(0 AS BIGINT)) AS seas
-        |  FROM r WHERE rn = 1
-        |  UNION ALL
-        |  SELECT r.series, r.rn, r.h, r.v,
-        |    (r.v - s.seas[CAST(r.h % 24 AS INT) + 1] + s.lvl + s.trd) >> 1,
-        |    ((((r.v - s.seas[CAST(r.h % 24 AS INT) + 1] + s.lvl + s.trd) >> 1))
-        |      - s.lvl + 3 * s.trd) >> 2,
-        |    (r.v - ((r.v - s.seas[CAST(r.h % 24 AS INT) + 1] + s.lvl + s.trd) >> 1)
-        |      + 3 * s.seas[CAST(r.h % 24 AS INT) + 1]) >> 2,
-        |    list_transform(range(24), i -> CASE WHEN i = CAST(r.h % 24 AS INT)
-        |      THEN (r.v - ((r.v - s.seas[CAST(r.h % 24 AS INT) + 1] + s.lvl + s.trd) >> 1)
-        |            + 3 * s.seas[CAST(r.h % 24 AS INT) + 1]) >> 2
-        |      ELSE s.seas[i + 1] END)
-        |  FROM r JOIN s ON r.series = s.series AND r.rn = s.rn + 1),
-        |lastst AS (SELECT series, arg_max(h, h) AS h0, arg_max(lvl, h) AS l,
+      (HwRecursionSql + ",\n" +
+      """lastst AS (SELECT series, arg_max(h, h) AS h0, arg_max(lvl, h) AS l,
         |             arg_max(trd, h) AS b FROM s GROUP BY 1),
         |slotlast AS (SELECT series, CAST(h % 24 AS INT) AS slot,
         |               arg_max(sea, h) AS sv FROM s GROUP BY 1, 2),
@@ -3268,7 +3248,7 @@ object SparkEntry {
         |      LEFT JOIN slotlast sl ON sl.series = l.series
         |        AND sl.slot = CAST((l.h0 + k) % 24 AS INT))
         |SELECT series, h, CAST(k AS BIGINT) AS k, forecast_micro
-        |FROM f ORDER BY series, h""".stripMargin,
+        |FROM f ORDER BY series, h""".stripMargin),
 
     // ordered string_agg replays the rank-pruned path fold; ties beyond
     // the LIMIT can't exist because (n_users desc, path) is total
@@ -3285,32 +3265,8 @@ object SparkEntry {
     // the holt-winters recursion + the proven MAD epilogue over the
     // integer residuals; quantile_cont == Spark percentile
     "ts_anomaly_deseasonal" ->
-      """WITH RECURSIVE e AS (SELECT event_type AS series,
-        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
-        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
-        |bk AS MATERIALIZED (SELECT series, h,
-        |    CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT) AS v
-        |  FROM e GROUP BY 1, 2),
-        |r AS MATERIALIZED (SELECT series, h, v,
-        |    row_number() OVER (PARTITION BY series ORDER BY h) AS rn FROM bk),
-        |s AS (
-        |  SELECT series, rn, h, v, v AS lvl, CAST(0 AS BIGINT) AS trd,
-        |    CAST(0 AS BIGINT) AS sea,
-        |    list_transform(range(24), i -> CAST(0 AS BIGINT)) AS seas
-        |  FROM r WHERE rn = 1
-        |  UNION ALL
-        |  SELECT r.series, r.rn, r.h, r.v,
-        |    (r.v - s.seas[CAST(r.h % 24 AS INT) + 1] + s.lvl + s.trd) >> 1,
-        |    ((((r.v - s.seas[CAST(r.h % 24 AS INT) + 1] + s.lvl + s.trd) >> 1))
-        |      - s.lvl + 3 * s.trd) >> 2,
-        |    (r.v - ((r.v - s.seas[CAST(r.h % 24 AS INT) + 1] + s.lvl + s.trd) >> 1)
-        |      + 3 * s.seas[CAST(r.h % 24 AS INT) + 1]) >> 2,
-        |    list_transform(range(24), i -> CASE WHEN i = CAST(r.h % 24 AS INT)
-        |      THEN (r.v - ((r.v - s.seas[CAST(r.h % 24 AS INT) + 1] + s.lvl + s.trd) >> 1)
-        |            + 3 * s.seas[CAST(r.h % 24 AS INT) + 1]) >> 2
-        |      ELSE s.seas[i + 1] END)
-        |  FROM r JOIN s ON r.series = s.series AND r.rn = s.rn + 1),
-        |resid AS MATERIALIZED (
+      (HwRecursionSql + ",\n" +
+      """resid AS MATERIALIZED (
         |  SELECT series, h, v - lvl - sea AS rr FROM s),
         |med AS MATERIALIZED (SELECT series, quantile_cont(rr, 0.5) AS med
         |                     FROM resid GROUP BY 1),
@@ -3322,28 +3278,12 @@ object SparkEntry {
         |  round(abs(rr - med) / mad, 4) AS mad_score
         |FROM wm JOIN mad USING (series)
         |WHERE mad > 0 AND abs(rr - med) > mad * 4.0
-        |ORDER BY series, h""".stripMargin,
+        |ORDER BY series, h""".stripMargin),
 
     // the ts_holt recursion + a lag window + one integer aggregate;
     // // floors like Spark's div on the non-negative error terms
-    "ts_holt_backtest" ->
-      """WITH RECURSIVE e AS (SELECT event_type AS series,
-        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
-        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
-        |bk AS MATERIALIZED (SELECT series, h,
-        |    CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT) AS v
-        |  FROM e GROUP BY 1, 2),
-        |r AS MATERIALIZED (SELECT series, h, v,
-        |    row_number() OVER (PARTITION BY series ORDER BY h) AS rn FROM bk),
-        |s AS (
-        |  SELECT series, rn, h, v, v AS lvl, CAST(0 AS BIGINT) AS trd
-        |  FROM r WHERE rn = 1
-        |  UNION ALL
-        |  SELECT r.series, r.rn, r.h, r.v,
-        |    (r.v + s.lvl + s.trd) >> 1,
-        |    (((r.v + s.lvl + s.trd) >> 1) - s.lvl + 3 * s.trd) >> 2
-        |  FROM r JOIN s ON r.series = s.series AND r.rn = s.rn + 1),
-        |fc AS (SELECT series, h, v,
+    "ts_holt_backtest" -> (HoltRecursionSql + ",\n" +
+      """fc AS (SELECT series, h, v,
         |    lag(lvl) OVER (PARTITION BY series ORDER BY h)
         |      + lag(trd) OVER (PARTITION BY series ORDER BY h) AS f
         |  FROM s),
@@ -3353,7 +3293,7 @@ object SparkEntry {
         |  CAST(CAST(sum(CASE WHEN abs(v) + abs(f) > 0
         |    THEN (2000 * e) // (abs(v) + abs(f)) ELSE 0 END) AS BIGINT)
         |    // count(*) AS BIGINT) AS smape_permille
-        |FROM sc GROUP BY series ORDER BY series""".stripMargin,
+        |FROM sc GROUP BY series ORDER BY series""".stripMargin),
 
     // same first-8 coarse quantizer as ann_ivf_topk; within-cell pairs at
     // rounded cosine ≥ τ drop the larger id, survivors remain
