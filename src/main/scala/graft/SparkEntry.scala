@@ -1032,6 +1032,11 @@ object SparkEntry {
       TextAnalysis.skipgramPairs(Tables.documents(s, dir), col("text"))
         .orderBy("center", "context")),
 
+    // the GloVe 1/d-weighted co-occurrence matrix in exact integer micro
+    "text_cooc_weighted" -> ((s, dir) =>
+      TextAnalysis.coocWeighted(Tables.documents(s, dir), col("text"))
+        .orderBy("center", "context")),
+
     // the negative-sampling side of the word2vec feedstock: unigram^(3/4)
     // inverse-CDF table, libm-free quarter power
     "text_neg_sampling" -> ((s, dir) =>
@@ -3203,6 +3208,22 @@ object SparkEntry {
         |       FROM t)
         |SELECT doc_id, CAST(start // 2048 AS BIGINT) AS seq_id, tok AS seq_tokens
         |FROM cc ORDER BY doc_id""".stripMargin),
+
+    // the same positional self-join with the 1/d GloVe weight attached;
+    // integer micro weights sum exactly in both engines
+    "text_cooc_weighted" ->
+      """WITH d AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ws
+        |           FROM documents),
+        |t AS (SELECT doc_id, i, ws[i] AS w
+        |      FROM d, range(1, 2048) r(i) WHERE i <= length(ws) AND length(ws) >= 2),
+        |f AS (SELECT a.w AS center, b.w AS context,
+        |        CAST(1000000 // (b.i - a.i) AS BIGINT) AS wt
+        |      FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 2),
+        |u AS (SELECT center, context, wt FROM f
+        |      UNION ALL SELECT context AS center, center AS context, wt FROM f)
+        |SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(wt) AS BIGINT) AS weight_micro
+        |FROM u GROUP BY 1, 2 ORDER BY center, context""".stripMargin,
 
     // positional unnest + bounded-offset self-join (oracle-side only; the
     // engine never materializes positions), both orientations unioned

@@ -1235,6 +1235,34 @@ object TextAnalysis {
     * UNORDERED (the streaming maintainer logs it as-is); the query layer
     * adds its presentation sort.
     */
+  /** Distance-weighted co-occurrence (the GloVe convention: a context at
+    * offset d contributes 1/d, Pennington et al. 2014) — the weighted
+    * sibling of [[skipgramPairs]] whose flat counts word2vec uses.
+    * Weights are exact integer micro (`1000000 div d` — d ≤ window, so
+    * the division is one of `window` fixed constants) and their sums are
+    * exact longs, so the co-occurrence matrix is bit-identical on any
+    * engine or partitioning. Same scale shape as skipgram: one scan,
+    * pure array expression, O(window·tokens) pair rows into one
+    * map-side-combined groupBy.
+    */
+  def coocWeighted(df: DataFrame, textCol: Column,
+                   window: Int = 2): DataFrame = {
+    require(window >= 1 && window <= 16, s"window in [1,16], got $window")
+    df.select(tokens(textCol).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        s"flatten(transform(ws, (w, i) -> flatten(transform(" +
+          s"sequence(1, $window), d -> IF(i + d + 1 <= size(ws)," +
+          " array(struct(w AS center, element_at(ws, i + d + 1) AS context," +
+          " 1000000L div d AS wt)," +
+          " struct(element_at(ws, i + d + 1) AS center, w AS context," +
+          " 1000000L div d AS wt))," +
+          " cast(array() as array<struct<center: string, context: string," +
+          " wt: bigint>>))))))")).as("p"))
+      .groupBy(col("p.center").as("center"), col("p.context").as("context"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("p.wt")).as("weight_micro"))
+  }
+
   def skipgramPairs(df: DataFrame, textCol: Column,
                     window: Int = 2): DataFrame = {
     require(window >= 1 && window <= 16, s"window in [1,16], got $window")

@@ -296,6 +296,18 @@ class TsResampleSpec extends AnyFunSuite {
       ("c", "a", 1L), ("c", "b", 1L)))
   }
 
+  test("coocWeighted: GloVe 1/d weights in exact micro, both orientations") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.coocWeighted(docs, col("text"))
+      .orderBy("center", "context").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // d=1 pairs weigh 1e6, the d=2 pair 5e5; every pair in both directions
+    assert(out.toSeq === Seq(
+      ("a", "b", 1L, 1000000L), ("a", "c", 1L, 500000L),
+      ("b", "a", 1L, 1000000L), ("b", "c", 1L, 1000000L),
+      ("c", "a", 1L, 500000L), ("c", "b", 1L, 1000000L)))
+  }
+
   test("negSamplingTable: c^(3/4) in exact micro, inverse-CDF prefix") {
     // a:16 -> 16^0.75 = 8 exactly; b:1 -> 1
     val docs = Seq((1L, ("a " * 16) + "b")).toDF("doc_id", "text")
