@@ -33,8 +33,12 @@ object Bench {
     val calibStart = calibrate()
     try Tables.All.foreach(t => Tables.table(spark, sfDir, t).schema)
     catch { case _: Throwable => }
-    // Two timed runs per query, report the min: local[32] timings are
-    // noisy (GC, thread scheduling); the min is the steady-state cost.
+    // Three timed runs per query, report the MEDIAN (plus the max-min
+    // spread in bench_full.json): local[32] timings are noisy (GC,
+    // thread scheduling) — rounds 4 and 6 both measured ±0.3s single-run
+    // swing — and a median over 3 makes a real per-query 2x regression
+    // detectable above that noise where a single sample (or a min that
+    // hides a bimodal slow mode) cannot.
     // Optional comma-separated name filter for local iteration on a
     // single query's timing (e.g. SPARK_GRAFT_ONLY=dedup_clusters).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -63,7 +67,7 @@ object Bench {
     var failed = List.empty[String]
     val results = picked.map { case (name, fn) =>
       var ok = true
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         // The noop sink materializes EVERY output column. A count() here
         // would let Catalyst prune the projections of map-shaped queries
@@ -74,12 +78,13 @@ object Bench {
       }
       if (!ok) failed ::= name
       // Per-query cache isolation: run 1 builds the operator's internal
-      // caches, run 2 reuses them — the min is the warm steady-state —
-      // and releasing them HERE makes that number independent of which
-      // other queries ran before (bounded storage pressure, no
+      // caches, runs 2-3 reuse them — the median is the warm steady
+      // state — and releasing them HERE makes that number independent of
+      // which other queries ran before (bounded storage pressure, no
       // cross-query eviction cascades).
       ops.OpCache.unpersistAll()
-      name -> times.min
+      val sorted = times.sorted
+      name -> (sorted(sorted.size / 2), sorted.last - sorted.head)
     }
     val calibEnd = calibrate()
     val calib = s""""calib_start_sec":${j(calibStart)},"calib_end_sec":${j(calibEnd)}"""
@@ -87,14 +92,16 @@ object Bench {
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // the stdout line survives tail truncation; cap its failed list
     val failedBrief = failed.sorted.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
 
     // Full-precision per-query timings → bench_full.json (the harness that
     // invokes this main keeps only the final ~2000 chars of stdout, which a
     // ~80-query map overflows — the file carries the complete breakdown).
-    val fullQs = results.toSeq.sortBy(-_._2)
-      .map { case (k, v) => "\"" + k + "\":" + j(v) }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"failed":$failedJson,$calib,"queries":$fullQs,"sf":"$sfDir"}"""
+    val fullQs = results.toSeq.sortBy(-_._2._1)
+      .map { case (k, (v, _)) => "\"" + k + "\":" + j(v) }.mkString("{", ",", "}")
+    val fullSpread = results.toSeq.sortBy(-_._2._2)
+      .map { case (k, (_, sp)) => "\"" + k + "\":" + j(sp) }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${j(total)},"unit":"sec","stat":"median_of_3","n_queries":${results.size},"n_failed":$nFailed,"failed":$failedJson,$calib,"queries":$fullQs,"spread":$fullSpread,"sf":"$sfDir"}"""
     if (only.isEmpty) // a filtered run must not clobber the full snapshot
       try {
         val w = new java.io.PrintWriter("bench_full.json"); w.println(full); w.close()
@@ -104,7 +111,7 @@ object Bench {
     // slowest entries that fit a fixed byte budget so the whole line
     // survives tail truncation and stays machine-parseable.
     val budget = 1500
-    val entries = results.toSeq.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + j(v) }
+    val entries = results.toSeq.sortBy(-_._2._1).map { case (k, (v, _)) => "\"" + k + "\":" + j(v) }
     val kept = entries.scanLeft(0)(_ + _.length + 1).tail.zip(entries)
       .takeWhile(_._1 <= budget).map(_._2)
     val qs = kept.mkString("{", ",", "}")
@@ -113,7 +120,7 @@ object Bench {
     // Spark shutdown chatter before emitting it.
     spark.sparkContext.setLogLevel("OFF")
     System.out.flush(); System.err.flush()
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"failed":$failedBrief,$calib,"n_reported":${kept.size},"full":"bench_full.json","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","stat":"median_of_3","n_queries":${results.size},"n_failed":$nFailed,"failed":$failedBrief,$calib,"n_reported":${kept.size},"full":"bench_full.json","queries":$qs,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

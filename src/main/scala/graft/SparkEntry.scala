@@ -23,6 +23,25 @@ object SparkEntry {
 
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
 
+  /** Scale gate for the four DECLARED all-pairs correctness baselines
+    * (ann_cosine_topk, ann_int8_topk, dedup_embedding_cosine,
+    * emb_margin_pairs — each a brute cross-score whose scale-safe
+    * sibling ships separately: LSH/IVF/PQ/rerank, marginPairsLsh).
+    * Ungated, pointing the registry at a big corpus would execute a
+    * cross product; gated, the baseline runs on a deterministic
+    * hash-stride sample of at most ~`cap` rows. Below the cap (every
+    * driver sf: 500–2,000 embedding rows vs cap 100,000) the frame
+    * passes through UNTOUCHED, so oracles are unaffected. The stride
+    * filter is a plain xxhash64-mod predicate — pushed to the scan,
+    * no shuffle, same rows every run.
+    */
+  private[graft] def capRows(df: DataFrame, idCol: String,
+                             cap: Long = 100000L): DataFrame = {
+    val n = df.count()
+    if (n <= cap) df
+    else df.filter(pmod(xxhash64(col(idCol)), lit((n + cap - 1) / cap)) === 0)
+  }
+
   /** Reject duplicate keys LOUDLY: a `Map(...)` literal silently keeps
     * the last binding, so a name collision between two operators would
     * otherwise drop one query (and its oracle) from the driver gate
@@ -139,6 +158,20 @@ object SparkEntry {
           col("payload.text").isNotNull.as("is_text"),
           length(col("payload.text")).cast("long").as("text_len"),
           call_function("octet_length", col("payload.raw")).cast("long").as("raw_len"))
+        .orderBy("event_id")
+    }),
+
+    // the read-back direction (MongoDBReverseParser): the write-side
+    // union split round-trips through coerceReverse to the ORIGINAL
+    // payload bytes, whichever side each row took
+    "ts_coerce_reverse" -> ((s, dir) => {
+      val withBin = ev(s, dir).filter(col("event_id") < 200)
+        .select(col("event_id"),
+          when(col("event_id") % 2 === 1,
+            concat(encode(col("props"), "UTF-8"), unhex(lit("FF"))))
+            .otherwise(encode(col("props"), "UTF-8")).as("payload"))
+      Documents.coerceReverse(Documents.coerceBinary(withBin))
+        .select(col("event_id"), hex(col("payload")).as("payload_hex"))
         .orderBy("event_id")
     }),
 
@@ -457,6 +490,43 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // KMV theta-style sketches: the SET-OPERATION sketch (intersection
+    // estimates HLL can't do) — per-type user sketches, pairwise overlap
+    // matrix. The oracle pins the exact intersections; the ok flags hold
+    // the 28l tolerance contract (exact here: un-full sketches ARE the
+    // distinct hash sets; the estimation path is spec-pinned at 10^5
+    // cardinality in KmvSpec)
+    "agg_kmv_overlap" -> ((s, dir) => {
+      graft.functions.KmvFunctions.register(s)
+      val tol = 0.05
+      def okc(approx: Column, exact: Column): Column =
+        coalesce(
+          (abs(approx - exact) <= greatest(abs(exact) * tol, lit(1.0)))
+            .cast("long"),
+          lit(0L))
+      val sk = ev(s, dir).groupBy(col("event_type"))
+        .agg(expr("graft_kmv_sketch(user_id, 4096)").as("sk"),
+          countDistinct(col("user_id")).as("nd"))
+        .withColumn("est", expr("graft_kmv_est(sk)"))
+      val ud = ev(s, dir).select(col("event_type"), col("user_id")).distinct()
+      val exact = ud.select(col("event_type").as("type_a"), col("user_id"))
+        .join(ud.select(col("event_type").as("type_b"), col("user_id")), "user_id")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"),
+          col("est").as("est_a"), col("nd").as("nd_a"))
+        .join(sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"),
+          col("est").as("est_b"), col("nd").as("nd_b")),
+          col("type_a") < col("type_b"))
+        .join(exact, Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"), col("n_inter"),
+          okc(expr("graft_kmv_inter(sk_a, sk_b)"), col("n_inter")).as("inter_ok"),
+          okc(col("est_a"), col("nd_a")).as("a_ok"),
+          okc(col("est_b"), col("nd_b")).as("b_ok"))
+        .orderBy("type_a", "type_b")
+    }),
+
     "agg_quantiles" -> ((s, dir) =>
       ev(s, dir).groupBy(col("event_type"))
         .agg(
@@ -674,7 +744,7 @@ object SparkEntry {
     }),
 
     "dedup_embedding_cosine" -> ((s, dir) =>
-      Dedup.embeddingCosinePairs(Tables.embeddings(s, dir), 0.45)
+      Dedup.embeddingCosinePairs(capRows(Tables.embeddings(s, dir), "vec_id"), 0.45)
         .orderBy("id1", "id2")),
 
     // planes=3 / tables=8: the test corpus is 500 near-random vectors at a
@@ -693,7 +763,7 @@ object SparkEntry {
         .orderBy("vec_id")),
 
     "ann_cosine_topk" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
+      val emb = capRows(Tables.embeddings(s, dir), "vec_id")
       Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 5), 10)
         .orderBy("query_id", "rank")
     }),
@@ -713,7 +783,7 @@ object SparkEntry {
     // int8 scalar-quantized scoring: 4× smaller persisted corpus, exact
     // integer code dot — the memory/IO leg of the ANN scale story
     "ann_int8_topk" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
+      val emb = capRows(Tables.embeddings(s, dir), "vec_id")
       Similarity.int8TopK(emb, emb.filter(col("vec_id") < 5), 10)
         .orderBy("query_id", "rank")
     }),
@@ -800,7 +870,7 @@ object SparkEntry {
     // Artetxe & Schwenk bitext-mining criterion): per-pair cosines are
     // micro-rounded FIRST, so top-k sums and margins are exact integers
     "emb_margin_pairs" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
+      val emb = capRows(Tables.embeddings(s, dir), "vec_id")
       Similarity.marginPairs(emb.filter(col("vec_id") % 2 === 0),
           emb.filter(col("vec_id") % 2 === 1), k = 4)
         .orderBy("a_id")
@@ -1063,6 +1133,37 @@ object SparkEntry {
           col("n_bpe_tokens"), 2048L)
         .select("doc_id", "seq_id", "seq_tokens")
         .orderBy("doc_id")
+    }),
+
+    // dynamic batching: per-source length-sorted batches of 32 with the
+    // pad-to-longest waste priced per batch — one bounded-key window
+    // pass, never a global sort
+    "corpus_length_batches" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.lengthBatches(docs, col("source"), col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))), 32)
+        .withColumnRenamed("grp", "source")
+        .orderBy("source", "batch_id")
+    }),
+
+    // tokenizer-efficiency data card: tokens-per-word (fertility) and
+    // chars-per-token per source, off the SHIPPED merge table — the
+    // numbers that price a tokenizer against a corpus mix
+    "corpus_tokenizer_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val enc = TextAnalysis.bpeEncode(docs, col("doc_id"), col("text"),
+        TextAnalysis.ShippedBpeMerges)
+      enc.join(docs.select(col("doc_id"), col("source"), col("n_chars")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe_tokens")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"))
+        .withColumn("fertility_micro",
+          expr("(1000000 * n_tokens) div n_words"))
+        .withColumn("chars_per_token_micro",
+          expr("(1000000 * n_chars) div n_tokens"))
+        .orderBy("source")
     }),
 
     // Holt level+trend smoothing per series — exact dyadic fixed point,
@@ -1434,6 +1535,12 @@ object SparkEntry {
         |  (event_id % 2 = 0) AS is_text,
         |  CASE WHEN event_id % 2 = 0 THEN length(props) END AS text_len,
         |  CASE WHEN event_id % 2 = 1 THEN octet_length(encode(props)) + 1 END AS raw_len
+        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
+
+    "ts_coerce_reverse" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 2 = 1 THEN upper(hex(encode(props))) || 'FF'
+        |       ELSE upper(hex(encode(props))) END AS payload_hex
         |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
 
     "ts_insert_append" ->
@@ -2580,6 +2687,16 @@ object SparkEntry {
     // deterministic tolerance flags: the Spark query emits 1 iff the sketch
     // estimate is within 2% of the exact statistic, and DuckDB asserts
     // all-1 flags alongside independently computed exact n_users / n.
+    "agg_kmv_overlap" ->
+      """WITH ud AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |  CAST(count(*) AS BIGINT) AS n_inter,
+        |  CAST(1 AS BIGINT) AS inter_ok,
+        |  CAST(1 AS BIGINT) AS a_ok, CAST(1 AS BIGINT) AS b_ok
+        |FROM ud x JOIN ud y
+        |  ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin,
+
     "agg_approx_sketches" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |  CAST(1 AS BIGINT) AS users_ok, CAST(1 AS BIGINT) AS p50_ok,
@@ -3191,6 +3308,38 @@ object SparkEntry {
         |  ORDER BY score DESC, token LIMIT 50)
         |ORDER BY token""".stripMargin),
 
+    // per-source length-sorted batches of 32: same (len, id) total order,
+    // same pad-to-longest accounting
+    "corpus_length_batches" ->
+      """WITH d AS (SELECT source, doc_id,
+        |  CAST(len(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS l
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, l,
+        |  row_number() OVER (PARTITION BY source ORDER BY l, doc_id) AS rn FROM d)
+        |SELECT source, CAST((rn - 1) // 32 AS BIGINT) AS batch_id,
+        |  CAST(count(*) AS BIGINT) AS n_seqs,
+        |  CAST(min(l) AS BIGINT) AS min_len, CAST(max(l) AS BIGINT) AS max_len,
+        |  CAST(sum(l) AS BIGINT) AS sum_len,
+        |  CAST(max(l) * count(*) - sum(l) AS BIGINT) AS pad_tokens
+        |FROM r GROUP BY 1, 2 ORDER BY source, batch_id""".stripMargin,
+
+    // the shipped-tokenizer replace-chain rolled up per source: exact
+    // integer micro ratios (floor division on both engines)
+    "corpus_tokenizer_fertility" ->
+      (BpeEncodeSql + ",\n" +
+      """bt AS (SELECT w.doc_id, CAST(sum(c.n_syms) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_words
+        |       FROM w JOIN c USING (word) GROUP BY 1),
+        |j AS (SELECT d.source, d.n_chars, bt.n_tokens, bt.n_words
+        |      FROM bt JOIN documents d USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS n_words,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST((1000000 * sum(n_tokens)) // sum(n_words) AS BIGINT) AS fertility_micro,
+        |  CAST((1000000 * sum(n_chars)) // sum(n_tokens) AS BIGINT) AS chars_per_token_micro
+        |FROM j GROUP BY 1 ORDER BY source""".stripMargin),
+
     // the bpe-encode replace-chain feeds the pack cumsum: per-doc real
     // tokenizer counts, then the same global (u, doc_id) prefix sum the
     // chars/4 pack oracle uses
@@ -3214,8 +3363,8 @@ object SparkEntry {
     "text_cooc_weighted" ->
       """WITH d AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ws
         |           FROM documents),
-        |t AS (SELECT doc_id, i, ws[i] AS w
-        |      FROM d, range(1, 2048) r(i) WHERE i <= length(ws) AND length(ws) >= 2),
+        |t AS (SELECT doc_id, CAST(unnest(range(1, length(ws) + 1)) AS BIGINT) AS i, unnest(ws) AS w
+        |      FROM d WHERE length(ws) >= 2),
         |f AS (SELECT a.w AS center, b.w AS context,
         |        CAST(1000000 // (b.i - a.i) AS BIGINT) AS wt
         |      FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 2),
@@ -3230,8 +3379,8 @@ object SparkEntry {
     "text_skipgram_pairs" ->
       """WITH d AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ws
         |           FROM documents),
-        |t AS (SELECT doc_id, i, ws[i] AS w
-        |      FROM d, range(1, 2048) r(i) WHERE i <= length(ws) AND length(ws) >= 2),
+        |t AS (SELECT doc_id, CAST(unnest(range(1, length(ws) + 1)) AS BIGINT) AS i, unnest(ws) AS w
+        |      FROM d WHERE length(ws) >= 2),
         |f AS (SELECT a.w AS center, b.w AS context
         |      FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + 2),
         |u AS (SELECT center, context FROM f

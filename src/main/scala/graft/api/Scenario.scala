@@ -30,6 +30,58 @@ final case class Scenario(
         s"Scenario is not configured for filesystem storage (method=${storage("method")})")
     this
   }
+
+  /** Resolved connection URI for a database scenario — the reference CLI
+    * accepts `storage.config` as an explicit URI, a db-config YAML path,
+    * or a default alias, and resolves all three to one URI before
+    * connecting (reference src/topic_store/database.py:42-58).
+    */
+  def databaseUri: String = {
+    requireDatabase
+    DbConfig.uriFromConfig(storage("config"))
+  }
+}
+
+/** MongoDB db-config → URI resolution — the Spark twin of
+  * `MongoStorage.uri_from_mongo_config` plus the `config=auto|default|
+  * topic_store|None` packaged-default fallback (reference
+  * src/topic_store/database.py:42-58,84-91 and
+  * config/default_db_config.yaml): the CLI accepts an explicit
+  * `mongodb://` URI, a path to a db-config YAML whose `net.bindIp` /
+  * `net.port` determine the URI, or an alias selecting the packaged
+  * default config (bindIp 0.0.0.0, port 65530 — the values the
+  * reference ships).
+  */
+object DbConfig {
+  val DefaultBindIp = "0.0.0.0"
+  val DefaultPort = 65530
+
+  /** `net.bindIp`/`net.port` → `mongodb://ip:port` (database.py:84-91). */
+  def uriFromYamlText(text: String): String = {
+    val root = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Object]](text)
+    if (root == null || !root.containsKey("net"))
+      throw new IllegalArgumentException("db config must have a 'net' section")
+    val net = root.get("net").asInstanceOf[java.util.Map[String, Object]]
+    if (!net.containsKey("bindIp") || !net.containsKey("port"))
+      throw new IllegalArgumentException(
+        "db config 'net' section must define bindIp and port")
+    s"mongodb://${String.valueOf(net.get("bindIp"))}:${String.valueOf(net.get("port"))}"
+  }
+
+  def uriFromConfig(config: String): String = config match {
+    case null | "" | "auto" | "default" | "topic_store" =>
+      s"mongodb://$DefaultBindIp:$DefaultPort"
+    case uri if uri.startsWith("mongodb://") => uri
+    case path =>
+      val f = new java.io.File(path)
+      // the reference raises IOError on a non-file or non-.yaml path
+      if (!f.isFile || !path.endsWith(".yaml"))
+        throw new java.io.IOException(
+          s"'$path' is not a valid MongoDB configuration file")
+      uriFromYamlText(new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+  }
 }
 
 object Scenario {

@@ -67,6 +67,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_hll_est", "graft_hll_est(sketch) - cardinality estimate"),
       (exprs: Seq[Expression]) => HllEstimate(exprs.head)))
     e.injectFunction((
+      FunctionIdentifier("graft_kmv_sketch"),
+      info("graft_kmv_sketch", "graft_kmv_sketch(col[, k]) - portable k-minimum-values sketch bytes"),
+      (exprs: Seq[Expression]) => KmvSketchAgg(exprs.head,
+        if (exprs.size > 1) exprs(1).eval(null).asInstanceOf[Int] else 4096)))
+    e.injectFunction((
+      FunctionIdentifier("graft_kmv_union"),
+      info("graft_kmv_union", "graft_kmv_union(sketch) - union of KMV sketches"),
+      (exprs: Seq[Expression]) => KmvUnionAgg(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_kmv_est"),
+      info("graft_kmv_est", "graft_kmv_est(sketch) - distinct estimate"),
+      (exprs: Seq[Expression]) => KmvEstimate(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_kmv_inter"),
+      info("graft_kmv_inter", "graft_kmv_inter(a, b) - intersection-cardinality estimate"),
+      (exprs: Seq[Expression]) => KmvIntersect(exprs(0), exprs(1))))
+    e.injectFunction((
       FunctionIdentifier("graft_bloom_agg"),
       info("graft_bloom_agg", "graft_bloom_agg(hash64[, numBits, numHashes]) - portable Bloom filter bytes"),
       (exprs: Seq[Expression]) => BloomAgg(exprs.head,

@@ -183,4 +183,37 @@ object Documents {
       case org.apache.spark.sql.types.BinaryType => utf8OrBinary(c)
       case _ => c
     })
+
+  /** Reverse type coercion — the READ-BACK direction (the Spark twin of
+    * `MongoDBReverseParser`, reference src/topic_store/sanitation.py:
+    * 138-163, which restores stored leaf types on the way out of the
+    * database): every `{text: string, raw: binary}` union leaf written
+    * by [[coerceBinary]] folds back to its original single binary
+    * column. The text side re-encodes as UTF-8 — lossless, because the
+    * forward split only admitted byte sequences that decode as valid
+    * UTF-8 — and the raw side passes through, so
+    * `coerceReverse(coerceBinary(df))` is the identity on any document
+    * frame, bit-for-bit. Recurses through nested structs; leaves that
+    * are not the union shape pass through untouched. Pure codegen'd
+    * expressions (coalesce + encode), no UDF.
+    */
+  def coerceReverse(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    def isUnion(st: StructType): Boolean =
+      st.fields.length == 2 &&
+        st.fields(0).name == "text" && st.fields(0).dataType == StringType &&
+        st.fields(1).name == "raw" && st.fields(1).dataType == BinaryType
+    def rebuild(schema: StructType, path: Seq[String]): Seq[Column] =
+      schema.fields.toSeq.map { f =>
+        val p = path :+ f.name
+        val c = col(p.map(s => s"`$s`").mkString("."))
+        (f.dataType match {
+          case st: StructType if isUnion(st) =>
+            coalesce(c.getField("raw"), encode(c.getField("text"), "UTF-8"))
+          case st: StructType => struct(rebuild(st, p): _*)
+          case _ => c
+        }).as(f.name)
+      }
+    df.select(rebuild(df.schema, Nil): _*)
+  }
 }

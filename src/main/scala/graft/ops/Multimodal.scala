@@ -10,11 +10,15 @@ import org.apache.spark.sql.types._
   * Decoding: WAV (RIFF/PCM16) and BMP (24-bit uncompressed) decode FOR
   * REAL via pure-JVM byte parsing, and JPEG/PNG/GIF decode FOR REAL via
   * `javax.imageio` (bundled with the JDK) — all feed genuine signal/pixel
-  * features. Video containers (MP4…) and exotic audio codecs are STUBBED
-  * with a deterministic byte-fold (no demuxer in the bare JVM); the
-  * `mapPartitions` batch shape those would slot into is identical.
-  * Everything Spark-side is real either way: schema, batch iteration,
-  * partitioning, and the metadata column flow.
+  * features. MP4 containers demux FOR REAL (ISO-BMFF box walk to the
+  * sample tables, true per-sample byte extraction via stco/stsc), and
+  * MJPEG-in-MP4 frames decode FOR REAL (each sample is a complete JPEG —
+  * `videoFrameFeatures`). Only inter-coded video codecs (avc1/hevc/mp4v)
+  * and exotic audio codecs stay STUBBED with a deterministic byte-fold
+  * (no such decoder in the bare JVM); the `mapPartitions` batch shape
+  * those would slot into is identical. Everything Spark-side is real
+  * either way: schema, batch iteration, partitioning, and the metadata
+  * column flow.
   */
 object Multimodal {
 
@@ -558,7 +562,9 @@ object Multimodal {
     * of [[frameSample]]'s byte windows to the container's OWN frame
     * addressing: each kept row carries the exact encoded sample bytes
     * located by the stco/stsc chunk-offset tables and stsz sizes (pure
-    * container demux, codec DECODE still out of scope in the bare JVM).
+    * container demux; pixel DECODE of the extracted samples is real for
+    * MJPEG traks — [[videoFrameFeatures]] — and out of scope only for
+    * inter-coded codecs, which have no bare-JVM decoder).
     * Assets without offset tables, or with samples pointing outside the
     * payload, contribute no rows (skip-on-corrupt). Row amplification is
     * `⌈frames/everyN⌉` per video, partition-local, no shuffle.
@@ -593,6 +599,63 @@ object Multimodal {
     spark.createDataFrame(rdd, FrameSchema)
   }
 
+  /** MJPEG fourccs (QuickTime/AVI conventions): every sample is a
+    * complete intra-coded JPEG image, so extracted sample bytes decode
+    * with the plain-JDK ImageIO seam — no codec libraries.
+    */
+  private[ops] val MjpegCodecs =
+    Set("jpeg", "mjpa", "mjpb", "MJPG", "mjpg", "dmb1", "AVDJ")
+
+  val FrameFeatureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("features", ArrayType(FloatType))))
+
+  /** REAL pixel decode of MJPEG-in-MP4 frames — [[videoSamples]]'s
+    * epilogue for the one container codec the bare JVM can decode: when
+    * the trak's stsd fourcc declares Motion-JPEG ([[MjpegCodecs]]), each
+    * sampled frame's bytes are a self-contained JPEG, so they feed the
+    * SAME `javax.imageio` seam still images use ([[decodeImage]]) and
+    * fold to the standard grid features ([[bmpFeatures]]). Emits one
+    * (asset_id, frame_idx, width, height, features) row per decodable
+    * sampled frame; inter-coded traks (avc1/hevc/mp4v — no JVM decoder)
+    * and corrupt samples contribute no rows, which is the one documented
+    * codec gap left. Partition-local flatMap, fan-out ⌈frames/everyN⌉,
+    * no shuffle — decode cost is paid where the bytes already sit.
+    */
+  def videoFrameFeatures(assets: DataFrame, everyN: Int = 2,
+                         dim: Int = 8): DataFrame = {
+    require(everyN > 0)
+    val spark = assets.sparkSession
+    val rdd = assets.select("asset_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        val id = row.getLong(0)
+        val payload = row.getAs[Array[Byte]](1)
+        val idx = try parseMp4(payload) catch { case _: Exception => None }
+        idx.iterator.flatMap { m =>
+          // same all-or-nothing intactness as videoSamples, plus the
+          // codec gate: only declared-MJPEG traks reach the decoder
+          val intact = m.offsets != null && MjpegCodecs(m.codec) &&
+            m.sizes.indices.forall { k =>
+              val off = m.offsets(k); val sz = m.sizes(k)
+              off >= 0 && sz >= 0 && off + sz <= payload.length
+            }
+          if (!intact) Iterator.empty
+          else (0 until m.sizes.length by everyN).iterator.flatMap { k =>
+            val off = m.offsets(k).toInt
+            val bytes = java.util.Arrays.copyOfRange(payload, off, off + m.sizes(k))
+            (try decodeImage(bytes) catch { case _: Exception => None }).map {
+              case (w, h, px) => Row(id, k, w, h, bmpFeatures(w, h, px, dim).toSeq)
+            }
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, FrameFeatureSchema)
+  }
+
   /** Byte-level stats per kind — the metadata aggregation a lakehouse
     * media table needs for layout planning (all expression-level, no UDF).
     */
@@ -609,7 +672,8 @@ object Multimodal {
     */
   private[ops] case class Mp4Index(timescale: Int, sizes: Array[Int],
                                    tsTicks: Array[Long], durationTicks: Long,
-                                   offsets: Array[Long] = null)
+                                   offsets: Array[Long] = null,
+                                   codec: String = "")
 
   /** REAL MP4 container parsing — an ISO BMFF box walk to the sample
     * tables (`moov/trak/mdia/{mdhd,minf/stbl/{stts,stsz}}`), pure JVM,
@@ -635,7 +699,8 @@ object Multimodal {
     // so a later trak's stsc/stco can never pair with an earlier trak's
     // sizes (mixed addressing would locate arbitrary wrong bytes)
     var trak = 0
-    var sizesTrak, stscTrak, stcoTrak = -1
+    var sizesTrak, stscTrak, stcoTrak, codecTrak = -1
+    var codec: String = null
     def walk(from: Int, to: Int): Unit = {
       var i = from
       while (i + 8 <= to) {
@@ -678,6 +743,13 @@ object Multimodal {
             if (stco == null && n >= 0 && size >= 16 + 4L * n) {
               stco = Array.tabulate(n)(k => u4(body + 8 + 4 * k))
               stcoTrak = trak
+            }
+          case "stsd" if size >= 24 =>
+            // sample description: the first entry's format fourcc names
+            // the trak's codec (entry = 4-byte size + 4-byte format)
+            if (codec == null && u4(body + 4) >= 1) {
+              codec = tag(body + 12)
+              codecTrak = trak
             }
           case _ => ()
         }
@@ -726,7 +798,8 @@ object Multimodal {
                 }
                 if (s < sizes.length) null else out
               }
-            Some(Mp4Index(timescale, sizes, ts, t, offsets))
+            Some(Mp4Index(timescale, sizes, ts, t, offsets,
+              if (codec != null && codecTrak == sizesTrak) codec else ""))
           }
         }
       }

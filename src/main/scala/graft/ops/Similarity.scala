@@ -1210,28 +1210,32 @@ object Similarity {
   }
 
   /** IVF probe against a cell-partitioned index: queries route to their
-    * top-`nprobe` cells, `indexFor` materializes ONLY those cells'
-    * vectors (pass `cells => Monitor.probeCells(spark, path, cells)` for
-    * the partition-pruned maintained layout, or a `.filter` over an
-    * in-memory index), candidates score by EXACT cosine, top-`k` per
-    * query ships rank-only (the `ann_cosine_topk` parity discipline).
-    * This is the shared serving core of `Monitor.serveAnnStream` and any
-    * batch probe.
+    * top-`nprobe` cells, and the candidate join touches ONLY those
+    * cells' vectors — the probe side is a broadcast build, so when
+    * `index` is a `cell=`-partitioned file scan (the
+    * `Monitor.maintainCellIndex` / `Layout.writeCellIndex` layout)
+    * Catalyst's dynamic partition pruning reuses that broadcast to
+    * prune the index's directory listing to the probed cells. Fully
+    * lazy: no `collect()` of cell ids on the serving path (the earlier
+    * design listed distinct cells driver-side — O(queries·nprobe) per
+    * batch, and an eager action inside a "query" constructor).
+    * Candidates score by EXACT cosine, top-`k` per query ships
+    * rank-only (the `ann_cosine_topk` parity discipline). This is the
+    * shared serving core of `Monitor.serveAnnStream` and any batch
+    * probe.
     */
-  def probeIndexTopK(indexFor: Seq[Long] => DataFrame, queries: DataFrame,
+  def probeIndexTopK(index: DataFrame, queries: DataFrame,
                      centroids: Array[Array[Long]], k: Int = 10,
                      nprobe: Int = 2, dims: Int = 64): DataFrame = {
     val probes = assignTopCells(queries, centroids, nprobe, dims)
       .select(col("vec_id").as("query_id"), col("cell"))
-    val cells = probes.select("cell").distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val index = indexFor(cells)
     // the candidate join carries the neighbor vectors it just read — the
-    // probed cells are scanned ONCE; the norm recompute per candidate
-    // pair is O(d), the same as the dot it accompanies
-    val cand = probes
-      .join(index.select(col("vec_id").as("neighbor_id"),
-        col("cell"), col("embedding")), "cell")
+    // probed cells are scanned ONCE (DPP prunes the rest); the norm
+    // recompute per candidate pair is O(d), the same as the dot it
+    // accompanies
+    val cand = index.select(col("vec_id").as("neighbor_id"),
+        col("cell"), col("embedding"))
+      .join(broadcast(probes), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         expr("transform(embedding, x -> cast(x as double))").as("cv"))

@@ -429,6 +429,41 @@ object TextAnalysis {
       .drop("__u", "__tok", "__b", "__off", "__start")
   }
 
+  /** Length-bucketed training batches (dynamic batching — the padding
+    * killer between curriculum assignment and the collator): within
+    * each `groupCol` stratum (a BOUNDED domain — source, shard,
+    * language), sequences sort by (token length, id) and chop into
+    * fixed-count batches of `batchSize`; each batch pads to its own
+    * longest member, so sorting by length first drives the padding
+    * overhead to near zero everywhere except length-regime boundaries.
+    * Emits one audit row per batch — n_seqs, min/max/sum length, and
+    * `pad_tokens` (what pad-to-longest wastes) — the number a training
+    * job reads to price its collation before touching any text.
+    * Deterministic: (length, id) is a total order, so batch membership
+    * is reproducible across runs and engines. Scale shape: ONE window
+    * pass keyed by the bounded group column (the same exchange every
+    * per-group op pays — never a global sort) plus a map-side-combined
+    * rollup; the trailing partial batch keeps n_seqs < batchSize rather
+    * than inventing filler rows.
+    */
+  def lengthBatches(df: DataFrame, groupCol: Column, idCol: Column,
+                    tokenCol: Column, batchSize: Int): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("grp")).orderBy(col("__len"), col("__id"))
+    df.select(groupCol.as("grp"), idCol.as("__id"),
+        tokenCol.cast("long").as("__len"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("batch_id", expr(s"cast((__rn - 1) div $batchSize as bigint)"))
+      .groupBy(col("grp"), col("batch_id"))
+      .agg(count(lit(1)).as("n_seqs"),
+        min(col("__len")).as("min_len"),
+        max(col("__len")).as("max_len"),
+        sum(col("__len")).as("sum_len"))
+      .withColumn("pad_tokens",
+        col("max_len") * col("n_seqs") - col("sum_len"))
+  }
+
   /** Training-delivery shard manifest: the packed sequences dealt
     * round-robin over `numShards` output shards (`seq_id % numShards` —
     * [[packSequences]] already hash-shuffled documents, so consecutive
@@ -908,20 +943,26 @@ object TextAnalysis {
   /** BM25 top-k off a maintained postings index instead of raw text:
     * scoring touches only the query terms' index rows (an equality
     * filter a partitioned/bucketed index turns into a pruned scan) plus
-    * one distinct-doc pass for the corpus stats — the corpus text is
-    * never re-tokenized. Score-parity with [[bm25TopK]] over the same
-    * corpus is bit-exact (same epilogue, same stats values) PROVIDED the
-    * corpus has unique doc ids and non-null text — a null-text doc has
-    * no index rows, so it would count toward the text path's n_docs/avgdl
-    * but not the index path's (and a duplicated id collapses to one
-    * distinct stats row here but two there).
+    * one pass for the corpus stats — the corpus text is never
+    * re-tokenized. Corpus stats prefer the per-doc DOC-STATS rows the
+    * maintained index logs (`token` NULL, one per ingested document —
+    * `Monitor.maintainBm25Index`), which count zero-token and null-text
+    * documents exactly as [[bm25TopK]]'s text path does, so index-served
+    * scores are bit-equal unconditionally. An index WITHOUT stats rows
+    * (a bulk [[bm25Postings]] build) falls back to distinct index docs —
+    * bit-equal PROVIDED unique doc ids and non-null text, the
+    * precondition the stats rows exist to remove.
     */
   def bm25TopKFromIndex(index: DataFrame, terms: Seq[String], k: Int = 20,
                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     val tf = index.filter(col("token").isin(terms.map(lit): _*))
       .select("doc_id", "dl", "token", "tf")
-    val stats = index.select(col("doc_id"), col("dl")).distinct()
+    val docStats = index.filter(col("token").isNull)
+    val docs =
+      if (docStats.isEmpty) index.select(col("doc_id"), col("dl")).distinct()
+      else docStats.select(col("doc_id"), col("dl"))
+    val stats = docs
       .agg(count(lit(1)).cast("double").as("n_docs"),
         (sum(col("dl")) / count(lit(1))).as("avgdl"))
     bm25Score(tf, stats, k, k1, b)

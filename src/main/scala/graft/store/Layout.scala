@@ -68,7 +68,13 @@ object Layout {
       .withColumn("__batch_id", lit(0L))
       .repartition(col("cell"))
       .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
+      // STATIC overwrite on purpose: the bulk build replaces the WHOLE
+      // layout. Under dynamic overwrite a rebuild with re-trained
+      // centroids would only rewrite cells that receive vectors under
+      // the new assignment — a cell populated by the old build but
+      // empty under the new one would keep its stale vectors, and
+      // probes would serve them from the wrong cell.
+      .option("partitionOverwriteMode", "static")
       .partitionBy("__batch_id", "cell")
       .parquet(path)
 

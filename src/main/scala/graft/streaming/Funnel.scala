@@ -25,41 +25,77 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Funnel {
 
   case class FEvent(user_id: Long, event_id: Long, event_type: String, ts_us: Long)
-  /** Long.MaxValue = stage not reached. */
-  case class FState(s1: Long, s2: Long, s3: Long)
+  /** [[FEvent]] plus its event-time column for the watermark. */
+  case class FEventTs(user_id: Long, event_id: Long, event_type: String,
+                      ts_us: Long, ts: java.sql.Timestamp)
+  /** Long.MaxValue = stage not reached; `lastUs` = the user's newest
+    * event time, the anchor the idle-expiry timer re-arms from.
+    */
+  case class FState(s1: Long, s2: Long, s3: Long, lastUs: Long = 0L)
   case class FOut(user_id: Long, u1: Option[Long], u2: Option[Long], u3: Option[Long])
 
   private def opt(v: Long): Option[Long] = if (v == Long.MaxValue) None else Some(v)
 
   /** Fold one user's micro-batch through the stage machine. Emits the
     * user's updated stage times when (and only when) the batch advanced
-    * the funnel.
+    * the funnel. On idle timeout the user's state is dropped: the key
+    * population of an unbounded stream grows without bound, so a user
+    * that has gone quiet for `idleTimeoutMs` leaves the store — their
+    * last emitted row already carries their funnel position, and a
+    * late return is recovered by the order-free batch recompute.
     */
-  def updateKey(userId: Long, events: Iterator[FEvent],
-                state: GroupState[FState], stages: Seq[String]): Iterator[FOut] = {
-    val init = state.getOption.getOrElse(FState(Long.MaxValue, Long.MaxValue, Long.MaxValue))
+  def updateKey(userId: Long, events: Iterator[FEventTs],
+                state: GroupState[FState], stages: Seq[String],
+                idleTimeoutMs: Long = 30L * 24 * 3600 * 1000): Iterator[FOut] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val init = state.getOption.getOrElse(
+      FState(Long.MaxValue, Long.MaxValue, Long.MaxValue))
     var (s1, s2, s3) = (init.s1, init.s2, init.s3)
+    var lastUs = init.lastUs
     events.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      lastUs = math.max(lastUs, e.ts_us)
       if (e.event_type == stages(0)) s1 = math.min(s1, e.ts_us)
       else if (e.event_type == stages(1) && e.ts_us > s1) s2 = math.min(s2, e.ts_us)
       else if (e.event_type == stages(2) && e.ts_us > s2) s3 = math.min(s3, e.ts_us)
     }
-    if (s1 == init.s1 && s2 == init.s2 && s3 == init.s3) Iterator.empty
-    else {
-      state.update(FState(s1, s2, s3))
+    // idle expiry anchors on the user's newest EVENT time and fires when
+    // the watermark passes it (never on wall-clock — no empty-batch
+    // polling, deterministic replays); the timer must land strictly
+    // beyond the current watermark or the state store rejects it
+    def arm(): Unit = state.setTimeoutTimestamp(
+      math.max(lastUs / 1000L + idleTimeoutMs, state.getCurrentWatermarkMs + 1))
+    if (s1 == init.s1 && s2 == init.s2 && s3 == init.s3) {
+      // keep the reaper's anchor current even on a no-progress batch
+      if (state.exists) {
+        if (lastUs != init.lastUs) state.update(init.copy(lastUs = lastUs))
+        arm()
+      }
+      Iterator.empty
+    } else {
+      state.update(FState(s1, s2, s3, lastUs))
+      arm()
       Iterator.single(FOut(userId, opt(s1), opt(s2), opt(s3)))
     }
   }
 
-  /** Wire the stage machine over a (possibly streaming) event set. */
+  /** Wire the stage machine over a (possibly streaming) event set; the
+    * watermark rides the event time (`lateness` of allowed disorder
+    * across batches) and drives the idle-expiry timers.
+    */
   def stages(events: Dataset[FEvent],
-             stageNames: Seq[String] = Seq("view", "click", "purchase"))
+             stageNames: Seq[String] = Seq("view", "click", "purchase"),
+             idleTimeoutMs: Long = 30L * 24 * 3600 * 1000,
+             lateness: String = "1 hour")
             (implicit spark: SparkSession): Dataset[FOut] = {
     require(stageNames.size == 3, "funnel is specialized to 3 stages")
     import spark.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (k: Long, it: Iterator[FEvent], st: GroupState[FState]) =>
-          updateKey(k, it, st, stageNames))
+    import org.apache.spark.sql.functions.expr
+    events.withColumn("ts", expr("timestamp_micros(ts_us)"))
+      .as[FEventTs]
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        (k: Long, it: Iterator[FEventTs], st: GroupState[FState]) =>
+          updateKey(k, it, st, stageNames, idleTimeoutMs))
   }
 }

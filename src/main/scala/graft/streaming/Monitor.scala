@@ -386,7 +386,8 @@ object Monitor {
 
   def compactLog(spark: org.apache.spark.sql.SparkSession, path: String,
                  fold: DataFrame => DataFrame = identity,
-                 partitionCols: Seq[String] = Nil): Unit = {
+                 partitionCols: Seq[String] = Nil,
+                 gc: Boolean = true): Unit = {
     val ids = logBatchIds(spark, path)
     val pos = ids.filter(_ >= 0L)
     if (pos.nonEmpty) {
@@ -396,8 +397,6 @@ object Monitor {
       val prevGen = ids.filter(_ < 0L).minOption
       val prevThru = prevGen.map(g => -g - 1L).getOrElse(-1L)
       val absorb = pos.filter(id => id > prevThru && id < frontier)
-      var gen = prevGen
-      var thru = prevThru
       if (absorb.nonEmpty) {
         // preserve the log's sub-partitioning through the rewrite —
         // discovered from the layout itself, so a default-args call on a
@@ -417,19 +416,34 @@ object Monitor {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("__batch_id" +: nested: _*)
           .parquet(path)
-        gen = Some(newGen)
-        thru = newThru
       }
-      // garbage collection — everything already invisible to readLog:
-      // absorbed positives (including any a fresh-checkpoint replay
-      // recreated after a previous compaction) and superseded
-      // generations. Safe to crash halfway or re-run anytime; for logs
-      // SERVED CONCURRENTLY, run compaction in a maintenance window or
-      // defer this step a grace period past the generation write — a
-      // reader that listed files before the write may otherwise lose its
-      // snapshot mid-scan (readLog plans from the live listing).
-      (ids.filter(id => id < 0L && gen.exists(_ != id)) ++
-          pos.filter(_ <= thru))
+      // garbage collection — everything already invisible to readLog.
+      // For logs SERVED CONCURRENTLY, pass gc = false and run [[gcLog]]
+      // a grace period past the generation write: a reader that listed
+      // files before the write may otherwise lose its snapshot mid-scan
+      // (readLog plans from the live listing).
+      if (gc) gcLog(spark, path)
+    }
+  }
+
+  /** Delete log partitions already invisible to [[readLog]]: absorbed
+    * positive batches at or below the newest generation's frontier
+    * (including any a fresh-checkpoint replay recreated after a previous
+    * compaction) and superseded older generations. Decoupled from
+    * [[compactLog]] so a concurrently-served log can defer the delete a
+    * grace period past the generation write; idempotent and crash-safe —
+    * visibility is decided by the partition-id encoding alone, so
+    * re-running (or crashing halfway) never double counts.
+    */
+  def gcLog(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val ids = logBatchIds(spark, path)
+    val neg = ids.filter(_ < 0L)
+    if (neg.nonEmpty) {
+      val gen = neg.min
+      val thru = -gen - 1L
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      (neg.filter(_ != gen) ++ ids.filter(id => id >= 0L && id <= thru))
         .distinct.foreach { id =>
           fs.delete(new org.apache.hadoop.fs.Path(p, s"__batch_id=$id"), true)
         }
@@ -514,8 +528,10 @@ object Monitor {
   /** Live ANN serving against the [[maintainCellIndex]] layout: each
     * micro-batch of QUERY vectors routes to its top-`nprobe` cells
     * (`Similarity.assignTopCells`, broadcast centroids), reads only
-    * those cells' directories from the index (partition-pruned, the
-    * [[probeCells]] contract), scores candidates by EXACT cosine and
+    * those cells' directories from the index (the probe side is a
+    * broadcast build, so dynamic partition pruning reuses it to prune
+    * the `cell=` listing — no driver-side cell collect on the serving
+    * path), scores candidates by EXACT cosine and
     * emits top-`k` per query — exactly-once into a per-`__batch_id`
     * partition of `outPath`. Per batch the work is
     * O(batch · nprobe/k_cells · corpus-per-cell · d): the corpus is
@@ -530,7 +546,7 @@ object Monitor {
       .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         val spark = df.sparkSession
         graft.ops.Similarity.probeIndexTopK(
-            cells => probeCells(spark, indexPath, cells),
+            readLog(spark, indexPath),
             df.toDF(), centroids, k, nprobe, dims)
           .writeLogBatch(batchId, outPath)
       }
@@ -547,13 +563,22 @@ object Monitor {
     * read-time union IS the full-corpus postings table and
     * `TextAnalysis.bm25TopKFromIndex` off it scores BIT-equal to batch
     * `bm25TopK` over every doc ever streamed — the corpus text is never
-    * re-tokenized to serve a query.
+    * re-tokenized to serve a query. Each batch also logs one DOC-STATS
+    * row per document (`token` NULL, `dl` stated by the text path's own
+    * expression), so index-served n_docs/avgdl count EVERY ingested doc
+    * — a zero-token or null-text document, indexed nowhere, would
+    * otherwise silently shift the corpus stats away from `bm25TopK`'s.
     */
   def maintainBm25Index(stream: DataFrame, path: String, checkpoint: String,
                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        graft.ops.TextAnalysis.bm25Postings(df.toDF(), col("doc_id"), col("text"))
+        val docs = df.toDF()
+        val statsRows = docs.select(col("doc_id"),
+            size(graft.ops.TextAnalysis.tokens(col("text"))).cast("long").as("dl"),
+            lit(null).cast("string").as("token"), lit(0L).as("tf"))
+        graft.ops.TextAnalysis.bm25Postings(docs, col("doc_id"), col("text"))
+          .unionByName(statsRows)
           .writeLogBatch(batchId, path)
       }
       .option("checkpointLocation", checkpoint)
@@ -1263,48 +1288,93 @@ object Monitor {
   }
 
   case class DauVote(w_day: Long, user_id: Long)
-  /** Sorted distinct user ids seen for this window-end. */
-  case class DauState(users: Seq[Long])
+  /** [[DauVote]] plus its event-time column (the window-end day as a
+    * timestamp) — the shape the watermark rides on inside
+    * [[slidingDauStream]].
+    */
+  case class DauVoteTs(w_day: Long, user_id: Long, ts: java.sql.Timestamp)
+  /** Fixed-size HLL register file for this window-end (`1 << p` bytes). */
+  case class DauState(registers: Array[Byte])
   case class DauOut(w_day: Long, dau7: Long)
 
   /** Streaming twin of `Analytics.slidingActiveUsers` (§2b 28at): 7-day
     * rolling distinct actives maintained live. The batch reshape is
     * reused verbatim — each (user, active-day) votes into its
     * ≤`windowDays` window-ends via a small explode BEFORE keying — then
-    * one state machine per window-end holds the exact distinct-user set
-    * and emits the updated count whenever it grows. State is the same
-    * O(distinct user-days × windowDays) the batch shuffle carries (exact
-    * distinct has no smaller sufficient statistic; the constant-memory
-    * variant is the portable HLL sketch, §2b 28l). After any prefix the
-    * LATEST emitted count per window-end equals the batch operator over
-    * that prefix — counts only grow — which the spec asserts by replay.
+    * one state machine per window-end folds the votes into an HLL
+    * register file and emits the updated estimate whenever a register
+    * grows. State per key is EXACTLY `1 << p` bytes (16 KiB at the
+    * default p=14, ±0.8% standard error) no matter how many distinct
+    * users the window sees — the 28l sketch-tolerance contract, chosen
+    * over the exact user-set state that would hold 10⁸ longs in one
+    * state entry at 100× cardinality. The hash/registers/estimator are
+    * byte-identical to `graft_hll(user_id, p)` (functions/HllSketch
+    * .scala), so the spec pins the stream's final count per window-end
+    * to the batch sketch's estimate BIT-EXACTLY, and to the exact batch
+    * operator within tolerance. Registers only grow, so estimates are
+    * monotone and the LATEST emitted count per window-end is the answer.
     * Chained dropDuplicates→agg is NOT used: that pair of stateful
     * operators is unsupported in update mode, and the single
     * flatMapGroups machine does the same work in one state store.
-    * `w_day` is the epoch-day long (date arithmetic stays integer).
+    * An EVENT-TIME timeout reaps closed window-ends: each key arms a
+    * timer at `w_day + horizonDays` (a window-end only collects votes
+    * for `windowDays` of event time), and when the watermark passes it
+    * the state leaves the store instead of accumulating forever.
+    * Event-time — not processing-time — on purpose: timers fire only
+    * when the watermark advances (i.e. with data), so the engine never
+    * busy-loops empty batches checking wall-clock timers, replays are
+    * deterministic, and a paused-then-resumed stream doesn't mass-expire
+    * live windows. `w_day` is the epoch-day long (date arithmetic stays
+    * integer).
     */
-  def dauUpdate(key: Long, votes: Iterator[DauVote],
-                state: org.apache.spark.sql.streaming.GroupState[DauState]): Iterator[DauOut] = {
-    val prior = state.getOption.map(_.users).getOrElse(Seq.empty)
-    val grown = (prior.toSet ++ votes.map(_.user_id)).toSeq.sorted
-    if (grown.size != prior.size) {
-      state.update(DauState(grown))
-      Iterator.single(DauOut(key, grown.size.toLong))
-    } else Iterator.empty
+  def dauUpdate(key: Long, votes: Iterator[DauVoteTs],
+                state: org.apache.spark.sql.streaming.GroupState[DauState],
+                p: Int, horizonDays: Int): Iterator[DauOut] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    // a very late vote can arrive with the watermark already past this
+    // window's horizon; the timer must still land strictly beyond the
+    // watermark or the state store rejects it
+    def arm(): Unit = state.setTimeoutTimestamp(
+      math.max((key + horizonDays) * 86400000L, state.getCurrentWatermarkMs + 1))
+    val regs = state.getOption.map(_.registers).getOrElse(new Array[Byte](1 << p))
+    var changed = false
+    votes.foreach { v =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(v.user_id, org.apache.spark.sql.types.LongType, 42L)
+      val idx = (h >>> (64 - p)).toInt
+      val rest = h << p
+      val rank = if (rest == 0) (64 - p + 1) else java.lang.Long.numberOfLeadingZeros(rest) + 1
+      if (rank > regs(idx)) { regs(idx) = rank.toByte; changed = true }
+    }
+    if (changed) {
+      state.update(DauState(regs))
+      arm()
+      Iterator.single(DauOut(key, graft.functions.HllImpl.estimate(regs)))
+    } else {
+      if (state.exists) arm()
+      Iterator.empty
+    }
   }
 
   /** Wire [[dauUpdate]] over pre-exploded (w_day, user_id) votes — see
     * the spec for the explode; batch and stream share that projection.
+    * The watermark rides the window-end day itself (`lateDays` of
+    * allowed lateness), so `horizonDays` must exceed the vote explode's
+    * `windowDays` for live windows to outlast their vote stream.
     */
-  def slidingDauStream(votes: org.apache.spark.sql.Dataset[DauVote])
+  def slidingDauStream(votes: org.apache.spark.sql.Dataset[DauVote],
+                       p: Int = 14, horizonDays: Int = 8, lateDays: Int = 1)
                       (implicit spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.Dataset[DauOut] = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    votes.groupByKey(_.w_day)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (k: Long, it: Iterator[DauVote],
+    votes.withColumn("ts", (col("w_day") * 86400L).cast("timestamp"))
+      .as[DauVoteTs]
+      .withWatermark("ts", s"$lateDays days")
+      .groupByKey(_.w_day)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        (k: Long, it: Iterator[DauVoteTs],
          st: org.apache.spark.sql.streaming.GroupState[DauState]) =>
-          dauUpdate(k, it, st))
+          dauUpdate(k, it, st, p, horizonDays))
   }
 
   /** Streaming twin of the MAD anomaly detector's SCORE step

@@ -45,6 +45,41 @@ class ApiSpec extends AnyFunSuite {
       sampleScenario.replace("\"timer\"", "\"nope\"")))
   }
 
+  test("db-config resolution: URI form, yaml file form, default aliases") {
+    import graft.api.DbConfig
+    // explicit URI wins untouched (database.py: uri overload)
+    assert(DbConfig.uriFromConfig("mongodb://host:1234") === "mongodb://host:1234")
+    // aliases resolve to the packaged default config's net values
+    Seq("auto", "default", "topic_store", null, "").foreach { a =>
+      assert(DbConfig.uriFromConfig(a) === "mongodb://0.0.0.0:65530", s"alias $a")
+    }
+    // yaml file form: net.bindIp + net.port → mongodb URI
+    val f = Files.createTempFile("graft_db", ".yaml")
+    Files.write(f,
+      """storage:
+        |  journal:
+        |    enabled: true
+        |net:
+        |  port: 27018
+        |  bindIp: "127.0.0.1"
+        |""".stripMargin.getBytes("UTF-8"))
+    assert(DbConfig.uriFromConfig(f.toString) === "mongodb://127.0.0.1:27018")
+    // non-file / non-yaml paths raise like the reference's IOError
+    intercept[java.io.IOException](DbConfig.uriFromConfig("/nope/missing.yaml"))
+    val notYaml = Files.createTempFile("graft_db", ".txt")
+    intercept[java.io.IOException](DbConfig.uriFromConfig(notYaml.toString))
+    // a config without net section is invalid
+    val bad = Files.createTempFile("graft_bad", ".yaml")
+    Files.write(bad, "storage: {}\n".getBytes("UTF-8"))
+    intercept[IllegalArgumentException](DbConfig.uriFromConfig(bad.toString))
+    // the scenario seam: a database scenario resolves its storage config
+    assert(Scenario.parse(sampleScenario).databaseUri === "mongodb://0.0.0.0:65530")
+    intercept[IllegalArgumentException](
+      Scenario.parse(sampleScenario
+        .replace("\"database\"", "\"filesystem\"")
+        .replace("config: \"default\"", "location: \"/tmp/x\"")).databaseUri)
+  }
+
   test("Graft.load opens parquet paths and catalog tables") {
     val byPath = Graft.load(spark, s"$sf/events.parquet")
     assert(byPath.count() > 0)

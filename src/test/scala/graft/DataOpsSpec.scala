@@ -877,6 +877,77 @@ class DataOpsSpec extends AnyFunSuite {
     assert(Multimodal.videoSamples(truncated, everyN = 2).count() === 0)
   }
 
+  test("videoFrameFeatures decodes MJPEG-in-MP4 samples to exact pixel features") {
+    import spark.implicits._
+    import java.nio.ByteBuffer
+    def be32(v: Int): Array[Byte] = ByteBuffer.allocate(4).putInt(v).array()
+    def box(tag: String, parts: Array[Byte]*): Array[Byte] = {
+      val body = parts.flatten.toArray
+      be32(8 + body.length) ++ tag.getBytes("US-ASCII") ++ body
+    }
+    // three real JPEG frames (solid red / green / blue 8×6 images)
+    def jpegOf(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 6,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 6; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+      bos.toByteArray
+    }
+    val frames = Seq(jpegOf(0xff0000), jpegOf(0x00ff00), jpegOf(0x0000ff))
+    val sizes = frames.map(_.length)
+    val mdhd = box("mdhd", be32(0), be32(0), be32(0), be32(1000),
+      be32(300), be32(0))
+    val stts = box("stts", be32(0), be32(1), be32(3), be32(100))
+    val stsz = box("stsz", be32(0), be32(0), be32(3),
+      be32(sizes(0)), be32(sizes(1)), be32(sizes(2)))
+    // stsd declares the Motion-JPEG fourcc for the trak
+    val stsd = box("stsd", be32(0), be32(1),
+      box("jpeg", Array.fill[Byte](8)(0)))
+    val stsc = box("stsc", be32(0), be32(1), be32(1), be32(3), be32(1))
+    // compute the mdat body offset with a placeholder stco of final size
+    val placeholder = box("stco", be32(0), be32(1), be32(0))
+    val probe = box("ftyp", "isom".getBytes, be32(0)) ++
+      box("moov", box("trak", box("mdia", mdhd,
+        box("minf", box("stbl", stts, stsz, stsd, stsc, placeholder)))))
+    val c1 = probe.length + 8
+    val stco = box("stco", be32(0), be32(1), be32(c1))
+    val full = box("ftyp", "isom".getBytes, be32(0)) ++
+      box("moov", box("trak", box("mdia", mdhd,
+        box("minf", box("stbl", stts, stsz, stsd, stsc, stco))))) ++
+      box("mdat", frames.flatten.toArray)
+    val assets = Multimodal.toAsset(
+      Seq((11L, "video", full)).toDF("asset_id", "kind", "payload"),
+      col("asset_id"), col("kind"), col("payload"))
+    val out = Multimodal.videoFrameFeatures(assets, everyN = 2).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getSeq[Float](4))).sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(0, 2), "frames stride by everyN")
+    out.foreach { case (_, w, h, f) => assert(w === 8 && h === 6 && f.nonEmpty) }
+    // bit-parity with the still-image path: decoding the SAME jpeg bytes
+    // through the asset image decoder yields the same features
+    val still = Multimodal.decodeFeatures(Multimodal.toAsset(
+      Seq((0L, "image", frames(0)), (2L, "image", frames(2)))
+        .toDF("asset_id", "kind", "payload"),
+      col("asset_id"), col("kind"), col("payload")))
+      .select("asset_id", "features").collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Float](1)).toMap
+    out.foreach { case (k, _, _, f) => assert(f === still(k), s"frame $k") }
+    // a non-MJPEG fourcc gates the decoder off: same container, avc1 stsd
+    val stsdAvc = box("stsd", be32(0), be32(1),
+      box("avc1", Array.fill[Byte](8)(0)))
+    val fullAvc = box("ftyp", "isom".getBytes, be32(0)) ++
+      box("moov", box("trak", box("mdia", mdhd,
+        box("minf", box("stbl", stts, stsz, stsdAvc, stsc, stco))))) ++
+      box("mdat", frames.flatten.toArray)
+    val avcAssets = Multimodal.toAsset(
+      Seq((12L, "video", fullAvc)).toDF("asset_id", "kind", "payload"),
+      col("asset_id"), col("kind"), col("payload"))
+    assert(Multimodal.videoFrameFeatures(avcAssets, everyN = 1).count() === 0)
+    // ...while the codec-free sample EXTRACTION still works on it
+    assert(Multimodal.videoSamples(avcAssets, everyN = 1).count() === 3)
+  }
+
   test("GraftExtensions exposes native functions to plain SQL sessions") {
     import org.apache.spark.sql.SparkSession
     // materialize the shared lazy session BEFORE clearing: run in

@@ -37,7 +37,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "events_sliding_dau",     // single-row max-day cap broadcast
     "part_basket_lift",       // single-row global order-count broadcast
     "agg_equidepth",          // single-row percentile-edges broadcast
-    "agg_cm_counts")          // single-row count-min sketch broadcast
+    "agg_cm_counts",          // single-row count-min sketch broadcast
+    "agg_kmv_overlap")        // |types|-row sketch-pair cross: intended tiny nested loop
 
   for ((name, q) <- SparkEntry.queries) {
     test(s"$name: no unintended nested-loop or cartesian join") {
@@ -49,6 +50,25 @@ class PlanAuditSpec extends AnyFunSuite {
           s"unexpected BroadcastNestedLoopJoin in $name:\n$plan")
       }
     }
+  }
+
+  test("all-pairs baselines are gated: capRows passes small frames, strides big ones") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    // below the cap the frame passes through untouched — oracles see every row
+    assert(SparkEntry.capRows(emb, "vec_id").count() === n)
+    // above the cap: a deterministic hash-stride sample, bounded near the cap
+    val capped = SparkEntry.capRows(emb, "vec_id", cap = 50L)
+    val m = capped.count()
+    assert(m < n, "gate must shrink an over-cap frame")
+    assert(m <= 4 * 50, s"stride sample should land near the cap, got $m")
+    // the gate is a plain pushable predicate, not a shuffle or a limit
+    assert(capped.queryExecution.optimizedPlan.toString.toLowerCase.contains("xxhash64"))
+    assert(!capped.queryExecution.executedPlan.toString.contains("Exchange"))
+    // deterministic: the same rows come back on a fresh plan
+    val again = SparkEntry.capRows(Tables.embeddings(spark, sf), "vec_id", cap = 50L)
+    assert(capped.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      again.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
   test("join-heavy queries survive broadcast being disabled (the 100x plan)") {

@@ -71,6 +71,26 @@ class StoreOpsSpec extends AnyFunSuite {
     assert(out.select("doc.n").collect().map(_.getInt(0)).toSet === Set(1, 2))
   }
 
+  test("coerceReverse restores the original bytes after coerceBinary (round trip)") {
+    import spark.implicits._
+    val df = Seq(("ok", 1), ("bad", 2)).toDF("tag", "n")
+      .select(struct(
+        when(col("tag") === "ok", encode(lit("héllo"), "UTF-8"))
+          .otherwise(concat(encode(lit("x"), "UTF-8"), unhex(lit("FF")))).as("payload"),
+        col("n").as("n")).as("doc"), col("tag"))
+    val back = Documents.coerceReverse(Documents.coerceBinary(df))
+    // schema restored: the union leaf folds back to one binary column
+    assert(back.schema.simpleString === df.schema.simpleString)
+    // bytes restored exactly on BOTH branches (text re-encode and raw)
+    val diff = df.select(col("tag"), hex(col("doc.payload")).as("h"), col("doc.n"))
+      .except(back.select(col("tag"), hex(col("doc.payload")).as("h"), col("doc.n")))
+    assert(diff.count() === 0, "coerceReverse . coerceBinary must be the identity")
+    // a frame without union leaves passes through untouched
+    val plain = Seq((1L, "t")).toDF("id", "s")
+    assert(Documents.coerceReverse(plain).collect().toSeq ===
+      plain.collect().toSeq)
+  }
+
   test("binary GridFS round trip: chunk and reassemble raw bytes exactly") {
     import spark.implicits._
     // payloads containing invalid-UTF8 bytes (0xFF) — a string path would

@@ -588,6 +588,8 @@ class StreamingSpec extends AnyFunSuite {
         .cast("long").as("w_day"), col("user_id"))
       .as[Monitor.DauVote].collect().sortBy(v => (v.w_day, v.user_id))
     val input = MemoryStream[Monitor.DauVote]
+    // event-time timers fire only when the watermark moves, so the plain
+    // processAllAvailable drive works (no wall-clock timer polling)
     val q = Monitor.slidingDauStream(input.toDS()).writeStream
       .outputMode("update").format("memory").queryName("dau_stream").start()
     try {
@@ -596,15 +598,76 @@ class StreamingSpec extends AnyFunSuite {
         q.processAllAvailable()
       }
     } finally q.stop()
-    // update-mode counts only grow: the max per window-end is the final state
+    // update-mode estimates only grow: the max per window-end is the final state
     val streamed = spark.table("dau_stream")
       .groupBy("w_day").agg(max(col("dau7")).as("dau7"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // contract 1 (bit-exact): the stream's final estimate per window-end
+    // IS graft_hll_sketch(user_id, 14) over the same votes — same hash,
+    // same registers, same estimator
+    graft.functions.HllFunctions.register(spark)
+    val sketch = votes.toSeq.toDF("w_day", "user_id")
+      .groupBy("w_day")
+      .agg(expr("graft_hll_est(graft_hll_sketch(user_id, 14))").as("dau7"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sketch.foreach { case (day, n) => assert(streamed(day) === n, s"sketch day $day") }
+    // contract 2 (tolerance): within the 28l sketch error of the exact
+    // batch operator on its domain (batch caps trailing windows at the
+    // last seen day); p=14 → ±0.8% standard error, assert 5%
     val batch = graft.ops.Analytics.slidingActiveUsers(spark, sf).collect()
       .map(r => r.getDate(0).toLocalDate.toEpochDay -> r.getLong(1)).toMap
-    // batch caps trailing windows at the last seen day; compare that domain
-    batch.foreach { case (day, n) => assert(streamed(day) === n, s"day $day") }
+    batch.foreach { case (day, n) =>
+      assert(math.abs(streamed(day) - n) <= math.max(1L, (n * 0.05).toLong), s"day $day") }
     assert(batch.nonEmpty)
+  }
+
+  test("sliding dau state is fixed-size registers and times out idle window-ends") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    // fold 10k distinct users into one window-end key: state stays 1<<p bytes
+    val p = 12
+    var st = TestGroupState.create[Monitor.DauState](
+      org.apache.spark.api.java.Optional.empty(), org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(1000L), hasTimedOut = false)
+    val ts = new java.sql.Timestamp(100L * 86400000L)
+    val votes = (1L to 10000L).iterator.map(u => Monitor.DauVoteTs(100L, u, ts))
+    val out = Monitor.dauUpdate(100L, votes, st, p, horizonDays = 8).toSeq
+    assert(out.size === 1)
+    assert(st.get.registers.length === (1 << p))
+    // estimate is within sketch tolerance of the exact 10k
+    assert(math.abs(out.head.dau7 - 10000L) <= 10000L * 5 / 100)
+    // the expiry timer is armed at the window's event-time horizon
+    assert(st.getTimeoutTimestampMs.get() === (100L + 8L) * 86400000L)
+    // a timed-out invocation (watermark passed the horizon) reaps the key
+    val st2 = TestGroupState.create[Monitor.DauState](
+      org.apache.spark.api.java.Optional.of(st.get), org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 2000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of((109L) * 86400000L), hasTimedOut = true)
+    val out2 = Monitor.dauUpdate(100L, Iterator.empty, st2, p, horizonDays = 8).toSeq
+    assert(out2.isEmpty)
+    assert(st2.isRemoved)
+  }
+
+  test("funnel state times out idle users and drops their state") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import graft.streaming.Funnel
+    val stages = Seq("view", "click", "purchase")
+    def fev(id: Long, t: String, us: Long) =
+      Funnel.FEventTs(7L, id, t, us, new java.sql.Timestamp(us / 1000L))
+    val st = TestGroupState.create[Funnel.FState](
+      org.apache.spark.api.java.Optional.empty(), org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(0L), hasTimedOut = false)
+    val out = Funnel.updateKey(7L,
+      Iterator(fev(1L, "view", 10L), fev(2L, "click", 20L)),
+      st, stages, idleTimeoutMs = 60000L).toSeq
+    assert(out === Seq(Funnel.FOut(7L, Some(10L), Some(20L), None)))
+    // reaper armed at last event time + idle horizon
+    assert(st.getTimeoutTimestampMs.get() === 20L / 1000L + 60000L)
+    // the timeout firing removes the stale user's state, emitting nothing
+    val st2 = TestGroupState.create[Funnel.FState](
+      org.apache.spark.api.java.Optional.of(st.get), org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 2000L, eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(100000L), hasTimedOut = true)
+    val out2 = Funnel.updateKey(7L, Iterator.empty, st2, stages, idleTimeoutMs = 60000L).toSeq
+    assert(out2.isEmpty)
+    assert(st2.isRemoved)
   }
 
   test("native session_window streams with a watermark, equal to batch") {
@@ -1054,6 +1117,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(parts() === Set(-3L, 3L, 4L), s"got ${parts()}")
     Monitor.compactLog(spark, path)
     assert(parts() === Set(-4L, 4L), s"got ${parts()}")
+
+    // deferred GC for a CONCURRENTLY-SERVED log: compactLog(gc = false)
+    // writes the new generation but leaves the absorbed partitions on
+    // disk, so a reader that listed files before the write keeps a
+    // complete snapshot; gcLog sweeps them after the grace period
+    input.addData(all.take(5): _*)
+    val q5 = Monitor.maintainBm25Index(input.toDF().drop("ts"), path, s"$ckpt/c1")
+    try q5.awaitTermination(120000) finally q5.stop()
+    assert(parts() === Set(-4L, 4L, 5L), s"got ${parts()}")
+    val before = Monitor.readLog(spark, path).count()
+    Monitor.compactLog(spark, path, gc = false)
+    assert(parts() === Set(-5L, -4L, 4L, 5L), s"got ${parts()}")
+    assert(Monitor.readLog(spark, path).count() === before)
+    Monitor.gcLog(spark, path)
+    assert(parts() === Set(-5L, 5L), s"got ${parts()}")
+    assert(Monitor.readLog(spark, path).count() === before)
   }
 
   test("maintained bm25 index scores bit-equal to batch bm25 over the streamed corpus") {
@@ -1061,7 +1140,13 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_bm").toString
     val ckpt = Files.createTempDirectory("graft_bm_ck").toString
-    val docs = Tables.documents(spark, sf)
+    // plant a null-text doc: it reaches no posting row, but the text
+    // path counts it in n_docs — the doc-stats rows must make the
+    // index-served stats count it identically (the bit-equality caveat
+    // this fixture exists to pin)
+    val planted = Seq((900001L, null.asInstanceOf[String]))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .unionByName(planted.toDF("doc_id", "text"))
     val terms = Seq("merge", "batch", "stream")
     val all = docs.select("doc_id", "text").collect()
       .map(r => Doc(r.getLong(0), new Timestamp(0L), r.getString(1))).toSeq
