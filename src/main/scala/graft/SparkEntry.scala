@@ -888,6 +888,10 @@ object SparkEntry {
     // integer centered deviations, micro-rounded fixed-tree products
     "ts_acf" -> ((s, dir) => Analytics.eventAcf(s, dir)),
 
+    // OLS trend line per series (slope/intercept/R²) from five exact
+    // integer sufficient statistics — map-combinable, no window
+    "ts_ols_trend" -> ((s, dir) => Analytics.eventOlsTrend(s, dir)),
+
     // SAX-style motif census: top-20 discretized 4-step hourly shapes
     // across all series — U/D/F by integer deadband, gap windows dropped
     "ts_motifs" -> ((s, dir) => Analytics.eventMotifs(s, dir)),
@@ -2566,6 +2570,46 @@ object SparkEntry {
         |  CAST(p.num_micro AS DOUBLE) / CAST(den.den_micro AS DOUBLE) AS acf
         |FROM p JOIN den USING (series)
         |ORDER BY series, lag""".stripMargin,
+
+    // the ts_acf playbook: integer centered deviations u = n·h − Σh and
+    // d = n·x − Σx, micro-rounded fixed-tree products, single spelled
+    // divisions at the end; CASE guards the no-hour-spread series in
+    // both engines (Spark 0/0 is NaN, DuckDB errors — neither runs)
+    "ts_ols_trend" ->
+      """WITH e AS (SELECT event_type AS series,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
+        |b AS MATERIALIZED (SELECT series, h,
+        |    CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT) AS x
+        |  FROM e GROUP BY 1, 2),
+        |s AS (SELECT series, COUNT(*) AS n, MIN(h) AS h0,
+        |      CAST(SUM(h) AS BIGINT) AS sh, CAST(SUM(x) AS BIGINT) AS sx
+        |      FROM b GROUP BY 1),
+        |dv AS (SELECT b.series, s.n, s.h0, s.sh, s.sx,
+        |       b.h * s.n - s.sh AS u, b.x * s.n - s.sx AS d
+        |  FROM b JOIN s USING (series)),
+        |g AS (SELECT series, n, h0, sh, sx,
+        |    CAST(SUM(CAST(round(CAST(u AS DOUBLE) * CAST(d AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT)) AS BIGINT) AS cov_sum,
+        |    CAST(SUM(CAST(round(CAST(u AS DOUBLE) * CAST(u AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT)) AS BIGINT) AS varh_sum,
+        |    CAST(SUM(CAST(round(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+        |      / (1000000.0 * n * n)) AS BIGINT)) AS BIGINT) AS varv_sum
+        |  FROM dv GROUP BY 1, 2, 3, 4, 5)
+        |SELECT series, n, h0, cov_sum, varh_sum, varv_sum,
+        |  CASE WHEN varh_sum > 0
+        |    THEN CAST(cov_sum AS DOUBLE) / CAST(varh_sum AS DOUBLE) END
+        |    AS slope_micro_per_h,
+        |  CASE WHEN varh_sum > 0
+        |    THEN CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(cov_sum AS DOUBLE) / CAST(varh_sum AS DOUBLE))
+        |        * (CAST(sh - n * h0 AS DOUBLE) / CAST(n AS DOUBLE)) END
+        |    AS intercept_micro,
+        |  CASE WHEN varh_sum > 0 AND varv_sum > 0
+        |    THEN (CAST(cov_sum AS DOUBLE) / CAST(varh_sum AS DOUBLE))
+        |      * (CAST(cov_sum AS DOUBLE) / CAST(varv_sum AS DOUBLE))
+        |      / 1000000.0 END AS r2
+        |FROM g ORDER BY series""".stripMargin,
 
     // hot-basket cap mirrored; every score is one IEEE division of
     // exact integer products

@@ -1952,4 +1952,88 @@ object Analytics {
       .agg(countDistinct(col("user_id")).as("active_users"))
       .orderBy(col("cohort_week"), col("week_offset"))
   }
+
+  /** Ordinary-least-squares trend line per series (slope, intercept, R²)
+    * over the observed hourly buckets — the capacity-planning "is this
+    * metric growing, and how fast" primitive, and the closed-form
+    * regression [[acf]]'s persistence profile and [[holt]]'s smoother
+    * feed into: one number per series for "micro-units per hour", with
+    * R² saying how much of the variance the line explains.
+    *
+    * Exactness (the [[acf]] playbook): with n buckets, Σh = sh and
+    * Σx = sx exact integers, the centered deviations are the INTEGERS
+    * `u = n·h − sh` (hours) and `d = n·x − sx` (micro) — no float mean,
+    * no division. Each cross/self product is a fixed-tree IEEE
+    * expression micro-rounded to an integer BEFORE the (then exact,
+    * associative) sum — `round(double(u)·double(d) / (n·n))` for the
+    * covariance, `/ (n·n)` and `/ (1e6·n·n)` for the two variances —
+    * every factor an exactly-representable long, one spelled
+    * parenthesization, so partial-agg order can't move a bit and the
+    * oracle replays the sums exactly. Slope/intercept/R² are then single
+    * fixed divisions of those integers (NULL when the series has no
+    * hour spread — both engines' CASE, never an engine-specific 0/0).
+    *
+    * Scale shape: one O(events) bucketing shuffle with map-side partial
+    * agg, one broadcast of the O(series) stats row, one more grouped agg
+    * over the O(series × hours) bucket table. The sufficient statistics
+    * are five longs per series — map-combinable, mergeable across
+    * increments (the streaming twin maintains exactly these sums), no
+    * window, no per-series sort, no driver loop: 10⁶ series fan across
+    * the cluster and a year of hourly buckets per series is just 8.8k
+    * rows through an agg.
+    */
+  def olsTrend(ev0: DataFrame, bucketSec: Long = 3600L): DataFrame = {
+    import graft.model.Documents
+    val hourly = ev0
+      .select(col("event_type").as("series"),
+        (Documents.tsSec(col("ts")) / bucketSec).cast("long").as("h"),
+        expr("cast(round(value * 1000000.0D) as bigint)").as("vm"))
+      .groupBy(col("series"), col("h"))
+      .agg(sum(col("vm")).as("sv"), count(lit(1)).as("cnt"))
+      .select(col("series"), col("h"), expr("sv div cnt").as("x"))
+    olsTrendFromBuckets(hourly)
+  }
+
+  /** [[olsTrend]]'s sums over an ALREADY-bucketed (series, h, x) table —
+    * the bucket-log family convention, so the trend refreshes from the
+    * streaming-maintained hourly log without re-scanning raw events.
+    */
+  def olsTrendFromBuckets(buckets: DataFrame): DataFrame = {
+    val stats = buckets.groupBy(col("series"))
+      .agg(count(lit(1)).as("n"), min(col("h")).as("h0"),
+        sum(col("h")).as("sh"), sum(col("x")).as("sx"))
+    val dev = buckets.join(broadcast(stats), "series")
+      .select(col("series"), col("n"), col("h0"), col("sh"), col("sx"),
+        (col("n") * col("h") - col("sh")).as("u"),
+        (col("n") * col("x") - col("sx")).as("d"))
+    dev.groupBy(col("series"), col("n"), col("h0"), col("sh"), col("sx"))
+      .agg(
+        sum(expr("cast(round(cast(u as double) * cast(d as double)" +
+          " / (cast(n as double) * cast(n as double))) as bigint)")).as("cov_sum"),
+        sum(expr("cast(round(cast(u as double) * cast(u as double)" +
+          " / (cast(n as double) * cast(n as double))) as bigint)")).as("varh_sum"),
+        sum(expr("cast(round(cast(d as double) * cast(d as double)" +
+          " / (1000000.0D * n * n)) as bigint)")).as("varv_sum"))
+      .select(col("series"), col("n"), col("h0"), col("cov_sum"),
+        col("varh_sum"), col("varv_sum"),
+        when(col("varh_sum") > 0,
+          col("cov_sum").cast("double") / col("varh_sum").cast("double"))
+          .as("slope_micro_per_h"),
+        when(col("varh_sum") > 0,
+          col("sx").cast("double") / col("n").cast("double")
+            - (col("cov_sum").cast("double") / col("varh_sum").cast("double"))
+              * ((col("sh") - col("n") * col("h0")).cast("double")
+                 / col("n").cast("double")))
+          .as("intercept_micro"),
+        when(col("varh_sum") > 0 && col("varv_sum") > 0,
+          (col("cov_sum").cast("double") / col("varh_sum").cast("double"))
+            * (col("cov_sum").cast("double") / col("varv_sum").cast("double"))
+            / lit(1000000.0d))
+          .as("r2"))
+      .orderBy(col("series"))
+  }
+
+  /** [[olsTrend]] on the events table. */
+  def eventOlsTrend(spark: SparkSession, dir: String): DataFrame =
+    olsTrend(Tables.events(spark, dir))
 }

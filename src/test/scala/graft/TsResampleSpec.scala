@@ -58,6 +58,30 @@ class TsResampleSpec extends AnyFunSuite {
     assert(math.abs(byLag(2)._3 - (6.0 / 8.0)) < 1e-9)
   }
 
+  test("olsTrend fits an exact line: slope 3/h, intercept 2, r2 = 1") {
+    // x = 2 + 3h over hours 0..4 — by hand: u = 5h−10, d = 15e6(h−2),
+    // cov_sum = 3e6·Σ(h−2)² = 30e6, varh_sum = Σ(h−2)² = 10,
+    // varv_sum = 9e6·Σ(h−2)² = 90e6
+    val rows = (0 to 4).map(h => (h * 3600L, "L", 2.0 + 3.0 * h))
+    val out = Analytics.olsTrend(ev(rows)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(3) === 30000000L) // cov_sum
+    assert(r.getLong(4) === 10L) // varh_sum
+    assert(r.getLong(5) === 90000000L) // varv_sum
+    assert(r.getDouble(6) === 3000000.0) // slope: 3 units/hour in micro
+    assert(r.getDouble(7) === 2000000.0) // intercept at h0 in micro
+    assert(r.getDouble(8) === 1.0) // a perfect line explains everything
+  }
+
+  test("olsTrend: a series with no hour spread yields NULL fit, not 0/0") {
+    val out = Analytics.olsTrend(ev(Seq((10L, "S", 5.0), (20L, "S", 7.0))))
+      .collect()
+    val r = out.head
+    assert(r.getLong(1) === 1L) // both rows share hour 0 → one bucket
+    assert(r.isNullAt(6) && r.isNullAt(7) && r.isNullAt(8))
+  }
+
   test("acf pairs require both endpoints observed (gaps pair across)") {
     // hours 0,1,3 observed: lag-1 pairs are (0,1) only; lag-2 is (1,3)
     val df = ev(Seq((0L, "A", 1.0), (3600L, "A", 2.0), (3 * 3600L, "A", 3.0)))
