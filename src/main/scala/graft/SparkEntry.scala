@@ -892,6 +892,10 @@ object SparkEntry {
     // integer sufficient statistics — map-combinable, no window
     "ts_ols_trend" -> ((s, dir) => Analytics.eventOlsTrend(s, dir)),
 
+    // lead/lag cross-correlation of every series vs the purchase series
+    // (lags −6..6) — broadcast reference deviations, no extra shuffle
+    "ts_ccf" -> ((s, dir) => Analytics.eventCcf(s, dir)),
+
     // SAX-style motif census: top-20 discretized 4-step hourly shapes
     // across all series — U/D/F by integer deadband, gap windows dropped
     "ts_motifs" -> ((s, dir) => Analytics.eventMotifs(s, dir)),
@@ -2610,6 +2614,42 @@ object SparkEntry {
         |      * (CAST(cov_sum AS DOUBLE) / CAST(varv_sum AS DOUBLE))
         |      / 1000000.0 END AS r2
         |FROM g ORDER BY series""".stripMargin,
+
+    // ts_acf's cross-series sibling: the pair product divides by BOTH
+    // series' n factors, the correlation divides by the IEEE sqrt of
+    // the two den products — all fixed trees, bit-for-bit
+    "ts_ccf" ->
+      """WITH e AS (SELECT event_type AS series,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
+        |b AS MATERIALIZED (SELECT series, h,
+        |    CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT) AS x
+        |  FROM e GROUP BY 1, 2),
+        |s AS (SELECT series, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx
+        |      FROM b GROUP BY 1),
+        |dv AS MATERIALIZED (SELECT b.series, b.h, s.n, b.x * s.n - s.sx AS d
+        |  FROM b JOIN s USING (series)),
+        |den AS MATERIALIZED (SELECT series, n, CAST(SUM(CAST(round(
+        |    CAST(d AS DOUBLE) * CAST(d AS DOUBLE) / (1000000.0 * n * n))
+        |    AS BIGINT)) AS BIGINT) AS den_micro FROM dv GROUP BY 1, 2),
+        |r AS (SELECT h AS hr, d AS dr, n AS nr FROM dv WHERE series = 'purchase'),
+        |rd AS (SELECT den_micro AS den_ref FROM den WHERE series = 'purchase'),
+        |l AS (SELECT CAST(unnest(range(-6, 7)) AS INT) AS lag),
+        |p AS (SELECT a.series, l.lag, COUNT(*) AS n_pairs,
+        |        CAST(SUM(CAST(round(
+        |          CAST(a.d AS DOUBLE) * CAST(r.dr AS DOUBLE)
+        |          / (1000000.0 * a.n * r.nr)) AS BIGINT)) AS BIGINT) AS num_micro
+        |      FROM dv a CROSS JOIN l
+        |      JOIN r ON a.h + l.lag = r.hr
+        |      GROUP BY 1, 2)
+        |SELECT p.series, p.lag, p.n_pairs, p.num_micro,
+        |  den.den_micro, rd.den_ref,
+        |  CASE WHEN den.den_micro > 0 AND rd.den_ref > 0
+        |    THEN CAST(p.num_micro AS DOUBLE)
+        |      / sqrt(CAST(den.den_micro AS DOUBLE) * CAST(rd.den_ref AS DOUBLE))
+        |  END AS ccf
+        |FROM p JOIN den USING (series) CROSS JOIN rd
+        |ORDER BY series, lag""".stripMargin,
 
     // hot-basket cap mirrored; every score is one IEEE division of
     // exact integer products

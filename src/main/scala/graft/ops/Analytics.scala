@@ -1368,6 +1368,72 @@ object Analytics {
   def eventAcf(spark: SparkSession, dir: String): DataFrame =
     acf(Tables.events(spark, dir))
 
+  /** Lagged cross-correlation of EVERY series against one designated
+    * reference series (CCF, lags −`maxLag`..`maxLag`) over the observed
+    * hourly buckets — the lead/lag profile a pipeline reads to learn
+    * which metrics anticipate the KPI (`ccf(lag) = corr(x_s(h),
+    * x_ref(h+lag))`: a peak at a positive lag means the series moves
+    * BEFORE the reference). [[acf]]'s exactness playbook verbatim, with
+    * the pair product now crossing two series: each term is the
+    * fixed-tree `round(double(d_s)·double(d_ref) / (1e6·n_s·n_ref))`
+    * (both deviations carry their own series' n factor), the
+    * denominators are each series' own full Σd² micro sum, and the
+    * correlation is one spelled division by the IEEE `sqrt` of their
+    * product — correctly rounded in any engine, so the oracle replays
+    * bit-for-bit. Zero-variance sides yield NULL via CASE.
+    *
+    * Scale shape: one O(events) bucketing shuffle; the reference
+    * series' O(hours) deviation table broadcasts (one series is by
+    * definition driver-small — a year is 8.8k rows), so the lag pairing
+    * is a broadcast equality join with NO extra shuffle over the
+    * O(series × hours × lags) expansion, then one map-side-combined
+    * grouped agg. Profiling 10⁶ series against one KPI costs one pass.
+    */
+  def ccf(ev0: DataFrame, refSeries: String = "purchase", maxLag: Int = 6,
+          bucketSec: Long = 3600L): DataFrame = {
+    import graft.model.Documents
+    require(maxLag >= 1 && maxLag <= 168, s"maxLag in [1,168], got $maxLag")
+    val hourly = ev0
+      .select(col("event_type").as("series"),
+        (Documents.tsSec(col("ts")) / bucketSec).cast("long").as("h"),
+        expr("cast(round(value * 1000000.0D) as bigint)").as("vm"))
+      .groupBy(col("series"), col("h"))
+      .agg(sum(col("vm")).as("sv"), count(lit(1)).as("cnt"))
+      .select(col("series"), col("h"), expr("sv div cnt").as("x"))
+    val stats = hourly.groupBy(col("series"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val dev = hourly.join(broadcast(stats), "series")
+      .select(col("series"), col("h"), col("n"),
+        (col("n") * col("x") - col("sx")).as("d"))
+    val den = dev.groupBy(col("series"), col("n"))
+      .agg(sum(expr("cast(round(cast(d as double) * cast(d as double)" +
+        " / (1000000.0D * n * n)) as bigint)")).as("den_micro"))
+    val refDev = dev.filter(col("series") === lit(refSeries))
+      .select(col("h").as("hr"), col("d").as("dr"), col("n").as("nr"))
+    val refDen = den.filter(col("series") === lit(refSeries))
+      .select(col("den_micro").as("den_ref"))
+    val a = dev.select(col("series"), col("h"), col("d"), col("n"),
+      explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"))
+    a.join(broadcast(refDev), col("h") + col("lag") === col("hr"))
+      .groupBy(col("series"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("cast(round(cast(d as double) * cast(dr as double)" +
+          " / (1000000.0D * n * nr)) as bigint)")).as("num_micro"))
+      .join(broadcast(den), "series")
+      .crossJoin(broadcast(refDen))
+      .select(col("series"), col("lag"), col("n_pairs"), col("num_micro"),
+        col("den_micro"), col("den_ref"),
+        when(col("den_micro") > 0 && col("den_ref") > 0,
+          col("num_micro").cast("double")
+            / sqrt(col("den_micro").cast("double") * col("den_ref").cast("double")))
+          .as("ccf"))
+      .orderBy(col("series"), col("lag"))
+  }
+
+  /** [[ccf]] on the events table (reference series: purchase). */
+  def eventCcf(spark: SparkSession, dir: String): DataFrame =
+    ccf(Tables.events(spark, dir))
+
   /** Holt double exponential smoothing (level + linear trend) per series
     * over observed hourly mean-micro buckets — the trend-aware sibling of
     * [[ewma]] (which has no trend term and lags every ramp): the smoother

@@ -58,6 +58,24 @@ class TsResampleSpec extends AnyFunSuite {
     assert(math.abs(byLag(2)._3 - (6.0 / 8.0)) < 1e-9)
   }
 
+  test("ccf: a series that leads the reference by 1h peaks at lag +1") {
+    // purchase alternates ±1 over hours 0..7; A(h) = purchase(h+1), so
+    // corr(A(h), purchase(h+lag)) peaks at lag 1 with the acf-style
+    // 7/8 (full-series denominator, one edge pair lost) and is exactly
+    // −1 at lag 0 (all 8 hours pair, opposite sign); purchase against
+    // itself at lag 0 is 1 — the self-row sanity anchor
+    val ref = (0 until 8).map(h =>
+      (h * 3600L, "purchase", if (h % 2 == 0) 1.0 else -1.0))
+    val lead = (0 until 8).map(h =>
+      (h * 3600L, "A", if ((h + 1) % 2 == 0) 1.0 else -1.0))
+    val out = Analytics.ccf(ev(ref ++ lead), maxLag = 2).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(6)).toMap
+    assert(math.abs(out(("A", 1)) - 7.0 / 8.0) < 1e-9)
+    assert(math.abs(out(("A", 0)) - (-1.0)) < 1e-9)
+    assert(math.abs(out(("purchase", 0)) - 1.0) < 1e-9)
+    assert(math.abs(out(("purchase", 1)) - (-7.0 / 8.0)) < 1e-9)
+  }
+
   test("olsTrend fits an exact line: slope 3/h, intercept 2, r2 = 1") {
     // x = 2 + 3h over hours 0..4 — by hand: u = 5h−10, d = 15e6(h−2),
     // cov_sum = 3e6·Σ(h−2)² = 30e6, varh_sum = Σ(h−2)² = 10,
