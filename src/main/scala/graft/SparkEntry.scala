@@ -641,6 +641,10 @@ object SparkEntry {
     // frontier BFS from part 0 over the same graph: exact hop distances
     "graph_bfs" -> ((s, dir) => Graph.partBfs(s, dir)),
 
+    // deterministic uniform random walks (DeepWalk corpus) over the
+    // trading graph: md5-argmin next hop, replays bit-for-bit
+    "graph_walks" -> ((s, dir) => Graph.transactionWalks(s, dir)),
+
     // ── §2c training-data pipeline ────────────────────────────────────
     "dedup_exact" -> ((s, dir) =>
       TextAnalysis.exactDedup(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -2000,6 +2004,38 @@ object SparkEntry {
         |  WHERE walk.depth < 30)
         |SELECT node, CAST(min(depth) AS INT) AS depth
         |FROM walk GROUP BY node ORDER BY node""".stripMargin,
+
+    // the same md5-argmin next hop unrolled step by step; hash inputs
+    // are the identical "walk:step:neighbor" strings, so both engines
+    // pick the same neighbor everywhere short of an md5 collision
+    "graph_walks" ->
+      """WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS MATERIALIZED (SELECT src AS a, dst AS b FROM pairs
+        |     UNION ALL SELECT dst, src FROM pairs),
+        |nd AS (SELECT DISTINCT a FROM e),
+        |f0 AS (SELECT nd.a * 2 + ww.w AS walk, nd.a AS cur
+        |       FROM nd CROSS JOIN (SELECT CAST(unnest(range(0, 2)) AS BIGINT) AS w) ww),
+        |s1 AS (SELECT walk, arg_min(b, md5(CAST(walk AS VARCHAR) || ':1:' || CAST(b AS VARCHAR))) AS cur
+        |       FROM f0 JOIN e ON f0.cur = e.a GROUP BY walk),
+        |s2 AS (SELECT walk, arg_min(b, md5(CAST(walk AS VARCHAR) || ':2:' || CAST(b AS VARCHAR))) AS cur
+        |       FROM s1 JOIN e ON s1.cur = e.a GROUP BY walk),
+        |s3 AS (SELECT walk, arg_min(b, md5(CAST(walk AS VARCHAR) || ':3:' || CAST(b AS VARCHAR))) AS cur
+        |       FROM s2 JOIN e ON s2.cur = e.a GROUP BY walk),
+        |s4 AS (SELECT walk, arg_min(b, md5(CAST(walk AS VARCHAR) || ':4:' || CAST(b AS VARCHAR))) AS cur
+        |       FROM s3 JOIN e ON s3.cur = e.a GROUP BY walk),
+        |un AS (SELECT walk, 0 AS step, cur FROM f0
+        |  UNION ALL SELECT walk, 1, cur FROM s1
+        |  UNION ALL SELECT walk, 2, cur FROM s2
+        |  UNION ALL SELECT walk, 3, cur FROM s3
+        |  UNION ALL SELECT walk, 4, cur FROM s4)
+        |SELECT
+        |  CASE WHEN (walk // 2) % 2 = 0 THEN 'c' || CAST((walk // 2) // 2 AS VARCHAR)
+        |       ELSE 's' || CAST((walk // 2) // 2 AS VARCHAR) END AS start,
+        |  CAST(walk % 2 AS INT) AS w, step,
+        |  CASE WHEN cur % 2 = 0 THEN 'c' || CAST(cur // 2 AS VARCHAR)
+        |       ELSE 's' || CAST(cur // 2 AS VARCHAR) END AS node
+        |FROM un ORDER BY start, w, step""".stripMargin,
 
     // integer day arithmetic from a fixed epoch — no engine week-truncation
     "events_retention" ->

@@ -373,6 +373,84 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Deterministic uniform random walks — the DeepWalk/node2vec corpus
+    * generator (Perozzi et al. 2014): `walksPerNode` walks of `length`
+    * steps from every node, each step choosing uniformly among the
+    * current node's neighbors. "Random" is hash-derived, not RNG: step
+    * i of walk w moves to the neighbor minimizing
+    * `md5(walk:step:neighbor)` — every neighbor is equally likely under
+    * the hash's uniformity, yet the whole corpus replays bit-for-bit on
+    * any engine/partitioning (md5 hex is cross-engine identical, the
+    * argmin has no ties short of an md5 collision), so the oracle
+    * unrolls the same steps in SQL and the emitted walks hash-match.
+    *
+    * Scale shape: per step, one equality join of the O(V·walksPerNode)
+    * frontier against the source-partitioned, checkpointed edge list
+    * (the pageRank spine — exchange-free on the big side) and one
+    * grouped argmin whose `min(struct(hash, b))` combines map-side, so
+    * a hub's candidate fan-out collapses before the shuffle. Total work
+    * O(length · Σ deg(frontier)) ≤ O(length · E); walk state is one row
+    * per walk, never a path history (steps emit as they happen). At
+    * 100 TB you start walks from a node sample — the frontier is an
+    * argument-shaped knob, not a rewrite.
+    *
+    * `pairs` needs (src, dst); emits (walk_node, w, step, node) rows,
+    * step 0 = the start node itself.
+    */
+  def randomWalks(pairs: DataFrame, length: Int = 4,
+                  walksPerNode: Int = 2): DataFrame = {
+    require(length >= 1 && walksPerNode >= 1)
+    val n = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val edges = pairs.select(explode(array(
+        struct(col("src").as("a"), col("dst").as("b")),
+        struct(col("dst").as("a"), col("src").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val ed = edges.repartition(n, col("a")).localCheckpoint()
+    var frontier = ed.select(col("a")).distinct()
+      .select(explode(sequence(lit(0), lit(walksPerNode - 1))).as("w"), col("a"))
+      .select((col("a") * walksPerNode + col("w")).as("walk"), col("a").as("cur"))
+      .localCheckpoint()
+    var out = frontier.select(col("walk"), lit(0).as("step"), col("cur").as("node"))
+    for (step <- 1 to length) {
+      frontier = frontier.join(ed, frontier("cur") === ed("a"))
+        .select(col("walk"),
+          struct(md5(concat_ws(":", col("walk"), lit(step), col("b"))).as("h"),
+            col("b")).as("hb"))
+        .groupBy(col("walk"))
+        .agg(min(col("hb")).as("m"))
+        .select(col("walk"), col("m.b").as("cur"))
+      out = out.unionByName(
+        frontier.select(col("walk"), lit(step).as("step"), col("cur").as("node")))
+      if (step % 4 == 0 && step < length) frontier = frontier.localCheckpoint()
+    }
+    out.select(expr(s"walk div $walksPerNode").as("start"),
+        (col("walk") % walksPerNode).cast("int").as("w"),
+        col("step"), col("node"))
+  }
+
+  /** [[randomWalks]] over the customer–supplier trading graph, readable
+    * labels — the embedding-corpus twin of [[transactionRank]]'s
+    * topology: these walks are what a skip-gram pass (§2c 42bj) turns
+    * into graph-embedding training pairs.
+    */
+  def transactionWalks(spark: SparkSession, dir: String,
+                       length: Int = 4, walksPerNode: Int = 2): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2L).as("src"),
+        (col("l_suppkey") * 2L + 1L).as("dst"))
+      .distinct()
+    def readable(name: String) =
+      when(col(name) % 2L === 0L,
+        concat(lit("c"), expr(s"$name div 2").cast("string")))
+        .otherwise(concat(lit("s"), expr(s"$name div 2").cast("string")))
+    randomWalks(pairs, length, walksPerNode)
+      .select(readable("start").as("start"), col("w"), col("step"),
+        readable("node").as("node"))
+      .orderBy(col("start"), col("w"), col("step"))
+  }
+
   /** Rank customers and suppliers by transitive transaction influence:
     * PageRank over the bipartite customer–supplier graph induced by
     * order lines (an edge per distinct trading relationship). A supplier

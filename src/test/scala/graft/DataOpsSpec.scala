@@ -1277,6 +1277,37 @@ class DataOpsSpec extends AnyFunSuite {
     assert(p2 === Map("a" -> 1127500000L, "b" -> 936250000L, "c" -> 936250000L))
   }
 
+  test("random walks follow edges, alternate on forced topologies") {
+    import spark.implicits._
+    // single edge 1-2: every step has exactly one neighbor, so both
+    // walks from each endpoint alternate deterministically — no hash
+    // freedom at all
+    val one = Seq((1L, 2L)).toDF("src", "dst")
+    val w1 = ops.Graph.randomWalks(one, length = 4, walksPerNode = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(3)).toMap
+    assert((0 to 4).map(s => w1((1L, s))) === Seq(1L, 2L, 1L, 2L, 1L))
+    assert((0 to 4).map(s => w1((2L, s))) === Seq(2L, 1L, 2L, 1L, 2L))
+    // star 0-{2,4,6,8}: a walk from the hub hits SOME leaf on odd steps
+    // and is forced back to the hub on even ones; every consecutive
+    // (node, next) pair must be a real edge
+    val star = Seq((0L, 2L), (0L, 4L), (0L, 6L), (0L, 8L)).toDF("src", "dst")
+    val rows = ops.Graph.randomWalks(star, length = 4, walksPerNode = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val hub = rows.filter(r => r._1 == 0L && r._2 == 0).sortBy(_._3).map(_._4)
+    assert(hub(0) === 0L && hub(2) === 0L && hub(4) === 0L)
+    assert(Seq(hub(1), hub(3)).forall(Set(2L, 4L, 6L, 8L)))
+    val edgeSet = Set((0L, 2L), (0L, 4L), (0L, 6L), (0L, 8L))
+      .flatMap { case (a, b) => Set((a, b), (b, a)) }
+    rows.groupBy(r => (r._1, r._2)).values.foreach { walk =>
+      walk.sortBy(_._3).map(_._4).sliding(2).foreach {
+        case Array(u, v) => assert(edgeSet((u, v)), s"non-edge step $u->$v")
+        case _ =>
+      }
+    }
+    // both walks per start are present
+    assert(rows.map(r => (r._1, r._2)).distinct.length === 5 * 2)
+  }
+
   test("label propagation separates two cliques joined by one bridge") {
     import spark.implicits._
     // two 4-cliques {1..4} and {11..14} plus a single bridge 4-11: the
