@@ -645,6 +645,10 @@ object SparkEntry {
     // trading graph: md5-argmin next hop, replays bit-for-bit
     "graph_walks" -> ((s, dir) => Graph.transactionWalks(s, dir)),
 
+    // link prediction on the part graph: common neighbors + integer
+    // resource-allocation index, hub wedge centers capped at deg 256
+    "graph_link_pred" -> ((s, dir) => Graph.partLinkPrediction(s, dir)),
+
     // ── §2c training-data pipeline ────────────────────────────────────
     "dedup_exact" -> ((s, dir) =>
       TextAnalysis.exactDedup(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -2004,6 +2008,26 @@ object SparkEntry {
         |  WHERE walk.depth < 30)
         |SELECT node, CAST(min(depth) AS INT) AS depth
         |FROM walk GROUP BY node ORDER BY node""".stripMargin,
+
+    // wedge enumeration through degree-capped shared neighbors; RA is
+    // the exact integer 1e6 div deg summed associatively; known edges
+    // leave via the same anti-join
+    "graph_link_pred" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT least(x.pk, y.pk) AS a, greatest(x.pk, y.pk) AS b
+        |      FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |adj AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT z, count(*) AS deg FROM adj GROUP BY 1),
+        |keep AS MATERIALIZED (SELECT adj.z, adj.n, deg.deg
+        |      FROM adj JOIN deg USING (z) WHERE deg <= 256),
+        |w AS (SELECT x.n AS u, y.n AS v, 1000000 // x.deg AS ra
+        |      FROM keep x JOIN keep y ON x.z = y.z AND x.n < y.n),
+        |s AS (SELECT u, v, count(*) AS common, CAST(SUM(ra) AS BIGINT) AS ra_micro
+        |      FROM w GROUP BY 1, 2 HAVING count(*) >= 2),
+        |f AS (SELECT s.* FROM s LEFT JOIN e ON s.u = e.a AND s.v = e.b
+        |      WHERE e.a IS NULL)
+        |SELECT u, v, common, ra_micro FROM f
+        |ORDER BY ra_micro DESC, u, v LIMIT 100""".stripMargin,
 
     // the same md5-argmin next hop unrolled step by step; hash inputs
     // are the identical "walk:step:neighbor" strings, so both engines

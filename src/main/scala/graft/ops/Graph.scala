@@ -373,6 +373,65 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Link prediction scores for non-adjacent node pairs: common-neighbor
+    * count and the resource-allocation index (Zhou et al. 2009 —
+    * `Σ_z 1/deg(z)` over shared neighbors z, the published index that
+    * stays RATIONAL where Adamic-Adar's `1/log deg` would drag in
+    * cross-engine libm): RA in exact integer micro (`1e6 div deg`),
+    * summed associatively — bit-replayable anywhere. The
+    * recommendation/completion primitive over co-occurrence graphs:
+    * "parts bought with the same parts, never yet together".
+    *
+    * Scale shape: wedges enumerate through each shared neighbor z — a
+    * self-join of z's adjacency, O(Σ deg(z)²) pairs — so hubs are THE
+    * scale hazard and `maxDeg` caps wedge centers (default 256; a
+    * boilerplate hub that co-occurs with everything predicts nothing —
+    * the [[Dedup]] hot-shingle-cap argument, applied to graphs; capped
+    * centers are dropped BEFORE the join, the remaining fan-out is
+    * ≤ maxDeg per row and AQE-splittable). Known edges leave via one
+    * anti-join; `minCommon` prunes the long tail before it shuffles to
+    * the final aggregate.
+    *
+    * `pairs` needs (src, dst); emits (u, v, common, ra_micro), u < v.
+    */
+  def linkPrediction(pairs: DataFrame, maxDeg: Int = 256,
+                     minCommon: Long = 2L): DataFrame = {
+    require(maxDeg >= 2 && minCommon >= 1)
+    val canon = pairs.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val adj = canon.select(explode(array(
+        struct(col("a").as("z"), col("b").as("n")),
+        struct(col("b").as("z"), col("a").as("n")))).as("e"))
+      .select(col("e.z").as("z"), col("e.n").as("n"))
+    val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+    val keep = adj.join(deg.filter(col("deg") <= maxDeg), "z")
+      .localCheckpoint()
+    val wedges = keep.as("x").join(keep.as("y"),
+        col("x.z") === col("y.z") && col("x.n") < col("y.n"))
+      .select(col("x.n").as("u"), col("y.n").as("v"),
+        expr("1000000L div x.deg").as("ra"))
+    val scored = wedges.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common"), sum(col("ra")).as("ra_micro"))
+      .filter(col("common") >= minCommon)
+    scored.join(canon,
+        scored("u") === canon("a") && scored("v") === canon("b"),
+        "left_anti")
+  }
+
+  /** [[linkPrediction]] over the part co-purchase graph: the top
+    * "never co-bought, strongly co-neighbored" part pairs.
+    */
+  def partLinkPrediction(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    linkPrediction(
+      li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst")))
+      .orderBy(col("ra_micro").desc, col("u"), col("v")).limit(100)
+  }
+
   /** Deterministic uniform random walks — the DeepWalk/node2vec corpus
     * generator (Perozzi et al. 2014): `walksPerNode` walks of `length`
     * steps from every node, each step choosing uniformly among the

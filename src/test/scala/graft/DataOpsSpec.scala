@@ -1277,6 +1277,24 @@ class DataOpsSpec extends AnyFunSuite {
     assert(p2 === Map("a" -> 1127500000L, "b" -> 936250000L, "c" -> 936250000L))
   }
 
+  test("link prediction scores diagonals of a square, caps hubs") {
+    import spark.implicits._
+    // 4-cycle 1-2-3-4-1: the two diagonals each share BOTH deg-2
+    // corners → common 2, ra = 2 · (1e6 div 2); the edges themselves
+    // must not appear
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val out = ops.Graph.linkPrediction(square).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map((1L, 3L) -> (2L, 1000000L), (2L, 4L) -> (2L, 1000000L)))
+    // a hub above maxDeg is dropped as a wedge center: no predictions
+    val star = (2L to 9L).map(h => (1L, h)).toDF("src", "dst")
+    assert(ops.Graph.linkPrediction(star, maxDeg = 4).count() === 0L)
+    // with the cap lifted the leaves all pair through the hub (deg 8)
+    val lifted = ops.Graph.linkPrediction(star, maxDeg = 8, minCommon = 1L)
+    assert(lifted.count() === 8L * 7 / 2)
+    assert(lifted.collect().forall(r => r.getLong(3) === 1000000L / 8))
+  }
+
   test("random walks follow edges, alternate on forced topologies") {
     import spark.implicits._
     // single edge 1-2: every step has exactly one neighbor, so both
