@@ -668,6 +668,12 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"), 0.5)
         .orderBy("id1", "id2")),
 
+    // EXACT Jaccard pairs by prefix filtering: rarest-shingle blocking
+    // keys, provably no missed pair, no hot-shingle cap needed
+    "dedup_prefix_jaccard" -> ((s, dir) =>
+      Dedup.prefixJaccardPairs(Tables.documents(s, dir), col("doc_id"), col("text"), 500)
+        .orderBy("id1", "id2")),
+
     // asymmetric doc-in-doc detection: shared / min(n1, n2) over the
     // same capped-shingle candidates as the Jaccard op
     "dedup_containment" -> ((s, dir) =>
@@ -3023,6 +3029,33 @@ object SparkEntry {
         |  shared / (c1.n + c2.n - shared) AS jaccard
         |FROM cand JOIN cnt c1 ON c1.doc_id = id1 JOIN cnt c2 ON c2.doc_id = id2
         |WHERE shared / (c1.n + c2.n - shared) >= 0.5
+        |ORDER BY id1, id2""".stripMargin,
+
+    // the same uncapped shingle sets; prefix = first n − ceil(θn) + 1
+    // shingles in (df, shingle) order; verify restricted to candidates;
+    // the integer threshold test and one-division jaccard mirror Spark
+    "dedup_prefix_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |sh AS MATERIALIZED (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        |       FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+        |cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |rk AS (SELECT sh.doc_id, sh.shingle,
+        |         row_number() OVER (PARTITION BY sh.doc_id ORDER BY df, sh.shingle) AS rk
+        |       FROM sh JOIN dfreq USING (shingle)),
+        |pre AS MATERIALIZED (SELECT rk.doc_id, rk.shingle
+        |       FROM rk JOIN cnt USING (doc_id)
+        |       WHERE rk <= n - (500 * n + 999) // 1000 + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |         FROM pre a JOIN pre b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |sj AS (SELECT c.id1, c.id2, count(*) AS shared
+        |       FROM cand c JOIN sh a ON a.doc_id = c.id1
+        |       JOIN sh b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+        |       GROUP BY 1, 2)
+        |SELECT id1, id2, shared, c1.n AS n1, c2.n AS n2,
+        |  shared / (c1.n + c2.n - shared) AS jaccard
+        |FROM sj JOIN cnt c1 ON c1.doc_id = id1 JOIN cnt c2 ON c2.doc_id = id2
+        |WHERE shared * 1000 >= 500 * (c1.n + c2.n - shared)
         |ORDER BY id1, id2""".stripMargin,
 
     "dedup_minhash_lsh" ->

@@ -159,6 +159,65 @@ object Dedup {
       .select("id1", "id2", "shared", "n1", "n2", "containment")
   }
 
+  /** EXACT Jaccard near-dup pairs by prefix filtering (the PPJoin family,
+    * Xiao et al. 2008 / Chaudhuri et al. 2006) — the scale path that
+    * keeps [[ngramJaccardPairs]]'s answer EXACT instead of approximating
+    * it: the hot-shingle cap can MISS pairs whose overlap rides a capped
+    * shingle and MinHash is probabilistic, but prefix filtering is a
+    * guarantee. Order every doc's shingles by ascending global document
+    * frequency (rarest first, shingle string tie-break); a doc with n
+    * shingles exposes only its first `n − ceil(θ·n) + 1` as blocking
+    * keys. Any pair with Jaccard ≥ θ shares ≥ 1 prefix shingle (two sets
+    * that miss each other's prefixes already disagree on too many
+    * elements), so the candidate set provably contains every qualifying
+    * pair — and the keys are the RAREST shingles by construction, so
+    * buckets are small without any cap: boilerplate lives at the END of
+    * the df order and never blocks.
+    *
+    * Verification joins each candidate pair against the two docs'
+    * sorted shingle ARRAYS (doc-bounded payloads, codegen'd
+    * `array_intersect`) — O(candidates · set size) work, the published
+    * PPJoin verify cost — and keeps pairs by the INTEGER test
+    * `1000·shared ≥ θ_permille·(n1+n2−shared)` before emitting the
+    * one-division jaccard.
+    *
+    * θ comes in permille so the threshold test stays integer-exact.
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
+                         thresholdPermille: Int = 500,
+                         cache: Boolean = true): DataFrame = {
+    require(thresholdPermille >= 1 && thresholdPermille <= 1000)
+    import org.apache.spark.sql.expressions.Window
+    val sh = shareCache(shingles(df, idCol, textCol, None), cache)
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pre = ranked.join(counts, "doc_id")
+      .filter(col("rk") <=
+        col("n") - expr(s"($thresholdPermille * n + 999) div 1000") + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cand = pre.as("a").join(pre.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val sets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("shingle"))).as("set"),
+        count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("id1"), col("set").as("set1"),
+        col("n").as("n1")), "id1")
+      .join(sets.select(col("doc_id").as("id2"), col("set").as("set2"),
+        col("n").as("n2")), "id2")
+      .withColumn("shared",
+        size(array_intersect(col("set1"), col("set2"))).cast("long"))
+      .filter(col("shared") * 1000 >=
+        lit(thresholdPermille) * (col("n1") + col("n2") - col("shared")))
+      .withColumn("jaccard", col("shared") / (col("n1") + col("n2") - col("shared")))
+      .select("id1", "id2", "shared", "n1", "n2", "jaccard")
+  }
+
   /** Distinct word n-grams per document for arbitrary n: (doc_id, gram). */
   def ngramSet(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
     GraftFunctions.register(df.sparkSession)

@@ -21,6 +21,21 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix filtering equals uncapped brute Jaccard — the exactness contract") {
+    // the whole point of the op: identical answer to the all-candidate
+    // uncapped join, with only prefix shingles ever used as block keys
+    val brute = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 0.5,
+        maxDocFreq = None, cache = false)
+      .select("id1", "id2", "shared").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val pref = Dedup.prefixJaccardPairs(docs, col("doc_id"), col("text"), 500,
+        cache = false)
+      .select("id1", "id2", "shared").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pref === brute)
+    assert(pref.nonEmpty)
+  }
+
   test("minhash LSH candidates recall all high-jaccard pairs") {
     val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 0.8)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
