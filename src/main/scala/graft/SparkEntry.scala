@@ -1044,6 +1044,12 @@ object SparkEntry {
     "text_tfidf_topk" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(Tables.documents(s, dir), col("doc_id"), col("text"))),
 
+    // hashing-trick vectorizer: md5-bucketed signed token counts into a
+    // fixed 1024-wide sparse vector, no vocabulary pass
+    "text_feature_hash" -> ((s, dir) =>
+      TextAnalysis.featureHash(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy("doc_id", "idx")),
+
     // type-token + hapax ratios, exact integer permille
     "text_lexical_diversity" -> ((s, dir) =>
       TextAnalysis.lexicalDiversity(Tables.documents(s, dir), col("doc_id"), col("text"))),
@@ -3994,6 +4000,20 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '') AS new_text
         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // identical md5 bucket + sign-nibble arithmetic; exact signed
+    // integer counts, zero-sum buckets dropped on both sides
+    "text_feature_hash" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |t AS (SELECT doc_id, unnest(words) AS tok FROM w),
+        |f AS (SELECT doc_id,
+        |        ('0x' || substr(md5(tok), 1, 13))::BIGINT % 1024 AS idx,
+        |        CASE WHEN instr('01234567', substr(md5(tok), 14, 1)) > 0
+        |             THEN 1 ELSE -1 END AS sgn
+        |      FROM t)
+        |SELECT doc_id, idx, CAST(SUM(sgn) AS BIGINT) AS val
+        |FROM f GROUP BY 1, 2 HAVING SUM(sgn) <> 0
+        |ORDER BY doc_id, idx""".stripMargin,
 
     "text_tfidf_topk" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),

@@ -600,6 +600,38 @@ object TextAnalysis {
       md5(normalize(textCol)).as("fp"),
       substring(md5(normalize(textCol)), 1, 8).as("fp_prefix"))
 
+  /** Feature hashing (the "hashing trick", Weinberger et al. 2009):
+    * project each document's token bag into a fixed `dim`-dimensional
+    * sparse vector with NO vocabulary pass — bucket = 52-bit md5 slice
+    * mod dim, a second independent md5 nibble supplies the ±1 sign that
+    * keeps collision noise zero-mean. The vectorizer that feeds linear
+    * text models (the [[classifierTrain]] perceptron, DSIR-style
+    * selectors) when handcrafted ratios aren't enough: unbounded
+    * vocabulary in, fixed width out, no dictionary to ship or keep
+    * consistent across increments.
+    *
+    * Emits sparse (doc_id, idx, val) triples — exact signed integer
+    * counts, zero-sum buckets dropped. One token explode + one
+    * map-side-combined groupBy; everything is md5 arithmetic both
+    * engines share, so the oracle replays it exactly. At 100 TB the
+    * shuffle carries ≤ min(tokens, docs·dim) rows — bounded per doc by
+    * `dim` regardless of document length.
+    */
+  def featureHash(df: DataFrame, idCol: Column, textCol: Column,
+                  dim: Int = 1024): DataFrame = {
+    require(dim >= 2 && dim <= (1 << 20), s"dim in [2, 2^20], got $dim")
+    graft.ops.Dedup.spread(df)
+      .select(idCol.as("doc_id"), explode(tokens(textCol)).as("tok"))
+      .select(col("doc_id"),
+        (expr("cast(conv(substr(md5(tok), 1, 13), 16, 10) as bigint)") % dim)
+          .as("idx"),
+        expr("case when instr('01234567', substr(md5(tok), 14, 1)) > 0" +
+          " then 1L else -1L end").as("sgn"))
+      .groupBy(col("doc_id"), col("idx"))
+      .agg(sum(col("sgn")).as("val"))
+      .filter(col("val") =!= 0)
+  }
+
   /** EXACT heavy hitters — every item occurring in at least `minFraction`
     * of the N item instances, with exact counts — without ever shuffling
     * the full item-frequency table.

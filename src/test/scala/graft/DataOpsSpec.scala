@@ -21,6 +21,25 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("feature hashing: fixed width, exact signed counts, deterministic") {
+    import spark.implicits._
+    val tiny = Seq((1L, "alpha alpha alpha", "s"), (2L, "alpha beta", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.featureHash(tiny, col("doc_id"), col("text"), dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc 1 is one token tripled: exactly one bucket, |val| = 3
+    val d1 = out.filter(_._1._1 == 1L)
+    assert(d1.size === 1 && math.abs(d1.head._2) === 3L)
+    // the shared token lands in the same bucket with the same sign per doc
+    val alphaIdx = d1.head._1._2
+    assert(out((2L, alphaIdx)) * d1.head._2 > 0)
+    // width bound and determinism over the real corpus
+    val feats = TextAnalysis.featureHash(docs, col("doc_id"), col("text"))
+    assert(feats.filter(col("idx") < 0 || col("idx") >= 1024).count() === 0)
+    assert(feats.exceptAll(
+      TextAnalysis.featureHash(docs, col("doc_id"), col("text"))).count() === 0)
+  }
+
   test("prefix filtering equals uncapped brute Jaccard — the exactness contract") {
     // the whole point of the op: identical answer to the all-candidate
     // uncapped join, with only prefix shingles ever used as block keys
