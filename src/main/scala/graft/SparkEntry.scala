@@ -527,6 +527,10 @@ object SparkEntry {
         .orderBy("type_a", "type_b")
     }),
 
+    // robust location estimates: 10%-per-side trimmed + winsorized means
+    // in exact integer micro, one rank window per group
+    "agg_trimmed_means" -> ((s, dir) => Analytics.eventTrimmedMeans(s, dir)),
+
     "agg_quantiles" -> ((s, dir) =>
       ev(s, dir).groupBy(col("event_type"))
         .agg(
@@ -2794,6 +2798,25 @@ object SparkEntry {
         |           * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / 100.0
         |    / CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS w_avg_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // same total (value, event_id) rank order and integer trim count;
+    // all-positive micro sums keep div and // agreeing
+    "agg_trimmed_means" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_type, vm,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY vm, event_id) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |r2 AS (SELECT *, (100 * n) // 1000 AS cut FROM r),
+        |k AS (SELECT event_type, n, cut, count(*) AS n_kept,
+        |    CAST(SUM(vm) AS BIGINT) AS tsum, MIN(vm) AS v_lo, MAX(vm) AS v_hi
+        |  FROM r2 WHERE rk > cut AND rk <= n - cut GROUP BY 1, 2, 3)
+        |SELECT event_type, n, cut, n_kept,
+        |  tsum // n_kept AS trimmed_mean_micro,
+        |  (tsum + cut * (v_lo + v_hi)) // n AS winsorized_mean_micro,
+        |  v_lo AS lo_clamp_micro, v_hi AS hi_clamp_micro
+        |FROM k ORDER BY event_type""".stripMargin,
 
     "agg_quantiles" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,

@@ -2019,6 +2019,53 @@ object Analytics {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Trimmed and winsorized means per group — the robust location
+    * estimates between the plain mean (outlier-hostage) and the median
+    * (throws away 100·(1−ε)% of the data): drop (trimmed) or clamp
+    * (winsorized) the lowest/highest `trimPermille` fraction of ROWS per
+    * group and average the rest. What a curation pass reports when a
+    * metric has heavy tails the mean would chase.
+    *
+    * Exactness: values in integer micro; the per-side trim count is the
+    * INTEGER `(trim‰ · n) div 1000`; rank order is total — (value,
+    * event_id) — so the kept set is engine-exact; trimmed sum/min/max
+    * and the winsorized sum `trimmed_sum + cut·(v_lo + v_hi)` stay
+    * integers, each mean one fixed integer division (micro) — no float
+    * until the caller wants one.
+    *
+    * Scale shape: ONE rank window per group (parallel across groups —
+    * same discipline as the exact grouped quantiles this sits beside)
+    * then a map-combined aggregate. Heavy single groups at 100 TB want
+    * the qsketch percentile path instead (28ab) — exact per-group order
+    * statistics fundamentally sort the group; this op is the exact
+    * variant, not a replacement for the sketch.
+    */
+  def trimmedMeans(ev0: DataFrame, trimPermille: Int = 100): DataFrame = {
+    require(trimPermille >= 0 && trimPermille < 500,
+      s"trimPermille in [0,500), got $trimPermille")
+    val base = ev0.select(col("event_type"), col("event_id"),
+        expr("cast(round(value * 1000000.0D) as bigint)").as("vm"))
+      .filter(col("vm").isNotNull)
+    val ranked = base.withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("vm"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .withColumn("cut", expr(s"($trimPermille * n) div 1000"))
+    val kept = ranked.filter(col("rk") > col("cut") && col("rk") <= col("n") - col("cut"))
+    kept.groupBy(col("event_type"), col("n"), col("cut"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("vm")).as("tsum"),
+        min(col("vm")).as("v_lo"), max(col("vm")).as("v_hi"))
+      .select(col("event_type"), col("n"), col("cut"), col("n_kept"),
+        expr("tsum div n_kept").as("trimmed_mean_micro"),
+        expr("(tsum + cut * (v_lo + v_hi)) div n").as("winsorized_mean_micro"),
+        col("v_lo").as("lo_clamp_micro"), col("v_hi").as("hi_clamp_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  /** [[trimmedMeans]] on the events table (10% per side). */
+  def eventTrimmedMeans(spark: SparkSession, dir: String): DataFrame =
+    trimmedMeans(Tables.events(spark, dir))
+
   /** Ordinary-least-squares trend line per series (slope, intercept, R²)
     * over the observed hourly buckets — the capacity-planning "is this
     * metric growing, and how fast" primitive, and the closed-form

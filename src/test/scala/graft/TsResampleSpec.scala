@@ -58,6 +58,23 @@ class TsResampleSpec extends AnyFunSuite {
     assert(math.abs(byLag(2)._3 - (6.0 / 8.0)) < 1e-9)
   }
 
+  test("trimmed/winsorized means drop vs clamp exactly one tail row") {
+    // 10 rows 1..9 plus a 1000 outlier, 10% per side → cut = 1:
+    // trimmed keeps 2..9 +? — by hand: sorted 1,2,..,9,1000; drop rank 1
+    // and rank 10 → keep 2..9, mean 5.5; winsorized clamps 1→2 and
+    // 1000→9 → sum 44+2+9 = 55 over 10 → 5.5 too (integer micro)
+    val rows = ((1 to 9).map(_.toDouble) :+ 1000.0).zipWithIndex
+      .map { case (v, i) => (i * 10L, "A", v) }
+    val df = rows.toDF("t", "event_type", "value")
+      .select(col("t").cast("timestamp").as("ts"), col("event_type"),
+        col("value"), col("t").as("event_id"))
+    val r = Analytics.trimmedMeans(df, trimPermille = 100).collect().head
+    assert(r.getLong(1) === 10L && r.getLong(2) === 1L && r.getLong(3) === 8L)
+    assert(r.getLong(4) === 5500000L) // trimmed mean 5.5
+    assert(r.getLong(5) === 5500000L) // winsorized mean 5.5
+    assert(r.getLong(6) === 2000000L && r.getLong(7) === 9000000L)
+  }
+
   test("ccf: a series that leads the reference by 1h peaks at lag +1") {
     // purchase alternates ±1 over hours 0..7; A(h) = purchase(h+1), so
     // corr(A(h), purchase(h+lag)) peaks at lag 1 with the acf-style
