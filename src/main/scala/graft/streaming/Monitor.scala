@@ -468,6 +468,39 @@ object Monitor {
     }
   }
 
+  /** Time-travel read of a maintained log: the snapshot as it stood
+    * immediately after batch `asOf` committed — what an audit, a
+    * reproducible-training-run manifest, or a debugging session wants
+    * from a log that has kept moving since. Pure partition selection,
+    * same machinery as [[readLog]]: the newest compacted generation
+    * whose absorbed frontier is ≤ `asOf` (a generation REWRITES its
+    * absorbed batches' content, so using it is exact, not approximate)
+    * plus every positive batch in (frontier, asOf]. Snapshots older
+    * than the oldest surviving data are gone by definition — compaction
+    * run with `gc = false` (see [[compactLog]]/[[gcLog]]) retains past
+    * partials precisely so recent as-of reads stay answerable; when a
+    * needed batch has been GC'd this fails loudly instead of silently
+    * returning a hole.
+    */
+  def readLogAsOf(spark: org.apache.spark.sql.SparkSession, path: String,
+                  asOf: Long): DataFrame = {
+    require(asOf >= 0L, s"asOf must be a committed batch id, got $asOf")
+    val ids = logBatchIds(spark, path)
+    // an asOf beyond the log head means "latest": clamp to what exists
+    val head = ids.map(id => if (id < 0L) -id - 1L else id).maxOption.getOrElse(-1L)
+    val upTo = math.min(asOf, head)
+    val gens = ids.filter(_ < 0L).filter(g => -g - 1L <= upTo)
+    val thru = gens.minOption.map(g => -g - 1L).getOrElse(-1L)
+    val pos = ids.filter(id => id >= 0L && id > thru && id <= upTo).toSet
+    val missing = ((thru + 1L) to upTo).filterNot(pos)
+    require(missing.isEmpty,
+      s"log $path cannot reconstruct batch $upTo: batches ${missing.mkString(",")} " +
+        "were garbage-collected (compact with gc = false to retain as-of history)")
+    val df = spark.read.parquet(path)
+    val keep = gens.minOption.toSeq ++ pos
+    df.filter(col("__batch_id").isin(keep: _*)).drop("__batch_id")
+  }
+
   /** Maintained cell-partitioned ANN index — the IVF layout kept current
     * at the ingest door: each arriving embedding is assigned to its cell
     * against the FROZEN milli centroids (`Similarity.assignToCentroids`,
@@ -663,6 +696,45 @@ object Monitor {
     graft.functions.CmFunctions.register(spark)
     readLog(spark, path)
       .agg(expr("graft_cm_union(sk)")).head().getAs[Array[Byte]](0)
+  }
+
+  /** Maintained KMV log — per-group distinct-set sketches current at the
+    * ingest door, one `graft_kmv_sketch` row per (group, batch): the
+    * streaming half of the 28bo set-operation family, so cross-source
+    * OVERLAP questions (shared users between sources, contamination
+    * between live feeds) are answered from the log without a raw-data
+    * rescan. KMV merges are k-smallest folds — associative, commutative,
+    * idempotent — so [[readKmvSketch]]'s union row per group is
+    * BYTE-equal to single-pass sketching of the full streamed history
+    * under any batch split, and pairs of group rows feed
+    * `graft_kmv_inter` directly. O(groups) rows of O(k) longs per
+    * micro-batch regardless of stream volume.
+    */
+  def maintainKmvSketch(stream: DataFrame, keyCol: Column, valueCol: Column,
+                        path: String, checkpoint: String, k: Int = 1024,
+                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val spark = df.sparkSession
+        graft.functions.KmvFunctions.register(spark)
+        df.toDF()
+          .select(keyCol.cast("string").as("grp"), valueCol.as("v"))
+          .groupBy("grp")
+          .agg(expr(s"graft_kmv_sketch(v, $k)").as("sk"))
+          .writeLogBatch(batchId, path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Merge-on-read of the [[maintainKmvSketch]] log: one sketch row per
+    * group, byte-equal to single-pass sketching of the full history.
+    */
+  def readKmvSketch(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    graft.functions.KmvFunctions.register(spark)
+    readLog(spark, path)
+      .groupBy("grp")
+      .agg(expr("graft_kmv_union(sk)").as("sk"))
   }
 
   /** Maintained quantile-sketch log — per-group percentile estimates

@@ -1473,6 +1473,74 @@ class StreamingSpec extends AnyFunSuite {
       "replay must not change the merged sketch")
   }
 
+  test("readLogAsOf reconstructs historical snapshots, fails loudly past GC") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_asof").toString + "/log"
+    def put(batch: Long): Unit =
+      Seq((batch, s"row$batch")).toDF("v", "tag")
+        .withColumn("__batch_id", lit(batch))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id").parquet(path)
+    def asOf(b: Long) = Monitor.readLogAsOf(spark, path, b)
+      .select("v").collect().map(_.getLong(0)).toSet
+    (0L to 2L).foreach(put)
+    assert(asOf(0L) === Set(0L))
+    assert(asOf(1L) === Set(0L, 1L))
+    assert(asOf(5L) === Set(0L, 1L, 2L)) // beyond the head = latest
+    // deferred-GC compaction keeps every snapshot answerable
+    Monitor.compactLog(spark, path, gc = false)
+    assert(asOf(0L) === Set(0L)) // generation thru=1 can't serve 0; partial does
+    assert(asOf(1L) === Set(0L, 1L)) // exactly the generation
+    assert(asOf(2L) === Set(0L, 1L, 2L))
+    // GC trims history: pre-frontier snapshots now fail loudly, the
+    // generation frontier and the head stay answerable
+    Monitor.gcLog(spark, path)
+    assert(asOf(1L) === Set(0L, 1L))
+    assert(asOf(2L) === Set(0L, 1L, 2L))
+    val e = intercept[IllegalArgumentException](asOf(0L))
+    assert(e.getMessage.contains("garbage-collected"))
+  }
+
+  test("maintained kmv log unions byte-equal to the single-pass per-group sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    graft.functions.KmvFunctions.register(spark)
+    val dir = Files.createTempDirectory("graft_kmvlog").toString
+    val ckpt = Files.createTempDirectory("graft_kmvlog_ck").toString
+    val all = sampleEvents
+    val input = MemoryStream[Ev]
+    all.grouped(40).foreach { chunk =>
+      input.addData(chunk: _*)
+      val q = Monitor.maintainKmvSketch(input.toDF(), col("event_type"),
+        col("user_id"), s"$dir/log", s"$ckpt/c1", k = 16)
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    def merged() = Monitor.readKmvSketch(spark, s"$dir/log")
+      .orderBy("grp").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toSeq
+    val direct = all.toDF()
+      .select(col("event_type").cast("string").as("grp"), col("user_id").as("v"))
+      .groupBy("grp").agg(expr("graft_kmv_sketch(v, 16)").as("sk"))
+      .orderBy("grp").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toSeq
+    assert(merged() === direct && direct.nonEmpty)
+    // the union rows serve overlap probes: a group always fully
+    // intersects itself (un-full sketches are exact)
+    val skMap = merged().toMap
+    val anyGrp = skMap.keys.head
+    val selfInter = graft.functions.KmvImpl.intersectSerialized(
+      skMap(anyGrp).toArray, skMap(anyGrp).toArray)
+    val est = graft.functions.KmvImpl.estimateSerialized(skMap(anyGrp).toArray)
+    assert(selfInter === est)
+    // replay with a fresh checkpoint rewrites batch 0 idempotently
+    val input2 = MemoryStream[Ev]
+    input2.addData(all.take(40): _*)
+    val q2 = Monitor.maintainKmvSketch(input2.toDF(), col("event_type"),
+      col("user_id"), s"$dir/log", s"$ckpt/c2", k = 16)
+    try q2.awaitTermination(120000) finally q2.stop()
+    assert(merged() === direct, "replay must not change the merged sketches")
+  }
+
   test("maintained qsketch log unions to the single-pass per-group sketch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
