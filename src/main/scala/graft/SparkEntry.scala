@@ -1054,6 +1054,12 @@ object SparkEntry {
       TextAnalysis.featureHash(Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy("doc_id", "idx")),
 
+    // marginal-diversity: fraction of each doc's 3-grams appearing
+    // first (min doc_id) in corpus order, integer permille
+    "text_novelty" -> ((s, dir) =>
+      TextAnalysis.novelty(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
     // type-token + hapax ratios, exact integer permille
     "text_lexical_diversity" -> ((s, dir) =>
       TextAnalysis.lexicalDiversity(Tables.documents(s, dir), col("doc_id"), col("text"))),
@@ -4023,6 +4029,19 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '') AS new_text
         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same distinct 3-gram sets; "first" is min(doc_id) per gram —
+    // associative, order-free, identical in both engines
+    "text_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        |       FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |f AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, count(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+        |  (1000 * CAST(SUM(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS novelty_permille
+        |FROM sh JOIN f USING (shingle)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // identical md5 bucket + sign-nibble arithmetic; exact signed
     // integer counts, zero-sum buckets dropped on both sides

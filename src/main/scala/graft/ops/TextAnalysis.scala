@@ -1350,6 +1350,33 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** N-gram novelty per document — what fraction of a doc's distinct
+    * word 3-grams appear HERE FIRST in corpus (doc_id) order: the
+    * marginal-diversity signal a curation pass ranks on when the corpus
+    * is already large ("does this doc add anything the corpus hasn't
+    * seen?"). Boilerplate and near-dups of earlier docs score near 0,
+    * genuinely new material near 1000. Deterministic by construction:
+    * "first" is min(doc_id) over the gram's postings, an associative
+    * integer — no ingestion-clock dependence, replays anywhere.
+    *
+    * Scale shape: one gram explode, one map-combined min per gram
+    * (shuffle O(distinct grams)), one join back on the gram, one
+    * per-doc count — the exact-dedup cost envelope, no pair joins. The
+    * ratio is integer permille.
+    */
+  def novelty(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val grams = graft.ops.Dedup.shingles(df, idCol, textCol, None)
+    val first = grams.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_first"))
+      .select(col("doc_id"), col("n_grams"), col("n_first"),
+        expr("(1000 * n_first) div n_grams").as("novelty_permille"))
+  }
+
   /** Lexical-diversity profile: type-token ratio and hapax-legomenon
     * ratio per document — degenerate/templated text scores low on both.
     * Integer permille (exact div) for oracle parity. The explode+groupBy

@@ -21,6 +21,20 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("novelty: a verbatim copy scores 0, fresh text scores 1000") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact copy
+      (3L, "completely different words about nothing at all here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.novelty(tiny, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) === 1000L) // everything is first in corpus order
+    assert(out(2L) === 0L) // every gram already seen in doc 1
+    assert(out(3L) === 1000L)
+  }
+
   test("feature hashing: fixed width, exact signed counts, deterministic") {
     import spark.implicits._
     val tiny = Seq((1L, "alpha alpha alpha", "s"), (2L, "alpha beta", "s"))
