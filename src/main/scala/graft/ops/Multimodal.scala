@@ -270,6 +270,39 @@ object Multimodal {
     spark.createDataFrame(rdd, AudioWindowSchema)
   }
 
+  /** Energy-threshold voice-activity segments over [[audioWindows]] —
+    * the ASR-pipeline pre-filter that decides which stretches of an
+    * audio asset are worth transcribing/embedding at all: a window is
+    * ACTIVE when its per-sample mean energy clears `thrPerSample`
+    * (integer test `energy ≥ thr · n`, no division), and consecutive
+    * active windows fuse into one segment via the standard
+    * gaps-and-islands fold (lag + running sum of segment starts). Emits
+    * (asset_id, seg, win_start, win_end, n_windows, energy) — the
+    * sample-time bounds are `win · windowSamples` by the window-table
+    * contract.
+    *
+    * Scale shape: decode cost is [[audioWindows]]'s (partition-local,
+    * never shuffles); the island fold is two windows partitioned by
+    * asset — assets are the parallelism unit, per-asset window counts
+    * are duration-bounded. Threshold semantics are deterministic
+    * integer arithmetic end-to-end.
+    */
+  def vadSegments(assets: DataFrame, windowSamples: Int = 4000,
+                  thrPerSample: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("win"))
+    audioWindows(assets, windowSamples)
+      .filter(col("energy") >= lit(thrPerSample) * col("n"))
+      .withColumn("prev", lag(col("win"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("win") - col("prev") > 1, 1L).otherwise(0L))
+      .withColumn("seg", sum(col("is_new")).over(w))
+      .groupBy(col("asset_id"), col("seg"))
+      .agg(min(col("win")).as("win_start"), max(col("win")).as("win_end"),
+        count(lit(1)).as("n_windows"), sum(col("energy")).as("energy"))
+      .orderBy(col("asset_id"), col("seg"))
+  }
+
   /** 64-bit difference hash (dHash) over decoded pixels: area-average the
     * luma into a 9×8 grid, one bit per horizontally-adjacent comparison.
     * The standard perceptual fingerprint for image near-dup detection —

@@ -749,6 +749,34 @@ class DataOpsSpec extends AnyFunSuite {
     assert(partial.toSeq === Seq((0, 3000), (1, 3000), (2, 2000)))
   }
 
+  test("VAD fuses consecutive loud windows and skips silence") {
+    import spark.implicits._
+    // 10000 samples at 2000/window: wins 0-1 loud square wave, 2-3
+    // digital silence, 4 loud again → two segments [0,1] and [4,4]
+    val pcm = (0 until 10000).map { i =>
+      if (i < 4000 || i >= 8000) { if ((i / 4) % 2 == 0) 16384 else -16384 }
+      else 0
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def le2(v: Int) = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le4(v: Int) = { le2(v & 0xffff); le2((v >> 16) & 0xffff) }
+    out.write("RIFF".getBytes); le4(36 + 2 * pcm.size); out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); le4(16); le2(1); le2(1); le4(8000)
+    le4(16000); le2(2); le2(16)
+    out.write("data".getBytes); le4(2 * pcm.size)
+    pcm.foreach(v => le2(v & 0xffff))
+    val df = Seq((7L, "audio/wav", out.toByteArray)).toDF("asset_id", "kind", "payload")
+    val assets = Multimodal.toAsset(df, col("asset_id"), col("kind"), col("payload"))
+    val segs = Multimodal.vadSegments(assets, windowSamples = 2000)
+      .collect().map(r => (r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5)))
+    assert(segs.toSeq === Seq(
+      (0, 1, 2L, 2L * 2000L * 16384L * 16384L),
+      (4, 4, 1L, 2000L * 16384L * 16384L)))
+    // a higher bar than the square wave's mean energy keeps nothing
+    assert(Multimodal.vadSegments(assets, windowSamples = 2000,
+      thrPerSample = 16384L * 16384L + 1).count() === 0L)
+  }
+
   test("WAV and BMP payloads decode for real; other kinds fall back to the stub") {
     import spark.implicits._
     val wav = squareWav()

@@ -1001,6 +1001,12 @@ class StreamingSpec extends AnyFunSuite {
     val holtBatch = graft.ops.Analytics.holt(withValue(all.toDF()))
       .collect().toSeq.map(_.toSeq)
     assert(holtViaLog === holtBatch && holtBatch.nonEmpty)
+    val olsViaLog = graft.ops.Analytics.olsTrendFromBuckets(
+        graft.streaming.Monitor.readHourlyBuckets(spark, s"$dir/log"))
+      .collect().toSeq.map(_.toSeq)
+    val olsBatch = graft.ops.Analytics.olsTrend(withValue(all.toDF()))
+      .collect().toSeq.map(_.toSeq)
+    assert(olsViaLog === olsBatch && olsBatch.nonEmpty)
     // replay with a fresh checkpoint rewrites batch 0 idempotently
     val input2 = MemoryStream[Ev]
     input2.addData(all.take(40): _*)
