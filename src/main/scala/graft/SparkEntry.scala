@@ -365,6 +365,13 @@ object SparkEntry {
           Documents.tsSec(col("ts")), col("event_id"), 7200L)
         .orderBy("user_id", "session_idx")),
 
+    // per-user engagement: session count, exact integer mean duration
+    // and mean inter-session gap (NULL for single-session users)
+    "ts_session_stats" -> ((s, dir) =>
+      DocumentStore.sessionStats(ev(s, dir), col("user_id"),
+          Documents.tsSec(col("ts")), col("event_id"), 7200L)
+        .orderBy("user_id")),
+
     // input quantized to whole seconds. session_window merges touching
     // windows (a gap of exactly `gap` stays one session), so membership
     // is identical to the `>` rule of the composition sessionizer —
@@ -2203,6 +2210,30 @@ object SparkEntry {
         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
         |  min(ts_sec) AS start_sec, max(ts_sec) AS end_sec
         |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+
+    // the sessionize prelude verbatim, then one lag over the SESSION
+    // table; means are truncating integer divisions, the gap mean
+    // CASE-NULL for single-session users in both engines
+    "ts_session_stats" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+        |l AS (SELECT *, CASE WHEN lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) IS NULL
+        |               OR ts_sec - lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) > 7200
+        |             THEN 1 ELSE 0 END AS is_new
+        |      FROM e),
+        |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS session_idx FROM l),
+        |sess AS (SELECT user_id, session_idx, count(*) AS n_events,
+        |    min(ts_sec) AS start_sec, max(ts_sec) AS end_sec
+        |  FROM s GROUP BY 1, 2),
+        |g AS (SELECT *, lag(end_sec) OVER (PARTITION BY user_id ORDER BY session_idx) AS prev_end
+        |      FROM sess)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |  CAST(SUM(end_sec - start_sec) AS BIGINT) // count(*) AS mean_session_sec,
+        |  CASE WHEN count(*) > 1
+        |    THEN CAST(SUM(start_sec - prev_end) AS BIGINT) // (count(*) - 1) END
+        |    AS mean_gap_sec
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ts_sessionize_native" ->
       """WITH e AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),

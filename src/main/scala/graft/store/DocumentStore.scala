@@ -647,4 +647,35 @@ object DocumentStore {
         min(col("__ts_sec")).as("start_sec"),
         max(col("__ts_sec")).as("end_sec"))
   }
+
+  /** Per-user engagement profile over [[sessionize]]'s session table:
+    * session count, events, exact integer mean session duration, and the
+    * mean gap BETWEEN sessions (the return-cadence signal behind churn
+    * scoring and retention cohorts; NULL — by CASE, not engine 0/0 —
+    * for single-session users who have no gap yet).
+    *
+    * Exactness: durations/gaps are epoch-second integers; each mean is
+    * one truncating integer division. The inter-session gap is
+    * `next_start − end` via one lag over the SESSION table — O(users ×
+    * sessions) rows, orders of magnitude below events — so the only
+    * fact-scale work remains [[sessionize]]'s own per-user window.
+    */
+  def sessionStats(df: DataFrame, keyCol: Column, tsSecCol: Column,
+                   idCol: Column, gapSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sess = sessionize(df, keyCol, tsSecCol, idCol, gapSec)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("session_idx"))
+    sess
+      .withColumn("prev_end", lag(col("end_sec"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("end_sec") - col("start_sec")).as("total_session_sec"),
+        sum(col("start_sec") - col("prev_end")).as("total_gap_sec"))
+      .select(col("user_id"), col("n_sessions"), col("n_events"),
+        expr("total_session_sec div n_sessions").as("mean_session_sec"),
+        when(col("n_sessions") > 1,
+          expr("total_gap_sec div (n_sessions - 1)")).as("mean_gap_sec"))
+  }
 }

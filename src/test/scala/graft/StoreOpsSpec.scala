@@ -293,6 +293,23 @@ class StoreOpsSpec extends AnyFunSuite {
     assert(m("v") === 8L)         // one non-null double
   }
 
+  test("session stats: exact means and a NULL gap for single-session users") {
+    import spark.implicits._
+    // user 1: sessions [0,100] and [10000,10050] → durations 100+50,
+    // mean 75, one gap 10000−100 = 9900; user 2: one session, gap NULL
+    val evs = Seq((1L, 0L), (1L, 100L), (1L, 10000L), (1L, 10050L), (2L, 5L))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      .toDF("user_id", "ts_sec", "event_id")
+    val out = DocumentStore.sessionStats(evs, col("user_id"), col("ts_sec"),
+        col("event_id"), 600L).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val u1 = out(1L)
+    assert(u1.getLong(1) === 2L && u1.getLong(2) === 4L)
+    assert(u1.getLong(3) === 75L && u1.getLong(4) === 9900L)
+    val u2 = out(2L)
+    assert(u2.getLong(1) === 1L && u2.getLong(3) === 0L && u2.isNullAt(4))
+  }
+
   test("native session_window membership equals the composition sessionizer") {
     import spark.implicits._
     // boundary case included: events exactly gap seconds apart stay one
