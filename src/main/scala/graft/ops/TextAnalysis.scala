@@ -1377,6 +1377,26 @@ object TextAnalysis {
         expr("(1000 * n_first) div n_grams").as("novelty_permille"))
   }
 
+  /** [[novelty]] of an INCREMENT against a persisted first-occurrence
+    * gram index (`Monitor.maintainGramIndex` / the batch `novelty`'s
+    * gram-min table): a gram is novel iff the prior corpus has never
+    * seen it — one left-anti-shaped join, the corpus never re-shingles.
+    * Scoring each increment BEFORE ingesting it gives exactly the batch
+    * operator's verdicts when increments arrive in doc_id order (the
+    * incremental-dedup contract, applied to novelty).
+    */
+  def noveltyAgainst(index: DataFrame, df: DataFrame, idCol: Column,
+                     textCol: Column): DataFrame = {
+    val grams = graft.ops.Dedup.shingles(df, idCol, textCol, None)
+    grams.join(index.select(col("shingle"), lit(1L).as("__seen")),
+        Seq("shingle"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_first"))
+      .select(col("doc_id"), col("n_grams"), col("n_first"),
+        expr("(1000 * n_first) div n_grams").as("novelty_permille"))
+  }
+
   /** Lexical-diversity profile: type-token ratio and hapax-legomenon
     * ratio per document — degenerate/templated text scores low on both.
     * Integer permille (exact div) for oracle parity. The explode+groupBy

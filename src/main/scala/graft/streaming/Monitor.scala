@@ -809,6 +809,36 @@ object Monitor {
   def readLshIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     readLog(spark, path)
 
+  /** Maintained first-occurrence gram index — the streaming half of
+    * `TextAnalysis.novelty` (§2c 42br): each micro-batch logs one
+    * (shingle, first_doc) partial per distinct gram it introduced (min
+    * doc_id within the batch), so an increment can be NOVELTY-SCORED
+    * against everything ingested before it without re-shingling the
+    * corpus ([[readGramIndex]] + `TextAnalysis.noveltyAgainst`). Min is
+    * associative and idempotent: replays rewrite their own partition,
+    * merge-on-read takes the min across batches, ingest order never
+    * changes a verdict that was already decided. `compactLog(fold)`
+    * with a min-groupBy collapses partials on schedule (48ac).
+    */
+  def maintainGramIndex(stream: DataFrame, idCol: Column, textCol: Column,
+                        path: String, checkpoint: String,
+                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        graft.ops.Dedup.shingles(df.toDF(), idCol, textCol, None)
+          .groupBy("shingle").agg(min("doc_id").as("first_doc"))
+          .writeLogBatch(batchId, path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Merge-on-read of the [[maintainGramIndex]] log: one (shingle,
+    * first_doc) row per gram ever streamed.
+    */
+  def readGramIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    readLog(spark, path).groupBy("shingle").agg(min("first_doc").as("first_doc"))
+
   /** Capture INTO the reference's native format: each micro-batch's `doc`
     * rows (canonical JSON) are written as `.topic_store` pickle logs into a
     * per-batch subdirectory — idempotent under replay (a restarted batch

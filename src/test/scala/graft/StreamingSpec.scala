@@ -1507,6 +1507,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("garbage-collected"))
   }
 
+  test("ingest-door novelty against the gram index equals batch verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_gram").toString
+    val ckpt = Files.createTempDirectory("graft_gram_ck").toString
+    val path = s"$dir/log"
+    val chosen = Tables.documents(spark, sf).orderBy("doc_id")
+      .select("doc_id", "text").limit(6).collect()
+      .map(r => Doc(r.getLong(0), new Timestamp(0L), r.getString(1))).toSeq
+    val input = MemoryStream[Doc]
+    def ingest(d: Doc): Unit = {
+      input.addData(d)
+      val q = Monitor.maintainGramIndex(input.toDF().drop("ts"),
+        col("doc_id"), col("text"), path, s"$ckpt/c1")
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    ingest(chosen.head)
+    // score each later doc against everything ingested BEFORE it
+    val scored = chosen.tail.map { d =>
+      val one = Seq(d).toDF().drop("ts")
+      val r = graft.ops.TextAnalysis.noveltyAgainst(
+        Monitor.readGramIndex(spark, path), one,
+        col("doc_id"), col("text")).collect()
+      ingest(d)
+      assert(r.length === 1)
+      r.head.getLong(0) -> (r.head.getLong(1), r.head.getLong(2), r.head.getLong(3))
+    }.toMap
+    val batch = graft.ops.TextAnalysis.novelty(
+        chosen.toDF().drop("ts"), col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    chosen.tail.foreach { d =>
+      assert(scored(d.doc_id) === batch(d.doc_id),
+        s"doc ${d.doc_id}: incremental ${scored(d.doc_id)} != batch ${batch(d.doc_id)}")
+    }
+    assert(batch(chosen.head.doc_id)._3 === 1000L) // the seed doc is all-new
+  }
+
   test("maintained kmv log unions byte-equal to the single-pass per-group sketch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
