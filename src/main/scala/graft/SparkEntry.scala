@@ -660,6 +660,10 @@ object SparkEntry {
     // resource-allocation index, hub wedge centers capped at deg 256
     "graph_link_pred" -> ((s, dir) => Graph.partLinkPrediction(s, dir)),
 
+    // personalized PageRank from customer 1: related-entity scores with
+    // rank mass entering only at the source, sparse frontier state
+    "graph_ppr" -> ((s, dir) => Graph.transactionPpr(s, dir)),
+
     // ── §2c training-data pipeline ────────────────────────────────────
     "dedup_exact" -> ((s, dir) =>
       TextAnalysis.exactDedup(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -2037,6 +2041,35 @@ object SparkEntry {
         |  WHERE walk.depth < 30)
         |SELECT node, CAST(min(depth) AS INT) AS depth
         |FROM walk GROUP BY node ORDER BY node""".stripMargin,
+
+    // the same sparse rounds unrolled: contributions union the source
+    // base row, one grouped sum per round — integer floor arithmetic
+    "graph_ppr" ->
+      """WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM pairs
+        |     UNION ALL SELECT dst, src FROM pairs),
+        |deg AS MATERIALIZED (SELECT a, count(*) AS deg FROM und GROUP BY 1),
+        |ed AS MATERIALIZED (SELECT und.a, und.b, deg.deg FROM und JOIN deg USING (a)),
+        |p0 AS (SELECT CAST(2 AS BIGINT) AS node, CAST(1000000000 AS BIGINT) AS pr),
+        |p1 AS MATERIALIZED (SELECT node, CAST(SUM(c) AS BIGINT) AS pr FROM (
+        |    SELECT ed.b AS node, pr * 850 // (1000 * deg) AS c
+        |    FROM ed JOIN p0 ON p0.node = ed.a
+        |    UNION ALL SELECT CAST(2 AS BIGINT), CAST(150000000 AS BIGINT))
+        |  GROUP BY 1),
+        |p2 AS MATERIALIZED (SELECT node, CAST(SUM(c) AS BIGINT) AS pr FROM (
+        |    SELECT ed.b AS node, pr * 850 // (1000 * deg) AS c
+        |    FROM ed JOIN p1 ON p1.node = ed.a
+        |    UNION ALL SELECT CAST(2 AS BIGINT), CAST(150000000 AS BIGINT))
+        |  GROUP BY 1),
+        |p3 AS MATERIALIZED (SELECT node, CAST(SUM(c) AS BIGINT) AS pr FROM (
+        |    SELECT ed.b AS node, pr * 850 // (1000 * deg) AS c
+        |    FROM ed JOIN p2 ON p2.node = ed.a
+        |    UNION ALL SELECT CAST(2 AS BIGINT), CAST(150000000 AS BIGINT))
+        |  GROUP BY 1)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+        |            ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node, pr
+        |FROM p3 ORDER BY pr DESC, node""".stripMargin,
 
     // wedge enumeration through degree-capped shared neighbors; RA is
     // the exact integer 1e6 div deg summed associatively; known edges

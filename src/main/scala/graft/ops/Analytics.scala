@@ -1410,17 +1410,23 @@ object Analytics {
         " / (1000000.0D * n * n)) as bigint)")).as("den_micro"))
     val refDev = dev.filter(col("series") === lit(refSeries))
       .select(col("h").as("hr"), col("d").as("dr"), col("n").as("nr"))
-    val refDen = den.filter(col("series") === lit(refSeries))
-      .select(col("den_micro").as("den_ref"))
+    // the reference denominator RIDES the broadcast deviation rows (a
+    // single-partition window over the one driver-small series — same
+    // rounded terms, same integer sum as `den`) and surfaces as a
+    // constant-per-group max: no 1-row cross join, no nested-loop plan
+    val refWithDen = refDev.withColumn("den_ref",
+      sum(expr("cast(round(cast(dr as double) * cast(dr as double)" +
+        " / (1000000.0D * nr * nr)) as bigint)"))
+        .over(Window.partitionBy(lit(0))))
     val a = dev.select(col("series"), col("h"), col("d"), col("n"),
       explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"))
-    a.join(broadcast(refDev), col("h") + col("lag") === col("hr"))
+    a.join(broadcast(refWithDen), col("h") + col("lag") === col("hr"))
       .groupBy(col("series"), col("lag"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(expr("cast(round(cast(d as double) * cast(dr as double)" +
-          " / (1000000.0D * n * nr)) as bigint)")).as("num_micro"))
+          " / (1000000.0D * n * nr)) as bigint)")).as("num_micro"),
+        max(col("den_ref")).as("den_ref"))
       .join(broadcast(den), "series")
-      .crossJoin(broadcast(refDen))
       .select(col("series"), col("lag"), col("n_pairs"), col("num_micro"),
         col("den_micro"), col("den_ref"),
         when(col("den_micro") > 0 && col("den_ref") > 0,

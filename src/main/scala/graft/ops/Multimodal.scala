@@ -303,6 +303,70 @@ object Multimodal {
       .orderBy(col("asset_id"), col("seg"))
   }
 
+  val SharpnessSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n", LongType),
+    StructField("lap_sum", LongType),
+    StructField("lap_dev_sq_sum", LongType),
+    StructField("lap_var", LongType)))
+
+  /** Image sharpness by variance of the Laplacian — the standard
+    * blur/quality gate an image-corpus curation pass runs before
+    * training (a defocused or upscaled-then-saved image scores near 0,
+    * crisp detail scores high): per interior pixel the 4-neighbor
+    * Laplacian `4·l − l_left − l_right − l_up − l_down` over the dHash
+    * luma (integer 299r+587g+114b, milli-scale), variance by the local
+    * TWO-PASS `Σ(lap − mean)² div n` — centered before squaring so the
+    * sums stay in-range to tens of megapixels where the one-pass
+    * `n·Σx² − (Σx)²` spelling would overflow a long around 2 MP.
+    * All-integer and partition-local like every decode op here:
+    * skip-on-corrupt, `mapPartitions`, no shuffle; images below 3×3
+    * have no interior and contribute no rows.
+    */
+  def imageSharpness(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val rdd = assets.select("asset_id", "payload").rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        val id = row.getLong(0)
+        decodePixels(row.getAs[Array[Byte]](1)).iterator
+          .filter { case (w, h, _) => w >= 3 && h >= 3 }
+          .map { case (w, h, px) =>
+            def luma(i: Int): Long = {
+              val p = px(i)
+              (299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff)
+                + 114L * (p & 0xff))
+            }
+            def lap(i: Int): Long =
+              4L * luma(i) - luma(i - 1) - luma(i + 1) -
+                luma(i - w) - luma(i + w)
+            var n = 0L; var s = 0L
+            var y = 1
+            while (y < h - 1) {
+              var x = 1
+              while (x < w - 1) { s += lap(y * w + x); n += 1; x += 1 }
+              y += 1
+            }
+            val mean = s / n
+            var devSq = 0L
+            y = 1
+            while (y < h - 1) {
+              var x = 1
+              while (x < w - 1) {
+                val d = lap(y * w + x) - mean
+                devSq += d * d
+                x += 1
+              }
+              y += 1
+            }
+            Row(id, w, h, n, s, devSq, devSq / n)
+          }
+      }
+    }
+    spark.createDataFrame(rdd, SharpnessSchema)
+  }
+
   /** 64-bit difference hash (dHash) over decoded pixels: area-average the
     * luma into a 9×8 grid, one bit per horizontally-adjacent comparison.
     * The standard perceptual fingerprint for image near-dup detection —

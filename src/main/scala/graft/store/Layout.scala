@@ -29,6 +29,36 @@ object Layout {
   def writePartitioned(df: DataFrame, path: String, scopeCol: String): Unit =
     df.write.partitionBy(scopeCol).mode("overwrite").parquet(path)
 
+  /** Retention (TTL) enforcement on a [[writePartitioned]] layout:
+    * drop every partition whose scope value sorts strictly below
+    * `keepFrom` — a pure DIRECTORY operation on the partition listing
+    * (delete `scope=<v>` dirs), never a data scan or rewrite, which is
+    * the only retention shape that stays O(expired partitions) at
+    * 100 TB. String comparison on the partition value matches Hive
+    * layout semantics: ISO dates and zero-padded epochs sort
+    * lexicographically = chronologically (the caller owns zero-padding
+    * numeric scopes — asserted nowhere because a layout that violates
+    * it already breaks range pruning). Returns the dropped partition
+    * values; idempotent, crash-safe (a half-finished run deleted some
+    * expired dirs — rerunning deletes the rest).
+    */
+  def expirePartitions(spark: SparkSession, path: String, scopeCol: String,
+                       keepFrom: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val prefix = s"$scopeCol="
+      val expired = fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(prefix))
+        .filter(_.stripPrefix(prefix) < keepFrom)
+      expired.foreach { name =>
+        fs.delete(new org.apache.hadoop.fs.Path(p, name), true)
+      }
+      expired.map(_.stripPrefix(prefix)).sorted
+    }
+  }
+
   /** Physical training-corpus delivery: pack documents into fixed-token
     * sequences, deal them round-robin into `numShards` shard directories
     * (`partitionBy(shard_id)` — one directory per shard, the unit a

@@ -749,6 +749,24 @@ class DataOpsSpec extends AnyFunSuite {
     assert(partial.toSeq === Seq((0, 3000), (1, 3000), (2, 2000)))
   }
 
+  test("image sharpness: flat images score zero, an edge scores by hand") {
+    import spark.implicits._
+    // 4x4 black with one white pixel at (1,1): interior laps are
+    // 1020000, -255000, -255000, 0 → n 4, sum 510000, mean 127500,
+    // dev² sum 1105425000000, var = that div 4
+    val flat = solidBmp(6, 5, 0x808080)
+    val spot = patternBmp(4, 4)((x, y) => if (x == 1 && y == 1) 0xFFFFFF else 0)
+    val df = Seq((1L, "image/bmp", flat), (2L, "image/bmp", spot),
+      (3L, "junk", Array[Byte](9))).toDF("asset_id", "kind", "payload")
+    val assets = Multimodal.toAsset(df, col("asset_id"), col("kind"), col("payload"))
+    val out = Multimodal.imageSharpness(assets).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(out.keySet === Set(1L, 2L), "junk contributes no rows")
+    assert(out(1L) === ((12L, 0L, 0L, 0L))) // 4x3 interior, all-flat
+    assert(out(2L) === ((4L, 510000L, 1105425000000L, 276356250000L)))
+  }
+
   test("VAD fuses consecutive loud windows and skips silence") {
     import spark.implicits._
     // 10000 samples at 2000/window: wins 0-1 loud square wave, 2-3
@@ -1351,6 +1369,23 @@ class DataOpsSpec extends AnyFunSuite {
     // p2: a = 150e6 + 2*floor(575e6*850/1000) = 1_127_500_000
     //     b = c = 150e6 + floor(1.85e9*850/2000) = 936_250_000
     assert(p2 === Map("a" -> 1127500000L, "b" -> 936250000L, "c" -> 936250000L))
+  }
+
+  test("personalized pagerank matches hand arithmetic, stays source-local") {
+    import spark.implicits._
+    // star 1-{2,3}, source {1}: round 1 pushes 425e6 to each leaf and
+    // restarts 1 at 150e6; round 2 returns 361.25e6 from each leaf to 1
+    // (+150e6 base) and the leaves hold 63.75e6 from the restarted hub
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val p2 = ops.Graph.personalizedPageRank(edges, Seq(1L), iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p2 === Map(1L -> 872500000L, 2L -> 63750000L, 3L -> 63750000L))
+    // a node beyond the iteration horizon never materializes: path
+    // 1-2-3-4-5, 2 rounds from {1} reaches at most node 3
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val reached = ops.Graph.personalizedPageRank(path, Seq(1L), iters = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(reached === Set(1L, 2L, 3L))
   }
 
   test("link prediction scores diagonals of a square, caps hubs") {

@@ -39,6 +39,23 @@ class LayoutSpec extends AnyFunSuite {
       scan.contains("= 7)"), s"expected partition pruning in plan:\n$scan")
   }
 
+  test("retention expiry drops only pre-cutoff partitions, idempotently") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_ttl").toString
+    val rows = Seq(("2024-01-01", 1L), ("2024-01-02", 2L),
+      ("2024-02-10", 3L), ("2024-03-05", 4L)).toDF("day", "v")
+    Layout.writePartitioned(rows, out, "day")
+    val dropped = Layout.expirePartitions(spark, out, "day", "2024-02-01")
+    assert(dropped === Seq("2024-01-01", "2024-01-02"))
+    val left = spark.read.parquet(out).select("v").collect().map(_.getLong(0)).toSet
+    assert(left === Set(3L, 4L))
+    // idempotent: nothing left below the cutoff
+    assert(Layout.expirePartitions(spark, out, "day", "2024-02-01") === Seq.empty)
+    // the boundary partition itself is KEPT (strictly-below semantics)
+    assert(Layout.expirePartitions(spark, out, "day", "2024-02-10") === Seq.empty)
+    assert(Layout.expirePartitions(spark, out, "day", "2024-02-11") === Seq("2024-02-10"))
+  }
+
   /** Per-row-group [min, max] span of an INT64 column across all parquet
     * files under `dir` — read straight from the footers.
     */
