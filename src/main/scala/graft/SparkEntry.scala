@@ -538,6 +538,10 @@ object SparkEntry {
     // in exact integer micro, one rank window per group
     "agg_trimmed_means" -> ((s, dir) => Analytics.eventTrimmedMeans(s, dir)),
 
+    // top-20 week-over-week movers across all series: integer weekly
+    // sums, lag delta between consecutive weeks only
+    "ts_top_movers" -> ((s, dir) => Analytics.eventTopMovers(s, dir)),
+
     "agg_quantiles" -> ((s, dir) =>
       ev(s, dir).groupBy(col("event_type"))
         .agg(
@@ -2868,6 +2872,26 @@ object SparkEntry {
         |           * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / 100.0
         |    / CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS w_avg_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // integer week buckets (day div 7, no engine week-truncation);
+    // deltas only between consecutive weeks; |delta| rank with a
+    // deterministic (series, wk) tie order
+    "ts_top_movers" ->
+      """WITH e AS (SELECT event_type AS series,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 86400) // 7 AS wk,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
+        |b AS (SELECT series, wk, CAST(SUM(vm) AS BIGINT) AS wsum
+        |      FROM e GROUP BY 1, 2),
+        |l AS (SELECT *, lag(wk) OVER w AS prev_wk, lag(wsum) OVER w AS prev_sum
+        |      FROM b WINDOW w AS (PARTITION BY series ORDER BY wk))
+        |SELECT series, wk, wsum, prev_sum, wsum - prev_sum AS delta_micro,
+        |  CASE WHEN prev_sum > 0 THEN
+        |    CASE WHEN wsum >= prev_sum
+        |      THEN (1000 * (wsum - prev_sum)) // prev_sum
+        |      ELSE -((1000 * (prev_sum - wsum)) // prev_sum) END
+        |  END AS change_permille
+        |FROM l WHERE prev_wk = wk - 1
+        |ORDER BY abs(wsum - prev_sum) DESC, series, wk LIMIT 20""".stripMargin,
 
     // same total (value, event_id) rank order and integer trim count;
     // all-positive micro sums keep div and // agreeing

@@ -2025,6 +2025,50 @@ object Analytics {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Weekly top movers — the "what changed the most" triage view over
+    * the metric streams: weekly sums per series (epoch-day div 7 — pure
+    * integer bucketing, no engine week-truncation), week-over-week
+    * delta by one lag, ranked by absolute move. Gap weeks break the
+    * chain honestly (delta only between CONSECUTIVE weeks — a series
+    * silent for a month doesn't fabricate a cliff). The permille change
+    * is CASE-guarded on a positive previous week; integer end-to-end.
+    *
+    * Scale shape: one map-combined bucketing shuffle to O(series ×
+    * weeks) rows, one per-series lag window over that tiny table, and a
+    * TakeOrdered top-k — the 28ag/28bq bucket-table discipline.
+    */
+  def topMovers(ev0: DataFrame, k: Int = 20): DataFrame = {
+    import graft.model.Documents
+    val weekly = ev0
+      .select(col("event_type").as("series"),
+        ((Documents.tsSec(col("ts")) / 86400L).cast("long") / 7L)
+          .cast("long").as("wk"),
+        expr("cast(round(value * 1000000.0D) as bigint)").as("vm"))
+      .groupBy(col("series"), col("wk"))
+      .agg(sum(col("vm")).as("wsum"))
+    val w = Window.partitionBy(col("series")).orderBy(col("wk"))
+    weekly
+      .withColumn("prev_wk", lag(col("wk"), 1).over(w))
+      .withColumn("prev_sum", lag(col("wsum"), 1).over(w))
+      .filter(col("prev_wk") === col("wk") - 1)
+      .select(col("series"), col("wk"), col("wsum"), col("prev_sum"),
+        (col("wsum") - col("prev_sum")).as("delta_micro"),
+        // divide non-negative operands only: Spark's `div` truncates
+        // toward zero while the oracle's `//` floors — they agree iff
+        // the numerator is kept non-negative and the sign re-applied
+        when(col("prev_sum") > 0,
+          expr("case when wsum >= prev_sum" +
+            " then (1000 * (wsum - prev_sum)) div prev_sum" +
+            " else -((1000 * (prev_sum - wsum)) div prev_sum) end"))
+          .as("change_permille"))
+      .orderBy(abs(col("delta_micro")).desc, col("series"), col("wk"))
+      .limit(k)
+  }
+
+  /** [[topMovers]] on the events table. */
+  def eventTopMovers(spark: SparkSession, dir: String): DataFrame =
+    topMovers(Tables.events(spark, dir))
+
   /** Trimmed and winsorized means per group — the robust location
     * estimates between the plain mean (outlier-hostage) and the median
     * (throws away 100·(1−ε)% of the data): drop (trimmed) or clamp

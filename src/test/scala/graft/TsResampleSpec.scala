@@ -58,6 +58,22 @@ class TsResampleSpec extends AnyFunSuite {
     assert(math.abs(byLag(2)._3 - (6.0 / 8.0)) < 1e-9)
   }
 
+  test("top movers rank consecutive-week deltas, gaps break the chain") {
+    // series A: weeks 0,1 sums 10, 40 → delta +30; series B: weeks 0, 2
+    // (gap) → no delta row at all; negative permille truncates toward 0
+    val day = 86400L
+    val rows = Seq(
+      (0L, "A", 10.0), (7 * day, "A", 40.0), (14 * day, "A", 30.0),
+      (0L, "B", 5.0), (14 * day, "B", 50.0))
+    val out = Analytics.topMovers(ev(rows)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4),
+        if (r.isNullAt(5)) Long.MinValue else r.getLong(5)))
+    assert(out.toSeq === Seq(
+      ("A", 1L, 30000000L, 3000L), // +300% of week 0
+      ("A", 2L, -10000000L, -250L))) // −25% of week 1, truncated toward 0
+    assert(!out.exists(_._1 == "B"), "gap weeks must not fabricate a delta")
+  }
+
   test("trimmed/winsorized means drop vs clamp exactly one tail row") {
     // 10 rows 1..9 plus a 1000 outlier, 10% per side → cut = 1:
     // trimmed keeps 2..9 +? — by hand: sorted 1,2,..,9,1000; drop rank 1
