@@ -542,6 +542,14 @@ object SparkEntry {
     // sums, lag delta between consecutive weeks only
     "ts_top_movers" -> ((s, dir) => Analytics.eventTopMovers(s, dir)),
 
+    // Benford first-digit audit on order totals: exact counts, permille
+    // shares vs the hardcoded log-curve constants
+    "agg_benford" -> ((s, dir) => Analytics.orderBenford(s, dir)),
+
+    // exact Gini of customer revenue per nation — whales-vs-broad-base,
+    // zero-order customers included
+    "agg_revenue_gini" -> ((s, dir) => Analytics.revenueGini(s, dir)),
+
     "agg_quantiles" -> ((s, dir) =>
       ev(s, dir).groupBy(col("event_type"))
         .agg(
@@ -2878,6 +2886,40 @@ object SparkEntry {
         |           * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / 100.0
         |    / CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS w_avg_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // same decimal-string leading digit, same integer permille; the
+    // expected shares are literals in both engines — no runtime log
+    "agg_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, count(*) AS n FROM d
+        |      WHERE digit BETWEEN 1 AND 9 GROUP BY 1),
+        |t AS (SELECT *, CAST(SUM(n) OVER () AS BIGINT) AS n_tot FROM c),
+        |e AS (SELECT t.*, CAST(CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176
+        |    WHEN 3 THEN 125 WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67
+        |    WHEN 7 THEN 58 WHEN 8 THEN 51 WHEN 9 THEN 46 END AS BIGINT) AS ex
+        |  FROM t)
+        |SELECT digit, n, (1000 * n) // n_tot AS observed_permille,
+        |  ex AS expected_permille,
+        |  (1000 * n) // n_tot - ex AS dev_permille
+        |FROM e ORDER BY digit""".stripMargin,
+
+    // rank-weighted integer sums per nation; zero-order customers ride
+    // the left join with rev 0
+    "agg_revenue_gini" ->
+      """WITH rev AS (SELECT c_custkey, c_nationkey,
+        |    CAST(COALESCE(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)), 0) AS BIGINT) AS rev
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY c_nationkey
+        |        ORDER BY rev, c_custkey) AS i FROM rev)
+        |SELECT c_nationkey AS nationkey, count(*) AS n_cust,
+        |  CAST(SUM(rev) AS BIGINT) AS total_cents,
+        |  CASE WHEN CAST(SUM(rev) AS BIGINT) > 0 THEN
+        |    (2000 * CAST(SUM(i * rev) AS BIGINT)
+        |     - 1000 * (count(*) + 1) * CAST(SUM(rev) AS BIGINT))
+        |    // (count(*) * CAST(SUM(rev) AS BIGINT)) END AS gini_milli
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // integer week buckets (day div 7, no engine week-truncation);
     // deltas only between consecutive weeks; |delta| rank with a

@@ -2025,6 +2025,92 @@ object Analytics {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Benford first-digit audit over order totals — the classic
+    * fabricated-data / broken-feed detector: naturally-occurring
+    * multi-scale amounts follow log₁₀(1 + 1/d) per leading digit d, so
+    * a feed whose digit profile departs hard from that curve was
+    * generated, truncated, or corrupted upstream. Counts are exact;
+    * observed shares are truncating permille; the expected shares are
+    * the Benford constants as integer permille literals (301, 176, 125,
+    * 97, 79, 67, 58, 51, 46 — no runtime log, no libm divergence);
+    * `dev_permille` is the signed gap. One scan, one 9-row
+    * map-combined aggregate — free at any scale.
+    */
+  def benfordAudit(ord: DataFrame): DataFrame = {
+    val expected = Seq(301L, 176L, 125L, 97L, 79L, 67L, 58L, 51L, 46L)
+    val expCase = expected.zipWithIndex
+      .map { case (p, i) => s"WHEN ${i + 1} THEN ${p}L" }
+      .mkString("CASE digit ", " ", " END")
+    ord
+      .select(substring(money(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .filter(col("digit").between(1, 9))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_tot", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))))
+      .select(col("digit"), col("n"),
+        expr("(1000 * n) div n_tot").as("observed_permille"),
+        expr(expCase).as("expected_permille"),
+        (expr("(1000 * n) div n_tot") - expr(expCase)).as("dev_permille"))
+      .orderBy("digit")
+  }
+
+  /** [[benfordAudit]] on the orders table. */
+  def orderBenford(spark: SparkSession, dir: String): DataFrame =
+    benfordAudit(Tables.orders(spark, dir))
+
+  /** Revenue concentration per nation — the exact Gini coefficient over
+    * customer revenue (the inequality census behind "is this market a
+    * few whales or a broad base", the same shape data teams run on
+    * per-source token counts before fixing mixture weights): customers
+    * rank ascending by (revenue, custkey) within their nation, and
+    * `G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)` comes out in milli from
+    * three exact integer sums. Zero-order customers count — a market
+    * where half the accounts never bought IS concentrated, and
+    * excluding them would hide exactly that.
+    *
+    * Scale shape: revenue pre-aggregates to the O(customers) table
+    * before anything sorts (map-combined groupBy over orders); the rank
+    * window partitions by nation — the 28bh discipline. Σ i·x is
+    * long-safe while customers-per-nation × max-revenue-cents stays
+    * under 9·10¹⁸ (~10⁶ customers at ~$10M each); past that the milli
+    * trick from 28ab applies.
+    */
+  def revenueGini(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_custkey"),
+            (money(col("o_totalprice")) * 100).cast("long").as("cents")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_nationkey"))
+      .agg(coalesce(sum(col("cents")), lit(0L)).as("rev"))
+      .select(col("c_nationkey").as("grp"), col("c_custkey").as("id"),
+        col("rev"))
+    giniByGroup(rev)
+      .withColumnRenamed("grp", "nationkey")
+      .withColumnRenamed("n", "n_cust")
+      .withColumnRenamed("total", "total_cents")
+      .orderBy("nationkey")
+  }
+
+  /** [[revenueGini]]'s core over any (grp, id, rev) table: exact milli
+    * Gini from the three rank-weighted integer sums.
+    */
+  def giniByGroup(rev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    rev.withColumn("i", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("rev"), col("id"))))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("rev")).as("total"),
+        sum(col("i") * col("rev")).as("wsum"))
+      .select(col("grp"), col("n"), col("total"),
+        when(col("total") > 0,
+          expr("(2000 * wsum - 1000 * (n + 1) * total)" +
+            " div (n * total)")).as("gini_milli"))
+  }
+
   /** Weekly top movers — the "what changed the most" triage view over
     * the metric streams: weekly sums per series (epoch-day div 7 — pure
     * integer bucketing, no engine week-truncation), week-over-week

@@ -58,6 +58,31 @@ class TsResampleSpec extends AnyFunSuite {
     assert(math.abs(byLag(2)._3 - (6.0 / 8.0)) < 1e-9)
   }
 
+  test("benford audit counts leading digits of the decimal rendering") {
+    import spark.implicits._
+    val ord = Seq(100.00, 150.25, 199.99, 250.00).toDF("o_totalprice")
+    val out = Analytics.benfordAudit(ord).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out === Map(
+      1 -> (3L, 750L, 301L, 449L),
+      2 -> (1L, 250L, 176L, 74L)))
+  }
+
+  test("gini: two-point extremes match the closed form") {
+    import spark.implicits._
+    // one-whale market {0, 100} → G = 1/2; equal market {100, 100} → 0
+    val rev = Seq(("w", 1L, 0L), ("w", 2L, 100L),
+      ("e", 1L, 100L), ("e", 2L, 100L)).toDF("grp", "id", "rev")
+    val out = Analytics.giniByGroup(rev).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out === Map("w" -> 500L, "e" -> 0L))
+    // all-zero group: NULL, not 0/0
+    val z = Analytics.giniByGroup(Seq(("z", 1L, 0L)).toDF("grp", "id", "rev"))
+      .collect().head
+    assert(z.isNullAt(3))
+  }
+
   test("top movers rank consecutive-week deltas, gaps break the chain") {
     // series A: weeks 0,1 sums 10, 40 → delta +30; series B: weeks 0, 2
     // (gap) → no delta row at all; negative permille truncates toward 0
