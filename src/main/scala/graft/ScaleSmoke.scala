@@ -981,6 +981,63 @@ object ScaleSmoke {
       require(n == 1000000L, s"every doc must score once, got $n")
     }
 
+    // the prefix-filter exactness path under the SAME boilerplate skew
+    // that motivates the capped join: 100k docs, 20% opening with one
+    // universal 14-word header. The boilerplate shingles have df≈20k —
+    // they sit at the very END of every doc's df-ascending order, so no
+    // prefix ever exposes them as a block key and candidate volume is
+    // bounded by genuine rare-shingle overlap, with NO cap and NO
+    // missed pair by construction.
+    time("prefix_jaccard_boilerplate") {
+      val n = graft.ops.Dedup.prefixJaccardPairs(skewed, col("doc_id"),
+        col("text"), 500, cache = false).count()
+      println(s"[scale]   exact prefix-filtered pairs: $n")
+    }
+
+    // link prediction vs the hub hazard: a 100k-leaf star plus 10k
+    // 4-cliques. Uncapped, the star alone wedges (10^5)²/2 ≈ 5·10^9
+    // pairs; the default deg-256 cap drops the hub as a wedge center
+    // BEFORE the self-join, so only the clique wedges (bounded) remain
+    // — and every clique's two diagonal non-edges score.
+    time("link_pred_hub") {
+      val star = spark.range(100000L).select(lit(0L).as("src"),
+        (col("id") * 10 + 1000000L).as("dst"))
+      // per clique of nodes {4k+1..4k+4}: a 4-cycle plus one chord —
+      // the (2,4)-diagonal shares two neighbors and must score
+      val cliques = Seq((1, 2), (1, 3), (1, 4), (2, 3), (3, 4)).map {
+        case (a, b) =>
+          spark.range(10000L).select((col("id") * 4 + a).as("src"),
+            (col("id") * 4 + b).as("dst"))
+      }.reduce(_ union _)
+      val preds = graft.ops.Graph.linkPrediction(star.union(cliques)).count()
+      println(s"[scale]   predictions: $preds (hub contributes none)")
+      require(preds == 10000L,
+        s"exactly one diagonal per clique and nothing from the hub, got $preds")
+    }
+
+    // deterministic walks over the same hub shape: the hub's 100k-way
+    // neighbor fan-out per step collapses in the map-side min(struct)
+    // combine — the shuffle carries one row per walk, never the fan-out.
+    time("walks_hub_graph") {
+      val star = spark.range(100000L).select(lit(0L).as("src"),
+        (col("id") + 1L).as("dst"))
+      val walks = graft.ops.Graph.randomWalks(star, length = 4, walksPerNode = 1)
+      val rows = walks.count()
+      require(rows == (100000L + 1L) * 5L, s"every node walks 5 steps, got $rows")
+    }
+
+    // personalized PageRank stays source-local: one source on a 10⁶-node
+    // path-of-cliques graph reaches only its 3-hop ball — state is
+    // O(reached), never O(V).
+    time("ppr_frontier_bound") {
+      val chain = spark.range(1000000L).select(col("id").as("src"),
+        (col("id") + 1L).as("dst"))
+      val reached = graft.ops.Graph.personalizedPageRank(chain, Seq(500000L),
+        iters = 3).count()
+      println(s"[scale]   reached nodes: $reached of 10^6")
+      require(reached <= 7L, s"3 rounds on a path reach <= 7 nodes, got $reached")
+    }
+
     spark.stop()
   }
 }

@@ -2099,7 +2099,7 @@ object SparkEntry {
         |adj AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b, a FROM e),
         |deg AS (SELECT z, count(*) AS deg FROM adj GROUP BY 1),
         |keep AS MATERIALIZED (SELECT adj.z, adj.n, deg.deg
-        |      FROM adj JOIN deg USING (z) WHERE deg <= 256),
+        |      FROM adj JOIN deg USING (z) WHERE deg <= 128),
         |w AS (SELECT x.n AS u, y.n AS v, 1000000 // x.deg AS ra
         |      FROM keep x JOIN keep y ON x.z = y.z AND x.n < y.n),
         |s AS (SELECT u, v, count(*) AS common, CAST(SUM(ra) AS BIGINT) AS ra_micro
@@ -2109,25 +2109,35 @@ object SparkEntry {
         |SELECT u, v, common, ra_micro FROM f
         |ORDER BY ra_micro DESC, u, v LIMIT 100""".stripMargin,
 
-    // the same md5-argmin next hop unrolled step by step; hash inputs
-    // are the identical "walk:step:neighbor" strings, so both engines
-    // pick the same neighbor everywhere short of an md5 collision
+    // the same indexed-adjacency picks unrolled step by step: neighbor
+    // index = 52-bit md5("walk:step") mod degree over the b-sorted
+    // row-numbered adjacency — identical arithmetic in both engines
     "graph_walks" ->
       """WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         |e AS MATERIALIZED (SELECT src AS a, dst AS b FROM pairs
         |     UNION ALL SELECT dst, src FROM pairs),
-        |nd AS (SELECT DISTINCT a FROM e),
-        |f0 AS (SELECT nd.a * 2 + ww.w AS walk, nd.a AS cur
-        |       FROM nd CROSS JOIN (SELECT CAST(unnest(range(0, 2)) AS BIGINT) AS w) ww),
-        |s1 AS (SELECT walk, arg_min(b, md5(CAST(walk AS VARCHAR) || ':1:' || CAST(b AS VARCHAR))) AS cur
-        |       FROM f0 JOIN e ON f0.cur = e.a GROUP BY walk),
-        |s2 AS (SELECT walk, arg_min(b, md5(CAST(walk AS VARCHAR) || ':2:' || CAST(b AS VARCHAR))) AS cur
-        |       FROM s1 JOIN e ON s1.cur = e.a GROUP BY walk),
-        |s3 AS (SELECT walk, arg_min(b, md5(CAST(walk AS VARCHAR) || ':3:' || CAST(b AS VARCHAR))) AS cur
-        |       FROM s2 JOIN e ON s2.cur = e.a GROUP BY walk),
-        |s4 AS (SELECT walk, arg_min(b, md5(CAST(walk AS VARCHAR) || ':4:' || CAST(b AS VARCHAR))) AS cur
-        |       FROM s3 JOIN e ON s3.cur = e.a GROUP BY walk),
+        |adj AS MATERIALIZED (SELECT a, b,
+        |       row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS idx FROM e),
+        |deg AS MATERIALIZED (SELECT a, count(*) AS deg FROM e GROUP BY 1),
+        |f0 AS (SELECT deg.a * 2 + ww.w AS walk, deg.a AS cur
+        |       FROM deg CROSS JOIN (SELECT CAST(unnest(range(0, 2)) AS BIGINT) AS w) ww),
+        |s1 AS (SELECT walk, adj.b AS cur
+        |       FROM f0 JOIN deg ON f0.cur = deg.a
+        |       JOIN adj ON adj.a = f0.cur AND adj.idx =
+        |         ('0x' || substr(md5(CAST(walk AS VARCHAR) || ':1'), 1, 13))::BIGINT % deg.deg),
+        |s2 AS (SELECT walk, adj.b AS cur
+        |       FROM s1 JOIN deg ON s1.cur = deg.a
+        |       JOIN adj ON adj.a = s1.cur AND adj.idx =
+        |         ('0x' || substr(md5(CAST(walk AS VARCHAR) || ':2'), 1, 13))::BIGINT % deg.deg),
+        |s3 AS (SELECT walk, adj.b AS cur
+        |       FROM s2 JOIN deg ON s2.cur = deg.a
+        |       JOIN adj ON adj.a = s2.cur AND adj.idx =
+        |         ('0x' || substr(md5(CAST(walk AS VARCHAR) || ':3'), 1, 13))::BIGINT % deg.deg),
+        |s4 AS (SELECT walk, adj.b AS cur
+        |       FROM s3 JOIN deg ON s3.cur = deg.a
+        |       JOIN adj ON adj.a = s3.cur AND adj.idx =
+        |         ('0x' || substr(md5(CAST(walk AS VARCHAR) || ':4'), 1, 13))::BIGINT % deg.deg),
         |un AS (SELECT walk, 0 AS step, cur FROM f0
         |  UNION ALL SELECT walk, 1, cur FROM s1
         |  UNION ALL SELECT walk, 2, cur FROM s2

@@ -492,10 +492,16 @@ object Graph {
   def partLinkPrediction(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    // the co-purchase graph is dense (avg degree ~50 and growing with
+    // sf), so the headline query trades the cap down to 128: wedge
+    // volume is Σ min(deg, cap)² and the informative centers are the
+    // LOW-degree ones anyway — the same popularity argument as the
+    // hot-shingle cap, applied twice as hard
     linkPrediction(
       li.as("x").join(li.as("y"),
           col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("src"), col("y.pk").as("dst")))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst")),
+      maxDeg = 128)
       .orderBy(col("ra_micro").desc, col("u"), col("v")).limit(100)
   }
 
@@ -503,48 +509,57 @@ object Graph {
     * generator (Perozzi et al. 2014): `walksPerNode` walks of `length`
     * steps from every node, each step choosing uniformly among the
     * current node's neighbors. "Random" is hash-derived, not RNG: step
-    * i of walk w moves to the neighbor minimizing
-    * `md5(walk:step:neighbor)` — every neighbor is equally likely under
-    * the hash's uniformity, yet the whole corpus replays bit-for-bit on
-    * any engine/partitioning (md5 hex is cross-engine identical, the
-    * argmin has no ties short of an md5 collision), so the oracle
-    * unrolls the same steps in SQL and the emitted walks hash-match.
+    * i of walk w picks neighbor INDEX `md5₅₂(walk:i) mod deg(cur)` from
+    * the b-sorted, row-numbered adjacency — uniform under the hash, yet
+    * the whole corpus replays bit-for-bit on any engine/partitioning
+    * (md5 hex is cross-engine identical, the index join has exactly one
+    * match), so the oracle replays the same picks in SQL and the walks
+    * hash-match.
     *
-    * Scale shape: per step, one equality join of the O(V·walksPerNode)
-    * frontier against the source-partitioned, checkpointed edge list
-    * (the pageRank spine — exchange-free on the big side) and one
-    * grouped argmin whose `min(struct(hash, b))` combines map-side, so
-    * a hub's candidate fan-out collapses before the shuffle. Total work
-    * O(length · Σ deg(frontier)) ≤ O(length · E); walk state is one row
-    * per walk, never a path history (steps emit as they happen). At
-    * 100 TB you start walks from a node sample — the frontier is an
-    * argument-shaped knob, not a rewrite.
+    * Scale shape — the alias-table idea relationalized: the INDEXED
+    * adjacency (a, idx, b) and degree table are built once (a
+    * per-source row_number window — hub partitions sort only their own
+    * edges) and checkpointed; each step is then TWO equality joins per
+    * walk — frontier⋈deg on cur for the modulus, frontier⋈adjacency on
+    * (cur, idx) for the hop — O(walks) rows per step, NEVER
+    * O(Σ deg(frontier)): a walk sitting on a 10⁸-degree hub costs one
+    * row, where a candidates-then-argmin join would fan out the hub's
+    * whole neighbor list under every visiting walk (the ScaleSmoke hub
+    * stratum pins this shape). Walk state is one row per walk, steps
+    * emit as they happen; at 100 TB you start walks from a node
+    * sample — the frontier is an argument-shaped knob, not a rewrite.
     *
-    * `pairs` needs (src, dst); emits (walk_node, w, step, node) rows,
-    * step 0 = the start node itself.
+    * `pairs` needs numeric (src, dst); emits (start, w, step, node)
+    * rows, step 0 = the start node itself.
     */
   def randomWalks(pairs: DataFrame, length: Int = 4,
                   walksPerNode: Int = 2): DataFrame = {
     require(length >= 1 && walksPerNode >= 1)
+    import org.apache.spark.sql.expressions.Window
     val n = pairs.sparkSession.sessionState.conf.numShufflePartitions
     val edges = pairs.select(explode(array(
         struct(col("src").as("a"), col("dst").as("b")),
         struct(col("dst").as("a"), col("src").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
-    val ed = edges.repartition(n, col("a")).localCheckpoint()
-    var frontier = ed.select(col("a")).distinct()
+    val adj = edges
+      .withColumn("idx",
+        row_number().over(Window.partitionBy(col("a")).orderBy(col("b"))) - 1)
+      .repartition(n, col("a")).localCheckpoint()
+    val deg = adj.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    var frontier = deg.select(col("a"))
       .select(explode(sequence(lit(0), lit(walksPerNode - 1))).as("w"), col("a"))
       .select((col("a") * walksPerNode + col("w")).as("walk"), col("a").as("cur"))
       .localCheckpoint()
     var out = frontier.select(col("walk"), lit(0).as("step"), col("cur").as("node"))
     for (step <- 1 to length) {
-      frontier = frontier.join(ed, frontier("cur") === ed("a"))
-        .select(col("walk"),
-          struct(md5(concat_ws(":", col("walk"), lit(step), col("b"))).as("h"),
-            col("b")).as("hb"))
-        .groupBy(col("walk"))
-        .agg(min(col("hb")).as("m"))
-        .select(col("walk"), col("m.b").as("cur"))
+      val k = expr("cast(conv(substr(md5(concat_ws(':', walk, " +
+        s"$step)), 1, 13), 16, 10) as bigint)")
+      frontier = frontier
+        .join(deg, frontier("cur") === deg("a"))
+        .select(col("walk"), col("cur"), (k % col("deg")).as("k"))
+        .join(adj, col("cur") === adj("a") && col("k") === adj("idx"))
+        .select(col("walk"), col("b").as("cur"))
       out = out.unionByName(
         frontier.select(col("walk"), lit(step).as("step"), col("cur").as("node")))
       if (step % 4 == 0 && step < length) frontier = frontier.localCheckpoint()
