@@ -669,7 +669,7 @@ object SparkEntry {
     "graph_walks" -> ((s, dir) => Graph.transactionWalks(s, dir)),
 
     // link prediction on the part graph: common neighbors + integer
-    // resource-allocation index, hub wedge centers capped at deg 256
+    // resource-allocation index, hub wedge centers capped at deg 64
     "graph_link_pred" -> ((s, dir) => Graph.partLinkPrediction(s, dir)),
 
     // personalized PageRank from customer 1: related-entity scores with
@@ -687,6 +687,12 @@ object SparkEntry {
       TextAnalysis.sourceOverlap(Tables.documents(s, dir), col("source"), col("text"))),
 
     // exact integer two-sample KS: length-distribution drift src0 vs src1
+    // the full pairwise drift matrix: common value grid, exact integer
+    // supremum per source pair, one division per surviving row
+    "quality_ks_matrix" -> ((s, dir) =>
+      TextAnalysis.ksDriftMatrix(Tables.documents(s, dir), col("source"),
+        col("n_chars"))),
+
     "quality_ks_drift" -> ((s, dir) =>
       TextAnalysis.ksDrift(Tables.documents(s, dir), col("source"), col("n_chars"),
         "src0", "src1")),
@@ -1076,6 +1082,12 @@ object SparkEntry {
     "text_feature_hash" -> ((s, dir) =>
       TextAnalysis.featureHash(Tables.documents(s, dir), col("doc_id"), col("text"))
         .orderBy("doc_id", "idx")),
+
+    // model-free 16-dim integer doc vectors: feature hashing composed
+    // with an md5-seeded ±1 projection — the ANN bootstrap signature
+    "text_doc_embed" -> ((s, dir) =>
+      TextAnalysis.docEmbed(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy("doc_id", "j")),
 
     // marginal-diversity: fraction of each doc's 3-grams appearing
     // first (min doc_id) in corpus order, integer permille
@@ -2099,7 +2111,7 @@ object SparkEntry {
         |adj AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b, a FROM e),
         |deg AS (SELECT z, count(*) AS deg FROM adj GROUP BY 1),
         |keep AS MATERIALIZED (SELECT adj.z, adj.n, deg.deg
-        |      FROM adj JOIN deg USING (z) WHERE deg <= 128),
+        |      FROM adj JOIN deg USING (z) WHERE deg <= 64),
         |w AS (SELECT x.n AS u, y.n AS v, 1000000 // x.deg AS ra
         |      FROM keep x JOIN keep y ON x.z = y.z AND x.n < y.n),
         |s AS (SELECT u, v, count(*) AS common, CAST(SUM(ra) AS BIGINT) AS ra_micro
@@ -3510,6 +3522,30 @@ object SparkEntry {
         |FROM v a JOIN v b ON a.vec_id = b.vec_id AND b.d >= a.d
         |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
 
+    // every pair on one common value grid; the same integer supremum,
+    // smallest-x tie rule, one division per surviving row
+    "quality_ks_matrix" ->
+      """WITH base AS MATERIALIZED (SELECT source AS g, CAST(n_chars AS BIGINT) AS x
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |v AS (SELECT DISTINCT x FROM base),
+        |gs AS (SELECT DISTINCT g FROM base),
+        |c AS (SELECT g, x, count(*) AS c FROM base GROUP BY 1, 2),
+        |grid AS (SELECT gs.g, v.x, COALESCE(c.c, 0) AS c
+        |  FROM v CROSS JOIN gs LEFT JOIN c ON c.g = gs.g AND c.x = v.x),
+        |f AS (SELECT g, x,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fcum,
+        |    SUM(c) OVER (PARTITION BY g) AS n
+        |  FROM grid),
+        |p AS (SELECT a.g AS source_a, b.g AS source_b, a.x,
+        |    CAST(a.n AS BIGINT) AS na, CAST(b.n AS BIGINT) AS nb,
+        |    CAST(abs(a.fcum * b.n - b.fcum * a.n) AS BIGINT) AS ks_num
+        |  FROM f a JOIN f b ON a.x = b.x AND a.g < b.g),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source_a, source_b
+        |        ORDER BY ks_num DESC, x) AS rk FROM p)
+        |SELECT source_a, source_b, na, nb, x AS x_at, ks_num,
+        |  CAST(ks_num AS DOUBLE) / CAST(na * nb AS DOUBLE) AS ks
+        |FROM r WHERE rk = 1 ORDER BY source_a, source_b""".stripMargin,
+
     // integer ECDF supremum — the argmax is decided in exact arithmetic,
     // the one division happens on the surviving row only
     "quality_ks_drift" ->
@@ -4188,6 +4224,25 @@ object SparkEntry {
         |  (1000 * CAST(SUM(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS novelty_permille
         |FROM sh JOIN f USING (shingle)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the feature-hash triples times the md5(idx:j) sign — exact
+    // integer sums, identical derivation in both engines
+    "text_doc_embed" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |t AS (SELECT doc_id, unnest(words) AS tok FROM w),
+        |f AS (SELECT doc_id,
+        |        ('0x' || substr(md5(tok), 1, 13))::BIGINT % 1024 AS idx,
+        |        CASE WHEN instr('01234567', substr(md5(tok), 14, 1)) > 0
+        |             THEN 1 ELSE -1 END AS sgn
+        |      FROM t),
+        |fh AS (SELECT doc_id, idx, CAST(SUM(sgn) AS BIGINT) AS val
+        |       FROM f GROUP BY 1, 2 HAVING SUM(sgn) <> 0),
+        |x AS (SELECT doc_id, idx, val, CAST(unnest(range(0, 16)) AS INT) AS j
+        |      FROM fh)
+        |SELECT doc_id, j, CAST(SUM(val * (CASE WHEN instr('01234567',
+        |    substr(md5(CAST(idx AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1)) > 0
+        |    THEN 1 ELSE -1 END)) AS BIGINT) AS e
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // identical md5 bucket + sign-nibble arithmetic; exact signed
     // integer counts, zero-sum buckets dropped on both sides

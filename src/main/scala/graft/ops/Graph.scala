@@ -493,15 +493,15 @@ object Graph {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
     // the co-purchase graph is dense (avg degree ~50 and growing with
-    // sf), so the headline query trades the cap down to 128: wedge
+    // sf), so the headline query trades the cap down to 64: wedge
     // volume is Σ min(deg, cap)² and the informative centers are the
-    // LOW-degree ones anyway — the same popularity argument as the
-    // hot-shingle cap, applied twice as hard
+    // LOW-degree ones anyway — a part co-bought with everything predicts
+    // nothing, the hot-shingle argument applied twice as hard
     linkPrediction(
       li.as("x").join(li.as("y"),
           col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
         .select(col("x.pk").as("src"), col("y.pk").as("dst")),
-      maxDeg = 128)
+      maxDeg = 64)
       .orderBy(col("ra_micro").desc, col("u"), col("v")).limit(100)
   }
 

@@ -66,6 +66,48 @@ object TextAnalysis {
         (col("ks_num").cast("double") / (col("na") * col("nb")).cast("double")).as("ks"))
   }
 
+  /** [[ksDrift]] generalized to EVERY stratum pair — the full drift
+    * matrix a mixing-governance pass reads beside the 42y content-
+    * overlap matrix: which sources' length (or any numeric) profiles
+    * disagree, and by how much, in one statement. All cdfs evaluate on
+    * one COMMON value grid (strata × distinct values, the strata side a
+    * tiny broadcast — the whitelisted kmv-overlap shape), so every pair
+    * compares directly: per (a, b) the KS statistic is the max over the
+    * grid of the exact integer |F_a·n_b − F_b·n_a|, tie broken at the
+    * smallest value. After the first groupBy the work is
+    * O(strata² × distinct values) — corpus-size-free.
+    */
+  def ksDriftMatrix(df: DataFrame, stratum: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(stratum.as("g"), value.cast("long").as("x"))
+      .filter(col("g").isNotNull && col("x").isNotNull)
+    val vals = base.select(col("x")).distinct()
+    val gs = base.select(col("g")).distinct()
+    val c = base.groupBy(col("g"), col("x")).agg(count(lit(1)).as("c"))
+    val grid = vals.crossJoin(broadcast(gs))
+      .join(c, Seq("g", "x"), "left_outer")
+      .select(col("g"), col("x"), coalesce(col("c"), lit(0L)).as("c"))
+    val f = grid
+      .withColumn("fcum", sum(col("c")).over(Window.partitionBy(col("g"))
+        .orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("g"))))
+    val pairs = f.as("a").join(f.as("b"),
+        col("a.x") === col("b.x") && col("a.g") < col("b.g"))
+      .select(col("a.g").as("source_a"), col("b.g").as("source_b"),
+        col("a.x").as("x"), col("a.n").as("na"), col("b.n").as("nb"),
+        abs(col("a.fcum") * col("b.n") - col("b.fcum") * col("a.n")).as("ks_num"))
+    pairs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source_a"), col("source_b"))
+          .orderBy(col("ks_num").desc, col("x"))))
+      .filter(col("rk") === 1)
+      .select(col("source_a"), col("source_b"), col("na"), col("nb"),
+        col("x").as("x_at"), col("ks_num"),
+        (col("ks_num").cast("double") / (col("na") * col("nb")).cast("double")).as("ks"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Cross-source content-overlap matrix — the governance view a 100 TB
     * curation run needs before mixing sources: how many distinct word-
     * 3-gram shingles each source pair shares (mirror sites, double-
@@ -630,6 +672,37 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("idx"))
       .agg(sum(col("sgn")).as("val"))
       .filter(col("val") =!= 0)
+  }
+
+  /** Hashed document embeddings — [[featureHash]] composed with a signed
+    * random projection (the Achlioptas ±1 construction the 42at JL op
+    * uses, seeded off md5 so both engines derive the same matrix): every
+    * document becomes an `outDims`-dimensional INTEGER vector with no
+    * model, no vocabulary, and no training pass. The poor-man's
+    * semantic signature: token-overlapping documents land near each
+    * other, so the vectors feed the ANN/near-dup stack (SRP-LSH, IVF
+    * cells, cosine re-rank) as a bootstrap long before a learned
+    * embedding model exists — and deterministically, so dedup verdicts
+    * made with them replay.
+    *
+    * Scale shape: the sparse (doc, idx, val) triples expand ×`outDims`
+    * through ONE map-side-combined groupBy — shuffle O(docs · outDims)
+    * rows of integers; the projection matrix is derived per row from
+    * md5(idx:j), never materialized or shipped.
+    */
+  def docEmbed(df: DataFrame, idCol: Column, textCol: Column,
+               dim: Int = 1024, outDims: Int = 16): DataFrame = {
+    require(outDims >= 2 && outDims <= 256, s"outDims in [2,256], got $outDims")
+    featureHash(df, idCol, textCol, dim)
+      .select(col("doc_id"), col("val"),
+        explode(sequence(lit(0), lit(outDims - 1))).as("j"),
+        col("idx"))
+      .select(col("doc_id"), col("j"),
+        (col("val") * expr("case when instr('01234567'," +
+          " substr(md5(concat_ws(':', idx, j)), 1, 1)) > 0" +
+          " then 1L else -1L end")).as("term"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("term")).as("e"))
   }
 
   /** EXACT heavy hitters — every item occurring in at least `minFraction`

@@ -79,6 +79,45 @@ class DataOpsSpec extends AnyFunSuite {
       TextAnalysis.featureHash(docs, col("doc_id"), col("text"))).count() === 0)
   }
 
+  test("ks matrix: zero for identical strata, one for disjoint, pairwise parity") {
+    import spark.implicits._
+    val tiny = Seq(("s0", 1L), ("s0", 2L), ("s1", 1L), ("s1", 2L),
+      ("s2", 10L), ("s2", 20L)).toDF("source", "n_chars")
+    val out = TextAnalysis.ksDriftMatrix(tiny, col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(out(("s0", "s1")) === ((1L, 0L, 0.0))) // identical: sup 0 at min x
+    assert(out(("s0", "s2")) === ((2L, 4L, 1.0))) // disjoint: full separation
+    assert(out(("s1", "s2")) === ((2L, 4L, 1.0)))
+    // the matrix row for (src0, src1) equals the dedicated pairwise op
+    val m = TextAnalysis.ksDriftMatrix(docs, col("source"), col("n_chars"))
+      .filter(col("source_a") === "src0" && col("source_b") === "src1")
+      .select("na", "nb", "x_at", "ks_num", "ks").collect().map(_.toSeq)
+    val p = TextAnalysis.ksDrift(docs, col("source"), col("n_chars"),
+        "src0", "src1")
+      .select("na", "nb", "x_at", "ks_num", "ks").collect().map(_.toSeq)
+    assert(m.toSeq === p.toSeq && m.nonEmpty)
+  }
+
+  test("doc embeddings: 16 integer dims, composition of hash and signs") {
+    import spark.implicits._
+    val tiny = Seq((1L, "alpha alpha alpha"), (2L, "alpha alpha alpha"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.docEmbed(tiny, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // one tripled token → every coordinate is ±3; identical docs get
+    // identical vectors
+    (0 until 16).foreach { j =>
+      assert(math.abs(out((1L, j))) === 3L)
+      assert(out((1L, j)) === out((2L, j)))
+    }
+    // full width on the real corpus, deterministic across runs
+    val e1 = TextAnalysis.docEmbed(docs, col("doc_id"), col("text"))
+    assert(e1.groupBy("doc_id").count().filter(col("count") =!= 16).count() === 0)
+    assert(e1.exceptAll(
+      TextAnalysis.docEmbed(docs, col("doc_id"), col("text"))).count() === 0)
+  }
+
   test("prefix filtering equals uncapped brute Jaccard — the exactness contract") {
     // the whole point of the op: identical answer to the all-candidate
     // uncapped join, with only prefix shingles ever used as block keys

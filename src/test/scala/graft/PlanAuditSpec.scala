@@ -38,7 +38,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "part_basket_lift",       // single-row global order-count broadcast
     "agg_equidepth",          // single-row percentile-edges broadcast
     "agg_cm_counts",          // single-row count-min sketch broadcast
-    "agg_kmv_overlap")        // |types|-row sketch-pair cross: intended tiny nested loop
+    "agg_kmv_overlap",        // |types|-row sketch-pair cross: intended tiny nested loop
+    "quality_ks_matrix")      // |sources|-row grid cross: the common-ECDF-grid build
 
   for ((name, q) <- SparkEntry.queries) {
     test(s"$name: no unintended nested-loop or cartesian join") {
