@@ -194,10 +194,15 @@ object Dedup {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pre = ranked.join(counts, "doc_id")
-      .filter(col("rk") <=
-        col("n") - expr(s"($thresholdPermille * n + 999) div 1000") + 1)
-      .select(col("doc_id"), col("shingle"))
+    // cached: BOTH sides of the candidate self-join read the prefix
+    // table — uncached, each side would re-run the df join + per-doc
+    // rank window (the two most expensive stages here)
+    val pre = shareCache(
+      ranked.join(counts, "doc_id")
+        .filter(col("rk") <=
+          col("n") - expr(s"($thresholdPermille * n + 999) div 1000") + 1)
+        .select(col("doc_id"), col("shingle")),
+      cache)
     val cand = pre.as("a").join(pre.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
