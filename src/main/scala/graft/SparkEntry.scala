@@ -641,6 +641,8 @@ object SparkEntry {
     "window_rolling_stats" -> ((s, dir) => Analytics.rollingUserStats(s, dir)),
     "agg_cube" -> ((s, dir) => Analytics.eventCube(s, dir)),
     "events_funnel" -> ((s, dir) => Analytics.funnelStages(s, dir)),
+    // per-stage conversion permille + nearest-rank median time-to-convert
+    "events_funnel_rates" -> ((s, dir) => Analytics.eventFunnelRates(s, dir)),
     "events_retention" -> ((s, dir) => Analytics.cohortRetention(s, dir)),
     // exact-integer PageRank over the customer-supplier bipartite graph
     "graph_pagerank" -> ((s, dir) => Graph.transactionRank(s, dir)),
@@ -1897,6 +1899,48 @@ object SparkEntry {
         |u AS MATERIALIZED (SELECT user_id, min(s1) AS u1, min(s2) AS u2, min(s3) AS u3 FROM s3 GROUP BY 1)
         |SELECT count(*) AS users_total, count(u1) AS reached_stage1,
         |  count(u2) AS reached_stage2, count(u3) AS reached_stage3 FROM u""".stripMargin,
+
+    // the funnel prelude verbatim, then the same tagged-union epilogue:
+    // truncating permille of exact counts, nearest-rank LOWER median
+    "events_funnel_rates" ->
+      """WITH e AS MATERIALIZED (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS MATERIALIZED (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+        |         OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1 FROM e),
+        |s2 AS MATERIALIZED (SELECT *, min(CASE WHEN event_type = 'click' AND ts_us > s1 THEN ts_us END)
+        |         OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2 FROM s1),
+        |s3 AS MATERIALIZED (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us > s2 THEN ts_us END)
+        |         OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s3 FROM s2),
+        |u AS MATERIALIZED (SELECT user_id, min(s1) AS u1, min(s2) AS u2, min(s3) AS u3 FROM s3 GROUP BY 1),
+        |su AS MATERIALIZED (
+        |  SELECT user_id, 1 AS stage, u1 IS NOT NULL AS reached,
+        |         CAST(NULL AS BIGINT) AS delta FROM u
+        |  UNION ALL
+        |  SELECT user_id, 2, u2 IS NOT NULL,
+        |         CASE WHEN u2 IS NOT NULL THEN u2 - u1 END FROM u
+        |  UNION ALL
+        |  SELECT user_id, 3, u3 IS NOT NULL,
+        |         CASE WHEN u3 IS NOT NULL THEN u3 - u2 END FROM u),
+        |a AS (SELECT stage, count(*) AS n_total,
+        |      CAST(SUM(CASE WHEN reached THEN 1 ELSE 0 END) AS BIGINT) AS reached
+        |      FROM su GROUP BY 1),
+        |m AS (SELECT stage, delta AS median_delta_us FROM (
+        |    SELECT stage, delta, user_id,
+        |      row_number() OVER (PARTITION BY stage ORDER BY delta, user_id) AS rn,
+        |      count(*) OVER (PARTITION BY stage) AS nd
+        |    FROM su WHERE delta IS NOT NULL)
+        |  WHERE rn = (nd + 1) // 2),
+        |l AS (SELECT a.*, m.median_delta_us,
+        |      lag(reached) OVER (ORDER BY stage) AS prev_reached
+        |      FROM a LEFT JOIN m USING (stage))
+        |SELECT stage, reached,
+        |  CASE WHEN stage = 1 THEN (1000 * reached) // n_total
+        |       WHEN prev_reached > 0 THEN (1000 * reached) // prev_reached END
+        |    AS conv_permille,
+        |  median_delta_us
+        |FROM l ORDER BY stage""".stripMargin,
 
     // the same three synchronous rounds, unrolled; all math is integer
     // (floor division, permille damping) so the iterations are exact

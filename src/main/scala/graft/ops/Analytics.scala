@@ -703,6 +703,59 @@ object Analytics {
       .agg(min(col("s1")).as("u1"), min(col("s2")).as("u2"), min(col("s3")).as("u3"))
   }
 
+  /** Funnel conversion-rate table over [[funnelUsers]] — the three
+    * numbers a product review actually reads per stage: how many users
+    * arrived, what fraction of the PREVIOUS stage converted, and the
+    * exact median time-to-convert from the stage before. Rates are
+    * truncating permille of exact counts; the median is the nearest-rank
+    * LOWER median (`(n+1) div 2` over the total (delta, user_id) order —
+    * no interpolation, no float) of the per-user stage deltas in micros.
+    *
+    * Scale shape: beyond [[funnelUsers]]'s own per-user window, the
+    * epilogue is one explode to O(users · 3) tagged rows, one grouped
+    * agg, and one per-stage rank window — stage partitions are the
+    * parallelism unit and the 3-row result joins itself by broadcast.
+    */
+  def funnelRates(ev: DataFrame,
+                  stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val su = funnelUsers(ev, stages).select(col("user_id"),
+      explode(array(
+        struct(lit(1).as("stage"), col("u1").isNotNull.as("reached"),
+          lit(null).cast("long").as("delta")),
+        struct(lit(2).as("stage"), col("u2").isNotNull.as("reached"),
+          when(col("u2").isNotNull, col("u2") - col("u1")).as("delta")),
+        struct(lit(3).as("stage"), col("u3").isNotNull.as("reached"),
+          when(col("u3").isNotNull, col("u3") - col("u2")).as("delta"))))
+        .as("s"))
+      .select(col("user_id"), col("s.stage").as("stage"),
+        col("s.reached").as("reached"), col("s.delta").as("delta"))
+    val agg = su.groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("reached"), 1L).otherwise(0L)).as("reached"))
+    val med = su.filter(col("delta").isNotNull)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("stage")).orderBy(col("delta"), col("user_id"))))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("stage"))))
+      .filter(col("rn") === expr("(nd + 1) div 2"))
+      .select(col("stage"), col("delta").as("median_delta_us"))
+    agg.join(broadcast(med), Seq("stage"), "left_outer")
+      .withColumn("prev_reached",
+        lag(col("reached"), 1).over(Window.orderBy(col("stage"))))
+      .select(col("stage"), col("reached"),
+        when(col("stage") === 1, expr("(1000 * reached) div n_total"))
+          .otherwise(when(col("prev_reached") > 0,
+            expr("(1000 * reached) div prev_reached")))
+          .as("conv_permille"),
+        col("median_delta_us"))
+      .orderBy(col("stage"))
+  }
+
+  /** [[funnelRates]] on the events table. */
+  def eventFunnelRates(spark: SparkSession, dir: String): DataFrame =
+    funnelRates(Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us")))
+
   /** Cohort retention: users grouped by first-activity week, counted
     * distinct in each subsequent week offset. All calendar math is
     * integer day arithmetic from a fixed epoch (no engine-specific

@@ -58,6 +58,26 @@ class TsResampleSpec extends AnyFunSuite {
     assert(math.abs(byLag(2)._3 - (6.0 / 8.0)) < 1e-9)
   }
 
+  test("funnel rates: per-stage conversion and lower-median deltas by hand") {
+    import spark.implicits._
+    // A completes (deltas 10, 20 us), B view+click (delta 30), C view
+    // only, D never enters → stage rows: 3/4=750‰, 2/3=666‰, 1/2=500‰;
+    // stage-2 lower median of {10, 30} is 10
+    val ev = Seq(
+      (1L, 1L, "view", 100L), (2L, 1L, "click", 110L), (3L, 1L, "purchase", 130L),
+      (4L, 2L, "view", 200L), (5L, 2L, "click", 230L),
+      (6L, 3L, "view", 300L),
+      (7L, 4L, "error", 400L))
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    val out = Analytics.funnelRates(ev).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1, 3L, 750L, -1L),
+      (2, 2L, 666L, 10L),
+      (3, 1L, 500L, 20L)))
+  }
+
   test("benford audit counts leading digits of the decimal rendering") {
     import spark.implicits._
     val ord = Seq(100.00, 150.25, 199.99, 250.00).toDF("o_totalprice")
