@@ -577,6 +577,25 @@ object SparkEntry {
           least(col("cnt"), lit(1024L)).as("n_sample"))
         .orderBy("event_type")
     }),
+    // time-bucketed latency/size bands: the SAME deterministic bottom-k
+    // sketch per (series, day) — p10/p50/p90 dashboards without raw
+    // rescans, and the sketch rows persist as a maintainable log
+    "ts_percentile_bands" -> ((s, dir) => {
+      graft.functions.QSketchFunctions.register(s)
+      ev(s, dir).filter(col("value").isNotNull)
+        .groupBy(col("event_type").as("series"),
+          (Documents.tsSec(col("ts")) / 86400L).cast("long").as("day"))
+        .agg(
+          expr("graft_qsketch(cast(value as double), cast(event_id as string), 256)").as("sk"),
+          count(lit(1)).as("cnt"))
+        .select(col("series"), col("day"),
+          expr("graft_qsketch_q(sk, 0.1d)").as("p10_est"),
+          expr("graft_qsketch_q(sk, 0.5d)").as("p50_est"),
+          expr("graft_qsketch_q(sk, 0.9d)").as("p90_est"),
+          least(col("cnt"), lit(256L)).as("n_sample"))
+        .orderBy("series", "day")
+    }),
+
     "text_search" -> ((s, dir) =>
       Tables.documents(s, dir)
         .filter(col("text").contains("merge batch"))
@@ -3053,6 +3072,31 @@ object SparkEntry {
         |  max(CASE WHEN vr = 1 + CAST(floor(0.9 * (n - 1)) AS BIGINT) THEN value END) AS p90_est,
         |  CAST(max(n) AS BIGINT) AS n_sample
         |FROM q GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the same deterministic bottom-256 sample per (series, day) and
+    // the same nearest-rank picks — estimates reproduce EXACTLY
+    "ts_percentile_bands" ->
+      """WITH ranked AS (
+        |  SELECT event_type AS series,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, value,
+        |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))::BIGINT AS r
+        |  FROM events WHERE value IS NOT NULL),
+        |sample AS (
+        |  SELECT series, day, value FROM (
+        |    SELECT series, day, value,
+        |      row_number() OVER (PARTITION BY series, day ORDER BY r, value) AS rn
+        |    FROM ranked) WHERE rn <= 256),
+        |q AS (
+        |  SELECT series, day, value,
+        |    row_number() OVER (PARTITION BY series, day ORDER BY value) AS vr,
+        |    count(*) OVER (PARTITION BY series, day) AS n
+        |  FROM sample)
+        |SELECT series, day,
+        |  max(CASE WHEN vr = 1 + CAST(floor(0.1 * (n - 1)) AS BIGINT) THEN value END) AS p10_est,
+        |  max(CASE WHEN vr = 1 + CAST(floor(0.5 * (n - 1)) AS BIGINT) THEN value END) AS p50_est,
+        |  max(CASE WHEN vr = 1 + CAST(floor(0.9 * (n - 1)) AS BIGINT) THEN value END) AS p90_est,
+        |  CAST(max(n) AS BIGINT) AS n_sample
+        |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // rebuild the 64×4 grid cell-for-cell from the same md5-slice buckets
     // and take the same min — estimates match EXACTLY, unlike the HLL row

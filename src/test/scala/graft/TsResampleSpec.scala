@@ -58,6 +58,26 @@ class TsResampleSpec extends AnyFunSuite {
     assert(math.abs(byLag(2)._3 - (6.0 / 8.0)) < 1e-9)
   }
 
+  test("percentile bands are ordered and exact on a small group") {
+    import spark.implicits._
+    graft.functions.QSketchFunctions.register(spark)
+    // 5 values in one (series, day) group — under k the sketch IS the
+    // exact sample: nearest-rank p10/p50/p90 of {1..5} = 1, 3, 4
+    val df = (1 to 5).map(i => (i.toLong, i * 3600L, "A", i.toDouble))
+      .toDF("event_id", "t", "event_type", "value")
+      .select(col("event_id"), col("t").cast("timestamp").as("ts"),
+        col("event_type"), col("value"))
+    val out = df.groupBy(col("event_type").as("series"),
+        (graft.model.Documents.tsSec(col("ts")) / 86400L).cast("long").as("day"))
+      .agg(expr("graft_qsketch(cast(value as double), cast(event_id as string), 256)").as("sk"))
+      .select(expr("graft_qsketch_q(sk, 0.1d)").as("p10"),
+        expr("graft_qsketch_q(sk, 0.5d)").as("p50"),
+        expr("graft_qsketch_q(sk, 0.9d)").as("p90"))
+      .collect().head
+    assert(out.getDouble(0) === 1.0 && out.getDouble(1) === 3.0 &&
+      out.getDouble(2) === 4.0)
+  }
+
   test("funnel rates: per-stage conversion and lower-median deltas by hand") {
     import spark.implicits._
     // A completes (deltas 10, 20 us), B view+click (delta 30), C view
