@@ -697,6 +697,10 @@ object SparkEntry {
     // rank mass entering only at the source, sparse frontier state
     "graph_ppr" -> ((s, dir) => Graph.transactionPpr(s, dir)),
 
+    // 3-hop min-plus shortest paths from customer 1, edge length
+    // 1e6 div n_orders — commercial closeness, exact integers
+    "graph_distances" -> ((s, dir) => Graph.transactionDistances(s, dir)),
+
     // ── §2c training-data pipeline ────────────────────────────────────
     "dedup_exact" -> ((s, dir) =>
       TextAnalysis.exactDedup(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -2134,6 +2138,29 @@ object SparkEntry {
         |  WHERE walk.depth < 30)
         |SELECT node, CAST(min(depth) AS INT) AS depth
         |FROM walk GROUP BY node ORDER BY node""".stripMargin,
+
+    // the same min-plus rounds unrolled: relax-then-union-then-min per
+    // round, exact integer weights, unreached nodes absent
+    "graph_distances" ->
+      """WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst, l_orderkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |wp AS MATERIALIZED (SELECT src, dst, 1000000 // count(*) AS w
+        |  FROM pairs GROUP BY src, dst),
+        |e AS MATERIALIZED (SELECT src AS a, dst AS b, w FROM wp
+        |     UNION ALL SELECT dst, src, w FROM wp),
+        |d0 AS (SELECT CAST(2 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+        |d1 AS MATERIALIZED (SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+        |    SELECT e.b AS node, d0.dist + e.w AS dist FROM e JOIN d0 ON d0.node = e.a
+        |    UNION ALL SELECT node, dist FROM d0) GROUP BY 1),
+        |d2 AS MATERIALIZED (SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+        |    SELECT e.b AS node, d1.dist + e.w AS dist FROM e JOIN d1 ON d1.node = e.a
+        |    UNION ALL SELECT node, dist FROM d1) GROUP BY 1),
+        |d3 AS MATERIALIZED (SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+        |    SELECT e.b AS node, d2.dist + e.w AS dist FROM e JOIN d2 ON d2.node = e.a
+        |    UNION ALL SELECT node, dist FROM d2) GROUP BY 1)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+        |            ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node, dist
+        |FROM d3 ORDER BY dist, node""".stripMargin,
 
     // the same sparse rounds unrolled: contributions union the source
     // base row, one grouped sum per round — integer floor arithmetic

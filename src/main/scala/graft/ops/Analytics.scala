@@ -1445,7 +1445,6 @@ object Analytics {
   def ccf(ev0: DataFrame, refSeries: String = "purchase", maxLag: Int = 6,
           bucketSec: Long = 3600L): DataFrame = {
     import graft.model.Documents
-    require(maxLag >= 1 && maxLag <= 168, s"maxLag in [1,168], got $maxLag")
     val hourly = ev0
       .select(col("event_type").as("series"),
         (Documents.tsSec(col("ts")) / bucketSec).cast("long").as("h"),
@@ -1453,6 +1452,17 @@ object Analytics {
       .groupBy(col("series"), col("h"))
       .agg(sum(col("vm")).as("sv"), count(lit(1)).as("cnt"))
       .select(col("series"), col("h"), expr("sv div cnt").as("x"))
+    ccfFromBuckets(hourly, refSeries, maxLag)
+  }
+
+  /** [[ccf]] over an ALREADY-bucketed (series, h, x) table — the
+    * bucket-log family convention, so the lead/lag profile refreshes
+    * from the streaming-maintained hourly log without re-scanning raw
+    * events.
+    */
+  def ccfFromBuckets(hourly: DataFrame, refSeries: String = "purchase",
+                     maxLag: Int = 6): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 168, s"maxLag in [1,168], got $maxLag")
     val stats = hourly.groupBy(col("series"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
     val dev = hourly.join(broadcast(stats), "series")

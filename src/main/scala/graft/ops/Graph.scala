@@ -440,6 +440,70 @@ object Graph {
       .orderBy(col("pr").desc, col("node"))
   }
 
+  /** Bounded-hop shortest paths by min-plus iteration (the Bellman-Ford
+    * step as a DataFrame fixed point): exact integer distances from a
+    * source set through at most `iters` hops — the routing/cost
+    * primitive beside [[bfs]]'s unweighted hop counts (a close, heavily
+    * traded relationship should beat a chain of one-off transactions,
+    * which hop counting can't express). Per round
+    * `d'(v) = min(d(v), min_{(u,v)} d(u) + w(u,v))` — min is
+    * associative/idempotent, so map-side combine absorbs hub fan-in and
+    * replays can't change a settled distance. Unreached nodes never
+    * materialize (the BFS/PPR sparse-frontier contract).
+    *
+    * Scale shape: the weighted symmetric edge list partitions on the
+    * source once and checkpoints; each round is one frontier⋈edges join
+    * + one min groupBy — O(frontier-edges) rows, state O(reached).
+    *
+    * `wpairs` needs (src, dst, w) with non-negative integer weights.
+    */
+  def minPlusDistances(wpairs: DataFrame, sources: Seq[Long],
+                       iters: Int = 3): DataFrame = {
+    require(iters >= 1 && sources.nonEmpty)
+    val spark = wpairs.sparkSession
+    import spark.implicits._
+    val n = spark.sessionState.conf.numShufflePartitions
+    val edges = wpairs.select(explode(array(
+        struct(col("src").as("a"), col("dst").as("b"), col("w")),
+        struct(col("dst").as("a"), col("src").as("b"), col("w")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"), col("e.w").as("w"))
+    val ed = edges.repartition(n, col("a")).localCheckpoint()
+    var d = sources.toDF("node").withColumn("dist", lit(0L))
+    for (i <- 1 to iters) {
+      d = ed.join(d, ed("a") === d("node"))
+        .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
+        .unionByName(d.select(col("node"), col("dist")))
+        .groupBy(col("node"))
+        .agg(min(col("dist")).as("dist"))
+      if (i % 4 == 0 && i < iters) d = d.localCheckpoint()
+    }
+    d
+  }
+
+  /** [[minPlusDistances]] over the trading graph from customer 1, edge
+    * length `1e6 div n_orders` (a heavily traded relationship is a
+    * SHORT hop): which entities are commercially closest within 3 hops.
+    */
+  def transactionDistances(spark: SparkSession, dir: String,
+                           iters: Int = 3): DataFrame = {
+    val wpairs = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2L).as("src"),
+        (col("l_suppkey") * 2L + 1L).as("dst"), col("l_orderkey"))
+      .distinct()
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("src"), col("dst"), expr("1000000L div cnt").as("w"))
+    def readable(name: String) =
+      when(col(name) % 2L === 0L,
+        concat(lit("c"), expr(s"$name div 2").cast("string")))
+        .otherwise(concat(lit("s"), expr(s"$name div 2").cast("string")))
+    minPlusDistances(wpairs, Seq(2L), iters)
+      .select(readable("node").as("node"), col("dist"))
+      .orderBy(col("dist"), col("node"))
+  }
+
   /** Link prediction scores for non-adjacent node pairs: common-neighbor
     * count and the resource-allocation index (Zhou et al. 2009 —
     * `Σ_z 1/deg(z)` over shared neighbors z, the published index that

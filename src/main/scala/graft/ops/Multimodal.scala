@@ -288,10 +288,20 @@ object Multimodal {
     * integer arithmetic end-to-end.
     */
   def vadSegments(assets: DataFrame, windowSamples: Int = 4000,
-                  thrPerSample: Long = 1000000L): DataFrame = {
+                  thrPerSample: Long = 1000000L): DataFrame =
+    vadFromWindows(audioWindows(assets, windowSamples), thrPerSample)
+
+  /** [[vadSegments]]'s fold over an ALREADY-computed window table (the
+    * [[AudioWindowSchema]] shape) — the bucket-log convention applied to
+    * audio: a pipeline that persists its window tables (or maintains
+    * them at ingest) re-derives VAD segments under a new threshold
+    * without touching, or re-decoding, a single payload byte.
+    */
+  def vadFromWindows(wins: DataFrame,
+                     thrPerSample: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("asset_id")).orderBy(col("win"))
-    audioWindows(assets, windowSamples)
+    wins
       .filter(col("energy") >= lit(thrPerSample) * col("n"))
       .withColumn("prev", lag(col("win"), 1).over(w))
       .withColumn("is_new",

@@ -1435,6 +1435,23 @@ class DataOpsSpec extends AnyFunSuite {
     assert(p2 === Map("a" -> 1127500000L, "b" -> 936250000L, "c" -> 936250000L))
   }
 
+  test("min-plus distances prefer the short 2-hop over the long direct edge") {
+    import spark.implicits._
+    // 1→2 weight 100 but 1→3→2 weights 10+10: after 2+ rounds the
+    // 2-hop path (20) must beat the direct edge
+    val wp = Seq((1L, 2L, 100L), (1L, 3L, 10L), (3L, 2L, 10L))
+      .toDF("src", "dst", "w")
+    val d = ops.Graph.minPlusDistances(wp, Seq(1L), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(1L -> 0L, 2L -> 20L, 3L -> 10L))
+    // hop bound respected: a path 1-2-3-4-5 at 1 iter reaches only 2
+    val chain = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 5L, 1L))
+      .toDF("src", "dst", "w")
+    val d1 = ops.Graph.minPlusDistances(chain, Seq(1L), iters = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(d1 === Set(1L, 2L))
+  }
+
   test("personalized pagerank matches hand arithmetic, stays source-local") {
     import spark.implicits._
     // star 1-{2,3}, source {1}: round 1 pushes 425e6 to each leaf and

@@ -1007,6 +1007,12 @@ class StreamingSpec extends AnyFunSuite {
     val olsBatch = graft.ops.Analytics.olsTrend(withValue(all.toDF()))
       .collect().toSeq.map(_.toSeq)
     assert(olsViaLog === olsBatch && olsBatch.nonEmpty)
+    val ccfViaLog = graft.ops.Analytics.ccfFromBuckets(
+        graft.streaming.Monitor.readHourlyBuckets(spark, s"$dir/log"), "view")
+      .collect().toSeq.map(_.toSeq)
+    val ccfBatch = graft.ops.Analytics.ccf(withValue(all.toDF()), "view")
+      .collect().toSeq.map(_.toSeq)
+    assert(ccfViaLog === ccfBatch && ccfBatch.nonEmpty)
     // replay with a fresh checkpoint rewrites batch 0 idempotently
     val input2 = MemoryStream[Ev]
     input2.addData(all.take(40): _*)
