@@ -501,6 +501,28 @@ object Monitor {
     df.filter(col("__batch_id").isin(keep: _*)).drop("__batch_id")
   }
 
+  /** What changed between two log snapshots: multiset row diff of
+    * [[readLogAsOf]] views — the audit answer to "what did batches
+    * (a, b] contribute?" without replaying the stream. Emits each
+    * changed row with a signed `n_delta` (positive = added since `a`,
+    * negative = removed — possible when a compaction FOLD collapses
+    * rows); exact multiset semantics via two count-aggregates and one
+    * full outer join on the row itself, O(changed + distinct) shuffle.
+    */
+  def logDiff(spark: org.apache.spark.sql.SparkSession, path: String,
+              a: Long, b: Long): DataFrame = {
+    val av = readLogAsOf(spark, path, a)
+    val bv = readLogAsOf(spark, path, b)
+    val cols = bv.columns.toSeq
+    val ac = av.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__na"))
+    val bc = bv.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__nb"))
+    bc.join(ac, cols, "full_outer")
+      .select(cols.map(col) :+
+        (coalesce(col("__nb"), lit(0L)) - coalesce(col("__na"), lit(0L)))
+          .as("n_delta"): _*)
+      .filter(col("n_delta") =!= 0L)
+  }
+
   /** Maintained cell-partitioned ANN index — the IVF layout kept current
     * at the ingest door: each arriving embedding is assigned to its cell
     * against the FROZEN milli centroids (`Similarity.assignToCentroids`,

@@ -1511,6 +1511,11 @@ class StreamingSpec extends AnyFunSuite {
     assert(asOf(2L) === Set(0L, 1L, 2L))
     val e = intercept[IllegalArgumentException](asOf(0L))
     assert(e.getMessage.contains("garbage-collected"))
+    // the snapshot diff names exactly what batch 2 contributed
+    val diff = Monitor.logDiff(spark, path, 1L, 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(diff === Seq((2L, 1L)))
+    assert(Monitor.logDiff(spark, path, 2L, 2L).count() === 0L)
   }
 
   test("ingest-door novelty against the gram index equals batch verdicts") {
