@@ -618,6 +618,65 @@ object Similarity {
       .select("query_id", "neighbor_id", "adc_micro", "rank")
   }
 
+  /** Maximal-marginal-relevance diversification (Carbonell & Goldstein
+    * 1998) over a retrieval shortlist — the LAST stage of the retrieval
+    * stack: after IVF/PQ/re-rank produce the `rerank` most RELEVANT
+    * candidates, MMR picks the `k` that are relevant AND mutually
+    * diverse (`argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`),
+    * the dedup-at-serving-time step a RAG pipeline wants so its context
+    * window isn't five near-copies of one document.
+    *
+    * Greedy selection is inherently sequential per query, so it runs as
+    * one typed fold per query group over the SHORTLIST ONLY (≤ rerank
+    * rows — serving-bounded, never corpus-bounded; the k·rerank pairwise
+    * sims compute inside the task): queries are the parallelism unit,
+    * exactly the per-series smoother discipline. Candidates enter the
+    * fold in the deterministic (relevance desc, id) order and ties
+    * break on the smaller id, so the selection replays anywhere.
+    *
+    * `shortlist` needs (query_id, neighbor_id, cosine); vectors join
+    * from `corpus`. λ in permille.
+    */
+  def mmrRerank(corpus: DataFrame, shortlist: DataFrame, k: Int,
+                lambdaPermille: Int = 700): DataFrame = {
+    require(k >= 1 && lambdaPermille >= 0 && lambdaPermille <= 1000)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val lam = lambdaPermille / 1000.0
+    val withVec = shortlist
+      .join(prep(corpus).as("c"), col("neighbor_id") === col("c.vec_id"))
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("cosine").cast("double"), col("c.v"), col("c.norm").cast("double"))
+      .as[(Long, Long, Double, Seq[Double], Double)]
+    withVec.groupByKey(_._1)
+      .flatMapGroups { (q: Long, it: Iterator[(Long, Long, Double, Seq[Double], Double)]) =>
+        val cands = it.toArray.sortBy(c => (-c._3, c._2))
+        def sim(a: (Long, Long, Double, Seq[Double], Double),
+                b: (Long, Long, Double, Seq[Double], Double)): Double = {
+          var d = 0.0
+          var i = 0
+          val av = a._4; val bv = b._4
+          while (i < av.length) { d += av(i) * bv(i); i += 1 }
+          if (a._5 == 0.0 || b._5 == 0.0) 0.0 else d / (a._5 * b._5)
+        }
+        val selected = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Double, Seq[Double], Double)]
+        val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+        while (selected.size < k && remaining.nonEmpty) {
+          val best = remaining.minBy { c =>
+            val pen = if (selected.isEmpty) 0.0 else selected.map(sim(c, _)).max
+            (-(lam * c._3 - (1.0 - lam) * pen), c._2)
+          }
+          selected += best
+          remaining -= best
+        }
+        selected.iterator.zipWithIndex.map { case (c, i) =>
+          (q, c._2, c._3, i + 1)
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine", "mmr_rank")
+  }
+
   def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
                normalize: Boolean = true): DataFrame = {
     VectorFunctions.register(corpus.sparkSession)

@@ -1435,6 +1435,26 @@ class DataOpsSpec extends AnyFunSuite {
     assert(p2 === Map("a" -> 1127500000L, "b" -> 936250000L, "c" -> 936250000L))
   }
 
+  test("mmr reranks a redundant twin below a diverse candidate") {
+    import spark.implicits._
+    // candidate 2 is nearly a copy of candidate 1; candidate 3 is
+    // orthogonal but less relevant. Pure relevance keeps [1,2,3];
+    // λ=0.5 demotes the twin: [1,3,2]
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.05)), (3L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val shortlist = Seq((100L, 1L, 1.0), (100L, 2L, 0.995), (100L, 3L, 0.3))
+      .toDF("query_id", "neighbor_id", "cosine")
+    def order(lp: Int) = Similarity.mmrRerank(corpus, shortlist, k = 3, lp)
+      .orderBy("mmr_rank").collect().map(_.getLong(1)).toSeq
+    assert(order(1000) === Seq(1L, 2L, 3L))
+    assert(order(500) === Seq(1L, 3L, 2L))
+    // k truncates and ranks are 1..k
+    val top2 = Similarity.mmrRerank(corpus, shortlist, k = 2, 500)
+      .collect().map(r => r.getInt(3) -> r.getLong(1)).toMap
+    assert(top2 === Map(1 -> 1L, 2 -> 3L))
+  }
+
   test("min-plus distances prefer the short 2-hop over the long direct edge") {
     import spark.implicits._
     // 1→2 weight 100 but 1→3→2 weights 10+10: after 2+ rounds the
