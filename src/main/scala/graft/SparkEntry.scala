@@ -546,6 +546,16 @@ object SparkEntry {
     // shares vs the hardcoded log-curve constants
     "agg_benford" -> ((s, dir) => Analytics.orderBenford(s, dir)),
 
+    // quantile transform: exact integer percentile rank per value
+    // within its series — heavy tails made comparable across groups
+    "agg_percent_rank" -> ((s, dir) =>
+      Analytics.eventPercentRank(s, dir).orderBy("event_type", "event_id")),
+
+    // Heaps-law vocabulary growth: cumulative tokens vs cumulative
+    // distinct types per doc-count decile in corpus order
+    "text_vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(Tables.documents(s, dir), col("doc_id"), col("text"))),
+
     // exact Gini of customer revenue per nation — whales-vs-broad-base,
     // zero-order customers included
     "agg_revenue_gini" -> ((s, dir) => Analytics.revenueGini(s, dir)),
@@ -2998,6 +3008,43 @@ object SparkEntry {
         |           * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / 100.0
         |    / CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS w_avg_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // same total (vm, event_id) rank order, same integer permille map;
+    // single-row groups pinned to 0 in both engines
+    "agg_percent_rank" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY vm, event_id) AS rk,
+        |      count(*) OVER (PARTITION BY event_type) AS n FROM e)
+        |SELECT event_type, event_id, vm,
+        |  CASE WHEN n > 1 THEN (1000 * (rk - 1)) // (n - 1)
+        |       ELSE CAST(0 AS BIGINT) END AS pr_permille
+        |FROM r ORDER BY event_type, event_id""".stripMargin,
+
+    // first appearance is min(doc_id) per token; deciles are the same
+    // ntile over the doc_id total order; running sums over 10 rows
+    "text_vocab_growth" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |t AS (SELECT doc_id, unnest(words) AS tok FROM w),
+        |pt AS (SELECT tok, min(doc_id) AS first_doc, count(*) AS occ
+        |       FROM t GROUP BY 1),
+        |pd AS (SELECT doc_id, count(*) AS n_toks,
+        |       ntile(10) OVER (ORDER BY doc_id) AS decile
+        |       FROM t GROUP BY doc_id),
+        |nv AS (SELECT pd.decile, count(*) AS new_types
+        |       FROM pt JOIN pd ON pt.first_doc = pd.doc_id GROUP BY 1),
+        |vol AS (SELECT decile, CAST(SUM(n_toks) AS BIGINT) AS toks,
+        |        count(*) AS docs FROM pd GROUP BY 1)
+        |SELECT CAST(vol.decile AS BIGINT) AS decile, docs,
+        |  CAST(SUM(toks) OVER (ORDER BY vol.decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+        |  CAST(COALESCE(nv.new_types, 0) AS BIGINT) AS new_types,
+        |  CAST(SUM(COALESCE(nv.new_types, 0)) OVER (ORDER BY vol.decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+        |FROM vol LEFT JOIN nv ON nv.decile = vol.decile
+        |ORDER BY decile""".stripMargin,
 
     // same decimal-string leading digit, same integer permille; the
     // expected shares are literals in both engines — no runtime log

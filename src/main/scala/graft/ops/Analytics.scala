@@ -2088,6 +2088,33 @@ object Analytics {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Exact percentile-rank normalization per group (the quantile
+    * transform — the feature-engineering step that makes heavy-tailed
+    * metrics comparable across groups before thresholds, curricula, or
+    * model features touch them): each row maps to
+    * `1000·(rank−1) div (n−1)` over the total (value, id) order within
+    * its group — integer permille, engine-exact, no interpolation;
+    * single-row groups pin to 0 by CASE. One rank window per group
+    * (groups are the parallelism unit — the 28f/28bt discipline; the
+    * 42av histogram-rank ntile is the heavy-single-group fallback).
+    */
+  def percentRank(ev0: DataFrame): DataFrame = {
+    val base = ev0.select(col("event_type"), col("event_id"),
+        expr("cast(round(value * 1000000.0D) as bigint)").as("vm"))
+      .filter(col("vm").isNotNull)
+    base
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("vm"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .select(col("event_type"), col("event_id"), col("vm"),
+        when(col("n") > 1, expr("(1000 * (rk - 1)) div (n - 1)"))
+          .otherwise(lit(0L)).as("pr_permille"))
+  }
+
+  /** [[percentRank]] on the events table. */
+  def eventPercentRank(spark: SparkSession, dir: String): DataFrame =
+    percentRank(Tables.events(spark, dir))
+
   /** Benford first-digit audit over order totals — the classic
     * fabricated-data / broken-feed detector: naturally-occurring
     * multi-scale amounts follow log₁₀(1 + 1/d) per leading digit d, so

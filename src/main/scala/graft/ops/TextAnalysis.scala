@@ -642,6 +642,49 @@ object TextAnalysis {
       md5(normalize(textCol)).as("fp"),
       substring(md5(normalize(textCol)), 1, 8).as("fp_prefix"))
 
+  /** Vocabulary growth curve (the Heaps'-law census — how fast does the
+    * corpus stop teaching the tokenizer new words?): cumulative token
+    * volume vs cumulative DISTINCT vocabulary at each doc-count decile
+    * in corpus (doc_id) order. The flattening point is the data-driven
+    * answer to "is more of this source still worth ingesting" and the
+    * sanity check before fixing a vocab size. Exact and order-free:
+    * a token's first appearance is min(doc_id) (associative), deciles
+    * are ntile over the doc_id total order, and both curves are
+    * running sums over the 10-row decile table.
+    *
+    * Scale shape: one token pass with two map-combined groupBys
+    * (per-token min+count, per-doc count), an O(docs) ntile, and window
+    * sums over 10 rows — the exact-dedup cost envelope.
+    */
+  def vocabGrowth(df: DataFrame, idCol: Column, textCol: Column,
+                  buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2 && buckets <= 1000)
+    val toks = graft.ops.Dedup.spread(df)
+      .select(idCol.as("doc_id"), explode(tokens(textCol)).as("tok"))
+    val perTok = toks.groupBy(col("tok"))
+      .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("occ"))
+    val perDoc = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_toks"))
+      .withColumn("decile", ntile(buckets).over(Window.orderBy(col("doc_id"))))
+    val docDecile = perDoc.select(col("doc_id"), col("decile"))
+    val newVocab = perTok.join(docDecile,
+        perTok("first_doc") === docDecile("doc_id"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("new_types"))
+    val volume = perDoc.groupBy(col("decile"))
+      .agg(sum(col("n_toks")).as("toks"), count(lit(1)).as("docs"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    volume.join(newVocab, Seq("decile"), "left_outer")
+      .select(col("decile"), col("docs"), col("toks"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_tokens", sum(col("toks")).over(w))
+      .withColumn("cum_vocab", sum(col("new_types")).over(w))
+      .select(col("decile").cast("long").as("decile"), col("docs"),
+        col("cum_tokens"), col("new_types"), col("cum_vocab"))
+      .orderBy("decile")
+  }
+
   /** Feature hashing (the "hashing trick", Weinberger et al. 2009):
     * project each document's token bag into a fixed `dim`-dimensional
     * sparse vector with NO vocabulary pass — bucket = 52-bit md5 slice

@@ -58,6 +58,29 @@ class TsResampleSpec extends AnyFunSuite {
     assert(math.abs(byLag(2)._3 - (6.0 / 8.0)) < 1e-9)
   }
 
+  test("percent rank maps a group's extremes to 0 and 1000 exactly") {
+    import spark.implicits._
+    val df = Seq((1L, "A", 10.0), (2L, "A", 20.0), (3L, "A", 30.0),
+      (4L, "B", 5.0))
+      .toDF("event_id", "event_type", "value")
+    val out = Analytics.percentRank(df).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 500L, 3L -> 1000L, 4L -> 0L))
+  }
+
+  test("vocab growth: a repeated-text corpus stops growing after decile 1") {
+    import spark.implicits._
+    val docs = (1 to 10).map(i => (i.toLong, "same words every time"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.head === ((1L, 4L, 4L, 4L))) // all 4 types appear in doc 1
+    out.tail.foreach { case (_, _, newTypes, cumVocab) =>
+      assert(newTypes === 0L && cumVocab === 4L)
+    }
+    assert(out.last._2 === 40L) // volume keeps growing, vocab doesn't
+  }
+
   test("percentile bands are ordered and exact on a small group") {
     import spark.implicits._
     graft.functions.QSketchFunctions.register(spark)
