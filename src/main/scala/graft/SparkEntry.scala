@@ -1029,6 +1029,13 @@ object SparkEntry {
       TextAnalysis.heavyTokens(Tables.documents(s, dir), col("text"), 0.01)
         .orderBy("token")),
 
+    // the canonical fixed audit set: bottom-100 by 52-bit md5 rank —
+    // same sample anywhere, per-shard samples merge without a rescan
+    "corpus_uniform_sample" -> ((s, dir) =>
+      TextAnalysis.uniformSample(Tables.documents(s, dir), "doc_id", 100)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
     // deterministic E-S weighted sample, p ∝ document length — the same
     // 100 docs on any cluster size, any engine
     "corpus_weighted_sample" -> ((s, dir) =>
@@ -4282,6 +4289,14 @@ object SparkEntry {
 
     // same 52-bit md5 slice, same u^(1/w) score: both engines rank an
     // identical deterministic sample (ties broken by doc_id)
+    // the same 52-bit rank, ascending, id tie-break
+    "corpus_uniform_sample" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS r
+        |  FROM documents ORDER BY r, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
+
     "corpus_weighted_sample" ->
       """SELECT doc_id, n_chars FROM (
         |  SELECT doc_id, n_chars,

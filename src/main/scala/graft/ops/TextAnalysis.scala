@@ -843,6 +843,24 @@ object TextAnalysis {
     * approximate-quantile threshold (score ≥ q_{1−k/n}) plus an exact
     * top-k trim of the boundary — same determinism, no k-row merge.
     */
+  /** Deterministic UNIFORM sample of exactly `k` rows: the bottom-k by
+    * the 52-bit md5 rank of the id — the equal-weights degenerate of
+    * [[weightedSample]], named because it is the primitive everything
+    * quotes ("eyeball a sample", "pilot on 1%", "hold out a fixed
+    * audit set"): the same corpus always yields the same sample, any
+    * engine reproduces it, and bottom-k of a union is the bottom-k of
+    * the parts' bottom-k's — so per-shard samples merge into the
+    * corpus sample without a second pass (the qsketch merge law).
+    * Cost: one TakeOrdered, O(k) rows to the driver side of the plan.
+    */
+  def uniformSample(df: DataFrame, idColName: String, k: Int): DataFrame =
+    df.withColumn("__r",
+        expr(s"conv(substr(md5(cast(`$idColName` as string)), 1, 13), 16, 10)")
+          .cast("long"))
+      .orderBy(col("__r"), col(idColName))
+      .limit(k)
+      .drop("__r")
+
   def weightedSample(df: DataFrame, idColName: String, weightCol: Column,
                      k: Int): DataFrame = {
     // 13 hex chars = 52 bits: the largest md5 slice a double holds

@@ -1435,6 +1435,25 @@ class DataOpsSpec extends AnyFunSuite {
     assert(p2 === Map("a" -> 1127500000L, "b" -> 936250000L, "c" -> 936250000L))
   }
 
+  test("uniform sample is stable and merges from per-shard samples") {
+    val k = 20
+    val s1 = TextAnalysis.uniformSample(docs, "doc_id", k)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.size === k)
+    // repartition-invariant
+    val s2 = TextAnalysis.uniformSample(docs.repartition(7), "doc_id", k)
+      .collect().map(_.getLong(0)).toSet
+    assert(s2 === s1)
+    // bottom-k of per-shard bottom-k's == corpus bottom-k (merge law)
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val merged = TextAnalysis.uniformSample(
+      TextAnalysis.uniformSample(half1, "doc_id", k)
+        .unionByName(TextAnalysis.uniformSample(half2, "doc_id", k)),
+      "doc_id", k).collect().map(_.getLong(0)).toSet
+    assert(merged === s1)
+  }
+
   test("mmr reranks a redundant twin below a diverse candidate") {
     import spark.implicits._
     // candidate 2 is nearly a copy of candidate 1; candidate 3 is
