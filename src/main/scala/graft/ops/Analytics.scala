@@ -738,9 +738,11 @@ object Analytics {
       .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("stage"))))
       .filter(col("rn") === expr("(nd + 1) div 2"))
       .select(col("stage"), col("delta").as("median_delta_us"))
-    agg.join(broadcast(med), Seq("stage"), "left_outer")
-      .withColumn("prev_reached",
+    // lag runs directly over the 3-row stage aggregate (BEFORE the median
+    // join) so the global window provably rides a bounded table
+    agg.withColumn("prev_reached",
         lag(col("reached"), 1).over(Window.orderBy(col("stage"))))
+      .join(broadcast(med), Seq("stage"), "left_outer")
       .select(col("stage"), col("reached"),
         when(col("stage") === 1, expr("(1000 * reached) div n_total"))
           .otherwise(when(col("prev_reached") > 0,
@@ -2053,22 +2055,23 @@ object Analytics {
     *
     * Scale shape: the only fact-scale work is one map-side-combined
     * groupBy to the customer aggregate (3 columns — ~1e7 rows / tens of
-    * MB at sf100); the three ntile windows then sort THAT aggregate, not
-    * the facts. A single-partition window over the aggregate is the
-    * documented trade at this cardinality; if the customer dimension
-    * itself outgrows one task, the curriculum histogram-rank machinery
-    * (42av) slots in per dimension unchanged.
+    * MB at sf100); each dimension then scores through
+    * [[Rank.rangedNtile]] — a range-partitioned distributed rank +
+    * broadcast offsets, exactly SQL `ntile(5)` rank-for-rank — so no
+    * single-task window touches the customer aggregate even if the
+    * customer dimension itself outgrows one task.
     */
   def rfmSegments(orders: DataFrame): DataFrame = {
     val agg = orders.groupBy(col("o_custkey").as("custkey"))
       .agg(max(col("o_orderdate")).cast("long").as("last_order_sec"),
         count(lit(1)).as("frequency"),
         (sum(money(col("o_totalprice"))) * 100).cast("long").as("monetary_cents"))
-    def nt(c: String) = ntile(5)
-      .over(Window.orderBy(col(c), col("custkey"))).cast("long")
-    agg.withColumn("r_score", nt("last_order_sec"))
-      .withColumn("f_score", nt("frequency"))
-      .withColumn("m_score", nt("monetary_cents"))
+    def nt(df: DataFrame, c: String, out: String) =
+      Rank.rangedNtile(df, 5, Seq(col(c), col("custkey")), out)
+        .withColumn(out, col(out).cast("long"))
+    nt(nt(nt(agg, "last_order_sec", "r_score"),
+        "frequency", "f_score"),
+        "monetary_cents", "m_score")
       .orderBy("custkey")
   }
 

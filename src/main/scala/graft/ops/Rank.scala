@@ -32,11 +32,27 @@ import org.apache.spark.sql.functions._
   * physical partitioning, and while Spark's exchange reuse makes that
   * the overwhelmingly common plan, a cache makes it a contract (shuffle
   * fetch order is not deterministic, so two independent executions of a
-  * range exchange may sample different boundaries). The cached frame is
-  * the caller's — typically pre-aggregated — table projected to the
-  * order + carry columns, not the raw corpus.
+  * range exchange may sample different boundaries). The FULL caller
+  * frame is cached — all its columns, not just the order columns (the
+  * carry columns cannot be re-joined generically) — so callers ranking
+  * a wide corpus should pre-project to the order + carry columns they
+  * need; the intended input is a pre-aggregated table (per-doc counts,
+  * per-customer rollups), not raw documents.
   */
 private[graft] object Rank {
+
+  /** Working columns these operators add internally. Caller frames must
+    * not collide with them: `withColumn` silently REPLACES same-named
+    * columns, which would corrupt results instead of failing.
+    */
+  private val Reserved = Set("__pid", "__rank", "__total", "__below",
+    "__base", "__cut", "__c")
+
+  private def checkNames(df: DataFrame, extra: Set[String]): Unit = {
+    val clash = df.columns.toSet.intersect(Reserved ++ extra)
+    require(clash.isEmpty,
+      s"Rank: input columns ${clash.mkString(", ")} collide with reserved working names")
+  }
 
   private def ranged(df: DataFrame, order: Seq[Column]): DataFrame = {
     val p = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
@@ -46,23 +62,28 @@ private[graft] object Rank {
       enabled = true)
   }
 
-  /** Per-`__pid` offset table: rows strictly below each partition plus
-    * the grand totals of every `sums` column (offset excludes the
-    * partition's own contribution).
+  /** Per-`__pid` offset table: rows strictly below each partition plus,
+    * for every `sums` column, the non-null SUM and non-null COUNT of the
+    * rows strictly below (offsets exclude the partition's own
+    * contribution; NULL values contribute 0 to the sum and 0 to the
+    * count, matching SQL aggregate semantics).
     */
   private def offsets(r: DataFrame, sums: Seq[String]): DataFrame = {
     val run = Window.partitionBy(lit(0)).orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy(lit(0))
     val aggs = count(lit(1)).as("__c") +:
-      sums.map(s => sum(col(s)).as(s"__s_$s"))
+      sums.flatMap(s => Seq(
+        coalesce(sum(col(s)), lit(0L)).as(s"__s_$s"),
+        count(col(s)).as(s"__n_$s")))
     val base = r.groupBy("__pid").agg(aggs.head, aggs.tail: _*)
     val withRows = base
       .withColumn("__below", sum(col("__c")).over(run) - col("__c"))
       .withColumn("__total", sum(col("__c")).over(all))
     sums.foldLeft(withRows) { (d, s) =>
       d.withColumn(s"__below_$s", sum(col(s"__s_$s")).over(run) - col(s"__s_$s"))
-    }.drop("__c").drop(sums.map(s => s"__s_$s"): _*)
+        .withColumn(s"__belown_$s", sum(col(s"__n_$s")).over(run) - col(s"__n_$s"))
+    }.drop("__c").drop(sums.flatMap(s => Seq(s"__s_$s", s"__n_$s")): _*)
   }
 
   /** Attach the exact 1-based global rank over `order` (MUST be a total
@@ -73,6 +94,7 @@ private[graft] object Rank {
   def withGlobalRank(df: DataFrame, order: Seq[Column],
                      rankCol: String = "__rank",
                      totalCol: String = "__total"): DataFrame = {
+    checkNames(df, Set.empty)
     val r = ranged(df, order)
     val local = Window.partitionBy("__pid").orderBy(order: _*)
     r.join(broadcast(offsets(r, Nil)), Seq("__pid"))
@@ -90,6 +112,7 @@ private[graft] object Rank {
   def rangedNtile(df: DataFrame, buckets: Int, order: Seq[Column],
                   out: String): DataFrame = {
     require(buckets >= 1, "buckets must be positive")
+    checkNames(df, Set(out))
     val ranked = withGlobalRank(df, order)
     // duplicated from TextAnalysis.curriculum's closed form: base-sized
     // buckets after the first `rem` (base+1)-sized ones; greatest() keeps
@@ -112,15 +135,25 @@ private[graft] object Rank {
     * `sum(v).over(Window.orderBy(...))` prefix sum) without the
     * single-partition window: partition-local running sum + the
     * broadcast per-partition offsets. `value` must be a LONG column
-    * name on `df`.
+    * name on `df`. NULL semantics match SQL exactly: NULL values are
+    * skipped (the prior non-null prefix carries forward), and a row
+    * whose whole prefix is NULL gets a NULL running sum.
     */
   def withRunningSum(df: DataFrame, order: Seq[Column], value: String,
                      out: String): DataFrame = {
+    checkNames(df, Set(s"__below_$value", s"__belown_$value"))
     val r = ranged(df, order)
     val local = Window.partitionBy("__pid").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // count() skips NULLs: localN + __belown = non-null values in the
+    // whole prefix; zero ⇒ SQL's running sum is NULL, else the two
+    // coalesced partial sums add exactly.
+    val localSum = sum(col(value)).over(local)
+    val localN = count(col(value)).over(local)
     r.join(broadcast(offsets(r, Seq(value))), Seq("__pid"))
-      .withColumn(out, sum(col(value)).over(local) + col(s"__below_$value"))
-      .drop("__pid", "__below", "__total", s"__below_$value")
+      .withColumn(out,
+        when(localN + col(s"__belown_$value") === 0L, lit(null).cast("long"))
+          .otherwise(coalesce(localSum, lit(0L)) + col(s"__below_$value")))
+      .drop("__pid", "__below", "__total", s"__below_$value", s"__belown_$value")
   }
 }

@@ -45,14 +45,17 @@ object TextAnalysis {
   def ksDrift(df: DataFrame, stratum: Column, value: Column,
               a: String, b: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val perX = df.select(value.cast("long").as("x"), stratum.as("g"))
-      .filter(col("g").isin(a, b) && col("x").isNotNull)
-      .groupBy(col("x"))
+    // grid_v = the common ECDF value grid (O(distinct values), the
+    // bounded-domain contract above) — named like ksDriftMatrix's grid
+    // so the plan audit recognizes the windows as grid-bounded
+    val perX = df.select(value.cast("long").as("grid_v"), stratum.as("g"))
+      .filter(col("g").isin(a, b) && col("grid_v").isNotNull)
+      .groupBy(col("grid_v"))
       .agg(sum(when(col("g") === a, 1L).otherwise(0L)).as("ca"),
         sum(when(col("g") === b, 1L).otherwise(0L)).as("cb"))
-    val run = Window.orderBy(col("x"))
+    val run = Window.orderBy(col("grid_v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.orderBy(col("x"))
+    val all = Window.orderBy(col("grid_v"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     perX
       .withColumn("fa", sum(col("ca")).over(run))
@@ -60,9 +63,9 @@ object TextAnalysis {
       .withColumn("na", sum(col("ca")).over(all))
       .withColumn("nb", sum(col("cb")).over(all))
       .withColumn("ks_num", abs(col("fa") * col("nb") - col("fb") * col("na")))
-      .orderBy(col("ks_num").desc, col("x"))
+      .orderBy(col("ks_num").desc, col("grid_v"))
       .limit(1)
-      .select(col("x").as("x_at"), col("na"), col("nb"), col("ks_num"),
+      .select(col("grid_v").as("x_at"), col("na"), col("nb"), col("ks_num"),
         (col("ks_num").cast("double") / (col("na") * col("nb")).cast("double")).as("ks"))
   }
 
@@ -653,7 +656,10 @@ object TextAnalysis {
     * running sums over the 10-row decile table.
     *
     * Scale shape: one token pass with two map-combined groupBys
-    * (per-token min+count, per-doc count), an O(docs) ntile, and window
+    * (per-token min+count, per-doc count), a DISTRIBUTED ntile over the
+    * O(docs) per-doc table ([[Rank.rangedNtile]] — range-partitioned
+    * rank + broadcast offsets, exactly SQL `ntile(k) OVER (ORDER BY
+    * doc_id)` rank-for-rank with no single-task window), and window
     * sums over 10 rows — the exact-dedup cost envelope.
     */
   def vocabGrowth(df: DataFrame, idCol: Column, textCol: Column,
@@ -664,8 +670,9 @@ object TextAnalysis {
       .select(idCol.as("doc_id"), explode(tokens(textCol)).as("tok"))
     val perTok = toks.groupBy(col("tok"))
       .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("occ"))
-    val perDoc = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_toks"))
-      .withColumn("decile", ntile(buckets).over(Window.orderBy(col("doc_id"))))
+    val perDoc = Rank.rangedNtile(
+      toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_toks")),
+      buckets, Seq(col("doc_id")), "decile")
     val docDecile = perDoc.select(col("doc_id"), col("decile"))
     val newVocab = perTok.join(docDecile,
         perTok("first_doc") === docDecile("doc_id"))
@@ -1115,19 +1122,22 @@ object TextAnalysis {
     * `Monitor.maintainBm25Index`), which count zero-token and null-text
     * documents exactly as [[bm25TopK]]'s text path does, so index-served
     * scores are bit-equal unconditionally. An index WITHOUT stats rows
-    * (a bulk [[bm25Postings]] build) falls back to distinct index docs —
-    * bit-equal PROVIDED unique doc ids and non-null text, the
-    * precondition the stats rows exist to remove.
+    * (a bulk [[bm25Postings]] build) contributes the same per-doc `dl`
+    * through its posting rows — bit-equal PROVIDED unique doc ids and
+    * non-null text, the precondition the stats rows exist to remove.
+    * One LAZY plan: the per-doc table is a single `groupBy(doc_id)`
+    * (dl is functionally dependent on doc_id in BOTH row kinds, so
+    * `max(dl)` is exact whether stats rows are present, absent, or
+    * mixed) — no eager `isEmpty` probe scanning the index per
+    * invocation, no branch to mis-predict.
     */
   def bm25TopKFromIndex(index: DataFrame, terms: Seq[String], k: Int = 20,
                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     val tf = index.filter(col("token").isin(terms.map(lit): _*))
       .select("doc_id", "dl", "token", "tf")
-    val docStats = index.filter(col("token").isNull)
-    val docs =
-      if (docStats.isEmpty) index.select(col("doc_id"), col("dl")).distinct()
-      else docStats.select(col("doc_id"), col("dl"))
+    val docs = index.select(col("doc_id"), col("dl"))
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
     val stats = docs
       .agg(count(lit(1)).cast("double").as("n_docs"),
         (sum(col("dl")) / count(lit(1))).as("avgdl"))
@@ -1407,22 +1417,24 @@ object TextAnalysis {
     * positive pairs) this completes the word2vec feedstock.
     *
     * Scale shape: one O(corpus tokens) count groupBy (map-side combined);
-    * the power/prefix run on the VOCAB-sized table (the [[bpeTrain]]
-    * argument: ~10⁷ rows against a 10¹² corpus), and the one global-order
-    * window sorts THAT — never the corpus. A deterministic weighted DRAW
-    * composes as [[weightedSample]] over `weight_micro`.
+    * the power runs on the VOCAB-sized table (the [[bpeTrain]] argument:
+    * ~10⁷ rows against a 10¹² corpus), and the prefix sum over it is
+    * DISTRIBUTED ([[Rank.withRunningSum]] — range-partitioned local sums
+    * + broadcast offsets, exactly SQL `sum() OVER (ORDER BY token)`):
+    * vocabulary keeps growing with corpus diversity, so even the
+    * vocab-sized table never funnels through one window task. A
+    * deterministic weighted DRAW composes as [[weightedSample]] over
+    * `weight_micro`.
     */
   def negSamplingTable(df: DataFrame, textCol: Column): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy("token")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    df.select(explode(tokens(textCol)).as("token"))
+    val vocab = df.select(explode(tokens(textCol)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .withColumn("weight_micro", expr(
         "cast(round(1000000.0D * sqrt(sqrt(" +
           "cast(cnt as double) * cast(cnt as double) * cast(cnt as double)" +
           "))) as bigint)"))
-      .withColumn("cum_weight_micro", sum(col("weight_micro")).over(w))
+    Rank.withRunningSum(vocab, Seq(col("token")), "weight_micro",
+        "cum_weight_micro")
       .orderBy(col("token"))
   }
 
@@ -1789,9 +1801,12 @@ object TextAnalysis {
     * 10⁶·count, long-safe at any corpus size). Totals ride a window
     * over the ≤`buckets`-row decile table, not a second pass.
     *
-    * Scale note: the ntile sorts the O(docs) scored rows once — the
-    * standard eval-table cost; the 42av histogram-rank ntile slots in
-    * if a single sort task ever binds.
+    * Scale note: the ntile is [[Rank.rangedNtile]] over the O(docs)
+    * scored rows — a range-partitioned distributed rank (margins are
+    * near-unique, so the histogram-cumsum closed form doesn't apply),
+    * exactly SQL `ntile(k) OVER (ORDER BY margin DESC, doc_id)` with no
+    * single-task window; the only partition-less windows left ride the
+    * ≤`buckets`-row decile table.
     */
   def classifierLift(df: DataFrame, idCol: Column, textCol: Column,
                      positive: Column, iters: Int = 3,
@@ -1799,8 +1814,8 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     require(buckets >= 2 && buckets <= 1000)
     val scored = classifierScore(df, idCol, textCol, positive, iters)
-    val deciled = scored.withColumn("decile",
-      ntile(buckets).over(Window.orderBy(col("margin").desc, col("doc_id"))))
+    val deciled = Rank.rangedNtile(scored, buckets,
+      Seq(col("margin").desc, col("doc_id")), "decile")
     deciled.groupBy(col("decile"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_pos"),

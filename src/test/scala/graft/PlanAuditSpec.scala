@@ -41,7 +41,81 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_kmv_overlap",        // |types|-row sketch-pair cross: intended tiny nested loop
     "quality_ks_matrix")      // |sources|-row grid cross: the common-ECDF-grid build
 
+  /** Grouping-key names whose domain is bounded by construction — an
+    * aggregate keyed ONLY on these produces O(domain) rows no matter the
+    * corpus size, so a partition-less window directly above it is a
+    * bounded-table presentation window, not a scale defect. Keys like
+    * doc_id / custkey / vec_id are deliberately NOT here: an aggregate on
+    * them is corpus-sized and a global window over it is the single-task
+    * ntile regression this guard exists to catch.
+    */
+  private val boundedKeys = Set(
+    "__pid",        // Rank offsets: ≤ numShufflePartitions rows
+    "decile",       // lift/vocab rollups: ≤ buckets rows
+    "stage",        // funnel stages: enumerated
+    "digit",        // benford: 9 rows
+    "lag",          // acf/ccf: ≤ maxLag rows
+    "n_tok",        // curriculum length histogram: ≤ max doc length
+    "tok_len",      // length-bucket variants
+    "bucket",       // fixed bucket counts
+    "phase",        // curriculum phases: ≤ nPhases
+    "source",       // corpus sources: enumerated small dimension
+    "grid_v",       // ks ECDF grid: ≤ distinct values of ONE series pair
+    "week",         // funnel/cohort week offsets: calendar-bounded
+    "series",       // telemetry series ids: enumerated small dimension
+    "h", "hr")      // hour buckets: calendar-bounded (O(hours), not O(rows))
+
+  /** Walk below a partition-less window through per-row pass-through
+    * nodes; the window's input is bounded iff the walk reaches a LIMIT,
+    * a LocalTableScan, or an aggregate grouped only on [[boundedKeys]]
+    * before any scan/join/generate — i.e. the global window rides a
+    * provably small table, never corpus-shaped rows.
+    */
+  private def boundedBelow(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.{ShuffleExchangeExec, ReusedExchangeExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def keysBounded(keys: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression]) =
+      keys.forall(k => boundedKeys(k.name))
+    p match {
+      case _: LocalLimitExec | _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
+      case _: LocalTableScanExec => true
+      case a: HashAggregateExec => keysBounded(a.groupingExpressions) || boundedBelow(a.child)
+      case a: ObjectHashAggregateExec => keysBounded(a.groupingExpressions) || boundedBelow(a.child)
+      case a: SortAggregateExec => keysBounded(a.groupingExpressions) || boundedBelow(a.child)
+      case t: InMemoryTableScanExec => boundedBelow(t.relation.cachedPlan)
+      case a: AdaptiveSparkPlanExec => boundedBelow(a.executedPlan)
+      case r: ReusedExchangeExec => boundedBelow(r.child)
+      case e: ShuffleExchangeExec => boundedBelow(e.child)
+      case e: exchange.BroadcastExchangeExec => boundedBelow(e.child)
+      // a join of two bounded tables stays bounded (rollup-side joins:
+      // decile×decile, per-series stats × per-hour buckets)
+      case j: joins.BaseJoinExec => j.children.forall(boundedBelow)
+      case _: ProjectExec | _: FilterExec | _: SortExec | _: CoalesceExec |
+           _: WindowExec | _: WholeStageCodegenExec | _: InputAdapter =>
+        boundedBelow(p.children.head)
+      case _ => false
+    }
+  }
+
   for ((name, q) <- SparkEntry.queries) {
+    test(s"$name: no partition-less window over an unbounded input") {
+      // a WindowExec with an empty partitionSpec funnels its entire input
+      // through ONE task — the recurring corpus-scale ntile defect class
+      // (vocabGrowth/classifierLift pre-round-10). This guard makes it a
+      // CI failure: a global window is legal only over a provably bounded
+      // table (limit / bounded-key aggregate below it).
+      import org.apache.spark.sql.execution.window.WindowExec
+      val bad = q(spark, sf).queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && !boundedBelow(w.child) => w
+      }
+      assert(bad.isEmpty,
+        s"partition-less WindowExec over unbounded input in $name (single-task at scale):\n${bad.mkString("\n")}")
+    }
+
     test(s"$name: no unintended nested-loop or cartesian join") {
       val plan = q(spark, sf).queryExecution.executedPlan.toString
       if (!intendedCross(name)) {
