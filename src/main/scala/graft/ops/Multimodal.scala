@@ -328,10 +328,16 @@ object Multimodal {
     * crisp detail scores high): per interior pixel the 4-neighbor
     * Laplacian `4·l − l_left − l_right − l_up − l_down` over the dHash
     * luma (integer 299r+587g+114b, milli-scale), variance by the local
-    * TWO-PASS `Σ(lap − mean)² div n` — centered before squaring so the
-    * sums stay in-range to tens of megapixels where the one-pass
-    * `n·Σx² − (Σx)²` spelling would overflow a long around 2 MP.
-    * All-integer and partition-local like every decode op here:
+    * TWO-PASS `Σ(lap − mean)² div n` — centered before squaring, with
+    * the squared-deviation sum carried as hi·10¹⁸ + lo across TWO longs
+    * (each term ≤ (2·1020000)² ≈ 4.2·10¹², so `lo` never wraps between
+    * carries): `lap_var` is exact at ANY pixel count and contrast,
+    * where a single-long one-pass `n·Σx² − (Σx)²` overflows around 2 MP
+    * and even the centered single-long sum overflows near 2.2 MP on
+    * adversarial max-contrast images. The raw `lap_dev_sq_sum` column
+    * saturates at Long.MaxValue in that (beyond ~2×10⁶ max-contrast
+    * interior pixels) regime — the variance, not the raw sum, is the
+    * signal. All-integer and partition-local like every decode op here:
     * skip-on-corrupt, `mapPartitions`, no shuffle; images below 3×3
     * have no interior and contribute no rows.
     */
@@ -359,18 +365,28 @@ object Multimodal {
               y += 1
             }
             val mean = s / n
-            var devSq = 0L
+            val Carry = 1000000000000000000L // 10^18
+            var devHi = 0L
+            var devLo = 0L
             y = 1
             while (y < h - 1) {
               var x = 1
               while (x < w - 1) {
                 val d = lap(y * w + x) - mean
-                devSq += d * d
+                devLo += d * d
+                if (devLo >= Carry) { devHi += 1L; devLo -= Carry }
                 x += 1
               }
               y += 1
             }
-            Row(id, w, h, n, s, devSq, devSq / n)
+            val (devSq, lapVar) =
+              if (devHi == 0L) (devLo, devLo / n)
+              else {
+                val tot = BigInt(devHi) * Carry + devLo
+                (if (tot > Long.MaxValue) Long.MaxValue else tot.toLong,
+                  (tot / n).toLong)
+              }
+            Row(id, w, h, n, s, devSq, lapVar)
           }
       }
     }

@@ -38,12 +38,20 @@ object Layout {
     * layout semantics: ISO dates and zero-padded epochs sort
     * lexicographically = chronologically (the caller owns zero-padding
     * numeric scopes — asserted nowhere because a layout that violates
-    * it already breaks range pruning). Returns the dropped partition
-    * values; idempotent, crash-safe (a half-finished run deleted some
-    * expired dirs — rerunning deletes the rest).
+    * it already breaks range pruning). The cutoff compares the LOGICAL
+    * scope value — directory names are Hive URL-escaped
+    * (`ExternalCatalogUtils.unescapePathName`), so an escaped value
+    * (`2024%2F01` for `2024/01`) expires by what it means, not by how
+    * it is spelled on disk — and the `__HIVE_DEFAULT_PARTITION__`
+    * NULL-scope directory never participates: NULL has no position in
+    * the retention order, so it is always kept. Returns the dropped
+    * partition values (unescaped); idempotent, crash-safe (a
+    * half-finished run deleted some expired dirs — rerunning deletes
+    * the rest).
     */
   def expirePartitions(spark: SparkSession, path: String, scopeCol: String,
                        keepFrom: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) Seq.empty
@@ -51,11 +59,15 @@ object Layout {
       val prefix = s"$scopeCol="
       val expired = fs.listStatus(p).toSeq.map(_.getPath.getName)
         .filter(_.startsWith(prefix))
-        .filter(_.stripPrefix(prefix) < keepFrom)
-      expired.foreach { name =>
+        .map(n => n -> ExternalCatalogUtils.unescapePathName(n.stripPrefix(prefix)))
+        .filter { case (n, _) =>
+          n.stripPrefix(prefix) != ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        }
+        .filter { case (_, v) => v < keepFrom }
+      expired.foreach { case (name, _) =>
         fs.delete(new org.apache.hadoop.fs.Path(p, name), true)
       }
-      expired.map(_.stripPrefix(prefix)).sorted
+      expired.map(_._2).sorted
     }
   }
 

@@ -508,6 +508,10 @@ object Monitor {
     * negative = removed — possible when a compaction FOLD collapses
     * rows); exact multiset semantics via two count-aggregates and one
     * full outer join on the row itself, O(changed + distinct) shuffle.
+    * The join is NULL-SAFE (`<=>` per column): rows containing NULL
+    * columns — the bm25 log's token=NULL doc-stats rows, Hive default
+    * partitions — match themselves, so an unchanged row emits nothing
+    * instead of a spurious +n/−n pair.
     */
   def logDiff(spark: org.apache.spark.sql.SparkSession, path: String,
               a: Long, b: Long): DataFrame = {
@@ -515,9 +519,11 @@ object Monitor {
     val bv = readLogAsOf(spark, path, b)
     val cols = bv.columns.toSeq
     val ac = av.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__na"))
+      .select(cols.map(c => col(c).as(s"__a_$c")) :+ col("__na"): _*)
     val bc = bv.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__nb"))
-    bc.join(ac, cols, "full_outer")
-      .select(cols.map(col) :+
+    val cond = cols.map(c => col(c) <=> col(s"__a_$c")).reduce(_ && _)
+    bc.join(ac, cond, "full_outer")
+      .select(cols.map(c => coalesce(col(c), col(s"__a_$c")).as(c)) :+
         (coalesce(col("__nb"), lit(0L)) - coalesce(col("__na"), lit(0L)))
           .as("n_delta"): _*)
       .filter(col("n_delta") =!= 0L)
