@@ -672,6 +672,22 @@ object SparkEntry {
     "events_funnel" -> ((s, dir) => Analytics.funnelStages(s, dir)),
     // per-stage conversion permille + nearest-rank median time-to-convert
     "events_funnel_rates" -> ((s, dir) => Analytics.eventFunnelRates(s, dir)),
+    // start/stop-gated capture (reference scenario.py:101-137): signup
+    // opens each user's gate, error closes it; view/click/purchase rows
+    // inside a bracket survive the broadcast semi range join
+    "events_gated_capture" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val control = ev.filter(col("event_type").isin("signup", "error"))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          when(col("event_type") === "signup", lit("start"))
+            .otherwise(lit("stop")).as("msg"))
+      val data = ev.filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      graft.streaming.GatedCapture
+        .captureGated(control, data, col("user_id"), col("ts_us"), col("msg"))
+        .orderBy("event_id")
+    }),
     "events_retention" -> ((s, dir) => Analytics.cohortRetention(s, dir)),
     // exact-integer PageRank over the customer-supplier bipartite graph
     "graph_pagerank" -> ((s, dir) => Graph.transactionRank(s, dir)),
@@ -1939,6 +1955,21 @@ object SparkEntry {
         |u AS MATERIALIZED (SELECT user_id, min(s1) AS u1, min(s2) AS u2, min(s3) AS u3 FROM s3 GROUP BY 1)
         |SELECT count(*) AS users_total, count(u1) AS reached_stage1,
         |  count(u2) AS reached_stage2, count(u3) AS reached_stage3 FROM u""".stripMargin,
+
+    // as-of spelling of the same gate rule: a data row is captured iff
+    // the latest control at-or-before it (start wins a control tie) is a
+    // start — provably identical to the operator's interval join
+    "events_gated_capture" ->
+      """WITH c AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS c_ts,
+        |         (event_type = 'signup') AS on_flag
+        |       FROM events WHERE event_type IN ('signup', 'error')),
+        |d AS MATERIALIZED (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |       FROM events WHERE event_type IN ('view', 'click', 'purchase'))
+        |SELECT event_id, user_id, event_type, ts_us FROM d
+        |WHERE COALESCE((SELECT on_flag FROM c
+        |                WHERE c.user_id = d.user_id AND c.c_ts <= d.ts_us
+        |                ORDER BY c.c_ts DESC, c.on_flag DESC LIMIT 1), false)
+        |ORDER BY event_id""".stripMargin,
 
     // the funnel prelude verbatim, then the same tagged-union epilogue:
     // truncating permille of exact counts, nearest-rank LOWER median

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Start/stop-gated capture — the reference's actionlib-bracketed
+  * collection mode (`scenario.py:101-137`,
+  * `init_way_point_action_server_video`: a control goal whose message is
+  * "true"/"t"/"start" opens the capture gate, anything else closes it;
+  * while open, every arrival on the watched data topic is saved).
+  *
+  * Spark mapping, two twins sharing one semantics:
+  *
+  *  - BATCH: fold the control stream into gate-open intervals
+  *    ([[captureIntervals]]) and keep the data rows inside one
+  *    ([[gate]]). A data row is captured iff the latest control message
+  *    at-or-before its timestamp is a START — start inclusive, stop
+  *    exclusive, rows before any control (or after only stops) dropped,
+  *    an unclosed start captures to +∞.
+  *  - STREAMING: the same rule as a per-gate state machine
+  *    ([[gatedStream]] — `flatMapGroupsWithState`, one boolean + one
+  *    timestamp of state per gate), so the live capture and the nightly
+  *    batch recompute agree row-for-row.
+  *
+  * Scale shape: control streams are human/robot actions — O(actions)
+  * tiny against the data stream — so the interval table broadcasts and
+  * the batch gate is a broadcast LEFT SEMI range join: the data side is
+  * never shuffled, never widened, and partition/pushdown behavior of the
+  * data scan is untouched. The per-gate windows in the interval fold
+  * touch only control rows.
+  *
+  * Determinism contract: within a gate, control ties on `ts_us` order
+  * stop-before-start (a same-instant start+stop leaves the gate OPEN);
+  * a data row exactly at a control timestamp sees that control applied
+  * (`<=` as-of semantics, matching the reference's "state is read when
+  * the data message arrives").
+  */
+object GatedCapture {
+
+  /** The reference's start predicate, `scenario.py:109`:
+    * `str(goal_msg.message).lower() in ["true", "t", "start"]`.
+    */
+  def isStart(msg: Column): Column = lower(msg).isin("true", "t", "start")
+
+  /** Fold a control table (gate key, event-time micros, start flag) into
+    * gate-open intervals `(gate, start_us, end_us)` — `end_us` NULL for
+    * an unclosed capture. Consecutive duplicate states collapse (two
+    * starts in a row extend the same interval, the reference's idempotent
+    * gate), so intervals per gate never overlap and the downstream semi
+    * join cannot duplicate rows.
+    */
+  def captureIntervals(control: DataFrame, gateCol: Column, tsUsCol: Column,
+                       startCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("gate")).orderBy(col("c_ts"), col("on"))
+    control.select(gateCol.as("gate"), tsUsCol.as("c_ts"), startCol.as("on"))
+      .withColumn("prev", lag(col("on"), 1, false).over(w))
+      .filter(col("on") =!= col("prev")) // state transitions only
+      .withColumn("end_us", lead(col("c_ts"), 1).over(
+        Window.partitionBy(col("gate")).orderBy(col("c_ts"), col("on"))))
+      .filter(col("on"))
+      .select(col("gate"), col("c_ts").as("start_us"), col("end_us"))
+  }
+
+  /** Keep the data rows inside a capture interval: broadcast left-semi
+    * range join against the (tiny) interval table — data columns pass
+    * through untouched.
+    */
+  def gate(data: DataFrame, intervals: DataFrame, gateCol: Column,
+           tsUsCol: Column): DataFrame = {
+    val iv = broadcast(intervals
+      .select(col("gate").as("__g"), col("start_us"), col("end_us")))
+    data.join(iv,
+      gateCol === col("__g") && tsUsCol >= col("start_us") &&
+        (col("end_us").isNull || tsUsCol < col("end_us")),
+      "left_semi")
+  }
+
+  /** Batch composition: capture `data` through the control stream's
+    * start/stop brackets. Both frames need the gate key and event-time
+    * micros; `msgCol` gates by the reference's message predicate.
+    */
+  def captureGated(control: DataFrame, data: DataFrame, gateCol: Column,
+                   tsUsCol: Column, msgCol: Column): DataFrame =
+    gate(data, captureIntervals(control, gateCol, tsUsCol, isStart(msgCol)),
+      gateCol, tsUsCol)
+
+  /** One unioned control+data row; `kind` 0 = control (applies first on
+    * a ts tie — the `<=` as-of rule), 1 = data.
+    */
+  case class GEvent(gate: Long, ts_us: Long, kind: Int, on: Boolean,
+                    event_id: Long)
+  /** Gate state: open flag + newest control time seen (controls arriving
+    * across batches must only move forward; a stale replayed control is
+    * ignored rather than reopening history).
+    */
+  case class GState(open: Boolean, lastCtlUs: Long)
+  case class GOut(gate: Long, event_id: Long, ts_us: Long)
+
+  /** Fold one gate's micro-batch through the state machine: rows replay
+    * in (ts_us, kind, on) order — control-before-data on ties, and a
+    * same-instant start+stop leaves the gate open, both matching the
+    * batch twin — emitting every data row that arrives while the gate is
+    * open. Ordering contract (same as [[Funnel]]): arrival order across
+    * batches must respect event time per gate; late data is recovered by
+    * the order-free batch recompute.
+    */
+  def updateGate(gateId: Long, rows: Iterator[GEvent],
+                 state: GroupState[GState]): Iterator[GOut] = {
+    val init = state.getOption.getOrElse(GState(open = false, lastCtlUs = Long.MinValue))
+    var open = init.open
+    var lastCtl = init.lastCtlUs
+    val out = Seq.newBuilder[GOut]
+    rows.toSeq.sortBy(e => (e.ts_us, e.kind, e.on)).foreach { e =>
+      if (e.kind == 0) {
+        if (e.ts_us >= lastCtl) { open = e.on; lastCtl = e.ts_us }
+      } else if (open) out += GOut(e.gate, e.event_id, e.ts_us)
+    }
+    state.update(GState(open, lastCtl))
+    out.result().iterator
+  }
+
+  /** Wire the gate machine over unioned control+data rows (possibly
+    * streaming). Input columns: gate, ts_us, kind (0 control / 1 data),
+    * on (control only), event_id (data only).
+    */
+  def gatedStream(rows: Dataset[GEvent])
+                 (implicit spark: SparkSession): Dataset[GOut] = {
+    import spark.implicits._
+    rows.groupByKey(_.gate)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (k: Long, it: Iterator[GEvent], st: GroupState[GState]) =>
+          updateGate(k, it, st))
+  }
+}

@@ -1518,6 +1518,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(Monitor.logDiff(spark, path, 2L, 2L).count() === 0L)
   }
 
+  test("logDiff matches NULL-column rows to themselves (bm25 doc-stats shape)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_nulldiff").toString + "/log"
+    def put(batch: Long, rows: Seq[(Option[String], Long)]): Unit =
+      rows.toDF("token", "n")
+        .withColumn("__batch_id", lit(batch))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id").parquet(path)
+    // batch 0: a token=NULL doc-stats row (exactly what maintainBm25Index
+    // logs) plus a regular row; batch 1 adds one row — the NULL row is
+    // UNCHANGED between the snapshots
+    put(0L, Seq((None, 7L), (Some("alpha"), 1L)))
+    put(1L, Seq((Some("beta"), 2L)))
+    val diff = Monitor.logDiff(spark, path, 0L, 1L).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    // pre-fix: the NULL row never matched itself and surfaced as a
+    // spurious (+1, −1) pair; it must not appear at all
+    assert(diff === Set((Some("beta"), 2L, 1L)),
+      s"unchanged NULL-column row leaked into the diff: $diff")
+    // a CHANGED null-keyed row surfaces exactly once per side
+    put(2L, Seq((None, 9L)))
+    val diff2 = Monitor.logDiff(spark, path, 1L, 2L).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    assert(diff2 === Set((None, 9L, 1L)))
+  }
+
   test("ingest-door novelty against the gram index equals batch verdicts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -1675,6 +1701,78 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("user_id") ->
         (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
     assert(streamed === batch)
+  }
+
+  test("streaming gated capture equals the batch interval filter") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.GatedCapture
+    // the real sf0.001 event log as the gate fixture: signup opens a
+    // user's gate, error closes it, view/click/purchase are the data
+    val ev = Tables.events(spark, sf).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    val control = ev.filter(col("event_type").isin("signup", "error"))
+      .select(col("user_id"), col("ts_us"),
+        when(col("event_type") === "signup", lit("start"))
+          .otherwise(lit("stop")).as("msg"))
+    val data = ev.filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+    val expected = GatedCapture.captureGated(control, data,
+        col("user_id"), col("ts_us"), col("msg"))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty, "fixture must actually capture something")
+    assert(expected.size < data.count(), "fixture must actually drop something")
+    // replay the unioned control+data rows in event-time order across
+    // five micro-batches (the documented ordering contract)
+    val rows = (control.collect().map(r => GatedCapture.GEvent(
+        r.getLong(0), r.getLong(1), 0, r.getString(2) == "start", -1L)) ++
+      data.collect().map(r => GatedCapture.GEvent(
+        r.getLong(1), r.getLong(3), 1, on = false, r.getLong(0))))
+      .sortBy(e => (e.ts_us, e.kind))
+    val input = MemoryStream[GatedCapture.GEvent]
+    val q = GatedCapture.gatedStream(input.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("gated_out")
+      .start()
+    try {
+      rows.grouped((rows.length + 4) / 5).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("gated_out")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(streamed === expected,
+      s"stream/batch disagree: extra=${streamed -- expected} missing=${expected -- streamed}")
+  }
+
+  test("gated capture: stop-without-start and unclosed intervals") {
+    import spark.implicits._
+    import graft.streaming.GatedCapture
+    // gate 1: stop arrives with no prior start (all rows closed), then an
+    // unclosed start captures everything after it; gate 2: never started
+    val control = Seq(
+      (1L, 100L, "stop"), (1L, 200L, "start"),
+      (2L, 50L, "halt")).toDF("g", "ts_us", "msg")
+    val data = Seq(
+      (1L, 50L, 10L),   // before any control: dropped
+      (1L, 100L, 11L),  // at the stop: dropped (stop is its own as-of)
+      (1L, 200L, 12L),  // exactly at the start: captured (inclusive)
+      (1L, 900L, 13L),  // far beyond, interval unclosed: captured
+      (2L, 300L, 14L)   // stop-without-start gate: dropped
+    ).toDF("g", "ts_us", "event_id")
+    val got = GatedCapture.captureGated(control, data,
+        col("g"), col("ts_us"), col("msg"))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(12L, 13L))
+    // same-instant start+stop leaves the gate open (stop-before-start tie)
+    val c2 = Seq((1L, 100L, "stop"), (1L, 100L, "start")).toDF("g", "ts_us", "msg")
+    val got2 = GatedCapture.captureGated(c2,
+        Seq((1L, 100L, 20L), (1L, 101L, 21L)).toDF("g", "ts_us", "event_id"),
+        col("g"), col("ts_us"), col("msg"))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got2 === Set(20L, 21L))
   }
 
   test("streaming holt equals the batch fold minus the open bucket") {
