@@ -1,0 +1,235 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Operational entry points — the Spark twins of the reference's three
+  * executables (`scripts/run_scenario.py`, `scripts/run_monitoring.py`,
+  * `scripts/convert`), with the reference's parameter names. Each is a
+  * thin `main` over machinery that already exists and is spec-tested
+  * elsewhere (`api.Scenario`, `streaming.GatedCapture`,
+  * `store.DocumentStore`, `store.Convert`, `sources.TopicStoreLog`); the
+  * wrappers only parse flags, resolve the scenario, and wire frames.
+  *
+  * Flags accept `--name value`, `--name=value`, and the ROS private-param
+  * spellings `_name:=value` / `~name:=value` the reference's launch files
+  * use. The live ROS topic graph has no analog here, so every wrapper
+  * takes `--input <path>` (anything [[Graft.load]] opens: parquet,
+  * `.topic_store` captures, catalog tables) and drains it batch-style —
+  * the operational shape of a capture REPLAY, which is what a Spark
+  * cluster actually runs.
+  */
+object Cli {
+
+  /** Parse `--k v` / `--k=v` / `_k:=v` / `~k:=v` into a map. */
+  private[api] def parseArgs(args: Array[String]): Map[String, String] = {
+    val out = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      def put(k: String, v: String): Unit = out(k.stripPrefix("-")) = v
+      if (a.startsWith("--") && a.contains("=")) {
+        val Array(k, v) = a.stripPrefix("--").split("=", 2); put(k, v)
+      } else if (a.startsWith("--") || (a.startsWith("-") && a.length == 2)) {
+        val k = a.dropWhile(_ == '-')
+        if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+          put(k, args(i + 1)); i += 1
+        } else put(k, "true")
+      } else if ((a.startsWith("_") || a.startsWith("~")) && a.contains(":=")) {
+        val Array(k, v) = a.drop(1).split(":=", 2); put(k, v)
+      } else throw new IllegalArgumentException(s"unrecognized argument '$a'")
+      i += 1
+    }
+    out.toMap
+  }
+
+  private[api] def session(appName: String): SparkSession =
+    SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+      .getOrCreate()
+
+  /** Run `f` under a session, creating one only if the JVM has none —
+    * and stopping it only if this call created it (so specs can invoke
+    * the real `main`s without losing their shared test session).
+    */
+  private[api] def withSession[A](appName: String)(f: SparkSession => A): A = {
+    val existing = SparkSession.getDefaultSession
+    val spark = existing.getOrElse(session(appName))
+    try f(spark) finally if (existing.isEmpty) spark.stop()
+  }
+
+  /** Resolve a scenario's write destination: filesystem scenarios write
+    * at `storage.location`; database scenarios resolve their MongoDB URI
+    * exactly like the reference (validating `storage.config`) and then
+    * map it onto a parquet store root (`--store_root`, one subdirectory
+    * per context) — there is no MongoDB driver in a Spark analytics
+    * cluster, the parquet document store IS the database here.
+    */
+  private[api] def destination(sc: Scenario, flags: Map[String, String]): String =
+    sc.storage("method") match {
+      case "filesystem" => sc.storage("location")
+      case _ =>
+        val uri = sc.databaseUri // validates config like the reference
+        val root = flags.getOrElse("store_root", throw new IllegalArgumentException(
+          s"scenario stores to '$uri' — pass --store_root <dir> to map the " +
+            "database onto a parquet store root"))
+        s"$root/${sc.context}"
+    }
+}
+
+/** `run_scenario` — parameters as `scripts/run_scenario.py:18-25`:
+  * `scenario_file`, `stabilise_time`, `verbose`, `queue_size`, `threads`,
+  * `threads_auto`, `use_grid_fs`; plus the replay-source `--input` and
+  * the column mapping (`--topic_col topic --ts_col ts --id_col _id
+  * --session_col session --msg_col payload`, each defaulting to the name
+  * after it here). Collection methods map as: `timer` / `action_server`
+  * drain everything; `event` keeps the watched topic; `action_server_video`
+  * gates the watched topic through the control topic's start/stop
+  * messages ([[graft.streaming.GatedCapture]] — scenario.py:101-137).
+  * Captured rows are stamped with the reference meta columns and appended
+  * session-partitioned.
+  */
+object RunScenario {
+  def run(spark: SparkSession, args: Array[String]): String = {
+    val flags = Cli.parseArgs(args)
+    val stabilise = flags.getOrElse("stabilise_time", "0").toDouble
+    if (stabilise > 0) Thread.sleep((stabilise * 1000).toLong)
+    val sc = Scenario.parseFile(flags("scenario_file"))
+    val dest = Cli.destination(sc, flags)
+    val verbose = flags.getOrElse("verbose", "true").toBoolean
+
+    val topicCol = flags.getOrElse("topic_col", "topic")
+    val tsCol = flags.getOrElse("ts_col", "ts")
+    val idCol = flags.getOrElse("id_col", "_id")
+    val sessionCol = flags.getOrElse("session_col", "session")
+    val msgCol = flags.getOrElse("msg_col", "payload")
+
+    val input = Graft.load(spark, flags("input"))
+    def ofTopic(t: String): DataFrame = input.filter(col(topicCol) === t)
+
+    val captured: DataFrame = sc.collection("method") match {
+      case "action_server_video" =>
+        graft.streaming.GatedCapture.captureGated(
+          ofTopic(sc.collection("action_server_name"))
+            .select(lit(0L).as("g"), unix_micros(col(tsCol)).as("ts_us"),
+              col(msgCol).cast("string").as("msg")),
+          ofTopic(sc.collection("watch_topic"))
+            .withColumn("g", lit(0L))
+            .withColumn("ts_us", unix_micros(col(tsCol))),
+          col("g"), col("ts_us"), col("msg"))
+          .drop("g", "ts_us")
+      case "event" => ofTopic(sc.collection("watch_topic"))
+      case _ => input // timer / action_server: every replayed row is a save
+    }
+
+    val stamped = graft.model.Documents.stampMeta(captured,
+      col(idCol), col(sessionCol), col(tsCol))
+    stamped.write.mode("append").partitionBy("session").parquet(dest)
+    if (flags.getOrElse("use_grid_fs", "false").toBoolean)
+      graft.store.DocumentStore.chunk(stamped, col("_id"),
+          col(msgCol).cast("string"), chunkSize = 255 * 1024)
+        .write.mode("append").parquet(s"$dest@chunks")
+    if (verbose) println(s"[run_scenario] context='${sc.context}' " +
+      s"method=${sc.collection("method")} captured -> $dest")
+    dest
+  }
+
+  def main(args: Array[String]): Unit =
+    Cli.withSession("graft_run_scenario") { spark => run(spark, args); () }
+}
+
+/** `run_monitoring` — parameters as `scripts/run_monitoring.py:17-21`:
+  * `scenario_file`, `verbose`, `no_log`; plus `--input` and the column
+  * mapping of [[RunScenario]]. Computes the per-topic rate/size monitor
+  * table (`DocumentStore.monitorRates` — the batch twin of the streaming
+  * monitor) over the scenario's watched topics; unless `no_log`, the
+  * table is written beside the scenario's destination as
+  * `<dest>@monitor`; `verbose` prints it.
+  */
+object RunMonitoring {
+  def run(spark: SparkSession, args: Array[String]): DataFrame = {
+    val flags = Cli.parseArgs(args)
+    val sc = Scenario.parseFile(flags("scenario_file"))
+    val verbose = flags.getOrElse("verbose", "true").toBoolean
+    val noLog = flags.getOrElse("no_log", "false").toBoolean
+
+    val topicCol = flags.getOrElse("topic_col", "topic")
+    val tsCol = flags.getOrElse("ts_col", "ts")
+    val msgCol = flags.getOrElse("msg_col", "payload")
+
+    val input = Graft.load(spark, flags("input"))
+    val watched = input.filter(col(topicCol).isin(sc.data.values.toSeq.map(lit): _*))
+    val rates = graft.store.DocumentStore.monitorRates(watched,
+      col(topicCol), col(tsCol), col(msgCol).cast("string"))
+    if (!noLog)
+      rates.write.mode("overwrite").parquet(s"${Cli.destination(sc, flags)}@monitor")
+    if (verbose) rates.orderBy(topicCol).collect()
+      .foreach(r => println(s"[run_monitoring] $r"))
+    rates
+  }
+
+  def main(args: Array[String]): Unit =
+    Cli.withSession("graft_run_monitoring") { spark => run(spark, args); () }
+}
+
+/** `convert` — flags as the reference CLI (`convert.py:262-273`):
+  * `-i/--input`, `-o/--output`, `-c/--collection` (subdirectory/table
+  * under a store-root input), `-q/--query` (flat JSON equality dict),
+  * `-p/--projection` (JSON `{"col": 1}` dict); plus `--key` naming the
+  * document-id column the incremental clone dedups on (default `_id`).
+  * An `-o` ending in `.topic_store` exports the reference's native log
+  * format ([[graft.sources.TopicStoreLog]]); anything else is the
+  * incremental parquet migrate (`Convert.migrate` — append only the
+  * missing documents).
+  */
+object ConvertCli {
+  private def jsonMap(s: String): Map[String, Object] = {
+    val m = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Object]](s)
+    if (m == null) Map.empty
+    else { import scala.jdk.CollectionConverters._; m.asScala.toMap }
+  }
+
+  def run(spark: SparkSession, args: Array[String]): Long = {
+    val flags = Cli.parseArgs(args)
+    val inPath = flags.getOrElse("input", flags("i"))
+    val outPath = flags.getOrElse("output", flags("o"))
+    val key = flags.getOrElse("key", "_id")
+
+    val base = flags.get("collection").orElse(flags.get("c")) match {
+      case Some(c) => Graft.load(spark, s"$inPath/$c")
+      case None => Graft.load(spark, inPath)
+    }
+    val queried = flags.get("query").orElse(flags.get("q")).map(jsonMap)
+      .filter(_.nonEmpty)
+      .map(_.map { case (k, v) => col(k) === lit(v) }.reduce(_ && _))
+      .map(base.filter).getOrElse(base)
+    val projected = flags.get("projection").orElse(flags.get("p")).map(jsonMap)
+      .filter(_.nonEmpty)
+      .map { p =>
+        val keep = p.collect { case (k, v) if String.valueOf(v) != "0" => k }.toSeq
+        queried.select((keep :+ key).distinct.map(col): _*)
+      }.getOrElse(queried)
+
+    val n =
+      if (outPath.endsWith(".topic_store")) {
+        // the native log stores one canonical-JSON document per record; a
+        // frame already carrying `doc` exports verbatim (a topic_store →
+        // topic_store copy), anything else serializes its rows
+        val docs =
+          if (projected.columns.contains("doc")) projected.select("doc")
+          else projected.select(
+            to_json(struct(projected.columns.map(col): _*)).as("doc"))
+        graft.sources.TopicStoreLog.write(docs, outPath)
+        docs.count()
+      } else graft.store.Convert.migrate(spark, projected, outPath, key)
+    println(s"[convert] $inPath -> $outPath ($n documents)")
+    n
+  }
+
+  def main(args: Array[String]): Unit =
+    Cli.withSession("graft_convert") { spark => run(spark, args); () }
+}

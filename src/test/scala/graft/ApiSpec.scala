@@ -124,4 +124,156 @@ class ApiSpec extends AnyFunSuite {
     val back = spark.read.parquet(out)
     assert(back.count() === Tables.events(spark, sf).count())
   }
+
+  /** A replayable capture fixture for the CLI mains: the events table
+    * written as a small parquet "topic stream" (event_type plays the
+    * topic, props the payload).
+    */
+  private def cliFixture(): String = {
+    val in = Files.createTempDirectory("graft_cli_in").toString + "/stream"
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("props"))
+      .write.mode("overwrite").parquet(in)
+    in
+  }
+
+  private def scenarioFile(yaml: String): String = {
+    val f = Files.createTempFile("graft_cli_sc", ".yaml")
+    Files.writeString(f, yaml)
+    f.toString
+  }
+
+  test("run_scenario main: filesystem scenario drains the replay into the store") {
+    // make the shared session discoverable by the real main
+    org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+    val in = cliFixture()
+    val dest = Files.createTempDirectory("graft_cli_fs").toString + "/cap"
+    val sc = scenarioFile(
+      s"""context: "cli_test"
+         |storage: {method: "filesystem", location: "$dest"}
+         |collection: {method: "event", watch_topic: "purchase"}
+         |data: {purchases: "purchase"}
+         |""".stripMargin)
+    graft.api.RunScenario.main(Array(
+      "--scenario_file", sc, "--input", in, "--verbose", "false",
+      "--topic_col", "event_type", "--id_col", "event_id",
+      "--session_col", "user_id", "--msg_col", "props",
+      "_stabilise_time:=0")) // ROS private-param spelling accepted
+    val out = spark.read.parquet(dest)
+    val want = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+    assert(out.count() === want.count())
+    // reference meta columns stamped, layout session-partitioned
+    assert(Seq("_id", "session", "sys_time_sec").forall(out.columns.contains))
+    assert(new java.io.File(dest).listFiles().exists(_.getName.startsWith("session=")))
+  }
+
+  test("run_scenario main: action_server_video scenario gates the capture") {
+    org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_cli_gate").toString + "/stream"
+    // control topic /collect: start at 100, stop at 300; data topic /cam
+    Seq(
+      (1L, 0L, "/collect", 100L, "start"), (2L, 0L, "/collect", 300L, "stop"),
+      (3L, 0L, "/cam", 50L, "f0"), (4L, 0L, "/cam", 150L, "f1"),
+      (5L, 0L, "/cam", 250L, "f2"), (6L, 0L, "/cam", 350L, "f3"))
+      .toDF("event_id", "user_id", "topic", "ts_sec", "payload")
+      .withColumn("ts", timestamp_seconds(col("ts_sec"))).drop("ts_sec")
+      .write.mode("overwrite").parquet(in)
+    val dest = Files.createTempDirectory("graft_cli_gate_out").toString + "/cap"
+    val sc = scenarioFile(
+      s"""context: "gated"
+         |storage: {method: "filesystem", location: "$dest"}
+         |collection:
+         |  method: "action_server_video"
+         |  action_server_name: "/collect"
+         |  watch_topic: "/cam"
+         |data: {cam: "/cam"}
+         |""".stripMargin)
+    graft.api.RunScenario.main(Array(
+      "--scenario_file", sc, "--input", in, "--verbose", "false",
+      "--id_col", "event_id", "--session_col", "user_id"))
+    // only the frames inside the start/stop bracket survive
+    assert(spark.read.parquet(dest).select("payload").collect()
+      .map(_.getString(0)).toSet === Set("f1", "f2"))
+  }
+
+  test("run_scenario main: database scenario needs store_root, resolves URI") {
+    org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+    val in = cliFixture()
+    val sc = scenarioFile(
+      """context: "db_ctx"
+        |storage: {method: "database", config: "default"}
+        |collection: {method: "timer", timer_delay: 1}
+        |data: {all: "any"}
+        |""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      graft.api.RunScenario.main(Array("--scenario_file", sc, "--input", in))
+    }
+    assert(e.getMessage.contains("mongodb://0.0.0.0:65530"))
+    val root = Files.createTempDirectory("graft_cli_root").toString
+    graft.api.RunScenario.main(Array(
+      "--scenario_file", sc, "--input", in, "--verbose", "false",
+      "--store_root", root, "--topic_col", "event_type",
+      "--id_col", "event_id", "--session_col", "user_id", "--msg_col", "props"))
+    assert(spark.read.parquet(s"$root/db_ctx").count() ===
+      Tables.events(spark, sf).count())
+  }
+
+  test("run_monitoring main: writes the per-topic monitor log unless no_log") {
+    org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+    val in = cliFixture()
+    val dest = Files.createTempDirectory("graft_cli_mon").toString + "/cap"
+    def sc(topics: String) = scenarioFile(
+      s"""context: "mon"
+         |storage: {method: "filesystem", location: "$dest"}
+         |collection: {method: "timer", timer_delay: 1}
+         |data: $topics
+         |""".stripMargin)
+    val args = Array("--input", in, "--verbose", "false",
+      "--topic_col", "event_type", "--msg_col", "props")
+    graft.api.RunMonitoring.main(Array("--scenario_file",
+      sc("""{views: "view", clicks: "click"}""")) ++ args)
+    val log = spark.read.parquet(s"$dest@monitor")
+    assert(log.select("topic").distinct().collect()
+      .map(_.getString(0)).toSet === Set("view", "click"))
+    assert(log.columns.contains("n_msgs"))
+    // no_log leaves no monitor directory behind
+    val dest2 = Files.createTempDirectory("graft_cli_mon2").toString + "/cap"
+    graft.api.RunMonitoring.main(Array("--scenario_file", scenarioFile(
+      s"""context: "mon2"
+         |storage: {method: "filesystem", location: "$dest2"}
+         |collection: {method: "timer", timer_delay: 1}
+         |data: {views: "view"}
+         |""".stripMargin), "--no_log", "true") ++ args)
+    assert(!new java.io.File(s"$dest2@monitor").exists())
+  }
+
+  test("convert main: query/projection filtered incremental migrate + topic_store export") {
+    org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+    val in = cliFixture()
+    val out = Files.createTempDirectory("graft_cli_conv").toString + "/dst"
+    // reference short flags: -i/-o/-q/-p
+    val n = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    graft.api.ConvertCli.main(Array("-i", in, "-o", out,
+      "-q", """{"event_type": "purchase"}""",
+      "-p", """{"event_id": 1, "user_id": 1}""",
+      "--key", "event_id"))
+    val got = spark.read.parquet(out)
+    assert(got.count() === n)
+    assert(got.columns.sorted.toSeq === Seq("event_id", "user_id"))
+    // incremental: re-running copies nothing new
+    graft.api.ConvertCli.main(Array("-i", in, "-o", out,
+      "-q", """{"event_type": "purchase"}""",
+      "-p", """{"event_id": 1, "user_id": 1}""", "--key", "event_id"))
+    assert(spark.read.parquet(out).count() === n)
+    // native-log export: rows serialize as canonical JSON docs and read back
+    val tsOut = Files.createTempDirectory("graft_cli_ts").toString + "/x.topic_store"
+    graft.api.ConvertCli.main(Array("-i", in, "-o", tsOut,
+      "-q", """{"event_type": "signup"}""", "--key", "event_id"))
+    val back = spark.read.format("topicstore").load(tsOut)
+    assert(back.count() ===
+      Tables.events(spark, sf).filter(col("event_type") === "signup").count())
+  }
 }
