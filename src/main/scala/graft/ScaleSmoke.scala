@@ -994,6 +994,49 @@ object ScaleSmoke {
       println(s"[scale]   exact prefix-filtered pairs: $n")
     }
 
+    // fuzzy-prefix blocking recall under planted typos at 10^5 docs:
+    // nDocs/2 pair groups, each an (even, odd) near-verbatim duplicate.
+    // 90% of groups put the typo INSIDE the prefix but past the 3-word
+    // block key — the in-block class the operator MUST catch (banded
+    // levenshtein confirms, dist 1); 10% put the typo in the FIRST word —
+    // the blocker's documented miss class (ER contract: recall is bounded
+    // by the blocking key), asserted MISSED so a silent blocker change
+    // shows up as a failed contract either way. A planted 1000-doc hot
+    // block (identical prefixes) exercises the |block|² confirm path the
+    // doc names as the AQE-skew-split hot spot.
+    time("fuzzy_prefix_typos") {
+      val groups = nDocs / 2
+      val pairDocs = spark.range(2L * groups).select(col("id"),
+        expr("""case
+          when id % 2 = 0 then concat('blk', id DIV 2,
+            ' alpha beta gamma delta epsilon zeta eta theta iota kappa tail', id DIV 2)
+          when (id DIV 2) % 10 = 0 then concat('xlk', id DIV 2,
+            ' alpha beta gamma delta epsilon zeta eta theta iota kappa tail', id DIV 2)
+          else concat('blk', id DIV 2,
+            ' alpha beta gamma delta epsilon zeta eta thetaX iota kappa tail', id DIV 2)
+          end""").as("text"))
+      val hot = spark.range(1000L).select((col("id") + 2L * groups).as("id"),
+        concat(lit("hotblock alpha beta gamma delta epsilon zeta common tail"),
+          pmod(col("id"), lit(3))).as("text"))
+      val pairs = graft.ops.Dedup
+        .fuzzyPrefixPairs(pairDocs.union(hot), col("id"), col("text"))
+        .cache()
+      try {
+        val planted = pairs.filter(col("id1") % 2 === 0 &&
+          col("id2") === col("id1") + 1 && col("id1") < 2L * groups)
+        val caught = planted.filter(expr("(id1 DIV 2) % 10 != 0")).count()
+        val leaked = planted.filter(expr("(id1 DIV 2) % 10 = 0")).count()
+        val expect = groups - (groups + 9) / 10
+        require(caught == expect,
+          s"in-block typo recall must be total: caught $caught of $expect")
+        require(leaked == 0L,
+          s"first-word typos are the blocker's contract miss class, caught $leaked")
+        val hotPairs = pairs.filter(col("id1") >= 2L * groups).count()
+        require(hotPairs == 1000L * 999L / 2,
+          s"hot block must confirm all its pairs, got $hotPairs")
+      } finally pairs.unpersist()
+    }
+
     // link prediction vs the hub hazard: a 100k-leaf star plus 10k
     // 4-cliques. Uncapped, the star alone wedges (10^5)²/2 ≈ 5·10^9
     // pairs; the default deg-256 cap drops the hub as a wedge center
