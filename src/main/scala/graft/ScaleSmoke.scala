@@ -1037,6 +1037,25 @@ object ScaleSmoke {
       } finally pairs.unpersist()
     }
 
+    // the distributed rank machinery at 10^7 rows: exactly SQL ntile —
+    // bucket sizes differ by at most one, ranks are a permutation — with
+    // no partition-less window anywhere (the wall-clock here is the range
+    // exchange + one partitioned window pass; the old single-task ntile
+    // serializes the full 10^7-row sort through one core).
+    time("ranged_ntile_10m") {
+      val rows = spark.range(10000000L).select(col("id"),
+        pmod(xxhash64(col("id")), lit(1000000)).as("v"))
+      val nt = graft.ops.Rank.rangedNtile(rows, 100,
+        Seq(col("v"), col("id")), "bucket")
+      val sizes = nt.groupBy("bucket").count().agg(
+        min("count").as("lo"), max("count").as("hi"),
+        sum("count").as("n"), countDistinct("bucket").as("k")).head()
+      graft.ops.OpCache.unpersistAll()
+      require(sizes.getLong(2) == 10000000L && sizes.getLong(3) == 100L &&
+        sizes.getLong(1) - sizes.getLong(0) <= 1L,
+        s"ntile bucket contract broken: $sizes")
+    }
+
     // link prediction vs the hub hazard: a 100k-leaf star plus 10k
     // 4-cliques. Uncapped, the star alone wedges (10^5)²/2 ≈ 5·10^9
     // pairs; the default deg-256 cap drops the hub as a wedge center
