@@ -316,6 +316,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"expected the md5-window plan:\n$plan")
   }
 
+  test("gated capture is a broadcast semi join; the data side never shuffles") {
+    // the op's 100 TB contract: intervals (tiny control fold) broadcast,
+    // data rows pass through a LEFT SEMI probe — no exchange, no widening
+    // of the data scan
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = SparkEntry.queries("events_gated_capture")(spark, sf)
+      .queryExecution.sparkPlan
+    val semi = plan.collect {
+      case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT SEMI" => j
+    }
+    assert(semi.nonEmpty, s"expected a broadcast left-semi gate:\n$plan")
+    // the data (probe) side of the semi join must reach the scan with no
+    // shuffle — only the presentation orderBy above the join may exchange
+    val data =
+      if (semi.head.buildSide.toString.contains("Right")) semi.head.left
+      else semi.head.right
+    assert(data.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"data side of the gate shuffles:\n${semi.head}")
+  }
+
   test("tfidf pays the corpus scan and tf aggregation once at runtime") {
     // tf feeds both the per-doc side and the df (document frequency)
     // rollup; Catalyst prunes the branches differently so exchange reuse

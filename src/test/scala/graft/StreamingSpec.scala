@@ -1747,6 +1747,40 @@ class StreamingSpec extends AnyFunSuite {
       s"stream/batch disagree: extra=${streamed -- expected} missing=${expected -- streamed}")
   }
 
+  test("gated capture stream: a stale replayed control never reopens history") {
+    import graft.streaming.GatedCapture._
+    // batch 1 advanced the gate to (stop @ 200); a replayed/late start
+    // @ 100 arriving in batch 2 is older than lastCtl and must be
+    // ignored — the gate stays closed and the 250 data row is dropped
+    val store = new java.util.concurrent.atomic.AtomicReference[GState](null)
+    val state = new org.apache.spark.sql.streaming.GroupState[GState] {
+      override def exists: Boolean = store.get != null
+      override def get: GState = store.get
+      override def getOption: Option[GState] = Option(store.get)
+      override def update(s: GState): Unit = store.set(s)
+      override def remove(): Unit = store.set(null)
+      override def hasTimedOut: Boolean = false
+      override def setTimeoutDuration(d: Long): Unit = ()
+      override def setTimeoutDuration(d: String): Unit = ()
+      override def setTimeoutTimestamp(t: Long): Unit = ()
+      override def setTimeoutTimestamp(t: Long, add: String): Unit = ()
+      override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+      override def setTimeoutTimestamp(t: java.sql.Date, add: String): Unit = ()
+      override def getCurrentWatermarkMs(): Long = 0L
+      override def getCurrentProcessingTimeMs(): Long = 0L
+    }
+    val b1 = updateGate(1L, Iterator(
+      GEvent(1L, 50L, 0, on = true, -1L),
+      GEvent(1L, 120L, 1, on = false, 10L), // open: captured
+      GEvent(1L, 200L, 0, on = false, -1L)), state).toSeq
+    assert(b1.map(_.event_id) === Seq(10L))
+    val b2 = updateGate(1L, Iterator(
+      GEvent(1L, 100L, 0, on = true, -1L), // stale replay, ts < lastCtl
+      GEvent(1L, 250L, 1, on = false, 11L)), state).toSeq
+    assert(b2.isEmpty, s"stale control reopened the gate: $b2")
+    assert(store.get == GState(open = false, lastCtlUs = 200L))
+  }
+
   test("gated capture: stop-without-start and unclosed intervals") {
     import spark.implicits._
     import graft.streaming.GatedCapture
