@@ -514,7 +514,11 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
              codebookK: Int = 256, dims: Int = 64): DataFrame = {
     val cb = pqCodebook(corpus, m, codebookK, dims)
-    val codes = pqEncode(corpus, cb, m, dims)
+    // the encoded corpus IS the op's persisted deep-compression form (m
+    // bytes/vector); share it so repeated actions (rerank epilogues,
+    // multi-batch serving) pay the O(corpus·K·dims) encode once — the
+    // tfidf persist-the-shared-feed convention
+    val codes = OpCache.share(pqEncode(corpus, cb, m, dims), enabled = true)
     val qtab = pqQueryTable(queries, cb, m, dims)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("adc_micro"), col("neighbor_id"))
@@ -567,7 +571,9 @@ object Similarity {
                 codebookK: Int = 256, dims: Int = 64,
                 centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val cb = pqCodebook(corpus, m, codebookK, dims)
-    val codes = pqEncode(corpus, cb, m, dims)
+    // shared for the same reason as pqTopK: the codes are the persisted
+    // corpus form, encoded once per corpus, probed by every query batch
+    val codes = OpCache.share(pqEncode(corpus, cb, m, dims), enabled = true)
     val cells = ivfAssign(corpus, kCells, centroids = centroids)
       .filter(col("cell_rank") === 1)
       .select(col("vec_id"), col("cell"))
