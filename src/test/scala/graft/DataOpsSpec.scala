@@ -831,6 +831,25 @@ class DataOpsSpec extends AnyFunSuite {
     assert(out(2L) === ((4L, 510000L, 1105425000000L, 276356250000L)))
   }
 
+  test("image sharpness: exact variance past the single-long overflow bound") {
+    import spark.implicits._
+    // 3200x2800-interior max-contrast checkerboard: every interior |lap|
+    // is 1020000 and the laplacian mean is exactly 0 (even parity split),
+    // so the squared-deviation total is 8,960,000 * 1.0404e12 = 9.322e18
+    // > Long.MaxValue — the pre-hi/lo single-long accumulator wrapped
+    // negative exactly here. The variance must be exact; the raw sum
+    // column saturates by contract.
+    val board = patternBmp(3202, 2802)((x, y) =>
+      if (((x + y) & 1) == 0) 0xFFFFFF else 0)
+    val df = Seq((1L, "image/bmp", board)).toDF("asset_id", "kind", "payload")
+    val assets = Multimodal.toAsset(df, col("asset_id"), col("kind"), col("payload"))
+    val r = Multimodal.imageSharpness(assets).collect().head
+    assert(r.getLong(3) === 3200L * 2800L)
+    assert(r.getLong(4) === 0L, "laplacian sum must balance on the checkerboard")
+    assert(r.getLong(5) === Long.MaxValue, "raw dev-sq column saturates past 2^63")
+    assert(r.getLong(6) === 1040400000000L, "variance stays exact past the bound")
+  }
+
   test("VAD fuses consecutive loud windows and skips silence") {
     import spark.implicits._
     // 10000 samples at 2000/window: wins 0-1 loud square wave, 2-3
