@@ -867,6 +867,32 @@ object Monitor {
   def readGramIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     readLog(spark, path).groupBy("shingle").agg(min("first_doc").as("first_doc"))
 
+  /** Start/stop-gated capture INTO a maintained log — the reference's
+    * `action_server_video` mode end-to-end (scenario.py:101-137: gate the
+    * data stream by the control stream's start/stop messages, save every
+    * captured row). Composes [[GatedCapture.gatedStream]]'s per-gate
+    * boolean state machine with the exactly-once `writeLogBatch` sink: a
+    * replayed micro-batch reproduces the same captured rows (the machine
+    * is deterministic given per-gate event-time-ordered arrival, and its
+    * state store versions with the checkpoint) and rewrites only its own
+    * `__batch_id` partition. Read the captured log with [[readLog]];
+    * [[compactLog]] applies like every maintained log here.
+    */
+  def captureGatedToLog(rows: org.apache.spark.sql.Dataset[GatedCapture.GEvent],
+                        path: String, checkpoint: String,
+                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    implicit val spark: org.apache.spark.sql.SparkSession = rows.sparkSession
+    GatedCapture.gatedStream(rows).toDF()
+      .writeStream
+      .outputMode("update") // the gate machine declares Update; rows never retract
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        df.toDF().writeLogBatch(batchId, path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Capture INTO the reference's native format: each micro-batch's `doc`
     * rows (canonical JSON) are written as `.topic_store` pickle logs into a
     * per-batch subdirectory — idempotent under replay (a restarted batch

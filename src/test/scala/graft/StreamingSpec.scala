@@ -1781,6 +1781,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.get == GState(open = false, lastCtlUs = 200L))
   }
 
+  test("gated capture into the maintained log: batch parity + replay idempotence") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{GatedCapture, Monitor}
+    val dir = Files.createTempDirectory("graft_gatedlog").toString
+    val path = s"$dir/log"
+    // two gates: gate 1 brackets [100, 300); gate 2 starts at 150, never
+    // stops (unclosed interval captures to the end of the stream)
+    val rows = Seq(
+      GatedCapture.GEvent(1L, 100L, 0, on = true, -1L),
+      GatedCapture.GEvent(1L, 120L, 1, on = false, 10L),
+      GatedCapture.GEvent(2L, 150L, 0, on = true, -1L),
+      GatedCapture.GEvent(2L, 160L, 1, on = false, 20L),
+      GatedCapture.GEvent(1L, 300L, 0, on = false, -1L),
+      GatedCapture.GEvent(1L, 350L, 1, on = false, 11L), // after stop: dropped
+      GatedCapture.GEvent(2L, 400L, 1, on = false, 21L)  // unclosed: captured
+    ).sortBy(e => (e.ts_us, e.kind))
+    def drain(ckpt: String): Unit = {
+      // ONE source per checkpoint lineage (offsets advance across the
+      // AvailableNow drains, so batch ids increment per chunk)
+      val input = MemoryStream[GatedCapture.GEvent]
+      rows.grouped(3).foreach { chunk =>
+        input.addData(chunk: _*)
+        val q = Monitor.captureGatedToLog(input.toDS(), path, ckpt)
+        try q.awaitTermination(120000) finally q.stop()
+      }
+    }
+    drain(s"$dir/c1")
+    def captured() = Monitor.readLog(spark, path)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(captured() === Set(10L, 20L, 21L))
+    // a fresh-checkpoint replay rewrites the same batches, never duplicates
+    drain(s"$dir/c2")
+    assert(captured() === Set(10L, 20L, 21L))
+    assert(Monitor.readLog(spark, path).count() === 3L)
+  }
+
   test("gated capture: stop-without-start and unclosed intervals") {
     import spark.implicits._
     import graft.streaming.GatedCapture
