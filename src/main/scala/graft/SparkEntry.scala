@@ -673,11 +673,16 @@ object SparkEntry {
     // per-stage conversion permille + nearest-rank median time-to-convert
     "events_funnel_rates" -> ((s, dir) => Analytics.eventFunnelRates(s, dir)),
     // start/stop-gated capture (reference scenario.py:101-137): signup
-    // opens each user's gate, error closes it; view/click/purchase rows
-    // inside a bracket survive the broadcast semi range join
+    // opens a watched user's gate, error closes it; view/click/purchase
+    // rows inside a bracket survive the broadcast semi range join. The
+    // control side is a FIXED watch cohort (user_id < 40 — the analog of
+    // the reference's enumerated watch topics), so the broadcast interval
+    // table stays O(cohort activity) at any corpus size — the tiny-control
+    // contract the operator's broadcast hint asserts
     "events_gated_capture" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val control = ev.filter(col("event_type").isin("signup", "error"))
+      val control = ev.filter(col("event_type").isin("signup", "error") &&
+          col("user_id") < 40)
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
           when(col("event_type") === "signup", lit("start"))
             .otherwise(lit("stop")).as("msg"))
@@ -1962,7 +1967,7 @@ object SparkEntry {
     "events_gated_capture" ->
       """WITH c AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS c_ts,
         |         (event_type = 'signup') AS on_flag
-        |       FROM events WHERE event_type IN ('signup', 'error')),
+        |       FROM events WHERE event_type IN ('signup', 'error') AND user_id < 40),
         |d AS MATERIALIZED (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
         |       FROM events WHERE event_type IN ('view', 'click', 'purchase'))
         |SELECT event_id, user_id, event_type, ts_us FROM d

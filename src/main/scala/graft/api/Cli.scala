@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
 object Cli {
 
   /** Parse `--k v` / `--k=v` / `_k:=v` / `~k:=v` into a map. */
-  private[api] def parseArgs(args: Array[String]): Map[String, String] = {
+  private[graft] def parseArgs(args: Array[String]): Map[String, String] = {
     val out = scala.collection.mutable.Map.empty[String, String]
     var i = 0
     while (i < args.length) {
@@ -32,7 +32,9 @@ object Cli {
         val Array(k, v) = a.stripPrefix("--").split("=", 2); put(k, v)
       } else if (a.startsWith("--") || (a.startsWith("-") && a.length == 2)) {
         val k = a.dropWhile(_ == '-')
-        if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+        // any "-"-leading token is the NEXT flag, never this one's value
+        // (a valueless --flag followed by -o must not swallow the -o)
+        if (i + 1 < args.length && !args(i + 1).startsWith("-")) {
           put(k, args(i + 1)); i += 1
         } else put(k, "true")
       } else if ((a.startsWith("_") || a.startsWith("~")) && a.contains(":=")) {
@@ -164,10 +166,14 @@ object RunMonitoring {
     val watched = input.filter(col(topicCol).isin(sc.data.values.toSeq.map(lit): _*))
     val rates = graft.store.DocumentStore.monitorRates(watched,
       col(topicCol), col(tsCol), col(msgCol).cast("string"))
-    if (!noLog)
-      rates.write.mode("overwrite").parquet(s"${Cli.destination(sc, flags)}@monitor")
-    if (verbose) rates.orderBy(topicCol).collect()
-      .foreach(r => println(s"[run_monitoring] $r"))
+    // one aggregation pass feeds both the log write and the verbose print
+    if (!noLog || verbose) rates.persist()
+    try {
+      if (!noLog)
+        rates.write.mode("overwrite").parquet(s"${Cli.destination(sc, flags)}@monitor")
+      if (verbose) rates.orderBy(topicCol).collect()
+        .foreach(r => println(s"[run_monitoring] $r"))
+    } finally if (!noLog || verbose) rates.unpersist()
     rates
   }
 
@@ -210,8 +216,15 @@ object ConvertCli {
     val projected = flags.get("projection").orElse(flags.get("p")).map(jsonMap)
       .filter(_.nonEmpty)
       .map { p =>
-        val keep = p.collect { case (k, v) if String.valueOf(v) != "0" => k }.toSeq
-        queried.select((keep :+ key).distinct.map(col): _*)
+        // Mongo projection semantics: {"col": 1, ...} keeps the named
+        // columns (+ the id key); an all-zero dict {"col": 0, ...} keeps
+        // everything EXCEPT the named columns (the key always survives —
+        // the migrate dedup needs it)
+        val inc = p.collect { case (k, v) if String.valueOf(v) != "0" => k }.toSeq
+        val keep =
+          if (inc.nonEmpty) (inc :+ key).distinct
+          else queried.columns.toSeq.filter(c => c == key || !p.contains(c))
+        queried.select(keep.map(col): _*)
       }.getOrElse(queried)
 
     val n =
@@ -223,8 +236,11 @@ object ConvertCli {
           if (projected.columns.contains("doc")) projected.select("doc")
           else projected.select(
             to_json(struct(projected.columns.map(col): _*)).as("doc"))
-        graft.sources.TopicStoreLog.write(docs, outPath)
-        docs.count()
+        docs.persist() // write + count off one pipeline execution
+        try {
+          graft.sources.TopicStoreLog.write(docs, outPath)
+          docs.count()
+        } finally docs.unpersist()
       } else graft.store.Convert.migrate(spark, projected, outPath, key)
     println(s"[convert] $inPath -> $outPath ($n documents)")
     n

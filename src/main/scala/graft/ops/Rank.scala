@@ -94,7 +94,7 @@ private[graft] object Rank {
   def withGlobalRank(df: DataFrame, order: Seq[Column],
                      rankCol: String = "__rank",
                      totalCol: String = "__total"): DataFrame = {
-    checkNames(df, Set.empty)
+    checkNames(df, Set(rankCol, totalCol))
     val r = ranged(df, order)
     val local = Window.partitionBy("__pid").orderBy(order: _*)
     r.join(broadcast(offsets(r, Nil)), Seq("__pid"))
@@ -141,7 +141,7 @@ private[graft] object Rank {
     */
   def withRunningSum(df: DataFrame, order: Seq[Column], value: String,
                      out: String): DataFrame = {
-    checkNames(df, Set(s"__below_$value", s"__belown_$value"))
+    checkNames(df, Set(out, s"__below_$value", s"__belown_$value"))
     val r = ranged(df, order)
     val local = Window.partitionBy("__pid").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -63,28 +63,38 @@ object GatedCapture {
       .select(col("gate"), col("c_ts").as("start_us"), col("end_us"))
   }
 
-  /** Keep the data rows inside a capture interval: broadcast left-semi
-    * range join against the (tiny) interval table — data columns pass
-    * through untouched.
+  /** Keep the data rows inside a capture interval: left-semi range join
+    * against the interval table — data columns pass through untouched.
+    * `broadcastIntervals` (default true) is the CALLER'S assertion of the
+    * tiny-control contract and forces the broadcast build; pass false for
+    * a control stream that grows with the data (per-entity gates over a
+    * fact-scale control feed) so the join falls back to a shuffled
+    * equi-join on the gate key that AQE can size and skew-split.
     */
   def gate(data: DataFrame, intervals: DataFrame, gateCol: Column,
-           tsUsCol: Column): DataFrame = {
-    val iv = broadcast(intervals
-      .select(col("gate").as("__g"), col("start_us"), col("end_us")))
-    data.join(iv,
-      gateCol === col("__g") && tsUsCol >= col("start_us") &&
-        (col("end_us").isNull || tsUsCol < col("end_us")),
+           tsUsCol: Column, broadcastIntervals: Boolean = true): DataFrame = {
+    val clash = data.columns.toSet
+      .intersect(Set("__gc_gate", "__gc_start", "__gc_end"))
+    require(clash.isEmpty,
+      s"gate: data columns ${clash.mkString(", ")} collide with the join's working names")
+    val iv = intervals.select(col("gate").as("__gc_gate"),
+      col("start_us").as("__gc_start"), col("end_us").as("__gc_end"))
+    data.join(if (broadcastIntervals) broadcast(iv) else iv,
+      gateCol === col("__gc_gate") && tsUsCol >= col("__gc_start") &&
+        (col("__gc_end").isNull || tsUsCol < col("__gc_end")),
       "left_semi")
   }
 
   /** Batch composition: capture `data` through the control stream's
     * start/stop brackets. Both frames need the gate key and event-time
-    * micros; `msgCol` gates by the reference's message predicate.
+    * micros; `msgCol` gates by the reference's message predicate;
+    * `broadcastIntervals` as on [[gate]].
     */
   def captureGated(control: DataFrame, data: DataFrame, gateCol: Column,
-                   tsUsCol: Column, msgCol: Column): DataFrame =
+                   tsUsCol: Column, msgCol: Column,
+                   broadcastIntervals: Boolean = true): DataFrame =
     gate(data, captureIntervals(control, gateCol, tsUsCol, isStart(msgCol)),
-      gateCol, tsUsCol)
+      gateCol, tsUsCol, broadcastIntervals)
 
   /** One unioned control+data row; `kind` 0 = control (applies first on
     * a ts tie — the `<=` as-of rule), 1 = data.
@@ -102,9 +112,13 @@ object GatedCapture {
     * in (ts_us, kind, on) order — control-before-data on ties, and a
     * same-instant start+stop leaves the gate open, both matching the
     * batch twin — emitting every data row that arrives while the gate is
-    * open. Ordering contract (same as [[Funnel]]): arrival order across
-    * batches must respect event time per gate; late data is recovered by
-    * the order-free batch recompute.
+    * open. The tie rule holds ACROSS batches too: a control equal to the
+    * state's frontier merges start-wins (`open || on`), never
+    * last-arrival-wins, so a start@t and stop@t split over two
+    * micro-batches resolve exactly as the batch interval fold does in
+    * either arrival order. Ordering contract (same as [[Funnel]]):
+    * arrival order across batches must otherwise respect event time per
+    * gate; late data is recovered by the order-free batch recompute.
     */
   def updateGate(gateId: Long, rows: Iterator[GEvent],
                  state: GroupState[GState]): Iterator[GOut] = {
@@ -114,7 +128,8 @@ object GatedCapture {
     val out = Seq.newBuilder[GOut]
     rows.toSeq.sortBy(e => (e.ts_us, e.kind, e.on)).foreach { e =>
       if (e.kind == 0) {
-        if (e.ts_us >= lastCtl) { open = e.on; lastCtl = e.ts_us }
+        if (e.ts_us > lastCtl) { open = e.on; lastCtl = e.ts_us }
+        else if (e.ts_us == lastCtl) open = open || e.on // start wins the tie
       } else if (open) out += GOut(e.gate, e.event_id, e.ts_us)
     }
     state.update(GState(open, lastCtl))

@@ -276,4 +276,26 @@ class ApiSpec extends AnyFunSuite {
     assert(back.count() ===
       Tables.events(spark, sf).filter(col("event_type") === "signup").count())
   }
+
+  test("convert main: Mongo-style exclusion projection keeps everything else") {
+    org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+    val in = cliFixture() // event_id, user_id, event_type, ts, props
+    val out = Files.createTempDirectory("graft_cli_excl").toString + "/dst"
+    graft.api.ConvertCli.main(Array("-i", in, "-o", out,
+      "-p", """{"props": 0, "ts": 0}""", "--key", "event_id"))
+    assert(spark.read.parquet(out).columns.sorted.toSeq ===
+      Seq("event_id", "event_type", "user_id"))
+    // excluding the key itself still keeps it (the migrate dedup needs it)
+    val out2 = Files.createTempDirectory("graft_cli_excl2").toString + "/dst"
+    graft.api.ConvertCli.main(Array("-i", in, "-o", out2,
+      "-p", """{"event_id": 0, "props": 0, "ts": 0}""", "--key", "event_id"))
+    assert(spark.read.parquet(out2).columns.contains("event_id"))
+  }
+
+  test("cli args: a valueless long flag never swallows a following short flag") {
+    val flags = graft.api.Cli.parseArgs(
+      Array("--verbose", "-o", "out", "-i", "in"))
+    assert(flags("verbose") === "true")
+    assert(flags("o") === "out" && flags("i") === "in")
+  }
 }

@@ -1779,6 +1779,22 @@ class StreamingSpec extends AnyFunSuite {
       GEvent(1L, 250L, 1, on = false, 11L)), state).toSeq
     assert(b2.isEmpty, s"stale control reopened the gate: $b2")
     assert(store.get == GState(open = false, lastCtlUs = 200L))
+    // tie AT the frontier across batches: a start@200 arriving after the
+    // stop@200 merges start-wins — exactly the batch twin's same-instant
+    // rule, not last-arrival-wins
+    val b3 = updateGate(1L, Iterator(
+      GEvent(1L, 200L, 0, on = true, -1L),
+      GEvent(1L, 260L, 1, on = false, 12L)), state).toSeq
+    assert(b3.map(_.event_id) === Seq(12L),
+      "start@frontier must win the cross-batch tie like the batch fold")
+    assert(store.get == GState(open = true, lastCtlUs = 200L))
+    // and the mirror order: a stop equal to an already-applied start's
+    // frontier must NOT close the gate
+    val b4 = updateGate(1L, Iterator(
+      GEvent(1L, 200L, 0, on = false, -1L),
+      GEvent(1L, 270L, 1, on = false, 13L)), state).toSeq
+    assert(b4.map(_.event_id) === Seq(13L),
+      "stop@frontier must not undo the tie-winning start")
   }
 
   test("gated capture into the maintained log: batch parity + replay idempotence") {
