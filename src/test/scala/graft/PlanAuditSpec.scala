@@ -48,6 +48,14 @@ class PlanAuditSpec extends AnyFunSuite {
     * doc_id / custkey / vec_id are deliberately NOT here: an aggregate on
     * them is corpus-sized and a global window over it is the single-task
     * ntile regression this guard exists to catch.
+    *
+    * This whitelist is the audit's TRUST BOUNDARY: the proof is the
+    * name, not the plan, so a new entry needs a domain-bound argument in
+    * review (why is the key's cardinality independent of corpus size?),
+    * and operators must not launder an unbounded aggregate through one of
+    * these names — reusing "bucket"/"h"/"series" for a corpus-sized key
+    * silently defeats the guard. Prefer adding a new specific name over
+    * widening an existing generic one.
     */
   private val boundedKeys = Set(
     "__pid",        // Rank offsets: ≤ numShufflePartitions rows
