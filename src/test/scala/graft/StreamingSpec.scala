@@ -1835,6 +1835,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(Monitor.readLog(spark, path).count() === 3L)
   }
 
+  test("gated capture: duplicate states collapse into one interval (idempotent gate)") {
+    import spark.implicits._
+    import graft.streaming.GatedCapture
+    // start,start,stop,stop,start → exactly two intervals: [100,300) and
+    // [400,∞) — repeated controls extend the same bracket, so the semi
+    // join cannot duplicate data rows
+    val control = Seq(
+      (1L, 100L, "start"), (1L, 200L, "t"), (1L, 300L, "stop"),
+      (1L, 350L, "halt"), (1L, 400L, "TRUE")).toDF("g", "ts_us", "msg")
+    val iv = GatedCapture.captureIntervals(control, col("g"), col("ts_us"),
+        GatedCapture.isStart(col("msg")))
+      .orderBy("start_us")
+      .collect().map(r => (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+    assert(iv.toSeq === Seq((100L, Some(300L)), (400L, None)))
+    // the reference's message predicate: true/t/start open (any case),
+    // everything else stops
+    val data = Seq((1L, 150L, 1L), (1L, 150L, 2L), (1L, 500L, 3L))
+      .toDF("g", "ts_us", "event_id")
+    val got = GatedCapture.captureGated(control, data,
+        col("g"), col("ts_us"), col("msg"))
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(1L, 2L, 3L), "no duplication, no loss")
+  }
+
   test("gated capture: stop-without-start and unclosed intervals") {
     import spark.implicits._
     import graft.streaming.GatedCapture
