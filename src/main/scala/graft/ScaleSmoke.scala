@@ -994,6 +994,33 @@ object ScaleSmoke {
       println(s"[scale]   exact prefix-filtered pairs: $n")
     }
 
+    // the prefix filter's COST contract on the corpus that used to hurt
+    // it: low-similarity docs over a TINY vocabulary (40 tokens → ≤64k
+    // distinct 3-shingles, so every prefix shingle collides across
+    // thousands of docs) with skewed lengths (7 classes, ×2.1 apart). At
+    // θ=500‰ the prefix alone admits ~half of each doc's shingles and
+    // candidates trend O(n²); the round-11 length filter kills every
+    // cross-class pair (adjacent classes are >2× apart) and the
+    // positional filter prunes within-class matches past the first
+    // third — candidates must stay ≪ the 200M doc pairs. The answer
+    // itself stays exact (DataOpsSpec pins equality with the brute join).
+    time("prefix_jaccard_skewed_lengths") {
+      val nD = 20000L
+      val lowsim = spark.range(nD).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", expr(
+          "transform(sequence(0, cast(round(6 * pow(2.1, pmod(id, 7))) as int) - 1)," +
+            " i -> concat('w', pmod(xxhash64(id, i), 40)))")).as("text"))
+      val sh = graft.ops.Dedup.shingles(lowsim, col("doc_id"), col("text"), None)
+      val cand = graft.ops.Dedup.prefixCandidates(sh, 500, cache = false).count()
+      graft.ops.Dedup.unpersistShared()
+      val allPairs = nD * (nD - 1) / 2
+      println(s"[scale]   pruned candidates: $cand of $allPairs doc pairs")
+      require(cand < allPairs / 100,
+        s"length+positional filters lost their prune: $cand candidates " +
+          s"(≥1% of $allPairs pairs) — the PPJoin cost contract regressed")
+    }
+
     // fuzzy-prefix blocking recall under planted typos at 10^5 docs:
     // nDocs/2 pair groups, each an (even, odd) near-verbatim duplicate.
     // 90% of groups put the typo INSIDE the prefix but past the 3-word

@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object Cli {
 
+  /** A dash-leading token that is a NUMBER, not a flag: `-1`, `-0.5`,
+    * `-2e3`. argparse makes the same call for `--stabilise_time -1`.
+    */
+  private val NegNumber = """-\d+(?:\.\d+)?(?:[eE][-+]?\d+)?""".r
+
   /** Parse `--k v` / `--k=v` / `_k:=v` / `~k:=v` into a map. */
   private[graft] def parseArgs(args: Array[String]): Map[String, String] = {
     val out = scala.collection.mutable.Map.empty[String, String]
@@ -28,13 +33,19 @@ object Cli {
     while (i < args.length) {
       val a = args(i)
       def put(k: String, v: String): Unit = out(k.stripPrefix("-")) = v
+      // a bare negative number can only be a value; as a flag name it is
+      // a silent misparse (`--stabilise_time -1` putting flag "1"), so a
+      // digit short flag is rejected below and the value branch admits it
+      def isValue(t: String): Boolean =
+        !t.startsWith("-") || NegNumber.matches(t)
       if (a.startsWith("--") && a.contains("=")) {
         val Array(k, v) = a.stripPrefix("--").split("=", 2); put(k, v)
-      } else if (a.startsWith("--") || (a.startsWith("-") && a.length == 2)) {
+      } else if (a.startsWith("--") ||
+                 (a.startsWith("-") && a.length == 2 && !a(1).isDigit)) {
         val k = a.dropWhile(_ == '-')
-        // any "-"-leading token is the NEXT flag, never this one's value
-        // (a valueless --flag followed by -o must not swallow the -o)
-        if (i + 1 < args.length && !args(i + 1).startsWith("-")) {
+        // any other "-"-leading token is the NEXT flag, never this one's
+        // value (a valueless --flag followed by -o must not swallow the -o)
+        if (i + 1 < args.length && isValue(args(i + 1))) {
           put(k, args(i + 1)); i += 1
         } else put(k, "true")
       } else if ((a.startsWith("_") || a.startsWith("~")) && a.contains(":=")) {
@@ -44,6 +55,16 @@ object Cli {
     }
     out.toMap
   }
+
+  /** First present flag among `names`, or an argparse-style usage error
+    * naming every accepted spelling — a missing required flag must read
+    * as "convert requires -i/--input", not NoSuchElementException.
+    */
+  private[api] def required(flags: Map[String, String], what: String,
+                            names: String*): String =
+    names.flatMap(flags.get).headOption.getOrElse(
+      throw new IllegalArgumentException(s"$what requires " +
+        names.map(n => if (n.length == 1) s"-$n" else s"--$n").mkString("/")))
 
   private[api] def session(appName: String): SparkSession =
     SparkSession.builder()
@@ -99,7 +120,7 @@ object RunScenario {
     val flags = Cli.parseArgs(args)
     val stabilise = flags.getOrElse("stabilise_time", "0").toDouble
     if (stabilise > 0) Thread.sleep((stabilise * 1000).toLong)
-    val sc = Scenario.parseFile(flags("scenario_file"))
+    val sc = Scenario.parseFile(Cli.required(flags, "run_scenario", "scenario_file"))
     val dest = Cli.destination(sc, flags)
     val verbose = flags.getOrElse("verbose", "true").toBoolean
 
@@ -109,7 +130,7 @@ object RunScenario {
     val sessionCol = flags.getOrElse("session_col", "session")
     val msgCol = flags.getOrElse("msg_col", "payload")
 
-    val input = Graft.load(spark, flags("input"))
+    val input = Graft.load(spark, Cli.required(flags, "run_scenario", "input"))
     def ofTopic(t: String): DataFrame = input.filter(col(topicCol) === t)
 
     val captured: DataFrame = sc.collection("method") match {
@@ -154,7 +175,7 @@ object RunScenario {
 object RunMonitoring {
   def run(spark: SparkSession, args: Array[String]): DataFrame = {
     val flags = Cli.parseArgs(args)
-    val sc = Scenario.parseFile(flags("scenario_file"))
+    val sc = Scenario.parseFile(Cli.required(flags, "run_monitoring", "scenario_file"))
     val verbose = flags.getOrElse("verbose", "true").toBoolean
     val noLog = flags.getOrElse("no_log", "false").toBoolean
 
@@ -162,7 +183,7 @@ object RunMonitoring {
     val tsCol = flags.getOrElse("ts_col", "ts")
     val msgCol = flags.getOrElse("msg_col", "payload")
 
-    val input = Graft.load(spark, flags("input"))
+    val input = Graft.load(spark, Cli.required(flags, "run_monitoring", "input"))
     val watched = input.filter(col(topicCol).isin(sc.data.values.toSeq.map(lit): _*))
     val rates = graft.store.DocumentStore.monitorRates(watched,
       col(topicCol), col(tsCol), col(msgCol).cast("string"))
@@ -201,8 +222,8 @@ object ConvertCli {
 
   def run(spark: SparkSession, args: Array[String]): Long = {
     val flags = Cli.parseArgs(args)
-    val inPath = flags.getOrElse("input", flags("i"))
-    val outPath = flags.getOrElse("output", flags("o"))
+    val inPath = Cli.required(flags, "convert", "i", "input")
+    val outPath = Cli.required(flags, "convert", "o", "output")
     val key = flags.getOrElse("key", "_id")
 
     val base = flags.get("collection").orElse(flags.get("c")) match {

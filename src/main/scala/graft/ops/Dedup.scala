@@ -174,7 +174,28 @@ object Dedup {
     * buckets are small without any cap: boilerplate lives at the END of
     * the df order and never blocks.
     *
-    * Verification joins each candidate pair against the two docs'
+    * Candidates are pruned by the two companion filters published with
+    * the prefix filter (Xiao et al. 2008) BEFORE the verify join — both
+    * integer-exact, both removing only pairs that provably cannot reach
+    * θ, so the answer stays EXACT:
+    *
+    *  - LENGTH filter, in the join condition: J ≥ θ forces
+    *    θ·n₁ ≤ 1000·n₂ and θ·n₂ ≤ 1000·n₁ (|A∩B| ≤ min, |A∪B| ≥ max), so
+    *    length-mismatched pairs die inside the join, never reaching
+    *    `distinct()`. On real corpora (long-tailed lengths) this alone
+    *    kills most spurious candidates.
+    *  - POSITIONAL filter, per matched prefix shingle: both docs list
+    *    shingles in the SAME global (df, shingle) order, so the first
+    *    shared shingle sits at the minimal matched position in BOTH docs
+    *    and overlap ≤ 1 + min(n₁−rk₁, n₂−rk₂). Keep a match iff that
+    *    upper bound reaches the required overlap
+    *    α = ⌈θ·(n₁+n₂)/(1000+θ)⌉ — spelled integer as
+    *    `(1 + min(n₁−rk₁, n₂−rk₂))·(1000+θ) ≥ θ·(n₁+n₂)`. A qualifying
+    *    pair always survives through its FIRST shared prefix shingle
+    *    (later matches may fail the bound; `distinct()` is an OR over
+    *    matches, so that is safe).
+    *
+    * Verification joins each surviving pair against the two docs'
     * sorted shingle ARRAYS (doc-bounded payloads, codegen'd
     * `array_intersect`) — O(candidates · set size) work, the published
     * PPJoin verify cost — and keeps pairs by the INTEGER test
@@ -187,26 +208,8 @@ object Dedup {
                          thresholdPermille: Int = 500,
                          cache: Boolean = true): DataFrame = {
     require(thresholdPermille >= 1 && thresholdPermille <= 1000)
-    import org.apache.spark.sql.expressions.Window
     val sh = shareCache(shingles(df, idCol, textCol, None), cache)
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val ranked = sh.join(dfreq, "shingle")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // cached: BOTH sides of the candidate self-join read the prefix
-    // table — uncached, each side would re-run the df join + per-doc
-    // rank window (the two most expensive stages here)
-    val pre = shareCache(
-      ranked.join(counts, "doc_id")
-        .filter(col("rk") <=
-          col("n") - expr(s"($thresholdPermille * n + 999) div 1000") + 1)
-        .select(col("doc_id"), col("shingle")),
-      cache)
-    val cand = pre.as("a").join(pre.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .distinct()
+    val cand = prefixCandidates(sh, thresholdPermille, cache)
     val sets = sh.groupBy("doc_id")
       .agg(sort_array(collect_list(col("shingle"))).as("set"),
         count(lit(1)).as("n"))
@@ -221,6 +224,43 @@ object Dedup {
         lit(thresholdPermille) * (col("n1") + col("n2") - col("shared")))
       .withColumn("jaccard", col("shared") / (col("n1") + col("n2") - col("shared")))
       .select("id1", "id2", "shared", "n1", "n2", "jaccard")
+  }
+
+  /** The pruned candidate pairs `(id1, id2)` [[prefixJaccardPairs]]'s
+    * verify step examines, from a pre-built (doc_id, shingle) table —
+    * factored out so the scale specs can pin the op's COST contract
+    * (candidates ≪ n² on low-similarity corpora; the length + positional
+    * filters' whole job) separately from its answer.
+    */
+  private[graft] def prefixCandidates(sh: DataFrame, thresholdPermille: Int,
+                                      cache: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // cached: BOTH sides of the candidate self-join read the prefix
+    // table — uncached, each side would re-run the df join + per-doc
+    // rank window (the two most expensive stages here)
+    val pre = shareCache(
+      ranked.join(counts, "doc_id")
+        .filter(col("rk") <=
+          col("n") - expr(s"($thresholdPermille * n + 999) div 1000") + 1)
+        .select(col("doc_id"), col("shingle"), col("rk"), col("n")),
+      cache)
+    val t = lit(thresholdPermille.toLong)
+    pre.as("a").join(pre.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          // length filter: θ·n₁ ≤ 1000·n₂ in both directions
+          t * col("a.n") <= lit(1000L) * col("b.n") &&
+          t * col("b.n") <= lit(1000L) * col("a.n") &&
+          // positional filter: best-case overlap from this matched
+          // position must reach the required α (see Scaladoc)
+          (lit(1L) + least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk"))) *
+            lit(1000L + thresholdPermille) >= t * (col("a.n") + col("b.n")))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
   }
 
   /** Distinct word n-grams per document for arbitrary n: (doc_id, gram). */

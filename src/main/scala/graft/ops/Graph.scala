@@ -21,6 +21,32 @@ import graft.Tables
   */
 object Graph {
 
+  /** Eagerly localCheckpoint `df` AND return its row count from the SAME
+    * materialization job: the `checkpoint-then-count` spelling the loops
+    * here used to use pays a second job launch per round — pure fixed
+    * scheduling latency (round 10 measured it as most of graph_bfs's
+    * wall at toy scale), and at cluster scale a second round-trip
+    * through the scheduler per round. Counting rides a longAccumulator
+    * inside the checkpoint's own pass.
+    *
+    * Contract: the count is only used for CONVERGENCE (`== 0`) and
+    * broadcast-threshold decisions. A speculative/retried task can
+    * over-count into the accumulator, but never under-count: an inflated
+    * count keeps a loop running one extra (empty → exact 0 next round)
+    * or demotes a broadcast to a shuffle join — both safe directions.
+    * The mapPartitions hop erases the frame's outputPartitioning, so use
+    * this on the SMALL per-round state (frontiers, removal sets), never
+    * on a spine whose hash-partitioning downstream joins rely on.
+    */
+  private def checkpointCounted(df: DataFrame): (DataFrame, Long) = {
+    val acc = df.sparkSession.sparkContext.longAccumulator("graft.ckptRows")
+    val counted = df.mapPartitions { it =>
+      it.map { r => acc.add(1L); r }
+    }(org.apache.spark.sql.Encoders.row(df.schema))
+    val ck = counted.localCheckpoint() // eager: one job materializes + counts
+    (ck.toDF(df.columns: _*), acc.value)
+  }
+
   /** Undirected PageRank, `iters` synchronous rounds from a uniform
     * `scale` start: `pr'(v) = floor(scale·(1000−damp)/1000) +
     * Σ_{u∼v} floor(pr(u)·damp / (1000·deg(u)))`.
@@ -200,9 +226,9 @@ object Graph {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val removed = adj.groupBy(col("u")).agg(count(lit(1)).as("d"))
-        .filter(col("d") < k).select(col("u")).localCheckpoint()
-      val nRemoved = removed.count()
+      val (removed, nRemoved) = checkpointCounted(
+        adj.groupBy(col("u")).agg(count(lit(1)).as("d"))
+          .filter(col("d") < k).select(col("u")))
       if (nRemoved == 0L) converged = true
       else {
         val next =
@@ -285,12 +311,18 @@ object Graph {
       val next =
         if (small) reached.join(broadcast(visited.select(col("node"))), Seq("node"), "left_anti")
         else reached.join(visited.select(col("node")), Seq("node"), "left_anti")
-      frontier = next.localCheckpoint()
-      frontierSize = frontier.count()
-      if (frontierSize > 0L)
+      val (f2, size2) = checkpointCounted(next)
+      frontier = f2
+      frontierSize = size2
+      if (frontierSize > 0L) {
         visited = visited
           .unionByName(frontier.select(col("node"), lit(depth).as("depth")))
-          .localCheckpoint()
+        // the union's leaves are all checkpointed frontiers, so lineage
+        // is a flat cheap-to-replay tree — checkpoint every 4th round
+        // only, to bound plan-analysis growth without paying a
+        // materialization job per round
+        if (depth % 4 == 0) visited = visited.localCheckpoint()
+      }
     }
     visited.orderBy(col("node"))
   }

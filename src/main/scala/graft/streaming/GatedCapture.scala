@@ -54,7 +54,12 @@ object GatedCapture {
   def captureIntervals(control: DataFrame, gateCol: Column, tsUsCol: Column,
                        startCol: Column): DataFrame = {
     val w = Window.partitionBy(col("gate")).orderBy(col("c_ts"), col("on"))
-    control.select(gateCol.as("gate"), tsUsCol.as("c_ts"), startCol.as("on"))
+    // NULL start flag is a STOP, not a hole: the reference stringifies the
+    // payload (scenario.py:109 — str(None).lower() == "none" ∉ start set),
+    // and an un-coalesced NULL here would be dropped by `on =!= prev` AND
+    // poison the next row's lag, silently losing a real transition.
+    control.select(gateCol.as("gate"), tsUsCol.as("c_ts"),
+        coalesce(startCol, lit(false)).as("on"))
       .withColumn("prev", lag(col("on"), 1, false).over(w))
       .filter(col("on") =!= col("prev")) // state transitions only
       .withColumn("end_us", lead(col("c_ts"), 1).over(

@@ -292,10 +292,80 @@ class ApiSpec extends AnyFunSuite {
     assert(spark.read.parquet(out2).columns.contains("event_id"))
   }
 
+  test("reference's shipped scenario fixtures parse with the reference's semantics") {
+    // the reference repo's own scenarios/*.yaml, read-only, through
+    // api.Scenario — resolved method, kept/dropped params and URI must
+    // match ScenarioFileParser (file_parsers.py:58-132): required params
+    // per method kept, everything else DELETED, four sections mandatory
+    val scenarios = new java.io.File("/root/reference/scenarios")
+    assume(scenarios.isDirectory, "reference fixtures not present")
+
+    // default_config.yaml: filesystem + action_server, every documented
+    // extra present — the parser must keep exactly the method's params
+    val full = graft.api.Scenario.parseFile(
+      s"${scenarios.getPath}/default_config.yaml")
+    assert(full.context === "default")
+    assert(full.storage === Map("method" -> "filesystem", "location" -> "default"),
+      "storage must keep method+location and DROP the unused database config")
+    assert(full.collection === Map("method" -> "action_server",
+      "action_server_name" -> "collect_data"),
+      "collection must drop timer_delay/watch_topic when method==action_server")
+    assert(full.data.contains("topics") && full.data("int") === "1")
+    intercept[IllegalArgumentException](full.requireDatabase)
+    assert(full.requireFilesystem eq full)
+
+    // filesystem_default.yaml: the minimal filesystem scenario
+    val fsys = graft.api.Scenario.parseFile(
+      s"${scenarios.getPath}/filesystem_default.yaml")
+    assert(fsys.storage("method") === "filesystem")
+    assert(fsys.storage("location") === "default")
+
+    // database_default.yaml: config "default" resolves to the PACKAGED
+    // default config's URI (database.py:42-58 + config/default_db_config
+    // .yaml: bindIp 0.0.0.0, port 65530)
+    val db = graft.api.Scenario.parseFile(
+      s"${scenarios.getPath}/database_default.yaml")
+    assert(db.storage === Map("method" -> "database", "config" -> "default"),
+      "database storage must keep method+config and drop location")
+    assert(db.databaseUri === "mongodb://0.0.0.0:65530")
+    intercept[IllegalArgumentException](db.requireFilesystem)
+    // and the shipped db-config YAML itself resolves to the same URI
+    val cfg = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/config/default_db_config.yaml")), "UTF-8")
+    assert(graft.api.DbConfig.uriFromYamlText(cfg) === "mongodb://0.0.0.0:65530")
+  }
+
   test("cli args: a valueless long flag never swallows a following short flag") {
     val flags = graft.api.Cli.parseArgs(
       Array("--verbose", "-o", "out", "-i", "in"))
     assert(flags("verbose") === "true")
     assert(flags("o") === "out" && flags("i") === "in")
+  }
+
+  test("cli args: negative numbers are values, digit short flags are rejected") {
+    // --stabilise_time -1 must bind -1 as the VALUE (argparse does), not
+    // parse -1 as short flag "1" and silently misconfigure
+    val flags = graft.api.Cli.parseArgs(
+      Array("--stabilise_time", "-1", "--rate", "-2.5e3", "--verbose"))
+    assert(flags("stabilise_time") === "-1")
+    assert(flags("rate") === "-2.5e3")
+    assert(flags("verbose") === "true")
+    // a dash-leading numeric token in flag position is an error, never a flag
+    val e = intercept[IllegalArgumentException](
+      graft.api.Cli.parseArgs(Array("-1", "x")))
+    assert(e.getMessage.contains("-1"))
+  }
+
+  test("convert main: a missing required flag names the flag, not a map key") {
+    org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+    val eIn = intercept[IllegalArgumentException](
+      graft.api.ConvertCli.run(spark, Array("-o", "/tmp/x")))
+    assert(eIn.getMessage.contains("-i/--input"))
+    val eOut = intercept[IllegalArgumentException](
+      graft.api.ConvertCli.run(spark, Array("-i", "/tmp/x")))
+    assert(eOut.getMessage.contains("-o/--output"))
+    val eSc = intercept[IllegalArgumentException](
+      graft.api.RunMonitoring.run(spark, Array.empty))
+    assert(eSc.getMessage.contains("--scenario_file"))
   }
 }

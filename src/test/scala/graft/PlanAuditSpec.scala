@@ -49,29 +49,35 @@ class PlanAuditSpec extends AnyFunSuite {
     * them is corpus-sized and a global window over it is the single-task
     * ntile regression this guard exists to catch.
     *
-    * This whitelist is the audit's TRUST BOUNDARY: the proof is the
-    * name, not the plan, so a new entry needs a domain-bound argument in
-    * review (why is the key's cardinality independent of corpus size?),
-    * and operators must not launder an unbounded aggregate through one of
-    * these names — reusing "bucket"/"h"/"series" for a corpus-sized key
-    * silently defeats the guard. Prefer adding a new specific name over
-    * widening an existing generic one.
+    * This whitelist is the audit's trust boundary — and since round 11
+    * the trust is VERIFIED, not assumed: each name carries its claimed
+    * domain cardinality, and for every partition-less window whose
+    * boundedness proof rests on these names the audit EXECUTES the query
+    * and asserts the window's actual input row count (its runtime
+    * numOutputRows metric — a window preserves cardinality) stays within
+    * the product of its proof aggregates' claimed domains. Renaming a
+    * corpus-sized key to "bucket" now fails CI on the measured rows, not
+    * just in review. A new entry still needs a domain-bound argument
+    * (why is the key's cardinality independent of corpus size?) and a
+    * cardinality honest at the spec's sf0.001 fixture — prefer adding a
+    * new specific name over widening an existing generic one.
     */
-  private val boundedKeys = Set(
-    "__pid",        // Rank offsets: ≤ numShufflePartitions rows
-    "decile",       // lift/vocab rollups: ≤ buckets rows
-    "stage",        // funnel stages: enumerated
-    "digit",        // benford: 9 rows
-    "lag",          // acf/ccf: ≤ maxLag rows
-    "n_tok",        // curriculum length histogram: ≤ max doc length
-    "tok_len",      // length-bucket variants
-    "bucket",       // fixed bucket counts
-    "phase",        // curriculum phases: ≤ nPhases
-    "source",       // corpus sources: enumerated small dimension
-    "grid_v",       // ks ECDF grid: ≤ distinct values of ONE series pair
-    "week",         // funnel/cohort week offsets: calendar-bounded
-    "series",       // telemetry series ids: enumerated small dimension
-    "h", "hr")      // hour buckets: calendar-bounded (O(hours), not O(rows))
+  private val boundedKeyCard: Map[String, Long] = Map(
+    "__pid" -> 1024,   // Rank offsets: ≤ numShufflePartitions rows
+    "decile" -> 128,   // lift/vocab rollups: ≤ buckets rows
+    "stage" -> 16,     // funnel stages: enumerated
+    "digit" -> 9,      // benford: 9 rows
+    "lag" -> 128,      // acf/ccf: ≤ maxLag rows
+    "n_tok" -> 4096,   // curriculum length histogram: ≤ distinct doc lengths
+    "tok_len" -> 4096, // length-bucket variants
+    "bucket" -> 128,   // fixed bucket counts
+    "phase" -> 16,     // curriculum phases: ≤ nPhases
+    "source" -> 64,    // corpus sources: enumerated small dimension
+    "grid_v" -> 65536, // ks ECDF grid: ≤ distinct values of ONE series pair
+    "week" -> 512,     // funnel/cohort week offsets: calendar-bounded
+    "series" -> 64,    // telemetry series ids: enumerated small dimension
+    "h" -> 8784, "hr" -> 8784) // hour buckets: calendar-bounded
+  private val boundedKeys: Set[String] = boundedKeyCard.keySet
 
   /** Walk below a partition-less window through per-row pass-through
     * nodes; the window's input is bounded iff the walk reaches a LIMIT,
@@ -96,6 +102,8 @@ class PlanAuditSpec extends AnyFunSuite {
       case a: SortAggregateExec => keysBounded(a.groupingExpressions) || boundedBelow(a.child)
       case t: InMemoryTableScanExec => boundedBelow(t.relation.cachedPlan)
       case a: AdaptiveSparkPlanExec => boundedBelow(a.executedPlan)
+      case s: adaptive.QueryStageExec => boundedBelow(s.plan)
+      case r: adaptive.AQEShuffleReadExec => boundedBelow(r.child)
       case r: ReusedExchangeExec => boundedBelow(r.child)
       case e: ShuffleExchangeExec => boundedBelow(e.child)
       case e: exchange.BroadcastExchangeExec => boundedBelow(e.child)
@@ -109,6 +117,93 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  /** The NAME-TRUSTED aggregates a bounded window input's proof rests
+    * on: the bounded-key aggregates [[boundedBelow]]'s walk stops at
+    * (not descending below them — anything deeper is allowed to be
+    * corpus-sized, the aggregate is the bound). Empty for a window
+    * bounded structurally (LIMIT / local table / global aggregate):
+    * those proofs cannot be laundered through a key rename and need no
+    * runtime check.
+    */
+  private def trustFrontier(p: org.apache.spark.sql.execution.SparkPlan): Seq[Seq[String]] = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.{ShuffleExchangeExec, ReusedExchangeExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def agg(keys: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
+            child: SparkPlan): Seq[Seq[String]] =
+      if (keys.nonEmpty && keys.forall(k => boundedKeys(k.name))) Seq(keys.map(_.name))
+      else trustFrontier(child)
+    p match {
+      case _: LocalLimitExec | _: GlobalLimitExec | _: TakeOrderedAndProjectExec |
+           _: LocalTableScanExec => Seq.empty
+      case a: HashAggregateExec => agg(a.groupingExpressions, a.child)
+      case a: ObjectHashAggregateExec => agg(a.groupingExpressions, a.child)
+      case a: SortAggregateExec => agg(a.groupingExpressions, a.child)
+      case t: InMemoryTableScanExec => trustFrontier(t.relation.cachedPlan)
+      case a: AdaptiveSparkPlanExec => trustFrontier(a.executedPlan)
+      case s: adaptive.QueryStageExec => trustFrontier(s.plan)
+      case r: adaptive.AQEShuffleReadExec => trustFrontier(r.child)
+      case r: ReusedExchangeExec => trustFrontier(r.child)
+      case e: ShuffleExchangeExec => trustFrontier(e.child)
+      case e: exchange.BroadcastExchangeExec => trustFrontier(e.child)
+      case j: joins.BaseJoinExec => j.children.flatMap(trustFrontier)
+      case _: ProjectExec | _: FilterExec | _: SortExec | _: CoalesceExec |
+           _: WindowExec | _: WholeStageCodegenExec | _: InputAdapter =>
+        trustFrontier(p.children.head)
+      case _ => Seq.empty
+    }
+  }
+
+  /** Every node of an executed plan INCLUDING the subtrees AQE and the
+    * cache hide as members rather than children (QueryStageExec.plan,
+    * AdaptiveSparkPlanExec.executedPlan, InMemoryTableScan.cachedPlan) —
+    * plain `.collect` stops at a query-stage boundary and would miss a
+    * window running inside one.
+    */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val below = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case t: InMemoryTableScanExec => Seq(t.relation.cachedPlan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => p.children
+    }
+    p +: below.flatMap(allNodes)
+  }
+
+  /** The measured row count flowing INTO a window: WindowExec itself has
+    * no numOutputRows metric in Spark 4, so descend through
+    * cardinality-PRESERVING nodes only (exchanges, query stages, sorts,
+    * codegen shells — none change row count) until a node that carries
+    * one (aggregates, filters, scans all do). None = no metric reachable
+    * without crossing a cardinality-changing node — treated as a loud
+    * audit failure, never a silent pass.
+    */
+  private def inputRows(p: org.apache.spark.sql.execution.SparkPlan): Option[Long] = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.{AQEShuffleReadExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    p.metrics.get("numOutputRows").map(_.value).orElse(p match {
+      case s: QueryStageExec => inputRows(s.plan)
+      case e: ShuffleExchangeExec => inputRows(e.child)
+      case e: exchange.BroadcastExchangeExec => inputRows(e.child)
+      case r: AQEShuffleReadExec => inputRows(r.child)
+      case r: ReusedExchangeExec => inputRows(r.child)
+      case _: SortExec | _: WholeStageCodegenExec | _: InputAdapter |
+           _: ProjectExec | _: WindowExec | _: CoalesceExec =>
+        inputRows(p.children.head)
+      case _ => None
+    })
+  }
+
   for ((name, q) <- SparkEntry.queries) {
     test(s"$name: no partition-less window over an unbounded input") {
       // a WindowExec with an empty partitionSpec funnels its entire input
@@ -117,11 +212,42 @@ class PlanAuditSpec extends AnyFunSuite {
       // CI failure: a global window is legal only over a provably bounded
       // table (limit / bounded-key aggregate below it).
       import org.apache.spark.sql.execution.window.WindowExec
-      val bad = q(spark, sf).queryExecution.sparkPlan.collect {
+      val df = q(spark, sf)
+      val bad = df.queryExecution.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty && !boundedBelow(w.child) => w
       }
       assert(bad.isEmpty,
         s"partition-less WindowExec over unbounded input in $name (single-task at scale):\n${bad.mkString("\n")}")
+      // Cardinality proof for the name-trusted windows: the static walk
+      // trusts key NAMES, which a corpus-sized aggregate could reuse. If
+      // any global window's bound rests on the whitelist, execute the
+      // query and assert each such window's MEASURED input rows (its
+      // numOutputRows metric — a window preserves cardinality) fit the
+      // product of its proof aggregates' claimed domain cardinalities.
+      val trusted = df.queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => trustFrontier(w.child)
+      }.exists(_.nonEmpty)
+      if (trusted) {
+        val ran = q(spark, sf)
+        ran.collect() // AQE finalizes + metrics populate only on execution
+        val checked = allNodes(ran.queryExecution.executedPlan).collect {
+          case w: WindowExec if w.partitionSpec.isEmpty && trustFrontier(w.child).nonEmpty =>
+            val frontier = trustFrontier(w.child)
+            val allowance = frontier
+              .map(_.map(boundedKeyCard).foldLeft(1L)((a, b) => math.min(a * b, 1L << 40)))
+              .foldLeft(1L)((a, b) => math.min(a * b, 1L << 40))
+            val metric = inputRows(w.child)
+            assert(metric.isDefined,
+              s"window in $name carries no numOutputRows metric — cardinality unverifiable:\n$w")
+            assert(metric.get <= allowance,
+              s"global window in $name measured ${metric.get} input rows, over its " +
+                s"claimed domain bound $allowance (proof keys: ${frontier.map(_.mkString("×")).mkString(", ")}) " +
+                "— a corpus-sized aggregate is hiding behind a whitelisted key name")
+            1
+        }.sum
+        assert(checked > 0,
+          s"$name: static walk found a name-trusted global window but the executed plan shows none to verify")
+      }
     }
 
     test(s"$name: no unintended nested-loop or cartesian join") {

@@ -1887,6 +1887,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got2 === Set(20L, 21L))
   }
 
+  test("gated capture: a NULL control message is a STOP, not a hole") {
+    import spark.implicits._
+    import graft.streaming.GatedCapture
+    // The reference stringifies the payload (scenario.py:109 —
+    // str(None).lower() == "none" ∉ {"true","t","start"}), so a NULL
+    // control must CLOSE the gate. Un-coalesced, isStart(NULL) is NULL:
+    // the row vanishes from the transition fold AND poisons the next
+    // row's lag — start@100, null@200, stop@400 would leave the gate
+    // open forever and drop the genuine restart transition at 300.
+    val control = Seq(
+      (1L, 100L, Some("start")), (1L, 200L, None: Option[String]),
+      (1L, 300L, Some("start")), (1L, 400L, Some("stop")))
+      .toDF("g", "ts_us", "msg")
+    val data = Seq(
+      (1L, 150L, 10L), // inside [100,200): captured
+      (1L, 250L, 11L), // the NULL control closed the gate: dropped
+      (1L, 350L, 12L), // restart after the NULL: captured
+      (1L, 450L, 13L)  // after the stop: dropped
+    ).toDF("g", "ts_us", "event_id")
+    val got = GatedCapture.captureGated(control, data,
+        col("g"), col("ts_us"), col("msg"))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(10L, 12L))
+  }
+
   test("streaming holt equals the batch fold minus the open bucket") {
     implicit val sqlCtx = spark.sqlContext
     implicit val ss = spark
