@@ -140,20 +140,21 @@ object Bench {
     // scheduling pressure that inflated round 10's tail up to 32x over the
     // same query run alone (dedup_prefix_jaccard 69.4s committed vs 2.2s
     // isolated — the judge had to re-run it to read the snapshot). Any
-    // query whose own 3-run spread exceeds half its median (wall or CPU),
-    // or whose median is >3x the round's per-query P90, is re-measured in
-    // a FRESH SparkSession — old context stopped, new one per query — and
-    // both numbers are published (`queries` + `queries_isolated`). The
-    // spread floor (0.75s) keeps sub-second queries, whose spreads are
-    // all scheduling jitter, from triggering hundreds of session
-    // restarts; the P90 clause still catches a slow-but-stable outlier.
+    // query whose own 3-run spread EXCEEDS its median (wall, above a 1s
+    // floor; CPU, above a 5s floor — 32-thread GC makes small-query CPU
+    // spreads pure jitter), or whose median is >3x the round's per-query
+    // P90, is re-measured in a FRESH SparkSession — old context stopped,
+    // new one per query — and both numbers are published (`queries` +
+    // `queries_isolated`). Thresholds calibrated on this machine: the
+    // 50%-of-median variant flagged 92 of 220 queries (all jitter), this
+    // one flags the ~20 heavy/unstable ones the round-10 artifact lived in.
     val wallMedians = results.values.map(_._1).toSeq.sorted
     val p90 =
       if (wallMedians.isEmpty) 0.0
       else wallMedians(math.min((wallMedians.size * 9) / 10, wallMedians.size - 1))
     val flagged = results.toSeq
       .filter { case (_, (w, ws, c, cs)) =>
-        val unstable = (w >= 0.75 && ws > 0.5 * w) || (c >= 0.75 && cs > 0.5 * c)
+        val unstable = (w >= 1.0 && ws > w) || (c >= 5.0 && cs > c)
         unstable || w > 3 * p90
       }
       .sortBy(-_._2._1).map(_._1)

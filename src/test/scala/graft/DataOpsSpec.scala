@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -1123,6 +1125,91 @@ class DataOpsSpec extends AnyFunSuite {
     assert(Multimodal.videoFrameFeatures(avcAssets, everyN = 1).count() === 0)
     // ...while the codec-free sample EXTRACTION still works on it
     assert(Multimodal.videoSamples(avcAssets, everyN = 1).count() === 3)
+  }
+
+  test("external video decoder seam: real process plumbing behind the codec gap") {
+    import spark.implicits._
+    import java.nio.ByteBuffer
+    def be32(v: Int): Array[Byte] = ByteBuffer.allocate(4).putInt(v).array()
+    def box(tag: String, parts: Array[Byte]*): Array[Byte] = {
+      val body = parts.flatten.toArray
+      be32(8 + body.length) ++ tag.getBytes("US-ASCII") ++ body
+    }
+    // an avc1 (inter-coded) container the JVM path must NOT decode and
+    // the external seam MUST pipe out: same sample-table skeleton as the
+    // MJPEG fixture, avc1 stsd fourcc
+    val mdhd = box("mdhd", be32(0), be32(0), be32(0), be32(1000), be32(300), be32(0))
+    val stts = box("stts", be32(0), be32(1), be32(3), be32(100))
+    val stsz = box("stsz", be32(0), be32(0), be32(3), be32(4), be32(4), be32(4))
+    val stsd = box("stsd", be32(0), be32(1), box("avc1", Array.fill[Byte](8)(0)))
+    val avc = box("ftyp", "isom".getBytes, be32(0)) ++
+      box("moov", box("trak", box("mdia", mdhd,
+        box("minf", box("stbl", stts, stsz, stsd))))) ++
+      box("mdat", Array.fill[Byte](12)(9))
+    val assets = Multimodal.toAsset(
+      Seq((21L, "video", avc)).toDF("asset_id", "kind", "payload"),
+      col("asset_id"), col("kind"), col("payload"))
+
+    // stub decoder: an external EXECUTABLE speaking the documented
+    // protocol — drains stdin, emits two 2×2 grayscale frames (the
+    // deployment shim wraps ffmpeg the same way; only the bytes differ)
+    val dir = Files.createTempDirectory("graft_vdec")
+    val script = dir.resolve("decoder.sh")
+    Files.write(script,
+      ("#!/bin/bash\ncat >/dev/null\n" +
+        "printf '\\x00\\x00\\x00\\x00\\x00\\x00\\x00\\x02\\x00\\x00\\x00\\x02\\x00\\x00\\x00\\x04'\n" +
+        "printf '\\x00\\x40\\x80\\xc0'\n" +
+        "printf '\\x00\\x00\\x00\\x01\\x00\\x00\\x00\\x02\\x00\\x00\\x00\\x02\\x00\\x00\\x00\\x04'\n" +
+        "printf '\\x10\\x50\\x90\\xd0'\n").getBytes("UTF-8"))
+    script.toFile.setExecutable(true)
+
+    // everyN=2 keeps only the shim's frame 0; gray (0,64,128,192) folds
+    // to the image-path feature convention exactly (luma of gray g is g)
+    val out = Multimodal.videoFrameFeaturesExternal(assets, everyN = 2,
+      decoderCmd = Some(Seq(script.toString))).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 21L && r.getInt(1) === 0)
+    assert(r.getInt(2) === 2 && r.getInt(3) === 2)
+    val f = r.getSeq[Float](4)
+    // mean gray of (0, 64, 128, 192) is 96
+    assert(math.abs(f(2) - 96f / 255f) < 1e-6f)
+    assert(f(2) === f(3) && f(3) === f(4), "gray frame: identical channel means")
+
+    // everyN=1 returns both frames
+    assert(Multimodal.videoFrameFeaturesExternal(assets, everyN = 1,
+      decoderCmd = Some(Seq(script.toString))).count() === 2)
+    // conf-resolved decoder works the same as the explicit parameter
+    spark.conf.set("spark.graft.video.decoder", script.toString)
+    try assert(Multimodal.videoFrameFeaturesExternal(assets, everyN = 1).count() === 2)
+    finally spark.conf.unset("spark.graft.video.decoder")
+    // seam OFF (no decoder anywhere): empty, never half-decoded
+    assert(Multimodal.videoFrameFeaturesExternal(assets, everyN = 1).count() === 0)
+    // a FAILING decoder skips the asset (all-or-nothing), never throws
+    val bad = dir.resolve("bad.sh")
+    Files.write(bad, "#!/bin/bash\ncat >/dev/null\nexit 3\n".getBytes("UTF-8"))
+    bad.toFile.setExecutable(true)
+    assert(Multimodal.videoFrameFeaturesExternal(assets, everyN = 1,
+      decoderCmd = Some(Seq(bad.toString))).count() === 0)
+    // a decoder emitting garbage framing skips the asset too
+    val junk = dir.resolve("junk.sh")
+    Files.write(junk, "#!/bin/bash\ncat >/dev/null\nprintf 'not-a-frame'\n".getBytes("UTF-8"))
+    junk.toFile.setExecutable(true)
+    assert(Multimodal.videoFrameFeaturesExternal(assets, everyN = 1,
+      decoderCmd = Some(Seq(junk.toString))).count() === 0)
+    // MJPEG payloads never reach the external decoder (disjoint paths):
+    // reuse the in-JVM fixture shape — jpeg fourcc, decoder would emit
+    // frames if called, but the gate filters the asset out
+    val stsdJpeg = box("stsd", be32(0), be32(1), box("jpeg", Array.fill[Byte](8)(0)))
+    val mjpeg = box("ftyp", "isom".getBytes, be32(0)) ++
+      box("moov", box("trak", box("mdia", mdhd,
+        box("minf", box("stbl", stts, stsz, stsdJpeg))))) ++
+      box("mdat", Array.fill[Byte](12)(9))
+    val mjAssets = Multimodal.toAsset(
+      Seq((22L, "video", mjpeg)).toDF("asset_id", "kind", "payload"),
+      col("asset_id"), col("kind"), col("payload"))
+    assert(Multimodal.videoFrameFeaturesExternal(mjAssets, everyN = 1,
+      decoderCmd = Some(Seq(script.toString))).count() === 0)
   }
 
   test("GraftExtensions exposes native functions to plain SQL sessions") {
