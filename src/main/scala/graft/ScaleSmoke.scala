@@ -1131,6 +1131,41 @@ object ScaleSmoke {
       require(reached <= 7L, s"3 rounds on a path reach <= 7 nodes, got $reached")
     }
 
+    // gated capture at 10M data rows through 1k gates: the op's 100 TB
+    // contract is that the control fold touches only control rows and
+    // the data side rides a broadcast LEFT SEMI probe — so the interval
+    // path must agree row-for-row with the direct range predicate the
+    // intervals encode (an independent spelling: plain filter, no join),
+    // and cost must track the scan. Ties are planted at both bracket
+    // edges (data exactly at start and at stop) so the <=/< as-of rule
+    // is exercised at volume, not just in the unit spec.
+    time("gated_capture_10m") {
+      val data = spark.range(10000000L).select(
+        pmod(col("id"), lit(1000)).as("g"),
+        pmod(col("id") * 7919L, lit(1000000)).as("ts_us"),
+        col("id").as("event_id"))
+      // per gate: open [g*500, 500000 + g*300) — staggered brackets so
+      // every gate captures a different slice; plus one reopened bracket
+      // [900000, ∞) for gates divisible by 10 (unclosed tail)
+      val control = spark.range(1000L).select(col("id").as("g"))
+        .select(col("g"), explode(array(
+          struct((col("g") * 500L).as("ts_us"), lit("start").as("msg")),
+          struct((lit(500000L) + col("g") * 300L).as("ts_us"), lit("stop").as("msg")),
+          struct(lit(900000L).as("ts_us"),
+            when(col("g") % 10L === 0L, lit("start")).otherwise(lit("halt")).as("msg"))
+        )).as("c"))
+        .select(col("g"), col("c.ts_us").as("ts_us"), col("c.msg").as("msg"))
+      val gated = graft.streaming.GatedCapture.captureGated(
+        control, data, col("g"), col("ts_us"), col("msg")).count()
+      val direct = data.filter(
+        (col("ts_us") >= col("g") * 500L &&
+          col("ts_us") < lit(500000L) + col("g") * 300L) ||
+          (col("g") % 10L === 0L && col("ts_us") >= 900000L)).count()
+      println(s"[scale]   captured $gated of 10^7 (direct predicate: $direct)")
+      require(gated == direct,
+        s"interval path disagrees with the direct predicate: $gated != $direct")
+    }
+
     spark.stop()
   }
 }
