@@ -161,11 +161,15 @@ object Bench {
     // Bounded re-run budget; anything dropped is named in the snapshot —
     // a silent cap would read as "everything re-measured" when it wasn't.
     val (toIsolate, isolateDropped) = flagged.splitAt(20)
+    // a query that THROWS in its fresh session must not publish its
+    // time-to-crash as a valid isolated number — it lands in
+    // isolated_failed instead, and total_isolated keeps its main-pass time
+    var isolatedFailed = List.empty[String]
     val isolated: Seq[(String, (Double, Double))] =
       if (toIsolate.isEmpty) Seq.empty
       else {
         spark.stop()
-        toIsolate.map { name =>
+        toIsolate.flatMap { name =>
           val s2 = newSession()
           s2.sparkContext.setLogLevel("WARN")
           val fn = picked(name)
@@ -175,8 +179,9 @@ object Bench {
             try fn(s2, sfDir).write.format("noop").mode("overwrite").save()
             catch { case _: Throwable => () }
             ops.OpCache.unpersistAll()
-            val (w, _, c, _, _) = timeQuery(s2, fn)
-            name -> (w, c)
+            val (w, _, c, _, ok) = timeQuery(s2, fn)
+            if (ok) Some(name -> (w, c))
+            else { isolatedFailed ::= name; None }
           } finally {
             s2.sparkContext.setLogLevel("OFF")
             s2.stop()
@@ -218,6 +223,7 @@ object Bench {
     val isoCpu = isolated.sortBy(-_._2._2)
       .map { case (k, t) => "\"" + k + "\":" + j(t._2) }.mkString("{", ",", "}")
     val isoDroppedJson = isolateDropped.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val isoFailedJson = isolatedFailed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val isoTotal = {
       // headline total with the contention artifact removed: flagged
       // queries contribute their isolated wall, the rest their main-pass
@@ -226,7 +232,7 @@ object Bench {
       results.map { case (k, (w, _, _, _)) => isoMap.get(k).map(_._1).getOrElse(w) }.sum
     }
     val cpuAvail = s""""cpu_available":${osBean.isDefined}"""
-    val full = s"""{"metric":"total","value":${j(total)},"unit":"sec","stat":"median_of_3","total_isolated_sec":${j(isoTotal)},"cpu_total_sec":${j(totalCpu)},$cpuAvail,"n_queries":${results.size},"n_failed":$nFailed,"failed":$failedJson,$calib,$cpuVsPrev,"n_isolated":${isolated.size},"isolated_dropped":$isoDroppedJson,"queries":$fullQs,"spread":$fullSpread,"queries_cpu":$fullCpu,"spread_cpu":$fullCpuSpread,"queries_isolated":$isoQs,"queries_isolated_cpu":$isoCpu,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${j(total)},"unit":"sec","stat":"median_of_3","total_isolated_sec":${j(isoTotal)},"cpu_total_sec":${j(totalCpu)},$cpuAvail,"n_queries":${results.size},"n_failed":$nFailed,"failed":$failedJson,$calib,$cpuVsPrev,"n_isolated":${isolated.size},"isolated_dropped":$isoDroppedJson,"isolated_failed":$isoFailedJson,"queries":$fullQs,"spread":$fullSpread,"queries_cpu":$fullCpu,"spread_cpu":$fullCpuSpread,"queries_isolated":$isoQs,"queries_isolated_cpu":$isoCpu,"sf":"$sfDir"}"""
     if (only.isEmpty) // a filtered run must not clobber the full snapshot
       try {
         val w = new java.io.PrintWriter("bench_full.json"); w.println(full); w.close()

@@ -56,15 +56,19 @@ object Cli {
     out.toMap
   }
 
-  /** First present flag among `names`, or an argparse-style usage error
-    * naming every accepted spelling — a missing required flag must read
-    * as "convert requires -i/--input", not NoSuchElementException.
+  /** First present flag among `names` IN THE GIVEN ORDER (list the long
+    * spelling first so `--input` keeps beating `-i` when both appear —
+    * the precedence ConvertCli always had), or an argparse-style usage
+    * error naming every accepted spelling short-form-first — a missing
+    * required flag must read as "convert requires -i/--input", not
+    * NoSuchElementException.
     */
-  private[api] def required(flags: Map[String, String], what: String,
-                            names: String*): String =
+  private[graft] def required(flags: Map[String, String], what: String,
+                              names: String*): String =
     names.flatMap(flags.get).headOption.getOrElse(
       throw new IllegalArgumentException(s"$what requires " +
-        names.map(n => if (n.length == 1) s"-$n" else s"--$n").mkString("/")))
+        names.sortBy(_.length)
+          .map(n => if (n.length == 1) s"-$n" else s"--$n").mkString("/")))
 
   private[api] def session(appName: String): SparkSession =
     SparkSession.builder()
@@ -222,8 +226,8 @@ object ConvertCli {
 
   def run(spark: SparkSession, args: Array[String]): Long = {
     val flags = Cli.parseArgs(args)
-    val inPath = Cli.required(flags, "convert", "i", "input")
-    val outPath = Cli.required(flags, "convert", "o", "output")
+    val inPath = Cli.required(flags, "convert", "input", "i")
+    val outPath = Cli.required(flags, "convert", "output", "o")
     val key = flags.getOrElse("key", "_id")
 
     val base = flags.get("collection").orElse(flags.get("c")) match {

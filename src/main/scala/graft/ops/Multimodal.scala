@@ -832,34 +832,52 @@ object Multimodal {
         val interCoded = (try parseMp4(payload) catch { case _: Exception => None })
           .exists(m => !MjpegCodecs(m.codec))
         if (!interCoded) Iterator.empty
-        else runDecoder(cmd, payload).iterator.flatMap(_.iterator.collect {
-          case (k, w, h, gray) if k % everyN == 0 =>
-            val px = new Array[Int](w * h)
-            var i = 0
-            while (i < px.length) {
-              val g = gray(i) & 0xff; px(i) = (g << 16) | (g << 8) | g; i += 1
-            }
-            Row(id, k, w, h, bmpFeatures(w, h, px, dim).toSeq)
-        })
+        else runDecoder(cmd, payload, _ % everyN == 0) { (k, w, h, gray) =>
+          val px = new Array[Int](w * h)
+          var i = 0
+          while (i < px.length) {
+            val g = gray(i) & 0xff; px(i) = (g << 16) | (g << 8) | g; i += 1
+          }
+          Row(id, k, w, h, bmpFeatures(w, h, px, dim).toSeq)
+        }.getOrElse(Seq.empty).iterator
       }
     }
     spark.createDataFrame(rdd, FrameFeatureSchema)
   }
 
-  /** Run one external-decoder process over one asset: payload → frames
-    * `(idx, w, h, gray)` per the [[videoFrameFeaturesExternal]] protocol.
-    * None on ANY fault — spawn failure, non-zero exit, short read,
-    * nonsense dimensions (> 64 MP), runaway frame count, timeout.
+  /** Run one external-decoder process over one asset, STREAMING each
+    * frame `(idx, w, h, gray)` of the [[videoFrameFeaturesExternal]]
+    * protocol through `fold` as it is read — only folded results (small
+    * feature rows) are retained, never the decoded frames themselves (a
+    * ten-minute clip decodes to gigabytes of grayscale; buffering it per
+    * asset would OOM the executor), and frames failing `keep` are
+    * drained without folding. None on ANY fault — spawn failure,
+    * non-zero exit, short read, nonsense dimensions (> 64 MP), a frame
+    * count past 100000 (a fault, not a truncation: a silently partial
+    * frame table breaks the all-or-nothing contract), or the 60 s
+    * deadline, which a watchdog enforces by killing the process so even
+    * a decoder wedged mid-write (blocking this reader) unblocks into
+    * the fault path.
     */
-  private[ops] def runDecoder(cmd: Seq[String], payload: Array[Byte])
-      : Option[Seq[(Int, Int, Int, Array[Byte])]] = {
+  private[ops] def runDecoder[A](cmd: Seq[String], payload: Array[Byte],
+                                 keep: Int => Boolean)
+                                (fold: (Int, Int, Int, Array[Byte]) => A)
+      : Option[Seq[A]] = {
     import scala.jdk.CollectionConverters._
     var proc: Process = null
+    val watchdog = new java.util.Timer(true)
     try {
       proc = new ProcessBuilder(cmd.asJava)
         .redirectErrorStream(false)
         .redirectError(ProcessBuilder.Redirect.DISCARD)
         .start()
+      val p = proc
+      // the deadline must cover the BLOCKING protocol reads below, not
+      // just process exit: killing the process closes its stdout, which
+      // unblocks a stuck read into the fault path
+      watchdog.schedule(new java.util.TimerTask {
+        def run(): Unit = p.destroyForcibly()
+      }, 60000L)
       // feed stdin from its own thread: a decoder that emits before
       // draining its input must not deadlock against this writer
       val writer = new Thread(() =>
@@ -869,21 +887,25 @@ object Multimodal {
       writer.start()
       val in = new java.io.DataInputStream(
         new java.io.BufferedInputStream(proc.getInputStream))
-      val out = Seq.newBuilder[(Int, Int, Int, Array[Byte])]
+      val out = Seq.newBuilder[A]
       var n = 0
       var eof = false
-      while (!eof && n < 100000) {
+      while (!eof) {
         val first = in.read()
         if (first < 0) eof = true
         else {
+          if (n >= 100000)
+            throw new java.io.IOException("runaway frame count")
           val idx = (first << 24) | (in.readUnsignedByte() << 16) |
             (in.readUnsignedByte() << 8) | in.readUnsignedByte()
           val w = in.readInt(); val h = in.readInt(); val len = in.readInt()
           if (w <= 0 || h <= 0 || len != w * h || len > (1 << 26))
             throw new java.io.IOException(s"bad frame header ${(idx, w, h, len)}")
-          val gray = new Array[Byte](len)
-          in.readFully(gray)
-          out += ((idx, w, h, gray))
+          if (keep(idx)) {
+            val gray = new Array[Byte](len)
+            in.readFully(gray)
+            out += fold(idx, w, h, gray)
+          } else in.skipNBytes(len.toLong)
           n += 1
         }
       }
@@ -893,6 +915,7 @@ object Multimodal {
     } catch {
       case _: Exception => None
     } finally {
+      watchdog.cancel()
       if (proc != null) proc.destroyForcibly()
     }
   }

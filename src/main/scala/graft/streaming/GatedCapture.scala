@@ -41,8 +41,13 @@ object GatedCapture {
 
   /** The reference's start predicate, `scenario.py:109`:
     * `str(goal_msg.message).lower() in ["true", "t", "start"]`.
+    * NULL-safe by construction: the reference stringifies the payload
+    * (`str(None).lower() == "none"` ∉ the start set), so a NULL message
+    * is a STOP — never a three-valued NULL that a filter or a primitive
+    * Boolean encoder would mishandle.
     */
-  def isStart(msg: Column): Column = lower(msg).isin("true", "t", "start")
+  def isStart(msg: Column): Column =
+    coalesce(lower(msg).isin("true", "t", "start"), lit(false))
 
   /** Fold a control table (gate key, event-time micros, start flag) into
     * gate-open intervals `(gate, start_us, end_us)` — `end_us` NULL for
@@ -141,9 +146,31 @@ object GatedCapture {
     out.result().iterator
   }
 
+  /** Canonical control+data union feeding [[gatedStream]] — the SAME
+    * start predicate (NULL message = stop) and tie-kind convention as
+    * the batch twin, so a streaming caller cannot diverge on the NULL
+    * rule: `GEvent.on` is a primitive Boolean and a hand-rolled
+    * conversion of a NULL payload would either crash the encoder or
+    * invent its own semantics, breaking the row-for-row batch/stream
+    * agreement this object promises.
+    */
+  def gatedEvents(control: DataFrame, data: DataFrame, gateCol: Column,
+                  tsUsCol: Column, msgCol: Column, idCol: Column)
+                 (implicit spark: SparkSession): Dataset[GEvent] = {
+    import spark.implicits._
+    control.select(gateCol.cast("long").as("gate"),
+        tsUsCol.cast("long").as("ts_us"), lit(0).as("kind"),
+        isStart(msgCol).as("on"), lit(-1L).as("event_id"))
+      .unionByName(data.select(gateCol.cast("long").as("gate"),
+        tsUsCol.cast("long").as("ts_us"), lit(1).as("kind"),
+        lit(false).as("on"), idCol.cast("long").as("event_id")))
+      .as[GEvent]
+  }
+
   /** Wire the gate machine over unioned control+data rows (possibly
     * streaming). Input columns: gate, ts_us, kind (0 control / 1 data),
-    * on (control only), event_id (data only).
+    * on (control only), event_id (data only) — build them with
+    * [[gatedEvents]] to inherit the batch twin's NULL rule.
     */
   def gatedStream(rows: Dataset[GEvent])
                  (implicit spark: SparkSession): Dataset[GOut] = {

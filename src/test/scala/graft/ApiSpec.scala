@@ -367,5 +367,11 @@ class ApiSpec extends AnyFunSuite {
     val eSc = intercept[IllegalArgumentException](
       graft.api.RunMonitoring.run(spark, Array.empty))
     assert(eSc.getMessage.contains("--scenario_file"))
+    // and when BOTH spellings are passed, the long one wins — the
+    // precedence ConvertCli always had (a scripted wrapper appending
+    // --input as an override must beat the baked-in -i)
+    val both = graft.api.Cli.parseArgs(
+      Array("-i", "/old", "--input", "/new"))
+    assert(graft.api.Cli.required(both, "convert", "input", "i") === "/new")
   }
 }

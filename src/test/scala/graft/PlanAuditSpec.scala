@@ -117,43 +117,58 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  /** The NAME-TRUSTED aggregates a bounded window input's proof rests
-    * on: the bounded-key aggregates [[boundedBelow]]'s walk stops at
-    * (not descending below them — anything deeper is allowed to be
-    * corpus-sized, the aggregate is the bound). Empty for a window
-    * bounded structurally (LIMIT / local table / global aggregate):
-    * those proofs cannot be laundered through a key rename and need no
-    * runtime check.
+  /** The PROVEN row bound of a bounded window input, and whether that
+    * proof rests anywhere on the NAME-TRUSTED key whitelist (which a
+    * corpus-sized aggregate could launder through a rename — those
+    * windows get a runtime cardinality check). None = not provably
+    * bounded (the static walk already failed it). Structural bounds
+    * (LIMIT values, local-table sizes, global aggregates) carry their
+    * own cardinality so a join of a LIMIT side with a bounded-key
+    * aggregate gets the honest product allowance, not just the
+    * aggregate's share.
     */
-  private def trustFrontier(p: org.apache.spark.sql.execution.SparkPlan): Seq[Seq[String]] = {
+  private def trustBound(p: org.apache.spark.sql.execution.SparkPlan)
+      : Option[(Long, Boolean)] = {
     import org.apache.spark.sql.execution._
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.exchange.{ShuffleExchangeExec, ReusedExchangeExec}
     import org.apache.spark.sql.execution.window.WindowExec
+    val cap = 1L << 40
+    def mul(a: Long, b: Long): Long = math.min(cap, math.max(1L, a) * math.max(1L, b))
     def agg(keys: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
-            child: SparkPlan): Seq[Seq[String]] =
-      if (keys.nonEmpty && keys.forall(k => boundedKeys(k.name))) Seq(keys.map(_.name))
-      else trustFrontier(child)
+            child: SparkPlan): Option[(Long, Boolean)] =
+      if (keys.isEmpty) Some((1L, false)) // global aggregate: exactly one row
+      else if (keys.forall(k => boundedKeys(k.name)))
+        Some((keys.map(k => boundedKeyCard(k.name)).foldLeft(1L)(mul), true))
+      else trustBound(child)
     p match {
-      case _: LocalLimitExec | _: GlobalLimitExec | _: TakeOrderedAndProjectExec |
-           _: LocalTableScanExec => Seq.empty
+      case l: GlobalLimitExec => Some((l.limit.toLong, false))
+      case l: TakeOrderedAndProjectExec => Some((l.limit.toLong, false))
+      // a bare LocalLimit bounds each PARTITION; global rows ≤ limit ×
+      // partitions — bound with a generous partition allowance
+      case l: LocalLimitExec => Some((mul(l.limit.toLong, 4096L), false))
+      case t: LocalTableScanExec => Some((t.rows.size.toLong, false))
       case a: HashAggregateExec => agg(a.groupingExpressions, a.child)
       case a: ObjectHashAggregateExec => agg(a.groupingExpressions, a.child)
       case a: SortAggregateExec => agg(a.groupingExpressions, a.child)
-      case t: InMemoryTableScanExec => trustFrontier(t.relation.cachedPlan)
-      case a: AdaptiveSparkPlanExec => trustFrontier(a.executedPlan)
-      case s: adaptive.QueryStageExec => trustFrontier(s.plan)
-      case r: adaptive.AQEShuffleReadExec => trustFrontier(r.child)
-      case r: ReusedExchangeExec => trustFrontier(r.child)
-      case e: ShuffleExchangeExec => trustFrontier(e.child)
-      case e: exchange.BroadcastExchangeExec => trustFrontier(e.child)
-      case j: joins.BaseJoinExec => j.children.flatMap(trustFrontier)
+      case t: InMemoryTableScanExec => trustBound(t.relation.cachedPlan)
+      case a: AdaptiveSparkPlanExec => trustBound(a.executedPlan)
+      case s: adaptive.QueryStageExec => trustBound(s.plan)
+      case r: adaptive.AQEShuffleReadExec => trustBound(r.child)
+      case r: ReusedExchangeExec => trustBound(r.child)
+      case e: ShuffleExchangeExec => trustBound(e.child)
+      case e: exchange.BroadcastExchangeExec => trustBound(e.child)
+      case j: joins.BaseJoinExec =>
+        val sides = j.children.map(trustBound)
+        if (sides.exists(_.isEmpty)) None
+        else Some((sides.flatten.map(_._1).foldLeft(1L)(mul),
+          sides.flatten.exists(_._2)))
       case _: ProjectExec | _: FilterExec | _: SortExec | _: CoalesceExec |
            _: WindowExec | _: WholeStageCodegenExec | _: InputAdapter =>
-        trustFrontier(p.children.head)
-      case _ => Seq.empty
+        trustBound(p.children.head)
+      case _ => None
     }
   }
 
@@ -225,23 +240,21 @@ class PlanAuditSpec extends AnyFunSuite {
       // numOutputRows metric — a window preserves cardinality) fit the
       // product of its proof aggregates' claimed domain cardinalities.
       val trusted = df.queryExecution.sparkPlan.collect {
-        case w: WindowExec if w.partitionSpec.isEmpty => trustFrontier(w.child)
-      }.exists(_.nonEmpty)
+        case w: WindowExec if w.partitionSpec.isEmpty => trustBound(w.child)
+      }.exists(_.exists(_._2))
       if (trusted) {
         val ran = q(spark, sf)
         ran.collect() // AQE finalizes + metrics populate only on execution
         val checked = allNodes(ran.queryExecution.executedPlan).collect {
-          case w: WindowExec if w.partitionSpec.isEmpty && trustFrontier(w.child).nonEmpty =>
-            val frontier = trustFrontier(w.child)
-            val allowance = frontier
-              .map(_.map(boundedKeyCard).foldLeft(1L)((a, b) => math.min(a * b, 1L << 40)))
-              .foldLeft(1L)((a, b) => math.min(a * b, 1L << 40))
+          case w: WindowExec if w.partitionSpec.isEmpty &&
+              trustBound(w.child).exists(_._2) =>
+            val allowance = trustBound(w.child).get._1
             val metric = inputRows(w.child)
             assert(metric.isDefined,
               s"window in $name carries no numOutputRows metric — cardinality unverifiable:\n$w")
             assert(metric.get <= allowance,
               s"global window in $name measured ${metric.get} input rows, over its " +
-                s"claimed domain bound $allowance (proof keys: ${frontier.map(_.mkString("×")).mkString(", ")}) " +
+                s"claimed domain bound $allowance " +
                 "— a corpus-sized aggregate is hiding behind a whitelisted key name")
             1
         }.sum

@@ -1910,6 +1910,37 @@ class StreamingSpec extends AnyFunSuite {
         col("g"), col("ts_us"), col("msg"))
       .select("event_id").collect().map(_.getLong(0)).toSet
     assert(got === Set(10L, 12L))
+    // the STREAMING twin inherits the same NULL rule through the
+    // canonical gatedEvents builder (GEvent.on is a primitive Boolean —
+    // a hand-rolled conversion of a NULL payload would crash the
+    // encoder or invent different semantics): replaying the unioned
+    // rows through the state machine captures the same set
+    implicit val s = spark
+    val evs = GatedCapture.gatedEvents(control, data,
+      col("g"), col("ts_us"), col("msg"), col("event_id")).collect()
+    assert(evs.filter(_.kind == 0).map(e => e.ts_us -> e.on).toMap ===
+      Map(100L -> true, 200L -> false, 300L -> true, 400L -> false),
+      "NULL control must fold to on=false in the event union")
+    val store = new java.util.concurrent.atomic.AtomicReference[GatedCapture.GState](null)
+    val st = new org.apache.spark.sql.streaming.GroupState[GatedCapture.GState] {
+      override def exists: Boolean = store.get != null
+      override def get: GatedCapture.GState = store.get
+      override def getOption: Option[GatedCapture.GState] = Option(store.get)
+      override def update(x: GatedCapture.GState): Unit = store.set(x)
+      override def remove(): Unit = store.set(null)
+      override def hasTimedOut: Boolean = false
+      override def setTimeoutDuration(d: Long): Unit = ()
+      override def setTimeoutDuration(d: String): Unit = ()
+      override def setTimeoutTimestamp(t: Long): Unit = ()
+      override def setTimeoutTimestamp(t: Long, add: String): Unit = ()
+      override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+      override def setTimeoutTimestamp(t: java.sql.Date, add: String): Unit = ()
+      override def getCurrentWatermarkMs(): Long = 0L
+      override def getCurrentProcessingTimeMs(): Long = 0L
+    }
+    val streamed = GatedCapture.updateGate(1L, evs.iterator, st)
+      .map(_.event_id).toSet
+    assert(streamed === got, "stream twin must capture the same rows past a NULL control")
   }
 
   test("streaming holt equals the batch fold minus the open bucket") {
