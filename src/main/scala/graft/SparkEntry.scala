@@ -987,6 +987,11 @@ object SparkEntry {
     // shape the streaming twin (Monitor.gapFillStream) replays live
     "ts_gap_fill_mean" -> ((s, dir) => Analytics.eventGapFill(s, dir)),
 
+    // LINEAR interpolation resample (28aj''; LOCF/mean's third sibling) —
+    // straight line between bracketing anchors in exact integer micros,
+    // backfilled head, LOCF tail
+    "ts_gap_fill_linear" -> ((s, dir) => Analytics.gapFillLinear(s, dir)),
+
     // lag 1..6 autocorrelation per series over observed hourly buckets —
     // integer centered deviations, micro-rounded fixed-tree products
     "ts_acf" -> ((s, dir) => Analytics.eventAcf(s, dir)),
@@ -2740,6 +2745,40 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_micro,
         |  obs_micro IS NOT NULL AS observed
         |FROM j ORDER BY series, h""".stripMargin,
+
+    // linear fill replays with the same forward/backward IGNORE NULLS
+    // anchor windows; the lerp is pure BIGINT and // matches Spark's div
+    // (both truncate toward zero, re-verified on negatives)
+    "ts_gap_fill_linear" ->
+      """WITH e AS MATERIALIZED (SELECT event_type AS series, event_id,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm,
+        |    epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) // 3600000000 AS bucket FROM events),
+        |r AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY series, bucket
+        |       ORDER BY ts_us DESC, event_id DESC) AS rn FROM e),
+        |obs AS MATERIALIZED (SELECT series, bucket, count(*) AS n FROM e GROUP BY 1, 2),
+        |anch AS MATERIALIZED (SELECT series, bucket, vm AS anchor FROM r WHERE rn = 1),
+        |span AS (SELECT series, min(bucket) AS lo, max(bucket) AS hi FROM e GROUP BY 1),
+        |grid AS (SELECT series, unnest(generate_series(lo, hi)) AS bucket FROM span),
+        |j AS MATERIALIZED (SELECT g.series, g.bucket, coalesce(obs.n, 0) AS n, anch.anchor
+        |      FROM grid g LEFT JOIN obs USING (series, bucket)
+        |                  LEFT JOIN anch USING (series, bucket)),
+        |f AS MATERIALIZED (SELECT *,
+        |    last_value(anchor IGNORE NULLS) OVER wf AS pv,
+        |    last_value(CASE WHEN anchor IS NOT NULL THEN bucket END IGNORE NULLS) OVER wf AS pb,
+        |    first_value(anchor IGNORE NULLS) OVER wb AS nv,
+        |    first_value(CASE WHEN anchor IS NOT NULL THEN bucket END IGNORE NULLS) OVER wb AS nb
+        |  FROM j WINDOW
+        |    wf AS (PARTITION BY series ORDER BY bucket
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wb AS (PARTITION BY series ORDER BY bucket
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT series, bucket, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN anchor IS NOT NULL THEN anchor
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |         THEN pv + (nv - pv) * (bucket - pb) // (nb - pb)
+        |       ELSE coalesce(pv, nv) END AS value_micro
+        |FROM f ORDER BY series, bucket""".stripMargin,
 
     // the sweep replays as the same strict-preceding running-max window;
     // all arithmetic is BIGINT seconds

@@ -893,6 +893,62 @@ object Analytics {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** [[gapFillResample]]'s LINEAR sibling — the third standard resample
+    * fill (LOCF there, bucket-mean+LOCF in [[gapFill]], straight-line
+    * here): an empty bucket takes the line between its bracketing
+    * observed anchors, `v = v_prev + (v_next − v_prev)·(b − b_prev) div
+    * (b_next − b_prev)`, all in exact integer micro-units (`div` and
+    * DuckDB `//` both truncate toward zero — verified on negatives — so
+    * the oracle replays bit-for-bit; a float lerp would drift by ulps
+    * between engines). Head buckets before the first observation
+    * backfill from it and an unclosed tail carries the last anchor —
+    * the pandas `interpolate(limit_direction="both")` convention. The
+    * anchor of an observed bucket is the deterministic OHLC close
+    * (max struct by (ts, id)).
+    *
+    * Scale shape: identical to [[gapFillResample]] — spine rows are
+    * span/bucket per series from a map-side `sequence()` explode, and
+    * ONE exchange on the series key serves the bucket aggregate plus
+    * BOTH fill windows (the forward and backward frames share the same
+    * partitioning and sort, so Catalyst plans them over one shuffle).
+    */
+  def gapFillLinear(spark: SparkSession, dir: String,
+                    bucketSec: Long = 3600L): DataFrame = {
+    val us = bucketSec * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type").as("series"), col("event_id"),
+        expr("cast(round(value * 1000000.0D) as bigint)").as("vm"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("bucket", expr(s"ts_us div ${us}L"))
+    val observed = ev.groupBy(col("series"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        max(struct(col("ts_us"), col("event_id"), col("vm")))
+          .getField("vm").as("anchor"))
+    val grid = observed.groupBy(col("series"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("series"), explode(expr("sequence(lo, hi)")).as("bucket"))
+    val wf = Window.partitionBy(col("series")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wb = Window.partitionBy(col("series")).orderBy(col("bucket"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(observed, Seq("series", "bucket"), "left")
+      .select(col("series"), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"), col("anchor"),
+        last(col("anchor"), ignoreNulls = true).over(wf).as("pv"),
+        last(when(col("anchor").isNotNull, col("bucket")), ignoreNulls = true)
+          .over(wf).as("pb"),
+        first(col("anchor"), ignoreNulls = true).over(wb).as("nv"),
+        first(when(col("anchor").isNotNull, col("bucket")), ignoreNulls = true)
+          .over(wb).as("nb"))
+      .withColumn("value_micro",
+        when(col("anchor").isNotNull, col("anchor"))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            col("pv") + expr("(nv - pv) * (bucket - pb) div (nb - pb)"))
+          .otherwise(coalesce(col("pv"), col("nv"))))
+      .select(col("series"), col("bucket"), col("n"), col("value_micro"))
+      .orderBy(col("series"), col("bucket"))
+  }
+
   /** Partial (mergeable) per-group event stats in exact integer
     * micro-units: the persisted form of an incrementally-maintained
     * aggregate table. count/sum/min/max are ALGEBRAIC — a partial row
