@@ -1251,6 +1251,68 @@ object Monitor {
     out.result().iterator
   }
 
+  /** Previous closed anchor (prevH/prevV; prevH = Long.MinValue before
+    * the first close) + the open bucket's running mean fold.
+    */
+  case class LinGapState(prevH: Long, prevV: Long, h: Long, sv: Long, cnt: Long)
+
+  /** Streaming LINEAR-interpolation resample — the linear sibling of
+    * [[gapFillUpdate]] (mean+LOCF) and the live counterpart of
+    * `Analytics.gapFillLinear` (§2b 28aj''). A gap bucket's value needs
+    * the NEXT anchor, so emission is one anchor behind: when an arrival
+    * closes the open bucket (exact integer mean — the associative fold
+    * a live stream can maintain; the batch op's OHLC-close anchor would
+    * need an id tie-break the wire format doesn't carry), every bucket
+    * between the PREVIOUS anchor and the closed one emits the straight
+    * line `pv + (v−pv)·(g−ph) / (h−ph)` (Long division truncates toward
+    * zero like SQL `div`), then the closed bucket emits observed. Rows
+    * are final on emission — no revisions — and state is five longs per
+    * series. After a time-ordered replay the emitted rows are exactly
+    * the mean-anchored linear fill over every bucket up to the LAST
+    * CLOSED anchor (the open bucket and the gaps awaiting their closing
+    * anchor are pending by construction) — spec-asserted against an
+    * inline batch recompute.
+    */
+  def gapFillLinearUpdate(bucketSec: Long)(key: String, events: Iterator[GapEvent],
+      state: org.apache.spark.sql.streaming.GroupState[LinGapState]): Iterator[GapOut] = {
+    var st = state.getOption.orNull
+    val out = Vector.newBuilder[GapOut]
+    events.toSeq.sortBy(_.t).foreach { e =>
+      val hb = e.t / bucketSec
+      if (st == null) st = LinGapState(Long.MinValue, 0L, hb, e.vm, 1L)
+      else if (hb > st.h) {
+        val v = st.sv / st.cnt // same truncation as batch `sv div cnt`
+        if (st.prevH != Long.MinValue) {
+          var g = st.prevH + 1
+          while (g < st.h) {
+            out += GapOut(key, g,
+              st.prevV + (v - st.prevV) * (g - st.prevH) / (st.h - st.prevH),
+              observed = false)
+            g += 1
+          }
+        }
+        out += GapOut(key, st.h, v, observed = true)
+        st = LinGapState(st.h, v, hb, e.vm, 1L)
+      } else st = st.copy(sv = st.sv + e.vm, cnt = st.cnt + 1L)
+    }
+    if (st != null) state.update(st)
+    out.result().iterator
+  }
+
+  /** Wire [[gapFillLinearUpdate]] over a (possibly streaming) event set. */
+  def gapFillLinearStream(events: org.apache.spark.sql.Dataset[GapEvent],
+                          bucketSec: Long = 3600L)
+                         (implicit spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.Dataset[GapOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (k: String, it: Iterator[GapEvent],
+         st: org.apache.spark.sql.streaming.GroupState[LinGapState]) =>
+          gapFillLinearUpdate(bucketSec)(k, it, st))
+  }
+
   /** Wire [[gapFillUpdate]] over a (possibly streaming) event set. */
   def gapFillStream(events: org.apache.spark.sql.Dataset[GapEvent],
                     bucketSec: Long = 3600L)

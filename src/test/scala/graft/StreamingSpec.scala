@@ -2062,4 +2062,69 @@ class StreamingSpec extends AnyFunSuite {
       .count().filter(col("count") > 1).count()
     assert(emitted === 0L)
   }
+
+  test("streaming linear gap fill equals the mean-anchored batch lerp up to the last closed anchor") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ss = spark
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val all = Tables.events(spark, sf)
+      .select(col("event_type").as("series"), col("ts").cast("long").as("t"),
+        expr("cast(round(value * 1000000.0D) as bigint)").as("vm"))
+      .as[Monitor.GapEvent].collect().sortBy(_.t)
+    val input = MemoryStream[Monitor.GapEvent]
+    val q = Monitor.gapFillLinearStream(input.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("lin_stream").start()
+    try {
+      all.grouped((all.length + 2) / 3).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("lin_stream")
+      .select("series", "h", "value_micro", "observed").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    // batch recompute with the stream's anchor convention (bucket MEAN —
+    // the associative fold; the registered ts_gap_fill_linear op anchors
+    // on the OHLC close, which needs the id tie-break this wire format
+    // doesn't carry): lerp between bracketing mean anchors
+    val ev = Tables.events(spark, sf).select(col("event_type").as("series"),
+      expr("cast(ts as long) div 3600").as("h"),
+      expr("cast(round(value * 1000000.0D) as bigint)").as("vm"))
+    val anch = ev.groupBy("series", "h")
+      .agg(expr("sum(vm) div count(*)").as("anchor"))
+    val grid = anch.groupBy("series").agg(min("h").as("lo"), max("h").as("hi"))
+      .select(col("series"), explode(expr("sequence(lo, hi)")).as("h"))
+    val wf = Window.partitionBy("series").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wb = Window.partitionBy("series").orderBy("h")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val batch = grid.join(anch, Seq("series", "h"), "left")
+      .select(col("series"), col("h"), col("anchor"),
+        last(col("anchor"), ignoreNulls = true).over(wf).as("pv"),
+        last(when(col("anchor").isNotNull, col("h")), ignoreNulls = true)
+          .over(wf).as("pb"),
+        first(col("anchor"), ignoreNulls = true).over(wb).as("nv"),
+        first(when(col("anchor").isNotNull, col("h")), ignoreNulls = true)
+          .over(wb).as("nb"))
+      .withColumn("value_micro",
+        when(col("anchor").isNotNull, col("anchor"))
+          .otherwise(expr("pv + (nv - pv) * (h - pb) div (nb - pb)")))
+      .select(col("series"), col("h"), col("value_micro"),
+        col("anchor").isNotNull.as("observed"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // emission runs one anchor behind: everything up to each series'
+    // LAST CLOSED anchor (the streamed max bucket) is final and emitted;
+    // the open bucket and the gaps awaiting their closing anchor pend
+    val lastClosed = streamed.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2).max }
+    val expected = batch.filter(r => lastClosed.get(r._1).exists(r._2 <= _)).toSet
+    assert(streamed === expected)
+    assert(streamed.nonEmpty && streamed.exists(!_._4),
+      "fixture must exercise interpolated (unobserved) rows")
+    // every emitted row is final (no revisions in the update log)
+    val dup = spark.table("lin_stream").groupBy("series", "h")
+      .count().filter(col("count") > 1).count()
+    assert(dup === 0L)
+  }
 }
