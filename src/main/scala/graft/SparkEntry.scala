@@ -670,6 +670,9 @@ object SparkEntry {
     "window_rolling_stats" -> ((s, dir) => Analytics.rollingUserStats(s, dir)),
     "agg_cube" -> ((s, dir) => Analytics.eventCube(s, dir)),
     "events_funnel" -> ((s, dir) => Analytics.funnelStages(s, dir)),
+    // conversion-window funnel (28ac'': stage within 24h of the latest
+    // previous-stage completion, anchor re-arms on every completion)
+    "events_funnel_windowed" -> ((s, dir) => Analytics.eventFunnelWindowed(s, dir)),
     // per-stage conversion permille + nearest-rank median time-to-convert
     "events_funnel_rates" -> ((s, dir) => Analytics.eventFunnelRates(s, dir)),
     // start/stop-gated capture (reference scenario.py:101-137): signup
@@ -1963,6 +1966,26 @@ object SparkEntry {
         |         OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s3 FROM s2),
         |u AS MATERIALIZED (SELECT user_id, min(s1) AS u1, min(s2) AS u2, min(s3) AS u3 FROM s3 GROUP BY 1)
+        |SELECT count(*) AS users_total, count(u1) AS reached_stage1,
+        |  count(u2) AS reached_stage2, count(u3) AS reached_stage3 FROM u""".stripMargin,
+
+    // re-arming conversion-window semantics: chained running MAXIMA of
+    // previous-stage conversion times gate each stage's 24h window
+    "events_funnel_windowed" ->
+      """WITH e AS MATERIALIZED (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |a AS MATERIALIZED (SELECT *, max(CASE WHEN event_type = 'view' THEN ts_us END)
+        |         OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l1 FROM e),
+        |b AS MATERIALIZED (SELECT *, CASE WHEN event_type = 'click' AND l1 IS NOT NULL
+        |         AND ts_us > l1 AND ts_us - l1 <= 86400000000 THEN ts_us END AS c2 FROM a),
+        |c AS MATERIALIZED (SELECT *, max(c2)
+        |         OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l2 FROM b),
+        |d AS MATERIALIZED (SELECT *, CASE WHEN event_type = 'purchase' AND l2 IS NOT NULL
+        |         AND ts_us > l2 AND ts_us - l2 <= 86400000000 THEN ts_us END AS c3 FROM c),
+        |u AS MATERIALIZED (SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN ts_us END) AS u1,
+        |         min(c2) AS u2, min(c3) AS u3 FROM d GROUP BY 1)
         |SELECT count(*) AS users_total, count(u1) AS reached_stage1,
         |  count(u2) AS reached_stage2, count(u3) AS reached_stage3 FROM u""".stripMargin,
 
