@@ -1251,6 +1251,52 @@ object Monitor {
     out.result().iterator
   }
 
+  case class IvEvent(key: Long, start_sec: Long, end_sec: Long)
+  /** Sweep frontier: max end seen, covered total, interval count. */
+  case class IvState(maxEnd: Long, covered: Long, n: Long)
+  case class IvOut(key: Long, n_intervals: Long, covered_sec: Long)
+
+  /** Streaming interval-union length — the live twin of
+    * `Analytics.intervalUnionLength` (§2b 28bf): billable device uptime
+    * / concurrent-capture coverage maintained at the ingest door. State
+    * is three longs per key (the batch sweep's running max end + the
+    * running totals); each arrival contributes
+    * `max(0, end − max(start, prev_max_end))` exactly like the batch
+    * window pass, with the first interval coalescing the absent
+    * frontier to its own start. Arrival-order contract: per key,
+    * ordered by interval START (the sweep's sort key) — same per-key
+    * event-time discipline as every machine here; within a batch rows
+    * sort locally. Emits each touched key's RUNNING (n_intervals,
+    * covered_sec) per batch — Update semantics, later batches revise
+    * monotonically upward — and after a full in-order replay the last
+    * emission per key equals the batch operator row-for-row
+    * (spec-asserted).
+    */
+  def intervalUnionUpdate(key: Long, events: Iterator[IvEvent],
+      state: org.apache.spark.sql.streaming.GroupState[IvState]): Iterator[IvOut] = {
+    var st = state.getOption.getOrElse(IvState(Long.MinValue, 0L, 0L))
+    events.toSeq.sortBy(e => (e.start_sec, e.end_sec)).foreach { e =>
+      val frontier = if (st.n == 0L) e.start_sec else st.maxEnd
+      val contrib = math.max(0L, e.end_sec - math.max(e.start_sec, frontier))
+      st = IvState(math.max(st.maxEnd, e.end_sec), st.covered + contrib, st.n + 1L)
+    }
+    state.update(st)
+    Iterator.single(IvOut(key, st.n, st.covered))
+  }
+
+  /** Wire [[intervalUnionUpdate]] over a (possibly streaming) interval set. */
+  def intervalUnionStream(intervals: org.apache.spark.sql.Dataset[IvEvent])
+                         (implicit spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.Dataset[IvOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    intervals.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (k: Long, it: Iterator[IvEvent],
+         st: org.apache.spark.sql.streaming.GroupState[IvState]) =>
+          intervalUnionUpdate(k, it, st))
+  }
+
   /** Previous closed anchor (prevH/prevV; prevH = Long.MinValue before
     * the first close) + the open bucket's running mean fold.
     */

@@ -2063,6 +2063,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted === 0L)
   }
 
+  test("streaming interval union equals the batch sweep after in-order replay") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ss = spark
+    import spark.implicits._
+    // the batch op's exact input: per-event activity windows of `value`
+    // minutes, replayed per the arrival contract (ordered by start)
+    val iv = Tables.events(spark, sf).select(
+        col("user_id").as("key"),
+        graft.model.Documents.tsSec(col("ts")).as("start_sec"),
+        (graft.model.Documents.tsSec(col("ts")) +
+          expr("cast(round(value * 60.0D) as bigint)")).as("end_sec"))
+      .as[Monitor.IvEvent].collect().sortBy(e => (e.start_sec, e.end_sec))
+    val input = MemoryStream[Monitor.IvEvent]
+    val q = Monitor.intervalUnionStream(input.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("iv_stream").start()
+    try {
+      iv.grouped((iv.length + 2) / 3).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // running totals are monotone: the final state per key is the max
+    val streamed = spark.table("iv_stream").groupBy("key")
+      .agg(max("n_intervals").as("n"), max("covered_sec").as("c")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = graft.ops.Analytics.eventBusyTime(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed === batch,
+      "stream sweep must equal the batch window sweep after full replay")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming linear gap fill equals the mean-anchored batch lerp up to the last closed anchor") {
     implicit val sqlCtx = spark.sqlContext
     implicit val ss = spark
