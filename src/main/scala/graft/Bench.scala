@@ -23,12 +23,22 @@ object Bench {
   private def cpuNs(): Long =
     osBean.map(_.getProcessCpuTime).filter(_ >= 0).getOrElse(0L)
 
+  /** Pure isolation-flagging rule (unit-tested in BenchSpec): a query
+    * re-measures in a fresh session when its wall spread exceeds its
+    * median (above a 1 s floor), its CPU spread exceeds its CPU median
+    * (above a 5 s floor — 32-thread GC makes small-query CPU spreads
+    * pure jitter), or its median is >3× the round's per-query P90.
+    */
+  private[graft] def unstable(w: Double, ws: Double, c: Double, cs: Double,
+                              p90: Double): Boolean =
+    (w >= 1.0 && ws > w) || (c >= 5.0 && cs > c) || w > 3 * p90
+
   /** Per-query CPU medians from the PREVIOUS committed snapshot, read
     * before this run overwrites it — feeds the cpu_vs_prev summary so a
     * round-over-round comparison is one field in the new snapshot
     * instead of a judge-side join of two files.
     */
-  private def prevCpuMedians(path: String): Map[String, Double] =
+  private[graft] def prevCpuMedians(path: String): Map[String, Double] =
     try {
       val txt = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
@@ -153,10 +163,7 @@ object Bench {
       if (wallMedians.isEmpty) 0.0
       else wallMedians(math.min((wallMedians.size * 9) / 10, wallMedians.size - 1))
     val flagged = results.toSeq
-      .filter { case (_, (w, ws, c, cs)) =>
-        val unstable = (w >= 1.0 && ws > w) || (c >= 5.0 && cs > c)
-        unstable || w > 3 * p90
-      }
+      .filter { case (_, (w, ws, c, cs)) => unstable(w, ws, c, cs, p90) }
       .sortBy(-_._2._1).map(_._1)
     // Bounded re-run budget; anything dropped is named in the snapshot —
     // a silent cap would read as "everything re-measured" when it wasn't.

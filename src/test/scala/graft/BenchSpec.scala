@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the bench harness's pure logic — the committed
+  * snapshot is the round's only performance evidence, so the rules that
+  * decide what gets re-measured (and what the round-over-round field
+  * compares) are pinned here rather than trusted to the 25-minute run.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  test("isolation flagging: spread-over-median above floors, or a P90 outlier") {
+    val p90 = 1.2
+    // stable fast query: never flagged
+    assert(!Bench.unstable(w = 0.4, ws = 0.39, c = 2.0, cs = 1.0, p90))
+    // wall spread > median but UNDER the 1s floor: jitter, not flagged
+    assert(!Bench.unstable(w = 0.8, ws = 0.9, c = 2.0, cs = 1.0, p90))
+    // wall spread > median at the floor: flagged
+    assert(Bench.unstable(w = 1.0, ws = 1.1, c = 0.0, cs = 0.0, p90))
+    // wall spread exactly equal to median: NOT flagged (strict >)
+    assert(!Bench.unstable(w = 1.5, ws = 1.5, c = 0.0, cs = 0.0, p90))
+    // CPU spread > CPU median under the 5s CPU floor: not flagged
+    assert(!Bench.unstable(w = 0.5, ws = 0.1, c = 4.0, cs = 4.5, p90))
+    // CPU spread > CPU median at the floor: flagged
+    assert(Bench.unstable(w = 0.5, ws = 0.1, c = 5.0, cs = 5.5, p90))
+    // slow-but-stable outlier past 3x P90: flagged by the outlier clause
+    assert(Bench.unstable(w = 3 * p90 + 0.01, ws = 0.0, c = 0.0, cs = 0.0, p90))
+    assert(!Bench.unstable(w = 3 * p90, ws = 0.0, c = 0.0, cs = 0.0, p90))
+  }
+
+  test("prev-snapshot CPU medians parse from the committed JSON shape") {
+    val dir = Files.createTempDirectory("graft_bench_prev")
+    val f = dir.resolve("bench_full.json")
+    Files.write(f,
+      ("""{"metric":"total","value":1.0,"queries":{"a":9.9},""" +
+        """"queries_cpu":{"q1_pricing_summary":1.234,"graph_bfs":32.090,"neg":-1.0},""" +
+        """"spread_cpu":{"q1_pricing_summary":0.1}}""").getBytes("UTF-8"))
+    val m = Bench.prevCpuMedians(f.toString)
+    assert(m === Map("q1_pricing_summary" -> 1.234, "graph_bfs" -> 32.09,
+      "neg" -> -1.0))
+    // the cpu_vs_prev consumer drops non-positive priors; the parser
+    // itself must not silently drop keys
+    assert(m.values.exists(_ < 0))
+    // a missing or malformed file reads as empty, never throws
+    assert(Bench.prevCpuMedians(dir.resolve("absent.json").toString) === Map.empty)
+    val junk = dir.resolve("junk.json")
+    Files.write(junk, "not json at all".getBytes("UTF-8"))
+    assert(Bench.prevCpuMedians(junk.toString) === Map.empty)
+  }
+}
