@@ -2798,9 +2798,7 @@ object SparkEntry {
         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         |SELECT series, bucket, CAST(n AS BIGINT) AS n,
         |  CASE WHEN anchor IS NOT NULL THEN anchor
-        |       WHEN pv IS NOT NULL AND nv IS NOT NULL
-        |         THEN pv + (nv - pv) * (bucket - pb) // (nb - pb)
-        |       ELSE coalesce(pv, nv) END AS value_micro
+        |       ELSE pv + (nv - pv) * (bucket - pb) // (nb - pb) END AS value_micro
         |FROM f ORDER BY series, bucket""".stripMargin,
 
     // the sweep replays as the same strict-preceding running-max window;

@@ -953,13 +953,14 @@ object Analytics {
     * here): an empty bucket takes the line between its bracketing
     * observed anchors, `v = v_prev + (v_next − v_prev)·(b − b_prev) div
     * (b_next − b_prev)`, all in exact integer micro-units (`div` and
-    * DuckDB `//` both truncate toward zero — verified on negatives — so
-    * the oracle replays bit-for-bit; a float lerp would drift by ulps
-    * between engines). Head buckets before the first observation
-    * backfill from it and an unclosed tail carries the last anchor —
-    * the pandas `interpolate(limit_direction="both")` convention. The
-    * anchor of an observed bucket is the deterministic OHLC close
-    * (max struct by (ts, id)).
+    * DuckDB `//` both truncate toward zero — verified on negatives, and
+    * the negative-slope truncation is spec-pinned by hand — so the
+    * oracle replays bit-for-bit; a float lerp would drift by ulps
+    * between engines). Every spine bucket is BRACKETED by construction:
+    * the grid spans each series' [min, max] OBSERVED bucket and both
+    * endpoints are anchors, so there are no head/tail buckets to
+    * backfill and the lerp is total. The anchor of an observed bucket
+    * is the deterministic OHLC close (max struct by (ts, id)).
     *
     * Scale shape: identical to [[gapFillResample]] — spine rows are
     * span/bucket per series from a map-side `sequence()` explode, and
@@ -968,13 +969,19 @@ object Analytics {
     * partitioning and sort, so Catalyst plans them over one shuffle).
     */
   def gapFillLinear(spark: SparkSession, dir: String,
-                    bucketSec: Long = 3600L): DataFrame = {
-    val us = bucketSec * 1000000L
-    val ev = Tables.events(spark, dir)
-      .select(col("event_type").as("series"), col("event_id"),
-        expr("cast(round(value * 1000000.0D) as bigint)").as("vm"),
-        unix_micros(col("ts")).as("ts_us"))
-      .withColumn("bucket", expr(s"ts_us div ${us}L"))
+                    bucketSec: Long = 3600L): DataFrame =
+    gapFillLinearFrames(
+      Tables.events(spark, dir)
+        .select(col("event_type").as("series"), col("event_id"),
+          expr("cast(round(value * 1000000.0D) as bigint)").as("vm"),
+          unix_micros(col("ts")).as("ts_us")),
+      bucketSec * 1000000L)
+
+  /** DataFrame form of [[gapFillLinear]]: `ev` needs (series, event_id,
+    * vm, ts_us) columns; buckets are `ts_us div bucketUs`.
+    */
+  def gapFillLinearFrames(ev0: DataFrame, bucketUs: Long): DataFrame = {
+    val ev = ev0.withColumn("bucket", expr(s"ts_us div ${bucketUs}L"))
     val observed = ev.groupBy(col("series"), col("bucket"))
       .agg(count(lit(1)).as("n"),
         max(struct(col("ts_us"), col("event_id"), col("vm")))
@@ -996,10 +1003,10 @@ object Analytics {
         first(when(col("anchor").isNotNull, col("bucket")), ignoreNulls = true)
           .over(wb).as("nb"))
       .withColumn("value_micro",
+        // every gap bucket is bracketed (grid endpoints are anchors),
+        // so pv/pb/nv/nb are all non-null here and the lerp is total
         when(col("anchor").isNotNull, col("anchor"))
-          .when(col("pv").isNotNull && col("nv").isNotNull,
-            col("pv") + expr("(nv - pv) * (bucket - pb) div (nb - pb)"))
-          .otherwise(coalesce(col("pv"), col("nv"))))
+          .otherwise(col("pv") + expr("(nv - pv) * (bucket - pb) div (nb - pb)")))
       .select(col("series"), col("bucket"), col("n"), col("value_micro"))
       .orderBy(col("series"), col("bucket"))
   }

@@ -1317,7 +1317,12 @@ object Monitor {
     * the mean-anchored linear fill over every bucket up to the LAST
     * CLOSED anchor (the open bucket and the gaps awaiting their closing
     * anchor are pending by construction) — spec-asserted against an
-    * inline batch recompute.
+    * inline batch recompute. Same arrival contract as [[gapFillUpdate]]:
+    * a contract-violating EARLY row (bucket < the open one) folds into
+    * the open bucket rather than silently dropping — and here that
+    * additionally skews the open bucket's mean, which is the lerp anchor
+    * for every gap bucket emitted against it; late data is recovered by
+    * the order-free batch recompute, not by this machine.
     */
   def gapFillLinearUpdate(bucketSec: Long)(key: String, events: Iterator[GapEvent],
       state: org.apache.spark.sql.streaming.GroupState[LinGapState]): Iterator[GapOut] = {

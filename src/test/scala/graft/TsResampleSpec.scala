@@ -121,6 +121,66 @@ class TsResampleSpec extends AnyFunSuite {
       (3, 1L, 500L, 20L)))
   }
 
+  test("gapFillLinear: bracketing lerp by hand, incl. negative-slope truncation") {
+    import spark.implicits._
+    // series A, bucket width 100 µs: anchors at buckets 0 (vm 0, the
+    // OHLC close of two rows — the later ts wins over vm 99), 3 (−10),
+    // and 6 (5). Gap values are the exact integer lerp; the negative
+    // slope pins div's truncation TOWARD ZERO (−10 div 3 = −3, −20 div
+    // 3 = −6 — a floor division would give −4/−7 and hash-mismatch the
+    // oracle).
+    val ev = Seq(
+      ("A", 1L, 99L, 10L), ("A", 2L, 0L, 20L),
+      ("A", 3L, -10L, 310L),
+      ("A", 4L, 5L, 620L))
+      .toDF("series", "event_id", "vm", "ts_us")
+    val out = Analytics.gapFillLinearFrames(ev, bucketUs = 100L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (0L, 2L, 0L),   // observed: close anchor is the LATER row's vm
+      (1L, 0L, -3L),  // 0 + (−10·1) div 3 — truncation, not floor
+      (2L, 0L, -6L),  // 0 + (−10·2) div 3
+      (3L, 1L, -10L), // observed
+      (4L, 0L, -5L),  // −10 + (15·1) div 3
+      (5L, 0L, 0L),   // −10 + (15·2) div 3
+      (6L, 1L, 5L)))  // observed
+  }
+
+  test("windowed funnel: re-arming anchors and window bounds by hand") {
+    import spark.implicits._
+    val W = 100L
+    val ev = Seq(
+      // user 1 — RE-ARM saves the conversion: click@550 is 550 past the
+      // first view but 50 past the second; first-touch anchoring would
+      // miss it. purchase@600 within W of the click conversion.
+      (1L, 1L, "view", 0L), (2L, 1L, "view", 500L),
+      (3L, 1L, "click", 550L), (4L, 1L, "purchase", 600L),
+      // user 2 — window binds: click one µs past W never converts, so
+      // the purchase has no anchor either
+      (5L, 2L, "view", 0L), (6L, 2L, "click", 101L), (7L, 2L, "purchase", 150L),
+      // user 3 — boundary: exactly W converts (≤), W+1 downstream fails
+      (8L, 3L, "view", 0L), (9L, 3L, "click", 100L), (10L, 3L, "purchase", 201L),
+      // user 4 — strictly-after: the click tied with the view does not
+      // convert; the later one does, and the purchase rides it
+      (11L, 4L, "view", 50L), (12L, 4L, "click", 50L),
+      (13L, 4L, "click", 60L), (14L, 4L, "purchase", 61L),
+      // user 5 — stage-3 anchor re-arms too: the first purchase misses
+      // its window (110 past the only conversion), the second session's
+      // purchase converts off the SECOND click conversion
+      (15L, 5L, "view", 0L), (16L, 5L, "click", 50L), (17L, 5L, "purchase", 160L),
+      (18L, 5L, "view", 200L), (19L, 5L, "click", 250L), (20L, 5L, "purchase", 300L))
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    val out = Analytics.funnelUsersWindowed(ev, windowUs = W).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))))
+      .toMap
+    assert(out === Map(
+      1L -> ((Some(0L), Some(550L), Some(600L))),
+      2L -> ((Some(0L), None, None)),
+      3L -> ((Some(0L), Some(100L), None)),
+      4L -> ((Some(50L), Some(60L), Some(61L))),
+      5L -> ((Some(0L), Some(50L), Some(300L)))))
+  }
+
   test("benford audit counts leading digits of the decimal rendering") {
     import spark.implicits._
     val ord = Seq(100.00, 150.25, 199.99, 250.00).toDF("o_totalprice")
