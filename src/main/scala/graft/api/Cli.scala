@@ -22,9 +22,15 @@ import org.apache.spark.sql.functions._
 object Cli {
 
   /** A dash-leading token that is a NUMBER, not a flag: `-1`, `-0.5`,
-    * `-2e3`. argparse makes the same call for `--stabilise_time -1`.
+    * `-.5`, `-2e3`. argparse makes the same call for `--stabilise_time
+    * -1`; its matcher is `-\d+|-\d*\.\d+`, which this extends in ONE
+    * deliberate direction — exponent forms (`-2e3`, `-1.5e-2`) also
+    * count as values, because the reference's float flags
+    * (stabilise_time etc.) are parsed with float() which accepts them
+    * and a scripted caller writing `-2e3` means the number, never a
+    * flag bundle.
     */
-  private val NegNumber = """-\d+(?:\.\d+)?(?:[eE][-+]?\d+)?""".r
+  private val NegNumber = """-(?:\d+|\d*\.\d+)(?:[eE][-+]?\d+)?""".r
 
   /** Parse `--k v` / `--k=v` / `_k:=v` / `~k:=v` into a map. */
   private[graft] def parseArgs(args: Array[String]): Map[String, String] = {

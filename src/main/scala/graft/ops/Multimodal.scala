@@ -810,10 +810,19 @@ object Multimodal {
     * Scale shape: partition-local `mapPartitions`, one short-lived
     * process per asset where the bytes already sit, no shuffle — decode
     * cost rides the scan exactly like the JVM decoders.
+    *
+    * The per-asset decode deadline defaults to 60 s and is tunable via
+    * `spark.graft.video.deadline.ms` (a deployment decoding long clips
+    * raises it; the watchdog contract is unchanged). Because a timed-out
+    * or faulted asset is SKIPPED — indistinguishable from "genuinely
+    * frameless" in the output table — callers can pass `skippedAssets`
+    * (a registered `LongAccumulator`) to count inter-coded assets the
+    * decoder dropped, separating timeout/fault skips from empty streams.
     */
   def videoFrameFeaturesExternal(assets: DataFrame, everyN: Int = 2,
                                  dim: Int = 8,
-                                 decoderCmd: Option[Seq[String]] = None): DataFrame = {
+                                 decoderCmd: Option[Seq[String]] = None,
+                                 skippedAssets: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     require(everyN > 0)
     val spark = assets.sparkSession
     val cmd: Seq[String] = decoderCmd
@@ -825,6 +834,9 @@ object Multimodal {
     if (cmd.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], FrameFeatureSchema)
+    val deadlineMs: Long = spark.conf
+      .getOption("spark.graft.video.deadline.ms")
+      .map(_.trim.toLong).filter(_ > 0).getOrElse(60000L)
     val rdd = assets.select("asset_id", "payload").rdd.mapPartitions { it =>
       it.flatMap { row =>
         val id = row.getLong(0)
@@ -832,14 +844,17 @@ object Multimodal {
         val interCoded = (try parseMp4(payload) catch { case _: Exception => None })
           .exists(m => !MjpegCodecs(m.codec))
         if (!interCoded) Iterator.empty
-        else runDecoder(cmd, payload, _ % everyN == 0) { (k, w, h, gray) =>
+        else runDecoder(cmd, payload, _ % everyN == 0, deadlineMs) { (k, w, h, gray) =>
           val px = new Array[Int](w * h)
           var i = 0
           while (i < px.length) {
             val g = gray(i) & 0xff; px(i) = (g << 16) | (g << 8) | g; i += 1
           }
           Row(id, k, w, h, bmpFeatures(w, h, px, dim).toSeq)
-        }.getOrElse(Seq.empty).iterator
+        } match {
+          case Some(rows) => rows.iterator
+          case None => skippedAssets.foreach(_.add(1L)); Iterator.empty
+        }
       }
     }
     spark.createDataFrame(rdd, FrameFeatureSchema)
@@ -854,13 +869,14 @@ object Multimodal {
     * drained without folding. None on ANY fault — spawn failure,
     * non-zero exit, short read, nonsense dimensions (> 64 MP), a frame
     * count past 100000 (a fault, not a truncation: a silently partial
-    * frame table breaks the all-or-nothing contract), or the 60 s
-    * deadline, which a watchdog enforces by killing the process so even
-    * a decoder wedged mid-write (blocking this reader) unblocks into
-    * the fault path.
+    * frame table breaks the all-or-nothing contract), or the
+    * `deadlineMs` deadline, which a watchdog enforces by killing the
+    * process so even a decoder wedged mid-write (blocking this reader)
+    * unblocks into the fault path.
     */
   private[ops] def runDecoder[A](cmd: Seq[String], payload: Array[Byte],
-                                 keep: Int => Boolean)
+                                 keep: Int => Boolean,
+                                 deadlineMs: Long = 60000L)
                                 (fold: (Int, Int, Int, Array[Byte]) => A)
       : Option[Seq[A]] = {
     import scala.jdk.CollectionConverters._
@@ -877,7 +893,7 @@ object Multimodal {
       // unblocks a stuck read into the fault path
       watchdog.schedule(new java.util.TimerTask {
         def run(): Unit = p.destroyForcibly()
-      }, 60000L)
+      }, deadlineMs)
       // feed stdin from its own thread: a decoder that emits before
       // draining its input must not deadlock against this writer
       val writer = new Thread(() =>
@@ -899,7 +915,11 @@ object Multimodal {
           val idx = (first << 24) | (in.readUnsignedByte() << 16) |
             (in.readUnsignedByte() << 8) | in.readUnsignedByte()
           val w = in.readInt(); val h = in.readInt(); val len = in.readInt()
-          if (w <= 0 || h <= 0 || len != w * h || len > (1 << 26))
+          // compare in LONG arithmetic: a malformed header with
+          // overflowing dimensions (w=h=65536 → w*h wraps to 0) must
+          // fault the asset, not pass as a zero-length "frame"
+          if (w <= 0 || h <= 0 || len.toLong != w.toLong * h.toLong ||
+              len > (1 << 26))
             throw new java.io.IOException(s"bad frame header ${(idx, w, h, len)}")
           if (keep(idx)) {
             val gray = new Array[Byte](len)
@@ -909,7 +929,7 @@ object Multimodal {
           n += 1
         }
       }
-      if (!proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS))
+      if (!proc.waitFor(deadlineMs, java.util.concurrent.TimeUnit.MILLISECONDS))
         throw new java.io.IOException("decoder timed out")
       if (proc.exitValue() != 0) None else Some(out.result())
     } catch {

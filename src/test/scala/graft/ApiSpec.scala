@@ -350,6 +350,11 @@ class ApiSpec extends AnyFunSuite {
     assert(flags("stabilise_time") === "-1")
     assert(flags("rate") === "-2.5e3")
     assert(flags("verbose") === "true")
+    // argparse's leading-dot form `-.5` is a value too (float('-.5') parses)
+    val dotted = graft.api.Cli.parseArgs(Array("--stabilise_time", "-.5"))
+    assert(dotted("stabilise_time") === "-.5")
+    // ...but a bare dash or dash-dot is NOT a number — next-flag rules apply
+    assert(graft.api.Cli.parseArgs(Array("--verbose", "-o", "x"))("verbose") === "true")
     // a dash-leading numeric token in flag position is an error, never a flag
     val e = intercept[IllegalArgumentException](
       graft.api.Cli.parseArgs(Array("-1", "x")))

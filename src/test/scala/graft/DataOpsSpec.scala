@@ -1197,6 +1197,27 @@ class DataOpsSpec extends AnyFunSuite {
     junk.toFile.setExecutable(true)
     assert(Multimodal.videoFrameFeaturesExternal(assets, everyN = 1,
       decoderCmd = Some(Seq(junk.toString))).count() === 0)
+    // an OVERFLOWING header (w=h=65536 → 32-bit w*h wraps to 0, len=0)
+    // faults the asset — long-arithmetic validation, not a bogus frame
+    val ovf = dir.resolve("ovf.sh")
+    Files.write(ovf, ("#!/bin/bash\ncat >/dev/null\n" +
+      "printf '\\x00\\x00\\x00\\x00\\x00\\x01\\x00\\x00\\x00\\x01\\x00\\x00\\x00\\x00\\x00\\x00'\n")
+      .getBytes("UTF-8"))
+    ovf.toFile.setExecutable(true)
+    assert(Multimodal.videoFrameFeaturesExternal(assets, everyN = 1,
+      decoderCmd = Some(Seq(ovf.toString))).count() === 0)
+    // the watchdog deadline is conf-tunable and a timed-out asset is
+    // COUNTED via the skipped accumulator, not silently vanished
+    val slow = dir.resolve("slow.sh")
+    Files.write(slow, "#!/bin/bash\ncat >/dev/null\nsleep 60\n".getBytes("UTF-8"))
+    slow.toFile.setExecutable(true)
+    val skipped = spark.sparkContext.longAccumulator("video_skipped")
+    spark.conf.set("spark.graft.video.deadline.ms", "500")
+    try assert(Multimodal.videoFrameFeaturesExternal(assets, everyN = 1,
+      decoderCmd = Some(Seq(slow.toString)),
+      skippedAssets = Some(skipped)).count() === 0)
+    finally spark.conf.unset("spark.graft.video.deadline.ms")
+    assert(skipped.value === 1L, "timeout skip is counted")
     // MJPEG payloads never reach the external decoder (disjoint paths):
     // reuse the in-JVM fixture shape — jpeg fourcc, decoder would emit
     // frames if called, but the gate filters the asset out
