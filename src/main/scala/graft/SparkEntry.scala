@@ -670,6 +670,10 @@ object SparkEntry {
     "window_rolling_stats" -> ((s, dir) => Analytics.rollingUserStats(s, dir)),
     "agg_cube" -> ((s, dir) => Analytics.eventCube(s, dir)),
     "events_funnel" -> ((s, dir) => Analytics.funnelStages(s, dir)),
+    // k-stage generalization (28ac''', round 12): the same chained
+    // running-min fold over all five event types in signup-first order
+    "events_funnel_5stage" -> ((s, dir) => Analytics.funnelStages(s, dir,
+      Seq("signup", "view", "click", "purchase", "error"))),
     // conversion-window funnel (28ac'': stage within 24h of the latest
     // previous-stage completion, anchor re-arms on every completion)
     "events_funnel_windowed" -> ((s, dir) => Analytics.eventFunnelWindowed(s, dir)),
@@ -1968,6 +1972,31 @@ object SparkEntry {
         |u AS MATERIALIZED (SELECT user_id, min(s1) AS u1, min(s2) AS u2, min(s3) AS u3 FROM s3 GROUP BY 1)
         |SELECT count(*) AS users_total, count(u1) AS reached_stage1,
         |  count(u2) AS reached_stage2, count(u3) AS reached_stage3 FROM u""".stripMargin,
+
+    // the 3-stage chain extended mechanically to all five event types —
+    // the k-stage fold must produce the identical SQL shape
+    "events_funnel_5stage" ->
+      """WITH e AS MATERIALIZED (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS MATERIALIZED (SELECT *, min(CASE WHEN event_type = 'signup' THEN ts_us END)
+        |         OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1 FROM e),
+        |s2 AS MATERIALIZED (SELECT *, min(CASE WHEN event_type = 'view' AND ts_us > s1 THEN ts_us END)
+        |         OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2 FROM s1),
+        |s3 AS MATERIALIZED (SELECT *, min(CASE WHEN event_type = 'click' AND ts_us > s2 THEN ts_us END)
+        |         OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s3 FROM s2),
+        |s4 AS MATERIALIZED (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us > s3 THEN ts_us END)
+        |         OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s4 FROM s3),
+        |s5 AS MATERIALIZED (SELECT *, min(CASE WHEN event_type = 'error' AND ts_us > s4 THEN ts_us END)
+        |         OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s5 FROM s4),
+        |u AS MATERIALIZED (SELECT user_id, min(s1) AS u1, min(s2) AS u2, min(s3) AS u3,
+        |         min(s4) AS u4, min(s5) AS u5 FROM s5 GROUP BY 1)
+        |SELECT count(*) AS users_total, count(u1) AS reached_stage1,
+        |  count(u2) AS reached_stage2, count(u3) AS reached_stage3,
+        |  count(u4) AS reached_stage4, count(u5) AS reached_stage5 FROM u""".stripMargin,
 
     // re-arming conversion-window semantics: chained running MAXIMA of
     // previous-stage conversion times gate each stage's 24h window

@@ -671,36 +671,41 @@ object Analytics {
         unix_micros(col("ts")).as("ts_us")), stages)
 
   /** DataFrame form of [[funnelStages]]: `ev` needs (event_id, user_id,
-    * event_type, ts_us) columns.
+    * event_type, ts_us) columns. k-stage: one `reached_stageK` count per
+    * configured stage.
     */
   def funnel(ev: DataFrame,
              stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
     funnelUsers(ev, stages).agg(
       count(lit(1)).as("users_total"),
-      count(col("u1")).as("reached_stage1"),
-      count(col("u2")).as("reached_stage2"),
-      count(col("u3")).as("reached_stage3"))
+      stages.indices.map(i => count(col(s"u${i + 1}")).as(s"reached_stage${i + 1}")): _*)
 
   /** Per-user stage-completion times (NULL = stage never reached in
     * order) — the funnel's intermediate, also the batch twin of the
-    * streaming stage machine ([[graft.streaming.Funnel]]).
+    * streaming stage machine ([[graft.streaming.Funnel]]). Generalized
+    * to ANY k ≥ 2 distinct stages: the chained running-min composition
+    * folds mechanically (stage k's running min is gated on stage k−1's
+    * running min at the same row), and every chained min rides ONE
+    * window spec, so Catalyst plans the k dependent Window operators
+    * over a single exchange+sort on `user_id` — per-row state stays k
+    * longs at any history length.
     */
   def funnelUsers(ev: DataFrame,
                   stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
-    require(stages.size == 3, "funnel is specialized to 3 stages")
+    require(stages.size >= 2, "a funnel needs at least two stages")
+    require(stages.distinct == stages, "funnel stages must be distinct")
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val s1 = ev.withColumn("s1",
-      min(when(col("event_type") === stages(0), col("ts_us"))).over(w))
-    val s2 = s1.withColumn("s2",
-      min(when(col("event_type") === stages(1) && col("ts_us") > col("s1"),
-        col("ts_us"))).over(w))
-    val s3 = s2.withColumn("s3",
-      min(when(col("event_type") === stages(2) && col("ts_us") > col("s2"),
-        col("ts_us"))).over(w))
-    s3.groupBy(col("user_id"))
-      .agg(min(col("s1")).as("u1"), min(col("s2")).as("u2"), min(col("s3")).as("u3"))
+    val staged = stages.zipWithIndex.foldLeft(ev) { case (df, (st, i)) =>
+      val gate =
+        if (i == 0) col("event_type") === st
+        else col("event_type") === st && col("ts_us") > col(s"s$i")
+      df.withColumn(s"s${i + 1}", min(when(gate, col("ts_us"))).over(w))
+    }
+    staged.groupBy(col("user_id"))
+      .agg(min(col("s1")).as("u1"),
+        stages.indices.drop(1).map(i => min(col(s"s${i + 1}")).as(s"u${i + 1}")): _*)
   }
 
   /** [[funnelUsers]] with a CONVERSION WINDOW — the funnel product
@@ -722,25 +727,29 @@ object Analytics {
     */
   def funnelUsersWindowed(ev: DataFrame, windowUs: Long,
                           stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
-    require(stages.size == 3, "funnel is specialized to 3 stages")
+    require(stages.size >= 2, "a funnel needs at least two stages")
+    require(stages.distinct == stages, "funnel stages must be distinct")
     require(windowUs > 0)
+    val k = stages.size
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val a = ev.withColumn("l1",
+    // l_j = latest stage-j conversion so far (re-arming anchor);
+    // c_j = this row's stage-j conversion time if it lands in-window.
+    // The last stage needs no anchor column — nothing converts off it.
+    var df = ev.withColumn("l1",
       max(when(col("event_type") === stages(0), col("ts_us"))).over(w))
-    val b = a.withColumn("c2",
-        when(col("event_type") === stages(1) && col("l1").isNotNull &&
-          col("ts_us") > col("l1") && col("ts_us") - col("l1") <= windowUs,
+    for (j <- 2 to k) {
+      df = df.withColumn(s"c$j",
+        when(col("event_type") === stages(j - 1) && col(s"l${j - 1}").isNotNull &&
+          col("ts_us") > col(s"l${j - 1}") &&
+          col("ts_us") - col(s"l${j - 1}") <= windowUs,
           col("ts_us")))
-      .withColumn("l2", max(col("c2")).over(w))
-    val c = b.withColumn("c3",
-      when(col("event_type") === stages(2) && col("l2").isNotNull &&
-        col("ts_us") > col("l2") && col("ts_us") - col("l2") <= windowUs,
-        col("ts_us")))
-    c.groupBy(col("user_id"))
+      if (j < k) df = df.withColumn(s"l$j", max(col(s"c$j")).over(w))
+    }
+    df.groupBy(col("user_id"))
       .agg(min(when(col("event_type") === stages(0), col("ts_us"))).as("u1"),
-        min(col("c2")).as("u2"), min(col("c3")).as("u3"))
+        (2 to k).map(j => min(col(s"c$j")).as(s"u$j")): _*)
   }
 
   /** Windowed-funnel headline counts on the events table (24 h default
@@ -749,14 +758,14 @@ object Analytics {
     * keeps, which is the point).
     */
   def eventFunnelWindowed(spark: SparkSession, dir: String,
-                          windowUs: Long = 86400000000L): DataFrame =
+                          windowUs: Long = 86400000000L,
+                          stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
     funnelUsersWindowed(Tables.events(spark, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("ts_us")), windowUs)
+          unix_micros(col("ts")).as("ts_us")), windowUs, stages)
       .agg(count(lit(1)).as("users_total"),
-        count(col("u1")).as("reached_stage1"),
-        count(col("u2")).as("reached_stage2"),
-        count(col("u3")).as("reached_stage3"))
+        stages.indices.map(i =>
+          count(col(s"u${i + 1}")).as(s"reached_stage${i + 1}")): _*)
 
   /** Funnel conversion-rate table over [[funnelUsers]] — the three
     * numbers a product review actually reads per stage: how many users
@@ -767,21 +776,23 @@ object Analytics {
     * no interpolation, no float) of the per-user stage deltas in micros.
     *
     * Scale shape: beyond [[funnelUsers]]'s own per-user window, the
-    * epilogue is one explode to O(users · 3) tagged rows, one grouped
+    * epilogue is one explode to O(users · k) tagged rows, one grouped
     * agg, and one per-stage rank window — stage partitions are the
-    * parallelism unit and the 3-row result joins itself by broadcast.
+    * parallelism unit and the k-row result joins itself by broadcast.
     */
   def funnelRates(ev: DataFrame,
                   stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
     val su = funnelUsers(ev, stages).select(col("user_id"),
-      explode(array(
-        struct(lit(1).as("stage"), col("u1").isNotNull.as("reached"),
-          lit(null).cast("long").as("delta")),
-        struct(lit(2).as("stage"), col("u2").isNotNull.as("reached"),
-          when(col("u2").isNotNull, col("u2") - col("u1")).as("delta")),
-        struct(lit(3).as("stage"), col("u3").isNotNull.as("reached"),
-          when(col("u3").isNotNull, col("u3") - col("u2")).as("delta"))))
-        .as("s"))
+      explode(array(stages.indices.map { i =>
+        val j = i + 1
+        if (i == 0)
+          struct(lit(1).as("stage"), col("u1").isNotNull.as("reached"),
+            lit(null).cast("long").as("delta"))
+        else
+          struct(lit(j).as("stage"), col(s"u$j").isNotNull.as("reached"),
+            when(col(s"u$j").isNotNull, col(s"u$j") - col(s"u${j - 1}"))
+              .as("delta"))
+      }: _*)).as("s"))
       .select(col("user_id"), col("s.stage").as("stage"),
         col("s.reached").as("reached"), col("s.delta").as("delta"))
     val agg = su.groupBy(col("stage"))
@@ -793,7 +804,7 @@ object Analytics {
       .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("stage"))))
       .filter(col("rn") === expr("(nd + 1) div 2"))
       .select(col("stage"), col("delta").as("median_delta_us"))
-    // lag runs directly over the 3-row stage aggregate (BEFORE the median
+    // lag runs directly over the k-row stage aggregate (BEFORE the median
     // join) so the global window provably rides a bounded table
     agg.withColumn("prev_reached",
         lag(col("reached"), 1).over(Window.orderBy(col("stage"))))

@@ -8,13 +8,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * loop's per-session progress accounting, `scenario.py:238-274`, done
   * per-user and in order).
   *
-  * State per user is exactly three longs (the running stage-completion
-  * times), updated by replaying each micro-batch's events in event-time
-  * order — identical to the batch window's chained running minimums, so
-  * a funnel over 10⁹ users runs at constant memory per key and the
-  * nightly batch recompute agrees row-for-row. Stage times only ever
-  * DECREASE (running minimums), so emitting on change in Update mode is
-  * monotone-safe for downstream consumers.
+  * State per user is exactly k longs — one running stage-completion
+  * time per configured stage (product funnels run 3 to 8 stages; the
+  * machine takes any k ≥ 2) — updated by replaying each micro-batch's
+  * events in event-time order, identical to the batch window's chained
+  * running minimums, so a funnel over 10⁹ users runs at constant memory
+  * per key and the nightly batch recompute agrees row-for-row. Stage
+  * times only ever DECREASE (running minimums), so emitting on change
+  * in Update mode is monotone-safe for downstream consumers.
   *
   * Ordering contract: within a micro-batch events sort by (ts_us,
   * event_id); ACROSS batches arrival order must respect event-time order
@@ -28,11 +29,15 @@ object Funnel {
   /** [[FEvent]] plus its event-time column for the watermark. */
   case class FEventTs(user_id: Long, event_id: Long, event_type: String,
                       ts_us: Long, ts: java.sql.Timestamp)
-  /** Long.MaxValue = stage not reached; `lastUs` = the user's newest
-    * event time, the anchor the idle-expiry timer re-arms from.
+  /** `s(i)` = running completion time of stage i+1, Long.MaxValue =
+    * stage not reached; `lastUs` = the user's newest event time, the
+    * anchor the idle-expiry timer re-arms from.
     */
-  case class FState(s1: Long, s2: Long, s3: Long, lastUs: Long = 0L)
-  case class FOut(user_id: Long, u1: Option[Long], u2: Option[Long], u3: Option[Long])
+  case class FState(s: Seq[Long], lastUs: Long = 0L)
+  /** Per-stage completion times, None = not reached; `us(i)` is stage
+    * i+1 (the batch funnel's `u{i+1}` column as one array).
+    */
+  case class FOut(user_id: Long, us: Seq[Option[Long]])
 
   private def opt(v: Long): Option[Long] = if (v == Long.MaxValue) None else Some(v)
 
@@ -48,15 +53,17 @@ object Funnel {
                 state: GroupState[FState], stages: Seq[String],
                 idleTimeoutMs: Long = 30L * 24 * 3600 * 1000): Iterator[FOut] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-    val init = state.getOption.getOrElse(
-      FState(Long.MaxValue, Long.MaxValue, Long.MaxValue))
-    var (s1, s2, s3) = (init.s1, init.s2, init.s3)
+    val k = stages.size
+    val init = state.getOption.getOrElse(FState(Seq.fill(k)(Long.MaxValue)))
+    val s = init.s.toArray
     var lastUs = init.lastUs
+    val stageOf = stages.zipWithIndex.toMap
     events.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
       lastUs = math.max(lastUs, e.ts_us)
-      if (e.event_type == stages(0)) s1 = math.min(s1, e.ts_us)
-      else if (e.event_type == stages(1) && e.ts_us > s1) s2 = math.min(s2, e.ts_us)
-      else if (e.event_type == stages(2) && e.ts_us > s2) s3 = math.min(s3, e.ts_us)
+      stageOf.get(e.event_type).foreach { i =>
+        if (i == 0) s(0) = math.min(s(0), e.ts_us)
+        else if (e.ts_us > s(i - 1)) s(i) = math.min(s(i), e.ts_us)
+      }
     }
     // idle expiry anchors on the user's newest EVENT time and fires when
     // the watermark passes it (never on wall-clock — no empty-batch
@@ -64,7 +71,7 @@ object Funnel {
     // beyond the current watermark or the state store rejects it
     def arm(): Unit = state.setTimeoutTimestamp(
       math.max(lastUs / 1000L + idleTimeoutMs, state.getCurrentWatermarkMs + 1))
-    if (s1 == init.s1 && s2 == init.s2 && s3 == init.s3) {
+    if (s.toSeq == init.s) {
       // keep the reaper's anchor current even on a no-progress batch
       if (state.exists) {
         if (lastUs != init.lastUs) state.update(init.copy(lastUs = lastUs))
@@ -72,9 +79,9 @@ object Funnel {
       }
       Iterator.empty
     } else {
-      state.update(FState(s1, s2, s3, lastUs))
+      state.update(FState(s.toSeq, lastUs))
       arm()
-      Iterator.single(FOut(userId, opt(s1), opt(s2), opt(s3)))
+      Iterator.single(FOut(userId, s.map(opt).toSeq))
     }
   }
 
@@ -87,7 +94,8 @@ object Funnel {
              idleTimeoutMs: Long = 30L * 24 * 3600 * 1000,
              lateness: String = "1 hour")
             (implicit spark: SparkSession): Dataset[FOut] = {
-    require(stageNames.size == 3, "funnel is specialized to 3 stages")
+    require(stageNames.size >= 2, "a funnel needs at least two stages")
+    require(stageNames.distinct == stageNames, "funnel stages must be distinct")
     import spark.implicits._
     import org.apache.spark.sql.functions.expr
     events.withColumn("ts", expr("timestamp_micros(ts_us)"))
