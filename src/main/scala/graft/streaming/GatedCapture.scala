@@ -111,11 +111,15 @@ object GatedCapture {
     */
   case class GEvent(gate: Long, ts_us: Long, kind: Int, on: Boolean,
                     event_id: Long)
+  /** [[GEvent]] plus its event-time column for the watermark. */
+  case class GEventTs(gate: Long, ts_us: Long, kind: Int, on: Boolean,
+                      event_id: Long, ts: java.sql.Timestamp)
   /** Gate state: open flag + newest control time seen (controls arriving
     * across batches must only move forward; a stale replayed control is
-    * ignored rather than reopening history).
+    * ignored rather than reopening history) + newest event time of ANY
+    * kind — the anchor the idle-expiry timer re-arms from.
     */
-  case class GState(open: Boolean, lastCtlUs: Long)
+  case class GState(open: Boolean, lastCtlUs: Long, lastUs: Long = 0L)
   case class GOut(gate: Long, event_id: Long, ts_us: Long)
 
   /** Fold one gate's micro-batch through the state machine: rows replay
@@ -129,20 +133,37 @@ object GatedCapture {
     * either arrival order. Ordering contract (same as [[Funnel]]):
     * arrival order across batches must otherwise respect event time per
     * gate; late data is recovered by the order-free batch recompute.
+    *
+    * Gate ids are an unbounded domain (users, devices, action goals), so
+    * a gate quiet for `idleTimeoutMs` of EVENT time leaves the store —
+    * the same watermark-driven idle reaper as [[Funnel.updateKey]]. A
+    * reaped OPEN gate forgets it was open: data arriving after the idle
+    * horizon waits for the next start, and the divergence window is
+    * recovered by the order-free batch recompute (an action bracket
+    * idle for 30 days is stale by the reference's own capture model).
     */
-  def updateGate(gateId: Long, rows: Iterator[GEvent],
-                 state: GroupState[GState]): Iterator[GOut] = {
-    val init = state.getOption.getOrElse(GState(open = false, lastCtlUs = Long.MinValue))
+  def updateGate(gateId: Long, rows: Iterator[GEventTs],
+                 state: GroupState[GState],
+                 idleTimeoutMs: Long = 30L * 24 * 3600 * 1000): Iterator[GOut] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val init = state.getOption.getOrElse(
+      GState(open = false, lastCtlUs = Long.MinValue))
     var open = init.open
     var lastCtl = init.lastCtlUs
+    var lastUs = init.lastUs
     val out = Seq.newBuilder[GOut]
     rows.toSeq.sortBy(e => (e.ts_us, e.kind, e.on)).foreach { e =>
+      lastUs = math.max(lastUs, e.ts_us)
       if (e.kind == 0) {
         if (e.ts_us > lastCtl) { open = e.on; lastCtl = e.ts_us }
         else if (e.ts_us == lastCtl) open = open || e.on // start wins the tie
       } else if (open) out += GOut(e.gate, e.event_id, e.ts_us)
     }
-    state.update(GState(open, lastCtl))
+    state.update(GState(open, lastCtl, lastUs))
+    // the timer must land strictly beyond the current watermark or the
+    // state store rejects it (same clamp as the funnel reaper)
+    state.setTimeoutTimestamp(
+      math.max(lastUs / 1000L + idleTimeoutMs, state.getCurrentWatermarkMs + 1))
     out.result().iterator
   }
 
@@ -170,14 +191,23 @@ object GatedCapture {
   /** Wire the gate machine over unioned control+data rows (possibly
     * streaming). Input columns: gate, ts_us, kind (0 control / 1 data),
     * on (control only), event_id (data only) — build them with
-    * [[gatedEvents]] to inherit the batch twin's NULL rule.
+    * [[gatedEvents]] to inherit the batch twin's NULL rule. The
+    * watermark rides the event time (`lateness` of allowed disorder
+    * across batches) and drives the idle-expiry timers that bound the
+    * state COUNT on the unbounded gate domain.
     */
-  def gatedStream(rows: Dataset[GEvent])
+  def gatedStream(rows: Dataset[GEvent],
+                  idleTimeoutMs: Long = 30L * 24 * 3600 * 1000,
+                  lateness: String = "1 hour")
                  (implicit spark: SparkSession): Dataset[GOut] = {
     import spark.implicits._
-    rows.groupByKey(_.gate)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (k: Long, it: Iterator[GEvent], st: GroupState[GState]) =>
-          updateGate(k, it, st))
+    import org.apache.spark.sql.functions.expr
+    rows.withColumn("ts", expr("timestamp_micros(ts_us)"))
+      .as[GEventTs]
+      .withWatermark("ts", lateness)
+      .groupByKey(_.gate)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        (k: Long, it: Iterator[GEventTs], st: GroupState[GState]) =>
+          updateGate(k, it, st, idleTimeoutMs))
   }
 }

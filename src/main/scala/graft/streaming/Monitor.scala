@@ -567,18 +567,47 @@ object Monitor {
     * rows exactly-once in a per-`__batch_id` partition; downstream
     * training readers join features without ever touching the raw bytes
     * again (the decode cost is paid once per asset, not per consumer).
+    *
+    * VIDEO pays its decode at the same door (round 12): pass
+    * `framesPath` and each batch also lands its per-frame feature rows —
+    * the in-JVM MJPEG path (`videoFrameFeatures`) unioned with the
+    * external-decoder seam (`videoFrameFeaturesExternal`, rows only when
+    * a decoder is configured; the two paths are codec-disjoint by
+    * construction) — exactly-once into a second maintained log read by
+    * [[readVideoFrameFeatures]]. Without a configured seam, inter-coded
+    * assets contribute no frame rows (the documented all-or-nothing
+    * contract), never half-decoded ones. The batch scans once per
+    * decoder family; the video passes filter to parseable MP4 payloads
+    * before touching pixel bytes, so a mixed stream pays each decoder
+    * only on its own asset class.
     */
   def maintainAssetFeatures(stream: DataFrame, path: String, checkpoint: String,
                             dim: Int = 8,
+                            framesPath: Option[String] = None,
+                            everyN: Int = 2,
                             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        graft.ops.Multimodal.decodeFeatures(df.toDF(), dim)
+        val assets = df.toDF()
+        graft.ops.Multimodal.decodeFeatures(assets, dim)
           .writeLogBatch(batchId, path)
+        framesPath.foreach { fp =>
+          graft.ops.Multimodal.videoFrameFeatures(assets, everyN, dim)
+            .unionByName(
+              graft.ops.Multimodal.videoFrameFeaturesExternal(assets, everyN, dim))
+            .writeLogBatch(batchId, fp)
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+
+  /** Merge-on-read of the [[maintainAssetFeatures]] frames log — the
+    * per-frame feature table for every video asset ever streamed.
+    */
+  def readVideoFrameFeatures(spark: org.apache.spark.sql.SparkSession,
+                             path: String): DataFrame =
+    readLog(spark, path)
 
   /** Merge-on-read of the [[maintainAssetFeatures]] log — assets are
     * append-only, so the union IS the full feature table.
@@ -1252,8 +1281,15 @@ object Monitor {
   }
 
   case class IvEvent(key: Long, start_sec: Long, end_sec: Long)
-  /** Sweep frontier: max end seen, covered total, interval count. */
-  case class IvState(maxEnd: Long, covered: Long, n: Long)
+  /** [[IvEvent]] plus its event-time column (the interval START — the
+    * sweep's sort key and the stream's time axis) for the watermark.
+    */
+  case class IvEventTs(key: Long, start_sec: Long, end_sec: Long,
+                       ts: java.sql.Timestamp)
+  /** Sweep frontier: max end seen, covered total, interval count, plus
+    * the newest interval-start seen — the idle-reaper's anchor.
+    */
+  case class IvState(maxEnd: Long, covered: Long, n: Long, lastSec: Long = 0L)
   case class IvOut(key: Long, n_intervals: Long, covered_sec: Long)
 
   /** Streaming interval-union length — the live twin of
@@ -1271,30 +1307,52 @@ object Monitor {
     * monotonically upward — and after a full in-order replay the last
     * emission per key equals the batch operator row-for-row
     * (spec-asserted).
+    *
+    * Keys (devices, users) are an unbounded domain, so a key quiet for
+    * `idleTimeoutMs` of EVENT time leaves the store — the funnel's
+    * watermark-driven idle reaper; its last emitted running totals
+    * already stand, and a late return restarts the sweep from an empty
+    * frontier (recovered exactly by the order-free batch recompute).
     */
-  def intervalUnionUpdate(key: Long, events: Iterator[IvEvent],
-      state: org.apache.spark.sql.streaming.GroupState[IvState]): Iterator[IvOut] = {
+  def intervalUnionUpdate(key: Long, events: Iterator[IvEventTs],
+      state: org.apache.spark.sql.streaming.GroupState[IvState],
+      idleTimeoutMs: Long = 30L * 24 * 3600 * 1000): Iterator[IvOut] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     var st = state.getOption.getOrElse(IvState(Long.MinValue, 0L, 0L))
     events.toSeq.sortBy(e => (e.start_sec, e.end_sec)).foreach { e =>
       val frontier = if (st.n == 0L) e.start_sec else st.maxEnd
       val contrib = math.max(0L, e.end_sec - math.max(e.start_sec, frontier))
-      st = IvState(math.max(st.maxEnd, e.end_sec), st.covered + contrib, st.n + 1L)
+      st = IvState(math.max(st.maxEnd, e.end_sec), st.covered + contrib,
+        st.n + 1L, math.max(st.lastSec, e.start_sec))
     }
     state.update(st)
+    // timer strictly beyond the current watermark (store contract)
+    state.setTimeoutTimestamp(
+      math.max(st.lastSec * 1000L + idleTimeoutMs,
+        state.getCurrentWatermarkMs + 1))
     Iterator.single(IvOut(key, st.n, st.covered))
   }
 
-  /** Wire [[intervalUnionUpdate]] over a (possibly streaming) interval set. */
-  def intervalUnionStream(intervals: org.apache.spark.sql.Dataset[IvEvent])
+  /** Wire [[intervalUnionUpdate]] over a (possibly streaming) interval
+    * set; the watermark rides the interval-start time and drives the
+    * idle-expiry timers that bound the state COUNT.
+    */
+  def intervalUnionStream(intervals: org.apache.spark.sql.Dataset[IvEvent],
+                          idleTimeoutMs: Long = 30L * 24 * 3600 * 1000,
+                          lateness: String = "1 hour")
                          (implicit spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.Dataset[IvOut] = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.expr
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    intervals.groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (k: Long, it: Iterator[IvEvent],
+    intervals.withColumn("ts", expr("timestamp_seconds(start_sec)"))
+      .as[IvEventTs]
+      .withWatermark("ts", lateness)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        (k: Long, it: Iterator[IvEventTs],
          st: org.apache.spark.sql.streaming.GroupState[IvState]) =>
-          intervalUnionUpdate(k, it, st))
+          intervalUnionUpdate(k, it, st, idleTimeoutMs))
   }
 
   /** Previous closed anchor (prevH/prevV; prevH = Long.MinValue before

@@ -1270,6 +1270,85 @@ class StreamingSpec extends AnyFunSuite {
     assert(logged() === direct, "replay must not change the feature log")
   }
 
+  test("maintained asset-feature log pays video decode at the ingest door") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.nio.ByteBuffer
+    def be32(v: Int): Array[Byte] = ByteBuffer.allocate(4).putInt(v).array()
+    def box(tag: String, parts: Array[Byte]*): Array[Byte] = {
+      val body = parts.flatten.toArray
+      be32(8 + body.length) ++ tag.getBytes("US-ASCII") ++ body
+    }
+    def jpegOf(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 6,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 6; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+      bos.toByteArray
+    }
+    // same sample-table skeleton as the DataOps video fixtures
+    def mp4Of(fourcc: String, frames: Seq[Array[Byte]]): Array[Byte] = {
+      val n = frames.size
+      val mdhd = box("mdhd", be32(0), be32(0), be32(0), be32(1000),
+        be32(100 * n), be32(0))
+      val stts = box("stts", be32(0), be32(1), be32(n), be32(100))
+      val stsz = box("stsz",
+        (Seq(be32(0), be32(0), be32(n)) ++ frames.map(f => be32(f.length))): _*)
+      val stsd = box("stsd", be32(0), be32(1),
+        box(fourcc, Array.fill[Byte](8)(0)))
+      val stsc = box("stsc", be32(0), be32(1), be32(1), be32(n), be32(1))
+      def whole(stco: Array[Byte]): Array[Byte] =
+        box("ftyp", "isom".getBytes, be32(0)) ++
+          box("moov", box("trak", box("mdia", mdhd,
+            box("minf", box("stbl", stts, stsz, stsd, stsc, stco)))))
+      val c1 = whole(box("stco", be32(0), be32(1), be32(0))).length + 8
+      whole(box("stco", be32(0), be32(1), be32(c1))) ++
+        box("mdat", frames.flatten.toArray)
+    }
+    val all = Seq(
+      Asset(1L, "video", mp4Of("jpeg", Seq(jpegOf(0xff0000), jpegOf(0x00ff00), jpegOf(0x0000ff)))),
+      Asset(4L, "application/x", Array.tabulate(32)(j => (j * 7 % 251).toByte)),
+      Asset(2L, "video", mp4Of("jpeg", Seq(jpegOf(0x808080), jpegOf(0x123456)))),
+      Asset(3L, "video", mp4Of("avc1", Seq(Array.fill[Byte](12)(9)))), // inter-coded, seam OFF
+      Asset(5L, "application/y", Array.tabulate(24)(j => (j * 13 % 251).toByte)))
+    val dir = Files.createTempDirectory("graft_vf").toString
+    val ckpt = Files.createTempDirectory("graft_vf_ck").toString
+    val input = MemoryStream[Asset]
+    all.grouped(2).foreach { chunk =>
+      input.addData(chunk: _*)
+      val q = Monitor.maintainAssetFeatures(input.toDF(), s"$dir/log",
+        s"$ckpt/c1", framesPath = Some(s"$dir/frames"))
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    val batchDf = all.toDF()
+    def frames() = Monitor.readVideoFrameFeatures(spark, s"$dir/frames")
+      .orderBy("asset_id", "frame_idx").collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getSeq[Float](4).toSeq))
+    // the external seam is OFF in this spec, so streamed frame rows must
+    // equal the in-JVM MJPEG batch decode alone — and the avc1 asset
+    // contributes no rows (all-or-nothing, never half-decoded)
+    val direct = graft.ops.Multimodal.videoFrameFeatures(batchDf)
+      .orderBy("asset_id", "frame_idx").collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getSeq[Float](4).toSeq))
+    assert(frames() === direct, "streamed video decode must equal batch")
+    assert(direct.nonEmpty && direct.map(_._1).toSet === Set(1L, 2L))
+    assert(!frames().exists(_._1 == 3L), "seam-off avc1 asset: no frame rows")
+    // the asset-level log is unaffected by the video wiring
+    val assetRows = Monitor.readAssetFeatures(spark, s"$dir/log")
+      .select("asset_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(assetRows === Set(1L, 2L, 3L, 4L, 5L))
+    // fresh-checkpoint replay of the first chunk rewrites idempotently
+    val input2 = MemoryStream[Asset]
+    input2.addData(all.take(2): _*)
+    val q2 = Monitor.maintainAssetFeatures(input2.toDF(), s"$dir/log",
+      s"$ckpt/c2", framesPath = Some(s"$dir/frames"))
+    try q2.awaitTermination(120000) finally q2.stop()
+    assert(frames() === direct, "replay must not change the frames log")
+  }
+
   test("maintained cell index routes vectors at ingest and probes partition-prune") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -1794,52 +1873,87 @@ class StreamingSpec extends AnyFunSuite {
 
   test("gated capture stream: a stale replayed control never reopens history") {
     import graft.streaming.GatedCapture._
+    import org.apache.spark.sql.streaming.TestGroupState
     // batch 1 advanced the gate to (stop @ 200); a replayed/late start
     // @ 100 arriving in batch 2 is older than lastCtl and must be
     // ignored — the gate stays closed and the 250 data row is dropped
-    val store = new java.util.concurrent.atomic.AtomicReference[GState](null)
-    val state = new org.apache.spark.sql.streaming.GroupState[GState] {
-      override def exists: Boolean = store.get != null
-      override def get: GState = store.get
-      override def getOption: Option[GState] = Option(store.get)
-      override def update(s: GState): Unit = store.set(s)
-      override def remove(): Unit = store.set(null)
-      override def hasTimedOut: Boolean = false
-      override def setTimeoutDuration(d: Long): Unit = ()
-      override def setTimeoutDuration(d: String): Unit = ()
-      override def setTimeoutTimestamp(t: Long): Unit = ()
-      override def setTimeoutTimestamp(t: Long, add: String): Unit = ()
-      override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
-      override def setTimeoutTimestamp(t: java.sql.Date, add: String): Unit = ()
-      override def getCurrentWatermarkMs(): Long = 0L
-      override def getCurrentProcessingTimeMs(): Long = 0L
-    }
+    def gev(ts: Long, kind: Int, on: Boolean, id: Long) =
+      GEventTs(1L, ts, kind, on, id, new java.sql.Timestamp(ts / 1000L))
+    val state = TestGroupState.create[GState](
+      org.apache.spark.api.java.Optional.empty(),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(0L),
+      hasTimedOut = false)
     val b1 = updateGate(1L, Iterator(
-      GEvent(1L, 50L, 0, on = true, -1L),
-      GEvent(1L, 120L, 1, on = false, 10L), // open: captured
-      GEvent(1L, 200L, 0, on = false, -1L)), state).toSeq
+      gev(50L, 0, on = true, -1L),
+      gev(120L, 1, on = false, 10L), // open: captured
+      gev(200L, 0, on = false, -1L)), state, idleTimeoutMs = 60000L).toSeq
     assert(b1.map(_.event_id) === Seq(10L))
     val b2 = updateGate(1L, Iterator(
-      GEvent(1L, 100L, 0, on = true, -1L), // stale replay, ts < lastCtl
-      GEvent(1L, 250L, 1, on = false, 11L)), state).toSeq
+      gev(100L, 0, on = true, -1L), // stale replay, ts < lastCtl
+      gev(250L, 1, on = false, 11L)), state, idleTimeoutMs = 60000L).toSeq
     assert(b2.isEmpty, s"stale control reopened the gate: $b2")
-    assert(store.get == GState(open = false, lastCtlUs = 200L))
+    assert(state.get == GState(open = false, lastCtlUs = 200L, lastUs = 250L))
     // tie AT the frontier across batches: a start@200 arriving after the
     // stop@200 merges start-wins — exactly the batch twin's same-instant
     // rule, not last-arrival-wins
     val b3 = updateGate(1L, Iterator(
-      GEvent(1L, 200L, 0, on = true, -1L),
-      GEvent(1L, 260L, 1, on = false, 12L)), state).toSeq
+      gev(200L, 0, on = true, -1L),
+      gev(260L, 1, on = false, 12L)), state, idleTimeoutMs = 60000L).toSeq
     assert(b3.map(_.event_id) === Seq(12L),
       "start@frontier must win the cross-batch tie like the batch fold")
-    assert(store.get == GState(open = true, lastCtlUs = 200L))
+    assert(state.get == GState(open = true, lastCtlUs = 200L, lastUs = 260L))
     // and the mirror order: a stop equal to an already-applied start's
     // frontier must NOT close the gate
     val b4 = updateGate(1L, Iterator(
-      GEvent(1L, 200L, 0, on = false, -1L),
-      GEvent(1L, 270L, 1, on = false, 13L)), state).toSeq
+      gev(200L, 0, on = false, -1L),
+      gev(270L, 1, on = false, 13L)), state, idleTimeoutMs = 60000L).toSeq
     assert(b4.map(_.event_id) === Seq(13L),
       "stop@frontier must not undo the tie-winning start")
+    // the idle reaper is armed at the newest event time + horizon
+    // (event-time micros → ms, clamped beyond the watermark)
+    assert(state.getTimeoutTimestampMs.get() === 270L / 1000L + 60000L)
+    // the timeout firing drops the quiet gate's state, emitting nothing
+    val st2 = TestGroupState.create[GState](
+      org.apache.spark.api.java.Optional.of(state.get),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 2000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(100000L),
+      hasTimedOut = true)
+    val reaped = updateGate(1L, Iterator.empty, st2, idleTimeoutMs = 60000L).toSeq
+    assert(reaped.isEmpty)
+    assert(st2.isRemoved, "quiet gate state must leave the store")
+  }
+
+  test("interval union stream: idle keys time out and leave the store") {
+    import graft.streaming.Monitor
+    import org.apache.spark.sql.streaming.TestGroupState
+    def iev(start: Long, end: Long) =
+      Monitor.IvEventTs(9L, start, end, new java.sql.Timestamp(start * 1000L))
+    val st = TestGroupState.create[Monitor.IvState](
+      org.apache.spark.api.java.Optional.empty(),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(0L),
+      hasTimedOut = false)
+    val out = Monitor.intervalUnionUpdate(9L,
+      Iterator(iev(100L, 200L), iev(150L, 260L)), st,
+      idleTimeoutMs = 60000L).toSeq
+    assert(out === Seq(Monitor.IvOut(9L, 2L, 160L)))
+    // reaper anchored at the newest interval START (the stream's time
+    // axis) + horizon, in ms
+    assert(st.getTimeoutTimestampMs.get() === 150L * 1000L + 60000L)
+    val st2 = TestGroupState.create[Monitor.IvState](
+      org.apache.spark.api.java.Optional.of(st.get),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 2000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(300000L),
+      hasTimedOut = true)
+    val reaped = Monitor.intervalUnionUpdate(9L, Iterator.empty, st2,
+      idleTimeoutMs = 60000L).toSeq
+    assert(reaped.isEmpty)
+    assert(st2.isRemoved, "quiet key state must leave the store")
   }
 
   test("gated capture into the maintained log: batch parity + replay idempotence") {
@@ -1966,24 +2080,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(evs.filter(_.kind == 0).map(e => e.ts_us -> e.on).toMap ===
       Map(100L -> true, 200L -> false, 300L -> true, 400L -> false),
       "NULL control must fold to on=false in the event union")
-    val store = new java.util.concurrent.atomic.AtomicReference[GatedCapture.GState](null)
-    val st = new org.apache.spark.sql.streaming.GroupState[GatedCapture.GState] {
-      override def exists: Boolean = store.get != null
-      override def get: GatedCapture.GState = store.get
-      override def getOption: Option[GatedCapture.GState] = Option(store.get)
-      override def update(x: GatedCapture.GState): Unit = store.set(x)
-      override def remove(): Unit = store.set(null)
-      override def hasTimedOut: Boolean = false
-      override def setTimeoutDuration(d: Long): Unit = ()
-      override def setTimeoutDuration(d: String): Unit = ()
-      override def setTimeoutTimestamp(t: Long): Unit = ()
-      override def setTimeoutTimestamp(t: Long, add: String): Unit = ()
-      override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
-      override def setTimeoutTimestamp(t: java.sql.Date, add: String): Unit = ()
-      override def getCurrentWatermarkMs(): Long = 0L
-      override def getCurrentProcessingTimeMs(): Long = 0L
-    }
-    val streamed = GatedCapture.updateGate(1L, evs.iterator, st)
+    val st = org.apache.spark.sql.streaming.TestGroupState.create[GatedCapture.GState](
+      org.apache.spark.api.java.Optional.empty(),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(0L),
+      hasTimedOut = false)
+    val streamed = GatedCapture.updateGate(1L,
+        evs.iterator.map(e => GatedCapture.GEventTs(e.gate, e.ts_us, e.kind,
+          e.on, e.event_id, new java.sql.Timestamp(e.ts_us / 1000L))), st)
       .map(_.event_id).toSet
     assert(streamed === got, "stream twin must capture the same rows past a NULL control")
   }
