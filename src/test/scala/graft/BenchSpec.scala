@@ -49,4 +49,19 @@ class BenchSpec extends AnyFunSuite {
     Files.write(junk, "not json at all".getBytes("UTF-8"))
     assert(Bench.prevCpuMedians(junk.toString) === Map.empty)
   }
+
+  test("cpu regression rule: >1.5x over prev with both medians above 2s, worst-first") {
+    val prev = Map("big_up" -> 10.0, "small_up" -> 0.5, "boundary" -> 4.0,
+      "down" -> 20.0, "new_key" -> 3.0, "just_over_floor" -> 2.5)
+    val cur = Map("big_up" -> 40.0,      // 4.0x, both > 2s: flagged
+      "small_up" -> 5.0,                 // 10x but prev 0.5 <= 2s: jitter, not flagged
+      "boundary" -> 6.0,                 // exactly 1.5x: NOT flagged (strictly greater)
+      "down" -> 5.0,                     // improvement: not flagged
+      "brand_new" -> 50.0,               // no prior: nothing to regress from
+      "just_over_floor" -> 4.0)          // 1.6x, both > 2s: flagged
+    val got = Bench.cpuRegressions(cur, prev)
+    assert(got === Seq("big_up" -> 4.0, "just_over_floor" -> 1.6))
+    assert(Bench.cpuRegressions(Map.empty, prev) === Seq.empty)
+    assert(Bench.cpuRegressions(cur, Map.empty) === Seq.empty)
+  }
 }
