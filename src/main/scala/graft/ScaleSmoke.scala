@@ -418,6 +418,29 @@ object ScaleSmoke {
         s"${r.getLong(2)} -> ${r.getLong(3)}")
     }
 
+    // the k-stage generalization at the same volume: FIVE chained stage
+    // minimums must still plan over ONE exchange+sort on user_id (k
+    // dependent Window operators, k longs of per-row state) — the cost
+    // of widening the funnel is expression work, not another shuffle.
+    time("funnel_5stage_full_volume") {
+      val ev5 = events.select(
+        col("event_id"), col("user_id"),
+        expr("element_at(array('signup','view','click','purchase','error'), " +
+          "cast(event_id % 5 as int) + 1)").as("event_type"),
+        (col("ts_sec") * 1000000L).as("ts_us"))
+      val plan = graft.ops.Analytics.funnelUsers(ev5,
+        Seq("signup", "view", "click", "purchase", "error"))
+        .queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges <= 1,
+        s"5-stage funnel must ride one user_id exchange, saw $exchanges")
+      val r = graft.ops.Analytics.funnel(ev5,
+        Seq("signup", "view", "click", "purchase", "error")).head()
+      println(s"[scale]   5-stage users ${r.getLong(0)} -> " +
+        (1 to 5).map(i => r.getLong(i)).mkString(" -> ") +
+        s" (window exchanges: $exchanges)")
+    }
+
     time("retention_cohorts") {
       val n = graft.ops.Analytics.retention(events.select(
         col("user_id"), (col("ts_sec") / 86400L).cast("long").as("day"))).count()

@@ -194,8 +194,16 @@ object RosTcp {
   // record on recovery.
   // ------------------------------------------------------------------
 
-  private[sources] def walFileName(topic: String): String =
-    topic.map(c => if (c.isLetterOrDigit) c else '_') + ".wal"
+  /** Sanitized name PLUS a digest of the raw topic: two distinct topics
+    * that sanitize alike (`/cmd/vel` vs `/cmd_vel`) must never share a
+    * WAL file — interleaved appends from two subscriber threads would
+    * corrupt both.
+    */
+  private[graft] def walFileName(topic: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(topic.getBytes(UTF_8)).take(4).map("%02x".format(_)).mkString
+    topic.map(c => if (c.isLetterOrDigit) c else '_') + "_" + digest + ".wal"
+  }
 
   /** Scan a WAL, returning (complete record count, byte length of those
     * records) — the recovery entry point; a partial tail is not counted.
@@ -343,12 +351,18 @@ object RosTcpOffset {
 }
 
 /** The live tail: one daemon subscriber thread per endpoint appends
-  * framed messages to its topic's WAL (write, flush, THEN publish the
-  * count — a planned batch end never exceeds durable data); reconnects
-  * with backoff while the query runs (a publisher restart is a capture
-  * hiccup, not a query failure). On construction each WAL recovers to
-  * its last complete record (a crash mid-append truncates the tail), so
-  * counts resume exactly where durability left off.
+  * framed messages to its topic's WAL (write, flush, fsync, THEN
+  * publish the count — a planned batch end never exceeds data that
+  * survives a power failure, so a checkpointed offset can always be
+  * replayed); reconnects with EXPONENTIAL backoff (200 ms doubling to
+  * 10 s) while the query runs — a publisher restart is a capture
+  * hiccup, not a query failure, and a PERMANENT refusal (typo'd topic:
+  * the publisher answers with an `error` header every time) decays to
+  * one attempt per 10 s instead of hammering the endpoint; the
+  * per-topic `failures` gauge makes a never-connecting endpoint
+  * observable. On construction each WAL recovers to its last complete
+  * record (a crash mid-append truncates the tail), so counts resume
+  * exactly where durability left off.
   */
 class RosTcpMicroBatchStream(endpoints: Seq[(String, String, Int)], walDir: String,
                              callerid: String, required: StructType)
@@ -360,7 +374,8 @@ class RosTcpMicroBatchStream(endpoints: Seq[(String, String, Int)], walDir: Stri
 
   private case class TopicWal(topic: String, file: java.io.File,
                               count: java.util.concurrent.atomic.AtomicLong,
-                              out: DataOutputStream)
+                              failures: java.util.concurrent.atomic.AtomicLong,
+                              fos: FileOutputStream, out: DataOutputStream)
 
   private val wals: Seq[TopicWal] = endpoints.map { case (topic, _, _) =>
     val f = new java.io.File(walDir, RosTcp.walFileName(topic))
@@ -370,9 +385,18 @@ class RosTcpMicroBatchStream(endpoints: Seq[(String, String, Int)], walDir: Stri
       val raf = new java.io.RandomAccessFile(f, "rw")
       try raf.setLength(goodBytes) finally raf.close()
     }
+    val fos = new FileOutputStream(f, true)
     TopicWal(topic, f, new java.util.concurrent.atomic.AtomicLong(n),
-      new DataOutputStream(new BufferedOutputStream(new FileOutputStream(f, true))))
+      new java.util.concurrent.atomic.AtomicLong(0L),
+      fos, new DataOutputStream(new BufferedOutputStream(fos)))
   }
+
+  /** Consecutive connect/handshake failures per topic — a liveness gauge
+    * (reset on every successful handshake); a misconfigured endpoint
+    * shows as a monotonically climbing count instead of silence.
+    */
+  def connectFailures: Map[String, Long] =
+    wals.map(w => w.topic -> w.failures.get()).toMap
 
   private val threads: Seq[Thread] = endpoints.zip(wals).map { case ((topic, host, port), wal) =>
     val t = new Thread(() => {
@@ -383,6 +407,7 @@ class RosTcpMicroBatchStream(endpoints: Seq[(String, String, Int)], walDir: Stri
           sock.connect(new InetSocketAddress(host, port), 10000)
           sockets.add(sock)
           RosTcp.subscribeHandshake(sock, topic, callerid)
+          wal.failures.set(0L)
           val in = new BufferedInputStream(sock.getInputStream)
           while (running) {
             val msg = RosTcp.readFrame(in)
@@ -392,11 +417,14 @@ class RosTcpMicroBatchStream(endpoints: Seq[(String, String, Int)], walDir: Stri
               wal.out.writeLong(recvUs)
               wal.out.write(msg)
               wal.out.flush()
+              wal.fos.getFD.sync() // durable before the count publishes
             }
             wal.count.incrementAndGet()
           }
         } catch {
-          case _: Exception if running => Thread.sleep(200) // reconnect backoff
+          case _: Exception if running =>
+            val n = wal.failures.incrementAndGet()
+            Thread.sleep(math.min(200L << math.min(n, 6L), 10000L))
           case _: Exception => ()
         } finally {
           if (sock != null) { sockets.remove(sock); try sock.close() catch { case _: Exception => () } }
@@ -517,20 +545,32 @@ class RosTcpPublisher(port: Int, topic: String,
     while (running) {
       try {
         val sock = server.accept()
-        val sub = RosTcp.readHeader(sock.getInputStream)
-        val out = sock.getOutputStream
-        if (!sub.get("topic").contains(topic)) {
-          out.write(RosTcp.encodeHeader(Seq(
-            "error" -> s"topic '$topic' only (asked ${sub.getOrElse("topic", "?")})")))
-          out.flush(); sock.close()
-        } else {
-          out.write(RosTcp.encodeHeader(Seq(
-            "callerid" -> callerid, "topic" -> topic,
-            "md5sum" -> md5sum, "type" -> msgType,
-            "latching" -> "0", "message_definition" -> "")))
-          out.flush()
-          conns.add(sock)
-        }
+        // handshake on its own thread with a read deadline: one silent
+        // or half-open client must never block the next subscriber
+        val h = new Thread(() => {
+          try {
+            sock.setSoTimeout(10000)
+            val sub = RosTcp.readHeader(sock.getInputStream)
+            val out = sock.getOutputStream
+            if (!sub.get("topic").contains(topic)) {
+              out.write(RosTcp.encodeHeader(Seq(
+                "error" -> s"topic '$topic' only (asked ${sub.getOrElse("topic", "?")})")))
+              out.flush(); sock.close()
+            } else {
+              out.write(RosTcp.encodeHeader(Seq(
+                "callerid" -> callerid, "topic" -> topic,
+                "md5sum" -> md5sum, "type" -> msgType,
+                "latching" -> "0", "message_definition" -> "")))
+              out.flush()
+              sock.setSoTimeout(0)
+              conns.add(sock)
+            }
+          } catch {
+            case _: Exception => try sock.close() catch { case _: Exception => () }
+          }
+        }, s"rostcp-pub-$topic-handshake")
+        h.setDaemon(true)
+        h.start()
       } catch { case _: Exception => () /* closed server ends the loop */ }
     }
   }, s"rostcp-pub-$topic")

@@ -55,6 +55,11 @@ object Funnel {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val k = stages.size
     val init = state.getOption.getOrElse(FState(Seq.fill(k)(Long.MaxValue)))
+    // a checkpoint carrying a DIFFERENT stage count must fail loudly,
+    // not index out of bounds or silently misalign stages
+    require(init.s.size == k,
+      s"funnel restarted with $k stages over state built for ${init.s.size} — " +
+        "recompute from batch instead of reusing the checkpoint")
     val s = init.s.toArray
     var lastUs = init.lastUs
     val stageOf = stages.zipWithIndex.toMap
@@ -83,6 +88,89 @@ object Funnel {
       arm()
       Iterator.single(FOut(userId, s.map(opt).toSeq))
     }
+  }
+
+  /** Conversion-window state: `l(j)` = LATEST stage-(j+1) conversion so
+    * far (the re-arming anchor, Long.MinValue = none), `u(j)` = FIRST
+    * conversion time (Long.MaxValue = none) — 2k longs per user.
+    */
+  case class WState(l: Seq[Long], u: Seq[Long], lastUs: Long = 0L)
+
+  /** Streaming twin of `Analytics.funnelUsersWindowed` (§2b 28ac''): a
+    * stage-j event converts iff the LATEST stage-(j−1) conversion so far
+    * is strictly earlier and at most `windowUs` before it, and the
+    * anchor RE-ARMS on every later previous-stage conversion — exactly
+    * the batch chained-running-max rule, folded per arrival. Emits the
+    * user's first-conversion times on progress (they only decrease —
+    * Update-monotone like [[updateKey]]); same ordering contract and
+    * idle reaper. After an in-order replay the final emission per user
+    * equals the batch operator row-for-row (spec-asserted).
+    */
+  def updateKeyWindowed(userId: Long, events: Iterator[FEventTs],
+                        state: GroupState[WState], stages: Seq[String],
+                        windowUs: Long,
+                        idleTimeoutMs: Long = 30L * 24 * 3600 * 1000): Iterator[FOut] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val k = stages.size
+    val init = state.getOption.getOrElse(
+      WState(Seq.fill(k)(Long.MinValue), Seq.fill(k)(Long.MaxValue)))
+    require(init.l.size == k && init.u.size == k,
+      s"windowed funnel restarted with $k stages over state built for ${init.l.size} — " +
+        "recompute from batch instead of reusing the checkpoint")
+    val l = init.l.toArray
+    val u = init.u.toArray
+    var lastUs = init.lastUs
+    val stageOf = stages.zipWithIndex.toMap
+    events.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      lastUs = math.max(lastUs, e.ts_us)
+      stageOf.get(e.event_type).foreach { i =>
+        if (i == 0) {
+          l(0) = math.max(l(0), e.ts_us)
+          u(0) = math.min(u(0), e.ts_us)
+        } else if (l(i - 1) != Long.MinValue && e.ts_us > l(i - 1) &&
+                   e.ts_us - l(i - 1) <= windowUs) {
+          l(i) = math.max(l(i), e.ts_us)
+          u(i) = math.min(u(i), e.ts_us)
+        }
+      }
+    }
+    def arm(): Unit = state.setTimeoutTimestamp(
+      math.max(lastUs / 1000L + idleTimeoutMs, state.getCurrentWatermarkMs + 1))
+    if (u.toSeq == init.u) {
+      // anchors may have re-armed without a new conversion — persist them
+      // (they gate FUTURE stages) but emit nothing
+      if (state.exists || l.toSeq != init.l) {
+        state.update(WState(l.toSeq, u.toSeq, lastUs))
+        arm()
+      }
+      Iterator.empty
+    } else {
+      state.update(WState(l.toSeq, u.toSeq, lastUs))
+      arm()
+      Iterator.single(FOut(userId, u.map(opt).toSeq))
+    }
+  }
+
+  /** Wire the conversion-window machine over a (possibly streaming)
+    * event set — [[stages]]'s windowed sibling.
+    */
+  def stagesWindowed(events: Dataset[FEvent], windowUs: Long,
+                     stageNames: Seq[String] = Seq("view", "click", "purchase"),
+                     idleTimeoutMs: Long = 30L * 24 * 3600 * 1000,
+                     lateness: String = "1 hour")
+                    (implicit spark: SparkSession): Dataset[FOut] = {
+    require(stageNames.size >= 2, "a funnel needs at least two stages")
+    require(stageNames.distinct == stageNames, "funnel stages must be distinct")
+    require(windowUs > 0)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    events.withColumn("ts", expr("timestamp_micros(ts_us)"))
+      .as[FEventTs]
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        (k: Long, it: Iterator[FEventTs], st: GroupState[WState]) =>
+          updateKeyWindowed(k, it, st, stageNames, windowUs, idleTimeoutMs))
   }
 
   /** Wire the stage machine over a (possibly streaming) event set; the

@@ -906,12 +906,21 @@ object Monitor {
     * state store versions with the checkpoint) and rewrites only its own
     * `__batch_id` partition. Read the captured log with [[readLog]];
     * [[compactLog]] applies like every maintained log here.
+    *
+    * `lateness` bounds cross-GATE event-time disorder: the watermark is
+    * GLOBAL, so a gate whose feed lags another gate's event time by more
+    * than this is dropped by the stateful operator's late-row filter
+    * before the machine sees it — widen it (and `idleTimeoutMs`, the
+    * idle-gate reaper horizon) to the deployment's real skew instead of
+    * bypassing the API.
     */
   def captureGatedToLog(rows: org.apache.spark.sql.Dataset[GatedCapture.GEvent],
                         path: String, checkpoint: String,
-                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+                        trigger: Trigger = Trigger.AvailableNow(),
+                        idleTimeoutMs: Long = 30L * 24 * 3600 * 1000,
+                        lateness: String = "1 hour"): StreamingQuery = {
     implicit val spark: org.apache.spark.sql.SparkSession = rows.sparkSession
-    GatedCapture.gatedStream(rows).toDF()
+    GatedCapture.gatedStream(rows, idleTimeoutMs, lateness).toDF()
       .writeStream
       .outputMode("update") // the gate machine declares Update; rows never retract
       .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
@@ -1303,16 +1312,20 @@ object Monitor {
     * ordered by interval START (the sweep's sort key) — same per-key
     * event-time discipline as every machine here; within a batch rows
     * sort locally. Emits each touched key's RUNNING (n_intervals,
-    * covered_sec) per batch — Update semantics, later batches revise
-    * monotonically upward — and after a full in-order replay the last
-    * emission per key equals the batch operator row-for-row
-    * (spec-asserted).
+    * covered_sec) per batch — Update semantics; WHILE a key's state
+    * lives, later batches only revise it upward, and after a full
+    * in-order replay the last emission per key equals the batch
+    * operator row-for-row (spec-asserted).
     *
     * Keys (devices, users) are an unbounded domain, so a key quiet for
     * `idleTimeoutMs` of EVENT time leaves the store — the funnel's
     * watermark-driven idle reaper; its last emitted running totals
-    * already stand, and a late return restarts the sweep from an empty
-    * frontier (recovered exactly by the order-free batch recompute).
+    * already stand, and a late return RESTARTS the sweep from an empty
+    * frontier, so the first post-reap emission is a fresh (small) total,
+    * not a continuation — a last-value-per-key consumer that needs
+    * lifetime totals across idle gaps must fold emissions (sum of
+    * per-epoch finals) or use the order-free batch recompute, which is
+    * exact across any gap.
     */
   def intervalUnionUpdate(key: Long, events: Iterator[IvEventTs],
       state: org.apache.spark.sql.streaming.GroupState[IvState],

@@ -66,6 +66,14 @@ class RosTcpSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](RosTcpSource.parseEndpoints("nonsense"))
   }
 
+  test("distinct topics never share a WAL file, even when they sanitize alike") {
+    // '/cmd/vel' and '/cmd_vel' both sanitize to _cmd_vel — the digest
+    // suffix keeps two subscriber threads off one file
+    assert(RosTcp.walFileName("/cmd/vel") !== RosTcp.walFileName("/cmd_vel"))
+    assert(RosTcp.walFileName("/chatter") === RosTcp.walFileName("/chatter"),
+      "deterministic across restarts — recovery depends on it")
+  }
+
   test("WAL scan counts whole records only — a partial tail is recovery, not data") {
     val dir = Files.createTempDirectory("graft_wal").toFile
     val f = new java.io.File(dir, "t.wal")

@@ -1347,6 +1347,28 @@ class StreamingSpec extends AnyFunSuite {
       s"$ckpt/c2", framesPath = Some(s"$dir/frames"))
     try q2.awaitTermination(120000) finally q2.stop()
     assert(frames() === direct, "replay must not change the frames log")
+
+    // with the external seam CONFIGURED, the same ingest door also pays
+    // inter-coded decode once: the avc1 asset now lands stub-decoded
+    // frame rows in a fresh frames log
+    val script = Files.createTempDirectory("graft_vf_dec").resolve("decoder.sh")
+    Files.write(script,
+      ("#!/bin/bash\ncat >/dev/null\n" +
+        "printf '\\x00\\x00\\x00\\x00\\x00\\x00\\x00\\x02\\x00\\x00\\x00\\x02\\x00\\x00\\x00\\x04'\n" +
+        "printf '\\x00\\x40\\x80\\xc0'\n").getBytes("UTF-8"))
+    script.toFile.setExecutable(true)
+    spark.conf.set("spark.graft.video.decoder", script.toString)
+    try {
+      val input3 = MemoryStream[Asset]
+      input3.addData(all.filter(_.asset_id == 3L): _*)
+      val q3 = Monitor.maintainAssetFeatures(input3.toDF(), s"$dir/log2",
+        s"$ckpt/c3", framesPath = Some(s"$dir/frames2"))
+      try q3.awaitTermination(120000) finally q3.stop()
+      val seamRows = Monitor.readVideoFrameFeatures(spark, s"$dir/frames2")
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      assert(seamRows.toSeq === Seq((3L, 0)),
+        "configured seam: the inter-coded asset decodes at the ingest door")
+    } finally spark.conf.unset("spark.graft.video.decoder")
   }
 
   test("maintained cell index routes vectors at ingest and probes partition-prune") {
@@ -1825,6 +1847,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "fixture must reach stage 1")
     // deep stages are actually exercised on this fixture
     assert(batch.values.exists(_.apply(3).nonEmpty), "some user reaches stage 4")
+  }
+
+  test("streaming windowed funnel equals the batch conversion-window fold") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Funnel
+    val W = 24L * 3600 * 1000000L // the oracled 24h window — binding on this fixture
+    val batchEv = Tables.events(spark, sf).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    val all = batchEv.collect().map(r => Funnel.FEvent(
+        r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("ts_us")))
+      .sortBy(e => (e.ts_us, e.event_id))
+    val input = MemoryStream[Funnel.FEvent]
+    val q = Funnel.stagesWindowed(input.toDS(), W)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnelw_out").start()
+    try {
+      all.grouped((all.length + 2) / 3).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("funnelw_out")
+      .groupBy("user_id")
+      .agg(min(element_at(col("us"), 1)).as("u1"),
+        min(element_at(col("us"), 2)).as("u2"),
+        min(element_at(col("us"), 3)).as("u3"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    val batch = graft.ops.Analytics.funnelUsersWindowed(batchEv, W)
+      .filter(col("u1").isNotNull).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(streamed === batch,
+      "windowed stream machine must equal the batch running-max fold")
+    assert(batch.values.exists(_._3.nonEmpty), "stage 3 conversions exist")
+    // the window BINDS on this fixture: the unbounded funnel admits
+    // conversions the 24h rule rejects
+    val unbounded = graft.ops.Analytics.funnelUsers(batchEv)
+      .filter(col("u3").isNotNull).count()
+    assert(batch.count(_._2._3.nonEmpty) < unbounded)
   }
 
   test("streaming gated capture equals the batch interval filter") {
