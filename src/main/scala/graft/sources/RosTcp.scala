@@ -265,10 +265,24 @@ class RosTcpSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new RosTcpTable(RosTcpSource.parseEndpoints(opts.get("endpoints")),
+    val callerid = opts.getOrDefault("callerid", "/graft")
+    // explicit endpoints (masterless static peers), or the two-hop ROS
+    // master resolution (registerSubscriber → requestTopic) at query start
+    val endpoints = Option(opts.get("endpoints"))
+      .map(RosTcpSource.parseEndpoints)
+      .orElse(Option(opts.get("master")).map { m =>
+        val topics = Option(opts.get("topics")).getOrElse(
+          throw new IllegalArgumentException(
+            "rostcp with option master also requires option topics"))
+        RosMaster.resolveEndpoints(m, callerid,
+          topics.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      })
+      .getOrElse(throw new IllegalArgumentException(
+        "rostcp requires option endpoints, or master + topics"))
+    new RosTcpTable(endpoints,
       Option(opts.get("walDir")).getOrElse(
         throw new IllegalArgumentException("rostcp requires option walDir")),
-      opts.getOrDefault("callerid", "/graft"))
+      callerid)
   }
 }
 

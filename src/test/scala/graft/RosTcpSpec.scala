@@ -179,6 +179,82 @@ class RosTcpSpec extends AnyFunSuite {
       "snapshot trees must hold decoded payloads")
   }
 
+  test("master discovery: the two-hop XML-RPC resolution against a stub master") {
+    import graft.sources.RosMaster
+    // XML-RPC codec first: encode is byte-stable, decode covers the
+    // [code, msg, value] shapes the two ROS calls return
+    val call = RosMaster.encodeCall("requestTopic",
+      Seq("/graft", "/chatter", Seq(Seq("TCPROS"))))
+    assert(call.contains("<methodName>requestTopic</methodName>"))
+    assert(call.contains(
+      "<value><array><data><value><array><data><value><string>TCPROS</string>"))
+    // stub master + publisher-slave on ONE JDK http server, speaking the
+    // documented protocol bytes (the deployment drop-in is a real roscore)
+    val pub = new RosTcpPublisher(0, "/chatter")
+    val http = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("localhost", 0), 0)
+    def respond(ex: com.sun.net.httpserver.HttpExchange, inner: String): Unit = {
+      val body = ("<?xml version=\"1.0\"?><methodResponse><params><param>" +
+        inner + "</param></params></methodResponse>").getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body); ex.close()
+    }
+    http.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val req = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      if (req.contains("<methodName>registerSubscriber</methodName>") &&
+          req.contains("<string>/chatter</string>")) {
+        respond(ex, "<value><array><data><value><i4>1</i4></value>" +
+          "<value><string>ok</string></value><value><array><data>" +
+          s"<value><string>http://localhost:${http.getAddress.getPort}/slave</string></value>" +
+          "</data></array></value></data></array></value>")
+      } else if (req.contains("<methodName>registerSubscriber</methodName>")) {
+        respond(ex, "<value><array><data><value><i4>0</i4></value>" +
+          "<value><string>unknown topic</string></value>" +
+          "<value><array><data></data></array></value></data></array></value>")
+      } else if (req.contains("<methodName>requestTopic</methodName>")) {
+        respond(ex, "<value><array><data><value><i4>1</i4></value>" +
+          "<value><string>ok</string></value><value><array><data>" +
+          "<value><string>TCPROS</string></value>" +
+          "<value><string>localhost</string></value>" +
+          s"<value><i4>${pub.boundPort}</i4></value>" +
+          "</data></array></value></data></array></value>")
+      } else respond(ex, "<value><array><data><value><i4>-1</i4></value>" +
+        "<value><string>unknown method</string></value>" +
+        "<value><i4>0</i4></value></data></array></value>")
+    })
+    http.start()
+    try {
+      val master = s"http://localhost:${http.getAddress.getPort}"
+      assert(RosMaster.resolveEndpoints(master, "/graft", Seq("/chatter")) ===
+        Seq(("/chatter", "localhost", pub.boundPort)))
+      // a non-1 code surfaces the master's own message, never a misparse
+      val e = intercept[java.io.IOException](
+        RosMaster.registerSubscriber(master, "/graft", "/no_such_topic"))
+      assert(e.getMessage.contains("unknown topic"))
+      // end-to-end: the SOURCE resolves through the master option and
+      // captures live frames — no endpoints option anywhere
+      val wal = Files.createTempDirectory("graft_master_wal").toString
+      val q = spark.readStream.format("rostcp")
+        .option("master", master).option("topics", "/chatter")
+        .option("walDir", wal).load()
+        .writeStream.format("memory").queryName("master_out")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_master_ck").toString + "/c")
+        .start()
+      try {
+        eventually() { assert(pub.connected >= 1) }
+        pub.publish(RosTcp.encodeStdString("via-master"))
+        eventually() {
+          q.processAllAvailable()
+          assert(spark.table("master_out").count() === 1L)
+        }
+        val row = spark.table("master_out").collect().head
+        assert(row.getAs[String]("topic") === "/chatter")
+        assert(RosTcp.decodeStdString(row.getAs[Array[Byte]]("raw")) === "via-master")
+      } finally q.stop()
+    } finally { http.stop(0); pub.close() }
+  }
+
   test("publish stream: a stub subscriber round-trips republished frames in order") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
