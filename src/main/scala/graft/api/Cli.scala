@@ -170,8 +170,91 @@ object RunScenario {
     dest
   }
 
+  /** LIVE collection — the reference's actual operational mode
+    * (`run_scenario.py` subscribes to the scenario's topics and saves as
+    * it goes): the TCPROS source feeds the scenario's collection method
+    * end-to-end, exactly-once into the destination log.
+    *
+    * Wire flags: `--endpoints topic=host:port;…` (masterless), or
+    * `--master http://host:11311` with topics taken from the scenario
+    * itself (data tree + watch/control topics — what rospy would
+    * subscribe); `--wal_dir` (default `<dest>@wal`), `--checkpoint`
+    * (default `<dest>@ckpt`). Methods: `timer` composes the per-tick
+    * snapshot tree (`SubscriberTree`, tick = `timer_delay`); `event`
+    * captures the watched topic's rows; `action_server_video` gates the
+    * watched topic through the control topic's start/stop messages
+    * (the streaming gate machine); anything else captures every row.
+    * Returns the running query — `main` blocks on it, specs drain it.
+    */
+  def live(spark: SparkSession, args: Array[String])
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val flags = Cli.parseArgs(args)
+    val sc = Scenario.parseFile(Cli.required(flags, "run_scenario", "scenario_file"))
+    val dest = Cli.destination(sc, flags)
+    implicit val s: SparkSession = spark
+    val walDir = flags.getOrElse("wal_dir", s"$dest@wal")
+    val checkpoint = flags.getOrElse("checkpoint", s"$dest@ckpt")
+    val trigger = org.apache.spark.sql.streaming.Trigger
+      .ProcessingTime(flags.getOrElse("trigger_ms", "500").toLong)
+    val reader0 = spark.readStream.format("rostcp")
+      .option("walDir", walDir)
+      .option("callerid", flags.getOrElse("callerid", "/graft"))
+    val reader = flags.get("endpoints") match {
+      case Some(e) => reader0.option("endpoints", e)
+      case None =>
+        val topics = (sc.data.values.toSeq ++
+          sc.collection.get("watch_topic") ++
+          sc.collection.get("action_server_name")).distinct
+        reader0.option("master", Cli.required(flags, "run_scenario live", "master"))
+          .option("topics", topics.mkString(","))
+    }
+    val msgs = reader.load().select(
+      lit(sc.context).as("session"), col("topic"), col("seq"), col("recv_us"),
+      (col("recv_us") / lit(1000000L)).cast("long").as("ts_sec"),
+      graft.sources.RosTcp.stdStringCol(col("raw")).as("payload"))
+    def stamped(df: DataFrame): DataFrame =
+      graft.model.Documents.stampMeta(df, col("seq"), col("session"),
+        expr("timestamp_micros(recv_us)"))
+    sc.collection("method") match {
+      case "timer" =>
+        val tick = math.max(1L,
+          sc.collection.getOrElse("timer_delay", "1").toDouble.toLong)
+        val byName = sc.data.map { case (name, topic) =>
+          name -> msgs.filter(col("topic") === topic)
+            .select("session", "ts_sec", "payload")
+        }
+        graft.streaming.Monitor.captureExactlyOnce(
+          graft.streaming.SubscriberTree.compose(byName, tick).toDF(),
+          dest, checkpoint, trigger)
+      case "event" =>
+        graft.streaming.Monitor.captureExactlyOnce(
+          stamped(msgs.filter(col("topic") === sc.collection("watch_topic"))),
+          dest, checkpoint, trigger)
+      case "action_server_video" =>
+        // one global gate, exactly the batch replay path's shape
+        val control = msgs
+          .filter(col("topic") === sc.collection("action_server_name"))
+          .select(lit(0L).as("g"), col("recv_us").as("ts_us"),
+            col("payload").as("msg"), col("seq"))
+        val data = msgs.filter(col("topic") === sc.collection("watch_topic"))
+          .select(lit(0L).as("g"), col("recv_us").as("ts_us"), col("seq"))
+        graft.streaming.Monitor.captureGatedToLog(
+          graft.streaming.GatedCapture.gatedEvents(
+            control, data, col("g"), col("ts_us"), col("msg"), col("seq")),
+          dest, checkpoint, trigger)
+      case _ => // timer-less action_server etc.: every arrival is a save
+        graft.streaming.Monitor.captureExactlyOnce(stamped(msgs), dest,
+          checkpoint, trigger)
+    }
+  }
+
   def main(args: Array[String]): Unit =
-    Cli.withSession("graft_run_scenario") { spark => run(spark, args); () }
+    Cli.withSession("graft_run_scenario") { spark =>
+      val flags = Cli.parseArgs(args)
+      if (flags.contains("endpoints") || flags.contains("master"))
+        live(spark, args).awaitTermination()
+      else { run(spark, args); () }
+    }
 }
 
 /** `run_monitoring` — parameters as `scripts/run_monitoring.py:17-21`:

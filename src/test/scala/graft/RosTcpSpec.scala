@@ -255,6 +255,47 @@ class RosTcpSpec extends AnyFunSuite {
     } finally { http.stop(0); pub.close() }
   }
 
+  test("run_scenario live: timer scenario subscribes, snapshots, and captures") {
+    // the reference's operational loop end-to-end: scenario file → live
+    // TCPROS subscription → per-tick snapshot tree → exactly-once log
+    val dir = Files.createTempDirectory("graft_live_sc")
+    val dest = s"$dir/out"
+    val scenario = dir.resolve("live.yaml")
+    Files.write(scenario,
+      (s"""context: "live_capture"
+          |storage:
+          |  method: "filesystem"
+          |  location: "$dest"
+          |collection:
+          |  method: "timer"
+          |  timer_delay: 1
+          |data:
+          |  chatter: "/chatter"
+          |""").stripMargin.getBytes("UTF-8"))
+    val pub = new RosTcpPublisher(0, "/chatter")
+    val q = graft.api.RunScenario.live(spark, Array(
+      "--scenario_file", scenario.toString,
+      "--endpoints", s"/chatter=localhost:${pub.boundPort}"))
+    try {
+      eventually() { assert(pub.connected >= 1) }
+      // each sleep crosses at least one 1s tick boundary, so the NEXT
+      // message fires the elapsed ticks' snapshots (SubscriberTree rule)
+      pub.publish(RosTcp.encodeStdString("m0")); Thread.sleep(1200)
+      pub.publish(RosTcp.encodeStdString("m1")); Thread.sleep(1200)
+      pub.publish(RosTcp.encodeStdString("m2"))
+      eventually() {
+        q.processAllAvailable()
+        assert(graft.streaming.Monitor.readLog(spark, dest).count() >= 2L)
+      }
+    } finally { q.stop(); pub.close() }
+    val snaps = graft.streaming.Monitor.readLog(spark, dest).collect()
+    assert(snaps.forall(_.getAs[String]("session") === "live_capture"))
+    val trees = snaps.map(_.getAs[Map[String, String]]("tree"))
+    assert(trees.forall(t => t.keySet === Set("chatter")))
+    assert(trees.flatMap(_.values).toSet.subsetOf(Set("m0", "m1", "m2")),
+      "snapshot trees hold the decoded latest message per topic")
+  }
+
   test("publish stream: a stub subscriber round-trips republished frames in order") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
