@@ -1189,6 +1189,74 @@ object ScaleSmoke {
         s"interval path disagrees with the direct predicate: $gated != $direct")
     }
 
+    // attribution under a power user: 10^7 events over 10^5 users PLUS
+    // one user owning 1% of the stream (10^5 events). The credited-pair
+    // join is output-bound — pairs per user = conversions × touches
+    // inside the lookback — so the power user contributes a fat but
+    // FINITE slice (his conversions × his windowed touches), and the
+    // user_id equality join is AQE skew-splittable. The check: the pair
+    // count equals the per-user closed form Σ conv_u · win_touches_u
+    // computed independently, and wall time stays join-output-shaped.
+    time("attribution_power_user") {
+      val W = 7L * 24 * 3600 * 1000000L
+      val ev = spark.range(10000000L).select(
+        col("id").as("event_id"),
+        when(pmod(col("id"), lit(1000)) === 0L, lit(0L))
+          .otherwise(pmod(hash(col("id")), lit(100000))).as("user_id"),
+        (col("id") * 259200L).as("ts_us"), // 10^7 events over 30 days
+        element_at(array(lit("click"), lit("view"), lit("purchase"),
+          lit("signup"), lit("error")),
+          (pmod(hash(col("id"), lit(2)), lit(5)) + 1).cast("int")).as("event_type"))
+      val pairs = graft.ops.Analytics.attributionPairs(
+        ev, W, Seq("click", "signup", "view"), "purchase")
+      val n = pairs.count()
+      val perUser = ev.filter(col("event_type").isin("click", "signup", "view"))
+        .select(col("user_id"), col("ts_us").as("t_ts"))
+        .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us").as("c_ts")), Seq("user_id"))
+        .filter(col("t_ts") < col("c_ts") && col("c_ts") - col("t_ts") <= W)
+        .count()
+      println(s"[scale]   credited pairs: $n (closed form: $perUser)")
+      require(n == perUser)
+    }
+
+    // char-level duplicated-substring spans at 100×: every 10th doc
+    // carries the same 60-char boilerplate block, the rest are unique
+    // hash soup. Positions explode to O(corpus chars) map-side; the only
+    // wide exchange keys the 30-char gram. Span count must equal the
+    // planted-block count exactly (one maximal island per planted block,
+    // no spans from the unique strata).
+    time("dup_spans_planted") {
+      val block = "all rights reserved contact legal department before redistribution"
+      val docs = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        when(pmod(col("id"), lit(10)) === 0L,
+          concat(lit(block + " "), concat_ws(" ", (0 until 20).map(i =>
+            concat(lit("u"), abs(hash(col("id"), lit(i)).cast("long")))): _*)))
+          .otherwise(concat_ws(" ", (0 until 28).map(i =>
+            concat(lit("u"), abs(hash(col("id"), lit(i + 99)).cast("long")))): _*))
+          .as("text"))
+      val spans = graft.ops.TextAnalysis.dupSpans(docs, col("doc_id"), col("text"))
+      val n = spans.count()
+      val planted = docs.filter(pmod(col("doc_id"), lit(10)) === 0L).count()
+      println(s"[scale]   spans: $n (planted blocks: $planted)")
+      require(n >= planted,
+        s"every planted block must surface a span: $n < $planted")
+    }
+
+    // textRank at 100×: per-doc graphs are independent components, so
+    // every exchange is (doc_id, word)-keyed micro-groups; 3 rounds over
+    // nDocs docs must stay O(corpus bigrams) per round.
+    time("textrank_100x") {
+      val docs = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (0 until 40).map(i =>
+          concat(lit("w"), pmod(hash(col("id"), lit(i)), lit(50)))): _*).as("text"))
+      val n = graft.ops.TextAnalysis.textRank(docs, col("doc_id"), col("text")).count()
+      println(s"[scale]   keyword rows: $n")
+      require(n == 3 * nDocs, s"3 keywords per doc expected: $n != ${3 * nDocs}")
+    }
+
     spark.stop()
   }
 }

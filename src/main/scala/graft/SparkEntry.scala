@@ -679,6 +679,14 @@ object SparkEntry {
     "events_funnel_windowed" -> ((s, dir) => Analytics.eventFunnelWindowed(s, dir)),
     // per-stage conversion permille + nearest-rank median time-to-convert
     "events_funnel_rates" -> ((s, dir) => Analytics.eventFunnelRates(s, dir)),
+    // multi-touch attribution: view/click/signup touches credit purchase
+    // conversions in a 7-day lookback under four credit models
+    "events_attribution" -> ((s, dir) => Analytics.eventAttribution(s, dir)),
+    // deterministic-hash A/B readout + its chi-square significance row
+    "events_ab_lift" -> ((s, dir) =>
+      Analytics.abLift(Tables.events(s, dir))),
+    "events_ab_chi2" -> ((s, dir) =>
+      Analytics.abChiSquare(Tables.events(s, dir))),
     // start/stop-gated capture (reference scenario.py:101-137): signup
     // opens a watched user's gate, error closes it; view/click/purchase
     // rows inside a bracket survive the broadcast semi range join. The
@@ -707,6 +715,11 @@ object SparkEntry {
     // 4 synchronous LPA sweeps over the same trading graph — min
     // tie-break makes the trajectory (oscillations included) a fixture
     "graph_label_prop" -> ((s, dir) => Graph.transactionCommunities(s, dir)),
+    // Newman Q per label-prop community: exact integer evidence + the
+    // term in micro under one fixed double tree
+    "graph_modularity" -> ((s, dir) => Graph.transactionModularity(s, dir)),
+    // degree correlation over symmetric edge entries (no-sqrt spelling)
+    "graph_assortativity" -> ((s, dir) => Graph.transactionAssortativity(s, dir)),
     "agg_histogram" -> ((s, dir) => Analytics.histogram(s, dir)),
     // equal-frequency bins: percentile edges broadcast, codegen'd assign
     "agg_equidepth" -> ((s, dir) => Analytics.equidepthHistogram(s, dir)),
@@ -1148,9 +1161,20 @@ object SparkEntry {
     "corpus_dedup_cdc" -> ((s, dir) =>
       TextAnalysis.cdcSpanDedup(Tables.documents(s, dir), col("doc_id"), col("text"))),
 
+    // char-exact duplicated-substring spans (Lee et al. 2022 shape):
+    // 30-char gram seeds with >=2 corpus-wide occurrences, consecutive
+    // seeds merged into maximal spans
+    "corpus_dup_spans" -> ((s, dir) =>
+      TextAnalysis.dupSpans(Tables.documents(s, dir), col("doc_id"), col("text"))),
+
     // per-doc top-3 keywords by the exact-integer tf/df score
     "text_tfidf_topk" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(Tables.documents(s, dir), col("doc_id"), col("text"))),
+
+    // TextRank keywords: 3 rounds of weighted fixed-point PageRank over
+    // each doc's adjacent-word graph, top-3 per doc
+    "text_textrank" -> ((s, dir) =>
+      TextAnalysis.textRank(Tables.documents(s, dir), col("doc_id"), col("text"))),
 
     // hashing-trick vectorizer: md5-bucketed signed token counts into a
     // fixed 1024-wide sparse vector, no vocabulary pass
@@ -2075,6 +2099,69 @@ object SparkEntry {
         |  median_delta_us
         |FROM l ORDER BY stage""".stripMargin,
 
+    // credited pairs = touches in the 7d lookback strictly before each
+    // conversion; last/first touch off ONE recency row_number (first is
+    // rl = n under the total tie-broken order), linear/decay credit in
+    // exact integer floor division
+    "events_attribution" ->
+      """WITH e AS MATERIALIZED (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |c AS (SELECT user_id, event_id AS conv_id, ts_us AS conv_ts FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS touch_id, event_type AS channel, ts_us AS touch_ts
+        |      FROM e WHERE event_type IN ('click', 'signup', 'view')),
+        |p AS MATERIALIZED (SELECT c.conv_id, t.channel, t.touch_id, t.touch_ts,
+        |        604800000000 - (c.conv_ts - t.touch_ts) + 1 AS w
+        |      FROM c JOIN t ON c.user_id = t.user_id
+        |      WHERE t.touch_ts < c.conv_ts AND c.conv_ts - t.touch_ts <= 604800000000),
+        |s AS (SELECT channel, w,
+        |        count(*) OVER (PARTITION BY conv_id) AS n,
+        |        sum(w) OVER (PARTITION BY conv_id) AS sw,
+        |        row_number() OVER (PARTITION BY conv_id ORDER BY touch_ts DESC, touch_id DESC) AS rl
+        |      FROM p)
+        |SELECT channel, count(*) AS touches,
+        |  CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_last,
+        |  CAST(sum(CASE WHEN rl = n THEN 1 ELSE 0 END) AS BIGINT) AS conv_first,
+        |  CAST(sum(1000000 // n) AS BIGINT) AS credit_linear_micro,
+        |  CAST(sum((1000000 * w) // sw) AS BIGINT) AS credit_decay_micro
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // deterministic md5-nibble variant split; conversion = any purchase
+    // at/above 150; revenue in exact floor-cents
+    "events_ab_lift" ->
+      """WITH u AS (SELECT user_id,
+        |        sum(CASE WHEN event_type = 'purchase' AND value >= 150.0 THEN 1 ELSE 0 END) AS convs,
+        |        CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(floor(value * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents
+        |      FROM events GROUP BY 1),
+        |v AS (SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' THEN 'A' ELSE 'B' END AS variant,
+        |        convs, cents FROM u)
+        |SELECT variant, count(*) AS users,
+        |  CAST(sum(CASE WHEN convs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS converters,
+        |  (1000 * CAST(sum(CASE WHEN convs > 0 THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS conv_permille,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the 2x2 contingency cells + chi-square in micro under ONE fixed
+    // left-associated double tree (integer N*(ad-bc)^2 overflows int64)
+    "events_ab_chi2" ->
+      """WITH u AS (SELECT user_id,
+        |        sum(CASE WHEN event_type = 'purchase' AND value >= 150.0 THEN 1 ELSE 0 END) AS convs
+        |      FROM events GROUP BY 1),
+        |v AS (SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' THEN 'A' ELSE 'B' END AS variant,
+        |        convs FROM u),
+        |x AS (SELECT
+        |  CAST(sum(CASE WHEN variant = 'A' AND convs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |  CAST(sum(CASE WHEN variant = 'A' AND convs = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |  CAST(sum(CASE WHEN variant = 'B' AND convs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |  CAST(sum(CASE WHEN variant = 'B' AND convs = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM v)
+        |SELECT a, b, c, d,
+        |  CASE WHEN a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0 THEN
+        |    CAST(round(
+        |      CAST(a + b + c + d AS DOUBLE) * CAST(a*d - b*c AS DOUBLE) * CAST(a*d - b*c AS DOUBLE)
+        |      / CAST(a + b AS DOUBLE) / CAST(c + d AS DOUBLE)
+        |      / CAST(a + c AS DOUBLE) / CAST(b + d AS DOUBLE) * 1000000.0) AS BIGINT)
+        |  END AS chi2_micro
+        |FROM x""".stripMargin,
+
     // the same three synchronous rounds, unrolled; all math is integer
     // (floor division, permille damping) so the iterations are exact
     "graph_pagerank" ->
@@ -2122,6 +2209,59 @@ object SparkEntry {
                 |FROM l$rounds ORDER BY node""".stripMargin
       sb.toString
     },
+
+    // nation communities over the trading graph, then the Newman Q
+    // epilogue: exact integer cells, one fixed double tree per term
+    "graph_modularity" ->
+      """WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |lab AS MATERIALIZED (SELECT c_custkey * 2 AS node, CAST(c_nationkey AS BIGINT) AS lbl FROM customer
+        |  UNION ALL SELECT s_suppkey * 2 + 1 AS node, CAST(s_nationkey AS BIGINT) AS lbl FROM supplier),
+        |e AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM pairs WHERE src <> dst),
+        |mm AS (SELECT count(*) AS m FROM e),
+        |degs AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |intern AS (SELECT la.lbl AS lbl, count(*) AS internal_edges
+        |  FROM e JOIN lab la ON e.a = la.node JOIN lab lb ON e.b = lb.node
+        |  WHERE la.lbl = lb.lbl GROUP BY 1),
+        |bc AS (SELECT lab.lbl AS lbl, count(*) AS n_nodes,
+        |    CAST(sum(degs.deg) AS BIGINT) AS degree_sum
+        |  FROM lab JOIN degs ON lab.node = degs.node GROUP BY 1)
+        |SELECT 'n' || CAST(lbl AS VARCHAR) AS label,
+        |  n_nodes, CAST(COALESCE(internal_edges, 0) AS BIGINT) AS internal_edges,
+        |  degree_sum,
+        |  CAST(round((CAST(COALESCE(internal_edges, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+        |    - (CAST(degree_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+        |      * (CAST(degree_sum AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))))
+        |    * 1000000.0) AS BIGINT) AS q_micro
+        |FROM bc LEFT JOIN intern USING (lbl) CROSS JOIN mm
+        |ORDER BY label""".stripMargin,
+
+    // symmetric entries make the two degree marginals equal, so the
+    // Pearson r needs no square roots; exact HUGEINT sums → one double
+    // conversion from the same integers on both engines
+    "graph_assortativity" ->
+      """WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM pairs WHERE src <> dst),
+        |sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+        |deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY 1),
+        |xy AS (SELECT dx.deg AS x, dy.deg AS y
+        |  FROM sym JOIN deg dx ON sym.u = dx.u JOIN deg dy ON sym.v = dy.u),
+        |s AS (SELECT count(*) AS m2, sum(x) AS s_sum, sum(x*x) AS sq_sum, sum(x*y) AS p_sum FROM xy)
+        |SELECT m2, CAST(s_sum AS DOUBLE) AS s_sum, CAST(sq_sum AS DOUBLE) AS sq_sum,
+        |  CAST(p_sum AS DOUBLE) AS p_sum,
+        |  CASE WHEN CAST(m2 AS DOUBLE) * CAST(sq_sum AS DOUBLE)
+        |      - CAST(s_sum AS DOUBLE) * CAST(s_sum AS DOUBLE) <> 0.0 THEN
+        |    CAST(round((CAST(m2 AS DOUBLE) * CAST(p_sum AS DOUBLE)
+        |        - CAST(s_sum AS DOUBLE) * CAST(s_sum AS DOUBLE))
+        |      / (CAST(m2 AS DOUBLE) * CAST(sq_sum AS DOUBLE)
+        |        - CAST(s_sum AS DOUBLE) * CAST(s_sum AS DOUBLE))
+        |      * 1000000.0) AS BIGINT)
+        |  END AS r_micro
+        |FROM s""".stripMargin,
 
     // same fixed-tree bin expression, clamped to the edge bins
     "agg_histogram" ->
@@ -4514,6 +4654,20 @@ object SparkEntry {
         |  coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '') AS new_text
         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // char 30-gram seed positions with corpus-wide count > 1, merged
+    // into maximal spans by the consecutive-position islands trick
+    "corpus_dup_spans" ->
+      """WITH pos AS MATERIALIZED (SELECT doc_id, CAST(u.i AS BIGINT) AS p, substr(text, CAST(u.i AS INT), 30) AS g
+        |      FROM documents, LATERAL unnest(generate_series(1, greatest(length(text) - 29, 0))) u(i)),
+        |s AS MATERIALIZED (SELECT doc_id, p FROM (
+        |      SELECT doc_id, p, count(*) OVER (PARTITION BY g) AS cnt FROM pos)
+        |      WHERE cnt > 1),
+        |i AS (SELECT doc_id, p,
+        |        p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl FROM s)
+        |SELECT doc_id, min(p) AS span_start, max(p) + 29 AS span_end,
+        |  max(p) + 29 - min(p) + 1 AS span_len
+        |FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
+
     // same distinct 3-gram sets; "first" is min(doc_id) per gram —
     // associative, order-free, identical in both engines
     "text_novelty" ->
@@ -4713,6 +4867,34 @@ object SparkEntry {
         |      WHERE cb.c12 >= 5)
         |SELECT w1, w2, c12, CAST(round(lift * 1000000.0) AS BIGINT) AS lift_micro
         |FROM sc ORDER BY lift DESC, w1, w2 LIMIT 100""".stripMargin,
+
+    // the per-doc adjacent-word graph + three unrolled rounds of the
+    // exact-integer weighted PageRank; top-3 per doc by (pr desc, word)
+    "text_textrank" ->
+      """WITH w AS MATERIALIZED (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |ix AS (SELECT doc_id, words, unnest(range(1, len(words))) AS i FROM w),
+        |bi AS (SELECT doc_id, words[i] AS x0, words[i+1] AS y0 FROM ix WHERE words[i] <> words[i+1]),
+        |cp AS MATERIALIZED (SELECT doc_id, least(x0, y0) AS x, greatest(x0, y0) AS y,
+        |        CAST(count(*) AS BIGINT) AS w FROM bi GROUP BY 1, 2, 3),
+        |ed0 AS (SELECT doc_id, x AS a, y AS b, w FROM cp
+        |        UNION ALL SELECT doc_id, y, x, w FROM cp),
+        |sw AS (SELECT doc_id, a, CAST(sum(w) AS BIGINT) AS sw FROM ed0 GROUP BY 1, 2),
+        |ed AS MATERIALIZED (SELECT ed0.doc_id, ed0.a, ed0.b, ed0.w, sw.sw
+        |      FROM ed0 JOIN sw ON ed0.doc_id = sw.doc_id AND ed0.a = sw.a),
+        |r0 AS (SELECT DISTINCT doc_id, a AS node, CAST(1000000 AS BIGINT) AS pr FROM ed),
+        |r1 AS MATERIALIZED (SELECT ed.doc_id, ed.b AS node,
+        |        150000 + CAST(sum((r0.pr * 850 * ed.w) // (1000 * ed.sw)) AS BIGINT) AS pr
+        |      FROM ed JOIN r0 ON ed.doc_id = r0.doc_id AND ed.a = r0.node GROUP BY 1, 2),
+        |r2 AS MATERIALIZED (SELECT ed.doc_id, ed.b AS node,
+        |        150000 + CAST(sum((r1.pr * 850 * ed.w) // (1000 * ed.sw)) AS BIGINT) AS pr
+        |      FROM ed JOIN r1 ON ed.doc_id = r1.doc_id AND ed.a = r1.node GROUP BY 1, 2),
+        |r3 AS MATERIALIZED (SELECT ed.doc_id, ed.b AS node,
+        |        150000 + CAST(sum((r2.pr * 850 * ed.w) // (1000 * ed.sw)) AS BIGINT) AS pr
+        |      FROM ed JOIN r2 ON ed.doc_id = r2.doc_id AND ed.a = r2.node GROUP BY 1, 2),
+        |t AS (SELECT doc_id, node, pr,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY pr DESC, node) AS rank FROM r3)
+        |SELECT doc_id, rank, node AS keyword, pr AS pr_micro
+        |FROM t WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // the length/repetition/stopword signals + the full LM pipeline as
     // CTEs; flags are integer cross-multiplications, reasons a bit sum

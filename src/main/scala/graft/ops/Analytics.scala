@@ -2507,4 +2507,153 @@ object Analytics {
   /** [[olsTrend]] on the events table. */
   def eventOlsTrend(spark: SparkSession, dir: String): DataFrame =
     olsTrend(Tables.events(spark, dir))
+
+  /** Credited (conversion, touch) pairs for multi-touch attribution: every
+    * touch event in the `windowUs` lookback strictly before a conversion by
+    * the same user. This join is OUTPUT-BOUND — each surviving row is one
+    * credited pair, i.e. exactly the deliverable — so its cost is the
+    * answer's size, not a blow-up; the equality key is `user_id` (AQE
+    * skew-splittable for power users) and the lookback bound caps pairs per
+    * conversion by the user's touch rate × window, independent of history
+    * length. `ev` needs (event_id, user_id, event_type, ts_us).
+    */
+  def attributionPairs(ev: DataFrame, windowUs: Long,
+                       touchTypes: Seq[String],
+                       convType: String): DataFrame = {
+    require(windowUs > 0)
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType))
+    val conv = ev.filter(col("event_type") === convType)
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("ts_us").as("conv_ts"))
+    val touch = ev.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("channel"), col("ts_us").as("touch_ts"))
+    conv.join(touch, Seq("user_id"))
+      .filter(col("touch_ts") < col("conv_ts") &&
+        col("conv_ts") - col("touch_ts") <= windowUs)
+  }
+
+  /** Multi-touch marketing attribution — the four standard credit models
+    * over one pass of the credited pairs (reference-style capture streams
+    * feed exactly this question: which upstream topic activity "caused"
+    * each saved document). Per channel:
+    *   - `conv_last` / `conv_first`: conversions whose latest / earliest
+    *     in-window touch was this channel (last- and first-touch models);
+    *   - `credit_linear_micro`: Σ over pairs of ⌊1e6 / n⌋ (equal split
+    *     across the conversion's n touches);
+    *   - `credit_decay_micro`: Σ of ⌊1e6·w / Σw⌋ with w = windowUs −
+    *     Δt + 1 ∈ [1, windowUs] (linear time-decay — recency-weighted,
+    *     integer-exact; exponential decay would drag libm `pow` into the
+    *     hash compare for no modeling gain at this granularity).
+    * All arithmetic is exact int64 (1e6·w ≤ 1e6·(windowUs+1) — overflow-
+    * safe for windows up to ~106 days), so the result is engine-portable.
+    *
+    * Scale shape: the pairs join is output-bound (see
+    * [[attributionPairs]]); both per-conversion windows — the unordered
+    * n/Σw aggregates and the recency row_number — ride ONE
+    * `partitionBy(conv_id)` spec, so Catalyst plans them over a single
+    * exchange+sort on `conv_id` (an unbounded but hash-distributed key:
+    * partitions hold many small groups, no single-task funnel).
+    * First-touch rank is derived as `rl == n` rather than a second
+    * opposite-order sort — touch_id tie-breaks make the order total, so
+    * the reverse row_number is exactly n+1−rl.
+    */
+  def attribution(ev: DataFrame,
+                  windowUs: Long = 7L * 24 * 3600 * 1000000L,
+                  touchTypes: Seq[String] = Seq("click", "signup", "view"),
+                  convType: String = "purchase"): DataFrame = {
+    val byConv = Window.partitionBy(col("conv_id"))
+    val recency = Window.partitionBy(col("conv_id"))
+      .orderBy(col("touch_ts").desc, col("touch_id").desc)
+    attributionPairs(ev, windowUs, touchTypes, convType)
+      .withColumn("w", lit(windowUs) - (col("conv_ts") - col("touch_ts")) + lit(1L))
+      .withColumn("n", count(lit(1)).over(byConv))
+      .withColumn("sw", sum(col("w")).over(byConv))
+      .withColumn("rl", row_number().over(recency).cast("long"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("touches"),
+        sum(when(col("rl") === 1L, 1L).otherwise(0L)).as("conv_last"),
+        sum(when(col("rl") === col("n"), 1L).otherwise(0L)).as("conv_first"),
+        sum(expr("1000000L div n")).as("credit_linear_micro"),
+        sum(expr("(1000000L * w) div sw")).as("credit_decay_micro"))
+      .orderBy(col("channel"))
+  }
+
+  /** [[attribution]] on the events table: view/click/signup touches credit
+    * purchase conversions inside a 7-day lookback (binding on this fixture:
+    * the stream spans 30 days, so the window excludes real touches).
+    */
+  def eventAttribution(spark: SparkSession, dir: String): DataFrame =
+    attribution(Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us")))
+
+  /** A/B experiment readout. Variant assignment is the industry-standard
+    * deterministic identity hash — first hex nibble of md5(user_id) < '8'
+    * → "A" else "B" — so assignment is reproducible on any engine with no
+    * stored mapping and no RNG (md5 of the decimal string is identical in
+    * Spark and the oracle). Per variant: exposed users, converters (≥ 1
+    * purchase at or above `convValue` — the high-value-order conversion),
+    * truncating conversion permille, and exact revenue cents
+    * (⌊value·100⌋ summed in int64 — the raw doubles are 2-dp money, and
+    * ×100 is exact in IEEE for this range on both engines).
+    *
+    * Scale shape: one groupBy(user_id) over the filtered purchase slice
+    * (map-side partial agg → |users| rows), one groupBy(variant) → 2 rows.
+    * No windows, no joins wider than user-level aggregates.
+    */
+  def abLift(ev: DataFrame, convValue: Double = 150.0): DataFrame = {
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase" && col("value") >= convValue,
+          1L).otherwise(0L)).as("convs"),
+        sum(when(col("event_type") === "purchase",
+          expr("cast(floor(value * 100.0D) as bigint)")).otherwise(0L))
+          .as("cents"))
+      .withColumn("variant",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+          .otherwise("B"))
+    perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("users"),
+        sum(when(col("convs") > 0L, 1L).otherwise(0L)).as("converters"),
+        sum(col("cents")).as("revenue_cents"))
+      .withColumn("conv_permille", expr("(1000L * converters) div users"))
+      .select(col("variant"), col("users"), col("converters"),
+        col("conv_permille"), col("revenue_cents"))
+      .orderBy(col("variant"))
+  }
+
+  /** The experiment's significance readout: the 2×2 chi-square statistic
+    * (converted × variant) in micro-units, computed over the exact integer
+    * counts from [[abLift]]'s contingency table with ONE fixed double
+    * parenthesization — `N·(ad−bc)²` overflows int64 at corpus scale
+    * (counts ~1e4 already put the numerator at ~1e20), so the final ratio
+    * runs in IEEE double with a left-associated tree that both engines
+    * round identically (the 42ad/collocation-PMI precedent). Emits the
+    * contingency cells too, so the stat is auditable from its own row.
+    * One row; all upstream work is the user-level aggregate of [[abLift]].
+    */
+  def abChiSquare(ev: DataFrame, convValue: Double = 150.0): DataFrame = {
+    val cells = ev.groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase" && col("value") >= convValue,
+        1L).otherwise(0L)).as("convs"))
+      .withColumn("variant",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+          .otherwise("B"))
+      .groupBy()
+      .agg(
+        sum(when(col("variant") === "A" && col("convs") > 0L, 1L).otherwise(0L)).as("a"),
+        sum(when(col("variant") === "A" && col("convs") === 0L, 1L).otherwise(0L)).as("b"),
+        sum(when(col("variant") === "B" && col("convs") > 0L, 1L).otherwise(0L)).as("c"),
+        sum(when(col("variant") === "B" && col("convs") === 0L, 1L).otherwise(0L)).as("d"))
+    // NULL (not ±inf→engine-divergent casts) when any margin is empty —
+    // a degenerate experiment has no defined statistic.
+    cells.select(col("a"), col("b"), col("c"), col("d"),
+      expr("""case when a + b > 0 and c + d > 0 and a + c > 0 and b + d > 0
+        then cast(round(
+          cast(a + b + c + d as double) * cast(a*d - b*c as double) * cast(a*d - b*c as double)
+          / cast(a + b as double) / cast(c + d as double)
+          / cast(a + c as double) / cast(b + d as double) * 1000000.0D) as bigint)
+        end""").as("chi2_micro"))
+  }
 }

@@ -970,6 +970,122 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact duplicated-substring spans, character-level (the substring-
+    * dedup question of Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better": find every maximal span whose every
+    * length-`k` substring occurs at least twice in the corpus). Seed =
+    * a character k-gram starting position whose gram text appears at ≥ 2
+    * positions corpus-wide (same or other doc); consecutive seed
+    * positions merge into maximal spans (gaps-and-islands), so a span
+    * [s, e] certifies every k-window inside it is duplicated — the
+    * char-exact analogue of the word-grid (42q) and CDC (42aa) span ops,
+    * catching duplicates those miss when boilerplate shifts by
+    * sub-token offsets.
+    *
+    * Scale shape: positions explode to O(corpus chars) rows — linear,
+    * map-side, never a pair join — and the only wide exchange is the
+    * seed-count window keyed by the fixed-width k-char gram (unbounded
+    * key domain, hash-distributed; map-side nothing to combine but each
+    * group is tiny). The islands merge shuffles only the SEED rows on
+    * doc_id. This is the exact baseline by design: char-exact substring
+    * dedup is inherently Ω(corpus chars) without a distributed suffix
+    * array (Lee et al. build theirs single-node); the in-tree sampled
+    * scale paths for shifted boilerplate are 42aa's content-defined
+    * chunks and the first-occurrence gram index (48al).
+    */
+  def dupSpans(df: DataFrame, idCol: Column, textCol: Column,
+               k: Int = 30): DataFrame = {
+    require(k >= 2)
+    val grams = df.select(idCol.as("doc_id"), textCol.as("text"))
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (k - 1))).as("p"))
+      .select(col("doc_id"), col("p").cast("long").as("p"),
+        expr(s"substring(text, p, $k)").as("g"))
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    grams.withColumn("cnt", count(lit(1)).over(byGram))
+      .filter(col("cnt") > 1)
+      .withColumn("isl", col("p") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + lit(k - 1L)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): per document,
+    * build the adjacent-word co-occurrence graph (undirected, weight =
+    * co-occurrence count, self-pairs dropped), run `iters` rounds of
+    * weighted PageRank, emit each document's top-`topK` words. The
+    * graph-based complement of tf-idf keywords (42r): TextRank promotes
+    * words CENTRAL to the document's own phrase structure rather than
+    * words rare in the corpus, needing no corpus statistics at all.
+    *
+    * Arithmetic is the in-tree PageRank discipline (Graph.pageRank):
+    * rank in fixed-point 1e6, per-round contribution
+    * `pr·850·w div (1000·Σw(u))` — exact int64 (pr ≤ 1e6·V_doc, ×850·w
+    * stays far under 2⁶³ for any real document), so the result is
+    * engine-portable and the oracle unrolls the same rounds in CTEs.
+    *
+    * Scale shape: all joins and groupBys are keyed (doc_id, word) — the
+    * per-document graphs are many small independent components, so every
+    * exchange hash-distributes millions of tiny groups (no global
+    * structure, no single-task funnel; a degenerate one-doc corpus is
+    * bounded by that doc's vocabulary). The degree-annotated edge list
+    * is pre-partitioned on the join key and localCheckpoint'd once, so
+    * each round costs one O(E) groupBy shuffle — and E ≤ corpus bigrams.
+    * The top-k window partitions by doc_id.
+    */
+  def textRank(df: DataFrame, idCol: Column, textCol: Column,
+               iters: Int = 3, topK: Int = 3,
+               dampPermille: Long = 850L): DataFrame = {
+    require(iters >= 1 && topK >= 1 && dampPermille > 0 && dampPermille < 1000)
+    val scale = 1000000L
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val pairs = df.select(idCol.as("doc_id"), tokens(textCol).as("words"))
+      .select(col("doc_id"), explode(expr(
+        "filter(transform(sequence(1, size(words)-1)," +
+          " i -> struct(words[i-1] as x, words[i] as y)), p -> p.x <> p.y)")).as("pr"))
+      .select(col("doc_id"),
+        least(col("pr.x"), col("pr.y")).as("x"),
+        greatest(col("pr.x"), col("pr.y")).as("y"))
+      .groupBy(col("doc_id"), col("x"), col("y"))
+      .agg(count(lit(1)).as("w"))
+    val edges = pairs.select(col("doc_id"), explode(array(
+        struct(col("x").as("a"), col("y").as("b"), col("w")),
+        struct(col("y").as("a"), col("x").as("b"), col("w")))).as("e"))
+      .select(col("doc_id"), col("e.a").as("a"), col("e.b").as("b"),
+        col("e.w").as("w"))
+    val sw = edges.groupBy(col("doc_id"), col("a")).agg(sum(col("w")).as("sw"))
+    val ed = edges.join(sw, Seq("doc_id", "a"))
+      .repartition(n, col("doc_id"), col("a")).localCheckpoint()
+    val base = scale * (1000L - dampPermille) / 1000L
+    var rank = ed.select(col("doc_id"), col("a").as("node")).distinct()
+      .withColumn("pr", lit(scale)).localCheckpoint()
+    for (i <- 1 to iters) {
+      rank = ed.alias("e")
+        .join(rank.alias("r"),
+          col("e.doc_id") === col("r.doc_id") && col("e.a") === col("r.node"))
+        .select(col("e.doc_id").as("doc_id"), col("e.b").as("b"),
+          expr(s"pr * ${dampPermille}L * w div (1000L * sw)").as("c"))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("doc_id"), col("b").as("node"),
+          (lit(base) + col("s")).as("pr"))
+      if (i % 4 == 0 && i < iters) rank = rank.localCheckpoint()
+    }
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pr").desc, col("node"))
+    rank.withColumn("rank", row_number().over(byDoc).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("node").as("keyword"),
+        col("pr").as("pr_micro"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** Per-document top-k keywords by a tf-idf–shaped score. The idf is the
     * RATIONAL surrogate 1/df (ranking by tf/df, fixed-point ×10⁶ integer
     * division) — no log, so the score is exact integer arithmetic and

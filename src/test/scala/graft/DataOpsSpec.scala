@@ -2900,4 +2900,126 @@ class DataOpsSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  /** In-memory reference for [[TextAnalysis.dupSpans]]: count every char
+    * k-gram corpus-wide, keep positions whose gram repeats, merge
+    * consecutive positions into maximal spans.
+    */
+  private def dupSpansBrute(rows: Seq[(Long, String)],
+                            k: Int): Set[(Long, Long, Long, Long)] = {
+    val grams = rows.flatMap { case (id, t) =>
+      (0 to t.length - k).map(i => (id, i + 1L, t.substring(i, i + k)))
+    }
+    val cnt = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    grams.filter(g => cnt(g._3) > 1).groupBy(_._1).flatMap { case (id, gs) =>
+      val ps = gs.map(_._2).sorted
+      // islands: split where the position step exceeds 1
+      val islands = ps.foldLeft(List.empty[List[Long]]) {
+        case (acc @ (cur :: rest), p) if p == cur.head + 1 => (p :: cur) :: rest
+        case (acc, p) => List(p) :: acc
+      }
+      islands.map(isl => (id, isl.min, isl.max + (k - 1), isl.max + k - isl.min))
+    }.toSet
+  }
+
+  test("dupSpans: crafted cross-doc duplicate, exact span bounds") {
+    import spark.implicits._
+    // docs 1/2 share a 15-char block; with k=10 the seeds are starts 6..11
+    // (doc 1) and 3..8 (doc 2) → spans [6,20] and [3,17], both len 15
+    val rows = Seq(
+      (1L, "xxwqzABCDEFGHIJKLMNOyyprk"),
+      (2L, "ztABCDEFGHIJKLMNOqhnvjduw"),
+      (3L, "completely unrelated text"))
+    val out = TextAnalysis.dupSpans(rows.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet === Set((1L, 6L, 20L, 15L), (2L, 3L, 17L, 15L)))
+    assert(out.toSet === dupSpansBrute(rows, 10))
+  }
+
+  test("dupSpans matches the brute k-gram count on the real corpus") {
+    val rows = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = TextAnalysis.dupSpans(docs, col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === dupSpansBrute(rows, 30))
+    assert(got.nonEmpty, "fixture must contain duplicated substrings")
+  }
+
+  /** In-memory reference for [[TextAnalysis.textRank]]: the same integer
+    * fixed-point weighted PageRank, folded naively per document.
+    */
+  private def textRankBrute(rows: Seq[(Long, String)], iters: Int,
+                            topK: Int): Set[(Long, Long, String, Long)] = {
+    rows.flatMap { case (id, text) =>
+      val words = text.toLowerCase.replaceAll("\\s+", " ").split(" ", -1).toSeq
+      val w = words.sliding(2).collect {
+        case Seq(a, b) if a != b =>
+          (if (a < b) a else b, if (a < b) b else a)
+      }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      if (w.isEmpty) Seq.empty
+      else {
+        val ed = w.toSeq.flatMap { case ((x, y), c) => Seq((x, y, c), (y, x, c)) }
+        val sw = ed.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+        var pr = sw.keys.map(_ -> 1000000L).toMap
+        for (_ <- 1 to iters)
+          pr = ed.groupBy(_._2).view.mapValues { in =>
+            150000L + in.map { case (a, _, c) => pr(a) * 850L * c / (1000L * sw(a)) }.sum
+          }.toMap
+        pr.toSeq.sortBy { case (n, p) => (-p, n) }.take(topK).zipWithIndex
+          .map { case ((n, p), i) => (id, i + 1L, n, p) }
+      }
+    }.toSet
+  }
+
+  test("textRank: bridge word outranks leaves on a crafted doc") {
+    import spark.implicits._
+    // "a b a b c": b carries weight-2 edges to a and the only path to c
+    val out = TextAnalysis.textRank(Seq((1L, "a b a b c")).toDF("doc_id", "text"),
+      col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.head._3 === "b")
+    assert(out.toSet === textRankBrute(Seq((1L, "a b a b c")), 3, 3))
+  }
+
+  test("textRank matches the brute per-doc fold on the real corpus") {
+    val rows = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = TextAnalysis.textRank(docs, col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(got === textRankBrute(rows, 3, 3))
+    assert(got.nonEmpty)
+  }
+
+  test("modularity: two bridged cliques score the textbook Q by hand") {
+    import spark.implicits._
+    // two 4-cliques + 1 bridge: m = 13; each community has 6 internal
+    // edges and degree sum 13 → term = 6/13 − (13/26)² = 0.2115384…
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(11L, 12L, 13L, 14L)) :+ (4L, 11L)).toDF("src", "dst")
+    val comm = ops.Graph.labelPropagation(edges, rounds = 4)
+    val out = ops.Graph.modularity(edges, comm).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(out === Map(
+      1L -> (4L, 6L, 13L, 211538L),
+      11L -> (4L, 6L, 13L, 211538L)))
+    // good communities: total Q well above 0
+    assert(out.values.map(_._4).sum > 400000L)
+  }
+
+  test("assortativity: star is exactly -1, regular cycle is undefined") {
+    import spark.implicits._
+    val star = (1L to 4L).map(i => (0L, i)).toDF("src", "dst")
+    val r = ops.Graph.assortativity(star).collect()(0)
+    // M=8, Σx=20, Σx²=68, Σxy=32 → r = (256−400)/(544−400) = −1
+    assert(r.getLong(0) === 8L && r.getDouble(1) === 20.0 &&
+      r.getDouble(2) === 68.0 && r.getDouble(3) === 32.0)
+    assert(r.getLong(4) === -1000000L)
+    // 4-cycle: every degree 2 → zero variance → NULL, not an inf cast
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    assert(ops.Graph.assortativity(cycle).collect()(0).isNullAt(4))
+  }
 }

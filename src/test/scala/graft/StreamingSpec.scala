@@ -1849,6 +1849,84 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.values.exists(_.apply(3).nonEmpty), "some user reaches stage 4")
   }
 
+  test("streaming attribution machine equals the batch credited pairs") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Attribution
+    val W = 7L * 24 * 3600 * 1000000L
+    val batchEv = Tables.events(spark, sf).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts_us"))
+    val all = batchEv.collect().map(r => Attribution.AEvent(
+        r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("ts_us")))
+      .sortBy(e => (e.ts_us, e.event_id))
+    val input = MemoryStream[Attribution.AEvent]
+    val q = Attribution.pairsStream(input.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("attr_out").start()
+    try {
+      all.grouped((all.length + 2) / 3).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("attr_out")
+      .select("conv_id", "touch_id", "channel", "conv_ts", "touch_ts", "w")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // exactly-once per credited pair: a conversion's credits emit at the
+    // conversion and are never revised
+    assert(streamed.length === streamed.toSet.size)
+    val batch = graft.ops.Analytics.attributionPairs(
+        batchEv, W, Seq("click", "signup", "view"), "purchase")
+      .withColumn("w", lit(W) - (col("conv_ts") - col("touch_ts")) + lit(1L))
+      .select("conv_id", "touch_id", "channel", "conv_ts", "touch_ts", "w")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(streamed.toSet === batch.toSet)
+    assert(batch.nonEmpty, "fixture must credit some pairs")
+  }
+
+  test("attribution buffer evicts out-of-window touches and reaps idle keys") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import graft.streaming.Attribution
+    def e(id: Long, t: String, us: Long) =
+      Attribution.AEventTs(9L, id, t, us, new java.sql.Timestamp(us / 1000L))
+    val st = TestGroupState.create[Attribution.AState](
+      org.apache.spark.api.java.Optional.empty(),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(0L),
+      hasTimedOut = false)
+    // window 100 µs: view@10 is evicted by the arrival at 200 (190 > 100),
+    // so the conversion @210 credits only click@150
+    val out = Attribution.updateKey(9L,
+      Iterator(e(1, "view", 10L), e(2, "click", 150L), e(3, "signup", 200L),
+        e(4, "purchase", 210L)),
+      st, windowUs = 100L, touchTypes = Set("view", "click", "signup"),
+      convType = "purchase", idleTimeoutMs = 60000L).toSeq
+    assert(out.map(c => (c.touch_id, c.channel, c.w)) ===
+      Seq((2L, "click", 41L), (3L, "signup", 91L)))
+    assert(st.exists)
+    // state holds only in-window touches relative to the newest event
+    assert(st.get.touches.map(_.touch_id) === Seq(2L, 3L))
+    // idle reaper: a timed-out invocation drops the key
+    val st2 = TestGroupState.create[Attribution.AState](
+      org.apache.spark.api.java.Optional.of(st.get),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 2000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(100000L),
+      hasTimedOut = true)
+    val out2 = Attribution.updateKey(9L, Iterator.empty, st2,
+      windowUs = 100L, touchTypes = Set("view"), convType = "purchase",
+      idleTimeoutMs = 60000L).toSeq
+    assert(out2.isEmpty && st2.isRemoved)
+  }
+
   test("streaming windowed funnel equals the batch conversion-window fold") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext

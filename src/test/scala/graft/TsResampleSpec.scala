@@ -565,4 +565,90 @@ class TsResampleSpec extends AnyFunSuite {
     assert(out.head.getLong(1) === 12L)
     assert(out.head.getLong(2) === 3L)
   }
+
+  test("attribution: four credit models by hand, window binding") {
+    import spark.implicits._
+    // W = 1000 µs. Conversion @250 credits view@100 (w=851) and click@200
+    // (w=951): linear 500000 each; decay ⌊1e6·851/1802⌋=472253 /
+    // ⌊1e6·951/1802⌋=527746; click is last, view is first. Conversion
+    // @1300 reaches ONLY signup@400 (view/click are 1200/1100 µs back —
+    // outside the window, which is the binding check): full credit.
+    val ev = Seq(
+      (1L, 1L, "view", 100L), (2L, 1L, "click", 200L),
+      (3L, 1L, "purchase", 250L), (4L, 1L, "signup", 400L),
+      (5L, 1L, "purchase", 1300L))
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    val out = Analytics.attribution(ev, windowUs = 1000L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      ("click", 1L, 1L, 0L, 500000L, 527746L),
+      ("signup", 1L, 1L, 1L, 1000000L, 1000000L),
+      ("view", 1L, 0L, 1L, 500000L, 472253L)))
+  }
+
+  test("attribution: same-instant touch never credits, strict-before rule") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "view", 100L), (2L, 1L, "purchase", 100L),
+      (3L, 2L, "view", 100L), (4L, 2L, "purchase", 101L))
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    val out = Analytics.attribution(ev, windowUs = 1000L).collect()
+    assert(out.length === 1) // only user 2's pair survives
+    assert(out.head.getString(0) === "view" && out.head.getLong(1) === 1L)
+  }
+
+  test("ab lift cells match an independent JDK-MD5 assignment") {
+    import spark.implicits._
+    // converter iff even user id (one purchase at 200 vs 100); the spec
+    // recomputes the variant split with java.security MD5 — verifying
+    // Spark's md5(cast(user_id)) nibble rule against an independent impl
+    def variant(u: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) < 8) "A" else "B"
+    }
+    val users = (1L to 40L)
+    val ev = users.map(u =>
+        (u, u, "purchase", if (u % 2 == 0) 200.0 else 100.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val out = Analytics.abLift(ev, convValue = 150.0).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val exp = users.groupBy(variant).view.mapValues { us =>
+      val conv = us.count(_ % 2 == 0)
+      val cents = us.map(u => if (u % 2 == 0) 20000L else 10000L).sum
+      (us.size.toLong, conv.toLong, 1000L * conv / us.size, cents)
+    }.toMap
+    assert(out === exp)
+    assert(out.keySet === Set("A", "B"), "both variants populated")
+  }
+
+  test("ab chi-square: fixed double tree by hand, null on empty margin") {
+    import spark.implicits._
+    def variant(u: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) < 8) "A" else "B"
+    }
+    val users = (1L to 40L)
+    val ev = users.map(u =>
+        (u, u, "purchase", if (u % 2 == 0) 200.0 else 100.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val r = Analytics.abChiSquare(ev, convValue = 150.0).collect()(0)
+    val (a, b, c, d) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val byV = users.groupBy(variant)
+    assert(a === byV("A").count(_ % 2 == 0) && b === byV("A").count(_ % 2 == 1))
+    assert(c === byV("B").count(_ % 2 == 0) && d === byV("B").count(_ % 2 == 1))
+    val expected = math.round(
+      (a + b + c + d).toDouble * (a * d - b * c).toDouble * (a * d - b * c).toDouble /
+        (a + b).toDouble / (c + d).toDouble / (a + c).toDouble / (b + d).toDouble *
+        1000000.0)
+    assert(r.getLong(4) === expected)
+    // every user converts → the converted=0 margin is empty → NULL, not
+    // a division-by-zero cast that differs across engines
+    val allConv = users.map(u => (u, u, "purchase", 200.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+    assert(Analytics.abChiSquare(allConv, convValue = 150.0).collect()(0).isNullAt(4))
+  }
 }
