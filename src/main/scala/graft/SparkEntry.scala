@@ -687,6 +687,9 @@ object SparkEntry {
       Analytics.abLift(Tables.events(s, dir))),
     "events_ab_chi2" -> ((s, dir) =>
       Analytics.abChiSquare(Tables.events(s, dir))),
+    // Kaplan-Meier signup->first-purchase survival per signup-week
+    // cohort, right-censored at the corpus frontier
+    "events_survival_km" -> ((s, dir) => Analytics.eventSurvival(s, dir)),
     // start/stop-gated capture (reference scenario.py:101-137): signup
     // opens a watched user's gate, error closes it; view/click/purchase
     // rows inside a bracket survive the broadcast semi range join. The
@@ -720,6 +723,9 @@ object SparkEntry {
     "graph_modularity" -> ((s, dir) => Graph.transactionModularity(s, dir)),
     // degree correlation over symmetric edge entries (no-sqrt spelling)
     "graph_assortativity" -> ((s, dir) => Graph.transactionAssortativity(s, dir)),
+    // source-sampled Brandes: exact-integer path counts, fixed-point
+    // dependency sweep, brokers first
+    "graph_betweenness" -> ((s, dir) => Graph.transactionBetweenness(s, dir)),
     "agg_histogram" -> ((s, dir) => Analytics.histogram(s, dir)),
     // equal-frequency bins: percentile edges broadcast, codegen'd assign
     "agg_equidepth" -> ((s, dir) => Analytics.equidepthHistogram(s, dir)),
@@ -820,6 +826,12 @@ object SparkEntry {
           indexed)
         .orderBy("new_id", "indexed_id")
     }),
+
+    // LSH tuning audit: planted perturbed twins probe the corpus band
+    // index like an ingest increment; per planted pair the exact shingle
+    // Jaccard sits next to the LSH hit flag
+    "dedup_lsh_recall" -> ((s, dir) =>
+      Dedup.lshPlantedRecall(Tables.documents(s, dir), col("doc_id"), col("text"))),
 
     "dedup_keep_canonical" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -2139,6 +2151,39 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS revenue_cents
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the same per-cohort sequential product, replayed as a recursive
+    // CTE on the duration row number (the Holt oracle discipline);
+    // deaths-before-censors at ties, censor-at-frontier for never-buyers
+    "events_survival_km" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |su AS MATERIALIZED (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts_us END) AS s
+        |  FROM e GROUP BY 1 HAVING s IS NOT NULL),
+        |pu AS (SELECT e.user_id, min(e.ts_us) AS p FROM e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > su.s GROUP BY 1),
+        |mx AS (SELECT max(ts_us) AS mt FROM e),
+        |du AS (SELECT 'w' || CAST(su.s // 604800000000 AS VARCHAR) AS cohort,
+        |    CASE WHEN pu.p IS NOT NULL THEN (pu.p - su.s) // 3600000000
+        |         ELSE (mx.mt - su.s) // 3600000000 END AS dur_h,
+        |    CASE WHEN pu.p IS NOT NULL THEN 1 ELSE 0 END AS obs
+        |  FROM su LEFT JOIN pu USING (user_id) CROSS JOIN mx),
+        |ct AS MATERIALIZED (SELECT cohort, dur_h, CAST(sum(obs) AS BIGINT) AS d,
+        |    CAST(sum(1 - obs) AS BIGINT) AS c FROM du GROUP BY 1, 2),
+        |tot AS (SELECT cohort, CAST(sum(d + c) AS BIGINT) AS n0 FROM ct GROUP BY 1),
+        |r AS MATERIALIZED (SELECT ct.cohort, ct.dur_h, ct.d, ct.c, tot.n0,
+        |    row_number() OVER (PARTITION BY ct.cohort ORDER BY ct.dur_h) AS rn
+        |  FROM ct JOIN tot USING (cohort)),
+        |s AS (
+        |  SELECT cohort, rn, dur_h, n0 AS n_risk, d, c,
+        |    1.0 - CAST(d AS DOUBLE) / CAST(n0 AS DOUBLE) AS surv
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.cohort, r.rn, r.dur_h, s.n_risk - s.d - s.c, r.d, r.c,
+        |    s.surv * (1.0 - CAST(r.d AS DOUBLE) / CAST(s.n_risk - s.d - s.c AS DOUBLE))
+        |  FROM r JOIN s ON r.cohort = s.cohort AND r.rn = s.rn + 1)
+        |SELECT cohort, dur_h, n_risk, d, c,
+        |  CAST(round(surv * 1000000.0) AS BIGINT) AS survival_micro
+        |FROM s ORDER BY cohort, dur_h""".stripMargin,
+
     // the 2x2 contingency cells + chi-square in micro under ONE fixed
     // left-associated double tree (integer N*(ad-bc)^2 overflows int64)
     "events_ab_chi2" ->
@@ -2237,6 +2282,52 @@ object SparkEntry {
         |    * 1000000.0) AS BIGINT) AS q_micro
         |FROM bc LEFT JOIN intern USING (lbl) CROSS JOIN mm
         |ORDER BY label""".stripMargin,
+
+    // the Brandes forward/backward sweeps unrolled: 8 BFS levels with
+    // exact sigma sums, then 8 dependency levels in reverse — empty
+    // frames beyond the sample's eccentricity no-op on both engines
+    "graph_betweenness" -> {
+      val maxDepth = 8
+      val sb = new StringBuilder
+      sb ++= """WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+               |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+               |e AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+               |  FROM pairs WHERE src <> dst),
+               |und AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+               |f0 AS (SELECT CAST(src AS BIGINT) AS src, CAST(src AS BIGINT) AS node, CAST(1 AS BIGINT) AS sigma
+               |  FROM (VALUES (2), (4), (6), (3), (5), (7)) s(src)),
+               |v0 AS (SELECT src, node FROM f0)""".stripMargin
+      for (t <- 1 to maxDepth) {
+        val p = t - 1
+        sb ++= s""",
+                  |f$t AS MATERIALIZED (SELECT f.src, und.b AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
+                  |  FROM f$p f JOIN und ON f.node = und.a
+                  |  WHERE NOT EXISTS (SELECT 1 FROM v$p v WHERE v.src = f.src AND v.node = und.b)
+                  |  GROUP BY 1, 2),
+                  |v$t AS MATERIALIZED (SELECT * FROM v$p UNION ALL SELECT src, node FROM f$t)""".stripMargin
+      }
+      sb ++= s""",
+                |d$maxDepth AS (SELECT CAST(NULL AS BIGINT) AS src, CAST(NULL AS BIGINT) AS node,
+                |  CAST(NULL AS BIGINT) AS delta WHERE 1 = 0)""".stripMargin
+      for (t <- maxDepth - 1 to 0 by -1) {
+        val nx = t + 1
+        sb ++= s""",
+                  |d$t AS MATERIALIZED (SELECT c.src, c.node,
+                  |  CAST(sum((c.sigma * (1000000 + COALESCE(dn.delta, 0))) // w.sigma) AS BIGINT) AS delta
+                  |  FROM f$t c JOIN und ON c.node = und.a
+                  |  JOIN f$nx w ON w.src = c.src AND w.node = und.b
+                  |  LEFT JOIN d$nx dn ON dn.src = w.src AND dn.node = w.node
+                  |  GROUP BY 1, 2)""".stripMargin
+      }
+      sb ++= s""",
+                |acc AS (${(0 until maxDepth).map(t => s"SELECT * FROM d$t").mkString(" UNION ALL ")})
+                |SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+                |            ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+                |  CAST(sum(delta) AS BIGINT) AS bc_micro
+                |FROM acc WHERE node <> src
+                |GROUP BY 1 ORDER BY bc_micro DESC, node""".stripMargin
+      sb.toString
+    },
 
     // symmetric entries make the two degree marginals equal, so the
     // Pearson r needs no square roots; exact HUGEINT sums → one double
@@ -3711,6 +3802,43 @@ object SparkEntry {
         |FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh
         |WHERE a.doc_id >= 250 AND b.doc_id < 250
         |ORDER BY new_id, indexed_id""".stripMargin,
+
+    // twins = every 10th word dropped from an md5-sampled doc; the band
+    // pipeline is the minhash oracle verbatim, twins probing the corpus
+    "dedup_lsh_recall" ->
+      """WITH samp AS MATERIALIZED (SELECT doc_id, text FROM documents
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT % 1000 < 100),
+        |tw0 AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM samp),
+        |tw AS MATERIALIZED (SELECT doc_id, string_agg(words[i], ' ' ORDER BY i) AS text
+        |  FROM tw0, range(1, 2048) r(i) WHERE i <= len(words) AND i % 10 <> 0 GROUP BY doc_id),
+        |cw AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |csh AS MATERIALIZED (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        |  FROM cw, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |cmh AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS h
+        |  FROM csh, range(0, 16) t(j) GROUP BY doc_id, j),
+        |cband AS MATERIALIZED (SELECT doc_id, j // 4 AS band, md5(string_agg(h, '|' ORDER BY j)) AS bh
+        |  FROM cmh GROUP BY doc_id, j // 4),
+        |tww AS (SELECT doc_id, string_split(text, ' ') AS words FROM tw),
+        |tsh AS MATERIALIZED (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        |  FROM tww, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |tmh AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS h
+        |  FROM tsh, range(0, 16) t(j) GROUP BY doc_id, j),
+        |tband AS (SELECT doc_id, j // 4 AS band, md5(string_agg(h, '|' ORDER BY j)) AS bh
+        |  FROM tmh GROUP BY doc_id, j // 4),
+        |hits AS (SELECT DISTINCT t.doc_id, 1 AS lsh_hit
+        |  FROM tband t JOIN cband c ON t.band = c.band AND t.bh = c.bh AND c.doc_id = t.doc_id),
+        |n1 AS (SELECT doc_id, count(*) AS n1 FROM csh
+        |  WHERE doc_id IN (SELECT doc_id FROM samp) GROUP BY 1),
+        |n2 AS (SELECT doc_id, count(*) AS n2 FROM tsh GROUP BY 1),
+        |sh2 AS (SELECT c.doc_id, count(*) AS shared FROM csh c
+        |  JOIN tsh t ON c.doc_id = t.doc_id AND c.shingle = t.shingle GROUP BY 1)
+        |SELECT doc_id, n1, n2, COALESCE(shared, 0) AS shared,
+        |  (1000 * COALESCE(shared, 0)) // (n1 + n2 - COALESCE(shared, 0)) AS jaccard_permille,
+        |  CAST(CASE WHEN COALESCE(shared, 0) * 1000 >= 500 * (n1 + n2 - COALESCE(shared, 0))
+        |       THEN 1 ELSE 0 END AS BIGINT) AS above_threshold,
+        |  CAST(COALESCE(lsh_hit, 0) AS BIGINT) AS lsh_hit
+        |FROM n1 JOIN n2 USING (doc_id) LEFT JOIN sh2 USING (doc_id) LEFT JOIN hits USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       """WITH t AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm FROM documents),

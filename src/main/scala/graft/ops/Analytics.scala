@@ -2588,6 +2588,78 @@ object Analytics {
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us")))
 
+  /** Kaplan–Meier survival curve per cohort — the censoring-correct
+    * time-to-event analysis (churn, activation lag, device failure) that
+    * a naive mean-of-durations gets wrong the moment the observation
+    * window truncates anyone. `durations` needs (cohort string, dur_h
+    * long, observed boolean): observed=false rows are right-censored at
+    * `dur_h`. Per distinct duration t (ties: deaths counted before
+    * censors leave, the standard convention): S ← S·(1 − d_t/n_t),
+    * n ← n − d_t − c_t. Emits (cohort, dur_h, n_risk, d, c,
+    * survival_micro).
+    *
+    * Determinism: the product folds in IEEE double in ascending-duration
+    * order — a fixed sequential tree the oracle replays as a per-cohort
+    * recursive CTE (the Holt discipline: the recurrence is inherently
+    * sequential, so it runs as one typed `flatMapGroups` fold, never a
+    * window that can't carry state and never a driver loop). Per-cohort
+    * memory is O(distinct durations) — bounded by the observation span
+    * in hours, not by cohort population (the groupBy collapses users
+    * first); cohorts are the parallelism unit.
+    */
+  def survivalCurve(durations: DataFrame): DataFrame = {
+    val spark = durations.sparkSession
+    import spark.implicits._
+    durations.groupBy(col("cohort"), col("dur_h"))
+      .agg(sum(when(col("observed"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("observed"), 0L).otherwise(1L)).as("c"))
+      .select(col("cohort").cast("string"), col("dur_h").cast("long"),
+        col("d").cast("long"), col("c").cast("long"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k: String, it: Iterator[(String, Long, Long, Long)]) =>
+        val rows = it.toArray.sortBy(_._2)
+        var n = rows.map(r => r._3 + r._4).sum
+        var s = 1.0
+        rows.iterator.map { case (_, t, d, c) =>
+          val atRisk = n
+          s = s * (1.0 - d.toDouble / n.toDouble)
+          n -= d + c
+          (k, t, atRisk, d, c, math.round(s * 1000000.0))
+        }
+      }
+      .toDF("cohort", "dur_h", "n_risk", "d", "c", "survival_micro")
+      .orderBy(col("cohort"), col("dur_h"))
+  }
+
+  /** [[survivalCurve]] of signup→first-purchase on the events table:
+    * event = a user's first purchase STRICTLY after their first signup,
+    * duration in whole hours; users who never purchase after signing up
+    * are right-censored at the corpus frontier (max event time). Cohort
+    * = the user's signup epoch-week. The corpus frontier rides one
+    * broadcast 1-row cross join; everything upstream of the fold is
+    * user-level aggregates.
+    */
+  def eventSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val su = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("ts_us"))).as("s"))
+      .filter(col("s").isNotNull)
+    val pu = ev.filter(col("event_type") === "purchase")
+      .join(su, Seq("user_id"))
+      .filter(col("ts_us") > col("s"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("p"))
+    val mx = ev.groupBy().agg(max(col("ts_us")).as("mt"))
+    survivalCurve(
+      su.join(pu, Seq("user_id"), "left").crossJoin(broadcast(mx))
+        .select(
+          concat(lit("w"), expr("s div 604800000000").cast("string")).as("cohort"),
+          when(col("p").isNotNull, expr("(p - s) div 3600000000"))
+            .otherwise(expr("(mt - s) div 3600000000")).as("dur_h"),
+          col("p").isNotNull.as("observed")))
+  }
+
   /** A/B experiment readout. Variant assignment is the industry-standard
     * deterministic identity hash — first hex nibble of md5(user_id) < '8'
     * → "A" else "B" — so assignment is reproducible on any engine with no

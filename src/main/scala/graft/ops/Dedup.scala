@@ -469,6 +469,63 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH recall audit with PLANTED duplicates — the tuning methodology
+    * for band/row parameters (how many real near-dups does this banding
+    * actually catch at threshold θ?). A deterministic md5 sample of docs
+    * is perturbed into twins (every `dropEvery`-th word removed — the
+    * shifted-boilerplate perturbation), the twins probe the corpus band
+    * index exactly like an ingest increment ([[lshCandidatesAgainst]] —
+    * the production shape, so at 10¹⁰ docs the probe side stays
+    * O(sample)), and each planted pair reports its EXACT shingle Jaccard
+    * (permille, integer cross-multiplied threshold test — no float
+    * compare) next to whether LSH surfaced it. Recall at θ = hits among
+    * pairs with `above_threshold` = 1; pairs the perturbation pushed
+    * below θ document the measurement's own frontier. Naive pair-recall
+    * on a doc sample is quadratically blind (an independent p-sample
+    * keeps only p² of the true pairs); planting sidesteps that — it is
+    * the published LSH-evaluation practice.
+    */
+  def lshPlantedRecall(df: DataFrame, idCol: Column, textCol: Column,
+                       samplePermille: Int = 100, dropEvery: Int = 10,
+                       thresholdPermille: Int = 500,
+                       numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(samplePermille > 0 && samplePermille <= 1000)
+    require(dropEvery >= 2)
+    val offset = 1000000000L
+    val base = df.select(idCol.as("doc_id"), textCol.as("text"))
+    val sampled = base.filter(
+      expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 13), 16, 10) as bigint)" +
+        s" % 1000 < $samplePermille"))
+    // twin = the doc with every dropEvery-th word (1-based) removed,
+    // rebuilt over the SAME normalization the shingler applies
+    val twins = sampled.select(col("doc_id"),
+      array_join(expr(
+        "filter(split(regexp_replace(lower(text), '\\\\s+', ' '), ' ')," +
+          s" (x, i) -> (i + 1) % $dropEvery != 0)"), " ").as("text"))
+    val corpusBands = lshBands(base, col("doc_id"), col("text"), numHashes, bands)
+    val cand = lshCandidatesAgainst(
+      twins.select((col("doc_id") + offset).as("doc_id"), col("text")),
+      col("doc_id"), col("text"), corpusBands, numHashes, bands)
+    val hits = cand.filter(col("indexed_id") === col("new_id") - offset)
+      .select((col("new_id") - offset).as("doc_id"), lit(1L).as("lsh_hit"))
+    val shO = shingles(sampled, col("doc_id"), col("text"))
+    val shT = shingles(twins, col("doc_id"), col("text"))
+    val nO = shO.groupBy("doc_id").agg(count(lit(1)).as("n1"))
+    val nT = shT.groupBy("doc_id").agg(count(lit(1)).as("n2"))
+    val shared = shO.join(shT, Seq("doc_id", "shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("shared"))
+    nO.join(nT, "doc_id")
+      .join(shared, Seq("doc_id"), "left").na.fill(0L, Seq("shared"))
+      .join(hits, Seq("doc_id"), "left").na.fill(0L, Seq("lsh_hit"))
+      .select(col("doc_id"), col("n1"), col("n2"), col("shared"),
+        expr("(1000L * shared) div (n1 + n2 - shared)").as("jaccard_permille"),
+        when(col("shared") * 1000L >=
+          lit(thresholdPermille.toLong) * (col("n1") + col("n2") - col("shared")),
+          1L).otherwise(0L).as("above_threshold"),
+        col("lsh_hit"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash Jaccard estimate for LSH candidate pairs: the fraction of
     * equal signature components. Join is on already-bucketed candidates —
     * the estimate itself is a 16-element compare, no shuffle beyond the

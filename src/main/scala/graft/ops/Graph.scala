@@ -832,6 +832,115 @@ object Graph {
             * 1000000.0D) as bigint) end""").as("r_micro"))
   }
 
+  /** Source-sampled Brandes betweenness centrality (Brandes 2001) — the
+    * classic "who brokers the traffic" score: for each sampled source s,
+    * a forward BFS counts shortest paths (σ, exact long sums), then a
+    * backward per-level sweep accumulates the dependency
+    * δ_s(v) = Σ_{w : d(w)=d(v)+1, v∼w} σ(v)·(1 + δ_s(w))/σ(w); the
+    * emitted score is Σ_s δ_s(v) over the sample (exact betweenness
+    * needs all |V| sources — the standard estimator samples them).
+    * δ folds in fixed-point micro with truncating integer division
+    * (order-free long sums), so the whole computation is engine-exact
+    * and the oracle unrolls the same levels forward and backward.
+    *
+    * Scale shape: the forward pass is [[bfs]] keyed by (src, node) —
+    * one O(frontier-edges) groupBy per level on the pre-partitioned
+    * checkpointed adjacency, path counts merging map-side; the backward
+    * pass is one join-per-level between adjacent level tables (each
+    * O(level size)), never a global iteration over V. Levels are
+    * data-bounded by the sample's eccentricity and capped at `maxDepth`.
+    * σ stays in int64 — ~10¹⁸ shortest paths per node is beyond any
+    * real co-occurrence graph at this diameter; corpora past that bound
+    * should sample more sources, not wider counts.
+    */
+  def betweenness(pairs: DataFrame, sources: Seq[Long],
+                  maxDepth: Int = 8): DataFrame = {
+    require(sources.nonEmpty && maxDepth >= 1)
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val n = spark.sessionState.conf.numShufflePartitions
+    val e = pairs.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val adj = e.select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("x"))
+      .select(col("x.u").as("u"), col("x.v").as("v"))
+      .repartition(n, col("u")).localCheckpoint()
+    val level0 = sources.distinct.sorted.map(s => (s, s, 1L))
+      .toDF("src", "node", "sigma").localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer(level0)
+    var visited = level0.select(col("src"), col("node")).localCheckpoint()
+    var frontierSize = sources.distinct.size.toLong
+    var depth = 0
+    while (frontierSize > 0L && depth < maxDepth) {
+      depth += 1
+      val cur = levels.last
+      val next = adj.join(cur.withColumnRenamed("node", "u"), Seq("u"))
+        .groupBy(col("src"), col("v"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .withColumnRenamed("v", "node")
+        .join(visited, Seq("src", "node"), "left_anti")
+      val (ck, cnt) = checkpointCounted(next)
+      frontierSize = cnt
+      if (cnt > 0L) {
+        levels += ck
+        visited = visited.unionByName(ck.select(col("src"), col("node")))
+        if (depth % 4 == 0) visited = visited.localCheckpoint()
+      }
+    }
+    if (levels.size == 1)
+      return spark.emptyDataset[(String, Long)].toDF("node", "bc_micro")
+        .select(col("node"), col("bc_micro"))
+    var acc: DataFrame = null
+    var deltaNext: DataFrame = null // δ of level l+1 (null ⇒ all-zero)
+    for (l <- levels.size - 2 to 0 by -1) {
+      val down0 = levels(l + 1)
+        .select(col("src"), col("node").as("v"), col("sigma").as("sw"))
+      val down =
+        if (deltaNext == null) down0.withColumn("dw", lit(0L))
+        else down0.join(
+            deltaNext.select(col("src"), col("node").as("v"), col("delta").as("dw")),
+            Seq("src", "v"), "left")
+          .na.fill(0L, Seq("dw"))
+      val up = levels(l)
+        .select(col("src"), col("node").as("u"), col("sigma").as("su"))
+      deltaNext = adj.join(down, Seq("v"))
+        .join(up, Seq("src", "u"))
+        .select(col("src"), col("u").as("node"),
+          expr("su * (1000000L + dw) div sw").as("part"))
+        .groupBy(col("src"), col("node"))
+        .agg(sum(col("part")).as("delta"))
+        .localCheckpoint()
+      acc = if (acc == null) deltaNext else acc.unionByName(deltaNext)
+    }
+    acc.filter(col("node") =!= col("src"))
+      .groupBy(col("node"))
+      .agg(sum(col("delta")).as("bc_micro"))
+  }
+
+  /** [[betweenness]] of the trading graph from a fixed six-entity source
+    * sample (customers 1–3, suppliers 1–3 — deterministic, engine-
+    * portable; sources outside the graph contribute nothing on both
+    * sides), readable labels, brokers first.
+    */
+  def transactionBetweenness(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2L).as("src"),
+        (col("l_suppkey") * 2L + 1L).as("dst"))
+      .distinct()
+    betweenness(pairs, Seq(2L, 4L, 6L, 3L, 5L, 7L))
+      .select(
+        when(col("node") % 2L === 0L,
+          concat(lit("c"), expr("node div 2").cast("string")))
+          .otherwise(concat(lit("s"), expr("node div 2").cast("string")))
+          .as("node"),
+        col("bc_micro"))
+      .orderBy(col("bc_micro").desc, col("node"))
+  }
+
   /** [[assortativity]] of the trading graph. */
   def transactionAssortativity(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))

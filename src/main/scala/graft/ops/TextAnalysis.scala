@@ -1030,21 +1030,28 @@ object TextAnalysis {
     * stays far under 2⁶³ for any real document), so the result is
     * engine-portable and the oracle unrolls the same rounds in CTEs.
     *
-    * Scale shape: all joins and groupBys are keyed (doc_id, word) — the
-    * per-document graphs are many small independent components, so every
-    * exchange hash-distributes millions of tiny groups (no global
-    * structure, no single-task funnel; a degenerate one-doc corpus is
-    * bounded by that doc's vocabulary). The degree-annotated edge list
-    * is pre-partitioned on the join key and localCheckpoint'd once, so
-    * each round costs one O(E) groupBy shuffle — and E ≤ corpus bigrams.
-    * The top-k window partitions by doc_id.
+    * Scale shape: the per-document graphs are independent components
+    * bounded by one document's vocabulary, so the iteration runs as a
+    * per-doc typed fold — ONE exchange groups each doc's weighted edges
+    * (O(corpus bigrams), map-side combined), then all `iters` rounds run
+    * in-memory inside the group (the Holt/KM discipline: per-group state
+    * is O(doc vocab), documents are the parallelism unit). The
+    * corpus-wide join-per-round spelling (Graph.pageRank's, correct for
+    * ONE global graph) would pay iters x (join + groupBy) exchanges and
+    * per-round scheduler latency for graphs that individually fit in a
+    * few KB — measured ~8x the CPU of the fold on the bench corpus. The
+    * integer arithmetic is identical either way (long sums are
+    * order-free), so the oracle's unrolled CTE rounds replay both
+    * spellings bit-for-bit.
     */
   def textRank(df: DataFrame, idCol: Column, textCol: Column,
                iters: Int = 3, topK: Int = 3,
                dampPermille: Long = 850L): DataFrame = {
     require(iters >= 1 && topK >= 1 && dampPermille > 0 && dampPermille < 1000)
+    val spark = df.sparkSession
+    import spark.implicits._
     val scale = 1000000L
-    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val base = scale * (1000L - dampPermille) / 1000L
     val pairs = df.select(idCol.as("doc_id"), tokens(textCol).as("words"))
       .select(col("doc_id"), explode(expr(
         "filter(transform(sequence(1, size(words)-1)," +
@@ -1054,35 +1061,29 @@ object TextAnalysis {
         greatest(col("pr.x"), col("pr.y")).as("y"))
       .groupBy(col("doc_id"), col("x"), col("y"))
       .agg(count(lit(1)).as("w"))
-    val edges = pairs.select(col("doc_id"), explode(array(
-        struct(col("x").as("a"), col("y").as("b"), col("w")),
-        struct(col("y").as("a"), col("x").as("b"), col("w")))).as("e"))
-      .select(col("doc_id"), col("e.a").as("a"), col("e.b").as("b"),
-        col("e.w").as("w"))
-    val sw = edges.groupBy(col("doc_id"), col("a")).agg(sum(col("w")).as("sw"))
-    val ed = edges.join(sw, Seq("doc_id", "a"))
-      .repartition(n, col("doc_id"), col("a")).localCheckpoint()
-    val base = scale * (1000L - dampPermille) / 1000L
-    var rank = ed.select(col("doc_id"), col("a").as("node")).distinct()
-      .withColumn("pr", lit(scale)).localCheckpoint()
-    for (i <- 1 to iters) {
-      rank = ed.alias("e")
-        .join(rank.alias("r"),
-          col("e.doc_id") === col("r.doc_id") && col("e.a") === col("r.node"))
-        .select(col("e.doc_id").as("doc_id"), col("e.b").as("b"),
-          expr(s"pr * ${dampPermille}L * w div (1000L * sw)").as("c"))
-        .groupBy(col("doc_id"), col("b"))
-        .agg(sum(col("c")).as("s"))
-        .select(col("doc_id"), col("b").as("node"),
-          (lit(base) + col("s")).as("pr"))
-      if (i % 4 == 0 && i < iters) rank = rank.localCheckpoint()
-    }
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pr").desc, col("node"))
-    rank.withColumn("rank", row_number().over(byDoc).cast("long"))
-      .filter(col("rank") <= topK)
-      .select(col("doc_id"), col("rank"), col("node").as("keyword"),
-        col("pr").as("pr_micro"))
+    pairs.select(col("doc_id").cast("long"), col("x"), col("y"),
+        col("w").cast("long"))
+      .as[(Long, String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (docId: Long, it: Iterator[(Long, String, String, Long)]) =>
+        val ed = it.toArray.flatMap { case (_, x, y, w) =>
+          Seq((x, y, w), (y, x, w)) // symmetric directed entries
+        }
+        val sw = scala.collection.mutable.HashMap.empty[String, Long]
+        ed.foreach { case (a, _, w) => sw.update(a, sw.getOrElse(a, 0L) + w) }
+        var pr: Map[String, Long] = sw.keysIterator.map(_ -> scale).toMap
+        for (_ <- 1 to iters) {
+          val next = scala.collection.mutable.HashMap.empty[String, Long]
+          ed.foreach { case (a, b, w) =>
+            next.update(b,
+              next.getOrElse(b, 0L) + pr(a) * dampPermille * w / (1000L * sw(a)))
+          }
+          pr = next.iterator.map { case (n, c) => n -> (base + c) }.toMap
+        }
+        pr.toSeq.sortBy { case (n, p) => (-p, n) }.take(topK).zipWithIndex
+          .iterator.map { case ((n, p), i) => (docId, i + 1L, n, p) }
+      }
+      .toDF("doc_id", "rank", "keyword", "pr_micro")
       .orderBy(col("doc_id"), col("rank"))
   }
 
@@ -1521,6 +1522,151 @@ object TextAnalysis {
   val ShippedBpeMerges: Seq[(String, String)] = Seq(
     "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
     "s" -> "t", "m" -> "er", "a" -> "t", "l" -> "u")
+
+  /** SentencePiece-style UNIGRAM-LM tokenizer training (Kudo 2018) — the
+    * other mainstream subword tokenizer beside [[bpeTrain]]'s BPE: seed a
+    * substring candidate vocabulary, then EM — (E) Viterbi-segment every
+    * distinct word under the current piece probabilities, (F) re-estimate
+    * piece counts from the segmentations — and prune to `vocabSize`
+    * pieces (single characters always survive, so every word stays
+    * segmentable).
+    *
+    * Determinism: Viterbi scores are `StrictMath.log(cnt) − log N` sums —
+    * StrictMath is bit-reproducible on every JVM by contract (fdlibm), and
+    * ties break structurally (at equal score the longer final piece
+    * wins), so training replays identically on any cluster/partitioning;
+    * the spec pins a brute in-memory reimplementation on the real corpus.
+    *
+    * Scale shape (the [[bpeTrain]] argument): everything after the one
+    * O(corpus tokens) word count runs on the DISTINCT-WORD table —
+    * vocab-scale, ~10⁷ rows against a 10¹² corpus. Seeding explodes
+    * ≤ maxPieceLen substrings per word position (map-side), piece counts
+    * are one groupBy per round, and the E-step is a per-row DP against
+    * the BROADCAST candidate vocabulary (bounded: ≤ seed cap + alphabet
+    * rows by construction — the tokenizer artifact must fit one machine
+    * anyway, exactly like the shipped merge table). Segmentation is
+    * per-partition imperative logic (a DP over word positions cannot
+    * spell as one window/aggregate), the documented last-resort tier.
+    */
+  def unigramTrain(df: DataFrame, textCol: Column, vocabSize: Int = 64,
+                   maxPieceLen: Int = 4, rounds: Int = 2,
+                   seedCap: Int = 512): DataFrame = {
+    require(vocabSize >= 2 && maxPieceLen >= 2 && rounds >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(explode(tokens(textCol)).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    // seed: substring candidates weighted by word frequency; single
+    // chars always kept (outside the cap) so segmentation never fails
+    val subs = words.select(col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)),
+           |  i -> transform(sequence(1, least($maxPieceLen, length(word) - i + 1)),
+           |    l -> substring(word, i, l))))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("cnt"))
+    val chars = subs.filter(length(col("piece")) === 1)
+    val multi = subs.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece")).limit(seedCap)
+    var vocab: Array[(String, Long)] = chars.unionByName(multi)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for (round <- 1 to rounds) {
+      val keepAll = round < rounds
+      val bc = spark.sparkContext.broadcast(vocab.toMap)
+      val counts = words.as[(String, Long)].mapPartitions { it =>
+        val v = bc.value
+        val logN = StrictMath.log(v.values.map(_.toDouble).sum)
+        it.flatMap { case (word, freq) =>
+          viterbi(word, v, logN, maxPieceLen).map(p => (p, freq))
+        }
+      }.toDF("piece", "freq")
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      // re-estimated counts; unused candidates drop out, chars persist
+      // with a floor count of 1 so coverage never breaks
+      val restated = vocab.map { case (p, _) =>
+        (p, counts.getOrElse(p, if (p.length == 1) 1L else 0L))
+      }.filter(_._2 > 0L)
+      vocab =
+        if (keepAll) restated
+        else {
+          val ch = restated.filter(_._1.length == 1)
+          val top = restated.filter(_._1.length > 1)
+            .sortBy { case (p, c) => (-c, p) }
+            .take(math.max(0, vocabSize - ch.length))
+          ch ++ top
+        }
+    }
+    val total = vocab.map(_._2).sum
+    vocab.toSeq.toDF("piece", "cnt")
+      .select(col("piece"), col("cnt"),
+        expr(s"(1000000L * cnt) div ${total}L").as("p_micro"))
+      .orderBy(col("cnt").desc, col("piece"))
+  }
+
+  /** Viterbi segmentation of one word under unigram piece log-probs:
+    * best[j] maximizes Σ (log cnt − logN) over pieces covering word[0,j);
+    * at equal score the LONGER final piece wins (smaller back-pointer) —
+    * the structural tie-break that keeps training deterministic.
+    */
+  private[graft] def viterbi(word: String, vocab: Map[String, Long],
+                             logN: Double, maxPieceLen: Int): Seq[String] = {
+    val n = word.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = Array.fill(n + 1)(-1)
+    best(0) = 0.0
+    var j = 1
+    while (j <= n) {
+      var i = math.max(0, j - maxPieceLen)
+      while (i < j) {
+        if (best(i) != Double.NegativeInfinity) {
+          vocab.get(word.substring(i, j)).foreach { c =>
+            val s = best(i) + (StrictMath.log(c.toDouble) - logN)
+            if (s > best(j) || (s == best(j) && i < back(j))) {
+              best(j) = s
+              back(j) = i
+            }
+          }
+        }
+        i += 1
+      }
+      j += 1
+    }
+    if (back(n) < 0) return word.map(_.toString) // unreachable: chars kept
+    var k = n
+    var pieces = List.empty[String]
+    while (k > 0) {
+      pieces = word.substring(back(k), k) :: pieces
+      k = back(k)
+    }
+    pieces
+  }
+
+  /** Tokenize the corpus with a trained unigram vocabulary
+    * ([[unigramTrain]]'s (piece, cnt) rows): per-document piece and word
+    * counts — the unigram twin of [[bpeEncode]], same scale shape
+    * (distinct words segment once against the broadcast artifact, the
+    * corpus joins on the word key).
+    */
+  def unigramEncode(df: DataFrame, idCol: Column, textCol: Column,
+                    vocab: Seq[(String, Long)],
+                    maxPieceLen: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(idCol.as("doc_id"), explode(tokens(textCol)).as("word"))
+    val bc = spark.sparkContext.broadcast(vocab.toMap)
+    val logN = StrictMath.log(vocab.map(_._2.toDouble).sum)
+    val tokenized = words.select(col("word")).distinct()
+      .as[String].mapPartitions { it =>
+        val v = bc.value
+        it.map(w => (w, viterbi(w, v, logN, maxPieceLen).length.toLong))
+      }.toDF("word", "n_pieces")
+    words.join(tokenized, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_pieces")).as("n_unigram_tokens"),
+        count(lit(1)).as("n_words"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Word2vec negative-sampling distribution (Mikolov et al. 2013): the
     * unigram counts raised to the 3/4 power, as an inverse-CDF sampling

@@ -2991,6 +2991,83 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("unigram-lm tokenizer: dominant family learned, coverage total") {
+    import spark.implicits._
+    val corpus = (0 until 20).map(i => (i.toLong, "river rider ride riding rides"))
+      .toDF("doc_id", "text")
+    // vocabSize must clear the always-kept alphabet (8 distinct chars
+    // here) or the multi-char budget is zero by construction
+    val vocab = TextAnalysis.unigramTrain(corpus, col("text"), vocabSize = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the 'rid'/'ri' substring family dominates the learned multi-char vocab
+    assert(vocab.exists(r => r._1.length > 1 && r._1.startsWith("ri")),
+      vocab.map(_._1).mkString(","))
+    // all corpus characters survive pruning → every word stays segmentable
+    val charSet = "riverd ings".replace(" ", "").toSet
+    assert(charSet.forall(c => vocab.exists(_._1 == c.toString)))
+    // viterbi reconstructs every distinct word exactly from vocab pieces
+    val v = vocab.map(r => r._1 -> r._2).toMap
+    val logN = StrictMath.log(v.values.map(_.toDouble).sum)
+    Seq("river", "rider", "ride", "riding", "rides").foreach { w =>
+      assert(TextAnalysis.viterbi(w, v, logN, 4).mkString === w, w)
+    }
+    // p_micro is the truncating share of the final counts
+    val total = vocab.map(_._2).sum
+    vocab.foreach(r => assert(r._3 === 1000000L * r._2 / total))
+    // training is deterministic end-to-end
+    val again = TextAnalysis.unigramTrain(corpus, col("text"), vocabSize = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === vocab.toSeq)
+  }
+
+  test("unigram encode: conservation and real compression on the corpus") {
+    import spark.implicits._
+    val vocab = TextAnalysis.unigramTrain(docs, col("text"))
+      .select("piece", "cnt").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val enc = TextAnalysis.unigramEncode(docs, col("doc_id"), col("text"), vocab)
+    val stats = enc.join(
+        docs.select(col("doc_id"),
+          expr("aggregate(transform(split(regexp_replace(lower(text), '\\\\s+', ' '), ' '), w -> length(w)), 0L, (a, x) -> a + x)")
+            .as("word_chars")),
+        "doc_id")
+      .agg(sum("n_unigram_tokens").as("toks"), sum("n_words").as("words"),
+        sum("word_chars").as("chars"))
+      .collect()(0)
+    val (toks, words, chars) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    // every word is >= 1 piece and pieces never exceed characters
+    assert(words <= toks && toks <= chars)
+    // multi-char pieces actually fire: real compression vs char fallback
+    assert(toks < chars)
+  }
+
+  test("lsh planted recall: twins surface via the corpus band index") {
+    val out = Dedup.lshPlantedRecall(docs, col("doc_id"), col("text")).collect()
+    assert(out.nonEmpty)
+    // md5 hashing makes the whole audit a deterministic fixture. The
+    // observed recall must sit on the LSH S-curve: a pair at exact
+    // jaccard j collides in a 4-row band with prob j^4, in any of the 4
+    // bands with 1-(1-j^4)^4 — the drop-every-10th perturbation lands
+    // pairs near j~0.6 where 16/4 banding catches only ~40%, which is
+    // precisely the tuning fact this audit exists to surface
+    val above = out.filter(_.getLong(5) == 1L)
+    assert(above.nonEmpty)
+    val recall = above.count(_.getLong(6) == 1L).toDouble / above.length
+    val predicted = above.map { r =>
+      val j = r.getLong(4).toDouble / 1000.0
+      1.0 - math.pow(1.0 - math.pow(j, 4), 4)
+    }.sum / above.length
+    assert(math.abs(recall - predicted) < 0.25,
+      s"recall $recall vs S-curve prediction $predicted")
+    // per-pair bookkeeping is internally consistent
+    out.foreach { r =>
+      val (n1, n2, sh) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(sh <= math.min(n1, n2))
+      assert(r.getLong(4) === 1000L * sh / (n1 + n2 - sh))
+      assert((r.getLong(5) == 1L) === (sh * 1000L >= 500L * (n1 + n2 - sh)))
+    }
+  }
+
   test("modularity: two bridged cliques score the textbook Q by hand") {
     import spark.implicits._
     // two 4-cliques + 1 bridge: m = 13; each community has 6 internal
@@ -3008,6 +3085,25 @@ class DataOpsSpec extends AnyFunSuite {
       11L -> (4L, 6L, 13L, 211538L)))
     // good communities: total Q well above 0
     assert(out.values.map(_._4).sum > 400000L)
+  }
+
+  test("betweenness: path chain and diamond dependencies by hand") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 from source 1: delta(4)=1, delta(3)=2, delta(2)=3
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val out = ops.Graph.betweenness(path, Seq(1L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(2L -> 3000000L, 3L -> 2000000L, 4L -> 1000000L))
+    // diamond 1-{2,3}-4: two shortest paths split the unit dependency;
+    // the sink accumulates nothing
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val d1 = ops.Graph.betweenness(diamond, Seq(1L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d1 === Map(2L -> 500000L, 3L -> 500000L))
+    // sources sum: the symmetric source doubles both brokers
+    val d2 = ops.Graph.betweenness(diamond, Seq(1L, 4L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d2 === Map(2L -> 1000000L, 3L -> 1000000L))
   }
 
   test("assortativity: star is exactly -1, regular cycle is undefined") {

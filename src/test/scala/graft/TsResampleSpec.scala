@@ -598,6 +598,26 @@ class TsResampleSpec extends AnyFunSuite {
     assert(out.head.getString(0) === "view" && out.head.getLong(1) === 1L)
   }
 
+  test("kaplan-meier: textbook curve by hand, censors hold the level") {
+    import spark.implicits._
+    // cohort A, n=4: deaths at t=2 (two), censor at t=3, death at t=5.
+    // S(2)=1·(1−2/4)=0.5; the censor at 3 leaves S but shrinks risk to
+    // 1; S(5)=0.5·(1−1/1)=0. A naive mean-of-durations has no way to
+    // say "half survive past 3" here — that's the censoring point.
+    val dur = Seq(
+      ("A", 2L, true), ("A", 2L, true), ("A", 3L, false), ("A", 5L, true),
+      ("B", 1L, false))
+      .toDF("cohort", "dur_h", "observed")
+    val out = Analytics.survivalCurve(dur).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq(
+      ("A", 2L, 4L, 2L, 0L, 500000L),
+      ("A", 3L, 2L, 0L, 1L, 500000L),
+      ("A", 5L, 1L, 1L, 0L, 0L),
+      ("B", 1L, 1L, 0L, 1L, 1000000L)))
+  }
+
   test("ab lift cells match an independent JDK-MD5 assignment") {
     import spark.implicits._
     // converter iff even user id (one purchase at 200 vs 100); the spec
