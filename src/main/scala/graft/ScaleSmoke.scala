@@ -1190,14 +1190,16 @@ object ScaleSmoke {
     }
 
     // attribution under a power user: 10^7 events over 10^5 users PLUS
-    // one user owning 1% of the stream (10^5 events). The credited-pair
+    // one user owning 0.1% of the stream (10^4 events). The credited-pair
     // join is output-bound — pairs per user = conversions × touches
     // inside the lookback — so the power user contributes a fat but
     // FINITE slice (his conversions × his windowed touches), and the
     // user_id equality join is AQE skew-splittable. The check: the pair
-    // count equals the per-user closed form Σ conv_u · win_touches_u
-    // computed independently, and wall time stays join-output-shaped.
+    // count equals an INDEPENDENT algorithm's answer — a per-user sorted
+    // two-pointer sweep (no join, no window predicate re-spelling), so a
+    // semantic bug in the operator's join/window logic actually fails it.
     time("attribution_power_user") {
+      import spark.implicits._
       val W = 7L * 24 * 3600 * 1000000L
       val ev = spark.range(10000000L).select(
         col("id").as("event_id"),
@@ -1210,14 +1212,33 @@ object ScaleSmoke {
       val pairs = graft.ops.Analytics.attributionPairs(
         ev, W, Seq("click", "signup", "view"), "purchase")
       val n = pairs.count()
-      val perUser = ev.filter(col("event_type").isin("click", "signup", "view"))
-        .select(col("user_id"), col("ts_us").as("t_ts"))
-        .join(ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts_us").as("c_ts")), Seq("user_id"))
-        .filter(col("t_ts") < col("c_ts") && col("c_ts") - col("t_ts") <= W)
-        .count()
-      println(s"[scale]   credited pairs: $n (closed form: $perUser)")
-      require(n == perUser)
+      val twoPointer = ev
+        .select(col("user_id"), col("ts_us"),
+          when(col("event_type") === "purchase", lit(1))
+            .when(col("event_type").isin("click", "signup", "view"), lit(0))
+            .as("kind"))
+        .filter(col("kind").isNotNull)
+        .as[(Long, Long, Int)]
+        .groupByKey(_._1)
+        .mapGroups { (_, it) =>
+          val evs = it.toArray.sortBy(_._2)
+          val touches = evs.collect { case (_, ts, 0) => ts }
+          var lo = 0
+          var hi = 0
+          var total = 0L
+          evs.foreach {
+            case (_, cts, 1) =>
+              while (hi < touches.length && touches(hi) < cts) hi += 1
+              while (lo < hi && cts - touches(lo) > W) lo += 1
+              total += hi - lo
+            case _ =>
+          }
+          total
+        }
+        .reduce(_ + _)
+      println(s"[scale]   credited pairs: $n (two-pointer sweep: $twoPointer)")
+      require(n == twoPointer,
+        s"attribution join disagrees with the sweep: $n != $twoPointer")
     }
 
     // char-level duplicated-substring spans at 100×: every 10th doc

@@ -2137,11 +2137,12 @@ object SparkEntry {
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // deterministic md5-nibble variant split; conversion = any purchase
-    // at/above 150; revenue in exact floor-cents
+    // at/above 150; revenue in exact round-cents (the 2-dp doubles sit
+    // within 1e-13 of the decimal — floor would drop a cent at 0.29)
     "events_ab_lift" ->
       """WITH u AS (SELECT user_id,
         |        sum(CASE WHEN event_type = 'purchase' AND value >= 150.0 THEN 1 ELSE 0 END) AS convs,
-        |        CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(floor(value * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents
+        |        CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents
         |      FROM events GROUP BY 1),
         |v AS (SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' THEN 'A' ELSE 'B' END AS variant,
         |        convs, cents FROM u)

@@ -2660,32 +2660,39 @@ object Analytics {
           col("p").isNotNull.as("observed")))
   }
 
-  /** A/B experiment readout. Variant assignment is the industry-standard
-    * deterministic identity hash — first hex nibble of md5(user_id) < '8'
-    * → "A" else "B" — so assignment is reproducible on any engine with no
-    * stored mapping and no RNG (md5 of the decimal string is identical in
-    * Spark and the oracle). Per variant: exposed users, converters (≥ 1
-    * purchase at or above `convValue` — the high-value-order conversion),
-    * truncating conversion permille, and exact revenue cents
-    * (⌊value·100⌋ summed in int64 — the raw doubles are 2-dp money, and
-    * ×100 is exact in IEEE for this range on both engines).
+  /** Per-user A/B cells shared by [[abLift]] and [[abChiSquare]] — ONE
+    * definition of conversion and of the variant split, so the readout
+    * and its significance stat can never disagree about who converted.
+    * Variant = first hex nibble of md5(user_id) < '8' → "A" else "B"
+    * (reproducible on any engine, no stored mapping, no RNG). Cents use
+    * round(value·100) — the 2-dp source doubles sit within 1e-13 of
+    * their decimal value, so round recovers the integer cents exactly
+    * on both engines, where floor would drop a cent wherever the double
+    * sits just below the decimal (0.29·100 = 28.999…96).
+    */
+  private def abUserCells(ev: DataFrame, convValue: Double): DataFrame =
+    ev.groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase" && col("value") >= convValue,
+          1L).otherwise(0L)).as("convs"),
+        sum(when(col("event_type") === "purchase",
+          expr("cast(round(value * 100.0D) as bigint)")).otherwise(0L))
+          .as("cents"))
+      .withColumn("variant",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+          .otherwise("B"))
+
+  /** A/B experiment readout over [[abUserCells]]. Per variant: exposed
+    * users, converters (≥ 1 purchase at or above `convValue` — the
+    * high-value-order conversion), truncating conversion permille, and
+    * exact revenue cents.
     *
     * Scale shape: one groupBy(user_id) over the filtered purchase slice
     * (map-side partial agg → |users| rows), one groupBy(variant) → 2 rows.
     * No windows, no joins wider than user-level aggregates.
     */
   def abLift(ev: DataFrame, convValue: Double = 150.0): DataFrame = {
-    val perUser = ev.groupBy(col("user_id"))
-      .agg(
-        sum(when(col("event_type") === "purchase" && col("value") >= convValue,
-          1L).otherwise(0L)).as("convs"),
-        sum(when(col("event_type") === "purchase",
-          expr("cast(floor(value * 100.0D) as bigint)")).otherwise(0L))
-          .as("cents"))
-      .withColumn("variant",
-        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
-          .otherwise("B"))
-    perUser.groupBy(col("variant"))
+    abUserCells(ev, convValue).groupBy(col("variant"))
       .agg(count(lit(1)).as("users"),
         sum(when(col("convs") > 0L, 1L).otherwise(0L)).as("converters"),
         sum(col("cents")).as("revenue_cents"))
@@ -2706,12 +2713,7 @@ object Analytics {
     * One row; all upstream work is the user-level aggregate of [[abLift]].
     */
   def abChiSquare(ev: DataFrame, convValue: Double = 150.0): DataFrame = {
-    val cells = ev.groupBy(col("user_id"))
-      .agg(sum(when(col("event_type") === "purchase" && col("value") >= convValue,
-        1L).otherwise(0L)).as("convs"))
-      .withColumn("variant",
-        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
-          .otherwise("B"))
+    val cells = abUserCells(ev, convValue)
       .groupBy()
       .agg(
         sum(when(col("variant") === "A" && col("convs") > 0L, 1L).otherwise(0L)).as("a"),

@@ -47,6 +47,21 @@ object Graph {
     (ck.toDF(df.columns: _*), acc.value)
   }
 
+  /** The customer–supplier trading graph induced by order lines — the
+    * shared fixture of every transaction* query: one edge per distinct
+    * trading relationship, nodes packed as longs (customer 2k,
+    * supplier 2k+1) so every iteration hashes 8-byte keys. ONE
+    * definition — the node-encoding convention lives here and nowhere
+    * else, so the eight consumers and their oracles cannot diverge.
+    */
+  private def tradingPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2L).as("src"),
+        (col("l_suppkey") * 2L + 1L).as("dst"))
+      .distinct()
+
   /** Undirected PageRank, `iters` synchronous rounds from a uniform
     * `scale` start: `pr'(v) = floor(scale·(1000−damp)/1000) +
     * Σ_{u∼v} floor(pr(u)·damp / (1000·deg(u)))`.
@@ -390,12 +405,7 @@ object Graph {
     */
   def transactionCommunities(spark: SparkSession, dir: String,
                              rounds: Int = 4): DataFrame = {
-    val pairs = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2L).as("src"),
-        (col("l_suppkey") * 2L + 1L).as("dst"))
-      .distinct()
+    val pairs = tradingPairs(spark, dir)
     def readable(name: String) =
       when(col(name) % 2L === 0L,
         concat(lit("c"), expr(s"$name div 2").cast("string")))
@@ -456,12 +466,7 @@ object Graph {
     */
   def transactionPpr(spark: SparkSession, dir: String,
                      iters: Int = 3): DataFrame = {
-    val pairs = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2L).as("src"),
-        (col("l_suppkey") * 2L + 1L).as("dst"))
-      .distinct()
+    val pairs = tradingPairs(spark, dir)
     personalizedPageRank(pairs, Seq(2L), iters)
       .select(
         when(col("node") % 2L === 0L,
@@ -672,12 +677,7 @@ object Graph {
     */
   def transactionWalks(spark: SparkSession, dir: String,
                        length: Int = 4, walksPerNode: Int = 2): DataFrame = {
-    val pairs = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2L).as("src"),
-        (col("l_suppkey") * 2L + 1L).as("dst"))
-      .distinct()
+    val pairs = tradingPairs(spark, dir)
     def readable(name: String) =
       when(col(name) % 2L === 0L,
         concat(lit("c"), expr(s"$name div 2").cast("string")))
@@ -699,12 +699,7 @@ object Graph {
     // dedup, every per-round join, and the rank groupBy all hash 8-byte
     // keys instead of strings; the human-readable label is a final O(V)
     // projection, after the iteration is done.
-    val pairs = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2L).as("src"),
-        (col("l_suppkey") * 2L + 1L).as("dst"))
-      .distinct()
+    val pairs = tradingPairs(spark, dir)
     pageRank(pairs, iters)
       .select(
         when(col("node") % 2L === 0L,
@@ -769,12 +764,7 @@ object Graph {
     * detected communities plug in where the topology supports them.
     */
   def transactionModularity(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2L).as("src"),
-        (col("l_suppkey") * 2L + 1L).as("dst"))
-      .distinct()
+    val pairs = tradingPairs(spark, dir)
     val lab = Tables.customer(spark, dir)
       .select((col("c_custkey") * 2L).as("node"),
         col("c_nationkey").cast("long").as("lbl"))
@@ -890,8 +880,11 @@ object Graph {
       }
     }
     if (levels.size == 1)
-      return spark.emptyDataset[(String, Long)].toDF("node", "bc_micro")
-        .select(col("node"), col("bc_micro"))
+      return spark.emptyDataset[(Long, Long)].toDF("node", "bc_micro")
+    // the backward sweep joins the adjacency on its OTHER end every
+    // level — one v-partitioned checkpoint here instead of re-shuffling
+    // the full edge list per level
+    val adjR = adj.repartition(n, col("v")).localCheckpoint()
     var acc: DataFrame = null
     var deltaNext: DataFrame = null // δ of level l+1 (null ⇒ all-zero)
     for (l <- levels.size - 2 to 0 by -1) {
@@ -905,7 +898,7 @@ object Graph {
           .na.fill(0L, Seq("dw"))
       val up = levels(l)
         .select(col("src"), col("node").as("u"), col("sigma").as("su"))
-      deltaNext = adj.join(down, Seq("v"))
+      deltaNext = adjR.join(down, Seq("v"))
         .join(up, Seq("src", "u"))
         .select(col("src"), col("u").as("node"),
           expr("su * (1000000L + dw) div sw").as("part"))
@@ -925,12 +918,7 @@ object Graph {
     * sides), readable labels, brokers first.
     */
   def transactionBetweenness(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2L).as("src"),
-        (col("l_suppkey") * 2L + 1L).as("dst"))
-      .distinct()
+    val pairs = tradingPairs(spark, dir)
     betweenness(pairs, Seq(2L, 4L, 6L, 3L, 5L, 7L))
       .select(
         when(col("node") % 2L === 0L,
@@ -943,12 +931,7 @@ object Graph {
 
   /** [[assortativity]] of the trading graph. */
   def transactionAssortativity(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2L).as("src"),
-        (col("l_suppkey") * 2L + 1L).as("dst"))
-      .distinct()
+    val pairs = tradingPairs(spark, dir)
     assortativity(pairs)
   }
 }

@@ -1050,6 +1050,11 @@ object TextAnalysis {
     require(iters >= 1 && topK >= 1 && dampPermille > 0 && dampPermille < 1000)
     val spark = df.sparkSession
     import spark.implicits._
+    // the typed fold keys on a long doc id; a silent cast of a string id
+    // would null every key and merge the corpus into ONE group
+    val idType = df.select(idCol.as("doc_id")).schema.head.dataType
+    require(Seq("long", "integer", "short", "byte").contains(idType.typeName),
+      s"textRank needs an integral doc id column, got $idType")
     val scale = 1000000L
     val base = scale * (1000L - dampPermille) / 1000L
     val pairs = df.select(idCol.as("doc_id"), tokens(textCol).as("words"))
