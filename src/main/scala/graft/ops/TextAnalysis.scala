@@ -868,18 +868,26 @@ object TextAnalysis {
       .limit(k)
       .drop("__r")
 
+  /** The Efraimidis–Spirakis priority u^(1/w) with u drawn from a 52-bit
+    * md5 slice of the id (13 hex chars — the largest slice a double
+    * holds exactly, so u and the score agree bit-for-bit across
+    * engines). ONE definition: the batch sampler and the maintained
+    * sample log ([[graft.streaming.Monitor.maintainSample]]) must score
+    * identically or the stream's sample silently diverges from the
+    * batch recompute.
+    */
+  def esScore(idColName: String, weightCol: Column): Column =
+    pow((expr(s"cast(conv(substr(md5(cast(`$idColName` as string)), 1, 13), 16, 10) as double)")
+      + lit(0.5)) / lit(4503599627370496.0), // 2^52
+      lit(1.0) / weightCol.cast("double"))
+
   def weightedSample(df: DataFrame, idColName: String, weightCol: Column,
-                     k: Int): DataFrame = {
-    // 13 hex chars = 52 bits: the largest md5 slice a double holds
-    // exactly, so u and the score agree bit-for-bit across engines
-    val u = (expr(s"cast(conv(substr(md5(cast(`$idColName` as string)), 1, 13), 16, 10) as double)")
-      + lit(0.5)) / lit(4503599627370496.0) // 2^52
+                     k: Int): DataFrame =
     df.filter(weightCol > 0)
-      .withColumn("__es_score", pow(u, lit(1.0) / weightCol.cast("double")))
+      .withColumn("__es_score", esScore(idColName, weightCol))
       .orderBy(col("__es_score").desc, col(idColName))
       .limit(k)
       .drop("__es_score")
-  }
 
   /** C4-style duplicated-span removal: cut every document into fixed
     * `width`-word chunks, drop every chunk whose exact text occurs

@@ -233,6 +233,49 @@ object Monitor {
     readLog(spark, path)
       .groupBy("word").agg(sum("cnt").as("cnt"))
 
+  /** Maintained deterministic weighted sample — the E-S sampler
+    * (`TextAnalysis.weightedSample`) kept current at the ingest door.
+    * The Efraimidis–Spirakis priority is a pure hash of (id, weight), so
+    * top-k-by-priority is MERGEABLE: top-k of a union is the top-k of
+    * the parts' top-k's — each micro-batch lands only its own top-k
+    * (O(k) rows per batch regardless of batch size), and the
+    * merge-on-read view equals the batch sampler over everything ever
+    * streamed EXACTLY, not approximately (contrast reservoir sampling,
+    * whose state depends on arrival order and an RNG). Ids must be
+    * unique across the stream — the standard ingest contract every
+    * maintained log here shares. Compact with
+    * `compactLog(spark, path, fold = sampleFold(idColName, k))` — the
+    * fold re-applies the same top-k, so compaction preserves the sample
+    * bit-for-bit.
+    */
+  def maintainSample(stream: DataFrame, idColName: String, weightCol: Column,
+                     k: Int, path: String, checkpoint: String,
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        df.toDF()
+          .filter(weightCol > 0)
+          .withColumn("__es_score",
+            graft.ops.TextAnalysis.esScore(idColName, weightCol))
+          .orderBy(col("__es_score").desc, col(idColName))
+          .limit(k)
+          .writeLogBatch(batchId, path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** The top-k fold shared by [[readSample]] and the compaction of a
+    * [[maintainSample]] log. */
+  def sampleFold(idColName: String, k: Int): DataFrame => DataFrame =
+    df => df.orderBy(col("__es_score").desc, col(idColName)).limit(k)
+
+  /** Merge-on-read of the [[maintainSample]] log: the exact global E-S
+    * sample of everything ever streamed (the mergeability law above). */
+  def readSample(spark: org.apache.spark.sql.SparkSession, path: String,
+                 idColName: String, k: Int): DataFrame =
+    sampleFold(idColName, k)(readLog(spark, path)).drop("__es_score")
+
   /** Maintained skip-gram co-occurrence log — the embedding-trainer twin
     * of [[maintainWordCounts]]: each micro-batch's documents fold to
     * their ±window (center, context) PARTIAL pair counts

@@ -208,6 +208,41 @@ class StreamingSpec extends AnyFunSuite {
       "replayed batch must overwrite its partition, not duplicate the index")
   }
 
+  test("maintained weighted sample equals the batch E-S sampler exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_samp").toString + "/sample"
+    val chk = Files.createTempDirectory("graft_samp_chk").toString
+    val k = 25
+    val batchDocs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val all = batchDocs.collect()
+      .map(r => Doc(r.getLong(0), new Timestamp(1700000000000L + r.getLong(0)),
+        r.getString(1)))
+    // two runs over ONE checkpoint lineage → two distinct batch ids in
+    // the log, so merge-on-read genuinely exercises the mergeability law
+    val in = MemoryStream[Doc]
+    in.addData(all.take(all.length / 2).toSeq: _*)
+    val q1 = Monitor.maintainSample(in.toDF(), "doc_id", length(col("text")),
+      k, path, chk)
+    try q1.awaitTermination(120000) finally q1.stop()
+    in.addData(all.drop(all.length / 2).toSeq: _*)
+    val q2 = Monitor.maintainSample(in.toDF(), "doc_id", length(col("text")),
+      k, path, chk)
+    try q2.awaitTermination(120000) finally q2.stop()
+    val streamed = Monitor.readSample(spark, path, "doc_id", k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = ops.TextAnalysis.weightedSample(batchDocs, "doc_id",
+        length(col("text")), k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed === batch, "stream sample must EQUAL the batch sample")
+    assert(streamed.size === k)
+    // compaction with the top-k fold preserves the sample bit-for-bit
+    Monitor.compactLog(spark, path, fold = Monitor.sampleFold("doc_id", k))
+    val compacted = Monitor.readSample(spark, path, "doc_id", k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(compacted === batch)
+  }
+
   test("streamed co-occurrence counts equal the batch skip-gram operator") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
