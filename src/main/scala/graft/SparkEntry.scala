@@ -1400,6 +1400,13 @@ object SparkEntry {
       TextAnalysis.classifierScore(Tables.documents(s, dir),
         col("doc_id"), col("text"), col("lang") === "en")),
 
+    // PAV isotonic calibration over the margin deciles: floor commutes
+    // with min/max, so the max-min lattice over micro-floored range
+    // averages IS floor(1e6 * PAV) — exact integers end-to-end
+    "quality_calibration" -> ((s, dir) =>
+      TextAnalysis.classifierCalibration(Tables.documents(s, dir),
+        col("doc_id"), col("text"), col("lang") === "en")),
+
     // decile lift table over the trained scores: does the filter
     // concentrate positives in its top deciles, or carry nothing
     "quality_classifier_lift" -> ((s, dir) =>
@@ -5156,6 +5163,29 @@ object SparkEntry {
           |  END AS lift_permille,
           |  margin_lo, margin_hi
           |FROM t ORDER BY decile""".stripMargin),
+
+    // ascending-margin ntiles, then the PAV max-min lattice over the
+    // cumulative bin table — micro-floored range averages, integer
+    // min/max (floor commutes with both, so this IS floor(1e6*PAV))
+    "quality_calibration" ->
+      perceptronOracle(
+        """,d AS (SELECT doc_id, margin, y,
+          |    ntile(10) OVER (ORDER BY margin, doc_id) AS decile FROM __AF__),
+          |bins AS (SELECT decile, count(*) AS n,
+          |    CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p
+          |  FROM d GROUP BY 1),
+          |cum AS (SELECT decile, n, p,
+          |    CAST(SUM(p) OVER (ORDER BY decile) AS BIGINT) AS cp,
+          |    CAST(SUM(n) OVER (ORDER BY decile) AS BIGINT) AS cn FROM bins),
+          |rng AS (SELECT j.decile AS j, j.n AS n_j, j.p AS p_j, i.decile AS i,
+          |    (1000000 * (k.cp - (i.cp - i.p))) // (k.cn - (i.cn - i.n)) AS v
+          |  FROM cum j JOIN cum i ON i.decile <= j.decile
+          |  JOIN cum k ON k.decile >= j.decile),
+          |mn AS (SELECT j, n_j, p_j, i, MIN(v) AS mn FROM rng GROUP BY 1, 2, 3, 4)
+          |SELECT CAST(j AS BIGINT) AS decile, n_j AS n, p_j AS n_pos,
+          |  (1000000 * p_j) // n_j AS raw_micro,
+          |  CAST(MAX(mn) AS BIGINT) AS fitted_micro
+          |FROM mn GROUP BY 1, 2, 3 ORDER BY decile""".stripMargin),
 
     // same 52-bit md5 bucket, same add-one integer ratio; // == div on
     // the non-negative counts

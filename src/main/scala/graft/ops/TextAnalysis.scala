@@ -2083,6 +2083,63 @@ object TextAnalysis {
     * single-task window; the only partition-less windows left ride the
     * ≤`buckets`-row decile table.
     */
+  /** Isotonic calibration (pool-adjacent-violators) of the classifier's
+    * scores over `buckets` margin-ordered bins — the step that turns a
+    * ranking margin into a usable PROBABILITY (42bu's lift table says
+    * the ranking works; this says what a margin is worth): the fitted
+    * per-bin positive rate is the best monotone non-decreasing fit.
+    *
+    * Exactness trick: PAV's fit at bin j is the max-min formula
+    * max_{i≤j} min_{k≥j} avg(y[i..k]), and floor commutes with BOTH
+    * min and max — so flooring every range average to micro FIRST
+    * (`1e6·pos div n`, exact int64) and then taking integer min/max
+    * yields exactly floor(1e6 · PAV fit). No rational bookkeeping, no
+    * float compares; a relational triple join over the bins computes it.
+    *
+    * Scale shape: the corpus-sized work is [[classifierScore]] + the
+    * range-partitioned ntile (never a single-task window); everything
+    * after runs on the `buckets`-row bin table — the cumulative window
+    * rides the bounded `decile` key and the (j,i,k) lattice is at most
+    * buckets³ rows (capped ≤ 32 ⇒ ≤ 32768). The lattice joins are
+    * intended tiny nested loops (plan-audit allowlisted).
+    */
+  def classifierCalibration(df: DataFrame, idCol: Column, textCol: Column,
+                            positive: Column, iters: Int = 3,
+                            buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2 && buckets <= 32)
+    val scored = classifierScore(df, idCol, textCol, positive, iters)
+    // decile 1 = LOWEST margin, so the fitted rate is non-decreasing in
+    // decile order (the orientation PAV assumes)
+    val deciled = Rank.rangedNtile(scored, buckets,
+      Seq(col("margin").asc, col("doc_id")), "decile")
+    val bins = deciled.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("p"))
+    val w = Window.partitionBy(lit(0)).orderBy(col("decile"))
+    val cum = bins
+      .withColumn("cp", sum(col("p")).over(w))
+      .withColumn("cn", sum(col("n")).over(w))
+    val j = cum.select(col("decile").as("j"), col("n").as("n_j"), col("p").as("p_j"))
+    val i = cum.select(col("decile").as("i"),
+      (col("cp") - col("p")).as("cp0"), (col("cn") - col("n")).as("cn0"))
+    val k = cum.select(col("decile").as("k"),
+      col("cp").as("cpk"), col("cn").as("cnk"))
+    j.join(i, col("i") <= col("j"))
+      .join(k, col("k") >= col("j"))
+      .select(col("j"), col("n_j"), col("p_j"), col("i"),
+        expr("(1000000L * (cpk - cp0)) div (cnk - cn0)").as("v"))
+      .groupBy(col("j"), col("n_j"), col("p_j"), col("i"))
+      .agg(min(col("v")).as("mn"))
+      .groupBy(col("j"), col("n_j"), col("p_j"))
+      .agg(max(col("mn")).as("fitted_micro"))
+      .select(col("j").cast("long").as("decile"), col("n_j").as("n"),
+        col("p_j").as("n_pos"),
+        expr("(1000000L * p_j) div n_j").as("raw_micro"),
+        col("fitted_micro"))
+      .orderBy(col("decile"))
+  }
+
   def classifierLift(df: DataFrame, idCol: Column, textCol: Column,
                      positive: Column, iters: Int = 3,
                      buckets: Int = 10): DataFrame = {

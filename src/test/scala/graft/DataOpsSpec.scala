@@ -2991,6 +2991,54 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("isotonic calibration matches a brute PAV stack on the real corpus") {
+    val out = TextAnalysis.classifierCalibration(docs, col("doc_id"), col("text"),
+      col("lang") === "en").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length === 10)
+    // fitted rates are monotone non-decreasing (the isotonic contract)
+    out.map(_._5).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b)
+      case _ =>
+    }
+    // brute reference: same ntile bins, classic pool-adjacent-violators
+    // with exact rational pooling, floored to micro at the end
+    val scored = TextAnalysis.classifierScore(docs, col("doc_id"), col("text"),
+      col("lang") === "en").select("doc_id", "margin", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._2, t._1))
+    val nrows = scored.length
+    val big = nrows % 10
+    val base = nrows / 10
+    val sizes = (0 until 10).map(g => if (g < big) base + 1 else base)
+    val bins = sizes.scanLeft(0)(_ + _).zip(sizes).map { case (off, sz) =>
+      val slice = scored.slice(off, off + sz)
+      (slice.length.toLong, slice.count(_._3 == 1L).toLong)
+    }
+    // PAV: pool adjacent blocks while the average decreases
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)] // (n, p, bins)
+    bins.foreach { case (n, p) =>
+      var (cn, cp, cb) = (n, p, 1)
+      while (stack.nonEmpty && {
+        val (sn, sp, _) = stack.last
+        // sp/sn > cp/cn  ⟺  sp·cn > cp·sn (exact)
+        sp * cn > cp * sn
+      }) {
+        val (sn, sp, sb) = stack.remove(stack.length - 1)
+        cn += sn; cp += sp; cb += sb
+      }
+      stack += ((cn, cp, cb))
+    }
+    val fittedBrute = stack.flatMap { case (n, p, b) =>
+      Seq.fill(b)(1000000L * p / n)
+    }
+    assert(out.map(_._5).toSeq === fittedBrute.toSeq)
+    // raw rates agree with the bin cells
+    out.zip(bins).foreach { case ((_, n, p, raw, _), (bn, bp)) =>
+      assert(n === bn && p === bp && raw === 1000000L * bp / bn)
+    }
+  }
+
   test("unigram-lm tokenizer: dominant family learned, coverage total") {
     import spark.implicits._
     val corpus = (0 until 20).map(i => (i.toLong, "river rider ride riding rides"))

@@ -41,7 +41,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "agg_kmv_overlap",        // |types|-row sketch-pair cross: intended tiny nested loop
     "quality_ks_matrix",      // |sources|-row grid cross: the common-ECDF-grid build
     "graph_modularity",       // single-row edge-count (m) broadcast
-    "events_survival_km")     // single-row corpus-frontier (max ts) broadcast
+    "events_survival_km",     // single-row corpus-frontier (max ts) broadcast
+    "quality_calibration")    // decile-lattice theta joins: ≤ buckets³ rows by construction
 
   /** Grouping-key names whose domain is bounded by construction — an
     * aggregate keyed ONLY on these produces O(domain) rows no matter the
