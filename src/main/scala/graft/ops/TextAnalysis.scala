@@ -870,11 +870,23 @@ object TextAnalysis {
 
   /** The Efraimidis–Spirakis priority u^(1/w) with u drawn from a 52-bit
     * md5 slice of the id (13 hex chars — the largest slice a double
-    * holds exactly, so u and the score agree bit-for-bit across
-    * engines). ONE definition: the batch sampler and the maintained
-    * sample log ([[graft.streaming.Monitor.maintainSample]]) must score
-    * identically or the stream's sample silently diverges from the
-    * batch recompute.
+    * holds exactly, so u agrees bit-for-bit across engines). ONE
+    * definition: the batch sampler and the maintained sample log
+    * ([[graft.streaming.Monitor.maintainSample]]) must score identically
+    * or the stream's sample silently diverges from the batch recompute.
+    *
+    * Determinism boundary, stated precisely: the power runs through
+    * libm `pow`, whose last ulp can differ across platforms (the 42bh
+    * caveat — which is why the negative-sampling table spells ^(3/4) as
+    * two sqrts). Within one platform the score is a pure function of
+    * (id, weight) — any cluster size, any partitioning — and the
+    * DuckDB oracle pins cross-engine agreement on this corpus. The
+    * maintained log PERSISTS the scores it ranked by, so the log stays
+    * self-consistent across platform migrations; only a from-scratch
+    * recompute on a different platform could flip a 1-ulp near-tie at
+    * the k-th place. An exact-integer spelling does not exist for
+    * arbitrary real exponents 1/w — robust deployments should treat the
+    * persisted score as the artifact, exactly as the log does.
     */
   def esScore(idColName: String, weightCol: Column): Column =
     pow((expr(s"cast(conv(substr(md5(cast(`$idColName` as string)), 1, 13), 16, 10) as double)")
@@ -2062,27 +2074,6 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Decile lift table over [[classifierScore]] — the evaluation a
-    * trained quality filter is READ through before anyone trusts its
-    * threshold: rank all docs by margin (deterministic (margin desc,
-    * doc_id) total order), cut into `buckets` ntiles, and report each
-    * bucket's positive rate against the corpus base rate. A useful
-    * classifier concentrates positives in the top deciles
-    * (lift ≫ 1000‰); a flat table says the features carry nothing.
-    *
-    * Exactness: counts are integers; rates are truncating permille
-    * divisions; lift is the RATIO OF THE TRUNCATED PERMILLES (not of
-    * raw counts — spelled that way so no product ever exceeds
-    * 10⁶·count, long-safe at any corpus size). Totals ride a window
-    * over the ≤`buckets`-row decile table, not a second pass.
-    *
-    * Scale note: the ntile is [[Rank.rangedNtile]] over the O(docs)
-    * scored rows — a range-partitioned distributed rank (margins are
-    * near-unique, so the histogram-cumsum closed form doesn't apply),
-    * exactly SQL `ntile(k) OVER (ORDER BY margin DESC, doc_id)` with no
-    * single-task window; the only partition-less windows left ride the
-    * ≤`buckets`-row decile table.
-    */
   /** Isotonic calibration (pool-adjacent-violators) of the classifier's
     * scores over `buckets` margin-ordered bins — the step that turns a
     * ranking margin into a usable PROBABILITY (42bu's lift table says
@@ -2140,6 +2131,27 @@ object TextAnalysis {
       .orderBy(col("decile"))
   }
 
+  /** Decile lift table over [[classifierScore]] — the evaluation a
+    * trained quality filter is READ through before anyone trusts its
+    * threshold: rank all docs by margin (deterministic (margin desc,
+    * doc_id) total order), cut into `buckets` ntiles, and report each
+    * bucket's positive rate against the corpus base rate. A useful
+    * classifier concentrates positives in the top deciles
+    * (lift ≫ 1000‰); a flat table says the features carry nothing.
+    *
+    * Exactness: counts are integers; rates are truncating permille
+    * divisions; lift is the RATIO OF THE TRUNCATED PERMILLES (not of
+    * raw counts — spelled that way so no product ever exceeds
+    * 10⁶·count, long-safe at any corpus size). Totals ride a window
+    * over the ≤`buckets`-row decile table, not a second pass.
+    *
+    * Scale note: the ntile is [[Rank.rangedNtile]] over the O(docs)
+    * scored rows — a range-partitioned distributed rank (margins are
+    * near-unique, so the histogram-cumsum closed form doesn't apply),
+    * exactly SQL `ntile(k) OVER (ORDER BY margin DESC, doc_id)` with no
+    * single-task window; the only partition-less windows left ride the
+    * ≤`buckets`-row decile table.
+    */
   def classifierLift(df: DataFrame, idCol: Column, textCol: Column,
                      positive: Column, iters: Int = 3,
                      buckets: Int = 10): DataFrame = {
