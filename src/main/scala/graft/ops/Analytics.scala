@@ -2670,7 +2670,7 @@ object Analytics {
     * on both engines, where floor would drop a cent wherever the double
     * sits just below the decimal (0.29·100 = 28.999…96).
     */
-  private def abUserCells(ev: DataFrame, convValue: Double): DataFrame =
+  def abUserCells(ev: DataFrame, convValue: Double): DataFrame =
     ev.groupBy(col("user_id"))
       .agg(
         sum(when(col("event_type") === "purchase" && col("value") >= convValue,
@@ -2678,9 +2678,30 @@ object Analytics {
         sum(when(col("event_type") === "purchase",
           expr("cast(round(value * 100.0D) as bigint)")).otherwise(0L))
           .as("cents"))
-      .withColumn("variant",
-        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
-          .otherwise("B"))
+
+  /** The md5-nibble variant split, derived from the id alone — cells
+    * never need to STORE the variant, so a maintained cells log stays
+    * variant-agnostic and a re-split (new experiment epoch) is free. */
+  private def withVariant(cells: DataFrame): DataFrame =
+    cells.withColumn("variant",
+      when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+        .otherwise("B"))
+
+  /** The lift epilogue over (user_id, convs, cents) cells — shared by
+    * the batch readout and the maintained-log view
+    * ([[graft.streaming.Monitor.readAbLift]]), so the two can never
+    * disagree; per-user cells are ADDITIVE, which is what makes the
+    * streamed partials merge exactly.
+    */
+  def abLiftFromCells(cells: DataFrame): DataFrame =
+    withVariant(cells).groupBy(col("variant"))
+      .agg(count(lit(1)).as("users"),
+        sum(when(col("convs") > 0L, 1L).otherwise(0L)).as("converters"),
+        sum(col("cents")).as("revenue_cents"))
+      .withColumn("conv_permille", expr("(1000L * converters) div users"))
+      .select(col("variant"), col("users"), col("converters"),
+        col("conv_permille"), col("revenue_cents"))
+      .orderBy(col("variant"))
 
   /** A/B experiment readout over [[abUserCells]]. Per variant: exposed
     * users, converters (≥ 1 purchase at or above `convValue` — the
@@ -2691,16 +2712,8 @@ object Analytics {
     * (map-side partial agg → |users| rows), one groupBy(variant) → 2 rows.
     * No windows, no joins wider than user-level aggregates.
     */
-  def abLift(ev: DataFrame, convValue: Double = 150.0): DataFrame = {
-    abUserCells(ev, convValue).groupBy(col("variant"))
-      .agg(count(lit(1)).as("users"),
-        sum(when(col("convs") > 0L, 1L).otherwise(0L)).as("converters"),
-        sum(col("cents")).as("revenue_cents"))
-      .withColumn("conv_permille", expr("(1000L * converters) div users"))
-      .select(col("variant"), col("users"), col("converters"),
-        col("conv_permille"), col("revenue_cents"))
-      .orderBy(col("variant"))
-  }
+  def abLift(ev: DataFrame, convValue: Double = 150.0): DataFrame =
+    abLiftFromCells(abUserCells(ev, convValue))
 
   /** The experiment's significance readout: the 2×2 chi-square statistic
     * (converted × variant) in micro-units, computed over the exact integer
@@ -2712,8 +2725,13 @@ object Analytics {
     * contingency cells too, so the stat is auditable from its own row.
     * One row; all upstream work is the user-level aggregate of [[abLift]].
     */
-  def abChiSquare(ev: DataFrame, convValue: Double = 150.0): DataFrame = {
-    val cells = abUserCells(ev, convValue)
+  def abChiSquare(ev: DataFrame, convValue: Double = 150.0): DataFrame =
+    abChiSquareFromCells(abUserCells(ev, convValue))
+
+  /** The chi-square epilogue over (user_id, convs, cents) cells — the
+    * [[abLiftFromCells]] twin, shared with the maintained-log view. */
+  def abChiSquareFromCells(cells0: DataFrame): DataFrame = {
+    val cells = withVariant(cells0)
       .groupBy()
       .agg(
         sum(when(col("variant") === "A" && col("convs") > 0L, 1L).otherwise(0L)).as("a"),

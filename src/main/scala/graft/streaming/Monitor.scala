@@ -265,6 +265,48 @@ object Monitor {
       .trigger(trigger)
       .start()
 
+  /** Maintained A/B experiment cells — 28cd's live half: the per-user
+    * (convs, cents) cells are ADDITIVE integers, so each micro-batch
+    * lands only its own per-user partial aggregate (O(active users per
+    * batch) rows) and the merge-on-read sum equals the batch
+    * `Analytics.abUserCells` over everything ever streamed exactly.
+    * The variant split is derived from the id at READ time (one md5
+    * expression shared with the batch op), so the log is
+    * experiment-epoch-agnostic. The lift and chi-square views run the
+    * SAME epilogues as the batch readouts (`abLiftFromCells` /
+    * `abChiSquareFromCells`) — definitionally identical, spec-pinned.
+    */
+  def maintainAbCells(stream: DataFrame, path: String, checkpoint: String,
+                      convValue: Double = 150.0,
+                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        graft.ops.Analytics.abUserCells(df.toDF(), convValue)
+          .writeLogBatch(batchId, path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Merged per-user cells of a [[maintainAbCells]] log — also the
+    * compaction fold (`compactLog(spark, path, fold = df =>
+    * df.groupBy("user_id").agg(...)` is spelled here once). */
+  def readAbCells(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    abCellsFold(readLog(spark, path))
+
+  /** The additive merge shared by [[readAbCells]] and compaction. */
+  def abCellsFold(df: DataFrame): DataFrame =
+    df.groupBy("user_id")
+      .agg(sum("convs").as("convs"), sum("cents").as("cents"))
+
+  /** The experiment readout served off the maintained log. */
+  def readAbLift(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    graft.ops.Analytics.abLiftFromCells(readAbCells(spark, path))
+
+  /** The significance stat served off the maintained log. */
+  def readAbChiSquare(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    graft.ops.Analytics.abChiSquareFromCells(readAbCells(spark, path))
+
   /** The top-k fold shared by [[readSample]] and the compaction of a
     * [[maintainSample]] log. */
   def sampleFold(idColName: String, k: Int): DataFrame => DataFrame =

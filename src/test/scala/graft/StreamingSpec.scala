@@ -19,6 +19,8 @@ case class Asset(asset_id: Long, kind: String, payload: Array[Byte])
 
 case class EvV(event_id: Long, event_type: String, value: Double)
 
+case class AbEvent(event_id: Long, user_id: Long, event_type: String, value: Double)
+
 /** Streaming twins driven synchronously with MemoryStream + AvailableNow. */
 class StreamingSpec extends AnyFunSuite {
   import TestSession._
@@ -206,6 +208,38 @@ class StreamingSpec extends AnyFunSuite {
     try q2.awaitTermination(120000) finally q2.stop()
     assert(Monitor.readLshIndex(spark, idx).collect().map(key).toSet === batch,
       "replayed batch must overwrite its partition, not duplicate the index")
+  }
+
+  test("maintained A/B cells serve the exact batch lift and chi-square") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_ab").toString + "/cells"
+    val chk = Files.createTempDirectory("graft_ab_chk").toString
+    val batchEv = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val all = batchEv.collect().map(r => AbEvent(r.getLong(0), r.getLong(1),
+      r.getString(2), r.getDouble(3)))
+    // two runs over one checkpoint lineage → per-user partials must SUM
+    // across batch ids (a user's purchases straddle the split)
+    val in = MemoryStream[AbEvent]
+    in.addData(all.take(all.length / 2).toSeq: _*)
+    val q1 = Monitor.maintainAbCells(in.toDF(), path, chk)
+    try q1.awaitTermination(120000) finally q1.stop()
+    in.addData(all.drop(all.length / 2).toSeq: _*)
+    val q2 = Monitor.maintainAbCells(in.toDF(), path, chk)
+    try q2.awaitTermination(120000) finally q2.stop()
+    def liftRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(liftRows(Monitor.readAbLift(spark, path)) ===
+      liftRows(graft.ops.Analytics.abLift(batchEv)))
+    val chiStream = Monitor.readAbChiSquare(spark, path).collect()(0)
+    val chiBatch = graft.ops.Analytics.abChiSquare(batchEv).collect()(0)
+    assert((0 to 4).map(chiStream.get) === (0 to 4).map(chiBatch.get))
+    // compaction with the additive fold preserves the cells exactly
+    Monitor.compactLog(spark, path, fold = Monitor.abCellsFold)
+    assert(liftRows(Monitor.readAbLift(spark, path)) ===
+      liftRows(graft.ops.Analytics.abLift(batchEv)))
   }
 
   test("maintained weighted sample equals the batch E-S sampler exactly") {
