@@ -1261,8 +1261,8 @@ object ScaleSmoke {
       val n = spans.count()
       val planted = docs.filter(pmod(col("doc_id"), lit(10)) === 0L).count()
       println(s"[scale]   spans: $n (planted blocks: $planted)")
-      require(n >= planted,
-        s"every planted block must surface a span: $n < $planted")
+      require(n == planted,
+        s"span count must equal the planted-block count exactly: $n != $planted")
     }
 
     // textRank at 100×: per-doc graphs are independent components, so

@@ -3619,7 +3619,7 @@ object SparkEntry {
     "dedup_clusters" ->
       """WITH RECURSIVE w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
         |sh0 AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-        |       FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |       FROM (SELECT w.*, unnest(range(1, len(words) - 1)) AS i FROM w)),
         |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0
         |       JOIN (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 500) keep USING (shingle)),
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -3639,7 +3639,7 @@ object SparkEntry {
     "dedup_clusters_star" ->
       """WITH RECURSIVE w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
         |sh0 AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-        |       FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |       FROM (SELECT w.*, unnest(range(1, len(words) - 1)) AS i FROM w)),
         |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0
         |       JOIN (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 500) keep USING (shingle)),
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -3657,7 +3657,7 @@ object SparkEntry {
     "dedup_keep_canonical" ->
       """WITH RECURSIVE w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
         |sh0 AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-        |       FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |       FROM (SELECT w.*, unnest(range(1, len(words) - 1)) AS i FROM w)),
         |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0
         |       JOIN (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 500) keep USING (shingle)),
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -3678,7 +3678,7 @@ object SparkEntry {
     "dedup_minhash_estimate" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
         |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-        |       FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |       FROM (SELECT w.*, unnest(range(1, len(words) - 1)) AS i FROM w)),
         |mh AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS h
         |       FROM sh, range(0, 16) t(j) GROUP BY doc_id, j),
         |band AS (SELECT doc_id, j // 4 AS band, md5(string_agg(h, '|' ORDER BY j)) AS bh
@@ -3696,7 +3696,7 @@ object SparkEntry {
     "corpus_decontaminate_fuzzy" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
         |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-        |       FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |       FROM (SELECT w.*, unnest(range(1, len(words) - 1)) AS i FROM w)),
         |mh AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS h
         |       FROM sh, range(0, 16) t(j) GROUP BY doc_id, j),
         |band AS (SELECT doc_id, j // 4 AS band, md5(string_agg(h, '|' ORDER BY j)) AS bh
@@ -3720,7 +3720,7 @@ object SparkEntry {
     "corpus_overlap_matrix" ->
       """WITH w AS (SELECT source, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
         |sh AS (SELECT DISTINCT source, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-        |       FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2)
+        |       FROM (SELECT w.*, unnest(range(1, len(words) - 1)) AS i FROM w))
         |SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_shingles
         |FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -3730,7 +3730,7 @@ object SparkEntry {
     "dedup_containment" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
         |sh0 AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-        |       FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |       FROM (SELECT w.*, unnest(range(1, len(words) - 1)) AS i FROM w)),
         |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0
         |       JOIN (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 500) keep USING (shingle)),
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -3745,7 +3745,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
         |sh0 AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-        |       FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |       FROM (SELECT w.*, unnest(range(1, len(words) - 1)) AS i FROM w)),
         |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0
         |       JOIN (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 500) keep USING (shingle)),
         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -3763,7 +3763,7 @@ object SparkEntry {
     "dedup_prefix_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
         |sh AS MATERIALIZED (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-        |       FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |       FROM (SELECT w.*, unnest(range(1, len(words) - 1)) AS i FROM w)),
         |dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
         |cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |rk AS (SELECT sh.doc_id, sh.shingle,
@@ -3787,7 +3787,7 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
         |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-        |       FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |       FROM (SELECT w.*, unnest(range(1, len(words) - 1)) AS i FROM w)),
         |mh AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS h
         |       FROM sh, range(0, 16) t(j) GROUP BY doc_id, j),
         |band AS (SELECT doc_id, j // 4 AS band, md5(string_agg(h, '|' ORDER BY j)) AS bh
@@ -3801,7 +3801,7 @@ object SparkEntry {
     "dedup_minhash_incremental" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
         |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-        |       FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |       FROM (SELECT w.*, unnest(range(1, len(words) - 1)) AS i FROM w)),
         |mh AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS h
         |       FROM sh, range(0, 16) t(j) GROUP BY doc_id, j),
         |band AS (SELECT doc_id, j // 4 AS band, md5(string_agg(h, '|' ORDER BY j)) AS bh
@@ -3818,17 +3818,17 @@ object SparkEntry {
         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT % 1000 < 100),
         |tw0 AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM samp),
         |tw AS MATERIALIZED (SELECT doc_id, string_agg(words[i], ' ' ORDER BY i) AS text
-        |  FROM tw0, range(1, 2048) r(i) WHERE i <= len(words) AND i % 10 <> 0 GROUP BY doc_id),
+        |  FROM (SELECT tw0.*, unnest(range(1, len(words) + 1)) AS i FROM tw0) WHERE i % 10 <> 0 GROUP BY doc_id),
         |cw AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
         |csh AS MATERIALIZED (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-        |  FROM cw, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |  FROM (SELECT cw.*, unnest(range(1, len(words) - 1)) AS i FROM cw)),
         |cmh AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS h
         |  FROM csh, range(0, 16) t(j) GROUP BY doc_id, j),
         |cband AS MATERIALIZED (SELECT doc_id, j // 4 AS band, md5(string_agg(h, '|' ORDER BY j)) AS bh
         |  FROM cmh GROUP BY doc_id, j // 4),
         |tww AS (SELECT doc_id, string_split(text, ' ') AS words FROM tw),
         |tsh AS MATERIALIZED (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-        |  FROM tww, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |  FROM (SELECT tww.*, unnest(range(1, len(words) - 1)) AS i FROM tww)),
         |tmh AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS h
         |  FROM tsh, range(0, 16) t(j) GROUP BY doc_id, j),
         |tband AS (SELECT doc_id, j // 4 AS band, md5(string_agg(h, '|' ORDER BY j)) AS bh
@@ -3877,7 +3877,7 @@ object SparkEntry {
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
         |g AS (SELECT DISTINCT doc_id,
         |        words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] || ' ' || words[i+4] AS gram
-        |      FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 4),
+        |      FROM (SELECT w.*, unnest(range(1, len(words) - 3)) AS i FROM w)),
         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 5),
         |corpus AS (SELECT doc_id, gram FROM g WHERE doc_id >= 5)
         |SELECT doc_id, count(*) AS n_hits
@@ -3889,7 +3889,7 @@ object SparkEntry {
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
         |g AS (SELECT DISTINCT doc_id,
         |        words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] || ' ' || words[i+4] AS gram
-        |      FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 4),
+        |      FROM (SELECT w.*, unnest(range(1, len(words) - 3)) AS i FROM w)),
         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 5),
         |corpus AS (SELECT doc_id, gram FROM g WHERE doc_id >= 5)
         |SELECT doc_id, count(*) AS n_hits
@@ -4232,7 +4232,7 @@ object SparkEntry {
         |           FROM documents),
         |wc AS (SELECT word, count(*) AS cnt FROM w WHERE length(word) >= 2 GROUP BY 1),
         |p AS (SELECT substr(word, i, 2) AS pair, cnt
-        |      FROM wc, range(1, 2048) r(i) WHERE i <= length(word) - 1)
+        |      FROM (SELECT wc.*, unnest(range(1, length(word))) AS i FROM wc))
         |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n_occurrences
         |FROM p GROUP BY 1
         |ORDER BY n_occurrences DESC, pair LIMIT 50""".stripMargin,
@@ -4730,7 +4730,7 @@ object SparkEntry {
     "quality_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
         |g AS (SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
-        |      FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2)
+        |      FROM (SELECT w.*, unnest(range(1, len(words) - 1)) AS i FROM w))
         |SELECT doc_id, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct,
         |  (count(*) - count(DISTINCT gram)) / count(*) AS rep_ratio
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
@@ -4809,7 +4809,7 @@ object SparkEntry {
     "text_novelty" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
         |sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-        |       FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |       FROM (SELECT w.*, unnest(range(1, len(words) - 1)) AS i FROM w)),
         |f AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
         |SELECT sh.doc_id, count(*) AS n_grams,
         |  CAST(SUM(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
@@ -5040,7 +5040,7 @@ object SparkEntry {
         |        CAST(len(list_filter(words, x -> x = 'the' OR x = 'a' OR x = 'of')) AS BIGINT) AS n_stop
         |      FROM w),
         |g AS (SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
-        |      FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |      FROM (SELECT w.*, unnest(range(1, len(words) - 1)) AS i FROM w)),
         |gc AS (SELECT doc_id, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct
         |       FROM g GROUP BY 1),
         |ix AS (SELECT doc_id, words, unnest(range(1, len(words))) AS i FROM w),
@@ -5069,7 +5069,7 @@ object SparkEntry {
         |        CAST(len(list_filter(words, x -> x = 'the' OR x = 'a' OR x = 'of')) AS BIGINT) AS n_stop
         |      FROM w),
         |g AS (SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS gram
-        |      FROM w, range(1, 2048) r(i) WHERE i <= len(words) - 2),
+        |      FROM (SELECT w.*, unnest(range(1, len(words) - 1)) AS i FROM w)),
         |gc AS (SELECT doc_id, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct
         |       FROM g GROUP BY 1),
         |ix AS (SELECT doc_id, words, unnest(range(1, len(words))) AS i FROM w),

@@ -491,7 +491,6 @@ object Dedup {
                        numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(samplePermille > 0 && samplePermille <= 1000)
     require(dropEvery >= 2)
-    val offset = 1000000000L
     val base = df.select(idCol.as("doc_id"), textCol.as("text"))
     val sampled = base.filter(
       expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 13), 16, 10) as bigint)" +
@@ -503,11 +502,16 @@ object Dedup {
         "filter(split(regexp_replace(lower(text), '\\\\s+', ' '), ' ')," +
           s" (x, i) -> (i + 1) % $dropEvery != 0)"), " ").as("text"))
     val corpusBands = lshBands(base, col("doc_id"), col("text"), numHashes, bands)
+    // twin ids are the two's-complement mirror -doc_id - 1: a bijection
+    // from the non-negative id space onto the negatives, so a twin can
+    // never collide with a real doc_id at ANY corpus size (a fixed
+    // additive offset collides as soon as ids reach it) — requires
+    // non-negative corpus ids, which every graft table satisfies
     val cand = lshCandidatesAgainst(
-      twins.select((col("doc_id") + offset).as("doc_id"), col("text")),
+      twins.select((-col("doc_id") - 1L).as("doc_id"), col("text")),
       col("doc_id"), col("text"), corpusBands, numHashes, bands)
-    val hits = cand.filter(col("indexed_id") === col("new_id") - offset)
-      .select((col("new_id") - offset).as("doc_id"), lit(1L).as("lsh_hit"))
+    val hits = cand.filter(col("indexed_id") === -col("new_id") - 1L)
+      .select((-col("new_id") - 1L).as("doc_id"), lit(1L).as("lsh_hit"))
     val shO = shingles(sampled, col("doc_id"), col("text"))
     val shT = shingles(twins, col("doc_id"), col("text"))
     val nO = shO.groupBy("doc_id").agg(count(lit(1)).as("n1"))

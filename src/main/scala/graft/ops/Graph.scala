@@ -783,8 +783,9 @@ object Graph {
     * matter on a given corpus. Over the symmetric directed edge entries
     * (x, y) = (deg(src), deg(dst)), symmetry makes the two marginals
     * equal, so r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) — no square roots.
-    * Sums fold in exact decimal(38) (Σxy overflows int64 at corpus
-    * degree scales; DuckDB's HUGEINT matches), converted to double once
+    * Products AND sums fold in exact decimal (factors widened to
+    * decimal(18,0) before the multiply — x·y itself overflows int64 at
+    * degrees past ~3e9; DuckDB's HUGEINT matches), converted to double once
     * from the same exact integers on both engines; NULL on the
     * zero-variance (regular-graph) denominator rather than an
     * engine-divergent inf cast. One degree groupBy + two broadcast-able
@@ -807,8 +808,13 @@ object Graph {
       .groupBy()
       .agg(count(lit(1)).as("m2"),
         sum(col("x").cast("decimal(38,0)")).as("s_sum"),
-        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sq_sum"),
-        sum((col("x") * col("y")).cast("decimal(38,0)")).as("p_sum"))
+        // factors cast to decimal BEFORE the multiply: degree products
+        // overflow int64 past ~3e9, and a post-hoc cast would only bless
+        // the already-wrapped value — decimal(18,0)² is exact to 1e36
+        sum(col("x").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
+          .as("sq_sum"),
+        sum(col("x").cast("decimal(18,0)") * col("y").cast("decimal(18,0)"))
+          .as("p_sum"))
       .select(col("m2"),
         col("s_sum").cast("double").as("s_sum"),
         col("sq_sum").cast("double").as("sq_sum"),
@@ -841,7 +847,11 @@ object Graph {
     * data-bounded by the sample's eccentricity and capped at `maxDepth`.
     * σ stays in int64 — ~10¹⁸ shortest paths per node is beyond any
     * real co-occurrence graph at this diameter; corpora past that bound
-    * should sample more sources, not wider counts.
+    * should sample more sources, not wider counts. The backward sweep's
+    * σ·(1e6+δ) product is computed in decimal(38,0) (not int64): δ grows
+    * with the reachable-node count, so the COMBINED product can pass
+    * 9.2e18 long before σ alone does — decimal keeps it exact to 1e38,
+    * matching DuckDB's int128 arithmetic instead of wrapping.
     */
   def betweenness(pairs: DataFrame, sources: Seq[Long],
                   maxDepth: Int = 8): DataFrame = {
@@ -901,7 +911,12 @@ object Graph {
       deltaNext = adjR.join(down, Seq("v"))
         .join(up, Seq("src", "u"))
         .select(col("src"), col("u").as("node"),
-          expr("su * (1000000L + dw) div sw").as("part"))
+          // σ·(1e6+δ) in decimal(19,0)² = decimal(38,0): int64 wraps
+          // silently (non-ANSI) once σ·δ passes 9.2e18 while DuckDB
+          // errors — decimal keeps the product exact to 1e38; the
+          // QUOTIENT is ≤ 1e6·(subtree size) and fits long by miles
+          expr("cast(su as decimal(19,0)) * cast(1000000 + dw as decimal(19,0))" +
+            " div sw").as("part"))
         .groupBy(col("src"), col("node"))
         .agg(sum(col("part")).as("delta"))
         .localCheckpoint()
