@@ -64,4 +64,39 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.cpuRegressions(Map.empty, prev) === Seq.empty)
     assert(Bench.cpuRegressions(cur, Map.empty) === Seq.empty)
   }
+
+  test("contention rule: >1.5x calibration CPU drift in EITHER direction") {
+    // steady machine: not contended
+    assert(!Bench.calibContended(10.0, 10.0))
+    assert(!Bench.calibContended(10.0, 14.9))
+    // load at run START that cleared by run end (round 12's artifact)
+    assert(Bench.calibContended(18.17, 9.94))
+    // load arriving MID-run: the other direction must trigger too
+    assert(Bench.calibContended(9.94, 18.17))
+    // exactly 1.5x: NOT contended (strictly greater)
+    assert(!Bench.calibContended(15.0, 10.0))
+    assert(!Bench.calibContended(10.0, 15.0))
+    // unavailable CPU counters (0 on non-HotSpot JVMs) never trigger
+    assert(!Bench.calibContended(0.0, 18.0))
+    assert(!Bench.calibContended(18.0, 0.0))
+    // drift stamp: symmetric ratio, 0 when counters unavailable
+    assert(Bench.calibDrift(18.0, 9.0) === 2.0)
+    assert(Bench.calibDrift(9.0, 18.0) === 2.0)
+    assert(Bench.calibDrift(0.0, 9.0) === 0.0)
+  }
+
+  test("isolation set: spread-flagged UNION cpu-regressed, ordered, capped, tail named") {
+    // regressed keys not already flagged append AFTER the spread list
+    assert(Bench.isolationSet(Seq("a", "b"), Seq("b", "c"), 32) ===
+      ((Seq("a", "b", "c"), Seq.empty)))
+    // a consistent regression with a tight spread still gets isolated —
+    // the round-12 gap (emb_margin_pairs et al. flagged-but-unmeasured)
+    assert(Bench.isolationSet(Seq.empty, Seq("consistent_regression"), 32) ===
+      ((Seq("consistent_regression"), Seq.empty)))
+    // cap splits; the dropped tail is returned for naming, never lost
+    assert(Bench.isolationSet(Seq("a", "b", "c"), Seq("d"), 2) ===
+      ((Seq("a", "b"), Seq("c", "d"))))
+    assert(Bench.isolationSet(Seq.empty, Seq.empty, 32) ===
+      ((Seq.empty, Seq.empty)))
+  }
 }
