@@ -839,12 +839,16 @@ object Graph {
     * (order-free long sums), so the whole computation is engine-exact
     * and the oracle unrolls the same levels forward and backward.
     *
-    * Scale shape: the forward pass is [[bfs]] keyed by (src, node) —
-    * one O(frontier-edges) groupBy per level on the pre-partitioned
-    * checkpointed adjacency, path counts merging map-side; the backward
-    * pass is one join-per-level between adjacent level tables (each
-    * O(level size)), never a global iteration over V. Levels are
-    * data-bounded by the sample's eccentricity and capped at `maxDepth`.
+    * Scale shape: SOURCE-BATCHED — the per-source σ/δ ride as fixed-
+    * width array payloads on node-keyed rows (the standard multi-source
+    * Brandes batching), so the forward pass is one O(frontier-edges)
+    * groupBy per level on the pre-partitioned checkpointed adjacency
+    * (σ merging map-side as k unrolled codegen'd sums), and the backward
+    * pass one join-per-level between adjacent node-keyed level tables
+    * (each O(level size)) — row counts independent of the sample size,
+    * never O(sources × edges) and never a global iteration over V.
+    * Levels are data-bounded by the sample's eccentricity and capped at
+    * `maxDepth`.
     * σ stays in int64 — ~10¹⁸ shortest paths per node is beyond any
     * real co-occurrence graph at this diameter; corpora past that bound
     * should sample more sources, not wider counts. The backward sweep's
@@ -859,6 +863,19 @@ object Graph {
     val spark = pairs.sparkSession
     import spark.implicits._
     val n = spark.sessionState.conf.numShufflePartitions
+    // SOURCE-BATCHED: the per-source σ/δ ride as fixed-width array
+    // payloads on node-keyed rows instead of (src, node) rows — the
+    // standard multi-source Brandes batching. Every join and shuffle is
+    // O(edges touched), not O(sources × edges): the round-12 row-keyed
+    // shape measured ~6× this shuffle volume on the 6-source sample,
+    // and at a 1000-executor scale the source sample GROWS, so the
+    // array packing is the difference between per-source cost and
+    // amortized cost. k per-element sums unroll at plan-build time
+    // (k is a driver constant), staying inside whole-stage codegen.
+    val srcs = sources.distinct.sorted
+    val k = srcs.size
+    def esum(arr: String) = // element-wise array sum as k codegen'd aggs
+      array((0 until k).map(i => sum(col(arr)(i))): _*)
     val e = pairs.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
@@ -867,27 +884,42 @@ object Graph {
         struct(col("b").as("u"), col("a").as("v")))).as("x"))
       .select(col("x.u").as("u"), col("x.v").as("v"))
       .repartition(n, col("u")).localCheckpoint()
-    val level0 = sources.distinct.sorted.map(s => (s, s, 1L))
-      .toDF("src", "node", "sigma").localCheckpoint()
+    // level0: one row per source node; sig[i] = 1 where this node IS
+    // source i. A LocalRelation — checkpointing a k-row table would
+    // burn an eager job for nothing, and this query is job-count-bound
+    // at bench scale (~17 driver-synchronized jobs measured ≈ the wall).
+    val level0 = srcs.map(s => (s, srcs.map(x => if (x == s) 1L else 0L)))
+      .toDF("node", "sig")
     val levels = scala.collection.mutable.ArrayBuffer(level0)
-    var visited = level0.select(col("src"), col("node")).localCheckpoint()
-    var frontierSize = sources.distinct.size.toLong
+    // the per-source visited set, derived LAZILY per level as the
+    // element-wise OR over the (already checkpointed) level tables —
+    // an incremental merged table would need either an eager job per
+    // level or an O(depth²) re-executed join chain
+    def seen: DataFrame = levels
+      .map(_.select(col("node"), col("sig")))
+      .reduce(_ unionByName _)
+      .groupBy(col("node"))
+      .agg(array((0 until k).map(i =>
+        max(when(col("sig")(i) > 0L, 1).otherwise(0))): _*).as("seen"))
+    var frontierSize = k.toLong
     var depth = 0
     while (frontierSize > 0L && depth < maxDepth) {
       depth += 1
       val cur = levels.last
-      val next = adj.join(cur.withColumnRenamed("node", "u"), Seq("u"))
-        .groupBy(col("src"), col("v"))
-        .agg(sum(col("sigma")).as("sigma"))
-        .withColumnRenamed("v", "node")
-        .join(visited, Seq("src", "node"), "left_anti")
+      // propagate σ along edges, merge per node (k map-combined sums),
+      // then zero the components whose source already visited the node —
+      // the element-wise mask IS the per-source anti-join
+      val contrib = adj.join(cur.withColumnRenamed("node", "u"), Seq("u"))
+        .groupBy(col("v").as("node"))
+        .agg(esum("sig").as("sig"))
+      val next = contrib.join(seen, Seq("node"), "left")
+        .select(col("node"), array((0 until k).map(i =>
+          when(col("seen").isNull || col("seen")(i) === 0,
+            col("sig")(i)).otherwise(0L)): _*).as("sig"))
+        .filter(expr("exists(sig, x -> x > 0)"))
       val (ck, cnt) = checkpointCounted(next)
       frontierSize = cnt
-      if (cnt > 0L) {
-        levels += ck
-        visited = visited.unionByName(ck.select(col("src"), col("node")))
-        if (depth % 4 == 0) visited = visited.localCheckpoint()
-      }
+      if (cnt > 0L) levels += ck
     }
     if (levels.size == 1)
       return spark.emptyDataset[(Long, Long)].toDF("node", "bc_micro")
@@ -895,36 +927,75 @@ object Graph {
     // level — one v-partitioned checkpoint here instead of re-shuffling
     // the full edge list per level
     val adjR = adj.repartition(n, col("v")).localCheckpoint()
+    val zeros = array((0 until k).map(_ => lit(0L)): _*)
     var acc: DataFrame = null
     var deltaNext: DataFrame = null // δ of level l+1 (null ⇒ all-zero)
     for (l <- levels.size - 2 to 0 by -1) {
       val down0 = levels(l + 1)
-        .select(col("src"), col("node").as("v"), col("sigma").as("sw"))
+        .select(col("node").as("v"), col("sig").as("sw"))
       val down =
-        if (deltaNext == null) down0.withColumn("dw", lit(0L))
+        if (deltaNext == null) down0.withColumn("dw", zeros)
         else down0.join(
-            deltaNext.select(col("src"), col("node").as("v"), col("delta").as("dw")),
-            Seq("src", "v"), "left")
-          .na.fill(0L, Seq("dw"))
+            deltaNext.select(col("node").as("v"), col("delta").as("dw")),
+            Seq("v"), "left")
+          .select(col("v"), col("sw"), coalesce(col("dw"), zeros).as("dw"))
       val up = levels(l)
-        .select(col("src"), col("node").as("u"), col("sigma").as("su"))
+        .select(col("node").as("u"), col("sig").as("su"))
+      // plain lineage, not checkpointed: each δ-level is consumed twice
+      // (next level's join + the final union); both consumers see the
+      // SAME subplan, so its shuffle is computed once per action via
+      // exchange reuse, and the forward `levels` are already
+      // checkpointed — the deepest lineage is the δ-chain itself.
+      // sw[i] > 0 marks "w is at level l+1 for source i" and su[i] > 0
+      // "u at level l" — the element-wise guards ARE the per-source
+      // consecutive-level edge filter (0·x and x/0 components drop out).
       deltaNext = adjR.join(down, Seq("v"))
-        .join(up, Seq("src", "u"))
-        .select(col("src"), col("u").as("node"),
+        .join(up, Seq("u"))
+        .select(col("u").as("node"), array((0 until k).map { i =>
           // σ·(1e6+δ) in decimal(19,0)² = decimal(38,0): int64 wraps
           // silently (non-ANSI) once σ·δ passes 9.2e18 while DuckDB
           // errors — decimal keeps the product exact to 1e38; the
           // QUOTIENT is ≤ 1e6·(subtree size) and fits long by miles
-          expr("cast(su as decimal(19,0)) * cast(1000000 + dw as decimal(19,0))" +
-            " div sw").as("part"))
-        .groupBy(col("src"), col("node"))
-        .agg(sum(col("part")).as("delta"))
+          when(col("sw")(i) > 0L && col("su")(i) > 0L,
+            expr(s"cast(su[$i] as decimal(19,0))" +
+              s" * cast(1000000 + dw[$i] as decimal(19,0)) div sw[$i]"))
+            .otherwise(0L)
+        }: _*).as("part"),
+          // existence mask: component i had ≥1 consecutive-level edge —
+          // the row-keyed shape emitted a (src, node) δ-row exactly then,
+          // and the output row set (incl. legitimate δ=0 rows) must match
+          array((0 until k).map { i =>
+            when(col("sw")(i) > 0L && col("su")(i) > 0L, 1).otherwise(0)
+          }: _*).as("ex"))
+        .groupBy(col("node"))
+        .agg(esum("part").as("delta"),
+          array((0 until k).map(i => max(col("ex")(i))): _*).as("ex"))
+        // eagerly materialized per level: δ(l) is consumed by BOTH the
+        // next level's join and the final union, and leaving the chain
+        // lazy measured ~1.5× the CPU — AQE plans each union branch
+        // independently, so exchange reuse does NOT dedupe the shared
+        // δ-subplans and the chain recomputes O(depth²). With node-keyed
+        // array rows a level is small; one job per level is the cheaper
+        // side of the trade (measured both ways at bench scale).
         .localCheckpoint()
       acc = if (acc == null) deltaNext else acc.unionByName(deltaNext)
     }
-    acc.filter(col("node") =!= col("src"))
+    // a source's own δ-components are excluded (Brandes sums δ_s(v) over
+    // v ≠ s): with array payloads that is an element mask. A node stays
+    // in the output iff some NON-OWN component existed at some level —
+    // matching the row-keyed shape's (src, node) row set exactly, zero-δ
+    // rows included, own-source-only nodes excluded.
+    acc.select(col("node"),
+        (0 until k).map(i =>
+          when(col("node") === lit(srcs(i)), 0L).otherwise(col("delta")(i)))
+          .reduce(_ + _).as("part"),
+        (0 until k).map(i =>
+          when(col("node") === lit(srcs(i)), 0).otherwise(col("ex")(i)))
+          .reduce(_ + _).as("exn"))
       .groupBy(col("node"))
-      .agg(sum(col("delta")).as("bc_micro"))
+      .agg(sum(col("part")).as("bc_micro"), max(col("exn")).as("exn"))
+      .filter(col("exn") > 0)
+      .select(col("node"), col("bc_micro"))
   }
 
   /** [[betweenness]] of the trading graph from a fixed six-entity source
