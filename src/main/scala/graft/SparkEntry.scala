@@ -1230,6 +1230,30 @@ object SparkEntry {
       TextAnalysis.sourceReport(Tables.documents(s, dir), col("doc_id"),
         col("source"), col("text"))),
 
+    // C4-style line cleaning over deterministically PLANTED pages: the
+    // fixture corpus has no line structure, so the query chunks each doc
+    // into 8-word lines and plants terminal punctuation + the exact
+    // boilerplate markers C4 drops (javascript / { / lorem ipsum) by
+    // modular rules — every rule branch exercised, DuckDB replays the
+    // same construction (the lshPlantedRecall fixture pattern)
+    "corpus_clean_lines" -> ((s, dir) => {
+      val pages = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          split(regexp_replace(lower(col("text")), "\\s+", " "), " ")
+            .as("words"))
+        .select(col("doc_id"), expr(
+          """array_join(transform(
+            |  sequence(0, cast(ceil(size(words) / 8.0) as int) - 1, 1),
+            |  i -> concat(
+            |    case when (doc_id + i) % 13 = 0 then 'lorem ipsum ' else '' end,
+            |    case when (doc_id + i) % 7 = 0 then 'javascript ' else '' end,
+            |    array_join(slice(words, i * 8 + 1, 8), ' '),
+            |    case when (doc_id + i) % 11 = 0 then ' {x}' else '' end,
+            |    case when (doc_id + i) % 3 != 0 then '.' else '' end)),
+            |  '\n')""".stripMargin).as("text"))
+      TextAnalysis.cleanLines(pages, col("doc_id"), col("text"))
+    }),
+
     // token -> (df, first-100 posting list), stop tokens (df > 1000)
     // dropped before any list is collected; the list is serialized to a
     // comma-joined string for the driver dump — raw array columns are not
@@ -5099,6 +5123,33 @@ object SparkEntry {
         |  CAST(n_tokens * 1000 // tt.t AS BIGINT) AS token_share_permille,
         |  CAST(n_kept * 1000 // n_docs AS BIGINT) AS kept_permille
         |FROM a CROSS JOIN tt ORDER BY source""".stripMargin,
+
+    // the planted-page construction verbatim (8-word chunks, modular
+    // punctuation/boilerplate markers), then the C4 line predicates and
+    // the surviving-line floor; string_agg(... ORDER BY i) replays the
+    // line-order reassembly
+    "corpus_clean_lines" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |ln AS (SELECT doc_id, i,
+        |        (CASE WHEN (doc_id + i) % 13 = 0 THEN 'lorem ipsum ' ELSE '' END)
+        |        || (CASE WHEN (doc_id + i) % 7 = 0 THEN 'javascript ' ELSE '' END)
+        |        || array_to_string(list_slice(words, i * 8 + 1, i * 8 + 8), ' ')
+        |        || (CASE WHEN (doc_id + i) % 11 = 0 THEN ' {x}' ELSE '' END)
+        |        || (CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END) AS line
+        |      FROM (SELECT w.*, unnest(range(0, CAST(ceil(len(words) / 8.0) AS BIGINT))) AS i FROM w)),
+        |j AS (SELECT doc_id, i, line,
+        |        (regexp_matches(line, '[.!?"]\s*$')
+        |         AND len(regexp_split_to_array(trim(line), '\s+')) >= 5
+        |         AND NOT contains(line, '{')
+        |         AND NOT contains(lower(line), 'javascript')
+        |         AND NOT contains(lower(line), 'lorem ipsum')) AS keep
+        |      FROM ln),
+        |a AS (SELECT doc_id, count(*) AS n_lines,
+        |        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |        string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY i) AS clean_text
+        |      FROM j GROUP BY 1)
+        |SELECT doc_id, n_lines, n_kept, clean_text
+        |FROM a WHERE n_kept >= 3 ORDER BY doc_id""".stripMargin,
 
     "text_lexical_diversity" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),

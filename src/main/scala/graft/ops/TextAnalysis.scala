@@ -228,10 +228,57 @@ object TextAnalysis {
         (col("n_grams") - col("n_distinct")) / col("n_grams"))
   }
 
+  /** C4-style line-level structural cleaning (Raffel et al. 2020 §2.2 —
+    * the line rules behind the C4 corpus): a line survives iff it ends
+    * in terminal punctuation (`.`/`!`/`?`/`"`), carries at least
+    * `minWords` whitespace words, and contains no `{`, no "javascript",
+    * and no "lorem ipsum" (case-insensitive) — the boilerplate/code
+    * tells; a document survives iff at least `minLines` of its lines do,
+    * and is re-emitted with the dropped lines removed IN ORIGINAL LINE
+    * ORDER. Returns (doc_id, n_lines, n_kept, clean_text) for surviving
+    * docs.
+    *
+    * Scale shape: one posexplode + one doc_id groupBy — every predicate
+    * is a built-in string expression inside whole-stage codegen, the
+    * reassembly a sort of each doc's own kept lines (array_sort on
+    * (line_idx, line) structs: order restored per doc, no window, no
+    * global sort). O(corpus lines) with map-side partial aggregation.
+    */
+  def cleanLines(df: DataFrame, idCol: Column, textCol: Column,
+                 minWords: Int = 5, minLines: Int = 3): DataFrame =
+    lineJudgments(df, idCol, textCol, minWords)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("line_idx"), col("line"))))),
+          x => x.getField("line")), "\n").as("clean_text"))
+      .filter(col("n_kept") >= minLines)
+      .orderBy(col("doc_id"))
+
+  /** Per-line C4 keep/drop judgments — shared by [[cleanLines]] and the
+    * [[qualityGate]] structural bit (which needs counts for ALL docs,
+    * not just survivors).
+    */
+  private def lineJudgments(df: DataFrame, idCol: Column, textCol: Column,
+                            minWords: Int): DataFrame =
+    df.select(idCol.as("doc_id"),
+        posexplode(split(textCol, "\n")).as(Seq("line_idx", "line")))
+      .withColumn("keep",
+        col("line").rlike("[.!?\"]\\s*$") &&
+          size(split(trim(col("line")), "\\s+")) >= minWords &&
+          !col("line").contains("{") &&
+          !lower(col("line")).contains("javascript") &&
+          !lower(col("line")).contains("lorem ipsum"))
+
   /** Composite quality gate — the keep/drop decision that ends a curation
     * pipeline, with an auditable reason bitmask per document (bit0 too
     * short, bit1 repetitive, bit2 stopword-poor, bit3 language-model
-    * low): at 100 TB you don't just drop documents, you account for WHY
+    * low, bit4 structurally-broken — fewer than `minCleanLines` lines
+    * surviving the [[cleanLines]] C4 rules; off by default so corpora
+    * without line structure gate exactly as before): at 100 TB you
+    * don't just drop documents, you account for WHY
     * each left, per source, or the corpus mix silently skews. The length/
     * repetition/stopword signals compute in ONE scan (pure array
     * expressions, no joins); the LM signal joins [[lmScore]] on doc_id
@@ -242,9 +289,21 @@ object TextAnalysis {
   def qualityGate(df: DataFrame, idCol: Column, textCol: Column,
                   minTokens: Long = 20L, maxRepPermille: Long = 200L,
                   minStopPermille: Long = 30L, minLmMicro: Long = 32000L,
-                  cache: Boolean = true): DataFrame = {
+                  cache: Boolean = true, minCleanLines: Long = 0L): DataFrame = {
     val n = 3
     graft.functions.GraftFunctions.register(df.sparkSession)
+    // structural signal only when requested: every doc has ≥1 line, so
+    // the counts cover the full corpus and the left join never invents
+    // a failure for a doc the judgment scan missed
+    val structBit =
+      if (minCleanLines <= 0L) lit(0L)
+      else when(coalesce(col("n_clean"), lit(0L)) < minCleanLines, 16L)
+        .otherwise(0L)
+    val cleanCounts =
+      if (minCleanLines <= 0L) None
+      else Some(lineJudgments(df, idCol, textCol, 5)
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_clean")))
     val base = df.select(idCol.as("doc_id"), tokens(textCol).as("words"))
       .select(col("doc_id"),
         size(col("words")).cast("long").as("n_tokens"),
@@ -255,15 +314,18 @@ object TextAnalysis {
         // matching the CASE WHEN ... ELSE array() spelling
         greatest(size(col("words")) - (n - 1), lit(0)).cast("long").as("n_grams"),
         expr(s"cast(size(graft_shingles(words, $n)) as bigint)").as("n_distinct"))
-    base.join(lmScore(df, idCol, textCol, cache).select("doc_id", "lm_micro"),
-        Seq("doc_id"), "left")
+    val joined = base.join(
+      lmScore(df, idCol, textCol, cache).select("doc_id", "lm_micro"),
+      Seq("doc_id"), "left")
+    cleanCounts.fold(joined)(c => joined.join(c, Seq("doc_id"), "left"))
       .select(col("doc_id"),
         (when(col("n_tokens") < minTokens, 1L).otherwise(0L) +
           when((col("n_grams") - col("n_distinct")) * 1000L >
             lit(maxRepPermille) * col("n_grams"), 2L).otherwise(0L) +
           when(col("n_stop") * 1000L < lit(minStopPermille) * col("n_tokens"), 4L)
             .otherwise(0L) +
-          when(coalesce(col("lm_micro"), lit(0L)) < minLmMicro, 8L).otherwise(0L)
+          when(coalesce(col("lm_micro"), lit(0L)) < minLmMicro, 8L).otherwise(0L) +
+          structBit
           ).as("reasons"))
       .withColumn("keep", col("reasons") === 0L)
       .orderBy(col("doc_id"))

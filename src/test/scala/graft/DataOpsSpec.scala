@@ -1796,6 +1796,53 @@ class DataOpsSpec extends AnyFunSuite {
     assert(keep === Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
   }
 
+  test("C4 line cleaning applies every rule and reassembles in line order") {
+    import spark.implicits._
+    val page1 = Seq(                       // 4 lines, 3 survive
+      "one two three four five.",         // keep
+      "no terminal punctuation here",     // drop: no [.!?\"] ending
+      "alpha beta gamma delta epsilon!",  // keep
+      "short line.",                      // drop: < 5 words
+      "is this a question mark?"          // keep
+    ).mkString("\n")
+    val page2 = Seq(                       // boilerplate rules
+      "this has a brace { in it period.",           // drop: {
+      "enable JavaScript to view this content.",    // drop: javascript (ci)
+      "Lorem Ipsum dolor sit amet consectetur.",    // drop: lorem ipsum (ci)
+      "a quoted line of five words\"",              // keep: closing quote
+      "only two good lines survive here today."     // keep
+    ).mkString("\n")
+    val docs = Seq((1L, page1), (2L, page2)).toDF("doc_id", "text")
+    val out = TextAnalysis.cleanLines(docs, col("doc_id"), col("text"),
+      minWords = 5, minLines = 3).collect()
+    // page2 keeps only 2 lines — below the floor, so the DOC drops
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L))
+    val r = out.head
+    assert(r.getLong(1) === 5L && r.getLong(2) === 3L)
+    assert(r.getString(3) === Seq("one two three four five.",
+      "alpha beta gamma delta epsilon!",
+      "is this a question mark?").mkString("\n"))
+  }
+
+  test("quality gate structural bit: C4 line floor lands as bit4, off by default") {
+    import spark.implicits._
+    // long + stopworded + non-repetitive enough to pass bits 0-3; doc 1
+    // has 3 clean lines, doc 2 none (no terminal punctuation anywhere)
+    def words(seed: Int) = (1 to 24).flatMap(i =>
+      Seq(s"tok${seed}x$i", Seq("the", "of", "a")(i % 3))).mkString(" ")
+    val structured = (1 to 3).map(i => words(i) + ".").mkString("\n")
+    val docs = Seq((1L, structured), (2L, words(9))).toDF("doc_id", "text")
+    val off = TextAnalysis.qualityGate(docs, col("doc_id"), col("text"),
+        minLmMicro = 0L, cache = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(off === Map(1L -> 0L, 2L -> 0L), "default gate must not change")
+    val on = TextAnalysis.qualityGate(docs, col("doc_id"), col("text"),
+        minLmMicro = 0L, cache = false, minCleanLines = 3L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(on === Map(1L -> 0L, 2L -> 16L),
+      "structurally-broken doc must raise exactly bit4")
+  }
+
   test("pq encoding maps codebook vectors to their own code") {
     val cb = Similarity.pqCodebook(emb)
     val codes = Similarity.pqEncode(emb, cb)
