@@ -73,7 +73,8 @@ object RosBag {
     * first-appearance order; one uncompressed chunk carries everything,
     * followed by the index records the stock reader seeks with.
     */
-  private[sources] def encodeBag(msgs: Seq[(String, String, Long, Long, Array[Byte])]): Array[Byte] = {
+  private[sources] def encodeBag(msgs: Seq[(String, String, Long, Long, Array[Byte])],
+                                 compression: String = "none"): Array[Byte] = {
     val conns = scala.collection.mutable.LinkedHashMap.empty[(String, String), Int]
     msgs.foreach { m => conns.getOrElseUpdate((m._1, m._2), conns.size) }
 
@@ -98,14 +99,21 @@ object RosBag {
         fieldTime("time", sec, nsec)), payload))
     }
     val chunkData = chunk.result()
+    // the chunk header's `size` is the UNCOMPRESSED length (spec); the
+    // record's data_len is the stored (possibly compressed) length
+    val stored = compression match {
+      case "bz2" | "lz4" => compressChunk(compression, chunkData)
+      case _ => chunkData
+    }
 
     val out = new Buf().bytes(Magic)
     // bag header record is padded to 4096 bytes total with ASCII spaces so
     // index_pos/conn_count can be rewritten in place (spec requirement)
     val chunkPos = 4096L + Magic.length
-    val chunkRecHeader = Array(fieldU8("op", 0x05), fieldStr("compression", "none"),
+    val chunkRecHeader = Array(fieldU8("op", 0x05),
+      fieldStr("compression", if (stored eq chunkData) "none" else compression),
       fieldU32("size", chunkData.length))
-    val chunkRec = record(chunkRecHeader, chunkData)
+    val chunkRec = record(chunkRecHeader, stored)
     val indexPos = chunkPos + chunkRec.length
 
     val bagHeaderFields = new Buf()
@@ -208,10 +216,62 @@ object RosBag {
       }
     }
 
+  /** Deflate one chunk body for [[encodeBag]] — the write-side twin of
+    * [[decompressChunk]], same two public codecs `rosbag record` offers
+    * (`-j` bz2, `--lz4`).
+    */
+  private def compressChunk(codec: String, raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(math.max(raw.length / 2, 64))
+    val out: java.io.OutputStream = codec match {
+      case "bz2" =>
+        new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(bos)
+      case "lz4" => new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+    }
+    out.write(raw)
+    out.close()
+    bos.toByteArray
+  }
+
+  /** Inflate one compressed chunk body; None on any corruption (the
+    * reader's skip-on-error contract — a bad chunk loses its own
+    * messages, never the bag). The chunk header's `size` field (the
+    * spec's uncompressed length) pre-sizes the buffer; output is capped
+    * at 1 GiB as a decompression-bomb guard — stock rosbag chunks are
+    * ≤ tens of MB (`rosbag record` targets ~768 KiB–1 MiB per chunk).
+    */
+  private[sources] def decompressChunk(codec: String, data: Array[Byte],
+                                       from: Int, len: Int,
+                                       sizeHint: Long): Option[Array[Byte]] =
+    try {
+      val in = new java.io.ByteArrayInputStream(data, from, len)
+      val stream: java.io.InputStream = codec match {
+        case "bz2" =>
+          new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(in)
+        case "lz4" => new net.jpountz.lz4.LZ4FrameInputStream(in)
+      }
+      try {
+        val maxOut = 1L << 30
+        val cap = if (sizeHint > 0 && sizeHint <= maxOut) sizeHint.toInt
+          else math.max(len * 4, 4096)
+        val out = new java.io.ByteArrayOutputStream(cap)
+        val buf = new Array[Byte](65536)
+        var total = 0L
+        var n = stream.read(buf)
+        while (n >= 0) {
+          total += n
+          if (total > maxOut) throw new java.io.IOException("chunk too large")
+          out.write(buf, 0, n)
+          n = stream.read(buf)
+        }
+        Some(out.toByteArray)
+      } finally stream.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Decode one bag file's bytes into message rows:
     * (topic, msg_type, t_sec, t_nsec, data JSON-or-null, raw payload).
-    * Unindexed bags decode too (the index is advisory); compressed chunks
-    * and malformed records are skipped, never thrown.
+    * Unindexed bags decode too (the index is advisory); bz2/lz4 chunks
+    * inflate in-JVM ([[decompressChunk]]); malformed records and corrupt
+    * chunk bodies are skipped, never thrown.
     */
   private[sources] def decodeBag(b: Array[Byte]): Seq[(String, String, Long, Long, String, Array[Byte])] = {
     if (b.length < Magic.length ||
@@ -239,10 +299,24 @@ object RosBag {
           out += ((topic, tpe, sec, nsec, json, payload))
         case 0x05 => // chunk: recurse into the embedded record stream
           val compression = fields.get("compression").map(new String(_, "US-ASCII")).getOrElse("none")
-          if (compression == "none")
-            records(data, dataFrom, dataFrom + dataLen)
-              .foreach { case (f, df, dl) => handle(f, data, df, dl) }
-          // bz2/lz4: skipped — no codec in the bare JVM (documented)
+          compression match {
+            case "none" =>
+              records(data, dataFrom, dataFrom + dataLen)
+                .foreach { case (f, df, dl) => handle(f, data, df, dl) }
+            case "bz2" | "lz4" =>
+              // both codecs ride jars Spark already ships (commons-compress
+              // bzip2, lz4-java frame format — roslz4 writes LZ4 frames),
+              // so `rosbag record -j`/`--lz4` bags import like plain ones;
+              // a corrupt chunk body skips (None), never throws
+              val hint = fields.get("size").filter(_.length >= 4)
+                .map(u32At(_, 0)).getOrElse(0L)
+              decompressChunk(compression, data, dataFrom, dataLen, hint)
+                .foreach { raw =>
+                  records(raw, 0, raw.length)
+                    .foreach { case (f, df, dl) => handle(f, raw, df, dl) }
+                }
+            case _ => () // unknown codec: skipped (skip-on-error contract)
+          }
         case _ => () // bag header / index / chunk info: advisory
       }
     }
@@ -282,7 +356,9 @@ object RosBag {
     * Repartition upstream (e.g. by session) to choose the bag layout; the
     * reference's single-file conversion is `df.coalesce(1)`.
     */
-  def write(df: DataFrame, path: String): Unit = {
+  def write(df: DataFrame, path: String, compression: String = "none"): Unit = {
+    require(Set("none", "bz2", "lz4")(compression),
+      s"unsupported bag compression: $compression")
     val conf = new graft.store.SerializableHadoopConf(
       df.sparkSession.sparkContext.hadoopConfiguration)
     df.select(col("topic").cast("string"), col("t_sec").cast("long"),
@@ -297,7 +373,7 @@ object RosBag {
             path, f"part-$pid%05d-${java.util.UUID.randomUUID()}.bag")
           val fs = file.getFileSystem(conf.value)
           val out = fs.create(file, true)
-          try out.write(encodeBag(msgs))
+          try out.write(encodeBag(msgs, compression))
           finally out.close()
         }
     }

@@ -263,7 +263,47 @@ class StoreOpsSpec extends AnyFunSuite {
     assert(got === want, "every topic/timestamp/document must survive the bag round-trip")
   }
 
-  test("rosbag reader skips truncated tails and compressed chunks, never throws") {
+  test("rosbag bz2 and lz4 chunks round-trip; corrupt chunk bodies skip") {
+    import spark.implicits._
+    val docs = Seq(
+      ("/camera/meta", 100L, """{"_id":1,"w":640}"""),
+      ("/gps/fix", 103L, """{"_id":2,"lat":52.6}"""),
+      ("/gps/fix", 104L, """{"_id":3,"lat":52.7}""")).toDF("topic", "t_sec", "doc")
+    val want = docs.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    Seq("bz2", "lz4").foreach { codec =>
+      val out = java.nio.file.Files.createTempDirectory(s"graft_bag_$codec").toString
+      graft.sources.RosBag.write(docs.coalesce(1), out, codec)
+      val bag = new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".bag")).head
+      val bytes = java.nio.file.Files.readAllBytes(bag.toPath)
+      // the chunk record header must declare the codec (wire parity with
+      // `rosbag record -j` / `--lz4`, not a private container format)
+      assert(new String(bytes, "ISO-8859-1").contains(s"compression=$codec"),
+        s"$codec chunk must be declared in the chunk record header")
+      val back = graft.sources.RosBag.read(spark, out).collect()
+        .map(r => (r.getString(1), r.getLong(3), r.getString(5))).sorted.toSeq
+      assert(back === want, s"every message must survive the $codec round-trip")
+      // corrupt the first byte of the compressed chunk BODY (the codec
+      // magic — deterministically undecodable): that chunk's messages
+      // are lost, but the reader returns cleanly instead of throwing.
+      // layout: 13B magic, 4096B padded bag-header record, then the
+      // chunk record as u32 hlen | header | u32 dlen | data
+      def u32(at: Int) = java.nio.ByteBuffer.wrap(bytes, at, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      val chunkPos = 13 + 4096
+      val dataStart = chunkPos + 4 + u32(chunkPos) + 4
+      val broken = bytes.clone()
+      broken(dataStart) = (broken(dataStart) ^ 0x5a).toByte
+      new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+      java.nio.file.Files.write(bag.toPath, broken)
+      val n = graft.sources.RosBag.read(spark, out).count()
+      assert(n === 0L, s"a corrupt $codec chunk skips (got $n rows)")
+    }
+  }
+
+  test("rosbag reader skips truncated tails and unknown-codec chunks, never throws") {
     import spark.implicits._
     val docs = Seq(("/t", 1L, """{"_id":1}"""), ("/t", 2L, """{"_id":2}"""))
       .toDF("topic", "t_sec", "doc")
@@ -277,6 +317,15 @@ class StoreOpsSpec extends AnyFunSuite {
     java.nio.file.Files.write(bag.toPath, bytes.dropRight(10))
     assert(graft.sources.RosBag.read(spark, out).count() === 2,
       "chunk records precede the index; truncation there loses nothing")
+    // an UNKNOWN codec (same-width in-place patch none→zstd) skips the
+    // chunk rather than guessing or throwing
+    val patched = new String(bytes, "ISO-8859-1")
+      .replace("compression=none", "compression=zstd")
+      .getBytes("ISO-8859-1")
+    assert(patched.length === bytes.length)
+    java.nio.file.Files.write(bag.toPath, patched)
+    assert(graft.sources.RosBag.read(spark, out).count() === 0,
+      "unknown chunk codec must skip, not misparse")
     // garbage after the magic: decodes to zero rows, no exception
     java.nio.file.Files.write(bag.toPath,
       "#ROSBAG V2.0\n".getBytes("US-ASCII") ++ Array.fill[Byte](64)(-1))
