@@ -94,6 +94,26 @@ object Cli {
     try f(spark) finally if (existing.isEmpty) spark.stop()
   }
 
+  /** TCPROS stream reader from the shared live wire flags: masterless
+    * `--endpoints topic=host:port;…`, or `--master http://host:11311`
+    * with an explicit topic list (lazily computed — only a master-backed
+    * reader needs it). Shared by [[RunScenario.live]] and
+    * [[RunMonitoring.live]], whose flag contracts must not drift apart.
+    */
+  private[api] def rosReader(spark: SparkSession, flags: Map[String, String],
+                             what: String, topics: => Seq[String],
+                             walDir: String): org.apache.spark.sql.DataFrame = {
+    val reader0 = spark.readStream.format("rostcp")
+      .option("walDir", walDir)
+      .option("callerid", flags.getOrElse("callerid", "/graft"))
+    (flags.get("endpoints") match {
+      case Some(e) => reader0.option("endpoints", e)
+      case None =>
+        reader0.option("master", required(flags, what, "master"))
+          .option("topics", topics.mkString(","))
+    }).load()
+  }
+
   /** Resolve a scenario's write destination: filesystem scenarios write
     * at `storage.location`; database scenarios resolve their MongoDB URI
     * exactly like the reference (validating `storage.config`) and then
@@ -196,19 +216,11 @@ object RunScenario {
     val checkpoint = flags.getOrElse("checkpoint", s"$dest@ckpt")
     val trigger = org.apache.spark.sql.streaming.Trigger
       .ProcessingTime(flags.getOrElse("trigger_ms", "500").toLong)
-    val reader0 = spark.readStream.format("rostcp")
-      .option("walDir", walDir)
-      .option("callerid", flags.getOrElse("callerid", "/graft"))
-    val reader = flags.get("endpoints") match {
-      case Some(e) => reader0.option("endpoints", e)
-      case None =>
-        val topics = (sc.data.values.toSeq ++
-          sc.collection.get("watch_topic") ++
-          sc.collection.get("action_server_name")).distinct
-        reader0.option("master", Cli.required(flags, "run_scenario live", "master"))
-          .option("topics", topics.mkString(","))
-    }
-    val msgs = reader.load().select(
+    val msgs = Cli.rosReader(spark, flags, "run_scenario live",
+      (sc.data.values.toSeq ++
+        sc.collection.get("watch_topic") ++
+        sc.collection.get("action_server_name")).distinct,
+      walDir).select(
       lit(sc.context).as("session"), col("topic"), col("seq"), col("recv_us"),
       (col("recv_us") / lit(1000000L)).cast("long").as("ts_sec"),
       graft.sources.RosTcp.stdStringCol(col("raw")).as("payload"))
@@ -291,8 +303,79 @@ object RunMonitoring {
     rates
   }
 
+  /** LIVE monitoring — the reference's second operational entry point is
+    * a live subscriber (`run_monitoring.py:17-21` → `ScenarioMonitor`,
+    * `scenario.py:238-274`: subscribe to the scenario's data-tree topics
+    * and report per-topic traffic as it arrives). Same wire flags as
+    * [[RunScenario.live]] (`--endpoints` masterless, or `--master` with
+    * topics from the scenario's data tree — what rospy would subscribe);
+    * the windowed per-topic rate/size aggregate is
+    * [[graft.streaming.Monitor.rates]] (`--window`/`--watermark` size
+    * it). Each micro-batch's UPDATED windows append into
+    * `<dest>@monitor` as a `__batch_id=`-partitioned monitor log
+    * (exactly-once: a replayed batch rewrites its own partition; latest
+    * row per (topic, window) is the current figure, and the history is
+    * time-travelable like every maintained log) unless `no_log`;
+    * `verbose` prints them. Returns the running query — `main` blocks
+    * on it, specs drain it.
+    */
+  def live(spark: SparkSession, args: Array[String])
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val flags = Cli.parseArgs(args)
+    val sc = Scenario.parseFile(
+      Cli.required(flags, "run_monitoring", "scenario_file"))
+    val verbose = flags.getOrElse("verbose", "true").toBoolean
+    val noLog = flags.getOrElse("no_log", "false").toBoolean
+    val dest = Cli.destination(sc, flags)
+    val walDir = flags.getOrElse("wal_dir", s"$dest@monitor_wal")
+    val checkpoint = flags.getOrElse("checkpoint", s"$dest@monitor_ckpt")
+    val trigger = org.apache.spark.sql.streaming.Trigger
+      .ProcessingTime(flags.getOrElse("trigger_ms", "500").toLong)
+    val msgs = Cli.rosReader(spark, flags, "run_monitoring live",
+        sc.data.values.toSeq.distinct, walDir)
+      .select(col("topic"),
+        expr("timestamp_micros(recv_us)").as("ts"),
+        graft.sources.RosTcp.stdStringCol(col("raw")).as("payload"))
+    val rates = graft.streaming.Monitor.rates(msgs,
+      col("topic"), col("ts"), col("payload"),
+      windowLen = flags.getOrElse("window", "1 hour"),
+      watermarkDelay = flags.getOrElse("watermark", "10 minutes"))
+    // UPDATE mode: a monitor must report windows while they are still
+    // open (append would sit on a window until the watermark closes it)
+    rates.writeStream
+      .outputMode("update")
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          // collect UNCONDITIONALLY: Spark validates that foreachBatch
+          // drains every partition (state-store commit check), so the
+          // no_log/quiet paths must still process the batch — and the
+          // table is O(topics × open windows), driver-sized by design.
+          // The log write and the verbose print then share the rows.
+          val rows = df.collect()
+          if (!noLog && rows.nonEmpty)
+            df.sparkSession
+              .createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+              .withColumn("__batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("__batch_id")
+              .parquet(s"$dest@monitor")
+          if (verbose) rows.sortBy(_.getString(0))
+            .foreach(r => println(s"[run_monitoring] $r"))
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   def main(args: Array[String]): Unit =
-    Cli.withSession("graft_run_monitoring") { spark => run(spark, args); () }
+    Cli.withSession("graft_run_monitoring") { spark =>
+      val flags = Cli.parseArgs(args)
+      if (flags.contains("endpoints") || flags.contains("master"))
+        live(spark, args).awaitTermination()
+      else { run(spark, args); () }
+    }
 }
 
 /** `convert` — flags as the reference CLI (`convert.py:262-273`):

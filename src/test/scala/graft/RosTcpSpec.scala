@@ -296,6 +296,69 @@ class RosTcpSpec extends AnyFunSuite {
       "snapshot trees hold the decoded latest message per topic")
   }
 
+  test("run_monitoring live: wire rates land in the @monitor log; no_log suppresses it") {
+    // the reference's ScenarioMonitor end-to-end: scenario file → live
+    // TCPROS subscription → windowed per-topic rate rows → monitor log
+    def scenarioFile(dir: java.nio.file.Path, dest: String): java.nio.file.Path = {
+      val f = dir.resolve("mon.yaml")
+      Files.write(f,
+        (s"""context: "live_monitor"
+            |storage:
+            |  method: "filesystem"
+            |  location: "$dest"
+            |collection:
+            |  method: "event"
+            |  watch_topic: "/chatter"
+            |data:
+            |  chatter: "/chatter"
+            |""").stripMargin.getBytes("UTF-8"))
+      f
+    }
+    val dir = Files.createTempDirectory("graft_live_mon")
+    val dest = s"$dir/out"
+    val pub = new RosTcpPublisher(0, "/chatter")
+    val q = graft.api.RunMonitoring.live(spark, Array(
+      "--scenario_file", scenarioFile(dir, dest).toString,
+      "--endpoints", s"/chatter=localhost:${pub.boundPort}",
+      "--window", "10 seconds", "--verbose", "false"))
+    try {
+      eventually() { assert(pub.connected >= 1) }
+      pub.publish(RosTcp.encodeStdString("m0"))
+      pub.publish(RosTcp.encodeStdString("m1"))
+      eventually() {
+        q.processAllAvailable()
+        val log = Monitor.readLog(spark, s"$dest@monitor")
+        assert(log.count() >= 1L)
+      }
+    } finally { q.stop(); pub.close() }
+    val rows = Monitor.readLog(spark, s"$dest@monitor").collect()
+    assert(rows.forall(_.getAs[String]("topic") === "/chatter"))
+    // the LATEST update for the open window counts both messages
+    assert(rows.map(_.getAs[Long]("n_msgs")).max === 2L,
+      "windowed rate rows must reflect live wire traffic")
+    assert(rows.forall(_.getAs[Long]("payload_bytes") > 0L))
+
+    // no_log: rates still flow (update-mode query runs) but no @monitor
+    val dir2 = Files.createTempDirectory("graft_live_mon2")
+    val dest2 = s"$dir2/out"
+    val pub2 = new RosTcpPublisher(0, "/chatter")
+    val q2 = graft.api.RunMonitoring.live(spark, Array(
+      "--scenario_file", scenarioFile(dir2, dest2).toString,
+      "--endpoints", s"/chatter=localhost:${pub2.boundPort}",
+      "--no_log", "true", "--verbose", "false"))
+    try {
+      eventually() { assert(pub2.connected >= 1) }
+      pub2.publish(RosTcp.encodeStdString("m0"))
+      eventually() {
+        q2.processAllAvailable()
+        assert(q2.lastProgress != null &&
+          q2.recentProgress.map(_.numInputRows).sum >= 1L)
+      }
+      assert(!new java.io.File(s"$dest2@monitor").exists(),
+        "no_log must suppress the monitor log")
+    } finally { q2.stop(); pub2.close() }
+  }
+
   test("publish stream: a stub subscriber round-trips republished frames in order") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
