@@ -131,6 +131,61 @@ object RosMaster {
         s"requestTopic: publisher offered no TCPROS endpoint: $other")
     }
 
+  /** Master API hop, PUBLISH side: advertise `topic` served at
+    * `callerApi` — a slave XML-RPC endpoint answering `requestTopic`
+    * (see [[slaveServer]]) — so real rosnodes discover the publisher
+    * through the master exactly like any rospy node. Returns the
+    * topic's current subscriber APIs per spec.
+    */
+  def registerPublisher(masterUri: String, callerid: String, topic: String,
+                        topicType: String, callerApi: String): Seq[String] =
+    unwrap("registerPublisher", call(masterUri, "registerPublisher",
+      Seq(callerid, topic, topicType, callerApi))) match {
+      case uris: Seq[_] => uris.collect { case s: String => s }
+      case other => throw new java.io.IOException(s"registerPublisher: $other")
+    }
+
+  /** Master API hop: withdraw a [[registerPublisher]] advertisement
+    * (clean shutdown — a stale registration would route subscribers to
+    * a dead port until the master notices).
+    */
+  def unregisterPublisher(masterUri: String, callerid: String, topic: String,
+                          callerApi: String): Unit = {
+    unwrap("unregisterPublisher", call(masterUri, "unregisterPublisher",
+      Seq(callerid, topic, callerApi)))
+    ()
+  }
+
+  /** Minimal Slave API responder for the publish side — the one method
+    * a remote subscriber calls on a publisher (`requestTopic` →
+    * `[1, msg, ["TCPROS", host, tcpPort]]`), plus a benign `getBusInfo`.
+    * JDK HttpServer on an ephemeral port; returns (server, its URI) —
+    * the URI is what [[registerPublisher]] advertises as `callerApi`.
+    */
+  private[sources] def slaveServer(host: String, tcpPort: Int)
+      : (com.sun.net.httpserver.HttpServer, String) = {
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val value = try {
+        val doc = parseXml(ex.getRequestBody.readAllBytes())
+        doc.getElementsByTagName("methodName").item(0).getTextContent.trim match {
+          case "requestTopic" => Seq(1, "ready", Seq("TCPROS", host, tcpPort))
+          case "getBusInfo" => Seq(1, "", Seq.empty[Any])
+          case m => Seq(-1, s"unsupported method '$m'", 0)
+        }
+      } catch { case _: Exception => Seq(-1, "malformed request", 0) }
+      val body = ("""<?xml version="1.0"?><methodResponse><params><param>""" +
+        encodeValue(value) + "</param></params></methodResponse>").getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/xml")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    srv.start()
+    (srv, s"http://$host:${srv.getAddress.getPort}/")
+  }
+
   /** The full two-hop resolution for N topics — what
     * `option("master", …)` + `option("topics", …)` runs at query start.
     * One publisher per topic (the first the master lists — the

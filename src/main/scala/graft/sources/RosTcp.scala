@@ -591,6 +591,30 @@ class RosTcpPublisher(port: Int, topic: String,
   acceptor.setDaemon(true)
   acceptor.start()
 
+  // master registration state: the slave XML-RPC responder + what we
+  // advertised, so close() can withdraw it
+  @volatile private var registration
+      : Option[(com.sun.net.httpserver.HttpServer, String, String)] = None
+
+  /** Make this publisher DISCOVERABLE through a ROS master: start the
+    * minimal slave XML-RPC endpoint ([[RosMaster.slaveServer]]) that
+    * answers `requestTopic` with this server's TCPROS port, then
+    * `registerPublisher` it — after this, a real rosnode's
+    * `rostopic echo` resolves and connects with no endpoint config.
+    * Returns the advertised slave API URI; [[close]] unregisters
+    * (best-effort) and stops the responder. `host` is the name remote
+    * subscribers will dial for BOTH hops.
+    */
+  def register(masterUri: String, host: String = "localhost"): String =
+    synchronized {
+      require(registration.isEmpty, "publisher already registered")
+      val (srv, api) = RosMaster.slaveServer(host, boundPort)
+      try RosMaster.registerPublisher(masterUri, callerid, topic, msgType, api)
+      catch { case e: Throwable => srv.stop(0); throw e }
+      registration = Some((srv, api, masterUri))
+      api
+    }
+
   /** Fan one serialized message body to every live subscriber. */
   def publish(raw: Array[Byte]): Unit =
     conns.iterator().asScala.foreach { sock =>
@@ -600,6 +624,14 @@ class RosTcpPublisher(port: Int, topic: String,
 
   override def close(): Unit = {
     running = false
+    // withdraw the master advertisement first (best-effort — a dead
+    // master must not block shutdown), then stop the slave responder
+    registration.foreach { case (srv, api, master) =>
+      try RosMaster.unregisterPublisher(master, callerid, topic, api)
+      catch { case _: Exception => () }
+      srv.stop(0)
+    }
+    registration = None
     try server.close() catch { case _: Exception => () }
     conns.iterator().asScala.foreach(s => try s.close() catch { case _: Exception => () })
     conns.clear()

@@ -255,6 +255,71 @@ class RosTcpSpec extends AnyFunSuite {
     } finally { http.stop(0); pub.close() }
   }
 
+  test("publisher registers with the master; a subscriber resolves it end-to-end") {
+    import graft.sources.RosMaster
+    // stub MASTER only — the slave hop hits graft's REAL responder: it
+    // records registerPublisher's advertised callerApi and hands it back
+    // to registerSubscriber, exactly what roscore does
+    val registered = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val unregistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val http = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("localhost", 0), 0)
+    def respond(ex: com.sun.net.httpserver.HttpExchange, inner: String): Unit = {
+      val body = ("<?xml version=\"1.0\"?><methodResponse><params><param>" +
+        inner + "</param></params></methodResponse>").getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body); ex.close()
+    }
+    http.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val req = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      if (req.contains("<methodName>registerPublisher</methodName>")) {
+        val api = "<string>(http://[^<]+)</string>".r
+          .findAllMatchIn(req).map(_.group(1)).toSeq.last
+        registered.set(api)
+        respond(ex, "<value><array><data><value><i4>1</i4></value>" +
+          "<value><string>ok</string></value>" +
+          "<value><array><data></data></array></value></data></array></value>")
+      } else if (req.contains("<methodName>unregisterPublisher</methodName>")) {
+        unregistered.set(true)
+        respond(ex, "<value><array><data><value><i4>1</i4></value>" +
+          "<value><string>ok</string></value><value><i4>1</i4></value>" +
+          "</data></array></value>")
+      } else if (req.contains("<methodName>registerSubscriber</methodName>")) {
+        respond(ex, "<value><array><data><value><i4>1</i4></value>" +
+          "<value><string>ok</string></value><value><array><data>" +
+          s"<value><string>${registered.get()}</string></value>" +
+          "</data></array></value></data></array></value>")
+      } else respond(ex, "<value><array><data><value><i4>-1</i4></value>" +
+        "<value><string>unknown method</string></value>" +
+        "<value><i4>0</i4></value></data></array></value>")
+    })
+    http.start()
+    val master = s"http://localhost:${http.getAddress.getPort}"
+    val pub = new RosTcpPublisher(0, "/chatter")
+    try {
+      val api = pub.register(master)
+      assert(registered.get() === api,
+        "the master must receive the slave responder's own URI")
+      // double registration is a caller bug, not silent re-advertising
+      intercept[IllegalArgumentException](pub.register(master))
+      // a real subscriber's two hops: master names graft's slave API,
+      // graft's responder answers requestTopic with its TCPROS port
+      val eps = RosMaster.resolveEndpoints(master, "/rostopic", Seq("/chatter"))
+      assert(eps === Seq(("/chatter", "localhost", pub.boundPort)))
+      // ... and frames round-trip over the resolved endpoint
+      val sock = new Socket(eps.head._2, eps.head._3)
+      try {
+        val hdr = RosTcp.subscribeHandshake(sock, "/chatter", "/rostopic")
+        assert(hdr("topic") === "/chatter")
+        eventually() { assert(pub.connected >= 1) }
+        pub.publish(RosTcp.encodeStdString("discovered"))
+        val in = new java.io.BufferedInputStream(sock.getInputStream)
+        assert(RosTcp.decodeStdString(RosTcp.readFrame(in)) === "discovered")
+      } finally sock.close()
+    } finally { pub.close(); http.stop(0) }
+    assert(unregistered.get(), "close() must withdraw the advertisement")
+  }
+
   test("run_scenario live: timer scenario subscribes, snapshots, and captures") {
     // the reference's operational loop end-to-end: scenario file → live
     // TCPROS subscription → per-tick snapshot tree → exactly-once log
