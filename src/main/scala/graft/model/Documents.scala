@@ -184,6 +184,97 @@ object Documents {
       case _ => c
     })
 
+  /** SCHEMA-DRIFT CONTRACT (SURVEY §3): the reference's documents are
+    * schemaless — a new field simply appears on new documents and reads
+    * as None/missing on old ones, and pymongo stores Python ints and
+    * floats interchangeably — while graft's store rows are parquet
+    * structs. The pinned rule for a batch whose schema drifted from the
+    * store's:
+    *
+    *  - NEW fields (top-level or nested) merge in with NULL backfill on
+    *    the side that lacks them — exactly the schemaless read semantics;
+    *  - NUMERIC drift widens within its family: integrals to the wider
+    *    integral, anything fractional to double (the int→float drift a
+    *    Python writer produces), never the narrowing direction;
+    *  - structs and array elements merge recursively;
+    *  - anything else (string↔long, binary↔struct, decimal drift …)
+    *    REJECTS LOUDLY, naming the field path — a silent cast is how a
+    *    schemaless store corrupts. Text-vs-binary drift is not an
+    *    exception: pass batches through [[coerceBinary]] FIRST, so every
+    *    binary leaf is already the `{text, raw}` union and the merged
+    *    leaf stays the union.
+    *
+    * Returned field order: store fields first (readers keep their
+    * positions), then batch-only fields in batch order. Fields missing
+    * on either side come back nullable.
+    */
+  def mergedSchema(a: StructType, b: StructType, path: String = ""): StructType = {
+    import org.apache.spark.sql.types._
+    def widened(x: DataType, y: DataType, p: String): DataType = {
+      val integralRank: Map[DataType, Int] =
+        Map(ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+      (x, y) match {
+        case _ if x == y => x
+        case _ if integralRank.contains(x) && integralRank.contains(y) =>
+          if (integralRank(x) >= integralRank(y)) x else y
+        case (FloatType | DoubleType, _: NumericType) => DoubleType
+        case (_: NumericType, FloatType | DoubleType) => DoubleType
+        case (xs: StructType, ys: StructType) => mergedSchema(xs, ys, p)
+        case (ArrayType(xe, xn), ArrayType(ye, yn)) =>
+          ArrayType(widened(xe, ye, s"$p[]"), xn || yn)
+        case _ => throw new IllegalArgumentException(
+          s"schema drift rejected at '${p.stripPrefix(".")}': " +
+            s"${x.simpleString} vs ${y.simpleString} (only new fields and " +
+            "numeric widening merge; coerceBinary first for binary leaves)")
+      }
+    }
+    val bByName = b.fields.map(f => f.name -> f).toMap
+    val merged = a.fields.map { af =>
+      bByName.get(af.name) match {
+        case Some(bf) =>
+          StructField(af.name, widened(af.dataType, bf.dataType, s"$path.${af.name}"),
+            af.nullable || bf.nullable)
+        case None => af.copy(nullable = true) // NULL backfill on batch rows
+      }
+    }
+    val aNames = a.fieldNames.toSet
+    val extra = b.fields.filterNot(f => aNames(f.name)).map(_.copy(nullable = true))
+    StructType(merged ++ extra)
+  }
+
+  /** Project `df` onto `target` (a [[mergedSchema]] result): missing
+    * fields — at any nesting depth — come back NULL, numeric leaves cast
+    * wider, array elements convert through `transform`, struct identity
+    * is preserved (a NULL struct stays NULL instead of becoming a struct
+    * of NULLs). Pure codegen'd expressions; no data is rewritten that
+    * already matches.
+    */
+  def alignTo(df: DataFrame, target: StructType): DataFrame = {
+    import org.apache.spark.sql.types._
+    def conv(c: Column, from: DataType, to: DataType): Column = (from, to) match {
+      case (f, t) if f == t => c
+      case (fs: StructType, ts: StructType) =>
+        val byName = fs.fields.map(f => f.name -> f).toMap
+        val inner = ts.fields.toSeq.map { tf =>
+          (byName.get(tf.name) match {
+            case Some(sf) => conv(c.getField(tf.name), sf.dataType, tf.dataType)
+            case None => lit(null).cast(tf.dataType)
+          }).as(tf.name)
+        }
+        when(c.isNull, lit(null).cast(ts)).otherwise(struct(inner: _*))
+      case (ArrayType(fe, _), ArrayType(te, _)) =>
+        transform(c, x => conv(x, fe, te))
+      case (_, t) => c.cast(t)
+    }
+    val byName = df.schema.fields.map(f => f.name -> f).toMap
+    df.select(target.fields.toSeq.map { tf =>
+      (byName.get(tf.name) match {
+        case Some(sf) => conv(col(s"`${tf.name}`"), sf.dataType, tf.dataType)
+        case None => lit(null).cast(tf.dataType)
+      }).as(tf.name)
+    }: _*)
+  }
+
   /** Reverse type coercion — the READ-BACK direction (the Spark twin of
     * `MongoDBReverseParser`, reference src/topic_store/sanitation.py:
     * 138-163, which restores stored leaf types on the way out of the

@@ -159,6 +159,21 @@ object DocumentStore {
     df.join(batch.select(col(idColName)), Seq(idColName), "left_anti")
       .unionByName(batch)
 
+  /** [[upsertBatch]] under the SURVEY §3 schema-drift contract
+    * ([[graft.model.Documents.mergedSchema]]): a batch that grew a new
+    * (possibly nested) field or widened a numeric upserts cleanly — both
+    * sides are projected onto the merged schema (NULL backfill, widening
+    * casts) before the same anti-join ∪ union; incompatible drift throws
+    * with the field path. The store side's projection is a no-op select
+    * when nothing drifted, so the non-drift fast path costs nothing.
+    */
+  def upsertBatchAligned(df: DataFrame, batch: DataFrame,
+                         idColName: String): DataFrame = {
+    val m = graft.model.Documents.mergedSchema(df.schema, batch.schema)
+    upsertBatch(graft.model.Documents.alignTo(df, m),
+      graft.model.Documents.alignTo(batch, m), idColName)
+  }
+
   /** `$unwind`: explode an array column to one row per element. */
   def unwind(df: DataFrame, arrayCol: Column, as: String): DataFrame =
     df.withColumn(as, explode(arrayCol))

@@ -542,7 +542,10 @@ object Monitor {
     * goes through here, so compaction is transparent to all of them.
     */
   def readLog(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    val df = spark.read.parquet(path)
+    // mergeSchema: the §3 schema-drift contract's read half — a log whose
+    // later batches grew a field must read as the union with NULL
+    // backfill, not whichever single footer the reader sampled
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
     val neg = logBatchIds(spark, path).filter(_ < 0L)
     if (neg.isEmpty) df.drop("__batch_id")
     else {
@@ -581,7 +584,7 @@ object Monitor {
     require(missing.isEmpty,
       s"log $path cannot reconstruct batch $upTo: batches ${missing.mkString(",")} " +
         "were garbage-collected (compact with gc = false to retain as-of history)")
-    val df = spark.read.parquet(path)
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
     val keep = gens.minOption.toSeq ++ pos
     df.filter(col("__batch_id").isin(keep: _*)).drop("__batch_id")
   }

@@ -332,6 +332,74 @@ class StoreOpsSpec extends AnyFunSuite {
     assert(graft.sources.RosBag.read(spark, out).count() === 0)
   }
 
+  test("schema drift: new nested fields NULL-backfill, numerics widen, junk rejects") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val store = Seq((1L, 10, ("a", 1.0f)), (2L, 20, ("b", 2.0f)))
+      .toDF("doc_id", "count", "meta")
+      .select(col("doc_id"), col("count"),
+        col("meta").cast("struct<tag:string,score:float>"))
+    // the drifted batch: count widened int→long, meta grew a nested
+    // field, and a brand-new top-level column appeared
+    val batch = Seq((2L, 200L, ("b2", 2.5, "eu-1"), "fresh"))
+      .toDF("doc_id", "count", "meta", "note")
+      .select(col("doc_id"), col("count"),
+        col("meta").cast("struct<tag:string,score:double,region:string>"),
+        col("note"))
+    val out = graft.store.DocumentStore.upsertBatchAligned(store, batch, "doc_id")
+    assert(out.schema("count").dataType === LongType, "int widens to long")
+    assert(out.schema("meta").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("tag", "score", "region"),
+      "store field order first, new nested field appended")
+    assert(out.schema("meta").dataType.asInstanceOf[StructType]("score")
+      .dataType === DoubleType, "float widens to double")
+    val rows = out.orderBy("doc_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    val r1 = rows(0); val r2 = rows(1)
+    // untouched store row: old values survive, new fields read as NULL —
+    // the schemaless semantics (a field missing on an old document)
+    assert(r1.getLong(1) === 10L)
+    assert(r1.getStruct(2).getString(0) === "a" &&
+      r1.getStruct(2).getDouble(1) === 1.0 && r1.getStruct(2).isNullAt(2))
+    assert(r1.isNullAt(3), "new top-level column NULL-backfills old rows")
+    // upserted row: batch values land, including the new fields
+    assert(r2.getLong(1) === 200L && r2.getStruct(2).getString(2) === "eu-1" &&
+      r2.getString(3) === "fresh")
+    // incompatible drift (string vs long) rejects LOUDLY with the path
+    val bad = Seq((3L, "not-a-number")).toDF("doc_id", "count")
+    val e = intercept[IllegalArgumentException](
+      graft.store.DocumentStore.upsertBatchAligned(store, bad, "doc_id"))
+    assert(e.getMessage.contains("count") &&
+      e.getMessage.contains("schema drift rejected"))
+    // a NULL struct stays NULL after alignment, never a struct of NULLs
+    val nulls = Seq((4L, 5L)).toDF("doc_id", "count")
+      .withColumn("meta",
+        lit(null).cast("struct<tag:string,score:float>"))
+    val aligned = graft.store.DocumentStore
+      .upsertBatchAligned(store, nulls, "doc_id")
+      .filter(col("doc_id") === 4L).collect().head
+    assert(aligned.isNullAt(2), "NULL struct identity preserved")
+  }
+
+  test("schema drift: a maintained log that grew a field reads as the union") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift_log").toString
+    // batch 0 writes the original shape, batch 1 the drifted one — the
+    // exactly-once writer lands each in its own __batch_id partition
+    Seq((1L, "a")).toDF("k", "v").withColumn("__batch_id", lit(0L))
+      .write.mode("append").partitionBy("__batch_id").parquet(dir)
+    Seq((2L, "b", 9L)).toDF("k", "v", "extra").withColumn("__batch_id", lit(1L))
+      .write.mode("append").partitionBy("__batch_id").parquet(dir)
+    val log = graft.streaming.Monitor.readLog(spark, dir)
+    assert(log.columns.toSeq.sorted === Seq("extra", "k", "v"),
+      "the log reads the UNION schema, not one sampled footer")
+    val byK = log.collect().map(r => r.getAs[Long]("k") ->
+      (if (r.isNullAt(r.fieldIndex("extra"))) None
+       else Some(r.getAs[Long]("extra")))).toMap
+    assert(byK === Map(1L -> None, 2L -> Some(9L)),
+      "pre-drift rows NULL-backfill the new field")
+  }
+
   test("byteSizes totals leaf bytes: fixed widths plus octet lengths") {
     import spark.implicits._
     val df = Seq((1L, "abc", Some(2.0)), (2L, "é", None)).toDF("id", "s", "v")
