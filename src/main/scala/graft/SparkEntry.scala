@@ -915,6 +915,11 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // embedding-side recall audit: planted noise-swept twins probe the
+    // production SRP index; observed hits vs exact cosine per pair
+    "dedup_srp_recall" -> ((s, dir) =>
+      Similarity.srpPlantedRecall(Tables.embeddings(s, dir))),
+
     // int8 scalar-quantized scoring: 4× smaller persisted corpus, exact
     // integer code dot — the memory/IO leg of the ANN scale story
     "ann_int8_topk" -> ((s, dir) => {
@@ -4577,6 +4582,36 @@ object SparkEntry {
         |      FROM sc JOIN n n1 ON n1.vec_id = query_id JOIN n n2 ON n2.vec_id = neighbor_id)
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // the srp bucket pipeline verbatim on corpus + md5-noise twins (noise
+    // magnitude sweeps with vec_id % 10); hit = exact bucket equality
+    "dedup_srp_recall" ->
+      """WITH v AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+        |           FROM embeddings, range(1, 65) r(i)),
+        |s AS (SELECT * FROM v
+        |      WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 13))::BIGINT % 1000 < 200),
+        |t AS (SELECT vec_id, d,
+        |        x * (1 + (CAST(strpos('0123456789abcdef',
+        |          substr(md5(CAST(vec_id AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 1)) - 1 AS DOUBLE)
+        |          - 7.5) * CAST(vec_id % 10 AS DOUBLE) / 75.0) AS x
+        |      FROM s),
+        |hp AS (SELECT p, d, CAST(strpos('0123456789abcdef',
+        |         substr(md5(CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 1)) - 1 AS DOUBLE) - 7.5 AS w
+        |       FROM range(0, 4) rp(p), range(0, 64) rd(d)),
+        |cb AS (SELECT vec_id, CAST(sum(CASE WHEN pr >= 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS bucket
+        |       FROM (SELECT vec_id, p, sum(w * x) AS pr
+        |             FROM v JOIN hp ON hp.d = v.d GROUP BY 1, 2) GROUP BY 1),
+        |tb AS (SELECT vec_id, CAST(sum(CASE WHEN pr >= 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT) AS bucket
+        |       FROM (SELECT vec_id, p, sum(w * x) AS pr
+        |             FROM t JOIN hp ON hp.d = t.d GROUP BY 1, 2) GROUP BY 1),
+        |co AS (SELECT s.vec_id, sum(s.x * t.x) AS dot,
+        |         sqrt(sum(s.x * s.x)) AS n1, sqrt(sum(t.x * t.x)) AS n2
+        |       FROM s JOIN t ON s.vec_id = t.vec_id AND s.d = t.d GROUP BY 1)
+        |SELECT co.vec_id,
+        |  CAST(round(dot / (n1 * n2) * 1000000) AS BIGINT) AS cos_micro,
+        |  CAST(CASE WHEN cb.bucket = tb.bucket THEN 1 ELSE 0 END AS BIGINT) AS srp_hit
+        |FROM co JOIN cb ON cb.vec_id = co.vec_id JOIN tb ON tb.vec_id = co.vec_id
+        |ORDER BY co.vec_id""".stripMargin,
 
     "lang_id" ->
       """WITH t AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm FROM documents),

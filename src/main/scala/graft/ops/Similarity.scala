@@ -85,6 +85,52 @@ object Similarity {
   def srpIndex(emb: DataFrame, planes: Int = 4): DataFrame =
     prep(emb).withColumn("bucket", bucketExpr(planes))
 
+  /** SRP recall audit with PLANTED perturbed vectors — the embedding-side
+    * twin of the token-shingle audit (Dedup.lshPlantedRecall, 42cc): are
+    * the `planes` bits actually catching the near-duplicates at the
+    * angles my corpus drifts by? A deterministic md5 sample of vectors is
+    * perturbed by per-dimension multiplicative noise whose MAGNITUDE
+    * sweeps with vec_id % 10 (0% … 90% — so the audit covers the whole
+    * angle range instead of one operating point), the twins probe the
+    * PRODUCTION [[srpIndex]] by bucket equality exactly like an ingest
+    * increment, and each planted pair reports its cosine (micro,
+    * round-to-integer — the established engine-parity convention) next
+    * to whether the probe surfaced it. Observed recall at angle θ sits
+    * on the analytic SRP collision curve (1 − θ/π)^planes — pinned by
+    * spec; the noise is md5-derived like [[planeWeights]], so the audit
+    * replays identically on any cluster.
+    */
+  def srpPlantedRecall(emb: DataFrame, planes: Int = 4,
+                       samplePermille: Int = 200): DataFrame = {
+    require(samplePermille > 0 && samplePermille <= 1000)
+    val base = prep(emb)
+    val sampled = base.filter(expr(
+      "cast(conv(substring(md5(cast(vec_id as string)), 1, 13), 16, 10) as bigint)" +
+        s" % 1000 < $samplePermille"))
+    val twins = sampled
+      .select(col("vec_id"), expr(
+        """transform(v, (x, i) -> x * (1 + (cast(instr('0123456789abcdef',
+          |substr(md5(concat(cast(vec_id as string), '|', cast(i as string))), 1, 1))
+          |- 1 as double) - 7.5) * cast(vec_id % 10 as double) / 75.0))"""
+          .stripMargin.replace("\n", " ")).as("v"))
+      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+    val probes = twins.select(col("vec_id"), bucketExpr(planes).as("bucket"))
+    // production probe shape: bucket-equality join against the index —
+    // at 10¹⁰ vectors the probe side stays O(sample), never all-pairs
+    val hits = probes.as("p")
+      .join(srpIndex(emb, planes).select(col("vec_id"), col("bucket")).as("ix"),
+        col("p.bucket") === col("ix.bucket") && col("p.vec_id") === col("ix.vec_id"))
+      .select(col("p.vec_id").as("vec_id"), lit(1L).as("srp_hit"))
+    sampled.as("o")
+      .join(twins.select(col("vec_id"), col("v").as("tv"),
+        col("norm").as("tnorm")), Seq("vec_id"))
+      .select(col("vec_id"),
+        expr("cast(round(graft_dot(v, tv) / (norm * tnorm) * 1000000) as bigint)")
+          .as("cos_micro"))
+      .join(hits, Seq("vec_id"), "left").na.fill(0L, Seq("srp_hit"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Spherical k-means coarse quantizer for IVF, trained driver-side on a
     * deterministic seeded sample. This is the standard IVF training shape
     * (FAISS trains its coarse quantizer on ~10⁵–10⁶ sampled vectors, not

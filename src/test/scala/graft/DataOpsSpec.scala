@@ -3163,6 +3163,38 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("srp planted recall: noise-swept twins sit on the analytic collision curve") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity
+      .srpPlantedRecall(emb, planes = 4, samplePermille = 1000).collect()
+    assert(out.length.toLong === emb.count(), "full-sample audit covers every vector")
+    // zero-noise twins (vec_id % 10 == 0) are the identity: cosine 1,
+    // bucket equal — the audit's self-consistency anchor
+    out.filter(_.getLong(0) % 10 == 0).foreach { r =>
+      assert(r.getLong(1) === 1000000L && r.getLong(2) === 1L,
+        s"identity twin must always hit: $r")
+    }
+    // observed hits vs the analytic SRP curve: a pair at angle θ keeps
+    // one sign bit with prob 1 − θ/π, all `planes` with (1 − θ/π)^planes.
+    // Binomial 4σ band over the per-pair expectations — the embedding
+    // twin of the 42cc jaccard S-curve pin.
+    val ps = out.map { r =>
+      val cos = math.min(1.0, math.max(-1.0, r.getLong(1) / 1e6))
+      math.pow(1.0 - math.acos(cos) / math.Pi, 4)
+    }
+    val expected = ps.sum
+    val sigma = math.sqrt(ps.map(p => p * (1 - p)).sum)
+    val observed = out.map(_.getLong(2)).sum.toDouble
+    assert(math.abs(observed - expected) <= 4 * sigma + 2,
+      s"observed $observed hits vs analytic $expected (sigma $sigma)")
+    // the noise sweep really spans the curve: high-noise deciles must
+    // sit at materially lower cosine than low-noise ones
+    val lo = out.filter(r => r.getLong(0) % 10 >= 8).map(_.getLong(1))
+    val hi = out.filter(r => r.getLong(0) % 10 == 1).map(_.getLong(1))
+    assert(lo.nonEmpty && hi.nonEmpty && lo.max < hi.min,
+      "noise magnitude must order the planted angles")
+  }
+
   test("modularity: two bridged cliques score the textbook Q by hand") {
     import spark.implicits._
     // two 4-cliques + 1 bridge: m = 13; each community has 6 internal
