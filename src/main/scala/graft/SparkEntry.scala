@@ -669,6 +669,10 @@ object SparkEntry {
     "q11_nation_concentration" -> ((s, dir) => Analytics.nationConcentration(s, dir)),
     "window_rolling_stats" -> ((s, dir) => Analytics.rollingUserStats(s, dir)),
     "agg_cube" -> ((s, dir) => Analytics.eventCube(s, dir)),
+    // gap-based sessionization: the event-log → session-table transform;
+    // break flag + running session index ride one window spec
+    "events_sessionize" -> ((s, dir) => Analytics.eventSessions(s, dir)),
+
     "events_funnel" -> ((s, dir) => Analytics.funnelStages(s, dir)),
     // k-stage generalization (28ac''', round 12): the same chained
     // running-min fold over all five event types in signup-first order
@@ -726,6 +730,9 @@ object SparkEntry {
     // source-sampled Brandes: exact-integer path counts, fixed-point
     // dependency sweep, brokers first
     "graph_betweenness" -> ((s, dir) => Graph.transactionBetweenness(s, dir)),
+    // sampled harmonic centrality: sum of 1/d over the same six-source
+    // sample, exact micro fixed point, forward BFS only
+    "graph_harmonic" -> ((s, dir) => Graph.transactionHarmonic(s, dir)),
     "agg_histogram" -> ((s, dir) => Analytics.histogram(s, dir)),
     // equal-frequency bins: percentile edges broadcast, codegen'd assign
     "agg_equidepth" -> ((s, dir) => Analytics.equidepthHistogram(s, dir)),
@@ -1257,6 +1264,25 @@ object SparkEntry {
             |    case when (doc_id + i) % 3 != 0 then '.' else '' end)),
             |  '\n')""".stripMargin).as("text"))
       TextAnalysis.cleanLines(pages, col("doc_id"), col("text"))
+    }),
+
+    // CCNet-style corpus-wide line dedup over planted pages: every 5th
+    // doc opens with the same boilerplate banner; only the first
+    // occurrence in (doc_id, line_idx) order survives
+    "corpus_dedup_lines" -> ((s, dir) => {
+      val pages = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          split(regexp_replace(lower(col("text")), "\\s+", " "), " ")
+            .as("words"))
+        .select(col("doc_id"), expr(
+          """concat(
+            |  case when doc_id % 5 = 0
+            |    then 'subscribe to our newsletter for updates\n' else '' end,
+            |  array_join(transform(
+            |    sequence(0, cast(ceil(size(words) / 8.0) as int) - 1, 1),
+            |    i -> array_join(slice(words, i * 8 + 1, 8), ' ')), '\n'))"""
+            .stripMargin).as("text"))
+      TextAnalysis.dedupLines(pages, col("doc_id"), col("text"))
     }),
 
     // token -> (df, first-100 posting list), stop tokens (df > 1000)
@@ -2030,6 +2056,19 @@ object SparkEntry {
         |ORDER BY event_type ASC NULLS FIRST, bucket ASC NULLS FIRST""".stripMargin,
 
     // same chained-running-min window semantics, microsecond ordering
+    // lag + running sum replay the break/index windows; all integers
+    "events_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |l AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+        |b AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 28800000000 THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM b)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |  max(ts_us) - min(ts_us) AS duration_us,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+
     "events_funnel" ->
       """WITH e AS MATERIALIZED (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |s1 AS MATERIALIZED (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
@@ -2363,6 +2402,38 @@ object SparkEntry {
                 |  CAST(sum(delta) AS BIGINT) AS bc_micro
                 |FROM acc WHERE node <> src
                 |GROUP BY 1 ORDER BY bc_micro DESC, node""".stripMargin
+      sb.toString
+    },
+
+    // the betweenness oracle's forward unroll only: a node first reached
+    // at level t for a source contributes 1000000 // t
+    "graph_harmonic" -> {
+      val maxDepth = 8
+      val sb = new StringBuilder
+      sb ++= """WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+               |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+               |e AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+               |  FROM pairs WHERE src <> dst),
+               |und AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+               |f0 AS (SELECT CAST(src AS BIGINT) AS src, CAST(src AS BIGINT) AS node
+               |  FROM (VALUES (2), (4), (6), (3), (5), (7)) s(src)),
+               |v0 AS (SELECT src, node FROM f0)""".stripMargin
+      for (t <- 1 to maxDepth) {
+        val p = t - 1
+        sb ++= s""",
+                  |f$t AS MATERIALIZED (SELECT DISTINCT f.src, und.b AS node
+                  |  FROM f$p f JOIN und ON f.node = und.a
+                  |  WHERE NOT EXISTS (SELECT 1 FROM v$p v WHERE v.src = f.src AND v.node = und.b)),
+                  |v$t AS MATERIALIZED (SELECT * FROM v$p UNION ALL SELECT src, node FROM f$t)""".stripMargin
+      }
+      sb ++= s""",
+                |acc AS (${(1 to maxDepth)
+                  .map(t => s"SELECT node, CAST(1000000 // $t AS BIGINT) AS h FROM f$t")
+                  .mkString(" UNION ALL ")})
+                |SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+                |            ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+                |  CAST(sum(h) AS BIGINT) AS h_micro
+                |FROM acc GROUP BY 1 ORDER BY h_micro DESC, node""".stripMargin
       sb.toString
     },
 
@@ -5185,6 +5256,26 @@ object SparkEntry {
         |      FROM j GROUP BY 1)
         |SELECT doc_id, n_lines, n_kept, clean_text
         |FROM a WHERE n_kept >= 3 ORDER BY doc_id""".stripMargin,
+
+    // the planted-banner construction as a UNION of line rows (identical
+    // (doc_id, line_idx, line) triples to splitting the page string);
+    // first-occurrence via row_number per line, ordered reassembly
+    "corpus_dedup_lines" ->
+      """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |off AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS o, words FROM w),
+        |ln AS (SELECT doc_id, 0 AS line_idx, 'subscribe to our newsletter for updates' AS line
+        |       FROM off WHERE o = 1
+        |       UNION ALL
+        |       SELECT doc_id, i + o AS line_idx,
+        |         array_to_string(list_slice(words, i * 8 + 1, i * 8 + 8), ' ') AS line
+        |       FROM (SELECT off.*, unnest(range(0, CAST(ceil(len(words) / 8.0) AS BIGINT))) AS i FROM off)),
+        |j AS (SELECT doc_id, line_idx, line,
+        |        CASE WHEN row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) = 1
+        |             THEN 1 ELSE 0 END AS keep
+        |      FROM ln)
+        |SELECT doc_id, count(*) AS n_lines, CAST(sum(keep) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN keep = 1 THEN line END, chr(10) ORDER BY line_idx), '') AS clean_text
+        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "text_lexical_diversity" ->
       """WITH w AS (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),

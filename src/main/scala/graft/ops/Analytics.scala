@@ -651,6 +651,53 @@ object Analytics {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Gap-based batch sessionization — the canonical event-log →
+    * session-table transform (the GA/Amplitude inactivity convention,
+    * gap configurable): a user's session breaks when the silence since
+    * their previous event exceeds `gapUs`; the session id is the running
+    * count of breaks. The break flag (lag) and the running index
+    * (cumulative sum) ride ONE window spec, so Catalyst plans both
+    * Window operators over a single exchange+sort on `user_id` — one
+    * shuffle of the event log, per-row state two longs at any history
+    * length (no sessionizing UDAF, no per-user collect; the batch twin
+    * of streaming.Sessionizer's timeout semantics). Per-session summary
+    * is one further map-combinable groupBy.
+    *
+    * `ev` needs (event_id, user_id, event_type, ts_us). Returns one row
+    * per (user_id, session_idx): event count, start/end/duration micros,
+    * distinct event types.
+    */
+  def sessionize(ev: DataFrame, gapUs: Long): DataFrame = {
+    require(gapUs > 0)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("brk")).over(run))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        count_distinct(col("event_type")).as("n_types"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("start_us"), col("end_us"),
+        (col("end_us") - col("start_us")).as("duration_us"), col("n_types"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  /** [[sessionize]] over the events table at the fixture's natural
+    * inactivity scale (8 h — the sf gap distribution's knee; the
+    * convention parameter, not a semantic).
+    */
+  def eventSessions(spark: SparkSession, dir: String,
+                    gapUs: Long = 8L * 3600L * 1000000L): DataFrame =
+    sessionize(Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us")), gapUs)
+
   /** Ordered-sequence funnel: how many users progress through the event
     * stages in ORDER (a later stage only counts if it happens strictly
     * after some completion of the previous one). The per-row "stage k

@@ -857,25 +857,20 @@ object Graph {
     * 9.2e18 long before σ alone does — decimal keeps it exact to 1e38,
     * matching DuckDB's int128 arithmetic instead of wrapping.
     */
-  def betweenness(pairs: DataFrame, sources: Seq[Long],
-                  maxDepth: Int = 8): DataFrame = {
-    require(sources.nonEmpty && maxDepth >= 1)
+  /** Source-batched undirected BFS — the shared forward machine of
+    * [[betweenness]] and [[harmonic]]: level l's table is (node,
+    * sig: array<long>) with sig[i] = σ_i(node) where d_i(node) = l and
+    * 0 otherwise (sig[i] > 0 IS per-source level membership). Returns
+    * the u-partitioned checkpointed adjacency and the level tables
+    * (level 0 = the sources themselves). Row counts are O(frontier),
+    * independent of the sample size — see [[betweenness]]'s scale notes.
+    */
+  private def bfsLevelsBatched(pairs: DataFrame, srcs: Seq[Long],
+                               maxDepth: Int): (DataFrame, Seq[DataFrame]) = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val n = spark.sessionState.conf.numShufflePartitions
-    // SOURCE-BATCHED: the per-source σ/δ ride as fixed-width array
-    // payloads on node-keyed rows instead of (src, node) rows — the
-    // standard multi-source Brandes batching. Every join and shuffle is
-    // O(edges touched), not O(sources × edges): the round-12 row-keyed
-    // shape measured ~6× this shuffle volume on the 6-source sample,
-    // and at a 1000-executor scale the source sample GROWS, so the
-    // array packing is the difference between per-source cost and
-    // amortized cost. k per-element sums unroll at plan-build time
-    // (k is a driver constant), staying inside whole-stage codegen.
-    val srcs = sources.distinct.sorted
     val k = srcs.size
-    def esum(arr: String) = // element-wise array sum as k codegen'd aggs
-      array((0 until k).map(i => sum(col(arr)(i))): _*)
     val e = pairs.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
@@ -886,8 +881,9 @@ object Graph {
       .repartition(n, col("u")).localCheckpoint()
     // level0: one row per source node; sig[i] = 1 where this node IS
     // source i. A LocalRelation — checkpointing a k-row table would
-    // burn an eager job for nothing, and this query is job-count-bound
-    // at bench scale (~17 driver-synchronized jobs measured ≈ the wall).
+    // burn an eager job for nothing, and these queries are
+    // job-count-bound at bench scale (~17 driver-synchronized jobs
+    // measured ≈ the wall).
     val level0 = srcs.map(s => (s, srcs.map(x => if (x == s) 1L else 0L)))
       .toDF("node", "sig")
     val levels = scala.collection.mutable.ArrayBuffer(level0)
@@ -911,7 +907,7 @@ object Graph {
       // the element-wise mask IS the per-source anti-join
       val contrib = adj.join(cur.withColumnRenamed("node", "u"), Seq("u"))
         .groupBy(col("v").as("node"))
-        .agg(esum("sig").as("sig"))
+        .agg(array((0 until k).map(i => sum(col("sig")(i))): _*).as("sig"))
       val next = contrib.join(seen, Seq("node"), "left")
         .select(col("node"), array((0 until k).map(i =>
           when(col("seen").isNull || col("seen")(i) === 0,
@@ -921,6 +917,29 @@ object Graph {
       frontierSize = cnt
       if (cnt > 0L) levels += ck
     }
+    (adj, levels.toSeq)
+  }
+
+  def betweenness(pairs: DataFrame, sources: Seq[Long],
+                  maxDepth: Int = 8): DataFrame = {
+    require(sources.nonEmpty && maxDepth >= 1)
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val n = spark.sessionState.conf.numShufflePartitions
+    // SOURCE-BATCHED: the per-source σ/δ ride as fixed-width array
+    // payloads on node-keyed rows instead of (src, node) rows — the
+    // standard multi-source Brandes batching. Every join and shuffle is
+    // O(edges touched), not O(sources × edges): the round-12 row-keyed
+    // shape measured ~6× this shuffle volume on the 6-source sample,
+    // and at a 1000-executor scale the source sample GROWS, so the
+    // array packing is the difference between per-source cost and
+    // amortized cost. k per-element sums unroll at plan-build time
+    // (k is a driver constant), staying inside whole-stage codegen.
+    val srcs = sources.distinct.sorted
+    val k = srcs.size
+    def esum(arr: String) = // element-wise array sum as k codegen'd aggs
+      array((0 until k).map(i => sum(col(arr)(i))): _*)
+    val (adj, levels) = bfsLevelsBatched(pairs, srcs, maxDepth)
     if (levels.size == 1)
       return spark.emptyDataset[(Long, Long)].toDF("node", "bc_micro")
     // the backward sweep joins the adjacency on its OTHER end every
@@ -1019,5 +1038,51 @@ object Graph {
   def transactionAssortativity(spark: SparkSession, dir: String): DataFrame = {
     val pairs = tradingPairs(spark, dir)
     assortativity(pairs)
+  }
+
+  /** Sampled harmonic centrality (Marchiori–Latora 2000; Boldi–Vigna's
+    * axiomatic pick among the closeness family BECAUSE it handles
+    * disconnected graphs — unreachable pairs contribute 0, no ∞):
+    * H(v) = Σ_s 1/d(s, v) over the source sample, in exact micro fixed
+    * point (`1e6 div d` — order-free long sums, engine-exact). Reuses
+    * the source-batched BFS ([[bfsLevelsBatched]]): a node at level l
+    * for m sources contributes m·(1e6 div l), so the whole score is one
+    * projection per level table + a node groupBy — no per-source rows,
+    * no backward sweep. Sources score each other; a source's own 0-level
+    * self term is excluded by construction (it is never re-reached).
+    */
+  def harmonic(pairs: DataFrame, sources: Seq[Long],
+               maxDepth: Int = 8): DataFrame = {
+    require(sources.nonEmpty && maxDepth >= 1)
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val srcs = sources.distinct.sorted
+    val k = srcs.size
+    val (_, levels) = bfsLevelsBatched(pairs, srcs, maxDepth)
+    if (levels.size == 1)
+      return spark.emptyDataset[(Long, Long)].toDF("node", "h_micro")
+    (1 until levels.size).map { l =>
+      levels(l).select(col("node"),
+        ((0 until k).map(i => when(col("sig")(i) > 0L, 1L).otherwise(0L))
+          .reduce(_ + _) * lit(1000000L / l)).as("h"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("node"))
+      .agg(sum(col("h")).as("h_micro"))
+  }
+
+  /** [[harmonic]] of the trading graph from the fixed six-entity sample
+    * (the [[transactionBetweenness]] sources), readable labels, most
+    * central first.
+    */
+  def transactionHarmonic(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = tradingPairs(spark, dir)
+    harmonic(pairs, Seq(2L, 4L, 6L, 3L, 5L, 7L))
+      .select(
+        when(col("node") % 2L === 0L,
+          concat(lit("c"), expr("node div 2").cast("string")))
+          .otherwise(concat(lit("s"), expr("node div 2").cast("string")))
+          .as("node"),
+        col("h_micro"))
+      .orderBy(col("h_micro").desc, col("node"))
   }
 }

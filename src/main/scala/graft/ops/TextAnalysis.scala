@@ -257,6 +257,40 @@ object TextAnalysis {
       .filter(col("n_kept") >= minLines)
       .orderBy(col("doc_id"))
 
+  /** Corpus-wide LINE deduplication (the CCNet/FineWeb pass: boilerplate
+    * lines — nav bars, cookie banners, footers — repeat across millions
+    * of pages; keep each distinct line's FIRST occurrence in corpus
+    * (doc_id, line_idx) order, drop every later copy, re-emit documents
+    * with survivors in original line order). Exact-match on the raw
+    * line; compose upstream normalization if fuzzier identity is wanted.
+    *
+    * Scale shape: first-occurrence is ONE groupBy(line) with a
+    * min(struct(doc_id, line_idx)) — map-side combinable, so a
+    * billion-fold hot banner line partially aggregates before the
+    * shuffle (a row_number-over-line window would sort every copy of
+    * the hot key on one partition); then one equality join back and the
+    * per-doc reassembly groupBy. O(corpus lines), two shuffles, no
+    * windows.
+    */
+  def dedupLines(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val lines = df.select(idCol.as("doc_id"),
+      posexplode(split(textCol, "\n")).as(Seq("line_idx", "line")))
+    val firsts = lines.groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("line_idx"))).as("first"))
+    lines.join(firsts, Seq("line"))
+      .withColumn("keep",
+        col("doc_id") === col("first.doc_id") &&
+          col("line_idx") === col("first.line_idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("line_idx"), col("line"))))),
+          x => x.getField("line")), "\n").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-line C4 keep/drop judgments — shared by [[cleanLines]] and the
     * [[qualityGate]] structural bit (which needs counts for ALL docs,
     * not just survivors).

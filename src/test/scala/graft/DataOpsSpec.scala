@@ -3195,6 +3195,54 @@ class DataOpsSpec extends AnyFunSuite {
       "noise magnitude must order the planted angles")
   }
 
+  test("sessionize: gap breaks, running index, and per-session stats by hand") {
+    import spark.implicits._
+    // user 1: events at 0s, 10s, |gap| 1000s, 1010s → two sessions;
+    // user 2: one event → one singleton session
+    val ev = Seq(
+      (1L, 1L, "view", 0L), (2L, 1L, "click", 10000000L),
+      (3L, 1L, "view", 1000000000L), (4L, 1L, "view", 1010000000L),
+      (5L, 2L, "purchase", 50000000L)
+    ).toDF("event_id", "user_id", "event_type", "ts_us")
+    val out = ops.Analytics.sessionize(ev, gapUs = 100000000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(5), r.getLong(6))).toMap
+    assert(out === Map(
+      (1L, 1L) -> ((2L, 10000000L, 2L)),   // 2 events, 10s span, 2 types
+      (1L, 2L) -> ((2L, 10000000L, 1L)),   // second session after the gap
+      (2L, 1L) -> ((1L, 0L, 1L))))         // singleton
+  }
+
+  test("corpus line dedup keeps exactly the first occurrence, in doc order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "banner line\nunique one\nshared middle"),
+      (2L, "banner line\nunique two"),
+      (3L, "shared middle\nbanner line\nunique three")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLines(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) === ((3L, 3L, "banner line\nunique one\nshared middle")),
+      "doc 1 owns every first occurrence")
+    assert(out(2L) === ((2L, 1L, "unique two")),
+      "doc 2's banner copy drops, its unique line survives")
+    assert(out(3L) === ((3L, 1L, "unique three")),
+      "doc 3 loses both earlier-seen lines, order preserved")
+  }
+
+  test("harmonic centrality: path-graph reciprocals by hand") {
+    import spark.implicits._
+    // path 1–2–3–4, sources {1, 4}: H(2) = 1/1 + 1/2, H(1) = 1/3 (from
+    // source 4 only — its own 0-distance term is excluded), symmetric
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val h = ops.Graph.harmonic(edges, Seq(1L, 4L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h === Map(
+      1L -> 333333L, 4L -> 333333L,          // 1e6 div 3
+      2L -> 1500000L, 3L -> 1500000L))       // 1e6 + 1e6 div 2
+  }
+
   test("modularity: two bridged cliques score the textbook Q by hand") {
     import spark.implicits._
     // two 4-cliques + 1 bridge: m = 13; each community has 6 internal
