@@ -273,10 +273,48 @@ object TextAnalysis {
     * windows.
     */
   def dedupLines(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val lines = df.select(idCol.as("doc_id"),
+    val lines = docLines(df, idCol, textCol)
+    keepFirstLineOccurrences(lines, lines.groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("line_idx"))).as("first")))
+  }
+
+  /** [[dedupLines]] for an INCREMENT against a persisted first-occurrence
+    * line index ([[graft.streaming.Monitor.maintainLineIndex]] /
+    * `readLineIndex` — columns (line, first_doc, first_idx)): a line the
+    * corpus has already seen drops everywhere in the increment; a line
+    * NEW to this increment keeps exactly its first intra-increment
+    * occurrence (so re-running the same increment is idempotent against
+    * the index it produced). The increment never re-pairs the corpus —
+    * one join of its own distinct lines against the index.
+    */
+  def dedupLinesAgainst(df: DataFrame, idCol: Column, textCol: Column,
+                        index: DataFrame): DataFrame = {
+    val lines = docLines(df, idCol, textCol)
+    val incFirsts = lines.groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("line_idx"))).as("inc_first"))
+    val firsts = incFirsts.join(
+        index.select(col("line"),
+          struct(col("first_doc").as("doc_id"),
+            col("first_idx").as("line_idx")).as("ix_first")),
+        Seq("line"), "left")
+      .select(col("line"),
+        when(col("ix_first").isNotNull && col("ix_first") < col("inc_first"),
+          col("ix_first")).otherwise(col("inc_first")).as("first"))
+    keepFirstLineOccurrences(lines, firsts)
+  }
+
+  /** (doc_id, line_idx, line) rows of a document frame. */
+  private[graft] def docLines(df: DataFrame, idCol: Column,
+                              textCol: Column): DataFrame =
+    df.select(idCol.as("doc_id"),
       posexplode(split(textCol, "\n")).as(Seq("line_idx", "line")))
-    val firsts = lines.groupBy(col("line"))
-      .agg(min(struct(col("doc_id"), col("line_idx"))).as("first"))
+
+  /** Shared tail of the line-dedup family: keep each line occurrence that
+    * IS its line's first (per `firsts`: (line, first struct)), then the
+    * per-doc ordered reassembly.
+    */
+  private def keepFirstLineOccurrences(lines: DataFrame,
+                                       firsts: DataFrame): DataFrame =
     lines.join(firsts, Seq("line"))
       .withColumn("keep",
         col("doc_id") === col("first.doc_id") &&
@@ -289,7 +327,6 @@ object TextAnalysis {
             struct(col("line_idx"), col("line"))))),
           x => x.getField("line")), "\n").as("clean_text"))
       .orderBy(col("doc_id"))
-  }
 
   /** Per-line C4 keep/drop judgments — shared by [[cleanLines]] and the
     * [[qualityGate]] structural bit (which needs counts for ALL docs,

@@ -984,6 +984,45 @@ object Monitor {
   def readGramIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     readLog(spark, path).groupBy("shingle").agg(min("first_doc").as("first_doc"))
 
+  /** Maintained first-occurrence LINE index — the streaming half of the
+    * CCNet boilerplate pass (`TextAnalysis.dedupLines`, §2c 42ci): each
+    * micro-batch logs one (line, first_doc, first_idx) partial per
+    * distinct line it introduced (min (doc_id, line_idx) within the
+    * batch), so an increment can drop corpus-repeated boilerplate
+    * ([[readLineIndex]] + `TextAnalysis.dedupLinesAgainst`) without
+    * re-exploding anything ingested before it. Min over the (doc, idx)
+    * struct is associative and idempotent: replays rewrite their own
+    * partition, merge-on-read takes the min across batches, ingest
+    * order never changes a verdict that was already decided.
+    * `compactLog(fold)` with a min-groupBy collapses partials (48ac).
+    */
+  def maintainLineIndex(stream: DataFrame, idCol: Column, textCol: Column,
+                        path: String, checkpoint: String,
+                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        graft.ops.TextAnalysis.docLines(df.toDF(), idCol, textCol)
+          .groupBy(col("line"))
+          .agg(min(struct(col("doc_id"), col("line_idx"))).as("first"))
+          .select(col("line"), col("first.doc_id").as("first_doc"),
+            col("first.line_idx").as("first_idx"))
+          .writeLogBatch(batchId, path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Merge-on-read of the [[maintainLineIndex]] log: one (line,
+    * first_doc, first_idx) row per line ever streamed.
+    */
+  def readLineIndex(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame =
+    readLog(spark, path)
+      .groupBy(col("line"))
+      .agg(min(struct(col("first_doc"), col("first_idx"))).as("first"))
+      .select(col("line"), col("first.first_doc").as("first_doc"),
+        col("first.first_idx").as("first_idx"))
+
   /** Start/stop-gated capture INTO a maintained log — the reference's
     * `action_server_video` mode end-to-end (scenario.py:101-137: gate the
     * data stream by the control stream's start/stop messages, save every

@@ -1752,6 +1752,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch(chosen.head.doc_id)._3 === 1000L) // the seed doc is all-new
   }
 
+  test("ingest-door line dedup against the maintained line index equals batch verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lineix").toString
+    val ckpt = Files.createTempDirectory("graft_lineix_ck").toString
+    val path = s"$dir/log"
+    // three increments sharing a boilerplate banner line, arriving in
+    // doc order — the corpus-level first-occurrence verdicts are fixed
+    val docs = Seq(
+      Doc(1L, new Timestamp(0L), "banner line\nunique one\nshared middle"),
+      Doc(2L, new Timestamp(0L), "banner line\nunique two"),
+      Doc(3L, new Timestamp(0L), "shared middle\nbanner line\nunique three\nunique three"))
+    val input = MemoryStream[Doc]
+    def ingest(d: Doc): Unit = {
+      input.addData(d)
+      val q = Monitor.maintainLineIndex(input.toDF().drop("ts"),
+        col("doc_id"), col("text"), path, s"$ckpt/c1")
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    ingest(docs.head)
+    val incremental = docs.tail.map { d =>
+      val one = Seq(d).toDF().drop("ts")
+      val r = graft.ops.TextAnalysis.dedupLinesAgainst(one,
+        col("doc_id"), col("text"), Monitor.readLineIndex(spark, path))
+        .collect()
+      ingest(d)
+      assert(r.length === 1)
+      r.head.getLong(0) -> ((r.head.getLong(1), r.head.getLong(2), r.head.getString(3)))
+    }.toMap
+    // increments must reproduce the one-shot batch pass exactly
+    val batch = graft.ops.TextAnalysis.dedupLines(
+        docs.toDF().drop("ts"), col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    docs.tail.foreach { d =>
+      assert(incremental(d.doc_id) === batch(d.doc_id),
+        s"doc ${d.doc_id}: incremental ${incremental(d.doc_id)} != batch ${batch(d.doc_id)}")
+    }
+    // doc 3's intra-increment duplicate ("unique three" twice) keeps only
+    // its first copy even though the line is new to the corpus
+    assert(incremental(3L) === ((4L, 1L, "unique three")))
+    // idempotence: re-running an already-indexed increment drops all of it
+    val replay = graft.ops.TextAnalysis.dedupLinesAgainst(
+        Seq(docs(1)).toDF().drop("ts"), col("doc_id"), col("text"),
+        Monitor.readLineIndex(spark, path)).collect()
+    assert(replay.length === 1 && replay.head.getLong(2) === 1L &&
+      replay.head.getString(3) === "unique two",
+      "a re-run increment keeps exactly the lines whose index first IS its own")
+  }
+
   test("maintained kmv log unions byte-equal to the single-pass per-group sketch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
