@@ -673,6 +673,10 @@ object SparkEntry {
     // break flag + running session index ride one window spec
     "events_sessionize" -> ((s, dir) => Analytics.eventSessions(s, dir)),
 
+    // power-user concentration: exact integer Gini over per-user counts,
+    // range-partitioned global rank (no single-task window)
+    "events_gini" -> ((s, dir) => Analytics.eventsGini(s, dir)),
+
     "events_funnel" -> ((s, dir) => Analytics.funnelStages(s, dir)),
     // k-stage generalization (28ac''', round 12): the same chained
     // running-min fold over all five event types in signup-first order
@@ -744,6 +748,9 @@ object SparkEntry {
     "ts_gap_fill" -> ((s, dir) => Analytics.gapFillResample(s, dir)),
     // degree-ordered triangle count over the part co-purchase graph
     "graph_triangles" -> ((s, dir) => Graph.partTriangles(s, dir)),
+    // per-node Watts-Strogatz local clustering coefficient over the same
+    // co-purchase graph, exact integer permille
+    "graph_clustering" -> ((s, dir) => Graph.partClustering(s, dir)),
     // iterative peeling to the unique 65-core of the same graph
     "graph_kcore" -> ((s, dir) => Graph.partKCore(s, dir)),
     // frontier BFS from part 0 over the same graph: exact hop distances
@@ -2069,6 +2076,19 @@ object SparkEntry {
         |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
 
+    // sorted-rank Gini in HUGEINT (DuckDB's native wide integers match
+    // Spark's decimal widening; // floors like div)
+    "events_gini" ->
+      """WITH c AS (SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM c),
+        |a AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS total,
+        |        sum(i * x) AS six FROM r)
+        |SELECT n, total,
+        |  CAST(CASE WHEN total > 0
+        |       THEN (2 * six - (n + 1) * total) * 1000000 // (n * total) END
+        |    AS BIGINT) AS gini_micro
+        |FROM a""".stripMargin,
+
     "events_funnel" ->
       """WITH e AS MATERIALIZED (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |s1 AS MATERIALIZED (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
@@ -2528,6 +2548,32 @@ object SparkEntry {
         |       (SELECT count(*) FROM e) AS n_edges,
         |       (SELECT count(*) FROM wedge JOIN ed z ON z.u = wedge.v AND z.v = wedge.w)
         |         AS n_triangles""".stripMargin,
+
+    // the triangle CTEs with the wedge's base kept: each closed triangle
+    // credits its three nodes once; permille in HUGEINT like Spark's
+    // decimal widening
+    "graph_clustering" ->
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT least(x.pk, y.pk) AS a, greatest(x.pk, y.pk) AS b
+        |      FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |deg AS MATERIALIZED (SELECT node, count(*) AS deg
+        |        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |ed AS MATERIALIZED (SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS u,
+        |              CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS v,
+        |              CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN db.deg ELSE da.deg END AS dv
+        |       FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
+        |wedge AS MATERIALIZED (SELECT x.u AS u, x.v AS v, y.v AS w
+        |          FROM ed x JOIN ed y ON x.u = y.u AND (x.dv, x.v) < (y.dv, y.v)),
+        |tri AS MATERIALIZED (SELECT wedge.u, wedge.v, wedge.w
+        |       FROM wedge JOIN ed z ON z.u = wedge.v AND z.v = wedge.w),
+        |tn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM
+        |        (SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+        |         UNION ALL SELECT w FROM tri) GROUP BY 1)
+        |SELECT deg.node, deg.deg, coalesce(tn.n_tri, 0) AS n_tri,
+        |  CAST(CASE WHEN deg.deg >= 2
+        |       THEN (2000 * coalesce(tn.n_tri, 0)) // (deg.deg * (deg.deg - 1))
+        |       ELSE 0 END AS BIGINT) AS cc_permille
+        |FROM deg LEFT JOIN tn USING (node) ORDER BY node""".stripMargin,
 
     // dense grid via generate_series per series span; the per-bucket
     // "last" is the same two-key DESC row_number as the OHLC close

@@ -698,6 +698,40 @@ object Analytics {
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us")), gapUs)
 
+  /** Gini concentration coefficient over a positive value column — the
+    * one-number "how concentrated is activity on power users / hot
+    * keys" audit (also the skew signal that decides whether salting
+    * matters on a key). Exact integer end-to-end: with values sorted
+    * ascending x₍₁₎…x₍ₙ₎ (tie column makes the order total),
+    * G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx), floored to micro. The global
+    * rank is the range-partitioned [[Rank.withGlobalRank]] — no
+    * single-task window at any n — and the three sums fold map-side;
+    * rank·value products widen to decimal BEFORE multiplying (i·x
+    * overflows int64 near 10⁹ rows × 10⁹ values), the DuckDB side
+    * matching via HUGEINT. One row: (n, total, gini_micro); NULL on an
+    * all-zero total rather than an engine-divergent division.
+    */
+  def gini(df: DataFrame, valueCol: Column, tieCol: Column): DataFrame = {
+    val ranked = Rank.withGlobalRank(
+      df.select(valueCol.cast("long").as("x"), tieCol.as("tie")),
+      Seq(col("x"), col("tie")), rankCol = "i")
+    ranked.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("total"),
+        sum(col("i").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
+          .as("six"))
+      .select(col("n"), col("total"),
+        when(col("total") > 0L, expr(
+          "(2 * six - (cast(n as decimal(19,0)) + 1) * total) * 1000000" +
+            " div (cast(n as decimal(19,0)) * total)")).as("gini_micro"))
+  }
+
+  /** [[gini]] of events per user — the power-user concentration number
+    * (0 = uniform, →1 = one user is the corpus).
+    */
+  def eventsGini(spark: SparkSession, dir: String): DataFrame =
+    gini(Tables.events(spark, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x")), col("x"), col("user_id"))
+
   /** Ordered-sequence funnel: how many users progress through the event
     * stages in ORDER (a later stage only counts if it happens strictly
     * after some completion of the previous one). The per-row "stage k

@@ -124,7 +124,13 @@ object Graph {
     * `pairs` needs (src, dst); self-loops and duplicate/reversed edges
     * are cleaned here. Returns one row: (n_nodes, n_edges, n_triangles).
     */
-  def triangles(pairs: DataFrame, cache: Boolean = true): DataFrame = {
+  /** Canonical edges, degrees, and the degree-oriented edge-iterator
+    * closure — the shared core of [[triangles]] and [[localClustering]]:
+    * per oriented base edge (u, v), `ws` is N⁺(u) ∩ N⁺(v), so each
+    * triangle appears EXACTLY once, as (u, v, its apex ∈ ws).
+    */
+  private def orientedClosure(pairs: DataFrame, cache: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
     // the canonical edge list feeds FOUR consumers (degree, orientation,
     // wedge closure, edge count) whose projections differ — exchange
     // reuse can't cover them, so an uncached `e` would re-run the
@@ -159,10 +165,17 @@ object Graph {
     // orientation's √m outdeg cap bounds every array, so no row is ever
     // hub-sized.
     val adj = ed.groupBy(col("u")).agg(sort_array(collect_list(col("v"))).as("nbrs"))
-    val triPerEdge = ed
+    val closure = ed
       .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
       .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
-      .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("n_tri"))
+      .select(col("u"), col("v"),
+        array_intersect(col("nu"), col("nv")).as("ws"))
+    (e, deg, closure)
+  }
+
+  def triangles(pairs: DataFrame, cache: Boolean = true): DataFrame = {
+    val (e, deg, closure) = orientedClosure(pairs, cache)
+    val triPerEdge = closure.select(size(col("ws")).cast("long").as("n_tri"))
     // one tagged union + one aggregate for the three counts: a literal-key
     // join of single-row aggs would constant-fold into the BNLJ the
     // cross-join audit forbids; this shape is three map-side-combined
@@ -174,21 +187,56 @@ object Graph {
         sum(col("is_tri")).as("n_triangles"))
   }
 
-  /** [[triangles]] over the part co-purchase graph: an edge links two
-    * parts bought in the same order (lineitem is the hyperedge list;
-    * per-order fan-out is bounded by order width, so the pair expansion
-    * is O(orders · width²), never quadratic in parts). Triangle density
+  /** Per-node LOCAL clustering coefficient (Watts–Strogatz) — how
+    * clique-like each node's neighborhood is: cc(v) = 2·t(v) /
+    * (deg(v)·(deg(v)−1)), exact integer permille. Each triangle from the
+    * [[orientedClosure]] credits its three nodes once: the base
+    * endpoints u, v take the intersection size map-side, each apex w
+    * takes 1 — so the shuffle after the closure is O(triangles + edges)
+    * narrow rows into one node groupBy, and the √m orientation bound
+    * still caps all wedge work. The permille divides in decimal (deg²
+    * overflows int64 at ~3e9-degree hubs); deg < 2 reports 0.
+    */
+  def localClustering(pairs: DataFrame, cache: Boolean = true): DataFrame = {
+    val (_, deg, closure) = orientedClosure(pairs, cache)
+    val endpoints = closure.filter(size(col("ws")) > 0)
+      .select(explode(array(col("u"), col("v"))).as("node"),
+        size(col("ws")).cast("long").as("t"))
+    val apexes = closure.select(explode(col("ws")).as("node"), lit(1L).as("t"))
+    val counts = endpoints.unionByName(apexes)
+      .groupBy(col("node")).agg(sum(col("t")).as("n_tri"))
+    deg.join(counts, Seq("node"), "left").na.fill(0L, Seq("n_tri"))
+      .select(col("node"), col("deg"), col("n_tri"),
+        when(col("deg") >= 2L,
+          expr("cast(n_tri as decimal(19,0)) * 2000" +
+            " div (cast(deg as decimal(19,0)) * cast(deg - 1 as decimal(19,0)))"))
+          .otherwise(0L).as("cc_permille"))
+      .orderBy(col("node"))
+  }
+
+  /** The part co-purchase graph: an edge links two parts bought in the
+    * same order (lineitem is the hyperedge list; per-order fan-out is
+    * bounded by order width, so the pair expansion is
+    * O(orders · width²), never quadratic in parts).
+    */
+  private def coPurchasePairs(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+  }
+
+  /** [[triangles]] over the part co-purchase graph. Triangle density
     * is the standard clustering-coefficient signal on co-occurrence
     * graphs — the "bought-together" structure a pairwise count can't see.
     */
-  def partTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    triangles(
-      li.as("x").join(li.as("y"),
-          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("src"), col("y.pk").as("dst")))
-  }
+  def partTriangles(spark: SparkSession, dir: String): DataFrame =
+    triangles(coPurchasePairs(spark, dir))
+
+  /** [[localClustering]] over the part co-purchase graph. */
+  def partClustering(spark: SparkSession, dir: String): DataFrame =
+    localClustering(coPurchasePairs(spark, dir))
 
   /** k-core decomposition by iterative peeling: drop every node with
     * degree < k, repeat to the (unique, order-independent) fixpoint.

@@ -546,7 +546,13 @@ class RosTcpPublisher(port: Int, topic: String,
                       msgType: String = "std_msgs/String",
                       md5sum: String = "*",
                       callerid: String = "/graft_pub") extends AutoCloseable {
-  private val server = new ServerSocket(port)
+  // SO_REUSEADDR before bind: a restarting publisher re-binds its own
+  // port immediately instead of racing the previous incarnation's
+  // TIME_WAIT connections (a real capture process restarts on a FIXED
+  // advertised port — losing that race was a measured flake under load)
+  private val server = new ServerSocket()
+  server.setReuseAddress(true)
+  server.bind(new java.net.InetSocketAddress(port))
   @volatile private var running = true
   private val conns = new java.util.concurrent.CopyOnWriteArrayList[Socket]()
 

@@ -3231,6 +3231,34 @@ class DataOpsSpec extends AnyFunSuite {
       "doc 3 loses both earlier-seen lines, order preserved")
   }
 
+  test("gini: uniform is 0, one-user concentration hits (n-1)/n, exact micro") {
+    import spark.implicits._
+    val uniform = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)).toDF("u", "x")
+    val g0 = ops.Analytics.gini(uniform, col("x"), col("u")).collect().head
+    assert((g0.getLong(0), g0.getLong(1)) === ((4L, 20L)))
+    assert(g0.getLong(2) === 0L)
+    // all activity on one user: G = (n-1)/n = 0.75 exactly
+    val conc = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 8L)).toDF("u", "x")
+    val g1 = ops.Analytics.gini(conc, col("x"), col("u")).collect().head
+    assert(g1.getLong(2) === 750000L)
+    // an all-zero total reports NULL, not a division artifact
+    val zero = Seq((1L, 0L), (2L, 0L)).toDF("u", "x")
+    assert(ops.Analytics.gini(zero, col("x"), col("u")).collect().head.isNullAt(2))
+  }
+
+  test("local clustering: triangle-plus-pendant coefficients by hand") {
+    import spark.implicits._
+    // triangle 1-2-3 with pendant 4 off node 3
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = ops.Graph.localClustering(edges, cache = false).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      1L -> ((2L, 1L, 1000L)),   // its one possible wedge is closed
+      2L -> ((2L, 1L, 1000L)),
+      3L -> ((3L, 1L, 333L)),    // 2000*1 div (3*2)
+      4L -> ((1L, 0L, 0L))))     // pendant: deg < 2 reports 0
+  }
+
   test("harmonic centrality: path-graph reciprocals by hand") {
     import spark.implicits._
     // path 1–2–3–4, sources {1, 4}: H(2) = 1/1 + 1/2, H(1) = 1/3 (from
