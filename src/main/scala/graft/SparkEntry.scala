@@ -677,6 +677,10 @@ object SparkEntry {
     // range-partitioned global rank (no single-task window)
     "events_gini" -> ((s, dir) => Analytics.eventsGini(s, dir)),
 
+    // the Lorenz table behind the Gini number: decile bins of ascending
+    // per-user activity with exact cumulative permille shares
+    "events_lorenz" -> ((s, dir) => Analytics.eventsLorenz(s, dir)),
+
     "events_funnel" -> ((s, dir) => Analytics.funnelStages(s, dir)),
     // k-stage generalization (28ac''', round 12): the same chained
     // running-min fold over all five event types in signup-first order
@@ -737,6 +741,9 @@ object SparkEntry {
     // sampled harmonic centrality: sum of 1/d over the same six-source
     // sample, exact micro fixed point, forward BFS only
     "graph_harmonic" -> ((s, dir) => Graph.transactionHarmonic(s, dir)),
+    // neighborhood function / hop plot from the same sample: nodes first
+    // reached per hop + cumulative — the effective-diameter diagnostic
+    "graph_hopplot" -> ((s, dir) => Graph.transactionHopPlot(s, dir)),
     "agg_histogram" -> ((s, dir) => Analytics.histogram(s, dir)),
     // equal-frequency bins: percentile edges broadcast, codegen'd assign
     "agg_equidepth" -> ((s, dir) => Analytics.equidepthHistogram(s, dir)),
@@ -2089,6 +2096,20 @@ object SparkEntry {
         |    AS BIGINT) AS gini_micro
         |FROM a""".stripMargin,
 
+    // ntile + a window prefix sum replay the ranged bins and cumulative;
+    // HUGEINT matches the decimal widening
+    "events_lorenz" ->
+      """WITH c AS (SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+        |b AS (SELECT x, ntile(10) OVER (ORDER BY x, user_id) AS bucket FROM c),
+        |a AS (SELECT bucket, count(*) AS n, CAST(sum(x) AS BIGINT) AS bucket_total
+        |      FROM b GROUP BY 1),
+        |t AS (SELECT sum(bucket_total) AS grand FROM a)
+        |SELECT bucket, n, bucket_total,
+        |  CAST(sum(bucket_total) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000 // grand
+        |    AS BIGINT) AS cum_share_permille
+        |FROM a CROSS JOIN t ORDER BY bucket""".stripMargin,
+
     "events_funnel" ->
       """WITH e AS MATERIALIZED (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |s1 AS MATERIALIZED (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
@@ -2454,6 +2475,39 @@ object SparkEntry {
                 |            ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
                 |  CAST(sum(h) AS BIGINT) AS h_micro
                 |FROM acc GROUP BY 1 ORDER BY h_micro DESC, node""".stripMargin
+      sb.toString
+    },
+
+    // the same forward unroll, counting first-reached (src, node) pairs
+    // per hop; the n_new > 0 filter mirrors Spark's non-empty level
+    // prefix (BFS levels past exhaustion are empty on both sides)
+    "graph_hopplot" -> {
+      val maxDepth = 8
+      val sb = new StringBuilder
+      sb ++= """WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+               |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+               |e AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+               |  FROM pairs WHERE src <> dst),
+               |und AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+               |f0 AS (SELECT CAST(src AS BIGINT) AS src, CAST(src AS BIGINT) AS node
+               |  FROM (VALUES (2), (4), (6), (3), (5), (7)) s(src)),
+               |v0 AS (SELECT src, node FROM f0)""".stripMargin
+      for (t <- 1 to maxDepth) {
+        val p = t - 1
+        sb ++= s""",
+                  |f$t AS MATERIALIZED (SELECT DISTINCT f.src, und.b AS node
+                  |  FROM f$p f JOIN und ON f.node = und.a
+                  |  WHERE NOT EXISTS (SELECT 1 FROM v$p v WHERE v.src = f.src AND v.node = und.b)),
+                  |v$t AS MATERIALIZED (SELECT * FROM v$p UNION ALL SELECT src, node FROM f$t)""".stripMargin
+      }
+      sb ++= s""",
+                |acc AS (${(0 to maxDepth)
+                  .map(t => s"SELECT CAST($t AS BIGINT) AS h, count(*) AS n_new FROM f$t")
+                  .mkString(" UNION ALL ")})
+                |SELECT h, CAST(n_new AS BIGINT) AS n_new,
+                |  CAST(sum(n_new) OVER (ORDER BY h
+                |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum
+                |FROM acc WHERE n_new > 0 ORDER BY h""".stripMargin
       sb.toString
     },
 

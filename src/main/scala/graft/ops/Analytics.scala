@@ -732,6 +732,36 @@ object Analytics {
     gini(Tables.events(spark, dir).groupBy(col("user_id"))
       .agg(count(lit(1)).as("x")), col("x"), col("user_id"))
 
+  /** Lorenz concentration curve — the table behind the [[gini]] number
+    * (the "bottom 80% of users hold X‰ of the activity" readout): the
+    * population in `buckets` ascending-value quantile bins (exact SQL
+    * ntile via the range-partitioned [[Rank.rangedNtile]], no
+    * single-task window), each bin's count and total, and the exact
+    * cumulative share of the grand total in permille (cumulative via
+    * [[Rank.withRunningSum]]; the product widens to decimal before the
+    * divide; the grand total is a 1-row broadcast, plan-audit-bounded).
+    */
+  def lorenz(df: DataFrame, valueCol: Column, tieCol: Column,
+             buckets: Int = 10): DataFrame = {
+    val binned = Rank.rangedNtile(
+      df.select(valueCol.cast("long").as("x"), tieCol.as("tie")),
+      buckets, Seq(col("x"), col("tie")), out = "bucket")
+    val agg = binned.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("bucket_total"))
+    val tot = agg.agg(sum(col("bucket_total")).as("grand"))
+    Rank.withRunningSum(agg, Seq(col("bucket")), "bucket_total", "cum_total")
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n"), col("bucket_total"),
+        expr("cast(cum_total as decimal(38,0)) * 1000 div grand")
+          .as("cum_share_permille"))
+      .orderBy(col("bucket"))
+  }
+
+  /** [[lorenz]] deciles of events per user. */
+  def eventsLorenz(spark: SparkSession, dir: String): DataFrame =
+    lorenz(Tables.events(spark, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x")), col("x"), col("user_id"))
+
   /** Ordered-sequence funnel: how many users progress through the event
     * stages in ORDER (a later stage only counts if it happens strictly
     * after some completion of the previous one). The per-row "stage k

@@ -1118,6 +1118,36 @@ object Graph {
       .agg(sum(col("h")).as("h_micro"))
   }
 
+  /** Neighborhood function / hop plot over the source sample (Palmer et
+    * al.'s ANF diagnostic — "how much of the graph is within h hops",
+    * whose knee is the effective diameter; also the number that says
+    * whether a BFS-shaped workload converges in 3 rounds or 30): per hop
+    * h, `n_new` = Σ_s |{v : d_s(v) = h}| and `n_cum` its running total.
+    * Reuses the source-batched BFS ([[bfsLevelsBatched]]): each level
+    * table contributes one map-combined count projection, and the
+    * cumulative rides the range-partitioned running sum — no per-source
+    * rows, no single-task window, nothing beyond the BFS itself.
+    */
+  def hopPlot(pairs: DataFrame, sources: Seq[Long],
+              maxDepth: Int = 8): DataFrame = {
+    require(sources.nonEmpty && maxDepth >= 1)
+    val srcs = sources.distinct.sorted
+    val k = srcs.size
+    val (_, levels) = bfsLevelsBatched(pairs, srcs, maxDepth)
+    val per = levels.zipWithIndex.map { case (lv, h) =>
+      lv.select(lit(h.toLong).as("h"),
+        (0 until k).map(i => when(col("sig")(i) > 0L, 1L).otherwise(0L))
+          .reduce(_ + _).as("m"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("h")).agg(sum(col("m")).as("n_new"))
+    Rank.withRunningSum(per, Seq(col("h")), "n_new", "n_cum")
+      .orderBy(col("h"))
+  }
+
+  /** [[hopPlot]] of the trading graph from the fixed six-entity sample. */
+  def transactionHopPlot(spark: SparkSession, dir: String): DataFrame =
+    hopPlot(tradingPairs(spark, dir), Seq(2L, 4L, 6L, 3L, 5L, 7L))
+
   /** [[harmonic]] of the trading graph from the fixed six-entity sample
     * (the [[transactionBetweenness]] sources), readable labels, most
     * central first.

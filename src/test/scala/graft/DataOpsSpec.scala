@@ -3259,6 +3259,26 @@ class DataOpsSpec extends AnyFunSuite {
       4L -> ((1L, 0L, 0L))))     // pendant: deg < 2 reports 0
   }
 
+  test("lorenz: exact cumulative permille shares of ntile bins by hand") {
+    import spark.implicits._
+    // 4 users in 2 bins: bottom half holds 2/10 of activity, top the rest
+    val c = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 7L)).toDF("u", "x")
+    val out = ops.Analytics.lorenz(c, col("x"), col("u"), buckets = 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(1 -> ((2L, 2L, 200L)), 2 -> ((2L, 8L, 1000L))))
+  }
+
+  test("hop plot: path-graph frontier counts and cumulative by hand") {
+    import spark.implicits._
+    // path 1–2–3–4, sources {1, 4}: every hop 1..3 discovers exactly one
+    // node per source (symmetric), cumulative 2,4,6,8
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = ops.Graph.hopPlot(edges, Seq(1L, 4L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((0L, 2L, 2L), (1L, 2L, 4L), (2L, 2L, 6L), (3L, 2L, 8L)))
+  }
+
   test("harmonic centrality: path-graph reciprocals by hand") {
     import spark.implicits._
     // path 1–2–3–4, sources {1, 4}: H(2) = 1/1 + 1/2, H(1) = 1/3 (from

@@ -53,7 +53,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "quality_ks_matrix" -> 65536,       // |sources|-row grid cross: the common-ECDF-grid build
     "graph_modularity" -> 16,           // single-row edge-count (m) broadcast
     "events_survival_km" -> 16,         // single-row corpus-frontier (max ts) broadcast
-    "quality_calibration" -> 1024)      // decile-lattice theta joins: <= buckets^2 per side
+    "quality_calibration" -> 1024,      // decile-lattice theta joins: <= buckets^2 per side
+    "events_lorenz" -> 16)              // single-row grand-total broadcast
   private val intendedCross: Set[String] = intendedCrossBound.keySet
 
   /** Grouping-key names whose domain is bounded by construction — an
