@@ -217,8 +217,13 @@ object Documents {
         case _ if x == y => x
         case _ if integralRank.contains(x) && integralRank.contains(y) =>
           if (integralRank(x) >= integralRank(y)) x else y
-        case (FloatType | DoubleType, _: NumericType) => DoubleType
-        case (_: NumericType, FloatType | DoubleType) => DoubleType
+        // fractional widening is float/double-vs-(integral|float|double)
+        // ONLY — a DecimalType on either side falls through to the loud
+        // rejection below (decimal→double silently loses precision past
+        // 2^53, the exact corruption the contract above forbids)
+        case (FloatType | DoubleType, FloatType | DoubleType) => DoubleType
+        case (FloatType | DoubleType, yi) if integralRank.contains(yi) => DoubleType
+        case (xi, FloatType | DoubleType) if integralRank.contains(xi) => DoubleType
         case (xs: StructType, ys: StructType) => mergedSchema(xs, ys, p)
         case (ArrayType(xe, xn), ArrayType(ye, yn)) =>
           ArrayType(widened(xe, ye, s"$p[]"), xn || yn)

@@ -164,8 +164,11 @@ object RosMaster {
     */
   private[sources] def slaveServer(host: String, tcpPort: Int)
       : (com.sun.net.httpserver.HttpServer, String) = {
+    // bind to the address being ADVERTISED, not the wildcard — the
+    // unauthenticated requestTopic responder must only listen where the
+    // master will route subscribers
     val srv = com.sun.net.httpserver.HttpServer.create(
-      new java.net.InetSocketAddress(0), 0)
+      new java.net.InetSocketAddress(host, 0), 0)
     srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
       val value = try {
         val doc = parseXml(ex.getRequestBody.readAllBytes())

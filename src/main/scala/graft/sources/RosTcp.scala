@@ -631,13 +631,18 @@ class RosTcpPublisher(port: Int, topic: String,
   override def close(): Unit = {
     running = false
     // withdraw the master advertisement first (best-effort — a dead
-    // master must not block shutdown), then stop the slave responder
-    registration.foreach { case (srv, api, master) =>
-      try RosMaster.unregisterPublisher(master, callerid, topic, api)
-      catch { case _: Exception => () }
-      srv.stop(0)
+    // master must not block shutdown), then stop the slave responder.
+    // The handoff is synchronized against register(): an unsynchronized
+    // read could observe None mid-register and leak the slave HttpServer
+    // plus a stale advertisement routing subscribers to a dead port.
+    synchronized {
+      registration.foreach { case (srv, api, master) =>
+        try RosMaster.unregisterPublisher(master, callerid, topic, api)
+        catch { case _: Exception => () }
+        srv.stop(0)
+      }
+      registration = None
     }
-    registration = None
     try server.close() catch { case _: Exception => () }
     conns.iterator().asScala.foreach(s => try s.close() catch { case _: Exception => () })
     conns.clear()

@@ -371,6 +371,22 @@ class StoreOpsSpec extends AnyFunSuite {
       graft.store.DocumentStore.upsertBatchAligned(store, bad, "doc_id"))
     assert(e.getMessage.contains("count") &&
       e.getMessage.contains("schema drift rejected"))
+    // decimal-vs-fractional drift rejects LOUDLY too (decimal→double
+    // silently loses precision past 2^53) — it never widens to double
+    val dec = Seq((2L, BigDecimal("42.123456")))
+      .toDF("doc_id", "count")
+      .select(col("doc_id"), col("count").cast("decimal(38,6)"))
+    val storeDbl = store.select(col("doc_id"),
+      col("count").cast("double").as("count"), col("meta"))
+    val eDec = intercept[IllegalArgumentException](
+      graft.store.DocumentStore.upsertBatchAligned(storeDbl, dec, "doc_id"))
+    assert(eDec.getMessage.contains("count") &&
+      eDec.getMessage.contains("schema drift rejected"))
+    val eDec2 = intercept[IllegalArgumentException](
+      graft.store.DocumentStore.upsertBatchAligned(dec, storeDbl
+        .select(col("doc_id"), col("count")), "doc_id"))
+    assert(eDec2.getMessage.contains("schema drift rejected"),
+      "decimal store vs double batch rejects in the other direction too")
     // a NULL struct stays NULL after alignment, never a struct of NULLs
     val nulls = Seq((4L, 5L)).toDF("doc_id", "count")
       .withColumn("meta",
