@@ -681,6 +681,13 @@ object SparkEntry {
     // per-user activity with exact cumulative permille shares
     "events_lorenz" -> ((s, dir) => Analytics.eventsLorenz(s, dir)),
 
+    // DAU/MAU per calendar month — exact truncating permille
+    "events_stickiness" -> ((s, dir) => Analytics.dauMauStickiness(s, dir)),
+
+    // per-user Shannon entropy of the event-type mix (micro-rounded
+    // terms over the bounded type domain — order-free integer sums)
+    "events_user_entropy" -> ((s, dir) => Analytics.userTypeEntropy(s, dir)),
+
     "events_funnel" -> ((s, dir) => Analytics.funnelStages(s, dir)),
     // k-stage generalization (28ac''', round 12): the same chained
     // running-min fold over all five event types in signup-first order
@@ -1024,6 +1031,16 @@ object SparkEntry {
 
     // final assignment against the trained centroids, integer objective
     // shipped as decision evidence — one scan, zero shuffles
+    // per-cluster centroid-silhouette over the frozen k-means cells:
+    // exact integer milli² distances, micro scores, k-row output
+    "emb_silhouette" -> ((s, dir) =>
+      Similarity.kmeansSilhouette(Tables.embeddings(s, dir))),
+
+    // per-cell majority-label purity — the supervised twin: did the
+    // geometry find real structure?
+    "emb_cell_purity" -> ((s, dir) =>
+      Similarity.cellPurity(Tables.embeddings(s, dir))),
+
     "emb_kmeans_assign" -> ((s, dir) =>
       Similarity.kmeansAssign(Tables.embeddings(s, dir))),
 
@@ -1081,6 +1098,10 @@ object SparkEntry {
     // hour-of-day seasonal index per series (slot mean − series mean),
     // integer micro end-to-end — 24 rows per series at any corpus size
     "ts_seasonal_profile" -> ((s, dir) => Analytics.eventSeasonalProfile(s, dir)),
+
+    // DTW distance between every pair of 8-slot day-part profiles —
+    // integer min-plus DP per pair, oracled as anti-diagonal CTEs
+    "ts_dtw" -> ((s, dir) => Analytics.dtwProfiles(s, dir, periodBuckets = 8)),
 
     // interval-union coverage per user (overlaps counted once): the
     // linear sweep — running max end, clamped contributions — not the
@@ -1315,6 +1336,17 @@ object SparkEntry {
       TextAnalysis.bm25TopK(Tables.documents(s, dir), col("doc_id"), col("text"),
         Seq("merge", "batch", "stream"), k = 20)),
 
+    // NDCG@10 of the BM25 ranking against tf-graded relevance — the
+    // retrieval-quality readout over the same query terms
+    "text_ndcg" -> ((s, dir) =>
+      TextAnalysis.ndcgAtK(Tables.documents(s, dir), col("doc_id"), col("text"),
+        Seq("merge", "batch", "stream"), k = 10)),
+
+    // Zipf's-law OLS fit over the top-1000 term frequencies (ln rounds
+    // to micro immediately; slope/intercept exact decimal closed form)
+    "text_zipf_fit" -> ((s, dir) =>
+      TextAnalysis.zipfFit(Tables.documents(s, dir), col("text"))),
+
     // the same query served OFF the postings index (the table the ingest
     // loop maintains incrementally): scoring touches only the terms'
     // index rows + one distinct-doc stats pass — no re-tokenization; the
@@ -1481,6 +1513,25 @@ object SparkEntry {
     "quality_classifier_lift" -> ((s, dir) =>
       TextAnalysis.classifierLift(Tables.documents(s, dir),
         col("doc_id"), col("text"), col("lang") === "en")),
+
+    // Brier + ECE over the PAV-calibrated deciles — what the
+    // calibration table's probabilities are worth, in two numbers
+    "quality_brier" -> ((s, dir) =>
+      TextAnalysis.classifierCalibrationError(Tables.documents(s, dir),
+        col("doc_id"), col("text"), col("lang") === "en")),
+
+    // exact tie-aware ROC AUC of the margins (Mann–Whitney, doubled
+    // integers, decimal-widened products)
+    "quality_auc" -> ((s, dir) =>
+      TextAnalysis.classifierAuc(Tables.documents(s, dir),
+        col("doc_id"), col("text"), col("lang") === "en")),
+
+    // PSI of the margin distribution between the even-doc_id reference
+    // stratum and the odd-doc_id current stratum over reference deciles
+    "quality_psi" -> ((s, dir) =>
+      TextAnalysis.classifierPsi(Tables.documents(s, dir),
+        col("doc_id"), col("text"), col("lang") === "en",
+        refPred = col("doc_id") % 2 === 0)),
 
     // DSIR-shape data selection: hashed token buckets, add-one-smoothed
     // target/raw ratio in integer micro-units, additive per-doc score
@@ -1708,6 +1759,77 @@ object SparkEntry {
       |          CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)
       |        ))) AS BIGINT) AS weight_micro
       |      FROM c)""".stripMargin
+
+  /** The DTW min-plus DP unrolled along ANTI-DIAGONALS (cells with
+    * i + j = const depend only on the two previous diagonals — no
+    * within-CTE sequential dependence, so each diagonal is one plain
+    * relational join against the previous two): series day-part
+    * profiles (exact integer micro slot means, `buckets` slots of
+    * `86400/buckets` seconds), all unordered pairs, L1 cell costs, then
+    * 2·buckets − 1 diagonal CTEs. Mirrors Analytics.dtwProfiles cell for
+    * cell; borders fall out of the COALESCE(…, huge) guards exactly like
+    * the Scala row-DP's sentinel borders.
+    */
+  private def dtwOracle(buckets: Int): String = {
+    val inf = "4611686018427387903"
+    val bucketSec = 86400L / buckets
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT event_type AS series,
+              |    CAST(floor(epoch(ts)) AS BIGINT) // $bucketSec AS h,
+              |    CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
+              |b AS MATERIALIZED (SELECT series, h,
+              |    CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT) AS x
+              |  FROM e GROUP BY 1, 2),
+              |sl AS MATERIALIZED (SELECT series, h % $buckets AS slot,
+              |    CAST(CAST(SUM(x) AS BIGINT) // COUNT(*) AS BIGINT) AS v
+              |  FROM b GROUP BY 1, 2),
+              |sv AS MATERIALIZED (SELECT series, v,
+              |    row_number() OVER (PARTITION BY series ORDER BY slot) AS i,
+              |    count(*) OVER (PARTITION BY series) AS n
+              |  FROM sl),
+              |p AS MATERIALIZED (SELECT a.series AS sa, b.series AS sb
+              |  FROM (SELECT DISTINCT series FROM sv) a
+              |  JOIN (SELECT DISTINCT series FROM sv) b ON a.series < b.series),
+              |c AS MATERIALIZED (SELECT p.sa, p.sb, x.i, y.i AS j,
+              |    abs(x.v - y.v) AS cost
+              |  FROM p JOIN sv x ON x.series = p.sa JOIN sv y ON y.series = p.sb),
+              |d1 AS MATERIALIZED (SELECT sa, sb, i, j, cost AS d FROM c
+              |  WHERE i = 1 AND j = 1)""".stripMargin
+    for (k <- 2 to 2 * buckets - 1) {
+      val dg = if (k == 2) s"CAST($inf AS BIGINT)"
+               else s"COALESCE(dg.d, $inf)"
+      val dgJoin = if (k == 2) ""
+        else s"""
+                |  LEFT JOIN d${k - 2} dg ON dg.sa = c.sa AND dg.sb = c.sb
+                |    AND dg.i = c.i - 1 AND dg.j = c.j - 1""".stripMargin
+      sb ++= s""",
+                |d$k AS MATERIALIZED (SELECT c.sa, c.sb, c.i, c.j,
+                |    c.cost + least(COALESCE(up.d, $inf), COALESCE(lf.d, $inf),
+                |      $dg) AS d
+                |  FROM c
+                |  LEFT JOIN d${k - 1} up ON up.sa = c.sa AND up.sb = c.sb
+                |    AND up.i = c.i - 1 AND up.j = c.j
+                |  LEFT JOIN d${k - 1} lf ON lf.sa = c.sa AND lf.sb = c.sb
+                |    AND lf.i = c.i AND lf.j = c.j - 1$dgJoin
+                |  WHERE c.i + c.j = ${k + 1})""".stripMargin
+    }
+    sb ++= (1 to 2 * buckets - 1)
+      .map(k => s"SELECT * FROM d$k")
+      .mkString(",\nalld AS (", " UNION ALL ", ")")
+    sb ++= s"""
+              |SELECT p.sa AS series_a, p.sb AS series_b,
+              |  CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+              |  ad.d AS dtw_micro
+              |FROM p
+              |JOIN (SELECT series, max(n) AS n FROM sv GROUP BY 1) na
+              |  ON na.series = p.sa
+              |JOIN (SELECT series, max(n) AS n FROM sv GROUP BY 1) nb
+              |  ON nb.series = p.sb
+              |JOIN alld ad ON ad.sa = p.sa AND ad.sb = p.sb
+              |  AND ad.i = na.n AND ad.j = nb.n
+              |ORDER BY series_a, series_b""".stripMargin
+    sb.toString
+  }
 
   /** DuckDB-runnable oracle SQL — column names and ordering match the Spark
     * side exactly (SURVEY.md §6).
@@ -2109,6 +2231,39 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000 // grand
         |    AS BIGINT) AS cum_share_permille
         |FROM a CROSS JOIN t ORDER BY bucket""".stripMargin,
+
+    // distinct (user, day, month) first, then exact integer counts; the
+    // permille is a truncating division in both engines
+    "events_stickiness" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+        |    (year(ts) - 2024) * 12 + month(ts) - 1 AS mon FROM events),
+        |dau AS (SELECT mon, day, count(*) AS dau FROM e GROUP BY 1, 2),
+        |mau AS (SELECT mon, count(DISTINCT user_id) AS mau FROM e GROUP BY 1),
+        |d AS (SELECT mon, count(*) AS days, CAST(SUM(dau) AS BIGINT) AS dau_sum
+        |      FROM dau GROUP BY 1)
+        |SELECT CAST(d.mon AS BIGINT) AS month_idx, d.days, m.mau, d.dau_sum,
+        |  (1000 * d.dau_sum) // (d.days * m.mau) AS stickiness_permille
+        |FROM d JOIN mau m USING (mon) ORDER BY month_idx""".stripMargin,
+
+    // the DTW grid DP unrolled along anti-diagonals — integer min-plus
+    // end-to-end, borders via COALESCE sentinels
+    "ts_dtw" -> dtwOracle(8),
+
+    // per-type terms round to micro before the per-user sum (the ln
+    // convention); a single-type user reads exactly 0
+    "events_user_entropy" ->
+      """WITH ct AS (SELECT user_id, event_type, count(*) AS c
+        |            FROM events GROUP BY 1, 2),
+        |n AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n, count(*) AS n_types
+        |      FROM ct GROUP BY 1),
+        |t AS (SELECT ct.user_id, n.n, n.n_types,
+        |    CAST(round(1000000.0 * (CAST(ct.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |      * ln(CAST(n.n AS DOUBLE) / CAST(ct.c AS DOUBLE))) AS BIGINT) AS term
+        |  FROM ct JOIN n USING (user_id))
+        |SELECT user_id, max(n) AS n_events, CAST(max(n_types) AS BIGINT) AS n_types,
+        |  CAST(SUM(term) AS BIGINT) AS entropy_micro
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "events_funnel" ->
       """WITH e AS MATERIALIZED (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
@@ -4352,6 +4507,43 @@ object SparkEntry {
     "emb_kmeans_assign" -> kmeansOracle(
       "SELECT vec_id, cell, obj FROM __AF__ ORDER BY vec_id"),
 
+    // centroid silhouette against the same final centroids: per-term
+    // rounded milli² distances (integer sums), own cell from __AF__'s
+    // assignment, sqrt/round only on the per-vector epilogue
+    "emb_silhouette" -> kmeansOracle(
+      """,cf AS MATERIALIZED (SELECT cell, d, c FROM __CF__),
+        |dist AS MATERIALIZED (SELECT e.vec_id, cf.cell,
+        |    CAST(SUM(CAST(round((1000.0 * e.x - cf.c) * (1000.0 * e.x - cf.c))
+        |      AS BIGINT)) AS BIGINT) AS d2
+        |  FROM e JOIN cf ON e.d = cf.d GROUP BY 1, 2),
+        |own AS (SELECT a.vec_id, a.cell, dd.d2 AS a2 FROM __AF__ a
+        |  JOIN dist dd ON dd.vec_id = a.vec_id AND dd.cell = a.cell),
+        |oth AS (SELECT o.vec_id, MIN(dd.d2) AS b2 FROM own o
+        |  JOIN dist dd ON dd.vec_id = o.vec_id AND dd.cell <> o.cell GROUP BY 1),
+        |s AS (SELECT own.vec_id, own.cell,
+        |    CASE WHEN greatest(own.a2, oth.b2) = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(round(1000000.0 *
+        |           ((sqrt(CAST(oth.b2 AS DOUBLE)) - sqrt(CAST(own.a2 AS DOUBLE)))
+        |             / sqrt(CAST(greatest(own.a2, oth.b2) AS DOUBLE))))
+        |           AS BIGINT) END AS s_micro
+        |  FROM own JOIN oth USING (vec_id))
+        |SELECT cell, count(*) AS n,
+        |  CAST(CAST(SUM(s_micro) AS BIGINT) // count(*) AS BIGINT) AS mean_s_micro
+        |FROM s GROUP BY 1 ORDER BY cell""".stripMargin),
+
+    // same assignment chain joined to the label column; the majority is
+    // the (cnt desc, label asc) argmax — a deterministic integer order
+    "emb_cell_purity" -> kmeansOracle(
+      """,lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |cl AS (SELECT a.cell, lab.label, count(*) AS cnt
+        |  FROM __AF__ a JOIN lab USING (vec_id) GROUP BY 1, 2),
+        |tp AS (SELECT cell, label, cnt,
+        |    row_number() OVER (PARTITION BY cell ORDER BY cnt DESC, label) AS rk,
+        |    CAST(SUM(cnt) OVER (PARTITION BY cell) AS BIGINT) AS n FROM cl)
+        |SELECT cell, n, label AS top_label, cnt AS top_cnt,
+        |  (1000 * cnt) // n AS purity_permille
+        |FROM tp WHERE rk = 1 ORDER BY cell""".stripMargin),
+
     // same CTE chain, projected: per-term rounding before the row sum
     "emb_pca_scores" -> pcaPowerOracle(
       """SELECT e.vec_id,
@@ -5152,6 +5344,72 @@ object SparkEntry {
         |FROM scored GROUP BY doc_id
         |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
 
+    // the same BM25 scoring at k=10, joined against tf-graded gains;
+    // discount weights are data-independent micro integers (verified
+    // bit-identical between JDK and DuckDB), so DCG/IDCG are exact sums
+    "text_ndcg" ->
+      """WITH w AS MATERIALIZED (SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |tokd AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl, unnest(words) AS token FROM w),
+        |tf AS MATERIALIZED (SELECT doc_id, dl, token, count(*) AS tf FROM tokd
+        |       WHERE token IN ('merge', 'batch', 'stream') GROUP BY 1, 2, 3),
+        |dft AS (SELECT token, count(*) AS dft FROM tf GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |                 CAST(SUM(CAST(len(words) AS BIGINT)) AS DOUBLE) / count(*) AS avgdl
+        |          FROM w),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round((stats.n_docs - dft.dft + 0.5) / (dft.dft + 0.5)
+        |      * (tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / stats.avgdl)))
+        |      * 1000000.0) AS BIGINT) AS contrib_micro
+        |  FROM tf JOIN dft USING (token), stats),
+        |top AS (SELECT doc_id, CAST(SUM(contrib_micro) AS BIGINT) AS score_micro
+        |        FROM scored GROUP BY doc_id
+        |        ORDER BY score_micro DESC, doc_id LIMIT 10),
+        |rt AS (SELECT doc_id,
+        |         row_number() OVER (ORDER BY score_micro DESC, doc_id) AS pos
+        |       FROM top),
+        |g AS MATERIALIZED (SELECT doc_id,
+        |       (1 << CAST(least(count(*), 3) AS INT)) - 1 AS gain
+        |     FROM (SELECT doc_id, unnest(words) AS token FROM w) q
+        |     WHERE token IN ('merge', 'batch', 'stream') GROUP BY 1),
+        |dcg AS (SELECT COALESCE(CAST(SUM(COALESCE(g.gain, 0) *
+        |      CAST(round(1000000.0 / (ln(CAST(rt.pos + 1 AS DOUBLE)) / ln(CAST(2 AS DOUBLE)))) AS BIGINT))
+        |    AS BIGINT), 0) AS dcg
+        |  FROM rt LEFT JOIN g USING (doc_id)),
+        |ideal AS (SELECT gain, row_number() OVER (ORDER BY gain DESC, doc_id) AS pos
+        |          FROM g QUALIFY pos <= 10),
+        |idcg AS (SELECT COALESCE(CAST(SUM(gain *
+        |      CAST(round(1000000.0 / (ln(CAST(pos + 1 AS DOUBLE)) / ln(CAST(2 AS DOUBLE)))) AS BIGINT))
+        |    AS BIGINT), 0) AS idcg FROM ideal)
+        |SELECT CAST(10 AS BIGINT) AS k, dcg.dcg AS dcg_micro,
+        |  idcg.idcg AS idcg_micro,
+        |  CASE WHEN idcg.idcg > 0 THEN (1000000 * dcg.dcg) // idcg.idcg END
+        |    AS ndcg_micro
+        |FROM dcg, idcg""".stripMargin,
+
+    // ln rounds to micro per term immediately (measured 1-ulp JDK/libm
+    // divergence — see TextAnalysis header note), then the OLS closed
+    // form folds in HUGEINT exactly like Spark's decimal widening;
+    // // and div both truncate toward zero, so the negative slope is
+    // engine-exact
+    "text_zipf_fit" ->
+      """WITH w AS (SELECT string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS words FROM documents),
+        |c AS (SELECT token, count(*) AS cnt
+        |      FROM (SELECT unnest(words) AS token FROM w) q GROUP BY 1),
+        |t AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank
+        |      FROM c QUALIFY rank <= 1000),
+        |m AS (SELECT CAST(round(1000000.0 * ln(CAST(rank AS DOUBLE))) AS BIGINT) AS x,
+        |        CAST(round(1000000.0 * ln(CAST(cnt AS DOUBLE))) AS BIGINT) AS y
+        |      FROM t),
+        |a AS (SELECT count(*) AS nt, SUM(x) AS sx, SUM(y) AS sy,
+        |        SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM m),
+        |f AS (SELECT nt, nt * sxy - sx * sy AS num,
+        |        nt * sxx - sx * sx AS den, sy, sx FROM a)
+        |SELECT nt AS n_terms,
+        |  CAST((1000000 * num) // den AS BIGINT) AS slope_micro,
+        |  CAST((sy * den - num * sx) // (nt * den) AS BIGINT) AS intercept_micro
+        |FROM f""".stripMargin,
+
     // both shortlists are RANK tables (the ann/bm25 parity contracts);
     // the fused score is pure integer arithmetic — 10⁹ // (60+rank) —
     // so the fusion itself can't diverge by a bit
@@ -5440,6 +5698,91 @@ object SparkEntry {
           |  END AS lift_permille,
           |  margin_lo, margin_hi
           |FROM t ORDER BY decile""".stripMargin),
+
+    // the same PAV max-min lattice as quality_calibration, folded into
+    // the Brier/ECE epilogue — micro² products in HUGEINT, truncating
+    // final divisions
+    "quality_brier" ->
+      perceptronOracle(
+        """,d AS (SELECT doc_id, margin, y,
+          |    ntile(10) OVER (ORDER BY margin, doc_id) AS decile FROM __AF__),
+          |bins AS (SELECT decile, count(*) AS n,
+          |    CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p
+          |  FROM d GROUP BY 1),
+          |cum AS (SELECT decile, n, p,
+          |    CAST(SUM(p) OVER (ORDER BY decile) AS BIGINT) AS cp,
+          |    CAST(SUM(n) OVER (ORDER BY decile) AS BIGINT) AS cn FROM bins),
+          |rng AS (SELECT j.decile AS j, j.n AS n_j, j.p AS p_j, i.decile AS i,
+          |    (1000000 * (k.cp - (i.cp - i.p))) // (k.cn - (i.cn - i.n)) AS v
+          |  FROM cum j JOIN cum i ON i.decile <= j.decile
+          |  JOIN cum k ON k.decile >= j.decile),
+          |mn AS (SELECT j, n_j, p_j, i, MIN(v) AS mn FROM rng GROUP BY 1, 2, 3, 4),
+          |cal AS (SELECT j, n_j AS n, p_j AS n_pos,
+          |    (1000000 * p_j) // n_j AS raw_micro,
+          |    CAST(MAX(mn) AS BIGINT) AS fitted_micro
+          |  FROM mn GROUP BY 1, 2, 3)
+          |SELECT CAST(SUM(n) AS BIGINT) AS n,
+          |  CAST(SUM(n_pos * (1000000 - fitted_micro) * (1000000 - fitted_micro)
+          |      + (n - n_pos) * fitted_micro * fitted_micro)
+          |    // (SUM(n) * 1000000) AS BIGINT) AS brier_micro,
+          |  CAST(SUM(n * abs(raw_micro - fitted_micro)) // SUM(n) AS BIGINT)
+          |    AS ece_micro
+          |FROM cal""".stripMargin),
+
+    // tie-aware Mann–Whitney AUC: per-distinct-margin (pos, neg) counts,
+    // the strictly-below negative prefix, and the doubled-integer
+    // numerator folded in HUGEINT (Spark widens to decimal)
+    "quality_auc" ->
+      perceptronOracle(
+        """,gm AS (SELECT margin, CAST(count(*) AS BIGINT) AS n,
+          |    CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p
+          |  FROM __AF__ GROUP BY 1),
+          |cq AS (SELECT margin, n, p, n - p AS q,
+          |    CAST(COALESCE(SUM(n - p) OVER (ORDER BY margin
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nb
+          |  FROM gm),
+          |t AS (SELECT CAST(SUM(p) AS BIGINT) AS pp, CAST(SUM(q) AS BIGINT) AS nn,
+          |    SUM(2 * nb * p + p * q) AS num2 FROM cq)
+          |SELECT pp + nn AS n, pp AS n_pos, nn AS n_neg,
+          |  CASE WHEN pp > 0 AND nn > 0
+          |    THEN CAST((1000000 * num2) // (2 * pp * nn) AS BIGINT) END
+          |    AS auc_micro
+          |FROM t""".stripMargin),
+
+    // PSI between the even/odd doc_id strata over reference-margin
+    // deciles: ntile boundaries, strictly-below binning, add-one
+    // smoothed shares, ln-bearing terms rounded to micro immediately
+    // (measured 1-ulp JDK/libm divergence — TextAnalysis header note)
+    "quality_psi" ->
+      perceptronOracle(
+        """,sc AS MATERIALIZED (SELECT doc_id, margin, doc_id % 2 = 0 AS is_ref
+          |  FROM __AF__),
+          |r AS (SELECT margin, doc_id,
+          |    ntile(10) OVER (ORDER BY margin, doc_id) AS dec
+          |  FROM sc WHERE is_ref),
+          |bnd AS MATERIALIZED (SELECT dec,
+          |    max(struct_pack(bm := margin, bd := doc_id)) AS hi
+          |  FROM r GROUP BY 1 HAVING dec < 10),
+          |binned AS (SELECT s.doc_id, s.is_ref,
+          |    1 + (SELECT count(*) FROM bnd WHERE (bnd.hi).bm < s.margin
+          |         OR ((bnd.hi).bm = s.margin AND (bnd.hi).bd < s.doc_id)) AS bin
+          |  FROM sc s),
+          |cnt AS (SELECT bin,
+          |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS nref,
+          |    CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS ncur
+          |  FROM binned GROUP BY 1),
+          |tot AS (SELECT CAST(SUM(nref) AS BIGINT) AS tr,
+          |    CAST(SUM(ncur) AS BIGINT) AS tc FROM cnt),
+          |terms AS (SELECT bin, nref, ncur,
+          |    CAST(round(1000000.0 * ((CAST(nref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE)
+          |       - CAST(ncur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))
+          |       * ln((CAST(nref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE))
+          |          / (CAST(ncur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE)))))
+          |      AS BIGINT) AS term_micro
+          |  FROM cnt, tot)
+          |SELECT CAST(bin AS BIGINT) AS bin, nref, ncur, term_micro,
+          |  CAST(SUM(term_micro) OVER () AS BIGINT) AS psi_micro
+          |FROM terms ORDER BY bin""".stripMargin),
 
     // ascending-margin ntiles, then the PAV max-min lattice over the
     // cumulative bin table — micro-floored range averages, integer

@@ -716,13 +716,16 @@ object Analytics {
       df.select(valueCol.cast("long").as("x"), tieCol.as("tie")),
       Seq(col("x"), col("tie")), rankCol = "i")
     ranked.agg(count(lit(1)).as("n"),
-        sum(col("x")).as("total"),
+        // total folds in decimal too: at the same ~1e9×1e9 scales the
+        // rank products guard against, sum(x) itself can pass 9.2e18 and
+        // wrap silently as int64 while DuckDB folds in HUGEINT
+        sum(col("x").cast("decimal(38,0)")).as("dtotal"),
         sum(col("i").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
           .as("six"))
-      .select(col("n"), col("total"),
-        when(col("total") > 0L, expr(
-          "(2 * six - (cast(n as decimal(19,0)) + 1) * total) * 1000000" +
-            " div (cast(n as decimal(19,0)) * total)")).as("gini_micro"))
+      .select(col("n"), col("dtotal").cast("long").as("total"),
+        when(col("dtotal") > 0L, expr(
+          "(2 * six - (cast(n as decimal(19,0)) + 1) * dtotal) * 1000000" +
+            " div (cast(n as decimal(19,0)) * dtotal)")).as("gini_micro"))
   }
 
   /** [[gini]] of events per user — the power-user concentration number
@@ -2858,5 +2861,130 @@ object Analytics {
           / cast(a + b as double) / cast(c + d as double)
           / cast(a + c as double) / cast(b + d as double) * 1000000.0D) as bigint)
         end""").as("chi2_micro"))
+  }
+
+  /** DAU/MAU stickiness per calendar month — the canonical product-
+    * analytics engagement ratio ("what share of the month's actives
+    * show up on an average day"): stickiness = mean(DAU) / MAU, reported
+    * as the exact truncating permille (1000·Σdau) div (days·mau) over
+    * the days that HAVE data. Integer end-to-end.
+    *
+    * Scale shape: one distinct-(user, day) shuffle (map-side combined —
+    * the same reduction every DAU query pays), then per-day and
+    * per-month counts on the collapsed table; output is one row per
+    * month at any corpus size. The month join broadcasts.
+    */
+  def dauMauStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("day"),
+        ((year(col("ts")) - 2024) * 12 + month(col("ts")) - 1).as("mon"))
+      .distinct()
+    val dau = ud.groupBy(col("mon"), col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val mau = ud.select(col("mon"), col("user_id")).distinct()
+      .groupBy(col("mon")).agg(count(lit(1)).as("mau"))
+    dau.groupBy(col("mon"))
+      .agg(count(lit(1)).as("days"), sum(col("dau")).as("dau_sum"))
+      .join(broadcast(mau), "mon")
+      .select(col("mon").cast("long").as("month_idx"), col("days"),
+        col("mau"), col("dau_sum"),
+        expr("(1000 * dau_sum) div (days * mau)").as("stickiness_permille"))
+      .orderBy("month_idx")
+  }
+
+  /** Per-user Shannon entropy of the event-type mix — the behavioral-
+    * diversity number (a 0-entropy user does one thing; a max-entropy
+    * user spreads evenly across the catalog), the per-key twin of the
+    * corpus-level diversity signals in the 42 family. Each type's term
+    * (c/n)·ln(n/c) rounds to micro IMMEDIATELY (the TextAnalysis ln
+    * convention: measured 1-ulp JDK/libm divergence flips a rounded
+    * term only with ~1e-9 odds), so the per-user sum over the BOUNDED
+    * type domain is order-free integer addition; a single-type user
+    * reads exactly 0 (ln 1 = 0).
+    *
+    * Scale shape: one map-side-combined (user, type) groupBy, a per-user
+    * rollup, one equality join keyed on user — O(users·types) rows, no
+    * windows.
+    */
+  def userTypeEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val ct = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val n = ct.groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"))
+    ct.join(n, "user_id")
+      .select(col("user_id"), col("n"), col("n_types"),
+        round(lit(1000000.0) * (col("c").cast("double") / col("n").cast("double"))
+          * log(col("n").cast("double") / col("c").cast("double")))
+          .cast("long").as("term"))
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n_events"), max(col("n_types")).as("n_types"),
+        sum(col("term")).as("entropy_micro"))
+      .orderBy("user_id")
+  }
+
+  /** Dynamic-time-warping distance between every pair of series'
+    * day-part seasonal profiles (Berndt & Clifford 1994 — the classic
+    * "do these two metrics follow the same daily shape, allowing a
+    * phase shift" similarity; Euclidean on raw slots calls a 2-hour-
+    * shifted twin dissimilar, DTW aligns it): the min-cost monotone
+    * alignment path through the |a|×|b| grid with L1 cell cost
+    * |a_i − b_j| on the exact integer micro slot means — the whole DP is
+    * integer min-plus arithmetic, engine-exact.
+    *
+    * Scale shape: profiles are the [[seasonalProfile]] reduction (one
+    * O(events) bucket shuffle ending in ≤`periodBuckets` rows per
+    * series); the pair table is series² rows over a BOUNDED domain
+    * (event types / topics — an intended small nested loop under the
+    * plan-audit bound) and each pair's DP is O(periodBuckets²) inside
+    * one task, embarrassingly parallel across pairs.
+    */
+  def dtwProfiles(spark: SparkSession, dir: String,
+                  periodBuckets: Int = 8): DataFrame = {
+    require(periodBuckets >= 2 && periodBuckets <= 64)
+    val prof = seasonalProfile(Tables.events(spark, dir), periodBuckets,
+        bucketSec = 86400L / periodBuckets)
+      .select(col("series"), col("slot"), col("slot_mean_micro"))
+    val vecs = prof.groupBy(col("series"))
+      .agg(sort_array(collect_list(struct(col("slot"), col("slot_mean_micro"))))
+        .as("sv"))
+      .select(col("series"), expr("transform(sv, t -> t.slot_mean_micro)").as("v"))
+    dtwPairs(vecs)
+  }
+
+  /** The pair fan-out + per-pair DP of [[dtwProfiles]], factored over an
+    * explicit (series, v: array<long>) table so hand-built fixtures pin
+    * the DP directly.
+    */
+  def dtwPairs(vecs: DataFrame): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs.as("a").join(vecs.as("b"), col("a.series") < col("b.series"))
+      .select(col("a.series").as("sa"), col("a.v").as("va"),
+        col("b.series").as("sb"), col("b.v").as("vb"))
+      .as[(String, Seq[Long], String, Seq[Long])]
+      .map { case (sa, va, sb, vb) =>
+        val n = va.length; val m = vb.length
+        val inf = Long.MaxValue / 4
+        val prev = Array.fill(m + 1)(inf); prev(0) = 0L
+        val cur = new Array[Long](m + 1)
+        var i = 1
+        while (i <= n) {
+          java.util.Arrays.fill(cur, inf)
+          var j = 1
+          while (j <= m) {
+            val cost = math.abs(va(i - 1) - vb(j - 1))
+            cur(j) = cost + math.min(prev(j), math.min(prev(j - 1), cur(j - 1)))
+            j += 1
+          }
+          System.arraycopy(cur, 0, prev, 0, m + 1)
+          i += 1
+        }
+        (sa, sb, n.toLong, m.toLong, prev(m))
+      }
+      .toDF("series_a", "series_b", "n_a", "n_b", "dtw_micro")
+      .orderBy("series_a", "series_b")
   }
 }

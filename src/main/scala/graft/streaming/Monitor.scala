@@ -1023,6 +1023,51 @@ object Monitor {
       .select(col("line"), col("first.first_doc").as("first_doc"),
         col("first.first_idx").as("first_idx"))
 
+  /** Maintained classifier-score histogram — the quality filter's
+    * monitoring loop at the ingest door: production trains once
+    * (`TextAnalysis.classifierTrain`) and then watches every
+    * increment's score distribution against those FROZEN weights. Each
+    * micro-batch logs one (margin, p, q) additive partial per distinct
+    * margin it saw (pos/neg label counts); sums are associative and
+    * replays rewrite their own `__batch_id` partition, so merge-on-read
+    * is exact and `compactLog(fold)` collapses partials (48ac). The
+    * merged histogram serves the SAME epilogues the batch path states —
+    * [[scoreHistAuc]] is bit-equal to `TextAnalysis.classifierAuc` when
+    * the frozen weights are the full-corpus trained ones, and the
+    * histogram is exactly what a PSI reference window reads.
+    */
+  def maintainScoreHist(stream: DataFrame, idCol: Column, textCol: Column,
+                        positive: Column, weights: Array[Long],
+                        path: String, checkpoint: String,
+                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        graft.ops.TextAnalysis
+          .scoreWithWeights(df.toDF(), idCol, textCol, positive, weights)
+          .groupBy(col("margin"))
+          .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("p"),
+            sum(when(col("y") === 1L, 0L).otherwise(1L)).as("q"))
+          .writeLogBatch(batchId, path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Merge-on-read of the [[maintainScoreHist]] log: one (margin, p, q)
+    * row per distinct margin ever streamed.
+    */
+  def readScoreHist(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame =
+    readLog(spark, path).groupBy(col("margin"))
+      .agg(sum(col("p")).as("p"), sum(col("q")).as("q"))
+
+  /** Exact tie-aware AUC served off the maintained histogram — the same
+    * epilogue expression tree as the batch `classifierAuc`.
+    */
+  def scoreHistAuc(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    graft.ops.TextAnalysis.aucFromMarginCounts(readScoreHist(spark, path))
+
   /** Start/stop-gated capture INTO a maintained log — the reference's
     * `action_server_video` mode end-to-end (scenario.py:101-137: gate the
     * data stream by the control stream's start/stop messages, save every

@@ -3341,4 +3341,310 @@ class DataOpsSpec extends AnyFunSuite {
     val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
     assert(ops.Graph.assortativity(cycle).collect()(0).isNullAt(4))
   }
+  test("classifier AUC matches an exact in-memory Mann-Whitney replay") {
+    val scored = TextAnalysis.classifierScore(docs, col("doc_id"), col("text"),
+      col("lang") === "en").collect()
+      .map(r => (r.getAs[Long]("margin"), r.getAs[Long]("y")))
+    val pos = scored.filter(_._2 == 1L).map(_._1).sorted
+    val neg = scored.filter(_._2 != 1L).map(_._1).sorted
+    // doubled numerator: 2*(strictly-below) + ties, folded in BigInt
+    var num2 = BigInt(0)
+    pos.foreach { s =>
+      val lo = neg.count(_ < s); val eq = neg.count(_ == s)
+      num2 += 2L * lo + eq
+    }
+    val expect = (BigInt(1000000) * num2) / (BigInt(2) * pos.length * neg.length)
+    val out = TextAnalysis.classifierAuc(docs, col("doc_id"), col("text"),
+      col("lang") === "en").collect()(0)
+    assert(out.getAs[Long]("n") === scored.length.toLong)
+    assert(out.getAs[Long]("n_pos") === pos.length.toLong)
+    assert(out.getAs[Long]("n_neg") === neg.length.toLong)
+    assert(BigInt(out.getAs[Long]("auc_micro")) === expect)
+    // a perfect separator on a planted fixture reads exactly 1e6
+    import spark.implicits._
+    val perfect = Seq((1L, "aaaa eeee iiii oooo uuuu", "en"),
+      (2L, "zzzz qqqq wwww xxxx kkkk", "fr"),
+      (3L, "aeio ueai oeiu aiea ueoi", "en"),
+      (4L, "zzqq wwxx kkzz qqww xxkk", "fr")).toDF("doc_id", "text", "lang")
+    val p = TextAnalysis.classifierAuc(perfect, col("doc_id"), col("text"),
+      col("lang") === "en").collect()(0)
+    assert(p.getAs[Long]("auc_micro") === 1000000L)
+  }
+
+  test("classifier PSI matches an exact in-memory binned replay") {
+    val scored = TextAnalysis.classifierScore(docs, col("doc_id"), col("text"),
+      col("lang") === "en").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("margin")))
+    val ref = scored.filter(_._1 % 2 == 0).map { case (d, m) => (m, d) }.sorted
+    val buckets = 10
+    // SQL-ntile boundaries over the reference (margin, doc_id) order
+    val n = ref.length; val base = n / buckets; val rem = n % buckets
+    val sizes = (1 to buckets).map(b => if (b <= rem) base + 1 else base)
+    val bounds = sizes.init.scanLeft(0)(_ + _).tail.map(i => ref(i - 1))
+    def bin(m: Long, d: Long): Int =
+      1 + bounds.count(b => b._1 < m || (b._1 == m && b._2 < d))
+    val cnt = Array.fill(buckets)((0L, 0L))
+    scored.foreach { case (d, m) =>
+      val k = bin(m, d) - 1
+      cnt(k) = if (d % 2 == 0) (cnt(k)._1 + 1, cnt(k)._2)
+               else (cnt(k)._1, cnt(k)._2 + 1)
+    }
+    val tr = cnt.map(_._1).sum; val tc = cnt.map(_._2).sum
+    val terms = cnt.map { case (nr, nc) =>
+      val p = (nr + 1).toDouble / (tr + buckets).toDouble
+      val q = (nc + 1).toDouble / (tc + buckets).toDouble
+      math.round(1000000.0 * ((p - q) * math.log(p / q)))
+    }
+    val out = TextAnalysis.classifierPsi(docs, col("doc_id"), col("text"),
+      col("lang") === "en", refPred = col("doc_id") % 2 === 0).collect()
+    assert(out.length === buckets)
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("bin") === (i + 1).toLong)
+      assert(r.getAs[Long]("nref") === cnt(i)._1)
+      assert(r.getAs[Long]("ncur") === cnt(i)._2)
+      assert(r.getAs[Long]("term_micro") === terms(i))
+      assert(r.getAs[Long]("psi_micro") === terms.sum)
+    }
+    // every term is non-negative ((p-q) and ln(p/q) share sign)
+    out.foreach(r => assert(r.getAs[Long]("term_micro") >= 0L))
+  }
+
+  test("zipf fit matches an exact in-memory OLS replay and slopes down") {
+    val counts = docs.select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getAs[String]("t"), r.getAs[Long]("c")))
+      .sortBy { case (t, c) => (-c, t) }.take(1000)
+    val xy = counts.zipWithIndex.map { case ((_, c), i) =>
+      (math.round(1000000.0 * math.log((i + 1).toDouble)),
+        math.round(1000000.0 * math.log(c.toDouble)))
+    }
+    val nt = BigInt(xy.length)
+    val sx = xy.map(t => BigInt(t._1)).sum; val sy = xy.map(t => BigInt(t._2)).sum
+    val sxy = xy.map(t => BigInt(t._1) * t._2).sum
+    val sxx = xy.map(t => BigInt(t._1) * t._1).sum
+    val num = nt * sxy - sx * sy; val den = nt * sxx - sx * sx
+    def truncDiv(a: BigInt, b: BigInt): BigInt = a / b // BigInt / truncates
+    val out = TextAnalysis.zipfFit(docs, col("text")).collect()(0)
+    assert(out.getAs[Long]("n_terms") === xy.length.toLong)
+    assert(BigInt(out.getAs[Long]("slope_micro"))
+      === truncDiv(BigInt(1000000) * num, den))
+    assert(BigInt(out.getAs[Long]("intercept_micro"))
+      === truncDiv(sy * den - num * sx, nt * den))
+    // a natural-ish corpus slopes DOWN
+    assert(out.getAs[Long]("slope_micro") < 0L)
+  }
+
+  test("ndcg matches an exact in-memory replay and is bounded") {
+    val terms = Seq("merge", "batch", "stream")
+    val k = 10
+    def w(pos: Int): Long =
+      math.round(1000000.0 / (math.log((pos + 1).toDouble) / math.log(2.0)))
+    val gains = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .filter(col("t").isin(terms.map(lit): _*))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("tf")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((1L << math.min(r.getAs[Long]("tf"), 3L).toInt) - 1L)).toMap
+    val top = TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"), terms, k)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro")))
+      .sortBy { case (d, s) => (-s, d) }
+    val dcg = top.zipWithIndex.map { case ((d, _), i) =>
+      gains.getOrElse(d, 0L) * w(i + 1) }.sum
+    val idcg = gains.toSeq.sortBy { case (d, g) => (-g, d) }.take(k)
+      .zipWithIndex.map { case ((_, g), i) => g * w(i + 1) }.sum
+    val out = TextAnalysis.ndcgAtK(docs, col("doc_id"), col("text"), terms, k)
+      .collect()(0)
+    assert(out.getAs[Long]("k") === k.toLong)
+    assert(out.getAs[Long]("dcg_micro") === dcg)
+    assert(out.getAs[Long]("idcg_micro") === idcg)
+    assert(out.getAs[Long]("ndcg_micro") === 1000000L * dcg / idcg)
+    assert(out.getAs[Long]("ndcg_micro") >= 0L &&
+      out.getAs[Long]("ndcg_micro") <= 1000000L)
+  }
+
+  test("silhouette matches an exact in-memory centroid replay") {
+    val (cents, _) = Similarity.kmeansFixedPointCentroids(emb, 8, 3, 64)
+    def rha(x: Double): Long =
+      if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    val rows = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val byCell = scala.collection.mutable.Map.empty[Long, (Long, BigInt)]
+    rows.foreach { case (_, v) =>
+      val d2 = cents.map { c =>
+        var s = 0L; var j = 0
+        while (j < 64) { val t = 1000.0 * v(j) - c(j); s += rha(t * t); j += 1 }
+        s
+      }
+      val obj = cents.zipWithIndex.map { case (c, ci) =>
+        var dot = 0L; var nsq = 0L; var j = 0
+        while (j < 64) { dot += rha(v(j) * c(j)); nsq += c(j) * c(j); j += 1 }
+        (nsq - 2000L * dot, ci)
+      }
+      val best = obj.minBy { case (o, ci) => (o, ci) }._2
+      val a2 = d2(best)
+      val b2 = d2.zipWithIndex.filter(_._2 != best).map(_._1).min
+      val s = if (math.max(a2, b2) == 0L) 0L
+        else rha(1000000.0 * ((math.sqrt(b2.toDouble) - math.sqrt(a2.toDouble)) /
+          math.sqrt(math.max(a2, b2).toDouble)))
+      val (n0, s0) = byCell.getOrElse(best.toLong, (0L, BigInt(0)))
+      byCell(best.toLong) = (n0 + 1, s0 + s)
+    }
+    val out = Similarity.kmeansSilhouette(emb).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val cell = r.getAs[Long]("cell")
+      val (n0, s0) = byCell(cell)
+      assert(r.getAs[Long]("n") === n0)
+      // BigInt / truncates toward zero, matching Spark div and DuckDB //
+      val mean = BigInt(r.getAs[Long]("mean_s_micro"))
+      assert(mean === s0 / n0, s"cell $cell")
+      assert(mean >= -1000000L && mean <= 1000000L)
+    }
+    assert(out.map(_.getAs[Long]("n")).sum === rows.length.toLong)
+  }
+
+  test("stickiness matches an exact in-memory replay and is a valid ratio") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d")).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1).toLocalDate))
+    val ud = ev.map { case (u, d) =>
+      (u, d.toEpochDay - java.time.LocalDate.parse("2024-01-01").toEpochDay,
+        (d.getYear - 2024) * 12 + d.getMonthValue - 1) }.distinct
+    val byMon = ud.groupBy(_._3)
+    val expect = byMon.map { case (mon, rows) =>
+      val days = rows.map(_._2).distinct.size.toLong
+      val mau = rows.map(_._1).distinct.size.toLong
+      val dauSum = rows.size.toLong
+      mon.toLong -> (days, mau, dauSum, 1000L * dauSum / (days * mau))
+    }
+    val out = ops.Analytics.dauMauStickiness(spark, sf).collect()
+    assert(out.length === expect.size)
+    out.foreach { r =>
+      val (days, mau, dauSum, stick) = expect(r.getAs[Long]("month_idx"))
+      assert(r.getAs[Long]("days") === days)
+      assert(r.getAs[Long]("mau") === mau)
+      assert(r.getAs[Long]("dau_sum") === dauSum)
+      assert(r.getAs[Long]("stickiness_permille") === stick)
+      // DAU <= MAU per day, so the ratio can't exceed 1000 permille
+      assert(stick >= 0L && stick <= 1000L)
+    }
+  }
+
+  test("dtw pairs: hand-pinned DP and the identical-profile zero") {
+    import spark.implicits._
+    val vecs = Seq(("a", Seq(0L, 3L)), ("b", Seq(3L, 0L)),
+      ("c", Seq(0L, 0L, 3L)), ("d", Seq(0L, 3L))).toDF("series", "v")
+    val out = ops.Analytics.dtwPairs(vecs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("dtw_micro"))
+      .toMap
+    // a=[0,3] vs b=[3,0]: grid costs [[3,0],[0,3]] -> D=3, then 3, 3, 6
+    assert(out(("a", "b")) === 6L)
+    // a=[0,3] vs c=[0,0,3]: the repeat aligns for free
+    assert(out(("a", "c")) === 0L)
+    // identical profiles are distance 0 regardless of length
+    assert(out(("a", "d")) === 0L)
+    // symmetry of the pairing: only series_a < series_b rows exist
+    assert(out.keySet.forall { case (x, y) => x < y })
+    assert(out.size === 6)
+  }
+
+  test("dtw profiles match an exact in-memory DP replay on real data") {
+    val prof = ops.Analytics.seasonalProfile(Tables.events(spark, sf), 8,
+        bucketSec = 86400L / 8)
+      .select(col("series"), col("slot"), col("slot_mean_micro")).collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rs) =>
+        s -> rs.sortBy(_.getAs[Long]("slot")).map(_.getAs[Long]("slot_mean_micro")).toSeq }
+    def dtw(a: Seq[Long], b: Seq[Long]): Long = {
+      val inf = Long.MaxValue / 4
+      val prev = Array.fill(b.length + 1)(inf); prev(0) = 0L
+      val cur = new Array[Long](b.length + 1)
+      for (i <- 1 to a.length) {
+        java.util.Arrays.fill(cur, inf)
+        for (j <- 1 to b.length)
+          cur(j) = math.abs(a(i - 1) - b(j - 1)) +
+            math.min(prev(j), math.min(prev(j - 1), cur(j - 1)))
+        System.arraycopy(cur, 0, prev, 0, b.length + 1)
+      }
+      prev(b.length)
+    }
+    val out = ops.Analytics.dtwProfiles(spark, sf, 8).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      assert(r.getAs[Long]("n_a") === prof(sa).length.toLong)
+      assert(r.getAs[Long]("n_b") === prof(sb).length.toLong)
+      assert(r.getAs[Long]("dtw_micro") === dtw(prof(sa), prof(sb)))
+    }
+  }
+  test("brier + ece match an exact in-memory replay of the calibration table") {
+    val cal = TextAnalysis.classifierCalibration(docs, col("doc_id"),
+      col("text"), col("lang") === "en").collect()
+      .map(r => (r.getAs[Long]("n"), r.getAs[Long]("n_pos"),
+        r.getAs[Long]("raw_micro"), r.getAs[Long]("fitted_micro")))
+    val nt = cal.map(_._1).sum
+    val ss = cal.map { case (n, p, _, f) =>
+      BigInt(p) * (1000000L - f) * (1000000L - f) + BigInt(n - p) * f * f }.sum
+    val es = cal.map { case (n, _, raw, f) => BigInt(n) * (raw - f).abs }.sum
+    val out = TextAnalysis.classifierCalibrationError(docs, col("doc_id"),
+      col("text"), col("lang") === "en").collect()(0)
+    assert(out.getAs[Long]("n") === nt)
+    assert(BigInt(out.getAs[Long]("brier_micro")) === ss / (BigInt(nt) * 1000000L))
+    assert(BigInt(out.getAs[Long]("ece_micro")) === es / nt)
+    // Brier of a probability in [0,1] is bounded by 1e6 micro
+    assert(out.getAs[Long]("brier_micro") >= 0L &&
+      out.getAs[Long]("brier_micro") <= 1000000L)
+  }
+
+  test("cell purity matches an exact in-memory replay and covers every vector") {
+    val (cents, _) = Similarity.kmeansFixedPointCentroids(emb, 8, 3, 64)
+    val assigned = Similarity.assignToCentroids(emb, cents, 64)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels = emb.select(col("vec_id"), col("label").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCell = assigned.toSeq.groupBy(_._2).map { case (cell, vs) =>
+      val cnt = vs.map(v => labels(v._1)).groupBy(identity)
+        .map { case (l, xs) => (l, xs.size.toLong) }.toSeq
+      val (topLabel, topCnt) = cnt.minBy { case (l, c) => (-c, l) }
+      cell -> (vs.size.toLong, topLabel, topCnt)
+    }
+    val out = Similarity.cellPurity(emb).collect()
+    assert(out.map(_.getAs[Long]("n")).sum === labels.size.toLong)
+    out.foreach { r =>
+      val (n, tl, tc) = byCell(r.getAs[Long]("cell"))
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Long]("top_label") === tl)
+      assert(r.getAs[Long]("top_cnt") === tc)
+      assert(r.getAs[Long]("purity_permille") === 1000L * tc / n)
+    }
+  }
+
+  test("user type entropy matches an exact in-memory replay; single-type is 0") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = ev.groupBy(_._1).map { case (u, rows) =>
+      val cnt = rows.groupBy(_._2).map { case (_, xs) => xs.size.toLong }.toSeq
+      val n = cnt.sum
+      val h = cnt.map(c => math.round(1000000.0 * (c.toDouble / n.toDouble)
+        * math.log(n.toDouble / c.toDouble))).sum
+      u -> (n, cnt.size.toLong, h)
+    }
+    val out = ops.Analytics.userTypeEntropy(spark, sf).collect()
+    assert(out.length === expect.size)
+    out.foreach { r =>
+      val (n, k, h) = expect(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("n_events") === n)
+      assert(r.getAs[Long]("n_types") === k)
+      assert(r.getAs[Long]("entropy_micro") === h, s"user ${r.getLong(0)}")
+      if (k == 1) assert(r.getAs[Long]("entropy_micro") === 0L)
+    }
+    // entropy is bounded by ln(n_types), in micro
+    out.foreach { r =>
+      val cap = math.round(1000000.0 * math.log(r.getAs[Long]("n_types").toDouble))
+      assert(r.getAs[Long]("entropy_micro") <= cap + r.getAs[Long]("n_types"))
+    }
+  }
 }

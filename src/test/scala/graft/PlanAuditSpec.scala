@@ -54,7 +54,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "graph_modularity" -> 16,           // single-row edge-count (m) broadcast
     "events_survival_km" -> 16,         // single-row corpus-frontier (max ts) broadcast
     "quality_calibration" -> 1024,      // decile-lattice theta joins: <= buckets^2 per side
-    "events_lorenz" -> 16)              // single-row grand-total broadcast
+    "quality_brier" -> 1024,            // embeds the same decile lattice
+    "events_lorenz" -> 16,              // single-row grand-total broadcast
+    "quality_psi" -> 16,                // single-row boundary-array broadcast
+    "text_ndcg" -> 32,                  // bm25 stats broadcast + the 1×1 dcg×idcg cross
+    "ts_dtw" -> 64)                     // |series|-row profile-pair cross: bounded domain
   private val intendedCross: Set[String] = intendedCrossBound.keySet
 
   /** Grouping-key names whose domain is bounded by construction — an
@@ -87,6 +91,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "n_tok" -> 4096,   // curriculum length histogram: ≤ distinct doc lengths
     "tok_len" -> 4096, // length-bucket variants
     "bucket" -> 128,   // fixed bucket counts
+    "bin" -> 128,      // PSI bins: ≤ buckets rows (quantile bin index)
     "phase" -> 16,     // curriculum phases: ≤ nPhases
     "source" -> 64,    // corpus sources: enumerated small dimension
     "grid_v" -> 65536, // ks ECDF grid: ≤ distinct values of ONE series pair

@@ -13,6 +13,8 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, 
 
 case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
+case class DocL(doc_id: Long, text: String, lang: String)
+
 case class EmbDoc(vec_id: Long, ts: Timestamp, embedding: Array[Float])
 
 case class Asset(asset_id: Long, kind: String, payload: Array[Byte])
@@ -2571,5 +2573,46 @@ class StreamingSpec extends AnyFunSuite {
     val dup = spark.table("lin_stream").groupBy("series", "h")
       .count().filter(col("count") > 1).count()
     assert(dup === 0L)
+  }
+  test("maintained score histogram serves the exact batch AUC") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_scorehist").toString
+    val ckpt = Files.createTempDirectory("graft_scorehist_ck").toString
+    val path = s"$dir/log"
+    val sf = TestSession.sf
+    val docsDf = Tables.documents(spark, sf)
+    // production shape: train ONCE on the corpus, freeze the weights,
+    // then monitor every increment's score distribution against them
+    val (traj, _) = graft.ops.TextAnalysis.classifierTrajectory(
+      docsDf, col("doc_id"), col("text"), col("lang") === "en", 3)
+    val w = traj(3)
+    val all = docsDf.select(col("doc_id"), col("text"), col("lang"))
+      .as[DocL].collect().toSeq
+    val input = MemoryStream[DocL]
+    all.grouped(math.max(1, all.size / 3)).foreach { chunk =>
+      input.addData(chunk: _*)
+      val q = Monitor.maintainScoreHist(input.toDF(), col("doc_id"),
+        col("text"), col("lang") === "en", w, path, s"$ckpt/c1")
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    // merged histogram == the batch margin histogram, bit for bit
+    val hist = Monitor.readScoreHist(spark, path).orderBy("margin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val direct = graft.ops.TextAnalysis.classifierScore(docsDf,
+        col("doc_id"), col("text"), col("lang") === "en").groupBy(col("margin"))
+      .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("p"),
+        sum(when(col("y") === 1L, 0L).otherwise(1L)).as("q"))
+      .orderBy("margin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(hist === direct && hist.nonEmpty)
+    // the served AUC equals the batch classifierAuc row exactly
+    val served = Monitor.scoreHistAuc(spark, path).collect()(0)
+    val batch = graft.ops.TextAnalysis.classifierAuc(docsDf,
+      col("doc_id"), col("text"), col("lang") === "en").collect()(0)
+    assert(served.getLong(0) === batch.getLong(0))
+    assert(served.getLong(1) === batch.getLong(1))
+    assert(served.getLong(2) === batch.getLong(2))
+    assert(served.getAs[Long]("auc_micro") === batch.getAs[Long]("auc_micro"))
   }
 }
