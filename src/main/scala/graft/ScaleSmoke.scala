@@ -1278,6 +1278,41 @@ object ScaleSmoke {
       require(n == 3 * nDocs, s"3 keywords per doc expected: $n != ${3 * nDocs}")
     }
 
+    // round 14: the AUC/ROC running-sum epilogue at 10M DISTINCT margins
+    // — the range-partitioned prefix sum is the only corpus-shaped stage,
+    // so wall must stay linear (a single-task window here would hang)
+    time("auc_10m_margins") {
+      val hist = spark.range(10000000L).select(
+        col("id").as("margin"),
+        (pmod(hash(col("id")), lit(3)) + 1).as("p"),
+        (pmod(hash(col("id"), lit(1)), lit(3)) + 1).as("q"))
+      val r = graft.ops.TextAnalysis.aucFromMarginCounts(hist).collect()(0)
+      require(r.getAs[Long]("auc_micro") > 0L, "degenerate AUC")
+    }
+
+    // round 14: DTW pair fan-out at 256 series × 64 slots — 32640 pairs
+    // × 4096-cell DPs, embarrassingly parallel; wall must stay flat
+    time("dtw_256_series") {
+      import spark.implicits._
+      val vecs = spark.range(256).select(
+          concat(lit("s"), col("id")).as("series"),
+          expr("transform(sequence(0, 63), j -> hash(id, j) % 1000000)")
+            .as("v"))
+      val n = graft.ops.Analytics.dtwPairs(vecs).count()
+      require(n == 256L * 255 / 2, s"pair count: $n")
+    }
+
+    // round 14: cell-restricted 1-NN label accuracy on the synthetic
+    // embedding corpus — pair work must stay Σ|cell|², not n²
+    time("knn_loo_cells") {
+      val lab = embs.withColumn("label",
+        pmod(hash(col("vec_id")), lit(10)).cast("int"))
+      // kCells scales with the corpus (the IVF contract): 32 cells keep
+      // per-cell pair work ~(n/32)² here, as a real deployment would
+      val out = graft.ops.Similarity.knnLooCellAccuracy(lab, kCells = 32).collect()
+      require(out.map(_.getAs[Long]("n")).sum > 0L, "no scored vectors")
+    }
+
     spark.stop()
   }
 }

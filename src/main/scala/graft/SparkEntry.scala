@@ -1041,6 +1041,11 @@ object SparkEntry {
     "emb_cell_purity" -> ((s, dir) =>
       Similarity.cellPurity(Tables.embeddings(s, dir))),
 
+    // leave-one-out 1-NN label accuracy, searched the IVF way (within
+    // the frozen cells — the semanticDedup pair-bounding contract)
+    "emb_knn_loo" -> ((s, dir) =>
+      Similarity.knnLooCellAccuracy(Tables.embeddings(s, dir))),
+
     "emb_kmeans_assign" -> ((s, dir) =>
       Similarity.kmeansAssign(Tables.embeddings(s, dir))),
 
@@ -1518,6 +1523,12 @@ object SparkEntry {
     // calibration table's probabilities are worth, in two numbers
     "quality_brier" -> ((s, dir) =>
       TextAnalysis.classifierCalibrationError(Tables.documents(s, dir),
+        col("doc_id"), col("text"), col("lang") === "en")),
+
+    // the full ROC table behind the AUC number: exact cumulative TP/FP
+    // per distinct margin over the descending running sum
+    "quality_roc" -> ((s, dir) =>
+      TextAnalysis.classifierRoc(Tables.documents(s, dir),
         col("doc_id"), col("text"), col("lang") === "en")),
 
     // exact tie-aware ROC AUC of the margins (Mann–Whitney, doubled
@@ -4531,6 +4542,34 @@ object SparkEntry {
         |  CAST(CAST(SUM(s_micro) AS BIGINT) // count(*) AS BIGINT) AS mean_s_micro
         |FROM s GROUP BY 1 ORDER BY cell""".stripMargin),
 
+    // same assignment chain: within-cell pairs, 6-decimal-rounded cosine
+    // (the dedup_embedding_cosine convention), (cos desc, nn_id) argmax
+    "emb_knn_loo" -> kmeansOracle(
+      """,lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
+        |pr AS (SELECT a.vec_id, a.cell FROM __AF__ a),
+        |dt AS (SELECT q.vec_id, c.vec_id AS nn_id, sum(eq.x * ec.x) AS dot
+        |   FROM pr q JOIN pr c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+        |   JOIN e eq ON eq.vec_id = q.vec_id
+        |   JOIN e ec ON ec.vec_id = c.vec_id AND ec.d = eq.d
+        |   GROUP BY 1, 2),
+        |sc AS (SELECT dt.vec_id, dt.nn_id,
+        |    round(dt.dot / (nq.nrm * nc.nrm), 6) AS cos
+        |  FROM dt JOIN nrm nq ON nq.vec_id = dt.vec_id
+        |  JOIN nrm nc ON nc.vec_id = dt.nn_id),
+        |nn AS (SELECT vec_id, nn_id FROM (
+        |    SELECT vec_id, nn_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) AS rk
+        |    FROM sc) z WHERE rk = 1)
+        |SELECT ql.label, count(*) AS n,
+        |  CAST(SUM(CASE WHEN ql.label = cl.label THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS correct,
+        |  (1000 * CAST(SUM(CASE WHEN ql.label = cl.label THEN 1 ELSE 0 END)
+        |    AS BIGINT)) // count(*) AS accuracy_permille
+        |FROM nn JOIN lab ql ON ql.vec_id = nn.vec_id
+        |JOIN lab cl ON cl.vec_id = nn.nn_id
+        |GROUP BY 1 ORDER BY ql.label""".stripMargin),
+
     // same assignment chain joined to the label column; the majority is
     // the (cnt desc, label asc) argmax — a deterministic integer order
     "emb_cell_purity" -> kmeansOracle(
@@ -5728,6 +5767,27 @@ object SparkEntry {
           |  CAST(SUM(n * abs(raw_micro - fitted_micro)) // SUM(n) AS BIGINT)
           |    AS ece_micro
           |FROM cal""".stripMargin),
+
+    // descending cumulative TP/FP per distinct margin; the 1-row totals
+    // cross matches the Spark broadcast
+    "quality_roc" ->
+      perceptronOracle(
+        """,gm AS (SELECT margin, CAST(count(*) AS BIGINT) AS nm,
+          |    CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p
+          |  FROM __AF__ GROUP BY 1),
+          |gq AS (SELECT margin, nm, p, nm - p AS q FROM gm),
+          |c AS (SELECT margin, nm, p, q,
+          |    CAST(SUM(p) OVER (ORDER BY margin DESC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+          |    CAST(SUM(q) OVER (ORDER BY margin DESC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+          |  FROM gq),
+          |t AS (SELECT CAST(SUM(p) AS BIGINT) AS pp, CAST(SUM(q) AS BIGINT) AS nn
+          |      FROM gq)
+          |SELECT margin, tp, fp,
+          |  CASE WHEN pp > 0 THEN (1000000 * tp) // pp END AS tpr_micro,
+          |  CASE WHEN nn > 0 THEN (1000000 * fp) // nn END AS fpr_micro
+          |FROM c, t ORDER BY margin""".stripMargin),
 
     // tie-aware Mann–Whitney AUC: per-distinct-margin (pos, neg) counts,
     // the strictly-below negative prefix, and the doubled-integer

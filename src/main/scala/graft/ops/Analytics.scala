@@ -2874,12 +2874,28 @@ object Analytics {
     * per-month counts on the collapsed table; output is one row per
     * month at any corpus size. The month join broadcasts.
     */
-  def dauMauStickiness(spark: SparkSession, dir: String): DataFrame = {
-    val ud = Tables.events(spark, dir)
-      .select(col("user_id"),
+  def dauMauStickiness(spark: SparkSession, dir: String): DataFrame =
+    stickinessFromUserDays(userDays(Tables.events(spark, dir)))
+
+  /** The distinct (user_id, day, mon) activity projection [[
+    * dauMauStickiness]] reduces — also the ADDITIVE-by-distinct unit the
+    * maintained engagement log stores (`Monitor.maintainEngagement`):
+    * distinct is idempotent, so per-batch partials union + distinct to
+    * exactly the batch projection no matter how ingest was split or
+    * replayed.
+    */
+  def userDays(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"),
         datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("day"),
         ((year(col("ts")) - 2024) * 12 + month(col("ts")) - 1).as("mon"))
       .distinct()
+
+  /** The stickiness epilogue over an already-collapsed distinct
+    * (user_id, day, mon) table — shared by the batch path and the
+    * maintained engagement log so both state the identical expression
+    * tree.
+    */
+  def stickinessFromUserDays(ud: DataFrame): DataFrame = {
     val dau = ud.groupBy(col("mon"), col("day"))
       .agg(count(lit(1)).as("dau"))
     val mau = ud.select(col("mon"), col("user_id")).distinct()

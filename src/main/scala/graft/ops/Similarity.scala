@@ -1434,6 +1434,42 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Leave-one-out 1-NN label accuracy, IVF-restricted — the standard
+    * "does nearest-neighbor structure respect the labels" eval of an
+    * embedding space, searched exactly the way production searches it:
+    * each vector's nearest OTHER vector within its frozen k-means cell
+    * (the [[semanticDedup]] cell-bounding contract — pair work is
+    * Σ|cell|², never n², and kCells scales with the corpus), ranked by
+    * the 6-decimal-rounded cosine with vec_id ties (deterministic in
+    * both engines — the dedup_embedding_cosine convention), then the
+    * per-label agreement rate in truncating permille. Vectors alone in
+    * their cell have no candidate and drop out (both sides agree by
+    * construction).
+    */
+  def knnLooCellAccuracy(emb: DataFrame, kCells: Int = 8, iters: Int = 3,
+                         dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cents, _) = kmeansFixedPointCentroids(emb, kCells, iters, dims)
+    val assigned = assignToCentroids(emb, cents, dims).select("vec_id", "cell")
+    val p = prep(emb).join(assigned, "vec_id")
+      .join(emb.select(col("vec_id"), col("label").cast("long").as("label")),
+        "vec_id")
+    val pairs = p.as("q").join(p.as("c"),
+        col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("vec_id"), col("q.label").as("label"),
+        col("c.vec_id").as("nn_id"), col("c.label").as("nn_label"),
+        round(cosineExpr, 6).as("cos"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn_id"))
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label") === col("nn_label"), 1L).otherwise(0L))
+          .as("correct"))
+      .select(col("label"), col("n"), col("correct"),
+        expr("(1000 * correct) div n").as("accuracy_permille"))
+      .orderBy("label")
+  }
+
   /** Per-cluster simplified (centroid-based) silhouette over the frozen
     * fixed-point k-means cells — the standard "are these clusters real"
     * quality number read beside the assignment table: for each vector,

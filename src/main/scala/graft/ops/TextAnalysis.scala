@@ -2417,6 +2417,35 @@ object TextAnalysis {
             " * cast(nn as decimal(19,0)))")).as("auc_micro"))
   }
 
+  /** The full ROC curve of the classifier's margins — the table BEHIND
+    * [[classifierAuc]]'s one number (pick an operating threshold by
+    * reading where TPR buys FPR): one row per DISTINCT margin t with the
+    * exact cumulative (TP, FP) of the "predict positive when margin ≥ t"
+    * rule and the truncating micro rates. Integer end-to-end; cumulative
+    * counts ride the range-partitioned running sum over the DESCENDING
+    * margin order (never a single-task window), totals are a 1-row
+    * broadcast under the plan-audit bound.
+    */
+  def classifierRoc(df: DataFrame, idCol: Column, textCol: Column,
+                    positive: Column, iters: Int = 3): DataFrame = {
+    val scored = classifierScore(df, idCol, textCol, positive, iters)
+    val g = scored.groupBy(col("margin"))
+      .agg(count(lit(1)).as("nm"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("p"))
+      .withColumn("q", col("nm") - col("p"))
+    val c = Rank.withRunningSum(
+      Rank.withRunningSum(g, Seq(col("margin").desc), "p", "tp"),
+      Seq(col("margin").desc), "q", "fp")
+    val tot = g.agg(sum(col("p")).as("pp"), sum(col("q")).as("nn"))
+    c.crossJoin(broadcast(tot))
+      .select(col("margin"), col("tp"), col("fp"),
+        when(col("pp") > 0L,
+          expr("(1000000 * cast(tp as decimal(19,0))) div pp")).as("tpr_micro"),
+        when(col("nn") > 0L,
+          expr("(1000000 * cast(fp as decimal(19,0))) div nn")).as("fpr_micro"))
+      .orderBy("margin")
+  }
+
   /** Population Stability Index of the classifier's margin distribution
     * between a REFERENCE stratum and a CURRENT stratum (the standard
     * "did the score distribution drift since the filter was tuned"

@@ -1068,6 +1068,41 @@ object Monitor {
                    path: String): DataFrame =
     graft.ops.TextAnalysis.aucFromMarginCounts(readScoreHist(spark, path))
 
+  /** Maintained engagement log — the DAU/MAU family's live half: each
+    * micro-batch logs its DISTINCT (user_id, day, mon) activity triples
+    * (`Analytics.userDays` — distinct is idempotent, so replays and any
+    * ingest split union to exactly the batch projection) through the
+    * exactly-once `writeLogBatch`; merge-on-read is one more distinct,
+    * and `compactLog(fold)` with a distinct collapses partials (48ac).
+    * [[readStickiness]] serves the SAME epilogue as the batch
+    * `events_stickiness` (`Analytics.stickinessFromUserDays` — one
+    * definition), so it is bit-equal over everything ever streamed.
+    */
+  def maintainEngagement(stream: DataFrame, path: String, checkpoint: String,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        graft.ops.Analytics.userDays(df.toDF()).writeLogBatch(batchId, path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Merge-on-read of the [[maintainEngagement]] log: the distinct
+    * (user_id, day, mon) projection of everything ever streamed.
+    */
+  def readEngagement(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame =
+    readLog(spark, path).select(col("user_id"), col("day"), col("mon"))
+      .distinct()
+
+  /** DAU/MAU stickiness served off the maintained engagement log — the
+    * same epilogue as the batch `events_stickiness`.
+    */
+  def readStickiness(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame =
+    graft.ops.Analytics.stickinessFromUserDays(readEngagement(spark, path))
+
   /** Start/stop-gated capture INTO a maintained log — the reference's
     * `action_server_video` mode end-to-end (scenario.py:101-137: gate the
     * data stream by the control stream's start/stop messages, save every

@@ -3647,4 +3647,74 @@ class DataOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("entropy_micro") <= cap + r.getAs[Long]("n_types"))
     }
   }
+  test("roc table matches an exact in-memory replay and is monotone") {
+    val scored = TextAnalysis.classifierScore(docs, col("doc_id"), col("text"),
+      col("lang") === "en").collect()
+      .map(r => (r.getAs[Long]("margin"), r.getAs[Long]("y")))
+    val byM = scored.groupBy(_._1).map { case (m, rs) =>
+      (m, rs.count(_._2 == 1L).toLong, rs.count(_._2 != 1L).toLong) }
+      .toSeq.sortBy(-_._1)
+    val pp = byM.map(_._2).sum; val nn = byM.map(_._3).sum
+    var tp = 0L; var fp = 0L
+    val expect = byM.map { case (m, p, q) =>
+      tp += p; fp += q
+      m -> (tp, fp, 1000000L * tp / pp, 1000000L * fp / nn)
+    }.toMap
+    val out = TextAnalysis.classifierRoc(docs, col("doc_id"), col("text"),
+      col("lang") === "en").collect()
+    assert(out.length === byM.length)
+    out.foreach { r =>
+      val (etp, efp, etpr, efpr) = expect(r.getAs[Long]("margin"))
+      assert(r.getAs[Long]("tp") === etp)
+      assert(r.getAs[Long]("fp") === efp)
+      assert(r.getAs[Long]("tpr_micro") === etpr)
+      assert(r.getAs[Long]("fpr_micro") === efpr)
+    }
+    // output is margin-ascending; cumulative counts fall as margin rises
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("margin") < b.getAs[Long]("margin"))
+        assert(a.getAs[Long]("tp") >= b.getAs[Long]("tp"))
+        assert(a.getAs[Long]("fp") >= b.getAs[Long]("fp"))
+      case _ =>
+    }
+    // the lowest threshold accepts everything
+    assert(out.head.getAs[Long]("tp") === pp && out.head.getAs[Long]("fp") === nn)
+  }
+
+  test("knn LOO accuracy matches an exact in-memory cell-restricted replay") {
+    val (cents, _) = Similarity.kmeansFixedPointCentroids(emb, 8, 3, 64)
+    val cells = Similarity.assignToCentroids(emb, cents, 64)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"),
+        col("label").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2)))
+    val norm = vecs.map { case (id, v, _) =>
+      id -> math.sqrt(v.map(x => x * x).sum) }.toMap
+    def cos(a: Seq[Double], b: Seq[Double], na: Double, nb: Double): Double =
+      BigDecimal(a.zip(b).map { case (x, y) => x * y }.sum / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byLabel = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    vecs.foreach { case (id, v, lab) =>
+      val cands = vecs.filter(o => o._1 != id && cells(o._1) == cells(id))
+      if (cands.nonEmpty) {
+        val nn = cands.map { case (oid, ov, olab) =>
+          (cos(v, ov, norm(id), norm(oid)), oid, olab) }
+          .minBy { case (c, oid, _) => (-c, oid) }
+        val (n0, c0) = byLabel.getOrElse(lab, (0L, 0L))
+        byLabel(lab) = (n0 + 1, c0 + (if (nn._3 == lab) 1L else 0L))
+      }
+    }
+    val out = Similarity.knnLooCellAccuracy(emb).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("n")).sum === byLabel.values.map(_._1).sum)
+    out.foreach { r =>
+      val (n0, c0) = byLabel(r.getAs[Long]("label"))
+      assert(r.getAs[Long]("n") === n0)
+      assert(r.getAs[Long]("correct") === c0, s"label ${r.getLong(0)}")
+      assert(r.getAs[Long]("accuracy_permille") === 1000L * c0 / n0)
+    }
+  }
 }

@@ -57,6 +57,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "quality_brier" -> 1024,            // embeds the same decile lattice
     "events_lorenz" -> 16,              // single-row grand-total broadcast
     "quality_psi" -> 16,                // single-row boundary-array broadcast
+    "quality_roc" -> 16,                // single-row (P, N) totals broadcast
     "text_ndcg" -> 32,                  // bm25 stats broadcast + the 1×1 dcg×idcg cross
     "ts_dtw" -> 64)                     // |series|-row profile-pair cross: bounded domain
   private val intendedCross: Set[String] = intendedCrossBound.keySet

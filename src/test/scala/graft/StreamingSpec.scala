@@ -2615,4 +2615,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(served.getLong(2) === batch.getLong(2))
     assert(served.getAs[Long]("auc_micro") === batch.getAs[Long]("auc_micro"))
   }
+  test("maintained engagement log serves the exact batch stickiness") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_engage").toString
+    val ckpt = Files.createTempDirectory("graft_engage_ck").toString
+    val path = s"$dir/log"
+    val all = sampleEvents
+    val input = MemoryStream[Ev]
+    all.grouped(40).foreach { chunk =>
+      input.addData(chunk: _*)
+      val q = Monitor.maintainEngagement(input.toDF(), path, s"$ckpt/c1")
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("month_idx"), r.getAs[Long]("days"),
+        r.getAs[Long]("mau"), r.getAs[Long]("dau_sum"),
+        r.getAs[Long]("stickiness_permille"))).toSeq
+    val served = rows(Monitor.readStickiness(spark, path))
+    val batch = rows(graft.ops.Analytics.stickinessFromUserDays(
+      graft.ops.Analytics.userDays(all.toDF())))
+    assert(served === batch && served.nonEmpty)
+    // the merged projection is duplicate-free (distinct is idempotent
+    // across batch splits and replays)
+    val ud = Monitor.readEngagement(spark, path)
+    assert(ud.count() === ud.distinct().count())
+  }
 }
