@@ -1046,6 +1046,11 @@ object SparkEntry {
     "emb_knn_loo" -> ((s, dir) =>
       Similarity.knnLooCellAccuracy(Tables.embeddings(s, dir))),
 
+    // recall@k of the IVF probe vs the exact answer on a bounded query
+    // panel — the third leg of the recall-audit family (LSH, SRP, IVF)
+    "ann_ivf_recall" -> ((s, dir) =>
+      Similarity.ivfRecallAudit(Tables.embeddings(s, dir))),
+
     "emb_kmeans_assign" -> ((s, dir) =>
       Similarity.kmeansAssign(Tables.embeddings(s, dir))),
 
@@ -1107,6 +1112,10 @@ object SparkEntry {
     // DTW distance between every pair of 8-slot day-part profiles —
     // integer min-plus DP per pair, oracled as anti-diagonal CTEs
     "ts_dtw" -> ((s, dir) => Analytics.dtwProfiles(s, dir, periodBuckets = 8)),
+
+    // seasonal-strength diagnostic: cross-multiplied exact variance
+    // ratio (n·Σd² − (Σd)² both sides), no division by n² needed
+    "ts_seasonal_strength" -> ((s, dir) => Analytics.seasonalStrength(s, dir)),
 
     // interval-union coverage per user (overlaps counted once): the
     // linear sweep — running max end, clamped contributions — not the
@@ -2260,6 +2269,31 @@ object SparkEntry {
     // the DTW grid DP unrolled along anti-diagonals — integer min-plus
     // end-to-end, borders via COALESCE sentinels
     "ts_dtw" -> dtwOracle(8),
+
+    // scale-free sum-of-squared-deviations on both sides of the ratio,
+    // folded in HUGEINT; evidence ships as strings (passes int64)
+    "ts_seasonal_strength" ->
+      """WITH e AS (SELECT event_type AS series,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
+        |b AS MATERIALIZED (SELECT series, h,
+        |    CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT) AS x
+        |  FROM e GROUP BY 1, 2),
+        |sl AS (SELECT series, h % 24 AS slot,
+        |    CAST(CAST(SUM(x) AS BIGINT) // COUNT(*) AS BIGINT) AS slot_mean
+        |  FROM b GROUP BY 1, 2),
+        |j AS (SELECT b.series, b.x, b.x - sl.slot_mean AS r
+        |      FROM b JOIN sl ON sl.series = b.series AND sl.slot = b.h % 24),
+        |a AS (SELECT series, count(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+        |        SUM(r) AS sr, SUM(r * r) AS srr FROM j GROUP BY 1),
+        |f AS (SELECT series, n, n * sxx - sx * sx AS ssdx,
+        |        n * srr - sr * sr AS ssdr FROM a)
+        |SELECT series, n, CAST(ssdx AS VARCHAR) AS ssd_x,
+        |  CAST(ssdr AS VARCHAR) AS ssd_r,
+        |  CASE WHEN ssdx > 0 THEN greatest(CAST(0 AS BIGINT),
+        |    1000000 - CAST((1000000 * ssdr) // ssdx AS BIGINT)) END
+        |    AS strength_micro
+        |FROM f ORDER BY series""".stripMargin,
 
     // per-type terms round to micro before the per-user sum (the ln
     // convention); a single-type user reads exactly 0
@@ -4908,6 +4942,50 @@ object SparkEntry {
         |      FROM sc JOIN n n1 ON n1.vec_id = query_id JOIN n n2 ON n2.vec_id = neighbor_id)
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // the brute and IVF ranking CTEs side by side, hits by set
+    // intersection — the ann rank conventions both families already pin
+    "ann_ivf_recall" ->
+      """WITH v AS (SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+        |           FROM embeddings, range(1, 65) r(i)),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY 1),
+        |bs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.x * c.x) AS dot
+        |       FROM v q JOIN v c ON q.d = c.d AND q.vec_id < 32 AND c.vec_id <> q.vec_id
+        |       GROUP BY 1, 2),
+        |br AS (SELECT query_id, neighbor_id FROM (
+        |        SELECT query_id, neighbor_id,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY dot / (n1.nrm * n2.nrm) DESC, neighbor_id) AS rank
+        |        FROM bs JOIN n n1 ON n1.vec_id = query_id
+        |        JOIN n n2 ON n2.vec_id = neighbor_id) z WHERE rank <= 10),
+        |cd AS (SELECT a.vec_id, c.vec_id AS cell, sum(a.x * c.x) AS dot
+        |       FROM v a JOIN v c ON a.d = c.d AND c.vec_id < 8 GROUP BY 1, 2),
+        |cr AS (SELECT cd.vec_id, cell,
+        |         row_number() OVER (PARTITION BY cd.vec_id
+        |           ORDER BY dot / (n1.nrm * n2.nrm) DESC, cell) AS cell_rank
+        |       FROM cd JOIN n n1 ON n1.vec_id = cd.vec_id JOIN n n2 ON n2.vec_id = cell),
+        |cells AS (SELECT vec_id, cell FROM cr WHERE cell_rank = 1),
+        |probes AS (SELECT vec_id AS query_id, cell FROM cr
+        |           WHERE cell_rank <= 2 AND vec_id < 32),
+        |isc AS (SELECT p.query_id, ce.vec_id AS neighbor_id, sum(q.x * c2.x) AS dot
+        |       FROM probes p JOIN cells ce ON ce.cell = p.cell AND ce.vec_id <> p.query_id
+        |       JOIN v q ON q.vec_id = p.query_id
+        |       JOIN v c2 ON c2.vec_id = ce.vec_id AND c2.d = q.d
+        |       GROUP BY 1, 2),
+        |ir AS (SELECT query_id, neighbor_id FROM (
+        |        SELECT query_id, neighbor_id,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY dot / (n1.nrm * n2.nrm) DESC, neighbor_id) AS rank
+        |        FROM isc JOIN n n1 ON n1.vec_id = query_id
+        |        JOIN n n2 ON n2.vec_id = neighbor_id) z WHERE rank <= 10),
+        |h AS (SELECT query_id, count(*) AS n_hits
+        |      FROM (SELECT * FROM br INTERSECT SELECT * FROM ir) q GROUP BY 1)
+        |SELECT br.query_id, count(*) AS n_true,
+        |  CAST(COALESCE(max(h.n_hits), 0) AS BIGINT) AS n_hits,
+        |  (1000 * CAST(COALESCE(max(h.n_hits), 0) AS BIGINT)) // count(*)
+        |    AS recall_permille
+        |FROM br LEFT JOIN h USING (query_id)
+        |GROUP BY 1 ORDER BY query_id""".stripMargin,
 
     // the IVF nearest-cell CTEs, cosine micro-rounded BEFORE the per-cell
     // rank — the flag itself is pure integer arithmetic on both engines

@@ -2909,6 +2909,54 @@ object Analytics {
       .orderBy("month_idx")
   }
 
+  /** Seasonal-strength diagnostic per series (the Hyndman & Athanasopoulos
+    * FPP measure, simplified to the additive hour-of-day decomposition the
+    * [[seasonalProfile]] family already states): with per-bucket means x,
+    * seasonal fit s = slot_mean, and remainder r = x − s, strength =
+    * max(0, 1 − Var(r)/Var(x)) — how much of the series' variance the
+    * daily shape explains (≈0: no daily pattern, →1: the day IS the
+    * series). EXACT integers end-to-end: both variances enter as the
+    * scale-free sum-of-squared-deviations nΣd² − (Σd)² (same n, so the
+    * ratio needs no division by n²), cross-multiplied in decimal;
+    * strength_micro = 10⁶ − (10⁶·ssd_r) div ssd_x, clamped at 0; NULL
+    * when the series is constant (ssd_x = 0 — no variance to explain).
+    *
+    * Scale shape: the bucket-table discipline (one O(events) shuffle into
+    * ≤ hours-per-series rows), one broadcast join of the 24-row slot
+    * means, two map-side-combined aggregates; output is one row per
+    * series.
+    */
+  def seasonalStrength(spark: SparkSession, dir: String,
+                       periodBuckets: Int = 24): DataFrame = {
+    val hourly = hourlyMerge(hourlyPartial(Tables.events(spark, dir)))
+    val slots = hourly
+      .groupBy(col("series"), (col("h") % periodBuckets).as("slot"))
+      .agg(expr("sum(x) div count(1)").as("slot_mean"))
+    val joined = hourly.withColumn("slot", col("h") % periodBuckets)
+      .join(broadcast(slots), Seq("series", "slot"))
+      .select(col("series"), col("x"),
+        (col("x") - col("slot_mean")).as("r"))
+    joined.groupBy(col("series"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(28,0)")).as("sx"),
+        sum(col("x").cast("decimal(28,0)") * col("x").cast("decimal(28,0)"))
+          .as("sxx"),
+        sum(col("r").cast("decimal(28,0)")).as("sr"),
+        sum(col("r").cast("decimal(28,0)") * col("r").cast("decimal(28,0)"))
+          .as("srr"))
+      .select(col("series"), col("n"),
+        expr("n * sxx - sx * sx").cast("decimal(38,0)").as("ssd_x"),
+        expr("n * srr - sr * sr").cast("decimal(38,0)").as("ssd_r"))
+      .select(col("series"), col("n"),
+        col("ssd_x").cast("string").as("ssd_x"),
+        col("ssd_r").cast("string").as("ssd_r"),
+        when(col("ssd_x") > 0,
+          greatest(lit(0L),
+            lit(1000000L) - expr("(1000000 * ssd_r) div ssd_x")))
+          .as("strength_micro"))
+      .orderBy("series")
+  }
+
   /** Per-user Shannon entropy of the event-type mix — the behavioral-
     * diversity number (a 0-entropy user does one thing; a max-entropy
     * user spreads evenly across the catalog), the per-key twin of the

@@ -1434,6 +1434,37 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** Recall@k audit of the IVF index against the exact answer — the
+    * third leg of the recall-audit family (42cc audits the token-shingle
+    * LSH, 42ch the SRP bands; this audits the coarse quantizer): for a
+    * bounded query panel, how many of the TRUE top-k neighbors does the
+    * nprobe-cell search return? Per query: the exact hit count and the
+    * truncating recall permille — the number that decides whether
+    * `nprobe` is big enough for this corpus's cluster structure.
+    *
+    * Scale shape: the exact side is per-query LINEAR (|panel|·n scored
+    * pairs with the panel riding as a broadcast — bounded by nQueries,
+    * never all-pairs); the IVF side probes nprobe/kCells of the corpus
+    * per query. Both rankings use the deterministic (cosine desc, id)
+    * order the ann oracles already pin.
+    */
+  def ivfRecallAudit(emb: DataFrame, nQueries: Int = 32, k: Int = 10,
+                     kCells: Int = 8, nprobe: Int = 2): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+    val brute = bruteTopK(emb, q, k).select("query_id", "neighbor_id")
+    val ivf = ivfTopK(emb, q, k, kCells, nprobe)
+      .select("query_id", "neighbor_id")
+    val hits = brute.intersect(ivf)
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    brute.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_true"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr("(1000 * coalesce(n_hits, 0L)) div n_true")
+          .as("recall_permille"))
+      .orderBy("query_id")
+  }
+
   /** Leave-one-out 1-NN label accuracy, IVF-restricted — the standard
     * "does nearest-neighbor structure respect the labels" eval of an
     * embedding space, searched exactly the way production searches it:

@@ -2429,10 +2429,19 @@ object TextAnalysis {
   def classifierRoc(df: DataFrame, idCol: Column, textCol: Column,
                     positive: Column, iters: Int = 3): DataFrame = {
     val scored = classifierScore(df, idCol, textCol, positive, iters)
-    val g = scored.groupBy(col("margin"))
+    rocFromMarginCounts(scored.groupBy(col("margin"))
       .agg(count(lit(1)).as("nm"),
         sum(when(col("y") === 1L, 1L).otherwise(0L)).as("p"))
-      .withColumn("q", col("nm") - col("p"))
+      .withColumn("q", col("nm") - col("p")))
+  }
+
+  /** The ROC epilogue over an already-collapsed (margin, p, q) count
+    * table — shared by [[classifierRoc]] and the maintained
+    * score-histogram log (`Monitor.scoreHistRoc`): ROC is margin-
+    * granular by definition, so the histogram serves it exactly.
+    */
+  private[graft] def rocFromMarginCounts(g0: DataFrame): DataFrame = {
+    val g = g0.select(col("margin"), col("p"), col("q"))
     val c = Rank.withRunningSum(
       Rank.withRunningSum(g, Seq(col("margin").desc), "p", "tp"),
       Seq(col("margin").desc), "q", "fp")

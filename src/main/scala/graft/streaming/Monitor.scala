@@ -1068,6 +1068,14 @@ object Monitor {
                    path: String): DataFrame =
     graft.ops.TextAnalysis.aucFromMarginCounts(readScoreHist(spark, path))
 
+  /** The full ROC table served off the maintained histogram — ROC is
+    * margin-granular by definition, so the served table equals the
+    * batch `classifierRoc` bit-for-bit (one shared epilogue).
+    */
+  def scoreHistRoc(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    graft.ops.TextAnalysis.rocFromMarginCounts(readScoreHist(spark, path))
+
   /** Maintained engagement log — the DAU/MAU family's live half: each
     * micro-batch logs its DISTINCT (user_id, day, mon) activity triples
     * (`Analytics.userDays` — distinct is idempotent, so replays and any

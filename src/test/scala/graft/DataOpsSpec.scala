@@ -3717,4 +3717,58 @@ class DataOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("accuracy_permille") === 1000L * c0 / n0)
     }
   }
+  test("ivf recall audit matches the set intersection of its two rankings") {
+    val q = emb.filter(col("vec_id") < 32)
+    val brute = Similarity.bruteTopK(emb, q, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, q, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = Similarity.ivfRecallAudit(emb).collect()
+    assert(out.length === brute.map(_._1).size)
+    out.foreach { r =>
+      val qid = r.getAs[Long]("query_id")
+      val nTrue = brute.count(_._1 == qid).toLong
+      val nHits = (brute & ivf).count(_._1 == qid).toLong
+      assert(r.getAs[Long]("n_true") === nTrue)
+      assert(r.getAs[Long]("n_hits") === nHits, s"query $qid")
+      assert(r.getAs[Long]("recall_permille") === 1000L * nHits / nTrue)
+    }
+    // probing every cell must reach perfect recall (sanity on the audit)
+    val full = Similarity.ivfRecallAudit(emb, nprobe = 8).collect()
+    assert(full.forall(_.getAs[Long]("recall_permille") === 1000L))
+  }
+  test("seasonal strength matches an exact in-memory variance-ratio replay") {
+    val hourly = ops.Analytics.hourlyMerge(ops.Analytics.hourlyPartial(
+      Tables.events(spark, sf))).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("h"), r.getAs[Long]("x")))
+    val bySeries = hourly.groupBy(_._1)
+    val expect = bySeries.map { case (s, rows) =>
+      val slotMean = rows.groupBy(_._2 % 24).map { case (sl, rs) =>
+        sl -> rs.map(r => BigInt(r._3)).sum / rs.size }
+      val xs = rows.map(_._3).map(BigInt(_))
+      val rsd = rows.map(r => BigInt(r._3) - slotMean(r._2 % 24))
+      val n = BigInt(rows.length)
+      val ssdx = n * xs.map(x => x * x).sum - xs.sum * xs.sum
+      val ssdr = n * rsd.map(x => x * x).sum - rsd.sum * rsd.sum
+      val strength = if (ssdx > 0)
+        Some((BigInt(1000000) - (BigInt(1000000) * ssdr) / ssdx) max BigInt(0))
+      else None
+      s -> (n.toLong, ssdx.toString, ssdr.toString, strength)
+    }
+    val out = ops.Analytics.seasonalStrength(spark, sf).collect()
+    assert(out.length === expect.size)
+    out.foreach { r =>
+      val (n, sx, sr, st) = expect(r.getString(0))
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[String]("ssd_x") === sx)
+      assert(r.getAs[String]("ssd_r") === sr)
+      st match {
+        case Some(v) =>
+          assert(BigInt(r.getAs[Long]("strength_micro")) === v, r.getString(0))
+          assert(r.getAs[Long]("strength_micro") >= 0L &&
+            r.getAs[Long]("strength_micro") <= 1000000L)
+        case None => assert(r.isNullAt(r.fieldIndex("strength_micro")))
+      }
+    }
+  }
 }

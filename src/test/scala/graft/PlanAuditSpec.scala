@@ -32,6 +32,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "emb_cluster_sample" -> 4096,       // same ivfAssign centroid broadcast
     "emb_cell_outliers" -> 4096,        // same ivfAssign centroid broadcast
     "ann_ivfpq_topk" -> 4096,           // centroid broadcast (both sides tiny)
+    "ann_ivf_recall" -> 4096,           // 32-query exact panel + centroid broadcast
     "q22_idle_balances" -> 16,          // single-row scalar-threshold broadcast
     "q11_nation_concentration" -> 16,   // single-row global-total broadcast (Q11 HAVING)
     "text_bm25_topk" -> 16,             // single-row corpus-stats (N, avgdl) broadcast

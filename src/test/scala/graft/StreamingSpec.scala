@@ -2614,6 +2614,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(served.getLong(1) === batch.getLong(1))
     assert(served.getLong(2) === batch.getLong(2))
     assert(served.getAs[Long]("auc_micro") === batch.getAs[Long]("auc_micro"))
+    // the served ROC table is also bit-equal (margin-granular epilogue)
+    def rocRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("margin"), r.getAs[Long]("tp"),
+        r.getAs[Long]("fp"), r.getAs[Long]("tpr_micro"),
+        r.getAs[Long]("fpr_micro"))).toSeq
+    val servedRoc = rocRows(Monitor.scoreHistRoc(spark, path))
+    val batchRoc = rocRows(graft.ops.TextAnalysis.classifierRoc(docsDf,
+      col("doc_id"), col("text"), col("lang") === "en"))
+    assert(servedRoc === batchRoc && servedRoc.nonEmpty)
   }
   test("maintained engagement log serves the exact batch stickiness") {
     implicit val sqlCtx = spark.sqlContext
