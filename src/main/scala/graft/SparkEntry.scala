@@ -5523,8 +5523,11 @@ object SparkEntry {
         |f AS (SELECT nt, nt * sxy - sx * sy AS num,
         |        nt * sxx - sx * sx AS den, sy, sx FROM a)
         |SELECT nt AS n_terms,
-        |  CAST((1000000 * num) // den AS BIGINT) AS slope_micro,
-        |  CAST((sy * den - num * sx) // (nt * den) AS BIGINT) AS intercept_micro
+        |  CASE WHEN den > 0 THEN CAST((1000000 * num) // den AS BIGINT) END
+        |    AS slope_micro,
+        |  CASE WHEN den > 0
+        |    THEN CAST((sy * den - num * sx) // (nt * den) AS BIGINT) END
+        |    AS intercept_micro
         |FROM f""".stripMargin,
 
     // both shortlists are RANK tables (the ann/bm25 parity contracts);
@@ -5839,10 +5842,12 @@ object SparkEntry {
           |    CAST(MAX(mn) AS BIGINT) AS fitted_micro
           |  FROM mn GROUP BY 1, 2, 3)
           |SELECT CAST(SUM(n) AS BIGINT) AS n,
-          |  CAST(SUM(n_pos * (1000000 - fitted_micro) * (1000000 - fitted_micro)
-          |      + (n - n_pos) * fitted_micro * fitted_micro)
-          |    // (SUM(n) * 1000000) AS BIGINT) AS brier_micro,
-          |  CAST(SUM(n * abs(raw_micro - fitted_micro)) // SUM(n) AS BIGINT)
+          |  CASE WHEN SUM(n) > 0 THEN
+          |    CAST(SUM(n_pos * (1000000 - fitted_micro) * (1000000 - fitted_micro)
+          |        + (n - n_pos) * fitted_micro * fitted_micro)
+          |      // (SUM(n) * 1000000) AS BIGINT) END AS brier_micro,
+          |  CASE WHEN SUM(n) > 0 THEN
+          |    CAST(SUM(n * abs(raw_micro - fitted_micro)) // SUM(n) AS BIGINT) END
           |    AS ece_micro
           |FROM cal""".stripMargin),
 

@@ -2363,8 +2363,11 @@ object TextAnalysis {
           * abs(col("raw_micro") - col("fitted_micro")).cast("decimal(19,0)"))
           .as("es"))
       .select(col("nt").as("n"),
-        expr("ss div (nt * cast(1000000 as decimal(19,0)))").as("brier_micro"),
-        expr("es div nt").as("ece_micro"))
+        // NULL on an empty corpus rather than an engine-divergent error
+        when(col("nt") > 0L,
+          expr("ss div (nt * cast(1000000 as decimal(19,0)))"))
+          .as("brier_micro"),
+        when(col("nt") > 0L, expr("es div nt")).as("ece_micro"))
   }
 
   /** Exact tie-aware ROC AUC of the classifier's margins — the ONE
@@ -2554,10 +2557,14 @@ object TextAnalysis {
         sum(col("x").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
           .as("sxx"))
       .select(col("nt").as("n_terms"),
-        expr("""(1000000 * (nt * sxy - sx * sy))
-               | div (nt * sxx - sx * sx)""".stripMargin).as("slope_micro"),
-        expr("""(sy * (nt * sxx - sx * sx) - (nt * sxy - sx * sy) * sx)
-               | div (nt * (nt * sxx - sx * sx))""".stripMargin)
+        // NULL on a zero-variance rank domain (< 2 distinct terms)
+        // rather than an engine-divergent division error
+        when(expr("nt * sxx - sx * sx") > 0,
+          expr("""(1000000 * (nt * sxy - sx * sy))
+                 | div (nt * sxx - sx * sx)""".stripMargin)).as("slope_micro"),
+        when(expr("nt * sxx - sx * sx") > 0,
+          expr("""(sy * (nt * sxx - sx * sx) - (nt * sxy - sx * sy) * sx)
+                 | div (nt * (nt * sxx - sx * sx))""".stripMargin))
           .as("intercept_micro"))
   }
 
