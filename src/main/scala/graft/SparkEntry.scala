@@ -751,6 +751,10 @@ object SparkEntry {
     // neighborhood function / hop plot from the same sample: nodes first
     // reached per hop + cumulative — the effective-diameter diagnostic
     "graph_hopplot" -> ((s, dir) => Graph.transactionHopPlot(s, dir)),
+
+    // ANF effective diameter: the smallest hop covering ≥ 900‰ of the
+    // sample's total reach — the hop-plot's one-number readout
+    "graph_eff_diameter" -> ((s, dir) => Graph.transactionEffDiameter(s, dir)),
     "agg_histogram" -> ((s, dir) => Analytics.histogram(s, dir)),
     // equal-frequency bins: percentile edges broadcast, codegen'd assign
     "agg_equidepth" -> ((s, dir) => Analytics.equidepthHistogram(s, dir)),
@@ -1540,6 +1544,11 @@ object SparkEntry {
       TextAnalysis.classifierRoc(Tables.documents(s, dir),
         col("doc_id"), col("text"), col("lang") === "en")),
 
+    // ROC's imbalanced-class twin: exact precision/recall per threshold
+    "quality_pr" -> ((s, dir) =>
+      TextAnalysis.classifierPr(Tables.documents(s, dir),
+        col("doc_id"), col("text"), col("lang") === "en")),
+
     // exact tie-aware ROC AUC of the margins (Mann–Whitney, doubled
     // integers, decimal-widened products)
     "quality_auc" -> ((s, dir) =>
@@ -1779,6 +1788,39 @@ object SparkEntry {
       |          CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE)
       |        ))) AS BIGINT) AS weight_micro
       |      FROM c)""".stripMargin
+
+  /** The hop-plot BFS unroll shared by the graph_hopplot and
+    * graph_eff_diameter oracles: frontier/visited CTEs per depth from the
+    * fixed six-entity sample, ending in `acc` = (h, n_new) rows;
+    * `finalSelect` either SELECTs from acc directly or starts with ","
+    * to chain further CTEs first.
+    */
+  private def hopPlotOracle(finalSelect: String, maxDepth: Int = 8): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |e AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             |  FROM pairs WHERE src <> dst),
+             |und AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+             |f0 AS (SELECT CAST(src AS BIGINT) AS src, CAST(src AS BIGINT) AS node
+             |  FROM (VALUES (2), (4), (6), (3), (5), (7)) s(src)),
+             |v0 AS (SELECT src, node FROM f0)""".stripMargin
+    for (t <- 1 to maxDepth) {
+      val p = t - 1
+      sb ++= s""",
+                |f$t AS MATERIALIZED (SELECT DISTINCT f.src, und.b AS node
+                |  FROM f$p f JOIN und ON f.node = und.a
+                |  WHERE NOT EXISTS (SELECT 1 FROM v$p v WHERE v.src = f.src AND v.node = und.b)),
+                |v$t AS MATERIALIZED (SELECT * FROM v$p UNION ALL SELECT src, node FROM f$t)""".stripMargin
+    }
+    sb ++= s""",
+              |acc AS (${(0 to maxDepth)
+                .map(t => s"SELECT CAST($t AS BIGINT) AS h, count(*) AS n_new FROM f$t")
+                .mkString(" UNION ALL ")})""".stripMargin
+    sb ++= (if (finalSelect.startsWith(",")) "" else "\n")
+    sb ++= finalSelect
+    sb.toString
+  }
 
   /** The DTW min-plus DP unrolled along ANTI-DIAGONALS (cells with
     * i + j = const depend only on the two previous diagonals — no
@@ -2681,35 +2723,25 @@ object SparkEntry {
     // the same forward unroll, counting first-reached (src, node) pairs
     // per hop; the n_new > 0 filter mirrors Spark's non-empty level
     // prefix (BFS levels past exhaustion are empty on both sides)
-    "graph_hopplot" -> {
-      val maxDepth = 8
-      val sb = new StringBuilder
-      sb ++= """WITH pairs AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-               |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-               |e AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-               |  FROM pairs WHERE src <> dst),
-               |und AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
-               |f0 AS (SELECT CAST(src AS BIGINT) AS src, CAST(src AS BIGINT) AS node
-               |  FROM (VALUES (2), (4), (6), (3), (5), (7)) s(src)),
-               |v0 AS (SELECT src, node FROM f0)""".stripMargin
-      for (t <- 1 to maxDepth) {
-        val p = t - 1
-        sb ++= s""",
-                  |f$t AS MATERIALIZED (SELECT DISTINCT f.src, und.b AS node
-                  |  FROM f$p f JOIN und ON f.node = und.a
-                  |  WHERE NOT EXISTS (SELECT 1 FROM v$p v WHERE v.src = f.src AND v.node = und.b)),
-                  |v$t AS MATERIALIZED (SELECT * FROM v$p UNION ALL SELECT src, node FROM f$t)""".stripMargin
-      }
-      sb ++= s""",
-                |acc AS (${(0 to maxDepth)
-                  .map(t => s"SELECT CAST($t AS BIGINT) AS h, count(*) AS n_new FROM f$t")
-                  .mkString(" UNION ALL ")})
-                |SELECT h, CAST(n_new AS BIGINT) AS n_new,
-                |  CAST(sum(n_new) OVER (ORDER BY h
-                |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum
-                |FROM acc WHERE n_new > 0 ORDER BY h""".stripMargin
-      sb.toString
-    },
+    "graph_hopplot" -> hopPlotOracle(
+      """SELECT h, CAST(n_new AS BIGINT) AS n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum
+        |FROM acc WHERE n_new > 0 ORDER BY h""".stripMargin),
+
+    // the same BFS unroll, folded into the ANF effective-diameter
+    // epilogue: cumulative over the non-empty hops, smallest h covering
+    // >= 900 permille of the total
+    "graph_eff_diameter" -> hopPlotOracle(
+      """,hp AS (SELECT h, CAST(n_new AS BIGINT) AS n_new,
+        |    CAST(sum(n_new) OVER (ORDER BY h
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cum
+        |  FROM acc WHERE n_new > 0),
+        |t AS (SELECT max(n_cum) AS total FROM hp)
+        |SELECT h AS eff_diameter, n_cum, total,
+        |  (1000 * n_cum) // total AS coverage_permille
+        |FROM hp, t WHERE n_cum * 1000 >= total * 900
+        |ORDER BY eff_diameter LIMIT 1""".stripMargin),
 
     // symmetric entries make the two degree marginals equal, so the
     // Pearson r needs no square roots; exact HUGEINT sums → one double
@@ -5870,6 +5902,26 @@ object SparkEntry {
           |SELECT margin, tp, fp,
           |  CASE WHEN pp > 0 THEN (1000000 * tp) // pp END AS tpr_micro,
           |  CASE WHEN nn > 0 THEN (1000000 * fp) // nn END AS fpr_micro
+          |FROM c, t ORDER BY margin""".stripMargin),
+
+    // the same descending cumulative counts, read as precision/recall
+    "quality_pr" ->
+      perceptronOracle(
+        """,gm AS (SELECT margin, CAST(count(*) AS BIGINT) AS nm,
+          |    CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p
+          |  FROM __AF__ GROUP BY 1),
+          |gq AS (SELECT margin, nm, p, nm - p AS q FROM gm),
+          |c AS (SELECT margin, p, q,
+          |    CAST(SUM(p) OVER (ORDER BY margin DESC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+          |    CAST(SUM(q) OVER (ORDER BY margin DESC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+          |  FROM gq),
+          |t AS (SELECT CAST(SUM(p) AS BIGINT) AS pp FROM gq)
+          |SELECT margin, tp, fp,
+          |  CASE WHEN tp + fp > 0 THEN (1000000 * tp) // (tp + fp) END
+          |    AS precision_micro,
+          |  CASE WHEN pp > 0 THEN (1000000 * tp) // pp END AS recall_micro
           |FROM c, t ORDER BY margin""".stripMargin),
 
     // tie-aware Mann–Whitney AUC: per-distinct-margin (pos, neg) counts,

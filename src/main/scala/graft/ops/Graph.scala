@@ -1148,6 +1148,31 @@ object Graph {
   def transactionHopPlot(spark: SparkSession, dir: String): DataFrame =
     hopPlot(tradingPairs(spark, dir), Seq(2L, 4L, 6L, 3L, 5L, 7L))
 
+  /** Effective diameter off the [[hopPlot]] table (Palmer et al.'s ANF
+    * readout: the hop count at which the neighborhood function covers
+    * `permille` of everything it ever reaches — the single number that
+    * says whether a BFS-shaped workload converges in 3 rounds or 30):
+    * the SMALLEST h with 1000·cum(h) ≥ permille·total, plus the exact
+    * coverage evidence. Integer end-to-end; the 1-row total is a
+    * measured broadcast.
+    */
+  def effectiveDiameter(pairs: DataFrame, sources: Seq[Long],
+                        permille: Int = 900, maxDepth: Int = 8): DataFrame = {
+    require(permille >= 1 && permille <= 1000)
+    val hp = hopPlot(pairs, sources, maxDepth)
+    val tot = hp.agg(max(col("n_cum")).as("total"))
+    hp.crossJoin(broadcast(tot))
+      .filter(col("n_cum") * 1000 >= col("total") * permille)
+      .orderBy(col("h"))
+      .limit(1)
+      .select(col("h").as("eff_diameter"), col("n_cum"), col("total"),
+        expr("(1000 * n_cum) div total").as("coverage_permille"))
+  }
+
+  /** [[effectiveDiameter]] of the trading graph from the fixed sample. */
+  def transactionEffDiameter(spark: SparkSession, dir: String): DataFrame =
+    effectiveDiameter(tradingPairs(spark, dir), Seq(2L, 4L, 6L, 3L, 5L, 7L))
+
   /** [[harmonic]] of the trading graph from the fixed six-entity sample
     * (the [[transactionBetweenness]] sources), readable labels, most
     * central first.

@@ -2458,6 +2458,43 @@ object TextAnalysis {
       .orderBy("margin")
   }
 
+  /** The precision–recall operating table — ROC's imbalanced-class twin
+    * (when positives are rare, FPR hides what precision exposes): one
+    * row per DISTINCT margin t with the exact cumulative (TP, FP) of
+    * "predict positive when margin ≥ t", precision = TP/(TP+FP) and
+    * recall = TP/P as truncating micros. Same running-sum machinery as
+    * [[classifierRoc]] ([[prFromMarginCounts]] is the shared epilogue —
+    * the maintained score histogram serves it too).
+    */
+  def classifierPr(df: DataFrame, idCol: Column, textCol: Column,
+                   positive: Column, iters: Int = 3): DataFrame = {
+    val scored = classifierScore(df, idCol, textCol, positive, iters)
+    prFromMarginCounts(scored.groupBy(col("margin"))
+      .agg(count(lit(1)).as("nm"),
+        sum(when(col("y") === 1L, 1L).otherwise(0L)).as("p"))
+      .withColumn("q", col("nm") - col("p")))
+  }
+
+  /** The PR epilogue over an already-collapsed (margin, p, q) count
+    * table — shared by [[classifierPr]] and `Monitor.scoreHistPr`.
+    */
+  private[graft] def prFromMarginCounts(g0: DataFrame): DataFrame = {
+    val g = g0.select(col("margin"), col("p"), col("q"))
+    val c = Rank.withRunningSum(
+      Rank.withRunningSum(g, Seq(col("margin").desc), "p", "tp"),
+      Seq(col("margin").desc), "q", "fp")
+    val tot = g.agg(sum(col("p")).as("pp"))
+    c.crossJoin(broadcast(tot))
+      .select(col("margin"), col("tp"), col("fp"),
+        when(col("tp") + col("fp") > 0L,
+          expr("(1000000 * cast(tp as decimal(19,0))) div (tp + fp)"))
+          .as("precision_micro"),
+        when(col("pp") > 0L,
+          expr("(1000000 * cast(tp as decimal(19,0))) div pp"))
+          .as("recall_micro"))
+      .orderBy("margin")
+  }
+
   /** Population Stability Index of the classifier's margin distribution
     * between a REFERENCE stratum and a CURRENT stratum (the standard
     * "did the score distribution drift since the filter was tuned"
@@ -2504,6 +2541,61 @@ object TextAnalysis {
     binned.groupBy(col("bin"))
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("nref"),
         sum(when(col("is_ref"), 0L).otherwise(1L)).as("ncur"))
+      .withColumn("tr", sum(col("nref")).over(w))
+      .withColumn("tc", sum(col("ncur")).over(w))
+      .withColumn("p",
+        (col("nref") + 1).cast("double") / (col("tr") + buckets).cast("double"))
+      .withColumn("q",
+        (col("ncur") + 1).cast("double") / (col("tc") + buckets).cast("double"))
+      .withColumn("term_micro",
+        round(lit(1000000.0) * ((col("p") - col("q")) * log(col("p") / col("q"))))
+          .cast("long"))
+      .withColumn("psi_micro", sum(col("term_micro")).over(w))
+      .select(col("bin").cast("long").as("bin"), col("nref"), col("ncur"),
+        col("term_micro"), col("psi_micro"))
+      .orderBy("bin")
+  }
+
+  /** PSI between two margin HISTOGRAMS — the monitoring-loop spelling of
+    * [[classifierPsi]]: the reference window and the current window are
+    * both maintained score-histogram logs (`Monitor.maintainScoreHist`),
+    * so drift is read without ever touching documents. Bins are the
+    * reference histogram's count-weighted margin quantiles (the SQL-ntile
+    * cut closed form over cumulative counts; tie mass stays together —
+    * margin-granular, the one honest binning a histogram supports),
+    * shares add-one smoothed, terms micro-rounded (the ln convention),
+    * psi_micro the order-free integer sum. Inputs are (margin, n) count
+    * tables.
+    *
+    * Scale shape: both inputs are already histogram-sized; the only
+    * corpus-shaped stage anywhere is the log merge upstream. The ≤
+    * (buckets−1) boundaries collapse to one broadcast array row.
+    */
+  def psiFromHists(ref: DataFrame, cur: DataFrame,
+                   buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2 && buckets <= 32)
+    val refc = Rank.withRunningSum(
+      ref.select(col("margin"), col("n")), Seq(col("margin")), "n", "cum")
+    val tot = ref.agg(sum(col("n")).as("nt"))
+    // boundary k = smallest margin whose cumulative count reaches the
+    // SQL-ntile cut k·base + min(k, rem)
+    val bnd = refc.crossJoin(broadcast(tot))
+      .select(col("margin"), col("cum"), col("nt"),
+        explode(expr(s"sequence(1, ${buckets - 1})")).as("k"))
+      .filter(col("cum") >= col("k") * expr(s"nt div $buckets")
+        + least(col("k"), expr(s"nt % $buckets")))
+      .groupBy(col("k")).agg(min(col("margin")).as("bm"))
+      .agg(sort_array(collect_list(col("bm"))).as("bnds"))
+    def binned(df: DataFrame, out: String) =
+      df.crossJoin(broadcast(bnd))
+        .withColumn("bin", lit(1) + expr(
+          "aggregate(bnds, 0L, (acc, b) -> acc + if(b < margin, 1L, 0L))"))
+        .groupBy(col("bin")).agg(sum(col("n")).as(out))
+    val w = Window.partitionBy(lit(0))
+    binned(ref, "nref").join(binned(cur, "ncur"), Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("nref"), lit(0L)).as("nref"),
+        coalesce(col("ncur"), lit(0L)).as("ncur"))
       .withColumn("tr", sum(col("nref")).over(w))
       .withColumn("tc", sum(col("ncur")).over(w))
       .withColumn("p",

@@ -1076,6 +1076,28 @@ object Monitor {
                    path: String): DataFrame =
     graft.ops.TextAnalysis.rocFromMarginCounts(readScoreHist(spark, path))
 
+  /** The precision–recall table served off the maintained histogram —
+    * margin-granular like ROC, one shared epilogue with the batch
+    * `classifierPr`.
+    */
+  def scoreHistPr(spark: org.apache.spark.sql.SparkSession,
+                  path: String): DataFrame =
+    graft.ops.TextAnalysis.prFromMarginCounts(readScoreHist(spark, path))
+
+  /** PSI drift between TWO maintained score-histogram logs (a frozen
+    * reference window vs the current window) — the monitoring loop's
+    * drift gate, read without ever touching documents: bins from the
+    * reference histogram's count-weighted quantiles
+    * (`TextAnalysis.psiFromHists`).
+    */
+  def scoreHistPsi(spark: org.apache.spark.sql.SparkSession,
+                   refPath: String, curPath: String,
+                   buckets: Int = 10): DataFrame = {
+    def hist(p: String) = readScoreHist(spark, p)
+      .select(col("margin"), (col("p") + col("q")).as("n"))
+    graft.ops.TextAnalysis.psiFromHists(hist(refPath), hist(curPath), buckets)
+  }
+
   /** Maintained engagement log — the DAU/MAU family's live half: each
     * micro-batch logs its DISTINCT (user_id, day, mon) activity triples
     * (`Analytics.userDays` — distinct is idempotent, so replays and any

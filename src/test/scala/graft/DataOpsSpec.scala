@@ -3771,4 +3771,83 @@ class DataOpsSpec extends AnyFunSuite {
       }
     }
   }
+  test("pr table matches an exact in-memory replay; precision starts perfect-or-null") {
+    val scored = TextAnalysis.classifierScore(docs, col("doc_id"), col("text"),
+      col("lang") === "en").collect()
+      .map(r => (r.getAs[Long]("margin"), r.getAs[Long]("y")))
+    val byM = scored.groupBy(_._1).map { case (m, rs) =>
+      (m, rs.count(_._2 == 1L).toLong, rs.count(_._2 != 1L).toLong) }
+      .toSeq.sortBy(-_._1)
+    val pp = byM.map(_._2).sum
+    var tp = 0L; var fp = 0L
+    val expect = byM.map { case (m, p, q) =>
+      tp += p; fp += q
+      m -> (tp, fp, 1000000L * tp / (tp + fp), 1000000L * tp / pp)
+    }.toMap
+    val out = TextAnalysis.classifierPr(docs, col("doc_id"), col("text"),
+      col("lang") === "en").collect()
+    assert(out.length === byM.length)
+    out.foreach { r =>
+      val (etp, efp, eprec, erec) = expect(r.getAs[Long]("margin"))
+      assert(r.getAs[Long]("tp") === etp && r.getAs[Long]("fp") === efp)
+      assert(r.getAs[Long]("precision_micro") === eprec)
+      assert(r.getAs[Long]("recall_micro") === erec)
+    }
+    // the lowest threshold's recall is total
+    assert(out.head.getAs[Long]("recall_micro") === 1000000L)
+  }
+
+  test("effective diameter: hand path graph and the hop-plot replay") {
+    import spark.implicits._
+    // path 1-2-...-11 from source 1: hop 0 is the source, hop h reaches
+    // node h+1, total reach 11; 900 permille first holds at cum 10 = hop 9
+    val path = (1L to 10L).map(i => (i, i + 1)).toDF("src", "dst")
+    val r = ops.Graph.effectiveDiameter(path, Seq(1L), permille = 900,
+      maxDepth = 12).collect()(0)
+    assert(r.getAs[Long]("eff_diameter") === 9L)
+    assert(r.getAs[Long]("n_cum") === 10L && r.getAs[Long]("total") === 11L)
+    assert(r.getAs[Long]("coverage_permille") === 909L)
+    // replay on the real trading sample from its own hop plot
+    val hp = ops.Graph.transactionHopPlot(spark, sf).collect()
+      .map(x => (x.getAs[Long]("h"), x.getAs[Long]("n_cum")))
+    val total = hp.map(_._2).max
+    val expectH = hp.filter { case (_, c) => c * 1000 >= total * 900 }
+      .map(_._1).min
+    val out = ops.Graph.transactionEffDiameter(spark, sf).collect()(0)
+    assert(out.getAs[Long]("eff_diameter") === expectH)
+    assert(out.getAs[Long]("total") === total)
+  }
+
+  test("histogram PSI: identical windows read 0, a planted shift is caught") {
+    import spark.implicits._
+    def hist(ms: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ms.groupBy(identity).map { case (m, xs) => (m, xs.size.toLong) }
+        .toSeq.toDF("margin", "n")
+    val ref = hist(1L to 100L)
+    val same = TextAnalysis.psiFromHists(ref, hist(1L to 100L)).collect()
+    assert(same.length === 10)
+    same.foreach { r =>
+      assert(r.getAs[Long]("nref") === 10L && r.getAs[Long]("ncur") === 10L)
+      assert(r.getAs[Long]("term_micro") === 0L)
+      assert(r.getAs[Long]("psi_micro") === 0L)
+    }
+    // a hard distribution shift reads clearly above the 0.25 rule of thumb
+    val shifted = TextAnalysis.psiFromHists(ref, hist(91L to 190L)).collect()
+    assert(shifted.head.getAs[Long]("psi_micro") > 250000L)
+    // exact in-memory replay of the shifted case
+    val bounds = (1 to 9).map(k => k * 10L) // ntile cuts of 100 uniform rows
+    def bin(m: Long) = 1 + bounds.count(_ < m)
+    val nref = (1 to 10).map(b => (1L to 100L).count(m => bin(m) == b).toLong)
+    val ncur = (1 to 10).map(b => (91L to 190L).count(m => bin(m) == b).toLong)
+    val terms = nref.zip(ncur).map { case (a, b) =>
+      val p = (a + 1).toDouble / 110.0; val q = (b + 1).toDouble / 110.0
+      math.round(1000000.0 * ((p - q) * math.log(p / q)))
+    }
+    shifted.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("nref") === nref(i))
+      assert(r.getAs[Long]("ncur") === ncur(i))
+      assert(r.getAs[Long]("term_micro") === terms(i))
+      assert(r.getAs[Long]("psi_micro") === terms.sum)
+    }
+  }
 }

@@ -59,6 +59,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "events_lorenz" -> 16,              // single-row grand-total broadcast
     "quality_psi" -> 16,                // single-row boundary-array broadcast
     "quality_roc" -> 16,                // single-row (P, N) totals broadcast
+    "quality_pr" -> 16,                 // single-row P total broadcast
+    "graph_eff_diameter" -> 16,         // single-row reach-total broadcast
     "text_ndcg" -> 32,                  // bm25 stats broadcast + the 1×1 dcg×idcg cross
     "ts_dtw" -> 64)                     // |series|-row profile-pair cross: bounded domain
   private val intendedCross: Set[String] = intendedCrossBound.keySet
