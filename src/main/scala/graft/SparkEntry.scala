@@ -2268,15 +2268,17 @@ object SparkEntry {
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
 
     // sorted-rank Gini in HUGEINT (DuckDB's native wide integers match
-    // Spark's decimal widening; // floors like div)
+    // Spark's decimal widening; // floors like div). `total` renders as
+    // VARCHAR — both engines print the full wide integer, where a
+    // BIGINT cast would diverge past int64 (Spark NULLs, DuckDB errors)
     "events_gini" ->
       """WITH c AS (SELECT user_id, count(*) AS x FROM events GROUP BY 1),
         |r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM c),
-        |a AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS total,
-        |        sum(i * x) AS six FROM r)
+        |a AS (SELECT count(*) AS n, CAST(sum(x) AS VARCHAR) AS total,
+        |        sum(x) AS htotal, sum(i * x) AS six FROM r)
         |SELECT n, total,
-        |  CAST(CASE WHEN total > 0
-        |       THEN (2 * six - (n + 1) * total) * 1000000 // (n * total) END
+        |  CAST(CASE WHEN htotal > 0
+        |       THEN (2 * six - (n + 1) * htotal) * 1000000 // (n * htotal) END
         |    AS BIGINT) AS gini_micro
         |FROM a""".stripMargin,
 
@@ -5926,7 +5928,9 @@ object SparkEntry {
 
     // tie-aware Mann–Whitney AUC: per-distinct-margin (pos, neg) counts,
     // the strictly-below negative prefix, and the doubled-integer
-    // numerator folded in HUGEINT (Spark widens to decimal)
+    // numerator with per-row products ALSO in HUGEINT (DuckDB only
+    // widens the SUM accumulator on its own — a bare 2*nb*p row product
+    // would error past int64 where Spark's decimal widening proceeds)
     "quality_auc" ->
       perceptronOracle(
         """,gm AS (SELECT margin, CAST(count(*) AS BIGINT) AS n,
@@ -5937,10 +5941,12 @@ object SparkEntry {
           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nb
           |  FROM gm),
           |t AS (SELECT CAST(SUM(p) AS BIGINT) AS pp, CAST(SUM(q) AS BIGINT) AS nn,
-          |    SUM(2 * nb * p + p * q) AS num2 FROM cq)
+          |    SUM(2 * CAST(nb AS HUGEINT) * p + CAST(p AS HUGEINT) * q) AS num2
+          |  FROM cq)
           |SELECT pp + nn AS n, pp AS n_pos, nn AS n_neg,
           |  CASE WHEN pp > 0 AND nn > 0
-          |    THEN CAST((1000000 * num2) // (2 * pp * nn) AS BIGINT) END
+          |    THEN CAST((1000000 * num2)
+          |              // (2 * CAST(pp AS HUGEINT) * nn) AS BIGINT) END
           |    AS auc_micro
           |FROM t""".stripMargin),
 
@@ -5962,10 +5968,13 @@ object SparkEntry {
           |    1 + (SELECT count(*) FROM bnd WHERE (bnd.hi).bm < s.margin
           |         OR ((bnd.hi).bm = s.margin AND (bnd.hi).bd < s.doc_id)) AS bin
           |  FROM sc s),
-          |cnt AS (SELECT bin,
+          |cnt0 AS (SELECT bin,
           |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS nref,
           |    CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS ncur
           |  FROM binned GROUP BY 1),
+          |cnt AS (SELECT g.range AS bin, COALESCE(nref, 0) AS nref,
+          |    COALESCE(ncur, 0) AS ncur
+          |  FROM range(1, 11) g LEFT JOIN cnt0 ON g.range = cnt0.bin),
           |tot AS (SELECT CAST(SUM(nref) AS BIGINT) AS tr,
           |    CAST(SUM(ncur) AS BIGINT) AS tc FROM cnt),
           |terms AS (SELECT bin, nref, ncur,

@@ -709,7 +709,11 @@ object Analytics {
     * rank·value products widen to decimal BEFORE multiplying (i·x
     * overflows int64 near 10⁹ rows × 10⁹ values), the DuckDB side
     * matching via HUGEINT. One row: (n, total, gini_micro); NULL on an
-    * all-zero total rather than an engine-divergent division.
+    * all-zero total rather than an engine-divergent division. `total`
+    * ships as the decimal's STRING rendering (the ts_seasonal_strength
+    * convention): a long cast would NULL past int64 under Spark's
+    * non-ANSI decimal→long while DuckDB's BIGINT cast errors — exactly
+    * the >int64 scales the decimal fold guards.
     */
   def gini(df: DataFrame, valueCol: Column, tieCol: Column): DataFrame = {
     val ranked = Rank.withGlobalRank(
@@ -722,7 +726,7 @@ object Analytics {
         sum(col("x").cast("decimal(38,0)")).as("dtotal"),
         sum(col("i").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
           .as("six"))
-      .select(col("n"), col("dtotal").cast("long").as("total"),
+      .select(col("n"), col("dtotal").cast("string").as("total"),
         when(col("dtotal") > 0L, expr(
           "(2 * six - (cast(n as decimal(19,0)) + 1) * dtotal) * 1000000" +
             " div (cast(n as decimal(19,0)) * dtotal)")).as("gini_micro"))

@@ -2502,7 +2502,10 @@ object TextAnalysis {
     * every bin by how far it moved). Bins are the reference stratum's
     * `buckets` margin quantiles — the canonical convention, so a
     * perfectly stable current stratum lands ~uniform. Add-one-smoothed
-    * shares per bin, term = (p − q)·ln(p/q) rounded to micro IMMEDIATELY
+    * shares per bin — ALL `buckets` bins emitted, zero-backfilled when a
+    * degenerate reference (< buckets distinct rows) leaves ntile bins
+    * structurally empty, so the smoothed mass always sums to 1 — term =
+    * (p − q)·ln(p/q) rounded to micro IMMEDIATELY
     * (see the header note: measured 1-ulp ln divergence can flip a
     * micro-rounded term only with ~1e-9 odds), psi_micro = the integer
     * sum — order-free. Rule of thumb read: <10000 (0.01) stable,
@@ -2538,9 +2541,20 @@ object TextAnalysis {
           |  if(b.bm < margin or (b.bm = margin and b.bd < doc_id), 1L, 0L))"""
           .stripMargin))
     val w = Window.partitionBy(lit(0))
-    binned.groupBy(col("bin"))
-      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("nref"),
-        sum(when(col("is_ref"), 0L).otherwise(1L)).as("ncur"))
+    // every bin 1..buckets exists even when no row lands in it (a
+    // reference stratum with < buckets distinct rows leaves ntile bins
+    // empty): the add-one smoothing gives empty bins a NONZERO term, and
+    // dropping them would understate PSI (Σp, Σq < 1) exactly on the
+    // degenerate inputs the smoothing exists for
+    val allBins = df.sparkSession.range(1, buckets + 1)
+      .select(col("id").as("bin"))
+    allBins.join(
+        binned.groupBy(col("bin"))
+          .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("nref0"),
+            sum(when(col("is_ref"), 0L).otherwise(1L)).as("ncur0")),
+        Seq("bin"), "left_outer")
+      .select(col("bin"), coalesce(col("nref0"), lit(0L)).as("nref"),
+        coalesce(col("ncur0"), lit(0L)).as("ncur"))
       .withColumn("tr", sum(col("nref")).over(w))
       .withColumn("tc", sum(col("ncur")).over(w))
       .withColumn("p",
@@ -2593,7 +2607,14 @@ object TextAnalysis {
           "aggregate(bnds, 0L, (acc, b) -> acc + if(b < margin, 1L, 0L))"))
         .groupBy(col("bin")).agg(sum(col("n")).as(out))
     val w = Window.partitionBy(lit(0))
-    binned(ref, "nref").join(binned(cur, "ncur"), Seq("bin"), "full_outer")
+    // all 1..buckets bins, zero-backfilled: empty bins carry a nonzero
+    // add-one-smoothed term (see classifierPsi — dropping them would
+    // understate PSI exactly on the degenerate inputs smoothing guards)
+    val allBins = ref.sparkSession.range(1, buckets + 1)
+      .select(col("id").as("bin"))
+    allBins
+      .join(binned(ref, "nref"), Seq("bin"), "left_outer")
+      .join(binned(cur, "ncur"), Seq("bin"), "left_outer")
       .select(col("bin"), coalesce(col("nref"), lit(0L)).as("nref"),
         coalesce(col("ncur"), lit(0L)).as("ncur"))
       .withColumn("tr", sum(col("nref")).over(w))

@@ -3235,7 +3235,8 @@ class DataOpsSpec extends AnyFunSuite {
     import spark.implicits._
     val uniform = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)).toDF("u", "x")
     val g0 = ops.Analytics.gini(uniform, col("x"), col("u")).collect().head
-    assert((g0.getLong(0), g0.getLong(1)) === ((4L, 20L)))
+    // total is the decimal's string rendering (>int64-safe evidence)
+    assert((g0.getLong(0), g0.getString(1)) === ((4L, "20")))
     assert(g0.getLong(2) === 0L)
     // all activity on one user: G = (n-1)/n = 0.75 exactly
     val conc = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 8L)).toDF("u", "x")
@@ -3849,5 +3850,59 @@ class DataOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("term_micro") === terms(i))
       assert(r.getAs[Long]("psi_micro") === terms.sum)
     }
+  }
+
+  test("histogram PSI: bins empty in both windows still carry their " +
+      "smoothed term (degenerate reference < buckets distinct rows)") {
+    import spark.implicits._
+    // 3 distinct margins → ntile cuts collapse, bins 4..10 receive no
+    // rows; with unequal totals the smoothed shares differ, so dropping
+    // the empty bins would understate PSI
+    val ref = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("margin", "n")
+    val cur = Seq((1L, 2L), (2L, 2L), (3L, 2L)).toDF("margin", "n")
+    val out = TextAnalysis.psiFromHists(ref, cur).collect()
+    assert(out.length === 10, "all 10 bins emitted")
+    val tr = 3L; val tc = 6L
+    def term(nr: Long, nc: Long): Long = {
+      val p = (nr + 1).toDouble / (tr + 10).toDouble
+      val q = (nc + 1).toDouble / (tc + 10).toDouble
+      math.round(1000000.0 * ((p - q) * math.log(p / q)))
+    }
+    val empty = term(0L, 0L)
+    assert(empty > 0L, "an empty bin's smoothed term is nonzero here")
+    val expected = (1 to 10).map {
+      case b if b <= 3 => term(1L, 2L)
+      case _           => empty
+    }
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("bin") === (i + 1).toLong)
+      assert(r.getAs[Long]("nref") === (if (i < 3) 1L else 0L))
+      assert(r.getAs[Long]("ncur") === (if (i < 3) 2L else 0L))
+      assert(r.getAs[Long]("term_micro") === expected(i))
+      assert(r.getAs[Long]("psi_micro") === expected.sum)
+    }
+  }
+
+  test("classifier PSI: a reference stratum smaller than the bucket " +
+      "count still emits every bin") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", true),
+      (2L, "zzz qqq xxx vvv kkk", false),
+      (3L, "a plain english sentence with common words", true),
+      (4L, "jjj www yyy hhh bbb", false),
+      (5L, "another ordinary english line of text", true))
+      .toDF("doc_id", "text", "pos")
+    val out = TextAnalysis.classifierPsi(docs, col("doc_id"), col("text"),
+      col("pos"), refPred = col("doc_id") % 2 === 0).collect()
+    // 2 reference docs, 10 buckets: 8 bins are structurally empty but
+    // all 10 rows appear, counts zero-backfilled, one shared psi_micro
+    assert(out.length === 10)
+    assert(out.map(_.getAs[Long]("bin")).toSeq === (1L to 10L))
+    assert(out.map(_.getAs[Long]("nref")).sum === 2L)
+    assert(out.map(_.getAs[Long]("ncur")).sum === 3L)
+    val psi = out.head.getAs[Long]("psi_micro")
+    assert(out.forall(_.getAs[Long]("psi_micro") == psi))
+    assert(psi === out.map(_.getAs[Long]("term_micro")).sum)
   }
 }
