@@ -701,11 +701,27 @@ object SparkEntry {
     // multi-touch attribution: view/click/signup touches credit purchase
     // conversions in a 7-day lookback under four credit models
     "events_attribution" -> ((s, dir) => Analytics.eventAttribution(s, dir)),
+    // data-driven attribution: Markov removal effect via the EXACT
+    // rational absorption solve (oracle: Cramer determinants in HUGEINT)
+    "events_attr_markov" -> ((s, dir) =>
+      Analytics.eventMarkovAttribution(s, dir)),
     // deterministic-hash A/B readout + its chi-square significance row
     "events_ab_lift" -> ((s, dir) =>
       Analytics.abLift(Tables.events(s, dir))),
     "events_ab_chi2" -> ((s, dir) =>
       Analytics.abChiSquare(Tables.events(s, dir))),
+    // the continuous-metric significance pair on per-user revenue:
+    // Welch's t (unequal variances) + tie-corrected Mann-Whitney rank-sum
+    "events_ab_ttest" -> ((s, dir) =>
+      Analytics.abTTest(Tables.events(s, dir))),
+    "events_ab_mannwhitney" -> ((s, dir) =>
+      Analytics.abMannWhitney(Tables.events(s, dir))),
+    // CUPED: pre-experiment revenue as the variance-reducing covariate
+    "events_ab_cuped" -> ((s, dir) =>
+      Analytics.abCuped(Tables.events(s, dir))),
+    // post-hoc power: minimum detectable effect at the realized sizes
+    "events_ab_power" -> ((s, dir) =>
+      Analytics.abPower(Tables.events(s, dir))),
     // Kaplan-Meier signup->first-purchase survival per signup-week
     // cohort, right-censored at the corpus frontier
     "events_survival_km" -> ((s, dir) => Analytics.eventSurvival(s, dir)),
@@ -2511,6 +2527,209 @@ object SparkEntry {
         |  (1000 * CAST(sum(CASE WHEN convs > 0 THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS conv_permille,
         |  CAST(sum(cents) AS BIGINT) AS revenue_cents
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Markov removal-effect attribution: journey transitions via the
+    // same lag/terminal windows, then the absorption system solved in
+    // CLOSED FORM — Cramer determinants over the integer counts in
+    // HUGEINT (rows scaled by o_i so every entry is exact), each
+    // knockout a 2x2 resolve; // truncates like the BigInt solve
+    "events_attr_markov" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events),
+        |conv AS (SELECT user_id, event_id AS conv_id, ts_us AS conv_ts
+        |  FROM e WHERE event_type = 'purchase' AND value >= 150.0),
+        |touch AS (SELECT user_id, event_id AS touch_id, event_type AS channel, ts_us AS touch_ts
+        |  FROM e WHERE event_type IN ('click', 'signup', 'view')),
+        |cj AS (SELECT conv_id AS jid, channel, touch_ts, touch_id, 'CONV' AS absorb
+        |  FROM conv c JOIN touch t ON c.user_id = t.user_id
+        |  WHERE touch_ts < conv_ts AND conv_ts - touch_ts <= CAST(604800 AS BIGINT) * 1000000),
+        |nc AS (SELECT -t.user_id - 1 AS jid, channel, touch_ts, touch_id, 'NULLS' AS absorb
+        |  FROM touch t WHERE t.user_id NOT IN (SELECT user_id FROM conv)),
+        |j AS (SELECT jid, channel, absorb,
+        |    COALESCE(lag(channel) OVER (PARTITION BY jid ORDER BY touch_ts, touch_id), 'START') AS src,
+        |    row_number() OVER (PARTITION BY jid ORDER BY touch_ts DESC, touch_id DESC) AS rdesc
+        |  FROM (SELECT * FROM cj UNION ALL SELECT * FROM nc)),
+        |tr AS (SELECT src, channel AS dst, count(*) AS n FROM j GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT channel AS src, absorb AS dst, count(*) AS n FROM j WHERE rdesc = 1 GROUP BY 1, 2),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN src = 'START' THEN n ELSE 0 END) AS HUGEINT) AS os,
+        |    CAST(sum(CASE WHEN src = 'click' THEN n ELSE 0 END) AS HUGEINT) AS o1,
+        |    CAST(sum(CASE WHEN src = 'signup' THEN n ELSE 0 END) AS HUGEINT) AS o2,
+        |    CAST(sum(CASE WHEN src = 'view' THEN n ELSE 0 END) AS HUGEINT) AS o3,
+        |    CAST(sum(CASE WHEN src = 'START' AND dst = 'click' THEN n ELSE 0 END) AS HUGEINT) AS s1,
+        |    CAST(sum(CASE WHEN src = 'START' AND dst = 'signup' THEN n ELSE 0 END) AS HUGEINT) AS s2,
+        |    CAST(sum(CASE WHEN src = 'START' AND dst = 'view' THEN n ELSE 0 END) AS HUGEINT) AS s3,
+        |    CAST(sum(CASE WHEN src = 'click' AND dst = 'click' THEN n ELSE 0 END) AS HUGEINT) AS c11,
+        |    CAST(sum(CASE WHEN src = 'click' AND dst = 'signup' THEN n ELSE 0 END) AS HUGEINT) AS c12,
+        |    CAST(sum(CASE WHEN src = 'click' AND dst = 'view' THEN n ELSE 0 END) AS HUGEINT) AS c13,
+        |    CAST(sum(CASE WHEN src = 'signup' AND dst = 'click' THEN n ELSE 0 END) AS HUGEINT) AS c21,
+        |    CAST(sum(CASE WHEN src = 'signup' AND dst = 'signup' THEN n ELSE 0 END) AS HUGEINT) AS c22,
+        |    CAST(sum(CASE WHEN src = 'signup' AND dst = 'view' THEN n ELSE 0 END) AS HUGEINT) AS c23,
+        |    CAST(sum(CASE WHEN src = 'view' AND dst = 'click' THEN n ELSE 0 END) AS HUGEINT) AS c31,
+        |    CAST(sum(CASE WHEN src = 'view' AND dst = 'signup' THEN n ELSE 0 END) AS HUGEINT) AS c32,
+        |    CAST(sum(CASE WHEN src = 'view' AND dst = 'view' THEN n ELSE 0 END) AS HUGEINT) AS c33,
+        |    CAST(sum(CASE WHEN src = 'click' AND dst = 'CONV' THEN n ELSE 0 END) AS HUGEINT) AS r1,
+        |    CAST(sum(CASE WHEN src = 'signup' AND dst = 'CONV' THEN n ELSE 0 END) AS HUGEINT) AS r2,
+        |    CAST(sum(CASE WHEN src = 'view' AND dst = 'CONV' THEN n ELSE 0 END) AS HUGEINT) AS r3
+        |  FROM tr),
+        |a AS (SELECT *, o1 - c11 AS a11, -c12 AS a12, -c13 AS a13,
+        |    -c21 AS a21, o2 - c22 AS a22, -c23 AS a23,
+        |    -c31 AS a31, -c32 AS a32, o3 - c33 AS a33 FROM m),
+        |d AS (SELECT *,
+        |    a11*(a22*a33 - a23*a32) - a12*(a21*a33 - a23*a31) + a13*(a21*a32 - a22*a31) AS det,
+        |    r1*(a22*a33 - a23*a32) - a12*(r2*a33 - a23*r3) + a13*(r2*a32 - a22*r3) AS det1,
+        |    a11*(r2*a33 - a23*r3) - r1*(a21*a33 - a23*a31) + a13*(a21*r3 - r2*a31) AS det2,
+        |    a11*(a22*r3 - r2*a32) - a12*(a21*r3 - r2*a31) + r1*(a21*a32 - a22*a31) AS det3,
+        |    a22*a33 - a23*a32 AS dk, r2*a33 - a23*r3 AS dk2, a22*r3 - r2*a32 AS dk3,
+        |    a11*a33 - a13*a31 AS ds, r1*a33 - a13*r3 AS ds1, a11*r3 - r1*a31 AS ds3,
+        |    a11*a22 - a12*a21 AS dv, r1*a22 - a12*r2 AS dv1, a11*r2 - r1*a21 AS dv2
+        |  FROM a),
+        |micro AS (SELECT *,
+        |    CASE WHEN det != 0 THEN (1000000 * (s1*det1 + s2*det2 + s3*det3)) // (os * det) END AS pconv,
+        |    CASE WHEN dk != 0 THEN (1000000 * (s2*dk2 + s3*dk3)) // (os * dk) END AS rm1,
+        |    CASE WHEN ds != 0 THEN (1000000 * (s1*ds1 + s3*ds3)) // (os * ds) END AS rm2,
+        |    CASE WHEN dv != 0 THEN (1000000 * (s1*dv1 + s2*dv2)) // (os * dv) END AS rm3
+        |  FROM d),
+        |eff AS (SELECT *, pconv - rm1 AS e1, pconv - rm2 AS e2, pconv - rm3 AS e3,
+        |    (pconv - rm1) + (pconv - rm2) + (pconv - rm3) AS te FROM micro),
+        |rows_ AS (
+        |  SELECT 'click' AS channel, pconv, rm1 AS removed, e1 AS eff, te FROM eff
+        |  UNION ALL SELECT 'signup', pconv, rm2, e2, te FROM eff
+        |  UNION ALL SELECT 'view', pconv, rm3, e3, te FROM eff)
+        |SELECT channel, CAST(pconv AS BIGINT) AS pconv_micro,
+        |  CAST(removed AS BIGINT) AS removed_micro,
+        |  CAST(eff AS BIGINT) AS effect_micro,
+        |  CASE WHEN te IS NOT NULL AND te > 0 THEN CAST((1000 * eff) // te AS BIGINT) END AS share_permille
+        |FROM rows_ ORDER BY channel""".stripMargin,
+
+    // Welch t on per-user revenue cents: exact HUGEINT sufficient stats,
+    // variance-over-n terms as single double divisions of exact num/den,
+    // t and Satterthwaite df under the same fixed tree as the Spark side
+    "events_ab_ttest" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' THEN 'A' ELSE 'B' END AS variant, cents FROM u),
+        |s AS (SELECT
+        |    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(sum(CASE WHEN variant = 'A' THEN cents ELSE 0 END) AS HUGEINT) AS sxa,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN cents ELSE 0 END) AS HUGEINT) AS sxb,
+        |    sum(CASE WHEN variant = 'A' THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS sxxa,
+        |    sum(CASE WHEN variant = 'B' THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS sxxb
+        |  FROM v),
+        |g AS (SELECT na, nb, sxa, sxb,
+        |    CAST(na * sxxa - sxa * sxa AS DOUBLE) / CAST(na * na * (na - 1) AS DOUBLE) AS ga,
+        |    CAST(nb * sxxb - sxb * sxb AS DOUBLE) / CAST(nb * nb * (nb - 1) AS DOUBLE) AS gb
+        |  FROM s)
+        |SELECT na, nb,
+        |  CAST((1000000 * sxa) // na AS BIGINT) AS mean_a_microcents,
+        |  CAST((1000000 * sxb) // nb AS BIGINT) AS mean_b_microcents,
+        |  CASE WHEN na >= 2 AND nb >= 2 AND ga + gb > 0 THEN
+        |    CAST(round(1000000.0 * (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE)) / sqrt(ga + gb)) AS BIGINT) END AS t_micro,
+        |  CASE WHEN na >= 2 AND nb >= 2 AND ga + gb > 0 THEN
+        |    CAST(round(1000.0 * (ga + gb) * (ga + gb)
+        |      / (ga * ga / CAST(na - 1 AS DOUBLE) + gb * gb / CAST(nb - 1 AS DOUBLE))) AS BIGINT) END AS df_milli
+        |FROM g""".stripMargin,
+
+    // tie-corrected rank-sum: per-distinct-cents counts, strictly-below
+    // B prefix, doubled U in HUGEINT; sig2num = N(N-1)(N+1) - sum(t^3-t)
+    // exact (0 iff all tie), z under the shared fixed double tree
+    "events_ab_mannwhitney" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' THEN 'A' ELSE 'B' END AS variant, cents FROM u),
+        |g AS (SELECT cents, CAST(count(*) AS BIGINT) AS t,
+        |    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM v GROUP BY 1),
+        |c AS (SELECT cents, t, ca, cb,
+        |    CAST(COALESCE(sum(cb) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bb
+        |  FROM g),
+        |s AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+        |    sum(2 * CAST(bb AS HUGEINT) * ca + CAST(ca AS HUGEINT) * cb) AS u2,
+        |    sum(CAST(t AS HUGEINT) * t * t - t) AS ties3
+        |  FROM c),
+        |z AS (SELECT na, nb, u2,
+        |    CAST(na + nb AS HUGEINT) * (na + nb - 1) * (na + nb + 1) - ties3 AS sig2num
+        |  FROM s)
+        |SELECT na, nb, CAST(u2 AS VARCHAR) AS u2,
+        |  CASE WHEN na > 0 AND nb > 0 AND sig2num > 0 THEN
+        |    CAST(round(1000000.0 *
+        |      (CAST(u2 - CAST(na AS HUGEINT) * nb AS DOUBLE) / 2.0)
+        |      / sqrt(CAST(CAST(na AS HUGEINT) * nb AS DOUBLE) * CAST(sig2num AS DOUBLE)
+        |         / CAST(12 * CAST(na + nb AS HUGEINT) * (na + nb - 1) AS DOUBLE))
+        |      ) AS BIGINT) END AS z_micro
+        |FROM z""".stripMargin,
+
+    // CUPED: pooled exact sufficient stats, cross-multiplied cov/var
+    // numerators, theta and adjusted means as the shared fixed tree
+    "events_ab_cuped" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' AND ts < TIMESTAMP '2024-01-16 00:00:00'
+        |        THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |        THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' THEN 'A' ELSE 'B' END AS variant, x, y FROM u),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy, sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM v),
+        |th AS (SELECT n, sx,
+        |    n * sxy - sx * sy AS cov_num, n * sxx - sx * sx AS varx_num,
+        |    n * syy - sy * sy AS vary_num FROM tot),
+        |pv AS (SELECT variant, CAST(count(*) AS BIGINT) AS nv,
+        |    CAST(sum(x) AS HUGEINT) AS sxv, CAST(sum(y) AS HUGEINT) AS syv
+        |  FROM v GROUP BY 1)
+        |SELECT variant, nv AS users,
+        |  CAST((1000000 * syv) // nv AS BIGINT) AS mean_microcents,
+        |  CASE WHEN varx_num > 0 THEN
+        |    CAST(round(1000000.0 * (CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE)
+        |      - (CAST(cov_num AS DOUBLE) / CAST(varx_num AS DOUBLE))
+        |        * (CAST(sxv AS DOUBLE) / CAST(nv AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))) AS BIGINT) END
+        |    AS adj_mean_microcents,
+        |  CASE WHEN varx_num > 0 THEN
+        |    CAST(round(1000000.0 * CAST(cov_num AS DOUBLE) / CAST(varx_num AS DOUBLE)) AS BIGINT) END
+        |    AS theta_micro,
+        |  CASE WHEN varx_num > 0 AND vary_num > 0 THEN
+        |    CAST(round(1000.0 * (CAST(cov_num AS DOUBLE) * CAST(cov_num AS DOUBLE))
+        |      / (CAST(varx_num AS DOUBLE) * CAST(vary_num AS DOUBLE))) AS BIGINT) END
+        |    AS var_reduction_permille
+        |FROM pv, th ORDER BY variant""".stripMargin,
+
+    // post-hoc MDE at alpha=.05 two-sided / 80% power; the z quantiles
+    // are data-independent literals spelled identically on both engines
+    "events_ab_power" ->
+      """WITH u AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase' AND value >= 150.0 THEN 1 ELSE 0 END) AS convs
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' THEN 'A' ELSE 'B' END AS variant, convs FROM u),
+        |s AS (SELECT
+        |    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(sum(CASE WHEN variant = 'A' AND convs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN variant = 'B' AND convs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM v),
+        |p AS (SELECT *, CAST(conv_a + conv_b AS DOUBLE) / CAST(na + nb AS DOUBLE) AS pbar FROM s),
+        |o AS (SELECT na, nb, conv_a, conv_b,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    CAST(round(1000000.0 * (CAST(conv_a AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(conv_b AS DOUBLE) / CAST(nb AS DOUBLE))) AS BIGINT) END AS observed_lift_micro,
+        |  CASE WHEN na > 0 AND nb > 0 AND pbar > 0 AND pbar < 1 THEN
+        |    CAST(round(1000000.0 * (CAST(1.959963984540054 AS DOUBLE)
+        |        + CAST(0.8416212335729143 AS DOUBLE))
+        |      * sqrt(pbar * (1.0 - pbar)
+        |          * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))) AS BIGINT) END AS mde_micro
+        |  FROM p)
+        |SELECT *, CASE WHEN mde_micro IS NOT NULL THEN
+        |    CAST(abs(observed_lift_micro) >= mde_micro AS BIGINT) END AS powered
+        |FROM o""".stripMargin,
 
     // the same per-cohort sequential product, replayed as a recursive
     // CTE on the duration row number (the Holt oracle discipline);

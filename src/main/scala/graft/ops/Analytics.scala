@@ -2706,6 +2706,203 @@ object Analytics {
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us")))
 
+  /** First-order journey transition counts for [[markovAttribution]]:
+    * one CONVERTING journey per conversion (its in-window touches in
+    * time order, absorbed by CONV) and one NON-converting journey per
+    * user with touches but no conversion at all (absorbed by NULLS) —
+    * the chain needs both outcomes or P(conversion) is degenerately 1.
+    * Emits the (src, dst, n) count matrix over states START / channels /
+    * CONV / NULLS.
+    *
+    * Scale shape: the credited-pairs join is output-bound (see
+    * [[attributionPairs]]); both the consecutive-touch lag and the
+    * journey-terminal row ride ONE `partitionBy(jid)` window spec over
+    * hash-distributed journey ids, and the final (src, dst) count is a
+    * map-side-combined aggregate onto a ≤(C+2)² matrix.
+    */
+  def markovTransitions(ev: DataFrame,
+                        windowUs: Long = 7L * 24 * 3600 * 1000000L,
+                        touchTypes: Seq[String] = Seq("click", "signup", "view"),
+                        convType: String = "purchase",
+                        convValue: Double = 150.0): DataFrame = {
+    require(windowUs > 0)
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType))
+    val conv = ev.filter(col("event_type") === convType
+        && col("value") >= convValue)
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("ts_us").as("conv_ts"))
+    val touch = ev.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("channel"), col("ts_us").as("touch_ts"))
+    val converting = conv.join(touch, Seq("user_id"))
+      .filter(col("touch_ts") < col("conv_ts")
+        && col("conv_ts") - col("touch_ts") <= windowUs)
+      .select(col("conv_id").as("jid"), col("channel"), col("touch_ts"),
+        col("touch_id"), lit("CONV").as("absorb"))
+    // journey ids live in disjoint keyspaces: conversions use the
+    // (non-negative) event id, non-converters the -user_id-1 mirror
+    val nonConverting = touch
+      .join(conv.select(col("user_id")).distinct(), Seq("user_id"), "left_anti")
+      .select((-col("user_id") - 1).as("jid"), col("channel"),
+        col("touch_ts"), col("touch_id"), lit("NULLS").as("absorb"))
+    val j = converting.unionByName(nonConverting)
+    val byJ = Window.partitionBy(col("jid"))
+      .orderBy(col("touch_ts"), col("touch_id"))
+    val byJDesc = Window.partitionBy(col("jid"))
+      .orderBy(col("touch_ts").desc, col("touch_id").desc)
+    val steps = j
+      .withColumn("src", coalesce(lag(col("channel"), 1).over(byJ), lit("START")))
+      .withColumn("last", row_number().over(byJDesc) === 1)
+    steps.select(col("src"), col("channel").as("dst"))
+      .unionByName(steps.filter(col("last"))
+        .select(col("channel").as("src"), col("absorb").as("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Data-driven (Markov removal-effect) attribution — Anderl, Becker,
+    * v. Wangenheim & Schumann 2014; the model-based answer to the
+    * heuristic credit split [[attribution]] reports: fit the first-order
+    * absorbing chain START → channels → {CONV, NULLS} by MLE (transition
+    * probability = count ratio — which makes P(conv from START) equal
+    * the empirical journey conversion rate, a built-in sanity anchor),
+    * then credit channel c by how much conversion probability DISAPPEARS
+    * when c is knocked out (every visit to c rerouted to NULLS, i.e.
+    * p(c) pinned 0).
+    *
+    * The chain is tiny (C+2 states) but cyclic, so instead of a
+    * truncated value iteration (self-loop mass makes convergence slow
+    * and a bounded-K answer arbitrary) the absorption system
+    * (I − Q)p = r is solved EXACTLY: rational Gaussian elimination over
+    * BigInt fractions of the integer counts, with each removal variant a
+    * rank-reduced resolve. Every reported number is therefore an exact
+    * rational truncated to micro (the `div`/`//` convention) —
+    * engine-portable with no libm, no iteration count, no convergence
+    * tolerance. The oracle replays the same fractions as Cramer
+    * determinants in HUGEINT. Built-in sanity anchor: with no knockout,
+    * p_START is EXACTLY (converting journeys)/(all journeys).
+    *
+    * Per channel (sorted): `pconv_micro` (shared — the full-chain
+    * conversion probability), `removed_micro` (with this channel knocked
+    * out), `effect_micro` = pconv − removed (difference of the truncated
+    * micros — documented), and `share_permille` = the truncating credit
+    * split over Σ effects. NULL row values when the system is singular
+    * (a closed channel clique that never reaches absorption); NULL share
+    * when Σ effects ≤ 0.
+    *
+    * Scale shape: everything corpus-sized is [[markovTransitions]]; the
+    * solve folds the ≤(C+2)²-row matrix in ONE typed group (the
+    * flatMapGroups discipline — never a driver collect, never K joined
+    * rounds over the cluster for a C×C system).
+    */
+  def markovAttribution(transitions: DataFrame): DataFrame = {
+    val spark = transitions.sparkSession
+    import spark.implicits._
+    transitions.select(col("src").cast("string"), col("dst").cast("string"),
+        col("n").cast("long"))
+      .as[(String, String, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroups { (_: Int, it: Iterator[(String, String, Long)]) =>
+        markovSolveRows(it.toArray)
+      }
+      .toDF("channel", "pconv_micro", "removed_micro", "effect_micro",
+        "share_permille")
+      .orderBy(col("channel"))
+  }
+
+  /** [[markovAttribution]] on the events table: the same
+    * view/click/signup → purchase journey definition as
+    * [[eventAttribution]], with the HIGH-VALUE conversion (value ≥ 150,
+    * the [[abLift]] convention) so both converting and non-converting
+    * journeys exist and the chain has a real NULLS absorber. */
+  def eventMarkovAttribution(spark: SparkSession, dir: String): DataFrame =
+    markovAttribution(markovTransitions(Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"))))
+
+  /** Exact BigInt fraction for [[markovSolveRows]]'s tiny linear
+    * systems — normalized so equality/zero checks are structural. */
+  private final case class Frac(n: BigInt, d: BigInt) {
+    def +(o: Frac): Frac = Frac.norm(n * o.d + o.n * d, d * o.d)
+    def -(o: Frac): Frac = Frac.norm(n * o.d - o.n * d, d * o.d)
+    def *(o: Frac): Frac = Frac.norm(n * o.n, d * o.d)
+    def /(o: Frac): Frac = Frac.norm(n * o.d, d * o.n)
+    def isZero: Boolean = n.signum == 0
+    /** this · 10⁶ truncated toward zero — the micro rendering (BigInt
+      * `/` truncates exactly like Spark `div` and DuckDB `//`; the
+      * rendered values here are probabilities, so ≥ 0 anyway). */
+    def microTrunc: Long = (n * 1000000 / d).toLong
+  }
+  private object Frac {
+    val zero: Frac = Frac(BigInt(0), BigInt(1))
+    def apply(num: Long, den: Long): Frac = norm(BigInt(num), BigInt(den))
+    def norm(n: BigInt, d: BigInt): Frac = {
+      require(d.signum != 0)
+      if (n.signum == 0) zero
+      else {
+        val s = d.signum
+        val g = n.gcd(d)
+        new Frac(n * s / g, d * s / g)
+      }
+    }
+  }
+
+  /** The per-group fold behind [[markovAttribution]]: exact rational
+    * Gaussian elimination of the absorption system for the full chain
+    * and each knocked-out variant. Input is the (src, dst, n) matrix;
+    * output one row per channel. */
+  private[ops] def markovSolveRows(cnt: Array[(String, String, Long)])
+      : Iterator[(String, Option[Long], Option[Long], Option[Long], Option[Long])] = {
+    val out = cnt.groupBy(_._1).map { case (s, rows) => s -> rows.map(_._3).sum }
+    val channels = cnt.map(_._1).filter(_ != "START").distinct.sorted
+    if (channels.isEmpty || !out.contains("START")) return Iterator.empty
+    def c(a: String, b: String): Long =
+      cnt.collectFirst { case (`a`, `b`, n) => n }.getOrElse(0L)
+    // absorption probabilities of the chain restricted to `keep`:
+    // (I − Q)p = r with Q, r the MLE count ratios; None when singular
+    def solve(keep: IndexedSeq[String]): Option[Frac] = {
+      val m = keep.size
+      val a = Array.tabulate(m, m) { (i, j) =>
+        Frac(if (i == j) 1L else 0L, 1L) -
+          Frac(c(keep(i), keep(j)), out(keep(i)))
+      }
+      val b = Array.tabulate(m)(i => Frac(c(keep(i), "CONV"), out(keep(i))))
+      for (p <- 0 until m) {
+        val piv = (p until m).find(r => !a(r)(p).isZero).getOrElse(return None)
+        if (piv != p) {
+          val t = a(piv); a(piv) = a(p); a(p) = t
+          val tb = b(piv); b(piv) = b(p); b(p) = tb
+        }
+        for (r <- 0 until m if r != p && !a(r)(p).isZero) {
+          val f = a(r)(p) / a(p)(p)
+          for (j <- p until m) a(r)(j) = a(r)(j) - f * a(p)(j)
+          b(r) = b(r) - f * b(p)
+        }
+      }
+      val p = keep.indices.map(i => b(i) / a(i)(i))
+      // p_START folds the first-hop distribution over the kept channels
+      Some(keep.indices.foldLeft(Frac.zero) { (acc, i) =>
+        acc + Frac(c("START", keep(i)), out("START")) * p(i)
+      })
+    }
+    val full = solve(channels.toIndexedSeq)
+    val removed = channels.map(ch =>
+      ch -> solve(channels.filterNot(_ == ch).toIndexedSeq)).toMap
+    val fullMicro = full.map(_.microTrunc)
+    val removedMicro = channels.map(ch => ch -> removed(ch).map(_.microTrunc)).toMap
+    val effects = channels.map { ch =>
+      ch -> (for (f <- fullMicro; r <- removedMicro(ch)) yield f - r)
+    }.toMap
+    val totalEffect = channels.flatMap(effects(_)).sum
+    val allSolved = fullMicro.isDefined && channels.forall(removedMicro(_).isDefined)
+    channels.iterator.map { ch =>
+      val share =
+        if (allSolved && totalEffect > 0L)
+          effects(ch).map(e => 1000L * e / totalEffect) // truncating, = `div`
+        else None
+      (ch, fullMicro, removedMicro(ch), effects(ch), share)
+    }
+  }
+
   /** Kaplan–Meier survival curve per cohort — the censoring-correct
     * time-to-event analysis (churn, activation lag, device failure) that
     * a naive mean-of-durations gets wrong the moment the observation
@@ -2866,6 +3063,244 @@ object Analytics {
           / cast(a + c as double) / cast(b + d as double) * 1000000.0D) as bigint)
         end""").as("chi2_micro"))
   }
+
+  /** Welch's t-test on per-user revenue between the experiment arms —
+    * the CONTINUOUS-metric significance readout beside [[abChiSquare]]'s
+    * 2×2 proportion test (revenue per user is the metric most
+    * experiments actually ship on, and its variances differ across arms
+    * by construction — hence Welch, never pooled Student). Sufficient
+    * statistics per arm are exact wide integers (n, Σx, Σx² in decimal —
+    * cents² passes int64 at ~3e5-dollar users), the variance-over-n
+    * terms g = (n·Σx² − (Σx)²)/(n²(n−1)) divide EXACT decimal num/den as
+    * one correctly-rounded double division each (the chi-square
+    * fixed-tree precedent; DuckDB mirrors in HUGEINT), then
+    * t = (x̄_A − x̄_B)/√(g_A + g_B) and the Welch–Satterthwaite
+    * df = (g_A+g_B)²/(g_A²/(n_A−1) + g_B²/(n_B−1)) evaluate under ONE
+    * fixed double parenthesization. Means report as exact truncating
+    * micro-cents. NULL stat on a degenerate experiment (an arm with
+    * n < 2 or zero total variance) rather than an engine-divergent ±inf.
+    *
+    * Scale shape: everything is the [[abUserCells]] user-level aggregate
+    * → one groupBy() row of six numbers; no windows, no joins.
+    */
+  def abTTestFromCells(cells0: DataFrame): DataFrame =
+    withVariant(cells0)
+      .groupBy()
+      .agg(
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("na"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("nb"),
+        sum(when(col("variant") === "A", col("cents")).otherwise(0L)
+          .cast("decimal(38,0)")).as("sxa"),
+        sum(when(col("variant") === "B", col("cents")).otherwise(0L)
+          .cast("decimal(38,0)")).as("sxb"),
+        sum(when(col("variant") === "A",
+          col("cents").cast("decimal(19,0)") * col("cents")).otherwise(lit(0)
+          .cast("decimal(19,0)"))).as("sxxa"),
+        sum(when(col("variant") === "B",
+          col("cents").cast("decimal(19,0)") * col("cents")).otherwise(lit(0)
+          .cast("decimal(19,0)"))).as("sxxb"))
+      .withColumn("ga", expr(
+        """cast(na * sxxa - sxa * sxa as double)
+          | / cast(cast(na as decimal(38,0)) * na * (na - 1) as double)"""
+          .stripMargin))
+      .withColumn("gb", expr(
+        """cast(nb * sxxb - sxb * sxb as double)
+          | / cast(cast(nb as decimal(38,0)) * nb * (nb - 1) as double)"""
+          .stripMargin))
+      .select(col("na"), col("nb"),
+        expr("(1000000 * sxa) div na").as("mean_a_microcents"),
+        expr("(1000000 * sxb) div nb").as("mean_b_microcents"),
+        when(col("na") >= 2L && col("nb") >= 2L
+            && col("ga") + col("gb") > 0d, expr(
+          """cast(round(1000000.0D * (cast(sxa as double) / cast(na as double)
+            |  - cast(sxb as double) / cast(nb as double))
+            |  / sqrt(ga + gb)) as bigint)""".stripMargin)).as("t_micro"),
+        when(col("na") >= 2L && col("nb") >= 2L
+            && col("ga") + col("gb") > 0d, expr(
+          """cast(round(1000.0D * (ga + gb) * (ga + gb)
+            | / (ga * ga / cast(na - 1 as double)
+            |    + gb * gb / cast(nb - 1 as double))) as bigint)"""
+            .stripMargin)).as("df_milli"))
+
+  /** [[abTTestFromCells]] over the events table (same cells, same
+    * variant split as [[abLift]] — the readout and both significance
+    * stats can never disagree about the population). */
+  def abTTest(ev: DataFrame, convValue: Double = 150.0): DataFrame =
+    abTTestFromCells(abUserCells(ev, convValue))
+
+  /** Tie-corrected Mann–Whitney rank-sum z on per-user revenue — the
+    * NONPARAMETRIC sibling of [[abTTestFromCells]] (per-user revenue is
+    * zero-inflated and heavy-tailed; the rank test doesn't care). The
+    * doubled U statistic folds exactly like the tie-aware AUC it shares
+    * its mathematics with (U/(n_A·n_B) IS the AUC of "arm A beats arm
+    * B"): per distinct cents value the (t, c_A, c_B) counts, the
+    * strictly-below B prefix from the range-partitioned running sum,
+    * U2 = Σ(2·below_B·c_A + c_A·c_B) in decimal. The normal
+    * approximation uses the tie-corrected variance σ² = n_A·n_B/12 ·
+    * ((N+1) − Σ(t³−t)/(N(N−1))) and z = (U − n_A·n_B/2)/σ under one
+    * fixed double tree over the exact integers. `u2` ships as the
+    * decimal's string rendering (the gini evidence convention). NULL z
+    * when an arm is empty or every user ties (σ = 0).
+    *
+    * Scale shape: user cells → one groupBy(cents) (map-side combined,
+    * O(distinct revenue values) rows) → the range-partitioned prefix →
+    * one 1-row agg. No single-task window at any n.
+    */
+  def abMannWhitneyFromCells(cells0: DataFrame): DataFrame = {
+    val g = withVariant(cells0)
+      .groupBy(col("cents"))
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("cb"))
+    Rank.withRunningSum(g, Seq(col("cents")), "cb", "cbb")
+      .agg(
+        sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        sum((col("cbb") - col("cb")).cast("decimal(19,0)")
+            * col("ca").cast("decimal(19,0)") * lit(2)
+          + col("ca").cast("decimal(19,0)") * col("cb").cast("decimal(19,0)"))
+          .as("u2"),
+        sum(col("t").cast("decimal(19,0)") * col("t") * col("t") - col("t"))
+          .as("ties3"))
+      // sig2num = N(N−1)(N+1) − Σ(t³−t): exact integer, 0 iff every
+      // user ties (σ = 0 → NULL, never an engine NaN/±inf)
+      .withColumn("sig2num", expr(
+        """cast(na + nb as decimal(19,0)) * (na + nb - 1) * (na + nb + 1)
+          | - ties3""".stripMargin))
+      .select(col("na"), col("nb"), col("u2").cast("string").as("u2"),
+        when(col("na") > 0L && col("nb") > 0L && col("sig2num") > 0, expr(
+          // σ² as (double(na·nb) · double(sig2num)) / double(12·N(N−1)):
+          // each cast converts an exact ≤10²⁷ decimal (correctly rounded
+          // on both engines); the all-decimal product would pass 38
+          // digits at ~10⁹ users
+          """cast(round(1000000.0D *
+            |  (cast(u2 - cast(na as decimal(19,0)) * nb as double) / 2.0D)
+            |  / sqrt(cast(cast(na as decimal(19,0)) * nb as double)
+            |         * cast(sig2num as double)
+            |     / cast(12 * cast(na + nb as decimal(19,0)) * (na + nb - 1)
+            |            as double))
+            |  ) as bigint)""".stripMargin))
+          .as("z_micro"))
+  }
+
+  /** [[abMannWhitneyFromCells]] over the events table. */
+  def abMannWhitney(ev: DataFrame, convValue: Double = 150.0): DataFrame =
+    abMannWhitneyFromCells(abUserCells(ev, convValue))
+
+  /** CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker,
+    * WSDM 2013) — the standard trick that makes the SAME experiment
+    * readable at a fraction of the sample: regress each user's
+    * experiment-window revenue y on their PRE-experiment revenue x
+    * (which no treatment can have touched) and judge the arms on the
+    * adjusted metric y − θ(x − x̄) instead of y. θ = cov(x,y)/var(x)
+    * from pooled exact integer sufficient statistics (n, Σx, Σy, Σxy,
+    * Σx², Σy² in decimal), the covariance/variance numerators
+    * cross-multiplied exact (n·Σxy − ΣxΣy etc.), θ and the adjusted
+    * means single correctly-rounded double divisions of those exact
+    * integers under one fixed parenthesization. Reports per arm: users,
+    * the raw truncating mean, the adjusted mean (micro-cents), plus the
+    * shared θ (micro) and the variance-reduction ratio ρ² =
+    * cov²/(var_x·var_y) (permille) — the factor by which the adjusted
+    * metric's variance shrinks. NULL adjustment when var(x) = 0 (no
+    * pre-period signal — the raw readout is already the best one) or
+    * var(y) = 0 for ρ².
+    *
+    * `splitTs` is the experiment-start boundary: purchases strictly
+    * before it are the covariate window, at/after are the metric
+    * window.
+    *
+    * Scale shape: one events scan → user-level cells (map-side
+    * combined), one 1-row pooled agg broadcast back over the 2-row
+    * per-variant agg. No windows, no user-level joins.
+    */
+  def abCuped(ev: DataFrame,
+              splitTs: String = "2024-01-16 00:00:00"): DataFrame = {
+    val cells = ev.groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase"
+            && col("ts") < lit(splitTs).cast("timestamp"),
+          expr("cast(round(value * 100.0D) as bigint)")).otherwise(0L))
+          .as("x"),
+        sum(when(col("event_type") === "purchase"
+            && col("ts") >= lit(splitTs).cast("timestamp"),
+          expr("cast(round(value * 100.0D) as bigint)")).otherwise(0L))
+          .as("y"))
+    val v = withVariant(cells)
+    val tot = v.groupBy()
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("x").cast("decimal(19,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(19,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(19,0)") * col("y")).as("syy"))
+      .select(col("n"), col("sx"),
+        expr("n * sxy - sx * sy").as("cov_num"),
+        expr("n * sxx - sx * sx").as("varx_num"),
+        expr("n * syy - sy * sy").as("vary_num"))
+    v.groupBy(col("variant"))
+      .agg(count(lit(1)).as("nv"),
+        sum(col("x").cast("decimal(38,0)")).as("sxv"),
+        sum(col("y").cast("decimal(38,0)")).as("syv"))
+      .crossJoin(broadcast(tot))
+      .select(col("variant"), col("nv").as("users"),
+        expr("(1000000 * syv) div nv").as("mean_microcents"),
+        when(col("varx_num") > 0, expr(
+          """cast(round(1000000.0D * (cast(syv as double) / cast(nv as double)
+            |  - (cast(cov_num as double) / cast(varx_num as double))
+            |    * (cast(sxv as double) / cast(nv as double)
+            |       - cast(sx as double) / cast(n as double)))) as bigint)"""
+            .stripMargin)).as("adj_mean_microcents"),
+        when(col("varx_num") > 0, expr(
+          """cast(round(1000000.0D * cast(cov_num as double)
+            | / cast(varx_num as double)) as bigint)""".stripMargin))
+          .as("theta_micro"),
+        when(col("varx_num") > 0 && col("vary_num") > 0, expr(
+          """cast(round(1000.0D * (cast(cov_num as double)
+            |   * cast(cov_num as double))
+            | / (cast(varx_num as double) * cast(vary_num as double)))
+            | as bigint)""".stripMargin)).as("var_reduction_permille"))
+      .orderBy(col("variant"))
+  }
+
+  /** Post-hoc power / minimum-detectable-effect readout of the
+    * conversion experiment — the "was this test even big enough"
+    * companion every [[abChiSquare]] reading needs: at the realized
+    * sample sizes and pooled conversion rate, the smallest absolute
+    * conversion-rate lift a two-sided α = 0.05 test would catch with
+    * 80% power is MDE = (z_{0.975} + z_{0.80})·√(p̄(1−p̄)(1/n_A+1/n_B)).
+    * The z constants are DATA-INDEPENDENT literals (the NDCG-discount
+    * convention: spelled identically on both engines, bit-equal by
+    * construction); p̄ and the observed lift are single double
+    * divisions of exact integer counts, the MDE one fixed tree. Emits
+    * the counts, observed lift, MDE (both micro), and the integer
+    * verdict `powered` = |observed| ≥ MDE. NULL when an arm is empty or
+    * p̄ is degenerate (0 or 1 — no variance to detect against).
+    */
+  def abPower(ev: DataFrame, convValue: Double = 150.0): DataFrame =
+    withVariant(abUserCells(ev, convValue))
+      .groupBy()
+      .agg(
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("na"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("nb"),
+        sum(when(col("variant") === "A" && col("convs") > 0L, 1L)
+          .otherwise(0L)).as("conv_a"),
+        sum(when(col("variant") === "B" && col("convs") > 0L, 1L)
+          .otherwise(0L)).as("conv_b"))
+      .withColumn("pbar", expr(
+        "cast(conv_a + conv_b as double) / cast(na + nb as double)"))
+      .select(col("na"), col("nb"), col("conv_a"), col("conv_b"),
+        when(col("na") > 0L && col("nb") > 0L, expr(
+          """cast(round(1000000.0D * (cast(conv_a as double) / cast(na as double)
+            | - cast(conv_b as double) / cast(nb as double))) as bigint)"""
+            .stripMargin)).as("observed_lift_micro"),
+        when(col("na") > 0L && col("nb") > 0L
+            && col("pbar") > 0d && col("pbar") < 1d, expr(
+          """cast(round(1000000.0D * (1.959963984540054D + 0.8416212335729143D)
+            | * sqrt(pbar * (1.0D - pbar)
+            |     * (1.0D / cast(na as double) + 1.0D / cast(nb as double))))
+            | as bigint)""".stripMargin)).as("mde_micro"))
+      .withColumn("powered",
+        when(col("mde_micro").isNotNull,
+          (abs(col("observed_lift_micro")) >= col("mde_micro")).cast("long")))
 
   /** DAU/MAU stickiness per calendar month — the canonical product-
     * analytics engagement ratio ("what share of the month's actives

@@ -307,6 +307,17 @@ object Monitor {
   def readAbChiSquare(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     graft.ops.Analytics.abChiSquareFromCells(readAbCells(spark, path))
 
+  /** Welch's t on per-user revenue served off the maintained cells log —
+    * the same `abTTestFromCells` expression tree as the batch readout,
+    * so live and batch can never disagree (the shared-epilogue law). */
+  def readAbTTest(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    graft.ops.Analytics.abTTestFromCells(readAbCells(spark, path))
+
+  /** The tie-corrected Mann–Whitney rank-sum served off the maintained
+    * cells log (shared `abMannWhitneyFromCells` epilogue). */
+  def readAbMannWhitney(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    graft.ops.Analytics.abMannWhitneyFromCells(readAbCells(spark, path))
+
   /** The top-k fold shared by [[readSample]] and the compaction of a
     * [[maintainSample]] log. */
   def sampleFold(idColName: String, k: Int): DataFrame => DataFrame =

@@ -238,6 +238,14 @@ class StreamingSpec extends AnyFunSuite {
     val chiStream = Monitor.readAbChiSquare(spark, path).collect()(0)
     val chiBatch = graft.ops.Analytics.abChiSquare(batchEv).collect()(0)
     assert((0 to 4).map(chiStream.get) === (0 to 4).map(chiBatch.get))
+    // the continuous-metric stats ride the SAME cells log through the
+    // shared epilogues: served == batch bit-for-bit
+    val tS = Monitor.readAbTTest(spark, path).collect()(0)
+    val tB = graft.ops.Analytics.abTTest(batchEv).collect()(0)
+    assert((0 to 5).map(tS.get) === (0 to 5).map(tB.get))
+    val mwS = Monitor.readAbMannWhitney(spark, path).collect()(0)
+    val mwB = graft.ops.Analytics.abMannWhitney(batchEv).collect()(0)
+    assert((0 to 3).map(mwS.get) === (0 to 3).map(mwB.get))
     // compaction with the additive fold preserves the cells exactly
     Monitor.compactLog(spark, path, fold = Monitor.abCellsFold)
     assert(liftRows(Monitor.readAbLift(spark, path)) ===

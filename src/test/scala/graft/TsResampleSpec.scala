@@ -671,4 +671,206 @@ class TsResampleSpec extends AnyFunSuite {
       .toDF("event_id", "user_id", "event_type", "value")
     assert(Analytics.abChiSquare(allConv, convValue = 150.0).collect()(0).isNullAt(4))
   }
+
+  test("markov attribution: hand-solved chain, removal effects and " +
+      "truncating shares") {
+    import spark.implicits._
+    // journeys: (A,B)->CONV, (A)->NULLS, (B)->CONV
+    // p(B)=1, p(A)=1/2, p(START)=2/3; removing A: 1/3; removing B: 0
+    val tr = Seq(
+      ("START", "A", 2L), ("START", "B", 1L),
+      ("A", "B", 1L), ("A", "NULLS", 1L), ("B", "CONV", 2L))
+      .toDF("src", "dst", "n")
+    val out = Analytics.markovAttribution(tr).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(out("A") === ((666666L, 333333L, 333333L, 333L)))
+    assert(out("B") === ((666666L, 0L, 666666L, 666L)))
+    // a closed clique that never reaches absorption is singular -> NULLs
+    val sing = Seq(("START", "A", 1L), ("A", "A", 1L)).toDF("src", "dst", "n")
+    val sr = Analytics.markovAttribution(sing).collect()(0)
+    assert(sr.getString(0) === "A")
+    // full-chain pconv is undefined (singular), so effect/share are too;
+    // the knockout itself still solves (empty chain -> 0), mirroring the
+    // oracle's per-column CASE independence
+    assert(sr.isNullAt(1) && sr.getLong(2) === 0L
+      && sr.isNullAt(3) && sr.isNullAt(4))
+    // no journeys at all -> empty result, not a crash
+    assert(Analytics.markovAttribution(
+      Seq.empty[(String, String, Long)].toDF("src", "dst", "n")).count() === 0L)
+  }
+
+  test("markov transitions: window bound, ordering, and the " +
+      "non-converter absorber; pconv anchors to the journey rate") {
+    import spark.implicits._
+    val us = 1000000L
+    // user 1 converts (touches B then A inside the window; an old touch
+    // C sits beyond the 7-day lookback); user 2 never converts
+    val week = 7L * 24 * 3600 * us
+    val ev = Seq(
+      (1L, 1L, "view", 0.0, 0L),                 // outside window
+      (2L, 1L, "click", 0.0, week + 10 * us),
+      (3L, 1L, "signup", 0.0, week + 20 * us),
+      (4L, 1L, "purchase", 200.0, week + 30 * us),
+      (5L, 2L, "view", 0.0, 10 * us),
+      (6L, 2L, "click", 0.0, 20 * us),
+      (7L, 2L, "purchase", 100.0, 30 * us))      // below conv value
+      .toDF("event_id", "user_id", "event_type", "value", "ts_us")
+    val tr = Analytics.markovTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(tr === Map(
+      ("START", "click") -> 1L, ("click", "signup") -> 1L,
+      ("signup", "CONV") -> 1L,
+      ("START", "view") -> 1L, ("view", "click") -> 1L,
+      ("click", "NULLS") -> 1L))
+    // the full-chain conversion probability is EXACTLY the converting-
+    // journey share (1 of 2) — the MLE chain's built-in anchor
+    val at = Analytics.markovAttribution(ev.transform(
+      Analytics.markovTransitions(_))).collect()
+    assert(at.forall(_.getLong(1) === 500000L))
+  }
+
+  private def md5Variant(u: Long): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(u.toString.getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xf) < 8) "A" else "B"
+  }
+
+  test("ab welch t: exact replay of the fixed tree, null under n<2 or " +
+      "zero variance") {
+    import spark.implicits._
+    val users = (1L to 40L)
+    val ev = users.map(u =>
+        (u, u, "purchase", if (u % 3 == 0) 300.0 else 100.0 + u))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val r = Analytics.abTTest(ev).collect()(0)
+    val byV = users.groupBy(md5Variant).view.mapValues(
+      _.map(u => if (u % 3 == 0) 30000L else 10000L + 100 * u)).toMap
+    def stats(xs: Seq[Long]) = {
+      val n = xs.size.toLong; val sx = xs.sum
+      val sxx = xs.map(x => BigInt(x) * x).sum
+      val g = (BigInt(n) * sxx - BigInt(sx) * sx).toDouble /
+        (BigInt(n) * n * (n - 1)).toDouble
+      (n, sx, g)
+    }
+    val (na, sxa, ga) = stats(byV("A")); val (nb, sxb, gb) = stats(byV("B"))
+    assert(r.getLong(0) === na && r.getLong(1) === nb)
+    assert(r.getAs[Long]("mean_a_microcents") === 1000000L * sxa / na)
+    assert(r.getAs[Long]("mean_b_microcents") === 1000000L * sxb / nb)
+    assert(r.getAs[Long]("t_micro") === math.round(1000000.0 *
+      (sxa.toDouble / na.toDouble - sxb.toDouble / nb.toDouble) /
+      math.sqrt(ga + gb)))
+    assert(r.getAs[Long]("df_milli") === math.round(1000.0 * (ga + gb) * (ga + gb)
+      / (ga * ga / (na - 1).toDouble + gb * gb / (nb - 1).toDouble)))
+    // all-equal revenue → zero variance → NULL stat, never a NaN cast
+    val flat = users.map(u => (u, u, "purchase", 100.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val fr = Analytics.abTTest(flat).collect()(0)
+    assert(fr.isNullAt(4) && fr.isNullAt(5))
+  }
+
+  test("ab mann-whitney: doubled U by brute ranks, all-ties goes null") {
+    import spark.implicits._
+    val users = (1L to 40L)
+    val ev = users.map(u =>
+        (u, u, "purchase", if (u % 3 == 0) 300.0 else 100.0 + (u % 5)))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val r = Analytics.abMannWhitney(ev).collect()(0)
+    val cents = users.map(u =>
+      (md5Variant(u), if (u % 3 == 0) 30000L else 10000L + 100 * (u % 5)))
+    val as = cents.filter(_._1 == "A").map(_._2)
+    val bs = cents.filter(_._1 == "B").map(_._2)
+    // brute doubled U: 2 per strict win, 1 per tie
+    val u2 = (for (a <- as; b <- bs)
+      yield (if (a > b) 2L else if (a == b) 1L else 0L)).sum
+    assert(r.getLong(0) === as.size.toLong && r.getLong(1) === bs.size.toLong)
+    assert(r.getString(2) === u2.toString)
+    val n = as.size + bs.size
+    val ties3 = cents.map(_._2).groupBy(identity).values
+      .map(g => { val t = g.size.toLong; BigInt(t) * t * t - t }).sum
+    val sig2num = (BigInt(n) * (n - 1) * (n + 1) - ties3).toDouble
+    val z = 1000000.0 * ((u2 - as.size.toLong * bs.size).toDouble / 2.0) /
+      math.sqrt((as.size.toLong * bs.size).toDouble * sig2num /
+        (12L * n * (n - 1)).toDouble)
+    assert(r.getAs[Long]("z_micro") === math.round(z))
+    // every user ties → sigma = 0 → NULL
+    val flat = users.map(u => (u, u, "purchase", 100.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+    assert(Analytics.abMannWhitney(flat).collect()(0).isNullAt(3))
+  }
+
+  test("ab cuped: theta and adjusted means replay exactly; " +
+      "zero pre-period variance disables the adjustment") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    val users = (1L to 40L)
+    // pre-revenue grows with u, post correlated with pre plus arm noise
+    val ev = users.flatMap(u => Seq(
+        (2 * u, u, "purchase", 100.0 + u, t0),
+        (2 * u + 1, u, "purchase", 50.0 + 2 * u + (u % 7), t1)))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val out = Analytics.abCuped(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val cells = users.map(u => (md5Variant(u),
+      10000L + 100 * u, 5000L + 200 * u + 100 * (u % 7)))
+    val n = cells.size.toLong
+    val sx = cells.map(_._2).sum; val sy = cells.map(_._3).sum
+    val sxy = cells.map(c => BigInt(c._2) * c._3).sum
+    val sxx = cells.map(c => BigInt(c._2) * c._2).sum
+    val syy = cells.map(c => BigInt(c._3) * c._3).sum
+    val covN = (BigInt(n) * sxy - BigInt(sx) * sy).toDouble
+    val varxN = (BigInt(n) * sxx - BigInt(sx) * sx).toDouble
+    val varyN = (BigInt(n) * syy - BigInt(sy) * sy).toDouble
+    for (vt <- Seq("A", "B")) {
+      val vs = cells.filter(_._1 == vt)
+      val nv = vs.size.toLong
+      val sxv = vs.map(_._2).sum; val syv = vs.map(_._3).sum
+      val row = out(vt)
+      assert(row.getLong(1) === nv)
+      assert(row.getLong(2) === 1000000L * syv / nv)
+      assert(row.getAs[Long]("adj_mean_microcents") === math.round(1000000.0 *
+        (syv.toDouble / nv.toDouble - (covN / varxN) *
+          (sxv.toDouble / nv.toDouble - sx.toDouble / n.toDouble))))
+      assert(row.getAs[Long]("theta_micro") ===
+        math.round(1000000.0 * covN / varxN))
+      assert(row.getAs[Long]("var_reduction_permille") ===
+        math.round(1000.0 * (covN * covN) / (varxN * varyN)))
+    }
+    // constant pre-period → var(x)=0 → adjustment NULL, raw mean kept
+    val ev0 = users.flatMap(u => Seq(
+        (2 * u, u, "purchase", 100.0, t0),
+        (2 * u + 1, u, "purchase", 50.0 + u, t1)))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val z = Analytics.abCuped(ev0).collect()(0)
+    assert(z.isNullAt(3) && z.isNullAt(4) && z.isNullAt(5))
+  }
+
+  test("ab power: MDE closed form, powered verdict, degenerate pools null") {
+    import spark.implicits._
+    val users = (1L to 40L)
+    val ev = users.map(u =>
+        (u, u, "purchase", if (u % 4 == 0) 200.0 else 100.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val r = Analytics.abPower(ev).collect()(0)
+    val byV = users.groupBy(md5Variant)
+    val (na, nb) = (byV("A").size.toLong, byV("B").size.toLong)
+    val (ca, cb) = (byV("A").count(_ % 4 == 0).toLong,
+      byV("B").count(_ % 4 == 0).toLong)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((na, nb, ca, cb)))
+    val pbar = (ca + cb).toDouble / (na + nb).toDouble
+    val lift = math.round(1000000.0 *
+      (ca.toDouble / na.toDouble - cb.toDouble / nb.toDouble))
+    val mde = math.round(1000000.0 * (1.959963984540054 + 0.8416212335729143) *
+      math.sqrt(pbar * (1.0 - pbar) * (1.0 / na.toDouble + 1.0 / nb.toDouble)))
+    assert(r.getAs[Long]("observed_lift_micro") === lift)
+    assert(r.getAs[Long]("mde_micro") === mde)
+    assert(r.getAs[Long]("powered") === (if (math.abs(lift) >= mde) 1L else 0L))
+    // nobody converts → pbar = 0 → MDE undefined → NULL mde and verdict
+    val none = users.map(u => (u, u, "purchase", 100.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val nr = Analytics.abPower(none).collect()(0)
+    assert(nr.isNullAt(5) && nr.isNullAt(6))
+  }
 }
