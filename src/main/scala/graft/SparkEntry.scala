@@ -787,6 +787,9 @@ object SparkEntry {
     "graph_clustering" -> ((s, dir) => Graph.partClustering(s, dir)),
     // iterative peeling to the unique 65-core of the same graph
     "graph_kcore" -> ((s, dir) => Graph.partKCore(s, dir)),
+    // k-truss: edge peeling to the unique fixpoint (support >= k-2
+    // among survivors); oracle unrolls idempotent peel rounds
+    "graph_ktruss" -> ((s, dir) => Graph.partKTruss(s, dir)),
     // frontier BFS from part 0 over the same graph: exact hop distances
     "graph_bfs" -> ((s, dir) => Graph.partBfs(s, dir)),
 
@@ -1674,6 +1677,41 @@ object SparkEntry {
     * `finalSelect` sees wr{t}/g{t} plus __AF__ = the scoring pass
     * against the final weights.
     */
+  /** Unrolled k-truss peel for the co-purchase graph: per round,
+    * enumerate triangles on the surviving canonical edges (a<b<c — each
+    * triangle once, no orientation needed in SQL), credit all three
+    * edges, keep support ≥ k−2. Rounds past the fixpoint are IDEMPOTENT,
+    * so unrolling more than the data needs is safe (measured: sf0.01
+    * converges in 5, sf0.1 in 3; a future SF needing > `rounds` would
+    * fail LOUDLY as a hash mismatch, never silently). The final support
+    * join reads the last round's support table — at the fixpoint that
+    * is exactly the support among survivors. */
+  private def kTrussOracle(rounds: Int, k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT DISTINCT least(x.pk, y.pk) AS a, greatest(x.pk, y.pk) AS b
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk)""".stripMargin)
+    for (r <- 1 to rounds) {
+      val p = s"e${r - 1}"
+      sb.append(s""",
+        |t$r AS MATERIALIZED (SELECT e1.a AS u, e1.b AS v, e2.b AS w FROM $p e1
+        |  JOIN $p e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN $p e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |s$r AS MATERIALIZED (SELECT a, b, count(*) AS c FROM (
+        |  SELECT u AS a, v AS b FROM t$r UNION ALL
+        |  SELECT u, w FROM t$r UNION ALL SELECT v, w FROM t$r) GROUP BY 1, 2),
+        |e$r AS MATERIALIZED (SELECT s.a, s.b FROM $p e
+        |  JOIN s$r s ON e.a = s.a AND e.b = s.b WHERE s.c >= ${k - 2})"""
+        .stripMargin)
+    }
+    sb.append(s"""
+      |SELECT e.a, e.b, CAST(s.c AS BIGINT) AS support
+      |FROM e$rounds e JOIN s$rounds s ON e.a = s.a AND e.b = s.b
+      |ORDER BY 1, 2""".stripMargin)
+    sb.toString
+  }
+
   private def perceptronOracle(finalSelect: String, iters: Int = 3): String = {
     val d = 7
     val sb = new StringBuilder
@@ -3103,6 +3141,8 @@ object SparkEntry {
 
     // peeling unrolled to 7 rounds (fixpoint at sf0.01 is round 2; the
     // spare rounds are no-ops once converged, so unrolled == fixpoint)
+    "graph_ktruss" -> kTrussOracle(rounds = 8, k = 12),
+
     "graph_kcore" ->
       """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |e AS MATERIALIZED (SELECT DISTINCT least(x.pk, y.pk) AS a, greatest(x.pk, y.pk) AS b

@@ -324,6 +324,93 @@ object Graph {
         .select(col("x.pk").as("src"), col("y.pk").as("dst")), k)
   }
 
+  /** k-truss decomposition by iterative edge peeling — the EDGE-cohesion
+    * sibling of [[kCore]] (a k-core survives on raw degree; a k-truss
+    * edge must sit in ≥ k−2 triangles among SURVIVORS, so bridges and
+    * hub spokes that k-core keeps are stripped — the standard "strong
+    * ties only" community scaffold, Cohen 2008). Returns the surviving
+    * canonical edges with their final support.
+    *
+    * Scale shape per round: support is the [[triangles]] edge-iterator
+    * re-run on the (strictly shrinking) survivor set — degree
+    * orientation, √m-capped oriented adjacency arrays, one
+    * `array_intersect` per base edge, so wedge work stays inside map
+    * tasks and the shuffled rows are O(E) for the adjacency build plus
+    * O(triangles) exploded apex credits into one canonical-edge groupBy.
+    * Dropping an edge can only LOWER other edges' support, so recompute-
+    * from-survivors is monotone and the fixpoint unique; convergence is
+    * the kept-count equalling the previous round's edge count, read off
+    * the same accumulator-backed materialization every round already
+    * pays ([[checkpointCounted]] — no extra action). Rounds are
+    * data-bounded; `maxIter` fails loudly rather than returning a
+    * non-truss. Edges in no triangle carry no credit row, and k ≥ 3
+    * makes the threshold ≥ 1, so the inner support join drops them
+    * correctly.
+    */
+  def kTruss(pairs: DataFrame, k: Int, maxIter: Int = 30,
+             cache: Boolean = true): DataFrame = {
+    require(k >= 3)
+    // same canonical-edge plan as [[triangles]]/[[kCore]] — CacheManager
+    // serves all three from one materialization
+    val e0 = OpCache.share(
+      pairs.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct(),
+      cache)
+    def supportOf(cur: DataFrame): DataFrame = {
+      val deg = cur.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val fwd = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val ed = cur
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+        .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
+          when(fwd, col("b")).otherwise(col("a")).as("v"))
+      val adj = ed.groupBy(col("u"))
+        .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+      val closure = ed
+        .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+        .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
+        .select(col("u"), col("v"), array_intersect(col("nu"), col("nv")).as("ws"))
+        .filter(size(col("ws")) > 0)
+      // each triangle (u, v, w) credits all THREE of its edges once:
+      // the base takes |ws| map-side, the two apex edges one exploded row
+      val base = closure.select(
+        least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"),
+        size(col("ws")).cast("long").as("s"))
+      val apexU = closure.select(col("u"), explode(col("ws")).as("w"))
+        .select(least(col("u"), col("w")).as("a"),
+          greatest(col("u"), col("w")).as("b"), lit(1L).as("s"))
+      val apexV = closure.select(col("v"), explode(col("ws")).as("w"))
+        .select(least(col("v"), col("w")).as("a"),
+          greatest(col("v"), col("w")).as("b"), lit(1L).as("s"))
+      base.unionByName(apexU).unionByName(apexV)
+        .groupBy(col("a"), col("b")).agg(sum(col("s")).as("support"))
+    }
+    var (cur, nCur) = checkpointCounted(e0)
+    var converged = false
+    var it = 0
+    var lastSup: DataFrame = null
+    while (!converged && it < maxIter) {
+      val sup = supportOf(cur)
+      val (kept, nKept) = checkpointCounted(
+        cur.join(sup, Seq("a", "b")).filter(col("support") >= (k - 2).toLong))
+      if (nKept == nCur) converged = true
+      else { cur = kept.select(col("a"), col("b")); nCur = nKept }
+      lastSup = kept
+      it += 1
+    }
+    require(converged, s"k-truss did not converge within $maxIter rounds")
+    lastSup.orderBy(col("a"), col("b"))
+  }
+
+  /** [[kTruss]] of the part co-purchase graph (see [[partTriangles]]):
+    * the strong-tie co-purchase scaffold — parts that keep being bought
+    * together WITH many shared companions. */
+  def partKTruss(spark: SparkSession, dir: String, k: Int = 12): DataFrame =
+    kTruss(coPurchasePairs(spark, dir), k)
+
   /** Multi-source breadth-first search: exact hop distance from the
     * nearest source to every reachable node — the reachability/radius
     * probe entity-graph curation runs (how far does contamination spread

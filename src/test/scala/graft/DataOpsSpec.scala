@@ -3247,6 +3247,26 @@ class DataOpsSpec extends AnyFunSuite {
     assert(ops.Analytics.gini(zero, col("x"), col("u")).collect().head.isNullAt(2))
   }
 
+  test("k-truss: K5 survives at k=4, a pendant triangle and a bridge peel") {
+    import spark.implicits._
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    // pendant triangle sharing only node 5, plus a support-0 bridge
+    val extra = Seq((5L, 6L), (5L, 7L), (6L, 7L), (7L, 8L))
+    val edges = (k5 ++ extra).toDF("src", "dst")
+    val out = ops.Graph.kTruss(edges, k = 4, cache = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet === k5.toSet, "exactly the K5 edges survive")
+    assert(out.values.forall(_ === 3L), "every K5 edge sits in 3 triangles")
+    // k beyond the densest truss -> empty, and convergence still holds
+    assert(ops.Graph.kTruss(edges, k = 6, cache = false).count() === 0L)
+    // duplicate/reversed/self edges are canonicalized before peeling
+    val messy = Seq((2L, 1L), (1L, 2L), (3L, 3L), (1L, 3L), (2L, 3L))
+      .toDF("src", "dst")
+    assert(ops.Graph.kTruss(messy, k = 3, cache = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ===
+      Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
   test("local clustering: triangle-plus-pendant coefficients by hand") {
     import spark.implicits._
     // triangle 1-2-3 with pendant 4 off node 3
