@@ -1103,6 +1103,9 @@ object SparkEntry {
     // lag 1..6 autocorrelation per series over observed hourly buckets —
     // integer centered deviations, micro-rounded fixed-tree products
     "ts_acf" -> ((s, dir) => Analytics.eventAcf(s, dir)),
+    // PACF: Durbin-Levinson over the acf values, formulas shared
+    // verbatim with the oracle via the durbin* builders
+    "ts_pacf" -> ((s, dir) => Analytics.eventPacf(s, dir)),
 
     // OLS trend line per series (slope/intercept/R²) from five exact
     // integer sufficient statistics — map-combinable, no window
@@ -1677,6 +1680,60 @@ object SparkEntry {
     * `finalSelect` sees wr{t}/g{t} plus __AF__ = the scoring pass
     * against the final weights.
     */
+  /** PACF oracle: the ts_acf prelude pivoted to per-series ρ columns,
+    * then the Durbin–Levinson stages as chained CTEs whose formula text
+    * comes VERBATIM from the same builders the Spark expressions use
+    * (`Analytics.durbinFkk`/`durbinFkj`/`durbinMicro` — the two
+    * spellings cannot drift), finally the φ_kk diagonal unpivoted. */
+  private def pacfOracle(maxLag: Int): String = {
+    val prelude =
+      """WITH e AS (SELECT event_type AS series,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
+        |b AS MATERIALIZED (SELECT series, h,
+        |    CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT) AS x
+        |  FROM e GROUP BY 1, 2),
+        |s AS (SELECT series, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx
+        |      FROM b GROUP BY 1),
+        |dv AS MATERIALIZED (SELECT b.series, b.h, s.n, b.x * s.n - s.sx AS d
+        |  FROM b JOIN s USING (series)),
+        |den AS (SELECT series, CAST(SUM(CAST(round(
+        |    CAST(d AS DOUBLE) * CAST(d AS DOUBLE) / (1000000.0 * n * n))
+        |    AS BIGINT)) AS BIGINT) AS den_micro FROM dv GROUP BY 1),
+        |l AS (SELECT CAST(unnest(range(1, %L1%)) AS INT) AS lag),
+        |p AS (SELECT a.series, l.lag,
+        |        CAST(SUM(CAST(round(
+        |          CAST(a.d AS DOUBLE) * CAST(bb.d AS DOUBLE)
+        |          / (1000000.0 * a.n * a.n)) AS BIGINT)) AS BIGINT) AS num_micro
+        |      FROM dv a CROSS JOIN l
+        |      JOIN dv bb ON bb.series = a.series AND bb.h = a.h + l.lag
+        |      GROUP BY 1, 2)""".stripMargin
+        .replace("%L1%", (maxLag + 1).toString)
+    val pivot = (1 to maxLag).map(k =>
+      s"max(CASE WHEN lag = $k AND den_micro > 0 THEN CAST(num_micro AS DOUBLE)" +
+        s" / CAST(den_micro AS DOUBLE) END) AS r$k").mkString(",\n    ")
+    val sb = new StringBuilder(prelude)
+    sb.append(s",\nw AS (SELECT p.series,\n    $pivot\n" +
+      "  FROM p JOIN den USING (series) GROUP BY 1)")
+    var prev = "w"
+    for (k <- 1 to maxLag) {
+      sb.append(s",\ndk$k AS (SELECT *, ${Analytics.durbinFkk(k)} AS f$k$k FROM $prev)")
+      prev = s"dk$k"
+      if (k > 1 && k < maxLag) {
+        val upd = (1 until k).map(j =>
+          s"${Analytics.durbinFkj(k, j)} AS f$k$j").mkString(", ")
+        sb.append(s",\ndu$k AS (SELECT *, $upd FROM $prev)")
+        prev = s"du$k"
+      }
+    }
+    val branches = (1 to maxLag).map(k =>
+      s"SELECT series, CAST($k AS BIGINT) AS lag, " +
+        s"${Analytics.durbinMicro(s"f$k$k")} AS pacf_micro FROM $prev")
+      .mkString("\n  UNION ALL ")
+    sb.append(s"\nSELECT * FROM (\n  $branches)\nORDER BY series, lag")
+    sb.toString
+  }
+
   /** Unrolled k-truss peel for the co-purchase graph: per round,
     * enumerate triangles on the surviving canonical edges (a<b<c — each
     * triangle once, no orientation needed in SQL), credit all three
@@ -3898,6 +3955,8 @@ object SparkEntry {
     // centered deviations are the INTEGER n·x − Σx (no float mean); each
     // product is the same fixed-tree IEEE expression Spark evaluates,
     // micro-rounded before the (then exact, associative) sums
+    "ts_pacf" -> pacfOracle(maxLag = 6),
+
     "ts_acf" ->
       """WITH e AS (SELECT event_type AS series,
         |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,

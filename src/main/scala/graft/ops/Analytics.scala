@@ -1670,6 +1670,77 @@ object Analytics {
   def eventAcf(spark: SparkSession, dir: String): DataFrame =
     acf(Tables.events(spark, dir))
 
+  /** Durbin–Levinson recursion formulas for [[pacf]], as SQL text shared
+    * VERBATIM between the Spark expressions and the DuckDB oracle (one
+    * builder — the two spellings cannot drift): φ_kk = (ρ_k −
+    * Σ_{j<k} φ_{k−1,j}·ρ_{k−j}) / (1 − Σ_{j<k} φ_{k−1,j}·ρ_j), sums
+    * left-associated ascending j. */
+  private[graft] def durbinFkk(k: Int): String =
+    if (k == 1) "r1"
+    else {
+      val num = (1 until k).map(j => s"f${k - 1}$j * r${k - j}").mkString(" + ")
+      val den = (1 until k).map(j => s"f${k - 1}$j * r$j").mkString(" + ")
+      // nullif: a vanishing recursion denominator reads NULL on both
+      // engines (ANSI Spark errors on /0 where DuckDB would not)
+      s"(r$k - ($num)) / nullif(1.0 - ($den), 0.0)"
+    }
+
+  /** φ_{k,j} = φ_{k−1,j} − φ_kk·φ_{k−1,k−j} (shared like [[durbinFkk]]). */
+  private[graft] def durbinFkj(k: Int, j: Int): String =
+    s"f${k - 1}$j - f$k$k * f${k - 1}${k - j}"
+
+  /** The finite-gated micro rendering of a Durbin–Levinson coefficient
+    * (NaN/±inf from a zero-variance series or a degenerate recursion
+    * denominator goes NULL identically on both engines — `abs(x) ≤
+    * 1e308` is false for both non-finite cases). */
+  private[graft] def durbinMicro(f: String): String =
+    s"CASE WHEN abs($f) <= 1e308 THEN CAST(round(1000000.0 * $f) AS BIGINT) END"
+
+  /** Partial autocorrelation per series (PACF, lags 1..`maxLag`) — the
+    * other half of the Box–Jenkins identification pair beside [[acf]]:
+    * the lag-k correlation with the shorter lags REGRESSED OUT, the plot
+    * read to pick an AR order (an AR(p) series cuts off after lag p
+    * where the raw ACF tails forever). Durbin–Levinson recursion over
+    * the ACF values: ρ_k = num_micro/den_micro (exact integer inputs —
+    * the [[acf]] machinery — so the starting doubles are bit-identical
+    * on any engine), every later step a fixed left-associated IEEE tree
+    * shared VERBATIM with the oracle via [[durbinFkk]]/[[durbinFkj]];
+    * reported φ_kk rounds to micro at the END (intermediates keep full
+    * precision — still deterministic, correctly-rounded ops in a fixed
+    * order). Degenerate series (zero variance, vanishing recursion
+    * denominator) yield NULL through the shared finite gate, and a lag
+    * with no observed pairs NULL-propagates through the recursion —
+    * never an engine-divergent NaN cast.
+    *
+    * Scale shape: everything corpus-sized is [[acf]]'s one bucketing
+    * shuffle; the recursion is O(maxLag²) COLUMN expressions over the
+    * O(series)-row pivoted ACF table — no window, no join, no fold.
+    */
+  def pacf(ev0: DataFrame, maxLag: Int = 6, bucketSec: Long = 3600L): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 9, s"maxLag in [1,9], got $maxLag")
+    // den_micro > 0 inside the branch: a zero-variance series reads NULL
+    // (ANSI-safe) and NULL-propagates through the whole recursion
+    val aggs = (1 to maxLag).map(k => max(when(
+      col("lag") === k && col("den_micro") > 0,
+      col("num_micro").cast("double") / col("den_micro").cast("double")))
+      .as(s"r$k"))
+    var d = acf(ev0, maxLag, bucketSec)
+      .groupBy(col("series")).agg(aggs.head, aggs.tail: _*)
+    for (k <- 1 to maxLag) {
+      d = d.withColumn(s"f$k$k", expr(durbinFkk(k)))
+      for (j <- 1 until k)
+        d = d.withColumn(s"f$k$j", expr(durbinFkj(k, j)))
+    }
+    val stack = (1 to maxLag)
+      .map(k => s"${k}L, ${durbinMicro(s"f$k$k")}").mkString(", ")
+    d.selectExpr("series", s"stack($maxLag, $stack) as (lag, pacf_micro)")
+      .orderBy(col("series"), col("lag"))
+  }
+
+  /** [[pacf]] on the events table. */
+  def eventPacf(spark: SparkSession, dir: String): DataFrame =
+    pacf(Tables.events(spark, dir))
+
   /** Lagged cross-correlation of EVERY series against one designated
     * reference series (CCF, lags −`maxLag`..`maxLag`) over the observed
     * hourly buckets — the lead/lag profile a pipeline reads to learn

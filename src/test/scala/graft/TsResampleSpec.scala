@@ -58,6 +58,40 @@ class TsResampleSpec extends AnyFunSuite {
     assert(math.abs(byLag(2)._3 - (6.0 / 8.0)) < 1e-9)
   }
 
+  test("pacf: Durbin-Levinson replay off the acf rows; constant series " +
+      "gates to NULL") {
+    // a deterministic sawtooth over 24 hours: rich enough that every
+    // lag 1..6 has pairs and the recursion exercises all stages
+    val rows = (0 until 24).map(h => (h * 3600L, "A", (h % 5).toDouble))
+    val df = ev(rows)
+    val out = Analytics.pacf(df).collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    // independent in-memory Durbin-Levinson on the SAME acf values
+    val acfRows = Analytics.acf(df).collect()
+      .map(r => r.getInt(1) -> (r.getLong(3).toDouble / r.getLong(4).toDouble))
+      .toMap
+    var prev = Map.empty[Int, Double]
+    val expect = (1 to 6).map { k =>
+      val fkk =
+        if (k == 1) acfRows(1)
+        else {
+          val num = acfRows(k) -
+            (1 until k).map(j => prev(j) * acfRows(k - j)).sum
+          val den = 1.0 - (1 until k).map(j => prev(j) * acfRows(j)).sum
+          num / den
+        }
+      prev = ((1 until k).map(j => j -> (prev(j) - fkk * prev(k - j))) :+
+        (k -> fkk)).toMap
+      k.toLong -> math.round(1000000.0 * fkk)
+    }.toMap
+    assert(out === expect.view.mapValues(Some(_)).toMap)
+    // constant series: zero variance, every coefficient NULL (never NaN)
+    val flat = ev((0 until 24).map(h => (h * 3600L, "A", 2.0)))
+    val fo = Analytics.pacf(flat).collect()
+    assert(fo.length === 6 && fo.forall(_.isNullAt(2)))
+  }
+
   test("percent rank maps a group's extremes to 0 and 1000 exactly") {
     import spark.implicits._
     val df = Seq((1L, "A", 10.0), (2L, "A", 20.0), (3L, "A", 30.0),
