@@ -83,6 +83,118 @@ object Attribution {
     credits.iterator
   }
 
+  case class JEvent(user_id: Long, event_id: Long, event_type: String,
+                    value: Double, ts_us: Long)
+  /** [[JEvent]] plus its event-time column for the watermark. */
+  case class JEventTs(user_id: Long, event_id: Long, event_type: String,
+                      value: Double, ts_us: Long, ts: java.sql.Timestamp)
+  /** One journey-transition partial count — additive, so per-batch
+    * partials merge to the exact batch matrix. */
+  case class Trans(src: String, dst: String, n: Long)
+  /** `touches` = the in-window buffer (converting journeys);
+    * `prev`/`acc` = the incremental NON-converter journey (prev channel
+    * + accumulated transition counts — bounded by (C+1)², never by
+    * history length); `converted` permanently retires the non-converter
+    * half (a user with any qualifying conversion has no NULLS journey).
+    */
+  case class JState(touches: Seq[Touch], prev: String, acc: Seq[Trans],
+                    converted: Boolean, lastUs: Long)
+
+  private def bump(acc: Seq[Trans], src: String, dst: String): Seq[Trans] = {
+    val i = acc.indexWhere(t => t.src == src && t.dst == dst)
+    if (i < 0) acc :+ Trans(src, dst, 1L)
+    else acc.updated(i, acc(i).copy(n = acc(i).n + 1L))
+  }
+
+  /** Fold one user's micro-batch through the journey machine — the live
+    * twin of `Analytics.markovTransitions`. A qualifying conversion
+    * (type + value ≥ `convValue`) with a non-empty in-window buffer
+    * emits its journey's transition counts exactly once, at the
+    * conversion (START → touches in time order → CONV — the batch
+    * definition verbatim). Touch arrivals additionally advance the
+    * incremental non-converter journey, which is emitted ONLY on idle
+    * timeout and only if no conversion ever happened (the batch
+    * "touches but never converts" absorber, with idleness standing in
+    * for the corpus frontier — the funnel's documented divergence: a
+    * reaped key that returns restarts, recover with the batch
+    * recompute). Same ordering contract as [[updateKey]].
+    */
+  def journeyKey(userId: Long, events: Iterator[JEventTs],
+                 state: GroupState[JState], windowUs: Long,
+                 touchTypes: Set[String], convType: String,
+                 convValue: Double,
+                 idleTimeoutMs: Long = 30L * 24 * 3600 * 1000): Iterator[Trans] = {
+    if (state.hasTimedOut) {
+      val st = state.get
+      state.remove()
+      return (if (!st.converted && st.prev.nonEmpty)
+        bump(st.acc, st.prev, "NULLS").iterator else Iterator.empty)
+    }
+    val init = state.getOption.getOrElse(
+      JState(Seq.empty, "", Seq.empty, converted = false, 0L))
+    var buf = init.touches.toVector
+    var prev = init.prev
+    var acc = init.acc
+    var converted = init.converted
+    var lastUs = init.lastUs
+    val out = Vector.newBuilder[Trans]
+    events.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      lastUs = math.max(lastUs, e.ts_us)
+      buf = buf.dropWhile(t => e.ts_us - t.touch_ts > windowUs)
+      if (touchTypes(e.event_type)) {
+        buf :+= Touch(e.event_type, e.event_id, e.ts_us)
+        if (!converted) {
+          acc = bump(acc, if (prev.isEmpty) "START" else prev, e.event_type)
+          prev = e.event_type
+        }
+      } else if (e.event_type == convType && e.value >= convValue) {
+        val js = buf.filter(_.touch_ts < e.ts_us).map(_.channel)
+        if (js.nonEmpty)
+          ("START" +: js :+ "CONV").sliding(2).foreach {
+            case Seq(a, b) => out += Trans(a, b, 1L)
+            case _ =>
+          }
+        converted = true
+        acc = Seq.empty; prev = ""
+      }
+    }
+    if (state.exists || buf.nonEmpty || (!converted && prev.nonEmpty) || converted) {
+      state.update(JState(buf, prev, acc, converted, lastUs))
+      state.setTimeoutTimestamp(
+        math.max(lastUs / 1000L + idleTimeoutMs, state.getCurrentWatermarkMs + 1))
+    }
+    // collapse within the call: additive partials, smaller Update output
+    out.result().groupBy(t => (t.src, t.dst)).iterator
+      .map { case ((s, d), ts) => Trans(s, d, ts.map(_.n).sum) }
+  }
+
+  /** Wire the journey machine over a (possibly streaming) event set —
+    * Update-mode additive (src, dst, n) partials whose running sum is
+    * the exact batch `markovTransitions` matrix (non-converters
+    * surfacing at idle; see [[journeyKey]]). */
+  def transitionsStream(events: Dataset[JEvent],
+                        windowUs: Long = 7L * 24 * 3600 * 1000000L,
+                        touchTypes: Seq[String] = Seq("click", "signup", "view"),
+                        convType: String = "purchase",
+                        convValue: Double = 150.0,
+                        idleTimeoutMs: Long = 30L * 24 * 3600 * 1000,
+                        lateness: String = "1 hour")
+                       (implicit spark: SparkSession): Dataset[Trans] = {
+    require(windowUs > 0)
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType))
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val touchSet = touchTypes.toSet
+    events.withColumn("ts", expr("timestamp_micros(ts_us)"))
+      .as[JEventTs]
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        (k: Long, it: Iterator[JEventTs], st: GroupState[JState]) =>
+          journeyKey(k, it, st, windowUs, touchSet, convType, convValue,
+            idleTimeoutMs))
+  }
+
   /** Wire the machine over a (possibly streaming) event set. */
   def pairsStream(events: Dataset[AEvent],
                   windowUs: Long = 7L * 24 * 3600 * 1000000L,

@@ -288,6 +288,51 @@ object Monitor {
       .trigger(trigger)
       .start()
 
+  /** Maintained journey-transition log — 28cx's live half: the Markov
+    * attribution chain kept current at the ingest door. The
+    * `Attribution.transitionsStream` machine emits ADDITIVE (src, dst,
+    * n) partials (a conversion's journey exactly once at the
+    * conversion, a non-converter's at idle reap), each micro-batch's
+    * partial sums land in a per-`__batch_id` partition (dynamic
+    * overwrite — replays rewrite, exactly-once), and the merge-on-read
+    * sum is the transition matrix. `readMarkovAttribution` then runs
+    * the SAME exact-rational solve as the batch readout
+    * (`Analytics.markovAttribution` — shared epilogue, integer inputs,
+    * bit-equal by construction).
+    */
+  def maintainJourneyTransitions(stream: org.apache.spark.sql.Dataset[Attribution.JEvent],
+                                 path: String, checkpoint: String,
+                                 idleTimeoutMs: Long = 30L * 24 * 3600 * 1000,
+                                 trigger: Trigger = Trigger.AvailableNow())
+                                (implicit spark: org.apache.spark.sql.SparkSession): StreamingQuery =
+    Attribution.transitionsStream(stream, idleTimeoutMs = idleTimeoutMs).toDF()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        df.toDF().groupBy("src", "dst").agg(sum("n").as("n"))
+          .writeLogBatch(batchId, path)
+      }
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** The additive merge shared by [[readJourneyTransitions]] and
+    * compaction of a [[maintainJourneyTransitions]] log. */
+  def journeyTransFold(df: DataFrame): DataFrame =
+    df.groupBy("src", "dst").agg(sum("n").as("n"))
+
+  /** Merged transition matrix of a [[maintainJourneyTransitions]] log. */
+  def readJourneyTransitions(spark: org.apache.spark.sql.SparkSession,
+                             path: String): DataFrame =
+    journeyTransFold(readLog(spark, path))
+
+  /** Markov removal-effect attribution served off the maintained
+    * transition log — the exact-rational solve is the shared epilogue,
+    * so live and batch can never disagree on the same matrix. */
+  def readMarkovAttribution(spark: org.apache.spark.sql.SparkSession,
+                            path: String): DataFrame =
+    graft.ops.Analytics.markovAttribution(readJourneyTransitions(spark, path))
+
   /** Merged per-user cells of a [[maintainAbCells]] log — also the
     * compaction fold (`compactLog(spark, path, fold = df =>
     * df.groupBy("user_id").agg(...)` is spelled here once). */

@@ -2019,6 +2019,185 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "fixture must credit some pairs")
   }
 
+  test("streaming journey transitions equal the batch markov matrix; " +
+      "non-converters flush at idle and the served solve matches") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Attribution
+    val batchEv = Tables.events(spark, sf).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      unix_micros(col("ts")).as("ts_us"))
+    val all = batchEv.collect().map(r => Attribution.JEvent(
+        r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type"), r.getAs[Double]("value"),
+        r.getAs[Long]("ts_us")))
+      .sortBy(e => (e.ts_us, e.event_id))
+    val maxTs = all.map(_.ts_us).max
+    val input = MemoryStream[Attribution.JEvent]
+    // idle horizon BEYOND the corpus span: a mid-stream reap would call
+    // a later-converting user a non-converter (that's the documented
+    // divergence; parity needs idleness to stand in for the frontier)
+    val idleMs = 40L * 24 * 3600 * 1000
+    val q = Attribution.transitionsStream(input.toDS(), idleTimeoutMs = idleMs)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("jt_out").start()
+    try {
+      all.grouped((all.length + 2) / 3).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+      // push the watermark far past every idle timer; timers fire on the
+      // batch AFTER the watermark moves, hence two rounds. The noop type
+      // is neither touch nor conversion, so it leaves no state behind.
+      val flush = Attribution.JEvent(-999L, 1L, "noop", 0.0,
+        maxTs + 45L * 24 * 3600 * 1000000L)
+      input.addData(flush)
+      q.processAllAvailable()
+      input.addData(flush.copy(event_id = 2L,
+        ts_us = flush.ts_us + 3600L * 1000000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    def mat(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[String]("dst")) ->
+        r.getAs[Long]("n")).toMap
+    val streamedDf = spark.table("jt_out")
+      .groupBy("src", "dst").agg(sum("n").as("n"))
+    val batchDf = graft.ops.Analytics.markovTransitions(batchEv)
+    assert(mat(streamedDf) === mat(batchDf))
+    assert(mat(batchDf).keys.exists(_._2 == "NULLS"),
+      "fixture must have non-converter journeys or the flush is untested")
+    // the exact-rational solve is the shared epilogue: served == batch
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Analytics.markovAttribution(df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+    assert(rows(streamedDf) === rows(batchDf))
+  }
+
+  test("maintained journey-transition log serves the batch markov " +
+      "attribution exactly") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Attribution
+    val path = Files.createTempDirectory("graft_jt").toString + "/trans"
+    val chk = Files.createTempDirectory("graft_jt_chk").toString
+    val batchEv = Tables.events(spark, sf).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      unix_micros(col("ts")).as("ts_us"))
+    val all = batchEv.collect().map(r => Attribution.JEvent(
+        r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type"), r.getAs[Double]("value"),
+        r.getAs[Long]("ts_us")))
+      .sortBy(e => (e.ts_us, e.event_id))
+    val maxTs = all.map(_.ts_us).max
+    val idleMs = 40L * 24 * 3600 * 1000
+    // two runs over ONE checkpoint lineage, then two flush rounds to
+    // fire the idle reapers into the log
+    val in = MemoryStream[Attribution.JEvent]
+    in.addData(all.take(all.length / 2).toSeq: _*)
+    val q1 = Monitor.maintainJourneyTransitions(in.toDS(), path, chk, idleMs)
+    try q1.awaitTermination(120000) finally q1.stop()
+    in.addData(all.drop(all.length / 2).toSeq: _*)
+    val q2 = Monitor.maintainJourneyTransitions(in.toDS(), path, chk, idleMs)
+    try q2.awaitTermination(120000) finally q2.stop()
+    val flushTs = maxTs + 45L * 24 * 3600 * 1000000L
+    in.addData(Attribution.JEvent(-999L, 1L, "noop", 0.0, flushTs))
+    val q3 = Monitor.maintainJourneyTransitions(in.toDS(), path, chk, idleMs)
+    try q3.awaitTermination(120000) finally q3.stop()
+    in.addData(Attribution.JEvent(-999L, 2L, "noop", 0.0,
+      flushTs + 3600L * 1000000L))
+    val q4 = Monitor.maintainJourneyTransitions(in.toDS(), path, chk, idleMs)
+    try q4.awaitTermination(120000) finally q4.stop()
+    def mat(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[String]("dst")) ->
+        r.getAs[Long]("n")).toMap
+    assert(mat(Monitor.readJourneyTransitions(spark, path)) ===
+      mat(graft.ops.Analytics.markovTransitions(batchEv)))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(rows(Monitor.readMarkovAttribution(spark, path)) ===
+      rows(graft.ops.Analytics.markovAttribution(
+        graft.ops.Analytics.markovTransitions(batchEv))))
+    // compaction with the additive fold preserves the matrix exactly
+    Monitor.compactLog(spark, path, fold = Monitor.journeyTransFold)
+    assert(mat(Monitor.readJourneyTransitions(spark, path)) ===
+      mat(graft.ops.Analytics.markovTransitions(batchEv)))
+  }
+
+  test("journey machine: conversion retires the NULLS half; timeout " +
+      "emits the accumulated non-converter journey") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import graft.streaming.Attribution
+    def e(id: Long, t: String, v: Double, us: Long) =
+      Attribution.JEventTs(7L, id, t, v, us, new java.sql.Timestamp(us / 1000L))
+    val st = TestGroupState.create[Attribution.JState](
+      org.apache.spark.api.java.Optional.empty(),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(0L),
+      hasTimedOut = false)
+    // two touches then a QUALIFYING conversion: journey emitted at the
+    // conversion, the non-converter accumulator retired
+    val out = Attribution.journeyKey(7L,
+      Iterator(e(1, "view", 0.0, 100L), e(2, "click", 0.0, 200L),
+        e(3, "purchase", 99.0, 250L),   // below convValue: no journey
+        e(4, "purchase", 200.0, 300L)),
+      st, windowUs = 1000L, touchTypes = Set("view", "click"),
+      convType = "purchase", convValue = 150.0, idleTimeoutMs = 60000L).toSeq
+    assert(out.toSet === Set(
+      Attribution.Trans("START", "view", 1L),
+      Attribution.Trans("view", "click", 1L),
+      Attribution.Trans("click", "CONV", 1L)))
+    assert(st.get.converted && st.get.acc.isEmpty)
+    // a converted user's timeout emits NOTHING
+    val st2 = TestGroupState.create[Attribution.JState](
+      org.apache.spark.api.java.Optional.of(st.get),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 2000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(100000L),
+      hasTimedOut = true)
+    assert(Attribution.journeyKey(7L, Iterator.empty, st2, 1000L,
+      Set("view", "click"), "purchase", 150.0, 60000L).isEmpty
+      && st2.isRemoved)
+    // a never-converting user: repeated touches accumulate COUNTS (not
+    // history), timeout emits them plus the NULLS absorber
+    val st3 = TestGroupState.create[Attribution.JState](
+      org.apache.spark.api.java.Optional.empty(),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(0L),
+      hasTimedOut = false)
+    assert(Attribution.journeyKey(8L,
+      Iterator(e(1, "view", 0.0, 100L), e(2, "view", 0.0, 5000L),
+        e(3, "click", 0.0, 9000L)),
+      st3, windowUs = 1000L, touchTypes = Set("view", "click"),
+      convType = "purchase", convValue = 150.0, idleTimeoutMs = 60000L)
+      .isEmpty, "nothing emits before the reaper")
+    assert(st3.get.acc.toSet === Set(
+      Attribution.Trans("START", "view", 1L),
+      Attribution.Trans("view", "view", 1L),
+      Attribution.Trans("view", "click", 1L)))
+    // the out-of-window touch buffer shrank, the accumulator did not
+    assert(st3.get.touches.map(_.touch_id) === Seq(3L))
+    val st4 = TestGroupState.create[Attribution.JState](
+      org.apache.spark.api.java.Optional.of(st3.get),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 2000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.of(100000L),
+      hasTimedOut = true)
+    val reaped = Attribution.journeyKey(8L, Iterator.empty, st4, 1000L,
+      Set("view", "click"), "purchase", 150.0, 60000L).toSeq
+    assert(reaped.toSet === Set(
+      Attribution.Trans("START", "view", 1L),
+      Attribution.Trans("view", "view", 1L),
+      Attribution.Trans("view", "click", 1L),
+      Attribution.Trans("click", "NULLS", 1L)))
+    assert(st4.isRemoved)
+  }
+
   test("attribution buffer evicts out-of-window touches and reaps idle keys") {
     import org.apache.spark.sql.streaming.TestGroupState
     import graft.streaming.Attribution
