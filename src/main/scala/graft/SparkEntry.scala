@@ -722,6 +722,9 @@ object SparkEntry {
     // post-hoc power: minimum detectable effect at the realized sizes
     "events_ab_power" -> ((s, dir) =>
       Analytics.abPower(Tables.events(s, dir))),
+    // log-rank: did the treatment change TIME-to-conversion (the
+    // survival half of the A/B readout, censoring-correct)
+    "events_ab_logrank" -> ((s, dir) => Analytics.eventLogRank(s, dir)),
     // Kaplan-Meier signup->first-purchase survival per signup-week
     // cohort, right-censored at the corpus frontier
     "events_survival_km" -> ((s, dir) => Analytics.eventSurvival(s, dir)),
@@ -1106,6 +1109,8 @@ object SparkEntry {
     // PACF: Durbin-Levinson over the acf values, formulas shared
     // verbatim with the oracle via the durbin* builders
     "ts_pacf" -> ((s, dir) => Analytics.eventPacf(s, dir)),
+    // nonparametric trend: Mann-Kendall S/z + Sen's lower-median slope
+    "ts_mann_kendall" -> ((s, dir) => Analytics.eventMannKendall(s, dir)),
 
     // OLS trend line per series (slope/intercept/R²) from five exact
     // integer sufficient statistics — map-combinable, no window
@@ -2826,6 +2831,53 @@ object SparkEntry {
         |    CAST(abs(observed_lift_micro) >= mde_micro AS BIGINT) END AS powered
         |FROM o""".stripMargin,
 
+    // log-rank between md5 arms on the KM durations: at-risk via
+    // exclusive window prefix sums, O-E and hypergeometric-variance
+    // terms micro-rounded per event time (order-free exact sums), one
+    // final double division for chi-square
+    "events_ab_logrank" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |su AS MATERIALIZED (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts_us END) AS s
+        |  FROM e GROUP BY 1 HAVING s IS NOT NULL),
+        |pu AS (SELECT e.user_id, min(e.ts_us) AS p FROM e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > su.s GROUP BY 1),
+        |mx AS (SELECT max(ts_us) AS mt FROM e),
+        |du AS (SELECT CASE WHEN substr(md5(CAST(su.user_id AS VARCHAR)), 1, 1) < '8' THEN 'A' ELSE 'B' END AS g,
+        |    CASE WHEN pu.p IS NOT NULL THEN (pu.p - su.s) // 3600000000
+        |         ELSE (mx.mt - su.s) // 3600000000 END AS dur_h,
+        |    CASE WHEN pu.p IS NOT NULL THEN 1 ELSE 0 END AS obs
+        |  FROM su LEFT JOIN pu USING (user_id) CROSS JOIN mx),
+        |ct AS (SELECT dur_h,
+        |    CAST(sum(CASE WHEN g = 'A' THEN obs ELSE 0 END) AS BIGINT) AS da,
+        |    CAST(sum(CASE WHEN g = 'A' THEN 1 - obs ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN g = 'B' THEN obs ELSE 0 END) AS BIGINT) AS db,
+        |    CAST(sum(CASE WHEN g = 'B' THEN 1 - obs ELSE 0 END) AS BIGINT) AS cb
+        |  FROM du GROUP BY 1),
+        |tot AS (SELECT CAST(sum(da + ca) AS BIGINT) AS na0, CAST(sum(db + cb) AS BIGINT) AS nb0 FROM ct),
+        |r AS (SELECT dur_h, da, db,
+        |    na0 - CAST(COALESCE(sum(da + ca) OVER (ORDER BY dur_h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS na,
+        |    nb0 - CAST(COALESCE(sum(db + cb) OVER (ORDER BY dur_h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nb,
+        |    na0, nb0
+        |  FROM ct CROSS JOIN tot),
+        |terms AS (SELECT *, da + db AS d, na + nb AS n FROM r WHERE da + db > 0),
+        |agg AS (SELECT
+        |    CAST(COALESCE(sum(da), 0) AS BIGINT) AS events_a,
+        |    CAST(COALESCE(sum(db), 0) AS BIGINT) AS events_b,
+        |    CAST(COALESCE(sum(CAST(round(1000000.0 * (CAST(da AS DOUBLE)
+        |      - CAST(d AS DOUBLE) * CAST(na AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)), 0) AS BIGINT) AS oe_micro,
+        |    CAST(COALESCE(sum(CASE WHEN n > 1 THEN CAST(round(1000000.0 * (CAST(d AS DOUBLE)
+        |      * (CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (1.0 - CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE)))) AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS v_micro
+        |  FROM terms)
+        |SELECT na0 AS n_a, nb0 AS n_b, events_a, events_b, oe_micro, v_micro,
+        |  CASE WHEN v_micro > 0 THEN
+        |    CAST(round(CAST(oe_micro AS DOUBLE) * CAST(oe_micro AS DOUBLE)
+        |      / CAST(v_micro AS DOUBLE)) AS BIGINT) END AS chi2_micro
+        |FROM agg CROSS JOIN tot""".stripMargin,
+
     // the same per-cohort sequential product, replayed as a recursive
     // CTE on the duration row number (the Holt oracle discipline);
     // deaths-before-censors at ties, censor-at-frontier for never-buyers
@@ -3956,6 +4008,44 @@ object SparkEntry {
     // product is the same fixed-tree IEEE expression Spark evaluates,
     // micro-rounded before the (then exact, associative) sums
     "ts_pacf" -> pacfOracle(maxLag = 6),
+
+    // Mann-Kendall S exact, tie-corrected Var*18 exact, continuity-
+    // corrected z one fixed tree; Sen = the lower-median pairwise slope
+    // ordered by double ratio with the exact (dx, dh) tiebreak
+    "ts_mann_kendall" ->
+      """WITH e AS (SELECT event_type AS series,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |    CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
+        |b AS MATERIALIZED (SELECT series, h,
+        |    CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT) AS x
+        |  FROM e GROUP BY 1, 2),
+        |p AS MATERIALIZED (SELECT i.series, j.h - i.h AS dh, j.x - i.x AS dx
+        |  FROM b i JOIN b j ON i.series = j.series AND i.h < j.h),
+        |s AS (SELECT series,
+        |    CAST(sum(CASE WHEN dx > 0 THEN 1 WHEN dx < 0 THEN -1 ELSE 0 END) AS BIGINT) AS mk_s
+        |  FROM p GROUP BY 1),
+        |nn AS (SELECT series, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+        |ties AS (SELECT series, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+        |  FROM (SELECT series, x, CAST(count(*) AS BIGINT) AS t FROM b GROUP BY 1, 2)
+        |  WHERE t > 1 GROUP BY 1),
+        |v AS (SELECT nn.series, nn.n,
+        |    CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - COALESCE(ties.tt, 0) AS BIGINT) AS var18
+        |  FROM nn LEFT JOIN ties USING (series)),
+        |med AS (SELECT series, dx AS sen_num_micro, dh AS sen_den_h FROM (
+        |    SELECT series, dx, dh, row_number() OVER (PARTITION BY series
+        |        ORDER BY CAST(dx AS DOUBLE) / CAST(dh AS DOUBLE), dx, dh) AS rn,
+        |      count(*) OVER (PARTITION BY series) AS np
+        |    FROM p) WHERE rn = (np + 1) // 2)
+        |SELECT s.series, v.n, s.mk_s, v.var18,
+        |  CASE WHEN v.var18 > 0 AND s.mk_s != 0 THEN
+        |    CAST(round(1000000.0 * (CAST(s.mk_s AS DOUBLE)
+        |      - CASE WHEN s.mk_s > 0 THEN 1.0 ELSE -1.0 END)
+        |      / sqrt(CAST(v.var18 AS DOUBLE) / 18.0)) AS BIGINT)
+        |    ELSE 0 END AS z_micro,
+        |  med.sen_num_micro, med.sen_den_h,
+        |  sen_num_micro // sen_den_h AS sen_slope_micro_per_h
+        |FROM s JOIN v USING (series) JOIN med USING (series)
+        |ORDER BY series""".stripMargin,
 
     "ts_acf" ->
       """WITH e AS (SELECT event_type AS series,

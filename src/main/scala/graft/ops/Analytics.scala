@@ -1741,6 +1741,79 @@ object Analytics {
   def eventPacf(spark: SparkSession, dir: String): DataFrame =
     pacf(Tables.events(spark, dir))
 
+  /** Mann–Kendall trend test + Sen's slope per series — the
+    * NONPARAMETRIC trend pair beside [[olsTrend]] (OLS trusts normal
+    * residuals and is wrecked by single outliers; monitoring data has
+    * both problems, which is why MK/Sen is the standard in environmental
+    * and ops-metric trend detection): S = Σ_{i<j} sign(x_j − x_i) exact
+    * integer, tie-corrected Var·18 = n(n−1)(2n+5) − Σt(t−1)(2t+5) exact
+    * (int64-safe to ~10⁶ buckets — retention-bounded, documented), the
+    * continuity-corrected z = (S ∓ 1)/√(Var) one fixed double tree, and
+    * Sen's slope = the LOWER-median pairwise slope (the exact-lower-
+    * median convention) with its (Δx, Δh) pair shipped as exact
+    * evidence; the reported slope truncates Δx div Δh (micro-value
+    * units per hour). Median ordering is the double ratio with an exact
+    * (Δx, Δh) tiebreak — equal-valued rationals order deterministically.
+    *
+    * Scale shape: one O(events) bucketing shuffle, then the pairwise
+    * self-join on the O(series × hours) bucket table — O(buckets²) per
+    * series, bounded by the retention span like the DTW/acf spine,
+    * never by event volume; the median window partitions by series
+    * (bounded domain). Pairs need both endpoints observed.
+    */
+  def mannKendall(ev0: DataFrame, bucketSec: Long = 3600L): DataFrame = {
+    import graft.model.Documents
+    val b = ev0
+      .select(col("event_type").as("series"),
+        (Documents.tsSec(col("ts")) / bucketSec).cast("long").as("h"),
+        expr("cast(round(value * 1000000.0D) as bigint)").as("vm"))
+      .groupBy(col("series"), col("h"))
+      .agg(sum(col("vm")).as("sv"), count(lit(1)).as("cnt"))
+      .select(col("series"), col("h"), expr("sv div cnt").as("x"))
+    val p = b.select(col("series"), col("h").as("hi"), col("x").as("xi"))
+      .join(b.select(col("series"), col("h").as("hj"), col("x").as("xj")),
+        Seq("series"))
+      .filter(col("hi") < col("hj"))
+      .select(col("series"), (col("xj") - col("xi")).as("dx"),
+        (col("hj") - col("hi")).as("dh"))
+    val s = p.groupBy(col("series"))
+      .agg(sum(when(col("dx") > 0L, 1L).when(col("dx") < 0L, -1L)
+        .otherwise(0L)).as("mk_s"))
+    val nn = b.groupBy(col("series")).agg(count(lit(1)).as("n"))
+    val ties = b.groupBy(col("series"), col("x"))
+      .agg(count(lit(1)).as("t"))
+      .filter(col("t") > 1L)
+      .groupBy(col("series"))
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tt"))
+    val v = nn.join(ties, Seq("series"), "left")
+      .select(col("series"), col("n"),
+        (expr("n * (n - 1) * (2 * n + 5)") - coalesce(col("tt"), lit(0L)))
+          .as("var18"))
+    val w = Window.partitionBy(col("series"))
+      .orderBy(col("dx").cast("double") / col("dh").cast("double"),
+        col("dx"), col("dh"))
+    val med = p
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("series"))))
+      .filter(col("rn") === expr("(np + 1) div 2"))
+      .select(col("series"), col("dx").as("sen_num_micro"),
+        col("dh").as("sen_den_h"))
+    s.join(v, "series").join(med, "series")
+      .select(col("series"), col("n"), col("mk_s"), col("var18"),
+        when(col("var18") > 0L && col("mk_s") =!= 0L, expr(
+          """cast(round(1000000.0D * (cast(mk_s as double)
+            | - case when mk_s > 0L then 1.0D else -1.0D end)
+            | / sqrt(cast(var18 as double) / 18.0D)) as bigint)"""
+            .stripMargin)).otherwise(0L).as("z_micro"),
+        col("sen_num_micro"), col("sen_den_h"),
+        expr("sen_num_micro div sen_den_h").as("sen_slope_micro_per_h"))
+      .orderBy(col("series"))
+  }
+
+  /** [[mannKendall]] on the events table. */
+  def eventMannKendall(spark: SparkSession, dir: String): DataFrame =
+    mannKendall(Tables.events(spark, dir))
+
   /** Lagged cross-correlation of EVERY series against one designated
     * reference series (CCF, lags −`maxLag`..`maxLag`) over the observed
     * hourly buckets — the lead/lag profile a pipeline reads to learn
@@ -3026,7 +3099,19 @@ object Analytics {
     * broadcast 1-row cross join; everything upstream of the fold is
     * user-level aggregates.
     */
-  def eventSurvival(spark: SparkSession, dir: String): DataFrame = {
+  def eventSurvival(spark: SparkSession, dir: String): DataFrame =
+    survivalCurve(signupDurations(spark, dir)
+      .select(
+        concat(lit("w"), expr("s div 604800000000").cast("string")).as("cohort"),
+        col("dur_h"), col("observed")))
+
+  /** Per-user signup→first-purchase durations, right-censored at the
+    * corpus frontier — the shared feedstock of [[eventSurvival]]'s KM
+    * curve and [[eventLogRank]]'s two-group test (ONE definition of the
+    * time-to-event, so the curve and its significance stat can never
+    * disagree about who converted when). Emits (user_id, s, dur_h,
+    * observed); the frontier rides one broadcast 1-row cross join. */
+  private def signupDurations(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
     val su = ev.groupBy(col("user_id"))
@@ -3037,14 +3122,85 @@ object Analytics {
       .filter(col("ts_us") > col("s"))
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("p"))
     val mx = ev.groupBy().agg(max(col("ts_us")).as("mt"))
-    survivalCurve(
-      su.join(pu, Seq("user_id"), "left").crossJoin(broadcast(mx))
-        .select(
-          concat(lit("w"), expr("s div 604800000000").cast("string")).as("cohort"),
-          when(col("p").isNotNull, expr("(p - s) div 3600000000"))
-            .otherwise(expr("(mt - s) div 3600000000")).as("dur_h"),
-          col("p").isNotNull.as("observed")))
+    su.join(pu, Seq("user_id"), "left").crossJoin(broadcast(mx))
+      .select(col("user_id"), col("s"),
+        when(col("p").isNotNull, expr("(p - s) div 3600000000"))
+          .otherwise(expr("(mt - s) div 3600000000")).as("dur_h"),
+        col("p").isNotNull.as("observed"))
   }
+
+  /** Log-rank test between two survival groups (Mantel 1966) — the
+    * significance companion every [[survivalCurve]] comparison needs:
+    * "are these two time-to-event curves the same?" asked properly,
+    * censoring and all (comparing conversion fractions at an arbitrary
+    * cutoff throws away the timing; comparing mean durations is wrong
+    * under censoring). `du` needs (g ∈ {"A","B"}, dur_h, observed). At
+    * each distinct event time: O−E term = d_A − d·n_A/n and the
+    * hypergeometric variance d·(n_A/n)(1−n_A/n)(n−d)/(n−1), each a
+    * fixed double tree over EXACT integer counts rounded to micro
+    * immediately (the PSI per-term convention — the sums are then exact
+    * and order-free); χ² = (ΣOE)²/ΣV one final double division. At-risk
+    * counts come from the range-partitioned exclusive running sum —
+    * never a single-task window; the initial-size row is a 1-row
+    * broadcast under the plan-audit bound. NULL χ² when ΣV = 0 (no
+    * comparable event times).
+    */
+  def logRank(du: DataFrame): DataFrame = {
+    val ct = du.groupBy(col("dur_h"))
+      .agg(
+        sum(when(col("g") === "A" && col("observed"), 1L).otherwise(0L)).as("da"),
+        sum(when(col("g") === "A" && !col("observed"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === "B" && col("observed"), 1L).otherwise(0L)).as("db"),
+        sum(when(col("g") === "B" && !col("observed"), 1L).otherwise(0L)).as("cb"))
+      .withColumn("ra", col("da") + col("ca"))
+      .withColumn("rb", col("db") + col("cb"))
+    val tot = ct.agg(sum(col("ra")).as("na0"), sum(col("rb")).as("nb0"))
+    val r = Rank.withRunningSum(
+        Rank.withRunningSum(ct, Seq(col("dur_h")), "ra", "cra"),
+        Seq(col("dur_h")), "rb", "crb")
+      .crossJoin(broadcast(tot))
+      .select(col("dur_h"), col("da"), col("db"),
+        (col("na0") - (col("cra") - col("ra"))).as("na"),
+        (col("nb0") - (col("crb") - col("rb"))).as("nb"),
+        col("na0"), col("nb0"))
+      .filter(col("da") + col("db") > 0L)
+      .withColumn("d", col("da") + col("db"))
+      .withColumn("n", col("na") + col("nb"))
+    // a global agg (not a groupBy on the totals): an all-censored input
+    // has ZERO event times but must still report its one row
+    r.groupBy()
+      .agg(
+        coalesce(sum(col("da")), lit(0L)).as("events_a"),
+        coalesce(sum(col("db")), lit(0L)).as("events_b"),
+        coalesce(sum(expr(
+          """cast(round(1000000.0D * (cast(da as double)
+            | - cast(d as double) * cast(na as double) / cast(n as double)))
+            | as bigint)""".stripMargin)), lit(0L)).as("oe_micro"),
+        coalesce(sum(expr(
+          """case when n > 1 then cast(round(1000000.0D * (cast(d as double)
+            | * (cast(na as double) / cast(n as double))
+            | * (1.0D - cast(na as double) / cast(n as double))
+            | * (cast(n - d as double) / cast(n - 1 as double)))) as bigint)
+            | else 0L end""".stripMargin)), lit(0L)).as("v_micro"))
+      .crossJoin(broadcast(tot))
+      .select(col("na0").as("n_a"), col("nb0").as("n_b"),
+        col("events_a"), col("events_b"), col("oe_micro"), col("v_micro"),
+        when(col("v_micro") > 0L, expr(
+          """cast(round(cast(oe_micro as double) * cast(oe_micro as double)
+            | / cast(v_micro as double)) as bigint)""".stripMargin))
+          .as("chi2_micro"))
+  }
+
+  /** [[logRank]] of signup→first-purchase between the md5 experiment
+    * arms — "did the treatment change time-to-conversion", the survival
+    * half of the A/B readout family (same durations as the KM curve,
+    * same variant split as [[abLift]]). */
+  def eventLogRank(spark: SparkSession, dir: String): DataFrame =
+    logRank(signupDurations(spark, dir)
+      .select(
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+          .otherwise("B").as("g"),
+        col("dur_h"), col("observed")))
 
   /** Per-user A/B cells shared by [[abLift]] and [[abChiSquare]] — ONE
     * definition of conversion and of the variant split, so the readout

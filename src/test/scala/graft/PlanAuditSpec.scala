@@ -63,7 +63,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "graph_eff_diameter" -> 16,         // single-row reach-total broadcast
     "text_ndcg" -> 32,                  // bm25 stats broadcast + the 1×1 dcg×idcg cross
     "ts_dtw" -> 64,                     // |series|-row profile-pair cross: bounded domain
-    "events_ab_cuped" -> 16)            // single-row pooled-sufficient-stats broadcast
+    "events_ab_cuped" -> 16,            // single-row pooled-sufficient-stats broadcast
+    "events_ab_logrank" -> 16)          // 1-row frontier + 1-row group-totals broadcasts
   private val intendedCross: Set[String] = intendedCrossBound.keySet
 
   /** Grouping-key names whose domain is bounded by construction — an

@@ -92,6 +92,52 @@ class TsResampleSpec extends AnyFunSuite {
     assert(fo.length === 6 && fo.forall(_.isNullAt(2)))
   }
 
+  test("log-rank: hand-computed O-E and variance terms; censors drop " +
+      "out of the event times") {
+    import spark.implicits._
+    // A dies at 1 and 2; B dies at 1, censored at 3. t=1: OE 0, V 1/3;
+    // t=2: OE 1/2, V 1/4; t=3: censor only -> no term
+    val du = Seq(("A", 1L, true), ("A", 2L, true),
+      ("B", 1L, true), ("B", 3L, false)).toDF("g", "dur_h", "observed")
+    val r = Analytics.logRank(du).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 2L, 2L, 1L)))
+    assert(r.getAs[Long]("oe_micro") === 500000L)
+    assert(r.getAs[Long]("v_micro") === 333333L + 250000L)
+    assert(r.getAs[Long]("chi2_micro") ===
+      math.round(500000.0 * 500000.0 / 583333.0))
+    // identical groups: every O-E term is exactly 0, chi2 exactly 0
+    val same = Seq(("A", 1L, true), ("B", 1L, true),
+      ("A", 2L, true), ("B", 2L, true)).toDF("g", "dur_h", "observed")
+    val s = Analytics.logRank(same).collect()(0)
+    assert(s.getAs[Long]("oe_micro") === 0L && s.getAs[Long]("chi2_micro") === 0L)
+    // no deaths at all -> V = 0 -> NULL chi2, never a division artifact
+    val cens = Seq(("A", 1L, false), ("B", 2L, false))
+      .toDF("g", "dur_h", "observed")
+    assert(Analytics.logRank(cens).collect()(0).isNullAt(6))
+  }
+
+  test("mann-kendall: monotone series by hand, tie correction, sen's " +
+      "lower-median slope") {
+    // strictly increasing hourly values 1..4: S = 6, no ties,
+    // var18 = 4*3*13, every pairwise slope exactly 1e6 micro/h
+    val up = ev((0 until 4).map(h => (h * 3600L, "A", (h + 1).toDouble)))
+    val r = Analytics.mannKendall(up).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((4L, 6L, 156L)))
+    assert(r.getAs[Long]("z_micro") ===
+      math.round(1000000.0 * 5.0 / math.sqrt(156.0 / 18.0)))
+    assert(r.getAs[Long]("sen_num_micro") === 1000000L
+      && r.getAs[Long]("sen_den_h") === 1L
+      && r.getAs[Long]("sen_slope_micro_per_h") === 1000000L)
+    // all-equal series: S = 0 -> z 0; ties drain the variance term
+    val flat = ev((0 until 4).map(h => (h * 3600L, "A", 2.0)))
+    val f = Analytics.mannKendall(flat).collect()(0)
+    assert(f.getLong(2) === 0L)
+    assert(f.getLong(3) === 156L - 4L * 3L * 13L, "t=4 tie block")
+    assert(f.getAs[Long]("z_micro") === 0L)
+    assert(f.getAs[Long]("sen_slope_micro_per_h") === 0L)
+  }
+
   test("percent rank maps a group's extremes to 0 and 1000 exactly") {
     import spark.implicits._
     val df = Seq((1L, "A", 10.0), (2L, "A", 20.0), (3L, "A", 30.0),
