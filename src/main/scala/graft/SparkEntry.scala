@@ -2719,12 +2719,14 @@ object SparkEntry {
         |    sum(CASE WHEN variant = 'B' THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS sxxb
         |  FROM v),
         |g AS (SELECT na, nb, sxa, sxb,
-        |    CAST(na * sxxa - sxa * sxa AS DOUBLE) / CAST(na * na * (na - 1) AS DOUBLE) AS ga,
-        |    CAST(nb * sxxb - sxb * sxb AS DOUBLE) / CAST(nb * nb * (nb - 1) AS DOUBLE) AS gb
+        |    CASE WHEN na >= 2 THEN
+        |      CAST(na * sxxa - sxa * sxa AS DOUBLE) / CAST(na * na * (na - 1) AS DOUBLE) END AS ga,
+        |    CASE WHEN nb >= 2 THEN
+        |      CAST(nb * sxxb - sxb * sxb AS DOUBLE) / CAST(nb * nb * (nb - 1) AS DOUBLE) END AS gb
         |  FROM s)
         |SELECT na, nb,
-        |  CAST((1000000 * sxa) // na AS BIGINT) AS mean_a_microcents,
-        |  CAST((1000000 * sxb) // nb AS BIGINT) AS mean_b_microcents,
+        |  CASE WHEN na > 0 THEN CAST((1000000 * sxa) // na AS BIGINT) END AS mean_a_microcents,
+        |  CASE WHEN nb > 0 THEN CAST((1000000 * sxb) // nb AS BIGINT) END AS mean_b_microcents,
         |  CASE WHEN na >= 2 AND nb >= 2 AND ga + gb > 0 THEN
         |    CAST(round(1000000.0 * (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)
         |      - CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE)) / sqrt(ga + gb)) AS BIGINT) END AS t_micro,
@@ -2816,7 +2818,8 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN variant = 'A' AND convs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
         |    CAST(sum(CASE WHEN variant = 'B' AND convs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
         |  FROM v),
-        |p AS (SELECT *, CAST(conv_a + conv_b AS DOUBLE) / CAST(na + nb AS DOUBLE) AS pbar FROM s),
+        |p AS (SELECT *, CASE WHEN na + nb > 0 THEN
+        |    CAST(conv_a + conv_b AS DOUBLE) / CAST(na + nb AS DOUBLE) END AS pbar FROM s),
         |o AS (SELECT na, nb, conv_a, conv_b,
         |  CASE WHEN na > 0 AND nb > 0 THEN
         |    CAST(round(1000000.0 * (CAST(conv_a AS DOUBLE) / CAST(na AS DOUBLE)

@@ -3326,17 +3326,23 @@ object Analytics {
         sum(when(col("variant") === "B",
           col("cents").cast("decimal(19,0)") * col("cents")).otherwise(lit(0)
           .cast("decimal(19,0)"))).as("sxxb"))
+      // n >= 2 inside the CASE: the n²(n−1) denominator is 0 below that
+      // and ANSI errors on /0 where the stat is undefined anyway
       .withColumn("ga", expr(
-        """cast(na * sxxa - sxa * sxa as double)
-          | / cast(cast(na as decimal(38,0)) * na * (na - 1) as double)"""
+        """case when na >= 2 then cast(na * sxxa - sxa * sxa as double)
+          | / cast(cast(na as decimal(38,0)) * na * (na - 1) as double) end"""
           .stripMargin))
       .withColumn("gb", expr(
-        """cast(nb * sxxb - sxb * sxb as double)
-          | / cast(cast(nb as decimal(38,0)) * nb * (nb - 1) as double)"""
+        """case when nb >= 2 then cast(nb * sxxb - sxb * sxb as double)
+          | / cast(cast(nb as decimal(38,0)) * nb * (nb - 1) as double) end"""
           .stripMargin))
       .select(col("na"), col("nb"),
-        expr("(1000000 * sxa) div na").as("mean_a_microcents"),
-        expr("(1000000 * sxb) div nb").as("mean_b_microcents"),
+        // empty-arm guard: ANSI div errors on 0, and an empty arm's
+        // mean is undefined anyway
+        when(col("na") > 0L, expr("(1000000 * sxa) div na"))
+          .as("mean_a_microcents"),
+        when(col("nb") > 0L, expr("(1000000 * sxb) div nb"))
+          .as("mean_b_microcents"),
         when(col("na") >= 2L && col("nb") >= 2L
             && col("ga") + col("gb") > 0d, expr(
           """cast(round(1000000.0D * (cast(sxa as double) / cast(na as double)
@@ -3513,7 +3519,9 @@ object Analytics {
         sum(when(col("variant") === "B" && col("convs") > 0L, 1L)
           .otherwise(0L)).as("conv_b"))
       .withColumn("pbar", expr(
-        "cast(conv_a + conv_b as double) / cast(na + nb as double)"))
+        """case when na + nb > 0
+          | then cast(conv_a + conv_b as double) / cast(na + nb as double)
+          | end""".stripMargin))
       .select(col("na"), col("nb"), col("conv_a"), col("conv_b"),
         when(col("na") > 0L && col("nb") > 0L, expr(
           """cast(round(1000000.0D * (cast(conv_a as double) / cast(na as double)

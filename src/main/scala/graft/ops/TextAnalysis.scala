@@ -2545,16 +2545,19 @@ object TextAnalysis {
     // reference stratum with < buckets distinct rows leaves ntile bins
     // empty): the add-one smoothing gives empty bins a NONZERO term, and
     // dropping them would understate PSI (Σp, Σq < 1) exactly on the
-    // degenerate inputs the smoothing exists for
+    // degenerate inputs the smoothing exists for. The zero rows union in
+    // BEFORE the groupBy, so the totals window still sits directly on
+    // the bounded-key aggregate (the plan-audit window contract).
     val allBins = df.sparkSession.range(1, buckets + 1)
       .select(col("id").as("bin"))
-    allBins.join(
-        binned.groupBy(col("bin"))
-          .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("nref0"),
-            sum(when(col("is_ref"), 0L).otherwise(1L)).as("ncur0")),
-        Seq("bin"), "left_outer")
-      .select(col("bin"), coalesce(col("nref0"), lit(0L)).as("nref"),
-        coalesce(col("ncur0"), lit(0L)).as("ncur"))
+    binned
+      .select(col("bin").cast("long").as("bin"),
+        when(col("is_ref"), 1L).otherwise(0L).as("r"),
+        when(col("is_ref"), 0L).otherwise(1L).as("c"))
+      .unionByName(allBins.select(col("bin"), lit(0L).as("r"),
+        lit(0L).as("c")))
+      .groupBy(col("bin"))
+      .agg(sum(col("r")).as("nref"), sum(col("c")).as("ncur"))
       .withColumn("tr", sum(col("nref")).over(w))
       .withColumn("tc", sum(col("ncur")).over(w))
       .withColumn("p",

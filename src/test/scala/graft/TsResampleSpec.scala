@@ -847,6 +847,14 @@ class TsResampleSpec extends AnyFunSuite {
       .toDF("event_id", "user_id", "event_type", "value")
     val fr = Analytics.abTTest(flat).collect()(0)
     assert(fr.isNullAt(4) && fr.isNullAt(5))
+    // a single user (md5("1") starts 'c' → arm B): empty arm A reads
+    // NULL mean, undersized arms read NULL stats — no ANSI /0 anywhere
+    val one = Seq((1L, 1L, "purchase", 100.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val or = Analytics.abTTest(one).collect()(0)
+    assert((or.getLong(0), or.getLong(1)) === ((0L, 1L)))
+    assert(or.isNullAt(2) && or.getLong(3) === 10000L * 1000000L
+      && or.isNullAt(4) && or.isNullAt(5))
   }
 
   test("ab mann-whitney: doubled U by brute ranks, all-ties goes null") {
