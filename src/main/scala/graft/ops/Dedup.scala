@@ -642,10 +642,10 @@ object Dedup {
         struct(col("id2").as("a"), col("id1").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .repartition(n, col("a"))
-      .localCheckpoint()
-    var labels = edges.select(col("a").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint()
+      .transform(OpCache.ckptPartitioned)
+    var labels = OpCache.ckptPartitioned(
+      edges.select(col("a").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -657,10 +657,10 @@ object Dedup {
       // detection reads the (already materialized) checkpoint instead of
       // running its own join+shuffle per round
       val newLabel = least(col("cluster_id"), coalesce(col("pushed_id"), col("cluster_id")))
-      val next = labels.join(pushed, labels("doc_id") === pushed("doc_id2"), "left")
-        .select(col("doc_id"), newLabel.as("cluster_id"),
-          (newLabel =!= col("cluster_id")).as("__changed"))
-        .localCheckpoint()
+      val next = OpCache.ckptPartitioned(
+        labels.join(pushed, labels("doc_id") === pushed("doc_id2"), "left")
+          .select(col("doc_id"), newLabel.as("cluster_id"),
+            (newLabel =!= col("cluster_id")).as("__changed")))
       // round 1 always changes labels on any non-trivial graph — skip the
       // convergence scan and spend it on the next propagation instead
       converged = iter > 0 && next.filter(col("__changed")).isEmpty

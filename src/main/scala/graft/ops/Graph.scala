@@ -90,7 +90,7 @@ object Graph {
         struct(col("dst").as("a"), col("src").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
     val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
-    val ed = edges.join(deg, "a").repartition(n, col("a")).localCheckpoint()
+    val ed = OpCache.ckptPartitioned(edges.join(deg, "a").repartition(n, col("a")))
     val base = scale * (1000L - dampPermille) / 1000L
     var pr = ed.select(col("a").as("node")).distinct()
       .withColumn("pr", lit(scale))
@@ -301,7 +301,7 @@ object Graph {
         struct(col("a").as("u"), col("b").as("v")),
         struct(col("b").as("u"), col("a").as("v")))).as("x"))
       .select(col("x.u").as("u"), col("x.v").as("v"))
-      .repartition(n, col("u")).localCheckpoint()
+      .repartition(n, col("u")).transform(OpCache.ckptPartitioned)
     // Peeling driven by the REMOVED-node set, not the surviving edge
     // list: per round, the degree groupBy is exchange-free (adj is
     // hash-partitioned on `u` and every round preserves that), the
@@ -331,7 +331,7 @@ object Graph {
             adj.join(removed, Seq("u"), "left_anti")
               .join(removed.withColumnRenamed("u", "v"), Seq("v"), "left_anti")
               .repartition(n, col("u"))
-        adj = next.select(col("u"), col("v")).localCheckpoint()
+        adj = OpCache.ckptPartitioned(next.select(col("u"), col("v")))
       }
       it += 1
     }
@@ -495,7 +495,7 @@ object Graph {
         struct(col("a").as("u"), col("b").as("v")),
         struct(col("b").as("u"), col("a").as("v")))).as("x"))
       .select(col("x.u").as("u"), col("x.v").as("v"))
-      .repartition(n, col("u")).localCheckpoint()
+      .repartition(n, col("u")).transform(OpCache.ckptPartitioned)
     import spark.implicits._
     var visited = sources.distinct.sorted.toDF("node")
       .select(col("node").cast("long").as("node"), lit(0).as("depth"))
@@ -566,7 +566,7 @@ object Graph {
         struct(col("src").as("a"), col("dst").as("b")),
         struct(col("dst").as("a"), col("src").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
-    val ed = edges.repartition(n, col("a")).localCheckpoint()
+    val ed = OpCache.ckptPartitioned(edges.repartition(n, col("a")))
     var lab = ed.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
@@ -631,7 +631,7 @@ object Graph {
         struct(col("dst").as("a"), col("src").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
     val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
-    val ed = edges.join(deg, "a").repartition(n, col("a")).localCheckpoint()
+    val ed = OpCache.ckptPartitioned(edges.join(deg, "a").repartition(n, col("a")))
     val base = scale * (1000L - dampPermille) / 1000L
     val srcBase = sources.toDF("node").withColumn("c", lit(base))
     var pr = sources.toDF("node").withColumn("pr", lit(scale))
@@ -690,7 +690,7 @@ object Graph {
         struct(col("src").as("a"), col("dst").as("b"), col("w")),
         struct(col("dst").as("a"), col("src").as("b"), col("w")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"), col("e.w").as("w"))
-    val ed = edges.repartition(n, col("a")).localCheckpoint()
+    val ed = OpCache.ckptPartitioned(edges.repartition(n, col("a")))
     var d = sources.toDF("node").withColumn("dist", lit(0L))
     for (i <- 1 to iters) {
       d = ed.join(d, ed("a") === d("node"))
@@ -831,7 +831,7 @@ object Graph {
     val adj = edges
       .withColumn("idx",
         row_number().over(Window.partitionBy(col("a")).orderBy(col("b"))) - 1)
-      .repartition(n, col("a")).localCheckpoint()
+      .repartition(n, col("a")).transform(OpCache.ckptPartitioned)
     val deg = adj.groupBy(col("a")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     var frontier = deg.select(col("a"))
@@ -1052,11 +1052,15 @@ object Graph {
     * independent of the sample size — see [[betweenness]]'s scale notes.
     */
   private def bfsLevelsBatched(pairs: DataFrame, srcs: Seq[Long],
-                               maxDepth: Int): (DataFrame, Seq[DataFrame]) = {
+                               maxDepth: Int, broadcastRows: Long = 4000000L)
+      : (DataFrame, Seq[DataFrame], Seq[Long]) = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val n = spark.sessionState.conf.numShufflePartitions
     val k = srcs.size
+    // broadcast budget in ROWS of (node, k-long array) payloads — the
+    // 4M-single-column default of [[bfs]] scaled down by the row width
+    val bRows = broadcastRows / (k + 1)
     val e = pairs.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
@@ -1064,7 +1068,7 @@ object Graph {
         struct(col("a").as("u"), col("b").as("v")),
         struct(col("b").as("u"), col("a").as("v")))).as("x"))
       .select(col("x.u").as("u"), col("x.v").as("v"))
-      .repartition(n, col("u")).localCheckpoint()
+      .repartition(n, col("u")).transform(OpCache.ckptPartitioned)
     // level0: one row per source node; sig[i] = 1 where this node IS
     // source i. A LocalRelation — checkpointing a k-row table would
     // burn an eager job for nothing, and these queries are
@@ -1073,6 +1077,7 @@ object Graph {
     val level0 = srcs.map(s => (s, srcs.map(x => if (x == s) 1L else 0L)))
       .toDF("node", "sig")
     val levels = scala.collection.mutable.ArrayBuffer(level0)
+    val counts = scala.collection.mutable.ArrayBuffer(k.toLong)
     // the per-source visited set, derived LAZILY per level as the
     // element-wise OR over the (already checkpointed) level tables —
     // an incremental merged table would need either an eager job per
@@ -1084,26 +1089,41 @@ object Graph {
       .agg(array((0 until k).map(i =>
         max(when(col("sig")(i) > 0L, 1).otherwise(0))): _*).as("seen"))
     var frontierSize = k.toLong
+    var visited = k.toLong
     var depth = 0
     while (frontierSize > 0L && depth < maxDepth) {
       depth += 1
       val cur = levels.last
+      // frontier and visited sets are measured (accumulator counts), so
+      // gate EXPLICIT broadcasts on them — AQE would only discover the
+      // same thing after materializing a shuffle of the adjacency first
+      // (each level's join re-exchanged the full O(E) edge list, the
+      // single biggest per-level cost measured at round 15), and the
+      // checkpointed frontier's stats are unknown to the static planner.
+      // Past the budget the joins fall back to co-partitioned shuffles
+      // against the hash-partitioning-preserving adjacency checkpoint —
+      // the 100 TB path.
+      val fr = cur.withColumnRenamed("node", "u")
       // propagate σ along edges, merge per node (k map-combined sums),
       // then zero the components whose source already visited the node —
       // the element-wise mask IS the per-source anti-join
-      val contrib = adj.join(cur.withColumnRenamed("node", "u"), Seq("u"))
+      val contrib = adj
+        .join(if (frontierSize <= bRows) broadcast(fr) else fr, Seq("u"))
         .groupBy(col("v").as("node"))
         .agg(array((0 until k).map(i => sum(col("sig")(i))): _*).as("sig"))
-      val next = contrib.join(seen, Seq("node"), "left")
+      val sn = seen
+      val next = contrib
+        .join(if (visited <= bRows) broadcast(sn) else sn, Seq("node"), "left")
         .select(col("node"), array((0 until k).map(i =>
           when(col("seen").isNull || col("seen")(i) === 0,
             col("sig")(i)).otherwise(0L)): _*).as("sig"))
         .filter(expr("exists(sig, x -> x > 0)"))
       val (ck, cnt) = checkpointCounted(next)
       frontierSize = cnt
-      if (cnt > 0L) levels += ck
+      visited += cnt
+      if (cnt > 0L) { levels += ck; counts += cnt }
     }
-    (adj, levels.toSeq)
+    (adj, levels.toSeq, counts.toSeq)
   }
 
   def betweenness(pairs: DataFrame, sources: Seq[Long],
@@ -1125,23 +1145,33 @@ object Graph {
     val k = srcs.size
     def esum(arr: String) = // element-wise array sum as k codegen'd aggs
       array((0 until k).map(i => sum(col(arr)(i))): _*)
-    val (adj, levels) = bfsLevelsBatched(pairs, srcs, maxDepth)
+    val (adj, levels, lvlCounts) = bfsLevelsBatched(pairs, srcs, maxDepth)
     if (levels.size == 1)
       return spark.emptyDataset[(Long, Long)].toDF("node", "bc_micro")
+    // broadcast budget in (node, k-array) rows — bfsLevelsBatched's gate
+    val bRows = 4000000L / (k + 1)
     // the backward sweep joins the adjacency on its OTHER end every
-    // level — one v-partitioned checkpoint here instead of re-shuffling
-    // the full edge list per level
-    val adjR = adj.repartition(n, col("v")).localCheckpoint()
+    // level. When every level fits the broadcast budget the level tables
+    // broadcast INTO the u-partitioned adjacency (zero edge-list
+    // shuffles: the adjacency streams, and even the δ groupBy on u is
+    // exchange-free on the preserved hash partitioning), so the
+    // v-partitioned copy is never built. It materializes LAZILY, once,
+    // only when some level is too big to broadcast — the 100 TB path,
+    // where one v-repartition replaces a per-level re-shuffle.
+    lazy val adjR = OpCache.ckptPartitioned(adj.repartition(n, col("v")))
     val zeros = array((0 until k).map(_ => lit(0L)): _*)
     var acc: DataFrame = null
     var deltaNext: DataFrame = null // δ of level l+1 (null ⇒ all-zero)
     for (l <- levels.size - 2 to 0 by -1) {
+      val small = lvlCounts(l + 1) <= bRows && lvlCounts(l) <= bRows
       val down0 = levels(l + 1)
         .select(col("node").as("v"), col("sig").as("sw"))
       val down =
         if (deltaNext == null) down0.withColumn("dw", zeros)
         else down0.join(
-            deltaNext.select(col("node").as("v"), col("delta").as("dw")),
+            // δ(l+1) is level-sized — same budget as its level table
+            { val d = deltaNext.select(col("node").as("v"), col("delta").as("dw"))
+              if (small) broadcast(d) else d },
             Seq("v"), "left")
           .select(col("v"), col("sw"), coalesce(col("dw"), zeros).as("dw"))
       val up = levels(l)
@@ -1154,8 +1184,9 @@ object Graph {
       // sw[i] > 0 marks "w is at level l+1 for source i" and su[i] > 0
       // "u at level l" — the element-wise guards ARE the per-source
       // consecutive-level edge filter (0·x and x/0 components drop out).
-      deltaNext = adjR.join(down, Seq("v"))
-        .join(up, Seq("u"))
+      deltaNext = (if (small)
+          adj.join(broadcast(down), Seq("v")).join(broadcast(up), Seq("u"))
+        else adjR.join(down, Seq("v")).join(up, Seq("u")))
         .select(col("u").as("node"), array((0 until k).map { i =>
           // σ·(1e6+δ) in decimal(19,0)² = decimal(38,0): int64 wraps
           // silently (non-ANSI) once σ·δ passes 9.2e18 while DuckDB
@@ -1182,7 +1213,7 @@ object Graph {
         // δ-subplans and the chain recomputes O(depth²). With node-keyed
         // array rows a level is small; one job per level is the cheaper
         // side of the trade (measured both ways at bench scale).
-        .localCheckpoint()
+        .transform(OpCache.ckptPartitioned)
       acc = if (acc == null) deltaNext else acc.unionByName(deltaNext)
     }
     // a source's own δ-components are excluded (Brandes sums δ_s(v) over
@@ -1244,7 +1275,7 @@ object Graph {
     import spark.implicits._
     val srcs = sources.distinct.sorted
     val k = srcs.size
-    val (_, levels) = bfsLevelsBatched(pairs, srcs, maxDepth)
+    val (_, levels, _) = bfsLevelsBatched(pairs, srcs, maxDepth)
     if (levels.size == 1)
       return spark.emptyDataset[(Long, Long)].toDF("node", "h_micro")
     (1 until levels.size).map { l =>
@@ -1271,7 +1302,7 @@ object Graph {
     require(sources.nonEmpty && maxDepth >= 1)
     val srcs = sources.distinct.sorted
     val k = srcs.size
-    val (_, levels) = bfsLevelsBatched(pairs, srcs, maxDepth)
+    val (_, levels, _) = bfsLevelsBatched(pairs, srcs, maxDepth)
     val per = levels.zipWithIndex.map { case (lv, h) =>
       lv.select(lit(h.toLong).as("h"),
         (0 until k).map(i => when(col("sig")(i) > 0L, 1L).otherwise(0L))

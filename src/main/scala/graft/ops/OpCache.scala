@@ -30,4 +30,31 @@ private[graft] object OpCache {
     handles.foreach(d => try d.unpersist() catch { case _: Throwable => () })
     handles.clear()
   }
+
+  /** `localCheckpoint()` that actually PRESERVES the plan's physical
+    * output partitioning. Under AQE (default-on) `Dataset.checkpoint`
+    * records `executedPlan.outputPartitioning` from the adaptive root,
+    * which reports UnknownPartitioning — so a
+    * `repartition(n, key).localCheckpoint()` spine yields a LogicalRDD
+    * every downstream join/groupBy RE-SHUFFLES (measured round 15: the
+    * batched-BFS adjacency re-exchanged EVERY level, one O(E) exchange
+    * per round in every iterative graph op — exactly the exchange the
+    * repartition-before-checkpoint pattern exists to remove). Planning
+    * just this one materialization with AQE off records the real
+    * HashPartitioning in the LogicalRDD; consumers still plan under AQE
+    * and read it exchange-free. The flag flip is driver-side and brief;
+    * iterative batch operators build plans sequentially on the driver,
+    * so nothing else plans during it (streaming maintainers never call
+    * this helper).
+    */
+  def ckptPartitioned(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val key = "spark.sql.adaptive.enabled"
+    if (spark.conf.get(key, "true") == "false") df.localCheckpoint()
+    else {
+      spark.conf.set(key, "false")
+      try df.localCheckpoint()
+      finally spark.conf.set(key, "true")
+    }
+  }
 }
