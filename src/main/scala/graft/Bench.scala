@@ -127,15 +127,21 @@ object Bench {
         .groupBy("k").sum("v").count()
       ((System.nanoTime() - t0) / 1e9, (cpuNs() - c0) / 1e9)
     }
-    // One timed pass of a query against a session: median-of-3 wall+cpu
+    // One timed pass of a query against a session: median-of-N wall+cpu
     // plus both spreads, after the caller has arranged warm-up. The noop
     // sink materializes EVERY output column — a count() would let
     // Catalyst prune the projections of map-shaped queries (token
     // counting, scrubbing, decode) and time only their scans.
-    def timeQuery(s: SparkSession, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+    // nRuns: 3 (median) for queries whose dry run took >=1 s wall, 1 for
+    // the sub-second tail — a sub-second median-of-3 is jitter anyway,
+    // and at 268 queries the 2 extra runs apiece were the single biggest
+    // reason the round-15 bench outgrew the driver's time budget (rc 124
+    // at both core counts).
+    def timeQuery(s: SparkSession, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                  nRuns: Int)
         : (Double, Double, Double, Double, Boolean) = {
       var ok = true
-      val times = (1 to 3).map { _ =>
+      val times = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime(); val c0 = cpuNs()
         try { fn(s, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case _: Throwable => ok = false }
@@ -182,11 +188,15 @@ object Bench {
       // lands on whichever queries happen to run first, skewing their
       // numbers 2-3x run-to-run. Per-query min-of-2 can't fix that — the
       // first timed run of query #1 still pays infra warmup that query #50
-      // gets for free.
-      picked.foreach { case (_, fn) =>
+      // gets for free. The dry run's wall also decides the timed-run
+      // count below: >=1 s gets a median-of-3, the sub-second tail one run.
+      val dryWall = picked.map { case (name, fn) =>
+        val t0 = System.nanoTime()
         try fn(s, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
       }
+      val dryMap = dryWall.toMap
       // Release every operator-internal cache the dry pass accumulated:
       // ~120 queries' worth of persisted intermediates otherwise pile up
       // in storage memory, and the resulting eviction churn is exactly the
@@ -205,7 +215,8 @@ object Bench {
       // crashes, which is exactly how a silent regression hides.
       var passFailed = List.empty[String]
       val passResults = picked.map { case (name, fn) =>
-        val (w, ws, c, cs, ok) = timeQuery(s, fn)
+        val n = if (dryMap.getOrElse(name, 0.0) >= 1.0) 3 else 1
+        val (w, ws, c, cs, ok) = timeQuery(s, fn, n)
         if (!ok) passFailed ::= name
         name -> (w, ws, c, cs)
       }
@@ -219,8 +230,13 @@ object Bench {
     // run): repeat once in a fresh session and publish whichever pass
     // the machine held steadier for — the snapshot then self-describes
     // via `contended`/`calib_drift`/`n_passes` instead of needing a
-    // judge-side forensic diff like round 12's did.
-    if (calibContended(calibStart._2, calibEnd._2)) {
+    // judge-side forensic diff like round 12's did. OPT-IN since round
+    // 16 (SPARK_GRAFT_BENCH_RETRY=1): the automatic full second pass
+    // doubled the run on exactly the machines least able to afford it
+    // and was half of why the round-15 bench blew the driver's budget;
+    // a contended single pass now just ships stamped `contended:true`.
+    if (sys.env.get("SPARK_GRAFT_BENCH_RETRY").contains("1") &&
+        calibContended(calibStart._2, calibEnd._2)) {
       session.stop()
       session = newSession()
       session.sparkContext.setLogLevel("WARN")
@@ -260,12 +276,12 @@ object Bench {
       .sortBy(-_._2._1).map(_._1)
     // Bounded re-run budget; anything dropped is named in the snapshot —
     // a silent cap would read as "everything re-measured" when it wasn't.
-    // cap sized for a heavily-contended machine: a noisy run flags ~30
-    // queries (a quiet one ~17), and each fresh-session re-run costs
-    // ~20 s — the cap bounds the pass at ~10 min while still covering
-    // the whole inflated tail; anything past it is named, never silent
+    // Cap 12 since round 16 (was 32): each fresh-session re-run costs
+    // ~20 s, and 32 of them was the third leg of the round-15 driver
+    // timeout — 12 still covers the heavy flagged tail (a quiet run
+    // flags fewer), and the dropped remainder is named, never silent.
     val (toIsolate, isolateDropped) =
-      isolationSet(flagged, regressed.map(_._1), 32)
+      isolationSet(flagged, regressed.map(_._1), 12)
     // a query that THROWS in its fresh session must not publish its
     // time-to-crash as a valid isolated number — it lands in
     // isolated_failed instead, and total_isolated keeps its main-pass time
@@ -284,7 +300,7 @@ object Bench {
             try fn(s2, sfDir).write.format("noop").mode("overwrite").save()
             catch { case _: Throwable => () }
             ops.OpCache.unpersistAll()
-            val (w, _, c, _, ok) = timeQuery(s2, fn)
+            val (w, _, c, _, ok) = timeQuery(s2, fn, 3)
             if (ok) Some(name -> (w, c))
             else { isolatedFailed ::= name; None }
           } finally {
@@ -342,27 +358,36 @@ object Bench {
       results.map { case (k, (w, _, _, _)) => isoMap.get(k).map(_._1).getOrElse(w) }.sum
     }
     val cpuAvail = s""""cpu_available":${osBean.isDefined}"""
-    val full = s"""{"metric":"total","value":${j(total)},"unit":"sec","stat":"median_of_3","total_isolated_sec":${j(isoTotal)},"cpu_total_sec":${j(totalCpu)},$cpuAvail,"n_queries":${results.size},"n_failed":$nFailed,"failed":$failedJson,$calib,$cpuVsPrev,"n_isolated":${isolated.size},"isolated_dropped":$isoDroppedJson,"isolated_failed":$isoFailedJson,"queries":$fullQs,"spread":$fullSpread,"queries_cpu":$fullCpu,"spread_cpu":$fullCpuSpread,"queries_isolated":$isoQs,"queries_isolated_cpu":$isoCpu,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${j(total)},"unit":"sec","stat":"median3_wall_ge1s","total_isolated_sec":${j(isoTotal)},"cpu_total_sec":${j(totalCpu)},$cpuAvail,"n_queries":${results.size},"n_failed":$nFailed,"failed":$failedJson,$calib,$cpuVsPrev,"n_isolated":${isolated.size},"isolated_dropped":$isoDroppedJson,"isolated_failed":$isoFailedJson,"queries":$fullQs,"spread":$fullSpread,"queries_cpu":$fullCpu,"spread_cpu":$fullCpuSpread,"queries_isolated":$isoQs,"queries_isolated_cpu":$isoCpu,"sf":"$sfDir"}"""
     if (only.isEmpty) // a filtered run must not clobber the full snapshot
       try {
         val w = new java.io.PrintWriter("bench_full.json"); w.println(full); w.close()
       } catch { case _: Throwable => }
 
-    // Final stdout line: same shape, but the per-query map keeps only the
-    // slowest entries that fit a fixed byte budget so the whole line
-    // survives tail truncation and stays machine-parseable.
-    val budget = 1500
+    // Final stdout line: same shape, budgeted so the ENTIRE line stays
+    // <=1900 bytes — the invoking harness keeps only a ~2000-char stdout
+    // tail, and rounds 13-15 all shipped `parsed:null` because the old
+    // spelling appended the UNCAPPED queries_isolated map after the
+    // byte-budgeted queries map, pushing the line's head out of the tail
+    // window. queries_isolated / cpu_regressed / the full failed list
+    // live in bench_full.json only; stdout carries their counts.
+    val cpuBrief =
+      (if (cpuRatios.isEmpty) s""""cpu_vs_prev_median_ratio":null,"cpu_vs_prev_n":0"""
+       else s""""cpu_vs_prev_median_ratio":${j(cpuRatios(cpuRatios.size / 2))},"cpu_vs_prev_n":${cpuRatios.size}""") +
+      s""","n_cpu_regressed":${regressed.size}"""
     val entries = results.toSeq.sortBy(-_._2._1).map { case (k, t) => "\"" + k + "\":" + j(t._1) }
+    def line(qs: String, nRep: Int): String =
+      s"""{"metric":"total","value":${j(total)},"unit":"sec","stat":"median3_wall_ge1s","total_isolated_sec":${j(isoTotal)},"cpu_total_sec":${j(totalCpu)},$cpuAvail,"n_queries":${results.size},"n_failed":$nFailed,"failed":$failedBrief,$calib,$cpuBrief,"n_isolated":${isolated.size},"n_reported":$nRep,"full":"bench_full.json","queries":$qs,"sf":"$sfDir"}"""
+    val budget = 1900 - line("{}", results.size).length
     val kept = entries.scanLeft(0)(_ + _.length + 1).tail.zip(entries)
       .takeWhile(_._1 <= budget).map(_._2)
-    val qs = kept.mkString("{", ",", "}")
     // Nothing may print after (or interleave with) the JSON line — the
     // invoking harness parses the tail of the merged output. Silence the
     // Spark shutdown chatter before emitting it.
     val last = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     last.foreach(s => if (!s.sparkContext.isStopped) s.sparkContext.setLogLevel("OFF"))
     System.out.flush(); System.err.flush()
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","stat":"median_of_3","total_isolated_sec":${j(isoTotal)},"cpu_total_sec":${j(totalCpu)},$cpuAvail,"n_queries":${results.size},"n_failed":$nFailed,"failed":$failedBrief,$calib,$cpuVsPrev,"n_isolated":${isolated.size},"n_reported":${kept.size},"full":"bench_full.json","queries":$qs,"queries_isolated":$isoQs,"sf":"$sfDir"}""")
+    println(line(kept.mkString("{", ",", "}"), kept.size))
     System.out.flush()
     last.foreach(s => if (!s.sparkContext.isStopped) s.stop())
   }

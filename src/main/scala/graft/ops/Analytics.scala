@@ -923,9 +923,11 @@ object Analytics {
       .filter(col("rn") === expr("(nd + 1) div 2"))
       .select(col("stage"), col("delta").as("median_delta_us"))
     // lag runs directly over the k-row stage aggregate (BEFORE the median
-    // join) so the global window provably rides a bounded table
+    // join) so the global window provably rides a bounded table; the
+    // lit(0) partition spells the same single partition WITHOUT the
+    // per-execution WindowExec "No Partition Defined" warning
     agg.withColumn("prev_reached",
-        lag(col("reached"), 1).over(Window.orderBy(col("stage"))))
+        lag(col("reached"), 1).over(Window.partitionBy(lit(0)).orderBy(col("stage"))))
       .join(broadcast(med), Seq("stage"), "left_outer")
       .select(col("stage"), col("reached"),
         when(col("stage") === 1, expr("(1000 * reached) div n_total"))
@@ -1761,17 +1763,28 @@ object Analytics {
     * never by event volume; the median window partitions by series
     * (bounded domain). Pairs need both endpoints observed.
     */
-  def mannKendall(ev0: DataFrame, bucketSec: Long = 3600L): DataFrame = {
+  def mannKendall(ev0: DataFrame, bucketSec: Long = 3600L,
+                  cache: Boolean = true): DataFrame = {
     import graft.model.Documents
-    val b = ev0
+    // the bucket table feeds FOUR consumers (both self-join sides, the
+    // tie rollup, the per-series count) whose projections differ —
+    // uncached, each re-runs the O(events) bucketing shuffle (guide
+    // §2.3/§2.4: four event scans → one). Retention-bounded
+    // (series × hours), released per query via OpCache.
+    val b = OpCache.share(ev0
       .select(col("event_type").as("series"),
         (Documents.tsSec(col("ts")) / bucketSec).cast("long").as("h"),
         expr("cast(round(value * 1000000.0D) as bigint)").as("vm"))
       .groupBy(col("series"), col("h"))
       .agg(sum(col("vm")).as("sv"), count(lit(1)).as("cnt"))
-      .select(col("series"), col("h"), expr("sv div cnt").as("x"))
+      .select(col("series"), col("h"), expr("sv div cnt").as("x")),
+      cache)
+    // the pairwise expansion joins on the handful of series keys — a
+    // sort-merge would shuffle both sides onto ≤|series| tasks (pure
+    // skew); broadcasting the retention-bounded bucket table keeps the
+    // expansion map-side (guide §3.1), same rows out
     val p = b.select(col("series"), col("h").as("hi"), col("x").as("xi"))
-      .join(b.select(col("series"), col("h").as("hj"), col("x").as("xj")),
+      .join(broadcast(b.select(col("series"), col("h").as("hj"), col("x").as("xj"))),
         Seq("series"))
       .filter(col("hi") < col("hj"))
       .select(col("series"), (col("xj") - col("xi")).as("dx"),
@@ -1792,9 +1805,14 @@ object Analytics {
     val w = Window.partitionBy(col("series"))
       .orderBy(col("dx").cast("double") / col("dh").cast("double"),
         col("dx"), col("dh"))
+    // the pair count is C(n,2) by construction (every observed-bucket
+    // pair emits exactly one row), so the per-series total joins in from
+    // the bucket counts instead of a second count-window pass over the
+    // O(buckets²) pair table
     val med = p
       .withColumn("rn", row_number().over(w))
-      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("series"))))
+      .join(broadcast(nn.select(col("series"),
+        expr("(n * (n - 1)) div 2").as("np"))), Seq("series"))
       .filter(col("rn") === expr("(np + 1) div 2"))
       .select(col("series"), col("dx").as("sen_num_micro"),
         col("dh").as("sen_den_h"))

@@ -820,7 +820,8 @@ object Graph {
     * rows, step 0 = the start node itself.
     */
   def randomWalks(pairs: DataFrame, length: Int = 4,
-                  walksPerNode: Int = 2): DataFrame = {
+                  walksPerNode: Int = 2,
+                  broadcastRows: Long = 4000000L): DataFrame = {
     require(length >= 1 && walksPerNode >= 1)
     import org.apache.spark.sql.expressions.Window
     val n = pairs.sparkSession.sessionState.conf.numShufflePartitions
@@ -832,8 +833,21 @@ object Graph {
       .withColumn("idx",
         row_number().over(Window.partitionBy(col("a")).orderBy(col("b"))) - 1)
       .repartition(n, col("a")).transform(OpCache.ckptPartitioned)
-    val deg = adj.groupBy(col("a")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+    // node count measured off the degree table's own materialization
+    // (checkpointCounted — no extra job); walk count is nodes ×
+    // walksPerNode and CONSTANT across steps (a walk moves, never dies),
+    // so one measurement gates every step's broadcasts.
+    val (deg, nNodes) = checkpointCounted(
+      adj.groupBy(col("a")).agg(count(lit(1)).as("deg")))
+    // frontier/degree tables are walk-/node-sized; the static planner
+    // can't see that through the checkpoints (guide §3.1: broadcast where
+    // stats are invisible), and without the hint each step SHUFFLED the
+    // whole O(E) indexed adjacency on (a, idx) — the dominant per-step
+    // cost measured at round 16. Past the budget the joins keep the old
+    // co-partitioned shuffles — the 100 TB path where a billion walks
+    // can't broadcast.
+    val small = nNodes <= broadcastRows &&
+      nNodes * walksPerNode <= broadcastRows
     var frontier = deg.select(col("a"))
       .select(explode(sequence(lit(0), lit(walksPerNode - 1))).as("w"), col("a"))
       .select((col("a") * walksPerNode + col("w")).as("walk"), col("a").as("cur"))
@@ -842,11 +856,19 @@ object Graph {
     for (step <- 1 to length) {
       val k = expr("cast(conv(substr(md5(concat_ws(':', walk, " +
         s"$step)), 1, 13), 16, 10) as bigint)")
-      frontier = frontier
-        .join(deg, frontier("cur") === deg("a"))
+      val fk = frontier
+        .join(if (small) broadcast(deg) else deg, frontier("cur") === deg("a"))
         .select(col("walk"), col("cur"), (k % col("deg")).as("k"))
-        .join(adj, col("cur") === adj("a") && col("k") === adj("idx"))
-        .select(col("walk"), col("b").as("cur"))
+      frontier =
+        if (small)
+          // walk-sized side broadcasts INTO the u-partitioned adjacency:
+          // the O(E) table streams from its checkpoint, zero exchanges
+          adj.join(broadcast(fk),
+              col("cur") === adj("a") && col("k") === adj("idx"))
+            .select(col("walk"), col("b").as("cur"))
+        else
+          fk.join(adj, col("cur") === adj("a") && col("k") === adj("idx"))
+            .select(col("walk"), col("b").as("cur"))
       out = out.unionByName(
         frontier.select(col("walk"), lit(step).as("step"), col("cur").as("node")))
       if (step % 4 == 0 && step < length) frontier = frontier.localCheckpoint()

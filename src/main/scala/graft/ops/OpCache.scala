@@ -47,14 +47,28 @@ private[graft] object OpCache {
     * so nothing else plans during it (streaming maintainers never call
     * this helper).
     */
-  def ckptPartitioned(df: DataFrame): DataFrame = {
+  // ckptPartitioned's conf toggle serialized on this lock: the flip is
+  // session-global and check/set/restore is not atomic — two overlapping
+  // calls would let one restore the flag before the other's plan is
+  // forced (and any other thread planning during the window would
+  // silently lose AQE). Callers are sequential driver-side batch ops,
+  // but the lock makes the helper safe rather than assumed-safe.
+  private val ckptLock = new Object
+
+  def ckptPartitioned(df: DataFrame): DataFrame = ckptLock.synchronized {
     val spark = df.sparkSession
     val key = "spark.sql.adaptive.enabled"
-    if (spark.conf.get(key, "true") == "false") df.localCheckpoint()
+    val orig = spark.conf.getOption(key)
+    if (orig.exists(_.equalsIgnoreCase("false"))) df.localCheckpoint()
     else {
       spark.conf.set(key, "false")
+      // restore EXACTLY what was set before (or unset): blind "true"
+      // would permanently flip a user's AQE=FALSE/False spelling on.
       try df.localCheckpoint()
-      finally spark.conf.set(key, "true")
+      finally orig match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     }
   }
 }

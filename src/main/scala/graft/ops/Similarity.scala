@@ -1490,11 +1490,19 @@ object Similarity {
       .select(col("q.vec_id").as("vec_id"), col("q.label").as("label"),
         col("c.vec_id").as("nn_id"), col("c.label").as("nn_label"),
         round(cosineExpr, 6).as("cos"))
-    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn_id"))
-    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+    // the 1-NN argmax as a struct max instead of a rank window: the
+    // window shuffled AND sorted every candidate pair; max(struct)
+    // combines map-side, so only per-task winners cross the exchange
+    // (guide §2.3 "aggregate before you shuffle"). Field order (cos,
+    // −nn_id) reproduces the (cos desc, nn_id asc) winner exactly —
+    // struct ordering is lexicographic and null-smallest, matching the
+    // window's nulls-last descending order.
+    pairs.groupBy(col("vec_id"), col("label"))
+      .agg(max(struct(col("cos"), (-col("nn_id")).as("ni"),
+        col("nn_label").as("nl"))).as("top"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
-        sum(when(col("label") === col("nn_label"), 1L).otherwise(0L))
+        sum(when(col("label") === col("top.nl"), 1L).otherwise(0L))
           .as("correct"))
       .select(col("label"), col("n"), col("correct"),
         expr("(1000 * correct) div n").as("accuracy_permille"))

@@ -60,9 +60,11 @@ object TextAnalysis {
       .groupBy(col("grid_v"))
       .agg(sum(when(col("g") === a, 1L).otherwise(0L)).as("ca"),
         sum(when(col("g") === b, 1L).otherwise(0L)).as("cb"))
-    val run = Window.orderBy(col("grid_v"))
+    // lit(0) partition = same single partition over the bounded grid,
+    // minus the per-execution WindowExec "No Partition Defined" warning
+    val run = Window.partitionBy(lit(0)).orderBy(col("grid_v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.orderBy(col("grid_v"))
+    val all = Window.partitionBy(lit(0)).orderBy(col("grid_v"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     perX
       .withColumn("fa", sum(col("ca")).over(run))
@@ -743,9 +745,11 @@ object TextAnalysis {
     val docs = df.select(idCol.as("doc_id"),
       size(tokens(textCol)).cast("long").as("n_tok"))
     val hist = docs.groupBy("n_tok").agg(count(lit(1)).as("__c"))
-    val run = Window.orderBy("n_tok")
+    // lit(0) partition over the bounded length histogram — same single
+    // partition, no WindowExec "No Partition Defined" warning
+    val run = Window.partitionBy(lit(0)).orderBy("n_tok")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.orderBy("n_tok")
+    val all = Window.partitionBy(lit(0)).orderBy("n_tok")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val offsets = hist
       .withColumn("__below", sum(col("__c")).over(run) - col("__c"))
@@ -820,7 +824,9 @@ object TextAnalysis {
       .agg(count(lit(1)).as("new_types"))
     val volume = perDoc.groupBy(col("decile"))
       .agg(sum(col("n_toks")).as("toks"), count(lit(1)).as("docs"))
-    val w = Window.orderBy(col("decile"))
+    // lit(0) partition over the ≤buckets-row rollup — same single
+    // partition, no WindowExec "No Partition Defined" warning
+    val w = Window.partitionBy(lit(0)).orderBy(col("decile"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     volume.join(newVocab, Seq("decile"), "left_outer")
       .select(col("decile"), col("docs"), col("toks"),
@@ -1162,11 +1168,19 @@ object TextAnalysis {
         explode(sequence(lit(1), length(col("text")) - (k - 1))).as("p"))
       .select(col("doc_id"), col("p").cast("long").as("p"),
         expr(s"substring(text, p, $k)").as("g"))
-    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("p"))
-    grams.withColumn("cnt", count(lit(1)).over(byGram))
+    // duplicated-gram seeds via a grouped count + equi-join instead of a
+    // count window: the window shuffled AND sorted every corpus char
+    // position by its 30-char gram (the op's dominant stage — a corpus-
+    // sized string sort); the groupBy ships the same bytes but only
+    // hash-aggregates, and the surviving duplicate-gram keys (tiny on
+    // real corpora) come back as a join AQE turns broadcast at runtime —
+    // the seed rows never pay a gram-ordered sort (guide §2.4).
+    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
+      .select(col("g"))
+    grams.join(dup, Seq("g"))
       .withColumn("isl", col("p") - row_number().over(byDoc))
       .groupBy(col("doc_id"), col("isl"))
       .agg(min(col("p")).as("span_start"),
@@ -1448,9 +1462,13 @@ object TextAnalysis {
   def rrfFusion(lexical: DataFrame, dense: DataFrame, k: Int = 20,
                 rrfK: Int = 60): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the lexical input is already a ≤shortlist-row top-k (plans as
+    // TakeOrderedAndProject); lit(0) spells the same bounded single
+    // partition without the WindowExec "No Partition Defined" warning
     val lexRank = lexical
       .withColumn("lex_rank", row_number().over(
-        Window.orderBy(col("score_micro").desc, col("doc_id"))).cast("int"))
+        Window.partitionBy(lit(0))
+          .orderBy(col("score_micro").desc, col("doc_id"))).cast("int"))
       .select(col("doc_id"), col("lex_rank"))
     val denseRank = dense
       .select(col("neighbor_id").as("doc_id"), col("rank").cast("int").as("dense_rank"))
